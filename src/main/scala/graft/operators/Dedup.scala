@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2.5 A9; mandated by BASELINE.json's north star). Five
+  * flavors: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale design: every per-document signature (shingles, minhashes, simhash)
+  * is computed with built-in higher-order functions INSIDE the row — no
+  * explode/shuffle for signature building; the only shuffles are the
+  * candidate-pair groupBys/joins, which operate on signatures (tiny) rather
+  * than full text. At 100 TB the LSH band-bucket join touches
+  * O(n · bands) small rows, never O(n²) pairs.
+  */
+object Dedup {
+
+  /** Word k-shingles as a distinct array column, built with built-in
+    * `sequence`/`transform`/`array_distinct` — stays in codegen.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val n = size(tokens)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
+        .otherwise(array(concat_ws(" ", tokens))))
+  }
+
+  /** Exact dedup: canonical representative = min id per identical text.
+    * Plain hash-aggregate; at scale, group on xxhash64(text) first so the
+    * shuffle key is 8 bytes, with a residual text equality check.
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(xxhash64(col("text")).as("text_hash"), col("text"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keep_doc_id", "n_copies", "text_hash")
+
+  /** Per-row MinHash signature: numHashes permutations approximated by
+    * seeded xxhash64 over each shingle; min per seed. No shuffle.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingleCol, s => xxhash64(seed, s))))
+
+  /** MinHash+LSH near-duplicate pairs: shingle → minhash → band →
+    * bucket-join → exact-Jaccard verification of candidates.
+    *
+    * bands × rowsPerBand = numHashes. Output: (doc_id_a, doc_id_b, jaccard)
+    * with doc_id_a < doc_id_b and verified jaccard >= threshold.
+    */
+  def minHashLsh(
+      documents: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = documents
+      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    // band id + bucket hash per band; explode to (doc, band, bucket)
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bucket")))
+    // candidate pairs: same (band, bucket); dedup pairs across bands
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_id_a", "doc_id_b")
+    // exact Jaccard verification on the candidates only
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of word tokens, built per-row from builtins: for each
+    * bit position, sum the signs of xxhash64(token) bits; bit set when
+    * positive. Near-dups = pairs with hamming distance <= maxHamming,
+    * found via the pigeonhole trick (split 64 bits into `pieces` bands —
+    * any pair within distance d < pieces shares at least one exact band).
+    */
+  def simHash(text: Column): Column = {
+    val tokens = array_distinct(split(lower(text), "\\s+"))
+    val hashes = transform(tokens, t => xxhash64(t))
+    // shiftright/shiftleft with a COLUMN shift amount need the SQL-level
+    // function (the Scala wrapper only takes Int), hence call_function.
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, bit) => {
+        val votes = aggregate(hashes, lit(0),
+          (s, h) => s + when(call_function("shiftright", h, bit)
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        acc.bitwiseOR(
+          when(votes > 0, call_function("shiftleft", lit(1L), bit))
+            .otherwise(lit(0L)))
+      })
+  }
+
+  def hammingDist(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b)).cast("int")
+
+  def simHashDedup(
+      documents: DataFrame,
+      maxHamming: Int = 3,
+      pieces: Int = 4): DataFrame = {
+    val bitsPerPiece = 64 / pieces
+    val withHash = documents.select(col("doc_id"), simHash(col("text")).as("sh64"))
+    val banded = withHash.select(col("doc_id"), col("sh64"),
+      posexplode(transform(sequence(lit(0), lit(pieces - 1)),
+        p => call_function("shiftright", col("sh64"), p * bitsPerPiece)
+          .bitwiseAND(lit((1L << bitsPerPiece) - 1))))
+        .as(Seq("piece", "piece_val")))
+    val l = banded.select(col("piece"), col("piece_val"),
+      col("doc_id").as("doc_id_a"), col("sh64").as("h_a"))
+    val r = banded.select(col("piece"), col("piece_val"),
+      col("doc_id").as("doc_id_b"), col("sh64").as("h_b"))
+    l.join(r, Seq("piece", "piece_val"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .withColumn("hamming", hammingDist(col("h_a"), col("h_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id_a", "doc_id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity over ALL pairs above a threshold,
+    * computed the scalable way: explode shingles → equi-join on shingle →
+    * count intersections → |A∪B| = |A|+|B|−|A∩B|. SQL-expressible, so this
+    * one has a DuckDB oracle. The shingle equi-join shuffles on the shingle
+    * value — at 100 TB, frequent-shingle skew is handled by dropping
+    * ubiquitous shingles (doc-frequency cap), the standard trick.
+    */
+  def ngramJaccard(
+      documents: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.5,
+      maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+    val filtered =
+      if (maxShingleDocFreq == Long.MaxValue) sh
+      else {
+        val freq = sh.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDocFreq)
+        sh.join(freq.select("shingle"), Seq("shingle"))
+      }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = filtered.as("x")
+      .join(filtered.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold. Exact
+    * all-pairs form (crossJoin); at 100 TB swap in the LSH/IVF candidate
+    * generation from SimilaritySearch and keep only the verify stage.
+    */
+  def embeddingCosine(
+      embeddings: DataFrame,
+      threshold: Double = 0.95): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos", VectorOps.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select("vec_id_a", "vec_id_b", "cos")
+  }
+}

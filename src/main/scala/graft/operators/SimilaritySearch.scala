@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column —
+  * the Spark-native analogue of the reference's Pinecone cosine index
+  * (`/root/reference/AI.py:48-55`, queried via the retriever at
+  * `AI.py:138`, default k=4).
+  *
+  * Three paths:
+  *  - bruteForceTopK: exact. Broadcast the small query side over the big
+  *    index; per-query top-k window. The baseline every ANN variant is
+  *    measured against.
+  *  - lshTopK: random-hyperplane LSH bucketing (sign bits of projections
+  *    onto deterministic pseudo-random hyperplanes). Candidates = same
+  *    bucket in any of `tables` hash tables; exact re-rank of candidates.
+  *    At 100 TB this turns the crossJoin into an equi-join on (table,
+  *    bucket) — the scale path.
+  *  - ivfTopK: inverted-file index — partition vectors by nearest of C
+  *    centroids; probe the nProbe closest centroids per query. Centroid
+  *    assignment is a broadcast join (C is small).
+  */
+object SimilaritySearch {
+
+  /** Exact cosine top-k: queries(query_id, query_vec) × index(vec_id,
+    * embedding). Deterministic ties: (score desc, vec_id asc).
+    */
+  def bruteForceTopK(queries: DataFrame, index: DataFrame, k: Int = 4): DataFrame = {
+    val scored = index.crossJoin(broadcast(queries))
+      .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, bit,
+    * dim): a hash mapped into [-1, 1). Gives reproducible LSH across
+    * runs/partitions with no stored model.
+    */
+  private def planeComponent(table: Int, bit: Int, dimIdx: org.apache.spark.sql.Column) = {
+    val h = xxhash64(lit(table), lit(bit), dimIdx)
+    (h.cast("double") / lit(Long.MaxValue.toDouble))
+  }
+
+  /** Sign-bit bucket id for one hash table: `bits` hyperplane sign bits. */
+  private def lshBucket(vec: org.apache.spark.sql.Column, table: Int, bits: Int) = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(VectorOps.toDouble(vec), dims, (x, i) => x * planeComponent(table, b, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** LSH-bucketed ANN top-k with exact re-rank of candidates. */
+  def lshTopK(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
+      tables: Int = 4,
+      bits: Int = 8): DataFrame = {
+    def bucketed(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame = {
+      val buckets = array((0 until tables).map(t =>
+        struct(lit(t).as("table"), lshBucket(col(vecCol), t, bits).as("bucket"))): _*)
+      df.select((idCols.map(col) :+ col(vecCol) :+ explode(buckets).as("tb")): _*)
+        .select((idCols.map(col) :+ col(vecCol) :+
+          col("tb.table").as("table") :+ col("tb.bucket").as("bucket")): _*)
+    }
+    val qb = broadcast(bucketed(queries, "query_vec", Seq("query_id")))
+    val ib = bucketed(index, "embedding", Seq("vec_id"))
+    val cand = ib.join(qb, Seq("table", "bucket"))
+      .select("query_id", "query_vec", "vec_id", "embedding")
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    cand
+      .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
+  /** IVF: centroids = per-label means by default (the fixture ships labeled
+    * vectors); assignment + probing are broadcast joins on the tiny
+    * centroid set.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame, // (centroid_id, centroid_vec)
+      k: Int = 4,
+      nProbe: Int = 2): DataFrame = {
+    val cw = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("centroid_id"))
+    val assigned = index.crossJoin(broadcast(centroids))
+      .withColumn("csim", VectorOps.cosine(col("embedding"), col("centroid_vec")))
+      .withColumn("crk", row_number().over(cw))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val qw = Window.partitionBy("query_id").orderBy(desc("qsim"), asc("centroid_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("qsim", VectorOps.cosine(col("query_vec"), col("centroid_vec")))
+      .withColumn("qrk", row_number().over(qw))
+      .filter(col("qrk") <= nProbe)
+      .select(col("query_id"), col("query_vec"), col("centroid_id"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "score")
+  }
+
+  /** Per-label centroid (operator A8): element-wise mean via posexplode +
+    * two-level agg — a single shuffle on (label, dim), then array
+    * reassembly in label order.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(avg("v").as("mean_v"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_v"))))
+        .getField("mean_v").as("centroid_vec"))
+      .withColumnRenamed("label", "centroid_id")
+}

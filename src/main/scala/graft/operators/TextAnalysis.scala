@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (BASELINE.json north
+  * star): language-ID, quality scoring, token counting, document
+  * fingerprinting. All pure per-row projections from built-in functions —
+  * no UDF, no shuffle; they scale linearly and stay in whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: word-piece regex split — words,
+    * numbers, punctuation runs each count as tokens, long words count
+    * ceil(len/4) merges (a standard cheap proxy for BPE token counts).
+    */
+  def bpeTokenEstimate(text: Column): Column = {
+    val pieces = split(text, "(?<=\\W)(?=\\w)|(?<=\\w)(?=\\W)|\\s+")
+    aggregate(
+      filter(pieces, p => length(trim(p)) > 0),
+      lit(0L),
+      (acc, p) => acc + ceil(length(p).cast("double") / 4.0).cast("long"))
+  }
+
+  /** Quality features + a composite score in [0,1]:
+    * length, token count, mean word length, punctuation ratio, stopword
+    * ratio, uppercase ratio — the classic cheap quality heuristics.
+    */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "from")
+
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(lower(trim(t)), "\\s+")
+    val nTok = tokenCount(t)
+    val stopArr = array(Stopwords.map(lit): _*)
+    df.withColumn("n_chars_obs", length(t))
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_tok_len",
+        when(nTok === 0, lit(0.0))
+          .otherwise(aggregate(toks, lit(0L), (a, x) => a + length(x))
+            .cast("double") / nTok))
+      .withColumn("punct_ratio",
+        when(length(t) === 0, lit(0.0))
+          .otherwise(length(regexp_replace(t, "[^\\p{Punct}]", ""))
+            .cast("double") / length(t)))
+      .withColumn("stopword_ratio",
+        when(nTok === 0, lit(0.0))
+          .otherwise(size(filter(toks, x => array_contains(stopArr, x)))
+            .cast("double") / nTok))
+      .withColumn("upper_ratio",
+        when(length(t) === 0, lit(0.0))
+          .otherwise(length(regexp_replace(t, "[^A-Z]", ""))
+            .cast("double") / length(t)))
+      .withColumn("quality_score",
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.4 +
+          (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5.0)) * 0.3 +
+          least(lit(1.0), col("stopword_ratio") * 4.0) * 0.3, 6))
+  }
+
+  /** Language-ID by stopword-profile voting: score each candidate language
+    * by hits of its marker words, predict the argmax (ties → alphabetical).
+    * A real system would use character n-gram profiles; markers keep it
+    * deterministic and dependency-free. Profiles cover the fixture's lang
+    * codes (FIXTURES.md: en/es/zh/de/...).
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "a", "value", "table", "row"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo"))
+
+  def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val scoreCols = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(
+        size(filter(toks, x => array_contains(arr, x))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct(hits, lang): max hits, then max lang — to get
+    // alphabetical-first ties we negate nothing and order langs desc-proof:
+    // sort desc by hits then asc by lang via reverse trick below.
+    val best = aggregate(
+      array(scoreCols: _*),
+      struct(lit(-1).as("hits"), lit("").as("lang")),
+      (acc, s) => when(s.getField("hits") > acc.getField("hits"), s).otherwise(acc))
+    df.withColumn("predicted_lang", best.getField("lang"))
+      .withColumn("marker_hits", best.getField("hits"))
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-style): polynomial
+    * rolling hash of each k-token window, fingerprint = min hash value —
+    * plus a full-text xxhash64. Per-row builtins only.
+    */
+  def fingerprint(df: DataFrame, textCol: String = "text", k: Int = 5): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val n = size(toks)
+    val windowHashes =
+      when(n >= k,
+        transform(sequence(lit(0), n - k),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+        .otherwise(array(xxhash64(concat_ws(" ", toks))))
+    df.withColumn("fingerprint_min", array_min(windowHashes))
+      .withColumn("fingerprint_full", xxhash64(col(textCol)))
+      .withColumn("n_windows", size(windowHashes))
+  }
+}

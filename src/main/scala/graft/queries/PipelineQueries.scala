@@ -1,0 +1,410 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.rag.RagPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RAG-surface, dedup, similarity-search, text-analysis and multimodal
+  * queries (SURVEY.md §2.1–2.3, §2.6 T2, A8/A9 + the BASELINE.json
+  * north-star operator set). Queries whose semantics are SQL-expressible
+  * carry a DuckDB oracle; hash-based ops (minhash/simhash/xxhash
+  * fingerprints) and the embedder get rows-only checks plus ScalaTest
+  * coverage.
+  */
+object PipelineQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  /** Fixed retrieval query strings (vocabulary-aligned with the fixture
+    * corpus so top-4 is non-degenerate).
+    */
+  val RetrievalQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark join shuffle partition",
+    2L -> "vector index scan fast",
+    3L -> "customer order value table",
+    4L -> "window agg batch row",
+    5L -> "hash merge filter column")
+
+  def retrievalQueryDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    RetrievalQueries.toDF("query_id", "query_text")
+  }
+
+  def queries: Map[String, Q] = Map(
+    // C1 chunker, oracled via the lossless-reassembly property:
+    // chunks joined by the separator reconstruct trim(text) exactly
+    // (overlap=0, space-separated corpus).
+    "q26_chunk_reassembly" -> ((s, dir) => {
+      import s.implicits._
+      RagPipeline.chunkDocuments(s, t(s, dir, "documents"), chunkSize = 120)
+        .groupByKey(_.doc_id)
+        .mapGroups { (id, rows) =>
+          val ordered = rows.toSeq.sortBy(_.chunk_index)
+          (id, ordered.map(_.text).mkString(" "), ordered.size)
+        }
+        .toDF("doc_id", "reassembled", "n_chunks")
+        .select(col("doc_id"), col("reassembled"),
+          length(col("reassembled")).as("reassembled_len"))
+    }),
+
+    // C1 raw chunk rows (rows-only: boundaries tested in ScalaTest)
+    "q27_chunks" -> ((s, dir) => {
+      RagPipeline.chunkDocuments(s, t(s, dir, "documents"), chunkSize = 120)
+        .toDF()
+        .select(col("doc_id"), col("chunk_index"),
+          length(col("text")).as("chunk_len"), col("text"))
+    }),
+
+    // E1+E2: full RAG retrieval — chunk, embed, cosine top-4 per query
+    // (rows-only: embedder is not SQL-expressible; invariants in tests)
+    "q28_rag_retrieval" -> ((s, dir) => {
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200)
+      RagPipeline.retrieve(retrievalQueryDf(s), index, k = 4)
+        .select(col("query_id"), col("rank"), col("chunk_id"), col("doc_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // E2 context assembly (stuff-chain concat)
+    "q29_rag_context" -> ((s, dir) => {
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200)
+      val retrieved = RagPipeline.retrieve(retrievalQueryDf(s), index, k = 4)
+      RagPipeline.assembleContext(retrieved)
+        .select(col("query_id"), length(col("context")).as("context_len"),
+          col("n_chunks"))
+    }),
+
+    // A9 exact dedup
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"))
+        .select("keep_doc_id", "n_copies")
+    }),
+
+    // A9 exact n-gram Jaccard pairs (full SQL oracle)
+    "q31_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(t(s, dir, "documents"), k = 3, threshold = 0.12)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // A9 MinHash+LSH near-dup (rows-only; recall tested vs exact in specs)
+    "q32_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLsh(t(s, dir, "documents"), k = 3, numHashes = 32,
+        bands = 16, threshold = 0.12)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // A9 SimHash near-dup (rows-only)
+    "q33_simhash" -> ((s, dir) => {
+      Dedup.simHashDedup(t(s, dir, "documents"), maxHamming = 8, pieces = 4)
+    }),
+
+    // A9 embedding-cosine near-dup pairs (SQL oracle, double math)
+    "q34_embedding_pairs" -> ((s, dir) => {
+      Dedup.embeddingCosine(t(s, dir, "embeddings"), threshold = 0.35)
+        .select(col("vec_id_a"), col("vec_id_b"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
+    // J1+T2 exact kNN: first 8 vectors as queries, cosine top-4
+    "q35_knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // O3 LSH ANN path (rows-only; recall vs exact tested in specs)
+    "q36_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilaritySearch.lshTopK(q, emb, k = 4, tables = 8, bits = 6)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // O3 IVF ANN path (rows-only)
+    "q37_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cents = SimilaritySearch.labelCentroids(emb)
+      SimilaritySearch.ivfTopK(q, emb, cents, k = 4, nProbe = 3)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // A8 per-label centroid, element-wise (SQL oracle via list indexing)
+    "q38_centroids" -> ((s, dir) => {
+      SimilaritySearch.labelCentroids(t(s, dir, "embeddings"))
+        .select(col("centroid_id"), posexplode(col("centroid_vec"))
+          .as(Seq("dim", "mean_v")))
+        .select(col("centroid_id"), col("dim"),
+          round(col("mean_v"), 6).as("mean_v"))
+    }),
+
+    // text analysis: token counting per language group
+    "q39_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("bigint"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          round(avg("n_chars"), 6).as("avg_chars"),
+          sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0))
+            .as("n_len_mismatch"))
+    }),
+
+    // text analysis: quality scoring per source
+    "q40_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality_score"), 6).as("avg_quality"),
+          round(avg("stopword_ratio"), 6).as("avg_stopword_ratio"),
+          round(avg("mean_tok_len"), 6).as("avg_tok_len"))
+    }),
+
+    // text analysis: language-ID by marker voting (SQL oracle via CASE)
+    "q41_langid" -> ((s, dir) => {
+      TextAnalysis.languageId(t(s, dir, "documents"))
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("marker_hits").cast("bigint")).as("sum_hits"))
+    }),
+
+    // text analysis: rolling-hash fingerprint (rows-only: xxhash64)
+    "q42_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(t(s, dir, "documents"))
+        .select("doc_id", "fingerprint_min", "fingerprint_full", "n_windows")
+    }),
+
+    // text analysis: BPE-ish token estimate (word-based SQL oracle)
+    "q43_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("bpe_tokens", TextAnalysis.bpeTokenEstimate(col("text")))
+        .groupBy("lang")
+        .agg(sum("bpe_tokens").as("sum_bpe_tokens"),
+          round(avg("bpe_tokens"), 6).as("avg_bpe_tokens"))
+    }),
+
+    // multimodal: binary metadata slice (SQL oracle)
+    "q44_multimodal_meta" -> ((s, dir) => {
+      Multimodal.metadata(t(s, dir, "documents"))
+    }),
+
+    // multimodal: stubbed decode over binary payloads — deterministic fake
+    // features; byte_len/width/height/n_frames ARE oracle-checkable
+    "q45_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          col("width"), col("height"), col("n_frames"))
+    }),
+
+    // ST6 batch analogue: dedup by event_id
+    "q46_stream_dedup" -> ((s, dir) => {
+      t(s, dir, "events").dropDuplicates("event_id")
+        .agg(count(lit(1)).as("n_unique"),
+          round(sum("value"), 4).as("sum_value"))
+    }),
+
+    // P1 refusal rewrite + P2 first-line truncation
+    "q47_postprocess" -> ((s, dir) => {
+      val answers = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").as("answer"))
+      RagPipeline.postProcess(answers)
+        .select(col("doc_id"), col("answer"))
+    }))
+
+  private val jaccardOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+      |  FROM toks, unnest(generate_series(1, greatest(1, len(tk)-2))) AS u(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+      |    count(*) AS n_inter
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+      |    AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_id_a, doc_id_b,
+      |  round(CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter), 6)
+      |    AS jaccard
+      |FROM inter
+      |JOIN sizes a ON a.doc_id = doc_id_a
+      |JOIN sizes b ON b.doc_id = doc_id_b
+      |WHERE CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) >= 0.12""".stripMargin
+
+  private val langidOracle = {
+    // mirrors TextAnalysis.LangMarkers with first-max (alphabetical) ties
+    val markers = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+    val hitExprs = markers.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(tk, x -> list_contains($arr, x))) AS hits_$lang"
+    }.mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val caseArms = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"hits_$l >= hits_$o")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("\n      ")
+    val greatest = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $hitExprs
+       |  FROM toks),
+       |best AS (
+       |  SELECT doc_id, lang,
+       |    CASE
+       |      $caseArms
+       |    END AS predicted_lang,
+       |    CAST($greatest AS INT) AS marker_hits
+       |  FROM scored)
+       |SELECT lang, predicted_lang, count(*) AS n_docs,
+       |  CAST(sum(marker_hits) AS BIGINT) AS sum_hits
+       |FROM best GROUP BY lang, predicted_lang""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q26_chunk_reassembly" ->
+      """SELECT doc_id, trim(text) AS reassembled,
+        |CAST(length(trim(text)) AS INT) AS reassembled_len
+        |FROM documents""".stripMargin,
+    "q30_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "q31_ngram_jaccard" -> jaccardOracle,
+    "q34_embedding_pairs" ->
+      """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |round(
+        |  list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                   CAST(b.embedding AS DOUBLE[]))
+        |  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(a.embedding AS DOUBLE[])))
+        |   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])))), 6)
+        |  AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                       CAST(b.embedding AS DOUBLE[]))
+        |  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(a.embedding AS DOUBLE[])))
+        |   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[]))))
+        |  >= 0.35""".stripMargin,
+    "q35_knn_bruteforce" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(x.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+        |                             CAST(x.embedding AS DOUBLE[]))))
+        |    AS score
+        |  FROM embeddings q CROSS JOIN embeddings x
+        |  WHERE q.vec_id < 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 4""".stripMargin,
+    "q38_centroids" ->
+      """SELECT label AS centroid_id, CAST(i - 1 AS INT) AS dim,
+        |round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v
+        |FROM embeddings, unnest(generate_series(1, 64)) AS u(i)
+        |GROUP BY centroid_id, dim""".stripMargin,
+    "q39_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |  AS sum_tokens,
+        |round(avg(n_chars), 6) AS avg_chars,
+        |CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_len_mismatch
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q40_quality" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'")
+        .mkString("[", ", ", "]")
+      s"""WITH feats AS (
+         |  SELECT source,
+         |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> list_contains($stop, x))) AS DOUBLE)
+         |      / len(string_split_regex(lower(trim(text)), '\\s+'))
+         |      AS stopword_ratio,
+         |    CAST(list_sum(list_transform(
+         |      string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> length(x))) AS DOUBLE)
+         |      / len(string_split_regex(lower(trim(text)), '\\s+'))
+         |      AS mean_tok_len,
+         |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+         |      AS DOUBLE) / length(text) AS punct_ratio
+         |  FROM documents),
+         |scored AS (
+         |  SELECT source, stopword_ratio, mean_tok_len,
+         |    round(
+         |      least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4 +
+         |      (1.0 - least(1.0, punct_ratio * 5.0)) * 0.3 +
+         |      least(1.0, stopword_ratio * 4.0) * 0.3, 6) AS quality_score
+         |  FROM feats)
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(quality_score), 6) AS avg_quality,
+         |  round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
+         |  round(avg(mean_tok_len), 6) AS avg_tok_len
+         |FROM scored GROUP BY source""".stripMargin
+    },
+    "q41_langid" -> langidOracle,
+    "q43_bpe_tokens" ->
+      """SELECT lang,
+        |CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens,
+        |round(avg(bpe), 6) AS avg_bpe_tokens FROM (
+        |  SELECT lang, list_sum(list_transform(
+        |    string_split_regex(trim(text), '\s+'),
+        |    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS bpe
+        |  FROM documents)
+        |GROUP BY lang""".stripMargin,
+    "q44_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |substr(text, 1, 8) AS head8
+        |FROM documents""".stripMargin,
+    "q45_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+        |CAST(64 + (octet_length(encode(text)) // 7) % 512 AS INT) AS height,
+        |CAST(CASE WHEN doc_id % 3 = 2
+        |  THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS INT)
+        |  AS n_frames
+        |FROM documents""".stripMargin,
+    "q46_stream_dedup" ->
+      """SELECT count(*) AS n_unique, round(sum(value), 4) AS sum_value
+        |FROM (SELECT DISTINCT ON (event_id) * FROM events)""".stripMargin,
+    "q47_postprocess" ->
+      """SELECT doc_id,
+        |CASE WHEN starts_with(text,
+        |  'The context provided does not contain specific information')
+        |THEN 'I''m sorry, I can only answer questions based on the provided documents.'
+        |ELSE split_part(text, chr(10), 1) END AS answer
+        |FROM documents""".stripMargin)
+}

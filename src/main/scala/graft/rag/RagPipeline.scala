@@ -1,0 +1,121 @@
+package graft.rag
+
+import graft.text.Chunker
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch re-expression of the reference's two entry points
+  * (SURVEY.md §3 E1/E2):
+  *
+  *  - E1 ingest/index-build (`/root/reference/AI.py:74-96`):
+  *    documents → chunk (C1, `AI.py:84-85`) → embed (deterministic local
+  *    embedder replacing the remote calls at `AI.py:58,96`) → index table.
+  *  - E2 retrieval (`AI.py:135-148`): query → embed → cosine top-k
+  *    (k=4, the retriever default at `AI.py:138`; cosine per `AI.py:52`)
+  *    → per-query context concat ("\n\n"-joined, the stuff-chain behavior
+  *    at `AI.py:142`) → refusal rewrite (P1, `AI.py:176-179`) and
+  *    first-line truncation (P2, `AI.py:185`) as flag-gated projections.
+  *
+  * Scale notes: chunk+embed is a pure per-row flatMap/projection — no
+  * shuffle, embarrassingly parallel across any number of executors. The
+  * retrieval crossJoin broadcasts the (small) QUERY side, so the 100 TB
+  * index side streams partition-local; the per-query top-k is a
+  * partial-aggregated window (queries are few, index is huge → the
+  * window exchange is on query_id and tiny).
+  */
+object RagPipeline {
+
+  final case class Doc(doc_id: Long, text: String)
+  final case class ChunkRow(doc_id: Long, chunk_id: Long, chunk_index: Int, text: String)
+
+  /** E1, chunking stage: one document row → N chunk rows via typed flatMap
+    * of the pure chunker (operator C1). `chunk_id` is globally unique and
+    * deterministic (doc_id * 10_000 + index).
+    */
+  def chunkDocuments(
+      spark: SparkSession,
+      documents: DataFrame,
+      chunkSize: Int = 1000,
+      chunkOverlap: Int = 0): Dataset[ChunkRow] = {
+    import spark.implicits._
+    documents.select($"doc_id", $"text").as[Doc].flatMap { d =>
+      Chunker.chunks(d.text, chunkSize, chunkOverlap).map { c =>
+        ChunkRow(d.doc_id, d.doc_id * 10000L + c.index, c.index, c.text)
+      }
+    }
+  }
+
+  /** E1 complete: chunk + embed → the vector index table
+    * (id, vector, text) — the Spark-native analogue of the Pinecone upsert
+    * at `/root/reference/AI.py:94-96`. Write it with
+    * `.write.mode("overwrite").parquet(path)` for the persisted form
+    * (idempotent rebuild replacing the LRU memo at `AI.py:89-96`).
+    */
+  def buildIndex(
+      spark: SparkSession,
+      documents: DataFrame,
+      chunkSize: Int = 1000,
+      chunkOverlap: Int = 0,
+      dim: Int = Embedder.DefaultDim): DataFrame =
+    chunkDocuments(spark, documents, chunkSize, chunkOverlap)
+      .toDF()
+      .withColumn("embedding", Embedder.embedCol(col("text"), dim))
+
+  /** E2 batch retrieval: queries (query_id, query_text) × index → cosine
+    * top-k. Exact-kNN shape: broadcast the small query side over the big
+    * index; rank per query. Ties broken by chunk_id for determinism.
+    */
+  def retrieve(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    val q = broadcast(
+      queries.withColumn("query_vec", Embedder.embedCol(col("query_text"), dim)))
+    val scored = index
+      .crossJoin(q)
+      .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("chunk_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+  }
+
+  /** E2 context assembly: the stuff-chain concat — top-k chunk texts joined
+    * by "\n\n" per query, in rank order (`/root/reference/AI.py:142`).
+    */
+  def assembleContext(retrieved: DataFrame): DataFrame =
+    retrieved
+      .groupBy("query_id")
+      .agg(
+        concat_ws("\n\n",
+          array_sort(collect_list(struct(col("rank"), col("text"))))
+            .getField("text")).as("context"),
+        count(lit(1)).as("n_chunks"))
+
+  /** P1 refusal rewrite + P2 first-line truncation
+    * (`/root/reference/AI.py:176-185`). P2 is a surprising-but-real
+    * output semantic of the reference, so it is flag-gated.
+    */
+  def postProcess(
+      answers: DataFrame,
+      answerCol: String = "answer",
+      refusalPrefix: String =
+        "The context provided does not contain specific information",
+      cannedRefusal: String =
+        "I'm sorry, I can only answer questions based on the provided documents.",
+      truncateFirstLine: Boolean = true): DataFrame = {
+    val rewritten = when(col(answerCol).startsWith(refusalPrefix), lit(cannedRefusal))
+      .otherwise(col(answerCol))
+    val truncated =
+      if (truncateFirstLine)
+        when(rewritten === cannedRefusal, rewritten)
+          .otherwise(split(rewritten, "\n").getItem(0))
+      else rewritten
+    answers.withColumn(answerCol, truncated)
+  }
+}

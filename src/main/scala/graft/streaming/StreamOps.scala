@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming operators over the `events` table (SURVEY.md §2.9
+  * ST1–ST6). The reference's "stream" is its interactive chat loop — each
+  * Send click mutates per-session state (`/root/reference/AI.py:163-185`,
+  * session store at `AI.py:155-161`, clear at `AI.py:232-235`); here that
+  * becomes watermark-bounded windowed aggregation and
+  * `flatMapGroupsWithState` session state.
+  *
+  * Every transform takes a DataFrame so it runs identically on a batch
+  * frame (tests, Verify) and a `readStream` frame (production): Spark's
+  * unified batch/streaming semantics do the rest.
+  */
+object StreamOps {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Session state mirroring the reference's `SimpleChatMessageHistory`
+    * (`AI.py:19-30`): an append-only bounded message list per session.
+    */
+  final case class SessionAgg(
+      user_id: Long, n_events: Long, sum_value: Double,
+      first_ts: Timestamp, last_ts: Timestamp, last_types: Seq[String])
+
+  /** ST1: tumbling/sliding window aggregate with watermark (ST3). */
+  def windowedAgg(
+      events: DataFrame,
+      windowDur: String = "10 minutes",
+      slideDur: Option[String] = None,
+      watermark: String = "10 minutes"): DataFrame = {
+    val win = slideDur match {
+      case Some(s) => window(col("ts"), windowDur, s)
+      case None => window(col("ts"), windowDur)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** ST2: session window (gap-based) per user. */
+  def sessionWindowAgg(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  /** ST6: streaming dedup by event_id within the watermark. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** ST4/ST5: custom per-session state via flatMapGroupsWithState —
+    * accumulates a bounded recent-event-type list (the chat-history
+    * analogue); an event_type == "clear" resets state, mirroring
+    * `clear_messages` (`AI.py:232-235`). Emits one updated summary row per
+    * group per trigger.
+    */
+  def sessionState(
+      spark: SparkSession,
+      events: Dataset[Event],
+      maxTypes: Int = 10): Dataset[SessionAgg] = {
+    import spark.implicits._
+    def update(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[SessionAgg]): Iterator[SessionAgg] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption.getOrElse(
+        SessionAgg(userId, 0L, 0.0, null, null, Seq.empty))
+      var cleared = false
+      sorted.foreach { e =>
+        if (e.event_type == "clear") {
+          cur = SessionAgg(userId, 0L, 0.0, null, null, Seq.empty)
+          cleared = true
+        } else {
+          cur = SessionAgg(
+            userId,
+            cur.n_events + 1,
+            cur.sum_value + e.value,
+            if (cur.first_ts == null) e.ts else cur.first_ts,
+            e.ts,
+            (cur.last_types :+ e.event_type).takeRight(maxTypes))
+        }
+      }
+      if (cleared && cur.n_events == 0L) state.remove()
+      else state.update(cur)
+      Iterator.single(cur)
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}
