@@ -255,7 +255,7 @@ object RelationalQueries {
     "q19_theta_nlj" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
       val c = t(s, dir, "customer")
-      sup.join(c, abs(col("s_acctbal") - col("c_acctbal")) < 1.0)
+      sup.join(c, abs(col("s_acctbal") - col("c_acctbal")) < 50.0)
         .groupBy("s_suppkey")
         .agg(count(lit(1)).as("n_close_customers"))
     }),
@@ -480,7 +480,7 @@ object RelationalQueries {
         |GROUP BY p_brand""".stripMargin,
     "q19_theta_nlj" ->
       """SELECT s_suppkey, count(*) AS n_close_customers
-        |FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) < 1.0
+        |FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) < 50.0
         |GROUP BY s_suppkey""".stripMargin,
     "q20_asof_join" ->
       """WITH matched AS (

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Dedup (A9), as-of join (J6), sessionization and similarity-search
+  * invariants on hand-built inputs with known answers.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per identical text") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y", 4L -> "a b c")
+    val out = Dedup.exact(d).select("keep_doc_id", "n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 3L -> 1L))
+  }
+
+  test("ngram jaccard finds the near-identical pair and only it") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "completely unrelated text with different words entirely")
+    val out = Dedup.ngramJaccard(d, k = 3, threshold = 0.3)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
+  test("minhash LSH candidates contain the high-jaccard pair (recall)") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota",
+      3L -> "one two three four five six seven eight")
+    val out = Dedup.minHashLsh(d, k = 2, numHashes = 32, bands = 16,
+      threshold = 0.3)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+  }
+
+  test("simhash: identical texts hamming 0; near texts < far texts") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "alpha beta gamma delta epsilon zeta eta iota",
+      4L -> "unrelated corpus speaks of other topics wholly")
+    val hashes = d.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(1L) === hashes(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(3L)) < ham(hashes(1L), hashes(4L)))
+  }
+
+  test("as-of join picks the latest right row <= left time, null when none") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-10 00:00:00"), 7L),
+      (2L, Timestamp.valueOf("2024-01-20 00:00:00"), 7L),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:00"), 8L))
+      .toDF("event_id", "ts", "user_id")
+    val ord = Seq(
+      (7L, Timestamp.valueOf("2024-01-05 00:00:00"), 100L, 10.0),
+      (7L, Timestamp.valueOf("2024-01-15 00:00:00"), 101L, 20.0),
+      (8L, Timestamp.valueOf("2024-02-01 00:00:00"), 102L, 30.0))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val out = AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts",
+      "o_orderdate", Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+      .select("event_id", "o_orderkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out === Map(1L -> 100L, 2L -> 101L, 3L -> -1L))
+  }
+
+  test("as-of join tie at equal timestamp: greatest tiebreak wins; boundary is inclusive") {
+    val ev = Seq((1L, Timestamp.valueOf("2024-01-05 00:00:00"), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val ord = Seq(
+      (7L, Timestamp.valueOf("2024-01-05 00:00:00"), 100L, 1.0),
+      (7L, Timestamp.valueOf("2024-01-05 00:00:00"), 101L, 2.0))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val out = AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts",
+      "o_orderdate", Seq("o_orderkey"), "o_orderkey")
+      .select("o_orderkey").as[Long].head()
+    assert(out === 101L)
+  }
+
+  test("sessionize: gap >= 30min starts a new session") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 5L, 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:10:00"), 5L, 2.0),
+      (3L, Timestamp.valueOf("2024-01-01 00:40:00"), 5L, 3.0), // exactly 30m
+      (4L, Timestamp.valueOf("2024-01-01 02:00:00"), 5L, 4.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Sessionize.sessions(ev, gapSeconds = 1800L)
+      .select("session_seq", "n_events").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("brute-force kNN: self is rank 1, ranks are contiguous, scores non-increasing") {
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val out = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+      .select("query_id", "rank", "vec_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    out.foreach { case (qid, rows) =>
+      assert(rows.map(_._2).toSeq === Seq(1, 2, 3, 4))
+      assert(rows.head._3 === qid) // self-match at rank 1
+      assert(rows.head._4 > 0.999999)
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ =>
+      }
+    }
+  }
+
+  test("LSH ANN results are a subset of the index with valid cosines") {
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val out = SimilaritySearch.lshTopK(q, emb, k = 4, tables = 8, bits = 6)
+      .select("query_id", "rank", "vec_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, r, _, s) =>
+      assert(r >= 1 && r <= 4); assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+    // self-bucket guarantee: a query always collides with itself
+    val byQ = out.groupBy(_._1)
+    byQ.foreach { case (qid, rows) => assert(rows.head._3 === qid) }
+  }
+
+  test("language id picks the language with most marker hits") {
+    val d = docs(1L -> "the value of the table is a row",
+      2L -> "el que de la una en los")
+    val out = TextAnalysis.languageId(d)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+  }
+
+  test("token counts: empty, spaces, normal") {
+    val d = Seq("", "   ", "a b  c", "one").toDF("text")
+      .withColumn("n", TextAnalysis.tokenCount(col("text")))
+    assert(d.select("n").as[Int].collect().toSeq === Seq(0, 0, 3, 1))
+  }
+}

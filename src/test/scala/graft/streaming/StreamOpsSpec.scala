@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** ST1–ST6 driven as REAL streams via MemoryStream (SURVEY.md §2.9):
+  * watermarked tumbling windows with late-data drop, session windows,
+  * stream dedup, and the flatMapGroupsWithState session-state operator
+  * with the reference's clear semantics.
+  */
+class StreamOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    StreamOps.Event(id, Timestamp.valueOf(t), user, typ, v, "{}")
+
+  private def runStream(name: String, events: Seq[StreamOps.Event],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      outputMode: String = "append"): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val q = build(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    // a second, far-future batch advances the watermark so closed
+    // windows flush in append mode
+    mem.addData(ev(9999, "2024-06-01 00:00:00", 999, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).collect().toSeq
+  }
+
+  test("ST1+ST3: watermarked tumbling window aggregates and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.windowedAgg(mem.toDF(), "10 minutes", None, "10 minutes")
+      .writeStream.format("memory").queryName("st1_out")
+      .outputMode("append").start()
+    // batch 1 establishes the watermark at 01:30 - 10m = 01:20
+    mem.addData(
+      ev(1, "2024-01-01 00:05:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 00:07:00", 1, "click", 2.0),
+      ev(3, "2024-01-01 01:30:00", 2, "view", 5.0))
+    q.processAllAvailable()
+    // batch 2: event-time 00:01 < watermark → dropped (ST3)
+    mem.addData(ev(4, "2024-01-01 00:01:00", 1, "click", 100.0))
+    q.processAllAvailable()
+    // batch 3 pushes the watermark far ahead so all windows flush
+    mem.addData(ev(9999, "2024-06-01 00:00:00", 999, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val clicks = spark.table("st1_out").collect().toSeq
+      .filter(_.getString(2) == "click")
+    assert(clicks.size === 1)
+    assert(clicks.head.getLong(3) === 2L) // the late 100.0 event is NOT counted
+    assert(clicks.head.getDouble(4) === 3.0)
+  }
+
+  test("ST2: session window merges events within the gap") {
+    val events = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
+      ev(2, "2024-01-01 00:10:00", 1, "a", 1.0), // same session (10m < 30m)
+      ev(3, "2024-01-01 01:00:00", 1, "a", 1.0), // 50m gap → new session
+      ev(4, "2024-01-01 00:00:00", 2, "a", 1.0))
+    val rows = runStream("st2_out", events,
+      df => StreamOps.sessionWindowAgg(df, "30 minutes", "30 minutes"))
+    val u1 = rows.filter(_.getLong(2) == 1L)
+    assert(u1.map(_.getLong(3)).sorted === Seq(1L, 2L))
+  }
+
+  test("ST6: streaming dedup by event_id") {
+    val events = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
+      ev(1, "2024-01-01 00:00:30", 1, "a", 1.0), // duplicate id
+      ev(2, "2024-01-01 00:01:00", 1, "a", 1.0))
+    val rows = runStream("st6_out", events,
+      df => StreamOps.dedupEvents(df, "10 minutes")
+        .groupBy().count().toDF("n"), outputMode = "complete")
+    assert(rows.last.getLong(0) === 3L) // 2 uniques + the flush event
+  }
+
+  test("ST4/ST5: per-session state accumulates and clear resets") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val out = StreamOps.sessionState(spark, mem.toDS(), maxTypes = 3)
+    val q = out.writeStream.format("memory").queryName("st4_out")
+      .outputMode("append").start()
+    mem.addData(
+      ev(1, "2024-01-01 00:00:00", 1, "signup", 1.0),
+      ev(2, "2024-01-01 00:01:00", 1, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData(ev(3, "2024-01-01 00:02:00", 1, "purchase", 4.0))
+    q.processAllAvailable()
+    mem.addData(ev(4, "2024-01-01 00:03:00", 1, "clear", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("st4_out")
+      .select("n_events", "sum_value", "last_types")
+      .as[(Long, Double, Seq[String])].collect()
+    // batch 1: accumulated 2 events; batch 2: 3 events total (state carried)
+    assert(rows.contains((2L, 3.0, Seq("signup", "click"))))
+    assert(rows.contains((3L, 7.0, Seq("signup", "click", "purchase"))))
+    // batch 3: clear resets to empty
+    assert(rows.contains((0L, 0.0, Seq.empty[String])))
+  }
+}
