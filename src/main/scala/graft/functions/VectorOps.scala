@@ -7,34 +7,37 @@ import org.apache.spark.sql.functions._
   * (operator P6 in SURVEY.md §2.2; motivated by the reference's cosine index
   * metric at `/root/reference/AI.py:52`).
   *
-  * All kernels are composed from built-in higher-order functions
-  * (`transform` / `zip_with` / `aggregate`), so they stay inside Catalyst —
-  * no Scala UDF, no serialization, codegen-eligible — and compute in DOUBLE
-  * precision with strict left-to-right accumulation so results are
+  * The hot kernels are native Catalyst expressions with codegen
+  * (graft.functions.expressions.VectorExpressions); composed-builtin
+  * higher-order-function twins are kept for cross-checking. All math is
+  * DOUBLE precision with strict left-to-right accumulation so results are
   * reproducible against the DuckDB oracle.
   */
 object VectorOps {
+  import graft.functions.expressions.VectorExpressions
 
   /** Element-wise cast to double — all downstream math is double-precision. */
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  // Native single-pass Catalyst expressions (codegen) — the hot path.
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot_f(a, b)
+  def l2Norm(a: Column): Column = VectorExpressions.norm_f(a)
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine_f(a, b)
+
+  def normSq(a: Column): Column =
+    aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x)
+
+  // Composed-builtin (higher-order-function) twins, kept as the
+  // cross-check reference for the native expressions in tests.
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0),
       (acc, x) => acc + x)
 
-  def normSq(a: Column): Column =
-    aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x)
-
-  def l2Norm(a: Column): Column = sqrt(normSq(a))
-
-  /** Cosine similarity; 0.0 when either vector has zero norm (matches the
-    * convention of returning a neutral score instead of NaN).
-    */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = l2Norm(a) * l2Norm(b)
+  def cosineHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b)
+    val n = sqrt(normSq(a)) * sqrt(normSq(b))
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 

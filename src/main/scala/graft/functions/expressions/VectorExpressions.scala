@@ -1,0 +1,196 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftExprBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector kernels (SURVEY.md §4:
+  * "promote cosine to codegen Expression") — the hot path of the kNN /
+  * near-dup operators (reference semantics: cosine metric,
+  * /root/reference/AI.py:52). Unlike the higher-order-function
+  * formulation, these run a primitive float loop per row with no
+  * per-element boxing, and `DotF`/`CosineF` generate Java directly into
+  * whole-stage codegen.
+  *
+  * All math is double-precision with strict left-to-right accumulation —
+  * bit-identical to the DuckDB oracle formulation.
+  */
+object VectorExpressions {
+
+  private def col(e: Expression): Column = GraftExprBridge.column(e)
+  private def ex(c: Column): Expression = GraftExprBridge.expression(c)
+
+  /** dot(a, b) over array<float> (double accumulate). */
+  def dot_f(a: Column, b: Column): Column = col(DotF(ex(a), ex(b)))
+
+  /** cosine(a, b) with 0.0 for zero-norm inputs. */
+  def cosine_f(a: Column, b: Column): Column = col(CosineF(ex(a), ex(b)))
+
+  /** l2 norm of array<float>. */
+  def norm_f(a: Column): Column = col(NormF(ex(a)))
+
+  /** Random-hyperplane LSH: sign-bit bucket per hash table, all tables in
+    * one pass. Returns array<long> of length `tables`.
+    */
+  def lsh_buckets(vec: Column, tables: Int, bits: Int): Column =
+    col(LshBucketsF(ex(vec), tables, bits))
+}
+
+private object VecKernels {
+  /** element accessor that tolerates float or double arrays */
+  def getter(e: Expression): (ArrayData, Int) => Double = e.dataType match {
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case _ => (a, i) => a.getFloat(i).toDouble
+  }
+  /** java accessor expression for codegen */
+  def jGet(e: Expression, arr: String, i: String): String = e.dataType match {
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+    case _ => s"(double) $arr.getFloat($i)"
+  }
+}
+
+case class DotF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val gx = VecKernels.getter(left); val gy = VecKernels.getter(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += gx(x, i) * gy(y, i); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += ${VecKernels.jGet(left, a, i)} * ${VecKernels.jGet(right, b, i)};
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class NormF(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val g = VecKernels.getter(child)
+    var s = 0.0; var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = g(x, i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double ${ev.value}_acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = ${VecKernels.jGet(child, a, i)};
+         |  ${ev.value}_acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt(${ev.value}_acc);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All-tables random-hyperplane LSH buckets in one pass. Hyperplane
+  * component for (table, bit, dim) is a deterministic hash mapped into
+  * [-1, 1) — reproducible across runs/partitions with no stored model
+  * (hash chain identical to built-in xxhash64(table, bit, dim)).
+  */
+case class LshBucketsF(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val g = VecKernels.getter(child)
+    val n = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val ht = XXH64.hashInt(t, 42L)
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val hb = XXH64.hashInt(b, ht)
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          val h = XXH64.hashInt(i, hb)
+          proj += g(v, i) * (h.toDouble / Long.MaxValue.toDouble)
+          i += 1
+        }
+        if (proj >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Single-pass cosine: dot and both norms in one loop. */
+case class CosineF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val gx = VecKernels.getter(left); val gy = VecKernels.getter(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = gx(x, i)
+      val yv = gy(y, i)
+      d += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else d / denom
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val den = ctx.freshName("den")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${VecKernels.jGet(left, a, i)};
+         |  double $yv = ${VecKernels.jGet(right, b, i)};
+         |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $d / $den;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -17,18 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word k-shingles as a distinct array column, built with built-in
-    * `sequence`/`transform`/`array_distinct` — stays in codegen.
+  /** Word k-shingles as a distinct array column — a native single-pass
+    * expression (the composed `transform`/`slice`/`concat_ws` form
+    * evaluated one lambda tree per window and dominated every
+    * shingle-based operator's runtime).
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
-    val n = size(tokens)
-    array_distinct(
-      when(n >= k,
-        transform(sequence(lit(0), n - k),
-          i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
-        .otherwise(array(concat_ws(" ", tokens))))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.expressions.HashExpressions.shingles_k(
+      split(lower(trim(text)), "\\s+"), k)
 
   /** Exact dedup: canonical representative = min id per identical text.
     * Plain hash-aggregate; at scale, group on xxhash64(text) first so the
@@ -44,8 +40,7 @@ object Dedup {
     * seeded xxhash64 over each shingle; min per seed. No shuffle.
     */
   def minHashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleCol, s => xxhash64(seed, s))))
+    graft.functions.expressions.HashExpressions.minhash_sig(shingleCol, numHashes)
 
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band →
     * bucket-join → exact-Jaccard verification of candidates.
@@ -63,23 +58,28 @@ object Dedup {
     val withSig = documents
       .select(col("doc_id"), shingles(col("text"), k).as("sh"))
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
-    // band id + bucket hash per band; explode to (doc, band, bucket)
+    val shingleTable = withSig.select("doc_id", "sh")
+    // band id + bucket hash per band; explode to (doc, band, bucket).
+    // ONLY ids flow through the bucket join — the (large) shingle arrays
+    // are re-attached to the deduplicated candidate pairs afterwards, so
+    // the widest shuffle carries 24-byte rows, not document signatures.
     val banded = withSig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band", "bucket")))
-    // candidate pairs: same (band, bucket); dedup pairs across bands
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_id_b"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
+      .select("doc_id_a", "doc_id_b")
       .dropDuplicates("doc_id_a", "doc_id_b")
     // exact Jaccard verification on the candidates only
     cand
+      .join(shingleTable.select(col("doc_id").as("doc_id_a"),
+        col("sh").as("sh_a")), Seq("doc_id_a"))
+      .join(shingleTable.select(col("doc_id").as("doc_id_b"),
+        col("sh").as("sh_b")), Seq("doc_id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -93,23 +93,9 @@ object Dedup {
     * found via the pigeonhole trick (split 64 bits into `pieces` bands —
     * any pair within distance d < pieces shares at least one exact band).
     */
-  def simHash(text: Column): Column = {
-    val tokens = array_distinct(split(lower(text), "\\s+"))
-    val hashes = transform(tokens, t => xxhash64(t))
-    // shiftright/shiftleft with a COLUMN shift amount need the SQL-level
-    // function (the Scala wrapper only takes Int), hence call_function.
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, bit) => {
-        val votes = aggregate(hashes, lit(0),
-          (s, h) => s + when(call_function("shiftright", h, bit)
-            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        acc.bitwiseOR(
-          when(votes > 0, call_function("shiftleft", lit(1L), bit))
-            .otherwise(lit(0L)))
-      })
-  }
+  def simHash(text: Column): Column =
+    graft.functions.expressions.HashExpressions.simhash64(
+      array_distinct(split(lower(text), "\\s+")))
 
   def hammingDist(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b)).cast("int")
@@ -183,11 +169,20 @@ object Dedup {
   def embeddingCosine(
       embeddings: DataFrame,
       threshold: Double = 0.95): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
-    val b = embeddings.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
+    // norms are computed ONCE per vector before the pair join (an O(n)
+    // projection), so the O(n^2) pair stage only does one dot product
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+      VectorOps.l2Norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("vec_id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("vec_id").as("vec_id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b)
       .filter(col("vec_id_a") < col("vec_id_b"))
-      .withColumn("cos", VectorOps.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos",
+        when(col("nrm_a") * col("nrm_b") === 0.0, lit(0.0))
+          .otherwise(VectorOps.dot(col("emb_a"), col("emb_b"))
+            / (col("nrm_a") * col("nrm_b"))))
       .filter(col("cos") >= threshold)
       .select("vec_id_a", "vec_id_b", "cos")
   }

@@ -29,35 +29,26 @@ object SimilaritySearch {
     * embedding). Deterministic ties: (score desc, vec_id asc).
     */
   def bruteForceTopK(queries: DataFrame, index: DataFrame, k: Int = 4): DataFrame = {
-    val scored = index.crossJoin(broadcast(queries))
-      .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
+    // one norm per vector up front; the n_index × n_query stage does a
+    // single fused dot product per pair
+    val qn = broadcast(queries.withColumn("qnrm",
+      VectorOps.l2Norm(col("query_vec"))))
+    val in = index.withColumn("inrm", VectorOps.l2Norm(col("embedding")))
+    val scored = in.crossJoin(qn)
+      .withColumn("score",
+        when(col("inrm") * col("qnrm") === 0.0, lit(0.0))
+          .otherwise(VectorOps.dot(col("embedding"), col("query_vec"))
+            / (col("inrm") * col("qnrm"))))
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "score")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, bit,
-    * dim): a hash mapped into [-1, 1). Gives reproducible LSH across
-    * runs/partitions with no stored model.
+  /** LSH-bucketed ANN top-k with exact re-rank of candidates. Bucket
+    * signatures come from one native expression pass (hyperplane
+    * components are deterministic hashes — no stored model).
     */
-  private def planeComponent(table: Int, bit: Int, dimIdx: org.apache.spark.sql.Column) = {
-    val h = xxhash64(lit(table), lit(bit), dimIdx)
-    (h.cast("double") / lit(Long.MaxValue.toDouble))
-  }
-
-  /** Sign-bit bucket id for one hash table: `bits` hyperplane sign bits. */
-  private def lshBucket(vec: org.apache.spark.sql.Column, table: Int, bits: Int) = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(VectorOps.toDouble(vec), dims, (x, i) => x * planeComponent(table, b, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-  }
-
-  /** LSH-bucketed ANN top-k with exact re-rank of candidates. */
   def lshTopK(
       queries: DataFrame,
       index: DataFrame,
@@ -65,11 +56,11 @@ object SimilaritySearch {
       tables: Int = 4,
       bits: Int = 8): DataFrame = {
     def bucketed(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame = {
-      val buckets = array((0 until tables).map(t =>
-        struct(lit(t).as("table"), lshBucket(col(vecCol), t, bits).as("bucket"))): _*)
-      df.select((idCols.map(col) :+ col(vecCol) :+ explode(buckets).as("tb")): _*)
+      df.withColumn("_buckets",
+          graft.functions.expressions.VectorExpressions
+            .lsh_buckets(col(vecCol), tables, bits))
         .select((idCols.map(col) :+ col(vecCol) :+
-          col("tb.table").as("table") :+ col("tb.bucket").as("bucket")): _*)
+          posexplode(col("_buckets")).as(Seq("table", "bucket"))): _*)
     }
     val qb = broadcast(bucketed(queries, "query_vec", Seq("query_id")))
     val ib = bucketed(index, "embedding", Seq("vec_id"))

@@ -98,19 +98,15 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint (winnowing-style): polynomial
-    * rolling hash of each k-token window, fingerprint = min hash value —
-    * plus a full-text xxhash64. Per-row builtins only.
+    * rolling hash of each k-token window (O(n) native expression),
+    * fingerprint = min window hash — plus a full-text xxhash64.
     */
   def fingerprint(df: DataFrame, textCol: String = "text", k: Int = 5): DataFrame = {
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val n = size(toks)
-    val windowHashes =
-      when(n >= k,
-        transform(sequence(lit(0), n - k),
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
-        .otherwise(array(xxhash64(concat_ws(" ", toks))))
-    df.withColumn("fingerprint_min", array_min(windowHashes))
+    df.withColumn("fingerprint_min",
+        graft.functions.expressions.HashExpressions.rolling_min_hash(toks, k))
       .withColumn("fingerprint_full", xxhash64(col(textCol)))
-      .withColumn("n_windows", size(windowHashes))
+      .withColumn("n_windows", greatest(lit(1), n - (k - 1)))
   }
 }

@@ -231,7 +231,8 @@ object RelationalQueries {
     // P5 JSON extraction over events.props
     "q17_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        // ONE Jackson parse per row (from_json), not one per extraction
+        .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
         .withColumn("k_bucket", col("k") % 10)
         .groupBy("k_bucket")
         .agg(count(lit(1)).as("n"),

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression converters in Spark 4's
+  * classic API — the standard extension-point shim for libraries that
+  * define native Catalyst expressions (Column no longer exposes `.expr`
+  * publicly since the connect/classic split).
+  */
+object GraftExprBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

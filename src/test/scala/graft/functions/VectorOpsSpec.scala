@@ -56,6 +56,21 @@ class VectorOpsSpec extends AnyFunSuite {
       .foreach(n => assert(math.abs(n - 1.0) < 1e-9))
   }
 
+  test("native codegen kernels equal the composed-builtin twins bit-for-bit") {
+    import spark.implicits._
+    val pairs = randVecs(100, 64, 7L).zip(randVecs(100, 64, 8L))
+    val df = pairs.toDF("a", "b")
+      .withColumn("cos_native", VectorOps.cosine(col("a"), col("b")))
+      .withColumn("cos_hof", VectorOps.cosineHof(col("a"), col("b")))
+      .withColumn("dot_native", VectorOps.dot(col("a"), col("b")))
+      .withColumn("dot_hof", VectorOps.dotHof(col("a"), col("b")))
+    df.select("cos_native", "cos_hof", "dot_native", "dot_hof")
+      .as[(Double, Double, Double, Double)].collect().foreach {
+        case (cn, ch, dn, dh) =>
+          assert(cn === ch); assert(dn === dh)
+      }
+  }
+
   test("embedder is deterministic, unit-norm, 64-dim") {
     val e1 = Embedder.embed("spark join shuffle partition")
     val e2 = Embedder.embed("spark join shuffle partition")

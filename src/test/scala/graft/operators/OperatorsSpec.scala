@@ -145,6 +145,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) === "es")
   }
 
+  test("rolling fingerprint: identical text → identical min-hash; shifted window stability") {
+    val d = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i j",
+      3L -> "z z a b c d e f g h i j") // superset: shares all windows of 1
+    val out = TextAnalysis.fingerprint(d.toDF(), k = 5)
+      .select("doc_id", "fingerprint_min", "n_windows")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === out(2L)._1)
+    assert(out(1L)._2 === 6) // 10 tokens, k=5 → 6 windows
+    // doc 3 contains every window of doc 1, so its min is <= doc 1's min
+    assert(out(3L)._1 <= out(1L)._1)
+  }
+
   test("token counts: empty, spaces, normal") {
     val d = Seq("", "   ", "a b  c", "one").toDF("text")
       .withColumn("n", TextAnalysis.tokenCount(col("text")))
