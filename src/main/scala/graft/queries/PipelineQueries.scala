@@ -224,6 +224,40 @@ object PipelineQueries {
         .select(col("doc_id"), col("text").as("answer"))
       RagPipeline.postProcess(answers)
         .select(col("doc_id"), col("answer"))
+    }),
+
+    // A3/P4: ordered per-session history accumulation (the reference's
+    // chat-history list, AI.py:168,182) as an ordered string aggregate
+    "q48_history_concat" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          concat_ws("|",
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))).getField("event_type")).as("history"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // A8 via the typed Aggregator/UDAF path (same oracle as q38)
+    "q49_centroids_udaf" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy(col("label").as("centroid_id"))
+        .agg(graft.functions.VectorMeanAgg.asColumn(col("embedding"))
+          .as("mean_vec"))
+        .select(col("centroid_id"),
+          posexplode(col("mean_vec")).as(Seq("dim", "mean_v")))
+        .select(col("centroid_id"), col("dim"),
+          round(col("mean_v"), 6).as("mean_v"))
+    }),
+
+    // §2.10 UDTF surface: the C1 chunker as a SQL Generator
+    "q50_chunks_sql" -> ((s, dir) => {
+      graft.text.ChunkTextGenerator.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("q50_docs")
+      s.sql("""SELECT doc_id, c.chunk_index, length(c.chunk) AS chunk_len
+              |FROM q50_docs
+              |LATERAL VIEW chunk_text(text, 120) c AS chunk_index, chunk
+              |""".stripMargin)
     }))
 
   private val jaccardOracle =
@@ -406,5 +440,16 @@ object PipelineQueries {
         |  'The context provided does not contain specific information')
         |THEN 'I''m sorry, I can only answer questions based on the provided documents.'
         |ELSE split_part(text, chr(10), 1) END AS answer
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q48_history_concat" ->
+      """SELECT user_id,
+        |string_agg(event_type, '|' ORDER BY ts ASC, event_id ASC)
+        |  AS history,
+        |count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q49_centroids_udaf" ->
+      """SELECT label AS centroid_id, CAST(i - 1 AS INT) AS dim,
+        |round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v
+        |FROM embeddings, unnest(generate_series(1, 64)) AS u(i)
+        |GROUP BY centroid_id, dim""".stripMargin)
 }

@@ -231,8 +231,8 @@ object RelationalQueries {
     // P5 JSON extraction over events.props
     "q17_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
-        // ONE Jackson parse per row (from_json), not one per extraction
-        .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        // single extraction, reused by all downstream expressions
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .withColumn("k_bucket", col("k") % 10)
         .groupBy("k_bucket")
         .agg(count(lit(1)).as("n"),

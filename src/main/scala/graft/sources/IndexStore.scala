@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import java.nio.file.{Files, Paths}
+
+/** Persisted vector-index table (SURVEY.md §2.1 S4/S5 + §4 O1/T4).
+  *
+  * The reference's index is a Pinecone collection: created with
+  * dim/metric (`/root/reference/AI.py:47-55`), upserted from chunks
+  * (`AI.py:94-96`), memoized behind a 128-entry LRU keyed on the exact
+  * chunk-text tuple (`AI.py:89-96`). Spark-native equivalents:
+  *
+  *  - DDL (S5): first write + a JSON sidecar recording dim/metric (the
+  *    "table properties");
+  *  - upsert sink (S4): idempotent parquet overwrite — exactly-once by
+  *    rewrite, no partial-update states;
+  *  - LRU memo (O1): `incremental` rebuild — only documents whose
+  *    xxhash64(text) changed are re-chunked/re-embedded, the rest of the
+  *    index is carried over. That is the memo semantics without a
+  *    driver-side cache (content-addressed, works at any scale);
+  *  - cache lifecycle (T4): `cached`/`uncache` map the LRU's
+  *    keep-hot-in-memory role onto persist()/unpersist().
+  */
+object IndexStore {
+
+  final case class Meta(dim: Int, metric: String)
+
+  def create(spark: SparkSession, path: String, dim: Int,
+      metric: String = "cosine"): Unit = {
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(path, "_index_meta.json"),
+      s"""{"dim": $dim, "metric": "$metric"}""")
+  }
+
+  def readMeta(path: String): Option[Meta] = {
+    val p = Paths.get(path, "_index_meta.json")
+    if (!Files.exists(p)) None
+    else {
+      val s = Files.readString(p)
+      val dim = "\"dim\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      val metric = "\"metric\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+      dim.map(d => Meta(d, metric.getOrElse("cosine")))
+    }
+  }
+
+  /** S4: write (overwrite) the index rows: (doc_id, chunk_id, text,
+    * embedding, doc_hash).
+    */
+  def write(index: DataFrame, path: String): Unit =
+    index.write.mode(SaveMode.Overwrite).parquet(s"$path/data")
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/data")
+
+  def exists(path: String): Boolean =
+    Files.exists(Paths.get(path, "data"))
+
+  /** O1: content-hash-gated incremental rebuild. `buildFn` chunk+embeds a
+    * documents frame; only docs whose text hash is absent from the stored
+    * index are rebuilt, unchanged index rows are carried over, rows for
+    * vanished/changed docs are dropped. Returns the new index frame
+    * (also persisted to `path`).
+    */
+  def incremental(
+      spark: SparkSession,
+      documents: DataFrame, // (doc_id, text)
+      path: String)(
+      buildFn: DataFrame => DataFrame): DataFrame = {
+    val docsHashed = documents
+      .withColumn("doc_hash", xxhash64(col("text")))
+    val fresh =
+      if (!exists(path)) buildFn(docsHashed)
+      else {
+        val old = read(spark, path)
+        val oldKeys = old.select("doc_id", "doc_hash").distinct()
+        val changedDocs = docsHashed.join(oldKeys,
+          Seq("doc_id", "doc_hash"), "left_anti")
+        val keep = old.join(
+          docsHashed.select("doc_id", "doc_hash").distinct(),
+          Seq("doc_id", "doc_hash"), "left_semi")
+        keep.unionByName(buildFn(changedDocs))
+      }
+    // write to a temp subdir first, then swap — the source parquet can't
+    // be overwritten while a plan is still reading it
+    fresh.write.mode(SaveMode.Overwrite).parquet(s"$path/data_new")
+    val dataPath = Paths.get(path, "data")
+    if (Files.exists(dataPath)) {
+      val tmp = Paths.get(path, "data_old")
+      Files.move(dataPath, tmp)
+      Files.move(Paths.get(path, "data_new"), dataPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    } else {
+      Files.move(Paths.get(path, "data_new"), dataPath)
+    }
+    read(spark, path)
+  }
+
+  /** T4/O1: keep the (reused) index hot across queries. */
+  def cached(index: DataFrame): DataFrame = {
+    index.persist(StorageLevel.MEMORY_AND_DISK)
+    index
+  }
+
+  def uncache(index: DataFrame): Unit = index.unpersist()
+}

@@ -29,6 +29,23 @@ object StreamOps {
       user_id: Long, n_events: Long, sum_value: Double,
       first_ts: Timestamp, last_ts: Timestamp, last_types: Seq[String])
 
+  /** S7: replay the events fixture as a REAL stream — schema'd parquet
+    * directory source (nanosecond ts read as long, converted). Combine
+    * with `Trigger.AvailableNow` to drain the table once, or the default
+    * trigger to follow new files.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** ST1: tumbling/sliding window aggregate with watermark (ST3). */
   def windowedAgg(
       events: DataFrame,

@@ -159,6 +159,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L)._1 <= out(1L)._1)
   }
 
+  test("A8: typed VectorMeanAgg equals the posexplode centroid path") {
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val viaAgg = emb.groupBy(col("label"))
+      .agg(graft.functions.VectorMeanAgg.asColumn(col("embedding")).as("m"))
+      .select(col("label"), posexplode(col("m")).as(Seq("dim", "v")))
+      .as[(Int, Int, Double)].collect()
+      .map { case (l, d, v) => (l, d) -> v }.toMap
+    val viaExplode = SimilaritySearch.labelCentroids(emb)
+      .select(col("centroid_id"), posexplode(col("centroid_vec")).as(Seq("dim", "v")))
+      .as[(Int, Int, Double)].collect()
+      .map { case (l, d, v) => (l, d) -> v }.toMap
+    assert(viaAgg.keySet === viaExplode.keySet)
+    viaAgg.foreach { case (k, v) =>
+      assert(math.abs(v - viaExplode(k)) < 1e-9, s"centroid mismatch at $k")
+    }
+  }
+
   test("token counts: empty, spaces, normal") {
     val d = Seq("", "   ", "a b  c", "one").toDF("text")
       .withColumn("n", TextAnalysis.tokenCount(col("text")))

@@ -86,6 +86,18 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.last.getLong(0) === 3L) // 2 uniques + the flush event
   }
 
+  test("S7: events fixture replays as a real stream and aggregates like batch") {
+    val q = StreamOps.windowedAgg(
+        StreamOps.eventsStream(spark, graft.TestSpark.Sf0001), "1 hour")
+      .writeStream.format("memory").queryName("s7_out")
+      .outputMode("complete") // complete mode: every window in the result table
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val total = spark.table("s7_out").agg(sum("n")).collect().head.getLong(0)
+    assert(total === 1000L) // all sf0.001 events arrived through the stream
+  }
+
   test("ST4/ST5: per-session state accumulates and clear resets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
