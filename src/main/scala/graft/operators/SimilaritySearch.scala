@@ -45,6 +45,29 @@ object SimilaritySearch {
       .select("query_id", "rank", "vec_id", "score")
   }
 
+  /** Exact cosine top-k via the bounded TopKAgg aggregate: map-side
+    * partial top-k means each task ships at most k rows per query to the
+    * final merge — the shuffle is O(partitions × queries × k) instead of
+    * O(index × queries) as in the window formulation. Identical output
+    * (and oracle) to `bruteForceTopK`.
+    */
+  def bruteForceTopKAgg(queries: DataFrame, index: DataFrame, k: Int = 4): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    val qn = broadcast(queries.withColumn("qnrm",
+      VectorOps.l2Norm(col("query_vec"))))
+    val in = index.withColumn("inrm", VectorOps.l2Norm(col("embedding")))
+    in.crossJoin(qn)
+      .withColumn("score",
+        when(col("inrm") * col("qnrm") === 0.0, lit(0.0))
+          .otherwise(VectorOps.dot(col("embedding"), col("query_vec"))
+            / (col("inrm") * col("qnrm"))))
+      .groupBy("query_id")
+      .agg(top_k(col("score"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("vec_id"), col("hit.score").as("score"))
+  }
+
   /** LSH-bucketed ANN top-k with exact re-rank of candidates. Bucket
     * signatures come from one native expression pass (hyperplane
     * components are deterministic hashes — no stored model).

@@ -250,6 +250,17 @@ object PipelineQueries {
           round(col("mean_v"), 6).as("mean_v"))
     }),
 
+    // T2 at scale: exact kNN through the bounded TopKAgg custom aggregate
+    // (map-side partial top-k, O(k) shuffle per task per query)
+    "q51_knn_topk_agg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilaritySearch.bruteForceTopKAgg(q, emb, k = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // §2.10 UDTF surface: the C1 chunker as a SQL Generator
     "q50_chunks_sql" -> ((s, dir) => {
       graft.text.ChunkTextGenerator.register(s)
@@ -344,6 +355,25 @@ object PipelineQueries {
         |                           CAST(b.embedding AS DOUBLE[]))))
         |  >= 0.35""".stripMargin,
     "q35_knn_bruteforce" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(x.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+        |                             CAST(x.embedding AS DOUBLE[]))))
+        |    AS score
+        |  FROM embeddings q CROSS JOIN embeddings x
+        |  WHERE q.vec_id < 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 4""".stripMargin,
+    "q51_knn_topk_agg" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, x.vec_id,
         |    list_dot_product(CAST(q.embedding AS DOUBLE[]),

@@ -159,6 +159,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L)._1 <= out(1L)._1)
   }
 
+  test("TopKAgg path returns exactly the window-ranking kNN result") {
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val viaWindow = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+      .select("query_id", "rank", "vec_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val viaAgg = SimilaritySearch.bruteForceTopKAgg(q, emb, k = 4)
+      .select("query_id", "rank", "vec_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("A8: typed VectorMeanAgg equals the posexplode centroid path") {
     val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
     val viaAgg = emb.groupBy(col("label"))
