@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.expressions._
+import graft.text.ChunkTextGenerator
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL exposure of the engine's native expressions.
+  *
+  * Two entry points with one shared builder table:
+  *  - `GraftExtensions` for `spark.sql.extensions=graft.GraftExtensions`
+  *    (cluster deployment — functions exist in every new session);
+  *  - `GraftFunctions.registerAll(spark)` for a live session (tests,
+  *    notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def two(name: String)(f: (Expression, Expression) => Expression)
+      : (String, Seq[Expression] => Expression) =
+    name -> { exprs =>
+      require(exprs.size == 2, s"$name(a, b)")
+      f(exprs(0), exprs(1))
+    }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    two("cosine_f")(CosineF),
+    two("dot_f")(DotF),
+    "norm_f" -> { exprs =>
+      require(exprs.size == 1, "norm_f(vec)")
+      NormF(exprs.head)
+    },
+    "simhash64" -> { exprs =>
+      require(exprs.size == 1, "simhash64(tokens)")
+      SimHash64F(exprs.head)
+    },
+    "minhash_sig" -> { exprs =>
+      require(exprs.size == 2, "minhash_sig(tokens, numHashes)")
+      MinHashSigF(exprs.head, intArg(exprs(1), "minhash_sig.numHashes"))
+    },
+    "shingles_k" -> { exprs =>
+      require(exprs.size == 2, "shingles_k(tokens, k)")
+      ShinglesF(exprs.head, intArg(exprs(1), "shingles_k.k"))
+    },
+    "rolling_min_hash" -> { exprs =>
+      require(exprs.size == 2, "rolling_min_hash(tokens, k)")
+      RollingMinHashF(exprs.head, intArg(exprs(1), "rolling_min_hash.k"))
+    },
+    "chunk_text" -> { exprs =>
+      require(exprs.size == 2, "chunk_text(text, chunkSize)")
+      graft.text.ChunkTextGenerator(exprs.head,
+        intArg(exprs(1), "chunk_text.chunkSize"))
+    })
+
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null) match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an INT literal, got $other")
+    }
+  }
+
+  /** Registers every graft function on a live session. */
+  def registerAll(spark: SparkSession): Unit = {
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    // keep the standalone generator registration path in sync
+    ChunkTextGenerator.register(spark)
+  }
+}

@@ -47,11 +47,16 @@ object Embedder {
     out
   }
 
-  /** Column form, registered as a deterministic Scala UDF. Embedding is a
-    * per-row transform, so this parallelizes across partitions with no
-    * shuffle; the UDF boundary only breaks codegen locally around the call.
+  /** Column form — a native expression (EmbedTextF) rather than a Scala
+    * UDF, so the per-row projection stays inside Catalyst evaluation.
+    * Embedding is a per-row transform: parallel across partitions, no
+    * shuffle.
     */
-  def embedCol(textCol: Column, dim: Int = DefaultDim): Column = {
+  def embedCol(textCol: Column, dim: Int = DefaultDim): Column =
+    graft.functions.expressions.EmbedTextF.embed_text(textCol, dim)
+
+  /** UDF twin kept as the cross-check reference in tests. */
+  def embedColUdf(textCol: Column, dim: Int = DefaultDim): Column = {
     val f = udf((s: String) => embed(s, dim))
     f(textCol)
   }
