@@ -280,6 +280,25 @@ object RelationalQueries {
           round(sum("o_totalprice"), 2).as("sum_matched_price"))
     }),
 
+    // J6 again through the custom LogicalPlan+Strategy+Exec as-of
+    // operator (same semantics and oracle as q20)
+    "q52_asof_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val o = t(s, dir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      val joined = graft.plans.AsOfJoinPlan.asOfNative(s,
+        ev.select("event_id", "ts", "user_id", "event_type"),
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightVals = Seq("o_orderkey", "o_totalprice"),
+        rightTiebreak = "o_orderkey")
+      joined.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("o_orderkey")).as("n_matched"),
+          round(sum("o_totalprice"), 2).as("sum_matched_price"))
+    }),
+
     // J7 interval/overlap join: same-user event pairs within 5 minutes
     "q21_interval_overlap" -> ((s, dir) => {
       val ev = t(s, dir, "events").select("event_id", "ts", "user_id")
@@ -484,6 +503,19 @@ object RelationalQueries {
         |FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) < 50.0
         |GROUP BY s_suppkey""".stripMargin,
     "q20_asof_join" ->
+      """WITH matched AS (
+        |  SELECT e.event_id, e.event_type, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        |    AND o.o_orderdate <= e.ts),
+        |best AS (SELECT * FROM matched WHERE rn = 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  count(b.o_orderkey) AS n_matched,
+        |  round(sum(b.o_totalprice), 2) AS sum_matched_price
+        |FROM events e LEFT JOIN best b ON e.event_id = b.event_id
+        |GROUP BY e.event_type""".stripMargin,
+    "q52_asof_native" ->
       """WITH matched AS (
         |  SELECT e.event_id, e.event_type, o.o_orderkey, o.o_totalprice,
         |    row_number() OVER (PARTITION BY e.event_id

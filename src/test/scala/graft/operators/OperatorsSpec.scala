@@ -89,6 +89,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === 101L)
   }
 
+  test("native as-of plan (custom Strategy+Exec) equals the union+window as-of") {
+    val ev = graft.Tables.load(spark, TestSpark.Sf0001, "events")
+      .select("event_id", "ts", "user_id")
+    val ord = graft.Tables.load(spark, TestSpark.Sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    val viaWindow = AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts",
+      "o_orderdate", Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+      .select("event_id", "o_orderkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val viaNative = graft.plans.AsOfJoinPlan.asOfNative(spark, ev, ord,
+      "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+      .select("event_id", "o_orderkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(viaNative.size === viaWindow.size)
+    assert(viaNative === viaWindow)
+  }
+
   test("sessionize: gap >= 30min starts a new session") {
     val ev = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 5L, 1.0),
