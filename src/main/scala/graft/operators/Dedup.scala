@@ -162,6 +162,44 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** Connected-components-lite over near-duplicate pairs (SURVEY A9:
+    * "keep min id per cluster"): iterative min-label propagation until
+    * fixpoint (bounded). Each iteration is one join + one min-aggregate;
+    * cluster diameter bounds the iteration count, so near-dup clusters
+    * (almost always stars/short chains) converge in 2-3 rounds. Returns
+    * (doc_id, cluster_id = min doc_id of the component).
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("doc_id")
+        .agg(min("cluster_id").as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. Exact
     * all-pairs form (crossJoin); at 100 TB swap in the LSH/IVF candidate
     * generation from SimilaritySearch and keep only the verify stage.

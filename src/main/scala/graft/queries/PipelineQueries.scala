@@ -127,7 +127,7 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      SimilaritySearch.lshTopK(q, emb, k = 4, tables = 8, bits = 6)
+      SimilaritySearch.lshTopK(q, emb, k = 4, tables = 16, bits = 6)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
     }),
@@ -259,6 +259,22 @@ object PipelineQueries {
       SimilaritySearch.bruteForceTopKAgg(q, emb, k = 4)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
+    }),
+
+    // A9: near-dup cluster assignment (min-label connected components)
+    "q53_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), k = 3,
+        threshold = 0.12)
+      Dedup.clusters(pairs).select("doc_id", "cluster_id")
+    }),
+
+    // A5: approximate distinct (HLL++) — deterministic for a given input,
+    // rows-only (the sketch estimate is engine-specific by design)
+    "q54_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     }),
 
     // §2.10 UDTF surface: the C1 chunker as a SQL Generator

@@ -31,14 +31,14 @@ object RelationalQueries {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
-          sum("l_extendedprice").as("sum_base_price"),
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("sum_disc_price"),
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax"))).as("sum_charge"),
-          avg("l_quantity").as("avg_qty"),
-          avg("l_extendedprice").as("avg_price"),
-          avg("l_discount").as("avg_disc"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -49,8 +49,8 @@ object RelationalQueries {
           col("l_shipdate") < lit("1998-01-01") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
-          count(lit(1)).as("n_rows"))
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n_rows"))
     }),
 
     // J2 multiway equi join + agg + deterministic top-10 (TPC-H Q3 shape)
@@ -355,15 +355,16 @@ object RelationalQueries {
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |sum(l_extendedprice) AS sum_base_price,
-        |sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
-        |sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge,
-        |avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price,
-        |avg(l_discount) AS avg_disc, count(*) AS count_order
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+        |round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+        |round(avg(l_quantity), 6) AS avg_qty,
+        |round(avg(l_extendedprice), 6) AS avg_price,
+        |round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_revenue_filter" ->
-      """SELECT sum(l_extendedprice*l_discount) AS revenue, count(*) AS n_rows
+      """SELECT round(sum(l_extendedprice*l_discount), 2) AS revenue, count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'

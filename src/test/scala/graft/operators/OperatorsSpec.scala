@@ -44,6 +44,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
   }
 
+  test("cluster assignment: chains merge to min id, singletons keep their id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 4L))
+      .toDF("doc_id_a", "doc_id_b")
+    val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 4L -> 4L, 9L -> 4L))
+  }
+
   test("simhash: identical texts hamming 0; near texts < far texts") {
     val d = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
