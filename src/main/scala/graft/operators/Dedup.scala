@@ -170,13 +170,15 @@ object Dedup {
     * (doc_id, cluster_id = min doc_id of the component).
     */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // localCheckpoint truncates the (possibly expensive) pair-generation
+    // lineage so each propagation round replans only the tiny graph
     val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
       .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .persist()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -186,17 +188,15 @@ object Dedup {
       val next = labels.unionByName(viaNeighbors)
         .groupBy("doc_id")
         .agg(min("cluster_id").as("cluster_id"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
         Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old"))
         .limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -328,6 +328,28 @@ object RelationalQueries {
           col("n"), round(col("sum_value"), 4).as("sum_value"))
     }),
 
+    // ST1 sliding variant: 1-hour windows sliding every 30 minutes —
+    // each event contributes to 2 windows
+    "q55_window_sliding" -> ((s, dir) => {
+      StreamOps.windowedAgg(t(s, dir, "events"), "1 hour",
+        Some("30 minutes"))
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n"), round(col("sum_value"), 4).as("sum_value"))
+    }),
+
+    // J2 under synthetic skew: salted equi join must agree with the
+    // planner's join bit-for-bit (oracle = plain SQL join)
+    "q56_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      graft.operators.SkewJoin.saltedEquiJoin(l, sup,
+        "l_suppkey", "s_suppkey", salts = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+
     // ST2 batch analogue: built-in session_window (end = last + gap)
     "q24_session_window" -> ((s, dir) => {
       StreamOps.sessionWindowAgg(t(s, dir, "events"), "30 minutes")
@@ -559,6 +581,24 @@ object RelationalQueries {
         |  + INTERVAL '1 hour' AS window_end,
         |event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY window_start, window_end, event_type""".stripMargin,
+    "q55_window_sliding" ->
+      """WITH cand AS (
+        |  SELECT event_type, value, ts, unnest([
+        |    time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+        |    time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |      - INTERVAL '30 minutes']) AS window_start
+        |  FROM events)
+        |SELECT window_start,
+        |  window_start + INTERVAL '1 hour' AS window_end,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM cand
+        |WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+        |GROUP BY window_start, event_type""".stripMargin,
+    "q56_salted_join" ->
+      """SELECT s_name, count(*) AS n_lines,
+        |round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
     "q24_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
