@@ -94,6 +94,27 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_hash")
   }
 
+  /** Fake "resize": deterministic byte-stride downsample of the payload to
+    * at most `targetBytes` bytes (stands in for image resizing — same
+    * 1-row-in/1-smaller-row-out shape and bounded-output contract a real
+    * resampler has).
+    */
+  def resize(media: Dataset[MediaRow], targetBytes: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val n = if (r.payload == null) 0 else r.payload.length
+      if (n <= targetBytes) r
+      else {
+        val stride = math.max(1, n / targetBytes)
+        val out = Array.ofDim[Byte]((n + stride - 1) / stride)
+        var i = 0
+        var j = 0
+        while (i < n && j < out.length) { out(j) = r.payload(i); i += stride; j += 1 }
+        r.copy(payload = out)
+      }
+    })
+  }
+
   /** SQL-expressible metadata over the binary column (octet length, prefix
     * hash) — this slice is oracle-checkable in DuckDB.
     */

@@ -78,6 +78,40 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans"),
     "zh" -> Seq("de", "shi", "le", "zai", "you", "wo"))
 
+  /** Character-trigram language-ID (the classic n-gram heuristic):
+    * profile per language = the distinct char trigrams of its marker
+    * vocabulary; score = |doc trigrams ∩ profile|; predict argmax
+    * (alphabetical first on ties). Built-ins only, per-row.
+    */
+  def languageIdNgram(df: DataFrame, textCol: String = "text"): DataFrame = {
+    def charTrigrams(s: String): Seq[String] =
+      if (s.length < 3) Seq(s) else (0 to s.length - 3).map(i => s.substring(i, i + 3)).distinct
+    val profiles = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> ws.flatMap(w => charTrigrams(" " + w + " ")).distinct
+    }
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // substring with a COLUMN position isn't exposed in the Scala DSL —
+    // call the SQL substr directly
+    val docTri = array_distinct(flatten(transform(toks, t => {
+      val padded = concat(lit(" "), t, lit(" "))
+      val n = length(padded)
+      when(n >= 3,
+        transform(sequence(lit(1), n - 2),
+          i => call_function("substr", padded, i, lit(3))))
+        .otherwise(array(padded))
+    })))
+    val scoreCols = profiles.map { case (lang, tris) =>
+      val arr = array(tris.map(lit): _*)
+      struct(size(array_intersect(docTri, arr)).as("hits"), lit(lang).as("lang"))
+    }
+    val best = aggregate(
+      array(scoreCols: _*),
+      struct(lit(-1).as("hits"), lit("").as("lang")),
+      (acc, s) => when(s.getField("hits") > acc.getField("hits"), s).otherwise(acc))
+    df.withColumn("predicted_lang_ngram", best.getField("lang"))
+      .withColumn("trigram_hits", best.getField("hits"))
+  }
+
   def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val scoreCols = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>

@@ -182,6 +182,23 @@ object PipelineQueries {
           sum(col("marker_hits").cast("bigint")).as("sum_hits"))
     }),
 
+    // text analysis: char-trigram language-ID (the n-gram heuristic;
+    // rows-only — profile sets live in Scala)
+    "q57_langid_ngram" -> ((s, dir) => {
+      TextAnalysis.languageIdNgram(t(s, dir, "documents"))
+        .groupBy(col("lang"), col("predicted_lang_ngram"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("trigram_hits").cast("bigint")).as("sum_hits"))
+    }),
+
+    // multimodal: byte-stride "resize" keeps payloads bounded (rows-only)
+    "q58_multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.resize(media, targetBytes = 64).toDF()
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("resized_len"))
+    }),
+
     // text analysis: rolling-hash fingerprint (rows-only: xxhash64)
     "q42_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(t(s, dir, "documents"))

@@ -65,23 +65,33 @@ object RagPipeline {
 
   /** E2 batch retrieval: queries (query_id, query_text) × index → cosine
     * top-k. Exact-kNN shape: broadcast the small query side over the big
-    * index; rank per query. Ties broken by chunk_id for determinism.
+    * index, fold per-partition with the bounded TopKAgg (each task ships
+    * at most k candidates per query — a per-query window would funnel
+    * EVERY scored row into n_query partitions, a guaranteed skew at
+    * scale), then join the k winners back to the index for their text.
+    * Ties broken by chunk_id for determinism.
     */
   def retrieve(
       queries: DataFrame,
       index: DataFrame,
       k: Int = 4,
       dim: Int = Embedder.DefaultDim): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
     val q = broadcast(
-      queries.withColumn("query_vec", Embedder.embedCol(col("query_text"), dim)))
-    val scored = index
-      .crossJoin(q)
-      .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("score"), asc("chunk_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      queries.withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
+        .withColumn("qnrm", VectorOps.l2Norm(col("query_vec"))))
+    val in = index.withColumn("inrm", VectorOps.l2Norm(col("embedding")))
+    val winners = in.crossJoin(q)
+      .withColumn("score",
+        when(col("inrm") * col("qnrm") === 0.0, lit(0.0))
+          .otherwise(VectorOps.dot(col("embedding"), col("query_vec"))
+            / (col("inrm") * col("qnrm"))))
+      .groupBy("query_id")
+      .agg(top_k(col("score"), col("chunk_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("chunk_id"), col("hit.score").as("score"))
+    winners.join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
       .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
   }
 

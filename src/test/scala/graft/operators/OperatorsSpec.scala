@@ -216,6 +216,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("char-trigram language id: marker-vocab texts classify to their language") {
+    val d = docs(1L -> "the value of the table is a row",
+      2L -> "el que de la una en los")
+    val out = TextAnalysis.languageIdNgram(d)
+      .select("doc_id", "predicted_lang_ngram").as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+  }
+
+  test("multimodal resize bounds payloads and is identity for small ones") {
+    import graft.multimodal.Multimodal
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Array.fill[Byte](300)(7)),
+      Multimodal.MediaRow(2L, "audio", Array.fill[Byte](10)(3)))
+      .toDS()
+    val out = Multimodal.resize(media, targetBytes = 64).collect()
+      .map(r => r.media_id -> r.payload.length).toMap
+    assert(out(1L) <= 75 && out(1L) >= 50) // stride rounding tolerance
+    assert(out(2L) === 10)
+  }
+
   test("token counts: empty, spaces, normal") {
     val d = Seq("", "   ", "a b  c", "one").toDF("text")
       .withColumn("n", TextAnalysis.tokenCount(col("text")))
