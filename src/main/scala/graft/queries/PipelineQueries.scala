@@ -100,9 +100,10 @@ object PipelineQueries {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // A9 SimHash near-dup (rows-only)
+    // A9 SimHash near-dup (rows-only). maxHamming < pieces keeps the
+    // pigeonhole guarantee: every pair within the distance shares a piece
     "q33_simhash" -> ((s, dir) => {
-      Dedup.simHashDedup(t(s, dir, "documents"), maxHamming = 8, pieces = 4)
+      Dedup.simHashDedup(t(s, dir, "documents"), maxHamming = 3, pieces = 4)
     }),
 
     // A9 embedding-cosine near-dup pairs (SQL oracle, double math)

@@ -44,6 +44,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
   }
 
+  test("TopKAgg with fewer rows than k returns all rows ranked") {
+    import graft.functions.expressions.TopKAgg.top_k
+    val df = Seq((1L, 0.9, 10L), (1L, 0.5, 11L))
+      .toDF("query_id", "score", "vec_id")
+      .groupBy("query_id")
+      .agg(top_k(col("score"), col("vec_id"), 4).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+    val rows = df.select(col("pos"), col("hit.id"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((0, 10L), (1, 11L)))
+  }
+
+  test("as-of with right side entirely after left times yields all nulls") {
+    val ev = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val ord = Seq((7L, Timestamp.valueOf("2025-01-01 00:00:00"), 100L))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+    val native = graft.plans.AsOfJoinPlan.asOfNative(spark, ev, ord,
+      "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey"), "o_orderkey")
+    val row = native.select("o_orderkey").collect().head
+    assert(row.isNullAt(0))
+  }
+
   test("cluster assignment: chains merge to min id, singletons keep their id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 4L))
       .toDF("doc_id_a", "doc_id_b")
