@@ -35,6 +35,9 @@ object HashExpressions {
   /** Distinct k-token shingles (space-joined) over a token array. */
   def shingles_k(tokens: Column, k: Int): Column =
     col(ShinglesF(ex(tokens), k))
+
+  /** Distinct character trigrams of space-padded tokens. */
+  def char_trigrams(tokens: Column): Column = col(CharTrigramsF(ex(tokens)))
 }
 
 /** Distinct contiguous k-token shingles, space-joined — one pass with a
@@ -76,6 +79,44 @@ case class ShinglesF(child: Expression, k: Int)
     val it = seen.iterator()
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct character trigrams of each token padded with spaces
+  * (" tok " → " to", "tok", "ok ") — the signature set for n-gram
+  * language identification, one pass per row.
+  */
+case class CharTrigramsF(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val padded = " " + arr.getUTF8String(i).toString + " "
+        if (padded.length < 3) seen.add(padded)
+        else {
+          var j = 0
+          while (j <= padded.length - 3) {
+            seen.add(padded.substring(j, j + 3))
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -90,16 +90,8 @@ object TextAnalysis {
       lang -> ws.flatMap(w => charTrigrams(" " + w + " ")).distinct
     }
     val toks = split(lower(trim(col(textCol))), "\\s+")
-    // substring with a COLUMN position isn't exposed in the Scala DSL —
-    // call the SQL substr directly
-    val docTri = array_distinct(flatten(transform(toks, t => {
-      val padded = concat(lit(" "), t, lit(" "))
-      val n = length(padded)
-      when(n >= 3,
-        transform(sequence(lit(1), n - 2),
-          i => call_function("substr", padded, i, lit(3))))
-        .otherwise(array(padded))
-    })))
+    val docTri =
+      graft.functions.expressions.HashExpressions.char_trigrams(toks)
     val scoreCols = profiles.map { case (lang, tris) =>
       val arr = array(tris.map(lit): _*)
       struct(size(array_intersect(docTri, arr)).as("hits"), lit(lang).as("lang"))

@@ -98,6 +98,27 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(total === 1000L) // all sf0.001 events arrived through the stream
   }
 
+  test("streaming parquet sink: windowed agg lands on disk with a checkpoint") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    val q = StreamOps.windowedAgg(
+        StreamOps.eventsStream(spark, graft.TestSpark.Sf0001), "1 hour",
+        None, "0 seconds") // zero lateness: every window closes at EOF
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val written = spark.read.parquet(out.toString)
+    // append mode only emits windows the watermark has passed; with the
+    // fixture's 30-day span all but the final hour's windows flush
+    assert(written.count() > 0)
+    assert(written.columns.toSeq ==
+      Seq("window_start", "window_end", "event_type", "n", "sum_value"))
+  }
+
   test("ST4/ST5: per-session state accumulates and clear resets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
