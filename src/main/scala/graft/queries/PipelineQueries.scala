@@ -361,11 +361,41 @@ object PipelineQueries {
        |FROM best GROUP BY lang, predicted_lang""".stripMargin
   }
 
+  /** Recursive-CTE re-derivation of the greedy chunker on single-space
+    * text: each chunk breaks at the LAST space within chunkSize+1 chars
+    * of the remaining text — exactly the reference splitter's greedy word
+    * packing when every word fits (verified chunk-identical vs the Scala
+    * chunker). 121 = chunkSize(120) + 1.
+    */
+  private def chunkCte(select: String) =
+    s"""WITH RECURSIVE st AS (
+       |  SELECT doc_id, trim(text) || ' ' AS rest, -1 AS chunk_index,
+       |         CAST(NULL AS VARCHAR) AS chunk
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    substr(rest, brk + 2) AS rest,
+       |    chunk_index + 1,
+       |    substr(rest, 1, brk) AS chunk
+       |  FROM (
+       |    SELECT doc_id, rest, chunk_index,
+       |      CASE WHEN length(rest) <= 121 THEN length(rest) - 1
+       |           ELSE 121 - strpos(reverse(substr(rest, 1, 121)), ' ')
+       |      END AS brk
+       |    FROM st WHERE length(rest) > 0)
+       |  WHERE brk > 0)
+       |$select
+       |FROM st WHERE chunk IS NOT NULL""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q26_chunk_reassembly" ->
       """SELECT doc_id, trim(text) AS reassembled,
         |CAST(length(trim(text)) AS INT) AS reassembled_len
         |FROM documents""".stripMargin,
+    "q27_chunks" -> chunkCte(
+      "SELECT doc_id, chunk_index, CAST(length(chunk) AS INT) AS chunk_len, chunk AS text"),
+    "q50_chunks_sql" -> chunkCte(
+      "SELECT doc_id, chunk_index, CAST(length(chunk) AS INT) AS chunk_len"),
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
