@@ -305,8 +305,11 @@ object PipelineQueries {
               |""".stripMargin)
     }))
 
-  private val jaccardOracle =
-    """WITH toks AS (
+  /** Shared CTE chain computing exact n-gram Jaccard pairs; reused by the
+    * q31 oracle and the q53 connected-components oracle.
+    */
+  private val jaccardCtes =
+    """toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
       |  FROM documents),
       |sh AS (
@@ -319,14 +322,82 @@ object PipelineQueries {
       |    count(*) AS n_inter
       |  FROM sh x JOIN sh y ON x.shingle = y.shingle
       |    AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT doc_id_a, doc_id_b,
+      |    CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) AS jaccard
+      |  FROM inter
+      |  JOIN sizes a ON a.doc_id = doc_id_a
+      |  JOIN sizes b ON b.doc_id = doc_id_b)""".stripMargin
+
+  private val jaccardOracle =
+    s"""WITH $jaccardCtes
       |SELECT doc_id_a, doc_id_b,
-      |  round(CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter), 6)
-      |    AS jaccard
-      |FROM inter
-      |JOIN sizes a ON a.doc_id = doc_id_a
-      |JOIN sizes b ON b.doc_id = doc_id_b
-      |WHERE CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) >= 0.12""".stripMargin
+      |  round(jaccard, 6) AS jaccard
+      |FROM jac
+      |WHERE jaccard >= 0.12""".stripMargin
+
+  /** q53 oracle: transitive closure over the jaccard pairs via a
+    * recursive CTE; cluster id = min reachable node id.
+    */
+  private val clustersOracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |pairs AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= 0.12),
+      |edges AS (
+      |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+      |  UNION SELECT doc_id_b, doc_id_a FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |    WHERE r.a != e.b)
+      |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY a""".stripMargin
+
+  /** q57 oracle: per-language trigram profiles inlined as list literals
+    * (derived from the SAME LangMarkers the Scala operator uses).
+    */
+  private val langidNgramOracle = {
+    def charTrigrams(s: String): Seq[String] =
+      if (s.length < 3) Seq(s)
+      else (0 to s.length - 3).map(i => s.substring(i, i + 3)).distinct
+    val profiles = TextAnalysis.LangMarkers.toSeq.sortBy(_._1).map {
+      case (lang, ws) => lang -> ws.flatMap(w => charTrigrams(" " + w + " ")).distinct
+    }
+    val hitExprs = profiles.map { case (lang, tris) =>
+      val arr = tris.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"len(list_intersect(tg, $arr)) AS hits_$lang"
+    }.mkString(",\n    ")
+    val langs = profiles.map(_._1)
+    val caseArms = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"hits_$l >= hits_$o")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("\n      ")
+    val greatest = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |tri AS (
+       |  SELECT doc_id, lang, list_distinct(flatten(list_transform(tk,
+       |    t -> CASE WHEN length(' ' || t || ' ') < 3 THEN [' ' || t || ' ']
+       |      ELSE list_transform(generate_series(1, length(' ' || t || ' ') - 2),
+       |        i -> substr(' ' || t || ' ', i, 3)) END))) AS tg
+       |  FROM toks),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $hitExprs
+       |  FROM tri),
+       |best AS (
+       |  SELECT doc_id, lang,
+       |    CASE
+       |      $caseArms
+       |    END AS predicted_lang_ngram,
+       |    CAST($greatest AS INT) AS trigram_hits
+       |  FROM scored)
+       |SELECT lang, predicted_lang_ngram, count(*) AS n_docs,
+       |  CAST(sum(trigram_hits) AS BIGINT) AS sum_hits
+       |FROM best GROUP BY lang, predicted_lang_ngram""".stripMargin
+  }
 
   private val langidOracle = {
     // mirrors TextAnalysis.LangMarkers with first-max (alphabetical) ties
@@ -524,6 +595,18 @@ object PipelineQueries {
         |CAST(CASE WHEN doc_id % 3 = 2
         |  THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS INT)
         |  AS n_frames
+        |FROM documents""".stripMargin,
+    "q53_dedup_clusters" -> clustersOracle,
+    "q57_langid_ngram" -> langidNgramOracle,
+    "q58_multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |CAST(CASE WHEN octet_length(encode(text)) <= 64
+        |  THEN octet_length(encode(text))
+        |  ELSE (octet_length(encode(text))
+        |        + (octet_length(encode(text)) // 64) - 1)
+        |       // (octet_length(encode(text)) // 64)
+        |END AS INT) AS resized_len
         |FROM documents""".stripMargin,
     "q46_stream_dedup" ->
       """SELECT count(*) AS n_unique, round(sum(value), 4) AS sum_value
