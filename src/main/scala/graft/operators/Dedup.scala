@@ -185,10 +185,12 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
+      // lazy checkpoint: the convergence count below materializes it, so
+      // each round costs exactly ONE Spark job
       val next = labels.unionByName(viaNeighbors)
         .groupBy("doc_id")
         .agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
         Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old"))
