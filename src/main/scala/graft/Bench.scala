@@ -24,11 +24,13 @@ object Bench {
     // so the first measured query isn't charged session startup
     Tables.names.foreach(n =>
       Tables.load(spark, sfDir, n).queryExecution.toRdd.count())
-    // two timed runs per query, report the min: the first run pays one-time
-    // plan codegen/JIT compilation, the min reflects steady-state cost
-    // (what repeats per-batch on a real cluster)
+    // three timed runs per query; the min is the headline (steady-state
+    // cost — the first run pays one-time codegen/JIT), and max - min is
+    // reported as the spread so a host-contention outlier is visible as
+    // noise instead of masquerading as a plan regression.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
@@ -40,12 +42,15 @@ object Bench {
             Double.MaxValue
         }
       }
-      name -> times.min
+      (name, times.min, times.max - times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => "\"" + k + f"""\":$s%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalSpread = results.map(_._3).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"spread_total":$totalSpread%.3f,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,6 +36,15 @@ object VectorExpressions {
     */
   def lsh_buckets(vec: Column, tables: Int, bits: Int): Column =
     col(LshBucketsF(ex(vec), tables, bits))
+
+  /** Multi-probe variant: per table, the main bucket followed by the
+    * `probes - 1` buckets reached by flipping the lowest-|margin| bits.
+    * Returns array<long> of length `tables * probes`; element `p` of
+    * table `t` is at index `t * probes + p` (so `table = pos / probes`
+    * after posexplode). probes=1 is bit-identical to `lsh_buckets`.
+    */
+  def lsh_buckets_probe(vec: Column, tables: Int, bits: Int, probes: Int): Column =
+    col(LshBucketsProbeF(ex(vec), tables, bits, probes))
 }
 
 private object VecKernels {
@@ -141,6 +150,87 @@ case class LshBucketsF(child: Expression, tables: Int, bits: Int)
         b += 1
       }
       out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Multi-probe LSH buckets: same hyperplane hash chain as `LshBucketsF`
+  * (buckets align across the two expressions), but each table emits the
+  * main bucket plus `probes - 1` perturbed buckets — bit-flip sets in
+  * increasing sum-of-squared-margin order (Qin et al., "Multi-Probe LSH",
+  * VLDB'07: the buckets a near neighbor most likely fell into are the
+  * ones across this vector's narrowest hyperplane margins). Applied to
+  * the query side only, this multiplies bucket coverage without growing
+  * the index. The perturbation-set sequence is generated with the
+  * standard shift/expand heap, so probes may exceed bits (multi-bit
+  * flips follow single-bit ones as their total margin cost dictates).
+  */
+case class LshBucketsProbeF(child: Expression, tables: Int, bits: Int, probes: Int)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  require(probes >= 1, s"probes must be >= 1, got $probes")
+  require(probes <= (1 << math.min(bits, 20)),
+    s"probes must be <= 2^bits, got $probes for $bits bits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val g = VecKernels.getter(child)
+    val n = v.numElements()
+    val out = new Array[Long](tables * probes)
+    var t = 0
+    while (t < tables) {
+      val ht = XXH64.hashInt(t, 42L)
+      val projs = new Array[Double](bits)
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val hb = XXH64.hashInt(b, ht)
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          val h = XXH64.hashInt(i, hb)
+          proj += g(v, i) * (h.toDouble / Long.MaxValue.toDouble)
+          i += 1
+        }
+        projs(b) = proj
+        if (proj >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      // bits ranked by |margin| asc; mask(set of ranks) → real bit-flip mask
+      val order = Array.tabulate(bits)(identity)
+        .sortBy(i => (math.abs(projs(i)), i))
+      val cost = order.map(i => projs(i) * projs(i))
+      out(t * probes) = bucket
+      if (probes > 1) {
+        // heap of perturbation sets over rank indices, ordered by total
+        // squared margin; shift = bump the max rank, expand = append next
+        val pq = collection.mutable.PriorityQueue.empty[(Double, List[Int])](
+          Ordering.by[(Double, List[Int]), Double](_._1).reverse)
+        pq.enqueue((cost(0), List(0)))
+        var p = 1
+        while (p < probes && pq.nonEmpty) {
+          val (c, set) = pq.dequeue()
+          var mask = 0L
+          set.foreach(r => mask |= (1L << order(r)))
+          out(t * probes + p) = bucket ^ mask
+          p += 1
+          val maxRank = set.head // sets kept max-first
+          if (maxRank + 1 < bits) {
+            pq.enqueue((c - cost(maxRank) + cost(maxRank + 1),
+              (maxRank + 1) :: set.tail)) // shift
+            pq.enqueue((c + cost(maxRank + 1),
+              (maxRank + 1) :: set)) // expand
+          }
+        }
+        // fewer reachable sets than probes (tiny bits): pad with the main
+        // bucket so the output length stays tables * probes (dedup later)
+        while (p < probes) { out(t * probes + p) = bucket; p += 1 }
+      }
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

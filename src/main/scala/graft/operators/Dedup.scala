@@ -27,14 +27,29 @@ object Dedup {
       split(lower(trim(text)), "\\s+"), k)
 
   /** Exact dedup: canonical representative = min id per identical text.
-    * Plain hash-aggregate; at scale, group on xxhash64(text) first so the
-    * shuffle key is 8 bytes, with a residual text equality check.
+    * Two-phase so the wide exchange carries ONLY the 8-byte xxhash64:
+    * phase 1 aggregates (hash → min id, count) without text; the residual
+    * equality check then re-groups by (hash, text) on just the
+    * hash-colliding slice — true duplicates plus astronomically-rare
+    * 64-bit collisions — so full document text never rides the main
+    * shuffle. Semantics identical to grouping by text directly.
     */
-  def exact(documents: DataFrame): DataFrame =
-    documents
-      .groupBy(xxhash64(col("text")).as("text_hash"), col("text"))
+  def exact(documents: DataFrame): DataFrame = {
+    val hashed = documents.select(col("doc_id"), col("text"),
+      xxhash64(col("text")).as("text_hash"))
+    val byHash = hashed.select("doc_id", "text_hash")
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+    val singletons = byHash.filter(col("n_copies") === 1)
+      .select("keep_doc_id", "n_copies", "text_hash")
+    val resolved = hashed
+      .join(byHash.filter(col("n_copies") > 1).select("text_hash"),
+        Seq("text_hash"), "left_semi")
+      .groupBy(col("text_hash"), col("text"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select("keep_doc_id", "n_copies", "text_hash")
+    singletons.unionByName(resolved)
+  }
 
   /** Per-row MinHash signature: numHashes permutations approximated by
     * seeded xxhash64 over each shingle; min per seed. No shuffle.
@@ -128,13 +143,20 @@ object Dedup {
     * count intersections → |A∪B| = |A|+|B|−|A∩B|. SQL-expressible, so this
     * one has a DuckDB oracle. The shingle equi-join shuffles on the shingle
     * value — at 100 TB, frequent-shingle skew is handled by dropping
-    * ubiquitous shingles (doc-frequency cap), the standard trick.
+    * ubiquitous shingles (doc-frequency cap), the standard trick. The cap
+    * is ON by default (a shingle in >128 docs identifies nothing and only
+    * quadratically inflates its join key); union sizes stay exact, so
+    * capping only prunes candidate generation for ubiquitous shingles.
+    * Oracles mirror the same cap, so results stay verified even when the
+    * cap binds.
     */
+  val DefaultMaxShingleDocFreq: Long = 128L
+
   def ngramJaccard(
       documents: DataFrame,
       k: Int = 3,
       threshold: Double = 0.5,
-      maxShingleDocFreq: Long = Long.MaxValue): DataFrame = {
+      maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
     val sh = documents
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
     val filtered =

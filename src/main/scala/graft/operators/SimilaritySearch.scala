@@ -71,27 +71,59 @@ object SimilaritySearch {
   /** LSH-bucketed ANN top-k with exact re-rank of candidates. Bucket
     * signatures come from one native expression pass (hyperplane
     * components are deterministic hashes — no stored model).
+    *
+    * Multi-probe: the query side also probes the `probes - 1` buckets
+    * reached by flipping its lowest-|margin| hyperplane bits — the
+    * standard recall knob that avoids paying for more tables. Only the
+    * (broadcast) query side fans out; the index is bucketed once.
+    *
+    * Scale shape: candidate generation and dedup ship ONLY
+    * (table, bucket, id) rows; embeddings are re-attached to the deduped
+    * candidate ids afterwards, so no exchange carries vectors.
     */
   def lshTopK(
       queries: DataFrame,
       index: DataFrame,
       k: Int = 4,
       tables: Int = 4,
-      bits: Int = 8): DataFrame = {
-    def bucketed(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame = {
-      df.withColumn("_buckets",
-          graft.functions.expressions.VectorExpressions
-            .lsh_buckets(col(vecCol), tables, bits))
-        .select((idCols.map(col) :+ col(vecCol) :+
-          posexplode(col("_buckets")).as(Seq("table", "bucket"))): _*)
-    }
-    val qb = broadcast(bucketed(queries, "query_vec", Seq("query_id")))
-    val ib = bucketed(index, "embedding", Seq("vec_id"))
-    val cand = ib.join(qb, Seq("table", "bucket"))
-      .select("query_id", "query_vec", "vec_id", "embedding")
+      bits: Int = 8,
+      probes: Int = 1): DataFrame =
+    rerank(lshCandidates(queries, index, tables, bits, probes), queries, index, k)
+
+  /** LSH candidate ids: distinct (query_id, vec_id) pairs sharing a bucket
+    * in any table (query side multi-probed). Id-only — the widest exchange
+    * here carries (table, bucket, id) rows, never vectors.
+    */
+  def lshCandidates(
+      queries: DataFrame,
+      index: DataFrame,
+      tables: Int,
+      bits: Int,
+      probes: Int = 1): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.{lsh_buckets, lsh_buckets_probe}
+    val ib = index.select(col("vec_id"),
+      posexplode(lsh_buckets(col("embedding"), tables, bits))
+        .as(Seq("table", "bucket")))
+    val qb = broadcast(queries
+      .select(col("query_id"),
+        posexplode(lsh_buckets_probe(col("query_vec"), tables, bits, probes))
+          .as(Seq("pos", "bucket")))
+      .select(col("query_id"), (col("pos") / probes).cast("int").as("table"),
+        col("bucket")))
+    ib.join(qb, Seq("table", "bucket"))
+      .select("query_id", "vec_id")
       .dropDuplicates("query_id", "vec_id")
+  }
+
+  /** Exact re-rank of id-only candidate pairs: re-attach the two vector
+    * columns (one equi-join each — queries broadcast), score, window top-k.
+    */
+  private def rerank(
+      cand: DataFrame, queries: DataFrame, index: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
     cand
+      .join(index, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
       .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -107,25 +139,75 @@ object SimilaritySearch {
       index: DataFrame,
       centroids: DataFrame, // (centroid_id, centroid_vec)
       k: Int = 4,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2): DataFrame =
+    rerank(ivfCandidates(queries, index, centroids, nProbe), queries, index, k)
+
+  /** IVF candidate ids: index vectors in the `nProbe` inverted lists
+    * closest to each query. Assignment and probing are broadcast joins on
+    * the tiny centroid set; the list join ships id rows only.
+    */
+  def ivfCandidates(
+      queries: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      nProbe: Int): DataFrame = {
     val cw = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("centroid_id"))
     val assigned = index.crossJoin(broadcast(centroids))
       .withColumn("csim", VectorOps.cosine(col("embedding"), col("centroid_vec")))
       .withColumn("crk", row_number().over(cw))
       .filter(col("crk") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"))
     val qw = Window.partitionBy("query_id").orderBy(desc("qsim"), asc("centroid_id"))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("qsim", VectorOps.cosine(col("query_vec"), col("centroid_vec")))
       .withColumn("qrk", row_number().over(qw))
       .filter(col("qrk") <= nProbe)
-      .select(col("query_id"), col("query_vec"), col("centroid_id"))
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+      .select(col("query_id"), col("centroid_id"))
     assigned.join(broadcast(probes), Seq("centroid_id"))
-      .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "score")
+      .select("query_id", "vec_id")
+  }
+
+  /** Deterministic Lloyd refinement: start from the given centroids (e.g.
+    * label means), run `iters` rounds of nearest-centroid assignment +
+    * per-cluster re-averaging. Pure DataFrame ops — assignment is a
+    * broadcast join, the re-average is one (centroid, dim) aggregate; the
+    * lineage is checkpoint-truncated per round like `Dedup.clusters`.
+    * Sharper centroids raise IVF recall at the same nProbe.
+    */
+  def kMeansRefine(index: DataFrame, centroids: DataFrame, iters: Int): DataFrame = {
+    var c = centroids
+    for (_ <- 1 to iters) {
+      val cw = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("centroid_id"))
+      val assigned = index.crossJoin(broadcast(c))
+        .withColumn("csim", VectorOps.cosine(col("embedding"), col("centroid_vec")))
+        .withColumn("crk", row_number().over(cw))
+        .filter(col("crk") === 1)
+        .select(col("centroid_id"), col("embedding"))
+      c = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("centroid_id", "dim")
+        .agg(avg("v").as("mean_v"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean_v"))))
+          .getField("mean_v").as("centroid_vec"))
+        .localCheckpoint(true)
+    }
+    c
+  }
+
+  /** Deterministic k-means: seeds are the k index vectors with the
+    * smallest xxhash64(vec_id) — a reproducible pseudo-random draw that is
+    * stable under repartitioning — refined with `iters` Lloyd rounds.
+    * Finer lists than the label partition → higher IVF recall at the same
+    * probed fraction.
+    */
+  def kMeansCentroids(index: DataFrame, k: Int, iters: Int): DataFrame = {
+    val seeds = index
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(k)
+      .select(row_number().over(Window.orderBy("h", "vec_id")).as("centroid_id"),
+        VectorOps.toDouble(col("embedding")).as("centroid_vec"))
+    kMeansRefine(index, seeds, iters)
   }
 
   /** Per-label centroid (operator A8): element-wise mean via posexplode +

@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN operating-point tuner: prints recall@k vs the exact kNN and the
+  * candidate fraction for a grid of LSH (tables × bits × probes) and IVF
+  * (centroid set × nProbe) configurations on a fixture scale. Run:
+  *
+  *   sbt "runMain graft.tools.AnnTune /root/testdata/sf0.01"
+  *
+  * Used to choose the shipped defaults (recall ≥ 0.9 at candidate
+  * fraction < 30%) and the recall-1.0 point the ANN plan rewrite uses.
+  */
+object AnnTune {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.load(spark, sfDir, "embeddings").cache()
+    val nIndex = emb.count()
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .cache()
+    val nQueries = q.count()
+    val k = 4
+
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val exact = pairs(SimilaritySearch.bruteForceTopK(q, emb, k))
+    println(s"index=$nIndex queries=$nQueries exact_hits=${exact.size}")
+
+    def report(name: String, cand: DataFrame, topk: DataFrame): Unit = {
+      val nCand = cand.count()
+      val got = pairs(topk)
+      val recall = (exact & got).size.toDouble / exact.size
+      val frac = nCand.toDouble / (nQueries * nIndex)
+      println(f"$name%-34s recall=$recall%.3f candFrac=$frac%.3f nCand=$nCand")
+    }
+
+    for ((tables, bits, probes) <- Seq(
+        (48, 12, 16), (48, 12, 20), (48, 12, 24), (64, 12, 16), (64, 12, 24),
+        (64, 14, 32), (96, 14, 24), (48, 10, 12), (48, 10, 16))) {
+      val cand = SimilaritySearch.lshCandidates(q, emb, tables, bits, probes)
+      val topk = SimilaritySearch.lshTopK(q, emb, k, tables, bits, probes)
+      report(s"lsh t=$tables b=$bits p=$probes", cand, topk)
+    }
+
+    for (kC <- Seq(32, 48); nProbe <- Seq(8, 9, 10, 12); iters <- Seq(5, 8)) {
+      val cents = SimilaritySearch.kMeansCentroids(emb, kC, iters).cache()
+      val cand = SimilaritySearch.ivfCandidates(q, emb, cents, nProbe)
+      val topk = SimilaritySearch.ivfTopK(q, emb, cents, k, nProbe)
+      report(s"ivf kmeans k=$kC it=$iters nProbe=$nProbe", cand, topk)
+    }
+    spark.stop()
+  }
+}
