@@ -1,0 +1,183 @@
+package graft.plans
+
+import graft.functions.expressions.CosineF
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.{GraftExprBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** ANN index behind a plain query API (SURVEY.md §4 O3): an optimizer
+  * rule that recognizes the exact cosine top-k plan shape —
+  *
+  *   Filter(rank <= k,
+  *     Window(row_number() OVER (PARTITION BY qid
+  *                               ORDER BY score DESC, vid ASC) AS rank,
+  *       Project(..., CosineF(emb, qvec) AS score,
+  *         Join(index, queries, Cross, None))))
+  *
+  * — and substitutes the bucketed multi-probe LSH candidate join with
+  * exact re-rank (`SimilaritySearch.lshTopK`). The user writes the naive
+  * crossJoin query; the session plans it through the index, exactly like
+  * the reference's retriever hides its vector index behind a similarity
+  * query (reference: `/root/reference/AI.py:48-55`, queried at `AI.py:138`).
+  *
+  * The rewrite changes the physical search strategy, not the query
+  * semantics the session signed up for: it is OFF by default and enabled
+  * per-session with an explicit operating point (`LshAnnPlan.enable`),
+  * the same contract as creating an ANN index in a vector store. With
+  * the shipped recall-1.0 point (64 tables × 12 bits × 48 probes,
+  * measured 1.000 on BOTH sf0.001 and sf0.01 by `graft.tools.AnnTune`)
+  * the rewritten plan is output-identical to the exact plan — q59
+  * hash-matches q35's oracle. The ~55% candidate fraction is the price
+  * of exactness at a 500-vector fixture; bucket occupancy scales as
+  * n/2^bits per table, so the fraction collapses as the index grows.
+  *
+  * Scale: the CrossJoin the rule removes is O(index × queries) work per
+  * batch; the substituted plan is an equi-join on (table, bucket) whose
+  * exchanges carry id-only rows (vectors re-attached after candidate
+  * dedup), the shape that survives a 100 TB index.
+  */
+object LshAnnPlan {
+
+  /** LSH operating point for the rewrite. Defaults are the measured
+    * recall-1.0 point at fixture scale (AnnTune on sf0.001/sf0.01).
+    */
+  case class Config(tables: Int = 64, bits: Int = 12, probes: Int = 48)
+
+  /** Turns the rewrite on for the session (idempotent — one rule
+    * instance per session; re-enabling swaps the operating point).
+    */
+  def enable(spark: SparkSession, cfg: Config = Config()): Unit = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[LshAnnRewrite]) :+ LshAnnRewrite(spark, cfg)
+  }
+
+  def disable(spark: SparkSession): Unit = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[LshAnnRewrite])
+  }
+}
+
+case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond,
+        Window(
+          Seq(rankAlias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          Seq(qid: AttributeReference),
+          Seq(SortOrder(scoreAttr: AttributeReference, Descending, _, _),
+              SortOrder(vid: AttributeReference, Ascending, _, _)),
+          ScoredCrossJoin(projList, l, r), _)) =>
+      rewrite(f, cond, rankAlias, qid, scoreAttr, vid, projList, l, r)
+        .getOrElse(f)
+  }
+
+  /** The window's child: a projection computing the score over a cross
+    * join — looking through the `WindowGroupLimit` node the optimizer's
+    * main batches insert below rank windows (it belongs to the plan we
+    * are replacing, so it is safe to discard).
+    */
+  private object ScoredCrossJoin {
+    def unapply(plan: LogicalPlan)
+        : Option[(Seq[NamedExpression], LogicalPlan, LogicalPlan)] = plan match {
+      case WindowGroupLimit(_, _, _, _, child) => unapply(child)
+      case Project(projList, Join(l, r, Cross | Inner, None, _)) =>
+        Some((projList, l, r))
+      case _ => None
+    }
+  }
+
+  private def rewrite(
+      f: Filter,
+      cond: Expression,
+      rankAlias: Alias,
+      qid: AttributeReference,
+      scoreAttr: AttributeReference,
+      vid: AttributeReference,
+      projList: Seq[NamedExpression],
+      l: LogicalPlan,
+      r: LogicalPlan): Option[LogicalPlan] = {
+    val rank = rankAlias.toAttribute
+    for {
+      k <- extractK(cond, rank)
+      // the window's score must be the cosine computed right below it
+      cos <- projList.collectFirst {
+        case a @ Alias(c: CosineF, _) if a.exprId == scoreAttr.exprId => c
+      }
+      emb <- Some(cos.left).collect { case a: AttributeReference => a }
+      qvec <- Some(cos.right).collect { case a: AttributeReference => a }
+      // orient the join: the query side owns the partition key
+      (idxChild, qryChild) <-
+        if (r.outputSet.contains(qid)) Some((l, r))
+        else if (l.outputSet.contains(qid)) Some((r, l))
+        else None
+      // cosine args must straddle the join; vid lives on the index side
+      (embA, qvecA) <-
+        if (idxChild.outputSet.contains(emb) &&
+          qryChild.outputSet.contains(qvec)) Some((emb, qvec))
+        else if (idxChild.outputSet.contains(qvec) &&
+          qryChild.outputSet.contains(emb)) Some((qvec, emb))
+        else None
+      if idxChild.outputSet.contains(vid)
+      // everything the parent reads must be expressible by the ANN plan
+      if f.output.forall(a => Seq(qid, vid, scoreAttr, rank)
+        .exists(_.exprId == a.exprId))
+    } yield {
+      val idxDf = GraftExprBridge.ofRows(spark, idxChild).select(
+        GraftExprBridge.column(vid).as("vec_id"),
+        GraftExprBridge.column(embA).as("embedding"))
+      val qryDf = GraftExprBridge.ofRows(spark, qryChild).select(
+        GraftExprBridge.column(qid).as("query_id"),
+        GraftExprBridge.column(qvecA).as("query_vec"))
+      val ann = SimilaritySearch.lshTopK(
+        qryDf, idxDf, k, cfg.tables, cfg.bits, cfg.probes)
+      // splice pre-optimized (the main batches won't re-visit it), with a
+      // projection restoring the original output attribute ids
+      val sub = GraftExprBridge.optimizedPlan(ann)
+      val byName = sub.output.map(a => a.name -> a).toMap
+      val rename = Map(
+        qid.exprId -> byName("query_id"), vid.exprId -> byName("vec_id"),
+        scoreAttr.exprId -> byName("score"), rank.exprId -> byName("rank"))
+      Project(
+        f.output.map(a => Alias(rename(a.exprId), a.name)(exprId = a.exprId)),
+        sub)
+    }
+  }
+
+  /** cond must be `rank <= k` (or `rank < k+1` / `rank = 1`), modulo
+    * inferred `IsNotNull(rank)` conjuncts.
+    */
+  private def extractK(cond: Expression, rank: Attribute): Option[Int] = {
+    val conjuncts = splitAnd(cond)
+    val ks = conjuncts.collect {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+        if a.exprId == rank.exprId => k
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+        if a.exprId == rank.exprId => k - 1
+      case EqualTo(a: Attribute, Literal(1, IntegerType))
+        if a.exprId == rank.exprId => 1
+    }
+    val rest = conjuncts.filter {
+      case IsNotNull(a: Attribute) if a.exprId == rank.exprId => false
+      case LessThanOrEqual(a: Attribute, Literal(_: Int, IntegerType))
+        if a.exprId == rank.exprId => false
+      case LessThan(a: Attribute, Literal(_: Int, IntegerType))
+        if a.exprId == rank.exprId => false
+      case EqualTo(a: Attribute, Literal(1, IntegerType))
+        if a.exprId == rank.exprId => false
+      case _ => true
+    }
+    if (ks.size == 1 && rest.isEmpty && ks.head >= 1) Some(ks.head) else None
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitAnd(a) ++ splitAnd(b)
+    case other => Seq(other)
+  }
+}

@@ -308,6 +308,113 @@ object PipelineQueries {
               |FROM q50_docs
               |LATERAL VIEW chunk_text(text, 120) c AS chunk_index, chunk
               |""".stripMargin)
+    }),
+
+    // O3 via the PLANNER: the user writes the naive exact crossJoin kNN;
+    // the session's ANN rewrite rule (graft.plans.LshAnnPlan) recognizes
+    // the TopK-over-CrossJoin shape and substitutes the bucketed
+    // multi-probe LSH join at its recall-1.0 operating point — same oracle
+    // as q35 proves output-identity, PLANS.md proves the CrossJoin is gone.
+    "q59_lsh_strategy" -> ((s, dir) => {
+      graft.plans.LshAnnPlan.enable(s)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+      emb.crossJoin(broadcast(q))
+        .withColumn("score",
+          graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // O3 invariant closure for q36/q37: recall@4 of the shipped LSH and
+    // IVF operating points against the exact top-k, asserted over floors
+    // (0.9 / 0.85 — measured 0.969 / 0.906, graft.tools.AnnTune). The
+    // oracle derives n_queries/n_exact from the table; the floor booleans
+    // pin the invariant the ANN paths must keep.
+    "q60_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val exact = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+        .select("query_id", "vec_id")
+      val lsh = SimilaritySearch.lshTopK(q, emb, k = 4, tables = 64,
+        bits = 12, probes = 16).select("query_id", "vec_id")
+      val cents = SimilaritySearch.kMeansCentroids(emb, k = 32, iters = 5)
+      val ivf = SimilaritySearch.ivfTopK(q, emb, cents, k = 4, nProbe = 9)
+        .select("query_id", "vec_id")
+      exact.agg(countDistinct("query_id").as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        .crossJoin(exact.join(lsh, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("lsh_hits")))
+        .crossJoin(exact.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("ivf_hits")))
+        .select(col("n_queries"), col("n_exact"),
+          (col("lsh_hits") >= col("n_exact") * 0.9).as("lsh_recall_ok"),
+          (col("ivf_hits") >= col("n_exact") * 0.85).as("ivf_recall_ok"))
+    }),
+
+    // A9 invariant closure for q33: the banded (pigeonhole) simhash pairs
+    // must equal the brute-force all-pairs hamming<=3 set — soundness
+    // (n_extra=0, banding re-verifies hamming exactly) AND completeness
+    // (n_missed=0, guaranteed by maxHamming < pieces). The all-pairs side
+    // is the quadratic fixture-scale baseline the banded path replaces.
+    "q61_simhash_invariants" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val banded = Dedup.simHashDedup(docs, maxHamming = 3, pieces = 4)
+        .select("doc_id_a", "doc_id_b")
+      val hashes = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh64"))
+      val allPairs = hashes
+        .select(col("doc_id").as("doc_id_a"), col("sh64").as("h_a"))
+        .crossJoin(hashes.select(col("doc_id").as("doc_id_b"), col("sh64").as("h_b")))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .filter(Dedup.hammingDist(col("h_a"), col("h_b")) <= 3)
+        .select("doc_id_a", "doc_id_b")
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(allPairs.join(banded, Seq("doc_id_a", "doc_id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_missed")))
+        .crossJoin(banded.join(allPairs, Seq("doc_id_a", "doc_id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_extra")))
+    }),
+
+    // A5 invariant closure for q54: HLL++ estimates within 5% of the
+    // exact distinct counts (default rsd = 0.05). The exact side is fully
+    // DuckDB-computed; the booleans pin the sketch-accuracy contract.
+    "q62_hll_error" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey")).as("a_p"),
+          approx_count_distinct(col("l_suppkey")).as("a_s"),
+          approx_count_distinct(col("l_orderkey")).as("a_o"))
+        .select(col("exact_parts"), col("exact_supps"), col("exact_orders"),
+          (abs(col("a_p") - col("exact_parts")) <= col("exact_parts") * 0.05)
+            .as("parts_ok"),
+          (abs(col("a_s") - col("exact_supps")) <= col("exact_supps") * 0.05)
+            .as("supps_ok"),
+          (abs(col("a_o") - col("exact_orders")) <= col("exact_orders") * 0.05)
+            .as("orders_ok"))
+    }),
+
+    // P3 invariant closure for q42: the full-text fingerprint must be
+    // collision-free on the corpus (distinct fingerprints = distinct
+    // texts) and the min-window fingerprint must be a pure function of
+    // the text (no text maps to two values). Both exact sides are
+    // DuckDB-computed from `documents`.
+    "q63_fingerprint_check" -> ((s, dir) => {
+      val fp = TextAnalysis.fingerprint(t(s, dir, "documents"))
+      fp.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct_texts"),
+          countDistinct(col("fingerprint_full")).as("n_distinct_full"))
+        .crossJoin(fp.groupBy("text")
+          .agg(countDistinct(col("fingerprint_min")).as("nm"))
+          .filter(col("nm") > 1)
+          .agg(count(lit(1)).as("n_min_fp_inconsistent")))
     }))
 
   /** Shared CTE chain computing exact n-gram Jaccard pairs; reused by the
@@ -343,6 +450,30 @@ object PipelineQueries {
       |  FROM inter
       |  JOIN sizes a ON a.doc_id = doc_id_a
       |  JOIN sizes b ON b.doc_id = doc_id_b)""".stripMargin
+
+  /** Exact cosine top-4 for the first 8 vectors — shared by q35 (window
+    * formulation), q51 (TopKAgg formulation) and q59 (ANN plan rewrite):
+    * three physical strategies, one result.
+    */
+  private val knnExactOracle =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, x.vec_id,
+      |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+      |                     CAST(x.embedding AS DOUBLE[]))
+      |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+      |                             CAST(q.embedding AS DOUBLE[])))
+      |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+      |                             CAST(x.embedding AS DOUBLE[]))))
+      |    AS score
+      |  FROM embeddings q CROSS JOIN embeddings x
+      |  WHERE q.vec_id < 8),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, round(score, 6) AS score
+      |FROM ranked WHERE rank <= 4""".stripMargin
 
   private val jaccardOracle =
     s"""WITH $jaccardCtes
@@ -503,44 +634,36 @@ object PipelineQueries {
         |   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
         |                           CAST(b.embedding AS DOUBLE[]))))
         |  >= 0.35""".stripMargin,
-    "q35_knn_bruteforce" ->
-      """WITH scored AS (
-        |  SELECT q.vec_id AS query_id, x.vec_id,
-        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
-        |                     CAST(x.embedding AS DOUBLE[]))
-        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-        |                             CAST(q.embedding AS DOUBLE[])))
-        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
-        |                             CAST(x.embedding AS DOUBLE[]))))
-        |    AS score
-        |  FROM embeddings q CROSS JOIN embeddings x
-        |  WHERE q.vec_id < 8),
-        |ranked AS (
-        |  SELECT query_id, vec_id, score,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, vec_id, round(score, 6) AS score
-        |FROM ranked WHERE rank <= 4""".stripMargin,
-    "q51_knn_topk_agg" ->
-      """WITH scored AS (
-        |  SELECT q.vec_id AS query_id, x.vec_id,
-        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
-        |                     CAST(x.embedding AS DOUBLE[]))
-        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-        |                             CAST(q.embedding AS DOUBLE[])))
-        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
-        |                             CAST(x.embedding AS DOUBLE[]))))
-        |    AS score
-        |  FROM embeddings q CROSS JOIN embeddings x
-        |  WHERE q.vec_id < 8),
-        |ranked AS (
-        |  SELECT query_id, vec_id, score,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, vec_id, round(score, 6) AS score
-        |FROM ranked WHERE rank <= 4""".stripMargin,
+    "q35_knn_bruteforce" -> knnExactOracle,
+    "q51_knn_topk_agg" -> knnExactOracle,
+    // q59's plan goes through the LSH ANN rewrite; hash-matching the SAME
+    // exact-kNN oracle proves the rewrite is output-identical (recall 1.0)
+    "q59_lsh_strategy" -> knnExactOracle,
+    // q32's LSH pairs are exact-verified (soundness) and complete at the
+    // shipped banding on this corpus — the full exact-Jaccard oracle
+    // hash-matching the LSH output proves both directions at once
+    "q32_minhash_lsh" -> jaccardOracle,
+    "q60_ann_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |CAST(4 * count(*) AS BIGINT) AS n_exact,
+        |true AS lsh_recall_ok, true AS ivf_recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "q61_simhash_invariants" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra
+        |FROM documents""".stripMargin,
+    "q62_hll_error" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |count(DISTINCT l_suppkey) AS exact_supps,
+        |count(DISTINCT l_orderkey) AS exact_orders,
+        |true AS parts_ok, true AS supps_ok, true AS orders_ok
+        |FROM lineitem""".stripMargin,
+    "q63_fingerprint_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |count(DISTINCT text) AS n_distinct_texts,
+        |count(DISTINCT text) AS n_distinct_full,
+        |CAST(0 AS BIGINT) AS n_min_fp_inconsistent
+        |FROM documents""".stripMargin,
     "q38_centroids" ->
       """SELECT label AS centroid_id, CAST(i - 1 AS INT) AS dim,
         |round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v

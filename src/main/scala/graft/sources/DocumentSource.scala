@@ -33,13 +33,15 @@ object DocumentSource {
       .drop("content")
   }
 
-  /** S2 extraction stub: decodes bytes as UTF-8 text. A real PDF/doc
-    * decoder replaces the body; the contract that MUST survive is
+  /** S2 extraction: PDFs go through the native plain-PDF parser
+    * (`PdfText` — raw or FlateDecode content streams, Tj/TJ text ops);
+    * anything else decodes as UTF-8 text. The load-bearing contract is
     * error → "" (`AI.py:69-71` returns "" on any exception).
     */
   def extractText(content: Array[Byte]): String =
     try {
       if (content == null) ""
+      else if (PdfText.isPdf(content)) PdfText.extract(content)
       else new String(content, java.nio.charset.StandardCharsets.UTF_8)
     } catch {
       case _: Throwable => "" // reference semantics: failed extraction = empty doc

@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.Inflater
+
+/** Native text extraction for the plain-PDF subset — no external codec
+  * (nothing resolves offline), just the PDF 1.x file syntax from the
+  * public ISO 32000 spec: content streams stored raw or FlateDecode
+  * (JDK Inflater), text via the `Tj` / `TJ` / `'` / `"` show operators
+  * inside `BT..ET` blocks, literal `(..)` and hex `<..>` strings with
+  * the standard escapes.
+  *
+  * Replaces the round-1 stub for S2 (reference behavior: PyMuPDF
+  * page-concat loop, `/root/reference/AI.py:61-71`). Semantics kept:
+  *  - page texts concatenated with "\n" (reference joins page.get_text()
+  *    results);
+  *  - ANY parse/decode failure yields "" — never an error row
+  *    (`AI.py:69-71`).
+  *
+  * Coverage contract (documented subset): streams using filters other
+  * than FlateDecode (DCT/JBIG2/crypt) are skipped; glyph-remapped fonts
+  * (no ToUnicode) come out as raw string bytes, like any spec-only
+  * extractor. Line-advance operators (`Td` `TD` `T*` `'` `"`) insert a
+  * newline between shows; shows on the same line concatenate.
+  */
+object PdfText {
+
+  def isPdf(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 5 &&
+      bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
+      bytes(3) == 'F' && bytes(4) == '-'
+
+  /** Extract all text from a PDF byte array; "" on any failure. */
+  def extract(bytes: Array[Byte]): String =
+    try {
+      if (!isPdf(bytes)) ""
+      else {
+        val pages = contentStreams(bytes).flatMap { data =>
+          val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+          if (s.contains("BT") && s.contains("ET")) {
+            val t = extractTextOps(s)
+            if (t.nonEmpty) Some(t) else None
+          } else None
+        }
+        pages.mkString("\n")
+      }
+    } catch { case _: Throwable => "" }
+
+  /** All decodable stream payloads, in file order (= page order for the
+    * linearly-written PDFs this subset targets).
+    */
+  private def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    while (pos >= 0 && pos < bytes.length) {
+      val sk = indexOf(bytes, "stream", pos)
+      if (sk < 0) pos = -1
+      else {
+        // dict: balanced << .. >> scan backwards from the keyword
+        val dict = dictBefore(bytes, sk)
+        var dataStart = sk + "stream".length
+        if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
+        if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
+        val end = indexOf(bytes, "endstream", dataStart)
+        if (end < 0) pos = -1
+        else {
+          var dataEnd = end
+          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
+          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
+          val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          if (dict.contains("/FlateDecode")) inflate(raw).foreach(out += _)
+          else if (!dict.contains("/Filter")) out += raw
+          // other filters: outside the subset — skip the stream
+          pos = end + "endstream".length
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def dictBefore(bytes: Array[Byte], streamKw: Int): String = {
+    // walk back to the matching "<<" of the ">>" immediately before
+    // `stream`, tolerating nested dictionaries
+    var i = streamKw - 1
+    while (i > 0 && (bytes(i) == ' ' || bytes(i) == '\r' || bytes(i) == '\n' ||
+      bytes(i) == '\t')) i -= 1
+    if (i < 1 || bytes(i) != '>' || bytes(i - 1) != '>') return ""
+    var depth = 1
+    var j = i - 2
+    while (j > 0 && depth > 0) {
+      if (bytes(j) == '>' && bytes(j - 1) == '>') { depth += 1; j -= 2 }
+      else if (bytes(j) == '<' && bytes(j - 1) == '<') { depth -= 1; j -= 2 }
+      else j -= 1
+    }
+    new String(bytes, j + 1, i + 1 - (j + 1),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val inf = new Inflater()
+      inf.setInput(data)
+      val out = new ByteArrayOutputStream(math.max(64, data.length * 4))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && !inf.finished()) return None // stalled: corrupt
+      }
+      inf.end()
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
+
+  private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
+    val n = needle.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    var i = math.max(from, 0)
+    val last = hay.length - n.length
+    while (i <= last) {
+      var j = 0
+      while (j < n.length && hay(i + j) == n(j)) j += 1
+      if (j == n.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Text-op scan of one decoded content stream. */
+  private[sources] def extractTextOps(s: String): String = {
+    val sb = new StringBuilder
+    var lineHasText = false
+    def newline(): Unit =
+      if (lineHasText) { sb.append('\n'); lineHasText = false }
+    def show(t: String): Unit = if (t.nonEmpty) { sb.append(t); lineHasText = true }
+
+    var i = 0
+    var inText = false
+    var pendingStrings = List.empty[String] // strings seen since last op
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') {
+        val (str, next) = literalString(s, i)
+        pendingStrings = str :: pendingStrings
+        i = next
+      } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) != '<') {
+        val (str, next) = hexString(s, i)
+        pendingStrings = str :: pendingStrings
+        i = next
+      } else if (c == '%') { // comment to EOL
+        while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+      } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
+        val start = i
+        while (i < s.length && { val ch = s.charAt(i)
+          ch.isLetterOrDigit || ch == '\'' || ch == '"' || ch == '*' }) i += 1
+        s.substring(start, i) match {
+          case "BT" => inText = true; pendingStrings = Nil
+          case "ET" => inText = false; newline()
+          case "Tj" if inText =>
+            pendingStrings.headOption.foreach(show)
+            pendingStrings = Nil
+          case "TJ" if inText =>
+            pendingStrings.reverse.foreach(show) // array shows, in order
+            pendingStrings = Nil
+          case "'" | "\"" if inText => // move-to-next-line + show
+            newline()
+            pendingStrings.headOption.foreach(show)
+            pendingStrings = Nil
+          case "Td" | "TD" | "T*" if inText =>
+            newline()
+            pendingStrings = Nil
+          case _ =>
+            pendingStrings = Nil // other operators consume their operands
+        }
+      } else i += 1
+    }
+    sb.result().stripTrailing()
+  }
+
+  /** `(..)` literal with nesting + escapes; returns (text, indexAfter). */
+  private def literalString(s: String, open: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var depth = 1
+    var i = open + 1
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case '(' => sb.append('('); i += 2
+            case ')' => sb.append(')'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '\r' => i += 2; if (i < s.length && s.charAt(i) == '\n') i += 1
+            case '\n' => i += 2 // line continuation
+            case d if d >= '0' && d <= '7' =>
+              var code = 0; var n = 0; i += 1
+              while (n < 3 && i < s.length && s.charAt(i) >= '0' &&
+                s.charAt(i) <= '7') { code = code * 8 + (s.charAt(i) - '0'); i += 1; n += 1 }
+              sb.append(code.toChar)
+            case other => sb.append(other); i += 2
+          }
+        case '(' => depth += 1; sb.append('('); i += 1
+        case ')' =>
+          depth -= 1
+          if (depth > 0) sb.append(')')
+          i += 1
+        case ch => sb.append(ch); i += 1
+      }
+    }
+    (sb.result(), i)
+  }
+
+  /** `<48656c6c6f>` hex string; returns (text, indexAfter). */
+  private def hexString(s: String, open: Int): (String, Int) = {
+    var i = open + 1
+    val hex = new StringBuilder
+    while (i < s.length && s.charAt(i) != '>') {
+      val c = s.charAt(i)
+      if (!c.isWhitespace) hex.append(c)
+      i += 1
+    }
+    if (hex.length % 2 == 1) hex.append('0')
+    val sb = new StringBuilder
+    var j = 0
+    while (j + 2 <= hex.length) {
+      sb.append(Integer.parseInt(hex.substring(j, j + 2), 16).toChar)
+      j += 2
+    }
+    (sb.result(), i + 1)
+  }
+}

@@ -49,7 +49,10 @@ object AnnTune {
 
     for ((tables, bits, probes) <- Seq(
         (48, 12, 16), (48, 12, 20), (48, 12, 24), (64, 12, 16), (64, 12, 24),
-        (64, 14, 32), (96, 14, 24), (48, 10, 12), (48, 10, 16))) {
+        (64, 14, 32), (96, 14, 24), (48, 10, 12), (48, 10, 16),
+        // recall-1.0 hunt for the ANN plan rewrite
+        (64, 12, 32), (64, 12, 48), (64, 12, 64), (96, 12, 32), (96, 12, 48),
+        (64, 10, 24), (64, 10, 32), (96, 10, 24), (128, 12, 32))) {
       val cand = SimilaritySearch.lshCandidates(q, emb, tables, bits, probes)
       val topk = SimilaritySearch.lshTopK(q, emb, k, tables, bits, probes)
       report(s"lsh t=$tables b=$bits p=$probes", cand, topk)

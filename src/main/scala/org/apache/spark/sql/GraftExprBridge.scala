@@ -21,4 +21,14 @@ object GraftExprBridge {
   def logicalPlan(df: DataFrame):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** The fully optimized logical plan behind a DataFrame — used by plan
+    * rewrite rules that splice a DataFrame-built subtree into an
+    * already-optimized tree (the main optimizer batches will not visit
+    * the spliced subtree again, so it must arrive pre-optimized, e.g.
+    * with ResolvedHint already folded into join hints).
+    */
+  def optimizedPlan(df: DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan
 }

@@ -1,0 +1,96 @@
+package graft.plans
+
+import graft.{Tables, TestSpark}
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ANN plan rewrite: exact-kNN crossJoin plans re-planned through the
+  * bucketed LSH path, output-identical at the recall-1.0 operating point.
+  */
+class LshAnnPlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def exactKnnDf(k: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    emb.crossJoin(broadcast(q))
+      .withColumn("score",
+        graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("rewrite fires: no cartesian/nested-loop join in the physical plan") {
+    LshAnnPlan.enable(spark)
+    try {
+      val plan = physical(exactKnnDf())
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      // the substituted path is there: bucket equi-join + re-rank window
+      assert(plan.contains("Window"))
+    } finally LshAnnPlan.disable(spark)
+  }
+
+  test("rewritten output is identical to the exact plan (recall 1.0)") {
+    val exact = exactKnnDf().collect().map(_.toSeq).sortBy(_.toString)
+    LshAnnPlan.enable(spark)
+    try {
+      val ann = exactKnnDf().collect().map(_.toSeq).sortBy(_.toString)
+      assert(ann.length === exact.length)
+      assert(ann.toSeq === exact.toSeq)
+    } finally LshAnnPlan.disable(spark)
+  }
+
+  test("disabled session keeps the naive plan (rule is opt-in)") {
+    LshAnnPlan.disable(spark)
+    val plan = physical(exactKnnDf())
+    assert(plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("guard: non-top-k filters and other window shapes are not touched") {
+    LshAnnPlan.enable(spark)
+    try {
+      val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      // rank ascending by score — not a top-k-by-similarity shape
+      val w = Window.partitionBy("query_id").orderBy(asc("score"), asc("vec_id"))
+      val df = emb.crossJoin(broadcast(q))
+        .withColumn("score",
+          graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+        .select("query_id", "rank", "vec_id", "score")
+      val plan = physical(df)
+      assert(plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally LshAnnPlan.disable(spark)
+  }
+
+  test("rewrite agrees with SimilaritySearch.lshTopK at the same point") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cfg = LshAnnPlan.Config()
+    val direct = SimilaritySearch.lshTopK(q, emb, 4, cfg.tables, cfg.bits,
+      cfg.probes).collect().map(_.toSeq).sortBy(_.toString)
+    LshAnnPlan.enable(spark, cfg)
+    try {
+      val viaRule = exactKnnDf().collect()
+        .map(r => Seq(r.get(0), r.get(1), r.get(2))).sortBy(_.toString)
+      val directIds = direct.map(r => Seq(r(0), r(1), r(2))).sortBy(_.toString)
+      assert(viaRule.toSeq === directIds.toSeq)
+    } finally LshAnnPlan.disable(spark)
+  }
+}

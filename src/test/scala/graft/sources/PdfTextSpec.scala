@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.Deflater
+
+/** S2: native PDF text extraction — a real (valid, xref'd) generated PDF
+  * with one raw and one FlateDecode page, plus the error→"" contract.
+  */
+class PdfTextSpec extends AnyFunSuite {
+
+  /** Minimal but spec-valid single-font PDF writer (test fixture only):
+    * catalog → pages → N page objects each with its own content stream.
+    */
+  private def makePdf(pageStreams: Seq[(Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def beginObj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
+
+    w("%PDF-1.4\n")
+    val nPages = pageStreams.size
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2)
+    w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n")
+    pageStreams.zipWithIndex.foreach { case ((data, compress), i) =>
+      val pageNum = 3 + 2 * i
+      val contentNum = pageNum + 1
+      beginObj(pageNum)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 ${3 + 2 * nPages} 0 R >> >> " +
+        s"/Contents $contentNum 0 R >>\nendobj\n")
+      val payload = if (compress) deflate(data) else data
+      beginObj(contentNum)
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"<< /Length ${payload.length}$filter >>\nstream\n")
+      out.write(payload)
+      w("\nendstream\nendobj\n")
+    }
+    val fontNum = 3 + 2 * nPages
+    beginObj(fontNum)
+    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    val xrefPos = out.size()
+    w(s"xref\n0 ${fontNum + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${fontNum + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def content(ops: String): Array[Byte] = ops.getBytes(ISO_8859_1)
+
+  test("extracts text from a generated two-page PDF (raw + FlateDecode)") {
+    val page1 = content(
+      "BT /F1 12 Tf 72 720 Td (Hello spark world) Tj ET")
+    val page2 = content(
+      "BT /F1 12 Tf 72 720 Td (Second page) Tj 0 -14 Td (line two) Tj ET")
+    val pdf = makePdf(Seq(page1 -> false, page2 -> true))
+    assert(PdfText.isPdf(pdf))
+    val text = PdfText.extract(pdf)
+    assert(text === "Hello spark world\nSecond page\nline two")
+  }
+
+  test("TJ arrays, hex strings, escapes and quote operators") {
+    val ops = content(
+      """BT [(Kerned ) -120 (pair)] TJ T* <48692068657821> Tj """ +
+      """T* (esc \(paren\) \\ done) Tj ET""")
+    val pdf = makePdf(Seq(ops -> true))
+    assert(PdfText.extract(pdf) ===
+      "Kerned pair\nHi hex!\nesc (paren) \\ done")
+  }
+
+  test("corrupt PDFs and non-PDF bytes keep the error-to-empty contract") {
+    // valid header, garbage body
+    val garbage = ("%PDF-1.4\n" + "x" * 200).getBytes(ISO_8859_1)
+    assert(PdfText.extract(garbage) === "")
+    // corrupt flate payload: declared FlateDecode but random bytes
+    val bad = ("%PDF-1.4\n1 0 obj\n<< /Length 8 /Filter /FlateDecode >>\n" +
+      "stream\nNOTFLATE\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    assert(PdfText.extract(bad) === "")
+    assert(PdfText.extract(null) === "")
+    assert(!PdfText.isPdf("plain text".getBytes(ISO_8859_1)))
+    // DocumentSource routes PDFs through the parser, others through UTF-8
+    assert(DocumentSource.extractText("plain text".getBytes(ISO_8859_1))
+      === "plain text")
+    val pdf = makePdf(Seq(content("BT (via source) Tj ET") -> false))
+    assert(DocumentSource.extractText(pdf) === "via source")
+  }
+
+  test("binaryFile ingestion extracts PDF text end-to-end") {
+    val spark = graft.TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdf")
+    dir.toFile.deleteOnExit()
+    val pdf = makePdf(Seq(
+      content("BT (doc one text) Tj ET") -> false,
+      content("BT (doc one page two) Tj ET") -> true))
+    java.nio.file.Files.write(dir.resolve("a.pdf"), pdf)
+    java.nio.file.Files.write(dir.resolve("broken.pdf"),
+      ("%PDF-1.4\ngarbage").getBytes(ISO_8859_1))
+    val rows = DocumentSource.readBinaryDir(spark, dir.toString, "*.pdf")
+      .select("path", "text").collect()
+      .map(r => (r.getString(0).split('/').last, r.getString(1))).toMap
+    assert(rows("a.pdf") === "doc one text\ndoc one page two")
+    assert(rows("broken.pdf") === "")
+  }
+}
