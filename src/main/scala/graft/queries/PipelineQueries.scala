@@ -401,6 +401,27 @@ object PipelineQueries {
             .as("orders_ok"))
     }),
 
+    // S4/§4 bucketed index layout: both sides written bucketBy(vec_id) +
+    // sortBy(vec_id) through the catalog, then joined on the bucket key —
+    // the executed plan has ZERO exchanges (asserted in BucketedLayoutSpec;
+    // snapshot in PLANS.md). One layout write buys every repeated index
+    // join for free. Merge hint keeps the demo on the co-located SMJ path
+    // (a broadcast would hide the property being demonstrated).
+    "q64_bucketed_join" -> ((s, dir) => {
+      import graft.sources.IndexStore
+      val emb = t(s, dir, "embeddings")
+      IndexStore.writeBucketed(emb.select("vec_id", "embedding"),
+        "graft_emb_vecs", "/tmp/graft_bucketed/vecs", buckets = 8, key = "vec_id")
+      IndexStore.writeBucketed(emb.select("vec_id", "label"),
+        "graft_emb_labels", "/tmp/graft_bucketed/labels", buckets = 8, key = "vec_id")
+      IndexStore.readBucketed(s, "graft_emb_vecs").hint("merge")
+        .join(IndexStore.readBucketed(s, "graft_emb_labels"), Seq("vec_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          round(avg(graft.functions.VectorOps.l2Norm(col("embedding"))), 6)
+            .as("avg_norm"))
+    }),
+
     // P3 invariant closure for q42: the full-text fingerprint must be
     // collision-free on the corpus (distinct fingerprints = distinct
     // texts) and the min-window fingerprint must be a pure function of
@@ -658,6 +679,12 @@ object PipelineQueries {
         |count(DISTINCT l_orderkey) AS exact_orders,
         |true AS parts_ok, true AS supps_ok, true AS orders_ok
         |FROM lineitem""".stripMargin,
+    "q64_bucketed_join" ->
+      """SELECT label, count(*) AS n_vectors,
+        |round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                CAST(embedding AS DOUBLE[])))), 6)
+        |  AS avg_norm
+        |FROM embeddings GROUP BY label""".stripMargin,
     "q63_fingerprint_check" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |count(DISTINCT text) AS n_distinct_texts,

@@ -104,4 +104,35 @@ object IndexStore {
   }
 
   def uncache(index: DataFrame): Unit = index.unpersist()
+
+  /** Bucketed + sort-ordered index layout (SURVEY.md §4 physical
+    * execution): `bucketBy(key)`/`sortBy(key)` through the catalog, so
+    * every subsequent join on the key against an equally-bucketed table
+    * is co-located — the plan carries NO exchange (and no sort) on
+    * either side. This is the storage half of the shuffle-minimization
+    * story: pay one layout write, then every repeated index join (the
+    * retrieval path hits the index per query batch) is shuffle-free.
+    * At 100 TB the bucket count is sized to the executor count; here the
+    * fixture default keeps bucket files non-trivial.
+    */
+  def writeBucketed(
+      index: DataFrame,
+      table: String,
+      path: String,
+      buckets: Int,
+      key: String,
+      sortCols: Seq[String] = Nil): Unit = {
+    val spark = index.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val sorted = if (sortCols.isEmpty) Seq(key) else key +: sortCols
+    index.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }
