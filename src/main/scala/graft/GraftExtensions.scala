@@ -15,11 +15,35 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    // ANN plan rewrite, conf-gated per session (mirrors
+    // LshAnnPlan.enable for live sessions):
+    //   spark.graft.ann.rewrite=true
+    //   spark.graft.ann.tables/bits/probes  (optional overrides)
+    e.injectOptimizerRule { session =>
+      new org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+        override def apply(
+            plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+          if (!session.conf.getOption("spark.graft.ann.rewrite")
+            .contains("true")) plan
+          else {
+            val dft = graft.plans.LshAnnPlan.Config()
+            def i(key: String, dflt: Int) =
+              session.conf.getOption(s"spark.graft.ann.$key")
+                .map(_.toInt).getOrElse(dflt)
+            graft.plans.LshAnnRewrite(session,
+              graft.plans.LshAnnPlan.Config(i("tables", dft.tables),
+                i("bits", dft.bits), i("probes", dft.probes)))(plan)
+          }
+      }
+    }
+  }
 }
 
 object GraftFunctions {
@@ -58,6 +82,17 @@ object GraftFunctions {
       require(exprs.size == 2, "chunk_text(text, chunkSize)")
       graft.text.ChunkTextGenerator(exprs.head,
         intArg(exprs(1), "chunk_text.chunkSize"))
+    },
+    "lsh_buckets" -> { exprs =>
+      require(exprs.size == 3, "lsh_buckets(vec, tables, bits)")
+      LshBucketsF(exprs.head, intArg(exprs(1), "lsh_buckets.tables"),
+        intArg(exprs(2), "lsh_buckets.bits"))
+    },
+    "lsh_buckets_probe" -> { exprs =>
+      require(exprs.size == 4, "lsh_buckets_probe(vec, tables, bits, probes)")
+      LshBucketsProbeF(exprs.head, intArg(exprs(1), "lsh_buckets_probe.tables"),
+        intArg(exprs(2), "lsh_buckets_probe.bits"),
+        intArg(exprs(3), "lsh_buckets_probe.probes"))
     })
 
   private def intArg(e: Expression, what: String): Int = {

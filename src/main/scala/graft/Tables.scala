@@ -14,11 +14,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Idempotent session-conf enable for TIMESTAMP(NANOS) parquet reads —
+    * set only when absent so a shared session is mutated at most once.
+    */
+  def ensureNanosAsLong(spark: SparkSession): Unit =
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects natively;
     // read nanos as long and convert (fixture timestamps are µs-aligned,
     // verified — no precision loss).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

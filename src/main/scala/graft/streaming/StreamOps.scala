@@ -35,7 +35,7 @@ object StreamOps {
     * trigger to follow new files.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.ensureNanosAsLong(spark)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")

@@ -58,7 +58,7 @@ object AnnTune {
       report(s"lsh t=$tables b=$bits p=$probes", cand, topk)
     }
 
-    for (kC <- Seq(32, 48); nProbe <- Seq(8, 9, 10, 12); iters <- Seq(5, 8)) {
+    for (kC <- Seq(32, 48); nProbe <- Seq(8, 9, 10, 12); iters <- Seq(2, 3, 5)) {
       val cents = SimilaritySearch.kMeansCentroids(emb, kC, iters).cache()
       val cand = SimilaritySearch.ivfCandidates(q, emb, cents, nProbe)
       val topk = SimilaritySearch.ivfTopK(q, emb, cents, k, nProbe)

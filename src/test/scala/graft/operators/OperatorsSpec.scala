@@ -32,6 +32,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L)))
   }
 
+  test("hot-shingle skew: the doc-frequency cap bounds candidate blowup, exact unions survive") {
+    // 100 docs share ONE ubiquitous shingle (hot1 hot2 hot3) and are
+    // otherwise unique; one planted near-dup pair shares many rare
+    // shingles. At 100x scale the hot shingle alone would make the
+    // shingle equi-join quadratic on that key.
+    val filler = (1 to 100).map(i =>
+      (i.toLong, s"hot1 hot2 hot3 u${i}a u${i}b u${i}c u${i}d"))
+    val planted = Seq(
+      200L -> "rare alpha beta gamma delta epsilon zeta eta",
+      201L -> "rare alpha beta gamma delta epsilon zeta theta")
+    val d = (filler ++ planted).toDF("doc_id", "text")
+
+    // uncapped: every filler pair is a candidate via the hot shingle and
+    // passes a low threshold -> quadratic output (C(100,2) hot pairs)
+    val uncapped = Dedup.ngramJaccard(d, k = 3, threshold = 0.05,
+      maxShingleDocFreq = 1000L)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(uncapped.length === 100 * 99 / 2 + 1)
+
+    // capped at 16: the hot shingle identifies nothing and is dropped
+    // from candidate generation -> only the planted pair remains
+    val capped = Dedup.ngramJaccard(d, k = 3, threshold = 0.05,
+      maxShingleDocFreq = 16L)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSet === Set((200L, 201L)))
+
+    // capping prunes candidates only — the emitted jaccard keeps the
+    // EXACT union size, so surviving pairs score identically
+    val plantedUncapped = uncapped.find(p => p._1 == 200L && p._2 == 201L).get
+    assert(capped.head._3 === plantedUncapped._3)
+  }
+
   test("minhash LSH candidates contain the high-jaccard pair (recall)") {
     val d = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",

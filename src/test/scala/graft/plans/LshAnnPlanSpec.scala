@@ -78,6 +78,56 @@ class LshAnnPlanSpec extends AnyFunSuite {
     } finally LshAnnPlan.disable(spark)
   }
 
+  test("extension-injected rule: conf-gated rewrite via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    // a sibling session on the same context, with GraftExtensions applied
+    // at instantiation (the cluster-deployment path)
+    val prior = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // `spark.sql.extensions` is a STATIC conf — on a shared test
+      // SparkContext it can't be injected via config(), so register the
+      // same extension object through the builder API (the conf-string
+      // path exercises identical code at real cluster startup)
+      val s2 = SparkSession.builder()
+        .master("local[8]")
+        .withExtensions(new graft.GraftExtensions())
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      def knn = {
+        import org.apache.spark.sql.functions._
+        val emb = graft.Tables.load(s2, graft.TestSpark.Sf0001, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+        emb.crossJoin(broadcast(q))
+          .withColumn("score",
+            graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 4)
+          .select("query_id", "rank", "vec_id", "score")
+      }
+      // gate off: naive plan
+      s2.conf.unset("spark.graft.ann.rewrite")
+      assert(knn.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      // gate on: rewritten, exchanges are equi-join shaped
+      s2.conf.set("spark.graft.ann.rewrite", "true")
+      val plan = knn.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      // and the extension also registered the SQL functions
+      assert(s2.sql("SELECT lsh_buckets(array(1.0F, 0.0F), 2, 4) AS b")
+        .head().getSeq[Long](0).length === 2)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("rewrite agrees with SimilaritySearch.lshTopK at the same point") {
     val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 8)
