@@ -422,6 +422,30 @@ object PipelineQueries {
             .as("avg_norm"))
     }),
 
+    // E1/E2 invariant closure for q28/q29: per retrieval query, exactly
+    // k=4 hits with contiguous ranks and non-increasing scores; plus the
+    // E1 chunk-inventory size cross-checked against the DuckDB recursive
+    // chunker at the same chunk size — the non-circular half (the
+    // embedder itself stays rows-only: murmur3 is not SQL-expressible).
+    "q65_rag_invariants" -> ((s, dir) => {
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200)
+      val ret = RagPipeline.retrieve(retrievalQueryDf(s), index, k = 4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      ret
+        .withColumn("prev_score", lag(col("score"), 1).over(w))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_hits"),
+          (min("rank") === 1 && max("rank") === 4 &&
+            countDistinct("rank") === 4).as("ranks_ok"),
+          min(coalesce(col("score") <= col("prev_score"), lit(true)))
+            .as("scores_monotonic"))
+        .crossJoin(index.agg(countDistinct("chunk_id").as("n_index_chunks")))
+        .select(col("query_id"), col("n_hits"), col("ranks_ok"),
+          col("scores_monotonic"), col("n_index_chunks"))
+    }),
+
     // P3 invariant closure for q42: the full-text fingerprint must be
     // collision-free on the corpus (distinct fingerprints = distinct
     // texts) and the min-window fingerprint must be a pure function of
@@ -604,7 +628,11 @@ object PipelineQueries {
     * packing when every word fits (verified chunk-identical vs the Scala
     * chunker). 121 = chunkSize(120) + 1.
     */
-  private def chunkCte(select: String) =
+  /** `WITH RECURSIVE` prefix computing the C1 chunker's output (`st`,
+    * chunk rows where `chunk IS NOT NULL`) at a given chunk size.
+    */
+  private def chunkCtePrefix(chunkSize: Int) = {
+    val lim = chunkSize + 1
     s"""WITH RECURSIVE st AS (
        |  SELECT doc_id, trim(text) || ' ' AS rest, -1 AS chunk_index,
        |         CAST(NULL AS VARCHAR) AS chunk
@@ -616,11 +644,15 @@ object PipelineQueries {
        |    substr(rest, 1, brk) AS chunk
        |  FROM (
        |    SELECT doc_id, rest, chunk_index,
-       |      CASE WHEN length(rest) <= 121 THEN length(rest) - 1
-       |           ELSE 121 - strpos(reverse(substr(rest, 1, 121)), ' ')
+       |      CASE WHEN length(rest) <= $lim THEN length(rest) - 1
+       |           ELSE $lim - strpos(reverse(substr(rest, 1, $lim)), ' ')
        |      END AS brk
        |    FROM st WHERE length(rest) > 0)
-       |  WHERE brk > 0)
+       |  WHERE brk > 0)""".stripMargin
+  }
+
+  private def chunkCte(select: String, chunkSize: Int = 120) =
+    s"""${chunkCtePrefix(chunkSize)}
        |$select
        |FROM st WHERE chunk IS NOT NULL""".stripMargin
 
@@ -685,6 +717,14 @@ object PipelineQueries {
         |                                CAST(embedding AS DOUBLE[])))), 6)
         |  AS avg_norm
         |FROM embeddings GROUP BY label""".stripMargin,
+    "q65_rag_invariants" ->
+      s"""${chunkCtePrefix(200)}
+        |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+        |  CAST(4 AS BIGINT) AS n_hits,
+        |  true AS ranks_ok, true AS scores_monotonic,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM st WHERE chunk IS NOT NULL) AS n_index_chunks
+        |FROM (VALUES (1), (2), (3), (4), (5)) AS q(query_id)""".stripMargin,
     "q63_fingerprint_check" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |count(DISTINCT text) AS n_distinct_texts,

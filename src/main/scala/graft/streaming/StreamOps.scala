@@ -84,6 +84,29 @@ object StreamOps {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** E2 as a STREAM (S7 × J1/T2): a stream of (query_id, query_text)
+    * retrieved per micro-batch against the STATIC chunk index with the
+    * same bounded-top-k batch operator (`RagPipeline.retrieve`) — the
+    * reference's interactive ask loop (`/root/reference/AI.py:163-185`)
+    * as continuous processing. Per-query top-k needs a full rank over
+    * the candidate set, which append-mode streaming cannot express over
+    * an unbounded stream; `foreachBatch` scopes it to the micro-batch,
+    * the standard stream-static retrieval pattern. The index side stays
+    * a static DataFrame — broadcast or bucketed exactly as in batch —
+    * so only the (small) query stream flows between triggers.
+    */
+  def streamingRetrieve(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.rag.RagPipeline.retrieve(batch.toDF(), index, k), id)
+      }
+
   /** ST4/ST5: custom per-session state via flatMapGroupsWithState —
     * accumulates a bounded recent-event-type list (the chat-history
     * analogue); an event_type == "clear" resets state, mirroring

@@ -119,6 +119,34 @@ class StreamOpsSpec extends AnyFunSuite {
       Seq("window_start", "window_end", "event_type", "n", "sum_value"))
   }
 
+  test("streaming retrieval: per-batch results equal the batch retrieve") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark joins shuffle data across partitions for the merge"),
+      (2L, "vector indexes answer similarity queries with cosine scores"),
+      (3L, "completely unrelated cooking recipe with flour and sugar"))
+      .toDF("doc_id", "text")
+    val index = graft.rag.RagPipeline.buildIndex(spark, docs, chunkSize = 60)
+      .cache()
+    val queryRows = Seq(1L -> "spark shuffle merge", 2L -> "cosine vector query")
+    val expected = graft.rag.RagPipeline
+      .retrieve(queryRows.toDF("query_id", "query_text"), index, k = 2)
+      .select("query_id", "rank", "chunk_id").collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = StreamOps.streamingRetrieve(
+      mem.toDF().toDF("query_id", "query_text"), index, k = 2) {
+      (batch, _) =>
+        got ++= batch.select("query_id", "rank", "chunk_id")
+          .collect().map(_.toSeq)
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    mem.addData(queryRows: _*)
+    q.awaitTermination(120000)
+    assert(got.toSet === expected)
+  }
+
   test("ST4/ST5: per-session state accumulates and clear resets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
