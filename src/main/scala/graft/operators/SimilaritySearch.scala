@@ -146,17 +146,27 @@ object SimilaritySearch {
     * closest to each query. Assignment and probing are broadcast joins on
     * the tiny centroid set; the list join ships id rows only.
     */
+  /** Nearest-centroid assignment of every index vector (ties: greatest
+    * csim, then least centroid_id). Formulated as max_by partial
+    * aggregation, NOT a row_number window: the map side collapses the
+    * C candidate rows per vector to one before the exchange, so the
+    * shuffle carries one row per vector and nothing is sorted — this is
+    * the full-index side, the one that matters at 100 TB.
+    */
+  private def assignToCentroids(index: DataFrame, centroids: DataFrame): DataFrame =
+    index.crossJoin(broadcast(centroids))
+      .withColumn("csim", VectorOps.cosine(col("embedding"), col("centroid_vec")))
+      .groupBy("vec_id")
+      .agg(max_by(col("centroid_id"),
+        struct(col("csim"), (-col("centroid_id")).as("neg_cid")))
+        .as("centroid_id"))
+
   def ivfCandidates(
       queries: DataFrame,
       index: DataFrame,
       centroids: DataFrame,
       nProbe: Int): DataFrame = {
-    val cw = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("centroid_id"))
-    val assigned = index.crossJoin(broadcast(centroids))
-      .withColumn("csim", VectorOps.cosine(col("embedding"), col("centroid_vec")))
-      .withColumn("crk", row_number().over(cw))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("centroid_id"))
+    val assigned = assignToCentroids(index, centroids)
     val qw = Window.partitionBy("query_id").orderBy(desc("qsim"), asc("centroid_id"))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("qsim", VectorOps.cosine(col("query_vec"), col("centroid_vec")))
@@ -177,12 +187,16 @@ object SimilaritySearch {
   def kMeansRefine(index: DataFrame, centroids: DataFrame, iters: Int): DataFrame = {
     var c = centroids
     for (_ <- 1 to iters) {
-      val cw = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("centroid_id"))
+      // same max_by formulation as assignToCentroids, with the embedding
+      // carried in the aggregation buffer (one vector per key) so no
+      // re-join is needed for the re-average
       val assigned = index.crossJoin(broadcast(c))
         .withColumn("csim", VectorOps.cosine(col("embedding"), col("centroid_vec")))
-        .withColumn("crk", row_number().over(cw))
-        .filter(col("crk") === 1)
-        .select(col("centroid_id"), col("embedding"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("centroid_id"), col("embedding")),
+          struct(col("csim"), (-col("centroid_id")).as("neg_cid"))).as("w"))
+        .select(col("w.centroid_id").as("centroid_id"),
+          col("w.embedding").as("embedding"))
       c = assigned
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("centroid_id", "dim")

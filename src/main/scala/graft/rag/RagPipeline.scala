@@ -95,6 +95,32 @@ object RagPipeline {
       .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
   }
 
+  /** E2 retrieval through the LSH ANN index — the reference's retriever
+    * IS an ANN index query (Pinecone, `/root/reference/AI.py:138`); this
+    * is that shape natively: bucket-probe candidates, exact re-rank.
+    * Output-identical to `retrieve` whenever the operating point's
+    * recall is 1.0 (the shipped default — `LshAnnPlan.Config`); at 100 TB
+    * it replaces the full index scan with bucket probes, the same
+    * trade the reference already made.
+    */
+  def retrieveAnn(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
+      cfg: graft.plans.LshAnnPlan.Config = graft.plans.LshAnnPlan.Config(),
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    val q = queries
+      .withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
+      .select("query_id", "query_vec")
+    val idx = index.select(col("chunk_id").as("vec_id"), col("embedding"))
+    graft.operators.SimilaritySearch
+      .lshTopK(q, idx, k, cfg.tables, cfg.bits, cfg.probes)
+      .select(col("query_id"), col("rank"), col("vec_id").as("chunk_id"),
+        col("score"))
+      .join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
+      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+  }
+
   /** E2 context assembly: the stuff-chain concat — top-k chunk texts joined
     * by "\n\n" per query, in rank order (`/root/reference/AI.py:142`).
     */
