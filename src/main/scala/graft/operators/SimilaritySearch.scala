@@ -116,18 +116,25 @@ object SimilaritySearch {
   }
 
   /** Exact re-rank of id-only candidate pairs: re-attach the two vector
-    * columns (one equi-join each — queries broadcast), score, window top-k.
+    * columns (one equi-join each — queries broadcast), score, bounded
+    * TopKAgg top-k. The aggregate formulation ships at most k candidates
+    * per query per task; a per-query window would funnel every candidate
+    * of a hot query into one sorted partition — the difference between
+    * the two at a 100 TB index is the whole point of the ANN path.
+    * Identical output to the window form (ties: score desc, id asc).
     */
   private def rerank(
       cand: DataFrame, queries: DataFrame, index: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    import graft.functions.expressions.TopKAgg.top_k
     cand
       .join(index, Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "score")
+      .groupBy("query_id")
+      .agg(top_k(col("score"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("vec_id"), col("hit.score").as("score"))
   }
 
   /** IVF: centroids = per-label means by default (the fixture ships labeled

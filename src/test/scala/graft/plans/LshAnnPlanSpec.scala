@@ -36,8 +36,9 @@ class LshAnnPlanSpec extends AnyFunSuite {
       val plan = physical(exactKnnDf())
       assert(!plan.contains("CartesianProduct"), plan)
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      // the substituted path is there: bucket equi-join + re-rank window
-      assert(plan.contains("Window"))
+      // the substituted path is there: bucket equi-join + bounded top-k
+      assert(plan.contains("topkagg") || plan.contains("TopKAgg") ||
+        plan.contains("top_k"), plan)
     } finally LshAnnPlan.disable(spark)
   }
 
