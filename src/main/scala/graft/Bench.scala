@@ -28,7 +28,8 @@ object Bench {
     // cost — the first run pays one-time codegen/JIT), and max - min is
     // reported as the spread so a host-contention outlier is visible as
     // noise instead of masquerading as a plan regression.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

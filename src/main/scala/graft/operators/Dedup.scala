@@ -157,8 +157,9 @@ object Dedup {
       k: Int = 3,
       threshold: Double = 0.5,
       maxShingleDocFreq: Long = DefaultMaxShingleDocFreq): DataFrame = {
-    val sh = documents
-      .select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+    val withSh = documents
+      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    val sh = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val filtered =
       if (maxShingleDocFreq == Long.MaxValue) sh
       else {
@@ -167,19 +168,25 @@ object Dedup {
           .filter(col("df") <= maxShingleDocFreq)
         sh.join(freq.select("shingle"), Seq("shingle"))
       }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = filtered.as("x")
+    // the cap prunes CANDIDATE GENERATION only: pairs are found via the
+    // capped shingle equi-join (id-only rows), then every candidate's
+    // jaccard is recomputed EXACTLY from the two full shingle sets — a
+    // capped shared shingle can no longer deflate the emitted score, it
+    // can only fail to nominate a pair whose every shared shingle is
+    // ubiquitous (the documented trade)
+    val cand = filtered.as("x")
       .join(filtered.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_id_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_id_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+    cand
+      .join(withSh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
+        Seq("doc_id_a"))
+      .join(withSh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
+        Seq("doc_id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }

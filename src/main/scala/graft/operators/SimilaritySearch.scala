@@ -204,13 +204,7 @@ object SimilaritySearch {
           struct(col("csim"), (-col("centroid_id")).as("neg_cid"))).as("w"))
         .select(col("w.centroid_id").as("centroid_id"),
           col("w.embedding").as("embedding"))
-      c = assigned
-        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("centroid_id", "dim")
-        .agg(avg("v").as("mean_v"))
-        .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("dim"), col("mean_v"))))
-          .getField("mean_v").as("centroid_vec"))
+      c = meanVectors(assigned, "centroid_id", "embedding", "centroid_vec")
         .localCheckpoint(true)
     }
     c
@@ -231,17 +225,21 @@ object SimilaritySearch {
     kMeansRefine(index, seeds, iters)
   }
 
-  /** Per-label centroid (operator A8): element-wise mean via posexplode +
-    * two-level agg — a single shuffle on (label, dim), then array
-    * reassembly in label order.
+  /** Element-wise mean vector per key: posexplode + two-level agg — one
+    * shuffle on (key, dim), then array reassembly in dim order. Shared by
+    * the A8 label centroid and every Lloyd re-average round.
     */
-  def labelCentroids(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("label", "dim")
+  private def meanVectors(
+      df: DataFrame, keyCol: String, vecCol: String, outCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(keyCol, "dim")
       .agg(avg("v").as("mean_v"))
-      .groupBy("label")
+      .groupBy(keyCol)
       .agg(array_sort(collect_list(struct(col("dim"), col("mean_v"))))
-        .getField("mean_v").as("centroid_vec"))
+        .getField("mean_v").as(outCol))
+
+  /** Per-label centroid (operator A8). */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    meanVectors(embeddings, "label", "embedding", "centroid_vec")
       .withColumnRenamed("label", "centroid_id")
 }

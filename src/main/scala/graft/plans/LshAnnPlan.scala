@@ -73,8 +73,8 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
           Seq(qid: AttributeReference),
           Seq(SortOrder(scoreAttr: AttributeReference, Descending, _, _),
               SortOrder(vid: AttributeReference, Ascending, _, _)),
-          ScoredCrossJoin(projList, l, r), _)) =>
-      rewrite(f, cond, rankAlias, qid, scoreAttr, vid, projList, l, r)
+          ScoredCrossJoin(projList, l, r, hint), _)) =>
+      rewrite(f, cond, rankAlias, qid, scoreAttr, vid, projList, l, r, hint)
         .getOrElse(f)
   }
 
@@ -84,11 +84,11 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
     * are replacing, so it is safe to discard).
     */
   private object ScoredCrossJoin {
-    def unapply(plan: LogicalPlan)
-        : Option[(Seq[NamedExpression], LogicalPlan, LogicalPlan)] = plan match {
+    def unapply(plan: LogicalPlan): Option[
+        (Seq[NamedExpression], LogicalPlan, LogicalPlan, JoinHint)] = plan match {
       case WindowGroupLimit(_, _, _, _, child) => unapply(child)
-      case Project(projList, Join(l, r, Cross | Inner, None, _)) =>
-        Some((projList, l, r))
+      case Project(projList, Join(l, r, Cross | Inner, None, hint)) =>
+        Some((projList, l, r, hint))
       case _ => None
     }
   }
@@ -102,7 +102,8 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
       vid: AttributeReference,
       projList: Seq[NamedExpression],
       l: LogicalPlan,
-      r: LogicalPlan): Option[LogicalPlan] = {
+      r: LogicalPlan,
+      hint: JoinHint): Option[LogicalPlan] = {
     val rank = rankAlias.toAttribute
     for {
       k <- extractK(cond, rank)
@@ -125,6 +126,12 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
           qryChild.outputSet.contains(emb)) Some((qvec, emb))
         else None
       if idxChild.outputSet.contains(vid)
+      // an ANN index is never the broadcast side: a broadcast hint on the
+      // side owning the ids marks a SMALL vector set (e.g. the IVF
+      // centroid-probe window, whose exact top-nProbe selection must not
+      // be approximated) — leave those plans alone
+      if !(if (idxChild eq l) hint.leftHint else hint.rightHint)
+        .exists(_.strategy.isDefined)
       // everything the parent reads must be expressible by the ANN plan
       if f.output.forall(a => Seq(qid, vid, scoreAttr, rank)
         .exists(_.exprId == a.exprId))

@@ -129,9 +129,9 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
-    // O3 LSH ANN path (rows-only; recall floor asserted in specs and by
-    // the q60 invariant query). Operating point from graft.tools.AnnTune:
-    // recall@4 = 0.969 at 28% candidate fraction on sf0.01.
+    // O3 LSH ANN path (rows-only; recall floor pinned by q60). Operating
+    // point from graft.tools.AnnTune: recall@4 = 0.875 / 0.969 / 0.938 on
+    // sf0.001 / 0.01 / 0.1 at a 26-28% candidate fraction.
     "q36_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
@@ -496,7 +496,7 @@ object PipelineQueries {
       |inter AS (
       |  SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
       |    count(*) AS n_inter
-      |  FROM shf x JOIN shf y ON x.shingle = y.shingle
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle
       |    AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2),
       |jac AS (
@@ -504,7 +504,14 @@ object PipelineQueries {
       |    CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) AS jaccard
       |  FROM inter
       |  JOIN sizes a ON a.doc_id = doc_id_a
-      |  JOIN sizes b ON b.doc_id = doc_id_b)""".stripMargin
+      |  JOIN sizes b ON b.doc_id = doc_id_b),
+      |cands AS (
+      |  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+      |  FROM shf x JOIN shf y ON x.shingle = y.shingle
+      |    AND x.doc_id < y.doc_id),
+      |jac_capped AS (
+      |  SELECT jac.* FROM jac
+      |  JOIN cands USING (doc_id_a, doc_id_b))""".stripMargin
 
   /** Exact cosine top-4 for the first 8 vectors — shared by q35 (window
     * formulation), q51 (TopKAgg formulation) and q59 (ANN plan rewrite):
@@ -530,11 +537,17 @@ object PipelineQueries {
       |SELECT query_id, rank, vec_id, round(score, 6) AS score
       |FROM ranked WHERE rank <= 4""".stripMargin
 
-  private def jaccardOracle(threshold: Double = 0.12) =
+  /** `capped = true` mirrors the engine's candidate-generation cap
+    * (jaccard always EXACT, pairs restricted to capped-shingle
+    * candidates — the q31/q53 semantics); `capped = false` is the pure
+    * exact set, matching paths whose candidates don't come from the
+    * capped join (q32's minhash banding).
+    */
+  private def jaccardOracle(threshold: Double = 0.12, capped: Boolean = true) =
     s"""WITH $jaccardCtes
       |SELECT doc_id_a, doc_id_b,
       |  round(jaccard, 6) AS jaccard
-      |FROM jac
+      |FROM ${if (capped) "jac_capped" else "jac"}
       |WHERE jaccard >= $threshold""".stripMargin
 
   /** q53 oracle: transitive closure over the jaccard pairs via a
@@ -542,7 +555,7 @@ object PipelineQueries {
     */
   private val clustersOracle =
     s"""WITH RECURSIVE $jaccardCtes,
-      |pairs AS (SELECT doc_id_a, doc_id_b FROM jac WHERE jaccard >= 0.12),
+      |pairs AS (SELECT doc_id_a, doc_id_b FROM jac_capped WHERE jaccard >= 0.12),
       |edges AS (
       |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
       |  UNION SELECT doc_id_b, doc_id_a FROM pairs),
@@ -706,7 +719,7 @@ object PipelineQueries {
     // near-dup regime the banding is built for, complete with miss
     // probability ~1e-7 — the full exact-Jaccard oracle hash-matching
     // the LSH output proves both directions at once
-    "q32_minhash_lsh" -> jaccardOracle(threshold = 0.5),
+    "q32_minhash_lsh" -> jaccardOracle(threshold = 0.5, capped = false),
     "q60_ann_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |CAST(4 * count(*) AS BIGINT) AS n_exact,

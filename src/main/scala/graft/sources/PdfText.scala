@@ -56,22 +56,33 @@ object PdfText {
       val sk = indexOf(bytes, "stream", pos)
       if (sk < 0) pos = -1
       else {
-        // dict: balanced << .. >> scan backwards from the keyword
+        // a REAL stream keyword sits right after its dictionary's ">>"
+        // and is followed by an EOL (ISO 32000 §7.3.8); the bare word
+        // "stream" inside a string/name (or the tail of "endstream")
+        // fails one of the checks and is skipped without consuming
+        // anything downstream
         val dict = dictBefore(bytes, sk)
-        var dataStart = sk + "stream".length
-        if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
-        if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
-        val end = indexOf(bytes, "endstream", dataStart)
-        if (end < 0) pos = -1
-        else {
-          var dataEnd = end
-          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
-          if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
-          val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-          if (dict.contains("/FlateDecode")) inflate(raw).foreach(out += _)
-          else if (!dict.contains("/Filter")) out += raw
-          // other filters: outside the subset — skip the stream
-          pos = end + "endstream".length
+        val afterKw = sk + "stream".length
+        val eolAfter = afterKw < bytes.length &&
+          (bytes(afterKw) == '\r' || bytes(afterKw) == '\n')
+        if (dict.isEmpty || !eolAfter) {
+          pos = afterKw
+        } else {
+          var dataStart = afterKw
+          if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
+          if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
+          val end = indexOf(bytes, "endstream", dataStart)
+          if (end < 0) pos = -1
+          else {
+            var dataEnd = end
+            if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
+            if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
+            val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+            if (dict.contains("/FlateDecode")) inflate(raw).foreach(out += _)
+            else if (!dict.contains("/Filter")) out += raw
+            // other filters: outside the subset — skip the stream
+            pos = end + "endstream".length
+          }
         }
       }
     }
@@ -107,8 +118,11 @@ object PdfText {
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return None // stalled: corrupt
       }
+      val complete = inf.finished()
       inf.end()
-      Some(out.toByteArray)
+      // truncated input (needsInput before the final block) is corrupt,
+      // not a shorter page — all-or-skip
+      if (complete) Some(out.toByteArray) else None
     } catch { case _: Throwable => None }
 
   private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
@@ -141,10 +155,17 @@ object PdfText {
         val (str, next) = literalString(s, i)
         pendingStrings = str :: pendingStrings
         i = next
-      } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) != '<') {
-        val (str, next) = hexString(s, i)
-        pendingStrings = str :: pendingStrings
-        i = next
+      } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') {
+        i += 2 // inline dictionary open (e.g. BDC property lists)
+      } else if (c == '>' && i + 1 < s.length && s.charAt(i + 1) == '>') {
+        i += 2 // inline dictionary close
+      } else if (c == '<') {
+        hexString(s, i) match {
+          case Some((str, next)) =>
+            pendingStrings = str :: pendingStrings
+            i = next
+          case None => i += 1 // not a hex string — skip the bracket only
+        }
       } else if (c == '%') { // comment to EOL
         while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
       } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
@@ -212,15 +233,24 @@ object PdfText {
     (sb.result(), i)
   }
 
-  /** `<48656c6c6f>` hex string; returns (text, indexAfter). */
-  private def hexString(s: String, open: Int): (String, Int) = {
+  /** `<48656c6c6f>` hex string; None when the bracketed run contains
+    * anything but hex digits/whitespace (then it wasn't a string at all
+    * — e.g. a malformed construct — and the caller resumes scanning).
+    */
+  private def hexString(s: String, open: Int): Option[(String, Int)] = {
     var i = open + 1
     val hex = new StringBuilder
     while (i < s.length && s.charAt(i) != '>') {
       val c = s.charAt(i)
-      if (!c.isWhitespace) hex.append(c)
+      if (!c.isWhitespace) {
+        val isHex = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F')
+        if (!isHex) return None
+        hex.append(c)
+      }
       i += 1
     }
+    if (i >= s.length) return None // unterminated
     if (hex.length % 2 == 1) hex.append('0')
     val sb = new StringBuilder
     var j = 0
@@ -228,6 +258,6 @@ object PdfText {
       sb.append(Integer.parseInt(hex.substring(j, j + 2), 16).toChar)
       j += 2
     }
-    (sb.result(), i + 1)
+    Some((sb.result(), i + 1))
   }
 }

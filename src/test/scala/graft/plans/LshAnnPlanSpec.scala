@@ -129,6 +129,25 @@ class LshAnnPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("guard: broadcast-index shapes (IVF centroid probing) are left alone") {
+    LshAnnPlan.enable(spark)
+    try {
+      import graft.functions.VectorOps
+      val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          VectorOps.toDouble(col("embedding")).as("centroid_vec"))
+      val cand = SimilaritySearch.ivfCandidates(q, emb, cents, nProbe = 2)
+      // the probe-selection window (rank over cosine over a crossJoin with
+      // the BROADCAST centroid set) must keep its exact top-nProbe plan
+      val plan = cand.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("lshbuckets"), plan)
+      assert(cand.count() > 0)
+    } finally LshAnnPlan.disable(spark)
+  }
+
   test("rewrite agrees with SimilaritySearch.lshTopK at the same point") {
     val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
     val q = emb.filter(col("vec_id") < 8)

@@ -99,6 +99,33 @@ class PdfTextSpec extends AnyFunSuite {
     assert(DocumentSource.extractText(pdf) === "via source")
   }
 
+  test("bare 'stream' inside metadata strings does not derail the scan") {
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Title (All about streams and data) >> endobj\n" +
+      "2 0 obj << /Length 21 >>\nstream\n" +
+      "BT (Real text) Tj ET\nendstream\nendobj\n").getBytes(ISO_8859_1)
+    assert(PdfText.extract(pdf) === "Real text")
+  }
+
+  test("marked-content inline dictionaries do not blank the document") {
+    val ops = content(
+      "BT /P << /MCID 0 >> BDC (Visible text) Tj EMC ET")
+    val pdf = makePdf(Seq(ops -> false))
+    assert(PdfText.extract(pdf) === "Visible text")
+  }
+
+  test("truncated FlateDecode stream is skipped, not partially emitted") {
+    val good = content("BT (intact page) Tj ET")
+    val full = deflate(content("BT (should be skipped entirely) Tj ET"))
+    val truncated = full.dropRight(4)
+    val pdf = ("%PDF-1.4\n" +
+      s"1 0 obj << /Length ${truncated.length} /Filter /FlateDecode >>\n" +
+      "stream\n").getBytes(ISO_8859_1) ++ truncated ++
+      "\nendstream\nendobj\n2 0 obj << /Length 22 >>\nstream\n".getBytes(ISO_8859_1) ++
+      good ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1)
+    assert(PdfText.extract(pdf) === "intact page")
+  }
+
   test("binaryFile ingestion extracts PDF text end-to-end") {
     val spark = graft.TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_pdf")
