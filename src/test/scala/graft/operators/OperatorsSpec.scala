@@ -78,6 +78,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
   }
 
+  test("property: TopKAgg equals the window top-k on adversarial random data") {
+    import graft.functions.expressions.TopKAgg.top_k
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val n = 200 + round * 100
+      // few distinct scores -> dense ties; unique ids; one singleton
+      // group smaller than k
+      val rows = (1 to n).map { i =>
+        (rnd.nextInt(12).toLong, (rnd.nextInt(7) * 0.125), i.toLong)
+      } :+ ((99L, 1.0, 0L))
+      val df = rows.toDF("g", "score", "id")
+      val k = 1 + round % 4
+      val viaAgg = df.groupBy("g")
+        .agg(top_k(col("score"), col("id"), k).as("topk"))
+        .select(col("g"), posexplode(col("topk")).as(Seq("pos", "hit")))
+        .select(col("g"), (col("pos") + 1).cast("int").as("rank"),
+          col("hit.id").as("id"), col("hit.score").as("score"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val w = Window.partitionBy("g").orderBy(desc("score"), asc("id"))
+      val viaWindow = df
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("g", "rank", "id", "score")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(viaAgg === viaWindow, s"round $round k=$k")
+    }
+  }
+
   test("TopKAgg with fewer rows than k returns all rows ranked") {
     import graft.functions.expressions.TopKAgg.top_k
     val df = Seq((1L, 0.9, 10L), (1L, 0.5, 11L))

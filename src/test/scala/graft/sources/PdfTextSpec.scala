@@ -126,6 +126,26 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(pdf) === "intact page")
   }
 
+  test("property: literal-string escaping round-trips through the extractor") {
+    val rnd = new scala.util.Random(7)
+    def esc(s: String) = s.flatMap {
+      case '('  => "\\("
+      case ')'  => "\\)"
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c    => c.toString
+    }
+    for (round <- 1 to 20) {
+      val raw = (1 to 40).map(_ => rnd.nextPrintableChar()).mkString +
+        "(nested) \\ tail\tend"
+      val ops = s"BT (${esc(raw)}) Tj ET"
+      val pdf = makePdf(Seq(content(ops) -> (round % 2 == 0)))
+      assert(PdfText.extract(pdf) === raw, s"round $round")
+    }
+  }
+
   test("binaryFile ingestion extracts PDF text end-to-end") {
     val spark = graft.TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_pdf")
