@@ -456,6 +456,26 @@ object PipelineQueries {
           col("scores_monotonic"), col("n_index_chunks"))
     }),
 
+    // The training-data pipeline END-TO-END: near-dup detection ->
+    // transitive clusters -> keep the min-id canonical doc per cluster ->
+    // chunk + embed the kept corpus into the index. Every stage count is
+    // independently recomputed by the DuckDB oracle (recursive closure +
+    // recursive chunker), so the composition is verified, not just the
+    // pieces.
+    "q66_dedup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, k = 3, threshold = 0.12)
+      val clusters = Dedup.clusters(pairs)
+      val drops = clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      val kept = docs.join(drops, Seq("doc_id"), "left_anti")
+      val index = RagPipeline.buildIndex(s, kept, chunkSize = 200)
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(drops.agg(count(lit(1)).as("n_dropped")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(index.agg(count(lit(1)).as("n_kept_chunks")))
+    }),
+
     // P3 invariant closure for q42: the full-text fingerprint must be
     // collision-free on the corpus (distinct fingerprints = distinct
     // texts) and the min-window fingerprint must be a pure function of
@@ -553,18 +573,43 @@ object PipelineQueries {
   /** q53 oracle: transitive closure over the jaccard pairs via a
     * recursive CTE; cluster id = min reachable node id.
     */
-  private val clustersOracle =
-    s"""WITH RECURSIVE $jaccardCtes,
-      |pairs AS (SELECT doc_id_a, doc_id_b FROM jac_capped WHERE jaccard >= 0.12),
+  private val reachCtes =
+    s"""pairs AS (SELECT doc_id_a, doc_id_b FROM jac_capped WHERE jaccard >= 0.12),
       |edges AS (
       |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
       |  UNION SELECT doc_id_b, doc_id_a FROM pairs),
       |reach AS (
       |  SELECT a, b FROM edges
       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-      |    WHERE r.a != e.b)
+      |    WHERE r.a != e.b)""".stripMargin
+
+  private val clustersOracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |$reachCtes
       |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
       |FROM reach GROUP BY a""".stripMargin
+
+  /** q66 oracle: the whole dedup-then-index pipeline in SQL — transitive
+    * near-dup closure picks the min-id canonical per cluster, dropped =
+    * non-canonical members, and the kept corpus is re-chunked by the
+    * recursive chunker (size 200) for the index row count.
+    */
+  private val dedupPipelineOracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |$reachCtes,
+      |drops AS (
+      |  SELECT a AS doc_id FROM reach GROUP BY a
+      |  HAVING least(a, min(b)) != a),
+      |${chunkCteBody(200)}
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM drops) AS n_dropped,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE doc_id NOT IN (SELECT doc_id FROM drops)) AS n_kept,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM st
+      |   WHERE chunk IS NOT NULL
+      |     AND doc_id NOT IN (SELECT doc_id FROM drops)) AS n_kept_chunks"""
+      .stripMargin
 
   /** q57 oracle: per-language trigram profiles inlined as list literals
     * (derived from the SAME LangMarkers the Scala operator uses).
@@ -654,9 +699,9 @@ object PipelineQueries {
   /** `WITH RECURSIVE` prefix computing the C1 chunker's output (`st`,
     * chunk rows where `chunk IS NOT NULL`) at a given chunk size.
     */
-  private def chunkCtePrefix(chunkSize: Int) = {
+  private def chunkCteBody(chunkSize: Int) = {
     val lim = chunkSize + 1
-    s"""WITH RECURSIVE st AS (
+    s"""st AS (
        |  SELECT doc_id, trim(text) || ' ' AS rest, -1 AS chunk_index,
        |         CAST(NULL AS VARCHAR) AS chunk
        |  FROM documents
@@ -673,6 +718,9 @@ object PipelineQueries {
        |    FROM st WHERE length(rest) > 0)
        |  WHERE brk > 0)""".stripMargin
   }
+
+  private def chunkCtePrefix(chunkSize: Int) =
+    s"WITH RECURSIVE ${chunkCteBody(chunkSize)}"
 
   private def chunkCte(select: String, chunkSize: Int = 120) =
     s"""${chunkCtePrefix(chunkSize)}
@@ -749,6 +797,7 @@ object PipelineQueries {
         |  (SELECT CAST(count(*) AS BIGINT)
         |   FROM st WHERE chunk IS NOT NULL) AS n_index_chunks
         |FROM (VALUES (1), (2), (3), (4), (5)) AS q(query_id)""".stripMargin,
+    "q66_dedup_pipeline" -> dedupPipelineOracle,
     "q63_fingerprint_check" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |count(DISTINCT text) AS n_distinct_texts,
