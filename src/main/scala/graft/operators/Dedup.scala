@@ -228,6 +228,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // an unconverged exit would silently return wrong components (labels
+    // still mid-propagation); fail loudly instead — maxIter bounds the
+    // component DIAMETER, so raise it for pathologically long chains
+    if (!converged) throw new IllegalStateException(
+      s"cluster label propagation did not converge within $maxIter rounds; " +
+        "a near-dup component has a longer min-label path — raise maxIter")
     labels
   }
 

@@ -473,7 +473,10 @@ object PipelineQueries {
       docs.agg(count(lit(1)).as("n_docs"))
         .crossJoin(drops.agg(count(lit(1)).as("n_dropped")))
         .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
-        .crossJoin(index.agg(count(lit(1)).as("n_kept_chunks")))
+        // summing embedding sizes (not count(1)) forces the embed stage
+        // to actually execute — column pruning would otherwise skip it
+        .crossJoin(index.agg(count(lit(1)).as("n_kept_chunks"),
+          sum(size(col("embedding"))).as("n_embed_floats")))
     }),
 
     // P3 invariant closure for q42: the full-text fingerprint must be
@@ -600,15 +603,17 @@ object PipelineQueries {
       |drops AS (
       |  SELECT a AS doc_id FROM reach GROUP BY a
       |  HAVING least(a, min(b)) != a),
-      |${chunkCteBody(200)}
+      |${chunkCteBody(200,
+          seedWhere = "WHERE doc_id NOT IN (SELECT doc_id FROM drops)")}
       |SELECT
       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
       |  (SELECT CAST(count(*) AS BIGINT) FROM drops) AS n_dropped,
       |  (SELECT CAST(count(*) AS BIGINT) FROM documents
       |   WHERE doc_id NOT IN (SELECT doc_id FROM drops)) AS n_kept,
       |  (SELECT CAST(count(*) AS BIGINT) FROM st
-      |   WHERE chunk IS NOT NULL
-      |     AND doc_id NOT IN (SELECT doc_id FROM drops)) AS n_kept_chunks"""
+      |   WHERE chunk IS NOT NULL) AS n_kept_chunks,
+      |  (SELECT CAST(64 * count(*) AS BIGINT) FROM st
+      |   WHERE chunk IS NOT NULL) AS n_embed_floats"""
       .stripMargin
 
   /** q57 oracle: per-language trigram profiles inlined as list literals
@@ -699,12 +704,12 @@ object PipelineQueries {
   /** `WITH RECURSIVE` prefix computing the C1 chunker's output (`st`,
     * chunk rows where `chunk IS NOT NULL`) at a given chunk size.
     */
-  private def chunkCteBody(chunkSize: Int) = {
+  private def chunkCteBody(chunkSize: Int, seedWhere: String = "") = {
     val lim = chunkSize + 1
     s"""st AS (
        |  SELECT doc_id, trim(text) || ' ' AS rest, -1 AS chunk_index,
        |         CAST(NULL AS VARCHAR) AS chunk
-       |  FROM documents
+       |  FROM documents $seedWhere
        |  UNION ALL
        |  SELECT doc_id,
        |    substr(rest, brk + 2) AS rest,

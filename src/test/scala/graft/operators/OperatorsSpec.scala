@@ -138,6 +138,19 @@ class OperatorsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 4L -> 4L, 9L -> 4L))
   }
 
+  test("clusters converges on a chain within maxIter, fails loudly beyond it") {
+    // a 9-node chain: min label 1 walks one hop per round -> 8 rounds
+    val chain = (1 to 8).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_id_a", "doc_id_b")
+    val ok = Dedup.clusters(chain, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet === Set(1L))
+    // insufficient rounds must throw, not return mid-propagation labels
+    intercept[IllegalStateException] {
+      Dedup.clusters(chain, maxIter = 3)
+    }
+  }
+
   test("simhash: identical texts hamming 0; near texts < far texts") {
     val d = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
