@@ -1,0 +1,68 @@
+package graft.plans
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties PLANS.md documents,
+  * asserted so a code change that silently loses a pushdown, broadcast,
+  * or bounded-top-k formulation fails CI instead of only showing up in
+  * a bench regression.
+  */
+class PlanInvariantsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter reaches the parquet scan, comment column pruned") {
+    val p = physical("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(!p.contains("l_comment"), "scan reads a column the query never uses")
+  }
+
+  test("q05: five-way join broadcasts dimensions, no cartesian product") {
+    val p = physical("q05_region_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q35/q51: kNN broadcasts the query side; q51 keeps map-side top-k") {
+    val p35 = physical("q35_knn_bruteforce")
+    assert(p35.contains("BroadcastExchange"), p35)
+    val p51 = physical("q51_knn_topk_agg")
+    assert(p51.toLowerCase.contains("topkagg"), p51)
+    // the bounded aggregate runs partial before the exchange
+    assert(p51.toLowerCase.contains("partial_topkagg"), p51)
+  }
+
+  test("q36 LSH ANN: bucketed equi-join only, id-only exchanges") {
+    val p = physical("q36_lsh_ann")
+    assert(!p.contains("CartesianProduct"), p)
+    // no exchange may carry an embedding column: candidate generation and
+    // dedup ship (table, bucket, id) rows only
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("embedding")),
+      s"an exchange ships vectors:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q30 exact dedup: the shuffle groups on the 8-byte hash, not the text") {
+    val p = physical("q30_dedup_exact")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.exists(_.contains("h#")) || exchanges.exists(_.contains("xxhash")),
+      s"no hash-keyed exchange found:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q28 retrieval: chunk+embed stays shuffle-free up to the top-k aggregate") {
+    val p = physical("q28_rag_retrieval")
+    // one exchange for the per-query aggregate, one for the winners join
+    // is the expected ceiling; the index build itself must add none
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 3, s"retrieval plan gained exchanges ($n):\n$p")
+    assert(p.toLowerCase.contains("topkagg"), p)
+  }
+}
