@@ -390,18 +390,23 @@ object PipelineQueries {
     }),
 
     // A5 invariant closure for q54: HLL++ estimates within 5% of the
-    // exact distinct counts at rsd = 0.01 (the default 0.05 rsd is a ONE-
+    // exact distinct counts at rsd = 0.02 (the default 0.05 rsd is a ONE-
     // sigma bound - at sf0.001 the orderkey estimate lands 6.4% off,
-    // within ~1.3 sigma, so the tighter sketch is what makes a hard 5%
-    // contract honest at every scale). Exact side fully DuckDB-computed.
+    // within ~1.3 sigma; 0.02 puts 5% at 2.5 sigma and the fixture
+    // cardinalities measured well inside it at every scale). The sketches
+    // aggregate SEPARATELY from the exact counts: mixing them in one agg
+    // drags the wide HLL buffers through the count-distinct Expand and
+    // cost 10x on the bench. Exact side fully DuckDB-computed.
     "q62_hll_error" -> ((s, dir) => {
-      t(s, dir, "lineitem").agg(
+      val li = t(s, dir, "lineitem")
+      li.agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           countDistinct(col("l_suppkey")).as("exact_supps"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("a_p"),
-          approx_count_distinct(col("l_suppkey"), 0.01).as("a_s"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("a_o"))
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .crossJoin(li.agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("a_p"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("a_s"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("a_o")))
         .select(col("exact_parts"), col("exact_supps"), col("exact_orders"),
           (abs(col("a_p") - col("exact_parts")) <= col("exact_parts") * 0.05)
             .as("parts_ok"),
