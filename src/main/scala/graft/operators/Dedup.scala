@@ -168,18 +168,42 @@ object Dedup {
           .filter(col("df") <= maxShingleDocFreq)
         sh.join(freq.select("shingle"), Seq("shingle"))
       }
-    // the cap prunes CANDIDATE GENERATION only: pairs are found via the
-    // capped shingle equi-join (id-only rows), then every candidate's
-    // jaccard is recomputed EXACTLY from the two full shingle sets — a
-    // capped shared shingle can no longer deflate the emitted score, it
-    // can only fail to nominate a pair whose every shared shingle is
-    // ubiquitous (the documented trade)
-    val cand = filtered.as("x")
+    // The cap prunes CANDIDATE GENERATION only; emitted scores are exact.
+    // Two phases keep that cheap: (1) count shared CAPPED shingles per
+    // pair through the equi-join — no arrays shipped, the 100 TB-shaped
+    // plan — which bounds the exact jaccard from both sides (a pair can
+    // hide at most min(capped_a, capped_b) extra shared shingles); (2)
+    // re-verify WITH the full shingle arrays only the pairs whose upper
+    // bound reaches the threshold. When the cap doesn't bind the bounds
+    // coincide and phase 2 touches exactly the result set; a pair whose
+    // every shared shingle is ubiquitous is never nominated (the
+    // documented trade).
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val cappedCounts = sizes
+      .join(filtered.groupBy("doc_id").agg(count(lit(1)).as("n_kept")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_sh") - coalesce(col("n_kept"), lit(0L))).as("n_capped"))
+    val interCapped = filtered.as("x")
       .join(filtered.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
-    cand
+      .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+      .agg(count(lit(1)).as("inter_c"))
+    val bounded = interCapped
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("n_sh").as("n_a")),
+        Seq("doc_id_a"))
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
+        Seq("doc_id_b"))
+      .join(cappedCounts.select(col("doc_id").as("doc_id_a"),
+        col("n_capped").as("c_a")), Seq("doc_id_a"))
+      .join(cappedCounts.select(col("doc_id").as("doc_id_b"),
+        col("n_capped").as("c_b")), Seq("doc_id_b"))
+      .withColumn("i_max", col("inter_c") + least(col("c_a"), col("c_b")))
+      .withColumn("j_upper", col("i_max").cast("double")
+        / (col("n_a") + col("n_b") - col("i_max")))
+      .filter(col("j_upper") >= threshold)
+      .select("doc_id_a", "doc_id_b")
+    bounded
       .join(withSh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
         Seq("doc_id_a"))
       .join(withSh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
