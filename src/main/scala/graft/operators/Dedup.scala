@@ -178,11 +178,14 @@ object Dedup {
     // coincide and phase 2 touches exactly the result set; a pair whose
     // every shared shingle is ubiquitous is never nominated (the
     // documented trade).
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val cappedCounts = sizes
+    // per-doc stats in ONE frame: shingle count from the array itself
+    // (shingles are distinct by construction — no explode/re-aggregate),
+    // capped count from the uncapped survivors
+    val docStats = withSh
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
       .join(filtered.groupBy("doc_id").agg(count(lit(1)).as("n_kept")),
         Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n_sh"),
         (col("n_sh") - coalesce(col("n_kept"), lit(0L))).as("n_capped"))
     val interCapped = filtered.as("x")
       .join(filtered.as("y"), Seq("shingle"))
@@ -190,14 +193,10 @@ object Dedup {
       .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
       .agg(count(lit(1)).as("inter_c"))
     val bounded = interCapped
-      .join(sizes.select(col("doc_id").as("doc_id_a"), col("n_sh").as("n_a")),
-        Seq("doc_id_a"))
-      .join(sizes.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
-        Seq("doc_id_b"))
-      .join(cappedCounts.select(col("doc_id").as("doc_id_a"),
-        col("n_capped").as("c_a")), Seq("doc_id_a"))
-      .join(cappedCounts.select(col("doc_id").as("doc_id_b"),
-        col("n_capped").as("c_b")), Seq("doc_id_b"))
+      .join(docStats.select(col("doc_id").as("doc_id_a"),
+        col("n_sh").as("n_a"), col("n_capped").as("c_a")), Seq("doc_id_a"))
+      .join(docStats.select(col("doc_id").as("doc_id_b"),
+        col("n_sh").as("n_b"), col("n_capped").as("c_b")), Seq("doc_id_b"))
       .withColumn("i_max", col("inter_c") + least(col("c_a"), col("c_b")))
       .withColumn("j_upper", col("i_max").cast("double")
         / (col("n_a") + col("n_b") - col("i_max")))
