@@ -30,13 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         override def apply(
             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
             : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+          // lenient conf parsing: the optimizer must never throw on a
+          // malformed session conf (that would fail EVERY gated query with
+          // an opaque error) — unparseable values fall back to defaults
           if (!session.conf.getOption("spark.graft.ann.rewrite")
-            .contains("true")) plan
+            .exists(_.equalsIgnoreCase("true"))) plan
           else {
             val dft = graft.plans.LshAnnPlan.Config()
             def i(key: String, dflt: Int) =
               session.conf.getOption(s"spark.graft.ann.$key")
-                .map(_.toInt).getOrElse(dflt)
+                .flatMap(_.toIntOption).getOrElse(dflt)
             graft.plans.LshAnnRewrite(session,
               graft.plans.LshAnnPlan.Config(i("tables", dft.tables),
                 i("bits", dft.bits), i("probes", dft.probes)))(plan)

@@ -260,13 +260,45 @@ object Dedup {
     labels
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold. Exact
-    * all-pairs form (crossJoin); at 100 TB swap in the LSH/IVF candidate
-    * generation from SimilaritySearch and keep only the verify stage.
+  /** Thresholds at or above this route through hyperplane-LSH candidate
+    * generation instead of the all-pairs crossJoin. The floor is where the
+    * collision math makes banding reliable: at cos 0.8 a hyperplane agrees
+    * with probability 1 − θ/π ≈ 0.795, so an 8-bit table collides with
+    * p ≈ 0.795⁸ ≈ 0.16 and 64 independent tables miss the pair with
+    * (1 − 0.16)⁶⁴ ≈ 4e-5 (at cos 0.9 the miss is ~3e-10). Below the floor
+    * collision probabilities decay too fast for any sub-quadratic banding
+    * (measured for the fixture's 0.35–0.75 band — COVERAGE.md A9), so the
+    * exact path is kept there by design.
+    */
+  val LshCosineFloor: Double = 0.8
+
+  /** Embedding-cosine near-duplicate pairs above a threshold.
+    *
+    * `threshold >= LshCosineFloor`: sub-quadratic — hyperplane-LSH bucket
+    * self-join generates candidate id pairs (the widest exchange carries
+    * (table, bucket, id) rows only), then the exact cosine re-verifies
+    * each candidate, so emitted pairs are exactly thresholded. This is
+    * the 100 TB shape: O(n · tables) bucket rows instead of O(n²) pairs.
+    *
+    * Below the floor: exact all-pairs (crossJoin) — no LSH family serves
+    * low-cosine bands sub-quadratically (measured; see LshCosineFloor).
     */
   def embeddingCosine(
       embeddings: DataFrame,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      lshTables: Int = 64,
+      lshBits: Int = 8): DataFrame =
+    if (threshold >= LshCosineFloor)
+      cosineVerify(lshSelfCandidates(embeddings, lshTables, lshBits),
+        embeddings, threshold)
+    else embeddingCosineExact(embeddings, threshold)
+
+  /** Exact all-pairs form — the quadratic baseline the LSH mode is
+    * verified against (and the only exact option below LshCosineFloor).
+    */
+  private[graft] def embeddingCosineExact(
+      embeddings: DataFrame,
+      threshold: Double): DataFrame = {
     // norms are computed ONCE per vector before the pair join (an O(n)
     // projection), so the O(n^2) pair stage only does one dot product
     val withNorm = embeddings.select(col("vec_id"), col("embedding"),
@@ -277,6 +309,47 @@ object Dedup {
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b)
       .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos",
+        when(col("nrm_a") * col("nrm_b") === 0.0, lit(0.0))
+          .otherwise(VectorOps.dot(col("emb_a"), col("emb_b"))
+            / (col("nrm_a") * col("nrm_b"))))
+      .filter(col("cos") >= threshold)
+      .select("vec_id_a", "vec_id_b", "cos")
+  }
+
+  /** Candidate id pairs from a hyperplane-LSH bucket SELF-join: pairs
+    * sharing a bucket in any of `tables` tables. Id-only — embeddings are
+    * re-attached per side only for the nominated pairs.
+    */
+  private def lshSelfCandidates(
+      embeddings: DataFrame, tables: Int, bits: Int): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.lsh_buckets
+    val banded = embeddings.select(col("vec_id"),
+      posexplode(lsh_buckets(col("embedding"), tables, bits))
+        .as(Seq("table", "bucket")))
+    val a = banded.select(col("table"), col("bucket"),
+      col("vec_id").as("vec_id_a"))
+    val b = banded.select(col("table"), col("bucket"),
+      col("vec_id").as("vec_id_b"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select("vec_id_a", "vec_id_b")
+      .dropDuplicates("vec_id_a", "vec_id_b")
+  }
+
+  /** Exact cosine over nominated id pairs: re-attach each side's vector
+    * (two equi-joins), score once, threshold. Emitted scores are exact
+    * regardless of how the candidates were generated.
+    */
+  private def cosineVerify(
+      cand: DataFrame, embeddings: DataFrame, threshold: Double): DataFrame = {
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+      VectorOps.l2Norm(col("embedding")).as("nrm"))
+    cand
+      .join(withNorm.select(col("vec_id").as("vec_id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a")), Seq("vec_id_a"))
+      .join(withNorm.select(col("vec_id").as("vec_id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("vec_id_b"))
       .withColumn("cos",
         when(col("nrm_a") * col("nrm_b") === 0.0, lit(0.0))
           .otherwise(VectorOps.dot(col("emb_a"), col("emb_b"))

@@ -123,11 +123,28 @@ object SimilaritySearch {
     * the two at a 100 TB index is the whole point of the ANN path.
     * Identical output to the window form (ties: score desc, id asc).
     */
-  private def rerank(
+  private[graft] def rerank(
       cand: DataFrame, queries: DataFrame, index: DataFrame, k: Int): DataFrame = {
     import graft.functions.expressions.TopKAgg.top_k
     cand
       .join(index, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
+      .groupBy("query_id")
+      .agg(top_k(col("score"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("vec_id"), col("hit.score").as("score"))
+  }
+
+  /** Re-rank for candidates that already CARRY their embedding column
+    * (e.g. read from a persisted inverted list): no re-join against the
+    * index — score, then bounded TopKAgg.
+    */
+  private[graft] def rerankWithVecs(
+      cand: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    cand
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
       .groupBy("query_id")
@@ -168,6 +185,21 @@ object SimilaritySearch {
         struct(col("csim"), (-col("centroid_id")).as("neg_cid")))
         .as("centroid_id"))
 
+  /** Nearest-centroid assignment CARRYING each vector — the inverted-list
+    * materialization shape (one row per vector with its embedding, ready
+    * to persist partitioned by centroid). Same max_by partial-agg
+    * formulation as `assignToCentroids`.
+    */
+  private[graft] def assignWithVecs(
+      index: DataFrame, centroids: DataFrame): DataFrame =
+    index.crossJoin(broadcast(centroids))
+      .withColumn("csim", VectorOps.cosine(col("embedding"), col("centroid_vec")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("centroid_id"), col("embedding")),
+        struct(col("csim"), (-col("centroid_id")).as("neg_cid"))).as("w"))
+      .select(col("vec_id"), col("w.centroid_id").as("centroid_id"),
+        col("w.embedding").as("embedding"))
+
   def ivfCandidates(
       queries: DataFrame,
       index: DataFrame,
@@ -204,7 +236,14 @@ object SimilaritySearch {
           struct(col("csim"), (-col("centroid_id")).as("neg_cid"))).as("w"))
         .select(col("w.centroid_id").as("centroid_id"),
           col("w.embedding").as("embedding"))
-      c = meanVectors(assigned, "centroid_id", "embedding", "centroid_vec")
+      val refreshed = meanVectors(assigned, "centroid_id", "embedding",
+        "centroid_vec")
+      // a centroid whose cluster emptied this round would VANISH from the
+      // re-average (shrinking k for every later round); keep it at its
+      // previous position instead so it can re-capture vectors
+      c = refreshed.unionByName(
+        c.join(refreshed.select("centroid_id"), Seq("centroid_id"),
+          "left_anti"))
         .localCheckpoint(true)
     }
     c
@@ -223,6 +262,60 @@ object SimilaritySearch {
       .select(row_number().over(Window.orderBy("h", "vec_id")).as("centroid_id"),
         VectorOps.toDouble(col("embedding")).as("centroid_vec"))
     kMeansRefine(index, seeds, iters)
+  }
+
+  /** Deterministic farthest-first (k-center) seeding on a BOUNDED sample
+    * + Lloyd refinement — the k-means++-style quality upgrade over the
+    * hash draw of `kMeansCentroids`. The sample (at most `sampleSize`
+    * rows, chosen by the same stable xxhash64 order) is collected to the
+    * driver: that is the standard sample-based seeding at any scale — the
+    * collect is bounded by `sampleSize`, never by the index — and seed
+    * selection is O(sample × k) local work. Seeds spread across the data
+    * (each next seed = the sample vector farthest in cosine from every
+    * chosen seed), which is what the pure hash draw lacks: it can land
+    * several seeds in one dense cluster and leave whole regions unseeded.
+    */
+  def kMeansCentroidsPP(
+      index: DataFrame, k: Int, iters: Int, sampleSize: Int = 4096): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val sample = index
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(sampleSize)
+      .select(VectorOps.toDouble(col("embedding")).as("v"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    require(sample.nonEmpty, "kMeansCentroidsPP: empty index")
+    val unit = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nSeeds = math.min(k, unit.length)
+    val chosen = scala.collection.mutable.ArrayBuffer(unit.head)
+    val maxSim = unit.map(v => dot(v, unit.head))
+    while (chosen.size < nSeeds) {
+      var bi = 0
+      var best = Double.MaxValue
+      var i = 0
+      while (i < unit.length) {
+        if (maxSim(i) < best) { best = maxSim(i); bi = i }
+        i += 1
+      }
+      chosen += unit(bi)
+      i = 0
+      while (i < unit.length) {
+        maxSim(i) = math.max(maxSim(i), dot(unit(i), chosen.last))
+        i += 1
+      }
+    }
+    val seeds = chosen.toSeq.zipWithIndex
+      .map { case (v, i) => (i + 1, v.toSeq) }
+      .toDF("centroid_id", "centroid_vec")
+    kMeansRefine(index, broadcast(seeds), iters)
   }
 
   /** Element-wise mean vector per key: posexplode + two-level agg — one

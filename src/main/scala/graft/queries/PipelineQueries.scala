@@ -39,14 +39,14 @@ object PipelineQueries {
     // chunks joined by the separator reconstruct trim(text) exactly
     // (overlap=0, space-separated corpus).
     "q26_chunk_reassembly" -> ((s, dir) => {
-      import s.implicits._
+      // pure-builtin ordered concat (the q48 shape): stays in whole-stage
+      // codegen — no groupByKey/mapGroups object-serialization stage
       RagPipeline.chunkDocuments(s, t(s, dir, "documents"), chunkSize = 120)
-        .groupByKey(_.doc_id)
-        .mapGroups { (id, rows) =>
-          val ordered = rows.toSeq.sortBy(_.chunk_index)
-          (id, ordered.map(_.text).mkString(" "), ordered.size)
-        }
-        .toDF("doc_id", "reassembled", "n_chunks")
+        .toDF()
+        .groupBy("doc_id")
+        .agg(concat_ws(" ",
+          array_sort(collect_list(struct(col("chunk_index"), col("text"))))
+            .getField("text")).as("reassembled"))
         .select(col("doc_id"), col("reassembled"),
           length(col("reassembled")).as("reassembled_len"))
     }),
@@ -94,11 +94,15 @@ object PipelineQueries {
 
     // A9 MinHash+LSH near-dup, run in the banding's reliable regime:
     // with r=2 rows x b=16 bands the S-curve midpoint is (1/16)^(1/2) =
-    // 0.25, so pairs at the fixture's near-dup level (jaccard >= 0.8)
-    // are missed with probability (1-0.64)^16 ~ 1e-7 — the LSH output
-    // EQUALS the exact-Jaccard pairs at every scale and hash-matches the
-    // same oracle. Low thresholds belong to the exact path (q31): no
-    // minhash banding is reliable at jaccard ~0.12.
+    // 0.25. The ~1e-7 miss bound holds for pairs at jaccard >= 0.8 (the
+    // fixtures' near-dup level); a pair at exactly the emitted threshold
+    // 0.5 would be missed with probability (1-0.25)^16 ~ 1%. The
+    // hash-match against the exact-Jaccard oracle is therefore
+    // FIXTURE-MEASURED: it certifies equality because every fixture pair
+    // above 0.5 is also above 0.8 (verified at all three scales) — pairs
+    // landing in [0.5, 0.8) are found with prob >= 0.99, not guaranteed.
+    // Low thresholds belong to the exact path (q31): no minhash banding
+    // is reliable at jaccard ~0.12.
     "q32_minhash_lsh" -> ((s, dir) => {
       Dedup.minHashLsh(t(s, dir, "documents"), k = 3, numHashes = 32,
         bands = 16, threshold = 0.5)
@@ -112,11 +116,35 @@ object PipelineQueries {
       Dedup.simHashDedup(t(s, dir, "documents"), maxHamming = 3, pieces = 4)
     }),
 
-    // A9 embedding-cosine near-dup pairs (SQL oracle, double math)
+    // A9 embedding-cosine near-dup pairs (SQL oracle, double math).
+    // Threshold 0.35 < LshCosineFloor routes through the exact all-pairs
+    // form — no LSH family serves the 0.35–0.75 cosine band
+    // sub-quadratically (measured; COVERAGE.md A9).
     "q34_embedding_pairs" -> ((s, dir) => {
       Dedup.embeddingCosine(t(s, dir, "embeddings"), threshold = 0.35)
         .select(col("vec_id_a"), col("vec_id_b"),
           round(col("cos"), 6).as("cos"))
+    }),
+
+    // A9 invariant closure for the sub-quadratic embeddingCosine mode:
+    // at threshold 0.9 (>= LshCosineFloor) the LSH-routed pair set must
+    // equal the exact all-pairs set — soundness (n_extra=0: every
+    // candidate is re-verified with the exact cosine) AND completeness
+    // (n_missed=0: at cos 0.9 the 64×8-bit banding misses a pair with
+    // prob ~3e-10). Mirrors the q61 simhash-banding pattern; the exact
+    // side is the quadratic baseline the LSH mode replaces.
+    "q69_cosine_lsh_invariants" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val viaLsh = Dedup.embeddingCosine(emb, threshold = 0.9)
+        .select("vec_id_a", "vec_id_b")
+      val exact = Dedup.embeddingCosineExact(emb, threshold = 0.9)
+        .select("vec_id_a", "vec_id_b")
+      emb.agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact_pairs")))
+        .crossJoin(exact.join(viaLsh, Seq("vec_id_a", "vec_id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_missed")))
+        .crossJoin(viaLsh.join(exact, Seq("vec_id_a", "vec_id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_extra")))
     }),
 
     // J1+T2 exact kNN: first 8 vectors as queries, cosine top-4
@@ -142,18 +170,72 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
-    // O3 IVF ANN path (rows-only; recall floor pinned by q60).
-    // Lloyd-refined 32-list index, 12 probes: recall@4 = 0.938 on sf0.01
-    // (0.813 / 0.781 on sf0.001 / sf0.1 - graft.tools.AnnTune; the probe
-    // count is the recall knob as the index grows).
+    // O3 IVF ANN path (rows-only; recall floor pinned by q60/q68), now
+    // against the PERSISTED inverted-file index: the k-means build runs
+    // once per fixture (AnnIndex.ensureIvf) and the query is probe →
+    // partition-pruned list scan → re-rank — the reference's
+    // index-once/query-many lifecycle (AI.py:47-55 vs :138).
+    // Operating point (AnnTune sweep, all 3 scales, hash seeding):
+    // 64 lists / 24 probes → recall@4 = 0.875 / 0.938 / 0.906 at
+    // sf0.001 / 0.01 / 0.1 at a 0.37 candidate fraction — the first point
+    // clearing the 0.85 floor at EVERY scale. Farthest-first seeding
+    // (kMeansCentroidsPP) wins at the two small scales but degrades at
+    // sf0.1 (outlier-chasing, the classic k-center failure), so the
+    // shipped index keeps the hash draw.
     "q37_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val cents = SimilaritySearch.kMeansCentroids(emb, k = 32, iters = 5)
-      SimilaritySearch.ivfTopK(q, emb, cents, k = 4, nProbe = 12)
+      val h = graft.sources.AnnIndex.ensureIvf(s, dir,
+        emb.select("vec_id", "embedding"), lists = 64, iters = 5)
+      graft.sources.AnnIndex.queryIvf(q, h, k = 4, nProbe = 24)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
+    }),
+
+    // O3 persisted-LSH index at the recall-1.0 operating point (the q59
+    // rewrite's 64×12×48): the bucket table is built once per fixture and
+    // the query pushes its probed buckets into the bucketed scan — no
+    // signature recomputation. Hash-matching the EXACT kNN oracle proves
+    // the persisted path is output-identical at this operating point.
+    "q67_lsh_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val h = graft.sources.AnnIndex.ensureLsh(s, dir,
+        emb.select("vec_id", "embedding"), tables = 64, bits = 12)
+      graft.sources.AnnIndex.queryLsh(q, h, k = 4, probes = 48)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // Invariant closure for the persisted paths (mirrors q60): recall@4
+    // of the persisted LSH (q36's 64×12×16 point) and the persisted IVF
+    // (q37's 64-list/24-probe point) against the exact top-k, floored at
+    // 0.85 — the floors must hold at EVERY fixture scale.
+    "q68_ivf_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val exact = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+        .select("query_id", "vec_id")
+      val lshH = graft.sources.AnnIndex.ensureLsh(s, dir,
+        emb.select("vec_id", "embedding"), tables = 64, bits = 12)
+      val lsh = graft.sources.AnnIndex.queryLsh(q, lshH, k = 4, probes = 16)
+        .select("query_id", "vec_id")
+      val ivfH = graft.sources.AnnIndex.ensureIvf(s, dir,
+        emb.select("vec_id", "embedding"), lists = 64, iters = 5)
+      val ivf = graft.sources.AnnIndex.queryIvf(q, ivfH, k = 4, nProbe = 24)
+        .select("query_id", "vec_id")
+      exact.agg(countDistinct("query_id").as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        .crossJoin(exact.join(lsh, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("lsh_hits")))
+        .crossJoin(exact.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("ivf_hits")))
+        .select(col("n_queries"), col("n_exact"),
+          (col("lsh_hits") >= col("n_exact") * 0.85).as("lsh_persisted_ok"),
+          (col("ivf_hits") >= col("n_exact") * 0.85).as("ivf_persisted_ok"))
     }),
 
     // A8 per-label centroid, element-wise (SQL oracle via list indexing)
@@ -322,7 +404,13 @@ object PipelineQueries {
     // the TopK-over-CrossJoin shape and substitutes the bucketed
     // multi-probe LSH join at its recall-1.0 operating point — same oracle
     // as q35 proves output-identity, PLANS.md proves the CrossJoin is gone.
-    "q59_lsh_strategy" -> ((s, dir) => {
+    "q59_lsh_strategy" -> ((outer, dir) => {
+      // the rewrite rule is scoped to a session CLONE: enabling it on the
+      // shared session would leave every later query in the session
+      // exposed to silent re-planning through the approximate index
+      // (newSession shares the SparkContext/catalog but gets its own
+      // experimental-methods list, so the outer optimizer is untouched)
+      val s = outer.newSession()
       graft.plans.LshAnnPlan.enable(s)
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
@@ -340,10 +428,12 @@ object PipelineQueries {
 
     // O3 invariant closure for q36/q37: recall@4 of the shipped LSH and
     // IVF operating points against the exact top-k, asserted over floors
-    // chosen to hold at EVERY fixture scale (AnnTune: LSH 0.875 / 0.969 /
-    // 0.938 and IVF 0.813 / 0.938 / 0.781 on sf0.001 / 0.01 / 0.1 ->
-    // floors 0.85 / 0.75). The oracle derives n_queries/n_exact from the
-    // table; the floor booleans pin the invariant the ANN paths must keep.
+    // that must hold at EVERY fixture scale (AnnTune: LSH 0.875 / 0.969 /
+    // 0.938 and IVF-64-list/24-probe 0.875 / 0.938 / 0.906 on
+    // sf0.001 / 0.01 / 0.1 -> both floors 0.85, raised from round 2's
+    // 0.75 by re-tuning the IVF operating point). The oracle derives
+    // n_queries/n_exact from the table; the floor booleans pin the
+    // invariant the ANN paths must keep.
     "q60_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
@@ -352,8 +442,8 @@ object PipelineQueries {
         .select("query_id", "vec_id")
       val lsh = SimilaritySearch.lshTopK(q, emb, k = 4, tables = 64,
         bits = 12, probes = 16).select("query_id", "vec_id")
-      val cents = SimilaritySearch.kMeansCentroids(emb, k = 32, iters = 5)
-      val ivf = SimilaritySearch.ivfTopK(q, emb, cents, k = 4, nProbe = 12)
+      val cents = SimilaritySearch.kMeansCentroids(emb, k = 64, iters = 5)
+      val ivf = SimilaritySearch.ivfTopK(q, emb, cents, k = 4, nProbe = 24)
         .select("query_id", "vec_id")
       exact.agg(countDistinct("query_id").as("n_queries"),
           count(lit(1)).as("n_exact"))
@@ -363,7 +453,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("ivf_hits")))
         .select(col("n_queries"), col("n_exact"),
           (col("lsh_hits") >= col("n_exact") * 0.85).as("lsh_recall_ok"),
-          (col("ivf_hits") >= col("n_exact") * 0.75).as("ivf_recall_ok"))
+          (col("ivf_hits") >= col("n_exact") * 0.85).as("ivf_recall_ok"))
     }),
 
     // A9 invariant closure for q33: the banded (pigeonhole) simhash pairs
@@ -425,12 +515,17 @@ object PipelineQueries {
     "q64_bucketed_join" -> ((s, dir) => {
       import graft.sources.IndexStore
       val emb = t(s, dir, "embeddings")
+      // layout path + catalog names derived from the scale-factor dir so
+      // concurrent runs on different fixtures never race on DROP TABLE /
+      // overwrite (same-dir runs share one deterministic location)
+      val tag = IndexStore.pathTag(dir)
+      val base = s"/tmp/graft_bucketed_$tag"
       IndexStore.writeBucketed(emb.select("vec_id", "embedding"),
-        "graft_emb_vecs", "/tmp/graft_bucketed/vecs", buckets = 8, key = "vec_id")
+        s"graft_emb_vecs_$tag", s"$base/vecs", buckets = 8, key = "vec_id")
       IndexStore.writeBucketed(emb.select("vec_id", "label"),
-        "graft_emb_labels", "/tmp/graft_bucketed/labels", buckets = 8, key = "vec_id")
-      IndexStore.readBucketed(s, "graft_emb_vecs").hint("merge")
-        .join(IndexStore.readBucketed(s, "graft_emb_labels"), Seq("vec_id"))
+        s"graft_emb_labels_$tag", s"$base/labels", buckets = 8, key = "vec_id")
+      IndexStore.readBucketed(s, s"graft_emb_vecs_$tag").hint("merge")
+        .join(IndexStore.readBucketed(s, s"graft_emb_labels_$tag"), Seq("vec_id"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vectors"),
           round(avg(graft.functions.VectorOps.l2Norm(col("embedding"))), 6)
@@ -770,6 +865,14 @@ object PipelineQueries {
         |  >= 0.35""".stripMargin,
     "q35_knn_bruteforce" -> knnExactOracle,
     "q51_knn_topk_agg" -> knnExactOracle,
+    // the persisted-LSH path at the recall-1.0 point is output-identical
+    // to the exact scan — same oracle as q35/q51/q59
+    "q67_lsh_persisted" -> knnExactOracle,
+    "q68_ivf_persisted" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |CAST(4 * count(*) AS BIGINT) AS n_exact,
+        |true AS lsh_persisted_ok, true AS ivf_persisted_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
     // q59's plan goes through the LSH ANN rewrite; hash-matching the SAME
     // exact-kNN oracle proves the rewrite is output-identical (recall 1.0)
     "q59_lsh_strategy" -> knnExactOracle,
@@ -787,6 +890,21 @@ object PipelineQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra
         |FROM documents""".stripMargin,
+    // the exact-pair count is recomputed by DuckDB (non-circular); the
+    // zero miss/extra counts assert LSH-mode == exact at threshold 0.9
+    "q69_cosine_lsh_invariants" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |(SELECT CAST(count(*) AS BIGINT)
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                        CAST(b.embedding AS DOUBLE[]))
+        |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                            CAST(a.embedding AS DOUBLE[])))
+        |    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                            CAST(b.embedding AS DOUBLE[]))))
+        |   >= 0.9) AS n_exact_pairs,
+        |CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra
+        |FROM embeddings""".stripMargin,
     "q62_hll_error" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |count(DISTINCT l_suppkey) AS exact_supps,

@@ -261,6 +261,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_close_customers"))
     }),
 
+    // J5 at scale: the same band predicate |s - c| < 50 as a BANDED
+    // equi-join — bucket acctbal by the band width; a qualifying pair's
+    // buckets differ by at most 1, so expanding one side to its bucket ±1
+    // and equi-joining on bucket (+ exact residual filter) is the same
+    // theta join through a hash join instead of a nested loop. The 3×
+    // row expansion is the price; the O(|S|·|C|) predicate evaluation is
+    // gone — the shape that survives when neither side broadcasts.
+    // Same oracle as q19 proves the rewrite is semantics-preserving.
+    "q70_theta_banded" -> ((s, dir) => {
+      val band = 50.0
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_acctbal")
+      val c = t(s, dir, "customer").select("c_acctbal")
+      val sb = sup.withColumn("bucket", explode(array(
+        floor(col("s_acctbal") / band) - 1,
+        floor(col("s_acctbal") / band),
+        floor(col("s_acctbal") / band) + 1)))
+      val cb = c.withColumn("bucket", floor(col("c_acctbal") / band))
+      sb.join(cb, Seq("bucket"))
+        .filter(abs(col("s_acctbal") - col("c_acctbal")) < band)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_close_customers"))
+    }),
+
     // J6 as-of join: latest order (by o_orderdate) at or before each event,
     // keyed user_id = o_custkey. Union+window implementation — one shuffle.
     "q20_asof_join" -> ((s, dir) => {
@@ -522,6 +545,10 @@ object RelationalQueries {
         |  AND l_extendedprice > p_retailprice * 20
         |GROUP BY p_brand""".stripMargin,
     "q19_theta_nlj" ->
+      """SELECT s_suppkey, count(*) AS n_close_customers
+        |FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) < 50.0
+        |GROUP BY s_suppkey""".stripMargin,
+    "q70_theta_banded" ->
       """SELECT s_suppkey, count(*) AS n_close_customers
         |FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) < 50.0
         |GROUP BY s_suppkey""".stripMargin,

@@ -27,6 +27,14 @@ object IndexStore {
 
   final case class Meta(dim: Int, metric: String)
 
+  /** Deterministic short tag for a source path — used to derive
+    * per-fixture layout paths and catalog table names so runs over
+    * different inputs never collide on shared locations.
+    */
+  def pathTag(sourceDir: String): String =
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sourceDir).toLong & 0xffffffffL)
+
   def create(spark: SparkSession, path: String, dim: Int,
       metric: String = "cosine"): Unit = {
     Files.createDirectories(Paths.get(path))

@@ -18,10 +18,13 @@ import java.util.zip.Inflater
   *    (`AI.py:69-71`).
   *
   * Coverage contract (documented subset): streams using filters other
-  * than FlateDecode (DCT/JBIG2/crypt) are skipped; glyph-remapped fonts
-  * (no ToUnicode) come out as raw string bytes, like any spec-only
-  * extractor. Line-advance operators (`Td` `TD` `T*` `'` `"`) insert a
-  * newline between shows; shows on the same line concatenate.
+  * than FlateDecode (DCT/JBIG2/crypt) are skipped. Subset/CID fonts
+  * carrying a `/ToUnicode` CMap (bfchar/bfrange, 1- or 2-byte codes) are
+  * decoded through it — the current font is tracked via `Tf` per content
+  * stream; fonts WITHOUT a ToUnicode map come out as raw string bytes,
+  * like any spec-only extractor. Line-advance operators (`Td` `TD` `T*`
+  * `'` `"`) insert a newline between shows; shows on the same line
+  * concatenate.
   */
 object PdfText {
 
@@ -35,16 +38,152 @@ object PdfText {
     try {
       if (!isPdf(bytes)) ""
       else {
+        val fonts = try fontCMaps(bytes) catch { case _: Throwable =>
+          Map.empty[String, CMap] } // a broken font program never loses the page
         val pages = contentStreams(bytes).flatMap { data =>
           val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
           if (s.contains("BT") && s.contains("ET")) {
-            val t = extractTextOps(s)
+            val t = extractTextOps(s, fonts)
             if (t.nonEmpty) Some(t) else None
           } else None
         }
         pages.mkString("\n")
       }
     } catch { case _: Throwable => "" }
+
+  /** A font's ToUnicode mapping: `codeBytes` (1 for simple fonts, 2 for
+    * CID-keyed) string-byte codes → Unicode text (UTF-16BE in the CMap,
+    * possibly multi-unit, e.g. ligatures).
+    */
+  private[sources] final case class CMap(codeBytes: Int, map: Map[Int, String])
+
+  /** Resource-name → ToUnicode CMap for every font in the file that
+    * carries one: scan `/Font << /F1 5 0 R … >>` resource dicts, follow
+    * each font object's `/ToUnicode N 0 R` to its (possibly Flate'd)
+    * CMap stream, parse bfchar/bfrange. Fonts without ToUnicode are
+    * simply absent (raw-byte fallback).
+    */
+  private[sources] def fontCMaps(bytes: Array[Byte]): Map[String, CMap] = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // object number → body span (string indices == byte offsets in 8859-1)
+    val objSpans = "(\\d+)\\s+\\d+\\s+obj\\b".r.findAllMatchIn(s).flatMap { m =>
+      val end = s.indexOf("endobj", m.end)
+      if (end < 0) None else Some(m.group(1).toInt -> ((m.end, end)))
+    }.toMap
+    val nameRe = "/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R".r
+    val fontNameToObj = "(?s)/Font\\s*<<(.*?)>>".r.findAllMatchIn(s)
+      .flatMap(fd => nameRe.findAllMatchIn(fd.group(1))
+        .map(nm => nm.group(1) -> nm.group(2).toInt))
+      .toMap
+    val touRe = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
+    fontNameToObj.flatMap { case (name, objN) =>
+      for {
+        span <- objSpans.get(objN)
+        tou <- touRe.findFirstMatchIn(s.substring(span._1, span._2))
+          .map(_.group(1).toInt)
+        tspan <- objSpans.get(tou)
+        payload <- objectStreamPayload(bytes, s, tspan)
+        cmap <- parseCMap(new String(payload,
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+      } yield name -> cmap
+    }
+  }
+
+  /** Decoded stream payload of the object at `span`, honoring a direct
+    * /Length and FlateDecode exactly like `contentStreams`.
+    */
+  private def objectStreamPayload(
+      bytes: Array[Byte], s: String, span: (Int, Int)): Option[Array[Byte]] = {
+    val sk = s.indexOf("stream", span._1)
+    if (sk < 0 || sk >= span._2) return None
+    val dict = s.substring(span._1, sk)
+    var dataStart = sk + "stream".length
+    if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
+    if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
+    val end = directLength(dict)
+      .map(n => dataStart + n)
+      .filter(e => e <= span._2 && startsWithSkippingEol(bytes, "endstream", e))
+      .orElse {
+        val e = indexOf(bytes, "endstream", dataStart)
+        if (e < 0 || e > span._2) None
+        else {
+          var de = e
+          if (de > dataStart && bytes(de - 1) == '\n') de -= 1
+          if (de > dataStart && bytes(de - 1) == '\r') de -= 1
+          Some(de)
+        }
+      }
+    end.flatMap { de =>
+      val raw = java.util.Arrays.copyOfRange(bytes, dataStart, de)
+      if (dict.contains("/FlateDecode")) inflate(raw)
+      else if (!dict.contains("/Filter")) Some(raw)
+      else None
+    }
+  }
+
+  private def startsWithSkippingEol(
+      hay: Array[Byte], needle: String, at: Int): Boolean = {
+    var p = at
+    while (p < hay.length && (hay(p) == '\r' || hay(p) == '\n' ||
+      hay(p) == ' ' || hay(p) == '\t')) p += 1
+    startsWith(hay, needle, p)
+  }
+
+  /** Parse bfchar/bfrange sections of a ToUnicode CMap. Destinations are
+    * UTF-16BE hex; bfrange supports both the incrementing `<lo> <hi>
+    * <dst>` and the array `<lo> <hi> [<d0> <d1> …]` forms.
+    */
+  private[sources] def parseCMap(cm: String): Option[CMap] = {
+    val map = scala.collection.mutable.Map.empty[Int, String]
+    var codeBytes = 1
+    def noteSrc(hex: String): Unit =
+      codeBytes = math.max(codeBytes, hex.length / 2)
+    for (block <- "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(cm))
+      "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r
+        .findAllMatchIn(block.group(1)).foreach { m =>
+          noteSrc(m.group(1))
+          map(Integer.parseInt(m.group(1), 16)) = utf16be(m.group(2))
+        }
+    for (block <- "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(cm)) {
+      // incrementing form
+      "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r
+        .findAllMatchIn(block.group(1)).foreach { m =>
+          noteSrc(m.group(1))
+          val lo = Integer.parseInt(m.group(1), 16)
+          val hi = Integer.parseInt(m.group(2), 16)
+          val d0 = Integer.parseInt(m.group(3), 16)
+          var c = lo
+          while (c <= hi && c - lo <= 0xFFFF) { // bound a corrupt range
+            map(c) = new String(Character.toChars(d0 + (c - lo)))
+            c += 1
+          }
+        }
+      // array form
+      "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*\\[([^\\]]*)\\]".r
+        .findAllMatchIn(block.group(1)).foreach { m =>
+          noteSrc(m.group(1))
+          val lo = Integer.parseInt(m.group(1), 16)
+          "<([0-9A-Fa-f]+)>".r.findAllMatchIn(m.group(3)).zipWithIndex
+            .foreach { case (d, i) => map(lo + i) = utf16be(d.group(1)) }
+        }
+    }
+    if (map.isEmpty) None else Some(CMap(codeBytes, map.toMap))
+  }
+
+  /** Hex → UTF-16BE string (4 hex digits per code unit; odd-length
+    * prefixes from sloppy writers are left-padded).
+    */
+  private def utf16be(hex: String): String = {
+    val h = if (hex.length % 4 == 0) hex
+      else ("0" * (4 - hex.length % 4)) + hex
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 4 <= h.length) {
+      sb.append(Integer.parseInt(h.substring(i, i + 4), 16).toChar)
+      i += 4
+    }
+    sb.result()
+  }
 
   /** All decodable stream payloads, in file order (= page order for the
     * linearly-written PDFs this subset targets).
@@ -71,17 +210,39 @@ object PdfText {
           var dataStart = afterKw
           if (dataStart < bytes.length && bytes(dataStart) == '\r') dataStart += 1
           if (dataStart < bytes.length && bytes(dataStart) == '\n') dataStart += 1
-          val end = indexOf(bytes, "endstream", dataStart)
-          if (end < 0) pos = -1
-          else {
-            var dataEnd = end
-            if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
-            if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
-            val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-            if (dict.contains("/FlateDecode")) inflate(raw).foreach(out += _)
-            else if (!dict.contains("/Filter")) out += raw
-            // other filters: outside the subset — skip the stream
-            pos = end + "endstream".length
+          // stream extent: trust a DIRECT /Length when the bytes at
+          // dataStart + length are followed by `endstream` (so a payload
+          // that happens to contain the literal bytes "endstream" is not
+          // truncated); an indirect (`N 0 R`) or inconsistent /Length
+          // falls back to the scan, as before
+          val byLength = directLength(dict).flatMap { n =>
+            val e = dataStart.toLong + n
+            if (e > bytes.length) None
+            else {
+              var p = e.toInt
+              while (p < bytes.length && (bytes(p) == '\r' || bytes(p) == '\n' ||
+                bytes(p) == ' ' || bytes(p) == '\t')) p += 1
+              if (startsWith(bytes, "endstream", p)) Some((e.toInt, p)) else None
+            }
+          }
+          val bounds = byLength.orElse {
+            val end = indexOf(bytes, "endstream", dataStart)
+            if (end < 0) None
+            else {
+              var dataEnd = end
+              if (dataEnd > dataStart && bytes(dataEnd - 1) == '\n') dataEnd -= 1
+              if (dataEnd > dataStart && bytes(dataEnd - 1) == '\r') dataEnd -= 1
+              Some((dataEnd, end))
+            }
+          }
+          bounds match {
+            case None => pos = -1
+            case Some((dataEnd, kwPos)) =>
+              val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+              if (dict.contains("/FlateDecode")) inflate(raw).foreach(out += _)
+              else if (!dict.contains("/Filter")) out += raw
+              // other filters: outside the subset — skip the stream
+              pos = kwPos + "endstream".length
           }
         }
       }
@@ -125,6 +286,24 @@ object PdfText {
       if (complete) Some(out.toByteArray) else None
     } catch { case _: Throwable => None }
 
+  /** A direct (inline-integer) /Length from a stream dictionary; None for
+    * indirect references (`/Length 5 0 R`) or when absent.
+    */
+  private def directLength(dict: String): Option[Int] =
+    "/Length\\s+(\\d+)(\\s+\\d+\\s+R)?".r.findFirstMatchIn(dict)
+      .filter(_.group(2) == null)
+      .flatMap(m => m.group(1).toIntOption)
+
+  private def startsWith(hay: Array[Byte], needle: String, at: Int): Boolean = {
+    if (at < 0 || at + needle.length > hay.length) return false
+    var j = 0
+    while (j < needle.length) {
+      if (hay(at + j) != needle.charAt(j)) return false
+      j += 1
+    }
+    true
+  }
+
   private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
     val n = needle.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     var i = math.max(from, 0)
@@ -138,20 +317,50 @@ object PdfText {
     -1
   }
 
-  /** Text-op scan of one decoded content stream. */
-  private[sources] def extractTextOps(s: String): String = {
+  /** Text-op scan of one decoded content stream. `fonts` maps resource
+    * names (the `/F1` of `/F1 12 Tf`) to ToUnicode CMaps; shows under a
+    * mapped font are decoded through it, others fall back to raw bytes.
+    */
+  private[sources] def extractTextOps(
+      s: String, fonts: Map[String, CMap] = Map.empty): String = {
     val sb = new StringBuilder
     var lineHasText = false
+    var curFont: Option[CMap] = None
     def newline(): Unit =
       if (lineHasText) { sb.append('\n'); lineHasText = false }
-    def show(t: String): Unit = if (t.nonEmpty) { sb.append(t); lineHasText = true }
+    def mapped(t: String): String = curFont match {
+      case Some(cm) if cm.codeBytes == 2 =>
+        val out = new StringBuilder
+        var j = 0
+        while (j + 1 < t.length) {
+          val code = (t.charAt(j) << 8) | t.charAt(j + 1)
+          // unmapped CID: keep the raw code unit (spec-only fallback)
+          out.append(cm.map.getOrElse(code, code.toChar.toString))
+          j += 2
+        }
+        out.result()
+      case Some(cm) =>
+        t.flatMap(ch => cm.map.getOrElse(ch.toInt, ch.toString))
+      case None => t
+    }
+    def show(t: String): Unit = {
+      val m = mapped(t)
+      if (m.nonEmpty) { sb.append(m); lineHasText = true }
+    }
 
     var i = 0
     var inText = false
+    var pendingName = "" // last /Name operand (for Tf)
     var pendingStrings = List.empty[String] // strings seen since last op
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '(') {
+      if (c == '/') {
+        i += 1
+        val start = i
+        while (i < s.length && { val ch = s.charAt(i)
+          ch.isLetterOrDigit || ch == '_' || ch == '.' || ch == '-' }) i += 1
+        pendingName = s.substring(start, i)
+      } else if (c == '(') {
         val (str, next) = literalString(s, i)
         pendingStrings = str :: pendingStrings
         i = next
@@ -187,6 +396,9 @@ object PdfText {
             pendingStrings = Nil
           case "Td" | "TD" | "T*" if inText =>
             newline()
+            pendingStrings = Nil
+          case "Tf" => // select font: the /Name operand picks the CMap
+            curFont = fonts.get(pendingName)
             pendingStrings = Nil
           case _ =>
             pendingStrings = Nil // other operators consume their operands

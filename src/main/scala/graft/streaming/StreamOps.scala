@@ -116,12 +116,21 @@ object StreamOps {
   def sessionState(
       spark: SparkSession,
       events: Dataset[Event],
-      maxTypes: Int = 10): Dataset[SessionAgg] = {
+      maxTypes: Int = 10,
+      stateTtlMs: Long = 60L * 60 * 1000,
+      watermark: String = "10 minutes"): Dataset[SessionAgg] = {
     import spark.implicits._
     def update(
         userId: Long,
         rows: Iterator[Event],
         state: GroupState[SessionAgg]): Iterator[SessionAgg] = {
+      // event-time TTL (ST4 per SURVEY §2.9): a session idle past its TTL
+      // is evicted when the watermark passes last_ts + TTL — without this
+      // state grows unboundedly per user on a real stream
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
       val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var cur = state.getOption.getOrElse(
         SessionAgg(userId, 0L, 0.0, null, null, Seq.empty))
@@ -141,12 +150,23 @@ object StreamOps {
         }
       }
       if (cleared && cur.n_events == 0L) state.remove()
-      else state.update(cur)
+      else {
+        state.update(cur)
+        // timeout must sit strictly above the current watermark; the max
+        // keeps a just-inside-watermark event from throwing. Batch
+        // execution exposes no watermark (timeouts never fire there) —
+        // treat it as -infinity
+        val wmk = try state.getCurrentWatermarkMs()
+          catch { case _: UnsupportedOperationException => Long.MinValue / 2 }
+        val lastMs = sorted.lastOption.map(_.ts.getTime).getOrElse(wmk)
+        state.setTimeoutTimestamp(math.max(lastMs + stateTtlMs, wmk + 1))
+      }
       Iterator.single(cur)
     }
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 }

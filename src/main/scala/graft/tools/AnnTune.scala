@@ -47,7 +47,9 @@ object AnnTune {
       println(f"$name%-34s recall=$recall%.3f candFrac=$frac%.3f nCand=$nCand")
     }
 
-    for ((tables, bits, probes) <- Seq(
+    val mode = if (args.length > 1) args(1) else "all"
+
+    if (mode == "lsh" || mode == "all") for ((tables, bits, probes) <- Seq(
         (48, 12, 16), (48, 12, 20), (48, 12, 24), (64, 12, 16), (64, 12, 24),
         (64, 14, 32), (96, 14, 24), (48, 10, 12), (48, 10, 16),
         // recall-1.0 hunt for the ANN plan rewrite
@@ -58,11 +60,21 @@ object AnnTune {
       report(s"lsh t=$tables b=$bits p=$probes", cand, topk)
     }
 
-    for (kC <- Seq(32, 48); nProbe <- Seq(8, 9, 10, 12); iters <- Seq(2, 3, 5)) {
-      val cents = SimilaritySearch.kMeansCentroids(emb, kC, iters).cache()
-      val cand = SimilaritySearch.ivfCandidates(q, emb, cents, nProbe)
-      val topk = SimilaritySearch.ivfTopK(q, emb, cents, k, nProbe)
-      report(s"ivf kmeans k=$kC it=$iters nProbe=$nProbe", cand, topk)
+    if (mode == "ivf" || mode == "all") for {
+      kC <- Seq(32, 48, 64)
+      (seed, mk) <- Seq[(String, (Int, Int) => DataFrame)](
+        "hash" -> ((kk, it) => SimilaritySearch.kMeansCentroids(emb, kk, it)),
+        "ff" -> ((kk, it) => SimilaritySearch.kMeansCentroidsPP(emb, kk, it)))
+    } {
+      val iters = 5
+      val cents = mk(kC, iters).cache()
+      cents.count()
+      for (nProbe <- Seq(kC / 4, kC * 3 / 8, kC / 2)) {
+        val cand = SimilaritySearch.ivfCandidates(q, emb, cents, nProbe)
+        val topk = SimilaritySearch.ivfTopK(q, emb, cents, k, nProbe)
+        report(s"ivf $seed k=$kC it=$iters nProbe=$nProbe", cand, topk)
+      }
+      cents.unpersist()
     }
     spark.stop()
   }

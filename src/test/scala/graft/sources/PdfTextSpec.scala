@@ -146,6 +146,86 @@ class PdfTextSpec extends AnyFunSuite {
     }
   }
 
+  /** PDF with one page whose font carries a ToUnicode CMap (the
+    * subset-font shape: string bytes are glyph codes, not characters).
+    */
+  private def makeSubsetFontPdf(
+      contentOps: String, cmap: String, compressCmap: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    val content = contentOps.getBytes(ISO_8859_1)
+    w(s"4 0 obj << /Length ${content.length} >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    w("5 0 obj << /Type /Font /Subtype /TrueType " +
+      "/BaseFont /ABCDEF+Subset /ToUnicode 6 0 R >> endobj\n")
+    val cmapPayload =
+      if (compressCmap) deflate(cmap.getBytes(ISO_8859_1))
+      else cmap.getBytes(ISO_8859_1)
+    val filter = if (compressCmap) " /Filter /FlateDecode" else ""
+    w(s"6 0 obj << /Length ${cmapPayload.length}$filter >>\nstream\n")
+    out.write(cmapPayload)
+    w("\nendstream\nendobj\n")
+    out.toByteArray
+  }
+
+  test("subset font with 1-byte ToUnicode CMap (bfchar + array bfrange) decodes") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<01> <0048>
+        |<02> <0065>
+        |endbfchar
+        |1 beginbfrange
+        |<03> <04> [<006C> <006F>]
+        |endbfrange
+        |endcmap
+        |end
+        |end""".stripMargin
+    // glyph codes 01 02 03 03 04 — raw bytes would be garbage control
+    // chars; through the CMap they spell Hello
+    val pdf = makeSubsetFontPdf(
+      "BT /F1 12 Tf <0102030304> Tj ET", cmap, compressCmap = true)
+    assert(PdfText.extract(pdf) === "Hello")
+  }
+
+  test("CID font with 2-byte codes, incrementing bfrange and ligature dst") {
+    val cmap =
+      """begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0057>
+        |<0003> <00660066>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <006F>
+        |endbfrange
+        |endcmap""".stripMargin
+    // 2-byte codes 0001 0010 0003 -> W, o, ff (multi-unit ligature)
+    val pdf = makeSubsetFontPdf(
+      "BT /F1 10 Tf <000100100003> Tj ET", cmap, compressCmap = false)
+    assert(PdfText.extract(pdf) === "Woff")
+  }
+
+  test("font without ToUnicode keeps the raw-byte fallback") {
+    // same shape but the content uses plain ASCII via the unmapped /F1 of
+    // makePdf (no /ToUnicode anywhere): bytes pass through untouched
+    val pdf = makePdf(Seq(content("BT /F1 12 Tf (Raw bytes) Tj ET") -> false))
+    assert(PdfText.extract(pdf) === "Raw bytes")
+  }
+
   test("binaryFile ingestion extracts PDF text end-to-end") {
     val spark = graft.TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_pdf")

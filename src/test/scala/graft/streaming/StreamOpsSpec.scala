@@ -171,4 +171,33 @@ class StreamOpsSpec extends AnyFunSuite {
     // batch 3: clear resets to empty
     assert(rows.contains((0L, 0.0, Seq.empty[String])))
   }
+
+  test("ST4 TTL: idle session state expires after the watermark passes its timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val out = StreamOps.sessionState(spark, mem.toDS(), maxTypes = 3,
+      stateTtlMs = 60000L, watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("st4_ttl_out")
+      .outputMode("append").start()
+    mem.addData(ev(1, "2024-01-01 00:00:00", 1, "click", 1.0))
+    q.processAllAvailable()
+    // another user's far-future events advance the watermark well past
+    // user 1's last_ts + TTL; the second batch (no user-1 data) lets the
+    // EventTimeTimeout fire and evict user 1's state
+    mem.addData(ev(2, "2024-01-01 12:00:00", 2, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(ev(3, "2024-01-01 12:01:00", 2, "view", 1.0))
+    q.processAllAvailable()
+    // user 1 returns: state must have been reset — n_events restarts at 1
+    mem.addData(ev(4, "2024-01-01 12:02:00", 1, "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("st4_ttl_out")
+      .filter(col("user_id") === 1L)
+      .select("n_events", "sum_value")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows.contains((1L, 1.0))) // before expiry
+    assert(rows.contains((1L, 5.0))) // fresh state after expiry
+    assert(!rows.contains((2L, 6.0))) // state did NOT survive the TTL
+  }
 }
