@@ -240,6 +240,61 @@ object PipelineQueries {
           (col("ivf_hits") >= col("n_exact") * 0.84).as("ivf_persisted_ok"))
     }),
 
+    // S4 incremental upsert, LSH: build the index on 90% of the vectors
+    // (vec_id % 10 != 7), upsert the remaining 10% WITHOUT a rebuild
+    // (AnnIndex.upsertLsh appends signatures + vectors; the meta
+    // checksum xor-composes), then query at the recall-1.0 operating
+    // point (q59's 64×12×48). Hash-matching the exact-kNN oracle over
+    // the FULL vector set proves upsert ≡ rebuild: a vector arriving by
+    // append is exactly as findable as one present at build time —
+    // the reference's index-once/upsert-many lifecycle
+    // (`AI.py:53-55` upsert vs `AI.py:138` query).
+    "q71_lsh_upsert" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val baseRows = emb.filter(col("vec_id") % 10 =!= 7)
+        .select("vec_id", "embedding")
+      val tailRows = emb.filter(col("vec_id") % 10 === 7)
+        .select("vec_id", "embedding")
+      val h = graft.sources.AnnIndex.ensureLshUpserted(s, dir + "!upsert",
+        baseRows, tailRows, tables = 64, bits = 12)
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.sources.AnnIndex.queryLsh(q, h, k = 4, probes = 48)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // S4 incremental upsert, IVF: centroids train on the 90% base only
+    // (a serving index retrains at rebuild, not on ingest); the 10%
+    // tail is assigned to the STORED centroids and appended into the
+    // partitioned lists. Invariant: the stored lists equal a fresh
+    // assignment of the FULL set against the same centroids — complete
+    // (nothing missing: n_missed = 0) and sound (nothing extra or
+    // misassigned: n_extra = 0). Assignment ties break deterministically
+    // (max_by on (csim, -centroid_id)), so the comparison is exact.
+    "q72_ivf_upsert" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val baseRows = emb.filter(col("vec_id") % 10 =!= 7)
+        .select("vec_id", "embedding")
+      val tailRows = emb.filter(col("vec_id") % 10 === 7)
+        .select("vec_id", "embedding")
+      val h = graft.sources.AnnIndex.ensureIvfUpserted(s, dir + "!upsert",
+        baseRows, tailRows, lists = 64, iters = 5)
+      val expected = SimilaritySearch
+        .assignWithVecs(emb.select("vec_id", "embedding"), h.centroids)
+        .select("centroid_id", "vec_id")
+      val stored = h.lists.select("centroid_id", "vec_id")
+      emb.agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(stored.agg(count(lit(1)).as("n_indexed")))
+        .crossJoin(expected.join(stored, Seq("centroid_id", "vec_id"),
+          "left_anti").agg(count(lit(1)).as("n_missed")))
+        .crossJoin(stored.join(expected, Seq("centroid_id", "vec_id"),
+          "left_anti").agg(count(lit(1)).as("n_extra")))
+        .select(col("n_vecs"), col("n_indexed"),
+          (col("n_missed") === 0).as("upsert_assign_complete"),
+          (col("n_extra") === 0).as("upsert_assign_sound"))
+    }),
+
     // A8 per-label centroid, element-wise (SQL oracle via list indexing)
     "q38_centroids" -> ((s, dir) => {
       SimilaritySearch.labelCentroids(t(s, dir, "embeddings"))
@@ -881,6 +936,14 @@ object PipelineQueries {
         |CAST(4 * count(*) AS BIGINT) AS n_exact,
         |true AS lsh_persisted_ok, true AS ivf_persisted_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // upsert ≡ rebuild at the recall-1.0 point: the post-upsert index
+    // answers identically to an exact scan of the full vector set
+    "q71_lsh_upsert" -> knnExactOracle,
+    "q72_ivf_upsert" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |CAST(count(*) AS BIGINT) AS n_indexed,
+        |true AS upsert_assign_complete, true AS upsert_assign_sound
+        |FROM embeddings""".stripMargin,
     // q59's plan goes through the LSH ANN rewrite; hash-matching the SAME
     // exact-kNN oracle proves the rewrite is output-identical (recall 1.0)
     "q59_lsh_strategy" -> knnExactOracle,

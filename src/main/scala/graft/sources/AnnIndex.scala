@@ -113,6 +113,68 @@ object AnnIndex {
 
   private def lshBase(tag: String) = s"/tmp/graft_ann_lsh_$tag"
 
+  /** Per-vector bucket rows, one per hash table: `tb = table * 2^bits +
+    * bucket` packs the table id and bucket into one join key.
+    */
+  private def lshBucketRows(index: DataFrame, tables: Int,
+      bits: Int): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.lsh_buckets
+    index.select(col("vec_id"),
+      posexplode(lsh_buckets(col("embedding"), tables, bits))
+        .as(Seq("tbl", "bucket")))
+      .select(
+        (col("tbl").cast("long") * (1L << bits) + col("bucket")).as("tb"),
+        col("vec_id"))
+  }
+
+  private def lshMetaMatches(meta: Map[String, Long], tables: Int, bits: Int,
+      storageBuckets: Int, n: Long, fp: Long): Boolean =
+    meta.get("tables").contains(tables.toLong) &&
+      meta.get("bits").contains(bits.toLong) &&
+      meta.get("buckets").contains(storageBuckets.toLong) &&
+      meta.get("n_rows").contains(n) &&
+      meta.get("checksum").contains(fp)
+
+  private def lshRegistered(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(s"graft_lsh_buckets_$tag") &&
+      spark.catalog.tableExists(s"graft_lsh_vecs_$tag")
+
+  /** Attach the on-disk layout written by an earlier process: DDL only. */
+  private def attachLsh(spark: SparkSession, tag: String,
+      storageBuckets: Int): Unit = {
+    val base = lshBase(tag)
+    spark.sql(s"DROP TABLE IF EXISTS graft_lsh_buckets_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_lsh_vecs_$tag")
+    registerExternal(spark, s"graft_lsh_buckets_$tag", s"$base/buckets",
+      clusteredBy = Some(("tb", storageBuckets)))
+    registerExternal(spark, s"graft_lsh_vecs_$tag", s"$base/vecs",
+      clusteredBy = Some(("vec_id", storageBuckets)))
+  }
+
+  /** Full (re)build: overwrite both tables, then commit the meta. */
+  private def buildLsh(spark: SparkSession, tag: String, index: DataFrame,
+      tables: Int, bits: Int, storageBuckets: Int, n: Long,
+      fp: Long): Unit = {
+    val base = lshBase(tag)
+    spark.sql(s"DROP TABLE IF EXISTS graft_lsh_buckets_$tag")
+    lshBucketRows(index, tables, bits).write.mode(SaveMode.Overwrite)
+      .option("path", s"$base/buckets")
+      .bucketBy(storageBuckets, "tb").sortBy("tb")
+      .format("parquet").saveAsTable(s"graft_lsh_buckets_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_lsh_vecs_$tag")
+    index.select("vec_id", "embedding").write.mode(SaveMode.Overwrite)
+      .option("path", s"$base/vecs")
+      .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(s"graft_lsh_vecs_$tag")
+    writeMeta(base, "tables" -> tables.toLong, "bits" -> bits.toLong,
+      "buckets" -> storageBuckets.toLong, "n_rows" -> n, "checksum" -> fp)
+  }
+
+  private def lshHandle(spark: SparkSession, tag: String, tables: Int,
+      bits: Int): LshHandle =
+    LshHandle(spark.table(s"graft_lsh_buckets_$tag"),
+      spark.table(s"graft_lsh_vecs_$tag"), tables, bits)
+
   /** Build (or reuse) the persisted LSH index over `index(vec_id,
     * embedding)`. One pass computes all `tables` signatures per vector;
     * both tables land bucketed + sorted through the catalog.
@@ -124,50 +186,85 @@ object AnnIndex {
       tables: Int = 64,
       bits: Int = 12,
       storageBuckets: Int = 8): LshHandle = {
-    import graft.functions.expressions.VectorExpressions.lsh_buckets
+    val tag = IndexStore.pathTag(sourceDir)
+    val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
+    val metaFresh = lshMetaMatches(readMeta(lshBase(tag)), tables, bits,
+      storageBuckets, n, fp)
+    if (metaFresh && !lshRegistered(spark, tag))
+      attachLsh(spark, tag, storageBuckets)
+    else if (!metaFresh)
+      buildLsh(spark, tag, index, tables, bits, storageBuckets, n, fp)
+    lshHandle(spark, tag, tables, bits)
+  }
+
+  /** Incremental add into an EXISTING persisted LSH index — the
+    * reference's index-once/upsert-many lifecycle (Pinecone
+    * `index.upsert`, `/root/reference/AI.py:53-55`) without a rebuild:
+    * signatures are computed for the NEW vectors only and appended to
+    * the bucketed layout, a per-batch O(new) cost where a rebuild is
+    * O(index). The meta checksum is an xor of per-row hashes, so it
+    * composes incrementally (`old ⊕ fingerprint(new)`) and later
+    * `ensure*` freshness checks remain exact without rescanning old
+    * rows. Append-only contract: `newVecs` ids must be previously
+    * unseen — replacing an existing id needs a delete + compaction
+    * pass, which the immutable fixtures never exercise.
+    */
+  def upsertLsh(
+      spark: SparkSession,
+      sourceDir: String,
+      newVecs: DataFrame,
+      tables: Int = 64,
+      bits: Int = 12,
+      storageBuckets: Int = 8): LshHandle = {
     val tag = IndexStore.pathTag(sourceDir)
     val base = lshBase(tag)
-    val bucketsTable = s"graft_lsh_buckets_$tag"
-    val vecsTable = s"graft_lsh_vecs_$tag"
-    val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
     val meta = readMeta(base)
-    val metaFresh = meta.get("tables").contains(tables.toLong) &&
+    require(meta.get("tables").contains(tables.toLong) &&
       meta.get("bits").contains(bits.toLong) &&
-      meta.get("buckets").contains(storageBuckets.toLong) &&
-      meta.get("n_rows").contains(n) &&
-      meta.get("checksum").contains(fp)
-    val registered = spark.catalog.tableExists(bucketsTable) &&
-      spark.catalog.tableExists(vecsTable)
-    if (metaFresh && !registered) {
-      // layout written by an earlier process: attach, don't rebuild
-      spark.sql(s"DROP TABLE IF EXISTS $bucketsTable")
-      spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
-      registerExternal(spark, bucketsTable, s"$base/buckets",
-        clusteredBy = Some(("tb", storageBuckets)))
-      registerExternal(spark, vecsTable, s"$base/vecs",
-        clusteredBy = Some(("vec_id", storageBuckets)))
-    } else if (!metaFresh) {
-      val bucketRows = index.select(col("vec_id"),
-        posexplode(lsh_buckets(col("embedding"), tables, bits))
-          .as(Seq("tbl", "bucket")))
-        .select(
-          (col("tbl").cast("long") * (1L << bits) + col("bucket")).as("tb"),
-          col("vec_id"))
-      spark.sql(s"DROP TABLE IF EXISTS $bucketsTable")
-      bucketRows.write.mode(SaveMode.Overwrite)
-        .option("path", s"$base/buckets")
-        .bucketBy(storageBuckets, "tb").sortBy("tb")
-        .format("parquet").saveAsTable(bucketsTable)
-      spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
-      index.select("vec_id", "embedding").write.mode(SaveMode.Overwrite)
-        .option("path", s"$base/vecs")
-        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
-        .format("parquet").saveAsTable(vecsTable)
-      writeMeta(base, "tables" -> tables.toLong, "bits" -> bits.toLong,
-        "buckets" -> storageBuckets.toLong, "n_rows" -> n,
-        "checksum" -> fp)
+      meta.get("buckets").contains(storageBuckets.toLong),
+      s"upsertLsh needs an existing index at the same operating point " +
+        s"(tables=$tables bits=$bits buckets=$storageBuckets); found $meta")
+    if (!lshRegistered(spark, tag)) attachLsh(spark, tag, storageBuckets)
+    val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
+    lshBucketRows(newVecs, tables, bits).write.mode(SaveMode.Append)
+      .bucketBy(storageBuckets, "tb").sortBy("tb")
+      .format("parquet").saveAsTable(s"graft_lsh_buckets_$tag")
+    newVecs.select("vec_id", "embedding").write.mode(SaveMode.Append)
+      .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(s"graft_lsh_vecs_$tag")
+    writeMeta(base, "tables" -> tables.toLong, "bits" -> bits.toLong,
+      "buckets" -> storageBuckets.toLong,
+      "n_rows" -> (meta("n_rows") + nNew),
+      "checksum" -> (meta("checksum") ^ fpNew))
+    lshHandle(spark, tag, tables, bits)
+  }
+
+  /** Build-or-reuse for a base + upserted-tail index: when the stored
+    * meta already equals base ⊕ tail the layout is reused (or attached)
+    * without touching data; otherwise the base is built and the tail
+    * upserted — so repeated runs over immutable fixtures pay DDL, not
+    * rebuild + re-append (which would also double the tail).
+    */
+  def ensureLshUpserted(
+      spark: SparkSession,
+      sourceDir: String,
+      baseRows: DataFrame,
+      tailRows: DataFrame,
+      tables: Int = 64,
+      bits: Int = 12,
+      storageBuckets: Int = 8): LshHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val (nb, fb) = fingerprint(baseRows.select("vec_id", "embedding"))
+    val (nt, ft) = fingerprint(tailRows.select("vec_id", "embedding"))
+    val combinedFresh = lshMetaMatches(readMeta(lshBase(tag)), tables, bits,
+      storageBuckets, nb + nt, fb ^ ft)
+    if (combinedFresh) {
+      if (!lshRegistered(spark, tag)) attachLsh(spark, tag, storageBuckets)
+    } else {
+      buildLsh(spark, tag, baseRows, tables, bits, storageBuckets, nb, fb)
+      upsertLsh(spark, sourceDir, tailRows, tables, bits, storageBuckets)
     }
-    LshHandle(spark.table(bucketsTable), spark.table(vecsTable), tables, bits)
+    lshHandle(spark, tag, tables, bits)
   }
 
   /** Query the persisted LSH index: probe buckets come from the (small)
@@ -253,6 +350,96 @@ object AnnIndex {
         .format("parquet").saveAsTable(listsTable)
       writeMeta(base, "lists" -> lists.toLong, "iters" -> iters.toLong,
         "n_rows" -> n, "checksum" -> fp)
+    }
+    IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))
+  }
+
+  /** Incremental add into an EXISTING persisted IVF index: new vectors
+    * are assigned to the STORED centroids (no k-means — the index
+    * lifecycle retrains on rebuild, not on upsert, exactly like a
+    * Pinecone-style serving index) and appended into the partitioned
+    * inverted lists; the meta checksum xor-composes like
+    * [[upsertLsh]]'s. Same append-only id contract. Centroid drift is
+    * the caller's tradeoff: upserting far more rows than the index was
+    * built on degrades list balance until the next rebuild.
+    */
+  def upsertIvf(
+      spark: SparkSession,
+      sourceDir: String,
+      newVecs: DataFrame,
+      lists: Int = 32,
+      iters: Int = 5): IvfHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfBase(tag)
+    val listsTable = s"graft_ivf_lists_$tag"
+    val centsPath = s"$base/centroids"
+    val meta = readMeta(base)
+    require(meta.get("lists").contains(lists.toLong) &&
+      meta.get("iters").contains(iters.toLong) &&
+      Files.exists(Paths.get(centsPath)),
+      s"upsertIvf needs an existing index at the same operating point " +
+        s"(lists=$lists iters=$iters); found $meta")
+    if (!spark.catalog.tableExists(listsTable)) {
+      spark.sql(s"DROP TABLE IF EXISTS $listsTable")
+      registerExternal(spark, listsTable, s"$base/lists",
+        partitionedBy = Some("centroid_id"))
+    }
+    val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
+    val assigned = SimilaritySearch
+      .assignWithVecs(newVecs, spark.read.parquet(centsPath))
+    assigned.write.mode(SaveMode.Append)
+      .partitionBy("centroid_id")
+      .format("parquet").saveAsTable(listsTable)
+    writeMeta(base, "lists" -> lists.toLong, "iters" -> iters.toLong,
+      "n_rows" -> (meta("n_rows") + nNew),
+      "checksum" -> (meta("checksum") ^ fpNew))
+    IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))
+  }
+
+  /** Build-or-reuse for a base + upserted-tail IVF index: reused (or
+    * attached) when the stored meta equals base ⊕ tail; otherwise
+    * k-means trains on the BASE only, then the tail is upserted against
+    * the stored centroids — the shape a serving index lifecycle takes
+    * (train at build time, assign-only on ingest).
+    */
+  def ensureIvfUpserted(
+      spark: SparkSession,
+      sourceDir: String,
+      baseRows: DataFrame,
+      tailRows: DataFrame,
+      lists: Int = 32,
+      iters: Int = 5): IvfHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfBase(tag)
+    val listsTable = s"graft_ivf_lists_$tag"
+    val centsPath = s"$base/centroids"
+    val (nb, fb) = fingerprint(baseRows.select("vec_id", "embedding"))
+    val (nt, ft) = fingerprint(tailRows.select("vec_id", "embedding"))
+    val meta = readMeta(base)
+    val combinedFresh = meta.get("lists").contains(lists.toLong) &&
+      meta.get("iters").contains(iters.toLong) &&
+      meta.get("n_rows").contains(nb + nt) &&
+      meta.get("checksum").contains(fb ^ ft) &&
+      Files.exists(Paths.get(centsPath))
+    if (combinedFresh) {
+      if (!spark.catalog.tableExists(listsTable)) {
+        spark.sql(s"DROP TABLE IF EXISTS $listsTable")
+        registerExternal(spark, listsTable, s"$base/lists",
+          partitionedBy = Some("centroid_id"))
+      }
+    } else {
+      val cents = SimilaritySearch.kMeansCentroids(baseRows, lists, iters)
+      cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
+      val assigned = SimilaritySearch
+        .assignWithVecs(baseRows, spark.read.parquet(centsPath))
+      spark.sql(s"DROP TABLE IF EXISTS $listsTable")
+      assigned.write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/lists")
+        .partitionBy("centroid_id")
+        .format("parquet").saveAsTable(listsTable)
+      writeMeta(base, "lists" -> lists.toLong, "iters" -> iters.toLong,
+        "n_rows" -> nb, "checksum" -> fb)
+      upsertIvf(spark, sourceDir, tailRows, lists, iters)
     }
     IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))
   }

@@ -49,6 +49,53 @@ object AnnTune {
 
     val mode = if (args.length > 1) args(1) else "all"
 
+    // "scale": measure the LSH occupancy claim (LshAnnPlan: candidates
+    // per probe scale as n/2^bits) on synthetically grown indexes —
+    // each replica r>0 of a vector is jittered with deterministic
+    // hash-derived uniform noise at 2x the vector's per-component RMS
+    // (cos(original, replica) ~ 0.65: filler that clusters around the
+    // real corpus the way real data does, NOT exact duplicates that
+    // would pile into the same buckets). Replica 0 is untouched, so the
+    // query set and its true neighborhood structure survive. Reports
+    // candidate fraction + recall for the shipped q36 (64x12x16) and
+    // q59 (64x12x48) operating points at each size, plus the
+    // bits-raised points that restore per-bucket occupancy at scale.
+    if (mode == "scale") {
+      for (factor <- Seq(1, 10, 100)) {
+        val big = (if (factor == 1) emb else {
+          val sigma = 2.0
+          emb.crossJoin(spark.range(factor).toDF("rep"))
+            .select(
+              (col("vec_id") + col("rep") * nIndex).as("vec_id"),
+              when(col("rep") === 0, col("embedding")).otherwise(
+                transform(col("embedding"), (x, i) =>
+                  (x + lit(sigma)
+                    * sqrt(aggregate(col("embedding"), lit(0.0d),
+                        (a, e) => a + e * e) / size(col("embedding")))
+                    * (hash(col("vec_id"), col("rep"), i).cast("double")
+                      / Int.MaxValue)).cast("float")))
+                .as("embedding"))
+        }).cache()
+        val n = big.count()
+        val exactBig = pairs(SimilaritySearch.bruteForceTopKAgg(q, big, k))
+        println(s"scale factor=$factor n=$n exact_hits=${exactBig.size}")
+        for ((tables, bits, probes) <- Seq(
+            (64, 12, 16), (64, 12, 48), (64, 14, 16), (64, 16, 16))) {
+          val t0 = System.nanoTime()
+          val nCand = SimilaritySearch
+            .lshCandidates(q, big, tables, bits, probes).count()
+          val got = pairs(
+            SimilaritySearch.lshTopK(q, big, k, tables, bits, probes))
+          val recall = (exactBig & got).size.toDouble / exactBig.size
+          val frac = nCand.toDouble / (nQueries * n)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"scale f=$factor%-3d t=$tables b=$bits p=$probes%-2d " +
+            f"recall=$recall%.3f candFrac=$frac%.4f nCand=$nCand sec=$sec%.1f")
+        }
+        big.unpersist()
+      }
+    }
+
     if (mode == "lsh" || mode == "all") for ((tables, bits, probes) <- Seq(
         (48, 12, 16), (48, 12, 20), (48, 12, 24), (64, 12, 16), (64, 12, 24),
         (64, 14, 32), (96, 14, 24), (48, 10, 12), (48, 10, 16),

@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.{Tables, TestSpark}
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S4/S5 persisted ANN index lifecycle: build / attach / incremental
+  * upsert. Every assertion is a deterministic EQUALITY against the
+  * in-memory path at the same operating point (same signatures, same
+  * tie-breaks) — no recall thresholds to get lucky on.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def emb: DataFrame =
+    Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+
+  private def queries: DataFrame =
+    Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  private def hits(df: DataFrame): Set[(Long, Int, Long)] =
+    df.select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  // unique layout locations per suite run so reruns never see stale meta
+  private val runTag = java.util.UUID.randomUUID.toString.take(8)
+
+  test("persisted queryLsh is row-identical to the in-memory lshTopK") {
+    val h = AnnIndex.ensureLsh(spark, s"spec-$runTag-a", emb,
+      tables = 16, bits = 6)
+    val persisted = hits(AnnIndex.queryLsh(queries, h, k = 4, probes = 8))
+    val inMemory = hits(SimilaritySearch.lshTopK(queries, emb, k = 4,
+      tables = 16, bits = 6, probes = 8))
+    assert(persisted === inMemory)
+    assert(persisted.nonEmpty)
+  }
+
+  test("dropping the catalog registration re-attaches without a rebuild") {
+    val src = s"spec-$runTag-b"
+    AnnIndex.ensureLsh(spark, src, emb, tables = 16, bits = 6)
+    val tag = IndexStore.pathTag(src)
+    val layout = java.nio.file.Paths.get(s"/tmp/graft_ann_lsh_$tag/buckets")
+    val mtimesBefore = java.nio.file.Files.list(layout).toArray.map(p =>
+      java.nio.file.Files.getLastModifiedTime(
+        p.asInstanceOf[java.nio.file.Path]).toMillis).sorted.toSeq
+    // simulate a fresh JVM: the files survive, the catalog entry does not
+    spark.sql(s"DROP TABLE IF EXISTS graft_lsh_buckets_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_lsh_vecs_$tag")
+    val h = AnnIndex.ensureLsh(spark, src, emb, tables = 16, bits = 6)
+    val mtimesAfter = java.nio.file.Files.list(layout).toArray.map(p =>
+      java.nio.file.Files.getLastModifiedTime(
+        p.asInstanceOf[java.nio.file.Path]).toMillis).sorted.toSeq
+    assert(mtimesAfter === mtimesBefore, "attach must not rewrite the layout")
+    assert(hits(AnnIndex.queryLsh(queries, h, k = 4, probes = 8)).nonEmpty)
+  }
+
+  test("a content change at the same row count triggers a rebuild") {
+    val src = s"spec-$runTag-c"
+    val h1 = AnnIndex.ensureLsh(spark, src, emb, tables = 16, bits = 6)
+    val n1 = h1.vecs.count()
+    // same cardinality, different content: shift every id by 100000
+    val shifted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val h2 = AnnIndex.ensureLsh(spark, src, shifted, tables = 16, bits = 6)
+    assert(h2.vecs.count() === n1)
+    assert(h2.vecs.agg(min("vec_id")).head().getLong(0) === 100000L,
+      "row-count-preserving change must invalidate the stale layout")
+  }
+
+  test("upserted LSH index answers identically to one built on the full set") {
+    val baseRows = emb.filter(col("vec_id") % 10 =!= 7)
+    val tailRows = emb.filter(col("vec_id") % 10 === 7)
+    val upserted = AnnIndex.ensureLshUpserted(spark, s"spec-$runTag-d",
+      baseRows, tailRows, tables = 16, bits = 6)
+    val rebuilt = AnnIndex.ensureLsh(spark, s"spec-$runTag-e", emb,
+      tables = 16, bits = 6)
+    val a = hits(AnnIndex.queryLsh(queries, upserted, k = 4, probes = 8))
+    val b = hits(AnnIndex.queryLsh(queries, rebuilt, k = 4, probes = 8))
+    assert(a === b)
+    // the tail is genuinely in the upserted index
+    assert(upserted.vecs.filter(col("vec_id") % 10 === 7).count() ===
+      tailRows.count())
+    // second ensure over the same split reuses the combined layout
+    // (meta fresh) instead of re-appending the tail
+    val again = AnnIndex.ensureLshUpserted(spark, s"spec-$runTag-d",
+      baseRows, tailRows, tables = 16, bits = 6)
+    assert(again.vecs.count() === emb.count())
+  }
+
+  test("upsertLsh refuses a mismatched operating point") {
+    val src = s"spec-$runTag-f"
+    AnnIndex.ensureLsh(spark, src, emb, tables = 16, bits = 6)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.upsertLsh(spark, src, emb, tables = 32, bits = 6)
+    }
+    assert(e.getMessage.contains("operating point"))
+  }
+
+  test("upserted IVF lists equal a full assignment against the stored centroids") {
+    val baseRows = emb.filter(col("vec_id") % 10 =!= 7)
+    val tailRows = emb.filter(col("vec_id") % 10 === 7)
+    val h = AnnIndex.ensureIvfUpserted(spark, s"spec-$runTag-g",
+      baseRows, tailRows, lists = 8, iters = 3)
+    val expected = SimilaritySearch.assignWithVecs(emb, h.centroids)
+      .select("centroid_id", "vec_id")
+    val stored = h.lists.select("centroid_id", "vec_id")
+    assert(expected.exceptAll(stored).count() === 0, "missing assignments")
+    assert(stored.exceptAll(expected).count() === 0, "extra assignments")
+    assert(stored.count() === emb.count())
+  }
+}
