@@ -239,6 +239,31 @@ object AnnIndex {
     lshHandle(spark, tag, tables, bits)
   }
 
+  /** Open an existing persisted LSH index read-only, WITHOUT a
+    * freshness probe — the reader's path while a writer (e.g. a
+    * [[graft.streaming.StreamOps.streamingIndexUpsert]] stream)
+    * appends concurrently: no fingerprint scan, no rebuild decision,
+    * just a catalog attach if this process hasn't one yet. The
+    * operating point comes from the stored meta.
+    */
+  def openLsh(spark: SparkSession, sourceDir: String): LshHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val meta = readMeta(lshBase(tag))
+    require(meta.contains("tables") && meta.contains("bits") &&
+      meta.contains("buckets"),
+      s"no persisted LSH index for '$sourceDir' (${lshBase(tag)})")
+    if (!lshRegistered(spark, tag))
+      attachLsh(spark, tag, meta("buckets").toInt)
+    else {
+      // a writer in ANOTHER session (a streaming foreachBatch clone, a
+      // concurrent process) invalidates only its own relation cache on
+      // append — refresh so this reader's file listing is current
+      spark.catalog.refreshTable(s"graft_lsh_buckets_$tag")
+      spark.catalog.refreshTable(s"graft_lsh_vecs_$tag")
+    }
+    lshHandle(spark, tag, meta("tables").toInt, meta("bits").toInt)
+  }
+
   /** Build-or-reuse for a base + upserted-tail index: when the stored
     * meta already equals base ⊕ tail the layout is reused (or attached)
     * without touching data; otherwise the base is built and the tail

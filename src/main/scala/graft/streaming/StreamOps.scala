@@ -107,6 +107,37 @@ object StreamOps {
         sink(graft.rag.RagPipeline.retrieve(batch.toDF(), index, k), id)
       }
 
+  /** S4-as-a-stream: continuous index maintenance. New vectors arriving
+    * on `vecs(vec_id, embedding)` are appended into the persisted LSH
+    * index once per micro-batch via
+    * [[graft.sources.AnnIndex.upsertLsh]] — each trigger costs O(batch)
+    * signature work plus a bucketed append, never an index rebuild, and
+    * the index stays queryable between triggers (readers attach via
+    * [[graft.sources.AnnIndex.openLsh]]). `foreachBatch` is the right
+    * scope: the upsert is a whole-batch sink action, not a row
+    * transform. Delivery is Structured Streaming's at-least-once for
+    * foreachBatch — a batch replayed after a crash would re-append its
+    * rows under the append-only id contract; a production sink would
+    * record the last applied batchId in the index meta and skip
+    * duplicates (the standard idempotent-foreachBatch recipe).
+    */
+  def streamingIndexUpsert(
+      vecs: DataFrame,
+      sourceDir: String,
+      tables: Int = 64,
+      bits: Int = 12,
+      storageBuckets: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AnnIndex.upsertLsh(batch.sparkSession, sourceDir,
+            batch.toDF(), tables, bits, storageBuckets)
+          ()
+        }
+      }
+
   /** ST4/ST5: custom per-session state via flatMapGroupsWithState —
     * accumulates a bounded recent-event-type list (the chat-history
     * analogue); an event_type == "clear" resets state, mirroring

@@ -101,6 +101,35 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("operating point"))
   }
 
+  test("streaming upsert: micro-batched appends converge to the full index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = s"spec-$runTag-h"
+    val baseRows = emb.filter(col("vec_id") % 10 =!= 7)
+    AnnIndex.ensureLsh(spark, src, baseRows, tables = 16, bits = 6)
+    val tail = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") % 10 === 7)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (tail1, tail2) = tail.splitAt(tail.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamOps.streamingIndexUpsert(
+      mem.toDF().toDF("vec_id", "embedding"), src, tables = 16, bits = 6)
+      .start()
+    mem.addData(tail1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(tail2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val h = AnnIndex.openLsh(spark, src)
+    assert(h.vecs.count() === emb.count())
+    val streamed = hits(AnnIndex.queryLsh(queries, h, k = 4, probes = 8))
+    val inMemory = hits(SimilaritySearch.lshTopK(queries, emb, k = 4,
+      tables = 16, bits = 6, probes = 8))
+    assert(streamed === inMemory)
+  }
+
   test("upserted IVF lists equal a full assignment against the stored centroids") {
     val baseRows = emb.filter(col("vec_id") % 10 =!= 7)
     val tailRows = emb.filter(col("vec_id") % 10 === 7)
