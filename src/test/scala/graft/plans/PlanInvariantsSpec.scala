@@ -48,6 +48,25 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"an exchange ships vectors:\n${exchanges.mkString("\n")}")
   }
 
+  test("q67 persisted LSH: probe set joins by broadcast, never an IN-literal " +
+      "filter; no exchange ships vectors") {
+    val p = physical("q67_lsh_persisted")
+    assert(!p.contains("CartesianProduct"), p)
+    // the probe set (queries × tables × probes bucket ids) must reach the
+    // bucket table as a broadcast hash join — materializing it into an
+    // In/InSet predicate cost seconds of optimizer/AQE time per stage at
+    // the shipped operating points (measured: 11 s → 0.5 s on q67)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("dynamicpruning"), p)
+    val scanFilters = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(!scanFilters.exists(_.contains("In(tb")),
+      s"probe ids leaked into a scan filter:\n${scanFilters.mkString("\n")}")
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("embedding")),
+      s"an exchange ships vectors:\n${exchanges.mkString("\n")}")
+  }
+
   test("q30 exact dedup: the shuffle groups on the 8-byte hash, not the text") {
     val p = physical("q30_dedup_exact")
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
