@@ -44,8 +44,18 @@ object LshAnnPlan {
 
   /** LSH operating point for the rewrite. Defaults are the measured
     * recall-1.0 point at fixture scale (AnnTune on sf0.001/sf0.01).
+    *
+    * `persistedSource`: when set to a source directory with a persisted
+    * LSH index ([[graft.sources.AnnIndex.ensureLsh]]) at the SAME
+    * (tables, bits) point, matching queries whose index side is a clean
+    * (unfiltered) scan of that source are re-planned onto the STORED
+    * bucket table — no index-side signature recomputation at all, the
+    * full index-once/query-many lifecycle behind a naive query. Falls
+    * back to the in-memory LSH path whenever the guard fails (filtered
+    * index side, missing/mismatched index) — never to a wrong plan.
     */
-  case class Config(tables: Int = 64, bits: Int = 12, probes: Int = 48)
+  case class Config(tables: Int = 64, bits: Int = 12, probes: Int = 48,
+      persistedSource: Option[String] = None)
 
   /** Turns the rewrite on for the session (idempotent — one rule
     * instance per session; re-enabling swaps the operating point).
@@ -142,8 +152,12 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
       val qryDf = GraftExprBridge.ofRows(spark, qryChild).select(
         GraftExprBridge.column(qid).as("query_id"),
         GraftExprBridge.column(qvecA).as("query_vec"))
-      val ann = SimilaritySearch.lshTopK(
-        qryDf, idxDf, k, cfg.tables, cfg.bits, cfg.probes)
+      val ann = persistedHandle(idxChild) match {
+        case Some(h) =>
+          graft.sources.AnnIndex.queryLsh(qryDf, h, k, cfg.probes)
+        case None => SimilaritySearch.lshTopK(
+          qryDf, idxDf, k, cfg.tables, cfg.bits, cfg.probes)
+      }
       // splice pre-optimized (the main batches won't re-visit it), with a
       // projection restoring the original output attribute ids
       val sub = GraftExprBridge.optimizedPlan(ann)
@@ -155,6 +169,48 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
         f.output.map(a => Alias(rename(a.exprId), a.name)(exprId = a.exprId)),
         sub)
     }
+  }
+
+  /** The persisted index to route through, iff the config names one AND
+    * the index side of the matched join is a clean scan of exactly that
+    * source AND the stored index carries the config's (tables, bits)
+    * point. Each guard is a semantics guard, not an optimization
+    * heuristic: a FILTERED index side must not be served from the full
+    * persisted index (rows the filter excludes would come back), a
+    * different source is a different vector set, and a different
+    * operating point voids the measured recall. Any failure ⇒ None ⇒
+    * the in-memory LSH path, which is always applicable.
+    */
+  private def persistedHandle(
+      idxChild: LogicalPlan): Option[graft.sources.AnnIndex.LshHandle] =
+    for {
+      src <- cfg.persistedSource
+      if cleanScanOf(idxChild, src)
+      h <- try Some(graft.sources.AnnIndex.openLsh(spark, src))
+        catch { case _: IllegalArgumentException => None }
+      if h.tables == cfg.tables && h.bits == cfg.bits
+    } yield h
+
+  /** True when `plan` is only column pruning over ONE file relation
+    * rooted under `src` — no Filter, no joins, no other sources.
+    */
+  private def cleanScanOf(plan: LogicalPlan, src: String): Boolean = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    var clean = true
+    var relations = 0
+    plan.foreach {
+      case _: Project | _: SubqueryAlias => ()
+      case lr: LogicalRelation =>
+        relations += 1
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            if (!fs.location.rootPaths.forall(p =>
+              p.toString.stripPrefix("file:").startsWith(src))) clean = false
+          case _ => clean = false
+        }
+      case _ => clean = false
+    }
+    clean && relations == 1
   }
 
   /** cond must be `rank <= k` (or `rank < k+1` / `rank = 1`), modulo

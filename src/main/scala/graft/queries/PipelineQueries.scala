@@ -483,6 +483,35 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // O3 rewrite + persisted index combined: the SAME naive crossJoin
+    // kNN as q59, but the enabled rule carries persistedSource — the
+    // optimizer re-plans the query onto the STORED bucket table
+    // (PlanInvariantsSpec asserts the executed plan scans
+    // graft_lsh_buckets_* and recomputes no index-side signatures).
+    // Hash-matching the exact oracle proves the full lifecycle: build
+    // once (ensureLsh), then a user's naive query is answered by the
+    // index, output-identically, without mentioning it.
+    "q73_rewrite_persisted" -> ((outer, dir) => {
+      val s = outer.newSession()
+      graft.sources.AnnIndex.ensureLsh(s, dir,
+        Tables.load(s, dir, "embeddings").select("vec_id", "embedding"),
+        tables = 64, bits = 12)
+      graft.plans.LshAnnPlan.enable(s,
+        graft.plans.LshAnnPlan.Config(persistedSource = Some(dir)))
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+      emb.crossJoin(broadcast(q))
+        .withColumn("score",
+          graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // O3 invariant closure for q36/q37: recall@4 of the shipped LSH and
     // IVF operating points against the exact top-k, asserted over floors
     // that must hold at EVERY fixture scale (AnnTune: LSH 0.875 / 0.969 /
@@ -939,6 +968,8 @@ object PipelineQueries {
     // upsert ≡ rebuild at the recall-1.0 point: the post-upsert index
     // answers identically to an exact scan of the full vector set
     "q71_lsh_upsert" -> knnExactOracle,
+    // naive query → optimizer → persisted index, still output-identical
+    "q73_rewrite_persisted" -> knnExactOracle,
     "q72_ivf_upsert" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
         |CAST(count(*) AS BIGINT) AS n_indexed,

@@ -163,4 +163,65 @@ class LshAnnPlanSpec extends AnyFunSuite {
       assert(viaRule.toSeq === directIds.toSeq)
     } finally LshAnnPlan.disable(spark)
   }
+
+  test("persistedSource: the rewritten plan reads the stored bucket table " +
+      "and stays output-identical") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    graft.sources.AnnIndex.ensureLsh(spark, TestSpark.Sf0001,
+      emb.select("vec_id", "embedding"), tables = 64, bits = 12)
+    val exact = exactKnnDf().collect().map(_.toSeq).sortBy(_.toString)
+    LshAnnPlan.enable(spark,
+      LshAnnPlan.Config(persistedSource = Some(TestSpark.Sf0001)))
+    try {
+      val df = exactKnnDf()
+      val plan = physical(df)
+      assert(plan.contains("graft_lsh_buckets_"),
+        s"expected the stored bucket table in the plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+      val viaIndex = df.collect().map(_.toSeq).sortBy(_.toString)
+      assert(viaIndex.toSeq === exact.toSeq)
+    } finally LshAnnPlan.disable(spark)
+  }
+
+  test("persistedSource guard: a FILTERED index side falls back to the " +
+      "in-memory path — the stored index must not resurrect excluded rows") {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    def filteredKnn(): DataFrame = {
+      val idx = emb.filter(col("vec_id") % 2 === 0)
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+      idx.crossJoin(broadcast(q))
+        .withColumn("score",
+          graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }
+    val exact = filteredKnn().collect().map(_.toSeq).sortBy(_.toString)
+    assert(exact.forall(r => r(2).asInstanceOf[Long] % 2 == 0))
+    LshAnnPlan.enable(spark,
+      LshAnnPlan.Config(persistedSource = Some(TestSpark.Sf0001)))
+    try {
+      val df = filteredKnn()
+      val plan = physical(df)
+      assert(!plan.contains("graft_lsh_buckets_"),
+        s"filtered index side must not be served from the full index:\n$plan")
+      val got = df.collect().map(_.toSeq).sortBy(_.toString)
+      assert(got.toSeq === exact.toSeq)
+    } finally LshAnnPlan.disable(spark)
+  }
+
+  test("persistedSource guard: a missing index falls back to the in-memory " +
+      "path") {
+    val exact = exactKnnDf().collect().map(_.toSeq).sortBy(_.toString)
+    LshAnnPlan.enable(spark,
+      LshAnnPlan.Config(persistedSource = Some("/tmp/no_such_graft_fixture")))
+    try {
+      val df = exactKnnDf()
+      assert(!physical(df).contains("graft_lsh_buckets_"))
+      assert(df.collect().map(_.toSeq).sortBy(_.toString).toSeq === exact.toSeq)
+    } finally LshAnnPlan.disable(spark)
+  }
 }

@@ -67,6 +67,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"an exchange ships vectors:\n${exchanges.mkString("\n")}")
   }
 
+  test("q73 rewrite + persisted index: the naive crossJoin plan lands on " +
+      "the stored bucket table") {
+    val p = physical("q73_rewrite_persisted")
+    assert(p.contains("graft_lsh_buckets_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q30 exact dedup: the shuffle groups on the 8-byte hash, not the text") {
     val p = physical("q30_dedup_exact")
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
