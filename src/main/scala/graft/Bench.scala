@@ -58,7 +58,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalSpread = results.map(_._3).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"spread_total":$totalSpread%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"spread_total":$totalSpread%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Sidecar copy: the harness tail-scrapes stdout through sbt noise and has
+    // failed to parse it (BENCH_r04 "parsed": null) — a structural file read
+    // can't be defeated by interleaved log lines.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

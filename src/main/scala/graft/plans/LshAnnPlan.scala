@@ -52,7 +52,16 @@ object LshAnnPlan {
     * bucket table — no index-side signature recomputation at all, the
     * full index-once/query-many lifecycle behind a naive query. Falls
     * back to the in-memory LSH path whenever the guard fails (filtered
-    * index side, missing/mismatched index) — never to a wrong plan.
+    * index side, missing/mismatched/unopenable index) — never to a
+    * wrong plan.
+    *
+    * Immutable-source assumption: the routed path opens the index via
+    * [[graft.sources.AnnIndex.openLsh]], which does NO freshness probe
+    * (that is what makes the rewrite free per query). If the files
+    * under `persistedSource` change after `ensureLsh`, re-run
+    * `ensureLsh` (its content fingerprint detects the change and
+    * rebuilds) before relying on the rewrite; until then the optimizer
+    * would serve the stored — now stale — index.
     */
   case class Config(tables: Int = 64, bits: Int = 12, probes: Int = 48,
       persistedSource: Option[String] = None)
@@ -185,17 +194,31 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
       idxChild: LogicalPlan): Option[graft.sources.AnnIndex.LshHandle] =
     for {
       src <- cfg.persistedSource
-      if cleanScanOf(idxChild, src)
+      // ANY open failure (no meta, deleted layout under a live meta,
+      // catalog DDL conflict, MSCK failure) means "no usable index",
+      // not "fail the user's query" — the in-memory path is always
+      // applicable, so a NonFatal here must route there.
       h <- try Some(graft.sources.AnnIndex.openLsh(spark, src))
-        catch { case _: IllegalArgumentException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       if h.tables == cfg.tables && h.bits == cfg.bits
+      if cleanScanOf(idxChild, src, h.indexedPaths)
     } yield h
 
   /** True when `plan` is only column pruning over ONE file relation
-    * rooted under `src` — no Filter, no joins, no other sources.
+    * that reads EXACTLY the indexed vector set — no Filter, no joins,
+    * no other sources. Identity is the stored index meta's recorded
+    * relation paths (set equality after normalization); for indexes
+    * built from in-memory frames (no recorded paths) the fallback is a
+    * path-component-bounded prefix of `src` — `src` itself or below
+    * `src/`, so a sibling dir (`…/sf0.10` vs `…/sf0.1`) can't pass.
+    * A bare `startsWith` would also admit a DIFFERENT table under the
+    * same source dir; the recorded-path comparison is what rules that
+    * out.
     */
-  private def cleanScanOf(plan: LogicalPlan, src: String): Boolean = {
+  private def cleanScanOf(plan: LogicalPlan, src: String,
+      indexedPaths: Seq[String]): Boolean = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.sources.AnnIndex.normalizePath
     var clean = true
     var relations = 0
     plan.foreach {
@@ -204,8 +227,17 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
         relations += 1
         lr.relation match {
           case fs: HadoopFsRelation =>
-            if (!fs.location.rootPaths.forall(p =>
-              p.toString.stripPrefix("file:").startsWith(src))) clean = false
+            val scanPaths =
+              fs.location.rootPaths.map(p => normalizePath(p.toString))
+            val ok =
+              if (indexedPaths.nonEmpty)
+                scanPaths.toSet == indexedPaths.toSet
+              else {
+                val srcN = normalizePath(src)
+                scanPaths.forall(p =>
+                  p == srcN || p.startsWith(srcN + "/"))
+              }
+            if (!ok) clean = false
           case _ => clean = false
         }
       case _ => clean = false

@@ -43,8 +43,21 @@ object AnnIndex {
 
   // ---------------------------------------------------------------- LSH
 
+  /** `indexedPaths`: the normalized root paths of the file relation(s)
+    * the index was built over (empty when the source was an in-memory
+    * frame). The plan rewrite compares a candidate scan's paths against
+    * these — an exact set match, not a directory-prefix test.
+    */
   final case class LshHandle(buckets: DataFrame, vecs: DataFrame,
-      tables: Int, bits: Int)
+      tables: Int, bits: Int, indexedPaths: Seq[String] = Nil)
+
+  /** Root of every persisted layout (`spark.graft.ann.basePath`,
+    * default `/tmp`): fixtures live on local disk; a deployment points
+    * this at shared storage so executors and follow-on sessions see one
+    * layout. Must be stable across the sessions that share an index.
+    */
+  private def annBase(spark: SparkSession): String =
+    spark.conf.get("spark.graft.ann.basePath", "/tmp").stripSuffix("/")
 
   private def metaPath(base: String) = Paths.get(base, "_ann_meta.json")
 
@@ -57,15 +70,60 @@ object AnnIndex {
     * benign; a production deployment over mutable sources would key the
     * layout on a table snapshot id instead.)
     */
-  private def writeMeta(base: String, kv: (String, Long)*): Unit = {
+  private def writeMeta(base: String, kv: (String, Long)*): Unit =
+    writeMetaFull(base, kv, Nil)
+
+  private def writeMetaFull(base: String, num: Seq[(String, Long)],
+      str: Seq[(String, String)]): Unit = {
     Files.createDirectories(Paths.get(base))
     val tmp = Paths.get(base, s"_ann_meta.json.tmp${ProcessHandle.current.pid}")
-    Files.writeString(tmp,
-      kv.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}"))
+    val fields = num.map { case (k, v) => s""""$k": $v""" } ++
+      str.map { case (k, v) => s""""$k": "$v"""" }
+    Files.writeString(tmp, fields.mkString("{", ", ", "}"))
     Files.move(tmp, metaPath(base),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Normalized form used for index-vs-scan path identity: scheme
+    * prefix stripped, `.` / `..` segments resolved, no trailing slash.
+    * Comparisons are exact per path — a prefix match would admit a
+    * sibling dir (`/data/sf0.1` vs `/data/sf0.10`) or a different
+    * table under the same source dir.
+    */
+  private[graft] def normalizePath(p: String): String = {
+    val s = p.stripPrefix("file:")
+    val t = if (s.startsWith("/")) Paths.get(s).normalize().toString else s
+    if (t.length > 1) t.stripSuffix("/") else t
+  }
+
+  /** Concrete root paths of the file relation(s) feeding `df` —
+    * recorded in the index meta so the plan rewrite can verify a
+    * candidate scan reads EXACTLY the indexed relation. Empty for
+    * in-memory frames (localRelation test fixtures).
+    */
+  private def relationPaths(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(p => normalizePath(p.toString)).toSeq
+        case _ => Seq.empty[String]
+      }
+    }.flatten.distinct.sorted
+  }
+
+  private def readMetaStrs(base: String): Map[String, String] = {
+    val p = metaPath(base)
+    if (!Files.exists(p)) Map.empty
+    else "\"([a-zA-Z_]+)\"\\s*:\\s*\"([^\"]*)\"".r
+      .findAllMatchIn(Files.readString(p))
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  private def joinPaths(paths: Seq[String]): String = paths.mkString(";")
+  private def splitPaths(s: String): Seq[String] =
+    s.split(';').toSeq.filter(_.nonEmpty)
 
   /** Content fingerprint of the index frame: (row count, order-independent
     * xxhash64 checksum over id + embedding). One pass — the same scan the
@@ -111,7 +169,8 @@ object AnnIndex {
       .map(m => m.group(1) -> m.group(2).toLong).toMap
   }
 
-  private def lshBase(tag: String) = s"/tmp/graft_ann_lsh_$tag"
+  private def lshBase(spark: SparkSession, tag: String) =
+    s"${annBase(spark)}/graft_ann_lsh_$tag"
 
   /** Per-vector bucket rows, one per hash table: `tb = table * 2^bits +
     * bucket` packs the table id and bucket into one join key.
@@ -142,7 +201,7 @@ object AnnIndex {
   /** Attach the on-disk layout written by an earlier process: DDL only. */
   private def attachLsh(spark: SparkSession, tag: String,
       storageBuckets: Int): Unit = {
-    val base = lshBase(tag)
+    val base = lshBase(spark, tag)
     spark.sql(s"DROP TABLE IF EXISTS graft_lsh_buckets_$tag")
     spark.sql(s"DROP TABLE IF EXISTS graft_lsh_vecs_$tag")
     registerExternal(spark, s"graft_lsh_buckets_$tag", s"$base/buckets",
@@ -155,7 +214,7 @@ object AnnIndex {
   private def buildLsh(spark: SparkSession, tag: String, index: DataFrame,
       tables: Int, bits: Int, storageBuckets: Int, n: Long,
       fp: Long): Unit = {
-    val base = lshBase(tag)
+    val base = lshBase(spark, tag)
     spark.sql(s"DROP TABLE IF EXISTS graft_lsh_buckets_$tag")
     lshBucketRows(index, tables, bits).write.mode(SaveMode.Overwrite)
       .option("path", s"$base/buckets")
@@ -166,14 +225,18 @@ object AnnIndex {
       .option("path", s"$base/vecs")
       .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
       .format("parquet").saveAsTable(s"graft_lsh_vecs_$tag")
-    writeMeta(base, "tables" -> tables.toLong, "bits" -> bits.toLong,
-      "buckets" -> storageBuckets.toLong, "n_rows" -> n, "checksum" -> fp)
+    writeMetaFull(base,
+      Seq("tables" -> tables.toLong, "bits" -> bits.toLong,
+        "buckets" -> storageBuckets.toLong, "n_rows" -> n, "checksum" -> fp),
+      Seq("source_paths" -> joinPaths(relationPaths(index))))
   }
 
   private def lshHandle(spark: SparkSession, tag: String, tables: Int,
       bits: Int): LshHandle =
     LshHandle(spark.table(s"graft_lsh_buckets_$tag"),
-      spark.table(s"graft_lsh_vecs_$tag"), tables, bits)
+      spark.table(s"graft_lsh_vecs_$tag"), tables, bits,
+      readMetaStrs(lshBase(spark, tag)).get("source_paths")
+        .map(splitPaths).getOrElse(Nil))
 
   /** Build (or reuse) the persisted LSH index over `index(vec_id,
     * embedding)`. One pass computes all `tables` signatures per vector;
@@ -188,8 +251,8 @@ object AnnIndex {
       storageBuckets: Int = 8): LshHandle = {
     val tag = IndexStore.pathTag(sourceDir)
     val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
-    val metaFresh = lshMetaMatches(readMeta(lshBase(tag)), tables, bits,
-      storageBuckets, n, fp)
+    val metaFresh = lshMetaMatches(readMeta(lshBase(spark, tag)), tables,
+      bits, storageBuckets, n, fp)
     if (metaFresh && !lshRegistered(spark, tag))
       attachLsh(spark, tag, storageBuckets)
     else if (!metaFresh)
@@ -208,6 +271,16 @@ object AnnIndex {
     * rows. Append-only contract: `newVecs` ids must be previously
     * unseen — replacing an existing id needs a delete + compaction
     * pass, which the immutable fixtures never exercise.
+    *
+    * `batchId`: the idempotent-foreachBatch recipe for at-least-once
+    * streaming replay. When set, a batch whose id is ≤ the meta's
+    * `last_batch_id` is SKIPPED — a crash-replayed micro-batch neither
+    * re-appends its rows (duplicate vecs rows would multiply rerank
+    * candidates and could push duplicate vec_ids into the top-k) nor
+    * double-xors the checksum. The remaining window is a crash BETWEEN
+    * the table appends and the meta commit: that one batch replays as
+    * a duplicate — closing it needs an atomically-committing table
+    * format, out of scope for a parquet layout.
     */
   def upsertLsh(
       spark: SparkSession,
@@ -215,9 +288,10 @@ object AnnIndex {
       newVecs: DataFrame,
       tables: Int = 64,
       bits: Int = 12,
-      storageBuckets: Int = 8): LshHandle = {
+      storageBuckets: Int = 8,
+      batchId: Option[Long] = None): LshHandle = {
     val tag = IndexStore.pathTag(sourceDir)
-    val base = lshBase(tag)
+    val base = lshBase(spark, tag)
     val meta = readMeta(base)
     require(meta.get("tables").contains(tables.toLong) &&
       meta.get("bits").contains(bits.toLong) &&
@@ -225,6 +299,9 @@ object AnnIndex {
       s"upsertLsh needs an existing index at the same operating point " +
         s"(tables=$tables bits=$bits buckets=$storageBuckets); found $meta")
     if (!lshRegistered(spark, tag)) attachLsh(spark, tag, storageBuckets)
+    val replayed = batchId.exists(id =>
+      meta.get("last_batch_id").exists(id <= _))
+    if (replayed) return lshHandle(spark, tag, tables, bits)
     val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
     lshBucketRows(newVecs, tables, bits).write.mode(SaveMode.Append)
       .bucketBy(storageBuckets, "tb").sortBy("tb")
@@ -232,10 +309,18 @@ object AnnIndex {
     newVecs.select("vec_id", "embedding").write.mode(SaveMode.Append)
       .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
       .format("parquet").saveAsTable(s"graft_lsh_vecs_$tag")
-    writeMeta(base, "tables" -> tables.toLong, "bits" -> bits.toLong,
-      "buckets" -> storageBuckets.toLong,
-      "n_rows" -> (meta("n_rows") + nNew),
-      "checksum" -> (meta("checksum") ^ fpNew))
+    writeMetaFull(base,
+      Seq("tables" -> tables.toLong, "bits" -> bits.toLong,
+        "buckets" -> storageBuckets.toLong,
+        "n_rows" -> (meta("n_rows") + nNew),
+        "checksum" -> (meta("checksum") ^ fpNew)) ++
+        batchId.orElse(meta.get("last_batch_id"))
+          .map("last_batch_id" -> _).toSeq,
+      // indexed-path identity grows with the upsert: a scan must cover
+      // base AND tail relations to be served from the combined index
+      Seq("source_paths" -> joinPaths(
+        (readMetaStrs(base).get("source_paths").map(splitPaths)
+          .getOrElse(Nil) ++ relationPaths(newVecs)).distinct.sorted)))
     lshHandle(spark, tag, tables, bits)
   }
 
@@ -248,10 +333,10 @@ object AnnIndex {
     */
   def openLsh(spark: SparkSession, sourceDir: String): LshHandle = {
     val tag = IndexStore.pathTag(sourceDir)
-    val meta = readMeta(lshBase(tag))
+    val meta = readMeta(lshBase(spark, tag))
     require(meta.contains("tables") && meta.contains("bits") &&
       meta.contains("buckets"),
-      s"no persisted LSH index for '$sourceDir' (${lshBase(tag)})")
+      s"no persisted LSH index for '$sourceDir' (${lshBase(spark, tag)})")
     if (!lshRegistered(spark, tag))
       attachLsh(spark, tag, meta("buckets").toInt)
     else {
@@ -281,8 +366,8 @@ object AnnIndex {
     val tag = IndexStore.pathTag(sourceDir)
     val (nb, fb) = fingerprint(baseRows.select("vec_id", "embedding"))
     val (nt, ft) = fingerprint(tailRows.select("vec_id", "embedding"))
-    val combinedFresh = lshMetaMatches(readMeta(lshBase(tag)), tables, bits,
-      storageBuckets, nb + nt, fb ^ ft)
+    val combinedFresh = lshMetaMatches(readMeta(lshBase(spark, tag)),
+      tables, bits, storageBuckets, nb + nt, fb ^ ft)
     if (combinedFresh) {
       if (!lshRegistered(spark, tag)) attachLsh(spark, tag, storageBuckets)
     } else {
@@ -330,7 +415,18 @@ object AnnIndex {
 
   final case class IvfHandle(centroids: DataFrame, lists: DataFrame)
 
-  private def ivfBase(tag: String) = s"/tmp/graft_ann_ivf_$tag"
+  private def ivfBase(spark: SparkSession, tag: String) =
+    s"${annBase(spark)}/graft_ann_ivf_$tag"
+
+  /** Drift gate for [[upsertIvf]]: centroids are trained at build time
+    * only, so recall erodes as the upserted tail grows relative to the
+    * trained base (`n_base` in the meta). The gate bounds that
+    * tail/base ratio (`spark.graft.ann.ivf.maxTailRatio`, default 1.0)
+    * and fails LOUDLY when an upsert would cross it — a silently
+    * degraded serving index is worse than a failed ingest batch.
+    */
+  private def ivfMaxTailRatio(spark: SparkSession): Double =
+    spark.conf.get("spark.graft.ann.ivf.maxTailRatio", "1.0").toDouble
 
   /** Build (or reuse) the persisted IVF index: k-means centroids
     * (deterministic hash-draw seeding + Lloyd rounds, see
@@ -347,7 +443,7 @@ object AnnIndex {
       lists: Int = 32,
       iters: Int = 5): IvfHandle = {
     val tag = IndexStore.pathTag(sourceDir)
-    val base = ivfBase(tag)
+    val base = ivfBase(spark, tag)
     val listsTable = s"graft_ivf_lists_$tag"
     val centsPath = s"$base/centroids"
     val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
@@ -374,7 +470,7 @@ object AnnIndex {
         .partitionBy("centroid_id")
         .format("parquet").saveAsTable(listsTable)
       writeMeta(base, "lists" -> lists.toLong, "iters" -> iters.toLong,
-        "n_rows" -> n, "checksum" -> fp)
+        "n_rows" -> n, "checksum" -> fp, "n_base" -> n)
     }
     IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))
   }
@@ -385,8 +481,12 @@ object AnnIndex {
     * Pinecone-style serving index) and appended into the partitioned
     * inverted lists; the meta checksum xor-composes like
     * [[upsertLsh]]'s. Same append-only id contract. Centroid drift is
-    * the caller's tradeoff: upserting far more rows than the index was
-    * built on degrades list balance until the next rebuild.
+    * BOUNDED, not just documented: the meta tracks the row count the
+    * centroids were trained on (`n_base`), and an upsert that would
+    * push the accumulated tail past `maxTailRatio × n_base` throws
+    * instead of silently eroding the measured recall floor — rebuild
+    * (`ensureIvf`) to retrain, or raise
+    * `spark.graft.ann.ivf.maxTailRatio` deliberately.
     */
   def upsertIvf(
       spark: SparkSession,
@@ -395,7 +495,7 @@ object AnnIndex {
       lists: Int = 32,
       iters: Int = 5): IvfHandle = {
     val tag = IndexStore.pathTag(sourceDir)
-    val base = ivfBase(tag)
+    val base = ivfBase(spark, tag)
     val listsTable = s"graft_ivf_lists_$tag"
     val centsPath = s"$base/centroids"
     val meta = readMeta(base)
@@ -410,6 +510,17 @@ object AnnIndex {
         partitionedBy = Some("centroid_id"))
     }
     val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
+    // drift gate: pre-n_base metas (older layouts) treat the current
+    // size as the trained base — the gate then bounds growth from here
+    val nBase = meta.getOrElse("n_base", meta("n_rows"))
+    val tailAfter = meta("n_rows") + nNew - nBase
+    val maxRatio = ivfMaxTailRatio(spark)
+    if (nBase > 0 && tailAfter > maxRatio * nBase)
+      throw new IllegalStateException(
+        f"upsertIvf drift gate: upserted tail would reach $tailAfter rows " +
+          f"against a trained base of $nBase (ratio ${tailAfter.toDouble / nBase}%.2f " +
+          f"> $maxRatio%.2f). Rebuild with ensureIvf to retrain centroids, " +
+          "or raise spark.graft.ann.ivf.maxTailRatio.")
     val assigned = SimilaritySearch
       .assignWithVecs(newVecs, spark.read.parquet(centsPath))
     assigned.write.mode(SaveMode.Append)
@@ -417,7 +528,8 @@ object AnnIndex {
       .format("parquet").saveAsTable(listsTable)
     writeMeta(base, "lists" -> lists.toLong, "iters" -> iters.toLong,
       "n_rows" -> (meta("n_rows") + nNew),
-      "checksum" -> (meta("checksum") ^ fpNew))
+      "checksum" -> (meta("checksum") ^ fpNew),
+      "n_base" -> nBase)
     IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))
   }
 
@@ -435,7 +547,7 @@ object AnnIndex {
       lists: Int = 32,
       iters: Int = 5): IvfHandle = {
     val tag = IndexStore.pathTag(sourceDir)
-    val base = ivfBase(tag)
+    val base = ivfBase(spark, tag)
     val listsTable = s"graft_ivf_lists_$tag"
     val centsPath = s"$base/centroids"
     val (nb, fb) = fingerprint(baseRows.select("vec_id", "embedding"))
@@ -463,7 +575,7 @@ object AnnIndex {
         .partitionBy("centroid_id")
         .format("parquet").saveAsTable(listsTable)
       writeMeta(base, "lists" -> lists.toLong, "iters" -> iters.toLong,
-        "n_rows" -> nb, "checksum" -> fb)
+        "n_rows" -> nb, "checksum" -> fb, "n_base" -> nb)
       upsertIvf(spark, sourceDir, tailRows, lists, iters)
     }
     IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))

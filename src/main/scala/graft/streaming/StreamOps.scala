@@ -116,10 +116,13 @@ object StreamOps {
     * [[graft.sources.AnnIndex.openLsh]]). `foreachBatch` is the right
     * scope: the upsert is a whole-batch sink action, not a row
     * transform. Delivery is Structured Streaming's at-least-once for
-    * foreachBatch — a batch replayed after a crash would re-append its
-    * rows under the append-only id contract; a production sink would
-    * record the last applied batchId in the index meta and skip
-    * duplicates (the standard idempotent-foreachBatch recipe).
+    * foreachBatch; the batchId is recorded in the index meta and a
+    * replayed batch is SKIPPED (the idempotent-foreachBatch recipe) —
+    * without it, replayed appends would duplicate vecs rows, multiply
+    * rerank candidates, and could push duplicate vec_ids into a query's
+    * top-k until a rebuild. See [[graft.sources.AnnIndex.upsertLsh]]
+    * for the one remaining crash window (between append and meta
+    * commit).
     */
   def streamingIndexUpsert(
       vecs: DataFrame,
@@ -130,10 +133,10 @@ object StreamOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         if (!batch.isEmpty) {
           graft.sources.AnnIndex.upsertLsh(batch.sparkSession, sourceDir,
-            batch.toDF(), tables, bits, storageBuckets)
+            batch.toDF(), tables, bits, storageBuckets, batchId = Some(id))
           ()
         }
       }

@@ -224,4 +224,69 @@ class LshAnnPlanSpec extends AnyFunSuite {
       assert(df.collect().map(_.toSeq).sortBy(_.toString).toSeq === exact.toSeq)
     } finally LshAnnPlan.disable(spark)
   }
+
+  test("persistedSource guard: a scan of a DIFFERENT table under the same " +
+      "source dir is NOT served from the index (recorded-path identity)") {
+    val tmpDir = "/tmp/graft_guard_" + java.util.UUID.randomUUID.toString.take(8)
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    emb.write.parquet(s"$tmpDir/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$tmpDir/other.parquet")
+    graft.sources.AnnIndex.ensureLsh(spark, tmpDir,
+      spark.read.parquet(s"$tmpDir/embeddings.parquet"), tables = 64, bits = 12)
+    def knnOver(path: String): DataFrame = {
+      val idx = spark.read.parquet(path)
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+      idx.crossJoin(broadcast(q))
+        .withColumn("score",
+          graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }
+    val exactOther = knnOver(s"$tmpDir/other.parquet").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(exactOther.forall(r => r(2).asInstanceOf[Long] % 2 == 0))
+    LshAnnPlan.enable(spark,
+      LshAnnPlan.Config(persistedSource = Some(tmpDir)))
+    try {
+      // positive control: the indexed relation itself routes to the index
+      assert(physical(knnOver(s"$tmpDir/embeddings.parquet"))
+        .contains("graft_lsh_buckets_"))
+      // the sibling table under the same dir must NOT — the stored index
+      // answers for a different vector set (odd ids would resurrect)
+      val df = knnOver(s"$tmpDir/other.parquet")
+      assert(!physical(df).contains("graft_lsh_buckets_"),
+        s"different table must not be served from the index:\n${physical(df)}")
+      assert(df.collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+        exactOther.toSeq)
+    } finally LshAnnPlan.disable(spark)
+  }
+
+  test("persistedSource guard: meta present but layout deleted falls back " +
+      "instead of failing the query (NonFatal, not just IllegalArgument)") {
+    val src = "graft-broken-" + java.util.UUID.randomUUID.toString.take(8)
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    graft.sources.AnnIndex.ensureLsh(spark, src, emb, tables = 64, bits = 12)
+    val tag = graft.sources.IndexStore.pathTag(src)
+    // simulate a lost layout under a surviving meta in a fresh JVM:
+    // parquet dirs gone, catalog registration gone, meta still there
+    spark.sql(s"DROP TABLE IF EXISTS graft_lsh_buckets_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_lsh_vecs_$tag")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"/tmp/graft_ann_lsh_$tag/buckets"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"/tmp/graft_ann_lsh_$tag/vecs"))
+    val exact = exactKnnDf().collect().map(_.toSeq).sortBy(_.toString)
+    LshAnnPlan.enable(spark, LshAnnPlan.Config(persistedSource = Some(src)))
+    try {
+      val df = exactKnnDf() // must not throw AnalysisException
+      assert(!physical(df).contains("graft_lsh_buckets_"))
+      assert(df.collect().map(_.toSeq).sortBy(_.toString).toSeq === exact.toSeq)
+    } finally LshAnnPlan.disable(spark)
+  }
 }

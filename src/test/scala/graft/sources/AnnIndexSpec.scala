@@ -130,6 +130,48 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(streamed === inMemory)
   }
 
+  test("upsertLsh with a batchId skips a replayed batch (idempotent " +
+      "foreachBatch)") {
+    val src = s"spec-$runTag-i"
+    val baseRows = emb.filter(col("vec_id") % 10 =!= 7)
+    val tail1 = emb.filter(col("vec_id") % 10 === 7)
+    val tail2 = emb.filter(col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    AnnIndex.ensureLsh(spark, src, baseRows, tables = 16, bits = 6)
+    val h1 = AnnIndex.upsertLsh(spark, src, tail1, tables = 16, bits = 6,
+      batchId = Some(0L))
+    val n1 = h1.vecs.count()
+    assert(n1 === baseRows.count() + tail1.count())
+    // replay of batch 0: must be a no-op, not a duplicate append that
+    // would multiply rerank candidates
+    val h2 = AnnIndex.upsertLsh(spark, src, tail1, tables = 16, bits = 6,
+      batchId = Some(0L))
+    assert(h2.vecs.count() === n1, "replayed batch must be skipped")
+    // and the next batch still applies
+    val h3 = AnnIndex.upsertLsh(spark, src, tail2, tables = 16, bits = 6,
+      batchId = Some(1L))
+    assert(h3.vecs.count() === n1 + tail2.count())
+  }
+
+  test("upsertIvf drift gate: a tail overwhelming the trained base fails " +
+      "loudly instead of silently eroding recall") {
+    val src = s"spec-$runTag-j"
+    val baseRows = emb.filter(col("vec_id") % 10 === 7) // ~10% of the set
+    val bigTail = emb.filter(col("vec_id") % 10 =!= 7)  // ~9x the base
+    AnnIndex.ensureIvf(spark, src, baseRows, lists = 8, iters = 3)
+    val e = intercept[IllegalStateException] {
+      AnnIndex.upsertIvf(spark, src, bigTail, lists = 8, iters = 3)
+    }
+    assert(e.getMessage.contains("drift"))
+    // the gate is a conf, not a wall: raising it deliberately admits the
+    // same tail (the caller owns the recall tradeoff, explicitly)
+    spark.conf.set("spark.graft.ann.ivf.maxTailRatio", "20.0")
+    try {
+      val h = AnnIndex.upsertIvf(spark, src, bigTail, lists = 8, iters = 3)
+      assert(h.lists.count() === emb.count())
+    } finally spark.conf.unset("spark.graft.ann.ivf.maxTailRatio")
+  }
+
   test("upserted IVF lists equal a full assignment against the stored centroids") {
     val baseRows = emb.filter(col("vec_id") % 10 =!= 7)
     val tailRows = emb.filter(col("vec_id") % 10 === 7)
