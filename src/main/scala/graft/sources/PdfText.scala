@@ -22,9 +22,12 @@ import java.util.zip.Inflater
   * carrying a `/ToUnicode` CMap (bfchar/bfrange, 1- or 2-byte codes) are
   * decoded through it — the current font is tracked via `Tf` per content
   * stream, and font NAMES resolve through the owning page's /Resources
-  * dict (file-global last-wins only as the no-page-tree fallback); fonts
-  * WITHOUT a ToUnicode map come out as raw string bytes, like any
-  * spec-only extractor. Line-advance operators (`Td` `TD` `T*`
+  * dict, INHERITED up the /Parent chain when the page has none (ISO
+  * 32000 §7.7.3.4), with the file-global map as the last per-page
+  * fallback. Fonts WITHOUT a ToUnicode map fall back to their simple
+  * /Encoding (WinAnsiEncoding / StandardEncoding / Differences dict —
+  * Annex D public tables); only fonts with neither come out as raw
+  * Latin-1 bytes. Line-advance operators (`Td` `TD` `T*`
   * `'` `"`) insert a newline between shows; shows on the same line
   * concatenate.
   */
@@ -58,8 +61,12 @@ object PdfText {
         def fontsFor(refs: Map[String, Int]): Map[String, CMap] =
           try refs.flatMap { case (name, objN) =>
             cmapCache.getOrElseUpdate(objN,
-              resolveToUnicode(bytes, s, spans, objN)).map(name -> _)
+              resolveFontCMap(bytes, s, spans, objN)).map(name -> _)
           } catch { case _: Throwable => Map.empty }
+        // last-resort per-page fallback when neither the page nor its
+        // /Parent chain yields font resources: the file-global map
+        lazy val globalFonts: Map[String, CMap] =
+          try fontCMaps(bytes) catch { case _: Throwable => Map.empty }
         val structuredPages = structured.flatMap { case (contents, fontRefs) =>
           val data = contents.flatMap(o =>
             spans.get(o).flatMap(sp => objectStreamPayload(bytes, s, sp)))
@@ -70,7 +77,9 @@ object PdfText {
             val text = data.map(d => new String(d,
               java.nio.charset.StandardCharsets.ISO_8859_1)).mkString("\n")
             if (text.contains("BT") && text.contains("ET")) {
-              val t = extractTextOps(text, fontsFor(fontRefs))
+              val pageFonts = fontsFor(fontRefs)
+              val t = extractTextOps(text,
+                if (pageFonts.nonEmpty) pageFonts else globalFonts)
               if (t.nonEmpty) Some(t) else None
             } else None
           }
@@ -151,16 +160,38 @@ object PdfText {
               .map(m => "(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(m.group(1))
                 .map(_.group(1).toInt).toSeq))
             .getOrElse(Seq.empty)
-        val fontRefs: Map[String, Int] = (for {
-          resIdx <- Some(body.indexOf("/Resources")).filter(_ >= 0)
-          res <- dictValueAt(body, resIdx + "/Resources".length, s, spans)
-          fontIdx <- Some(res.indexOf("/Font")).filter(_ >= 0)
-          fd <- dictValueAt(res, fontIdx + "/Font".length, s, spans)
-        } yield refRe.findAllMatchIn(fd)
-          .map(nm => nm.group(1) -> nm.group(2).toInt).toMap)
-          .getOrElse(Map.empty)
+        val fontRefs: Map[String, Int] = resolveFontRefs(body, s, spans, 0)
         if (contents.isEmpty) None else Some((contents, fontRefs))
       }
+    }
+  }
+
+  /** Font resources of a page, honoring INHERITANCE: /Resources is an
+    * inheritable page-tree attribute (ISO 32000 §7.7.3.4), so a page
+    * without its own /Resources — or whose /Resources carries no /Font —
+    * takes the nearest ancestor's, found by walking `/Parent N 0 R`
+    * links up the /Pages tree. Depth-capped so a cyclic parent chain in
+    * a corrupt file terminates.
+    */
+  private def resolveFontRefs(body: String, s: String,
+      spans: Map[Int, (Int, Int)], depth: Int): Map[String, Int] = {
+    val refRe = "/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R".r
+    val own = for {
+      resIdx <- Some(body.indexOf("/Resources")).filter(_ >= 0)
+      res <- dictValueAt(body, resIdx + "/Resources".length, s, spans)
+      fontIdx <- Some(res.indexOf("/Font")).filter(_ >= 0)
+      fd <- dictValueAt(res, fontIdx + "/Font".length, s, spans)
+      m = refRe.findAllMatchIn(fd)
+        .map(nm => nm.group(1) -> nm.group(2).toInt).toMap
+      if m.nonEmpty
+    } yield m
+    own.getOrElse {
+      if (depth >= 16) Map.empty
+      else "/Parent\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(body)
+        .flatMap(m => spans.get(m.group(1).toInt))
+        .map { case (a, b) =>
+          resolveFontRefs(s.substring(a, b), s, spans, depth + 1) }
+        .getOrElse(Map.empty)
     }
   }
 
@@ -176,6 +207,156 @@ object PdfText {
       cmap <- parseCMap(new String(payload,
         java.nio.charset.StandardCharsets.ISO_8859_1))
     } yield cmap
+
+  /** Full per-font decode resolution: a /ToUnicode CMap when the font
+    * carries one, else a simple-font /Encoding fallback (WinAnsi /
+    * Standard / encoding dict with /Differences — ISO 32000 §9.6.5 +
+    * Annex D, public tables). Fonts with neither stay unmapped (raw
+    * Latin-1 bytes), the spec-only floor.
+    */
+  private def resolveFontCMap(bytes: Array[Byte], s: String,
+      spans: Map[Int, (Int, Int)], fontObj: Int): Option[CMap] =
+    resolveToUnicode(bytes, s, spans, fontObj).orElse {
+      spans.get(fontObj).flatMap { case (a, b) =>
+        encodingCMap(s.substring(a, b), s, spans)
+      }
+    }
+
+  /** WinAnsiEncoding's departures from Latin-1 (cp1252's 0x80–0x9F
+    * block, ISO 32000 Annex D.2): every other code is Latin-1 identity,
+    * which the raw-byte fallback already yields.
+    */
+  private[sources] val winAnsiDiffs: Map[Int, String] = Map(
+    0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„",
+    0x85 -> "…", 0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ",
+    0x89 -> "‰", 0x8A -> "Š", 0x8B -> "‹", 0x8C -> "Œ",
+    0x8E -> "Ž", 0x91 -> "‘", 0x92 -> "’", 0x93 -> "“",
+    0x94 -> "”", 0x95 -> "•", 0x96 -> "–", 0x97 -> "—",
+    0x98 -> "˜", 0x99 -> "™", 0x9A -> "š", 0x9B -> "›",
+    0x9C -> "œ", 0x9E -> "ž", 0x9F -> "Ÿ")
+
+  /** Adobe StandardEncoding's departures from Latin-1 (ISO 32000 Annex
+    * D.2, octal column): quotes at 0x27/0x60 plus the 0xA1–0xFB block.
+    */
+  private[sources] val standardDiffs: Map[Int, String] = Map(
+    0x27 -> "’", 0x60 -> "‘",
+    0xA4 -> "⁄", 0xA6 -> "ƒ", 0xA8 -> "¤", 0xA9 -> "’",
+    0xAA -> "“", 0xAC -> "‹", 0xAD -> "›", 0xAE -> "ﬁ",
+    0xAF -> "ﬂ", 0xB1 -> "–", 0xB2 -> "†", 0xB3 -> "‡",
+    0xB4 -> "·", 0xB7 -> "•", 0xB8 -> "‚", 0xB9 -> "„",
+    0xBA -> "”", 0xBC -> "…", 0xBD -> "‰",
+    0xC1 -> "`", 0xC2 -> "´", 0xC3 -> "ˆ", 0xC4 -> "˜",
+    0xC5 -> "¯", 0xC6 -> "˘", 0xC7 -> "˙", 0xC8 -> "¨",
+    0xCA -> "˚", 0xCB -> "¸", 0xCD -> "˝", 0xCE -> "˛",
+    0xCF -> "ˇ", 0xD0 -> "—",
+    0xE1 -> "Æ", 0xE3 -> "ª", 0xE8 -> "Ł", 0xE9 -> "Ø",
+    0xEA -> "Œ", 0xEB -> "º", 0xF1 -> "æ", 0xF5 -> "ı",
+    0xF8 -> "ł", 0xF9 -> "ø", 0xFA -> "œ", 0xFB -> "ß")
+
+  /** Glyph-name → Unicode for /Differences arrays: the Adobe Glyph List
+    * subset covering ASCII names, the Annex D specials, and common
+    * Latin-1 accents. Unknown names are skipped (raw fallback).
+    */
+  private[sources] val glyphNames: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+    "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+    "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+    "parenright" -> ")", "asterisk" -> "*", "plus" -> "+", "comma" -> ",",
+    "hyphen" -> "-", "period" -> ".", "slash" -> "/", "colon" -> ":",
+    "semicolon" -> ";", "less" -> "<", "equal" -> "=", "greater" -> ">",
+    "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+    "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+    "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+    "braceright" -> "}", "asciitilde" -> "~",
+    "quoteright" -> "’", "quoteleft" -> "‘",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "quotesinglbase" -> "‚", "quotedblbase" -> "„",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "dagger" -> "†", "daggerdbl" -> "‡", "ellipsis" -> "…",
+    "perthousand" -> "‰", "fi" -> "ﬁ", "fl" -> "ﬂ",
+    "fraction" -> "⁄", "florin" -> "ƒ",
+    "exclamdown" -> "¡", "questiondown" -> "¿",
+    "cent" -> "¢", "sterling" -> "£", "yen" -> "¥",
+    "currency" -> "¤", "section" -> "§", "paragraph" -> "¶",
+    "periodcentered" -> "·", "guillemotleft" -> "«",
+    "guillemotright" -> "»", "guilsinglleft" -> "‹",
+    "guilsinglright" -> "›", "trademark" -> "™",
+    "copyright" -> "©", "registered" -> "®",
+    "degree" -> "°", "plusminus" -> "±", "mu" -> "µ",
+    "AE" -> "Æ", "ae" -> "æ", "OE" -> "Œ", "oe" -> "œ",
+    "Oslash" -> "Ø", "oslash" -> "ø", "Lslash" -> "Ł",
+    "lslash" -> "ł", "germandbls" -> "ß", "dotlessi" -> "ı",
+    "ordfeminine" -> "ª", "ordmasculine" -> "º",
+    "circumflex" -> "ˆ", "tilde" -> "˜", "macron" -> "¯",
+    "breve" -> "˘", "dotaccent" -> "˙", "dieresis" -> "¨",
+    "ring" -> "˚", "cedilla" -> "¸", "hungarumlaut" -> "˝",
+    "ogonek" -> "˛", "caron" -> "ˇ", "acute" -> "´",
+    "Euro" -> "€", "Scaron" -> "Š", "scaron" -> "š",
+    "Zcaron" -> "Ž", "zcaron" -> "ž", "Ydieresis" -> "Ÿ",
+    "Agrave" -> "À", "Aacute" -> "Á", "Adieresis" -> "Ä",
+    "Ccedilla" -> "Ç", "Eacute" -> "É", "Egrave" -> "È",
+    "Ntilde" -> "Ñ", "Odieresis" -> "Ö", "Udieresis" -> "Ü",
+    "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â",
+    "adieresis" -> "ä", "aring" -> "å", "ccedilla" -> "ç",
+    "eacute" -> "é", "egrave" -> "è", "ecircumflex" -> "ê",
+    "edieresis" -> "ë", "iacute" -> "í", "igrave" -> "ì",
+    "ntilde" -> "ñ", "oacute" -> "ó", "ograve" -> "ò",
+    "ocircumflex" -> "ô", "odieresis" -> "ö", "uacute" -> "ú",
+    "ugrave" -> "ù", "udieresis" -> "ü", "yacute" -> "ý") ++
+    (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toString -> c.toString).toMap ++
+    Seq("zero", "one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine").zipWithIndex.map { case (n, i) => n -> i.toString }
+
+  private def baseEncodingTable(name: String): Option[Map[Int, String]] =
+    name match {
+      case "WinAnsiEncoding" => Some(winAnsiDiffs)
+      case "StandardEncoding" => Some(standardDiffs)
+      // MacRomanEncoding: outside the subset (rare in modern producers) —
+      // its Differences-dict form still resolves through glyphNames
+      case _ => None
+    }
+
+  /** `[ 128 /Adieresis /quotesinglbase 245 /dotlessi … ]`: a number
+    * sets the next code, each following name consumes one code.
+    */
+  private[sources] def parseDifferences(enc: String): Map[Int, String] = {
+    "(?s)/Differences\\s*\\[(.*?)\\]".r.findFirstMatchIn(enc).map { dm =>
+      val out = Map.newBuilder[Int, String]
+      var code = -1
+      "(\\d+)|/([\\w.]+)".r.findAllMatchIn(dm.group(1)).foreach { t =>
+        if (t.group(1) != null) code = t.group(1).toInt
+        else if (code >= 0 && code <= 0xFF) {
+          glyphNames.get(t.group(2)).foreach(u => out += code -> u)
+          code += 1
+        }
+      }
+      out.result()
+    }.getOrElse(Map.empty)
+  }
+
+  /** Simple-font /Encoding → 1-byte CMap: a bare name
+    * (`/Encoding /WinAnsiEncoding`) selects a base table; a dict form
+    * (inline or indirect) layers /Differences over its /BaseEncoding.
+    * Only the departures from Latin-1 are materialized — unmapped codes
+    * fall back to the raw byte, which IS the Latin-1 glyph.
+    */
+  private[sources] def encodingCMap(fontBody: String, s: String,
+      spans: Map[Int, (Int, Int)]): Option[CMap] = {
+    val encIdx = fontBody.indexOf("/Encoding")
+    if (encIdx < 0) return None
+    val after = encIdx + "/Encoding".length
+    "^\\s*/(\\w+)".r.findFirstMatchIn(fontBody.substring(after)) match {
+      case Some(m) => baseEncodingTable(m.group(1)).map(CMap(1, _))
+      case None =>
+        dictValueAt(fontBody, after, s, spans).flatMap { enc =>
+          val base = "/BaseEncoding\\s*/(\\w+)".r.findFirstMatchIn(enc)
+            .flatMap(m => baseEncodingTable(m.group(1)))
+            .getOrElse(Map.empty[Int, String])
+          val merged = base ++ parseDifferences(enc)
+          if (merged.isEmpty) None else Some(CMap(1, merged))
+        }
+    }
+  }
 
   /** A font's ToUnicode mapping: `codeBytes` (1 for simple fonts, 2 for
     * CID-keyed) string-byte codes → Unicode text (UTF-16BE in the CMap,
@@ -200,7 +381,7 @@ object PdfText {
         .map(nm => nm.group(1) -> nm.group(2).toInt))
       .toMap
     fontNameToObj.flatMap { case (name, objN) =>
-      resolveToUnicode(bytes, s, spans, objN).map(name -> _)
+      resolveFontCMap(bytes, s, spans, objN).map(name -> _)
     }
   }
 

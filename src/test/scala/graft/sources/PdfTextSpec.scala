@@ -259,6 +259,76 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(out.toByteArray) === "AB\nXY")
   }
 
+  test("pages inherit /Resources from the /Pages parent (ISO 32000 " +
+      "§7.7.3.4): ToUnicode still applies when the page has no own dict") {
+    val cmap = "begincmap\n1 begincodespacerange\n<00> <FF>\n" +
+      "endcodespacerange\n2 beginbfchar\n<01> <0048>\n<02> <0069>\n" +
+      "endbfchar\nendcmap"
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def stream(n: Int, payload: String): Unit = {
+      w(s"$n 0 obj << /Length ${payload.length} >>\nstream\n")
+      w(payload); w("\nendstream\nendobj\n")
+    }
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    // the /Resources live on the PAGES node; the page itself has none
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    stream(4, "BT /F1 12 Tf <0102> Tj ET")
+    w("5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /AAAAAA+Inh " +
+      "/ToUnicode 6 0 R >> endobj\n")
+    stream(6, cmap)
+    // without inheritance the glyph codes 01 02 come out as raw control
+    // bytes; through the inherited CMap they spell Hi
+    assert(PdfText.extract(out.toByteArray) === "Hi")
+  }
+
+  /** One-page PDF whose /F1 has an /Encoding entry instead of ToUnicode. */
+  private def makeEncodedFontPdf(contentOps: String,
+      encoding: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    val content = contentOps.getBytes(ISO_8859_1)
+    w(s"4 0 obj << /Length ${content.length} >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      s"/Encoding $encoding >> endobj\n")
+    out.toByteArray
+  }
+
+  test("WinAnsiEncoding fallback: cp1252 high bytes decode without a " +
+      "ToUnicode map") {
+    // 0x93/0x94 curly quotes, 0x85 ellipsis, 0x80 euro — all cp1252-only
+    val pdf = makeEncodedFontPdf(
+      "BT /F1 12 Tf <93> Tj (ok) Tj <9485> Tj ( ) Tj <80> Tj ET",
+      "/WinAnsiEncoding")
+    assert(PdfText.extract(pdf) === "“ok”… €")
+  }
+
+  test("StandardEncoding fallback: Annex D high-range glyphs decode") {
+    // 0xB7 bullet, 0xAE fi ligature, 0xD0 emdash in StandardEncoding
+    val pdf = makeEncodedFontPdf(
+      "BT /F1 12 Tf <B7> Tj (x) Tj <AE> Tj <D0> Tj ET", "/StandardEncoding")
+    assert(PdfText.extract(pdf) === "•xﬁ—")
+  }
+
+  test("/Differences dict layers over /BaseEncoding; ASCII stays intact") {
+    val pdf = makeEncodedFontPdf(
+      "BT /F1 12 Tf (Ab) Tj <C88095> Tj ET",
+      "<< /BaseEncoding /WinAnsiEncoding /Differences [ 200 /eacute ] >>")
+    // code 200 (0xC8) is remapped to eacute by Differences; 0x80/0x95
+    // still come from the WinAnsi base; ASCII (Ab) passes through raw
+    assert(PdfText.extract(pdf) === "Abé€•")
+  }
+
   test("no-page-tree files still decode through the file-global font map") {
     val cmap = "begincmap\n1 beginbfchar\n<01> <0051>\nendbfchar\nendcmap"
     val content = "BT /F1 12 Tf <01> Tj ET"
