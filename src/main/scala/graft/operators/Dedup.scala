@@ -69,20 +69,9 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val withSig = documents
-      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    val withSig = minHashSigned(documents, k, numHashes)
     val shingleTable = withSig.select("doc_id", "sh")
-    // band id + bucket hash per band; explode to (doc, band, bucket).
-    // ONLY ids flow through the bucket join — the (large) shingle arrays
-    // are re-attached to the deduplicated candidate pairs afterwards, so
-    // the widest shuffle carries 24-byte rows, not document signatures.
-    val banded = withSig.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as(Seq("band", "bucket")))
+    val banded = minHashBandRows(withSig, numHashes, bands)
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_id_b"))
     val cand = a.join(b, Seq("band", "bucket"))
@@ -102,6 +91,32 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** (doc_id, band, bucket) rows from a signed frame — the key-space of
+    * the minhash candidate bucket join (one row per doc per band;
+    * bucket = xxhash64 of the band's signature slice). ONLY ids flow
+    * through the bucket join — the (large) shingle arrays are
+    * re-attached to the deduplicated candidate pairs afterwards, so the
+    * widest shuffle carries 24-byte rows, not document signatures.
+    * `private[graft]` so the banding scale sweep (graft.tools.DedupTune)
+    * measures the exact key-space the operator exchanges on.
+    */
+  private[graft] def minHashBandRows(
+      withSig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    withSig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Shingle + minhash signature frame: (doc_id, sh, sig). */
+  private[graft] def minHashSigned(
+      documents: DataFrame, k: Int, numHashes: Int): DataFrame =
+    documents
+      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+
   /** 64-bit SimHash of word tokens, built per-row from builtins: for each
     * bit position, sum the signs of xxhash64(token) bits; bit set when
     * positive. Near-dups = pairs with hamming distance <= maxHamming,
@@ -115,17 +130,26 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b)).cast("int")
 
+  /** (doc_id, sh64, piece, piece_val) rows — the key-space of the
+    * simhash pigeonhole bucket join. `private[graft]` for the banding
+    * scale sweep (graft.tools.DedupTune).
+    */
+  private[graft] def simHashBandRows(
+      documents: DataFrame, pieces: Int): DataFrame = {
+    val bitsPerPiece = 64 / pieces
+    documents.select(col("doc_id"), simHash(col("text")).as("sh64"))
+      .select(col("doc_id"), col("sh64"),
+        posexplode(transform(sequence(lit(0), lit(pieces - 1)),
+          p => call_function("shiftright", col("sh64"), p * bitsPerPiece)
+            .bitwiseAND(lit((1L << bitsPerPiece) - 1))))
+          .as(Seq("piece", "piece_val")))
+  }
+
   def simHashDedup(
       documents: DataFrame,
       maxHamming: Int = 3,
       pieces: Int = 4): DataFrame = {
-    val bitsPerPiece = 64 / pieces
-    val withHash = documents.select(col("doc_id"), simHash(col("text")).as("sh64"))
-    val banded = withHash.select(col("doc_id"), col("sh64"),
-      posexplode(transform(sequence(lit(0), lit(pieces - 1)),
-        p => call_function("shiftright", col("sh64"), p * bitsPerPiece)
-          .bitwiseAND(lit((1L << bitsPerPiece) - 1))))
-        .as(Seq("piece", "piece_val")))
+    val banded = simHashBandRows(documents, pieces)
     val l = banded.select(col("piece"), col("piece_val"),
       col("doc_id").as("doc_id_a"), col("sh64").as("h_a"))
     val r = banded.select(col("piece"), col("piece_val"),
@@ -282,6 +306,14 @@ object Dedup {
     *
     * Below the floor: exact all-pairs (crossJoin) — no LSH family serves
     * low-cosine bands sub-quadratically (measured; see LshCosineFloor).
+    * Because that plan is O(n²), it is gated by an explicit scale
+    * contract: the input is counted (one O(n) pass — only on this
+    * branch) and the call FAILS LOUDLY past
+    * `spark.graft.dedup.maxExactRows` (default 100 000 ≈ 5 × 10⁹ pairs,
+    * a deliberate day-job ceiling) instead of silently shipping a
+    * cartesian at 100× — the same fail-don't-degrade convention as
+    * `clusters`' convergence gate. Raising the cap is the caller's
+    * explicit opt-in to the quadratic cost.
     */
   def embeddingCosine(
       embeddings: DataFrame,
@@ -291,7 +323,18 @@ object Dedup {
     if (threshold >= LshCosineFloor)
       cosineVerify(lshSelfCandidates(embeddings, lshTables, lshBits),
         embeddings, threshold)
-    else embeddingCosineExact(embeddings, threshold)
+    else {
+      val maxRows = embeddings.sparkSession.conf
+        .get("spark.graft.dedup.maxExactRows", "100000").toLong
+      val n = embeddings.count()
+      require(n <= maxRows,
+        s"embeddingCosine(threshold=$threshold < LshCosineFloor=" +
+          s"$LshCosineFloor) is exact all-pairs O(n²), and n=$n exceeds " +
+          s"spark.graft.dedup.maxExactRows=$maxRows. Raise the threshold " +
+          s"to >= $LshCosineFloor (sub-quadratic LSH mode), pre-partition " +
+          "the input, or raise the cap to opt in to the quadratic cost.")
+      embeddingCosineExact(embeddings, threshold)
+    }
 
   /** Exact all-pairs form — the quadratic baseline the LSH mode is
     * verified against (and the only exact option below LshCosineFloor).

@@ -115,6 +115,22 @@ object SimilaritySearch {
       .dropDuplicates("query_id", "vec_id")
   }
 
+  /** Agg-form `lshTopK`: same candidates and exact re-rank, but stops at
+    * the bounded TopKAgg aggregate — output (query_id, topk) where topk
+    * is array<struct<id, score>> best-first. This is the sub-plan the
+    * ANN rewrite splices when the USER'S query is the TopKAgg-aggregate
+    * kNN formulation (the node replaced is the Aggregate itself, so the
+    * substitute must reproduce the aggregate's output shape).
+    */
+  def lshTopKAgg(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
+      tables: Int = 4,
+      bits: Int = 8,
+      probes: Int = 1): DataFrame =
+    rerankAgg(lshCandidates(queries, index, tables, bits, probes), queries, index, k)
+
   /** Exact re-rank of id-only candidate pairs: re-attach the two vector
     * columns (one equi-join each — queries broadcast), score, bounded
     * TopKAgg top-k. The aggregate formulation ships at most k candidates
@@ -124,6 +140,11 @@ object SimilaritySearch {
     * Identical output to the window form (ties: score desc, id asc).
     */
   private[graft] def rerank(
+      cand: DataFrame, queries: DataFrame, index: DataFrame, k: Int): DataFrame =
+    explodeTopK(rerankAgg(cand, queries, index, k))
+
+  /** Re-rank stopping at the aggregate: (query_id, topk). */
+  private[graft] def rerankAgg(
       cand: DataFrame, queries: DataFrame, index: DataFrame, k: Int): DataFrame = {
     import graft.functions.expressions.TopKAgg.top_k
     cand
@@ -132,9 +153,6 @@ object SimilaritySearch {
       .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
       .groupBy("query_id")
       .agg(top_k(col("score"), col("vec_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("hit.id").as("vec_id"), col("hit.score").as("score"))
   }
 
   /** Re-rank for candidates that already CARRY their embedding column
@@ -144,15 +162,20 @@ object SimilaritySearch {
   private[graft] def rerankWithVecs(
       cand: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import graft.functions.expressions.TopKAgg.top_k
-    cand
+    explodeTopK(cand
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("score", VectorOps.cosine(col("embedding"), col("query_vec")))
       .groupBy("query_id")
-      .agg(top_k(col("score"), col("vec_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .agg(top_k(col("score"), col("vec_id"), k).as("topk")))
+  }
+
+  /** (query_id, topk) → (query_id, rank, vec_id, score), rank 1-based in
+    * topk order (score desc, id asc — TopKAgg's eval order).
+    */
+  private[graft] def explodeTopK(df: DataFrame): DataFrame =
+    df.select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("hit.id").as("vec_id"), col("hit.score").as("score"))
-  }
 
   /** IVF: centroids = per-label means by default (the fixture ships labeled
     * vectors); assignment + probing are broadcast joins on the tiny

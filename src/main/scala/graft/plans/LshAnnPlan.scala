@@ -84,7 +84,30 @@ object LshAnnPlan {
 
 case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
     extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+  import graft.functions.expressions.TopKAgg
 
+  /** Three naive kNN formulations are recognized (SURVEY.md §4 O3; the
+    * round-4 verdict's top item — the engine's own flagship
+    * `RagPipeline.retrieve` uses the aggregate shape, so the rewrite
+    * must serve it too, not just the window form):
+    *
+    *  1. window:   Filter(rank <= k, Window(row_number ...)) over the
+    *     scored cross join;
+    *  2. aggregate: Aggregate(query_id, top_k(score, vec_id, k)) over
+    *     the scored cross join (the bounded-TopKAgg formulation);
+    *  3. global limit: orderBy(score desc, vec_id asc).limit(k) over
+    *     the scored cross join (single-query kNN as a naive user writes
+    *     it — the limit is GLOBAL over all (query, vector) pairs, so the
+    *     substitute takes per-query top-k through the index and re-sorts
+    *     globally: the global top-k is a subset of the union of
+    *     per-query top-k).
+    *
+    * The spliced sub-plans cannot re-trigger these cases: their joins
+    * are conditioned equi-joins (`ScoredCrossJoin` requires a
+    * condition-free Cross/Inner join), so `transformDown` passes through
+    * them unmatched.
+    */
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond,
         Window(
@@ -95,6 +118,42 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
           ScoredCrossJoin(projList, l, r, hint), _)) =>
       rewrite(f, cond, rankAlias, qid, scoreAttr, vid, projList, l, r, hint)
         .getOrElse(f)
+
+    case agg @ Aggregate(
+        Seq(qid: AttributeReference),
+        Seq(gAttr: AttributeReference,
+            topkAlias @ Alias(ae: AggregateExpression, _)),
+        ScoredCrossJoin(projList, l, r, hint), _)
+        if gAttr.exprId == qid.exprId && !ae.isDistinct && ae.filter.isEmpty =>
+      rewriteAgg(agg, qid, topkAlias, ae, projList, l, r, hint).getOrElse(agg)
+
+    case gl @ GlobalLimit(IntegerLiteral(k),
+        LocalLimit(IntegerLiteral(k2), SortedScoredCrossJoin(
+          pl, scoreAttr, vid, projList, l, r, hint)))
+        if k == k2 && k >= 1 =>
+      rewriteLimit(gl, k, pl, scoreAttr, vid, projList, l, r, hint)
+        .getOrElse(gl)
+  }
+
+  /** `Sort(score desc nulls-last, vid asc nulls-first, global)` over the
+    * scored cross join, with an optional projection in between (the
+    * user's post-limit select gets pushed below the limit but stays
+    * above the sort). Yields the projection (sort output when absent)
+    * plus the sort keys and join parts.
+    */
+  private object SortedScoredCrossJoin {
+    def unapply(plan: LogicalPlan): Option[(Seq[NamedExpression],
+        AttributeReference, AttributeReference, Seq[NamedExpression],
+        LogicalPlan, LogicalPlan, JoinHint)] = plan match {
+      case Project(pl, s: Sort) => unapply(s).map(t => t.copy(_1 = pl))
+      case Sort(
+          Seq(SortOrder(scoreAttr: AttributeReference, Descending, NullsLast, _),
+              SortOrder(vid: AttributeReference, Ascending, NullsFirst, _)),
+          true, ScoredCrossJoin(projList, l, r, hint), _) =>
+        Some((plan.output.map(a => a: NamedExpression), scoreAttr, vid,
+          projList, l, r, hint))
+      case _ => None
+    }
   }
 
   /** The window's child: a projection computing the score over a cross
@@ -112,6 +171,60 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
     }
   }
 
+  /** Shared join analysis: the score must be a CosineF computed right
+    * below the matched node, its arguments must straddle the
+    * condition-free join, and `vid` must live on the index side. A
+    * broadcast hint on the index side bails: an ANN index is never the
+    * broadcast side — such a hint marks a SMALL vector set (e.g. the IVF
+    * centroid-probe window, whose exact top-nProbe selection must not be
+    * approximated).
+    */
+  private case class Anchor(idxChild: LogicalPlan, qryChild: LogicalPlan,
+      embA: AttributeReference, qvecA: AttributeReference)
+
+  private def anchor(
+      scoreAttr: AttributeReference,
+      vid: AttributeReference,
+      projList: Seq[NamedExpression],
+      l: LogicalPlan,
+      r: LogicalPlan,
+      hint: JoinHint): Option[Anchor] =
+    for {
+      cos <- projList.collectFirst {
+        case a @ Alias(c: CosineF, _) if a.exprId == scoreAttr.exprId => c
+      }
+      emb <- Some(cos.left).collect { case a: AttributeReference => a }
+      qvec <- Some(cos.right).collect { case a: AttributeReference => a }
+      // orient the join: the index side owns the vector ids
+      (idxChild, qryChild) <-
+        if (l.outputSet.contains(vid)) Some((l, r))
+        else if (r.outputSet.contains(vid)) Some((r, l))
+        else None
+      (embA, qvecA) <-
+        if (idxChild.outputSet.contains(emb) &&
+          qryChild.outputSet.contains(qvec)) Some((emb, qvec))
+        else if (idxChild.outputSet.contains(qvec) &&
+          qryChild.outputSet.contains(emb)) Some((qvec, emb))
+        else None
+      if !(if (idxChild eq l) hint.leftHint else hint.rightHint)
+        .exists(_.strategy.isDefined)
+    } yield Anchor(idxChild, qryChild, embA, qvecA)
+
+  /** The two sides re-framed for the ANN operators: index(vec_id,
+    * embedding), queries(query_id, query_vec).
+    */
+  private def frames(a: Anchor, qid: AttributeReference,
+      vid: AttributeReference): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val idxDf = GraftExprBridge.ofRows(spark, a.idxChild).select(
+      GraftExprBridge.column(vid).as("vec_id"),
+      GraftExprBridge.column(a.embA).as("embedding"))
+    val qryDf = GraftExprBridge.ofRows(spark, a.qryChild).select(
+      GraftExprBridge.column(qid).as("query_id"),
+      GraftExprBridge.column(a.qvecA).as("query_vec"))
+    (idxDf, qryDf)
+  }
+
   private def rewrite(
       f: Filter,
       cond: Expression,
@@ -126,42 +239,14 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
     val rank = rankAlias.toAttribute
     for {
       k <- extractK(cond, rank)
-      // the window's score must be the cosine computed right below it
-      cos <- projList.collectFirst {
-        case a @ Alias(c: CosineF, _) if a.exprId == scoreAttr.exprId => c
-      }
-      emb <- Some(cos.left).collect { case a: AttributeReference => a }
-      qvec <- Some(cos.right).collect { case a: AttributeReference => a }
-      // orient the join: the query side owns the partition key
-      (idxChild, qryChild) <-
-        if (r.outputSet.contains(qid)) Some((l, r))
-        else if (l.outputSet.contains(qid)) Some((r, l))
-        else None
-      // cosine args must straddle the join; vid lives on the index side
-      (embA, qvecA) <-
-        if (idxChild.outputSet.contains(emb) &&
-          qryChild.outputSet.contains(qvec)) Some((emb, qvec))
-        else if (idxChild.outputSet.contains(qvec) &&
-          qryChild.outputSet.contains(emb)) Some((qvec, emb))
-        else None
-      if idxChild.outputSet.contains(vid)
-      // an ANN index is never the broadcast side: a broadcast hint on the
-      // side owning the ids marks a SMALL vector set (e.g. the IVF
-      // centroid-probe window, whose exact top-nProbe selection must not
-      // be approximated) — leave those plans alone
-      if !(if (idxChild eq l) hint.leftHint else hint.rightHint)
-        .exists(_.strategy.isDefined)
+      a <- anchor(scoreAttr, vid, projList, l, r, hint)
+      if a.qryChild.outputSet.contains(qid)
       // everything the parent reads must be expressible by the ANN plan
-      if f.output.forall(a => Seq(qid, vid, scoreAttr, rank)
-        .exists(_.exprId == a.exprId))
+      if f.output.forall(out => Seq(qid, vid, scoreAttr, rank)
+        .exists(_.exprId == out.exprId))
     } yield {
-      val idxDf = GraftExprBridge.ofRows(spark, idxChild).select(
-        GraftExprBridge.column(vid).as("vec_id"),
-        GraftExprBridge.column(embA).as("embedding"))
-      val qryDf = GraftExprBridge.ofRows(spark, qryChild).select(
-        GraftExprBridge.column(qid).as("query_id"),
-        GraftExprBridge.column(qvecA).as("query_vec"))
-      val ann = persistedHandle(idxChild) match {
+      val (idxDf, qryDf) = frames(a, qid, vid)
+      val ann = persistedHandle(a.idxChild) match {
         case Some(h) =>
           graft.sources.AnnIndex.queryLsh(qryDf, h, k, cfg.probes)
         case None => SimilaritySearch.lshTopK(
@@ -170,13 +255,111 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
       // splice pre-optimized (the main batches won't re-visit it), with a
       // projection restoring the original output attribute ids
       val sub = GraftExprBridge.optimizedPlan(ann)
-      val byName = sub.output.map(a => a.name -> a).toMap
+      val byName = sub.output.map(o => o.name -> o).toMap
       val rename = Map(
         qid.exprId -> byName("query_id"), vid.exprId -> byName("vec_id"),
         scoreAttr.exprId -> byName("score"), rank.exprId -> byName("rank"))
       Project(
-        f.output.map(a => Alias(rename(a.exprId), a.name)(exprId = a.exprId)),
+        f.output.map(o => Alias(rename(o.exprId), o.name)(exprId = o.exprId)),
         sub)
+    }
+  }
+
+  /** The TopKAgg-aggregate kNN formulation: the matched node is the
+    * Aggregate itself, so the substitute is the agg-form ANN query
+    * (query_id, topk) — whatever the user builds ABOVE the aggregate
+    * (posexplode, rank arithmetic, filters) keeps working on the
+    * spliced topk column, which has the identical
+    * array<struct<id, score>> type and (score desc, id asc) order.
+    */
+  private def rewriteAgg(
+      agg: Aggregate,
+      qid: AttributeReference,
+      topkAlias: Alias,
+      ae: AggregateExpression,
+      projList: Seq[NamedExpression],
+      l: LogicalPlan,
+      r: LogicalPlan,
+      hint: JoinHint): Option[LogicalPlan] =
+    for {
+      tk <- Some(ae.aggregateFunction).collect { case t: TopKAgg => t }
+      if tk.k >= 1
+      scoreAttr <- Some(tk.scoreExpr).collect { case s: AttributeReference => s }
+      vid <- Some(tk.idExpr).collect { case v: AttributeReference => v }
+      a <- anchor(scoreAttr, vid, projList, l, r, hint)
+      if a.qryChild.outputSet.contains(qid)
+    } yield {
+      val (idxDf, qryDf) = frames(a, qid, vid)
+      val ann = persistedHandle(a.idxChild) match {
+        case Some(h) =>
+          graft.sources.AnnIndex.queryLshAgg(qryDf, h, tk.k, cfg.probes)
+        case None => SimilaritySearch.lshTopKAgg(
+          qryDf, idxDf, tk.k, cfg.tables, cfg.bits, cfg.probes)
+      }
+      val sub = GraftExprBridge.optimizedPlan(ann)
+      val byName = sub.output.map(o => o.name -> o).toMap
+      val rename = Map(
+        qid.exprId -> byName("query_id"),
+        topkAlias.exprId -> byName("topk"))
+      Project(
+        agg.output.map(o => Alias(rename(o.exprId), o.name)(exprId = o.exprId)),
+        sub)
+    }
+
+  /** The global-limit kNN formulation: `orderBy(score desc, vec_id asc)
+    * .limit(k)` over the scored cross join. The limit is global over all
+    * (query, vector) pairs; the substitute takes per-query top-k through
+    * the index and re-applies the global sort+limit — correct because a
+    * pair beaten by ≥ k pairs within its own query is beaten by ≥ k
+    * globally, so the global top-k is a subset of the union of per-query
+    * top-k. The projection between limit and sort (the user's select,
+    * pushed below the limit by the optimizer) is re-applied on top of an
+    * exprId-restoring projection, so it may compute anything over
+    * (query_id, vec_id, score).
+    */
+  private def rewriteLimit(
+      gl: LogicalPlan,
+      k: Int,
+      pl: Seq[NamedExpression],
+      scoreAttr: AttributeReference,
+      vid: AttributeReference,
+      projList: Seq[NamedExpression],
+      l: LogicalPlan,
+      r: LogicalPlan,
+      hint: JoinHint): Option[LogicalPlan] = {
+    val plRefs = pl.flatMap(_.references).toSet
+    val qidRefs = plRefs.filter(o =>
+      o.exprId != scoreAttr.exprId && o.exprId != vid.exprId)
+    for {
+      a <- anchor(scoreAttr, vid, projList, l, r, hint)
+      // exactly one query-side id column must be read by the parent — it
+      // doubles as the per-query grouping key of the substituted plan
+      qid <- qidRefs.toSeq match {
+        case Seq(one: AttributeReference)
+          if a.qryChild.outputSet.contains(one) => Some(one)
+        case _ => None
+      }
+    } yield {
+      val (idxDf, qryDf) = frames(a, qid, vid)
+      val perQuery = persistedHandle(a.idxChild) match {
+        case Some(h) =>
+          graft.sources.AnnIndex.queryLsh(qryDf, h, k, cfg.probes)
+        case None => SimilaritySearch.lshTopK(
+          qryDf, idxDf, k, cfg.tables, cfg.bits, cfg.probes)
+      }
+      import org.apache.spark.sql.functions.{asc, desc}
+      val ann = perQuery
+        .orderBy(desc("score"), asc("vec_id"))
+        .limit(k)
+        .select("query_id", "vec_id", "score")
+      val sub = GraftExprBridge.optimizedPlan(ann)
+      val byName = sub.output.map(o => o.name -> o).toMap
+      val restore = Project(Seq(
+        Alias(byName("query_id"), qid.name)(exprId = qid.exprId),
+        Alias(byName("vec_id"), vid.name)(exprId = vid.exprId),
+        Alias(byName("score"), scoreAttr.name)(exprId = scoreAttr.exprId)),
+        sub)
+      Project(pl, restore)
     }
   }
 

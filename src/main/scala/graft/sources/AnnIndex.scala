@@ -395,7 +395,27 @@ object AnnIndex {
       queries: DataFrame,
       handle: LshHandle,
       k: Int = 4,
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1): DataFrame =
+    SimilaritySearch.rerank(
+      lshProbeCandidates(queries, handle, probes), queries, handle.vecs, k)
+
+  /** Agg-form [[queryLsh]]: stops at the bounded TopKAgg aggregate —
+    * output (query_id, topk). The sub-plan the ANN rewrite splices when
+    * the user's naive query is the TopKAgg-aggregate kNN formulation.
+    */
+  def queryLshAgg(
+      queries: DataFrame,
+      handle: LshHandle,
+      k: Int = 4,
+      probes: Int = 1): DataFrame =
+    SimilaritySearch.rerankAgg(
+      lshProbeCandidates(queries, handle, probes), queries, handle.vecs, k)
+
+  /** Candidate (query_id, vec_id) pairs from the stored bucket table —
+    * shared by the exploded and agg-form query paths.
+    */
+  private def lshProbeCandidates(
+      queries: DataFrame, handle: LshHandle, probes: Int): DataFrame = {
     import graft.functions.expressions.VectorExpressions.lsh_buckets_probe
     val qb = broadcast(queries
       .select(col("query_id"),
@@ -404,11 +424,10 @@ object AnnIndex {
       .select(col("query_id"),
         ((col("pos") / probes).cast("long") * (1L << handle.bits) +
           col("bucket")).as("tb")))
-    val cand = handle.buckets
+    handle.buckets
       .join(qb, Seq("tb"))
       .select("query_id", "vec_id")
       .dropDuplicates("query_id", "vec_id")
-    SimilaritySearch.rerank(cand, queries, handle.vecs, k)
   }
 
   // ---------------------------------------------------------------- IVF

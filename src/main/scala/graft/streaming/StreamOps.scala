@@ -107,6 +107,36 @@ object StreamOps {
         sink(graft.rag.RagPipeline.retrieve(batch.toDF(), index, k), id)
       }
 
+  /** Streaming retrieval served by the PERSISTED LSH index: each query
+    * micro-batch re-attaches to the stored layout via
+    * [[graft.sources.AnnIndex.openLsh]] — the no-probe reader path built
+    * for exactly this — and answers through
+    * [[graft.sources.AnnIndex.queryLsh]]. Composed with
+    * [[streamingIndexUpsert]] on the same `sourceDir`, this closes the
+    * reference's upsert-then-ask loop (`AI.py:53-55` upsert, `AI.py:138`
+    * query) as two independent streams: a vector ingested in batch N is
+    * findable by queries from batch N+1 on, with no rebuild, restart, or
+    * shared driver state — the coupling is the stored index alone.
+    * `openLsh` per trigger costs one meta read + idempotent catalog
+    * attach (no data scan); the per-batch query plan is the same
+    * broadcast probe-set equi-join as batch queryLsh.
+    */
+  def streamingIndexRetrieve(
+      queries: DataFrame,
+      sourceDir: String,
+      k: Int = 4,
+      probes: Int = 48)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val h = graft.sources.AnnIndex.openLsh(batch.sparkSession, sourceDir)
+          sink(graft.sources.AnnIndex.queryLsh(batch.toDF(), h, k, probes), id)
+        }
+      }
+
   /** S4-as-a-stream: continuous index maintenance. New vectors arriving
     * on `vecs(vec_id, embedding)` are appended into the persisted LSH
     * index once per micro-batch via

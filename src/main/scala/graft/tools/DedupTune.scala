@@ -1,0 +1,124 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup banding scale sweep (round-4 verdict item 3): measure how the
+  * minhash and simhash band-bucket joins grow when the corpus is
+  * replicated 10× / 100× — the same asserted-vs-measured closure AnnTune
+  * gave the LSH-ANN candidate fraction. Run:
+  *
+  *   sbt "runMain graft.tools.DedupTune /root/testdata/sf0.01"
+  *
+  * Replication model: replica r > 0 of a document has every token
+  * suffixed with `_r`, which preserves each replica-universe's internal
+  * shingle/Jaccard structure exactly (true near-dup pairs scale linearly
+  * with the factor) while making cross-replica shingles disjoint —
+  * filler that repeats the corpus's own duplication structure rather
+  * than colliding with it. What this deliberately does NOT model is
+  * cross-document boilerplate concentrating into ubiquitous shingles
+  * (the skew `ngramJaccard`'s doc-frequency cap exists for); the
+  * measured quantity here is the banding key-space itself: candidate
+  * pairs per doc, hot-bucket size, and verified output, vs n.
+  *
+  * Healthy banding ⇒ candidate pairs grow O(n) (fraction of all pairs
+  * COLLAPSES ~1/n) and the hottest bucket stays bounded by the true
+  * duplicate-cluster size, independent of n. Quadratic growth or a
+  * hot bucket tracking n would mean the band join degenerates at scale.
+  */
+object DedupTune {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").cache()
+    val nBase = docs.count()
+    println(s"base_docs=$nBase sf=$sfDir")
+
+    for (factor <- Seq(1, 10, 100)) {
+      val big = (if (factor == 1) docs
+        else docs.crossJoin(spark.range(factor).toDF("rep"))
+          .select(
+            (col("doc_id") + col("rep") * nBase).as("doc_id"),
+            when(col("rep") === 0, col("text")).otherwise(
+              array_join(transform(split(col("text"), "\\s+"),
+                w => concat(w, lit("_"), col("rep"))), " ")).as("text"))
+        ).cache()
+      val n = big.count()
+
+      // --- minhash at the shipped q32 point (32 hashes, r=2/b=16) ---
+      val mhBanded = Dedup.minHashBandRows(
+        Dedup.minHashSigned(big, k = 3, numHashes = 32), 32, 16).cache()
+      val mhBuckets = mhBanded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("sz")).agg(
+          max("sz").as("hot"), count(lit(1)).as("n_buckets"))
+        .collect()(0)
+      // candidate pairs exactly as the operator generates them
+      val a = mhBanded.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_id_a"))
+      val b = mhBanded.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_id_b"))
+      val mhCand = a.join(b, Seq("band", "bucket"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .dropDuplicates("doc_id_a", "doc_id_b").count()
+      val mhOut = Dedup.minHashLsh(big, k = 3, numHashes = 32, bands = 16,
+        threshold = 0.5).count()
+      val allPairs = n.toDouble * (n - 1) / 2
+      println(f"factor=$factor%-4d minhash  n=$n%-7d cand=$mhCand%-9d " +
+        f"candPerDoc=${mhCand.toDouble / n}%.2f " +
+        f"candFrac=${mhCand / allPairs}%.2e " +
+        f"hotBucket=${mhBuckets.getLong(0)}%-5d verified=$mhOut")
+      mhBanded.unpersist()
+
+      // --- simhash at the shipped q33 point (4 pieces, hamming<=3) ---
+      val shBanded = Dedup.simHashBandRows(big, pieces = 4).cache()
+      val shBuckets = shBanded.groupBy("piece", "piece_val")
+        .agg(count(lit(1)).as("sz")).agg(
+          max("sz").as("hot"), count(lit(1)).as("n_buckets"))
+        .collect()(0)
+      val la = shBanded.select(col("piece"), col("piece_val"),
+        col("doc_id").as("doc_id_a"))
+      val lb = shBanded.select(col("piece"), col("piece_val"),
+        col("doc_id").as("doc_id_b"))
+      val shCand = la.join(lb, Seq("piece", "piece_val"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .dropDuplicates("doc_id_a", "doc_id_b").count()
+      val shOut = Dedup.simHashDedup(big, maxHamming = 3, pieces = 4).count()
+      println(f"factor=$factor%-4d simhash  n=$n%-7d cand=$shCand%-9d " +
+        f"candPerDoc=${shCand.toDouble / n}%.2f " +
+        f"candFrac=${shCand / allPairs}%.2e " +
+        f"hotBucket=${shBuckets.getLong(0)}%-5d verified=$shOut")
+
+      // q61's completeness invariant at the swept size: every pair with
+      // hamming <= 3 must be in the simhash output (pigeonhole). The
+      // exact all-pairs reference is O(n²) — run it up to 10× and skip
+      // at 100× (1.25e9 pairs), where the pigeonhole argument is
+      // structural and the measured quantities above are the point.
+      if (factor <= 10) {
+        val hashes = big.select(col("doc_id"), Dedup.simHash(col("text")).as("sh64"))
+        val exact = hashes.select(col("doc_id").as("doc_id_a"), col("sh64").as("h_a"))
+          .crossJoin(hashes.select(col("doc_id").as("doc_id_b"), col("sh64").as("h_b")))
+          .filter(col("doc_id_a") < col("doc_id_b"))
+          .filter(Dedup.hammingDist(col("h_a"), col("h_b")) <= 3)
+          .count()
+        println(f"factor=$factor%-4d simhash  exactPairs=$exact " +
+          s"setEqual=${exact == shOut}")
+        require(exact == shOut,
+          s"simhash banding lost pairs at factor=$factor: $shOut != $exact")
+      }
+      shBanded.unpersist()
+      big.unpersist()
+    }
+    spark.stop()
+  }
+}

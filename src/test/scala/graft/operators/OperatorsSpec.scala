@@ -341,4 +341,52 @@ class OperatorsSpec extends AnyFunSuite {
       .withColumn("n", TextAnalysis.tokenCount(col("text")))
     assert(d.select("n").as[Int].collect().toSeq === Seq(0, 0, 3, 1))
   }
+
+  test("BMP decode: encoder round-trip, row padding, top-down variant, " +
+      "corrupt input → None") {
+    import graft.multimodal.Multimodal
+    // width 2 → 6 pixel bytes/row, padded to 8: a decoder that summed the
+    // stride bytes (or skipped padding wrongly) gets a different checksum
+    val px = Map((0, 0) -> (1, 2, 3), (1, 0) -> (4, 5, 6),
+      (0, 1) -> (7, 8, 9), (1, 1) -> (10, 11, 12))
+    val bmp = Multimodal.encodeBmp(2, 2, (x, y) => px((x, y)))
+    assert(bmp.length === 54 + 8 * 2) // padded stride
+    val img = Multimodal.decodeBmp(bmp).get
+    assert(img.width === 2 && img.height === 2)
+    assert(img.pixelSum === (1 to 12).sum)
+    // top-down variant: negate the height field; checksum is unchanged
+    val topDown = bmp.clone()
+    val negH = -2
+    topDown(22) = (negH & 0xff).toByte
+    topDown(23) = ((negH >> 8) & 0xff).toByte
+    topDown(24) = ((negH >> 16) & 0xff).toByte
+    topDown(25) = ((negH >> 24) & 0xff).toByte
+    assert(Multimodal.decodeBmp(topDown).get.pixelSum === (1 to 12).sum)
+    // corrupt/unsupported inputs: wrong magic, truncated, 8bpp
+    assert(Multimodal.decodeBmp("not a bmp".getBytes).isEmpty)
+    assert(Multimodal.decodeBmp(bmp.take(40)).isEmpty)
+    val bpp8 = bmp.clone(); bpp8(28) = 8
+    assert(Multimodal.decodeBmp(bpp8).isEmpty)
+    // truncated pixel data (header promises more rows than present)
+    assert(Multimodal.decodeBmp(bmp.dropRight(4)).isEmpty)
+  }
+
+  test("embeddingCosine below the LSH floor fails loudly past " +
+      "spark.graft.dedup.maxExactRows instead of running O(n²)") {
+    val emb = (0L until 8L).map(i =>
+      (i, Array.fill(4)(i.toFloat + 1f))).toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.dedup.maxExactRows", "4")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.embeddingCosine(emb, threshold = 0.35)
+      }
+      assert(e.getMessage.contains("maxExactRows"), e.getMessage)
+      // at or under the cap the exact path still runs
+      spark.conf.set("spark.graft.dedup.maxExactRows", "8")
+      assert(Dedup.embeddingCosine(emb, threshold = 0.35).count() > 0)
+      // the LSH mode is not gated: same 8 rows, threshold above the floor
+      spark.conf.set("spark.graft.dedup.maxExactRows", "4")
+      Dedup.embeddingCosine(emb, threshold = 0.9).count() // must not throw
+    } finally spark.conf.unset("spark.graft.dedup.maxExactRows")
+  }
 }

@@ -79,6 +79,78 @@ class LshAnnPlanSpec extends AnyFunSuite {
     } finally LshAnnPlan.disable(spark)
   }
 
+  // ---- the two other naive kNN formulations the rule serves ----
+
+  private def aggKnnDf(k: Int = 4): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    emb.crossJoin(broadcast(q))
+      .withColumn("score",
+        graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")))
+      .groupBy("query_id")
+      .agg(top_k(col("score"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("vec_id"), round(col("hit.score"), 6).as("score"))
+  }
+
+  private def limitKnnDf(k: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    emb.crossJoin(broadcast(q))
+      .withColumn("score",
+        graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+      .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+  }
+
+  test("aggregate shape: rewrite fires and output is identical") {
+    val exact = aggKnnDf().collect().map(_.toSeq).sortBy(_.toString)
+    LshAnnPlan.enable(spark)
+    try {
+      val plan = physical(aggKnnDf())
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      val ann = aggKnnDf().collect().map(_.toSeq).sortBy(_.toString)
+      assert(ann.toSeq === exact.toSeq)
+    } finally LshAnnPlan.disable(spark)
+  }
+
+  test("global-limit shape: rewrite fires and output is identical") {
+    val exact = limitKnnDf().collect().map(_.toSeq).sortBy(_.toString)
+    LshAnnPlan.enable(spark)
+    try {
+      val plan = physical(limitKnnDf())
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      val ann = limitKnnDf().collect().map(_.toSeq).sortBy(_.toString)
+      assert(ann.toSeq === exact.toSeq)
+    } finally LshAnnPlan.disable(spark)
+  }
+
+  test("guard: a global limit without the deterministic vec_id tiebreak " +
+      "is not touched") {
+    LshAnnPlan.enable(spark)
+    try {
+      val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val df = emb.crossJoin(broadcast(q))
+        .withColumn("score",
+          graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")))
+        .orderBy(desc("score")) // ties unspecified — not the served shape
+        .limit(4)
+        .select("query_id", "vec_id", "score")
+      val plan = physical(df)
+      assert(plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally LshAnnPlan.disable(spark)
+  }
+
   test("extension-injected rule: conf-gated rewrite via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     // a sibling session on the same context, with GraftExtensions applied

@@ -75,6 +75,22 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q74 rewrite of the TopKAgg-aggregate shape lands on the stored " +
+      "bucket table") {
+    val p = physical("q74_rewrite_topk_agg")
+    assert(p.contains("graft_lsh_buckets_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q75 rewrite of the global-limit shape lands on the stored bucket " +
+      "table") {
+    val p = physical("q75_rewrite_global_limit")
+    assert(p.contains("graft_lsh_buckets_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q30 exact dedup: the shuffle groups on the 8-byte hash, not the text") {
     val p = physical("q30_dedup_exact")
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))

@@ -147,6 +147,54 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toSet === expected)
   }
 
+  test("end-to-end persisted-index streams: vectors upserted in one " +
+      "stream are served to the next query batch of the other") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.AnnIndex
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val src = s"stream-e2e-${java.util.UUID.randomUUID().toString.take(8)}"
+    // index the base 90%; the 10% tail arrives by stream
+    AnnIndex.ensureLsh(spark, src,
+      emb.filter(col("vec_id") % 10 =!= 7), tables = 16, bits = 6)
+    val tail = emb.filter(col("vec_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    // stream 1: ingest the tail into the persisted index
+    val vecsIn = MemoryStream[(Long, Array[Float])]
+    val ingest = StreamOps.streamingIndexUpsert(
+      vecsIn.toDF().toDF("vec_id", "embedding"), src, tables = 16, bits = 6)
+      .start()
+    vecsIn.addData(tail.toIndexedSeq: _*)
+    ingest.processAllAvailable()
+    ingest.stop()
+
+    // stream 2: query with the upserted vectors themselves
+    val queryRows = tail.take(8).map { case (id, v) => (id, v) }
+    val qIn = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val ask = StreamOps.streamingIndexRetrieve(
+      qIn.toDF().toDF("query_id", "query_vec"), src, k = 4, probes = 8) {
+      (batch, _) =>
+        got ++= batch.select("query_id", "rank", "vec_id")
+          .collect().map(_.toSeq)
+    }.start()
+    qIn.addData(queryRows.toIndexedSeq: _*)
+    ask.processAllAvailable()
+    ask.stop()
+
+    // every stream-ingested vector is findable: self-match at rank 1
+    val rank1 = got.filter(_(1) == 1).map(r => r(0) -> r(2)).toMap
+    assert(queryRows.forall { case (id, _) => rank1.get(id).contains(id) },
+      s"missing self-matches: $rank1")
+    // and the streamed results equal the batch path on the same index
+    val batchExpected = AnnIndex.queryLsh(
+      queryRows.toSeq.toDF("query_id", "query_vec"),
+      AnnIndex.openLsh(spark, src), k = 4, probes = 8)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+    assert(got.toSet === batchExpected)
+  }
+
   test("ST4/ST5: per-session state accumulates and clear resets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
