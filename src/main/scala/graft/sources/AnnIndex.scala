@@ -213,7 +213,7 @@ object AnnIndex {
   /** Full (re)build: overwrite both tables, then commit the meta. */
   private def buildLsh(spark: SparkSession, tag: String, index: DataFrame,
       tables: Int, bits: Int, storageBuckets: Int, n: Long,
-      fp: Long): Unit = {
+      fp: Long, snapshotId: Option[String] = None): Unit = {
     val base = lshBase(spark, tag)
     spark.sql(s"DROP TABLE IF EXISTS graft_lsh_buckets_$tag")
     lshBucketRows(index, tables, bits).write.mode(SaveMode.Overwrite)
@@ -228,7 +228,8 @@ object AnnIndex {
     writeMetaFull(base,
       Seq("tables" -> tables.toLong, "bits" -> bits.toLong,
         "buckets" -> storageBuckets.toLong, "n_rows" -> n, "checksum" -> fp),
-      Seq("source_paths" -> joinPaths(relationPaths(index))))
+      Seq("source_paths" -> joinPaths(relationPaths(index))) ++
+        snapshotId.map("snapshot_id" -> _).toSeq)
   }
 
   private def lshHandle(spark: SparkSession, tag: String, tables: Int,
@@ -241,6 +242,21 @@ object AnnIndex {
   /** Build (or reuse) the persisted LSH index over `index(vec_id,
     * embedding)`. One pass computes all `tables` signatures per vector;
     * both tables land bucketed + sorted through the catalog.
+    *
+    * `snapshotId`: freshness WITHOUT the content scan. The default
+    * build-or-reuse decision pays one O(n) fingerprint pass over the
+    * source per call — right for fixtures, a full table scan per
+    * session attach at 100 TB. When the caller can name an immutable
+    * source snapshot (a lake table version, a partition manifest hash),
+    * passing its id makes reuse O(1): an index whose meta carries the
+    * SAME id at the same operating point is trusted outright — no scan.
+    * A different (or absent) stored id falls back to the fingerprint
+    * path, which rebuilds only on real content change and then records
+    * the new id, so the scan is paid once per snapshot, not once per
+    * call. Contract: ids must name immutable content — reusing an id
+    * after mutating the source serves a stale index by construction.
+    * [[upsertLsh]] drops the stored id (the layout moves ahead of the
+    * named snapshot).
     */
   def ensureLsh(
       spark: SparkSession,
@@ -248,15 +264,41 @@ object AnnIndex {
       index: DataFrame,
       tables: Int = 64,
       bits: Int = 12,
-      storageBuckets: Int = 8): LshHandle = {
+      storageBuckets: Int = 8,
+      snapshotId: Option[String] = None): LshHandle = {
     val tag = IndexStore.pathTag(sourceDir)
+    val base = lshBase(spark, tag)
+    val snapFresh = snapshotId.exists { id =>
+      val meta = readMeta(base)
+      readMetaStrs(base).get("snapshot_id").contains(id) &&
+        meta.get("tables").contains(tables.toLong) &&
+        meta.get("bits").contains(bits.toLong) &&
+        meta.get("buckets").contains(storageBuckets.toLong)
+    }
+    if (snapFresh) {
+      if (!lshRegistered(spark, tag)) attachLsh(spark, tag, storageBuckets)
+      return lshHandle(spark, tag, tables, bits)
+    }
     val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
-    val metaFresh = lshMetaMatches(readMeta(lshBase(spark, tag)), tables,
+    val metaFresh = lshMetaMatches(readMeta(base), tables,
       bits, storageBuckets, n, fp)
     if (metaFresh && !lshRegistered(spark, tag))
       attachLsh(spark, tag, storageBuckets)
     else if (!metaFresh)
-      buildLsh(spark, tag, index, tables, bits, storageBuckets, n, fp)
+      buildLsh(spark, tag, index, tables, bits, storageBuckets, n, fp,
+        snapshotId)
+    if (metaFresh && snapshotId.isDefined)
+      // content unchanged under a new snapshot name: record the id so
+      // the NEXT ensure at this snapshot skips the scan entirely
+      writeMetaFull(base,
+        Seq("tables" -> tables.toLong, "bits" -> bits.toLong,
+          "buckets" -> storageBuckets.toLong, "n_rows" -> n,
+          "checksum" -> fp) ++
+          readMeta(base).get("last_batch_id")
+            .map("last_batch_id" -> _).toSeq,
+        Seq("source_paths" -> readMetaStrs(base)
+          .getOrElse("source_paths", joinPaths(relationPaths(index)))) ++
+          snapshotId.map("snapshot_id" -> _).toSeq)
     lshHandle(spark, tag, tables, bits)
   }
 
@@ -317,7 +359,10 @@ object AnnIndex {
         batchId.orElse(meta.get("last_batch_id"))
           .map("last_batch_id" -> _).toSeq,
       // indexed-path identity grows with the upsert: a scan must cover
-      // base AND tail relations to be served from the combined index
+      // base AND tail relations to be served from the combined index.
+      // Any stored snapshot_id is deliberately NOT carried over — the
+      // layout is now AHEAD of the snapshot that id named, so the O(1)
+      // ensureLsh fast path must not match it again.
       Seq("source_paths" -> joinPaths(
         (readMetaStrs(base).get("source_paths").map(splitPaths)
           .getOrElse(Nil) ++ relationPaths(newVecs)).distinct.sorted)))
@@ -460,11 +505,31 @@ object AnnIndex {
       sourceDir: String,
       index: DataFrame,
       lists: Int = 32,
-      iters: Int = 5): IvfHandle = {
+      iters: Int = 5,
+      snapshotId: Option[String] = None): IvfHandle = {
     val tag = IndexStore.pathTag(sourceDir)
     val base = ivfBase(spark, tag)
     val listsTable = s"graft_ivf_lists_$tag"
     val centsPath = s"$base/centroids"
+    def attach(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $listsTable")
+      registerExternal(spark, listsTable, s"$base/lists",
+        partitionedBy = Some("centroid_id"))
+    }
+    // O(1) snapshot-id freshness — same contract as [[ensureLsh]]:
+    // a stored id equal to the caller's names the same immutable
+    // content, so the fingerprint scan is skipped outright
+    val snapFresh = snapshotId.exists { id =>
+      val meta = readMeta(base)
+      readMetaStrs(base).get("snapshot_id").contains(id) &&
+        meta.get("lists").contains(lists.toLong) &&
+        meta.get("iters").contains(iters.toLong) &&
+        Files.exists(Paths.get(centsPath))
+    }
+    if (snapFresh) {
+      if (!spark.catalog.tableExists(listsTable)) attach()
+      return IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))
+    }
     val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
     val meta = readMeta(base)
     val metaFresh = meta.get("lists").contains(lists.toLong) &&
@@ -475,9 +540,7 @@ object AnnIndex {
     val registered = spark.catalog.tableExists(listsTable)
     if (metaFresh && !registered) {
       // layout written by an earlier process: attach, don't rebuild
-      spark.sql(s"DROP TABLE IF EXISTS $listsTable")
-      registerExternal(spark, listsTable, s"$base/lists",
-        partitionedBy = Some("centroid_id"))
+      attach()
     } else if (!metaFresh) {
       val cents = SimilaritySearch.kMeansCentroids(index, lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
@@ -488,9 +551,19 @@ object AnnIndex {
         .option("path", s"$base/lists")
         .partitionBy("centroid_id")
         .format("parquet").saveAsTable(listsTable)
-      writeMeta(base, "lists" -> lists.toLong, "iters" -> iters.toLong,
-        "n_rows" -> n, "checksum" -> fp, "n_base" -> n)
+      writeMetaFull(base,
+        Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
+          "n_rows" -> n, "checksum" -> fp, "n_base" -> n),
+        snapshotId.map("snapshot_id" -> _).toSeq)
     }
+    if (metaFresh && snapshotId.isDefined)
+      // content unchanged under a new snapshot name: record the id so
+      // the next ensure at this snapshot is O(1)
+      writeMetaFull(base,
+        Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
+          "n_rows" -> n, "checksum" -> fp,
+          "n_base" -> meta.getOrElse("n_base", n)),
+        snapshotId.map("snapshot_id" -> _).toSeq)
     IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))
   }
 

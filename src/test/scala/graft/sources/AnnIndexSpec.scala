@@ -40,6 +40,56 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(persisted.nonEmpty)
   }
 
+  test("snapshot-id freshness: a matching id skips the content scan; a " +
+      "new id re-fingerprints and rebuilds on real change") {
+    val src = s"spec-$runTag-snap"
+    val rows1 = emb.filter(col("vec_id") < 200)
+    val h1 = AnnIndex.ensureLsh(spark, src, rows1, tables = 16, bits = 6,
+      snapshotId = Some("v1"))
+    val n1 = h1.vecs.count()
+    assert(n1 === rows1.count())
+    // DIFFERENT content under the SAME id: the id is trusted (no scan),
+    // so the index must NOT rebuild — proving the fingerprint pass was
+    // skipped (it would have detected the change)
+    val rows2 = emb.filter(col("vec_id") < 300)
+    val h2 = AnnIndex.ensureLsh(spark, src, rows2, tables = 16, bits = 6,
+      snapshotId = Some("v1"))
+    assert(h2.vecs.count() === n1)
+    // a NEW id falls back to the fingerprint path and rebuilds
+    val h3 = AnnIndex.ensureLsh(spark, src, rows2, tables = 16, bits = 6,
+      snapshotId = Some("v2"))
+    assert(h3.vecs.count() === rows2.count())
+    // …and the recorded id makes the next call O(1) again
+    val h4 = AnnIndex.ensureLsh(spark, src, rows1, tables = 16, bits = 6,
+      snapshotId = Some("v2"))
+    assert(h4.vecs.count() === rows2.count())
+    // an id recorded at build time must not survive an upsert: the
+    // layout moved ahead of the snapshot it named
+    AnnIndex.upsertLsh(spark, src,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 310),
+      tables = 16, bits = 6)
+    val h5 = AnnIndex.ensureLsh(spark, src, rows2, tables = 16, bits = 6,
+      snapshotId = Some("v2"))
+    assert(h5.vecs.count() === rows2.count()) // fingerprint path rebuilt
+  }
+
+  test("IVF snapshot-id freshness mirrors the LSH contract") {
+    val src = s"spec-$runTag-ivfsnap"
+    val rows1 = emb.filter(col("vec_id") < 200)
+    val h1 = AnnIndex.ensureIvf(spark, src, rows1, lists = 8, iters = 2,
+      snapshotId = Some("v1"))
+    val n1 = h1.lists.count()
+    // different content, same id: trusted — no scan, no rebuild
+    val rows2 = emb.filter(col("vec_id") < 300)
+    val h2 = AnnIndex.ensureIvf(spark, src, rows2, lists = 8, iters = 2,
+      snapshotId = Some("v1"))
+    assert(h2.lists.count() === n1)
+    // new id: fingerprint path rebuilds on the real change
+    val h3 = AnnIndex.ensureIvf(spark, src, rows2, lists = 8, iters = 2,
+      snapshotId = Some("v2"))
+    assert(h3.lists.count() === rows2.count())
+  }
+
   test("dropping the catalog registration re-attaches without a rebuild") {
     val src = s"spec-$runTag-b"
     AnnIndex.ensureLsh(spark, src, emb, tables = 16, bits = 6)
