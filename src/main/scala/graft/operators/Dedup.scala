@@ -331,10 +331,57 @@ object Dedup {
         s"embeddingCosine(threshold=$threshold < LshCosineFloor=" +
           s"$LshCosineFloor) is exact all-pairs O(n²), and n=$n exceeds " +
           s"spark.graft.dedup.maxExactRows=$maxRows. Raise the threshold " +
-          s"to >= $LshCosineFloor (sub-quadratic LSH mode), pre-partition " +
-          "the input, or raise the cap to opt in to the quadratic cost.")
+          s"to >= $LshCosineFloor (sub-quadratic LSH mode), use " +
+          "embeddingCosineClustered (sub-quadratic, measured recall — " +
+          "see q77), or raise the cap to opt in to the quadratic cost.")
       embeddingCosineExact(embeddings, threshold)
     }
+
+  /** Sub-quadratic APPROXIMATE cosine pairs for thresholds BELOW
+    * [[LshCosineFloor]] — the band where no LSH family is sub-quadratic
+    * (measured, see the floor's scaladoc) and the exact path is O(n²).
+    * Shape: deterministic k-means centroids → each vector assigned to
+    * its `assignTop` nearest lists (bounded TopKAgg, O(assignTop) rows
+    * per vector out of the map side) → all-pairs WITHIN a shared list →
+    * exact cosine verification. Soundness is exact (every emitted pair
+    * really clears the threshold — same `cosineVerify` as the LSH
+    * mode); completeness is approximate — pairs whose members share no
+    * probed list are missed — and MEASURED, not asserted: the q77
+    * invariant pins the recall floor against the exact pair set at
+    * every fixture scale, and `DedupTune cosine` prints the
+    * recall/cost curve vs (lists, assignTop).
+    *
+    * Cost: expected list size is n·assignTop/lists, so pair work is
+    * ~n²·assignTop²/lists — choose `lists` ∝ n/⟨target list size⟩ to
+    * hold per-list work constant at scale (the exchanges carry id rows
+    * only; vectors are re-attached per nominated pair).
+    */
+  def embeddingCosineClustered(
+      embeddings: DataFrame,
+      threshold: Double,
+      lists: Int = 16,
+      assignTop: Int = 4,
+      iters: Int = 3): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    val cents = broadcast(
+      SimilaritySearch.kMeansCentroids(
+        embeddings.select("vec_id", "embedding"), lists, iters))
+    val assigned = embeddings.select("vec_id", "embedding")
+      .crossJoin(cents)
+      .withColumn("csim",
+        VectorOps.cosine(col("embedding"), col("centroid_vec")))
+      .groupBy("vec_id")
+      .agg(top_k(col("csim"), col("centroid_id").cast("long"), assignTop)
+        .as("tc"))
+      .select(col("vec_id"), explode(col("tc.id")).as("centroid_id"))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_id_a"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_id_b"))
+    val cand = a.join(b, Seq("centroid_id"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select("vec_id_a", "vec_id_b")
+      .dropDuplicates("vec_id_a", "vec_id_b")
+    cosineVerify(cand, embeddings, threshold)
+  }
 
   /** Exact all-pairs form — the quadratic baseline the LSH mode is
     * verified against (and the only exact option below LshCosineFloor).

@@ -126,6 +126,36 @@ object PipelineQueries {
           round(col("cos"), 6).as("cos"))
     }),
 
+    // A9 invariant closure for the BELOW-floor sub-quadratic mode
+    // (embeddingCosineClustered): k-means top-4 list assignment,
+    // list-local pairing, exact verification. Soundness must be exact
+    // (n_unsound = 0: every emitted pair re-verified ⊆ the exact set);
+    // completeness is approximate by design and MEASURED — the floor is
+    // 0.8 at the shipped point (lists = max(8, n/64), assignTop = 4;
+    // DedupTune cosine: recall 1.000 / 0.996 / 0.837 at n = 500 / 500 /
+    // 2000 across the three fixtures, soundness exact everywhere).
+    // This is the measured scale contract for the 0.35–0.75 band where
+    // no LSH family is sub-quadratic; above the floor the LSH mode is
+    // complete (q69).
+    "q77_cosine_clustered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val lists = math.max(8L, n / 64).toInt
+      val approx = Dedup.embeddingCosineClustered(emb, threshold = 0.35,
+        lists = lists, assignTop = 4)
+        .select("vec_id_a", "vec_id_b")
+      val exact = Dedup.embeddingCosineExact(emb, threshold = 0.35)
+        .select("vec_id_a", "vec_id_b")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(approx.join(exact, Seq("vec_id_a", "vec_id_b"),
+          "left_anti").agg(count(lit(1)).as("n_unsound")))
+        .crossJoin(exact.join(approx, Seq("vec_id_a", "vec_id_b"),
+          "left_semi").agg(count(lit(1)).as("n_found")))
+        .select(col("n_exact"),
+          (col("n_unsound") === 0).as("sound_ok"),
+          (col("n_found") >= col("n_exact") * 0.8).as("recall_ok"))
+    }),
+
     // A9 invariant closure for the sub-quadratic embeddingCosine mode:
     // at threshold 0.9 (>= LshCosineFloor) the LSH-routed pair set must
     // equal the exact all-pairs set — soundness (n_extra=0: every
@@ -1016,6 +1046,19 @@ object PipelineQueries {
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
     "q31_ngram_jaccard" -> jaccardOracle(),
+    // n_exact is the same exact-pair count the q34 oracle enumerates;
+    // the booleans pin the measured soundness/recall contract
+    "q77_cosine_clustered" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |true AS sound_ok, true AS recall_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                       CAST(b.embedding AS DOUBLE[]))
+        |  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(a.embedding AS DOUBLE[])))
+        |   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[]))))
+        |  >= 0.35""".stripMargin,
     "q34_embedding_pairs" ->
       """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         |round(

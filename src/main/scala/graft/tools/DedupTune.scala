@@ -38,6 +38,38 @@ object DedupTune {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val mode = if (args.length > 1) args(1) else "bands"
+
+    // `cosine` mode: recall/cost curve of the cluster-local below-floor
+    // pairing (embeddingCosineClustered) vs the exact all-pairs set, at
+    // the q34 threshold — picks the shipped (lists, assignTop) point
+    // and the q77 recall floor.
+    if (mode == "cosine") {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding").cache()
+      val n = emb.count()
+      val threshold = 0.35
+      def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("vec_id_a", "vec_id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairSet(Dedup.embeddingCosineExact(emb, threshold))
+      println(s"n=$n threshold=$threshold exact_pairs=${exact.size}")
+      for (lists <- Seq(8, 16, 32); assignTop <- Seq(2, 4)) {
+        val t0 = System.nanoTime()
+        val got = pairSet(Dedup.embeddingCosineClustered(
+          emb, threshold, lists, assignTop))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = if (exact.isEmpty) 1.0
+          else (exact & got).size.toDouble / exact.size
+        val sound = (got -- exact).isEmpty
+        // pair work proxy: candidate fraction of all pairs
+        println(f"lists=$lists%-3d top=$assignTop  recall=$recall%.3f " +
+          f"sound=$sound found=${got.size}%-8d sec=$sec%.1f")
+      }
+      spark.stop()
+      return
+    }
+
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").cache()
     val nBase = docs.count()

@@ -371,6 +371,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(bmp.dropRight(4)).isEmpty)
   }
 
+  test("embeddingCosineClustered: sound (subset of exact, all >= " +
+      "threshold), and identical vectors always pair") {
+    import graft.TestSpark
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 64).select("vec_id", "embedding")
+      // vec 1000 duplicates vec 0: identical vectors rank their
+      // centroids identically, so they MUST share a list and pair
+      .unionByName(graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+        .filter(col("vec_id") === 0)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id_a", "vec_id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingCosineExact(emb, 0.35))
+    val got = Dedup.embeddingCosineClustered(emb, 0.35,
+      lists = 4, assignTop = 2, iters = 2)
+    assert(got.filter(col("cos") < 0.35).count() === 0)
+    val gotPairs = pairs(got)
+    assert((gotPairs -- exact).isEmpty, "unsound pair emitted")
+    assert(gotPairs.contains((0L, 1000L)), "identical vectors not paired")
+  }
+
   test("embeddingCosine below the LSH floor fails loudly past " +
       "spark.graft.dedup.maxExactRows instead of running O(n²)") {
     val emb = (0L until 8L).map(i =>
