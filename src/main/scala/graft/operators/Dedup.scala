@@ -352,9 +352,15 @@ object Dedup {
     * recall/cost curve vs (lists, assignTop).
     *
     * Cost: expected list size is n·assignTop/lists, so pair work is
-    * ~n²·assignTop²/lists — choose `lists` ∝ n/⟨target list size⟩ to
-    * hold per-list work constant at scale (the exchanges carry id rows
-    * only; vectors are re-attached per nominated pair).
+    * ~n²·assignTop²/lists (the exchanges carry id rows only; vectors
+    * are re-attached per nominated pair). The tradeoff is MEASURED and
+    * honest (BASELINE.md round-5 table): recall tracks the absolute
+    * `lists` count (n = 2 000: 8 lists → 1.00, 32 → 0.84; n = 20 000:
+    * 312 → 0.44), so holding recall while n grows means holding
+    * `lists` — a²/lists of the exact work, a constant-factor win, NOT
+    * an asymptotic escape: no family is sub-quadratic in this band
+    * (the round-4 measurement behind [[LshCosineFloor]]). Choose
+    * `lists` for the recall you need and pay n²·a²/lists.
     */
   def embeddingCosineClustered(
       embeddings: DataFrame,

@@ -10,19 +10,24 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
 /** ANN index behind a plain query API (SURVEY.md §4 O3): an optimizer
-  * rule that recognizes the exact cosine top-k plan shape —
+  * rule that recognizes EVERY naive exact cosine top-k formulation —
   *
-  *   Filter(rank <= k,
-  *     Window(row_number() OVER (PARTITION BY qid
-  *                               ORDER BY score DESC, vid ASC) AS rank,
-  *       Project(..., CosineF(emb, qvec) AS score,
-  *         Join(index, queries, Cross, None))))
+  *   1. Filter(rank <= k, Window(row_number() OVER (PARTITION BY qid
+  *        ORDER BY score DESC, vid ASC))) over the scored cross join;
+  *   2. Aggregate(qid, top_k(score, vid, k)) over the scored cross join
+  *      (the bounded-TopKAgg shape — the engine's own flagship
+  *      `RagPipeline.retrieve` formulation — with the cosine either
+  *      aliased below or inlined in the top_k arguments);
+  *   3. GlobalLimit(k, Sort(score DESC, vid ASC, global)) over the
+  *      scored cross join (single-query kNN as a naive user writes it)
   *
   * — and substitutes the bucketed multi-probe LSH candidate join with
-  * exact re-rank (`SimilaritySearch.lshTopK`). The user writes the naive
-  * crossJoin query; the session plans it through the index, exactly like
-  * the reference's retriever hides its vector index behind a similarity
-  * query (reference: `/root/reference/AI.py:48-55`, queried at `AI.py:138`).
+  * exact re-rank (`SimilaritySearch.lshTopK` / the agg form, or the
+  * persisted bucket table when `persistedSource` is configured). The
+  * user writes the naive crossJoin query; the session plans it through
+  * the index, exactly like the reference's retriever hides its vector
+  * index behind a similarity query (reference:
+  * `/root/reference/AI.py:48-55`, queried at `AI.py:138`).
   *
   * The rewrite changes the physical search strategy, not the query
   * semantics the session signed up for: it is OFF by default and enabled
@@ -167,6 +172,10 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
       case WindowGroupLimit(_, _, _, _, child) => unapply(child)
       case Project(projList, Join(l, r, Cross | Inner, None, hint)) =>
         Some((projList, l, r, hint))
+      // bare join: the score is computed ABOVE (e.g. inline inside the
+      // TopKAgg arguments), so there is no scoring projection to search
+      case Join(l, r, Cross | Inner, None, hint) =>
+        Some((Nil, l, r, hint))
       case _ => None
     }
   }
@@ -182,17 +191,28 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
   private case class Anchor(idxChild: LogicalPlan, qryChild: LogicalPlan,
       embA: AttributeReference, qvecA: AttributeReference)
 
+  /** The cosine behind a score expression: either an attribute whose
+    * alias in the scoring projection is a CosineF, or a CosineF inlined
+    * directly (e.g. `top_k(cosine(emb, qv), …)` with no withColumn).
+    */
+  private def resolveCosine(scoreExpr: Expression,
+      projList: Seq[NamedExpression]): Option[CosineF] = scoreExpr match {
+    case a: AttributeReference => projList.collectFirst {
+      case al @ Alias(c: CosineF, _) if al.exprId == a.exprId => c
+    }
+    case c: CosineF => Some(c)
+    case _ => None
+  }
+
   private def anchor(
-      scoreAttr: AttributeReference,
+      scoreExpr: Expression,
       vid: AttributeReference,
       projList: Seq[NamedExpression],
       l: LogicalPlan,
       r: LogicalPlan,
       hint: JoinHint): Option[Anchor] =
     for {
-      cos <- projList.collectFirst {
-        case a @ Alias(c: CosineF, _) if a.exprId == scoreAttr.exprId => c
-      }
+      cos <- resolveCosine(scoreExpr, projList)
       emb <- Some(cos.left).collect { case a: AttributeReference => a }
       qvec <- Some(cos.right).collect { case a: AttributeReference => a }
       // orient the join: the index side owns the vector ids
@@ -284,9 +304,8 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
     for {
       tk <- Some(ae.aggregateFunction).collect { case t: TopKAgg => t }
       if tk.k >= 1
-      scoreAttr <- Some(tk.scoreExpr).collect { case s: AttributeReference => s }
       vid <- Some(tk.idExpr).collect { case v: AttributeReference => v }
-      a <- anchor(scoreAttr, vid, projList, l, r, hint)
+      a <- anchor(tk.scoreExpr, vid, projList, l, r, hint)
       if a.qryChild.outputSet.contains(qid)
     } yield {
       val (idxDf, qryDf) = frames(a, qid, vid)

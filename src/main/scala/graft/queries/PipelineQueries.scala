@@ -134,8 +134,11 @@ object PipelineQueries {
     // 0.8 at the shipped point (lists = max(8, n/64), assignTop = 4;
     // DedupTune cosine: recall 1.000 / 0.996 / 0.837 at n = 500 / 500 /
     // 2000 across the three fixtures, soundness exact everywhere).
-    // This is the measured scale contract for the 0.35–0.75 band where
-    // no LSH family is sub-quadratic; above the floor the LSH mode is
+    // This is the measured contract for the 0.35–0.75 band where no
+    // family is sub-quadratic: recall tracks the absolute `lists` count
+    // (at 10× the n/64 rule measures 0.44 — BASELINE.md round-5 table),
+    // so the mode is a constant-factor a²/lists win at a measured
+    // recall, chosen per corpus; above the floor the LSH mode is
     // complete (q69).
     "q77_cosine_clustered" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -45,16 +45,42 @@ object DedupTune {
     // the q34 threshold — picks the shipped (lists, assignTop) point
     // and the q77 recall floor.
     if (mode == "cosine") {
-      val emb = Tables.load(spark, sfDir, "embeddings")
-        .select("vec_id", "embedding").cache()
+      // optional 3rd arg: replication factor — extends the measured
+      // recall envelope beyond fixture n with the same jittered-replica
+      // recipe AnnTune's scale mode uses (hash-derived uniform noise at
+      // 2× per-component RMS; replica 0 untouched)
+      val factor = if (args.length > 2) args(2).toInt else 1
+      val baseEmb = Tables.load(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding")
+      val nBaseV = baseEmb.count()
+      val emb = (if (factor == 1) baseEmb else {
+        val sigma = 2.0
+        baseEmb.crossJoin(spark.range(factor).toDF("rep"))
+          .select(
+            (col("vec_id") + col("rep") * nBaseV).as("vec_id"),
+            when(col("rep") === 0, col("embedding")).otherwise(
+              transform(col("embedding"), (x, i) =>
+                (x + lit(sigma)
+                  * sqrt(aggregate(col("embedding"), lit(0.0d),
+                      (a, e) => a + e * e) / size(col("embedding")))
+                  * (hash(col("vec_id"), col("rep"), i).cast("double")
+                    / Int.MaxValue)).cast("float")))
+              .as("embedding"))
+      }).cache()
       val n = emb.count()
       val threshold = 0.35
       def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.select("vec_id_a", "vec_id_b").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       val exact = pairSet(Dedup.embeddingCosineExact(emb, threshold))
-      println(s"n=$n threshold=$threshold exact_pairs=${exact.size}")
-      for (lists <- Seq(8, 16, 32); assignTop <- Seq(2, 4)) {
+      println(s"n=$n factor=$factor threshold=$threshold " +
+        s"exact_pairs=${exact.size}")
+      val shipped = math.max(8L, n / 64).toInt
+      val grid =
+        if (factor == 1)
+          for (l <- Seq(8, 16, 32); a <- Seq(2, 4)) yield (l, a)
+        else Seq((shipped, 4), (math.max(8L, n / 32).toInt, 4))
+      for ((lists, assignTop) <- grid) {
         val t0 = System.nanoTime()
         val got = pairSet(Dedup.embeddingCosineClustered(
           emb, threshold, lists, assignTop))
@@ -62,9 +88,9 @@ object DedupTune {
         val recall = if (exact.isEmpty) 1.0
           else (exact & got).size.toDouble / exact.size
         val sound = (got -- exact).isEmpty
-        // pair work proxy: candidate fraction of all pairs
-        println(f"lists=$lists%-3d top=$assignTop  recall=$recall%.3f " +
-          f"sound=$sound found=${got.size}%-8d sec=$sec%.1f")
+        println(f"lists=$lists%-4d top=$assignTop  recall=$recall%.3f " +
+          f"sound=$sound found=${got.size}%-8d sec=$sec%.1f" +
+          (if (lists == shipped) "  <- shipped point (n/64)" else ""))
       }
       spark.stop()
       return

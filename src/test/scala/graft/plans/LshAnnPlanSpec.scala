@@ -120,6 +120,33 @@ class LshAnnPlanSpec extends AnyFunSuite {
     } finally LshAnnPlan.disable(spark)
   }
 
+  test("aggregate shape with the cosine INLINED in top_k (no withColumn) " +
+      "also rewrites, output-identical") {
+    import graft.functions.expressions.TopKAgg.top_k
+    def df: DataFrame = {
+      val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      emb.crossJoin(broadcast(q))
+        .groupBy("query_id")
+        .agg(top_k(
+          graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")),
+          col("vec_id"), 4).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("hit.id").as("vec_id"), round(col("hit.score"), 6).as("score"))
+    }
+    val exact = df.collect().map(_.toSeq).sortBy(_.toString)
+    LshAnnPlan.enable(spark)
+    try {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      val ann = df.collect().map(_.toSeq).sortBy(_.toString)
+      assert(ann.toSeq === exact.toSeq)
+    } finally LshAnnPlan.disable(spark)
+  }
+
   test("global-limit shape: rewrite fires and output is identical") {
     val exact = limitKnnDf().collect().map(_.toSeq).sortBy(_.toString)
     LshAnnPlan.enable(spark)
@@ -252,6 +279,58 @@ class LshAnnPlanSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), plan)
       val viaIndex = df.collect().map(_.toSeq).sortBy(_.toString)
       assert(viaIndex.toSeq === exact.toSeq)
+    } finally LshAnnPlan.disable(spark)
+  }
+
+  test("persistedSource + inline-cosine aggregate shape: served from the " +
+      "stored bucket table") {
+    import graft.functions.expressions.TopKAgg.top_k
+    val emb0 = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    graft.sources.AnnIndex.ensureLsh(spark, TestSpark.Sf0001,
+      emb0.select("vec_id", "embedding"), tables = 64, bits = 12)
+    def df: DataFrame = {
+      val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      emb.crossJoin(broadcast(q))
+        .groupBy("query_id")
+        .agg(top_k(
+          graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")),
+          col("vec_id"), 4).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("hit.id").as("vec_id"), round(col("hit.score"), 6).as("score"))
+    }
+    val exact = df.collect().map(_.toSeq).sortBy(_.toString)
+    LshAnnPlan.enable(spark,
+      LshAnnPlan.Config(persistedSource = Some(TestSpark.Sf0001)))
+    try {
+      val plan = physical(df)
+      assert(plan.contains("graft_lsh_buckets_"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      val viaIndex = df.collect().map(_.toSeq).sortBy(_.toString)
+      assert(viaIndex.toSeq === exact.toSeq)
+    } finally LshAnnPlan.disable(spark)
+  }
+
+  test("guard: a global limit whose projection reads no query-side id " +
+      "column is not touched") {
+    LshAnnPlan.enable(spark)
+    try {
+      val emb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      // selects only (vec_id, score): no per-query grouping key for the
+      // substitute to anchor on → the rule must leave the plan alone
+      val df = emb.crossJoin(broadcast(q))
+        .withColumn("score",
+          graft.functions.VectorOps.cosine(col("embedding"), col("query_vec")))
+        .orderBy(desc("score"), asc("vec_id"))
+        .limit(4)
+        .select("vec_id", "score")
+      val plan = physical(df)
+      assert(plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin"), plan)
     } finally LshAnnPlan.disable(spark)
   }
 
