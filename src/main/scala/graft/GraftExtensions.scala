@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // LshAnnPlan.enable for live sessions):
     //   spark.graft.ann.rewrite=true
     //   spark.graft.ann.tables/bits/probes  (optional overrides)
+    //   spark.graft.ann.source=<sourceDir>  (optional: route matching
+    //     queries onto the PERSISTED index built by AnnIndex.ensureLsh
+    //     over that source — the cluster-deployment twin of
+    //     Config.persistedSource, same guards and fallbacks)
     e.injectOptimizerRule { session =>
       new org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
@@ -42,7 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                 .flatMap(_.toIntOption).getOrElse(dflt)
             graft.plans.LshAnnRewrite(session,
               graft.plans.LshAnnPlan.Config(i("tables", dft.tables),
-                i("bits", dft.bits), i("probes", dft.probes)))(plan)
+                i("bits", dft.bits), i("probes", dft.probes),
+                persistedSource = session.conf
+                  .getOption("spark.graft.ann.source")
+                  .filter(_.nonEmpty)))(plan)
           }
       }
     }

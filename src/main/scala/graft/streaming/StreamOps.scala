@@ -107,6 +107,100 @@ object StreamOps {
         sink(graft.rag.RagPipeline.retrieve(batch.toDF(), index, k), id)
       }
 
+  /** The reference's complete interactive ask loop as ONE stream
+    * (`/root/reference/AI.py:163-185`): per micro-batch of
+    * `(query_id, user_id, question)` rows —
+    *
+    *  1. history-aware retrieval (`AI.py` `create_history_aware_retriever`):
+    *     the remote LLM question-condenser is out of scope exactly like
+    *     the remote embedder; its deterministic stand-in prefixes the
+    *     user's last `maxHistory` turns to the question before
+    *     embedding, preserving the data-flow shape
+    *     history → condensed query → retrieve;
+    *  2. top-k retrieval against the static chunk index + stuff-chain
+    *     context assembly (`RagPipeline.retrieve`/`assembleContext`);
+    *  3. the answer is the assembled context passed through
+    *     `RagPipeline.postProcess` (refusal rewrite + first-line
+    *     truncation, `AI.py:176-185`) — the LLM generation step is a
+    *     deterministic identity here;
+    *  4. both turns land in the per-user history served to the NEXT
+    *     batch (`SimpleChatMessageHistory.append`, `AI.py:19-30`), and
+    *     a question equal to `clear` resets that user's history
+    *     (`clear_messages`, `AI.py:232-235`).
+    *
+    * History is driver-held per stream instance (bounded: `maxHistory`
+    * turns per user are all later batches read) with
+    * checkpoint-truncated lineage — the per-user durable variant would
+    * key a history table the way the ANN index is persisted.
+    */
+  def streamingChat(
+      questions: DataFrame, // (query_id, user_id, question)
+      index: DataFrame,
+      k: Int = 4,
+      maxHistory: Int = 4)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val historyRef =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    questions.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF()
+          val clears = b.filter(col("question") === "clear")
+            .select("user_id").distinct()
+          val asks = b.filter(col("question") =!= "clear")
+          val hist = Option(historyRef.get())
+          // drop cleared users' history first (a clear and a question in
+          // the SAME batch: the clear applies before the question, like
+          // the reference's sequential click handling)
+          val kept = hist.map(_.join(clears, Seq("user_id"), "left_anti"))
+          // deterministic condenser: last maxHistory turns, turn order
+          val condensed = kept match {
+            case Some(h) =>
+              val turns = array_sort(collect_list(struct(col("turn"),
+                concat_ws(" ", col("question"), col("answer")).as("txt"))))
+                .getField("txt")
+              val perUser = h
+                .groupBy("user_id")
+                .agg(concat_ws(" ",
+                  // slice with a negative start UNDERSHOOTS on arrays
+                  // shorter than maxHistory — keep short histories whole
+                  when(size(turns) <= maxHistory, turns)
+                    .otherwise(slice(turns, -maxHistory, maxHistory)))
+                  .as("hist_text"))
+              asks.join(perUser, Seq("user_id"), "left")
+                .select(col("query_id"), col("user_id"),
+                  col("question"),
+                  when(col("hist_text").isNull, col("question"))
+                    .otherwise(concat_ws(" ", col("hist_text"),
+                      col("question"))).as("query_text"))
+            case None => asks.select(col("query_id"), col("user_id"),
+              col("question"), col("question").as("query_text"))
+          }
+          val answered = graft.rag.RagPipeline.assembleContext(
+            graft.rag.RagPipeline.retrieve(
+              condensed.select("query_id", "query_text"), index, k))
+            .withColumnRenamed("context", "answer")
+          val out = condensed.select("query_id", "user_id", "question")
+            .join(answered, Seq("query_id"))
+          val processed = graft.rag.RagPipeline.postProcess(out)
+          sink(processed, id)
+          // append this batch's turns to the history the next batch reads
+          val newTurns = processed
+            .select(col("user_id"),
+              (lit(id * 1000000L) + col("query_id")).as("turn"),
+              col("question"), col("answer"))
+          val next = kept match {
+            case Some(h) => h.unionByName(newTurns)
+            case None => newTurns
+          }
+          historyRef.set(next.localCheckpoint(true))
+          ()
+        }
+      }
+  }
+
   /** Streaming retrieval served by the PERSISTED LSH index: each query
     * micro-batch re-attaches to the stored layout via
     * [[graft.sources.AnnIndex.openLsh]] — the no-probe reader path built

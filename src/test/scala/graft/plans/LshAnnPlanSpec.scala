@@ -219,6 +219,15 @@ class LshAnnPlanSpec extends AnyFunSuite {
       val plan = knn.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
       assert(!plan.contains("CartesianProduct"), plan)
+      // spark.graft.ann.source routes onto the PERSISTED index — the
+      // conf-only cluster twin of Config.persistedSource
+      graft.sources.AnnIndex.ensureLsh(s2, graft.TestSpark.Sf0001,
+        graft.Tables.load(s2, graft.TestSpark.Sf0001, "embeddings")
+          .select("vec_id", "embedding"), tables = 64, bits = 12)
+      s2.conf.set("spark.graft.ann.source", graft.TestSpark.Sf0001)
+      val persistedPlan = knn.queryExecution.executedPlan.toString
+      assert(persistedPlan.contains("graft_lsh_buckets_"), persistedPlan)
+      s2.conf.unset("spark.graft.ann.source")
       // and the extension also registered the SQL functions
       assert(s2.sql("SELECT lsh_buckets(array(1.0F, 0.0F), 2, 4) AS b")
         .head().getSeq[Long](0).length === 2)

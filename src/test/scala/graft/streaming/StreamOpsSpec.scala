@@ -195,6 +195,59 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toSet === batchExpected)
   }
 
+  test("streamingChat: the reference's ask loop end-to-end — history " +
+      "conditions the next batch's retrieval; clear resets it") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark joins shuffle data across partitions for the merge step"),
+      (2L, "vector indexes answer similarity queries with cosine scores"),
+      (3L, "watermarks bound event time state in streaming aggregation"))
+      .toDF("doc_id", "text")
+    val index = graft.rag.RagPipeline.buildIndex(spark, docs, chunkSize = 60)
+      .cache()
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, String, String)]]()
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = StreamOps.streamingChat(
+      mem.toDF().toDF("query_id", "user_id", "question"), index, k = 2) {
+      (batch, id) =>
+        got(id) = batch.select("query_id", "question", "answer")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .toSeq
+    }.start()
+    // batch 0: no history — answers come from the bare question
+    mem.addData((1L, 7L, "spark shuffle merge"))
+    q.processAllAvailable()
+    // batch 1: user 7's history must now prefix the condensed query —
+    // so the SAME question retrieves like the batch-path augmented query
+    mem.addData((2L, 7L, "cosine vector query"))
+    q.processAllAvailable()
+    // batch 2: clear, then ask again in a later batch
+    mem.addData((3L, 7L, "clear"))
+    q.processAllAvailable()
+    mem.addData((4L, 7L, "cosine vector query"))
+    q.processAllAvailable()
+    q.stop()
+
+    def batchAnswer(queryText: String): String =
+      graft.rag.RagPipeline.postProcess(
+        graft.rag.RagPipeline.assembleContext(
+          graft.rag.RagPipeline.retrieve(
+            Seq((99L, queryText)).toDF("query_id", "query_text"), index, 2))
+          .withColumnRenamed("context", "answer"))
+        .select("answer").head().getString(0)
+
+    val a1 = got(0).head._3
+    assert(a1 === batchAnswer("spark shuffle merge"))
+    // batch 1's condensed query = "q1 a1 q2" (one prior turn)
+    val a2 = got(1).head._3
+    assert(a2 === batchAnswer(s"spark shuffle merge $a1 cosine vector query"))
+    // after clear, the same question answers as if fresh
+    val a4 = got(3).head._3
+    assert(a4 === batchAnswer("cosine vector query"))
+    // and history genuinely mattered: the pre-clear answer used it
+    assert(got(1).head._2 === "cosine vector query")
+  }
+
   test("ST4/ST5: per-session state accumulates and clear resets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
