@@ -168,14 +168,18 @@ object Multimodal {
     out
   }
 
-  /** REAL decode of an uncompressed 24bpp BMP: validates the `BM`
+  /** REAL decode of an uncompressed BMP at the three common bit depths
+    * — 24bpp BGR, 32bpp BGRA, and 8bpp palettized: validates the `BM`
     * signature, reads dimensions from the DIB header (negative height =
-    * top-down rows, per the spec), walks the padded pixel rows, and
-    * returns the dimensions plus the checksum of all channel bytes.
-    * Returns None for anything that is not a well-formed uncompressed
-    * 24bpp BMP (wrong magic, truncated, compressed, other bit depths) —
-    * the error contract PdfText set (malformed input yields an empty
-    * result, never an exception).
+    * top-down rows, per the spec), resolves the palette for 8bpp, walks
+    * the padded pixel rows, and returns the dimensions plus the
+    * checksum of all decoded R+G+B channel bytes (alpha is not color —
+    * a 32bpp image checksums identically to its 24bpp twin; a
+    * palettized image checksums its palette-EXPANDED pixels, so the
+    * same picture gives the same checksum at any supported depth).
+    * Returns None for anything else (wrong magic, truncated,
+    * compressed, other depths) — the error contract PdfText set
+    * (malformed input yields an empty result, never an exception).
     */
   def decodeBmp(bytes: Array[Byte]): Option[BmpImage] = {
     def i32(off: Int): Int =
@@ -186,14 +190,31 @@ object Multimodal {
       if (bytes == null || bytes.length < 54) return None
       if (bytes(0) != 'B' || bytes(1) != 'M') return None
       val dataOff = i32(10)
-      if (i32(14) < 40) return None // pre-BITMAPINFOHEADER cores unsupported
+      val dibSize = i32(14)
+      if (dibSize < 40) return None // pre-BITMAPINFOHEADER cores unsupported
       val width = i32(18)
       val rawHeight = i32(22)
       val height = math.abs(rawHeight)
       if (width <= 0 || height == 0) return None
-      if (i16(26) != 1 || i16(28) != 24) return None // planes / 24bpp only
+      val bpp = i16(28)
+      if (i16(26) != 1) return None
+      if (bpp != 8 && bpp != 24 && bpp != 32) return None
       if (i32(30) != 0) return None // BI_RGB only
-      val stride = (width * 3 + 3) / 4 * 4
+      val bytesPerPx = bpp / 8
+      val stride = (width * bytesPerPx + 3) / 4 * 4
+      // 8bpp: BGRX palette sits between the DIB header and the pixels;
+      // biClrUsed (offset 46) of 0 means the full 256 entries
+      val palette: Array[Long] = if (bpp == 8) {
+        val clrUsed = i32(46)
+        val n = if (clrUsed == 0) 256 else clrUsed
+        val palOff = 14 + dibSize
+        if (n <= 0 || n > 256 || palOff + 4 * n > bytes.length) return None
+        Array.tabulate(n) { i =>
+          val o = palOff + 4 * i
+          ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
+            (bytes(o + 2) & 0xff)).toLong // B + G + R
+        }
+      } else null
       if (dataOff < 54 || dataOff.toLong + stride.toLong * height > bytes.length)
         return None
       var sum = 0L
@@ -205,8 +226,17 @@ object Multimodal {
         val srcRow = if (rawHeight > 0) height - 1 - y else y
         val rowOff = dataOff + srcRow * stride
         var x = 0
-        while (x < width * 3) {
-          sum += bytes(rowOff + x) & 0xff
+        while (x < width) {
+          val p = rowOff + x * bytesPerPx
+          if (bpp == 8) {
+            val idx = bytes(p) & 0xff
+            if (idx >= palette.length) return None
+            sum += palette(idx)
+          } else {
+            // BGR (24) or BGRA (32): first three bytes are the color
+            sum += (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) +
+              (bytes(p + 2) & 0xff)
+          }
           x += 1
         }
         y += 1

@@ -371,6 +371,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(bmp.dropRight(4)).isEmpty)
   }
 
+  test("BMP decode: 32bpp BGRA and 8bpp palettized checksum like their " +
+      "24bpp twin (alpha ignored, palette expanded)") {
+    import graft.multimodal.Multimodal
+    // 54 bytes of file+DIB header; the palette (if any) is appended by
+    // the caller and dataOff points past it
+    def header(dataOff: Int, w: Int, h: Int, bpp: Int, fileSize: Int,
+        clrUsed: Int): Array[Byte] = {
+      val out = new Array[Byte](54)
+      def i32(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+        out(off + 2) = ((v >> 16) & 0xff).toByte
+        out(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      out(0) = 'B'; out(1) = 'M'
+      i32(2, fileSize); i32(10, dataOff); i32(14, 40)
+      i32(18, w); i32(22, h); out(26) = 1; out(28) = bpp.toByte
+      i32(30, 0); i32(46, clrUsed)
+      out
+    }
+    // 32bpp, 2x2, same colors as the 24bpp test (1..12), alpha 0xAA:
+    // stride 8, no padding
+    val px = Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12))
+    val body32 = Array(
+      px(2), px(3), // bottom row first (bottom-up)
+      px(0), px(1)).flatMap { case (r, g, b) =>
+      Array(b.toByte, g.toByte, r.toByte, 0xAA.toByte) }
+    val bmp32 = header(54, 2, 2, 32, 54 + 16, 0) ++ body32
+    val img32 = Multimodal.decodeBmp(bmp32).get
+    assert(img32.width === 2 && img32.height === 2)
+    assert(img32.pixelSum === (1 to 12).sum) // alpha excluded
+    // 8bpp, 2x2, 2-entry palette; indices [[0,1],[1,0]]; stride 4
+    val palette = Array[Byte](1, 2, 3, 0, 10, 20, 30, 0) // BGRX entries
+    val rows8 = Array[Byte](1, 0, 0, 0, /* bottom row idx 1,0 + pad */
+      0, 1, 0, 0) /* top row idx 0,1 + pad */
+    val bmp8 = header(14 + 40 + 8, 2, 2, 8, 14 + 40 + 8 + 8, 2) ++
+      palette ++ rows8
+    val img8 = Multimodal.decodeBmp(bmp8).get
+    assert(img8.width === 2 && img8.height === 2)
+    assert(img8.pixelSum === 2L * (1 + 2 + 3) + 2L * (10 + 20 + 30))
+    // palette index out of range → None, not a crash
+    val bad = bmp8.clone(); bad(14 + 40 + 8) = 7 // index 7 of a 2-entry palette
+    assert(Multimodal.decodeBmp(bad).isEmpty)
+    // 16bpp stays unsupported → None
+    val b16 = bmp32.clone(); b16(28) = 16
+    assert(Multimodal.decodeBmp(b16).isEmpty)
+  }
+
   test("embeddingCosineClustered: sound (subset of exact, all >= " +
       "threshold), and identical vectors always pair") {
     import graft.TestSpark
