@@ -361,17 +361,25 @@ object Dedup {
     * an asymptotic escape: no family is sub-quadratic in this band
     * (the round-4 measurement behind [[LshCosineFloor]]). Choose
     * `lists` for the recall you need and pay n²·a²/lists.
+    *
+    * `centroids`: pass a precomputed `(centroid_id, centroid_vec)`
+    * frame — e.g. a persisted IVF index's centroid table
+    * ([[graft.sources.AnnIndex.IvfHandle.centroids]]) — to skip the
+    * in-call k-means; training once per corpus instead of once per
+    * dedup call is the serving shape at scale (`lists`/`iters` are
+    * ignored when provided).
     */
   def embeddingCosineClustered(
       embeddings: DataFrame,
       threshold: Double,
       lists: Int = 16,
       assignTop: Int = 4,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      centroids: Option[DataFrame] = None): DataFrame = {
     import graft.functions.expressions.TopKAgg.top_k
-    val cents = broadcast(
+    val cents = broadcast(centroids.getOrElse(
       SimilaritySearch.kMeansCentroids(
-        embeddings.select("vec_id", "embedding"), lists, iters))
+        embeddings.select("vec_id", "embedding"), lists, iters)))
     val assigned = embeddings.select("vec_id", "embedding")
       .crossJoin(cents)
       .withColumn("csim",

@@ -440,6 +440,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotPairs.contains((0L, 1000L)), "identical vectors not paired")
   }
 
+  test("embeddingCosineClustered with precomputed centroids equals the " +
+      "in-call training (persisted-IVF reuse path)") {
+    import graft.TestSpark
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 128).select("vec_id", "embedding")
+    val pre = graft.operators.SimilaritySearch.kMeansCentroids(emb, 4, 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id_a", "vec_id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = pairs(Dedup.embeddingCosineClustered(emb, 0.35,
+      lists = 4, assignTop = 2, iters = 2))
+    val reused = pairs(Dedup.embeddingCosineClustered(emb, 0.35,
+      lists = 999, assignTop = 2, iters = 999, // ignored when provided
+      centroids = Some(
+        graft.operators.SimilaritySearch.kMeansCentroids(emb, 4, 2))))
+    assert(reused === trained)
+    assert(pre.count() === 4)
+  }
+
   test("embeddingCosine below the LSH floor fails loudly past " +
       "spark.graft.dedup.maxExactRows instead of running O(n²)") {
     val emb = (0L until 8L).map(i =>
