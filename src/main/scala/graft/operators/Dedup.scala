@@ -284,6 +284,88 @@ object Dedup {
     labels
   }
 
+  /** Connected components in O(log n) ROUNDS — the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Same contract and
+    * output as [[clusters]]: `(doc_id, cluster_id = min id of the
+    * component)` for every node appearing in `pairs`.
+    *
+    * Why it exists alongside [[clusters]]: min-label propagation runs
+    * one round per unit of component DIAMETER. Near-dup clusters are
+    * almost always stars (2–3 rounds), but a boilerplate chain — doc A
+    * near-dups B near-dups C without A~C, the classic template-drift
+    * shape in web corpora — has diameter O(chain length), and at 100 TB
+    * a 1 000-deep chain means 1 000 sequential shuffle rounds. The
+    * alternating algorithm contracts every component to a star centered
+    * at its minimum in O(log n) rounds REGARDLESS of diameter:
+    *
+    *   - large-star: for each node u, hook every neighbor v > u to
+    *     m = min(Γ(u) ∪ u);
+    *   - small-star: orienting edges high→low, hook every low neighbor
+    *     (and u itself) to that minimum.
+    *
+    * Each half-round is one partition-by-node window (min over the
+    * neighborhood) + one distinct — edges only, never payloads. At the
+    * fixpoint the edge set IS the answer: every edge reads
+    * (member, component-min). Like [[clusters]], an unconverged exit
+    * fails loudly rather than returning mid-contraction labels.
+    */
+  def clustersAlternating(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // canonical high→low edges; checkpoint cuts the (possibly expensive)
+    // pair-generation lineage, same as clusters()
+    var edges = pairs
+      .select(greatest(col("doc_id_a"), col("doc_id_b")).as("src"),
+        least(col("doc_id_a"), col("doc_id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    // a large-star round: symmetrize, then for each center u hook its
+    // LARGER neighbors to the neighborhood min (≤ u, so output stays
+    // canonical high→low)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = min(least(col("dst"), col("src")))
+        .over(Window.partitionBy("src"))
+      sym.withColumn("m", m)
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // a small-star round: edges already point high→low, so Γ(u) here is
+    // u's smaller neighbors; hook them all (and u) to the min
+    def smallStar(e: DataFrame): DataFrame = {
+      val withM = e.withColumn("m",
+        min(col("dst")).over(Window.partitionBy("src")))
+      withM.select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .unionByName(withM.select(col("src"), col("m").as("dst")).distinct())
+        .distinct()
+    }
+    var iter = 0
+    var converged = edges.isEmpty
+    while (iter < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      // fixpoint test = one symmetric-difference probe; materializes the
+      // lazy checkpoint, so each round costs a bounded number of jobs
+      val changed = next.exceptAll(edges).limit(1).isEmpty &&
+        edges.exceptAll(next).limit(1).isEmpty
+      converged = changed
+      edges = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"alternating connected components did not converge within $maxIter " +
+        "rounds; raise maxIter (expected O(log n) — this indicates a " +
+        "pathological graph or a far larger component count than sized for)")
+    // stars: every edge is (member, min); centers label themselves
+    edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .unionByName(
+        edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
+      .distinct()
+  }
+
   /** Thresholds at or above this route through hyperplane-LSH candidate
     * generation instead of the all-pairs crossJoin. The floor is where the
     * collision math makes banding reliable: at cos 0.8 a hyperplane agrees

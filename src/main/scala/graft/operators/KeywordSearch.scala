@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword (lexical) retrieval and rank fusion — the half of hybrid
+  * search the reference's vector-only retriever lacks (reference:
+  * `/root/reference/AI.py:138` retrieves by embedding cosine alone; a
+  * production RAG serving stack pairs that with BM25 and fuses the two
+  * rankings, which is exactly what a user migrating off the reference
+  * asks for first).
+  *
+  * Everything here is the classic inverted-index shape expressed as
+  * Spark relational ops:
+  *
+  *   - postings `(doc_id, term, tf, dl)` — one explode + one
+  *     map-side-combinable groupBy (a document's tokens live in one row,
+  *     hence one partition, so partial aggregation finishes the count
+  *     before the exchange; the shuffle carries one row per DISTINCT
+  *     (doc, term), not per token);
+  *   - query terms are broadcast (a query is a handful of terms), so
+  *     candidate generation is a map-side hash join against the
+  *     postings — the only corpus-sized exchange in the whole plan is
+  *     the postings build itself, which at 100 TB you materialize once
+  *     (`bm25TopKFromPostings`) exactly like [[graft.sources.AnnIndex]]
+  *     persists the vector buckets;
+  *   - scoring shuffles only candidate `(query, doc)` rows, and the
+  *     final per-query top-k goes through the bounded
+  *     [[graft.functions.expressions.TopKAgg]] (map-side partial top-k,
+  *     O(k) rows per task on the last exchange).
+  *
+  * Scores are ranked on their 6-decimal rounding (ties broken by id
+  * ascending) so the ordering is stable across summation orders — the
+  * same double-math discipline as the cosine top-k queries.
+  */
+object KeywordSearch {
+
+  /** Lowercased alphanumeric tokens (split on non-`[a-z0-9]` runs,
+    * empties dropped). Corpus side and query side MUST tokenize
+    * identically, so both go through this one expression; it stays
+    * inside whole-stage codegen (builtin split/filter, no UDF).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** The inverted index: one row per distinct (document, term) with the
+    * term frequency and the document's token length — `(doc_id, term,
+    * tf, dl)`, both counts as doubles (they only ever feed double math).
+    * `dl` rides along from before the explode, so no corpus-sized join
+    * is needed to recover it at scoring time.
+    */
+  def bm25Postings(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))
+
+  /** BM25 top-k per query. `queries`: `(query_id, query_text)`; returns
+    * `(query_id, rank, doc_id, score)` with `score` rounded to 6
+    * decimals (the ranking key). Okapi BM25 with the textbook idf
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+    */
+  def bm25TopK(
+      queries: DataFrame,
+      docs: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bm25TopKFromPostings(queries, bm25Postings(docs, idCol, textCol), k, k1, b)
+
+  /** BM25 over a prebuilt postings frame ([[bm25Postings]] — persist it
+    * once per corpus and query many times; the per-call work is then two
+    * small aggregates over the postings (corpus stats + query-term df)
+    * plus the candidate join, never a re-tokenization of the corpus.
+    */
+  def bm25TopKFromPostings(
+      queries: DataFrame,
+      postings: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    // corpus stats: N and avgdl from the per-doc lengths (dedup the
+    // per-posting dl back to one row per doc first)
+    val stats = postings.select("doc_id", "dl").groupBy("doc_id")
+      .agg(first("dl").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val qt = queries
+      .select(col("query_id"), explode(tokens(col("query_text"))).as("term"))
+      .distinct()
+    // document frequency, computed only for the broadcast query terms
+    val dfr = postings
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = postings
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfr), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * col("tf") * lit(k1 + 1.0)
+          / (col("tf")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score"))
+    scored
+      .groupBy("query_id")
+      .agg(top_k(round(col("score"), 6), col("doc_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("doc_id"), col("hit.score").as("score"))
+  }
+
+  /** Token-set Jaccard top-k — the fuzzy-lexical ranker (|tokens(q) ∩
+    * tokens(d)| / |tokens(q) ∪ tokens(d)|), same plan shape as BM25:
+    * distinct postings, broadcast query terms, candidate-only shuffles.
+    * Returns `(query_id, rank, doc_id, score)`, score = 6-decimal
+    * jaccard (the ranking key, ties by doc_id).
+    */
+  def tokenJaccardTopK(
+      queries: DataFrame,
+      docs: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    val dt = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+    val dsize = dt.groupBy("doc_id").agg(count(lit(1)).cast("double").as("nd"))
+    val qt = queries
+      .select(col("query_id"), explode(tokens(col("query_text"))).as("term"))
+      .distinct()
+    val qsize = qt.groupBy("query_id")
+      .agg(count(lit(1)).cast("double").as("nq"))
+    val inter = dt.join(broadcast(qt), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("double").as("ni"))
+    inter
+      .join(dsize, Seq("doc_id"))
+      .join(broadcast(qsize), Seq("query_id"))
+      .withColumn("score",
+        col("ni") / (col("nd") + col("nq") - col("ni")))
+      .groupBy("query_id")
+      .agg(top_k(round(col("score"), 6), col("doc_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("doc_id"), col("hit.score").as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09): each input
+    * ranking contributes `1 / (rrfK + rank)` per (query, doc); docs are
+    * re-ranked by the summed contribution. Inputs are per-query top-k
+    * frames `(query_id, doc_id, rank)` — already tiny (k rows per query
+    * per ranker), so the fusion is a union + one small aggregate; rank
+    * ties break by doc_id via the 6-decimal-rounded score key, like
+    * every other ranking in the engine.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+      .withColumn("contrib", lit(1.0) / (lit(rrfK.toDouble) + col("rank")))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("rrf"))
+      .groupBy("query_id")
+      .agg(top_k(round(col("rrf"), 6), col("doc_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("doc_id"), col("hit.score").as("rrf_score"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.operators.{Dedup, KeywordSearch, SimilaritySearch, TextAnalysis}
 import graft.rag.RagPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -436,6 +436,37 @@ object PipelineQueries {
       Multimodal.decodeBmpImages(media).toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("pixel_sum"), round(col("px_mean"), 6).as("px_mean"))
+    }),
+
+    // Lexical retrieval: Okapi BM25 top-5 per retrieval query — the
+    // keyword half of hybrid search (inverted-index plan: postings built
+    // with one map-side-combinable groupBy, query terms broadcast,
+    // candidate-only shuffles, bounded TopKAgg). Fully SQL-oracled.
+    "q78_bm25_topk" -> ((s, dir) =>
+      KeywordSearch.bm25TopK(retrievalQueryDf(s), t(s, dir, "documents"),
+        k = 5)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of two lexical rankers
+    // (BM25 + token-set jaccard), both SQL-expressible so the FUSION
+    // itself is fully oracled; the BM25+vector composition reuses this
+    // exact rrfFuse (RagPipeline.hybridRetrieve, spec-covered — the
+    // vector half is hash-embedder-based and thus not SQL-expressible).
+    "q79_hybrid_rrf" -> ((s, dir) => {
+      val q = retrievalQueryDf(s)
+      val docs = t(s, dir, "documents")
+      KeywordSearch.rrfFuse(Seq(
+        KeywordSearch.bm25TopK(q, docs, k = 10),
+        KeywordSearch.tokenJaccardTopK(q, docs, k = 10)), k = 5)
+    }),
+
+    // A9 cluster assignment via the ALTERNATING (large-star/small-star)
+    // connected components — O(log n) rounds vs q53's O(diameter)
+    // propagation, the 100 TB answer to boilerplate chains; same
+    // recursive-CTE oracle as q53 proves output identity.
+    "q80_cc_logrounds" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), k = 3,
+        threshold = 0.12)
+      Dedup.clustersAlternating(pairs).select("doc_id", "cluster_id")
     }),
 
     // ST6 batch analogue: dedup by event_id
@@ -896,6 +927,101 @@ object PipelineQueries {
       |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
       |FROM reach GROUP BY a""".stripMargin
 
+  /** The retrieval queries as a SQL VALUES literal (same fixed strings
+    * the Spark side reads from [[RetrievalQueries]]).
+    */
+  private val queryValues = RetrievalQueries
+    .map { case (id, s) => s"(CAST($id AS BIGINT), '$s')" }
+    .mkString(", ")
+
+  /** Shared lexical CTEs: corpus tokens / tf / dl / stats and query
+    * terms — the oracle mirror of `KeywordSearch.tokens`/`bm25Postings`
+    * (lowercase, split on non-[a-z0-9] runs, empties dropped; counts as
+    * doubles since they only feed double math).
+    */
+  private val lexicalCtes =
+    s"""toks AS (
+      |  SELECT doc_id, tok
+      |  FROM documents,
+      |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+      |  WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+      |  FROM toks GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+      |  FROM dl),
+      |q AS (SELECT * FROM (VALUES $queryValues) AS v(query_id, qtext)),
+      |qt AS (SELECT DISTINCT query_id, tok
+      |  FROM q, unnest(string_split_regex(lower(qtext), '[^a-z0-9]+')) AS u(tok)
+      |  WHERE tok <> ''),
+      |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf
+      |  WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY 1),
+      |bm25 AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    sum(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * tf.tf * (1.2 + 1)
+      |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+      |      AS score
+      |  FROM qt
+      |  JOIN tf ON qt.tok = tf.tok
+      |  JOIN df ON df.tok = qt.tok
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |bm25_ranked AS (
+      |  SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(score, 6) DESC, doc_id ASC) AS INT) AS rank
+      |  FROM bm25)""".stripMargin
+
+  /** q78 oracle: Okapi BM25 top-5 (k1=1.2, b=0.75, textbook idf),
+    * ranked on the 6-decimal score with doc_id tiebreak — the same
+    * ranking key the Spark side feeds TopKAgg.
+    */
+  private val bm25Oracle =
+    s"""WITH $lexicalCtes
+      |SELECT query_id, rank, doc_id, round(score, 6) AS score
+      |FROM bm25_ranked WHERE rank <= 5""".stripMargin
+
+  /** q79 oracle: RRF (rrfK=60) over BM25 top-10 and token-set-jaccard
+    * top-10, fused top-5.
+    */
+  private val hybridRrfOracle =
+    s"""WITH $lexicalCtes,
+      |dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+      |nd AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS nd
+      |  FROM dt GROUP BY 1),
+      |nq AS (SELECT query_id, CAST(count(*) AS DOUBLE) AS nq
+      |  FROM qt GROUP BY 1),
+      |ji AS (SELECT qt.query_id, dt.doc_id, CAST(count(*) AS DOUBLE) AS ni
+      |  FROM qt JOIN dt ON qt.tok = dt.tok GROUP BY 1, 2),
+      |jscore AS (
+      |  SELECT ji.query_id, ji.doc_id, ni / (nd.nd + nq.nq - ni) AS score
+      |  FROM ji
+      |  JOIN nd ON nd.doc_id = ji.doc_id
+      |  JOIN nq ON nq.query_id = ji.query_id),
+      |jac_ranked AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(score, 6) DESC, doc_id ASC) AS INT) AS rank
+      |  FROM jscore),
+      |contribs AS (
+      |  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c
+      |  FROM bm25_ranked WHERE rank <= 10
+      |  UNION ALL
+      |  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c
+      |  FROM jac_ranked WHERE rank <= 10),
+      |rrf AS (SELECT query_id, doc_id, sum(c) AS rrf
+      |  FROM contribs GROUP BY 1, 2),
+      |fused AS (
+      |  SELECT query_id, doc_id, rrf,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(rrf, 6) DESC, doc_id ASC) AS INT) AS rank
+      |  FROM rrf)
+      |SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf_score
+      |FROM fused WHERE rank <= 5""".stripMargin
+
   /** q66 oracle: the whole dedup-then-index pipeline in SQL — transitive
     * near-dup closure picks the min-id canonical per cluster, dropped =
     * non-canonical members, and the kept corpus is re-chunked by the
@@ -1264,6 +1390,11 @@ object PipelineQueries {
         |  round((2 * start + width + height - 2) / 2.0, 6) AS px_mean
         |FROM dims""".stripMargin,
     "q53_dedup_clusters" -> clustersOracle,
+    // the alternating-CC path must be output-identical to the
+    // propagation path — same oracle as q53
+    "q80_cc_logrounds" -> clustersOracle,
+    "q78_bm25_topk" -> bm25Oracle,
+    "q79_hybrid_rrf" -> hybridRrfOracle,
     "q57_langid_ngram" -> langidNgramOracle,
     "q58_multimodal_resize" ->
       """SELECT doc_id AS media_id,

@@ -121,6 +121,42 @@ object RagPipeline {
       .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the dense ranking
+    * ([[retrieve]] — embedding cosine, the reference's only retrieval
+    * mode, `/root/reference/AI.py:138`) with the BM25 lexical ranking
+    * over the same chunk index — the standard production upgrade over
+    * vector-only RAG retrieval (exact-keyword queries that embeddings
+    * smear out still hit). Both component rankings fetch `fetchK ≥ k`
+    * candidates; [[graft.operators.KeywordSearch.rrfFuse]] re-ranks by
+    * summed 1/(rrfK + rank). Output shape matches [[retrieve]]:
+    * `(query_id, rank, chunk_id, doc_id, score, text)` with score = the
+    * fused RRF score.
+    *
+    * Scale: each component is its own already-scale-shaped plan (dense:
+    * broadcast queries + bounded TopKAgg; lexical: broadcast query
+    * terms + candidate-only shuffles); the fusion itself only touches
+    * 2 × fetchK rows per query.
+    */
+  def hybridRetrieve(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
+      fetchK: Int = 10,
+      rrfK: Int = 60,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    import graft.operators.KeywordSearch
+    require(fetchK >= k, s"fetchK=$fetchK must be >= k=$k")
+    val dense = retrieve(queries, index, fetchK, dim)
+      .select(col("query_id"), col("chunk_id").as("doc_id"), col("rank"))
+    val lexical = KeywordSearch.bm25TopK(queries, index, fetchK,
+      idCol = "chunk_id")
+    KeywordSearch.rrfFuse(Seq(dense, lexical), k, rrfK)
+      .select(col("query_id"), col("rank"), col("doc_id").as("chunk_id"),
+        col("rrf_score").as("score"))
+      .join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
+      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+  }
+
   /** E2 context assembly: the stuff-chain concat — top-k chunk texts joined
     * by "\n\n" per query, in rank order (`/root/reference/AI.py:142`).
     */
