@@ -245,7 +245,14 @@ object Dedup {
     * (almost always stars/short chains) converge in 2-3 rounds. Returns
     * (doc_id, cluster_id = min doc_id of the component).
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    clustersWithRounds(pairs, maxIter)._1
+
+  /** [[clusters]] plus the number of propagation rounds it took —
+    * measurement surface for `graft.tools.DedupTune cc`.
+    */
+  private[graft] def clustersWithRounds(
+      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     // localCheckpoint truncates the (possibly expensive) pair-generation
     // lineage so each propagation round replans only the tiny graph
     val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
@@ -281,7 +288,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"cluster label propagation did not converge within $maxIter rounds; " +
         "a near-dup component has a longer min-label path — raise maxIter")
-    labels
+    (labels, iter)
   }
 
   /** Connected components in O(log n) ROUNDS — the alternating
@@ -310,7 +317,14 @@ object Dedup {
     * (member, component-min). Like [[clusters]], an unconverged exit
     * fails loudly rather than returning mid-contraction labels.
     */
-  def clustersAlternating(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def clustersAlternating(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    clustersAlternatingWithRounds(pairs, maxIter)._1
+
+  /** [[clustersAlternating]] plus the number of (large-star + small-star)
+    * rounds it took — measurement surface for `graft.tools.DedupTune cc`.
+    */
+  private[graft] def clustersAlternatingWithRounds(
+      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     // canonical high→low edges; checkpoint cuts the (possibly expensive)
     // pair-generation lineage, same as clusters()
@@ -360,10 +374,10 @@ object Dedup {
         "rounds; raise maxIter (expected O(log n) — this indicates a " +
         "pathological graph or a far larger component count than sized for)")
     // stars: every edge is (member, min); centers label themselves
-    edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+    (edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
       .unionByName(
         edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
-      .distinct()
+      .distinct(), iter)
   }
 
   /** Thresholds at or above this route through hyperplane-LSH candidate

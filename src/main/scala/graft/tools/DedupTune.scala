@@ -96,6 +96,50 @@ object DedupTune {
       return
     }
 
+    // `cc` mode: rounds + wall time of min-label propagation vs the
+    // alternating (large-star/small-star) connected components, on the
+    // fixture's REAL near-dup pair graph and on adversarial chains of
+    // growing depth — the measurement behind shipping both: propagation
+    // wins on star-shaped near-dup clusters (diameter ≈ 2), alternating
+    // is the answer once boilerplate chains make diameter grow with n.
+    if (mode == "cc") {
+      import spark.implicits._
+      def measure(tag: String, pairs: DataFrame, propIter: Int,
+          altIter: Int = 25): Unit = {
+        val cached = pairs.cache(); cached.count()
+        val t0 = System.nanoTime()
+        val prop =
+          try {
+            val (labels, rounds) = Dedup.clustersWithRounds(cached, propIter)
+            val n = labels.count()
+            f"rounds=$rounds sec=${(System.nanoTime() - t0) / 1e9}%.1f nodes=$n"
+          } catch {
+            case _: IllegalStateException =>
+              f"DNF(>$propIter rounds) sec=${(System.nanoTime() - t0) / 1e9}%.1f"
+          }
+        val t1 = System.nanoTime()
+        val (altLabels, altRounds) =
+          Dedup.clustersAlternatingWithRounds(cached, altIter)
+        val nAlt = altLabels.count()
+        println(f"$tag%-28s propagation: $prop%-36s " +
+          f"alternating: rounds=$altRounds " +
+          f"sec=${(System.nanoTime() - t1) / 1e9}%.1f nodes=$nAlt")
+        cached.unpersist()
+      }
+      val docs0 = Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      measure("near-dup graph (fixture)",
+        Dedup.ngramJaccard(docs0, k = 3, threshold = 0.12)
+          .select("doc_id_a", "doc_id_b"), propIter = 10)
+      for (depth <- Seq(64, 512, 4096)) {
+        measure(s"chain depth=$depth",
+          spark.range(depth).select((col("id") + 1).as("doc_id_a"),
+            col("id").as("doc_id_b")), propIter = 20)
+      }
+      spark.stop()
+      return
+    }
+
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").cache()
     val nBase = docs.count()
