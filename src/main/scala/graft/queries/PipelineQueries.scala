@@ -459,6 +459,30 @@ object PipelineQueries {
         KeywordSearch.tokenJaccardTopK(q, docs, k = 10)), k = 5)
     }),
 
+    // K1/K2 through the PERSISTED postings (the q67 pattern for the
+    // lexical index): build-or-reuse by content fingerprint, query the
+    // stored table — same oracle as q78 proves the persisted path is
+    // output-identical to the direct one.
+    "q81_bm25_persisted" -> ((s, dir) => {
+      val post = graft.sources.KeywordIndex.ensurePostings(s, dir,
+        t(s, dir, "documents"))
+      KeywordSearch.bm25TopKFromPostings(retrievalQueryDf(s), post, k = 5)
+    }),
+
+    // K2 upsert ≡ rebuild, EXACTLY (the q71 pattern, minus the
+    // recall-operating-point caveat): postings for 90% of the corpus,
+    // the rest upserted; df/avgdl/N derive from the merged postings at
+    // query time, so the q78 oracle must hash-match — not approximately,
+    // row-identically.
+    "q82_bm25_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val post = graft.sources.KeywordIndex.ensurePostingsUpserted(s,
+        dir + "!kwupsert",
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7))
+      KeywordSearch.bm25TopKFromPostings(retrievalQueryDf(s), post, k = 5)
+    }),
+
     // A9 cluster assignment via the ALTERNATING (large-star/small-star)
     // connected components — O(log n) rounds vs q53's O(diameter)
     // propagation, the 100 TB answer to boilerplate chains; same
@@ -1394,6 +1418,10 @@ object PipelineQueries {
     // propagation path — same oracle as q53
     "q80_cc_logrounds" -> clustersOracle,
     "q78_bm25_topk" -> bm25Oracle,
+    // persisted-postings and upserted-postings paths are row-identical
+    // to the direct BM25 — same oracle
+    "q81_bm25_persisted" -> bm25Oracle,
+    "q82_bm25_upsert" -> bm25Oracle,
     "q79_hybrid_rrf" -> hybridRrfOracle,
     "q57_langid_ngram" -> langidNgramOracle,
     "q58_multimodal_resize" ->

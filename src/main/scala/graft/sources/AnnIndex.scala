@@ -56,7 +56,7 @@ object AnnIndex {
     * this at shared storage so executors and follow-on sessions see one
     * layout. Must be stable across the sessions that share an index.
     */
-  private def annBase(spark: SparkSession): String =
+  private[sources] def annBase(spark: SparkSession): String =
     spark.conf.get("spark.graft.ann.basePath", "/tmp").stripSuffix("/")
 
   private def metaPath(base: String) = Paths.get(base, "_ann_meta.json")
@@ -73,7 +73,7 @@ object AnnIndex {
   private def writeMeta(base: String, kv: (String, Long)*): Unit =
     writeMetaFull(base, kv, Nil)
 
-  private def writeMetaFull(base: String, num: Seq[(String, Long)],
+  private[sources] def writeMetaFull(base: String, num: Seq[(String, Long)],
       str: Seq[(String, String)]): Unit = {
     Files.createDirectories(Paths.get(base))
     val tmp = Paths.get(base, s"_ann_meta.json.tmp${ProcessHandle.current.pid}")
@@ -113,7 +113,7 @@ object AnnIndex {
     }.flatten.distinct.sorted
   }
 
-  private def readMetaStrs(base: String): Map[String, String] = {
+  private[sources] def readMetaStrs(base: String): Map[String, String] = {
     val p = metaPath(base)
     if (!Files.exists(p)) Map.empty
     else "\"([a-zA-Z_]+)\"\\s*:\\s*\"([^\"]*)\"".r
@@ -131,7 +131,7 @@ object AnnIndex {
     * preserves cardinality (row edits, id reshuffles) now invalidates the
     * persisted layout instead of silently reusing a stale index.
     */
-  private def fingerprint(index: DataFrame): (Long, Long) = {
+  private[sources] def fingerprint(index: DataFrame): (Long, Long) = {
     // bit_xor, not sum: order-independent like sum but cannot overflow
     // under ANSI mode; rows are unique (vec_id is hashed in) so the
     // xor of per-row hashes keeps full sensitivity.
@@ -145,7 +145,7 @@ object AnnIndex {
     * session-catalog registration dies with the JVM. Registration is
     * DDL-only — no data pass, no rebuild.
     */
-  private def registerExternal(spark: SparkSession, table: String,
+  private[sources] def registerExternal(spark: SparkSession, table: String,
       path: String, clusteredBy: Option[(String, Int)] = None,
       partitionedBy: Option[String] = None): Unit = {
     val schema = spark.read.parquet(path).schema
@@ -161,7 +161,7 @@ object AnnIndex {
     if (partitionedBy.isDefined) spark.sql(s"MSCK REPAIR TABLE $table")
   }
 
-  private def readMeta(base: String): Map[String, Long] = {
+  private[sources] def readMeta(base: String): Map[String, Long] = {
     val p = metaPath(base)
     if (!Files.exists(p)) Map.empty
     else "\"([a-zA-Z_]+)\"\\s*:\\s*(-?\\d+)".r

@@ -1,0 +1,180 @@
+package graft.sources
+
+import graft.operators.KeywordSearch
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Persisted BM25 postings — the lexical twin of [[AnnIndex]]'s vector
+  * layouts, completing the index-once/upsert-many/query-many lifecycle
+  * for keyword search (the reference's vector store has exactly this
+  * lifecycle for embeddings, `/root/reference/AI.py:47-55`; a hybrid
+  * deployment needs it for both halves).
+  *
+  * Layout: one parquet table `graft_kw_postings_<tag>` holding
+  * `(doc_id, term, tf, dl)` ([[KeywordSearch.bm25Postings]]) plus the
+  * same atomic meta protocol as the ANN layouts — content fingerprint
+  * (count + order-independent xor of row hashes over `(doc_id, text)`),
+  * optional O(1) snapshot-id freshness, last-applied streaming batch id.
+  * Cross-process re-attach is DDL-only.
+  *
+  * Unlike the ANN indexes there is NO approximation anywhere in this
+  * lifecycle: document frequency and corpus stats are derived from the
+  * merged postings at query time, and a document's postings rows depend
+  * on that document alone — so an upserted index is ROW-IDENTICAL to a
+  * full rebuild (q82 hash-matches the full-corpus oracle), with none of
+  * the centroid-drift caveat the IVF upsert carries.
+  */
+object KeywordIndex {
+
+  private def kwBase(spark: SparkSession, tag: String) =
+    s"${AnnIndex.annBase(spark)}/graft_kw_$tag"
+  private def tableName(tag: String) = s"graft_kw_postings_$tag"
+
+  private def registered(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(tableName(tag))
+
+  /** Attach the on-disk layout written by an earlier process: DDL only. */
+  private def attach(spark: SparkSession, tag: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(tag)}")
+    AnnIndex.registerExternal(spark, tableName(tag),
+      s"${kwBase(spark, tag)}/postings")
+  }
+
+  private def metaMatches(meta: Map[String, Long], n: Long,
+      fp: Long): Boolean =
+    meta.get("n_docs").contains(n) && meta.get("checksum").contains(fp)
+
+  private def build(spark: SparkSession, tag: String, docs: DataFrame,
+      idCol: String, textCol: String, n: Long, fp: Long,
+      snapshotId: Option[String]): Unit = {
+    val base = kwBase(spark, tag)
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(tag)}")
+    KeywordSearch.bm25Postings(docs, idCol, textCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("path", s"$base/postings")
+      .format("parquet").saveAsTable(tableName(tag))
+    AnnIndex.writeMetaFull(base,
+      Seq("n_docs" -> n, "checksum" -> fp),
+      snapshotId.map("snapshot_id" -> _).toSeq)
+  }
+
+  /** Build (or reuse) the persisted postings over `docs`. Freshness is
+    * the [[AnnIndex.ensureLsh]] contract: `snapshotId` match ⇒ O(1)
+    * reuse with no scan; otherwise one fingerprint pass over
+    * `(doc_id, text)` decides reuse vs rebuild — a content change that
+    * preserves cardinality still invalidates.
+    */
+  def ensurePostings(
+      spark: SparkSession,
+      sourceDir: String,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      snapshotId: Option[String] = None): DataFrame = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = kwBase(spark, tag)
+    val snapFresh = snapshotId.exists { id =>
+      AnnIndex.readMetaStrs(base).get("snapshot_id").contains(id) &&
+        AnnIndex.readMeta(base).contains("checksum")
+    }
+    if (snapFresh) {
+      if (!registered(spark, tag)) attach(spark, tag)
+      return spark.table(tableName(tag))
+    }
+    val (n, fp) = AnnIndex.fingerprint(
+      docs.select(docs(idCol), docs(textCol)))
+    val metaFresh = metaMatches(AnnIndex.readMeta(base), n, fp)
+    if (metaFresh && !registered(spark, tag)) attach(spark, tag)
+    if (!metaFresh) build(spark, tag, docs, idCol, textCol, n, fp, snapshotId)
+    else if (snapshotId.isDefined)
+      // content unchanged under a new snapshot name: record the id so
+      // the next ensure at this snapshot skips the scan entirely
+      AnnIndex.writeMetaFull(base, Seq("n_docs" -> n, "checksum" -> fp),
+        snapshotId.map("snapshot_id" -> _).toSeq)
+    spark.table(tableName(tag))
+  }
+
+  /** Open the persisted postings WITHOUT a freshness probe — the
+    * reader's path while a writer streams upserts in; same immutability
+    * caveat as [[AnnIndex.openLsh]]. The table is refreshed first: a
+    * concurrent writer (e.g. the streaming ingest's cloned micro-batch
+    * session) appends files this session's relation cache hasn't
+    * listed — one directory re-list, not a data pass.
+    */
+  def openPostings(spark: SparkSession, sourceDir: String): DataFrame = {
+    val tag = IndexStore.pathTag(sourceDir)
+    require(AnnIndex.readMeta(kwBase(spark, tag)).contains("checksum"),
+      s"no persisted keyword index for $sourceDir — run ensurePostings")
+    if (!registered(spark, tag)) attach(spark, tag)
+    spark.catalog.refreshTable(tableName(tag))
+    spark.table(tableName(tag))
+  }
+
+  /** Incremental add: postings for the NEW documents only, appended —
+    * O(new) per batch vs O(corpus) rebuild. Because df/avgdl/N are
+    * derived at query time from the merged postings, the upserted index
+    * answers IDENTICALLY to a rebuild (exact, not recall-bounded).
+    * Append-only contract and `batchId` replay-skip as in
+    * [[AnnIndex.upsertLsh]]; the checksum xor-composes.
+    */
+  def upsertPostings(
+      spark: SparkSession,
+      sourceDir: String,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      batchId: Option[Long] = None): DataFrame = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = kwBase(spark, tag)
+    val meta = AnnIndex.readMeta(base)
+    require(meta.contains("checksum"),
+      s"upsertPostings needs an existing index for $sourceDir — run " +
+        "ensurePostings first")
+    if (!registered(spark, tag)) attach(spark, tag)
+    val replayed = batchId.exists(id =>
+      meta.get("last_batch_id").exists(id <= _))
+    if (replayed) return spark.table(tableName(tag))
+    val (nNew, fpNew) = AnnIndex.fingerprint(
+      newDocs.select(newDocs(idCol), newDocs(textCol)))
+    KeywordSearch.bm25Postings(newDocs, idCol, textCol)
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(tableName(tag))
+    // any stored snapshot_id is deliberately dropped — the layout is now
+    // ahead of the snapshot that id named (the upsertLsh rule)
+    AnnIndex.writeMetaFull(base,
+      Seq("n_docs" -> (meta("n_docs") + nNew),
+        "checksum" -> (meta("checksum") ^ fpNew)) ++
+        batchId.orElse(meta.get("last_batch_id"))
+          .map("last_batch_id" -> _).toSeq,
+      Nil)
+    spark.catalog.refreshTable(tableName(tag))
+    spark.table(tableName(tag))
+  }
+
+  /** Deterministic build-plus-upsert (the q82 shape): reuse when the
+    * COMBINED fingerprint already matches, else build on `baseDocs` and
+    * upsert `tailDocs` — [[AnnIndex.ensureLshUpserted]]'s idempotence
+    * contract for the lexical index.
+    */
+  def ensurePostingsUpserted(
+      spark: SparkSession,
+      sourceDir: String,
+      baseDocs: DataFrame,
+      tailDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val (nb, fb) = AnnIndex.fingerprint(
+      baseDocs.select(baseDocs(idCol), baseDocs(textCol)))
+    val (nt, ft) = AnnIndex.fingerprint(
+      tailDocs.select(tailDocs(idCol), tailDocs(textCol)))
+    val combinedFresh = metaMatches(
+      AnnIndex.readMeta(kwBase(spark, tag)), nb + nt, fb ^ ft)
+    if (combinedFresh) {
+      if (!registered(spark, tag)) attach(spark, tag)
+    } else {
+      build(spark, tag, baseDocs, idCol, textCol, nb, fb, None)
+      upsertPostings(spark, sourceDir, tailDocs, idCol, textCol)
+    }
+    spark.table(tableName(tag))
+  }
+}

@@ -265,6 +265,29 @@ object StreamOps {
         }
       }
 
+  /** [[streamingIndexUpsert]]'s lexical twin: documents arriving on
+    * `docs(doc_id, text)` extend the persisted BM25 postings once per
+    * micro-batch ([[graft.sources.KeywordIndex.upsertPostings]] —
+    * O(batch) tokenization + a plain append, batchId replay-skip).
+    * Because BM25's corpus statistics are derived at query time from
+    * the merged postings, a reader attaching between triggers scores
+    * EXACTLY as if the index had been rebuilt — the streaming ingest
+    * has no recall caveat at all.
+    */
+  def streamingPostingsUpsert(
+      docs: DataFrame,
+      sourceDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.KeywordIndex.upsertPostings(batch.sparkSession,
+            sourceDir, batch.toDF(), batchId = Some(id))
+          ()
+        }
+      }
+
   /** ST4/ST5: custom per-session state via flatMapGroupsWithState —
     * accumulates a bounded recent-event-type list (the chat-history
     * analogue); an event_type == "clear" resets state, mirroring

@@ -1,0 +1,119 @@
+package graft.sources
+
+import graft.{Tables, TestSpark}
+import graft.operators.KeywordSearch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted BM25 postings lifecycle: build / reuse / attach / exact
+  * incremental upsert / streaming ingest. Every assertion is an
+  * EQUALITY against the direct (unpersisted) BM25 path — the lexical
+  * index has no approximation anywhere, so there are no recall floors
+  * here at all.
+  */
+class KeywordIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs: DataFrame =
+    Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text")
+
+  private def queries: DataFrame =
+    graft.queries.PipelineQueries.retrievalQueryDf(spark)
+
+  private def hits(df: DataFrame): Set[(Long, Int, Long, Double)] =
+    df.select("query_id", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  private val runTag = java.util.UUID.randomUUID.toString.take(8)
+
+  test("persisted postings answer row-identically to the direct path, " +
+      "and a second ensure reuses without rebuilding") {
+    val src = s"kwspec-$runTag-a"
+    val direct = hits(KeywordSearch.bm25TopK(queries, docs, k = 5))
+    val post1 = KeywordIndex.ensurePostings(spark, src, docs)
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, post1, k = 5))
+      === direct)
+    // reuse: same content fingerprint — the stored table is served again
+    val post2 = KeywordIndex.ensurePostings(spark, src, docs)
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, post2, k = 5))
+      === direct)
+  }
+
+  test("dropping the catalog registration re-attaches via DDL (the " +
+      "cross-process path), and openPostings needs no freshness scan") {
+    val src = s"kwspec-$runTag-b"
+    KeywordIndex.ensurePostings(spark, src, docs)
+    val tag = IndexStore.pathTag(src)
+    spark.sql(s"DROP TABLE graft_kw_postings_$tag")
+    val reopened = KeywordIndex.openPostings(spark, src)
+    assert(reopened.count() ===
+      KeywordSearch.bm25Postings(docs).count())
+  }
+
+  test("openPostings without a prior ensure fails loudly") {
+    intercept[IllegalArgumentException] {
+      KeywordIndex.openPostings(spark, s"kwspec-$runTag-missing")
+    }
+  }
+
+  test("a content change at the same row count triggers a rebuild") {
+    val src = s"kwspec-$runTag-c"
+    KeywordIndex.ensurePostings(spark, src, docs.limit(50))
+    val changed = docs.limit(50)
+      .withColumn("text", concat(col("text"), lit(" zzzmarker")))
+    val post = KeywordIndex.ensurePostings(spark, src, changed)
+    assert(post.filter(col("term") === "zzzmarker").count() === 50)
+  }
+
+  test("upserted postings equal a full rebuild EXACTLY (row-identical, " +
+      "not recall-bounded)") {
+    val src = s"kwspec-$runTag-d"
+    val post = KeywordIndex.ensurePostingsUpserted(spark, src,
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7))
+    val full = KeywordSearch.bm25Postings(docs)
+    assert(post.exceptAll(full).isEmpty && full.exceptAll(post).isEmpty,
+      "merged postings must be row-identical to the full build")
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, post, k = 5))
+      === hits(KeywordSearch.bm25TopK(queries, docs, k = 5)))
+  }
+
+  test("upsertPostings with a batchId skips a replayed batch") {
+    val src = s"kwspec-$runTag-e"
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+    val tail = docs.filter(col("doc_id") % 10 === 7)
+    KeywordIndex.ensurePostings(spark, src, base)
+    val n1 = KeywordIndex
+      .upsertPostings(spark, src, tail, batchId = Some(0L)).count()
+    val n2 = KeywordIndex
+      .upsertPostings(spark, src, tail, batchId = Some(0L)).count()
+    assert(n2 === n1, "replayed batch must be skipped")
+  }
+
+  test("streaming ingest: micro-batched document arrivals converge to " +
+      "the full postings, scoring exactly like a rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = s"kwspec-$runTag-f"
+    KeywordIndex.ensurePostings(spark, src,
+      docs.filter(col("doc_id") % 10 =!= 7))
+    val tail = docs.filter(col("doc_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (tail1, tail2) = tail.splitAt(tail.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.streamingPostingsUpsert(
+      mem.toDF().toDF("doc_id", "text"), src).start()
+    mem.addData(tail1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(tail2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val post = KeywordIndex.openPostings(spark, src)
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, post, k = 5))
+      === hits(KeywordSearch.bm25TopK(queries, docs, k = 5)))
+  }
+}
