@@ -108,4 +108,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(n <= 2, s"retrieval plan gained exchanges ($n):\n$p")
     assert(p.toLowerCase.contains("topkagg"), p)
   }
+
+  test("q78 BM25: query terms / df / stats broadcast; the only " +
+      "corpus-keyed exchanges are the postings build and scoring aggs") {
+    val p = physical("q78_bm25_topk")
+    // candidate generation must be map-side: every join is a broadcast
+    // (query terms / df / stats are the small sides) — a SortMergeJoin or
+    // ShuffledHashJoin would mean the postings got shuffled on term.
+    // (term-keyed Exchanges still exist: they are the postings-build and
+    // df AGGREGATES, which is exactly where the corpus-wide work belongs.)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a join shuffled the postings:\n$p")
+    // bounded top-k: partial before the final per-query exchange
+    assert(p.toLowerCase.contains("partial_topkagg"), p)
+    // the 1-row stats crossJoin is the only nested-loop join allowed
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
