@@ -493,6 +493,37 @@ object PipelineQueries {
       Dedup.clustersAlternating(pairs).select("doc_id", "cluster_id")
     }),
 
+    // The composed training-data CLEANING funnel (the q66 pattern for
+    // text curation): quality-score filter → language filter (detected
+    // AND recorded lang agree on 'en') → bag-of-words dedup (keep min id
+    // per sorted distinct token set — content-normalized, so reordered/
+    // repeated-token copies collapse where exact-text dedup would not)
+    // → corpus stats. Each stage's count plus the kept corpus's token
+    // mass is recomputed by the DuckDB oracle, and each stage DROPS rows
+    // on the fixture (500 → ~470 → ~200 → fewer). Every stage is a
+    // per-row projection or a hash-keyed aggregate — the funnel adds
+    // exactly one corpus shuffle (the dedup groupBy, which ships the
+    // 8-byte key hash via Dedup.exact's two-phase shape) over a scan.
+    "q84_clean_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qual = TextAnalysis.qualityFeatures(docs)
+        .filter(col("quality_score") >= 0.5)
+      val en = TextAnalysis.languageId(qual)
+        .filter(col("predicted_lang") === "en" && col("lang") === "en")
+      val bowKey = array_join(
+        array_sort(array_distinct(split(lower(trim(col("text"))), "\\s+"))),
+        " ")
+      val keep = Dedup.exact(en.select(col("doc_id"), bowKey.as("text")))
+      val kept = en.join(keep.select(col("keep_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(qual.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(en.agg(count(lit(1)).as("n_english")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens_kept"),
+          round(avg("quality_score"), 6).as("avg_quality_kept")))
+    }),
+
     // ST6 batch analogue: dedup by event_id
     "q46_stream_dedup" -> ((s, dir) => {
       t(s, dir, "events").dropDuplicates("event_id")
@@ -999,6 +1030,68 @@ object PipelineQueries {
       |      ORDER BY round(score, 6) DESC, doc_id ASC) AS INT) AS rank
       |  FROM bm25)""".stripMargin
 
+  /** q84 oracle: the full cleaning funnel in SQL — per-doc quality
+    * score (the q40 formula), stopword-voting language-ID with
+    * alphabetical-first ties (the q41 CASE-arm construction), exact
+    * dedup keep-set, then per-stage counts + kept token mass.
+    */
+  private val cleanPipelineOracle = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    val markers = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+    val hitExprs = markers.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+        s"x -> list_contains($arr, x))) AS hits_$lang"
+    }.mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val caseArms = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"hits_$l >= hits_$o")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH feats AS (
+       |  SELECT doc_id, text, lang,
+       |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+       |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> list_contains($stop, x))) AS DOUBLE)
+       |      / len(string_split_regex(lower(trim(text)), '\\s+'))
+       |      AS stopword_ratio,
+       |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+       |      AS DOUBLE) / length(text) AS punct_ratio
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, text, lang,
+       |    round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4 +
+       |      (1.0 - least(1.0, punct_ratio * 5.0)) * 0.3 +
+       |      least(1.0, stopword_ratio * 4.0) * 0.3, 6) AS quality_score
+       |  FROM feats),
+       |qual AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+       |lang_scored AS (
+       |  SELECT doc_id, text, lang, quality_score,
+       |    $hitExprs
+       |  FROM qual),
+       |en AS (
+       |  SELECT doc_id, text, quality_score FROM lang_scored
+       |  WHERE CASE
+       |      $caseArms
+       |    END = 'en' AND lang = 'en'),
+       |keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM en
+       |  GROUP BY list_sort(list_distinct(
+       |    string_split_regex(lower(trim(text)), '\\s+')))),
+       |kept AS (SELECT en.* FROM en JOIN keep USING (doc_id))
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM qual) AS n_quality,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM en) AS n_english,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+       |  (SELECT CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+       |    AS BIGINT) FROM kept) AS sum_tokens_kept,
+       |  (SELECT round(avg(quality_score), 6) FROM kept)
+       |    AS avg_quality_kept""".stripMargin
+  }
+
   /** q78 oracle: Okapi BM25 top-5 (k1=1.2, b=0.75, textbook idf),
     * ranked on the 6-decimal score with doc_id tiebreak — the same
     * ranking key the Spark side feeds TopKAgg.
@@ -1423,6 +1516,7 @@ object PipelineQueries {
     "q81_bm25_persisted" -> bm25Oracle,
     "q82_bm25_upsert" -> bm25Oracle,
     "q79_hybrid_rrf" -> hybridRrfOracle,
+    "q84_clean_pipeline" -> cleanPipelineOracle,
     "q57_langid_ngram" -> langidNgramOracle,
     "q58_multimodal_resize" ->
       """SELECT doc_id AS media_id,

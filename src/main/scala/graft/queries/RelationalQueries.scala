@@ -336,6 +336,34 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_close_pairs"))
     }),
 
+    // J7 at scale: the SAME interval-overlap semantics as q21, but
+    // banded on 5-minute time buckets (the q70 recipe applied to time):
+    // one side keeps its bucket, the other explodes to {b-1, b, b+1}, so
+    // the equi-join key is (user_id, bucket) and pair generation is
+    // band-LOCAL — a user's quadratic blowup is confined to events that
+    // are temporal neighbors, instead of all of that user's history. A
+    // qualifying pair (|Δts| ≤ 300 s ⇒ |Δbucket| ≤ 1) meets on exactly
+    // one bucket value, so no dedup is needed; the residual re-checks
+    // the exact predicate. Same oracle as q21 proves output identity.
+    "q83_interval_banded" -> ((s, dir) => {
+      val bandUs = 300000000L // 5 min in microseconds = the predicate band
+      val ev = t(s, dir, "events").select("event_id", "ts", "user_id")
+      val e1 = ev.select(col("user_id"), col("event_id").as("id_a"),
+        unix_micros(col("ts")).as("us_a"))
+        .withColumn("bucket", floor(col("us_a") / bandUs))
+      val e2 = ev.select(col("user_id"), col("event_id").as("id_b"),
+        unix_micros(col("ts")).as("us_b"))
+        .withColumn("bucket", explode(array(
+          floor(col("us_b") / bandUs) - 1,
+          floor(col("us_b") / bandUs),
+          floor(col("us_b") / bandUs) + 1)))
+      e1.join(e2, Seq("user_id", "bucket"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("us_a") - col("us_b")) <= bandUs)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_close_pairs"))
+    }),
+
     // gaps-and-islands sessionization (custom batch operator)
     "q22_sessionize" -> ((s, dir) => {
       Sessionize.sessions(t(s, dir, "events"), gapSeconds = 1800L)
@@ -579,6 +607,13 @@ object RelationalQueries {
         |FROM events e LEFT JOIN best b ON e.event_id = b.event_id
         |GROUP BY e.event_type""".stripMargin,
     "q21_interval_overlap" ->
+      """SELECT a.user_id, count(*) AS n_close_pairs
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id
+        |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+        |GROUP BY a.user_id""".stripMargin,
+    // the banded plan must be output-identical to the residual-filter one
+    "q83_interval_banded" ->
       """SELECT a.user_id, count(*) AS n_close_pairs
         |FROM events a JOIN events b ON a.user_id = b.user_id
         |  AND a.event_id < b.event_id
