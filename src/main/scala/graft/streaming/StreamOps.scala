@@ -137,7 +137,15 @@ object StreamOps {
       questions: DataFrame, // (query_id, user_id, question)
       index: DataFrame,
       k: Int = 4,
-      maxHistory: Int = 4)(
+      maxHistory: Int = 4,
+      // the per-batch retriever: (queries(query_id, query_text), index,
+      // k) => (query_id, rank, …, text). Defaults to the dense cosine
+      // path; pass `RagPipeline.hybridRetrieve(_, _, _)` to serve the
+      // chat loop from the fused dense+BM25 ranking instead — the
+      // history condenser, clear semantics, and sink contract are
+      // retriever-independent.
+      retriever: (DataFrame, DataFrame, Int) => DataFrame =
+        graft.rag.RagPipeline.retrieve(_, _, _))(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val historyRef =
@@ -179,8 +187,7 @@ object StreamOps {
               col("question"), col("question").as("query_text"))
           }
           val answered = graft.rag.RagPipeline.assembleContext(
-            graft.rag.RagPipeline.retrieve(
-              condensed.select("query_id", "query_text"), index, k))
+            retriever(condensed.select("query_id", "query_text"), index, k))
             .withColumnRenamed("context", "answer")
           val out = condensed.select("query_id", "user_id", "question")
             .join(answered, Seq("query_id"))

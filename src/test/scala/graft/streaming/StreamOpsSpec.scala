@@ -248,6 +248,38 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got(1).head._2 === "cosine vector query")
   }
 
+  test("streamingChat serves the ask loop through the HYBRID " +
+      "(dense+BM25 RRF) retriever when plugged in") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark joins shuffle data across partitions for the merge step"),
+      (2L, "vector indexes answer similarity queries with cosine scores"),
+      (3L, "watermarks bound event time state in streaming aggregation"))
+      .toDF("doc_id", "text")
+    val index = graft.rag.RagPipeline.buildIndex(spark, docs, chunkSize = 60)
+      .cache()
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, String)]]()
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = StreamOps.streamingChat(
+      mem.toDF().toDF("query_id", "user_id", "question"), index, k = 2,
+      retriever = graft.rag.RagPipeline.hybridRetrieve(_, _, _)) {
+      (batch, id) =>
+        got(id) = batch.select("query_id", "answer")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    }.start()
+    mem.addData((1L, 7L, "spark shuffle merge"))
+    q.processAllAvailable()
+    q.stop()
+    val expected = graft.rag.RagPipeline.postProcess(
+      graft.rag.RagPipeline.assembleContext(
+        graft.rag.RagPipeline.hybridRetrieve(
+          Seq((99L, "spark shuffle merge")).toDF("query_id", "query_text"),
+          index, 2))
+        .withColumnRenamed("context", "answer"))
+      .select("answer").head().getString(0)
+    assert(got(0).head._2 === expected)
+  }
+
   test("ST4/ST5: per-session state accumulates and clear resets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
