@@ -132,10 +132,15 @@ object KeywordSearch {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import graft.functions.expressions.TopKAgg.top_k
+    // nd rides along from before the explode (the bm25Postings dl
+    // trick), so no corpus-sized size-frame join at scoring time —
+    // the distinct token arrays are per-row, and the only shuffles
+    // left are candidate-keyed
     val dt = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .distinct()
-    val dsize = dt.groupBy("doc_id").agg(count(lit(1)).cast("double").as("nd"))
+      .select(col(idCol).as("doc_id"),
+        array_distinct(tokens(col(textCol))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("nd"),
+        explode(col("toks")).as("term"))
     val qt = queries
       .select(col("query_id"), explode(tokens(col("query_text"))).as("term"))
       .distinct()
@@ -143,9 +148,8 @@ object KeywordSearch {
       .agg(count(lit(1)).cast("double").as("nq"))
     val inter = dt.join(broadcast(qt), Seq("term"))
       .groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).cast("double").as("ni"))
+      .agg(count(lit(1)).cast("double").as("ni"), first("nd").as("nd"))
     inter
-      .join(dsize, Seq("doc_id"))
       .join(broadcast(qsize), Seq("query_id"))
       .withColumn("score",
         col("ni") / (col("nd") + col("nq") - col("ni")))

@@ -75,13 +75,28 @@ object RagPipeline {
       queries: DataFrame,
       index: DataFrame,
       k: Int = 4,
+      dim: Int = Embedder.DefaultDim): DataFrame =
+    retrieveRanked(queries, index, k, dim)
+      .join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
+      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+
+  /** [[retrieve]]'s ranking core — `(query_id, rank, chunk_id, score)`
+    * WITHOUT the winners-to-index text join, for callers that re-rank
+    * before materializing text ([[hybridRetrieve]] fuses this with the
+    * BM25 ranking first; joining text here would cost a second
+    * corpus-sized index join that the fusion immediately discards).
+    */
+  def retrieveRanked(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
       dim: Int = Embedder.DefaultDim): DataFrame = {
     import graft.functions.expressions.TopKAgg.top_k
     val q = broadcast(
       queries.withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
         .withColumn("qnrm", VectorOps.l2Norm(col("query_vec"))))
     val in = index.withColumn("inrm", VectorOps.l2Norm(col("embedding")))
-    val winners = in.crossJoin(q)
+    in.crossJoin(q)
       .withColumn("score",
         when(col("inrm") * col("qnrm") === 0.0, lit(0.0))
           .otherwise(VectorOps.dot(col("embedding"), col("query_vec"))
@@ -91,8 +106,6 @@ object RagPipeline {
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("hit.id").as("chunk_id"), col("hit.score").as("score"))
-    winners.join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
-      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
   }
 
   /** E2 retrieval through the LSH ANN index — the reference's retriever
@@ -146,7 +159,7 @@ object RagPipeline {
       dim: Int = Embedder.DefaultDim): DataFrame = {
     import graft.operators.KeywordSearch
     require(fetchK >= k, s"fetchK=$fetchK must be >= k=$k")
-    val dense = retrieve(queries, index, fetchK, dim)
+    val dense = retrieveRanked(queries, index, fetchK, dim)
       .select(col("query_id"), col("chunk_id").as("doc_id"), col("rank"))
     val lexical = KeywordSearch.bm25TopK(queries, index, fetchK,
       idCol = "chunk_id")

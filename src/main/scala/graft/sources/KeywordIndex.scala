@@ -82,13 +82,18 @@ object KeywordIndex {
     }
     val (n, fp) = AnnIndex.fingerprint(
       docs.select(docs(idCol), docs(textCol)))
-    val metaFresh = metaMatches(AnnIndex.readMeta(base), n, fp)
+    val meta = AnnIndex.readMeta(base)
+    val metaFresh = metaMatches(meta, n, fp)
     if (metaFresh && !registered(spark, tag)) attach(spark, tag)
     if (!metaFresh) build(spark, tag, docs, idCol, textCol, n, fp, snapshotId)
     else if (snapshotId.isDefined)
       // content unchanged under a new snapshot name: record the id so
-      // the next ensure at this snapshot skips the scan entirely
-      AnnIndex.writeMetaFull(base, Seq("n_docs" -> n, "checksum" -> fp),
+      // the next ensure at this snapshot skips the scan entirely —
+      // carrying last_batch_id through, or a later crash-replayed
+      // streaming batch would lose its skip guard and double-append
+      AnnIndex.writeMetaFull(base,
+        Seq("n_docs" -> n, "checksum" -> fp) ++
+          meta.get("last_batch_id").map("last_batch_id" -> _).toSeq,
         snapshotId.map("snapshot_id" -> _).toSeq)
     spark.table(tableName(tag))
   }

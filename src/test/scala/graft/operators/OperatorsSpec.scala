@@ -453,8 +453,7 @@ class OperatorsSpec extends AnyFunSuite {
       lists = 4, assignTop = 2, iters = 2))
     val reused = pairs(Dedup.embeddingCosineClustered(emb, 0.35,
       lists = 999, assignTop = 2, iters = 999, // ignored when provided
-      centroids = Some(
-        graft.operators.SimilaritySearch.kMeansCentroids(emb, 4, 2))))
+      centroids = Some(pre)))
     assert(reused === trained)
     assert(pre.count() === 4)
   }
