@@ -140,6 +140,49 @@ object DedupTune {
       return
     }
 
+    // `kw` mode: BM25 candidate growth under 10× / 100× corpus
+    // replication (plain replication, fresh doc_ids — the "corpus grows
+    // with similar content" shape, so df scales with the factor). The
+    // measured claims the 100 TB lexical design rests on: postings are
+    // O(n); per-query CANDIDATE FRACTION is scale-invariant (candidate
+    // count grows linearly, like the ANN sweep); and the candidate join
+    // stays broadcast-side (no corpus shuffle at query time against a
+    // prebuilt postings frame).
+    if (mode == "kw") {
+      import graft.operators.KeywordSearch
+      val docs0 = Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val nB = docs0.count()
+      val queries = graft.queries.PipelineQueries.retrievalQueryDf(spark)
+      val nQ = queries.count()
+      for (factor <- Seq(1, 10, 100)) {
+        val big = (if (factor == 1) docs0
+          else docs0.crossJoin(spark.range(factor).toDF("rep"))
+            .select((col("doc_id") + col("rep") * nB).as("doc_id"),
+              col("text"))).cache()
+        val n = big.count()
+        val post = KeywordSearch.bm25Postings(big).cache()
+        val nPost = post.count()
+        // candidate rows = postings matching any query term (the rows
+        // the scoring aggregate actually touches)
+        val qt = queries.select(
+          explode(KeywordSearch.tokens(col("query_text"))).as("term"))
+          .distinct()
+        val cand = post.join(broadcast(qt), Seq("term")).count()
+        val t0 = System.nanoTime()
+        val topk = KeywordSearch.bm25TopKFromPostings(queries, post, k = 5)
+        val nOut = topk.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"factor=$factor%-4d n=$n%-7d postings=$nPost%-9d " +
+          f"postPerDoc=${nPost.toDouble / n}%.1f cand=$cand%-9d " +
+          f"candFrac=${cand.toDouble / nPost}%.3f " +
+          f"querySec=$sec%.2f topkRows=$nOut (expect ${nQ * 5})")
+        post.unpersist(); big.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").cache()
     val nBase = docs.count()
