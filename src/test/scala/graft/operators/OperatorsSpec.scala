@@ -458,6 +458,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pre.count() === 4)
   }
 
+  test("embeddingCosineClustered reuses the persisted IVF index's " +
+      "centroids (train once per corpus, the serving shape)") {
+    import graft.TestSpark
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val h = graft.sources.AnnIndex.ensureIvf(spark,
+      s"opspec-ivfreuse-${java.util.UUID.randomUUID.toString.take(8)}",
+      emb, lists = 8, iters = 3)
+    val approx = Dedup.embeddingCosineClustered(emb, 0.35,
+      centroids = Some(h.centroids))
+      .select("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingCosineExact(emb, 0.35)
+      .select("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    assert((approx -- exact).isEmpty, "clustered pairing must stay sound")
+  }
+
   test("embeddingCosine below the LSH floor fails loudly past " +
       "spark.graft.dedup.maxExactRows instead of running O(n²)") {
     val emb = (0L until 8L).map(i =>
