@@ -125,4 +125,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // the 1-row stats crossJoin is the only nested-loop join allowed
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q84 cleaning funnel: quality/language stages are per-row (no " +
+      "join), the dedup groupBy keys on the 8-byte hash, text never " +
+      "rides a corpus exchange") {
+    val p = physical("q84_clean_pipeline")
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    // Dedup.exact's two-phase shape survives the composition: the
+    // corpus-wide phase-1 exchange keys on the 8-byte hash ALONE; the
+    // only exchange carrying the key text is phase 2's residual
+    // re-check, which runs on the hash-COLLIDING slice only
+    assert(exchanges.exists(l =>
+      l.contains("text_hash") && !l.contains("text#")),
+      s"no hash-only phase-1 exchange:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"),
+      s"a funnel stage gained a shuffle join:\n$p")
+  }
 }
