@@ -493,6 +493,37 @@ object PipelineQueries {
       Dedup.clustersAlternating(pairs).select("doc_id", "cluster_id")
     }),
 
+    // The reference's titular "adaptive recommendation" as an EQUALITY
+    // invariant (the q71 style — no data-dependent constants): alpha=1
+    // and empty-history adaptiveRetrieve must both reduce EXACTLY to
+    // plain retrieve (8 = 2 queries × k rows, zero symmetric
+    // difference). That the profile genuinely SHIFTS rankings is pinned
+    // on controlled data in RagPipelineSpec, where the expected winner
+    // is known.
+    "q85_adaptive_invariants" -> ((s, dir) => {
+      import s.implicits._
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200)
+      val q = Seq((1L, 7L, "vector index scan fast"),
+        (2L, 8L, "spark join shuffle partition"))
+        .toDF("query_id", "user_id", "query_text")
+      val hist = Seq((7L, "customer order value table"),
+        (8L, "window agg batch row")).toDF("user_id", "question")
+      val noHist = Seq.empty[(Long, String)].toDF("user_id", "question")
+      def hitsOf(df: DataFrame) = df.select("query_id", "rank", "chunk_id")
+      val plain = hitsOf(RagPipeline.retrieve(
+        q.select("query_id", "query_text"), index, k = 4))
+      val a1 = hitsOf(RagPipeline.adaptiveRetrieve(q, hist, index, k = 4,
+        alpha = 1.0))
+      val nh = hitsOf(RagPipeline.adaptiveRetrieve(q, noHist, index, k = 4,
+        alpha = 0.3))
+      plain.agg(count(lit(1)).as("n_plain"))
+        .crossJoin(a1.exceptAll(plain).unionByName(plain.exceptAll(a1))
+          .agg(count(lit(1)).as("n_diff_alpha1")))
+        .crossJoin(nh.exceptAll(plain).unionByName(plain.exceptAll(nh))
+          .agg(count(lit(1)).as("n_diff_nohist")))
+    }),
+
     // The composed training-data CLEANING funnel (the q66 pattern for
     // text curation): quality-score filter → language filter (detected
     // AND recorded lang agree on 'en') → bag-of-words dedup (keep min id
@@ -1517,6 +1548,11 @@ object PipelineQueries {
     "q82_bm25_upsert" -> bm25Oracle,
     "q79_hybrid_rrf" -> hybridRrfOracle,
     "q84_clean_pipeline" -> cleanPipelineOracle,
+    // equality invariants hold by construction at every scale
+    "q85_adaptive_invariants" ->
+      """SELECT CAST(8 AS BIGINT) AS n_plain,
+        |CAST(0 AS BIGINT) AS n_diff_alpha1,
+        |CAST(0 AS BIGINT) AS n_diff_nohist""".stripMargin,
     "q57_langid_ngram" -> langidNgramOracle,
     "q58_multimodal_resize" ->
       """SELECT doc_id AS media_id,

@@ -134,6 +134,63 @@ object RagPipeline {
       .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
   }
 
+  /** The reference's TITULAR capability — "adaptive recommendation":
+    * retrieval conditioned on the user's accumulated history (the
+    * README's "learning and adaptation from chat history"; the
+    * reference realizes it by stuffing history into the condensed
+    * question, `AI.py:168-173`). This is the principled vector form:
+    * each user's PROFILE is the mean embedding of their past questions
+    * ([[graft.functions.VectorMeanAgg]] — one map-side-combinable
+    * aggregate over the history), and a chunk's score blends the
+    * query cosine with the profile cosine:
+    *
+    *   score = alpha · cos(chunk, query) + (1 − alpha) · cos(chunk, profile)
+    *
+    * `alpha = 1` reduces EXACTLY to [[retrieve]] (spec-pinned), and a
+    * user with no history scores identically to plain retrieval (the
+    * profile term falls back to the query cosine), so adaptivity never
+    * costs a cold-start user anything.
+    *
+    * Scale: the profile aggregate touches only the (small) history
+    * frame; profiles join the broadcast query side, so the index-side
+    * plan is the same broadcast + bounded-TopKAgg shape as [[retrieve]]
+    * — one extra broadcast column, zero extra index passes.
+    */
+  def adaptiveRetrieve(
+      queries: DataFrame, // (query_id, user_id, query_text)
+      history: DataFrame, // (user_id, question) — the user's past turns
+      index: DataFrame,
+      k: Int = 4,
+      alpha: Double = 0.7,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha outside [0, 1]")
+    val prof = history
+      .withColumn("hvec", Embedder.embedCol(col("question"), dim))
+      .groupBy("user_id")
+      .agg(graft.functions.VectorMeanAgg.asColumn(col("hvec"))
+        .as("profile_vec"))
+    val q = broadcast(
+      queries.withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
+        .join(prof, Seq("user_id"), "left")
+        .select("query_id", "query_vec", "profile_vec"))
+    val winners = index.crossJoin(q)
+      .withColumn("qcos", VectorOps.cosine(col("embedding"), col("query_vec")))
+      .withColumn("pcos",
+        when(col("profile_vec").isNull || size(col("profile_vec")) === 0,
+          col("qcos"))
+          .otherwise(VectorOps.cosine(col("embedding"), col("profile_vec"))))
+      .withColumn("score",
+        lit(alpha) * col("qcos") + lit(1.0 - alpha) * col("pcos"))
+      .groupBy("query_id")
+      .agg(top_k(col("score"), col("chunk_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("chunk_id"), col("hit.score").as("score"))
+    winners.join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
+      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the dense ranking
     * ([[retrieve]] — embedding cosine, the reference's only retrieval
     * mode, `/root/reference/AI.py:138`) with the BM25 lexical ranking

@@ -10,6 +10,48 @@ import org.scalatest.funsuite.AnyFunSuite
 class RagPipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("adaptiveRetrieve: alpha=1 and empty history reduce EXACTLY to " +
+      "retrieve; history genuinely shifts an ambiguous query's ranking") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "spark joins shuffle data across partitions for the merge"),
+      (2L, "vector indexes answer similarity queries with cosine scores"),
+      (3L, "watermarks bound event time state in streaming windows"))
+      .toDF("doc_id", "text")
+    val index = RagPipeline.buildIndex(spark, docs, chunkSize = 200).cache()
+    val q = Seq((1L, 7L, "data processing")).toDF(
+      "query_id", "user_id", "query_text")
+    val noHist = Seq.empty[(Long, String)].toDF("user_id", "question")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "chunk_id", "score")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val plain = hits(RagPipeline.retrieve(
+      q.select("query_id", "query_text"), index, k = 3))
+    // alpha=1: profile term zero-weighted — identical to retrieve
+    val vecHist = Seq((7L, "vector cosine similarity index"))
+      .toDF("user_id", "question")
+    assert(hits(RagPipeline.adaptiveRetrieve(q, vecHist, index, k = 3,
+      alpha = 1.0)) === plain)
+    // empty history: profile falls back to the query cosine — identical
+    assert(hits(RagPipeline.adaptiveRetrieve(q, noHist, index, k = 3,
+      alpha = 0.5)) === plain)
+    // adaptivity: two users, same ambiguous query, different histories —
+    // each user's top-1 moves toward their own history's topic
+    val q2 = Seq((1L, 7L, "data processing"), (2L, 8L, "data processing"))
+      .toDF("query_id", "user_id", "query_text")
+    val hist2 = Seq(
+      (7L, "vector cosine similarity index scores"),
+      (8L, "spark shuffle merge partitions join"))
+      .toDF("user_id", "question")
+    val adapted = RagPipeline.adaptiveRetrieve(q2, hist2, index, k = 3,
+      alpha = 0.3)
+      .filter(col("rank") === 1)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toMap
+    assert(adapted(1L) === 2L, "vector-history user should surface doc 2")
+    assert(adapted(2L) === 1L, "shuffle-history user should surface doc 1")
+  }
+
   test("retrieveAnn equals exact retrieve at the shipped operating point") {
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
     val index = RagPipeline.buildIndex(spark, docs, chunkSize = 200).cache()
