@@ -155,6 +155,38 @@ object KeywordIndex {
     spark.table(tableName(tag))
   }
 
+  /** Compact the persisted layout: a long-running streaming ingest
+    * leaves one small parquet file per micro-batch, and file-count —
+    * not row-count — is what degrades scan planning at scale. Rewrites
+    * the SAME rows into `numFiles` files (repartitioned on doc_id so
+    * a document's postings co-locate); content is unchanged, so the
+    * meta (checksum, n_docs, last_batch_id) is carried over untouched
+    * and every freshness contract keeps holding. Not safe concurrent
+    * with a writer — run it between ingest windows (the layout has no
+    * transaction log; that is the documented parquet-layout limit).
+    */
+  def compactPostings(
+      spark: SparkSession,
+      sourceDir: String,
+      numFiles: Int = 8): DataFrame = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = kwBase(spark, tag)
+    val meta = AnnIndex.readMeta(base)
+    require(meta.contains("checksum"),
+      s"no persisted keyword index for $sourceDir — run ensurePostings")
+    if (!registered(spark, tag)) attach(spark, tag)
+    spark.catalog.refreshTable(tableName(tag))
+    // materialize off the live files before overwriting them
+    val rows = spark.table(tableName(tag)).localCheckpoint(true)
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(tag)}")
+    rows.repartition(numFiles, org.apache.spark.sql.functions.col("doc_id"))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", s"$base/postings")
+      .format("parquet").saveAsTable(tableName(tag))
+    spark.catalog.refreshTable(tableName(tag))
+    spark.table(tableName(tag))
+  }
+
   /** Deterministic build-plus-upsert (the q82 shape): reuse when the
     * COMBINED fingerprint already matches, else build on `baseDocs` and
     * upsert `tailDocs` — [[AnnIndex.ensureLshUpserted]]'s idempotence

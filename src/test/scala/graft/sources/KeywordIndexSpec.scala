@@ -93,6 +93,37 @@ class KeywordIndexSpec extends AnyFunSuite {
     assert(n2 === n1, "replayed batch must be skipped")
   }
 
+  test("compactPostings rewrites the streamed layout into few files " +
+      "with identical content and an untouched freshness contract") {
+    val src = s"kwspec-$runTag-g"
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+    KeywordIndex.ensurePostings(spark, src, base)
+    // three appends -> three extra file sets
+    docs.filter(col("doc_id") % 10 === 7).collect()
+      .grouped(20).zipWithIndex.foreach { case (chunk, i) =>
+        import spark.implicits._
+        KeywordIndex.upsertPostings(spark, src,
+          chunk.map(r => (r.getLong(0), r.getString(1))).toSeq
+            .toDF("doc_id", "text"), batchId = Some(i.toLong))
+      }
+    val before = KeywordIndex.openPostings(spark, src)
+    val beforeRows = before.collect().toSet
+    val beforeFiles = before.inputFiles.length
+    val compacted = KeywordIndex.compactPostings(spark, src, numFiles = 2)
+    assert(compacted.inputFiles.length <= 2)
+    assert(compacted.inputFiles.length < beforeFiles,
+      s"no file-count win ($beforeFiles -> ${compacted.inputFiles.length})")
+    assert(compacted.collect().toSet === beforeRows)
+    // freshness contract survives: a subsequent ensure over the full
+    // corpus sees matching content and reuses, and the replay guard
+    // (last_batch_id) still skips an old batch
+    val n1 = compacted.count()
+    val n2 = KeywordIndex.upsertPostings(spark, src,
+      docs.filter(col("doc_id") % 10 === 7).limit(20),
+      batchId = Some(0L)).count()
+    assert(n2 === n1, "replay guard lost by compaction")
+  }
+
   test("streaming ingest: micro-batched document arrivals converge to " +
       "the full postings, scoring exactly like a rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
