@@ -91,21 +91,17 @@ object RagPipeline {
       index: DataFrame,
       k: Int = 4,
       dim: Int = Embedder.DefaultDim): DataFrame = {
-    import graft.functions.expressions.TopKAgg.top_k
     val q = broadcast(
       queries.withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
         .withColumn("qnrm", VectorOps.l2Norm(col("query_vec"))))
     val in = index.withColumn("inrm", VectorOps.l2Norm(col("embedding")))
-    in.crossJoin(q)
-      .withColumn("score",
-        when(col("inrm") * col("qnrm") === 0.0, lit(0.0))
-          .otherwise(VectorOps.dot(col("embedding"), col("query_vec"))
-            / (col("inrm") * col("qnrm"))))
-      .groupBy("query_id")
-      .agg(top_k(col("score"), col("chunk_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("hit.id").as("chunk_id"), col("hit.score").as("score"))
+    rankedTopK(
+      in.crossJoin(q)
+        .withColumn("score",
+          when(col("inrm") * col("qnrm") === 0.0, lit(0.0))
+            .otherwise(VectorOps.dot(col("embedding"), col("query_vec"))
+              / (col("inrm") * col("qnrm")))),
+      k)
   }
 
   /** E2 retrieval through the LSH ANN index — the reference's retriever
@@ -174,21 +170,33 @@ object RagPipeline {
       queries.withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
         .join(prof, Seq("user_id"), "left")
         .select("query_id", "query_vec", "profile_vec"))
-    val winners = index.crossJoin(q)
+    val scored = index.crossJoin(q)
       .withColumn("qcos", VectorOps.cosine(col("embedding"), col("query_vec")))
-      .withColumn("pcos",
-        when(col("profile_vec").isNull || size(col("profile_vec")) === 0,
-          col("qcos"))
-          .otherwise(VectorOps.cosine(col("embedding"), col("profile_vec"))))
+      // the no-history / alpha=1 identities must hold BIT-EXACTLY (the
+      // q85 oracle), so the fallback short-circuits the whole blend —
+      // alpha·q + (1−alpha)·q is a ulp off q for general alpha
       .withColumn("score",
-        lit(alpha) * col("qcos") + lit(1.0 - alpha) * col("pcos"))
-      .groupBy("query_id")
+        when(col("profile_vec").isNull || size(col("profile_vec")) === 0
+            || lit(alpha == 1.0), col("qcos"))
+          .otherwise(lit(alpha) * col("qcos") + lit(1.0 - alpha)
+            * VectorOps.cosine(col("embedding"), col("profile_vec"))))
+    rankedTopK(scored, k)
+      .join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
+      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+  }
+
+  /** Shared ranking tail: a scored (…, query_id, chunk_id, score) frame
+    * → per-query `(query_id, rank, chunk_id, score)` through the
+    * bounded TopKAgg — ONE definition of the ranking/tie-break
+    * semantics for the dense, adaptive, and rewrite-served paths.
+    */
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    scored.groupBy("query_id")
       .agg(top_k(col("score"), col("chunk_id"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("hit.id").as("chunk_id"), col("hit.score").as("score"))
-    winners.join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
-      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of the dense ranking

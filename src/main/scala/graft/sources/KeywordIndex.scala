@@ -160,30 +160,39 @@ object KeywordIndex {
     * not row-count — is what degrades scan planning at scale. Rewrites
     * the SAME rows into `numFiles` files (repartitioned on doc_id so
     * a document's postings co-locate); content is unchanged, so the
-    * meta (checksum, n_docs, last_batch_id) is carried over untouched
-    * and every freshness contract keeps holding. Not safe concurrent
-    * with a writer — run it between ingest windows (the layout has no
-    * transaction log; that is the documented parquet-layout limit).
+    * meta (checksum, n_docs, last_batch_id) is untouched and every
+    * freshness contract keeps holding.
+    *
+    * Crash safety follows the layout's meta contract (write aside,
+    * swap last): the compacted copy lands in a SIDE directory read
+    * straight off the live table — the live files are never the write
+    * target — and only then is the directory swapped in. A crash
+    * before the swap leaves the old layout fully intact; a crash
+    * inside the two-rename window leaves no postings dir, which the
+    * next attach FAILS LOUDLY on (re-run ensurePostings) — never a
+    * silently half-compacted index under a still-matching checksum.
+    * Not safe concurrent with a writer — run it between ingest
+    * windows (no transaction log on a parquet layout; atomic dir
+    * rename is the posix/HDFS primitive this relies on).
     */
   def compactPostings(
       spark: SparkSession,
       sourceDir: String,
       numFiles: Int = 8): DataFrame = {
+    import java.nio.file.{Files, Paths}
     val tag = IndexStore.pathTag(sourceDir)
     val base = kwBase(spark, tag)
-    val meta = AnnIndex.readMeta(base)
-    require(meta.contains("checksum"),
-      s"no persisted keyword index for $sourceDir — run ensurePostings")
-    if (!registered(spark, tag)) attach(spark, tag)
-    spark.catalog.refreshTable(tableName(tag))
-    // materialize off the live files before overwriting them
-    val rows = spark.table(tableName(tag)).localCheckpoint(true)
-    spark.sql(s"DROP TABLE IF EXISTS ${tableName(tag)}")
+    val rows = openPostings(spark, sourceDir)
+    val sidePath = s"$base/postings_compact_${ProcessHandle.current.pid}"
     rows.repartition(numFiles, org.apache.spark.sql.functions.col("doc_id"))
-      .write.mode(SaveMode.Overwrite)
-      .option("path", s"$base/postings")
-      .format("parquet").saveAsTable(tableName(tag))
-    spark.catalog.refreshTable(tableName(tag))
+      .write.mode(SaveMode.Overwrite).parquet(sidePath)
+    val live = Paths.get(s"$base/postings")
+    val old = Paths.get(s"$base/postings_old_${ProcessHandle.current.pid}")
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(tag)}")
+    Files.move(live, old)
+    Files.move(Paths.get(sidePath), live)
+    attach(spark, tag)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
     spark.table(tableName(tag))
   }
 

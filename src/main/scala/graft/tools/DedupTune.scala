@@ -169,6 +169,9 @@ object DedupTune {
           explode(KeywordSearch.tokens(col("query_text"))).as("term"))
           .distinct()
         val cand = post.join(broadcast(qt), Seq("term")).count()
+        // discarded warmup so the 1× row doesn't absorb codegen/JIT
+        // first-run cost and fake a scaling anomaly
+        KeywordSearch.bm25TopKFromPostings(queries, post, k = 5).count()
         val t0 = System.nanoTime()
         val topk = KeywordSearch.bm25TopKFromPostings(queries, post, k = 5)
         val nOut = topk.count()

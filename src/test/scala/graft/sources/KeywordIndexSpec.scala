@@ -114,9 +114,13 @@ class KeywordIndexSpec extends AnyFunSuite {
     assert(compacted.inputFiles.length < beforeFiles,
       s"no file-count win ($beforeFiles -> ${compacted.inputFiles.length})")
     assert(compacted.collect().toSet === beforeRows)
-    // freshness contract survives: a subsequent ensure over the full
-    // corpus sees matching content and reuses, and the replay guard
-    // (last_batch_id) still skips an old batch
+    // freshness contract survives: an ensure over the full corpus sees
+    // matching content and REUSES (same compacted files — a rebuild
+    // would change the file set), and the replay guard (last_batch_id)
+    // still skips an old batch
+    val ensured = KeywordIndex.ensurePostings(spark, src, docs)
+    assert(ensured.inputFiles.toSet === compacted.inputFiles.toSet,
+      "ensure after compaction rebuilt instead of reusing")
     val n1 = compacted.count()
     val n2 = KeywordIndex.upsertPostings(spark, src,
       docs.filter(col("doc_id") % 10 === 7).limit(20),
