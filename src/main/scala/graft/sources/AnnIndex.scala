@@ -394,6 +394,54 @@ object AnnIndex {
     lshHandle(spark, tag, meta("tables").toInt, meta("bits").toInt)
   }
 
+  /** Compact the persisted LSH layout: a streaming upsert appends one
+    * file set per micro-batch into each bucketed table, and file count
+    * — not row count — is what erodes scan planning over time.
+    * Rewrites both tables' IDENTICAL rows at the same (bucketing,
+    * sort) spec; the meta (operating point, checksum, n_rows,
+    * last_batch_id) is untouched, so every freshness and replay
+    * contract keeps holding.
+    *
+    * Crash safety (the [[graft.sources.KeywordIndex.compactPostings]]
+    * discipline): each compacted copy lands in a SIDE directory —
+    * written through a temp catalog table, since bucketed writes go
+    * through `saveAsTable` — and swaps in by directory rename. The two
+    * tables hold identical logical content before and after, so a
+    * crash BETWEEN their swaps still leaves a correct index (mixed
+    * file layouts); a crash inside one rename window leaves that dir
+    * missing, which the next attach fails loudly on. Not safe
+    * concurrent with a writer — run between ingest windows.
+    */
+  def compactLsh(spark: SparkSession, sourceDir: String): LshHandle = {
+    import java.nio.file.{Files, Paths}
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = lshBase(spark, tag)
+    openLsh(spark, sourceDir) // validates meta + attaches + refreshes
+    val meta = readMeta(base)
+    val sb = meta("buckets").toInt
+    val pid = ProcessHandle.current.pid
+    def compactOne(table: String, sub: String, key: String): Unit = {
+      val side = s"$base/${sub}_compact_$pid"
+      val tmp = s"${table}_compact"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      spark.table(table).write.mode(SaveMode.Overwrite)
+        .option("path", side)
+        .bucketBy(sb, key).sortBy(key)
+        .format("parquet").saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $tmp") // external: catalog entry only
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val live = Paths.get(s"$base/$sub")
+      val old = Paths.get(s"$base/${sub}_old_$pid")
+      Files.move(live, old)
+      Files.move(Paths.get(side), live)
+      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    }
+    compactOne(s"graft_lsh_buckets_$tag", "buckets", "tb")
+    compactOne(s"graft_lsh_vecs_$tag", "vecs", "vec_id")
+    attachLsh(spark, tag, sb)
+    lshHandle(spark, tag, meta("tables").toInt, meta("bits").toInt)
+  }
+
   /** Build-or-reuse for a base + upserted-tail index: when the stored
     * meta already equals base ⊕ tail the layout is reused (or attached)
     * without touching data; otherwise the base is built and the tail

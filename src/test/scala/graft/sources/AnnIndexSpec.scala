@@ -180,6 +180,40 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(streamed === inMemory)
   }
 
+  test("compactLsh rewrites streamed appends into few files per table " +
+      "with identical answers and untouched meta contracts") {
+    val src = s"spec-$runTag-j"
+    AnnIndex.ensureLsh(spark, src,
+      emb.filter(col("vec_id") % 10 =!= 7), tables = 16, bits = 6)
+    // three batchId'd appends -> three extra file sets per table
+    val tail = emb.filter(col("vec_id") % 10 === 7).collect()
+    tail.grouped(tail.length / 3 + 1).zipWithIndex.foreach {
+      case (chunk, i) =>
+        import spark.implicits._
+        AnnIndex.upsertLsh(spark, src,
+          chunk.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+            .toDF("vec_id", "embedding"),
+          tables = 16, bits = 6, batchId = Some(i.toLong))
+    }
+    val before = AnnIndex.openLsh(spark, src)
+    val beforeHits = hits(AnnIndex.queryLsh(queries, before, k = 4,
+      probes = 8))
+    val beforeFiles = before.vecs.inputFiles.length
+    val h = AnnIndex.compactLsh(spark, src)
+    assert(h.vecs.inputFiles.length < beforeFiles,
+      s"no file-count win ($beforeFiles -> ${h.vecs.inputFiles.length})")
+    assert(hits(AnnIndex.queryLsh(queries, h, k = 4, probes = 8))
+      === beforeHits)
+    // replay guard survives: re-applying the last batchId is a no-op
+    val n1 = h.vecs.count()
+    import spark.implicits._
+    val h2 = AnnIndex.upsertLsh(spark, src,
+      tail.take(5).map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .toSeq.toDF("vec_id", "embedding"),
+      tables = 16, bits = 6, batchId = Some(0L))
+    assert(h2.vecs.count() === n1, "replay guard lost by compaction")
+  }
+
   test("upsertLsh with a batchId skips a replayed batch (idempotent " +
       "foreachBatch)") {
     val src = s"spec-$runTag-i"
