@@ -532,9 +532,10 @@ object PipelineQueries {
     // → corpus stats. Each stage's count plus the kept corpus's token
     // mass is recomputed by the DuckDB oracle, and each stage DROPS rows
     // on the fixture (500 → ~470 → ~200 → fewer). Every stage is a
-    // per-row projection or a hash-keyed aggregate — the funnel adds
-    // exactly one corpus shuffle (the dedup groupBy, which ships the
-    // 8-byte key hash via Dedup.exact's two-phase shape) over a scan.
+    // per-row projection or a hash-keyed aggregate — the only
+    // corpus-wide exchanges are Dedup.exact's hash-keyed phase-1 agg
+    // (evaluated once per consumer branch; only the 8-byte key hash is
+    // shuffled, the key text rides just the colliding-slice residual).
     "q84_clean_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val qual = TextAnalysis.qualityFeatures(docs)

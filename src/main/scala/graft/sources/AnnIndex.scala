@@ -275,16 +275,22 @@ object AnnIndex {
         meta.get("bits").contains(bits.toLong) &&
         meta.get("buckets").contains(storageBuckets.toLong)
     }
-    if (snapFresh) {
-      if (!lshRegistered(spark, tag)) attachLsh(spark, tag, storageBuckets)
+    if (snapFresh && (lshRegistered(spark, tag) ||
+        (try { attachLsh(spark, tag, storageBuckets); true }
+        catch { case scala.util.control.NonFatal(_) => false })))
       return lshHandle(spark, tag, tables, bits)
-    }
+    // an unreadable layout under a fresh snapshot id falls through to
+    // the fingerprint path, which rebuilds
     val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
+    // a matching meta over an unreadable layout (a compaction or build
+    // crashed inside a directory-rename window) must count as STALE —
+    // otherwise the attach throws forever and no API call can rebuild
     val metaFresh = lshMetaMatches(readMeta(base), tables,
-      bits, storageBuckets, n, fp)
-    if (metaFresh && !lshRegistered(spark, tag))
-      attachLsh(spark, tag, storageBuckets)
-    else if (!metaFresh)
+      bits, storageBuckets, n, fp) &&
+      (lshRegistered(spark, tag) ||
+        (try { attachLsh(spark, tag, storageBuckets); true }
+        catch { case scala.util.control.NonFatal(_) => false }))
+    if (!metaFresh)
       buildLsh(spark, tag, index, tables, bits, storageBuckets, n, fp,
         snapshotId)
     if (metaFresh && snapshotId.isDefined)
@@ -409,19 +415,20 @@ object AnnIndex {
     * tables hold identical logical content before and after, so a
     * crash BETWEEN their swaps still leaves a correct index (mixed
     * file layouts); a crash inside one rename window leaves that dir
-    * missing, which the next attach fails loudly on. Not safe
+    * missing: [[openLsh]] fails loudly, and [[ensureLsh]] treats the
+    * unreadable layout as STALE and rebuilds (the recovery path);
+    * leftover side/old dirs are swept by the next compaction. Not safe
     * concurrent with a writer — run between ingest windows.
     */
   def compactLsh(spark: SparkSession, sourceDir: String): LshHandle = {
-    import java.nio.file.{Files, Paths}
     val tag = IndexStore.pathTag(sourceDir)
     val base = lshBase(spark, tag)
     openLsh(spark, sourceDir) // validates meta + attaches + refreshes
     val meta = readMeta(base)
     val sb = meta("buckets").toInt
-    val pid = ProcessHandle.current.pid
     def compactOne(table: String, sub: String, key: String): Unit = {
-      val side = s"$base/${sub}_compact_$pid"
+      sweepStaleCompaction(base, sub)
+      val side = s"$base/${sub}_compact_${ProcessHandle.current.pid}"
       val tmp = s"${table}_compact"
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
       spark.table(table).write.mode(SaveMode.Overwrite)
@@ -430,16 +437,48 @@ object AnnIndex {
         .format("parquet").saveAsTable(tmp)
       spark.sql(s"DROP TABLE $tmp") // external: catalog entry only
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      val live = Paths.get(s"$base/$sub")
-      val old = Paths.get(s"$base/${sub}_old_$pid")
-      Files.move(live, old)
-      Files.move(Paths.get(side), live)
-      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+      swapDir(s"$base/$sub", side)
     }
     compactOne(s"graft_lsh_buckets_$tag", "buckets", "tb")
     compactOne(s"graft_lsh_vecs_$tag", "vecs", "vec_id")
     attachLsh(spark, tag, sb)
     lshHandle(spark, tag, meta("tables").toInt, meta("bits").toInt)
+  }
+
+  /** The compaction swap, shared by [[compactLsh]] and
+    * [[KeywordIndex.compactPostings]]: live → pid-suffixed old, side →
+    * live, delete old. A crash before the first rename leaves the live
+    * layout intact; inside the two-rename window the live dir is
+    * missing, which the next attach throws on and the `ensure*` paths
+    * treat as STALE (rebuild) rather than unrecoverable.
+    */
+  private[sources] def swapDir(liveDir: String, sideDir: String): Unit = {
+    val live = Paths.get(liveDir)
+    val old = live.getParent.resolve(
+      s"${live.getFileName}_old_${ProcessHandle.current.pid}")
+    Files.move(live, old)
+    Files.move(Paths.get(sideDir), live)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+  }
+
+  /** Sweep the garbage a CRASHED earlier compaction left behind —
+    * `<name>_old_*` / `<name>_compact_*` dirs under `baseDir`, whatever
+    * pid wrote them. Without this each crashed compaction permanently
+    * doubles the table's footprint, and a recycled pid could collide
+    * with a leftover mid-swap.
+    */
+  private[sources] def sweepStaleCompaction(baseDir: String,
+      name: String): Unit = {
+    val b = Paths.get(baseDir)
+    if (Files.exists(b)) {
+      val it = Files.list(b)
+      try it.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(s"${name}_old_") ||
+            n.startsWith(s"${name}_compact_"))
+          org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      } finally it.close()
+    }
   }
 
   /** Build-or-reuse for a base + upserted-tail index: when the stored

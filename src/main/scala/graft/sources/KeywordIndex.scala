@@ -76,15 +76,19 @@ object KeywordIndex {
       AnnIndex.readMetaStrs(base).get("snapshot_id").contains(id) &&
         AnnIndex.readMeta(base).contains("checksum")
     }
-    if (snapFresh) {
-      if (!registered(spark, tag)) attach(spark, tag)
+    if (snapFresh && (registered(spark, tag) ||
+        (try { attach(spark, tag); true }
+        catch { case scala.util.control.NonFatal(_) => false })))
       return spark.table(tableName(tag))
-    }
     val (n, fp) = AnnIndex.fingerprint(
       docs.select(docs(idCol), docs(textCol)))
     val meta = AnnIndex.readMeta(base)
-    val metaFresh = metaMatches(meta, n, fp)
-    if (metaFresh && !registered(spark, tag)) attach(spark, tag)
+    // a matching meta over an unreadable layout (a crashed compaction's
+    // rename window) counts as STALE — the rebuild is the recovery path
+    val metaFresh = metaMatches(meta, n, fp) &&
+      (registered(spark, tag) ||
+        (try { attach(spark, tag); true }
+        catch { case scala.util.control.NonFatal(_) => false }))
     if (!metaFresh) build(spark, tag, docs, idCol, textCol, n, fp, snapshotId)
     else if (snapshotId.isDefined)
       // content unchanged under a new snapshot name: record the id so
@@ -179,20 +183,16 @@ object KeywordIndex {
       spark: SparkSession,
       sourceDir: String,
       numFiles: Int = 8): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val tag = IndexStore.pathTag(sourceDir)
     val base = kwBase(spark, tag)
     val rows = openPostings(spark, sourceDir)
+    AnnIndex.sweepStaleCompaction(base, "postings")
     val sidePath = s"$base/postings_compact_${ProcessHandle.current.pid}"
     rows.repartition(numFiles, org.apache.spark.sql.functions.col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(sidePath)
-    val live = Paths.get(s"$base/postings")
-    val old = Paths.get(s"$base/postings_old_${ProcessHandle.current.pid}")
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(tag)}")
-    Files.move(live, old)
-    Files.move(Paths.get(sidePath), live)
+    AnnIndex.swapDir(s"$base/postings", sidePath)
     attach(spark, tag)
-    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
     spark.table(tableName(tag))
   }
 

@@ -182,7 +182,7 @@ class AnnIndexSpec extends AnyFunSuite {
 
   test("compactLsh rewrites streamed appends into few files per table " +
       "with identical answers and untouched meta contracts") {
-    val src = s"spec-$runTag-j"
+    val src = s"spec-$runTag-k"
     AnnIndex.ensureLsh(spark, src,
       emb.filter(col("vec_id") % 10 =!= 7), tables = 16, bits = 6)
     // three batchId'd appends -> three extra file sets per table
@@ -212,6 +212,13 @@ class AnnIndexSpec extends AnyFunSuite {
         .toSeq.toDF("vec_id", "embedding"),
       tables = 16, bits = 6, batchId = Some(0L))
     assert(h2.vecs.count() === n1, "replay guard lost by compaction")
+    // and a genuinely NEW batch appends into the compacted layout
+    val h3 = AnnIndex.upsertLsh(spark, src,
+      tail.take(5).map(r => (r.getLong(0) + 900000L,
+        r.getSeq[Float](1).toArray)).toSeq.toDF("vec_id", "embedding"),
+      tables = 16, bits = 6, batchId = Some(3L))
+    assert(h3.vecs.count() === n1 + 5,
+      "live append into the compacted table failed")
   }
 
   test("upsertLsh with a batchId skips a replayed batch (idempotent " +

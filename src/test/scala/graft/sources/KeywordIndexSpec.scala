@@ -126,6 +126,12 @@ class KeywordIndexSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 10 === 7).limit(20),
       batchId = Some(0L)).count()
     assert(n2 === n1, "replay guard lost by compaction")
+    // and a genuinely NEW batch appends into the compacted layout
+    import spark.implicits._
+    val n3 = KeywordIndex.upsertPostings(spark, src,
+      Seq((990001L, "fresh zebra quartz tokens")).toDF("doc_id", "text"),
+      batchId = Some(9L)).count()
+    assert(n3 > n1, "live append into the compacted table failed")
   }
 
   test("streaming ingest: micro-batched document arrivals converge to " +
