@@ -275,18 +275,25 @@ object AnnIndex {
         meta.get("bits").contains(bits.toLong) &&
         meta.get("buckets").contains(storageBuckets.toLong)
     }
-    if (snapFresh && (lshRegistered(spark, tag) ||
-        (try { attachLsh(spark, tag, storageBuckets); true }
-        catch { case scala.util.control.NonFatal(_) => false })))
+    if (snapFresh && parquetReadable(spark, s"$base/buckets") &&
+        parquetReadable(spark, s"$base/vecs") &&
+        (lshRegistered(spark, tag) ||
+          (try { attachLsh(spark, tag, storageBuckets); true }
+          catch { case scala.util.control.NonFatal(_) => false })))
       return lshHandle(spark, tag, tables, bits)
     // an unreadable layout under a fresh snapshot id falls through to
     // the fingerprint path, which rebuilds
     val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
     // a matching meta over an unreadable layout (a compaction or build
     // crashed inside a directory-rename window) must count as STALE —
-    // otherwise the attach throws forever and no API call can rebuild
+    // otherwise the attach throws forever and no API call can rebuild.
+    // The readability probe (a footer read) must not trust this
+    // session's catalog registration: files can be gone while the
+    // registration survives.
     val metaFresh = lshMetaMatches(readMeta(base), tables,
       bits, storageBuckets, n, fp) &&
+      parquetReadable(spark, s"$base/buckets") &&
+      parquetReadable(spark, s"$base/vecs") &&
       (lshRegistered(spark, tag) ||
         (try { attachLsh(spark, tag, storageBuckets); true }
         catch { case scala.util.control.NonFatal(_) => false }))
@@ -384,10 +391,17 @@ object AnnIndex {
     */
   def openLsh(spark: SparkSession, sourceDir: String): LshHandle = {
     val tag = IndexStore.pathTag(sourceDir)
-    val meta = readMeta(lshBase(spark, tag))
+    val base = lshBase(spark, tag)
+    val meta = readMeta(base)
     require(meta.contains("tables") && meta.contains("bits") &&
       meta.contains("buckets"),
-      s"no persisted LSH index for '$sourceDir' (${lshBase(spark, tag)})")
+      s"no persisted LSH index for '$sourceDir' ($base)")
+    // readability (footer reads, not a freshness scan): a surviving
+    // registration over a gutted dir would otherwise serve EMPTY tables
+    require(parquetReadable(spark, s"$base/buckets") &&
+      parquetReadable(spark, s"$base/vecs"),
+      s"persisted LSH layout for '$sourceDir' is unreadable (crashed " +
+        "compaction?) — run ensureLsh to rebuild")
     if (!lshRegistered(spark, tag))
       attachLsh(spark, tag, meta("buckets").toInt)
     else {
@@ -460,6 +474,16 @@ object AnnIndex {
     Files.move(Paths.get(sideDir), live)
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
   }
+
+  /** True iff `path` holds a readable parquet layout — one footer/schema
+    * read, no data pass. The `ensure*` freshness checks use this so a
+    * crashed compaction's missing dir reads as STALE (rebuild) instead
+    * of an eternally-throwing attach.
+    */
+  private[sources] def parquetReadable(spark: SparkSession,
+      path: String): Boolean =
+    try { spark.read.parquet(path).schema; true }
+    catch { case scala.util.control.NonFatal(_) => false }
 
   /** Sweep the garbage a CRASHED earlier compaction left behind —
     * `<name>_old_*` / `<name>_compact_*` dirs under `baseDir`, whatever

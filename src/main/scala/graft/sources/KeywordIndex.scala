@@ -76,16 +76,21 @@ object KeywordIndex {
       AnnIndex.readMetaStrs(base).get("snapshot_id").contains(id) &&
         AnnIndex.readMeta(base).contains("checksum")
     }
-    if (snapFresh && (registered(spark, tag) ||
-        (try { attach(spark, tag); true }
-        catch { case scala.util.control.NonFatal(_) => false })))
+    if (snapFresh && AnnIndex.parquetReadable(spark, s"$base/postings") &&
+        (registered(spark, tag) ||
+          (try { attach(spark, tag); true }
+          catch { case scala.util.control.NonFatal(_) => false })))
       return spark.table(tableName(tag))
     val (n, fp) = AnnIndex.fingerprint(
       docs.select(docs(idCol), docs(textCol)))
     val meta = AnnIndex.readMeta(base)
     // a matching meta over an unreadable layout (a crashed compaction's
-    // rename window) counts as STALE — the rebuild is the recovery path
+    // rename window) counts as STALE — the rebuild is the recovery
+    // path. The readability probe is a footer read, not a data pass,
+    // and must NOT trust this session's catalog registration: the
+    // files can be gone while the registration survives.
     val metaFresh = metaMatches(meta, n, fp) &&
+      AnnIndex.parquetReadable(spark, s"$base/postings") &&
       (registered(spark, tag) ||
         (try { attach(spark, tag); true }
         catch { case scala.util.control.NonFatal(_) => false }))
@@ -111,8 +116,15 @@ object KeywordIndex {
     */
   def openPostings(spark: SparkSession, sourceDir: String): DataFrame = {
     val tag = IndexStore.pathTag(sourceDir)
-    require(AnnIndex.readMeta(kwBase(spark, tag)).contains("checksum"),
+    val base = kwBase(spark, tag)
+    require(AnnIndex.readMeta(base).contains("checksum"),
       s"no persisted keyword index for $sourceDir — run ensurePostings")
+    // readability (one footer read, not a freshness scan): a surviving
+    // catalog registration over a gutted directory would otherwise read
+    // as an EMPTY table — silently wrong answers, not a loud failure
+    require(AnnIndex.parquetReadable(spark, s"$base/postings"),
+      s"persisted keyword layout for $sourceDir is unreadable (crashed " +
+        "compaction?) — run ensurePostings to rebuild")
     if (!registered(spark, tag)) attach(spark, tag)
     spark.catalog.refreshTable(tableName(tag))
     spark.table(tableName(tag))

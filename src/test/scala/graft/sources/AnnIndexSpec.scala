@@ -221,6 +221,19 @@ class AnnIndexSpec extends AnyFunSuite {
       "live append into the compacted table failed")
   }
 
+  test("a crashed compaction's rename window (live dir missing under a " +
+      "matching meta) is recovered by ensureLsh as a rebuild") {
+    val src = s"spec-$runTag-m"
+    val h0 = AnnIndex.ensureLsh(spark, src, emb, tables = 16, bits = 6)
+    val expected = hits(AnnIndex.queryLsh(queries, h0, k = 4, probes = 8))
+    val tag = IndexStore.pathTag(src)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(s"/tmp/graft_ann_lsh_$tag/buckets").toFile)
+    val h = AnnIndex.ensureLsh(spark, src, emb, tables = 16, bits = 6)
+    assert(hits(AnnIndex.queryLsh(queries, h, k = 4, probes = 8))
+      === expected)
+  }
+
   test("upsertLsh with a batchId skips a replayed batch (idempotent " +
       "foreachBatch)") {
     val src = s"spec-$runTag-i"

@@ -134,6 +134,22 @@ class KeywordIndexSpec extends AnyFunSuite {
     assert(n3 > n1, "live append into the compacted table failed")
   }
 
+  test("a crashed compaction's rename window (live dir missing under a " +
+      "matching meta) is recovered by ensurePostings as a rebuild") {
+    val src = s"kwspec-$runTag-h"
+    KeywordIndex.ensurePostings(spark, src, docs)
+    val tag = IndexStore.pathTag(src)
+    // simulate the crash: layout gone, meta still matching
+    val live = java.nio.file.Paths.get(s"/tmp/graft_kw_$tag/postings")
+    org.apache.commons.io.FileUtils.deleteDirectory(live.toFile)
+    intercept[Exception] { // the no-probe reader fails loudly
+      KeywordIndex.openPostings(spark, src).count()
+    }
+    val rebuilt = KeywordIndex.ensurePostings(spark, src, docs)
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, rebuilt, k = 5))
+      === hits(KeywordSearch.bm25TopK(queries, docs, k = 5)))
+  }
+
   test("streaming ingest: micro-batched document arrivals converge to " +
       "the full postings, scoring exactly like a rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
