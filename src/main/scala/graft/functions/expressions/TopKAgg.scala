@@ -110,4 +110,22 @@ object TopKAgg {
     GraftExprBridge.column(
       TopKAgg(GraftExprBridge.expression(score),
         GraftExprBridge.expression(id), k).toAggregateExpression())
+
+  /** The per-query ranking tail every retrieval operator shares —
+    * `scored` grouped by `query_id`, bounded top-k on `(score, id)`,
+    * exploded to `(query_id, rank, <idName>, <scoreName>)`. ONE
+    * definition of the ranking/tie-break semantics (score desc, id
+    * asc) for the dense, adaptive, BM25, jaccard, and RRF paths — a
+    * change to rounding or tie order happens here or nowhere.
+    */
+  def rankedTail(scored: org.apache.spark.sql.DataFrame, score: Column,
+      id: Column, k: Int, idName: String,
+      scoreName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    scored.groupBy("query_id")
+      .agg(top_k(score, id, k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as(idName), col("hit.score").as(scoreName))
+  }
 }

@@ -326,6 +326,14 @@ object Dedup {
   private[graft] def clustersAlternatingWithRounds(
       pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
+    // every node appearing in pairs must come back labeled — including
+    // nodes whose ONLY pair is a degenerate self-pair (a, a), which the
+    // canonical-edge filter below rightly discards as an edge but must
+    // not silently drop as a node (the clusters() contract)
+    val allNodes = pairs.select(col("doc_id_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_id_b").as("doc_id")))
+      .distinct()
+      .localCheckpoint(true)
     // canonical high→low edges; checkpoint cuts the (possibly expensive)
     // pair-generation lineage, same as clusters()
     var edges = pairs
@@ -373,10 +381,14 @@ object Dedup {
       s"alternating connected components did not converge within $maxIter " +
         "rounds; raise maxIter (expected O(log n) — this indicates a " +
         "pathological graph or a far larger component count than sized for)")
-    // stars: every edge is (member, min); centers label themselves
-    (edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
-      .unionByName(
-        edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
+    // stars: every edge is (member, min); centers label themselves, and
+    // self-pair-only isolates (no star edge) fall back to their own id
+    val starLabels = edges
+      .select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+    (allNodes
+      .join(starLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .distinct(), iter)
   }
 

@@ -111,12 +111,8 @@ object KeywordSearch {
             + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("query_id", "doc_id")
       .agg(sum("contrib").as("score"))
-    scored
-      .groupBy("query_id")
-      .agg(top_k(round(col("score"), 6), col("doc_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("hit.id").as("doc_id"), col("hit.score").as("score"))
+    graft.functions.expressions.TopKAgg.rankedTail(
+      scored, round(col("score"), 6), col("doc_id"), k, "doc_id", "score")
   }
 
   /** Token-set Jaccard top-k — the fuzzy-lexical ranker (|tokens(q) ∩
@@ -149,15 +145,11 @@ object KeywordSearch {
     val inter = dt.join(broadcast(qt), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).cast("double").as("ni"), first("nd").as("nd"))
-    inter
-      .join(broadcast(qsize), Seq("query_id"))
-      .withColumn("score",
-        col("ni") / (col("nd") + col("nq") - col("ni")))
-      .groupBy("query_id")
-      .agg(top_k(round(col("score"), 6), col("doc_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("hit.id").as("doc_id"), col("hit.score").as("score"))
+    graft.functions.expressions.TopKAgg.rankedTail(
+      inter.join(broadcast(qsize), Seq("query_id"))
+        .withColumn("score",
+          col("ni") / (col("nd") + col("nq") - col("ni"))),
+      round(col("score"), 6), col("doc_id"), k, "doc_id", "score")
   }
 
   /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09): each input
@@ -169,18 +161,14 @@ object KeywordSearch {
     * every other ranking in the engine.
     */
   def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
-    import graft.functions.expressions.TopKAgg.top_k
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
-    rankings
-      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
-      .reduce(_ unionByName _)
-      .withColumn("contrib", lit(1.0) / (lit(rrfK.toDouble) + col("rank")))
-      .groupBy("query_id", "doc_id")
-      .agg(sum("contrib").as("rrf"))
-      .groupBy("query_id")
-      .agg(top_k(round(col("rrf"), 6), col("doc_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("hit.id").as("doc_id"), col("hit.score").as("rrf_score"))
+    graft.functions.expressions.TopKAgg.rankedTail(
+      rankings
+        .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+        .reduce(_ unionByName _)
+        .withColumn("contrib", lit(1.0) / (lit(rrfK.toDouble) + col("rank")))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("contrib").as("rrf")),
+      round(col("rrf"), 6), col("doc_id"), k, "doc_id", "rrf_score")
   }
 }

@@ -186,18 +186,14 @@ object RagPipeline {
   }
 
   /** Shared ranking tail: a scored (…, query_id, chunk_id, score) frame
-    * → per-query `(query_id, rank, chunk_id, score)` through the
-    * bounded TopKAgg — ONE definition of the ranking/tie-break
-    * semantics for the dense, adaptive, and rewrite-served paths.
+    * → per-query `(query_id, rank, chunk_id, score)` — delegates to
+    * [[graft.functions.expressions.TopKAgg.rankedTail]], the one
+    * definition of the ranking/tie-break semantics shared with the
+    * lexical rankers.
     */
-  private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
-    import graft.functions.expressions.TopKAgg.top_k
-    scored.groupBy("query_id")
-      .agg(top_k(col("score"), col("chunk_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("hit.id").as("chunk_id"), col("hit.score").as("score"))
-  }
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.functions.expressions.TopKAgg.rankedTail(
+      scored, col("score"), col("chunk_id"), k, "chunk_id", "score")
 
   /** Hybrid retrieval: reciprocal-rank fusion of the dense ranking
     * ([[retrieve]] — embedding cosine, the reference's only retrieval

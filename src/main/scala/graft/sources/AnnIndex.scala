@@ -275,11 +275,10 @@ object AnnIndex {
         meta.get("bits").contains(bits.toLong) &&
         meta.get("buckets").contains(storageBuckets.toLong)
     }
-    if (snapFresh && parquetReadable(spark, s"$base/buckets") &&
-        parquetReadable(spark, s"$base/vecs") &&
-        (lshRegistered(spark, tag) ||
-          (try { attachLsh(spark, tag, storageBuckets); true }
-          catch { case scala.util.control.NonFatal(_) => false })))
+    if (snapFresh && servable(spark,
+        Seq(s"$base/buckets", s"$base/vecs"),
+        lshRegistered(spark, tag),
+        () => attachLsh(spark, tag, storageBuckets)))
       return lshHandle(spark, tag, tables, bits)
     // an unreadable layout under a fresh snapshot id falls through to
     // the fingerprint path, which rebuilds
@@ -292,11 +291,9 @@ object AnnIndex {
     // registration survives.
     val metaFresh = lshMetaMatches(readMeta(base), tables,
       bits, storageBuckets, n, fp) &&
-      parquetReadable(spark, s"$base/buckets") &&
-      parquetReadable(spark, s"$base/vecs") &&
-      (lshRegistered(spark, tag) ||
-        (try { attachLsh(spark, tag, storageBuckets); true }
-        catch { case scala.util.control.NonFatal(_) => false }))
+      servable(spark, Seq(s"$base/buckets", s"$base/vecs"),
+        lshRegistered(spark, tag),
+        () => attachLsh(spark, tag, storageBuckets))
     if (!metaFresh)
       buildLsh(spark, tag, index, tables, bits, storageBuckets, n, fp,
         snapshotId)
@@ -353,6 +350,14 @@ object AnnIndex {
       meta.get("buckets").contains(storageBuckets.toLong),
       s"upsertLsh needs an existing index at the same operating point " +
         s"(tables=$tables bits=$bits buckets=$storageBuckets); found $meta")
+    // appending into a crashed-compaction gutted layout would RECREATE
+    // the dir holding only this batch while the xor'd checksum claims
+    // the full corpus — silent corruption every later probe trusts;
+    // fail loudly instead (ensureLsh is the rebuild path)
+    require(parquetReadable(spark, s"$base/buckets") &&
+      parquetReadable(spark, s"$base/vecs"),
+      s"persisted LSH layout for '$sourceDir' is unreadable (crashed " +
+        "compaction?) — run ensureLsh to rebuild before upserting")
     if (!lshRegistered(spark, tag)) attachLsh(spark, tag, storageBuckets)
     val replayed = batchId.exists(id =>
       meta.get("last_batch_id").exists(id <= _))
@@ -485,6 +490,21 @@ object AnnIndex {
     try { spark.read.parquet(path).schema; true }
     catch { case scala.util.control.NonFatal(_) => false }
 
+  /** THE reuse-vs-rebuild probe, shared by every `ensure*` freshness
+    * site (LSH, IVF-adjacent, postings): a layout is servable iff every
+    * data dir is readable (footer probe — the session catalog must NOT
+    * be trusted: files can vanish under a surviving registration) AND
+    * the registration exists or can be re-attached. Any failure ⇒ the
+    * caller treats the layout as stale and rebuilds — the recovery path
+    * for a compaction or build crash.
+    */
+  private[sources] def servable(spark: SparkSession, dataDirs: Seq[String],
+      isRegistered: => Boolean, attachFn: () => Unit): Boolean =
+    dataDirs.forall(parquetReadable(spark, _)) &&
+      (isRegistered ||
+        (try { attachFn(); true }
+        catch { case scala.util.control.NonFatal(_) => false }))
+
   /** Sweep the garbage a CRASHED earlier compaction left behind —
     * `<name>_old_*` / `<name>_compact_*` dirs under `baseDir`, whatever
     * pid wrote them. Without this each crashed compaction permanently
@@ -522,11 +542,13 @@ object AnnIndex {
     val tag = IndexStore.pathTag(sourceDir)
     val (nb, fb) = fingerprint(baseRows.select("vec_id", "embedding"))
     val (nt, ft) = fingerprint(tailRows.select("vec_id", "embedding"))
-    val combinedFresh = lshMetaMatches(readMeta(lshBase(spark, tag)),
-      tables, bits, storageBuckets, nb + nt, fb ^ ft)
-    if (combinedFresh) {
-      if (!lshRegistered(spark, tag)) attachLsh(spark, tag, storageBuckets)
-    } else {
+    val ubase = lshBase(spark, tag)
+    val combinedFresh = lshMetaMatches(readMeta(ubase),
+      tables, bits, storageBuckets, nb + nt, fb ^ ft) &&
+      servable(spark, Seq(s"$ubase/buckets", s"$ubase/vecs"),
+        lshRegistered(spark, tag),
+        () => attachLsh(spark, tag, storageBuckets))
+    if (!combinedFresh) {
       buildLsh(spark, tag, baseRows, tables, bits, storageBuckets, nb, fb)
       upsertLsh(spark, sourceDir, tailRows, tables, bits, storageBuckets)
     }

@@ -76,24 +76,21 @@ object KeywordIndex {
       AnnIndex.readMetaStrs(base).get("snapshot_id").contains(id) &&
         AnnIndex.readMeta(base).contains("checksum")
     }
-    if (snapFresh && AnnIndex.parquetReadable(spark, s"$base/postings") &&
-        (registered(spark, tag) ||
-          (try { attach(spark, tag); true }
-          catch { case scala.util.control.NonFatal(_) => false })))
+    if (snapFresh && AnnIndex.servable(spark, Seq(s"$base/postings"),
+        registered(spark, tag), () => attach(spark, tag))) {
+      spark.catalog.refreshTable(tableName(tag))
       return spark.table(tableName(tag))
+    }
     val (n, fp) = AnnIndex.fingerprint(
       docs.select(docs(idCol), docs(textCol)))
     val meta = AnnIndex.readMeta(base)
     // a matching meta over an unreadable layout (a crashed compaction's
-    // rename window) counts as STALE — the rebuild is the recovery
-    // path. The readability probe is a footer read, not a data pass,
-    // and must NOT trust this session's catalog registration: the
-    // files can be gone while the registration survives.
+    // rename window) counts as STALE — the rebuild is the recovery path
+    // (AnnIndex.servable: footer probe + attach, never trusting this
+    // session's registration alone)
     val metaFresh = metaMatches(meta, n, fp) &&
-      AnnIndex.parquetReadable(spark, s"$base/postings") &&
-      (registered(spark, tag) ||
-        (try { attach(spark, tag); true }
-        catch { case scala.util.control.NonFatal(_) => false }))
+      AnnIndex.servable(spark, Seq(s"$base/postings"),
+        registered(spark, tag), () => attach(spark, tag))
     if (!metaFresh) build(spark, tag, docs, idCol, textCol, n, fp, snapshotId)
     else if (snapshotId.isDefined)
       // content unchanged under a new snapshot name: record the id so
@@ -104,6 +101,9 @@ object KeywordIndex {
         Seq("n_docs" -> n, "checksum" -> fp) ++
           meta.get("last_batch_id").map("last_batch_id" -> _).toSeq,
         snapshotId.map("snapshot_id" -> _).toSeq)
+    // a cross-process writer may have appended since this session last
+    // listed the table — reuse must serve the CURRENT files
+    spark.catalog.refreshTable(tableName(tag))
     spark.table(tableName(tag))
   }
 
@@ -150,6 +150,13 @@ object KeywordIndex {
     require(meta.contains("checksum"),
       s"upsertPostings needs an existing index for $sourceDir — run " +
         "ensurePostings first")
+    // appending into a crashed-compaction gutted layout would RECREATE
+    // the dir holding only this batch while the xor'd checksum claims
+    // the full corpus — silent corruption every later probe trusts;
+    // fail loudly instead (ensurePostings is the rebuild path)
+    require(AnnIndex.parquetReadable(spark, s"$base/postings"),
+      s"persisted keyword layout for $sourceDir is unreadable (crashed " +
+        "compaction?) — run ensurePostings to rebuild before upserting")
     if (!registered(spark, tag)) attach(spark, tag)
     val replayed = batchId.exists(id =>
       meta.get("last_batch_id").exists(id <= _))
@@ -225,11 +232,12 @@ object KeywordIndex {
       baseDocs.select(baseDocs(idCol), baseDocs(textCol)))
     val (nt, ft) = AnnIndex.fingerprint(
       tailDocs.select(tailDocs(idCol), tailDocs(textCol)))
+    val ubase = kwBase(spark, tag)
     val combinedFresh = metaMatches(
-      AnnIndex.readMeta(kwBase(spark, tag)), nb + nt, fb ^ ft)
-    if (combinedFresh) {
-      if (!registered(spark, tag)) attach(spark, tag)
-    } else {
+      AnnIndex.readMeta(ubase), nb + nt, fb ^ ft) &&
+      AnnIndex.servable(spark, Seq(s"$ubase/postings"),
+        registered(spark, tag), () => attach(spark, tag))
+    if (!combinedFresh) {
       build(spark, tag, baseDocs, idCol, textCol, nb, fb, None)
       upsertPostings(spark, sourceDir, tailDocs, idCol, textCol)
     }

@@ -149,4 +149,14 @@ class KeywordSearchSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")
     assert(Dedup.clustersAlternating(empty).count() === 0)
   }
+
+  test("clustersAlternating labels self-pair-only nodes like clusters " +
+      "does (the every-node-in-pairs contract)") {
+    val pairs = Seq((1L, 2L), (7L, 7L)).toDF("doc_id_a", "doc_id_b")
+    val viaProp = Dedup.clusters(pairs).as[(Long, Long)].collect().toSet
+    val viaAlt = Dedup.clustersAlternating(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(viaAlt === viaProp)
+    assert(viaAlt === Set((1L, 1L), (2L, 1L), (7L, 7L)))
+  }
 }
