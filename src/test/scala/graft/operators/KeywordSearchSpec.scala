@@ -116,6 +116,26 @@ class KeywordSearchSpec extends AnyFunSuite {
       Seq("query_id", "rank", "chunk_id", "doc_id", "score", "text"))
   }
 
+  test("hybridRetrieve is EXACTLY rrfFuse over its two component " +
+      "rankings (the composition each oracle verifies half of)") {
+    val docsDf = graft.Tables
+      .load(spark, graft.TestSpark.Sf0001, "documents").limit(200)
+    val index = graft.rag.RagPipeline
+      .buildIndex(spark, docsDf, chunkSize = 200).cache()
+    val q = graft.queries.PipelineQueries.retrievalQueryDf(spark)
+    val viaHybrid = graft.rag.RagPipeline.hybridRetrieve(q, index, k = 4)
+      .select("query_id", "rank", "chunk_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val dense = graft.rag.RagPipeline.retrieve(q, index, 10)
+      .select(col("query_id"), col("chunk_id").as("doc_id"), col("rank"))
+    val lexical = KeywordSearch.bm25TopK(q, index, 10, idCol = "chunk_id")
+      .select("query_id", "doc_id", "rank")
+    val composed = KeywordSearch.rrfFuse(Seq(dense, lexical), k = 4)
+      .select("query_id", "rank", "doc_id", "rrf_score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaHybrid === composed)
+  }
+
   test("clustersAlternating labels a 64-deep chain in O(log n) rounds " +
       "where min-label propagation's diameter bound needs 10x more") {
     val chain = (0L until 63L).map(i => (i + 1, i))
