@@ -67,5 +67,13 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () }
     spark.stop()
+    // The harness captures only the ~2000-char TAIL of combined output, and
+    // in round 5 the stderr per-query table landed AFTER the stdout JSON
+    // line, pushing it out of the window (BENCH_r05 "parsed": null again).
+    // Repeat the JSON as the very last line on BOTH streams, after
+    // spark.stop() so no shutdown logging can trail it.
+    System.out.flush()
+    System.err.println(json)
+    System.err.flush()
   }
 }

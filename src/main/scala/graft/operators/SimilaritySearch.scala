@@ -279,12 +279,22 @@ object SimilaritySearch {
     * probed fraction.
     */
   def kMeansCentroids(index: DataFrame, k: Int, iters: Int): DataFrame = {
-    val seeds = index
+    val spark = index.sparkSession
+    import spark.implicits._
+    // seed ranks are assigned on the driver over the (≤ k)-row seed draw
+    // — the collect is bounded by k, never by the index (the
+    // kMeansCentroidsPP sample discipline) — instead of a row_number over
+    // an unpartitioned Window, which planned a single-partition WindowExec
+    // (k-bounded, but logged a spurious scale warning on every build)
+    val seedVecs = index
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(k)
-      .select(row_number().over(Window.orderBy("h", "vec_id")).as("centroid_id"),
-        VectorOps.toDouble(col("embedding")).as("centroid_vec"))
-    kMeansRefine(index, seeds, iters)
+      .select(VectorOps.toDouble(col("embedding")).as("v"))
+      .as[Seq[Double]].collect()
+    val seeds = seedVecs.toSeq.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }
+      .toDF("centroid_id", "centroid_vec")
+    kMeansRefine(index, broadcast(seeds), iters)
   }
 
   /** Deterministic farthest-first (k-center) seeding on a BOUNDED sample

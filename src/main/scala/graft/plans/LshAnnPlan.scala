@@ -335,6 +335,16 @@ case class LshAnnRewrite(spark: SparkSession, cfg: LshAnnPlan.Config)
     * pushed below the limit by the optimizer) is re-applied on top of an
     * exprId-restoring projection, so it may compute anything over
     * (query_id, vec_id, score).
+    *
+    * Precondition (shared by every ANN path, stated here because only
+    * this shape can observe it): query-side rows must be DISTINCT per
+    * query_id. The substituted plan dedups candidates on (query_id,
+    * vec_id), so a query side carrying duplicate (query_id, query_vec)
+    * rows — under which per-query ranking is ill-defined anyway — could
+    * return distinct pairs where the naive global-limit plan returned
+    * the same pair twice (a multiset divergence, not a wrong score).
+    * The engine's own retrieval surfaces construct distinct query ids
+    * by design.
     */
   private def rewriteLimit(
       gl: LogicalPlan,

@@ -210,11 +210,20 @@ object AnnIndex {
       clusteredBy = Some(("vec_id", storageBuckets)))
   }
 
-  /** Full (re)build: overwrite both tables, then commit the meta. */
+  /** Full (re)build: overwrite both tables, then commit the meta. The
+    * prior meta's `last_batch_id` is carried through: a rebuild between a
+    * streaming crash and its replay must not reopen the replay-skip
+    * window (the replayed batch — already inside the rebuild's source —
+    * would re-append, duplicating its vectors). Contract: a rebuild's
+    * source includes every batch already applied; rebuilding from a
+    * source that deliberately excludes applied batches needs a fresh
+    * sourceDir.
+    */
   private def buildLsh(spark: SparkSession, tag: String, index: DataFrame,
       tables: Int, bits: Int, storageBuckets: Int, n: Long,
       fp: Long, snapshotId: Option[String] = None): Unit = {
     val base = lshBase(spark, tag)
+    val priorBatch = readMeta(base).get("last_batch_id")
     spark.sql(s"DROP TABLE IF EXISTS graft_lsh_buckets_$tag")
     lshBucketRows(index, tables, bits).write.mode(SaveMode.Overwrite)
       .option("path", s"$base/buckets")
@@ -227,7 +236,8 @@ object AnnIndex {
       .format("parquet").saveAsTable(s"graft_lsh_vecs_$tag")
     writeMetaFull(base,
       Seq("tables" -> tables.toLong, "bits" -> bits.toLong,
-        "buckets" -> storageBuckets.toLong, "n_rows" -> n, "checksum" -> fp),
+        "buckets" -> storageBuckets.toLong, "n_rows" -> n, "checksum" -> fp) ++
+        priorBatch.map("last_batch_id" -> _).toSeq,
       Seq("source_paths" -> joinPaths(relationPaths(index))) ++
         snapshotId.map("snapshot_id" -> _).toSeq)
   }
@@ -649,6 +659,15 @@ object AnnIndex {
       registerExternal(spark, listsTable, s"$base/lists",
         partitionedBy = Some("centroid_id"))
     }
+    // the shared reuse-vs-rebuild probe ([[servable]]): footer-reads the
+    // lists AND centroid layouts and re-attaches if needed, so an
+    // unreadable layout (crashed build/compaction window) or a failing
+    // attach reads as STALE → rebuild, never an eternally-throwing
+    // fast path — the same hardened recovery contract as ensureLsh and
+    // ensurePostings
+    def ivfServable(): Boolean = servable(spark,
+      Seq(s"$base/lists", centsPath),
+      spark.catalog.tableExists(listsTable), () => attach())
     // O(1) snapshot-id freshness — same contract as [[ensureLsh]]:
     // a stored id equal to the caller's names the same immutable
     // content, so the fingerprint scan is skipped outright
@@ -656,11 +675,9 @@ object AnnIndex {
       val meta = readMeta(base)
       readMetaStrs(base).get("snapshot_id").contains(id) &&
         meta.get("lists").contains(lists.toLong) &&
-        meta.get("iters").contains(iters.toLong) &&
-        Files.exists(Paths.get(centsPath))
+        meta.get("iters").contains(iters.toLong)
     }
-    if (snapFresh) {
-      if (!spark.catalog.tableExists(listsTable)) attach()
+    if (snapFresh && ivfServable()) {
       return IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))
     }
     val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
@@ -669,12 +686,8 @@ object AnnIndex {
       meta.get("iters").contains(iters.toLong) &&
       meta.get("n_rows").contains(n) &&
       meta.get("checksum").contains(fp) &&
-      Files.exists(Paths.get(centsPath))
-    val registered = spark.catalog.tableExists(listsTable)
-    if (metaFresh && !registered) {
-      // layout written by an earlier process: attach, don't rebuild
-      attach()
-    } else if (!metaFresh) {
+      ivfServable()
+    if (!metaFresh) {
       val cents = SimilaritySearch.kMeansCentroids(index, lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
       val assigned = SimilaritySearch
@@ -778,18 +791,20 @@ object AnnIndex {
     val (nb, fb) = fingerprint(baseRows.select("vec_id", "embedding"))
     val (nt, ft) = fingerprint(tailRows.select("vec_id", "embedding"))
     val meta = readMeta(base)
+    def attach(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $listsTable")
+      registerExternal(spark, listsTable, s"$base/lists",
+        partitionedBy = Some("centroid_id"))
+    }
+    // same servable() recovery probe as ensureIvf: an unreadable layout
+    // or failing attach counts as stale → rebuild
     val combinedFresh = meta.get("lists").contains(lists.toLong) &&
       meta.get("iters").contains(iters.toLong) &&
       meta.get("n_rows").contains(nb + nt) &&
       meta.get("checksum").contains(fb ^ ft) &&
-      Files.exists(Paths.get(centsPath))
-    if (combinedFresh) {
-      if (!spark.catalog.tableExists(listsTable)) {
-        spark.sql(s"DROP TABLE IF EXISTS $listsTable")
-        registerExternal(spark, listsTable, s"$base/lists",
-          partitionedBy = Some("centroid_id"))
-      }
-    } else {
+      servable(spark, Seq(s"$base/lists", centsPath),
+        spark.catalog.tableExists(listsTable), () => attach())
+    if (!combinedFresh) {
       val cents = SimilaritySearch.kMeansCentroids(baseRows, lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
       val assigned = SimilaritySearch

@@ -47,13 +47,22 @@ object KeywordIndex {
       idCol: String, textCol: String, n: Long, fp: Long,
       snapshotId: Option[String]): Unit = {
     val base = kwBase(spark, tag)
+    // carry last_batch_id through the rebuild: a rebuild between a
+    // streaming crash and its replay would otherwise reopen the replay
+    // window — the replayed batch (already inside the rebuild's source)
+    // would re-append its postings, silently doubling tf/df. Contract:
+    // a rebuild's source frame includes every batch already applied (the
+    // ensure* callers pass the CURRENT corpus); rebuilding from a source
+    // that deliberately excludes applied batches needs a fresh sourceDir.
+    val priorBatch = AnnIndex.readMeta(base).get("last_batch_id")
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(tag)}")
     KeywordSearch.bm25Postings(docs, idCol, textCol)
       .write.mode(SaveMode.Overwrite)
       .option("path", s"$base/postings")
       .format("parquet").saveAsTable(tableName(tag))
     AnnIndex.writeMetaFull(base,
-      Seq("n_docs" -> n, "checksum" -> fp),
+      Seq("n_docs" -> n, "checksum" -> fp) ++
+        priorBatch.map("last_batch_id" -> _).toSeq,
       snapshotId.map("snapshot_id" -> _).toSeq)
   }
 

@@ -128,10 +128,15 @@ object StreamOps {
     *     a question equal to `clear` resets that user's history
     *     (`clear_messages`, `AI.py:232-235`).
     *
-    * History is driver-held per stream instance (bounded: `maxHistory`
-    * turns per user are all later batches read) with
-    * checkpoint-truncated lineage — the per-user durable variant would
-    * key a history table the way the ANN index is persisted.
+    * History is driver-held per stream instance and BOUNDED: each batch
+    * prunes to the last `maxHistory` turns per user BEFORE
+    * checkpointing (a per-user row_number window over (batch, seq)
+    * desc), so long-running streams hold O(users × maxHistory) rows —
+    * per-batch work does not grow with stream age. Turn order is the
+    * pair (batch id, per-user row number within the batch), which
+    * cannot collide or misorder at any query_id. Lineage is
+    * checkpoint-truncated per batch — the per-user durable variant
+    * would key a history table the way the ANN index is persisted.
     */
   def streamingChat(
       questions: DataFrame, // (query_id, user_id, question)
@@ -163,10 +168,12 @@ object StreamOps {
           // the SAME batch: the clear applies before the question, like
           // the reference's sequential click handling)
           val kept = hist.map(_.join(clears, Seq("user_id"), "left_anti"))
-          // deterministic condenser: last maxHistory turns, turn order
+          // deterministic condenser: last maxHistory turns, turn order =
+          // (batch_id, seq) — collision-free at any query_id (ADVICE r5)
           val condensed = kept match {
             case Some(h) =>
-              val turns = array_sort(collect_list(struct(col("turn"),
+              val turns = array_sort(collect_list(struct(col("batch_id"),
+                col("seq"),
                 concat_ws(" ", col("question"), col("answer")).as("txt"))))
                 .getField("txt")
               val perUser = h
@@ -193,20 +200,50 @@ object StreamOps {
             .join(answered, Seq("query_id"))
           val processed = graft.rag.RagPipeline.postProcess(out)
           sink(processed, id)
-          // append this batch's turns to the history the next batch reads
+          // append this batch's turns to the history the next batch
+          // reads; seq = per-user row number within the batch (ordered
+          // by query_id), so (batch_id, seq) orders turns with no
+          // arithmetic overflow at any query_id
+          val seqW = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("query_id")
           val newTurns = processed
-            .select(col("user_id"),
-              (lit(id * 1000000L) + col("query_id")).as("turn"),
+            .select(col("user_id"), lit(id).as("batch_id"),
+              row_number().over(seqW).as("seq"),
               col("question"), col("answer"))
           val next = kept match {
             case Some(h) => h.unionByName(newTurns)
             case None => newTurns
           }
-          historyRef.set(next.localCheckpoint(true))
+          // prune BEFORE checkpointing: only the last maxHistory turns
+          // per user are ever read, so keeping more would accumulate
+          // O(total turns) checkpointed rows over the stream's lifetime
+          val pruneW = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id")
+            .orderBy(desc("batch_id"), desc("seq"))
+          val pruned = next
+            .withColumn("rn", row_number().over(pruneW))
+            .filter(col("rn") <= maxHistory).drop("rn")
+          historyRef.set(pruned.localCheckpoint(true))
           ()
         }
       }
   }
+
+  /** A [[streamingChat]] retriever serving from the PERSISTED index
+    * pair ([[graft.rag.RagPipeline.hybridRetrievePersisted]]): the chat
+    * loop answers every micro-batch from the stored LSH buckets + BM25
+    * postings keyed on `sourceDir` — no per-trigger corpus re-embed or
+    * re-tokenization. The first trigger builds (or fingerprint-attaches
+    * to) the layouts; later triggers reuse them, and upsert streams on
+    * the same `sourceDir` ([[streamingIndexUpsert]] /
+    * [[streamingPostingsUpsert]]) extend them live between triggers.
+    * Output-identical to the default dense-over-hybrid composition at
+    * the recall-1.0 operating point (the q87 equality).
+    */
+  def persistedHybridRetriever(sourceDir: String)
+      : (DataFrame, DataFrame, Int) => DataFrame =
+    (queries, index, k) => graft.rag.RagPipeline.hybridRetrievePersisted(
+      queries.sparkSession, sourceDir, queries, index, k)
 
   /** Streaming retrieval served by the PERSISTED LSH index: each query
     * micro-batch re-attaches to the stored layout via
