@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
   * `Dataset.mapPartitions` stages (the Scala analogue of arrow-batched
   * decode UDFs).
   *
-  * One format decodes FOR REAL: uncompressed 24bpp BMP ([[decodeBmp]] —
-  * pure JDK, handles bottom-up and top-down rows and 4-byte row padding),
-  * with [[encodeBmp]] as its spec-compliant encoder twin. Every other
-  * format stays STUBBED — the container ships no image/audio codecs —
-  * behind `decodeStub`, a deterministic fake that derives "features" from
-  * the bytes alone. Everything around the stub (schemas, partitioning,
-  * batch iteration, feature layout) is real and tested, so further real
-  * decoders drop in the way the BMP one did.
+  * The image formats a real corpus contains decode FOR REAL, pure JDK:
+  * uncompressed BMP at 8/24/32 bpp ([[decodeBmp]] — a from-scratch
+  * parser handling bottom-up/top-down rows, 4-byte padding, and
+  * palettes, with [[encodeBmp]] as its spec-compliant encoder twin) and
+  * PNG/JPEG via the JRE's bundled ImageIO readers ([[decodePng]] /
+  * [[decodeJpeg]], closed-form-oracled for lossless PNG in q88). Only
+  * codec-less modalities (audio/video sample decoding — the JDK ships no
+  * decoder) stay behind `decodeStub`, a deterministic fake that derives
+  * "features" from the bytes alone; everything around it (schemas,
+  * partitioning, batch iteration, feature layout) is real and tested, so
+  * further real decoders drop in the way the image ones did.
   *
   * Scale notes: decode is per-row/per-partition — embarrassingly parallel,
   * no shuffle. Large blobs should be read via `binaryFile` with
@@ -255,6 +258,136 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       decodeBmp(r.payload).map(img =>
+        ImageFeatures(r.media_id, img.width, img.height, img.pixelSum,
+          img.pixelSum.toDouble / (3.0 * img.width * img.height)))
+    })
+  }
+
+  // ------------------------------------------- JDK ImageIO decoders
+
+  /** PNG signature (8 bytes) — checked before handing bytes to ImageIO
+    * so [[decodePng]] is format-STRICT: a JPEG payload returns None
+    * rather than silently decoding as the wrong format.
+    */
+  private def isPng(b: Array[Byte]): Boolean =
+    b != null && b.length > 8 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
+
+  /** JPEG SOI marker. */
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b != null && b.length > 3 &&
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+
+  /** Shared JDK decode core: ImageIO (pure JDK, offline — the readers
+    * for PNG/JPEG/GIF/BMP ship in every JRE) → (width, height, sum of
+    * R+G+B channel bytes), the same contract as [[decodeBmp]]. Malformed
+    * or unreadable input → None, never an exception (the PdfText error
+    * contract). Per-row work, no shuffle — the decode stage a real
+    * multimodal corpus runs, now real for the formats such a corpus
+    * actually contains.
+    */
+  private def decodeJdk(bytes: Array[Byte]): Option[BmpImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y) // sRGB, alpha ignored (not color)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some(BmpImage(w, h, sum))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL PNG decode (JDK ImageIO): dimensions + R+G+B checksum;
+    * non-PNG or malformed input → None. Lossless, so a generated ramp
+    * image checksums in closed form — q88 oracles exactly that.
+    */
+  def decodePng(bytes: Array[Byte]): Option[BmpImage] =
+    if (isPng(bytes)) decodeJdk(bytes) else None
+
+  /** REAL JPEG decode (JDK ImageIO): dimensions + R+G+B checksum;
+    * non-JPEG or malformed input → None. JPEG is LOSSY — dimensions are
+    * exact but the checksum is the decoded (approximate) pixels', so it
+    * is spec-tested for closeness, not closed-form oracled like PNG.
+    */
+  def decodeJpeg(bytes: Array[Byte]): Option[BmpImage] =
+    if (isJpeg(bytes)) decodeJdk(bytes) else None
+
+  /** Encoder twin of [[decodePng]] (JDK ImageIO writer): `pixel(x, y)`
+    * → (r, g, b), (0, 0) top-left. Lossless round-trip with decodePng.
+    */
+  def encodePng(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encoder twin of [[decodeJpeg]] (JDK ImageIO writer, default
+    * quality). Lossy — for spec fixtures, not oracles.
+    */
+  def encodeJpeg(width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Batched REAL PNG decode — [[decodeBmpImages]]'s shape for PNG
+    * payloads; undecodable rows are dropped (quarantine-path semantics).
+    */
+  def decodePngImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodePng(r.payload).map(img =>
+        ImageFeatures(r.media_id, img.width, img.height, img.pixelSum,
+          img.pixelSum.toDouble / (3.0 * img.width * img.height)))
+    })
+  }
+
+  /** Batched REAL JPEG decode. */
+  def decodeJpegImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeJpeg(r.payload).map(img =>
         ImageFeatures(r.media_id, img.width, img.height, img.pixelSum,
           img.pixelSum.toDouble / (3.0 * img.width * img.height)))
     })

@@ -365,16 +365,27 @@ object Dedup {
         .unionByName(withM.select(col("src"), col("m").as("dst")).distinct())
         .distinct()
     }
+    // fixpoint test = ONE aggregate job per round: both frames are
+    // distinct edge SETS, so (count, xor of per-edge hashes) equality is
+    // set equality up to an xxhash64 collision that must ALSO preserve
+    // the count (≈2⁻⁶⁴ per probe — far below any cluster's job-failure
+    // floor; the q80 oracle pins output identity in CI regardless).
+    // Replaces the two exceptAll anti-join jobs per round that dominated
+    // q80's wall-clock (driver-side loop cost, not executor work), and
+    // doubles as the materialization of the round's lazy checkpoint.
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edgeSig = sig(edges)
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = edgeSig._1 == 0L
     while (iter < maxIter && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
-      // fixpoint test = one symmetric-difference probe; materializes the
-      // lazy checkpoint, so each round costs a bounded number of jobs
-      val changed = next.exceptAll(edges).limit(1).isEmpty &&
-        edges.exceptAll(next).limit(1).isEmpty
-      converged = changed
+      val nextSig = sig(next)
+      converged = nextSig == edgeSig
       edges = next
+      edgeSig = nextSig
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

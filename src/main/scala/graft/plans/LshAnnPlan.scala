@@ -44,6 +44,17 @@ import org.apache.spark.sql.types.IntegerType
   * batch; the substituted plan is an equi-join on (table, bucket) whose
   * exchanges carry id-only rows (vectors re-attached after candidate
   * dedup), the shape that survives a 100 TB index.
+  *
+  * Out of scope, deliberately: the BLENDED adaptive score
+  * (`α·cos(emb, qv) + (1−α)·cos(emb, pv)` under a no-profile CaseWhen —
+  * `RagPipeline.adaptiveRetrieve`'s shape). Its score expression is
+  * non-local (two query-side vectors plus null-profile short-circuit
+  * semantics that must be preserved bit-exactly), and the engine ships
+  * the explicit two-vector-probe plan for it instead:
+  * [[graft.rag.RagPipeline.adaptiveRetrievePersisted]], output-identity
+  * pinned by q89 at every fixture scale. A user with the naive blended
+  * crossJoin migrates by calling that surface, the same one-line trade
+  * as `retrieve` → `retrieveAnn`.
   */
 object LshAnnPlan {
 

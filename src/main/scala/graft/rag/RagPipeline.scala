@@ -158,14 +158,39 @@ object RagPipeline {
       index: DataFrame,
       k: Int = 4,
       alpha: Double = 0.7,
-      dim: Int = Embedder.DefaultDim): DataFrame = {
-    import graft.functions.expressions.TopKAgg.top_k
-    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha outside [0, 1]")
-    val prof = history
+      dim: Int = Embedder.DefaultDim): DataFrame =
+    adaptiveRetrieveWithProfiles(queries, profilesOf(history, dim), index,
+      k, alpha, dim)
+
+  /** The per-user profile frame [[adaptiveRetrieve]] conditions on: mean
+    * embedding of each user's past questions — one map-side-combinable
+    * [[graft.functions.VectorMeanAgg]] over the history. Exposed so
+    * profiles can come from elsewhere (e.g. the incrementally-maintained
+    * streaming state of
+    * [[graft.streaming.StreamOps.streamingProfiles]], whose (sum, count)
+    * state is exactly this aggregate's buffer).
+    */
+  def profilesOf(history: DataFrame,
+      dim: Int = Embedder.DefaultDim): DataFrame =
+    history
       .withColumn("hvec", Embedder.embedCol(col("question"), dim))
       .groupBy("user_id")
       .agg(graft.functions.VectorMeanAgg.asColumn(col("hvec"))
         .as("profile_vec"))
+
+  /** [[adaptiveRetrieve]] over a PRECOMPUTED `(user_id, profile_vec)`
+    * frame — the serving shape when profiles are maintained
+    * incrementally (streaming state or a persisted profile table)
+    * instead of being recomputed from raw history per call.
+    */
+  def adaptiveRetrieveWithProfiles(
+      queries: DataFrame, // (query_id, user_id, query_text)
+      prof: DataFrame, // (user_id, profile_vec)
+      index: DataFrame,
+      k: Int = 4,
+      alpha: Double = 0.7,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha outside [0, 1]")
     val q = broadcast(
       queries.withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
         .join(prof, Seq("user_id"), "left")
@@ -180,6 +205,76 @@ object RagPipeline {
             || lit(alpha == 1.0), col("qcos"))
           .otherwise(lit(alpha) * col("qcos") + lit(1.0 - alpha)
             * VectorOps.cosine(col("embedding"), col("profile_vec"))))
+    rankedTopK(scored, k)
+      .join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
+      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+  }
+
+  /** [[adaptiveRetrieve]] served from the PERSISTED LSH index — the
+    * blended-score twin of [[hybridRetrievePersisted]], closing the
+    * loop the reference implies (its retriever answers from the
+    * persisted Pinecone index, `/root/reference/AI.py:138`, and its
+    * adaptation conditions that SAME retrieval on history,
+    * `AI.py:168-173`). The blend `alpha·cos(c,q) + (1−alpha)·cos(c,p)`
+    * is bounded above by `max(cos(c,q), cos(c,p))`, so a chunk in the
+    * blended top-k is near the top by at least ONE of the two cosines —
+    * probing the bucket table with BOTH vectors and exact-reranking the
+    * candidate union by the blend therefore holds the operating point's
+    * recall (q89 pins output identity with [[adaptiveRetrieve]] at every
+    * fixture scale; alpha = 1 and no-history rows degrade to the plain
+    * single-vector probe by the same short-circuit as the batch form).
+    *
+    * Scale: the profile aggregate touches only the small history frame;
+    * both probe sets are (broadcast) query-side explodes; the index side
+    * is bucket-equi-join + candidate-only rerank — two probe fans
+    * instead of one, zero extra index passes.
+    */
+  def adaptiveRetrievePersisted(
+      spark: SparkSession,
+      sourceDir: String,
+      queries: DataFrame, // (query_id, user_id, query_text)
+      history: DataFrame, // (user_id, question)
+      index: DataFrame,
+      k: Int = 4,
+      alpha: Double = 0.7,
+      cfg: graft.plans.LshAnnPlan.Config = graft.plans.LshAnnPlan.Config(),
+      snapshotId: Option[String] = None,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha outside [0, 1]")
+    val prof = history
+      .withColumn("hvec", Embedder.embedCol(col("question"), dim))
+      .groupBy("user_id")
+      .agg(graft.functions.VectorMeanAgg.asColumn(col("hvec"))
+        .as("profile_vec"))
+    val q = broadcast(
+      queries.withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
+        .join(prof, Seq("user_id"), "left")
+        .select("query_id", "query_vec", "profile_vec"))
+    val h = graft.sources.AnnIndex.ensureLsh(spark, sourceDir,
+      index.select(col("chunk_id").as("vec_id"), col("embedding")),
+      cfg.tables, cfg.bits, snapshotId = snapshotId)
+    val qProbe = q.select("query_id", "query_vec")
+    val pProbe = q
+      .filter(col("profile_vec").isNotNull && size(col("profile_vec")) > 0)
+      .select(col("query_id"), col("profile_vec").as("query_vec"))
+    val cands = graft.sources.AnnIndex
+      .lshProbeCandidates(qProbe, h, cfg.probes)
+      .unionByName(graft.sources.AnnIndex
+        .lshProbeCandidates(pProbe, h, cfg.probes))
+      .dropDuplicates("query_id", "vec_id")
+    // the same bit-exact short-circuit as adaptiveRetrieve: the q89
+    // equality needs alpha=1 / no-history scores IDENTICAL to the plain
+    // query cosine, and general-alpha scores identical to the batch blend
+    val scored = cands
+      .join(h.vecs, Seq("vec_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("qcos", VectorOps.cosine(col("embedding"), col("query_vec")))
+      .withColumn("score",
+        when(col("profile_vec").isNull || size(col("profile_vec")) === 0
+            || lit(alpha == 1.0), col("qcos"))
+          .otherwise(lit(alpha) * col("qcos") + lit(1.0 - alpha)
+            * VectorOps.cosine(col("embedding"), col("profile_vec"))))
+      .withColumn("chunk_id", col("vec_id"))
     rankedTopK(scored, k)
       .join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
       .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
@@ -224,6 +319,70 @@ object RagPipeline {
       .select(col("query_id"), col("chunk_id").as("doc_id"), col("rank"))
     val lexical = KeywordSearch.bm25TopK(queries, index, fetchK,
       idCol = "chunk_id")
+    KeywordSearch.rrfFuse(Seq(dense, lexical), k, rrfK)
+      .select(col("query_id"), col("rank"), col("doc_id").as("chunk_id"),
+        col("rrf_score").as("score"))
+      .join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
+      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+  }
+
+  /** [[hybridRetrieve]] served from the PERSISTED index pair — the
+    * production form. `hybridRetrieve` re-embeds and full-scans the
+    * dense index and re-tokenizes the corpus into postings on EVERY
+    * call; at 100 TB both are per-query corpus passes that the stored
+    * layouts exist to amortize (the reference always answers from its
+    * persisted Pinecone index, `/root/reference/AI.py:138` — it never
+    * re-embeds the corpus per question). Here:
+    *
+    *   - the dense ranking probes the persisted LSH bucket table
+    *     ([[graft.sources.AnnIndex.ensureLsh]] — build-or-reuse by
+    *     content fingerprint, O(1) with a `snapshotId`), exact-reranking
+    *     only bucket candidates — at the default recall-1.0 operating
+    *     point ([[graft.plans.LshAnnPlan.Config]], the q67-verified
+    *     64×12×48 point) the ranking is output-identical to
+    *     [[retrieveRanked]];
+    *   - the lexical ranking scores the persisted BM25 postings
+    *     ([[graft.sources.KeywordIndex.ensurePostings]]) — EXACTLY
+    *     equal to the direct ranking by construction (df/avgdl/N derive
+    *     from the postings at query time, the q81 contract);
+    *   - the fusion is the same [[graft.operators.KeywordSearch.rrfFuse]].
+    *
+    * So at the shipped operating point the output is IDENTICAL to
+    * [[hybridRetrieve]] (q87 pins the equality at every fixture scale)
+    * while the per-call ANSWER plan touches only bucket probes +
+    * query-term postings — never a re-embed or re-tokenize of the
+    * corpus. Freshness cost per call: with a `snapshotId` naming the
+    * current immutable corpus snapshot, reuse is O(1) (no scan at all —
+    * the serving configuration); without one, each ensure* pays one
+    * id+hash fingerprint pass, the standard freshness trade.
+    * Both layouts key on `sourceDir`; streaming upserts
+    * ([[graft.streaming.StreamOps.streamingIndexUpsert]] /
+    * `streamingPostingsUpsert`) extend them between calls.
+    */
+  def hybridRetrievePersisted(
+      spark: SparkSession,
+      sourceDir: String,
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
+      fetchK: Int = 10,
+      rrfK: Int = 60,
+      cfg: graft.plans.LshAnnPlan.Config = graft.plans.LshAnnPlan.Config(),
+      snapshotId: Option[String] = None,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    import graft.operators.KeywordSearch
+    require(fetchK >= k, s"fetchK=$fetchK must be >= k=$k")
+    val q = queries
+      .withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
+      .select("query_id", "query_vec")
+    val h = graft.sources.AnnIndex.ensureLsh(spark, sourceDir,
+      index.select(col("chunk_id").as("vec_id"), col("embedding")),
+      cfg.tables, cfg.bits, snapshotId = snapshotId)
+    val dense = graft.sources.AnnIndex.queryLsh(q, h, fetchK, cfg.probes)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val post = graft.sources.KeywordIndex.ensurePostings(spark, sourceDir,
+      index, idCol = "chunk_id", textCol = "text", snapshotId = snapshotId)
+    val lexical = KeywordSearch.bm25TopKFromPostings(queries, post, fetchK)
     KeywordSearch.rrfFuse(Seq(dense, lexical), k, rrfK)
       .select(col("query_id"), col("rank"), col("doc_id").as("chunk_id"),
         col("rrf_score").as("score"))

@@ -600,9 +600,12 @@ object AnnIndex {
       lshProbeCandidates(queries, handle, probes), queries, handle.vecs, k)
 
   /** Candidate (query_id, vec_id) pairs from the stored bucket table —
-    * shared by the exploded and agg-form query paths.
+    * shared by the exploded and agg-form query paths, and by the
+    * blended-score adaptive retriever
+    * ([[graft.rag.RagPipeline.adaptiveRetrievePersisted]]), which probes
+    * with TWO vectors per query and re-ranks the candidate union.
     */
-  private def lshProbeCandidates(
+  private[graft] def lshProbeCandidates(
       queries: DataFrame, handle: LshHandle, probes: Int): DataFrame = {
     import graft.functions.expressions.VectorExpressions.lsh_buckets_probe
     val qb = broadcast(queries

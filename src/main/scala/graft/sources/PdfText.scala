@@ -18,7 +18,14 @@ import java.util.zip.Inflater
   *    (`AI.py:69-71`).
   *
   * Coverage contract (documented subset): streams using filters other
-  * than FlateDecode (DCT/JBIG2/crypt) are skipped. Subset/CID fonts
+  * than FlateDecode (DCT/JBIG2/crypt) are skipped. Compressed-xref
+  * layouts (PDF 1.5+ `/Type/ObjStm` object streams hiding the page and
+  * font dictionaries — the post-2005 producer default) ARE supported:
+  * each object stream is inflated and its packed objects are expanded
+  * back into classic `N 0 obj` syntax before the scan
+  * ([[expandObjectStreams]]); the `/Type/XRef` cross-reference stream
+  * itself needs no parsing because this extractor locates objects by
+  * scanning, never by xref offset lookup. Subset/CID fonts
   * carrying a `/ToUnicode` CMap (bfchar/bfrange, 1- or 2-byte codes) are
   * decoded through it — the current font is tracked via `Tf` per content
   * stream, and font NAMES resolve through the owning page's /Resources
@@ -51,8 +58,38 @@ object PdfText {
     try {
       if (!isPdf(bytes)) ""
       else {
-        val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-        val spans = objectSpans(s)
+        val s0 = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val spans0 = objectSpans(s0)
+        // Compressed-xref files (PDF 1.5+, the post-2005 default) hide
+        // their page/font dictionaries inside Flate'd /Type/ObjStm
+        // object streams, invisible to the span scan. Expand each into
+        // synthesized classic `N 0 obj … endobj` text appended past the
+        // file end (objects inside an ObjStm are dict-only by spec —
+        // §7.5.7 forbids nested streams — so none of the appended spans
+        // is ever asked for a stream payload), then rescan. The xref
+        // stream itself (/Type/XRef) needs no parsing at all: this
+        // extractor locates objects by scanning, not by offset lookup.
+        val expansion =
+          try expandObjectStreams(bytes, s0, spans0)
+          catch { case _: Throwable => "" }
+        val (bs, s, spans) =
+          if (expansion.isEmpty) (bytes, s0, spans0)
+          else {
+            val es = s0 + expansion
+            (es.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+              es, objectSpans(es))
+          }
+        extractFrom(bs, s, spans)
+      }
+    } catch { case _: Throwable => "" }
+
+  /** [[extract]]'s body over an (possibly ObjStm-expanded) byte/string/
+    * span universe.
+    */
+  private def extractFrom(bytes: Array[Byte], s: String,
+      spans: Map[Int, (Int, Int)]): String =
+    try {
+      {
         val structured =
           try pageStructures(s, spans)
           catch { case _: Throwable => Seq.empty }
@@ -100,6 +137,53 @@ object PdfText {
         }
       }
     } catch { case _: Throwable => "" }
+
+  /** Synthesized classic-syntax text for every object packed inside a
+    * `/Type /ObjStm` object stream (ISO 32000 §7.5.7): the stream
+    * payload opens with `/N` pairs of `objnum offset` integers, object
+    * bodies start at `/First + offset`. Each becomes
+    * `\nN 0 obj\n<body>\nendobj\n` for appending to the scan universe.
+    * Malformed headers/offsets skip that stream (or object) — the
+    * error→"" contract never rides on an ObjStm parsing.
+    */
+  private[sources] def expandObjectStreams(bytes: Array[Byte], s: String,
+      spans: Map[Int, (Int, Int)]): String = {
+    val objStmRe = "/Type\\s*/ObjStm\\b".r
+    val pieces = spans.toSeq.sortBy(_._2._1).flatMap { case (_, (a, b)) =>
+      // the stream dictionary sits between the object header and the
+      // `stream` keyword
+      val sk = s.indexOf("stream", a)
+      if (sk < 0 || sk >= b) None
+      else {
+        val dict = s.substring(a, sk)
+        if (objStmRe.findFirstIn(dict).isEmpty) None
+        else for {
+          payload <- objectStreamPayload(bytes, s, (a, b))
+          n <- "/N\\s+(\\d+)".r.findFirstMatchIn(dict)
+            .flatMap(_.group(1).toIntOption)
+          first <- "/First\\s+(\\d+)".r.findFirstMatchIn(dict)
+            .flatMap(_.group(1).toIntOption)
+          if first >= 0 && first <= payload.length
+        } yield {
+          val ps = new String(payload,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val pairs = "\\d+".r.findAllMatchIn(ps.substring(0, first))
+            .flatMap(_.matched.toIntOption)
+            .grouped(2).collect { case Seq(objN, off) => (objN, off) }
+            .take(n).toSeq
+          pairs.zipWithIndex.map { case ((objN, off), idx) =>
+            val start = first.toLong + off
+            val end = pairs.lift(idx + 1)
+              .map(p => first.toLong + p._2).getOrElse(ps.length.toLong)
+            if (start >= 0 && start <= end && end <= ps.length)
+              s"\n$objN 0 obj\n${ps.substring(start.toInt, end.toInt)}\nendobj\n"
+            else ""
+          }.mkString
+        }
+      }
+    }
+    pieces.mkString
+  }
 
   /** Object number → body span, for every `N G obj … endobj` in the file. */
   private def objectSpans(s: String): Map[Int, (Int, Int)] =

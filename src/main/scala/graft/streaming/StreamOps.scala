@@ -332,6 +332,81 @@ object StreamOps {
         }
       }
 
+  final case class UserQuestion(
+      user_id: Long, ts: Timestamp, question: String)
+  final case class UserProfile(
+      user_id: Long, n_questions: Long, profile_vec: Array[Double])
+
+  /** Incrementally-maintained adaptive profiles — the streaming closure
+    * of the reference's "learning and adaptation from chat history"
+    * (README; realized in batch by
+    * [[graft.rag.RagPipeline.adaptiveRetrieve]]). Per-user state is
+    * `(sum, count)` — EXACTLY [[graft.functions.VectorMeanAgg]]'s
+    * aggregation buffer, mergeable by construction — updated per
+    * micro-batch with each question's embedding and emitted as the
+    * current mean-embedding profile. Feeding the latest emitted profiles
+    * to [[graft.rag.RagPipeline.adaptiveRetrieveWithProfiles]] serves
+    * adaptive retrieval without ever recomputing a profile from raw
+    * history (profiles equal the batch aggregate up to float-summation
+    * order — spec-pinned element-wise).
+    *
+    * Rows within a batch fold in `(ts, question)` order (deterministic
+    * replay); profile state is evicted `stateTtlMs` of EVENT time after
+    * the user's last question, the [[sessionState]] TTL discipline —
+    * EventTimeTimeout fires on watermark advance (data-driven), where a
+    * processing-time timeout would spin empty micro-batches on the
+    * default trigger. A profile is long-lived by design (the default TTL
+    * is 30 days of event time: a user's taste outlives any session), but
+    * unbounded user churn must not grow state forever; re-learning an
+    * evicted profile costs only that user's next questions. The
+    * watermark also DROPS questions arriving more than `watermark`
+    * behind the max observed event time — the [[sessionState]] caveat.
+    */
+  def streamingProfiles(
+      spark: SparkSession,
+      questions: Dataset[UserQuestion],
+      dim: Int = graft.rag.Embedder.DefaultDim,
+      stateTtlMs: Long = 30L * 24 * 60 * 60 * 1000,
+      watermark: String = "1 hour"): Dataset[UserProfile] = {
+    import spark.implicits._
+    def update(
+        userId: Long,
+        rows: Iterator[UserQuestion],
+        state: GroupState[(Array[Double], Long)]): Iterator[UserProfile] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
+      val prior = state.getOption.getOrElse((new Array[Double](dim), 0L))
+      val sum =
+        if (prior._1.length == dim) prior._1
+        else java.util.Arrays.copyOf(prior._1, dim)
+      var n = prior._2
+      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.question))
+      sorted.foreach { r =>
+        val e = graft.rag.Embedder.embed(r.question, dim)
+        var i = 0
+        while (i < dim) { sum(i) += e(i); i += 1 }
+        n += 1
+      }
+      state.update((sum, n))
+      // timeout strictly above the current watermark (the sessionState
+      // recipe); batch execution exposes no watermark — treat as -inf
+      val wmk = try state.getCurrentWatermarkMs()
+        catch { case _: UnsupportedOperationException => Long.MinValue / 2 }
+      val lastMs = sorted.lastOption.map(_.ts.getTime).getOrElse(wmk)
+      state.setTimeoutTimestamp(math.max(lastMs + stateTtlMs, wmk + 1))
+      if (n == 0L) Iterator.empty
+      else Iterator.single(UserProfile(userId, n, sum.map(_ / n)))
+    }
+    questions
+      .withWatermark("ts", watermark)
+      .as[UserQuestion]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** ST4/ST5: custom per-session state via flatMapGroupsWithState —
     * accumulates a bounded recent-event-type list (the chat-history
     * analogue); an event_type == "clear" resets state, mirroring

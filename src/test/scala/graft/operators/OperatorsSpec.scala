@@ -418,6 +418,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(b16).isEmpty)
   }
 
+  test("PNG decode: lossless encoder round-trip; format-strict; " +
+      "corrupt input → None") {
+    import graft.multimodal.Multimodal
+    val px = Map((0, 0) -> (1, 2, 3), (1, 0) -> (4, 5, 6),
+      (0, 1) -> (7, 8, 9), (1, 1) -> (10, 11, 12))
+    val png = Multimodal.encodePng(2, 2, (x, y) => px((x, y)))
+    val img = Multimodal.decodePng(png).get
+    assert(img.width === 2 && img.height === 2)
+    assert(img.pixelSum === (1 to 12).sum) // lossless: exact checksum
+    // format-strict: a BMP payload is not a PNG
+    val bmp = Multimodal.encodeBmp(2, 2, (x, y) => px((x, y)))
+    assert(Multimodal.decodePng(bmp).isEmpty)
+    // corrupt: magic intact but stream truncated → None, not a throw
+    assert(Multimodal.decodePng(png.take(20)).isEmpty)
+    assert(Multimodal.decodePng("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodePng(Array.emptyByteArray).isEmpty)
+  }
+
+  test("JPEG decode: exact dimensions, checksum within lossy tolerance; " +
+      "format-strict; corrupt input → None") {
+    import graft.multimodal.Multimodal
+    // a flat gray card: JPEG reproduces constant blocks almost exactly,
+    // so the decoded checksum must land within a tight band of the
+    // ideal value — catches channel-order/color-space mistakes (an RGB
+    // swap of (128,128,128) is invariant, so also probe a color card)
+    val w = 16; val h = 16
+    val gray = Multimodal.encodeJpeg(w, h, (_, _) => (128, 128, 128))
+    val gImg = Multimodal.decodeJpeg(gray).get
+    assert(gImg.width === w && gImg.height === h)
+    val idealGray = 3L * 128 * w * h
+    assert(math.abs(gImg.pixelSum - idealGray) <= idealGray / 50,
+      s"gray checksum ${gImg.pixelSum} vs ideal $idealGray")
+    val red = Multimodal.encodeJpeg(w, h, (_, _) => (200, 30, 30))
+    val rImg = Multimodal.decodeJpeg(red).get
+    val idealRed = (200L + 30 + 30) * w * h
+    assert(math.abs(rImg.pixelSum - idealRed) <= idealRed / 20,
+      s"red checksum ${rImg.pixelSum} vs ideal $idealRed")
+    // format-strict + corrupt
+    val png = Multimodal.encodePng(2, 2, (_, _) => (1, 2, 3))
+    assert(Multimodal.decodeJpeg(png).isEmpty)
+    assert(Multimodal.decodeJpeg(gray.take(8)).isEmpty)
+  }
+
   test("embeddingCosineClustered: sound (subset of exact, all >= " +
       "threshold), and identical vectors always pair") {
     import graft.TestSpark

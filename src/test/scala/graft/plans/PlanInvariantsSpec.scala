@@ -126,6 +126,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q86 hybrid over the persisted postings: the BM25 half scans the " +
+      "stored postings table, keeps the q78 broadcast discipline") {
+    val p = physical("q86_hybrid_persisted")
+    // the executed plan must read the persisted layout — a fallback to
+    // bm25TopK's inline re-tokenization would pass the oracle but defeat
+    // the amortization the index exists for
+    assert(p.contains("graft_kw_postings_"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a join shuffled the postings:\n$p")
+    assert(p.toLowerCase.contains("partial_topkagg"), p)
+  }
+
   test("q84 cleaning funnel: quality/language stages are per-row (no " +
       "join), the dedup groupBy keys on the 8-byte hash, text never " +
       "rides a corpus exchange") {

@@ -64,4 +64,19 @@ class RagPipelineSpec extends AnyFunSuite {
     assert(ann === exact)
     index.unpersist()
   }
+
+  test("hybridRetrievePersisted equals hybridRetrieve at the shipped " +
+      "operating point") {
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val index = RagPipeline.buildIndex(spark, docs, chunkSize = 200).cache()
+    val queries = PipelineQueries.retrievalQueryDf(spark)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "chunk_id", "doc_id")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val direct = canon(RagPipeline.hybridRetrieve(queries, index, k = 4))
+    val persisted = canon(RagPipeline.hybridRetrievePersisted(spark,
+      TestSpark.Sf0001 + "!hybridspec", queries, index, k = 4))
+    assert(persisted === direct)
+    index.unpersist()
+  }
 }

@@ -341,6 +341,84 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(pdf) === "Q")
   }
 
+  /** A spec-valid COMPRESSED-XREF (PDF 1.5) file: catalog, pages, page,
+    * and font dictionaries packed in a Flate'd /Type/ObjStm; a binary
+    * /Type/XRef cross-reference stream (W [1 2 1], type-2 rows pointing
+    * into the ObjStm); no classic xref table or trailer at all.
+    */
+  private def makeObjStmPdf(contentOps: Array[Byte]): Array[Byte] = {
+    val packed = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 6 0 R >> >> /Contents 4 0 R >>"),
+      6 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding >>"))
+    val bodies = packed.map(_._2)
+    val offs = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = packed.map(_._1).zip(offs)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val objStmRaw = (header + bodies.mkString("\n") + "\n").getBytes(ISO_8859_1)
+    val objStmFlate = deflate(objStmRaw)
+    val contentFlate = deflate(contentOps)
+
+    val out = new ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    val off5 = out.size()
+    w(s"5 0 obj\n<< /Type /ObjStm /N ${packed.size} /First ${header.length} " +
+      s"/Length ${objStmFlate.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(objStmFlate); w("\nendstream\nendobj\n")
+    val off4 = out.size()
+    w(s"4 0 obj\n<< /Length ${contentFlate.length} /Filter /FlateDecode >>" +
+      "\nstream\n")
+    out.write(contentFlate); w("\nendstream\nendobj\n")
+    val xrefPos = out.size()
+    def row(t: Int, f2: Int, f3: Int): Array[Byte] =
+      Array(t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+        f3.toByte)
+    val rows = Array.concat(
+      row(0, 0, 255), // obj 0: free
+      row(2, 5, 0), row(2, 5, 1), row(2, 5, 2), // 1-3: in ObjStm 5
+      row(1, off4, 0), // 4: content stream
+      row(1, off5, 0), // 5: the ObjStm
+      row(2, 5, 3), // 6: font, in ObjStm 5
+      row(1, xrefPos, 0)) // 7: this xref stream
+    val xr = deflate(rows)
+    w(s"7 0 obj\n<< /Type /XRef /Size 8 /Root 1 0 R /W [1 2 1] " +
+      s"/Length ${xr.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(xr); w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("compressed-xref PDF: page + font dicts inside a /Type/ObjStm " +
+      "extract like classic syntax, WinAnsi resolving through the " +
+      "expanded page's resources") {
+    // 0x93/0x94 are cp1252 curly quotes — only a font map resolved
+    // through the ObjStm-packed page/font dicts can decode them
+    val pdf = makeObjStmPdf(
+      content("BT /F1 12 Tf (Hello \u0093quoted\u0094 text) Tj ET"))
+    assert(PdfText.extract(pdf) === "Hello “quoted” text")
+  }
+
+  test("corrupt ObjStm payload keeps the error contract: raw-fallback " +
+      "text, never an exception") {
+    val pdf = makeObjStmPdf(content("BT (Hello fallback) Tj ET"))
+    // truncate the ObjStm's flate payload in place: find its stream data
+    // and zero a chunk — expansion fails, the content-stream fallback
+    // still serves the page text raw
+    val s = new String(pdf, ISO_8859_1)
+    val stm = s.indexOf("stream", s.indexOf("/ObjStm"))
+    val corrupted = pdf.clone()
+    var i = stm + 8
+    var n = 0
+    while (n < 10 && i < corrupted.length) {
+      corrupted(i) = 0; i += 1; n += 1
+    }
+    assert(PdfText.extract(corrupted) === "Hello fallback")
+  }
+
   test("binaryFile ingestion extracts PDF text end-to-end") {
     val spark = graft.TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_pdf")

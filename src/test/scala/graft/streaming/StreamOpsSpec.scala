@@ -280,6 +280,103 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got(0).head._2 === expected)
   }
 
+  test("streamingChat serves the ask loop from the PERSISTED index pair " +
+      "(LSH buckets + BM25 postings) via persistedHybridRetriever") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark joins shuffle data across partitions for the merge step"),
+      (2L, "vector indexes answer similarity queries with cosine scores"),
+      (3L, "watermarks bound event time state in streaming aggregation"))
+      .toDF("doc_id", "text")
+    val index = graft.rag.RagPipeline.buildIndex(spark, docs, chunkSize = 60)
+      .cache()
+    val srcDir = "memfix!chatpersist"
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, String)]]()
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = StreamOps.streamingChat(
+      mem.toDF().toDF("query_id", "user_id", "question"), index, k = 2,
+      retriever = StreamOps.persistedHybridRetriever(srcDir)) {
+      (batch, id) =>
+        got(id) = batch.select("query_id", "answer")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    }.start()
+    mem.addData((1L, 7L, "spark shuffle merge"))
+    q.processAllAvailable()
+    q.stop()
+    // the streaming answer must equal the BATCH persisted-pair answer on
+    // the same stored layouts (the fingerprint-reuse path) — streaming
+    // adds plumbing, never a different ranking
+    val expected = graft.rag.RagPipeline.postProcess(
+      graft.rag.RagPipeline.assembleContext(
+        graft.rag.RagPipeline.hybridRetrievePersisted(spark, srcDir,
+          Seq((99L, "spark shuffle merge")).toDF("query_id", "query_text"),
+          index, 2))
+        .withColumnRenamed("context", "answer"))
+      .select("answer").head().getString(0)
+    assert(got(0).head._2 === expected)
+    index.unpersist()
+  }
+
+  test("streaming adaptive profiles: incremental (sum, count) state " +
+      "equals the batch VectorMeanAgg profile; adaptive retrieval " +
+      "through the streamed profiles matches the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.UserQuestion]
+    val q = StreamOps.streamingProfiles(spark, mem.toDS())
+      .writeStream.format("memory").queryName("profiles_out")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      StreamOps.UserQuestion(7L, t("2024-01-01 10:00:00"),
+        "customer order value table"),
+      StreamOps.UserQuestion(8L, t("2024-01-01 10:00:01"),
+        "window agg batch row"))
+    q.processAllAvailable()
+    // a second batch extends user 7's profile incrementally
+    mem.addData(StreamOps.UserQuestion(7L, t("2024-01-01 10:05:00"),
+      "orders revenue report"))
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("profiles_out").as[StreamOps.UserProfile]
+      .collect().groupBy(_.user_id).map(_._2.maxBy(_.n_questions)).toSeq
+    val hist = Seq(
+      (7L, "customer order value table"), (7L, "orders revenue report"),
+      (8L, "window agg batch row")).toDF("user_id", "question")
+    val batch = graft.rag.RagPipeline.profilesOf(hist)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(latest.map(_.user_id).toSet === batch.keySet)
+    latest.foreach { p =>
+      val b = batch(p.user_id)
+      assert(p.profile_vec.length === b.length)
+      p.profile_vec.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9,
+          s"user ${p.user_id}: streamed $x vs batch $y")
+      }
+    }
+    // serving equality: adaptive retrieval through the STREAMED profiles
+    // ranks identically to the batch path recomputing from raw history
+    val docs = Seq(
+      (1L, "customer order revenue value in the orders table"),
+      (2L, "window aggregation over rows in a batch"),
+      (3L, "vector similarity index answers cosine queries"))
+      .toDF("doc_id", "text")
+    val index = graft.rag.RagPipeline.buildIndex(spark, docs, chunkSize = 60)
+      .cache()
+    val queries = Seq((1L, 7L, "data processing"), (2L, 8L, "data processing"))
+      .toDF("query_id", "user_id", "query_text")
+    val profDf = spark.createDataset(latest)
+      .select(col("user_id"), col("profile_vec"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "chunk_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val viaStream = hits(graft.rag.RagPipeline.adaptiveRetrieveWithProfiles(
+      queries, profDf, index, k = 2, alpha = 0.3))
+    val viaBatch = hits(graft.rag.RagPipeline.adaptiveRetrieve(
+      queries, hist, index, k = 2, alpha = 0.3))
+    assert(viaStream === viaBatch)
+    index.unpersist()
+  }
+
   test("ST4/ST5: per-session state accumulates and clear resets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
