@@ -8,17 +8,20 @@ import org.apache.spark.sql.functions._
   * `Dataset.mapPartitions` stages (the Scala analogue of arrow-batched
   * decode UDFs).
   *
-  * The image formats a real corpus contains decode FOR REAL, pure JDK:
+  * The formats a real corpus contains decode FOR REAL, pure JDK:
   * uncompressed BMP at 8/24/32 bpp ([[decodeBmp]] — a from-scratch
   * parser handling bottom-up/top-down rows, 4-byte padding, and
-  * palettes, with [[encodeBmp]] as its spec-compliant encoder twin) and
-  * PNG/JPEG via the JRE's bundled ImageIO readers ([[decodePng]] /
-  * [[decodeJpeg]], closed-form-oracled for lossless PNG in q88). Only
-  * codec-less modalities (audio/video sample decoding — the JDK ships no
-  * decoder) stay behind `decodeStub`, a deterministic fake that derives
-  * "features" from the bytes alone; everything around it (schemas,
-  * partitioning, batch iteration, feature layout) is real and tested, so
-  * further real decoders drop in the way the image ones did.
+  * palettes, with [[encodeBmp]] as its spec-compliant encoder twin),
+  * PNG/JPEG/GIF via the JRE's bundled ImageIO readers ([[decodePng]] /
+  * [[decodeJpeg]] / [[decodeGif]], closed-form-oracled for lossless PNG
+  * in q88), and RIFF/WAVE PCM audio ([[decodeWav]] — a from-scratch
+  * chunk-walking container parser, closed-form-oracled in q90; PCM
+  * needs no codec). Only genuinely codec-bound modalities (MP3/AAC
+  * audio, video sample decoding — the JDK ships no decoder) stay behind
+  * `decodeStub`, a deterministic fake that derives "features" from the
+  * bytes alone; everything around it (schemas, partitioning, batch
+  * iteration, feature layout) is real and tested, so further real
+  * decoders drop in the way the image and WAV ones did.
   *
   * Scale notes: decode is per-row/per-partition — embarrassingly parallel,
   * no shuffle. Large blobs should be read via `binaryFile` with
@@ -263,6 +266,135 @@ object Multimodal {
     })
   }
 
+  // ------------------------------------------------ real WAV decode
+
+  final case class WavAudio(
+      channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nSamples: Long, // per channel
+      sampleSum: Long, // sum of all raw PCM sample values (all channels)
+      peak: Int) // max |sample|
+
+  /** REAL audio decode for RIFF/WAVE PCM — a from-scratch container
+    * parser (no codec needed: PCM samples are the payload), covering
+    * 8-bit unsigned and 16-bit signed little-endian, the formats
+    * synthetic/telephony corpora actually hold. Walks the chunk list
+    * (fmt → data, tolerating extra chunks like LIST), validates
+    * format tag 1 (PCM), and folds the samples into
+    * (count, sum, peak) — the audio analogue of the image decoders'
+    * pixel checksum, closed-form oracle-able for generated waveforms.
+    * 8-bit samples are re-centered to signed (−128…127) so the sum is
+    * depth-comparable. Malformed/truncated/compressed input → None
+    * (the shared decoder error contract).
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavAudio] = {
+    def i32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def i16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def tag(off: Int, t: String): Boolean =
+      off + 4 <= bytes.length && (0 until 4).forall(i =>
+        bytes(off + i) == t.charAt(i).toByte)
+    try {
+      if (bytes == null || bytes.length < 44) return None
+      if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+      var pos = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+      var data: Option[(Int, Int)] = None // (offset, len)
+      while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val size = i32(pos + 4)
+        if (size < 0 || pos + 8 + size > bytes.length) return None
+        if (tag(pos, "fmt ")) {
+          if (size < 16) return None
+          if (i16(pos + 8) != 1) return None // PCM only — no codecs ship
+          fmt = Some((i16(pos + 10), i32(pos + 12), i16(pos + 22)))
+        } else if (tag(pos, "data")) {
+          data = Some((pos + 8, size))
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      for {
+        (channels, rate, bits) <- fmt
+        (dOff, dLen) <- data
+        if channels >= 1 && channels <= 16 && rate > 0
+        if bits == 8 || bits == 16
+      } yield {
+        val bytesPerSample = bits / 8
+        val frame = channels * bytesPerSample
+        val nFrames = dLen / frame
+        var sum = 0L
+        var peak = 0
+        var i = dOff
+        val end = dOff + nFrames * frame
+        while (i < end) {
+          val v =
+            if (bits == 8) (bytes(i) & 0xff) - 128
+            else i16(i).toShort.toInt
+          sum += v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += bytesPerSample
+        }
+        WavAudio(channels, rate, bits, nFrames.toLong, sum, peak)
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Encoder twin of [[decodeWav]]: 16-bit signed little-endian PCM,
+    * `sample(frame, channel)` in −32768…32767.
+    */
+  def encodeWav(channels: Int, sampleRate: Int, nFrames: Int,
+      sample: (Int, Int) => Int): Array[Byte] = {
+    require(channels >= 1 && nFrames >= 0, s"bad wav shape")
+    val dataLen = nFrames * channels * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put(off: Int, s: String): Unit =
+      (0 until s.length).foreach(i => out(off + i) = s.charAt(i).toByte)
+    def i32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def i16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    put(0, "RIFF"); i32(4, 36 + dataLen); put(8, "WAVE")
+    put(12, "fmt "); i32(16, 16); i16(20, 1); i16(22, channels)
+    i32(24, sampleRate); i32(28, sampleRate * channels * 2)
+    i16(32, channels * 2); i16(34, 16)
+    put(36, "data"); i32(40, dataLen)
+    var f = 0
+    var p = 44
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        i16(p, sample(f, c) & 0xffff)
+        p += 2
+        c += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  final case class AudioFeatures(
+      media_id: Long, channels: Int, sample_rate: Int, n_samples: Long,
+      sample_sum: Long, peak: Int, duration_sec: Double)
+
+  /** Batched REAL WAV decode — the audio twin of [[decodeBmpImages]];
+    * undecodable rows are dropped (quarantine-path semantics).
+    */
+  def decodeWavAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeWav(r.payload).map(a =>
+        AudioFeatures(r.media_id, a.channels, a.sampleRate, a.nSamples,
+          a.sampleSum, a.peak,
+          a.nSamples.toDouble / a.sampleRate))
+    })
+  }
+
   // ------------------------------------------- JDK ImageIO decoders
 
   /** PNG signature (8 bytes) — checked before handing bytes to ImageIO
@@ -324,6 +456,19 @@ object Multimodal {
     */
   def decodeJpeg(bytes: Array[Byte]): Option[BmpImage] =
     if (isJpeg(bytes)) decodeJdk(bytes) else None
+
+  /** GIF87a/GIF89a signature. */
+  private def isGif(b: Array[Byte]): Boolean =
+    b != null && b.length > 6 &&
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** REAL GIF decode (JDK ImageIO, first frame): dimensions + R+G+B
+    * checksum; non-GIF or malformed input → None. Palette-lossless like
+    * PNG for images that fit 256 colors.
+    */
+  def decodeGif(bytes: Array[Byte]): Option[BmpImage] =
+    if (isGif(bytes)) decodeJdk(bytes) else None
 
   /** Encoder twin of [[decodePng]] (JDK ImageIO writer): `pixel(x, y)`
     * → (r, g, b), (0, 0) top-left. Lossless round-trip with decodePng.

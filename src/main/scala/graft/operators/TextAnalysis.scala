@@ -123,6 +123,53 @@ object TextAnalysis {
       .withColumn("marker_hits", best.getField("hits"))
   }
 
+  /** Repetition quality signals (the Gopher-style repetitious-text
+    * filters): fraction of the document that is its single most frequent
+    * word, and fraction of word bigrams that are repeats. Both are
+    * computed PER ROW with no shuffle: the tokens (and bigrams) are
+    * array_sort'ed and a single aggregate fold extracts the longest
+    * equal-run (= top word count) and the boundary count (= distinct
+    * bigrams) in O(L log L) per document — the whole operator stays a
+    * codegen projection, linear in corpus size, where the naive
+    * explode + groupBy(doc, token) formulation would shuffle every token
+    * of a 100 TB corpus.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nTok = size(toks)
+    // longest run of equal adjacent values in the sorted token array
+    val topCount = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val bigrams = when(nTok < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nTok - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    // distinct count = number of value boundaries in the sorted array
+    // (bigrams are never the empty-string initial accumulator)
+    val distinctBigrams = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("cnt")),
+      (acc, x) => struct(x.as("prev"),
+        (acc.getField("cnt") +
+          when(x === acc.getField("prev"), 0L).otherwise(1L)).as("cnt")),
+      acc => acc.getField("cnt"))
+    val nBi = size(bigrams)
+    df.withColumn("n_tok", nTok.cast("long"))
+      .withColumn("top_word_frac",
+        when(nTok === 0, lit(0.0))
+          .otherwise(round(topCount.cast("double") / nTok, 6)))
+      .withColumn("dup_bigram_frac",
+        when(nBi === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - distinctBigrams.cast("double") / nBi, 6)))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): polynomial
     * rolling hash of each k-token window (O(n) native expression),
     * fingerprint = min window hash — plus a full-text xxhash64.

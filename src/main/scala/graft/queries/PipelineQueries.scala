@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, KeywordSearch, SimilaritySearch, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, KeywordSearch, SimilaritySearch, TextAnalysis}
 import graft.rag.RagPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -461,6 +461,85 @@ object PipelineQueries {
         .select(col("media_id"), col("width"), col("height"),
           col("pixel_sum"), round(col("px_mean"), 6).as("px_mean"))
     }),
+
+    // REAL WAV/PCM audio decode — the audio twin of q76/q88: encodeWav
+    // writes a mono/stereo 16-bit ramp waveform per document, the
+    // from-scratch RIFF parser (decodeWav) walks the chunk list and
+    // folds the PCM samples, and the oracle recomputes sample count,
+    // sum, peak, and duration in closed form (the ramp start+f+c never
+    // clips at fixture dims: start ≤ 49, frames ≤ 69, channels ≤ 2).
+    "q90_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("int").as("len"))
+        .as[(Long, Int)]
+        .map { case (id, len) =>
+          val ch = 1 + (id % 2).toInt
+          val n = 20 + len % 50
+          val start = (id % 50).toInt
+          Multimodal.MediaRow(id, "audio", Multimodal.encodeWav(ch, 8000, n,
+            (f, c) => start + f + c))
+        }
+      Multimodal.decodeWavAudio(media).toDF()
+        .select(col("media_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), col("sample_sum"), col("peak"),
+          round(col("duration_sec"), 6).as("duration_sec"))
+    }),
+
+    // Gopher-style repetition quality signals, computed per row with a
+    // sorted-array fold (no shuffle — contrast the oracle, which has to
+    // explode+aggregate): top-word fraction + duplicate-bigram fraction.
+    "q91_repetition_signals" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"))
+        .select("doc_id", "n_tok", "top_word_frac", "dup_bigram_frac")),
+
+    // Benchmark decontamination: corpus docs sharing any 8-token shingle
+    // with the benchmark suite. The "benchmark" is derived the way real
+    // ones are (web text that also circulates in training corpora): the
+    // first 12 tokens of every doc_id % 97 == 0 document — so the source
+    // docs (and any shingle-sharing others) MUST be flagged at every
+    // scale. Benchmark shingles broadcast; the corpus side streams.
+    "q92_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(concat_ws(" ", slice(split(col("text"), " "), 1, 12))
+          .as("text"))
+      CorpusOps.contamination(docs, bench, n = 8)
+    }),
+
+    // PII redaction over synthesized PII (the fixture corpus carries
+    // none, so both sides append a deterministic email+phone per doc
+    // first): placeholder substitution + removal counts, with the exact
+    // redacted string pinned by md5.
+    "q93_pii_redaction" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").withColumn("raw",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))
+      CorpusOps.redactPii(withPii, "raw")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("redacted")).as("red_len"),
+          md5(col("redacted")).as("red_md5"))
+    }),
+
+    // Deterministic stratified sampling: per-language fractions via the
+    // md5-prefix threshold (reproducible, shuffle-free, auditable in any
+    // SQL engine — the oracle replays the identical decision function).
+    "q94_stratified_sample" -> ((s, dir) =>
+      CorpusOps.sampleStratified(t(s, dir, "documents"), "lang",
+          concat(col("doc_id").cast("string"), lit(":"), col("text")),
+          Map("en" -> 0.125, "es" -> 0.25, "de" -> 0.5, "fr" -> 0.75,
+            "zh" -> 1.0))
+        .select("doc_id", "lang")),
+
+    // GPT-style sequence packing: per-source token streams split every
+    // 512 tokens, documents may straddle boundaries; the window cumsum
+    // is per-shard so shards pack in parallel.
+    "q95_sequence_packing" -> ((s, dir) =>
+      CorpusOps.packSequences(t(s, dir, "documents"), "source", "doc_id",
+          budget = 512)
+        .select("doc_id", "source", "n_tok", "start_off", "first_seq",
+          "last_seq")),
 
     // Lexical retrieval: Okapi BM25 top-5 per retrieval query — the
     // keyword half of hybrid search (inverted-index plan: postings built
@@ -1642,6 +1721,116 @@ object PipelineQueries {
         |    + width * (height * (height - 1) // 2)) AS BIGINT) AS pixel_sum,
         |  round((2 * start + width + height - 2) / 2.0, 6) AS px_mean
         |FROM dims""".stripMargin,
+    // closed-form ramp-waveform identities: per (frame f, channel c) the
+    // sample is start+f+c, so sum = ch·(n·start + n(n−1)/2) + n·ch(ch−1)/2
+    // and peak = start + n − 1 + ch − 1 (monotone ramp, no clipping)
+    "q90_wav_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST(20 + length(text) % 50 AS BIGINT) AS n,
+        |    doc_id % 50 AS start
+        |  FROM documents)
+        |SELECT media_id, channels, CAST(8000 AS INT) AS sample_rate,
+        |  n AS n_samples,
+        |  CAST(channels * (n * start + n * (n - 1) // 2)
+        |    + n * (channels * (channels - 1) // 2) AS BIGINT) AS sample_sum,
+        |  CAST(start + n - 1 + channels - 1 AS INT) AS peak,
+        |  round(n / 8000.0, 6) AS duration_sec
+        |FROM dims""".stripMargin,
+    // the oracle recomputes the repetition stats relationally (explode +
+    // two-level aggregate) — an independent formulation of the per-row
+    // sorted-fold the engine uses
+    "q91_repetition_signals" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS ord
+        |  FROM documents),
+        |bi AS (
+        |  SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+        |bstat AS (
+        |  SELECT doc_id, count(*) AS n_bi,
+        |         count(DISTINCT bigram) AS n_bi_distinct
+        |  FROM bi GROUP BY doc_id),
+        |wstat AS (
+        |  SELECT doc_id, sum(c) AS n_tok, max(c) AS top_word_count FROM (
+        |    SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+        |  ) GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(w.n_tok AS BIGINT) AS n_tok,
+        |  round(w.top_word_count / w.n_tok, 6) AS top_word_frac,
+        |  round(1.0 - b.n_bi_distinct / b.n_bi, 6) AS dup_bigram_frac
+        |FROM wstat w JOIN bstat b USING (doc_id)""".stripMargin,
+    "q92_decontamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |idx AS (
+        |  SELECT doc_id, l,
+        |         unnest(range(1, greatest(len(l) - 7, 0) + 1)) AS i
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(l[i:i+7], ' ') AS shingle FROM idx),
+        |bdocs AS (
+        |  SELECT array_to_string(l[1:12], ' ') AS btext FROM docs
+        |  WHERE doc_id % 97 = 0),
+        |bl AS (SELECT string_split(btext, ' ') AS l FROM bdocs),
+        |bidx AS (
+        |  SELECT l, unnest(range(1, greatest(len(l) - 7, 0) + 1)) AS i
+        |  FROM bl),
+        |bench AS (
+        |  SELECT DISTINCT array_to_string(l[i:i+7], ' ') AS shingle
+        |  FROM bidx)
+        |SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hit
+        |FROM sh s JOIN bench b USING (shingle)
+        |GROUP BY s.doc_id""".stripMargin,
+    // the PII patterns live in the Java∩RE2 regex subset, so the oracle
+    // replays the identical redaction and md5-pins the exact output
+    "q93_pii_redaction" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or call 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS raw
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(raw,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |      AS n_emails,
+        |    CAST(len(regexp_extract_all(raw, '\b555-\d{4}\b')) AS INT)
+        |      AS n_phones,
+        |    regexp_replace(regexp_replace(raw,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |      'g'), '\b555-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |  FROM pii)
+        |SELECT doc_id, n_emails, n_phones,
+        |  CAST(length(redacted) AS INT) AS red_len,
+        |  md5(redacted) AS red_md5
+        |FROM red""".stripMargin,
+    // identical decision function: keep iff the first 4 hex digits of
+    // md5(doc_id:text) sort below the stratum threshold
+    "q94_stratified_sample" ->
+      """WITH rates AS (
+        |  SELECT * FROM (VALUES ('en', '2000'), ('es', '4000'),
+        |    ('de', '8000'), ('fr', 'c000'), ('zh', 'zzzz')) AS t(lang, thresh))
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.text), 1, 4)
+        |  < r.thresh""".stripMargin,
+    "q95_sequence_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, source, n_tok,
+        |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_off
+        |  FROM toks)
+        |SELECT doc_id, source, n_tok, CAST(start_off AS BIGINT) AS start_off,
+        |  CAST(start_off // 512 AS BIGINT) AS first_seq,
+        |  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS last_seq
+        |FROM packed""".stripMargin,
     "q53_dedup_clusters" -> clustersOracle,
     // the alternating-CC path must be output-identical to the
     // propagation path — same oracle as q53

@@ -436,6 +436,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(Array.emptyByteArray).isEmpty)
   }
 
+  test("WAV decode: stereo 16-bit encoder round-trip with exact " +
+      "(count, sum, peak); extra chunks tolerated; corrupt/non-PCM → None") {
+    import graft.multimodal.Multimodal
+    // stereo ramp with a negative excursion: sample(f, c) = 100·f − 50 + c
+    val wav = Multimodal.encodeWav(2, 8000, 4, (f, c) => 100 * f - 50 + c)
+    val a = Multimodal.decodeWav(wav).get
+    assert(a.channels === 2 && a.sampleRate === 8000 &&
+      a.bitsPerSample === 16)
+    assert(a.nSamples === 4L)
+    // sum over f=0..3, c=0..1 of (100f − 50 + c) = 2·(600 − 200) + 4 = 804
+    assert(a.sampleSum === 804L)
+    assert(a.peak === 251) // f=3, c=1 → 251; |−50| smaller
+    // a LIST chunk between fmt and data must be skipped, not fatal
+    val extra = new java.io.ByteArrayOutputStream()
+    extra.write(wav, 0, 36) // RIFF..fmt chunk end
+    extra.write("LIST".getBytes); extra.write(Array[Byte](4, 0, 0, 0))
+    extra.write("INFO".getBytes)
+    extra.write(wav, 36, wav.length - 36) // data chunk
+    val withList = extra.toByteArray
+    // patch RIFF size for the inserted 12 bytes
+    val rs = wav.length - 8 + 12
+    withList(4) = (rs & 0xff).toByte; withList(5) = ((rs >> 8) & 0xff).toByte
+    assert(Multimodal.decodeWav(withList).map(_.sampleSum) === Some(804L))
+    // corrupt: wrong magic, truncated data, non-PCM format tag
+    assert(Multimodal.decodeWav("RIFFnope".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(wav.take(40)).isEmpty)
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE float tag
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+    // truncated mid-data: header promises more frames than present →
+    // the declared chunk size overruns the buffer → None, not a crash
+    assert(Multimodal.decodeWav(wav.dropRight(3)).isEmpty)
+  }
+
+  test("GIF decode: palette-lossless via ImageIO; format-strict") {
+    import graft.multimodal.Multimodal
+    // write a GIF through ImageIO to fixture it, decode through the
+    // format-strict entry; a SINGLE-color image is palette-exact by
+    // construction (the writer's quantizer cannot move a 1-color
+    // palette, unlike multi-color fixtures)
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 2).foreach(y => (0 until 2).foreach(x =>
+      img.setRGB(x, y, (10 << 16) | (20 << 8) | 30)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val gif = bos.toByteArray
+    val g = Multimodal.decodeGif(gif).get
+    assert(g.width === 2 && g.height === 2)
+    assert(g.pixelSum === 4L * (10 + 20 + 30))
+    // a PNG payload is not a GIF
+    val png = Multimodal.encodePng(2, 2, (_, _) => (1, 2, 3))
+    assert(Multimodal.decodeGif(png).isEmpty)
+    assert(Multimodal.decodeGif(gif.take(10)).isEmpty)
+  }
+
   test("JPEG decode: exact dimensions, checksum within lossy tolerance; " +
       "format-strict; corrupt input → None") {
     import graft.multimodal.Multimodal
@@ -537,5 +592,89 @@ class OperatorsSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.dedup.maxExactRows", "4")
       Dedup.embeddingCosine(emb, threshold = 0.9).count() // must not throw
     } finally spark.conf.unset("spark.graft.dedup.maxExactRows")
+  }
+
+  test("repetition signals: per-row fold matches hand counts; " +
+      "degenerate short docs don't divide by zero") {
+    val d = docs(
+      1L -> "a a a b", // top word 'a' ×3/4; bigrams: a a, a a, a b → 2 distinct of 3
+      2L -> "x y z w", // all unique: top 1/4, 3 distinct bigrams of 3
+      3L -> "solo")
+    val out = TextAnalysis.repetitionSignals(d)
+      .select("doc_id", "n_tok", "top_word_frac", "dup_bigram_frac")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4L, 0.75, math.rint((1.0 - 2.0 / 3) * 1e6) / 1e6)))
+    assert(out(2L) === ((2L, 4L, 0.25, 0.0)))
+    assert(out(3L) === ((3L, 1L, 1.0, 0.0))) // no bigrams → 0.0, no NaN
+  }
+
+  test("contamination flags exactly the docs sharing an n-gram with the " +
+      "benchmark, counting distinct overlaps") {
+    val bench = docs(100L -> "one two three four five six seven eight nine")
+    val corpus = docs(
+      // contains 'one..eight' and 'two..nine' → 2 distinct 8-shingles hit
+      1L -> "zz one two three four five six seven eight nine yy",
+      2L -> "one two three four five six seven DIFFERENT eight nine",
+      3L -> "totally unrelated words that never overlap anything at all ok")
+    val out = CorpusOps.contamination(corpus, bench, n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L))
+  }
+
+  test("redactPii substitutes placeholders and counts removals; " +
+      "clean text passes through untouched") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@sub.example.org and call 555-0199 today"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.co and 555-1234 555-9999"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.redactPii(d)
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 === "mail <EMAIL> and call <PHONE> today")
+    assert((out(1L)._2, out(1L)._3) === ((1, 1)))
+    assert(out(2L) === ((2L, 0, 0, "no pii here at all")))
+    assert((out(3L)._2, out(3L)._3) === ((2, 2)))
+    assert(out(3L)._4 === "two mails <EMAIL> <EMAIL> and <PHONE> <PHONE>")
+  }
+
+  test("stratified sampling is deterministic, honors per-stratum rates, " +
+      "and drops strata without a rate") {
+    val d = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "big" else "off", s"doc text $i"))
+      .toDF("doc_id", "stratum", "text")
+    val sampled = CorpusOps.sampleStratified(d, "stratum", col("doc_id"),
+      Map("big" -> 0.25, "zero" -> 0.0))
+    val rows = sampled.select("doc_id", "stratum").as[(Long, String)]
+      .collect().toSet
+    assert(rows.forall(_._2 == "big"), "unrated strata must be dropped")
+    // 200 'big' rows at 25%: the md5 prefix is uniform, expect 50 ± wide slack
+    assert(rows.size > 20 && rows.size < 80, s"got ${rows.size}")
+    // determinism: a second run returns the identical set
+    val again = CorpusOps.sampleStratified(d, "stratum", col("doc_id"),
+      Map("big" -> 0.25, "zero" -> 0.0))
+      .select("doc_id", "stratum").as[(Long, String)].collect().toSet
+    assert(again === rows)
+    // frac >= 1 keeps everything in the stratum
+    val all = CorpusOps.sampleStratified(d, "stratum", col("doc_id"),
+      Map("off" -> 1.0)).count()
+    assert(all === 200L)
+  }
+
+  test("packSequences: offsets are per-shard cumsums, straddling docs " +
+      "span the right sequence range") {
+    val d = Seq(
+      (1L, "s1", "a b c"), // shard s1: 3 toks, off 0, seq 0..0
+      (2L, "s1", Seq.fill(6)("w").mkString(" ")), // off 3, 6 toks → 3..8 spans seq 0→1 at budget 8
+      (3L, "s1", "x y"), // off 9 → seq 1
+      (4L, "s2", "p q r")) // independent shard: off 0
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.packSequences(d, "source", "doc_id", budget = 8)
+      .select("doc_id", "n_tok", "start_off", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 0L, 0L, 0L)))
+    assert(out(2L) === ((2L, 6L, 3L, 0L, 1L))) // straddles the 8-token boundary
+    assert(out(3L) === ((3L, 2L, 9L, 1L, 1L)))
+    assert(out(4L) === ((4L, 3L, 0L, 0L, 0L)))
   }
 }
