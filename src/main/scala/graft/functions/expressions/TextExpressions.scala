@@ -1,0 +1,81 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftExprBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass text-statistics expressions (SURVEY.md §2.10a),
+  * same rationale as [[HashExpressions]]: the composed-builtin
+  * formulations evaluate an interpreted lambda expression tree per
+  * array element (and `array_sort` allocates + comparison-sorts per
+  * row), which made the repetition-signal scan the slowest per-row
+  * operator in the bench. The native fold is one O(L) pass over the
+  * token array with open-hash counting — identical output, ~10× less
+  * per-row work. CodegenFallback: the per-row loop dwarfs the
+  * virtual-call overhead.
+  */
+object TextExpressions {
+  private def col(e: Expression): Column = GraftExprBridge.column(e)
+  private def ex(c: Column): Expression = GraftExprBridge.expression(c)
+
+  /** (n_tok, top_count, n_bi, n_bi_distinct) over a token array. */
+  def repetition_stats(tokens: Column): Column =
+    col(RepetitionStatsF(ex(tokens)))
+}
+
+/** Repetition statistics of a token array in one pass:
+  * `n_tok` token count, `top_count` the highest single-token
+  * multiplicity, `n_bi` the adjacent-bigram count (n−1, 0 when n<2),
+  * `n_bi_distinct` the distinct adjacent-bigram count. Token
+  * multiplicity via a hash map, bigram distinctness via a hash set of
+  * the space-joined pair — byte-equality on UTF8String, so the
+  * semantics equal the sorted-array-fold formulation (longest equal
+  * run = max multiplicity; sorted boundary count = distinct count)
+  * it replaces. Null array elements count as empty strings.
+  */
+case class RepetitionStatsF(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("n_bi", LongType, nullable = false),
+    StructField("n_bi_distinct", LongType, nullable = false)))
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+        else arr.getUTF8String(i)
+      toks(i) = t
+      val prev = counts.get(t)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(t, c)
+      if (c > top) top = c
+      i += 1
+    }
+    var nBiDistinct = 0L
+    if (n >= 2) {
+      val seen = new java.util.HashSet[UTF8String](n * 2)
+      val sep = UTF8String.fromString(" ")
+      i = 0
+      while (i < n - 1) {
+        if (seen.add(UTF8String.concatWs(sep, toks(i), toks(i + 1))))
+          nBiDistinct += 1
+        i += 1
+      }
+    }
+    val nBi = if (n >= 2) (n - 1).toLong else 0L
+    InternalRow(n.toLong, top.toLong, nBi, nBiDistinct)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

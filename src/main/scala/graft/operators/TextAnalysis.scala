@@ -126,48 +126,28 @@ object TextAnalysis {
   /** Repetition quality signals (the Gopher-style repetitious-text
     * filters): fraction of the document that is its single most frequent
     * word, and fraction of word bigrams that are repeats. Both are
-    * computed PER ROW with no shuffle: the tokens (and bigrams) are
-    * array_sort'ed and a single aggregate fold extracts the longest
-    * equal-run (= top word count) and the boundary count (= distinct
-    * bigrams) in O(L log L) per document — the whole operator stays a
-    * codegen projection, linear in corpus size, where the naive
-    * explode + groupBy(doc, token) formulation would shuffle every token
-    * of a 100 TB corpus.
+    * computed PER ROW with no shuffle by one native O(L) pass
+    * ([[graft.functions.expressions.RepetitionStatsF]]: hash-map token
+    * counts, hash-set bigram dedup) — linear in corpus size, where the
+    * naive explode + groupBy(doc, token) formulation would shuffle every
+    * token of a 100 TB corpus, and the earlier composed
+    * array_sort + aggregate-fold form paid an interpreted lambda tree
+    * per token (the measured per-row bottleneck of the bench).
     */
   def repetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val nTok = size(toks)
-    // longest run of equal adjacent values in the sorted token array
-    val topCount = aggregate(
-      array_sort(toks),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    val bigrams = when(nTok < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), nTok - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-    // distinct count = number of value boundaries in the sorted array
-    // (bigrams are never the empty-string initial accumulator)
-    val distinctBigrams = aggregate(
-      array_sort(bigrams),
-      struct(lit("").as("prev"), lit(0L).as("cnt")),
-      (acc, x) => struct(x.as("prev"),
-        (acc.getField("cnt") +
-          when(x === acc.getField("prev"), 0L).otherwise(1L)).as("cnt")),
-      acc => acc.getField("cnt"))
-    val nBi = size(bigrams)
-    df.withColumn("n_tok", nTok.cast("long"))
+    val st = graft.functions.expressions.TextExpressions
+      .repetition_stats(split(col(textCol), " "))
+    df.withColumn("__rs", st)
+      .withColumn("n_tok", col("__rs.n_tok"))
       .withColumn("top_word_frac",
-        when(nTok === 0, lit(0.0))
-          .otherwise(round(topCount.cast("double") / nTok, 6)))
+        when(col("__rs.n_tok") === 0, lit(0.0))
+          .otherwise(round(
+            col("__rs.top_count").cast("double") / col("__rs.n_tok"), 6)))
       .withColumn("dup_bigram_frac",
-        when(nBi === 0, lit(0.0))
-          .otherwise(round(lit(1.0) - distinctBigrams.cast("double") / nBi, 6)))
+        when(col("__rs.n_bi") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            col("__rs.n_bi_distinct").cast("double") / col("__rs.n_bi"), 6)))
+      .drop("__rs")
   }
 
   /** Rolling-hash document fingerprint (winnowing-style): polynomial
