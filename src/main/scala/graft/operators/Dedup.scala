@@ -254,9 +254,15 @@ object Dedup {
   private[graft] def clustersWithRounds(
       pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     // localCheckpoint truncates the (possibly expensive) pair-generation
-    // lineage so each propagation round replans only the tiny graph
-    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-      .unionByName(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    // lineage so each propagation round replans only the tiny graph.
+    // Pairs are materialized ONCE before the symmetrizing union — a
+    // union of two selects over the raw `pairs` would carry two copies
+    // of the whole pair-generation subplan (Spark reuses exchanges, not
+    // arbitrary common subtrees), paying the generation twice.
+    val p = pairs.select(col("doc_id_a"), col("doc_id_b"))
+      .localCheckpoint(true)
+    val edges = p.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .unionByName(p.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -326,17 +332,21 @@ object Dedup {
   private[graft] def clustersAlternatingWithRounds(
       pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
+    // pair generation is materialized ONCE; allNodes and edges below are
+    // cheap scans of the checkpointed frame instead of each carrying
+    // their own copy of the (possibly expensive) generation subplan
+    val p = pairs.select(col("doc_id_a"), col("doc_id_b"))
+      .localCheckpoint(true)
     // every node appearing in pairs must come back labeled — including
     // nodes whose ONLY pair is a degenerate self-pair (a, a), which the
     // canonical-edge filter below rightly discards as an edge but must
-    // not silently drop as a node (the clusters() contract)
-    val allNodes = pairs.select(col("doc_id_a").as("doc_id"))
-      .unionByName(pairs.select(col("doc_id_b").as("doc_id")))
+    // not silently drop as a node (the clusters() contract); used once
+    // at the end, so it stays a lazy derivation of the checkpoint
+    val allNodes = p.select(col("doc_id_a").as("doc_id"))
+      .unionByName(p.select(col("doc_id_b").as("doc_id")))
       .distinct()
-      .localCheckpoint(true)
-    // canonical high→low edges; checkpoint cuts the (possibly expensive)
-    // pair-generation lineage, same as clusters()
-    var edges = pairs
+    // canonical high→low edges
+    var edges = p
       .select(greatest(col("doc_id_a"), col("doc_id_b")).as("src"),
         least(col("doc_id_a"), col("doc_id_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -344,7 +354,10 @@ object Dedup {
       .localCheckpoint(true)
     // a large-star round: symmetrize, then for each center u hook its
     // LARGER neighbors to the neighborhood min (≤ u, so output stays
-    // canonical high→low)
+    // canonical high→low). NOT deduped here: the window min is
+    // duplicate-insensitive and smallStar's trailing distinct
+    // canonicalizes the round, so an intermediate distinct would only
+    // add a shuffle (output stays O(|E|) — one row per input edge).
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(
         e.select(col("dst").as("src"), col("src").as("dst")))
@@ -353,16 +366,16 @@ object Dedup {
       sym.withColumn("m", m)
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
     }
     // a small-star round: edges already point high→low, so Γ(u) here is
-    // u's smaller neighbors; hook them all (and u) to the min
+    // u's smaller neighbors; hook them all (and u) to the min. The one
+    // trailing distinct canonicalizes the whole round's edge set.
     def smallStar(e: DataFrame): DataFrame = {
       val withM = e.withColumn("m",
         min(col("dst")).over(Window.partitionBy("src")))
       withM.select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .unionByName(withM.select(col("src"), col("m").as("dst")).distinct())
+        .unionByName(withM.select(col("src"), col("m").as("dst")))
         .distinct()
     }
     // fixpoint test = ONE aggregate job per round: both frames are
