@@ -111,6 +111,76 @@ object CorpusOps {
       .drop("__thresh")
   }
 
+  /** Domain-mixture reweighting: per-stratum sampling rates that hit a
+    * target token mixture. Sources can only be DOWNsampled (rate ≤ 1),
+    * so the largest feasible mixed corpus is `T* = min_s(tokens_s /
+    * share_s)` and each stratum's rate is `share_s · T* / tokens_s` —
+    * the stratum realizing the min keeps everything, every other is
+    * thinned to match the target proportions. Returns per stratum
+    * (n_docs, n_tok, target_share, rate, exp_tok); feed `rate` into
+    * [[sampleStratified]] to materialize the mix.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the corpus
+    * (stratum cardinality is tiny — languages/domains, not documents);
+    * T* and the rate arithmetic run on that tiny frame with the 1-row
+    * min broadcast back. No corpus self-join, no second corpus pass.
+    */
+  def mixturePlan(df: DataFrame, strataCol: String,
+      targetShares: Map[String, Double],
+      textCol: String = "text"): DataFrame = {
+    require(targetShares.values.forall(_ > 0.0),
+      "target shares must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = targetShares.toSeq.toDF(strataCol, "target_share")
+    val stats = df.groupBy(strataCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " "))).cast("long").as("n_tok"))
+    val joined = stats.join(broadcast(shares), Seq(strataCol))
+    val tStar = joined.agg(
+      min(col("n_tok") / col("target_share")).as("t_star"))
+    joined.crossJoin(broadcast(tStar))
+      .withColumn("rate", round(least(lit(1.0),
+        col("target_share") * col("t_star") / col("n_tok")), 6))
+      .withColumn("exp_tok",
+        round(col("rate") * col("n_tok"), 0).cast("long"))
+      .select(strataCol, "n_docs", "n_tok", "target_share", "rate",
+        "exp_tok")
+  }
+
+  /** Vocabulary induction with coverage: the top-V corpus words by
+    * frequency (ties broken ascending by word — a total order, so the
+    * vocab is deterministic at every scale) with each word's rank and
+    * the cumulative fraction of total token mass the vocab covers
+    * through it (1 − cum_frac at rank V = the OOV rate a V-word
+    * closed vocabulary would pay).
+    *
+    * Scale shape: the corpus-wide work is ONE word-count aggregate
+    * (map-side combined — the canonical wordcount exchange carries
+    * (word, partial count), never text) and a TakeOrdered top-V — no
+    * global sort. The rank/coverage window then runs over the V-row
+    * result; its unpartitioned frame is bounded by construction
+    * (V rows, not corpus rows).
+    */
+  def vocabulary(df: DataFrame, topV: Int,
+      textCol: String = "text"): DataFrame = {
+    require(topV > 0, s"topV must be positive: $topV")
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total_tok"))
+    val order = Seq(col("cnt").desc, col("word").asc)
+    // bounded-by-construction window: the frame under it is limit(topV)
+    val w = Window.orderBy(order: _*)
+    counts.orderBy(order: _*).limit(topV)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_frac", round(
+        sum("cnt").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / col("total_tok"), 6))
+      .select("rank", "word", "cnt", "cum_frac")
+  }
+
   /** Fixed-budget sequence packing (GPT-style): concatenate each shard's
     * token stream in `orderCol` order, split every `budget` tokens;
     * documents may straddle sequence boundaries. Emits per document its

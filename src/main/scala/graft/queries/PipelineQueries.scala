@@ -541,6 +541,22 @@ object PipelineQueries {
         .select("doc_id", "source", "n_tok", "start_off", "first_seq",
           "last_seq")),
 
+    // Domain-mixture reweighting: per-language sampling rates hitting a
+    // target token mixture — the largest feasible downsample-only mix
+    // (T* = min over langs of tokens/share); one corpus aggregate, all
+    // rate arithmetic on the tiny per-lang frame.
+    "q96_mixture_plan" -> ((s, dir) =>
+      CorpusOps.mixturePlan(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.4, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.15,
+          "zh" -> 0.15))),
+
+    // Vocabulary induction: top-100 words by corpus frequency
+    // (deterministic tie-break) with cumulative token-mass coverage —
+    // 1 − cum_frac at rank 100 is the closed-vocab OOV rate. Corpus
+    // work = one wordcount aggregate + TakeOrdered; no global sort.
+    "q97_vocab_coverage" -> ((s, dir) =>
+      CorpusOps.vocabulary(t(s, dir, "documents"), topV = 100)),
+
     // Lexical retrieval: Okapi BM25 top-5 per retrieval query — the
     // keyword half of hybrid search (inverted-index plan: postings built
     // with one map-side-combinable groupBy, query terms broadcast,
@@ -1831,6 +1847,41 @@ object PipelineQueries {
         |  CAST(start_off // 512 AS BIGINT) AS first_seq,
         |  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS last_seq
         |FROM packed""".stripMargin,
+    // identical arithmetic: T* = min(n_tok/share) over the joined frame,
+    // rate = round(min(1, share·T*/n_tok), 6), exp_tok from the ROUNDED
+    // rate — double math matches Spark's
+    "q96_mixture_plan" ->
+      """WITH stats AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY lang),
+        |shares AS (
+        |  SELECT * FROM (VALUES ('en', 0.4), ('es', 0.15), ('de', 0.15),
+        |    ('fr', 0.15), ('zh', 0.15)) AS t(lang, target_share)),
+        |j AS (SELECT * FROM stats JOIN shares USING (lang)),
+        |ts AS (SELECT min(n_tok / target_share) AS t_star FROM j)
+        |SELECT lang, n_docs, n_tok, target_share,
+        |  round(least(1.0, target_share * ts.t_star / n_tok), 6) AS rate,
+        |  CAST(round(round(least(1.0, target_share * ts.t_star / n_tok), 6)
+        |    * n_tok, 0) AS BIGINT) AS exp_tok
+        |FROM j, ts""".stripMargin,
+    "q97_vocab_coverage" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |counts AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM words GROUP BY word),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tok FROM counts),
+        |top AS (SELECT word, cnt FROM counts
+        |        ORDER BY cnt DESC, word ASC LIMIT 100)
+        |SELECT
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS INT)
+        |    AS rank,
+        |  word, cnt,
+        |  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / t.total_tok, 6) AS cum_frac
+        |FROM top, tot t""".stripMargin,
     "q53_dedup_clusters" -> clustersOracle,
     // the alternating-CC path must be output-identical to the
     // propagation path — same oracle as q53

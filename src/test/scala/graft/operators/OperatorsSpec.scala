@@ -661,6 +661,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all === 200L)
   }
 
+  test("mixturePlan: the binding stratum keeps everything, others thin " +
+      "to the target proportions; downsample-only invariant holds") {
+    // tokens: A=1000, B=100, shares: A=0.5, B=0.5 → T* = min(2000, 200)
+    // = 200 → rate_A = 0.1 (thinned), rate_B = 1.0 (binding)
+    val d = (0 until 100).map(i => (i.toLong,
+      if (i < 50) "A" else "B",
+      Seq.fill(if (i < 50) 20 else 2)("w").mkString(" ")))
+      .toDF("doc_id", "stratum", "text")
+    val out = CorpusOps.mixturePlan(d, "stratum",
+      Map("A" -> 0.5, "B" -> 0.5))
+      .select("stratum", "n_docs", "n_tok", "rate", "exp_tok")
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") === (("A", 50L, 1000L, 0.1, 100L)))
+    assert(out("B") === (("B", 50L, 100L, 1.0, 100L)))
+    // the realized mix hits the target shares exactly: 100/100 tokens
+  }
+
+  test("vocabulary: rank order is (cnt desc, word asc), coverage " +
+      "accumulates to the true token-mass fraction") {
+    val d = docs(1L -> "b b b a a c", 2L -> "a b d")
+    // counts: b=4, a=3, c=1, d=1 (total 9); top-3 = b, a, c (tie c<d)
+    val out = CorpusOps.vocabulary(d, topV = 3)
+      .as[(Int, String, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1, "b", 4L), (2, "a", 3L), (3, "c", 1L)))
+    assert(out.map(_._4).toSeq ===
+      Seq(math.rint(4.0 / 9 * 1e6) / 1e6, math.rint(7.0 / 9 * 1e6) / 1e6,
+        math.rint(8.0 / 9 * 1e6) / 1e6))
+  }
+
   test("packSequences: offsets are per-shard cumsums, straddling docs " +
       "span the right sequence range") {
     val d = Seq(

@@ -154,4 +154,42 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"a funnel stage gained a shuffle join:\n$p")
   }
+
+  test("q91 repetition signals: the whole operator is a projection — " +
+      "zero exchanges, no join") {
+    val p = physical("q91_repetition_signals")
+    assert(!p.contains("Exchange"), s"per-row operator gained a shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q92 decontamination: benchmark shingles broadcast; the corpus " +
+      "streams through a broadcast join, never a shuffled one") {
+    val p = physical("q92_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side got shuffled for the join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q93 PII redaction: pure per-row regex projection — zero exchanges") {
+    val p = physical("q93_pii_redaction")
+    assert(!p.contains("Exchange"), s"per-row operator gained a shuffle:\n$p")
+  }
+
+  test("q94 stratified sampling: rate table broadcast, keep decision " +
+      "per-row — no corpus shuffle") {
+    val p = physical("q94_stratified_sample")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sampling shuffled the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q95 sequence packing: exactly one exchange — the shard-keyed " +
+      "window cumsum; shards pack independently") {
+    val p = physical("q95_sequence_packing")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected the single shard-keyed exchange, got $n:\n$p")
+    assert(p.contains("source"), p)
+  }
 }
