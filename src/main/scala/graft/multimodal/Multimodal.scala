@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
   * palettes, with [[encodeBmp]] as its spec-compliant encoder twin),
   * PNG/JPEG/GIF via the JRE's bundled ImageIO readers ([[decodePng]] /
   * [[decodeJpeg]] / [[decodeGif]], closed-form-oracled for lossless PNG
-  * in q88), and RIFF/WAVE PCM audio ([[decodeWav]] — a from-scratch
+  * in q88), RIFF/WAVE PCM audio ([[decodeWav]] — a from-scratch
   * chunk-walking container parser, closed-form-oracled in q90; PCM
-  * needs no codec). Only genuinely codec-bound modalities (MP3/AAC
-  * audio, video sample decoding — the JDK ships no decoder) stay behind
-  * `decodeStub`, a deterministic fake that derives "features" from the
-  * bytes alone; everything around it (schemas, partitioning, batch
-  * iteration, feature layout) is real and tested, so further real
-  * decoders drop in the way the image and WAV ones did.
+  * needs no codec), and MP4/ISO-BMFF video containers ([[decodeMp4]] —
+  * a from-scratch box walker extracting brand, timescale/duration,
+  * track handlers, and video dimensions, closed-form-oracled in q98).
+  * Only genuinely codec-bound SAMPLE decoding (H.264/AAC/MP3 payloads —
+  * the JDK ships no codec) stays behind `decodeStub`, a deterministic
+  * fake that derives "features" from the bytes alone; everything around
+  * it (schemas, partitioning, batch iteration, feature layout) is real
+  * and tested, so further real decoders drop in the way the image,
+  * WAV, and MP4 ones did.
   *
   * Scale notes: decode is per-row/per-partition — embarrassingly parallel,
   * no shuffle. Large blobs should be read via `binaryFile` with
@@ -392,6 +395,192 @@ object Multimodal {
         AudioFeatures(r.media_id, a.channels, a.sampleRate, a.nSamples,
           a.sampleSum, a.peak,
           a.nSamples.toDouble / a.sampleRate))
+    })
+  }
+
+  // ----------------------------------------- real MP4 container parse
+
+  final case class Mp4Meta(
+      brand: String, timescale: Int, durationUnits: Long,
+      nTracks: Int, nVideo: Int, nAudio: Int,
+      width: Int, height: Int) // first video track, 16.16 fixed → int
+
+  /** REAL video-container parse for MP4/ISO BMFF (ISO/IEC 14496-12) —
+    * a from-scratch box walker: `ftyp` brand, `moov/mvhd` timescale +
+    * duration, per-`trak` handler types (`mdia/hdlr`: vide/soun) and
+    * the first video track's `tkhd` width/height (16.16 fixed-point).
+    * This is the container METADATA level — everything a corpus
+    * pipeline needs for routing/stats/sampling decisions — decoded for
+    * real; SAMPLE decode (H.264/AAC payloads inside `mdat`) is
+    * codec-bound and stays behind [[decodeStub]], the one genuinely
+    * codec-less boundary left.
+    *
+    * Box walk: [size:4BE][type:4]; size==1 → 64-bit largesize follows,
+    * size==0 → box extends to EOF (both per §4.2). Unknown boxes are
+    * skipped by size. Malformed/truncated/overrunning sizes → None
+    * (the shared decoder error contract).
+    */
+  def decodeMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def typ(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk the boxes in [from, to); call f(type, payloadStart,
+    // payloadEnd). A malformed box ANYWHERE (truncated header,
+    // overrunning size) poisons the whole parse via `malformed` —
+    // nested walks inherit the strict error contract.
+    var malformed = false
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var pos = from
+      while (pos < to && !malformed) {
+        if (pos + 8 > to) { malformed = true; return }
+        val size0 = u32(pos)
+        val t = typ(pos + 4)
+        val (payload, end) =
+          if (size0 == 0L) (pos + 8, to) // to end of enclosing box
+          else if (size0 == 1L) {
+            if (pos + 16 > to) { malformed = true; return }
+            val ls = u64(pos + 8)
+            if (ls < 16 || pos + ls > to) { malformed = true; return }
+            (pos + 16, pos + ls.toInt)
+          } else {
+            if (size0 < 8 || pos + size0 > to) { malformed = true; return }
+            (pos + 8, pos + size0.toInt)
+          }
+        f(t, payload, end)
+        pos = end
+      }
+    }
+    try {
+      if (bytes == null || bytes.length < 16) return None
+      if (typ(4) != "ftyp") return None
+      var brand: String = null
+      var timescale = 0
+      var duration = 0L
+      var nTracks, nVideo, nAudio = 0
+      var w, h = 0
+      var sawMoov = false
+      walk(0, bytes.length) { (t, p, e) =>
+        t match {
+          case "ftyp" if brand == null && e - p >= 4 => brand = typ(p)
+          case "moov" =>
+            sawMoov = true
+            walk(p, e) { (ct, cp, ce) =>
+              ct match {
+                case "mvhd" if ce - cp >= 4 =>
+                  val v = bytes(cp) & 0xff
+                  if (v == 1 && ce - cp >= 28) {
+                    timescale = u32(cp + 20).toInt; duration = u64(cp + 24)
+                  } else if (v == 0 && ce - cp >= 20) {
+                    timescale = u32(cp + 12).toInt; duration = u32(cp + 16)
+                  }
+                case "trak" =>
+                  nTracks += 1
+                  var isVideo, isAudio = false
+                  var tw, th = 0
+                  walk(cp, ce) { (tt, tp, te) =>
+                    tt match {
+                      case "tkhd" if te - tp >= 84 && (bytes(tp) & 0xff) == 0 =>
+                        // v0 payload: vf(4) ctime(4) mtime(4) id(4) res(4)
+                        // dur(4) res(8) layer(2) alt(2) vol(2) res(2)
+                        // matrix(36) width(4) height(4) — 16.16 fixed
+                        tw = (u32(tp + 76) >> 16).toInt
+                        th = (u32(tp + 80) >> 16).toInt
+                      case "mdia" =>
+                        walk(tp, te) { (mt, mp, me) =>
+                          if (mt == "hdlr" && me - mp >= 12) {
+                            typ(mp + 8) match {
+                              case "vide" => isVideo = true
+                              case "soun" => isAudio = true
+                              case _ => ()
+                            }
+                          }
+                        }
+                      case _ => ()
+                    }
+                  }
+                  if (isVideo) {
+                    nVideo += 1
+                    if (w == 0 && h == 0) { w = tw; h = th }
+                  }
+                  if (isAudio) nAudio += 1
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      }
+      if (malformed || brand == null || !sawMoov || timescale <= 0) None
+      else Some(Mp4Meta(brand, timescale, duration, nTracks, nVideo,
+        nAudio, w, h))
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Encoder twin of [[decodeMp4]]: minimal well-formed ISO BMFF —
+    * `ftyp` + `moov(mvhd + trak(tkhd + mdia(mdhd + hdlr))...)` +
+    * empty `mdat`, all version-0 boxes. `tracks` = (handler fourcc
+    * "vide"|"soun", width, height).
+    */
+  def encodeMp4(brand: String, timescale: Int, durationUnits: Long,
+      tracks: Seq[(String, Int, Int)]): Array[Byte] = {
+    require(brand.length == 4 && timescale > 0, "bad mp4 shape")
+    val bb = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + payload.length)
+      System.arraycopy(u32(out.length.toLong), 0, out, 0, 4)
+      System.arraycopy(t.getBytes("US-ASCII"), 0, out, 4, 4)
+      System.arraycopy(payload, 0, out, 8, payload.length)
+      out
+    }
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++
+      u32(timescale.toLong) ++ u32(durationUnits) ++
+      u32(0x00010000L) ++ Array.fill[Byte](12)(0) ++ // rate, vol+reserved
+      (u32(0x00010000L) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0x00010000L) ++
+        u32(0) ++ u32(0) ++ u32(0) ++ u32(0x40000000L)) ++ // unity matrix
+      Array.fill[Byte](24)(0) ++ u32(tracks.length + 1L))
+    val traks = tracks.zipWithIndex.map { case ((handler, tw, th), i) =>
+      val tkhd = box("tkhd", u32(7) ++ u32(0) ++ u32(0) ++ // vf(enabled)
+        u32(i + 1L) ++ u32(0) ++ u32(durationUnits) ++
+        Array.fill[Byte](16)(0) ++ // res(8) layer alt vol res
+        (u32(0x00010000L) ++ u32(0) ++ u32(0) ++ u32(0) ++
+          u32(0x00010000L) ++ u32(0) ++ u32(0) ++ u32(0) ++
+          u32(0x40000000L)) ++
+        u32(tw.toLong << 16) ++ u32(th.toLong << 16))
+      val mdhd = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++
+        u32(timescale.toLong) ++ u32(durationUnits) ++
+        Array[Byte](0x55, (0xc4 & 0xff).toByte, 0, 0)) // lang "und"
+      val hdlr = box("hdlr", u32(0) ++ u32(0) ++
+        handler.getBytes("US-ASCII") ++ Array.fill[Byte](12)(0) ++
+        Array[Byte](0)) // empty name
+      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr))
+    }
+    bb.write(box("ftyp", brand.getBytes("US-ASCII") ++ u32(0) ++
+      brand.getBytes("US-ASCII")))
+    bb.write(box("moov", mvhd ++ traks.foldLeft(Array.emptyByteArray)(_ ++ _)))
+    bb.write(box("mdat", Array.emptyByteArray))
+    bb.toByteArray
+  }
+
+  final case class VideoMeta(
+      media_id: Long, brand: String, timescale: Int, n_tracks: Int,
+      n_video: Int, n_audio: Int, width: Int, height: Int,
+      duration_ms: Long)
+
+  /** Batched REAL MP4 container parse — the video twin of
+    * [[decodeWavAudio]]; undecodable rows are dropped.
+    */
+  def decodeMp4Meta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeMp4(r.payload).map(m =>
+        VideoMeta(r.media_id, m.brand, m.timescale, m.nTracks, m.nVideo,
+          m.nAudio, m.width, m.height,
+          m.durationUnits * 1000L / m.timescale))
     })
   }
 

@@ -486,6 +486,30 @@ object PipelineQueries {
           round(col("duration_sec"), 6).as("duration_sec"))
     }),
 
+    // REAL MP4/ISO-BMFF container parse — the video twin of q90:
+    // encodeMp4 writes a minimal ftyp+moov container per document (video
+    // track unless doc_id%3==0, audio track when odd), the from-scratch
+    // box walker recovers brand/timescale/tracks/dims, and the oracle
+    // recomputes every field in closed form from (doc_id, len).
+    "q98_mp4_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("int").as("len"))
+        .as[(Long, Int)]
+        .map { case (id, len) =>
+          val units = (20L + len % 50) * 60
+          val tracks =
+            (if (id % 3 != 0)
+              Seq(("vide", 160 + (id % 8).toInt * 16,
+                120 + (id % 6).toInt * 16))
+            else Seq.empty) ++
+            (if (id % 2 == 1) Seq(("soun", 0, 0)) else Seq.empty)
+          Multimodal.MediaRow(id, "video",
+            Multimodal.encodeMp4("isom", 600, units, tracks))
+        }
+      Multimodal.decodeMp4Meta(media).toDF()
+    }),
+
     // Gopher-style repetition quality signals, computed per row with a
     // sorted-array fold (no shuffle — contrast the oracle, which has to
     // explode+aggregate): top-word fraction + duplicate-bigram fraction.
@@ -1753,6 +1777,25 @@ object PipelineQueries {
         |    + n * (channels * (channels - 1) // 2) AS BIGINT) AS sample_sum,
         |  CAST(start + n - 1 + channels - 1 AS INT) AS peak,
         |  round(n / 8000.0, 6) AS duration_sec
+        |FROM dims""".stripMargin,
+    // closed-form container identities: every decoded field derives from
+    // (doc_id, len) by the same arithmetic the encoder used
+    "q98_mp4_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS media_id,
+        |    (20 + length(text) % 50) * 60 AS units,
+        |    CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS nv,
+        |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS na,
+        |    doc_id % 8 AS w8, doc_id % 6 AS h6
+        |  FROM documents)
+        |SELECT media_id, 'isom' AS brand, CAST(600 AS INT) AS timescale,
+        |  CAST(nv + na AS INT) AS n_tracks, CAST(nv AS INT) AS n_video,
+        |  CAST(na AS INT) AS n_audio,
+        |  CAST(CASE WHEN nv = 1 THEN 160 + w8 * 16 ELSE 0 END AS INT)
+        |    AS width,
+        |  CAST(CASE WHEN nv = 1 THEN 120 + h6 * 16 ELSE 0 END AS INT)
+        |    AS height,
+        |  CAST(units * 1000 // 600 AS BIGINT) AS duration_ms
         |FROM dims""".stripMargin,
     // the oracle recomputes the repetition stats relationally (explode +
     // two-level aggregate) — an independent formulation of the per-row

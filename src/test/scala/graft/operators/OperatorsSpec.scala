@@ -469,6 +469,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(wav.dropRight(3)).isEmpty)
   }
 
+  test("MP4 box walk: encoder round-trip recovers brand/timescale/" +
+      "duration/tracks/dims; 64-bit and to-EOF sizes; corrupt → None") {
+    import graft.multimodal.Multimodal
+    val mp4 = Multimodal.encodeMp4("isom", 600, 3000L,
+      Seq(("vide", 320, 240), ("soun", 0, 0)))
+    val m = Multimodal.decodeMp4(mp4).get
+    assert(m.brand === "isom" && m.timescale === 600 &&
+      m.durationUnits === 3000L)
+    assert(m.nTracks === 2 && m.nVideo === 1 && m.nAudio === 1)
+    assert(m.width === 320 && m.height === 240)
+    // audio-only container: no video dims
+    val audioOnly = Multimodal.decodeMp4(
+      Multimodal.encodeMp4("M4A ", 44100, 44100L, Seq(("soun", 0, 0)))).get
+    assert(audioOnly.nVideo === 0 && audioOnly.width === 0)
+    // a trailing box with size==0 (to EOF, §4.2) is legal
+    val withFree = mp4 ++ Array[Byte](0, 0, 0, 0) ++ "free".getBytes
+    assert(Multimodal.decodeMp4(withFree).map(_.nTracks) === Some(2))
+    // a 64-bit largesize box before moov is walked correctly
+    val big = {
+      val free = Array[Byte](0, 0, 0, 1) ++ "free".getBytes ++
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 16)
+      val ftypEnd = 8 + ((mp4(0) & 0xff) << 24 | (mp4(1) & 0xff) << 16 |
+        (mp4(2) & 0xff) << 8 | (mp4(3) & 0xff)) - 8
+      mp4.take(ftypEnd) ++ free ++ mp4.drop(ftypEnd)
+    }
+    assert(Multimodal.decodeMp4(big).map(_.width) === Some(320))
+    // corrupt: truncation, non-mp4 bytes, overrunning declared size
+    assert(Multimodal.decodeMp4(mp4.take(30)).isEmpty)
+    assert(Multimodal.decodeMp4("nope".getBytes).isEmpty)
+    val overrun = mp4.clone(); overrun(3) = 127 // ftyp size > file
+    assert(Multimodal.decodeMp4(overrun).isEmpty)
+  }
+
   test("GIF decode: palette-lossless via ImageIO; format-strict") {
     import graft.multimodal.Multimodal
     // write a GIF through ImageIO to fixture it, decode through the
