@@ -111,6 +111,36 @@ object CorpusOps {
       .drop("__thresh")
   }
 
+  /** Per-document duplicated-shingle fraction — the exact-substring
+    * duplication signal (what fraction of a document's distinct n-token
+    * windows also appear in OTHER documents' text, the cross-doc
+    * boilerplate measure driving substring-level dedup decisions).
+    * Documents shorter than n tokens have no shingles and are absent
+    * from the output.
+    *
+    * Scale shape: the corpus-wide exchanges carry ONLY (doc_id, 8-byte
+    * xxhash64 of the shingle) — the raw shingle text never shuffles.
+    * Three hash-keyed exchanges total (distinct pairs, the
+    * document-frequency aggregate, the join back), each linear in
+    * corpus token count; the per-doc result is a map-side-combinable
+    * aggregate. Hash collisions conflate two shingles with probability
+    * ≈ 2⁻⁶⁴ per pair — the same accepted trade as exact dedup's
+    * hash-first phase.
+    */
+  def dupShingleStats(df: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = df
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("h"))
+      .distinct()
+    val dfreq = pairs.groupBy("h").agg(count(lit(1)).as("df"))
+    pairs.join(dfreq, Seq("h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        round(avg(when(col("df") >= 2, 1.0).otherwise(0.0)), 6)
+          .as("dup_frac"))
+  }
+
   /** Domain-mixture reweighting: per-stratum sampling rates that hit a
     * target token mixture. Sources can only be DOWNsampled (rate ≤ 1),
     * so the largest feasible mixed corpus is `T* = min_s(tokens_s /

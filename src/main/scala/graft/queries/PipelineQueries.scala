@@ -565,6 +565,13 @@ object PipelineQueries {
         .select("doc_id", "source", "n_tok", "start_off", "first_seq",
           "last_seq")),
 
+    // Exact-substring duplication signal: per doc, the fraction of its
+    // distinct 8-token shingles appearing in other documents too — the
+    // cross-doc boilerplate measure behind substring-level dedup. All
+    // corpus exchanges carry (doc_id, 8-byte hash) only.
+    "q99_dup_shingles" -> ((s, dir) =>
+      CorpusOps.dupShingleStats(t(s, dir, "documents"), n = 8)),
+
     // Domain-mixture reweighting: per-language sampling rates hitting a
     // target token mixture — the largest feasible downsample-only mix
     // (T* = min over langs of tokens/share); one corpus aggregate, all
@@ -1890,6 +1897,25 @@ object PipelineQueries {
         |  CAST(start_off // 512 AS BIGINT) AS first_seq,
         |  CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS last_seq
         |FROM packed""".stripMargin,
+    // independent formulation on the raw shingle STRINGS (the engine
+    // hashes first — exchanges carry 8 bytes, not text; agreement up to
+    // a ≈2⁻⁶⁴-per-pair xxhash64 collision, same trade as q30)
+    "q99_dup_shingles" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |idx AS (
+        |  SELECT doc_id, l,
+        |         unnest(range(1, greatest(len(l) - 7, 0) + 1)) AS i
+        |  FROM docs),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS s
+        |  FROM idx),
+        |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  round(avg(CASE WHEN dfreq.df >= 2 THEN 1.0 ELSE 0.0 END), 6)
+        |    AS dup_frac
+        |FROM sh JOIN dfreq USING (s)
+        |GROUP BY sh.doc_id""".stripMargin,
     // identical arithmetic: T* = min(n_tok/share) over the joined frame,
     // rate = round(min(1, share·T*/n_tok), 6), exp_tok from the ROUNDED
     // rate — double math matches Spark's

@@ -694,6 +694,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all === 200L)
   }
 
+  test("dupShingleStats: cross-doc shingle sharing counted, within-doc " +
+      "repeats don't count as duplication; short docs absent") {
+    val d = docs(
+      1L -> "a b c d e f", // shares 'a b c' with doc 2
+      2L -> "a b c x y z",
+      3L -> "p q r s t u", // unique text
+      4L -> "w x") // < 3 tokens: no shingles
+    val out = CorpusOps.dupShingleStats(d, n = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: shingles {abc, bcd, cde, def} — 1 of 4 shared
+    assert(out(1L) === ((1L, 4L, 0.25)))
+    assert(out(2L) === ((2L, 4L, 0.25)))
+    assert(out(3L) === ((3L, 4L, 0.0)))
+    assert(!out.contains(4L))
+    // a doc repeating its own shingle is NOT cross-doc duplication
+    val self = docs(10L -> "m n o m n o", 11L -> "k k k k k")
+    val s2 = CorpusOps.dupShingleStats(self, n = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(s2(10L)._3 === 0.0)
+    assert(s2(11L) === ((11L, 1L, 0.0))) // one distinct shingle, unshared
+  }
+
   test("mixturePlan: the binding stratum keeps everything, others thin " +
       "to the target proportions; downsample-only invariant holds") {
     // tokens: A=1000, B=100, shares: A=0.5, B=0.5 → T* = min(2000, 200)

@@ -185,6 +185,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q99 dup shingles: every corpus exchange keys on the 8-byte " +
+      "shingle hash or doc id — raw shingle text never shuffles") {
+    val p = physical("q99_dup_shingles")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("sh#")),
+      s"shingle text rides an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("q95 sequence packing: exactly one exchange — the shard-keyed " +
       "window cumsum; shards pack independently") {
     val p = physical("q95_sequence_packing")
