@@ -36,6 +36,13 @@ object HashExpressions {
   def shingles_k(tokens: Column, k: Int): Column =
     col(ShinglesF(ex(tokens), k))
 
+  /** [[shingles_k]] with the strict short-input contract: fewer than k
+    * tokens yields an EMPTY array (no whole-text fallback shingle) —
+    * the `CorpusOps.wordShingles` semantics, natively.
+    */
+  def shingles_k_strict(tokens: Column, k: Int): Column =
+    col(ShinglesF(ex(tokens), k, emptyBelowK = true))
+
   /** Distinct character trigrams of space-padded tokens. */
   def char_trigrams(tokens: Column): Column = col(CharTrigramsF(ex(tokens)))
 }
@@ -45,9 +52,12 @@ object HashExpressions {
   * `array_distinct(transform(sequence(...), slice+concat_ws))`, which
   * evaluates a lambda expression tree per window and was the measured
   * bottleneck of every shingle-based dedup operator). n < k (or empty)
-  * degenerates to one whole-text shingle, matching the composed form.
+  * degenerates to one whole-text shingle, matching the composed form —
+  * unless `emptyBelowK` is set, in which case short inputs yield an
+  * empty array (the `CorpusOps.wordShingles` strict contract).
   */
-case class ShinglesF(child: Expression, k: Int)
+case class ShinglesF(child: Expression, k: Int,
+    emptyBelowK: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
@@ -64,6 +74,7 @@ case class ShinglesF(child: Expression, k: Int)
     }
     val sep = UTF8String.fromString(" ")
     if (n < k) {
+      if (emptyBelowK) return new GenericArrayData(Array.empty[Any])
       return new GenericArrayData(Array[Any](UTF8String.concatWs(sep, toks: _*)))
     }
     val seen = new java.util.LinkedHashSet[UTF8String]()

@@ -54,10 +54,16 @@ object CorpusOps {
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // native one-pass shingling (per-doc distinct — the aggregate below
+    // is countDistinct, so set semantics are what's consumed anyway);
+    // the composed wordShingles form pays an interpreted lambda tree
+    // per window, the measured cost of the whole operator
+    def sh(c: Column) = graft.functions.expressions.HashExpressions
+      .shingles_k_strict(split(c, " "), n)
     val corpusSh = corpus.select(col(idCol),
-      explode(wordShingles(col(textCol), n)).as("shingle"))
+      explode(sh(col(textCol))).as("shingle"))
     val benchSh = benchmark
-      .select(explode(wordShingles(col(textCol), n)).as("shingle"))
+      .select(explode(sh(col(textCol))).as("shingle"))
       .distinct()
     corpusSh.join(broadcast(benchSh), Seq("shingle"))
       .groupBy(idCol)
@@ -129,8 +135,13 @@ object CorpusOps {
     */
   def dupShingleStats(df: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // the native shingler emits each doc's DISTINCT shingles, so with a
+    // unique idCol the (id, h) stream is already duplicate-free; the
+    // distinct() below only defends against duplicate input ids
     val pairs = df
-      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("sh"))
+      .select(col(idCol), explode(graft.functions.expressions
+        .HashExpressions.shingles_k_strict(split(col(textCol), " "), n))
+        .as("sh"))
       .select(col(idCol), xxhash64(col("sh")).as("h"))
       .distinct()
     val dfreq = pairs.groupBy("h").agg(count(lit(1)).as("df"))

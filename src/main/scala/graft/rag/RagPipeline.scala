@@ -239,13 +239,29 @@ object RagPipeline {
       alpha: Double = 0.7,
       cfg: graft.plans.LshAnnPlan.Config = graft.plans.LshAnnPlan.Config(),
       snapshotId: Option[String] = None,
+      dim: Int = Embedder.DefaultDim): DataFrame =
+    adaptiveRetrievePersistedWithProfiles(spark, sourceDir, queries,
+      profilesOf(history, dim), index, k, alpha, cfg, snapshotId, dim)
+
+  /** [[adaptiveRetrievePersisted]] over a PRECOMPUTED `(user_id,
+    * profile_vec)` frame — the full serving composition: incrementally
+    * maintained profiles (e.g.
+    * [[graft.streaming.StreamOps.streamingProfiles]] state, or a
+    * persisted profile table) blended against the PERSISTED LSH index,
+    * with neither the profiles nor the index recomputed per call.
+    */
+  def adaptiveRetrievePersistedWithProfiles(
+      spark: SparkSession,
+      sourceDir: String,
+      queries: DataFrame, // (query_id, user_id, query_text)
+      prof: DataFrame, // (user_id, profile_vec)
+      index: DataFrame,
+      k: Int = 4,
+      alpha: Double = 0.7,
+      cfg: graft.plans.LshAnnPlan.Config = graft.plans.LshAnnPlan.Config(),
+      snapshotId: Option[String] = None,
       dim: Int = Embedder.DefaultDim): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha outside [0, 1]")
-    val prof = history
-      .withColumn("hvec", Embedder.embedCol(col("question"), dim))
-      .groupBy("user_id")
-      .agg(graft.functions.VectorMeanAgg.asColumn(col("hvec"))
-        .as("profile_vec"))
     val q = broadcast(
       queries.withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
         .join(prof, Seq("user_id"), "left")

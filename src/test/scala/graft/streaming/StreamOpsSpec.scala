@@ -374,6 +374,15 @@ class StreamOpsSpec extends AnyFunSuite {
     val viaBatch = hits(graft.rag.RagPipeline.adaptiveRetrieve(
       queries, hist, index, k = 2, alpha = 0.3))
     assert(viaStream === viaBatch)
+    // the full serving composition — incrementally-maintained profiles
+    // blended against the PERSISTED LSH index — returns the same rows:
+    // neither the profiles nor the index are recomputed per call
+    val dir = java.nio.file.Files
+      .createTempDirectory("adpt_stream_persist").toString
+    val viaPersisted = hits(graft.rag.RagPipeline
+      .adaptiveRetrievePersistedWithProfiles(spark, dir, queries, profDf,
+        index, k = 2, alpha = 0.3))
+    assert(viaPersisted === viaBatch)
     index.unpersist()
   }
 
