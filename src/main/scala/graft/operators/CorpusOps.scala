@@ -199,9 +199,10 @@ object CorpusOps {
     * Scale shape: the corpus-wide work is ONE word-count aggregate
     * (map-side combined — the canonical wordcount exchange carries
     * (word, partial count), never text) and a TakeOrdered top-V — no
-    * global sort. The rank/coverage window then runs over the V-row
-    * result; its unpartitioned frame is bounded by construction
-    * (V rows, not corpus rows).
+    * global sort. Rank and cumulative sum over the V-row result come
+    * from a broadcast self-join (rank = how many rows sort ≤ me; V² ≤
+    * 10⁴ comparisons for V = 100) instead of an unpartitioned window —
+    * no single-partition stage anywhere in the plan.
     */
   def vocabulary(df: DataFrame, topV: Int,
       textCol: String = "text"): DataFrame = {
@@ -210,15 +211,18 @@ object CorpusOps {
       .select(explode(split(col(textCol), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt").as("total_tok"))
-    val order = Seq(col("cnt").desc, col("word").asc)
-    // bounded-by-construction window: the frame under it is limit(topV)
-    val w = Window.orderBy(order: _*)
-    counts.orderBy(order: _*).limit(topV)
-      .crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(w))
-      .withColumn("cum_frac", round(
-        sum("cnt").over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)).cast("double") / col("total_tok"), 6))
+    val top = counts
+      .orderBy(col("cnt").desc, col("word").asc).limit(topV)
+    val other = top.select(col("word").as("w2"), col("cnt").as("c2"))
+    top.crossJoin(broadcast(total))
+      .join(broadcast(other),
+        col("c2") > col("cnt") ||
+          (col("c2") === col("cnt") && col("w2") <= col("word")))
+      .groupBy("word", "cnt", "total_tok")
+      .agg(count(lit(1)).cast("int").as("rank"),
+        sum("c2").as("cum_cnt"))
+      .withColumn("cum_frac",
+        round(col("cum_cnt").cast("double") / col("total_tok"), 6))
       .select("rank", "word", "cnt", "cum_frac")
   }
 

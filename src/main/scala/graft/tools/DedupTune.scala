@@ -186,6 +186,61 @@ object DedupTune {
       return
     }
 
+    // `curation` mode: the decontamination and dup-shingle scans under
+    // 10× / 100× replication. Contamination uses PLAIN replication
+    // (same text, fresh ids — every replica of a benchmark-overlapping
+    // doc must be flagged): flagged docs must grow exactly linearly
+    // while the benchmark side stays constant (it broadcasts — the
+    // corpus-size-independent half of the join). The dup-shingle scan
+    // uses SUFFIXED replication (per-replica token universes, the bands
+    // model): rows grow linearly while mean dup_frac is scale-INVARIANT
+    // — the per-replica duplication structure is preserved, so a
+    // changing mean would mean the hash-join plan itself distorts
+    // results with n.
+    if (mode == "curation") {
+      import graft.operators.CorpusOps
+      val docs0 = Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val nB = docs0.count()
+      val bench = docs0.filter(col("doc_id") % 97 === 0)
+        .select(concat_ws(" ", slice(split(col("text"), " "), 1, 12))
+          .as("text")).cache()
+      bench.count()
+      var baseFlagged = -1L
+      for (factor <- Seq(1, 10, 100)) {
+        def replicate(suffixed: Boolean) =
+          (if (factor == 1) docs0
+          else docs0.crossJoin(spark.range(factor).toDF("rep"))
+            .select((col("doc_id") + col("rep") * nB).as("doc_id"),
+              (if (!suffixed) col("text")
+              else when(col("rep") === 0, col("text")).otherwise(
+                array_join(transform(split(col("text"), "\\s+"),
+                  t => concat(t, lit("_"), col("rep"))), " ")))
+                .as("text"))).cache()
+        val plain = replicate(suffixed = false)
+        val n = plain.count()
+        CorpusOps.contamination(plain, bench).count() // discard warmup
+        var t0 = System.nanoTime()
+        val nFlag = CorpusOps.contamination(plain, bench).count()
+        val cSec = (System.nanoTime() - t0) / 1e9
+        if (factor == 1) baseFlagged = nFlag
+        val sufx = replicate(suffixed = true)
+        sufx.count()
+        CorpusOps.dupShingleStats(sufx).agg(count(lit(1))).head() // warmup
+        t0 = System.nanoTime()
+        val row = CorpusOps.dupShingleStats(sufx)
+          .agg(count(lit(1)), round(avg("dup_frac"), 4)).head()
+        val dSec = (System.nanoTime() - t0) / 1e9
+        println(f"factor=$factor%-4d n=$n%-7d " +
+          f"contamFlagged=$nFlag%-6d (expect ${baseFlagged * factor}%-6d) " +
+          f"contamSec=$cSec%5.2f  dupDocs=${row.getLong(0)}%-7d " +
+          f"meanDupFrac=${row.getDouble(1)}%.4f dupSec=$dSec%5.2f")
+        plain.unpersist(); sufx.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").cache()
     val nBase = docs.count()

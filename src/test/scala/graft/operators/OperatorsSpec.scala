@@ -739,7 +739,7 @@ class OperatorsSpec extends AnyFunSuite {
     val d = docs(1L -> "b b b a a c", 2L -> "a b d")
     // counts: b=4, a=3, c=1, d=1 (total 9); top-3 = b, a, c (tie c<d)
     val out = CorpusOps.vocabulary(d, topV = 3)
-      .as[(Int, String, Long, Double)].collect()
+      .as[(Int, String, Long, Double)].collect().sortBy(_._1)
     assert(out.map(r => (r._1, r._2, r._3)).toSeq ===
       Seq((1, "b", 4L), (2, "a", 3L), (3, "c", 1L)))
     assert(out.map(_._4).toSeq ===
