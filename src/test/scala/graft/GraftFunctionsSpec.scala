@@ -41,6 +41,39 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(chunks === graft.text.Chunker.split("the quick brown fox jumps", 12))
   }
 
+  test("shingles strict mode: short input yields empty, not the " +
+      "whole-text fallback; at-length input identical to default mode") {
+    import org.apache.spark.sql.functions.{col, split}
+    import graft.functions.expressions.HashExpressions
+    val df = Seq("a b", "a b c d").toDF("text")
+      .select(col("text"),
+        HashExpressions.shingles_k(split(col("text"), " "), 3).as("dflt"),
+        HashExpressions.shingles_k_strict(split(col("text"), " "), 3)
+          .as("strict"))
+      .as[(String, Seq[String], Seq[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(df("a b")._1 === Seq("a b")) // default: whole-text fallback
+    assert(df("a b")._2 === Seq.empty) // strict: empty
+    assert(df("a b c d")._1 === df("a b c d")._2) // n >= k: identical
+    assert(df("a b c d")._2 === Seq("a b c", "b c d"))
+  }
+
+  test("repetition stats expression: struct fields, duplicate counting, " +
+      "and the degenerate single-token row") {
+    import org.apache.spark.sql.functions.{col, split}
+    import graft.functions.expressions.TextExpressions
+    val out = Seq("x y x y x", "solo").toDF("text")
+      .select(col("text"),
+        TextExpressions.repetition_stats(split(col("text"), " ")).as("s"))
+      .selectExpr("text", "s.n_tok", "s.top_count", "s.n_bi",
+        "s.n_bi_distinct")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // "x y x y x": 5 tokens, 'x'×3; bigrams: xy yx xy yx → 2 distinct of 4
+    assert(out("x y x y x") === ((5L, 3L, 4L, 2L)))
+    assert(out("solo") === ((1L, 1L, 0L, 0L)))
+  }
+
   test("native embed expression equals the UDF twin") {
     import org.apache.spark.sql.functions.col
     val df = Seq("spark join shuffle", "", "one").toDF("text")
