@@ -38,7 +38,11 @@ object HashExpressions {
 
   /** [[shingles_k]] with the strict short-input contract: fewer than k
     * tokens yields an EMPTY array (no whole-text fallback shingle) —
-    * the `CorpusOps.wordShingles` semantics, natively.
+    * matching `CorpusOps.wordShingles` ONLY on that short-input rule.
+    * NOT a drop-in multiset replacement: this emits DISTINCT shingles
+    * (first-occurrence order) while `wordShingles` keeps positional
+    * duplicates — equivalent only under a consumer that ends in a
+    * distinct/set aggregate (every current caller does).
     */
   def shingles_k_strict(tokens: Column, k: Int): Column =
     col(ShinglesF(ex(tokens), k, emptyBelowK = true))

@@ -94,10 +94,14 @@ object CorpusOps {
     * kept iff `substr(md5(key), 1, 4) < threshold`. Fractions ≥ 1 map to
     * "zzzz" (above every hex digit) so they keep everything; the 1/65536
     * granularity is the price of an engine-portable decision function.
+    * Sub-1 fractions clamp to "ffff" (keep-all-but-one-bucket): without
+    * the clamp, frac in [1 - 2⁻¹⁷, 1) rounds to 65536 and formats as the
+    * 5-char "10000", which compares BELOW most 4-char prefixes and would
+    * silently keep only ~6% of a stratum meant to keep ~100%.
     */
   def hexThreshold(frac: Double): String =
     if (frac >= 1.0) "zzzz"
-    else f"${math.max(0L, math.round(frac * 65536.0))}%04x"
+    else f"${math.min(65535L, math.max(0L, math.round(frac * 65536.0)))}%04x"
 
   /** Deterministic stratified sampling: per-stratum fractions applied
     * via an md5-prefix threshold on a caller-chosen key column.
@@ -177,7 +181,15 @@ object CorpusOps {
     val stats = df.groupBy(strataCol).agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col(textCol), " "))).cast("long").as("n_tok"))
-    val joined = stats.join(broadcast(shares), Seq(strataCol))
+    // Right join from the target table so a stratum named in targetShares
+    // but absent from the corpus is NOT silently dropped (which would
+    // realize a mixture deviating from the requested shares with no
+    // signal): the null stats row raises at materialization instead.
+    val joined = stats.join(broadcast(shares), Seq(strataCol), "right")
+      .withColumn("n_tok", when(col("n_tok").isNull,
+        raise_error(concat(lit("mixturePlan: stratum '"), col(strataCol),
+          lit("' in targetShares is absent from the corpus"))))
+        .otherwise(col("n_tok")))
     val tStar = joined.agg(
       min(col("n_tok") / col("target_share")).as("t_star"))
     joined.crossJoin(broadcast(tStar))

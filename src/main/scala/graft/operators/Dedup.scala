@@ -380,15 +380,19 @@ object Dedup {
     }
     // fixpoint test = ONE aggregate job per round: both frames are
     // distinct edge SETS, so (count, xor of per-edge hashes) equality is
-    // set equality up to an xxhash64 collision that must ALSO preserve
-    // the count (≈2⁻⁶⁴ per probe — far below any cluster's job-failure
-    // floor; the q80 oracle pins output identity in CI regardless).
+    // set equality up to a collision that must simultaneously preserve
+    // the count AND two independently-seeded xxhash64 xors (≈2⁻¹²⁸ per
+    // probe — far below any cluster's job-failure floor; the q80 oracle
+    // pins output identity in CI regardless).
     // Replaces the two exceptAll anti-join jobs per round that dominated
     // q80's wall-clock (driver-side loop cost, not executor work), and
     // doubles as the materialization of the round's lazy checkpoint.
-    def sig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    def sig(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))"),
+        expr("bit_xor(xxhash64(dst, src, 1))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     var edgeSig = sig(edges)
     var iter = 0

@@ -1825,8 +1825,9 @@ object PipelineQueries {
         |  ) GROUP BY doc_id)
         |SELECT w.doc_id, CAST(w.n_tok AS BIGINT) AS n_tok,
         |  round(w.top_word_count / w.n_tok, 6) AS top_word_frac,
-        |  round(1.0 - b.n_bi_distinct / b.n_bi, 6) AS dup_bigram_frac
-        |FROM wstat w JOIN bstat b USING (doc_id)""".stripMargin,
+        |  round(COALESCE(1.0 - b.n_bi_distinct / b.n_bi, 0.0), 6)
+        |    AS dup_bigram_frac
+        |FROM wstat w LEFT JOIN bstat b USING (doc_id)""".stripMargin,
     "q92_decontamination" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -34,9 +34,13 @@ import java.util.zip.Inflater
   * fallback. Fonts WITHOUT a ToUnicode map fall back to their simple
   * /Encoding (WinAnsiEncoding / StandardEncoding / Differences dict —
   * Annex D public tables); only fonts with neither come out as raw
-  * Latin-1 bytes. Line-advance operators (`Td` `TD` `T*`
-  * `'` `"`) insert a newline between shows; shows on the same line
-  * concatenate.
+  * Latin-1 bytes. Line assembly is baseline-aware: the scanner tracks
+  * the CTM (`q`/`Q`/`cm`) and text line matrix (`Tm`/`Td`/`TD`/`TL`)
+  * and emits a newline only when a show's device-space baseline moves
+  * or an explicit next-line operator (`T*` `'` `"`) fires — so the
+  * many same-line `BT..ET` runs real producers emit concatenate
+  * instead of shredding one visual line into many (verified against
+  * the reference's own 1.1 MB producer-generated PDF).
   */
 object PdfText {
 
@@ -700,14 +704,44 @@ object PdfText {
   /** Text-op scan of one decoded content stream. `fonts` maps resource
     * names (the `/F1` of `/F1 12 Tf`) to ToUnicode CMaps; shows under a
     * mapped font are decoded through it, others fall back to raw bytes.
+    *
+    * Line assembly is BASELINE-AWARE (ISO 32000 §9.4.2): the scanner
+    * tracks the CTM (`q`/`Q`/`cm`) and the text line matrix
+    * (`BT`/`Tm`/`Td`/`TD`/`TL`), and a line break is emitted only when a
+    * show's device-space baseline y moves (or on the explicit next-line
+    * operators `T*` `'` `"`). Real producers emit many `BT..ET` blocks —
+    * one per positioned run — on a single visual line; op-boundary
+    * breaking would shred "AI-Powered" into three lines. Same-baseline
+    * runs concatenate byte-adjacent (word gaps are expected to be glyph
+    * spaces, which subset-font producers do emit); no inter-run spacing
+    * is synthesized from x advances because font widths are not parsed.
     */
   private[sources] def extractTextOps(
       s: String, fonts: Map[String, CMap] = Map.empty): String = {
     val sb = new StringBuilder
     var lineHasText = false
     var curFont: Option[CMap] = None
-    def newline(): Unit =
-      if (lineHasText) { sb.append('\n'); lineHasText = false }
+
+    // Graphics + text state for baseline tracking. Matrices are the PDF
+    // row-vector form [a b c d e f]: (x,y) -> (a*x+c*y+e, b*x+d*y+f).
+    var ctm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val gsStack = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var lmA = 1.0; var lmB = 0.0; var lmC = 0.0
+    var lmD = 1.0; var lmE = 0.0; var lmF = 0.0 // text line matrix (Tlm)
+    var leading = 0.0
+    var lastY = Double.NaN // device baseline of the previous show
+    var forcedBreak = false // T* / ' / " demand a break even at same y
+    def resetTlm(): Unit = {
+      lmA = 1.0; lmB = 0.0; lmC = 0.0; lmD = 1.0; lmE = 0.0; lmF = 0.0
+    }
+    // Tlm = translate(tx,ty) x Tlm — the Td next-line step
+    def translateTlm(tx: Double, ty: Double): Unit = {
+      lmE = tx * lmA + ty * lmC + lmE
+      lmF = tx * lmB + ty * lmD + lmF
+    }
+    // device y of the text-space origin: Tlm then CTM
+    def deviceY: Double = lmE * ctm(1) + lmF * ctm(3) + ctm(5)
+
     def mapped(t: String): String = curFont match {
       case Some(cm) if cm.codeBytes == 2 =>
         val out = new StringBuilder
@@ -725,13 +759,27 @@ object PdfText {
     }
     def show(t: String): Unit = {
       val m = mapped(t)
-      if (m.nonEmpty) { sb.append(m); lineHasText = true }
+      if (m.nonEmpty) {
+        val y = deviceY
+        val moved = !lastY.isNaN && math.abs(y - lastY) > 1e-2
+        if (lineHasText && (forcedBreak || moved)) {
+          sb.append('\n'); lineHasText = false
+        }
+        forcedBreak = false
+        lastY = y
+        sb.append(m); lineHasText = true
+      }
     }
 
     var i = 0
     var inText = false
     var pendingName = "" // last /Name operand (for Tf)
     var pendingStrings = List.empty[String] // strings seen since last op
+    val pendingNums = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def num(idxFromEnd: Int): Double = // operand position from the right
+      if (pendingNums.length >= idxFromEnd)
+        pendingNums(pendingNums.length - idxFromEnd)
+      else 0.0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '/') {
@@ -757,31 +805,64 @@ object PdfText {
         }
       } else if (c == '%') { // comment to EOL
         while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+      } else if (c.isDigit || c == '-' || c == '+' || c == '.') {
+        val start = i
+        i += 1
+        while (i < s.length && { val ch = s.charAt(i)
+          ch.isDigit || ch == '.' }) i += 1
+        // malformed runs (e.g. "1.2.3") simply fail to parse and are dropped
+        s.substring(start, i).toDoubleOption.foreach(pendingNums += _)
       } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
         val start = i
         while (i < s.length && { val ch = s.charAt(i)
           ch.isLetterOrDigit || ch == '\'' || ch == '"' || ch == '*' }) i += 1
+        def clear(): Unit = { pendingStrings = Nil; pendingNums.clear() }
         s.substring(start, i) match {
-          case "BT" => inText = true; pendingStrings = Nil
-          case "ET" => inText = false; newline()
+          case "q" => gsStack += ctm.clone(); clear()
+          case "Q" =>
+            if (gsStack.nonEmpty) ctm = gsStack.remove(gsStack.length - 1)
+            clear()
+          case "cm" =>
+            if (pendingNums.length >= 6) {
+              val a = num(6); val b = num(5); val cc = num(4)
+              val d = num(3); val e = num(2); val f = num(1)
+              ctm = Array( // new = operand matrix x CTM
+                a * ctm(0) + b * ctm(2), a * ctm(1) + b * ctm(3),
+                cc * ctm(0) + d * ctm(2), cc * ctm(1) + d * ctm(3),
+                e * ctm(0) + f * ctm(2) + ctm(4),
+                e * ctm(1) + f * ctm(3) + ctm(5))
+            }
+            clear()
+          case "BT" => inText = true; resetTlm(); clear()
+          case "ET" => inText = false; clear()
+          case "Tm" if inText =>
+            if (pendingNums.length >= 6) {
+              lmA = num(6); lmB = num(5); lmC = num(4)
+              lmD = num(3); lmE = num(2); lmF = num(1)
+            }
+            clear()
+          case "Td" if inText =>
+            translateTlm(num(2), num(1)); clear()
+          case "TD" if inText =>
+            leading = -num(1); translateTlm(num(2), num(1)); clear()
+          case "TL" => leading = num(1); clear()
+          case "T*" if inText =>
+            translateTlm(0.0, -leading); forcedBreak = true; clear()
           case "Tj" if inText =>
             pendingStrings.headOption.foreach(show)
-            pendingStrings = Nil
+            clear()
           case "TJ" if inText =>
             pendingStrings.reverse.foreach(show) // array shows, in order
-            pendingStrings = Nil
+            clear()
           case "'" | "\"" if inText => // move-to-next-line + show
-            newline()
+            translateTlm(0.0, -leading); forcedBreak = true
             pendingStrings.headOption.foreach(show)
-            pendingStrings = Nil
-          case "Td" | "TD" | "T*" if inText =>
-            newline()
-            pendingStrings = Nil
+            clear()
           case "Tf" => // select font: the /Name operand picks the CMap
             curFont = fonts.get(pendingName)
-            pendingStrings = Nil
+            clear()
           case _ =>
-            pendingStrings = Nil // other operators consume their operands
+            clear() // other operators consume their operands
         }
       } else i += 1
     }

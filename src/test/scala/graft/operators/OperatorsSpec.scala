@@ -734,6 +734,30 @@ class OperatorsSpec extends AnyFunSuite {
     // the realized mix hits the target shares exactly: 100/100 tokens
   }
 
+  test("mixturePlan: a target stratum absent from the corpus fails " +
+      "loudly instead of silently renormalizing the mix") {
+    val d = Seq((1L, "A", "w w w")).toDF("doc_id", "stratum", "text")
+    val ex = intercept[Exception] {
+      CorpusOps.mixturePlan(d, "stratum", Map("A" -> 0.5, "ZZ" -> 0.5))
+        .collect()
+    }
+    assert(ex.getMessage.contains("ZZ"))
+  }
+
+  test("hexThreshold: near-1 fractions clamp to ffff (keep ~all), " +
+      "never the 5-char '10000' that would invert the compare") {
+    assert(CorpusOps.hexThreshold(0.999999) === "ffff")
+    assert(CorpusOps.hexThreshold(1.0) === "zzzz")
+    assert(CorpusOps.hexThreshold(0.0) === "0000")
+    assert(CorpusOps.hexThreshold(0.5) === "8000")
+    // and the sampler keeps ~everything at frac just below 1
+    val d = (0 until 200).map(i => (i.toLong, "s", "t"))
+      .toDF("doc_id", "stratum", "text")
+    val kept = CorpusOps.sampleStratified(d, "stratum", col("doc_id"),
+      Map("s" -> 0.999999)).count()
+    assert(kept >= 195L, s"expected ~all 200 kept, got $kept")
+  }
+
   test("vocabulary: rank order is (cnt desc, word asc), coverage " +
       "accumulates to the true token-mass fraction") {
     val d = docs(1L -> "b b b a a c", 2L -> "a b d")

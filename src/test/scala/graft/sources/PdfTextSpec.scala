@@ -419,6 +419,29 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(corrupted) === "Hello fallback")
   }
 
+  test("extracts the reference's real producer-generated PDF " +
+      "(TrueType subset fonts + ToUnicode bfranges, classic xref)") {
+    // [REF] AI.py:61-71 — extract_text_from_pdf is the reference's front
+    // door, and its shipped corpus is this 1.1 MB producer-generated file
+    // (PDF 1.3, FlateDecode content, 4 subsetted TrueType fonts whose
+    // code points only resolve through ToUnicode bfranges).
+    val path = java.nio.file.Paths.get(
+      "/root/reference/Adaptive Recommendation Chatbot.pdf")
+    assume(java.nio.file.Files.exists(path), "reference PDF not present")
+    val text = PdfText.extract(java.nio.file.Files.readAllBytes(path))
+    assert(text.length > 2000, s"expected substantial text, got ${text.length}")
+    // Phrases the document's write-up is known to contain (SURVEY.md §0),
+    // chosen not to span the document's own line wraps:
+    assert(text.contains("AI-Powered PDF Recommendation System"))
+    assert(text.contains("language processing (NLP)"))
+    assert(text.contains("Dynamic Learning"))
+    assert(text.contains("knowledge sharing among employees"))
+    assert(text.contains("cosine similarity"))
+    // Baseline-aware assembly: a same-line run split across BT blocks
+    // must NOT be shredded into its own lines ("AI\n-\nPowered")
+    assert(!text.contains("\n-\n"))
+  }
+
   test("binaryFile ingestion extracts PDF text end-to-end") {
     val spark = graft.TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_pdf")
