@@ -841,11 +841,15 @@ object AnnIndex {
       .withColumn("qrk", row_number().over(qw))
       .filter(col("qrk") <= nProbe)
       .select(col("query_id"), col("centroid_id"))
-    // probed partition literals: at most queries × nProbe ids
-    val probedIds: Seq[Any] = probes.select("centroid_id").distinct()
-      .collect().toIndexedSeq.map(_.get(0))
+    // Partition pruning WITHOUT a driver round-trip: the broadcast join
+    // on the partition column triggers dynamic partition pruning on the
+    // partitioned lists scan (only probed centroid_id directories are
+    // read). The previous collect + `isin` literal push was equivalent
+    // at serving batch sizes but serialized queries x nProbe ids through
+    // the driver and the plan cache on every call — a 10^5-query offline
+    // batch pays that in the literal list; DPP keeps the plan
+    // driver-independent at any batch size (PlanInvariantsSpec pins it).
     val cand = handle.lists
-      .filter(col("centroid_id").isin(probedIds: _*))
       .join(broadcast(probes), Seq("centroid_id"))
       .select("query_id", "vec_id", "embedding")
     SimilaritySearch.rerankWithVecs(cand, queries, k)

@@ -67,6 +67,22 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"an exchange ships vectors:\n${exchanges.mkString("\n")}")
   }
 
+  test("q37 persisted IVF: probed lists prune via dynamic partition " +
+      "pruning, not a driver-collected IN-literal of centroid ids") {
+    val p = physical("q37_ivf_ann")
+    // the probe frame reaches the partitioned lists scan as a broadcast
+    // join whose DPP subquery prunes unprobed centroid directories —
+    // the plan carries no driver-materialized id list, so it is
+    // identical at any query-batch size
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("dynamicpruningexpression"), p)
+    val partFilters = p.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(!partFilters.exists(l => l.contains("INSET")),
+      s"driver-collected centroid ids leaked into a partition filter:\n${
+        partFilters.mkString("\n")}")
+  }
+
   test("q73 rewrite + persisted index: the naive crossJoin plan lands on " +
       "the stored bucket table") {
     val p = physical("q73_rewrite_persisted")
