@@ -47,8 +47,54 @@ object HashExpressions {
   def shingles_k_strict(tokens: Column, k: Int): Column =
     col(ShinglesF(ex(tokens), k, emptyBelowK = true))
 
+  /** POSITIONAL k-token shingles: every window in order, duplicates
+    * kept, fewer than k tokens → empty array — exact
+    * `CorpusOps.wordShingles` multiset semantics, natively. Index i of
+    * the result is the shingle starting at token i (the property
+    * span-removal needs; [[shingles_k]] destroys it by dedup).
+    */
+  def shingles_k_positional(tokens: Column, k: Int): Column =
+    col(PositionalShinglesF(ex(tokens), k))
+
   /** Distinct character trigrams of space-padded tokens. */
   def char_trigrams(tokens: Column): Column = col(CharTrigramsF(ex(tokens)))
+}
+
+/** All contiguous k-token shingles in positional order, duplicates
+  * preserved (output index = start token index); n < k yields an empty
+  * array. The duplicates-preserving twin of [[ShinglesF]] — see
+  * [[HashExpressions.shingles_k_positional]].
+  */
+case class PositionalShinglesF(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+        else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      val win = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { win(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, win: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Distinct contiguous k-token shingles, space-joined — one pass with a

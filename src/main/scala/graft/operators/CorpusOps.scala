@@ -156,6 +156,79 @@ object CorpusOps {
           .as("dup_frac"))
   }
 
+  /** Exact-substring duplicate-span REMOVAL — the step a production
+    * pipeline runs after [[dupShingleStats]] says a corpus is
+    * boilerplate-heavy (the dedup-training-data discipline: cut repeated
+    * spans, keep the documents). A token span is cut when it is covered
+    * by a maximal run of consecutive cross-doc-duplicated n-shingles at
+    * least `minSpanTokens` tokens long: runs of duplicated shingle
+    * starts are grouped gaps-and-islands style (start − row_number is
+    * constant within a run), each island covers tokens [min(start),
+    * max(start)+n−1], and shorter islands survive (a lone shared
+    * 8-shingle is quotation, not boilerplate). Returns every input doc:
+    * (id, cleaned_text, n_tok, n_removed_tok, n_removed_chars), with
+    * cleaned_text = "" when everything was cut and the original text
+    * (single-space normalized) when nothing was.
+    *
+    * Scale shape: shingle text is hashed in the same projection stage
+    * that explodes it — corpus-wide exchanges carry (id, pos, 8-byte
+    * hash) or (id, pos) only. The only window runs per doc over the
+    * DUPLICATED starts (a small fraction of tokens; doc-keyed, never
+    * unpartitioned), the rebuild is one doc-keyed ordered aggregate,
+    * and the final id-keyed join ships each text exactly once — the
+    * operator's output itself. Everything is linear in corpus tokens.
+    */
+  def removeDuplicateSpans(df: DataFrame, n: Int = 8,
+      minSpanTokens: Int = 16, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"shingle size must be positive: $n")
+    require(minSpanTokens >= n,
+      s"minSpanTokens ($minSpanTokens) must be >= shingle size ($n)")
+    val toksArr = split(col(textCol), " ")
+    val starts = df.select(col(idCol),
+        posexplode(graft.functions.expressions.HashExpressions
+          .shingles_k_positional(toksArr, n)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos"), xxhash64(col("sh")).as("h"))
+    // duplicated = the shingle occurs in >= 2 DISTINCT docs (within-doc
+    // repetition alone is repetition, not cross-doc boilerplate — the
+    // dupShingleStats convention)
+    val dupHashes = starts.select(col(idCol), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs_with"))
+      .filter(col("n_docs_with") >= 2)
+      .select("h")
+    val dupStarts = starts.join(dupHashes, Seq("h"))
+      .select(col(idCol), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val spans = dupStarts
+      .withColumn("g", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("g"))
+      .agg(min("pos").as("a"), (max("pos") + lit(n - 1)).as("e"))
+      .filter(col("e") - col("a") + 1 >= minSpanTokens)
+    val covered = spans
+      .select(col(idCol), explode(sequence(col("a"), col("e"))).as("pos"))
+      .distinct() // nearby islands may overlap in coverage for n > 2
+    val toks = df.select(col(idCol),
+      posexplode(toksArr).as(Seq("pos", "tok")))
+    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("cleaned_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), col(textCol), size(toksArr).as("n_in"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        col("n_in").cast("long").as("n_tok"),
+        (col("n_in") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed_tok"),
+        (length(col(textCol)) -
+          length(coalesce(col("cleaned_text"), lit("")))).cast("long")
+          .as("n_removed_chars"))
+  }
+
   /** Domain-mixture reweighting: per-stratum sampling rates that hit a
     * target token mixture. Sources can only be DOWNsampled (rate ≤ 1),
     * so the largest feasible mixed corpus is `T* = min_s(tokens_s /

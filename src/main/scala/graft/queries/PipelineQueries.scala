@@ -572,6 +572,15 @@ object PipelineQueries {
     "q99_dup_shingles" -> ((s, dir) =>
       CorpusOps.dupShingleStats(t(s, dir, "documents"), n = 8)),
 
+    // Exact-substring duplicate-span REMOVAL: cut every token span
+    // covered by a >=16-token run of cross-doc-duplicated 8-shingles
+    // (q99 measures the duplication; this operator removes it). Corpus
+    // exchanges carry (doc_id, pos, 8-byte hash) only; the one window
+    // runs per doc over the duplicated starts.
+    "q100_dup_span_removal" -> ((s, dir) =>
+      CorpusOps.removeDuplicateSpans(t(s, dir, "documents"), n = 8,
+        minSpanTokens = 16)),
+
     // Domain-mixture reweighting: per-language sampling rates hitting a
     // target token mixture — the largest feasible downsample-only mix
     // (T* = min over langs of tokens/share); one corpus aggregate, all
@@ -1917,6 +1926,55 @@ object PipelineQueries {
         |    AS dup_frac
         |FROM sh JOIN dfreq USING (s)
         |GROUP BY sh.doc_id""".stripMargin,
+    // span-removal oracle on the raw shingle STRINGS (q99 discipline):
+    // replays the gaps-and-islands run grouping, the >=16-token span
+    // filter, the coverage cut, and the ordered rebuild relationally
+    "q100_dup_span_removal" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS l
+        |  FROM documents),
+        |sidx AS (
+        |  SELECT doc_id, l,
+        |         unnest(range(1, greatest(len(l) - 7, 0) + 1)) AS i
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id, i, array_to_string(l[i:i+7], ' ') AS s
+        |  FROM sidx),
+        |dup AS (
+        |  SELECT s FROM (SELECT DISTINCT doc_id, s FROM sh)
+        |  GROUP BY s HAVING count(*) >= 2),
+        |ds AS (SELECT sh.doc_id, sh.i FROM sh JOIN dup USING (s)),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |         i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |           AS g
+        |  FROM ds),
+        |spans AS (
+        |  SELECT doc_id, min(i) AS a, max(i) + 7 AS e
+        |  FROM isl GROUP BY doc_id, g
+        |  HAVING max(i) + 8 - min(i) >= 16),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(a, e + 1)) AS pos
+        |  FROM spans),
+        |toks AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |         generate_subscripts(l, 1) AS pos
+        |  FROM docs),
+        |reb AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos)
+        |           AS cleaned,
+        |         count(*) AS n_kept
+        |  FROM toks t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, COALESCE(r.cleaned, '') AS cleaned_text,
+        |  CAST(len(d.l) AS BIGINT) AS n_tok,
+        |  CAST(len(d.l) - COALESCE(r.n_kept, 0) AS BIGINT)
+        |    AS n_removed_tok,
+        |  CAST(length(d.text) - length(COALESCE(r.cleaned, ''))
+        |    AS BIGINT) AS n_removed_chars
+        |FROM docs d LEFT JOIN reb r USING (doc_id)""".stripMargin,
     // identical arithmetic: T* = min(n_tok/share) over the joined frame,
     // rate = round(min(1, share·T*/n_tok), 6), exp_tok from the ROUNDED
     // rate — double math matches Spark's

@@ -716,6 +716,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s2(11L) === ((11L, 1L, 0.0))) // one distinct shingle, unshared
   }
 
+  test("removeDuplicateSpans: a shared run >= minSpan is cut from both " +
+      "docs, short shared runs and unique text survive") {
+    val d = docs(
+      1L -> "a b c d e f g h", // shares "a b c d e f" (6 tok) with doc 2
+      2L -> "z z a b c d e f q",
+      3L -> "p q r", // unique
+      4L -> "m n o x1 y1", // shares only "m n o" (3 tok) with doc 5:
+      5L -> "m n o x2 y2") //   span 3 < minSpan 4 → survives
+    val out = CorpusOps.removeDuplicateSpans(d, n = 3, minSpanTokens = 4)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: dup 3-shingle starts 0..3 → island covers tokens 0..5
+    // (span 6 >= 4) → cut → "g h"; 6 tokens, 12 chars removed
+    assert(out(1L) === ((1L, "g h", 8L, 6L, 12L)))
+    // doc 2: starts 2..5 → tokens 2..7 cut → "z z q"
+    assert(out(2L) === ((2L, "z z q", 9L, 6L, 12L)))
+    assert(out(3L) === ((3L, "p q r", 3L, 0L, 0L)))
+    // "m n o" is duplicated but its island spans only 3 tokens < 4
+    assert(out(4L) === ((4L, "m n o x1 y1", 5L, 0L, 0L)))
+    assert(out(5L) === ((5L, "m n o x2 y2", 5L, 0L, 0L)))
+    // a doc whose whole text is a duplicated span empties out
+    val d2 = docs(10L -> "u v w x", 11L -> "u v w x y")
+    val o2 = CorpusOps.removeDuplicateSpans(d2, n = 4, minSpanTokens = 4)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(o2(10L) === ((10L, "", 4L, 4L, 7L)))
+    assert(o2(11L) === ((11L, "y", 5L, 4L, 8L)))
+  }
+
   test("mixturePlan: the binding stratum keeps everything, others thin " +
       "to the target proportions; downsample-only invariant holds") {
     // tokens: A=1000, B=100, shares: A=0.5, B=0.5 → T* = min(2000, 200)
