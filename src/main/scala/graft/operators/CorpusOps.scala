@@ -229,6 +229,81 @@ object CorpusOps {
           .as("n_removed_chars"))
   }
 
+  /** BPE merge induction — actual byte-pair-encoding training, not the
+    * [[graft.operators.TextAnalysis]] token-count estimate: iteratively
+    * count adjacent symbol pairs over the corpus vocabulary, merge the
+    * argmax pair, repeat. Deterministic end-to-end: ties break on
+    * (count desc, lhs asc, rhs asc), and the merge itself is greedy
+    * left-to-right non-overlapping (a run of four identical symbols
+    * becomes two merged pairs). Returns one row per learned merge:
+    * (step, lhs, rhs, merged, pair_count, avg_symbols_per_word), the
+    * last column being the corpus-frequency-weighted mean symbols per
+    * word occurrence AFTER all merges — the coverage the learned vocab
+    * buys. Stops early (fewer rows) if the vocabulary fully merges.
+    *
+    * Representation: each word is a string of U+0001-prefixed
+    * symbols ("<U+1>l<U+1>o<U+1>w"), so applying a merge is exactly
+    * `replace(rep, S+lhs+S+rhs, S+lhs+rhs)` with S = U+0001 — standard
+    * scan-left replace-all gives precisely the greedy merge, with no
+    * cross-symbol false matches (tokens must not contain U+0001), and
+    * an ANSI-SQL oracle can replay the identical training run.
+    *
+    * Scale shape (the BPE-on-counts formulation): the corpus is
+    * touched ONCE (the wordcount aggregate); every round thereafter
+    * runs over the distinct-word vocabulary — orders of magnitude
+    * smaller. Per round: one map-side-combinable pair-count aggregate
+    * plus a 1-row argmax collect (the k-bounded driver collect
+    * discipline of kMeansCentroids), and a localCheckpoint keeps the
+    * replace-chain lineage flat (the alternating-CC loop discipline).
+    */
+  def bpeMerges(df: DataFrame, numMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val S = "\u0001"
+    var vocab = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", S + "$1").as("rep"),
+        col("freq"))
+      .localCheckpoint(false)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String,
+        String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val best = vocab
+        .select(col("freq"), split(col("rep"), S).as("arr"))
+        .filter(size(col("arr")) >= 3) // >= 2 symbols (leading empty)
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("arr"), lit(2), size(col("arr")) - 2),
+          slice(col("arr"), lit(3), size(col("arr")) - 2))).as("pr"))
+        .select(col("freq"), col("pr.0").as("lhs"), col("pr.1").as("rhs"))
+        .groupBy("lhs", "rhs").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, l + r, cnt))
+        vocab = vocab
+          .select(replace(col("rep"),
+            lit(S + l + S + r), lit(S + l + r)).as("rep"), col("freq"))
+          .localCheckpoint(false)
+        step += 1
+      }
+    }
+    val cov = vocab.agg(
+      round(sum(col("freq") * (size(split(col("rep"), S)) - 1))
+        .cast("double") / sum(col("freq")), 6)).head().getDouble(0)
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .withColumn("avg_symbols_per_word", lit(cov))
+  }
+
   /** Domain-mixture reweighting: per-stratum sampling rates that hit a
     * target token mixture. Sources can only be DOWNsampled (rate ≤ 1),
     * so the largest feasible mixed corpus is `T* = min_s(tokens_s /

@@ -581,6 +581,13 @@ object PipelineQueries {
       CorpusOps.removeDuplicateSpans(t(s, dir, "documents"), n = 8,
         minSpanTokens = 16)),
 
+    // BPE merge induction: 12 pair-merge training rounds over the
+    // corpus vocabulary (corpus touched once; one aggregate + 1-row
+    // argmax per round, deterministic tie-break). The oracle replays
+    // the identical 12-round run as unrolled chained CTEs.
+    "q101_bpe_merges" -> ((s, dir) =>
+      CorpusOps.bpeMerges(t(s, dir, "documents"), numMerges = 12)),
+
     // Domain-mixture reweighting: per-language sampling rates hitting a
     // target token mixture — the largest feasible downsample-only mix
     // (T* = min over langs of tokens/share); one corpus aggregate, all
@@ -1926,6 +1933,11 @@ object PipelineQueries {
         |    AS dup_frac
         |FROM sh JOIN dfreq USING (s)
         |GROUP BY sh.doc_id""".stripMargin,
+    // BPE training replay: the SAME 12 deterministic rounds, unrolled
+    // as chained CTEs (pair count -> argmax with the identical
+    // (cnt desc, lhs, rhs) tie-break -> sentinel-string replace);
+    // generated by bpeOracle below
+    "q101_bpe_merges" -> bpeOracle(12),
     // span-removal oracle on the raw shingle STRINGS (q99 discipline):
     // replays the gaps-and-islands run grouping, the >=16-token span
     // filter, the coverage cut, and the ordered rebuild relationally
@@ -2072,4 +2084,57 @@ object PipelineQueries {
         |round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v
         |FROM embeddings, unnest(generate_series(1, 64)) AS u(i)
         |GROUP BY centroid_id, dim""".stripMargin)
+
+  /** The q101 oracle: BPE training unrolled — round i derives symbol
+    * pairs from round i−1's vocabulary, picks the argmax pair with the
+    * engine's exact tie-break, and applies the merge with the same
+    * sentinel-string replace the engine uses (chr(1)-prefixed symbols,
+    * scan-left replace-all = greedy non-overlapping merge). Chained
+    * CTEs, not recursion: per-round aggregation + argmax doesn't fit a
+    * recursive CTE, and unrolling keeps the replay byte-exact.
+    */
+  private def bpeOracle(m: Int): String = {
+    // v/b are each referenced twice per round: without MATERIALIZED an
+    // inlining planner re-evaluates the whole prefix chain per
+    // reference — exponential in rounds
+    val rounds = (1 to m).map { i =>
+      s"""s$i AS (
+         |  SELECT list_filter(string_split(rep, chr(1)), x -> x <> '')
+         |           AS sym, freq
+         |  FROM v${i - 1}),
+         |p$i AS (
+         |  SELECT sym[idx] AS lhs, sym[idx + 1] AS rhs, freq FROM (
+         |    SELECT sym, freq, unnest(range(1, len(sym))) AS idx
+         |    FROM s$i)),
+         |b$i AS MATERIALIZED (
+         |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i
+         |  GROUP BY lhs, rhs
+         |  ORDER BY sum(freq) DESC, lhs ASC, rhs ASC LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT replace(v.rep, chr(1) || b.lhs || chr(1) || b.rhs,
+         |           chr(1) || b.lhs || b.rhs) AS rep, v.freq
+         |  FROM v${i - 1} v, b$i b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to m)
+      .map(i => s"SELECT $i AS step, lhs, rhs, cnt FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |v0 AS MATERIALIZED (
+       |  SELECT regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS rep,
+       |         CAST(freq AS BIGINT) AS freq
+       |  FROM w),
+       |$rounds,
+       |merges AS (
+       |  $union),
+       |cov AS (
+       |  SELECT round(sum(freq * (len(string_split(rep, chr(1))) - 1))
+       |           * 1.0 / sum(freq), 6) AS avg_symbols_per_word
+       |  FROM v$m)
+       |SELECT m.step, m.lhs, m.rhs, m.lhs || m.rhs AS merged,
+       |  m.cnt AS pair_count, c.avg_symbols_per_word
+       |FROM merges m, cov c""".stripMargin
+  }
 }

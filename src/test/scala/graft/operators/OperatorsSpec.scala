@@ -745,6 +745,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(o2(11L) === ((11L, "y", 5L, 4L, 8L)))
   }
 
+  test("bpeMerges: the classic low/lower run — argmax per round with " +
+      "the (cnt desc, lhs, rhs) tie-break, greedy merge, coverage") {
+    val d = docs(1L -> "low low lower")
+    // freqs: low=2, lower=1. Round 1 pairs: (l,o)=3, (o,w)=3, (w,e)=1,
+    // (e,r)=1 → tie 3/3 broken by lhs: "l" < "o" → merge (l,o).
+    // Round 2: (lo,w)=3, (w,e)=1, (e,r)=1 → merge (lo,w).
+    // Round 3: lower=[low,e,r]: (low,e)=1, (e,r)=1 → tie broken by
+    // lhs: "e" < "low" → merge (e,r).
+    // After: low→[low] (×2), lower→[low,er] → avg = (1·2+2·1)/3.
+    val out = CorpusOps.bpeMerges(d, numMerges = 3)
+      .as[(Int, String, String, String, Long, Double)].collect()
+      .sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq === Seq(
+      (1, "l", "o", "lo", 3L),
+      (2, "lo", "w", "low", 3L),
+      (3, "e", "r", "er", 1L)))
+    assert(out.forall(_._6 === math.rint(4.0 / 3 * 1e6) / 1e6))
+    // early stop: a fully-merged vocabulary yields fewer rows
+    val tiny = CorpusOps.bpeMerges(docs(1L -> "ab ab"), numMerges = 5)
+      .as[(Int, String, String, String, Long, Double)].collect()
+    assert(tiny.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq ===
+      Seq((1, "a", "b", "ab", 2L)))
+    assert(tiny.head._6 === 1.0)
+  }
+
   test("mixturePlan: the binding stratum keeps everything, others thin " +
       "to the target proportions; downsample-only invariant holds") {
     // tokens: A=1000, B=100, shares: A=0.5, B=0.5 → T* = min(2000, 200)
