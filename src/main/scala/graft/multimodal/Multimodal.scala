@@ -133,6 +133,105 @@ object Multimodal {
   final case class ImageFeatures(
       media_id: Long, width: Int, height: Int, pixel_sum: Long, px_mean: Double)
 
+  /** Decoded raster: 0xRRGGBB-packed pixels, row-major, top-down. */
+  final case class RgbImage(width: Int, height: Int, pixels: Array[Int]) {
+    def pixelSum: Long = {
+      var s = 0L
+      var i = 0
+      while (i < pixels.length) {
+        val p = pixels(i)
+        s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        i += 1
+      }
+      s
+    }
+  }
+
+  /** Bilinear resample to (dstW, dstH) with half-pixel-center source
+    * mapping and edge clamp (`sx = (dx+0.5)·srcW/dstW − 0.5`, the
+    * convention of the mainstream image/tensor libraries' default
+    * `align_corners=false`), each channel rounded half-up to the
+    * nearest byte — THE multimodal-training preprocessing step, on
+    * decoded pixels (the byte-stride [[resize]] stands in only where
+    * payloads stay undecoded). Per row, zero shuffle.
+    */
+  def bilinearResize(img: RgbImage, dstW: Int, dstH: Int): RgbImage = {
+    require(dstW > 0 && dstH > 0, s"bad target: ${dstW}x$dstH")
+    val w = img.width; val h = img.height
+    val out = new Array[Int](dstW * dstH)
+    var dy = 0
+    while (dy < dstH) {
+      val sy = (dy + 0.5) * h / dstH - 0.5
+      val syc = math.max(0.0, math.min(h - 1.0, sy))
+      val y0 = syc.toInt
+      val y1 = math.min(h - 1, y0 + 1)
+      val fy = syc - y0
+      var dx = 0
+      while (dx < dstW) {
+        val sx = (dx + 0.5) * w / dstW - 0.5
+        val sxc = math.max(0.0, math.min(w - 1.0, sx))
+        val x0 = sxc.toInt
+        val x1 = math.min(w - 1, x0 + 1)
+        val fx = sxc - x0
+        val p00 = img.pixels(y0 * w + x0); val p10 = img.pixels(y0 * w + x1)
+        val p01 = img.pixels(y1 * w + x0); val p11 = img.pixels(y1 * w + x1)
+        var packed = 0
+        var shift = 16
+        while (shift >= 0) {
+          val v = (1 - fx) * (1 - fy) * ((p00 >> shift) & 0xff) +
+            fx * (1 - fy) * ((p10 >> shift) & 0xff) +
+            (1 - fx) * fy * ((p01 >> shift) & 0xff) +
+            fx * fy * ((p11 >> shift) & 0xff)
+          packed |= math.floor(v + 0.5).toInt << shift
+          shift -= 8
+        }
+        out(dy * dstW + dx) = packed
+        dx += 1
+      }
+      dy += 1
+    }
+    RgbImage(dstW, dstH, out)
+  }
+
+  /** Center crop to (cw, ch): offsets floor((dim − crop)/2), the
+    * torchvision/PIL convention. Requires crop ≤ image on both axes. */
+  def centerCrop(img: RgbImage, cw: Int, ch: Int): RgbImage = {
+    require(cw > 0 && ch > 0 && cw <= img.width && ch <= img.height,
+      s"bad crop ${cw}x$ch for ${img.width}x${img.height}")
+    val x0 = (img.width - cw) / 2
+    val y0 = (img.height - ch) / 2
+    val out = new Array[Int](cw * ch)
+    var y = 0
+    while (y < ch) {
+      var x = 0
+      while (x < cw) {
+        out(y * cw + x) = img.pixels((y0 + y) * img.width + (x0 + x))
+        x += 1
+      }
+      y += 1
+    }
+    RgbImage(cw, ch, out)
+  }
+
+  /** Batched decode → bilinear resize → center-crop: the standard
+    * image-preprocessing stage over a media column. Undecodable
+    * payloads drop (the shared decoder error contract); everything is
+    * per-row mapPartitions, zero shuffle.
+    */
+  def preprocessImages(media: Dataset[MediaRow], dstW: Int, dstH: Int,
+      cropW: Int, cropH: Int): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      decodeBmpRgb(r.payload).map { img =>
+        val cropped = centerCrop(bilinearResize(img, dstW, dstH),
+          cropW, cropH)
+        val s = cropped.pixelSum
+        ImageFeatures(r.media_id, cropped.width, cropped.height, s,
+          s.toDouble / (3.0 * cropped.width * cropped.height))
+      }
+    })
+  }
+
   /** Encode an uncompressed 24bpp BMP (BITMAPFILEHEADER + 40-byte
     * BITMAPINFOHEADER, bottom-up rows, rows padded to 4 bytes) — the
     * encoder twin of [[decodeBmp]]. `pixel(x, y)` returns (r, g, b) with
@@ -190,7 +289,16 @@ object Multimodal {
     * compressed, other depths) — the error contract PdfText set
     * (malformed input yields an empty result, never an exception).
     */
-  def decodeBmp(bytes: Array[Byte]): Option[BmpImage] = {
+  def decodeBmp(bytes: Array[Byte]): Option[BmpImage] =
+    decodeBmpRgb(bytes).map(img =>
+      BmpImage(img.width, img.height, img.pixelSum))
+
+  /** Full-pixel BMP decode (the parse behind [[decodeBmp]]): top-down
+    * row-major 0xRRGGBB pixels regardless of the file's row order,
+    * palette entries expanded, alpha dropped. Same coverage and
+    * error→None contract as [[decodeBmp]].
+    */
+  def decodeBmpRgb(bytes: Array[Byte]): Option[RgbImage] = {
     def i32(off: Int): Int =
       (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
         ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
@@ -213,44 +321,41 @@ object Multimodal {
       val stride = (width * bytesPerPx + 3) / 4 * 4
       // 8bpp: BGRX palette sits between the DIB header and the pixels;
       // biClrUsed (offset 46) of 0 means the full 256 entries
-      val palette: Array[Long] = if (bpp == 8) {
+      val palette: Array[Int] = if (bpp == 8) {
         val clrUsed = i32(46)
         val n = if (clrUsed == 0) 256 else clrUsed
         val palOff = 14 + dibSize
         if (n <= 0 || n > 256 || palOff + 4 * n > bytes.length) return None
         Array.tabulate(n) { i =>
-          val o = palOff + 4 * i
-          ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
-            (bytes(o + 2) & 0xff)).toLong // B + G + R
+          val o = palOff + 4 * i // B, G, R, X
+          ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) |
+            (bytes(o) & 0xff)
         }
       } else null
       if (dataOff < 54 || dataOff.toLong + stride.toLong * height > bytes.length)
         return None
-      var sum = 0L
+      val px = new Array[Int](width * height)
       var y = 0
       while (y < height) {
-        // row order (bottom-up vs top-down) does not affect the checksum,
-        // but honor it anyway so per-pixel decoders built on this loop
-        // stay correct
+        // emit top-down regardless of the file's bottom-up default
         val srcRow = if (rawHeight > 0) height - 1 - y else y
         val rowOff = dataOff + srcRow * stride
         var x = 0
         while (x < width) {
           val p = rowOff + x * bytesPerPx
-          if (bpp == 8) {
-            val idx = bytes(p) & 0xff
-            if (idx >= palette.length) return None
-            sum += palette(idx)
-          } else {
-            // BGR (24) or BGRA (32): first three bytes are the color
-            sum += (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) +
-              (bytes(p + 2) & 0xff)
-          }
+          px(y * width + x) =
+            if (bpp == 8) {
+              val idx = bytes(p) & 0xff
+              if (idx >= palette.length) return None
+              palette(idx)
+            } else // BGR (24) or BGRA (32): first three bytes are color
+              ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 1) & 0xff) << 8) |
+                (bytes(p) & 0xff)
           x += 1
         }
         y += 1
       }
-      Some(BmpImage(width, height, sum))
+      Some(RgbImage(width, height, px))
     } catch { case _: ArrayIndexOutOfBoundsException => None }
   }
 

@@ -581,6 +581,28 @@ object PipelineQueries {
       CorpusOps.removeDuplicateSpans(t(s, dir, "documents"), n = 8,
         minSpanTokens = 16)),
 
+    // Pixel-space preprocessing: decode → bilinear resize (half-pixel
+    // centers, edge clamp) → center-crop, the standard image-training
+    // input stage. The 16x12 ramp stays linear per channel (no byte
+    // wrap), so bilinear at dyadic half-scale is EXACT and the oracle
+    // states the resized-then-cropped pixel values in closed form —
+    // a resampler with wrong source mapping, row order, or rounding
+    // hash-mismatches.
+    "q102_image_preprocess" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val off = (id % 100).toInt
+          Multimodal.MediaRow(id, "image", Multimodal.encodeBmp(16, 12,
+            (x, y) => (x + off, y + off, x + y + off)))
+        }
+      Multimodal.preprocessImages(media, dstW = 8, dstH = 6,
+          cropW = 4, cropH = 4).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("pixel_sum"), round(col("px_mean"), 6).as("px_mean"))
+    }),
+
     // BPE merge induction: 12 pair-merge training rounds over the
     // corpus vocabulary (corpus touched once; one aggregate + 1-row
     // argmax per round, deterministic tie-break). The oracle replays
@@ -1933,6 +1955,26 @@ object PipelineQueries {
         |    AS dup_frac
         |FROM sh JOIN dfreq USING (s)
         |GROUP BY sh.doc_id""".stripMargin,
+    // resize+crop closed form: the source ramp is linear per channel
+    // (r=x+off, g=y+off, b=x+y+off), bilinear of a linear image is the
+    // image at the mapped source point, and the 16x12→8x6 half-scale
+    // mapping lands every sample at sx=2dx+0.5 / sy=2dy+0.5 (dyadic —
+    // float-exact); after the (2,1)-offset 4x4 center crop the output
+    // pixel (cx,cy) is exactly (2cx+5+off, 2cy+3+off, 2cx+2cy+7+off)
+    "q102_image_preprocess" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, CAST(d.doc_id % 100 AS INT) AS off,
+        |         u1.cx, u2.cy
+        |  FROM documents d,
+        |       unnest(generate_series(0, 3)) AS u1(cx),
+        |       unnest(generate_series(0, 3)) AS u2(cy))
+        |SELECT doc_id AS media_id, 4 AS width, 4 AS height,
+        |  CAST(sum((2 * cx + 5 + off) + (2 * cy + 3 + off)
+        |    + (2 * cx + 2 * cy + 7 + off)) AS BIGINT) AS pixel_sum,
+        |  round(CAST(sum((2 * cx + 5 + off) + (2 * cy + 3 + off)
+        |    + (2 * cx + 2 * cy + 7 + off)) AS DOUBLE) / 48.0, 6)
+        |    AS px_mean
+        |FROM px GROUP BY doc_id""".stripMargin,
     // BPE training replay: the SAME 12 deterministic rounds, unrolled
     // as chained CTEs (pair count -> argmax with the identical
     // (cnt desc, lhs, rhs) tie-break -> sentinel-string replace);

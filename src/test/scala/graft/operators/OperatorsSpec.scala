@@ -371,6 +371,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmp(bmp.dropRight(4)).isEmpty)
   }
 
+  test("bilinearResize: hand-computed 2x2→4x4 upscale — half-pixel " +
+      "source mapping, edge clamp, half-up rounding; center crop") {
+    import graft.multimodal.Multimodal
+    // corner values chosen so interpolation genuinely mixes all four
+    // neighbors (a linear ramp can't distinguish bilinear from the
+    // closed form); every channel carries the same value
+    val corners = Map((0, 0) -> 0, (1, 0) -> 100, (0, 1) -> 200,
+      (1, 1) -> 40)
+    val bmp = Multimodal.encodeBmp(2, 2,
+      (x, y) => { val v = corners((x, y)); (v, v, v) })
+    val img = Multimodal.decodeBmpRgb(bmp).get
+    val up = Multimodal.bilinearResize(img, 4, 4)
+    // sx = (dx+0.5)/2 − 0.5 → clamped weights wx = 0, ¼, ¾, 1; the
+    // 16 interpolated values, rounded half-up, row-major top-down:
+    val expected = Seq(
+      0, 25, 75, 100,
+      50, 59, 76, 85,
+      150, 126, 79, 55,
+      200, 160, 80, 40)
+    assert(up.pixels.toSeq === expected.map(v => v * 0x010101))
+    assert(up.pixelSum === 3L * expected.sum)
+    // center crop 4x4 → 2x2 takes offsets (1,1): the middle block
+    val crop = Multimodal.centerCrop(up, 2, 2)
+    assert(crop.pixels.toSeq ===
+      Seq(59, 76, 126, 79).map(v => v * 0x010101))
+    // downscale identity: a constant image resizes to itself
+    val const = Multimodal.encodeBmp(4, 4, (_, _) => (9, 9, 9))
+    val down = Multimodal.bilinearResize(
+      Multimodal.decodeBmpRgb(const).get, 2, 2)
+    assert(down.pixels.toSeq === Seq.fill(4)(9 * 0x010101))
+  }
+
   test("BMP decode: 32bpp BGRA and 8bpp palettized checksum like their " +
       "24bpp twin (alpha ignored, palette expanded)") {
     import graft.multimodal.Multimodal
