@@ -24,41 +24,81 @@ object Bench {
     // so the first measured query isn't charged session startup
     Tables.names.foreach(n =>
       Tables.load(spark, sfDir, n).queryExecution.toRdd.count())
-    // three timed runs per query; the min is the headline (steady-state
-    // cost — the first run pays one-time codegen/JIT), and max - min is
-    // reported as the spread so a host-contention outlier is visible as
-    // noise instead of masquerading as a plan regression.
-    val runs = math.max(1,
+    // Timing protocol (round-7 certifiability rework — the old
+    // max−min-over-3 "spread" was dominated by run 1's per-query
+    // planning/codegen cost, making spread_total ≈ 56% of total and
+    // round-over-round deltas uncertifiable):
+    //   - headline = min over all runs (steady-state cost);
+    //   - noise    = REPRODUCIBILITY GAP: second-smallest − smallest.
+    //     Two independent runs agreeing certify the min; a single
+    //     contention outlier no longer pollutes the measure the way a
+    //     max-based spread does;
+    //   - queries whose gap exceeds max(50 ms, 25% of min) get up to 3
+    //     extra runs until the min is reproduced.
+    val runs = math.max(2,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          df.queryExecution.toRdd.foreach(_ => ())
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            Double.MaxValue
-        }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        df.queryExecution.toRdd.foreach(_ => ())
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.MaxValue
       }
-      (name, times.min, times.max - times.min)
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var times = (1 to runs).map(_ => timeOnce(name, fn)).toVector
+      def gap(ts: Vector[Double]): Double = {
+        val s = ts.sorted; s(1) - s(0)
+      }
+      var extra = 0
+      while (extra < 3 && gap(times) > math.max(0.05, 0.25 * times.min)) {
+        times = times :+ timeOnce(name, fn)
+        extra += 1
+      }
+      (name, times.min, gap(times), times.size)
+    }
+    // Verification-family queries exist to close oracles/invariants
+    // (oracle twins, recall floors, exact-vs-sketch ground truth,
+    // direct-vs-persisted identity) — they deliberately run quadratic
+    // references or both serving paths beside the operator under test.
+    // Splitting their cost out stops it masking operator regressions.
+    val verificationQ = Set("q53", "q60", "q61", "q62", "q63", "q65",
+      "q66", "q68", "q69", "q77", "q85", "q87", "q89")
     // The harness that records this line captures only the TAIL of the
     // process output (~2000 chars), so the parsed JSON line must stay
     // well under that: short query keys (the unique qNN prefix), 2-decimal
-    // seconds, and no spread map. The full long-name per-query table
-    // (min + spread) goes to stderr for humans.
-    results.foreach { case (k, v, s) =>
-      System.err.println(f"[bench] $k%-28s min=$v%8.3f s  spread=$s%7.3f s")
+    // seconds, and no per-query gap map. The full long-name per-query
+    // table (min + gap/min ratio + runs) goes to stderr for humans and
+    // to the /tmp/bench_detail.json sidecar for tooling.
+    results.foreach { case (k, v, g, n) =>
+      System.err.println(
+        f"[bench] $k%-28s min=$v%8.3f s  gap=$g%7.3f s (${
+          if (v > 0) 100 * g / v else 0.0}%5.1f%%)  runs=$n")
     }
-    val qs = results.map { case (k, v, _) =>
+    val qs = results.map { case (k, v, _, _) =>
       "\"" + k.takeWhile(_ != '_') + f"""\":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalSpread = results.map(_._3).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"spread_total":$totalSpread%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    val totalOps = results.collect {
+      case (k, v, _, _) if !verificationQ(k.takeWhile(_ != '_')) => v }.sum
+    val totalVerif = total - totalOps
+    val detail = results.map { case (k, v, g, n) =>
+      f"""{"q":"$k","min":$v%.3f,"gap":$g%.3f,"runs":$n}""" }
+      .mkString("[", ",", "]")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/bench_detail.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
+    // basename only: the JSON line must stay under the harness's
+    // ~2000-char tail window, and the per-query map grows with coverage
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir)
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"spread_total":$totalSpread%.3f,"total_operators":$totalOps%.3f,"total_verification":$totalVerif%.3f,"queries":$qs,"sf":"$sfName"}"""
     println(json)
     // Sidecar copy: the harness tail-scrapes stdout through sbt noise and has
     // failed to parse it (BENCH_r04 "parsed": null) — a structural file read
