@@ -96,6 +96,65 @@ object AnnTune {
       }
     }
 
+    // "dim": measure the shipped operating points at the REFERENCE's
+    // dimensionality (1536, /root/reference/AI.py:51) instead of the
+    // 64-dim fixture. The 1536-dim set tiles each fixture vector 24×
+    // and jitters every tile with deterministic hash-derived uniform
+    // noise at 0.25x the vector's per-component RMS: ambient dim is
+    // genuinely 1536 (every hyperplane projection mixes all 1536
+    // components), while the intrinsic dimensionality stays ~64 — the
+    // shape real text embeddings have (ambient 1536, intrinsic ~tens).
+    // Tiling preserves the fixture's neighborhood structure (each tile
+    // contributes the same inner product, jitter perturbs cosines by
+    // O(sigma)), so recall is measured against a meaningful exact
+    // top-k rather than pure-noise neighbors that nothing can recall.
+    if (mode == "dim") {
+      val reps = if (args.length > 2) args(2).toInt else 24 // 24*64 = 1536
+      val sigma = 0.25
+      val rms = sqrt(aggregate(col("embedding"), lit(0.0d),
+        (a, e) => a + e * e) / size(col("embedding")))
+      val big = emb.select(col("vec_id"),
+        flatten(transform(sequence(lit(0), lit(reps - 1)), r =>
+          transform(col("embedding"), (x, i) =>
+            (x + lit(sigma) * rms
+              * (hash(col("vec_id"), r, i).cast("double") / Int.MaxValue))
+              .cast("float")))).as("embedding")).cache()
+      val dim = big.select(size(col("embedding"))).head().getInt(0)
+      val qd = big.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec")).cache()
+      val exactD = pairs(SimilaritySearch.bruteForceTopKAgg(qd, big, k))
+      println(s"dim=$dim n=$nIndex exact_hits=${exactD.size}")
+      for ((tables, bits, probes) <- Seq(
+          (64, 12, 16), (64, 12, 48), (64, 14, 16), (96, 12, 16),
+          (64, 10, 16), (64, 12, 32))) {
+        val t0 = System.nanoTime()
+        val nCand = SimilaritySearch
+          .lshCandidates(qd, big, tables, bits, probes).count()
+        val got = pairs(
+          SimilaritySearch.lshTopK(qd, big, k, tables, bits, probes))
+        val recall = (exactD & got).size.toDouble / exactD.size
+        val frac = nCand.toDouble / (nQueries * nIndex)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"dim$dim lsh t=$tables b=$bits p=$probes%-2d " +
+          f"recall=$recall%.3f candFrac=$frac%.4f nCand=$nCand sec=$sec%.1f")
+      }
+      for ((kC, nProbe) <- Seq((64, 16), (64, 24), (64, 32))) {
+        val t0 = System.nanoTime()
+        val cents = SimilaritySearch.kMeansCentroids(big, kC, iters = 5).cache()
+        cents.count()
+        val nCand = SimilaritySearch.ivfCandidates(qd, big, cents, nProbe).count()
+        val got = pairs(SimilaritySearch.ivfTopK(qd, big, cents, k, nProbe))
+        val recall = (exactD & got).size.toDouble / exactD.size
+        val frac = nCand.toDouble / (nQueries * nIndex)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"dim$dim ivf k=$kC nProbe=$nProbe%-2d " +
+          f"recall=$recall%.3f candFrac=$frac%.4f nCand=$nCand sec=$sec%.1f")
+        cents.unpersist()
+      }
+      big.unpersist()
+    }
+
     if (mode == "lsh" || mode == "all") for ((tables, bits, probes) <- Seq(
         (48, 12, 16), (48, 12, 20), (48, 12, 24), (64, 12, 16), (64, 12, 24),
         (64, 14, 32), (96, 14, 24), (48, 10, 12), (48, 10, 16),
