@@ -45,6 +45,21 @@ object VectorExpressions {
     */
   def lsh_buckets_probe(vec: Column, tables: Int, bits: Int, probes: Int): Column =
     col(LshBucketsProbeF(ex(vec), tables, bits, probes))
+
+  /** max |x_i| of a float/double array (0.0 for an empty array). */
+  def max_abs(vec: Column): Column = col(MaxAbsF(ex(vec)))
+
+  /** Symmetric per-vector int8 quantization codes: round(x_i · 127 /
+    * max|x|) packed as BINARY (one byte per component; all-zero input →
+    * all-zero codes). Dequantize with scale = max|x| / 127.
+    */
+  def quantize_i8(vec: Column): Column = col(QuantizeI8F(ex(vec)))
+
+  /** Integer dot product of two int8 code arrays (binary), exact long
+    * accumulate — the SQ8 scan kernel (4 B → 1 B per component vs
+    * float32, and the inner loop is byte loads + int multiplies).
+    */
+  def dot_i8(a: Column, b: Column): Column = col(DotI8F(ex(a), ex(b)))
 }
 
 private object VecKernels {
@@ -278,6 +293,119 @@ case class CosineF(left: Expression, right: Expression) extends BinaryExpression
          |}
          |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |${ev.value} = ($den == 0.0) ? 0.0 : $d / $den;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class MaxAbsF(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val g = VecKernels.getter(child)
+    var m = 0.0; var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = math.abs(g(x, i)); if (v > m) m = v; i += 1 }
+    m
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = $a.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs(${VecKernels.jGet(child, a, i)});
+         |  if ($v > $m) $m = $v;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Symmetric int8 quantization: codes[i] = round(x_i · 127 / max|x|),
+  * one byte per component, BINARY output (Tungsten-flat, 4× smaller at
+  * rest and in shuffle than the float32 array). An all-zero (or empty)
+  * vector quantizes to all-zero codes.
+  */
+case class QuantizeI8F(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val g = VecKernels.getter(child)
+    val n = x.numElements()
+    var m = 0.0; var i = 0
+    while (i < n) { val v = math.abs(g(x, i)); if (v > m) m = v; i += 1 }
+    val out = new Array[Byte](n)
+    if (m > 0.0) {
+      val s = m / 127.0
+      i = 0
+      while (i < n) { out(i) = math.round(g(x, i) / s).toByte; i += 1 }
+    }
+    out
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs(${VecKernels.jGet(child, a, i)});
+         |  if ($v > $m) $m = $v;
+         |}
+         |byte[] $out = new byte[$n];
+         |if ($m > 0.0) {
+         |  double $s = $m / 127.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (byte) java.lang.Math.round(${VecKernels.jGet(child, a, i)} / $s);
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact integer dot product of two int8 code blobs (long accumulate;
+  * length = min of the two). The 64-dim worst case is 64 · 127² ≈ 2²⁰ —
+  * int accumulate would already hold, long removes the question at any
+  * dimension up to 2⁴⁹.
+  */
+case class DotI8F(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var s = 0L; var i = 0
+    while (i < n) { s += x(i).toLong * y(i).toLong; i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long ${ev.value}_acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += (long) $a[$i] * (long) $b[$i];
+         |}
+         |${ev.value} = ${ev.value}_acc;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(

@@ -21,7 +21,8 @@ object Sessionize {
       .withColumn("_prev", lag(col(tsCol), 1).over(byUser))
       .withColumn("_new",
         when(col("_prev").isNull ||
-          unix_micros(col(tsCol)) - unix_micros(col("_prev")) >= gapSeconds * 1000000L, 1)
+          unix_micros(col(tsCol).cast("timestamp")) -
+            unix_micros(col("_prev").cast("timestamp")) >= gapSeconds * 1000000L, 1)
           .otherwise(0))
       .withColumn("session_seq",
         sum(col("_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))

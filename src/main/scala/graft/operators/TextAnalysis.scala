@@ -150,6 +150,69 @@ object TextAnalysis {
       .drop("__rs")
   }
 
+  /** CCNet-style n-gram language-model quality scoring: train an
+    * interpolated bigram LM on the corpus itself and score every document
+    * by per-token cross-entropy (low = fluent/typical, high =
+    * gibberish/outlier — the classic perplexity quality filter, scored
+    * here against the corpus's own distribution since no external LM may
+    * be shipped).
+    *
+    * Model (add-α smoothing over the corpus vocabulary V, linear
+    * interpolation λ):
+    *   p_uni(w)      = (c(w) + α) / (N + α·|V|)
+    *   p_bi(w|w')    = (c(w', w) + α) / (c(w') + α·|V|)
+    *   p(w_1)        = p_uni(w_1)
+    *   p(w_i | prev) = λ·p_bi + (1−λ)·p_uni        (i > 1)
+    * Output per doc: (doc_id, n_tok, cross_entropy = −mean ln p rounded
+    * to 6, ppl = exp(cross_entropy) rounded to 4). Empty documents emit
+    * no row.
+    *
+    * Scale shape: the LM is two map-side-combinable count aggregates
+    * (unigram and bigram tables — shuffles keyed by token, linear in
+    * corpus size; at 100 TB these tables ARE the model and stay
+    * distributed, never collected). Scoring is three hash joins of the
+    * token stream against them (keyed tok / prev / (prev, tok)), each
+    * exchange carrying only (doc_id, token, 8-byte count), then one
+    * doc-keyed avg. The (N, |V|) scalars ride a broadcast; the previous
+    * token is derived per-row by zipping the token array with its own
+    * shift — no window, no self-join.
+    */
+  def lmScore(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", alpha: Double = 0.1,
+      lambda: Double = 0.7): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive: $alpha")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val arr = filter(split(col(textCol), " "), t => t =!= "")
+    // (tok, prev) pairs in document order; prev = null for the first token
+    val stream = df
+      .select(col(idCol), explode(arrays_zip(
+        arr.as("tok"),
+        concat(array(lit(null).cast("string")),
+          slice(arr, lit(1), greatest(size(arr) - 1, lit(0)))).as("prev")))
+        .as("z"))
+      .select(col(idCol), col("z.tok").as("tok"), col("z.prev").as("prev"))
+    val uni = stream.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bi = stream.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+    val tot = uni.agg(sum("c1").as("n_total"),
+      count(lit(1)).as("v_size"))
+    val pUni = (col("c1") + alpha) / (col("n_total") + col("v_size") * alpha)
+    val pBi = (col("c2") + alpha) / (col("c1_prev") + col("v_size") * alpha)
+    val scored = stream
+      .join(uni, Seq("tok"))
+      .join(uni.select(col("tok").as("prev"), col("c1").as("c1_prev")),
+        Seq("prev"), "left")
+      .join(bi, Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        when(col("prev").isNull, pUni)
+          .otherwise(pBi * lambda + pUni * (1.0 - lambda)))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"),
+        round(-avg(log(col("p"))), 6).as("cross_entropy"),
+        round(exp(-avg(log(col("p")))), 4).as("ppl"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): polynomial
     * rolling hash of each k-token window (O(n) native expression),
     * fingerprint = min window hash — plus a full-text xxhash64.

@@ -610,6 +610,44 @@ object PipelineQueries {
     "q101_bpe_merges" -> ((s, dir) =>
       CorpusOps.bpeMerges(t(s, dir, "documents"), numMerges = 12)),
 
+    // SQ8 quantized-scan ANN: int8 codes (4× smaller, integer scan
+    // kernel) pick 32 candidates per query, exact float re-rank returns
+    // top-4. Hash-matching the EXACT kNN oracle proves the quantization
+    // layer is output-lossless at this operating point — the candidate
+    // margin (m = 8k) absorbs the ≤1/254-per-component quantization
+    // error at every fixture scale.
+    "q103_sq8_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilaritySearch.quantizedTopK(q, emb, k = 4, m = 32)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // n-gram LM quality scoring (the CCNet perplexity filter): train an
+    // interpolated add-α bigram LM on the corpus, score every doc by
+    // per-token cross-entropy. The DuckDB oracle retrains the identical
+    // LM and rescores relationally.
+    "q104_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"))),
+
+    // PERSISTED SQ8 serving: the quantized codes live bucketed on disk
+    // (built once per fixture, attach-by-DDL in a fresh process), the
+    // query scans codes-only + re-ranks the m winners against the
+    // co-bucketed float table. Same exact-kNN oracle as q103 — the
+    // persisted path is output-identical too.
+    "q105_sq8_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val h = graft.sources.AnnIndex.ensureSq8(s, dir,
+        emb.select("vec_id", "embedding"))
+      graft.sources.AnnIndex.querySq8(q, h, k = 4, m = 32)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // Domain-mixture reweighting: per-language sampling rates hitting a
     // target token mixture — the largest feasible downsample-only mix
     // (T* = min over langs of tokens/share); one corpus aggregate, all
@@ -1980,6 +2018,46 @@ object PipelineQueries {
     // (cnt desc, lhs, rhs) tie-break -> sentinel-string replace);
     // generated by bpeOracle below
     "q101_bpe_merges" -> bpeOracle(12),
+    // the SQ8 scan + exact re-rank is output-identical to the exact
+    // scan at the shipped (k=4, m=32) point — same oracle as q35/q67
+    "q103_sq8_ann" -> knnExactOracle,
+    // the persisted SQ8 path serves the identical output
+    "q105_sq8_persisted" -> knnExactOracle,
+    // LM retraining replay: identical add-α interpolated bigram model
+    // (α=0.1, λ=0.7) trained and scored relationally — unigram/bigram
+    // count CTEs, lag() for the previous token, the same first-token
+    // unigram-only rule
+    "q104_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok, ord FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split(text, ' ')) AS tok,
+        |           generate_subscripts(string_split(text, ' '), 1) AS ord
+        |    FROM documents) WHERE tok <> ''),
+        |seq AS (
+        |  SELECT doc_id, ord, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS prev
+        |  FROM toks),
+        |uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c1) AS n_total, count(*) AS v_size FROM uni),
+        |bi AS (SELECT prev, tok, count(*) AS c2 FROM seq
+        |       WHERE prev IS NOT NULL GROUP BY prev, tok),
+        |scored AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN s.prev IS NULL
+        |      THEN (u.c1 + 0.1) / (t.n_total + 0.1 * t.v_size)
+        |      ELSE 0.7 * ((b.c2 + 0.1) / (up.c1 + 0.1 * t.v_size))
+        |         + 0.3 * ((u.c1 + 0.1) / (t.n_total + 0.1 * t.v_size))
+        |    END AS p
+        |  FROM seq s
+        |  JOIN uni u ON s.tok = u.tok
+        |  LEFT JOIN uni up ON s.prev = up.tok
+        |  LEFT JOIN bi b ON s.prev = b.prev AND s.tok = b.tok
+        |  CROSS JOIN tot t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  round(-avg(ln(p)), 6) AS cross_entropy,
+        |  round(exp(-avg(ln(p))), 4) AS ppl
+        |FROM scored GROUP BY doc_id""".stripMargin,
     // span-removal oracle on the raw shingle STRINGS (q99 discipline):
     // replays the gaps-and-islands run grouping, the >=16-token span
     // filter, the coverage cut, and the ordered rebuild relationally

@@ -331,7 +331,8 @@ object RelationalQueries {
         col("user_id"))
       e1.join(e2, Seq("user_id"))
         .filter(col("id_a") < col("id_b") &&
-          abs(unix_micros(col("ts_a")) - unix_micros(col("ts_b"))) <= 300000000L)
+          abs(unix_micros(col("ts_a").cast("timestamp")) -
+            unix_micros(col("ts_b").cast("timestamp"))) <= 300000000L)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_close_pairs"))
     }),
@@ -349,10 +350,10 @@ object RelationalQueries {
       val bandUs = 300000000L // 5 min in microseconds = the predicate band
       val ev = t(s, dir, "events").select("event_id", "ts", "user_id")
       val e1 = ev.select(col("user_id"), col("event_id").as("id_a"),
-        unix_micros(col("ts")).as("us_a"))
+        unix_micros(col("ts").cast("timestamp")).as("us_a"))
         .withColumn("bucket", floor(col("us_a") / bandUs))
       val e2 = ev.select(col("user_id"), col("event_id").as("id_b"),
-        unix_micros(col("ts")).as("us_b"))
+        unix_micros(col("ts").cast("timestamp")).as("us_b"))
         .withColumn("bucket", explode(array(
           floor(col("us_b") / bandUs) - 1,
           floor(col("us_b") / bandUs),

@@ -854,4 +854,111 @@ object AnnIndex {
       .select("query_id", "vec_id", "embedding")
     SimilaritySearch.rerankWithVecs(cand, queries, k)
   }
+
+  // ---------------------------------------------------------------- SQ8
+
+  /** Persisted scalar-quantized (int8) index: `codes` is the scan table
+    * (vec_id, codes binary, qscale, qnorm — 4× smaller than the float
+    * table, the bandwidth the quantized scan saves at 100 TB); `vecs`
+    * keeps the float vectors for the exact re-rank, fetched for the m
+    * winners per query only.
+    */
+  final case class Sq8Handle(codes: DataFrame, vecs: DataFrame)
+
+  private def sq8Base(spark: SparkSession, tag: String) =
+    s"${annBase(spark)}/graft_ann_sq8_$tag"
+
+  private def sq8Registered(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(s"graft_sq8_codes_$tag") &&
+      spark.catalog.tableExists(s"graft_sq8_vecs_$tag")
+
+  private def attachSq8(spark: SparkSession, tag: String,
+      storageBuckets: Int): Unit = {
+    val base = sq8Base(spark, tag)
+    spark.sql(s"DROP TABLE IF EXISTS graft_sq8_codes_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_sq8_vecs_$tag")
+    registerExternal(spark, s"graft_sq8_codes_$tag", s"$base/codes",
+      clusteredBy = Some(("vec_id", storageBuckets)))
+    registerExternal(spark, s"graft_sq8_vecs_$tag", s"$base/vecs",
+      clusteredBy = Some(("vec_id", storageBuckets)))
+  }
+
+  private def sq8Handle(spark: SparkSession, tag: String): Sq8Handle =
+    Sq8Handle(spark.table(s"graft_sq8_codes_$tag"),
+      spark.table(s"graft_sq8_vecs_$tag"))
+
+  /** Build (or reuse) the persisted SQ8 layout over `index(vec_id,
+    * embedding)`: quantization is one per-row projection pass; both
+    * tables land bucketed by vec_id through the catalog (co-located, so
+    * the re-rank id-join against `vecs` is shuffle-free on the index
+    * side). Freshness follows the `ensureLsh` discipline — content
+    * fingerprint + the shared `servable` recovery probe, meta committed
+    * atomically after the data.
+    */
+  def ensureSq8(
+      spark: SparkSession,
+      sourceDir: String,
+      index: DataFrame,
+      storageBuckets: Int = 8): Sq8Handle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = sq8Base(spark, tag)
+    val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
+    val metaFresh = {
+      val meta = readMeta(base)
+      meta.get("buckets").contains(storageBuckets.toLong) &&
+        meta.get("n_rows").contains(n) &&
+        meta.get("checksum").contains(fp)
+    } && servable(spark, Seq(s"$base/codes", s"$base/vecs"),
+      sq8Registered(spark, tag),
+      () => attachSq8(spark, tag, storageBuckets))
+    if (!metaFresh) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_sq8_codes_$tag")
+      SimilaritySearch.quantizeIndex(index.select("vec_id", "embedding"))
+        .write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/codes")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(s"graft_sq8_codes_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_sq8_vecs_$tag")
+      index.select("vec_id", "embedding").write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/vecs")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(s"graft_sq8_vecs_$tag")
+      writeMeta(base, "buckets" -> storageBuckets.toLong,
+        "n_rows" -> n, "checksum" -> fp)
+    }
+    sq8Handle(spark, tag)
+  }
+
+  /** Query the persisted SQ8 index: integer-dot approximate cosine over
+    * the stored codes selects `m` candidates per query (bounded TopKAgg
+    * — O(partitions · queries · m) shuffle), exact float re-rank of the
+    * winners against the co-bucketed `vecs` table returns top-k. At
+    * `m ≫ k` the output is identical to the exact scan (q105 pins it
+    * against the exact-kNN oracle); the scan itself reads only the
+    * 4×-compressed codes column.
+    */
+  def querySq8(
+      queries: DataFrame,
+      handle: Sq8Handle,
+      k: Int = 4,
+      m: Int = 32): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    import graft.functions.expressions.VectorExpressions.dot_i8
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    val qq = broadcast(
+      SimilaritySearch.quantizeIndex(queries, idCol = "query_id",
+          vecCol = "query_vec")
+        .select(col("query_id"), col("codes").as("qcodes"),
+          col("qscale").as("qqscale"), col("qnorm").as("qqnorm")))
+    val cand = handle.codes.crossJoin(qq)
+      .withColumn("ascore",
+        when(col("qnorm") * col("qqnorm") === 0.0, lit(0.0))
+          .otherwise(dot_i8(col("codes"), col("qcodes")).cast("double")
+            * col("qscale") * col("qqscale")
+            / (col("qnorm") * col("qqnorm"))))
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
+    SimilaritySearch.rerank(cand, queries, handle.vecs, k)
+  }
 }

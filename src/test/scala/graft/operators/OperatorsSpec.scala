@@ -873,4 +873,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 2L, 9L, 1L, 1L)))
     assert(out(4L) === ((4L, 3L, 0L, 0L, 0L)))
   }
+
+  test("int8 quantization: known codes, exact integer dot, zero-vector safety") {
+    import graft.functions.expressions.VectorExpressions.{dot_i8, max_abs, quantize_i8}
+    val d = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.0f, 0.254f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = d.select(col("vec_id"), quantize_i8(col("embedding")).as("c"),
+        max_abs(col("embedding")).as("m"))
+      .as[(Long, Array[Byte], Double)].collect().map(r => r._1 -> r).toMap
+    // round(x * 127 / max|x|): 1.0→127, -0.5→-63 (Math.round half-up),
+    // 0→0, 0.254→32
+    assert(rows(1L)._2.toSeq === Seq[Byte](127, -63, 0, 32))
+    assert(rows(1L)._3 === 1.0)
+    assert(rows(2L)._2.toSeq === Seq[Byte](0, 0, 0, 0)) // all-zero input
+    val dot = d.filter(col("vec_id") === 1L)
+      .select(dot_i8(quantize_i8(col("embedding")),
+        quantize_i8(col("embedding"))).as("s"))
+      .as[Long].head()
+    assert(dot === 127L * 127 + 63L * 63 + 32L * 32)
+  }
+
+  test("SQ8 quantized-scan ANN is output-identical to exact kNN at m=32") {
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+      .select("query_id", "rank", "vec_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val sq8 = SimilaritySearch.quantizedTopK(q, emb, k = 4, m = 32)
+      .select("query_id", "rank", "vec_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(sq8 === exact)
+  }
+
+  test("lmScore reproduces the hand-computed interpolated bigram entropy") {
+    val d = docs(1L -> "a a b", 2L -> "a b")
+    val out = TextAnalysis.lmScore(d)
+      .select("doc_id", "n_tok", "cross_entropy")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // corpus: N=5, V={a,b}, c(a)=3, c(b)=2; c(a,a)=1, c(a,b)=2; α=.1, λ=.7
+    val denU = 5.0 + 0.1 * 2
+    val pUa = 3.1 / denU; val pUb = 2.1 / denU
+    val pAA = 0.7 * (1.1 / 3.2) + 0.3 * pUa
+    val pAB = 0.7 * (2.1 / 3.2) + 0.3 * pUb
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val ce1 = r6(-(math.log(pUa) + math.log(pAA) + math.log(pAB)) / 3.0)
+    val ce2 = r6(-(math.log(pUa) + math.log(pAB)) / 2.0)
+    assert(out(1L)._2 === 3L)
+    assert(out(1L)._3 === ce1)
+    assert(out(2L) === ((2L, 2L, ce2)))
+  }
+
+  test("lmScore ranks a rare-token doc above a common-token doc") {
+    val common = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+    val d = (common :+ (99L, "zq xv qj wk pf gz")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(d)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    assert(out(99L) > out(1L)) // gibberish = high cross-entropy
+    assert(out(1L) === out(2L)) // identical docs score identically
+  }
 }

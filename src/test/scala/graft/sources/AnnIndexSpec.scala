@@ -288,4 +288,30 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(stored.exceptAll(expected).count() === 0, "extra assignments")
     assert(stored.count() === emb.count())
   }
+
+  test("persisted SQ8 serves the exact kNN result and reuses the layout") {
+    val src = s"spec-$runTag-sq8"
+    val h = AnnIndex.ensureSq8(spark, src, emb)
+    val served = hits(AnnIndex.querySq8(queries, h, k = 4, m = 32))
+    val exact = hits(SimilaritySearch.bruteForceTopK(queries, emb, k = 4))
+    assert(served === exact)
+    // codes table carries the compressed layout, one row per vector
+    assert(h.codes.count() === emb.count())
+    assert(h.codes.schema("codes").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    // a second ensure over identical content must reuse (same fingerprint)
+    val metaBefore = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"/tmp/graft_ann_sq8_${IndexStore.pathTag(src)}",
+        "_ann_meta.json"))
+    val h2 = AnnIndex.ensureSq8(spark, src, emb)
+    val metaAfter = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"/tmp/graft_ann_sq8_${IndexStore.pathTag(src)}",
+        "_ann_meta.json"))
+    assert(metaBefore === metaAfter, "fresh layout must not rebuild")
+    assert(hits(AnnIndex.querySq8(queries, h2, k = 4, m = 32)) === exact)
+    // a content change is detected and rebuilt
+    val fewer = emb.filter(col("vec_id") < 300)
+    val h3 = AnnIndex.ensureSq8(spark, src, fewer)
+    assert(h3.codes.count() === fewer.count())
+  }
 }
