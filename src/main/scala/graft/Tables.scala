@@ -23,13 +23,19 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects natively;
-    // read nanos as long and convert (fixture timestamps are µs-aligned,
-    // verified — no precision loss).
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) (read nanos-as-
+    // long and convert; µs-aligned, no precision loss) and as
+    // timestamp[us] WITHOUT timezone, which Spark 4 reads TIMESTAMP_NTZ
+    // (cast to TIMESTAMP — epoch-exact under the pinned UTC session
+    // timezone). Normalizing HERE keeps every downstream consumer
+    // (unix_micros, window(), streaming watermarks) on one type.
     ensureNanosAsLong(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 

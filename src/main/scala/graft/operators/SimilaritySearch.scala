@@ -129,6 +129,47 @@ object SimilaritySearch {
     rerank(cand, queries, index, k)
   }
 
+  /** Truncated-dimension coarse ranking (the Matryoshka-retrieval
+    * serving shape, public MRL line of work): score with the FIRST `d`
+    * components only, take `m` candidates per query, exact full-dim
+    * re-rank. Another bandwidth lever besides [[quantizedTopK]] — the
+    * coarse scan reads d/dim of the bytes — and the two compose
+    * (truncate THEN quantize) for d/dim · 1/4 total scan bytes.
+    *
+    * Unlike SQ8 (whose error is a bounded per-component rounding), the
+    * truncation error depends on how much energy the leading components
+    * carry: MRL-trained embeddings front-load information by
+    * construction; generic embeddings spread it. MEASURED (`AnnTune
+    * mrl`, BASELINE.md): on the fixtures (not MRL-trained) no (d, m)
+    * up to (32, 64) reaches output identity — so this operator ships
+    * spec-pinned (mechanics + d=dim ≡ exact identity) WITHOUT an
+    * oracled query entry, and the deploy contract is explicit: use it
+    * only with embeddings trained to front-load (MRL), and certify the
+    * (d, m) point against an exact-kNN sample first, the same
+    * measurement `AnnTune mrl` automates. [[quantizedTopK]] is the
+    * bandwidth lever that works unconditionally (q103/q105).
+    *
+    * Scale shape: identical to [[bruteForceTopKAgg]] — broadcast query
+    * side, bounded TopKAgg candidates, the full-dim vectors touched
+    * only for the m winners per query.
+    */
+  def truncatedTopK(queries: DataFrame, index: DataFrame, k: Int = 4,
+      d: Int = 32, m: Int = 32): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    require(d >= 1, s"truncation dim d ($d) must be positive")
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    val qt = broadcast(queries.select(col("query_id"),
+      slice(col("query_vec"), 1, d).as("tq")))
+    val cand = index
+      .select(col("vec_id"), slice(col("embedding"), 1, d).as("tv"))
+      .crossJoin(qt)
+      .withColumn("ascore", VectorOps.cosine(col("tv"), col("tq")))
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
+    rerank(cand, queries, index, k)
+  }
+
   /** LSH-bucketed ANN top-k with exact re-rank of candidates. Bucket
     * signatures come from one native expression pass (hyperplane
     * components are deterministic hashes — no stored model).

@@ -929,6 +929,53 @@ object AnnIndex {
     sq8Handle(spark, tag)
   }
 
+  /** Incremental add into an existing persisted SQ8 index. Quantization
+    * is strictly per-row (no global statistics, unlike IVF centroids or
+    * a trained product-quantizer codebook), so an upsert is EXACTLY a
+    * rebuild restricted to the new rows: quantize the new vectors,
+    * append to both tables, xor-compose the checksum — O(new) per
+    * batch, upsert ≡ rebuild row-identically by construction.
+    * Append-only contract and `batchId` replay-skip as in
+    * [[upsertLsh]].
+    */
+  def upsertSq8(
+      spark: SparkSession,
+      sourceDir: String,
+      newVecs: DataFrame,
+      storageBuckets: Int = 8,
+      batchId: Option[Long] = None): Sq8Handle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = sq8Base(spark, tag)
+    val meta = readMeta(base)
+    require(meta.get("buckets").contains(storageBuckets.toLong),
+      s"upsertSq8 needs an existing index at the same layout " +
+        s"(buckets=$storageBuckets); found $meta")
+    require(parquetReadable(spark, s"$base/codes") &&
+      parquetReadable(spark, s"$base/vecs"),
+      s"persisted SQ8 layout for '$sourceDir' is unreadable — run " +
+        "ensureSq8 to rebuild before upserting")
+    if (!sq8Registered(spark, tag)) attachSq8(spark, tag, storageBuckets)
+    val replayed = batchId.exists(id =>
+      meta.get("last_batch_id").exists(id <= _))
+    if (replayed) return sq8Handle(spark, tag)
+    val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
+    SimilaritySearch.quantizeIndex(newVecs.select("vec_id", "embedding"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(s"graft_sq8_codes_$tag")
+    newVecs.select("vec_id", "embedding").write.mode(SaveMode.Append)
+      .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(s"graft_sq8_vecs_$tag")
+    writeMetaFull(base,
+      Seq("buckets" -> storageBuckets.toLong,
+        "n_rows" -> (meta("n_rows") + nNew),
+        "checksum" -> (meta("checksum") ^ fpNew)) ++
+        batchId.orElse(meta.get("last_batch_id"))
+          .map("last_batch_id" -> _).toSeq,
+      Nil)
+    sq8Handle(spark, tag)
+  }
+
   /** Query the persisted SQ8 index: integer-dot approximate cosine over
     * the stored codes selects `m` candidates per query (bounded TopKAgg
     * — O(partitions · queries · m) shuffle), exact float re-rank of the

@@ -155,6 +155,58 @@ object AnnTune {
       big.unpersist()
     }
 
+    // "sq8": smallest re-rank candidate count m at which the int8
+    // quantized scan is output-IDENTICAL to the exact kNN (the q103/q105
+    // operating-point evidence), at the fixture's 64 dims and at the
+    // reference's 1536 (tile-and-jitter construction of the "dim" mode:
+    // ambient 1536, intrinsic ~64 — quantization error grows with
+    // ambient dim, so this is the conservative measurement).
+    if (mode == "sq8") {
+      def sweep(label: String, idx: DataFrame, qs: DataFrame): Unit = {
+        val ex = pairs(SimilaritySearch.bruteForceTopKAgg(qs, idx, k))
+        for (m <- Seq(4, 8, 16, 32)) {
+          val t0 = System.nanoTime()
+          val got = pairs(SimilaritySearch.quantizedTopK(qs, idx, k, m))
+          val recall = (ex & got).size.toDouble / ex.size
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"sq8 $label m=$m%-3d recall=$recall%.3f " +
+            f"identical=${got == ex}%-5s sec=$sec%.1f")
+        }
+      }
+      sweep(s"dim64 n=$nIndex", emb, q)
+      val reps = 24
+      val sigma = 0.25
+      val rms = sqrt(aggregate(col("embedding"), lit(0.0d),
+        (a, e) => a + e * e) / size(col("embedding")))
+      val big = emb.select(col("vec_id"),
+        flatten(transform(sequence(lit(0), lit(reps - 1)), r =>
+          transform(col("embedding"), (x, i) =>
+            (x + lit(sigma) * rms
+              * (hash(col("vec_id"), r, i).cast("double") / Int.MaxValue))
+              .cast("float")))).as("embedding")).cache()
+      val qd = big.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec")).cache()
+      sweep(s"dim${64 * reps} n=$nIndex", big, qd)
+      big.unpersist(); qd.unpersist()
+    }
+
+    // "mrl": truncated-dimension coarse ranking — smallest (d, m) at
+    // which first-d-components scoring + exact re-rank is output-
+    // identical to the exact kNN. Generic (non-MRL-trained) fixture
+    // embeddings spread energy across components, so this is the
+    // worst case for the technique.
+    if (mode == "mrl") {
+      for (d <- Seq(8, 16, 32); m <- Seq(8, 16, 32, 64)) {
+        val t0 = System.nanoTime()
+        val got = pairs(SimilaritySearch.truncatedTopK(q, emb, k, d, m))
+        val recall = (exact & got).size.toDouble / exact.size
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"mrl d=$d%-3d m=$m%-3d recall=$recall%.3f " +
+          f"identical=${got == exact}%-5s sec=$sec%.1f")
+      }
+    }
+
     if (mode == "lsh" || mode == "all") for ((tables, bits, probes) <- Seq(
         (48, 12, 16), (48, 12, 20), (48, 12, 24), (64, 12, 16), (64, 12, 24),
         (64, 14, 32), (96, 14, 24), (48, 10, 12), (48, 10, 16),

@@ -926,6 +926,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) === ((2L, 2L, ce2)))
   }
 
+  test("truncatedTopK: d=dim is exactly the full scan; truncated scores " +
+      "are true full-dim cosines (re-rank soundness)") {
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+      .select("query_id", "rank", "vec_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+    // untruncated: coarse ranking IS the exact ranking → identity
+    val full = SimilaritySearch.truncatedTopK(q, emb, k = 4, d = 64, m = 8)
+      .select("query_id", "rank", "vec_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(full.toSet === exact.toSet)
+    // truncated coarse pass: every returned score must still be the
+    // TRUE full-dim cosine (the re-rank recomputes it), k rows per query
+    val exactScores = exact.map(r => (r._1, r._3) -> r._4).toMap
+    val trunc = SimilaritySearch.truncatedTopK(q, emb, k = 4, d = 16, m = 8)
+      .select("query_id", "rank", "vec_id", "score")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(trunc.map(_._1).distinct.length === 5)
+    trunc.groupBy(_._1).values.foreach(rows =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(1, 2, 3, 4)))
+    trunc.foreach { case (qid, _, vid, s) =>
+      exactScores.get((qid, vid)).foreach(es => assert(math.abs(s - es) < 1e-12))
+    }
+  }
+
   test("lmScore ranks a rare-token doc above a common-token doc") {
     val common = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
     val d = (common :+ (99L, "zq xv qj wk pf gz")).toDF("doc_id", "text")

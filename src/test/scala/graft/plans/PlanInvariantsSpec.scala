@@ -218,4 +218,23 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(n == 1, s"expected the single shard-keyed exchange, got $n:\n$p")
     assert(p.contains("source"), p)
   }
+
+  test("q103 SQ8 scan: query side broadcast, candidate selection keeps " +
+      "the bounded map-side top-k") {
+    val p = physical("q103_sq8_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(p.toLowerCase.contains("partial_topkagg"),
+      s"candidate selection lost the map-side bounded top-k:\n$p")
+  }
+
+  test("q105 persisted SQ8: the scan stage reads the stored codes " +
+      "table, not the float embeddings") {
+    val p = physical("q105_sq8_persisted")
+    // the approximate scan must hit the compressed persisted layout —
+    // falling back to in-memory quantization would pass the oracle but
+    // re-pay quantization per query and read 4× the bytes
+    assert(p.contains("graft_sq8_codes_") || p.contains("graft_ann_sq8_"), p)
+    assert(p.toLowerCase.contains("partial_topkagg"), p)
+  }
 }

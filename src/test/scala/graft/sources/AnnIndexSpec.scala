@@ -314,4 +314,31 @@ class AnnIndexSpec extends AnyFunSuite {
     val h3 = AnnIndex.ensureSq8(spark, src, fewer)
     assert(h3.codes.count() === fewer.count())
   }
+
+  test("upserted SQ8 index answers identically to one built on the full " +
+      "set, and the composed checksum satisfies a later ensure") {
+    val src = s"spec-$runTag-sq8up"
+    val baseRows = emb.filter(col("vec_id") % 10 =!= 3)
+    val tailRows = emb.filter(col("vec_id") % 10 === 3)
+    AnnIndex.ensureSq8(spark, src, baseRows)
+    val hUp = AnnIndex.upsertSq8(spark, src, tailRows)
+    assert(hUp.codes.count() === emb.count())
+    val served = hits(AnnIndex.querySq8(queries, hUp, k = 4, m = 32))
+    assert(served === hits(SimilaritySearch.bruteForceTopK(queries, emb, k = 4)))
+    // xor-composed checksum == full-set fingerprint: ensure over the
+    // full content must REUSE (no rebuild)
+    val metaBefore = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"/tmp/graft_ann_sq8_${IndexStore.pathTag(src)}",
+        "_ann_meta.json"))
+    AnnIndex.ensureSq8(spark, src, emb)
+    val metaAfter = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"/tmp/graft_ann_sq8_${IndexStore.pathTag(src)}",
+        "_ann_meta.json"))
+    assert(metaBefore === metaAfter, "upserted layout must satisfy ensure")
+    // a replayed batch id is skipped (no duplicate append)
+    AnnIndex.upsertSq8(spark, src, tailRows, batchId = Some(1L))
+    val n1 = AnnIndex.upsertSq8(spark, src, tailRows, batchId = Some(1L))
+      .codes.count()
+    assert(n1 === emb.count() + tailRows.count(), "replay must not re-append")
+  }
 }
