@@ -976,6 +976,32 @@ object AnnIndex {
     sq8Handle(spark, tag)
   }
 
+  /** Open an existing persisted SQ8 index read-only, WITHOUT a
+    * freshness probe — the reader's path while a writer (e.g. a
+    * [[graft.streaming.StreamOps.streamingSq8Upsert]] stream) appends
+    * concurrently: no fingerprint scan, no rebuild decision, just a
+    * catalog attach (or a relation-cache refresh so another session's
+    * appends become visible).
+    */
+  def openSq8(spark: SparkSession, sourceDir: String): Sq8Handle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = sq8Base(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("buckets"),
+      s"no persisted SQ8 index for '$sourceDir' ($base)")
+    require(parquetReadable(spark, s"$base/codes") &&
+      parquetReadable(spark, s"$base/vecs"),
+      s"persisted SQ8 layout for '$sourceDir' is unreadable — run " +
+        "ensureSq8 to rebuild")
+    if (!sq8Registered(spark, tag))
+      attachSq8(spark, tag, meta("buckets").toInt)
+    else {
+      spark.catalog.refreshTable(s"graft_sq8_codes_$tag")
+      spark.catalog.refreshTable(s"graft_sq8_vecs_$tag")
+    }
+    sq8Handle(spark, tag)
+  }
+
   /** Query the persisted SQ8 index: integer-dot approximate cosine over
     * the stored codes selects `m` candidates per query (bounded TopKAgg
     * — O(partitions · queries · m) shuffle), exact float re-rank of the

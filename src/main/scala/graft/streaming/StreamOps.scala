@@ -332,6 +332,53 @@ object StreamOps {
         }
       }
 
+  /** [[streamingIndexUpsert]]'s quantized twin: vectors arriving on
+    * `vecs(vec_id, embedding)` extend the persisted SQ8 index once per
+    * micro-batch ([[graft.sources.AnnIndex.upsertSq8]] — per-row
+    * quantization, O(batch) append, batchId replay-skip). Because
+    * quantization carries no global statistics, the streamed index is
+    * ROW-IDENTICAL to a full rebuild after every trigger — the
+    * streaming ingest has no recall caveat, like the postings stream
+    * and unlike IVF (whose centroids drift from the trained base).
+    */
+  def streamingSq8Upsert(
+      vecs: DataFrame,
+      sourceDir: String,
+      storageBuckets: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AnnIndex.upsertSq8(batch.sparkSession, sourceDir,
+            batch.toDF(), storageBuckets, batchId = Some(id))
+          ()
+        }
+      }
+
+  /** [[streamingIndexRetrieve]]'s quantized twin: each query
+    * micro-batch re-attaches to the stored SQ8 layout via
+    * [[graft.sources.AnnIndex.openSq8]] (meta read + catalog attach or
+    * refresh, no data scan) and answers through `querySq8` — the
+    * compressed-codes scan + exact re-rank, output-identical to the
+    * exact kNN at the shipped m.
+    */
+  def streamingSq8Retrieve(
+      queries: DataFrame,
+      sourceDir: String,
+      k: Int = 4,
+      m: Int = 32)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val h = graft.sources.AnnIndex.openSq8(batch.sparkSession, sourceDir)
+          sink(graft.sources.AnnIndex.querySq8(batch.toDF(), h, k, m), id)
+        }
+      }
+
   final case class UserQuestion(
       user_id: Long, ts: Timestamp, question: String)
   final case class UserProfile(

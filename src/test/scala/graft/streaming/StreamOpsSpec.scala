@@ -195,6 +195,47 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toSet === batchExpected)
   }
 
+  test("end-to-end persisted SQ8 streams: streamed quantized appends " +
+      "converge to the full index and serve the exact kNN") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.AnnIndex
+    import graft.operators.SimilaritySearch
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val src = s"stream-sq8-${java.util.UUID.randomUUID().toString.take(8)}"
+    AnnIndex.ensureSq8(spark, src, emb.filter(col("vec_id") % 10 =!= 7))
+    val tail = emb.filter(col("vec_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val vecsIn = MemoryStream[(Long, Array[Float])]
+    val ingest = StreamOps.streamingSq8Upsert(
+      vecsIn.toDF().toDF("vec_id", "embedding"), src).start()
+    vecsIn.addData(tail.toIndexedSeq: _*)
+    ingest.processAllAvailable()
+    ingest.stop()
+
+    // the streamed index answers EXACTLY like a brute-force scan of the
+    // full vector set (upsert ≡ rebuild by construction + q103 identity)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+
+    val qIn = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val ask = StreamOps.streamingSq8Retrieve(
+      qIn.toDF().toDF("query_id", "query_vec"), src, k = 4, m = 32) {
+      (batch, _) =>
+        got ++= batch.select("query_id", "rank", "vec_id")
+          .collect().map(_.toSeq)
+    }.start()
+    qIn.addData(q.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq: _*)
+    ask.processAllAvailable()
+    ask.stop()
+    assert(got.toSet === exact)
+  }
+
   test("streamingChat: the reference's ask loop end-to-end — history " +
       "conditions the next batch's retrieval; clear resets it") {
     implicit val sqlCtx = spark.sqlContext
