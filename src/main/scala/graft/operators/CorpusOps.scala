@@ -304,6 +304,44 @@ object CorpusOps {
       .withColumn("avg_symbols_per_word", lit(cov))
   }
 
+  /** BPE ENCODING — apply a learned merge list ([[bpeMerges]] output
+    * order) to tokenize the corpus, closing the train→encode loop.
+    * Greedy application is the same sentinel-replace as training, so a
+    * word's final symbol count is exactly what the training run left it
+    * with when the merges came from this corpus. Returns per doc
+    * (n_words, n_tokens, chars_per_token) — the realized compression
+    * the learned vocabulary buys.
+    *
+    * Scale shape: the merges list is the trained model (driver-held,
+    * tiny — it IS the artifact BPE training produces). Encoding runs
+    * the replace chain over the DISTINCT-word vocabulary only (one
+    * hash-keyed distinct, orders of magnitude smaller than the corpus),
+    * then one hash join of the token stream back against it and a
+    * doc-keyed map-side-combinable sum — repeated words are encoded
+    * once, not once per occurrence.
+    */
+  def bpeEncode(df: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty (bpeMerges output)")
+    val S = "\u0001"
+    val words = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val vocab0 = words.select("word").distinct()
+      .withColumn("rep", regexp_replace(col("word"), "(.)", S + "$1"))
+    val encoded = merges.foldLeft(vocab0) { case (v, (l, r)) =>
+      v.withColumn("rep",
+        replace(col("rep"), lit(S + l + S + r), lit(S + l + r)))
+    }.select(col("word"), (size(split(col("rep"), S)) - 1).as("n_sym"),
+      length(col("word")).as("n_chars"))
+    words.join(encoded, Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sym").as("n_tokens"),
+        round(sum("n_chars").cast("double") / sum("n_sym"), 6)
+          .as("chars_per_token"))
+  }
+
   /** Domain-mixture reweighting: per-stratum sampling rates that hit a
     * target token mixture. Sources can only be DOWNsampled (rate ≤ 1),
     * so the largest feasible mixed corpus is `T* = min_s(tokens_s /

@@ -632,6 +632,18 @@ object PipelineQueries {
     "q104_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"))),
 
+    // BPE ENCODING: apply the 12 learned merges (q101's training run)
+    // back to the corpus — per-doc token counts + realized compression.
+    // The merge list is the trained model artifact (12 rows, driver-
+    // held); encoding runs over the distinct-word vocabulary and joins
+    // back, so repeated words are encoded once.
+    "q106_bpe_encode" -> ((s, dir) => {
+      val merges = CorpusOps.bpeMerges(t(s, dir, "documents"), numMerges = 12)
+        .orderBy("step").select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      CorpusOps.bpeEncode(t(s, dir, "documents"), merges)
+    }),
+
     // PERSISTED SQ8 serving: the quantized codes live bucketed on disk
     // (built once per fixture, attach-by-DDL in a fresh process), the
     // query scans codes-only + re-ranks the m winners against the
@@ -1118,6 +1130,32 @@ object PipelineQueries {
             .as("supps_ok"),
           (abs(col("a_o") - col("exact_orders")) <= col("exact_orders") * 0.05)
             .as("orders_ok"))
+    }),
+
+    // Quantile sketch certification (the q62 discipline for the OTHER
+    // mergeable sketch a 100 TB pipeline leans on): percentile_approx
+    // (Spark's GK-style QuantileSummaries — mergeable partials, no
+    // global sort) against the exact interpolated percentile computed
+    // in the same query, with the approx value required to land inside
+    // the exact [p−0.005, p+0.005] rank window (5× the sketch's 1/1000
+    // rank-error guarantee). The oracle recomputes the exact
+    // percentiles non-circularly (quantile_cont) and pins the flags.
+    "q107_quantile_sketch" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy("l_returnflag").agg(
+          round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("exact_p50"),
+          round(expr("percentile(l_extendedprice, 0.95D)"), 6).as("exact_p95"),
+          expr("percentile_approx(l_extendedprice, 0.5D, 1000)").as("a50"),
+          expr("percentile_approx(l_extendedprice, 0.95D, 1000)").as("a95"),
+          expr("percentile(l_extendedprice, 0.495D)").as("lo50"),
+          expr("percentile(l_extendedprice, 0.505D)").as("hi50"),
+          expr("percentile(l_extendedprice, 0.945D)").as("lo95"),
+          expr("percentile(l_extendedprice, 0.955D)").as("hi95"))
+        .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+            .as("p50_rank_ok"),
+          (col("a95") >= col("lo95") && col("a95") <= col("hi95"))
+            .as("p95_rank_ok"))
     }),
 
     // S4/§4 bucketed index layout: both sides written bucketBy(vec_id) +
@@ -1723,6 +1761,14 @@ object PipelineQueries {
         |count(DISTINCT l_orderkey) AS exact_orders,
         |true AS parts_ok, true AS supps_ok, true AS orders_ok
         |FROM lineitem""".stripMargin,
+    // exact percentiles recomputed non-circularly; the rank-window
+    // flags are the engine-side certification
+    "q107_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+        |round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+        |true AS p50_rank_ok, true AS p95_rank_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q64_bucketed_join" ->
       """SELECT label, count(*) AS n_vectors,
         |round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -2018,6 +2064,9 @@ object PipelineQueries {
     // (cnt desc, lhs, rhs) tie-break -> sentinel-string replace);
     // generated by bpeOracle below
     "q101_bpe_merges" -> bpeOracle(12),
+    // encode = the same unrolled training chain, final vocab joined
+    // back to every doc's words
+    "q106_bpe_encode" -> bpeEncodeOracle(12),
     // the SQ8 scan + exact re-rank is output-identical to the exact
     // scan at the shipped (k=4, m=32) point — same oracle as q35/q67
     "q103_sq8_ann" -> knnExactOracle,
@@ -2213,7 +2262,18 @@ object PipelineQueries {
     * CTEs, not recursion: per-round aggregation + argmax doesn't fit a
     * recursive CTE, and unrolling keeps the replay byte-exact.
     */
-  private def bpeOracle(m: Int): String = {
+  /** The shared BPE training chain (w, v0, per-round s/p/b/v CTEs):
+    * round i derives symbol pairs from round i−1's vocabulary, picks
+    * the argmax pair with the engine's exact tie-break, and applies
+    * the merge with the same sentinel-string replace the engine uses
+    * (chr(1)-prefixed symbols, scan-left replace-all = greedy
+    * non-overlapping merge). Chained CTEs, not recursion: per-round
+    * aggregation + argmax doesn't fit a recursive CTE, and unrolling
+    * keeps the replay byte-exact. `word` rides the whole chain so the
+    * final vocabulary doubles as the word → encoded-rep map the encode
+    * oracle needs.
+    */
+  private def bpeChain(m: Int): String = {
     // v/b are each referenced twice per round: without MATERIALIZED an
     // inlining planner re-evaluates the whole prefix chain per
     // reference — exponential in rounds
@@ -2231,22 +2291,27 @@ object PipelineQueries {
          |  GROUP BY lhs, rhs
          |  ORDER BY sum(freq) DESC, lhs ASC, rhs ASC LIMIT 1),
          |v$i AS MATERIALIZED (
-         |  SELECT replace(v.rep, chr(1) || b.lhs || chr(1) || b.rhs,
+         |  SELECT v.word, replace(v.rep, chr(1) || b.lhs || chr(1) || b.rhs,
          |           chr(1) || b.lhs || b.rhs) AS rep, v.freq
          |  FROM v${i - 1} v, b$i b)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to m)
-      .map(i => s"SELECT $i AS step, lhs, rhs, cnt FROM b$i")
-      .mkString("\n  UNION ALL ")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
        |v0 AS MATERIALIZED (
-       |  SELECT regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS rep,
+       |  SELECT word,
+       |         regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS rep,
        |         CAST(freq AS BIGINT) AS freq
        |  FROM w),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracle(m: Int): String = {
+    val union = (1 to m)
+      .map(i => s"SELECT $i AS step, lhs, rhs, cnt FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeChain(m)},
        |merges AS (
        |  $union),
        |cov AS (
@@ -2257,4 +2322,24 @@ object PipelineQueries {
        |  m.cnt AS pair_count, c.avg_symbols_per_word
        |FROM merges m, cov c""".stripMargin
   }
+
+  /** The q106 oracle: the identical training replay, then every doc's
+    * words joined against the trained word → rep vocabulary — per-word
+    * symbol count = the training run's final representation.
+    */
+  private def bpeEncodeOracle(m: Int): String =
+    s"""WITH ${bpeChain(m)},
+       |enc AS (
+       |  SELECT word, len(string_split(rep, chr(1))) - 1 AS n_sym,
+       |         length(word) AS n_chars
+       |  FROM v$m),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n_sym) AS BIGINT) AS n_tokens,
+       |  round(sum(e.n_chars) * 1.0 / sum(e.n_sym), 6) AS chars_per_token
+       |FROM toks t JOIN enc e USING (word)
+       |WHERE t.word <> ''
+       |GROUP BY t.doc_id""".stripMargin
 }

@@ -802,6 +802,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.head._6 === 1.0)
   }
 
+  test("bpeEncode applies learned merges: the low/lower run's realized " +
+      "token counts per document") {
+    val d = docs(1L -> "low low lower", 2L -> "low")
+    val merges = CorpusOps.bpeMerges(d, numMerges = 3)
+      .orderBy("step").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    // merges: (l,o) (lo,w) (e,r) → low = 1 token, lower = [low, er] = 2
+    val out = CorpusOps.bpeEncode(d, merges)
+      .select("doc_id", "n_words", "n_tokens", "chars_per_token")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 4L, math.rint(11.0 / 4 * 1e6) / 1e6)))
+    assert(out(2L) === ((2L, 1L, 1L, 3.0)))
+    // encoding with merges from THIS corpus realizes exactly the
+    // training run's average symbols per word (the q101 coverage stat)
+    val cov = CorpusOps.bpeMerges(d, numMerges = 3)
+      .select("avg_symbols_per_word").as[Double].head()
+    val realized = CorpusOps.bpeEncode(d, merges)
+      .agg(sum("n_tokens"), sum("n_words")).as[(Long, Long)].head()
+    assert(math.rint(realized._1.toDouble / realized._2 * 1e6) / 1e6 === cov)
+  }
+
   test("mixturePlan: the binding stratum keeps everything, others thin " +
       "to the target proportions; downsample-only invariant holds") {
     // tokens: A=1000, B=100, shares: A=0.5, B=0.5 → T* = min(2000, 200)
