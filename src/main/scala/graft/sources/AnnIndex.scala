@@ -891,17 +891,29 @@ object AnnIndex {
     * embedding)`: quantization is one per-row projection pass; both
     * tables land bucketed by vec_id through the catalog (co-located, so
     * the re-rank id-join against `vecs` is shuffle-free on the index
-    * side). Freshness follows the `ensureLsh` discipline — content
-    * fingerprint + the shared `servable` recovery probe, meta committed
-    * atomically after the data.
+    * side). Freshness follows the `ensureLsh` discipline — O(1)
+    * snapshot-id trust when the caller names an immutable source
+    * snapshot, else the content fingerprint; the shared `servable`
+    * recovery probe; meta committed atomically after the data.
+    * [[upsertSq8]] drops a stored snapshot id (the layout moves ahead
+    * of the snapshot that id named).
     */
   def ensureSq8(
       spark: SparkSession,
       sourceDir: String,
       index: DataFrame,
-      storageBuckets: Int = 8): Sq8Handle = {
+      storageBuckets: Int = 8,
+      snapshotId: Option[String] = None): Sq8Handle = {
     val tag = IndexStore.pathTag(sourceDir)
     val base = sq8Base(spark, tag)
+    val snapFresh = snapshotId.exists { id =>
+      readMetaStrs(base).get("snapshot_id").contains(id) &&
+        readMeta(base).get("buckets").contains(storageBuckets.toLong)
+    }
+    if (snapFresh && servable(spark, Seq(s"$base/codes", s"$base/vecs"),
+        sq8Registered(spark, tag),
+        () => attachSq8(spark, tag, storageBuckets)))
+      return sq8Handle(spark, tag)
     val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
     val metaFresh = {
       val meta = readMeta(base)
@@ -923,9 +935,20 @@ object AnnIndex {
         .option("path", s"$base/vecs")
         .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
         .format("parquet").saveAsTable(s"graft_sq8_vecs_$tag")
-      writeMeta(base, "buckets" -> storageBuckets.toLong,
-        "n_rows" -> n, "checksum" -> fp)
     }
+    // (re)commit the meta when we rebuilt, OR when unchanged content
+    // arrives under a new snapshot name — recording the id makes the
+    // NEXT ensure at this snapshot O(1). last_batch_id is carried
+    // through rebuilds unconditionally (the buildLsh discipline: a
+    // rebuild between a streaming crash and its replay must not reopen
+    // the replay-skip window).
+    if (!metaFresh || snapshotId.isDefined)
+      writeMetaFull(base,
+        Seq("buckets" -> storageBuckets.toLong,
+          "n_rows" -> n, "checksum" -> fp) ++
+          readMeta(base).get("last_batch_id")
+            .map("last_batch_id" -> _).toSeq,
+        snapshotId.map("snapshot_id" -> _).toSeq)
     sq8Handle(spark, tag)
   }
 

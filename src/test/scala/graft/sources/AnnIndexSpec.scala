@@ -315,6 +315,20 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(h3.codes.count() === fewer.count())
   }
 
+  test("SQ8 snapshot-id freshness mirrors the LSH contract") {
+    val src = s"spec-$runTag-sq8snap"
+    val rows1 = emb.filter(col("vec_id") < 200)
+    val h1 = AnnIndex.ensureSq8(spark, src, rows1, snapshotId = Some("v1"))
+    assert(h1.codes.count() === rows1.count())
+    // different content, SAME id: trusted without a scan — no rebuild
+    val rows2 = emb.filter(col("vec_id") < 300)
+    val h2 = AnnIndex.ensureSq8(spark, src, rows2, snapshotId = Some("v1"))
+    assert(h2.codes.count() === rows1.count())
+    // a NEW id re-fingerprints and rebuilds on the real change
+    val h3 = AnnIndex.ensureSq8(spark, src, rows2, snapshotId = Some("v2"))
+    assert(h3.codes.count() === rows2.count())
+  }
+
   test("upserted SQ8 index answers identically to one built on the full " +
       "set, and the composed checksum satisfies a later ensure") {
     val src = s"spec-$runTag-sq8up"
