@@ -67,7 +67,7 @@ object Bench {
     // references or both serving paths beside the operator under test.
     // Splitting their cost out stops it masking operator regressions.
     val verificationQ = Set("q53", "q60", "q61", "q62", "q63", "q65",
-      "q66", "q68", "q69", "q77", "q85", "q87", "q89")
+      "q66", "q68", "q69", "q77", "q85", "q87", "q89", "q108")
     // The harness that records this line captures only the TAIL of the
     // process output (~2000 chars), so the parsed JSON line must stay
     // well under that: short query keys (the unique qNN prefix), 2-decimal

@@ -755,6 +755,24 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_diff")))
     }),
 
+    // SQ8-served RAG retrieval ≡ direct dense retrieval (the q87
+    // discipline for the quantized serving path): the persisted int8
+    // codes answer the reference's E2 retrieval with zero symmetric
+    // difference from the full-precision scan.
+    "q108_sq8_retrieval_identity" -> ((s, dir) => {
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200)
+      val q = retrievalQueryDf(s)
+      def hitsOf(df: DataFrame) = df.select("query_id", "rank", "chunk_id")
+      val direct = hitsOf(RagPipeline.retrieve(q, index, k = 4))
+      val sq8 = hitsOf(RagPipeline.retrieveSq8Persisted(s,
+        dir + "!ragsq8", q, index, k = 4))
+      direct.agg(count(lit(1)).as("n_direct"))
+        .crossJoin(sq8.exceptAll(direct)
+          .unionByName(direct.exceptAll(sq8))
+          .agg(count(lit(1)).as("n_diff")))
+    }),
+
     // A9 cluster assignment via the ALTERNATING (large-star/small-star)
     // connected components — O(log n) rounds vs q53's O(diameter)
     // propagation, the 100 TB answer to boilerplate chains; same
@@ -2207,6 +2225,10 @@ object PipelineQueries {
     // persisted-pair hybrid ≡ direct hybrid, by construction at the
     // recall-1.0 operating point: 5 queries × k=4 hits, zero diff
     "q87_hybrid_persisted_identity" ->
+      """SELECT CAST(20 AS BIGINT) AS n_direct,
+        |CAST(0 AS BIGINT) AS n_diff""".stripMargin,
+    // SQ8-served retrieval ≡ direct dense retrieval: 5 queries × k=4
+    "q108_sq8_retrieval_identity" ->
       """SELECT CAST(20 AS BIGINT) AS n_direct,
         |CAST(0 AS BIGINT) AS n_diff""".stripMargin,
     // blended-probe adaptive over the stored index ≡ exact adaptive;

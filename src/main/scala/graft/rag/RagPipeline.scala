@@ -130,6 +130,36 @@ object RagPipeline {
       .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
   }
 
+  /** E2 retrieval served from the PERSISTED SQ8 quantized index: the
+    * chunk embeddings live as int8 codes on disk (built or
+    * fingerprint-attached once per `sourceDir`), the per-query scan
+    * reads the 4×-compressed codes column, and the exact float re-rank
+    * touches only the m winners. Output-IDENTICAL to [[retrieve]] at
+    * the shipped m (the q103 identity applied to the chunk corpus;
+    * q108 pins it at every fixture scale): the re-rank recomputes the
+    * same cosine, and the bounded TopKAgg breaks ties by id exactly as
+    * [[retrieveRanked]] does.
+    */
+  def retrieveSq8Persisted(
+      spark: SparkSession,
+      sourceDir: String,
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
+      m: Int = 32,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    val h = graft.sources.AnnIndex.ensureSq8(spark, sourceDir,
+      index.select(col("chunk_id").as("vec_id"), col("embedding")))
+    val q = queries
+      .withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
+      .select("query_id", "query_vec")
+    graft.sources.AnnIndex.querySq8(q, h, k, m)
+      .select(col("query_id"), col("rank"), col("vec_id").as("chunk_id"),
+        col("score"))
+      .join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
+      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+  }
+
   /** The reference's TITULAR capability — "adaptive recommendation":
     * retrieval conditioned on the user's accumulated history (the
     * README's "learning and adaptation from chat history"; the

@@ -245,6 +245,19 @@ object StreamOps {
     (queries, index, k) => graft.rag.RagPipeline.hybridRetrievePersisted(
       queries.sparkSession, sourceDir, queries, index, k)
 
+  /** A [[streamingChat]] retriever serving from the PERSISTED SQ8
+    * quantized index ([[graft.rag.RagPipeline.retrieveSq8Persisted]]):
+    * every micro-batch answers from the stored int8 codes (4× less
+    * scan I/O than the float chunk index) with exact re-rank of the m
+    * winners — output-identical to the default dense retriever at the
+    * shipped m (the q108 equality), so swapping it in changes the I/O
+    * profile, not the answers.
+    */
+  def persistedSq8Retriever(sourceDir: String)
+      : (DataFrame, DataFrame, Int) => DataFrame =
+    (queries, index, k) => graft.rag.RagPipeline.retrieveSq8Persisted(
+      queries.sparkSession, sourceDir, queries, index, k)
+
   /** Streaming retrieval served by the PERSISTED LSH index: each query
     * micro-batch re-attaches to the stored layout via
     * [[graft.sources.AnnIndex.openLsh]] — the no-probe reader path built

@@ -79,4 +79,20 @@ class RagPipelineSpec extends AnyFunSuite {
     assert(persisted === direct)
     index.unpersist()
   }
+
+  test("retrieveSq8Persisted equals retrieve on every column, score and " +
+      "text included") {
+    val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val index = RagPipeline.buildIndex(spark, docs, chunkSize = 200).cache()
+    val queries = PipelineQueries.retrievalQueryDf(spark)
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val direct = full(RagPipeline.retrieve(queries, index, k = 4))
+    val sq8 = full(RagPipeline.retrieveSq8Persisted(spark,
+      TestSpark.Sf0001 + "!ragsq8spec", queries, index, k = 4))
+    assert(sq8 === direct)
+    assert(direct.size === 20)
+    index.unpersist()
+  }
 }
