@@ -380,17 +380,24 @@ case class QuantizeI8F(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Exact integer dot product of two int8 code blobs (long accumulate;
-  * length = min of the two). The 64-dim worst case is 64 · 127² ≈ 2²⁰ —
-  * int accumulate would already hold, long removes the question at any
-  * dimension up to 2⁴⁹.
+/** Exact integer dot product of two int8 code blobs (long accumulate).
+  * The 64-dim worst case is 64 · 127² ≈ 2²⁰ — int accumulate would
+  * already hold, long removes the question at any dimension up to 2⁴⁹.
+  *
+  * Lengths must MATCH: a query/index dimension mismatch would otherwise
+  * produce silently wrong approximate scores that the exact re-rank then
+  * masks with a plausible-looking (but wrong-candidate-set) output, so
+  * it throws instead of truncating.
   */
 case class DotI8F(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) throw new IllegalArgumentException(
+      s"dot_i8: code length mismatch (${x.length} vs ${y.length}) — " +
+        "query and index must be quantized at the same dimension")
+    val n = x.length
     var s = 0L; var i = 0
     while (i < n) { s += x(i).toLong * y(i).toLong; i += 1 }
     s
@@ -400,7 +407,13 @@ case class DotI8F(left: Expression, right: Expression) extends BinaryExpression 
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.length, $b.length);
+         |if ($a.length != $b.length) {
+         |  throw new IllegalArgumentException(
+         |    "dot_i8: code length mismatch (" + $a.length + " vs " +
+         |    $b.length + ") — query and index must be quantized at the " +
+         |    "same dimension");
+         |}
+         |int $n = $a.length;
          |long ${ev.value}_acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}_acc += (long) $a[$i] * (long) $b[$i];

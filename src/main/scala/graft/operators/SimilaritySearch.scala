@@ -91,10 +91,14 @@ object SimilaritySearch {
 
   /** Quantized-scan ANN: int8 approximate cosine over the whole index
     * selects `m` candidates per query; exact float re-rank of those m
-    * returns the top-k. With `m ≫ k` the quantization error (≤ ~1/254
-    * per component relative) cannot evict a true neighbor from the
-    * candidate set, so the output is IDENTICAL to `bruteForceTopK` —
-    * q103 pins that against the exact-kNN DuckDB oracle at every scale.
+    * returns the top-k. MEASURED output-identical to `bruteForceTopK`
+    * at the shipped (k, m) operating point — q103/q105 pin it against
+    * the exact-kNN DuckDB oracle at every fixture scale. That identity
+    * is an empirical property of the candidate margin absorbing the
+    * ≤ ~1/254-per-component rounding error, not a guarantee: near-ties
+    * beyond rank m can flip on other corpora/dims, so certify a new
+    * (k, m) point the same way (AnnTune sweep + exact-kNN comparison)
+    * before serving it — the discipline [[truncatedTopK]] documents.
     *
     * Approximate score: `dot_i8(cx, cq) · sx · sq / (‖x‖‖q‖)` — exact
     * cosine of the DEquantized vectors against the true norms. Per-query

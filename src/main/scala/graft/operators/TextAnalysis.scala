@@ -183,7 +183,13 @@ object TextAnalysis {
     require(alpha > 0.0, s"alpha must be positive: $alpha")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
     val arr = filter(split(col(textCol), " "), t => t =!= "")
-    // (tok, prev) pairs in document order; prev = null for the first token
+    // (tok, prev) pairs in document order; prev = null for the first token.
+    // The trailing isNotNull filter drops the row arrays_zip pads for an
+    // EMPTY token array (zipping [] against the [null] prev seed yields a
+    // (tok=null) row): without it an empty/whitespace-only document would
+    // inject a null unigram into the vocabulary, inflating |V| and N for
+    // every document's probability. Real first tokens always have
+    // tok != null, so only the padding row is removed.
     val stream = df
       .select(col(idCol), explode(arrays_zip(
         arr.as("tok"),
@@ -191,6 +197,7 @@ object TextAnalysis {
           slice(arr, lit(1), greatest(size(arr) - 1, lit(0)))).as("prev")))
         .as("z"))
       .select(col(idCol), col("z.tok").as("tok"), col("z.prev").as("prev"))
+      .filter(col("tok").isNotNull)
     val uni = stream.groupBy("tok").agg(count(lit(1)).as("c1"))
     val bi = stream.filter(col("prev").isNotNull)
       .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))

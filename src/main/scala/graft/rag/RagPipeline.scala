@@ -150,6 +150,51 @@ object RagPipeline {
       dim: Int = Embedder.DefaultDim): DataFrame = {
     val h = graft.sources.AnnIndex.ensureSq8(spark, sourceDir,
       index.select(col("chunk_id").as("vec_id"), col("embedding")))
+    sq8Serve(h, queries, index, k, m, dim)
+  }
+
+  /** [[retrieveSq8Persisted]]'s READER form — for callers that answer
+    * many times from one stored layout (the streaming chat loop,
+    * [[graft.streaming.StreamOps.persistedSq8Retriever]]): attaches via
+    * [[graft.sources.AnnIndex.openSq8]] (meta read + catalog attach or
+    * refresh — NO fingerprint scan of the float chunk index), falling
+    * back to `ensureSq8` only when no layout exists yet (the first
+    * trigger builds it). Per-call cost is then actually the compressed
+    * codes scan the SQ8 docstrings promise; `ensureSq8`'s per-call
+    * freshness probe would pay a full count+xxhash pass over the float
+    * table per trigger. Freshness contract is the reader's: a concurrent
+    * [[graft.streaming.StreamOps.streamingSq8Upsert]] writer on the same
+    * `sourceDir` keeps the layout current; a drifted BATCH corpus needs
+    * the `ensure` path instead.
+    */
+  def retrieveSq8Served(
+      spark: SparkSession,
+      sourceDir: String,
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
+      m: Int = 32,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    val h =
+      try graft.sources.AnnIndex.openSq8(spark, sourceDir)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          graft.sources.AnnIndex.ensureSq8(spark, sourceDir,
+            index.select(col("chunk_id").as("vec_id"), col("embedding")))
+      }
+    sq8Serve(h, queries, index, k, m, dim)
+  }
+
+  /** Shared SQ8 serving tail: embed the query batch, query the stored
+    * codes (compressed scan + exact re-rank), re-attach chunk metadata.
+    */
+  private def sq8Serve(
+      h: graft.sources.AnnIndex.Sq8Handle,
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int,
+      m: Int,
+      dim: Int): DataFrame = {
     val q = queries
       .withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
       .select("query_id", "query_vec")

@@ -1025,6 +1025,50 @@ object AnnIndex {
     sq8Handle(spark, tag)
   }
 
+  /** Compact the persisted SQ8 layout: [[upsertSq8]] /
+    * [[graft.streaming.StreamOps.streamingSq8Upsert]] append one file
+    * set per micro-batch into each bucketed table, and after thousands
+    * of triggers file count — not row count — is what erodes scan
+    * planning (the codes scan's whole point is bandwidth; a
+    * small-files layout gives that back in open/seek overhead).
+    * Rewrites both tables' IDENTICAL rows at the same (bucketing, sort)
+    * spec; the meta (n_rows, checksum, last_batch_id) is untouched, so
+    * every freshness and replay contract keeps holding.
+    *
+    * Crash safety (the [[compactLsh]] / [[KeywordIndex.compactPostings]]
+    * discipline): each compacted copy lands in a SIDE directory and
+    * swaps in by rename. A crash between the two tables' swaps leaves a
+    * mixed but logically identical layout; a crash inside one rename
+    * window leaves that dir missing — [[openSq8]] and [[upsertSq8]]
+    * fail loudly, and [[ensureSq8]]'s `servable` probe reads the
+    * unreadable layout as STALE and rebuilds (the recovery path);
+    * leftover side/old dirs are swept by the next compaction. Not safe
+    * concurrent with a writer — run between ingest windows.
+    */
+  def compactSq8(spark: SparkSession, sourceDir: String): Sq8Handle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = sq8Base(spark, tag)
+    openSq8(spark, sourceDir) // validates meta + attaches + refreshes
+    val sb = readMeta(base)("buckets").toInt
+    def compactOne(table: String, sub: String): Unit = {
+      sweepStaleCompaction(base, sub)
+      val side = s"$base/${sub}_compact_${ProcessHandle.current.pid}"
+      val tmp = s"${table}_compact"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      spark.table(table).write.mode(SaveMode.Overwrite)
+        .option("path", side)
+        .bucketBy(sb, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $tmp") // external: catalog entry only
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      swapDir(s"$base/$sub", side)
+    }
+    compactOne(s"graft_sq8_codes_$tag", "codes")
+    compactOne(s"graft_sq8_vecs_$tag", "vecs")
+    attachSq8(spark, tag, sb)
+    sq8Handle(spark, tag)
+  }
+
   /** Query the persisted SQ8 index: integer-dot approximate cosine over
     * the stored codes selects `m` candidates per query (bounded TopKAgg
     * — O(partitions · queries · m) shuffle), exact float re-rank of the

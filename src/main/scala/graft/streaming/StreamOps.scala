@@ -246,16 +246,20 @@ object StreamOps {
       queries.sparkSession, sourceDir, queries, index, k)
 
   /** A [[streamingChat]] retriever serving from the PERSISTED SQ8
-    * quantized index ([[graft.rag.RagPipeline.retrieveSq8Persisted]]):
+    * quantized index ([[graft.rag.RagPipeline.retrieveSq8Served]]):
     * every micro-batch answers from the stored int8 codes (4× less
     * scan I/O than the float chunk index) with exact re-rank of the m
     * winners — output-identical to the default dense retriever at the
     * shipped m (the q108 equality), so swapping it in changes the I/O
-    * profile, not the answers.
+    * profile, not the answers. The first trigger builds (or attaches
+    * to) the layout; later triggers go through the no-probe
+    * [[graft.sources.AnnIndex.openSq8]] reader, so a trigger costs the
+    * compressed codes scan — not a per-batch fingerprint pass over the
+    * float chunk index.
     */
   def persistedSq8Retriever(sourceDir: String)
       : (DataFrame, DataFrame, Int) => DataFrame =
-    (queries, index, k) => graft.rag.RagPipeline.retrieveSq8Persisted(
+    (queries, index, k) => graft.rag.RagPipeline.retrieveSq8Served(
       queries.sparkSession, sourceDir, queries, index, k)
 
   /** Streaming retrieval served by the PERSISTED LSH index: each query

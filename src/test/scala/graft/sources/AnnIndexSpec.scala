@@ -329,6 +329,67 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(h3.codes.count() === rows2.count())
   }
 
+  test("compactSq8 rewrites streamed appends into few files per table " +
+      "with identical answers and untouched meta contracts") {
+    val src = s"spec-$runTag-sq8k"
+    AnnIndex.ensureSq8(spark, src, emb.filter(col("vec_id") % 10 =!= 7))
+    // three batchId'd appends -> three extra file sets per table
+    val tail = emb.filter(col("vec_id") % 10 === 7).collect()
+    tail.grouped(tail.length / 3 + 1).zipWithIndex.foreach {
+      case (chunk, i) =>
+        import spark.implicits._
+        AnnIndex.upsertSq8(spark, src,
+          chunk.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+            .toDF("vec_id", "embedding"),
+          batchId = Some(i.toLong))
+    }
+    val before = AnnIndex.openSq8(spark, src)
+    val beforeHits = hits(AnnIndex.querySq8(queries, before, k = 4, m = 32))
+    val beforeFiles = before.codes.inputFiles.length
+    val h = AnnIndex.compactSq8(spark, src)
+    assert(h.codes.inputFiles.length < beforeFiles,
+      s"no file-count win ($beforeFiles -> ${h.codes.inputFiles.length})")
+    assert(hits(AnnIndex.querySq8(queries, h, k = 4, m = 32))
+      === beforeHits)
+    // the compacted layout still serves the EXACT kNN result (the q105
+    // identity survives compaction of a many-batch layout)
+    assert(beforeHits ===
+      hits(SimilaritySearch.bruteForceTopK(queries, emb, k = 4)))
+    // replay guard survives: re-applying the last batchId is a no-op
+    val n1 = h.codes.count()
+    import spark.implicits._
+    val h2 = AnnIndex.upsertSq8(spark, src,
+      tail.take(5).map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .toSeq.toDF("vec_id", "embedding"),
+      batchId = Some(0L))
+    assert(h2.codes.count() === n1, "replay guard lost by compaction")
+    // and a genuinely NEW batch appends into the compacted layout
+    val h3 = AnnIndex.upsertSq8(spark, src,
+      tail.take(5).map(r => (r.getLong(0) + 900000L,
+        r.getSeq[Float](1).toArray)).toSeq.toDF("vec_id", "embedding"),
+      batchId = Some(3L))
+    assert(h3.codes.count() === n1 + 5,
+      "live append into the compacted table failed")
+  }
+
+  test("a crashed SQ8 compaction's rename window (live dir missing under " +
+      "a matching meta) is recovered by ensureSq8 as a rebuild") {
+    val src = s"spec-$runTag-sq8m"
+    val h0 = AnnIndex.ensureSq8(spark, src, emb)
+    val expected = hits(AnnIndex.querySq8(queries, h0, k = 4, m = 32))
+    val tag = IndexStore.pathTag(src)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(s"/tmp/graft_ann_sq8_$tag/codes").toFile)
+    // openSq8 / upsertSq8 must fail loudly on the gutted layout…
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.openSq8(spark, src)
+    }
+    assert(e.getMessage.contains("unreadable"))
+    // …and ensureSq8 treats it as stale and rebuilds
+    val h = AnnIndex.ensureSq8(spark, src, emb)
+    assert(hits(AnnIndex.querySq8(queries, h, k = 4, m = 32)) === expected)
+  }
+
   test("upserted SQ8 index answers identically to one built on the full " +
       "set, and the composed checksum satisfies a later ensure") {
     val src = s"spec-$runTag-sq8up"
