@@ -37,7 +37,8 @@ object PlanDump {
       "q97_vocab_coverage" -> "vocabulary induction: one wordcount aggregate (the only corpus exchange) + TakeOrdered top-V; rank/cumsum from a broadcast self-join over the V-row result — no global sort, no single-partition window anywhere",
       "q103_sq8_ann" -> "SQ8 quantized ANN: per-row int8 quantization fused into the scan projection, broadcast query side, integer-dot approximate scoring, bounded partial_top_k candidate selection, exact re-rank joined by id — the float vectors never ride the candidate exchange",
       "q104_lm_score" -> "n-gram LM scoring: two map-side-combinable count aggregates build the model (the only corpus-keyed exchanges besides the scoring joins), token stream hash-joins against them, (N, |V|) scalars broadcast, doc-keyed partial avg — no window, no self-join",
-      "q105_sq8_persisted" -> "persisted SQ8 serving: the approximate scan reads the stored codes table (binary codes — 1/4 the bytes of the float table), bounded partial_top_k, re-rank id-join against the co-bucketed float table")
+      "q105_sq8_persisted" -> "persisted SQ8 serving: the approximate scan reads the stored codes table (binary codes — 1/4 the bytes of the float table), bounded partial_top_k, re-rank id-join against the co-bucketed float table",
+      "q109_ivfsq8_persisted" -> "COMPOSED IVF-SQ8 (invariant query — the plan also carries the float-IVF and exact-kNN verification branches): the composed branch scans graft_ivfsq8_lists_* under a dynamicpruningexpression on centroid_id (unprobed list directories never read) at int8 codes width, integer-dot approximate scoring, bounded partial_top_k, exact re-rank id-join against the co-bucketed float table — probed-row pruning × 4×-smaller scanned rows multiplied in one plan")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.PlanDump` on sf0.01. What to look for:\n")

@@ -335,14 +335,97 @@ object SimilaritySearch {
       centroids: DataFrame,
       nProbe: Int): DataFrame = {
     val assigned = assignToCentroids(index, centroids)
+    assigned.join(broadcast(ivfProbes(queries, centroids, nProbe)),
+        Seq("centroid_id"))
+      .select("query_id", "vec_id")
+  }
+
+  /** The per-query probe set: the `nProbe` centroid ids closest to each
+    * query — (query_id, centroid_id), tiny (bounded by the QUERY batch ×
+    * nProbe, never by the index). Shared by [[ivfCandidates]],
+    * [[ivfSq8Candidates]] and [[graft.sources.AnnIndex.queryIvf]].
+    */
+  private[graft] def ivfProbes(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
     val qw = Window.partitionBy("query_id").orderBy(desc("qsim"), asc("centroid_id"))
-    val probes = queries.crossJoin(broadcast(centroids))
+    queries.crossJoin(broadcast(centroids))
       .withColumn("qsim", VectorOps.cosine(col("query_vec"), col("centroid_vec")))
       .withColumn("qrk", row_number().over(qw))
       .filter(col("qrk") <= nProbe)
       .select(col("query_id"), col("centroid_id"))
-    assigned.join(broadcast(probes), Seq("centroid_id"))
-      .select("query_id", "vec_id")
+  }
+
+  /** [[assignWithVecs]] composed with per-row SQ8 quantization: the
+    * IVF-SQ8 inverted-list materialization — one row per vector carrying
+    * its int8 codes (NOT its float embedding) under its nearest
+    * centroid, the layout [[graft.sources.AnnIndex.ensureIvfSq8]]
+    * persists partitioned by `centroid_id`.
+    */
+  private[graft] def assignQuantized(
+      index: DataFrame, centroids: DataFrame): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.{max_abs, quantize_i8}
+    assignWithVecs(index, centroids)
+      .select(col("centroid_id"), col("vec_id"),
+        quantize_i8(col("embedding")).as("codes"),
+        (max_abs(col("embedding")) / 127.0).as("qscale"),
+        VectorOps.l2Norm(col("embedding")).as("qnorm"))
+  }
+
+  /** IVF-SQ8 candidate ids: probe the `nProbe` closest inverted lists,
+    * scan ONLY those lists' int8 codes (integer-dot approximate cosine),
+    * keep the top `m` per query. The two measured scan reductions
+    * multiply: probed-lists row pruning (IVF) × 4×-smaller bytes per
+    * scanned row (SQ8). `qlists` is the quantized-list layout of
+    * [[assignQuantized]]; each probe row carries its query's quantized
+    * codes so the scan stage needs no second query-side join.
+    */
+  private[graft] def ivfSq8Candidates(
+      queries: DataFrame,
+      qlists: DataFrame, // (centroid_id, vec_id, codes, qscale, qnorm)
+      centroids: DataFrame,
+      nProbe: Int,
+      m: Int): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    import graft.functions.expressions.VectorExpressions.dot_i8
+    val qq = quantizeIndex(queries, idCol = "query_id", vecCol = "query_vec")
+      .select(col("query_id"), col("codes").as("qcodes"),
+        col("qscale").as("qqscale"), col("qnorm").as("qqnorm"))
+    val probes = ivfProbes(queries, centroids, nProbe).join(qq, Seq("query_id"))
+    qlists
+      .join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("ascore",
+        when(col("qnorm") * col("qqnorm") === 0.0, lit(0.0))
+          .otherwise(dot_i8(col("codes"), col("qcodes")).cast("double")
+            * col("qscale") * col("qqscale")
+            / (col("qnorm") * col("qqnorm"))))
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
+  }
+
+  /** Composed IVF-SQ8 ANN, in-memory form (the direct/demo path —
+    * [[graft.sources.AnnIndex.ensureIvfSq8]]/`queryIvfSq8` is the
+    * serving shape): probe → quantized-list scan → exact float re-rank
+    * of the m winners. Relative to [[ivfTopK]] at the same (centroids,
+    * nProbe), the inner SQ8 layer is MEASURED output-identical at the
+    * shipped m (`AnnTune ivfsq8`; the q109 invariant pins both that
+    * identity and the recall floor vs the exact kNN in CI) — so the
+    * composition inherits exactly IVF's probe recall while scanning a
+    * quarter of the bytes per probed row. Certify a new (nProbe, m)
+    * point the same way before serving it.
+    */
+  def ivfSq8TopK(
+      queries: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      k: Int = 4,
+      nProbe: Int = 2,
+      m: Int = 32): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    rerank(
+      ivfSq8Candidates(queries, assignQuantized(index, centroids),
+        centroids, nProbe, m),
+      queries, index, k)
   }
 
   /** Deterministic Lloyd refinement: start from the given centroids (e.g.

@@ -660,6 +660,44 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // COMPOSED IVF-SQ8 serving: int8 codes INSIDE the probed inverted
+    // lists (faiss's IVFx,SQ8 layout natively) — probed-row pruning ×
+    // 4× fewer bytes per scanned row, the two measured wins multiplied.
+    // The IVF probe is approximate by design (q37/q68), so the oracle
+    // pins what IS exact: (a) ZERO symmetric difference between the
+    // composed path and the FLOAT persisted IVF at the same operating
+    // point (64 lists / nProbe=24) — the SQ8 layer inside the probed
+    // lists is output-lossless, measured at every fixture scale and at
+    // m=16 and 32 (AnnTune ivfsq8); (b) recall@4 vs the exact kNN
+    // clears q68's 0.84 IVF floor. Both layouts train the same
+    // deterministic k-means, so (a) is an equality, not a floor.
+    "q109_ivfsq8_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val ivfH = graft.sources.AnnIndex.ensureIvf(s, dir,
+        emb.select("vec_id", "embedding"), lists = 64, iters = 5)
+      val ivf = graft.sources.AnnIndex.queryIvf(q, ivfH, k = 4, nProbe = 24)
+        .select("query_id", "rank", "vec_id")
+      val h = graft.sources.AnnIndex.ensureIvfSq8(s, dir,
+        emb.select("vec_id", "embedding"), lists = 64, iters = 5)
+      val composed = graft.sources.AnnIndex
+        .queryIvfSq8(q, h, k = 4, nProbe = 24, m = 32)
+        .select("query_id", "rank", "vec_id")
+      val exact = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+        .select("query_id", "vec_id")
+      composed.agg(count(lit(1)).as("n_composed"))
+        .crossJoin(composed.exceptAll(ivf)
+          .unionByName(ivf.exceptAll(composed))
+          .agg(count(lit(1)).as("n_diff_ivf")))
+        .crossJoin(exact.agg(count(lit(1)).as("ne"))
+          .crossJoin(exact
+            .join(composed.select("query_id", "vec_id"),
+              Seq("query_id", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("hits")))
+          .select((col("hits") >= col("ne") * 0.84).as("recall_floor_ok")))
+    }),
+
     // Domain-mixture reweighting: per-language sampling rates hitting a
     // target token mixture — the largest feasible downsample-only mix
     // (T* = min over langs of tokens/share); one corpus aggregate, all
@@ -2090,6 +2128,13 @@ object PipelineQueries {
     "q103_sq8_ann" -> knnExactOracle,
     // the persisted SQ8 path serves the identical output
     "q105_sq8_persisted" -> knnExactOracle,
+    // composed IVF-SQ8: SQ8-inside-lists ≡ float IVF (zero diff) and
+    // the q68 recall floor holds — 8 queries × k=4
+    "q109_ivfsq8_persisted" ->
+      """SELECT CAST(4 * count(*) AS BIGINT) AS n_composed,
+        |CAST(0 AS BIGINT) AS n_diff_ivf,
+        |true AS recall_floor_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
     // LM retraining replay: identical add-α interpolated bigram model
     // (α=0.1, λ=0.7) trained and scored relationally — unigram/bigram
     // count CTEs, lag() for the previous token, the same first-token

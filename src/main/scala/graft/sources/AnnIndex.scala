@@ -833,14 +833,7 @@ object AnnIndex {
       handle: IvfHandle,
       k: Int = 4,
       nProbe: Int = 2): DataFrame = {
-    import graft.functions.VectorOps
-    val qw = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("qsim"), asc("centroid_id"))
-    val probes = queries.crossJoin(broadcast(handle.centroids))
-      .withColumn("qsim", VectorOps.cosine(col("query_vec"), col("centroid_vec")))
-      .withColumn("qrk", row_number().over(qw))
-      .filter(col("qrk") <= nProbe)
-      .select(col("query_id"), col("centroid_id"))
+    val probes = SimilaritySearch.ivfProbes(queries, handle.centroids, nProbe)
     // Partition pruning WITHOUT a driver round-trip: the broadcast join
     // on the partition column triggers dynamic partition pruning on the
     // partitioned lists scan (only probed centroid_id directories are
@@ -1067,6 +1060,205 @@ object AnnIndex {
     compactOne(s"graft_sq8_vecs_$tag", "vecs")
     attachSq8(spark, tag, sb)
     sq8Handle(spark, tag)
+  }
+
+  // ------------------------------------------------------------- IVF-SQ8
+
+  /** Persisted COMPOSED index — int8 codes INSIDE the probed inverted
+    * lists, the production 100 TB ANN serving layout (faiss's
+    * `IVFx,SQ8` factory string, public): `lists` holds (vec_id, codes,
+    * qscale, qnorm) partitioned by `centroid_id`, so a query prunes
+    * BOTH dimensions of scan cost at once — probed-lists row pruning
+    * (IVF) × 4×-smaller bytes per scanned row (SQ8), multiplying the
+    * two separately-measured wins. `vecs` keeps the float vectors
+    * bucketed by vec_id for the exact re-rank of the m winners.
+    */
+  final case class IvfSq8Handle(centroids: DataFrame, lists: DataFrame,
+      vecs: DataFrame)
+
+  private def ivfSq8Base(spark: SparkSession, tag: String) =
+    s"${annBase(spark)}/graft_ann_ivfsq8_$tag"
+
+  private def ivfSq8Registered(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(s"graft_ivfsq8_lists_$tag") &&
+      spark.catalog.tableExists(s"graft_ivfsq8_vecs_$tag")
+
+  private def attachIvfSq8(spark: SparkSession, tag: String,
+      storageBuckets: Int): Unit = {
+    val base = ivfSq8Base(spark, tag)
+    spark.sql(s"DROP TABLE IF EXISTS graft_ivfsq8_lists_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_ivfsq8_vecs_$tag")
+    registerExternal(spark, s"graft_ivfsq8_lists_$tag", s"$base/lists",
+      partitionedBy = Some("centroid_id"))
+    registerExternal(spark, s"graft_ivfsq8_vecs_$tag", s"$base/vecs",
+      clusteredBy = Some(("vec_id", storageBuckets)))
+  }
+
+  private def ivfSq8Handle(spark: SparkSession, tag: String): IvfSq8Handle =
+    IvfSq8Handle(
+      spark.read.parquet(s"${ivfSq8Base(spark, tag)}/centroids"),
+      spark.table(s"graft_ivfsq8_lists_$tag"),
+      spark.table(s"graft_ivfsq8_vecs_$tag"))
+
+  /** Build (or reuse) the persisted IVF-SQ8 layout: k-means centroids
+    * train on the float vectors (same deterministic hash-draw + Lloyd
+    * recipe and operating point as [[ensureIvf]]); the inverted lists
+    * land QUANTIZED (one per-row projection over the assignment — the
+    * float embedding never reaches the list layout); the float table
+    * lands bucketed by vec_id for the shuffle-free re-rank join.
+    * Freshness follows the `ensureLsh` discipline (O(1) snapshot-id
+    * trust, content fingerprint fallback, shared `servable` recovery
+    * probe, meta committed after the data).
+    */
+  def ensureIvfSq8(
+      spark: SparkSession,
+      sourceDir: String,
+      index: DataFrame,
+      lists: Int = 64,
+      iters: Int = 5,
+      storageBuckets: Int = 8,
+      snapshotId: Option[String] = None): IvfSq8Handle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfSq8Base(spark, tag)
+    val listsTable = s"graft_ivfsq8_lists_$tag"
+    val vecsTable = s"graft_ivfsq8_vecs_$tag"
+    val centsPath = s"$base/centroids"
+    def serv(): Boolean = servable(spark,
+      Seq(s"$base/lists", s"$base/vecs", centsPath),
+      ivfSq8Registered(spark, tag),
+      () => attachIvfSq8(spark, tag, storageBuckets))
+    def opFresh(meta: Map[String, Long]): Boolean =
+      meta.get("lists").contains(lists.toLong) &&
+        meta.get("iters").contains(iters.toLong) &&
+        meta.get("buckets").contains(storageBuckets.toLong)
+    val snapFresh = snapshotId.exists(id =>
+      readMetaStrs(base).get("snapshot_id").contains(id) &&
+        opFresh(readMeta(base)))
+    if (snapFresh && serv()) return ivfSq8Handle(spark, tag)
+    val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
+    val meta = readMeta(base)
+    val metaFresh = opFresh(meta) &&
+      meta.get("n_rows").contains(n) &&
+      meta.get("checksum").contains(fp) && serv()
+    if (!metaFresh) {
+      val cents = SimilaritySearch.kMeansCentroids(
+        index.select("vec_id", "embedding"), lists, iters)
+      cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
+      val qlists = SimilaritySearch.assignQuantized(
+        index.select("vec_id", "embedding"), spark.read.parquet(centsPath))
+      spark.sql(s"DROP TABLE IF EXISTS $listsTable")
+      qlists.write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/lists")
+        .partitionBy("centroid_id")
+        .format("parquet").saveAsTable(listsTable)
+      spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
+      index.select("vec_id", "embedding").write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/vecs")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(vecsTable)
+    }
+    if (!metaFresh || snapshotId.isDefined)
+      writeMetaFull(base,
+        Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
+          "buckets" -> storageBuckets.toLong,
+          "n_rows" -> n, "checksum" -> fp,
+          "n_base" -> (if (metaFresh) meta.getOrElse("n_base", n) else n)) ++
+          readMeta(base).get("last_batch_id")
+            .map("last_batch_id" -> _).toSeq,
+        snapshotId.map("snapshot_id" -> _).toSeq)
+    ivfSq8Handle(spark, tag)
+  }
+
+  /** Incremental add into an existing persisted IVF-SQ8 index: new
+    * vectors are assigned to the STORED centroids and appended quantized
+    * into the partitioned lists (plus float rows into `vecs`) — O(new)
+    * per batch. Inherits BOTH parents' contracts: [[upsertIvf]]'s
+    * centroid-drift gate (`spark.graft.ann.ivf.maxTailRatio` — the
+    * SQ8 layer itself is per-row and drift-free, the centroids are
+    * not) and [[upsertSq8]]'s batchId replay-skip; the meta checksum
+    * xor-composes. Any stored snapshot id is dropped (the layout moves
+    * ahead of the snapshot that id named).
+    */
+  def upsertIvfSq8(
+      spark: SparkSession,
+      sourceDir: String,
+      newVecs: DataFrame,
+      lists: Int = 64,
+      iters: Int = 5,
+      storageBuckets: Int = 8,
+      batchId: Option[Long] = None): IvfSq8Handle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfSq8Base(spark, tag)
+    val centsPath = s"$base/centroids"
+    val meta = readMeta(base)
+    require(meta.get("lists").contains(lists.toLong) &&
+      meta.get("iters").contains(iters.toLong) &&
+      meta.get("buckets").contains(storageBuckets.toLong),
+      s"upsertIvfSq8 needs an existing index at the same operating point " +
+        s"(lists=$lists iters=$iters buckets=$storageBuckets); found $meta")
+    require(parquetReadable(spark, s"$base/lists") &&
+      parquetReadable(spark, s"$base/vecs") &&
+      parquetReadable(spark, centsPath),
+      s"persisted IVF-SQ8 layout for '$sourceDir' is unreadable — run " +
+        "ensureIvfSq8 to rebuild before upserting")
+    if (!ivfSq8Registered(spark, tag))
+      attachIvfSq8(spark, tag, storageBuckets)
+    val replayed = batchId.exists(id =>
+      meta.get("last_batch_id").exists(id <= _))
+    if (replayed) return ivfSq8Handle(spark, tag)
+    val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
+    val nBase = meta.getOrElse("n_base", meta("n_rows"))
+    val tailAfter = meta("n_rows") + nNew - nBase
+    val maxRatio = ivfMaxTailRatio(spark)
+    if (nBase > 0 && tailAfter > maxRatio * nBase)
+      throw new IllegalStateException(
+        f"upsertIvfSq8 drift gate: upserted tail would reach $tailAfter " +
+          f"rows against a trained base of $nBase " +
+          f"(ratio ${tailAfter.toDouble / nBase}%.2f > $maxRatio%.2f). " +
+          "Rebuild with ensureIvfSq8 to retrain centroids, or raise " +
+          "spark.graft.ann.ivf.maxTailRatio.")
+    SimilaritySearch.assignQuantized(
+        newVecs.select("vec_id", "embedding"), spark.read.parquet(centsPath))
+      .write.mode(SaveMode.Append)
+      .partitionBy("centroid_id")
+      .format("parquet").saveAsTable(s"graft_ivfsq8_lists_$tag")
+    newVecs.select("vec_id", "embedding").write.mode(SaveMode.Append)
+      .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(s"graft_ivfsq8_vecs_$tag")
+    writeMetaFull(base,
+      Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
+        "buckets" -> storageBuckets.toLong,
+        "n_rows" -> (meta("n_rows") + nNew),
+        "checksum" -> (meta("checksum") ^ fpNew),
+        "n_base" -> nBase) ++
+        batchId.orElse(meta.get("last_batch_id"))
+          .map("last_batch_id" -> _).toSeq,
+      Nil)
+    ivfSq8Handle(spark, tag)
+  }
+
+  /** Query the persisted IVF-SQ8 index: rank centroids per query
+    * (broadcast, tiny), scan ONLY the probed lists' int8 codes — the
+    * broadcast probe join on the partition column triggers dynamic
+    * partition pruning, so unprobed list directories are never read and
+    * the probed ones are read at a quarter of the float bytes — then
+    * exact float re-rank of the m winners against the co-bucketed
+    * `vecs` table. The SQ8 layer is measured output-identical to
+    * [[queryIvf]] at the same (lists, nProbe) for m ≫ k (`AnnTune
+    * ivfsq8`; the q109 invariant pins it in CI), so the composition
+    * inherits exactly the IVF probe recall at the operating point.
+    */
+  def queryIvfSq8(
+      queries: DataFrame,
+      handle: IvfSq8Handle,
+      k: Int = 4,
+      nProbe: Int = 24,
+      m: Int = 32): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    SimilaritySearch.rerank(
+      SimilaritySearch.ivfSq8Candidates(queries, handle.lists,
+        handle.centroids, nProbe, m),
+      queries, handle.vecs, k)
   }
 
   /** Query the persisted SQ8 index: integer-dot approximate cosine over

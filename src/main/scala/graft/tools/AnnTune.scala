@@ -191,6 +191,42 @@ object AnnTune {
       big.unpersist(); qd.unpersist()
     }
 
+    // "ivfsq8": the composed index — int8 codes inside the probed
+    // lists. Reports, per (nProbe, m) at the q37 centroid set
+    // (64 lists / 5 Lloyd iters, hash seeding): recall vs the exact
+    // kNN, whether the output is IDENTICAL to the exact kNN, and
+    // whether it is IDENTICAL to the float IVF at the same nProbe —
+    // the second identity isolates the SQ8 layer's contribution (m ≫ k
+    // should make it lossless within the probed set, the q103 margin
+    // argument applied per-probe).
+    if (mode == "ivfsq8") {
+      val cents = SimilaritySearch
+        .kMeansCentroids(emb.select("vec_id", "embedding"), 64, 5).cache()
+      cents.count()
+      def ranked(df: DataFrame): Set[(Long, Int, Long)] =
+        df.select("query_id", "rank", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val exactR = ranked(SimilaritySearch.bruteForceTopK(q, emb, k))
+      for (nProbe <- Seq(16, 24, 32, 40, 48, 56, 64)) {
+        val ivfR = ranked(SimilaritySearch.ivfTopK(q, emb, cents, k, nProbe))
+        val nCand = SimilaritySearch
+          .ivfCandidates(q, emb, cents, nProbe).count()
+        for (m <- Seq(16, 32)) {
+          val t0 = System.nanoTime()
+          val got = ranked(
+            SimilaritySearch.ivfSq8TopK(q, emb, cents, k, nProbe, m))
+          val recall = (exact &
+            got.map(t => (t._1, t._3))).size.toDouble / exact.size
+          val frac = nCand.toDouble / (nQueries * nIndex)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"ivfsq8 nProbe=$nProbe%-2d m=$m%-3d recall=$recall%.3f " +
+            f"exact_ident=${got == exactR}%-5s ivf_ident=${got == ivfR}%-5s " +
+            f"candFrac=$frac%.3f sec=$sec%.1f")
+        }
+      }
+      cents.unpersist()
+    }
+
     // "mrl": truncated-dimension coarse ranking — smallest (d, m) at
     // which first-d-components scoring + exact re-rank is output-
     // identical to the exact kNN. Generic (non-MRL-trained) fixture

@@ -237,4 +237,34 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("graft_sq8_codes_") || p.contains("graft_ann_sq8_"), p)
     assert(p.toLowerCase.contains("partial_topkagg"), p)
   }
+
+  test("q109 composed IVF-SQ8: DPP prunes unprobed quantized-list " +
+      "partitions; the probed scan reads stored codes with the bounded " +
+      "map-side top-k; no driver-materialized id list") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val q = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val h = graft.sources.AnnIndex.ensureIvfSq8(spark, "plans-ivfsq8",
+      emb, lists = 8, iters = 2)
+    val p = graft.sources.AnnIndex
+      .queryIvfSq8(q, h, k = 4, nProbe = 3, m = 16)
+      .queryExecution.executedPlan.toString
+    // the approximate scan hits the persisted quantized lists…
+    assert(p.contains("graft_ivfsq8_lists_") ||
+      p.contains("graft_ann_ivfsq8_"), p)
+    // …with unprobed centroid directories pruned at runtime (the q37
+    // DPP discipline — plan identical at any query-batch size)
+    assert(p.contains("dynamicpruningexpression"), p)
+    val partFilters = p.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(!partFilters.exists(_.contains("INSET")),
+      s"driver-collected centroid ids leaked into a partition filter:\n${
+        partFilters.mkString("\n")}")
+    // …candidate selection stays the bounded map-side top-k
+    assert(p.toLowerCase.contains("partial_topkagg"), p)
+  }
 }

@@ -390,6 +390,62 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hits(AnnIndex.querySq8(queries, h, k = 4, m = 32)) === expected)
   }
 
+  test("persisted IVF-SQ8 equals the in-memory composed path AND the " +
+      "float IVF at the same operating point") {
+    val src = s"spec-$runTag-ivfsq8"
+    val h = AnnIndex.ensureIvfSq8(spark, src, emb, lists = 8, iters = 3)
+    val persisted = hits(AnnIndex.queryIvfSq8(queries, h, k = 4,
+      nProbe = 3, m = 16))
+    val inMemory = hits(SimilaritySearch.ivfSq8TopK(queries, emb,
+      h.centroids, k = 4, nProbe = 3, m = 16))
+    assert(persisted === inMemory)
+    // the SQ8 layer inside the probed lists is lossless: identical to
+    // the float IVF at the same (centroids, nProbe)
+    val ivfFloat = hits(SimilaritySearch.ivfTopK(queries, emb,
+      h.centroids, k = 4, nProbe = 3))
+    assert(persisted === ivfFloat)
+    assert(persisted.nonEmpty)
+    // codes table holds int8 codes partitioned by centroid, no floats
+    assert(h.lists.schema("codes").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    assert(!h.lists.columns.contains("embedding"),
+      "quantized lists must not carry the float vectors")
+  }
+
+  test("upserted IVF-SQ8 lists equal a full quantized assignment against " +
+      "the stored centroids, and the drift gate fires") {
+    val src = s"spec-$runTag-ivfsq8up"
+    val baseRows = emb.filter(col("vec_id") % 10 =!= 7)
+    val tailRows = emb.filter(col("vec_id") % 10 === 7)
+    AnnIndex.ensureIvfSq8(spark, src, baseRows, lists = 8, iters = 3)
+    val h = AnnIndex.upsertIvfSq8(spark, src, tailRows, lists = 8, iters = 3)
+    val expected = SimilaritySearch.assignQuantized(emb, h.centroids)
+      .select("centroid_id", "vec_id")
+    val stored = h.lists.select("centroid_id", "vec_id")
+    assert(expected.exceptAll(stored).count() === 0, "missing assignments")
+    assert(stored.exceptAll(expected).count() === 0, "extra assignments")
+    assert(h.vecs.count() === emb.count())
+    // replayed batch id is a no-op
+    val n1 = h.lists.count()
+    val h2 = AnnIndex.upsertIvfSq8(spark, src,
+      tailRows.select((col("vec_id") + 700000L).as("vec_id"),
+        col("embedding")), lists = 8, iters = 3, batchId = Some(0L))
+    AnnIndex.upsertIvfSq8(spark, src,
+      tailRows.select((col("vec_id") + 700000L).as("vec_id"),
+        col("embedding")), lists = 8, iters = 3, batchId = Some(0L))
+    assert(h2.lists.count() === n1 + tailRows.count(),
+      "replayed batch must be skipped")
+    // drift gate: a tail overwhelming the trained base fails loudly
+    val e = intercept[IllegalStateException] {
+      AnnIndex.upsertIvfSq8(spark, src,
+        emb.select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+          .unionByName(emb.select((col("vec_id") + 900000L).as("vec_id"),
+            col("embedding"))),
+        lists = 8, iters = 3)
+    }
+    assert(e.getMessage.contains("drift"))
+  }
+
   test("upserted SQ8 index answers identically to one built on the full " +
       "set, and the composed checksum satisfies a later ensure") {
     val src = s"spec-$runTag-sq8up"
