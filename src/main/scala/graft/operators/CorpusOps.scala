@@ -241,32 +241,60 @@ object CorpusOps {
     * word occurrence AFTER all merges — the coverage the learned vocab
     * buys. Stops early (fewer rows) if the vocabulary fully merges.
     *
-    * Representation: each word is a string of U+0001-prefixed
-    * symbols ("<U+1>l<U+1>o<U+1>w"), so applying a merge is exactly
-    * `replace(rep, S+lhs+S+rhs, S+lhs+rhs)` with S = U+0001 — standard
-    * scan-left replace-all gives precisely the greedy merge, with no
-    * cross-symbol false matches (tokens must not contain U+0001), and
-    * an ANSI-SQL oracle can replay the identical training run.
+    * Representation: each word is a string of DELIMITED symbols —
+    * every symbol wrapped as S+sym+T with S = U+0001, T = U+0002
+    * ("<S>l<T><S>o<T><S>w<T>") — so applying a merge is exactly
+    * `replace(rep, S+lhs+T+S+rhs+T, S+lhs+rhs+T)`: scan-left
+    * replace-all gives precisely the greedy left-to-right merge, and
+    * BOTH symbol boundaries are anchored. The closing T is what makes
+    * the replace sound: with prefix-only sentinels (a previous
+    * revision), the pattern S+lhs+S+rhs could match where `rhs` is a
+    * strict PREFIX of the actual symbol — e.g. after (s,t)→st, the
+    * pair (a,s) would corrupt "f·a·st" into "f·ast", silently gluing
+    * partial symbols (caught by the [[bpeMergesLocal]] cross-check).
+    * Adjacent matches share no characters, so replace-all equals the
+    * per-symbol scan exactly. Pair counting strips T and splits on S —
+    * the counting path was always boundary-exact. Tokens must not
+    * contain U+0001 or U+0002. An ANSI-SQL oracle replays the
+    * identical training run with the same two-sentinel replace.
     *
     * Scale shape (the BPE-on-counts formulation): the corpus is
     * touched ONCE (the wordcount aggregate); every round thereafter
     * runs over the distinct-word vocabulary — orders of magnitude
     * smaller. Per round: one map-side-combinable pair-count aggregate
-    * plus a 1-row argmax collect (the k-bounded driver collect
+    * plus a batch-bounded collect (the k-bounded driver collect
     * discipline of kMeansCentroids), and a localCheckpoint keeps the
     * replace-chain lineage flat (the alternating-CC loop discipline).
+    *
+    * `batchSize` — the wall-clock lever for production vocabularies: a
+    * 32k-merge training run at B=1 is 32k sequential Spark rounds (a
+    * driver-side ceiling no executor count fixes); at B merges per
+    * round it collapses to ~32k/B rounds. Each round selects the top-B
+    * candidates that are pairwise SYMBOL-disjoint (no symbol of one
+    * selected pair appears in another), so the in-batch merges cannot
+    * interfere: each selected pair's occurrences and round-start count
+    * are untouched by the others, and the chained replace is
+    * order-independent. The residual approximation vs B=1 is only that
+    * a merge can CREATE a new pair (neighbor, merged) whose count
+    * outranks a LATER in-batch selection — true greedy would take the
+    * new pair first. Measured (`graft.tools.BpeTune`, BASELINE.md) on
+    * the fixture corpus; certify a corpus the same way before relying
+    * on sequence-exactness at B > 1. B=1 is the exact greedy reference
+    * path (the q101/q106 oracles replay it verbatim).
     */
   def bpeMerges(df: DataFrame, numMerges: Int,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", batchSize: Int = 1): DataFrame = {
     require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    require(batchSize >= 1, s"batchSize must be positive: $batchSize")
     val spark = df.sparkSession
     import spark.implicits._
     val S = "\u0001"
+    val T = "\u0002"
     var vocab = df
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("word"), "(.)", S + "$1").as("rep"),
+      .select(regexp_replace(col("word"), "(.)", S + "$1" + T).as("rep"),
         col("freq"))
       .localCheckpoint(false)
     val merges =
@@ -275,8 +303,12 @@ object CorpusOps {
     var step = 1
     var exhausted = false
     while (step <= numMerges && !exhausted) {
-      val best = vocab
-        .select(col("freq"), split(col("rep"), S).as("arr"))
+      val want = math.min(batchSize, numMerges - step + 1)
+      // 4x headroom so disjoint selection rarely starves; the collect
+      // stays bounded by the batch size, never by the vocabulary
+      val cands = vocab
+        .select(col("freq"),
+          split(replace(col("rep"), lit(T), lit("")), S).as("arr"))
         .filter(size(col("arr")) >= 3) // >= 2 symbols (leading empty)
         .select(col("freq"), explode(arrays_zip(
           slice(col("arr"), lit(2), size(col("arr")) - 2),
@@ -284,21 +316,37 @@ object CorpusOps {
         .select(col("freq"), col("pr.0").as("lhs"), col("pr.1").as("rhs"))
         .groupBy("lhs", "rhs").agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(4 * want).collect()
+      if (cands.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((step, l, r, l + r, cnt))
-        vocab = vocab
-          .select(replace(col("rep"),
-            lit(S + l + S + r), lit(S + l + r)).as("rep"), col("freq"))
+        // greedy disjoint selection in (cnt desc, lhs, rhs) order: the
+        // top-1 is always taken, so progress is guaranteed; a symbol
+        // conflict just defers that pair to the next round's recount
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        for (r <- cands if sel.size < want) {
+          val (l, rr, cnt) =
+            (r.getString(0), r.getString(1), r.getLong(2))
+          if (!used(l) && !used(rr)) {
+            sel += ((l, rr, cnt)); used += l; used += rr
+          }
+        }
+        // one chained projection + ONE checkpoint for the whole batch
+        // (disjointness makes the replace order immaterial)
+        val rep = sel.foldLeft(col("rep")) { case (c, (l, r2, _)) =>
+          replace(c, lit(S + l + T + S + r2 + T), lit(S + l + r2 + T))
+        }
+        vocab = vocab.select(rep.as("rep"), col("freq"))
           .localCheckpoint(false)
-        step += 1
+        sel.foreach { case (l, r2, cnt) =>
+          merges += ((step, l, r2, l + r2, cnt)); step += 1
+        }
       }
     }
     val cov = vocab.agg(
-      round(sum(col("freq") * (size(split(col("rep"), S)) - 1))
+      round(sum(col("freq") *
+          (size(split(replace(col("rep"), lit(T), lit("")), S)) - 1))
         .cast("double") / sum(col("freq")), 6)).head().getDouble(0)
     merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
       .withColumn("avg_symbols_per_word", lit(cov))
@@ -324,15 +372,17 @@ object CorpusOps {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty (bpeMerges output)")
     val S = "\u0001"
+    val T = "\u0002"
     val words = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
     val vocab0 = words.select("word").distinct()
-      .withColumn("rep", regexp_replace(col("word"), "(.)", S + "$1"))
+      .withColumn("rep", regexp_replace(col("word"), "(.)", S + "$1" + T))
     val encoded = merges.foldLeft(vocab0) { case (v, (l, r)) =>
       v.withColumn("rep",
-        replace(col("rep"), lit(S + l + S + r), lit(S + l + r)))
-    }.select(col("word"), (size(split(col("rep"), S)) - 1).as("n_sym"),
+        replace(col("rep"), lit(S + l + T + S + r + T), lit(S + l + r + T)))
+    }.select(col("word"),
+      (size(split(replace(col("rep"), lit(T), lit("")), S)) - 1).as("n_sym"),
       length(col("word")).as("n_chars"))
     words.join(encoded, Seq("word"))
       .groupBy(idCol)
@@ -340,6 +390,135 @@ object CorpusOps {
         sum("n_sym").as("n_tokens"),
         round(sum("n_chars").cast("double") / sum("n_sym"), 6)
           .as("chars_per_token"))
+  }
+
+  /** EXACT BPE merge induction at production merge counts — the
+    * 100 TB-shaped trainer. [[bpeMerges]] pays one Spark round per
+    * merge (or per batch, approximately): a 32k–100k-merge vocabulary
+    * means that many sequential driver-coordinated jobs, a wall-clock
+    * ceiling no executor count fixes. But BPE training never needed
+    * the corpus after the first pass — it trains on WORD-FREQUENCY
+    * COUNTS (the classic counts formulation, the public
+    * SentencePiece / HuggingFace-tokenizers discipline): this variant
+    * runs the one distributed wordcount aggregate (the only
+    * corpus-touching, scale-critical stage — map-side combinable,
+    * linear), collects the distinct-word vocab to the driver (guarded:
+    * fails loudly past `maxVocab` rows — real corpora hold ~10⁶–10⁷
+    * distinct words, megabytes, not corpus-sized), and learns all
+    * merges in memory with incremental pair-count updates + a lazy-
+    * deletion priority queue — zero further Spark jobs, exact greedy
+    * by construction. Output is ROW-IDENTICAL to `bpeMerges(B = 1)`
+    * (same tie-break (count desc, lhs asc, rhs asc), same greedy
+    * left-to-right non-overlapping merge, same overlap-counting pair
+    * statistics; spec-pinned), so the q101/q106 oracles certify this
+    * path transitively. Use [[bpeMerges]] with `batchSize` only when
+    * the vocab genuinely cannot fit a driver — and accept its measured
+    * sequence divergence (BASELINE.md).
+    */
+  def bpeMergesLocal(df: DataFrame, numMerges: Int,
+      textCol: String = "text", maxVocab: Long = 20000000L): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wc = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val nVocab = wc.count()
+    require(nVocab <= maxVocab,
+      s"bpeMergesLocal: $nVocab distinct words exceeds maxVocab=$maxVocab " +
+        "— the driver-side trainer needs the vocab in memory; use " +
+        "bpeMerges(batchSize = B) for the distributed (approximate at " +
+        "B > 1) path, or raise maxVocab deliberately")
+    // deterministic order makes the whole run order-independent of the
+    // shuffle: words is sorted, and every update below iterates it in
+    // this fixed order
+    val words: Array[(Array[String], Long)] = wc
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+      // code points, not chars: the distributed path's regex "(.)"
+      // prefixes per code point, so a surrogate pair is ONE symbol
+      .map { case (w, f) =>
+        (w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))), f)
+      }
+    // pair -> total corpus count (overlap-counting: every adjacent
+    // position, exactly the distributed aggregate's arrays_zip count)
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    // pair -> word ids containing it (occurrence index; entries go
+    // stale when a word mutates — the merge loop re-checks, and the
+    // `hit` guard makes stale ids no-ops)
+    val where = scala.collection.mutable
+      .Map.empty[(String, String), scala.collection.mutable.Set[Int]]
+    // pairs whose count changed since their last enqueue — keeps the
+    // per-merge re-enqueue O(touched adjacencies), not O(all pairs)
+    val dirty = scala.collection.mutable.Set.empty[(String, String)]
+    def addWord(i: Int, sign: Long): Unit = {
+      val (syms, f) = words(i)
+      var j = 0
+      while (j + 1 < syms.length) {
+        val p = (syms(j), syms(j + 1))
+        val c = cnt.getOrElse(p, 0L) + sign * f
+        if (c == 0L) cnt.remove(p) else cnt(p) = c
+        dirty += p
+        if (sign > 0)
+          where.getOrElseUpdate(p,
+            scala.collection.mutable.Set.empty[Int]) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+    // lazy-deletion priority queue on (count desc, lhs asc, rhs asc):
+    // stale entries are dropped when popped by re-checking `cnt`
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long,
+        Ordering.String.reverse, Ordering.String.reverse)
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)]
+    cnt.foreach { case ((l, r), c) => pq.enqueue((c, l, r)) }
+    dirty.clear() // the initial enqueue above covered every pair
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String,
+        String, Long)]
+    var step = 1
+    while (step <= numMerges && pq.nonEmpty) {
+      val (c, l, r) = pq.dequeue()
+      if (cnt.get((l, r)).contains(c)) { // fresh entry — the true argmax
+        merges += ((step, l, r, l + r, c))
+        val touched = where.getOrElse((l, r), scala.collection.mutable.Set
+          .empty[Int]).toArray.sorted
+        touched.foreach { i =>
+          val (syms, f) = words(i)
+          // greedy left-to-right non-overlapping merge (the sentinel-
+          // replace semantics of the distributed path)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          var hit = false
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+              out += l + r; hit = true; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          if (hit) {
+            addWord(i, -1L) // retract old adjacencies
+            words(i) = (out.toArray, f)
+            addWord(i, 1L) // add new adjacencies (and index entries)
+          }
+        }
+        where.remove((l, r))
+        // re-enqueue only the pairs whose count changed (lazy deletion
+        // filters any entry that goes stale again before it surfaces)
+        dirty.foreach(p =>
+          cnt.get(p).foreach(cc => pq.enqueue((cc, p._1, p._2))))
+        dirty.clear()
+        step += 1
+      }
+    }
+    val totalF = words.map(_._2).sum.toDouble
+    val cov = BigDecimal(
+      words.map { case (s, f) => s.length.toLong * f }.sum / totalF)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .withColumn("avg_symbols_per_word", lit(cov))
   }
 
   /** Domain-mixture reweighting: per-stratum sampling rates that hit a

@@ -625,6 +625,15 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // The 100 TB-shaped BPE trainer (counts formulation): ONE
+    // distributed wordcount pass, then every merge learned driver-side
+    // with incremental pair-count updates — zero per-merge Spark jobs
+    // (vs q101's one round per merge), row-identical to the exact
+    // greedy distributed path by construction. Same replay oracle as
+    // q101 proves the identity end-to-end.
+    "q110_bpe_local" -> ((s, dir) =>
+      CorpusOps.bpeMergesLocal(t(s, dir, "documents"), numMerges = 12)),
+
     // n-gram LM quality scoring (the CCNet perplexity filter): train an
     // interpolated add-α bigram LM on the corpus, score every doc by
     // per-token cross-entropy. The DuckDB oracle retrains the identical
@@ -2123,6 +2132,9 @@ object PipelineQueries {
     // encode = the same unrolled training chain, final vocab joined
     // back to every doc's words
     "q106_bpe_encode" -> bpeEncodeOracle(12),
+    // the driver-side counts-formulation trainer replays the identical
+    // greedy run — same oracle as q101
+    "q110_bpe_local" -> bpeOracle(12),
     // the SQ8 scan + exact re-rank is output-identical to the exact
     // scan at the shipped (k=4, m=32) point — same oracle as q35/q67
     "q103_sq8_ann" -> knnExactOracle,
@@ -2344,10 +2356,15 @@ object PipelineQueries {
     // v/b are each referenced twice per round: without MATERIALIZED an
     // inlining planner re-evaluates the whole prefix chain per
     // reference — exponential in rounds
+    // two-sentinel representation (chr(1)=S prefix, chr(2)=T suffix per
+    // symbol): the merge replace is anchored on BOTH symbol boundaries,
+    // so a pair whose rhs is a strict prefix of an actual symbol cannot
+    // false-match (the CorpusOps.bpeMerges representation, replayed
+    // verbatim); counting strips T and splits on S as the Spark side does
     val rounds = (1 to m).map { i =>
       s"""s$i AS (
-         |  SELECT list_filter(string_split(rep, chr(1)), x -> x <> '')
-         |           AS sym, freq
+         |  SELECT list_filter(string_split(replace(rep, chr(2), ''),
+         |           chr(1)), x -> x <> '') AS sym, freq
          |  FROM v${i - 1}),
          |p$i AS (
          |  SELECT sym[idx] AS lhs, sym[idx + 1] AS rhs, freq FROM (
@@ -2358,8 +2375,9 @@ object PipelineQueries {
          |  GROUP BY lhs, rhs
          |  ORDER BY sum(freq) DESC, lhs ASC, rhs ASC LIMIT 1),
          |v$i AS MATERIALIZED (
-         |  SELECT v.word, replace(v.rep, chr(1) || b.lhs || chr(1) || b.rhs,
-         |           chr(1) || b.lhs || b.rhs) AS rep, v.freq
+         |  SELECT v.word, replace(v.rep,
+         |           chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
+         |           chr(1) || b.lhs || b.rhs || chr(2)) AS rep, v.freq
          |  FROM v${i - 1} v, b$i b)""".stripMargin
     }.mkString(",\n")
     s"""w AS (
@@ -2368,7 +2386,8 @@ object PipelineQueries {
        |  WHERE word <> '' GROUP BY word),
        |v0 AS MATERIALIZED (
        |  SELECT word,
-       |         regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS rep,
+       |         regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2),
+       |           'g') AS rep,
        |         CAST(freq AS BIGINT) AS freq
        |  FROM w),
        |$rounds""".stripMargin
@@ -2382,8 +2401,9 @@ object PipelineQueries {
        |merges AS (
        |  $union),
        |cov AS (
-       |  SELECT round(sum(freq * (len(string_split(rep, chr(1))) - 1))
-       |           * 1.0 / sum(freq), 6) AS avg_symbols_per_word
+       |  SELECT round(sum(freq * (len(string_split(replace(rep, chr(2),
+       |           ''), chr(1))) - 1)) * 1.0 / sum(freq), 6)
+       |           AS avg_symbols_per_word
        |  FROM v$m)
        |SELECT m.step, m.lhs, m.rhs, m.lhs || m.rhs AS merged,
        |  m.cnt AS pair_count, c.avg_symbols_per_word
@@ -2397,7 +2417,8 @@ object PipelineQueries {
   private def bpeEncodeOracle(m: Int): String =
     s"""WITH ${bpeChain(m)},
        |enc AS (
-       |  SELECT word, len(string_split(rep, chr(1))) - 1 AS n_sym,
+       |  SELECT word, len(string_split(replace(rep, chr(2), ''),
+       |           chr(1))) - 1 AS n_sym,
        |         length(word) AS n_chars
        |  FROM v$m),
        |toks AS (

