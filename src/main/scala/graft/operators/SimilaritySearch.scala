@@ -143,15 +143,19 @@ object SimilaritySearch {
     * Unlike SQ8 (whose error is a bounded per-component rounding), the
     * truncation error depends on how much energy the leading components
     * carry: MRL-trained embeddings front-load information by
-    * construction; generic embeddings spread it. MEASURED (`AnnTune
-    * mrl`, BASELINE.md): on the fixtures (not MRL-trained) no (d, m)
-    * up to (32, 64) reaches output identity — so this operator ships
-    * spec-pinned (mechanics + d=dim ≡ exact identity) WITHOUT an
-    * oracled query entry, and the deploy contract is explicit: use it
-    * only with embeddings trained to front-load (MRL), and certify the
-    * (d, m) point against an exact-kNN sample first, the same
-    * measurement `AnnTune mrl` automates. [[quantizedTopK]] is the
-    * bandwidth lever that works unconditionally (q103/q105).
+    * construction; generic embeddings spread it. MEASURED both ways
+    * (BASELINE.md): on the flat fixture (`AnnTune mrl`) no (d, m) up
+    * to (32, 64) reaches output identity — the standing NEGATIVE
+    * control — while on the front-loaded fixture (component i scaled
+    * by 0.8^i, the MRL spectrum shape; `AnnTune mrlfl`) identity holds
+    * at every (d, m) down to (8, 16) at all three scales, and q111
+    * pins the certified (d=16, m=32) point against an exact-kNN DuckDB
+    * oracle over the same transformed vectors (q112 pins the SQ8
+    * composition at the same point). The deploy contract stands: use
+    * only with embeddings trained to front-load, and certify the
+    * (d, m) point against an exact-kNN sample first — the measurement
+    * `AnnTune mrlfl` automates. [[quantizedTopK]] is the bandwidth
+    * lever that works unconditionally (q103/q105).
     *
     * Scale shape: identical to [[bruteForceTopKAgg]] — broadcast query
     * side, bounded TopKAgg candidates, the full-dim vectors touched
@@ -168,6 +172,45 @@ object SimilaritySearch {
       .select(col("vec_id"), slice(col("embedding"), 1, d).as("tv"))
       .crossJoin(qt)
       .withColumn("ascore", VectorOps.cosine(col("tv"), col("tq")))
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
+    rerank(cand, queries, index, k)
+  }
+
+  /** [[truncatedTopK]] composed with SQ8 — truncate THEN quantize: the
+    * coarse scan reads int8 codes of the FIRST `d` components only
+    * (d/dim · 1/4 of the float bytes — both bandwidth levers
+    * multiplied), selects `m` candidates by integer-dot approximate
+    * truncated cosine, and the exact FULL-dimension float re-rank
+    * returns top-k. Inherits truncatedTopK's deploy contract: the
+    * truncation term is embedding-family-dependent (front-loaded /
+    * MRL-trained embeddings only — q111/q112 certify both layers on
+    * the front-loaded fixture; the flat fixture stays the measured
+    * negative control), while the added quantization term is the same
+    * bounded rounding q103 measures. Certify a (d, m) point with
+    * `AnnTune mrlfl` before serving.
+    */
+  def truncatedQuantizedTopK(queries: DataFrame, index: DataFrame,
+      k: Int = 4, d: Int = 32, m: Int = 32): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    import graft.functions.expressions.VectorExpressions.dot_i8
+    require(d >= 1, s"truncation dim d ($d) must be positive")
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    val qi = quantizeIndex(index.select(col("vec_id"),
+      slice(col("embedding"), 1, d).as("embedding")))
+    val qq = broadcast(quantizeIndex(
+        queries.select(col("query_id"),
+          slice(col("query_vec"), 1, d).as("query_vec")),
+        idCol = "query_id", vecCol = "query_vec")
+      .select(col("query_id"), col("codes").as("qcodes"),
+        col("qscale").as("qqscale"), col("qnorm").as("qqnorm")))
+    val cand = qi.crossJoin(qq)
+      .withColumn("ascore",
+        when(col("qnorm") * col("qqnorm") === 0.0, lit(0.0))
+          .otherwise(dot_i8(col("codes"), col("qcodes")).cast("double")
+            * col("qscale") * col("qqscale")
+            / (col("qnorm") * col("qqnorm"))))
       .groupBy("query_id")
       .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
       .select(col("query_id"), explode(col("topk.id")).as("vec_id"))

@@ -707,6 +707,45 @@ object PipelineQueries {
           .select((col("hits") >= col("ne") * 0.84).as("recall_floor_ok")))
     }),
 
+    // MRL truncated-dim serving, POSITIVELY certified on an earned
+    // fixture: component i scaled by 0.8^i (float-rounded — the
+    // energy-decaying shape MRL training produces, replayed verbatim by
+    // the DuckDB oracle), then first-16-of-64-components coarse ranking
+    // + exact full-dim re-rank. Hash-matching the exact kNN over the
+    // SAME front-loaded vectors proves output identity at (d=16, m=32)
+    // — measured at every fixture scale and with margin (identity holds
+    // down to d=8, m=16 at decay 0.8; decay 0.9 at (8,16) is the
+    // measured NEGATIVE boundary, AnnTune mrlfl). The untransformed
+    // fixture remains the negative control (BASELINE.md): flat spectra
+    // earn no identity point, which is exactly the deploy contract
+    // truncatedTopK documents.
+    "q111_mrl_frontloaded" -> ((s, dir) => {
+      val fl = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x * pow(lit(0.8), i)).cast("float")).as("embedding"))
+      val q = fl.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilaritySearch.truncatedTopK(q, fl, k = 4, d = 16, m = 32)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // The composed bandwidth lever — truncate THEN quantize: int8 codes
+    // of the first 16 components only (16/64 · 1/4 = 1/16 of the float
+    // scan bytes), exact full-dim re-rank. Same front-loaded oracle —
+    // the quantization layer adds no error the candidate margin doesn't
+    // absorb, certifying the d/dim · ¼ scan-bytes claim end-to-end.
+    "q112_mrl_sq8" -> ((s, dir) => {
+      val fl = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x * pow(lit(0.8), i)).cast("float")).as("embedding"))
+      val q = fl.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilaritySearch.truncatedQuantizedTopK(q, fl, k = 4, d = 16, m = 32)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // Domain-mixture reweighting: per-language sampling rates hitting a
     // target token mixture — the largest feasible downsample-only mix
     // (T* = min over langs of tokens/share); one corpus aggregate, all
@@ -1357,6 +1396,37 @@ object PipelineQueries {
     * formulation), q51 (TopKAgg formulation) and q59 (ANN plan rewrite):
     * three physical strategies, one result.
     */
+  /** Exact kNN over the FRONT-LOADED fixture (component i scaled by
+    * 0.8^i, float-rounded — the deterministic MRL-shaped transform
+    * q111/q112 apply): truncated and truncated+quantized serving must
+    * be output-identical to this at the certified (d=16, m=32) point.
+    */
+  private val knnFrontLoadedOracle =
+    """WITH fl AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] * power(0.8, i - 1) AS FLOAT))
+      |      AS embedding
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, x.vec_id,
+      |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+      |                     CAST(x.embedding AS DOUBLE[]))
+      |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+      |                             CAST(q.embedding AS DOUBLE[])))
+      |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+      |                             CAST(x.embedding AS DOUBLE[]))))
+      |    AS score
+      |  FROM fl q CROSS JOIN fl x
+      |  WHERE q.vec_id < 8),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, round(score, 6) AS score
+      |FROM ranked WHERE rank <= 4""".stripMargin
+
   private val knnExactOracle =
     """WITH scored AS (
       |  SELECT q.vec_id AS query_id, x.vec_id,
@@ -2135,6 +2205,11 @@ object PipelineQueries {
     // the driver-side counts-formulation trainer replays the identical
     // greedy run — same oracle as q101
     "q110_bpe_local" -> bpeOracle(12),
+    // truncated-dim serving on the front-loaded fixture is output-
+    // identical to the exact kNN over the same transformed vectors
+    "q111_mrl_frontloaded" -> knnFrontLoadedOracle,
+    // ...and so is the truncate-then-quantize composition
+    "q112_mrl_sq8" -> knnFrontLoadedOracle,
     // the SQ8 scan + exact re-rank is output-identical to the exact
     // scan at the shipped (k=4, m=32) point — same oracle as q35/q67
     "q103_sq8_ann" -> knnExactOracle,

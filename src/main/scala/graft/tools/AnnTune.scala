@@ -243,6 +243,39 @@ object AnnTune {
       }
     }
 
+    // "mrlfl": truncated-dim ranking on FRONT-LOADED embeddings — the
+    // shape MRL training produces (energy decaying by component). The
+    // fixture is transformed deterministically (component i scaled by
+    // decay^i, float-rounded — replayable in DuckDB verbatim), so this
+    // measures the (decay, d, m) identity points the q111/q112 oracles
+    // pin, alongside the composition with SQ8 (truncate-then-quantize).
+    if (mode == "mrlfl") {
+      def ranked(df: DataFrame): Set[(Long, Int, Long)] =
+        df.select("query_id", "rank", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      for (decay <- Seq(0.7, 0.8, 0.9)) {
+        val fl = emb.select(col("vec_id"),
+          transform(col("embedding"),
+            (x, i) => (x * pow(lit(decay), i)).cast("float"))
+            .as("embedding")).cache()
+        val qf = fl.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec")).cache()
+        val ex = ranked(SimilaritySearch.bruteForceTopK(qf, fl, k))
+        for (d <- Seq(8, 16, 32); m <- Seq(16, 32)) {
+          val t0 = System.nanoTime()
+          val trunc = ranked(SimilaritySearch.truncatedTopK(qf, fl, k, d, m))
+          val comp = ranked(
+            SimilaritySearch.truncatedQuantizedTopK(qf, fl, k, d, m))
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"mrlfl decay=$decay%.1f d=$d%-3d m=$m%-3d " +
+            f"trunc_ident=${trunc == ex}%-5s sq8_ident=${comp == ex}%-5s " +
+            f"sec=$sec%.1f")
+        }
+        fl.unpersist(); qf.unpersist()
+      }
+    }
+
     if (mode == "lsh" || mode == "all") for ((tables, bits, probes) <- Seq(
         (48, 12, 16), (48, 12, 20), (48, 12, 24), (64, 12, 16), (64, 12, 24),
         (64, 14, 32), (96, 14, 24), (48, 10, 12), (48, 10, 16),
