@@ -80,6 +80,57 @@ class RagPipelineSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("the reference's 1536-dim operating point runs end-to-end: " +
+      "chunk -> embed -> index -> retrieve -> SQ8-served, with the q65 " +
+      "invariants and direct/persisted identity") {
+    import org.apache.spark.sql.functions._
+    // the reference pins 1536-dim embeddings (AI.py:51); every fixture
+    // query runs the 64-dim embedder, so this is the dim-hardcoding
+    // canary: the whole pipeline parameterizes on dim or fails here
+    val dim = 1536
+    val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val index = RagPipeline.buildIndex(spark, docs, chunkSize = 200,
+      dim = dim).cache()
+    assert(index.select(size(col("embedding"))).head().getInt(0) === dim,
+      "index embeddings must carry the requested dimension")
+    val queries = PipelineQueries.retrievalQueryDf(spark)
+    val direct = RagPipeline.retrieve(queries, index, k = 4, dim = dim)
+      .cache()
+    // q65-style invariants: 4 hits per query, ranks exactly 1..4,
+    // scores monotonic non-increasing in rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rank")
+    val inv = direct
+      .withColumn("prev_score", lag(col("score"), 1).over(w))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"),
+        (min("rank") === 1 && max("rank") === 4 &&
+          countDistinct("rank") === 4).as("ranks_ok"),
+        min(coalesce(col("score") <= col("prev_score"), lit(true)))
+          .as("scores_monotonic"))
+      .collect()
+    assert(inv.length === 5)
+    inv.foreach { r =>
+      assert(r.getLong(1) === 4L, s"query ${r.getLong(0)}: wrong hit count")
+      assert(r.getBoolean(2), s"query ${r.getLong(0)}: ranks not 1..4")
+      assert(r.getBoolean(3), s"query ${r.getLong(0)}: scores not monotonic")
+    }
+    // the persisted SQ8 serving path is output-identical at 1536 too —
+    // quantization error stays inside the candidate margin at the
+    // reference's ambient dimension, and no layer hardcodes 64
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val sq8 = full(RagPipeline.retrieveSq8Persisted(spark,
+      TestSpark.Sf0001 + "!rag1536", queries, index, k = 4, dim = dim))
+    assert(sq8 === full(direct))
+    // ...and the no-probe reader form serves the same stored layout
+    val served = full(RagPipeline.retrieveSq8Served(spark,
+      TestSpark.Sf0001 + "!rag1536", queries, index, k = 4, dim = dim))
+    assert(served === sq8)
+    direct.unpersist(); index.unpersist()
+  }
+
   test("retrieveSq8Persisted equals retrieve on every column, score and " +
       "text included") {
     val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
