@@ -37,19 +37,46 @@ object Bench {
     //     extra runs until the min is reproduced.
     val runs = math.max(2,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
+    // Session-state cleanup BETWEEN timed runs (round-8 finding): several
+    // operators localCheckpoint intermediates (the CC fixpoint loop, BPE
+    // rounds) — persisted RDDs a lazily-returned DataFrame cannot
+    // unpersist itself. Left alone they accumulate across 112 queries,
+    // and a storage-memory-squeezed query later in the session measured
+    // 10x its fresh-JVM cost (q100: 17 s mid-session vs 1.8 s isolated —
+    // reproducible, gap 3%). Clearing cached frames + leaked checkpoint
+    // RDDs after each materialization restores position-independent
+    // steady-state numbers; it runs OUTSIDE the timed window.
+    def cleanupSession(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         df.queryExecution.toRdd.foreach(_ => ())
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        cleanupSession()
+        sec
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          cleanupSession()
           Double.MaxValue
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Registry-order independence (round-8 drift adjudication): a fixed
+    // run order couples session-position effects (heap pressure, cache
+    // warmth — 100+ queries deep) to the SAME queries every round, so a
+    // late-position query like q99 reads as a regression when only its
+    // position cost changed. A seeded shuffle decorrelates position from
+    // identity round over round; the seed lands in the JSON so any run
+    // is replayable exactly (set SPARK_GRAFT_BENCH_SEED to pin it).
+    val orderSeed = sys.env.get("SPARK_GRAFT_BENCH_SEED")
+      .flatMap(_.toLongOption).getOrElse(System.nanoTime())
+    val results = new scala.util.Random(orderSeed)
+      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
       var times = (1 to runs).map(_ => timeOnce(name, fn)).toVector
       def gap(ts: Vector[Double]): Double = {
         val s = ts.sorted; s(1) - s(0)
@@ -67,7 +94,7 @@ object Bench {
     // references or both serving paths beside the operator under test.
     // Splitting their cost out stops it masking operator regressions.
     val verificationQ = Set("q53", "q60", "q61", "q62", "q63", "q65",
-      "q66", "q68", "q69", "q77", "q85", "q87", "q89", "q108")
+      "q66", "q68", "q69", "q77", "q85", "q87", "q89", "q108", "q109")
     // The harness that records this line captures only the TAIL of the
     // process output (~2000 chars), so the parsed JSON line must stay
     // well under that: short query keys (the unique qNN prefix), 2-decimal
@@ -98,7 +125,7 @@ object Bench {
     // ~2000-char tail window, and the per-query map grows with coverage
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"spread_total":$totalSpread%.3f,"total_operators":$totalOps%.3f,"total_verification":$totalVerif%.3f,"queries":$qs,"sf":"$sfName"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"order_seed":$orderSeed,"spread_total":$totalSpread%.3f,"total_operators":$totalOps%.3f,"total_verification":$totalVerif%.3f,"queries":$qs,"sf":"$sfName"}"""
     println(json)
     // Sidecar copy: the harness tail-scrapes stdout through sbt noise and has
     // failed to parse it (BENCH_r04 "parsed": null) — a structural file read
