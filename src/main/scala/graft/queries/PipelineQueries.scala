@@ -746,6 +746,41 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // Metadata-FILTERED exact kNN — the vector-store `filter=` query
+    // (Pinecone metadata filtering, the reference stack's API): top-4
+    // cosine among vectors whose label is even (~50% selectivity),
+    // PRE-filter semantics (top-k within the filtered set — exact, a
+    // full k hits per query, no post-filter recall loss).
+    "q113_filtered_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilaritySearch.bruteForceTopK(q,
+          emb.filter(col("label") % 2 === 0).select("vec_id", "embedding"),
+          k = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // The same filtered query SERVED from the persisted SQ8 index:
+    // the allowed-id set (attribute table filtered by the predicate)
+    // left-semi restricts the compressed codes scan BEFORE candidate
+    // selection, exact re-rank of the m winners — same filtered
+    // exact-kNN oracle as q113 proves the filtered quantized path is
+    // output-identical (the q103/q105 identity within the filtered
+    // set).
+    "q114_filtered_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val h = graft.sources.AnnIndex.ensureSq8(s, dir,
+        emb.select("vec_id", "embedding"))
+      graft.sources.AnnIndex.querySq8Filtered(q, h,
+          emb.filter(col("label") % 2 === 0).select("vec_id"), k = 4, m = 32)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // Domain-mixture reweighting: per-language sampling rates hitting a
     // target token mixture — the largest feasible downsample-only mix
     // (T* = min over langs of tokens/share); one corpus aggregate, all
@@ -1419,6 +1454,30 @@ object PipelineQueries {
       |    AS score
       |  FROM fl q CROSS JOIN fl x
       |  WHERE q.vec_id < 8),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, round(score, 6) AS score
+      |FROM ranked WHERE rank <= 4""".stripMargin
+
+  /** Exact kNN restricted to even-label index vectors — the filtered
+    * retrieval ground truth (PRE-filter semantics: ranking within the
+    * filtered set) q113/q114 must match.
+    */
+  private val knnFilteredOracle =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, x.vec_id,
+      |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+      |                     CAST(x.embedding AS DOUBLE[]))
+      |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+      |                             CAST(q.embedding AS DOUBLE[])))
+      |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+      |                             CAST(x.embedding AS DOUBLE[]))))
+      |    AS score
+      |  FROM embeddings q CROSS JOIN embeddings x
+      |  WHERE q.vec_id < 8 AND x.label % 2 = 0),
       |ranked AS (
       |  SELECT query_id, vec_id, score,
       |    CAST(row_number() OVER (PARTITION BY query_id
@@ -2210,6 +2269,10 @@ object PipelineQueries {
     "q111_mrl_frontloaded" -> knnFrontLoadedOracle,
     // ...and so is the truncate-then-quantize composition
     "q112_mrl_sq8" -> knnFrontLoadedOracle,
+    // filtered retrieval: exact top-4 among even-label vectors only
+    "q113_filtered_knn" -> knnFilteredOracle,
+    // the filtered SQ8-served path returns the identical output
+    "q114_filtered_sq8" -> knnFilteredOracle,
     // the SQ8 scan + exact re-rank is output-identical to the exact
     // scan at the shipped (k=4, m=32) point — same oracle as q35/q67
     "q103_sq8_ann" -> knnExactOracle,

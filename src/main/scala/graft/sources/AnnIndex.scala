@@ -1273,7 +1273,45 @@ object AnnIndex {
       queries: DataFrame,
       handle: Sq8Handle,
       k: Int = 4,
-      m: Int = 32): DataFrame = {
+      m: Int = 32): DataFrame =
+    querySq8Core(queries, handle.codes, handle.vecs, k, m)
+
+  /** Metadata-FILTERED quantized serving — the vector-store `filter=`
+    * query shape (the reference's stack exposes it as Pinecone's
+    * metadata filter; public API). PRE-filter semantics: `allowed`
+    * (a (vec_id, …) frame, typically an attribute table the caller
+    * already filtered by their predicate) restricts the compressed
+    * codes scan BEFORE candidate selection, so top-m and top-k are
+    * taken WITHIN the filtered set — exact filtered retrieval, never
+    * the post-filter shape (filter after top-k) that silently returns
+    * fewer than k hits and loses recall whenever the filter excludes
+    * unfiltered winners. The SQ8 identity argument is unchanged within
+    * the filtered set (m ≫ k margin — q114 pins it against the
+    * filtered exact-kNN oracle).
+    *
+    * Scale shape: a left-semi join of the codes table against the
+    * allowed ids — shuffle-free on the index side when the attribute
+    * table shares the vec_id bucketing (the layout contract), a
+    * broadcast when the filtered set is small; everything downstream
+    * is `querySq8`'s plan over the restricted scan.
+    */
+  def querySq8Filtered(
+      queries: DataFrame,
+      handle: Sq8Handle,
+      allowed: DataFrame,
+      k: Int = 4,
+      m: Int = 32): DataFrame =
+    querySq8Core(queries,
+      handle.codes.join(allowed.select("vec_id"), Seq("vec_id"),
+        "left_semi"),
+      handle.vecs, k, m)
+
+  private def querySq8Core(
+      queries: DataFrame,
+      codes: DataFrame,
+      vecs: DataFrame,
+      k: Int,
+      m: Int): DataFrame = {
     import graft.functions.expressions.TopKAgg.top_k
     import graft.functions.expressions.VectorExpressions.dot_i8
     require(m >= k, s"candidate count m ($m) must be >= k ($k)")
@@ -1282,7 +1320,7 @@ object AnnIndex {
           vecCol = "query_vec")
         .select(col("query_id"), col("codes").as("qcodes"),
           col("qscale").as("qqscale"), col("qnorm").as("qqnorm")))
-    val cand = handle.codes.crossJoin(qq)
+    val cand = codes.crossJoin(qq)
       .withColumn("ascore",
         when(col("qnorm") * col("qqnorm") === 0.0, lit(0.0))
           .otherwise(dot_i8(col("codes"), col("qcodes")).cast("double")
@@ -1291,6 +1329,6 @@ object AnnIndex {
       .groupBy("query_id")
       .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
       .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
-    SimilaritySearch.rerank(cand, queries, handle.vecs, k)
+    SimilaritySearch.rerank(cand, queries, vecs, k)
   }
 }

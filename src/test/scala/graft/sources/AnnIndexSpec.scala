@@ -329,6 +329,29 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(h3.codes.count() === rows2.count())
   }
 
+  test("querySq8Filtered: pre-filter semantics — top-k within the " +
+      "filtered set, identical to exact kNN over the filtered index") {
+    val src = s"spec-$runTag-sq8f"
+    val withLabel = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val h = AnnIndex.ensureSq8(spark, src, emb)
+    val allowed = withLabel.filter(col("label") % 2 === 0)
+    val served = hits(AnnIndex.querySq8Filtered(queries, h,
+      allowed.select("vec_id"), k = 4, m = 32))
+    val exact = hits(SimilaritySearch.bruteForceTopK(queries,
+      allowed.select("vec_id", "embedding"), k = 4))
+    assert(served === exact)
+    // every hit satisfies the filter, and every query still gets its
+    // full k (the post-filter shape would violate both)
+    val allowedIds = allowed.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(served.forall(h3 => allowedIds(h3._3)))
+    assert(served.groupBy(_._1).forall(_._2.size == 4))
+    // an excluded unfiltered winner really was displaced, not dropped:
+    // the unfiltered top-k differs from the filtered one here
+    val unfiltered = hits(AnnIndex.querySq8(queries, h, k = 4, m = 32))
+    assert(unfiltered !== served)
+  }
+
   test("compactSq8 rewrites streamed appends into few files per table " +
       "with identical answers and untouched meta contracts") {
     val src = s"spec-$runTag-sq8k"
