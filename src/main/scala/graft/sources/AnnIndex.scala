@@ -455,21 +455,10 @@ object AnnIndex {
     openLsh(spark, sourceDir) // validates meta + attaches + refreshes
     val meta = readMeta(base)
     val sb = meta("buckets").toInt
-    def compactOne(table: String, sub: String, key: String): Unit = {
-      sweepStaleCompaction(base, sub)
-      val side = s"$base/${sub}_compact_${ProcessHandle.current.pid}"
-      val tmp = s"${table}_compact"
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      spark.table(table).write.mode(SaveMode.Overwrite)
-        .option("path", side)
-        .bucketBy(sb, key).sortBy(key)
-        .format("parquet").saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $tmp") // external: catalog entry only
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      swapDir(s"$base/$sub", side)
-    }
-    compactOne(s"graft_lsh_buckets_$tag", "buckets", "tb")
-    compactOne(s"graft_lsh_vecs_$tag", "vecs", "vec_id")
+    compactBucketed(spark, base, s"graft_lsh_buckets_$tag", "buckets",
+      "tb", sb)
+    compactBucketed(spark, base, s"graft_lsh_vecs_$tag", "vecs",
+      "vec_id", sb)
     attachLsh(spark, tag, sb)
     lshHandle(spark, tag, meta("tables").toInt, meta("bits").toInt)
   }
@@ -1043,21 +1032,10 @@ object AnnIndex {
     val base = sq8Base(spark, tag)
     openSq8(spark, sourceDir) // validates meta + attaches + refreshes
     val sb = readMeta(base)("buckets").toInt
-    def compactOne(table: String, sub: String): Unit = {
-      sweepStaleCompaction(base, sub)
-      val side = s"$base/${sub}_compact_${ProcessHandle.current.pid}"
-      val tmp = s"${table}_compact"
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      spark.table(table).write.mode(SaveMode.Overwrite)
-        .option("path", side)
-        .bucketBy(sb, "vec_id").sortBy("vec_id")
-        .format("parquet").saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $tmp") // external: catalog entry only
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      swapDir(s"$base/$sub", side)
-    }
-    compactOne(s"graft_sq8_codes_$tag", "codes")
-    compactOne(s"graft_sq8_vecs_$tag", "vecs")
+    compactBucketed(spark, base, s"graft_sq8_codes_$tag", "codes",
+      "vec_id", sb)
+    compactBucketed(spark, base, s"graft_sq8_vecs_$tag", "vecs",
+      "vec_id", sb)
     attachSq8(spark, tag, sb)
     sq8Handle(spark, tag)
   }
@@ -1235,6 +1213,124 @@ object AnnIndex {
           .map("last_batch_id" -> _).toSeq,
       Nil)
     ivfSq8Handle(spark, tag)
+  }
+
+  /** Open an existing persisted IVF-SQ8 index read-only, WITHOUT a
+    * freshness probe — the reader's path while a
+    * [[graft.streaming.StreamOps.streamingIvfSq8Upsert]] stream appends
+    * concurrently: meta read + catalog attach (or relation-cache
+    * refresh so another session's appends become visible), no
+    * fingerprint scan, no rebuild decision.
+    */
+  def openIvfSq8(spark: SparkSession, sourceDir: String): IvfSq8Handle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfSq8Base(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("lists") && meta.contains("buckets"),
+      s"no persisted IVF-SQ8 index for '$sourceDir' ($base)")
+    require(parquetReadable(spark, s"$base/lists") &&
+      parquetReadable(spark, s"$base/vecs") &&
+      parquetReadable(spark, s"$base/centroids"),
+      s"persisted IVF-SQ8 layout for '$sourceDir' is unreadable — run " +
+        "ensureIvfSq8 to rebuild")
+    if (!ivfSq8Registered(spark, tag))
+      attachIvfSq8(spark, tag, meta("buckets").toInt)
+    else {
+      spark.catalog.refreshTable(s"graft_ivfsq8_lists_$tag")
+      spark.catalog.refreshTable(s"graft_ivfsq8_vecs_$tag")
+    }
+    ivfSq8Handle(spark, tag)
+  }
+
+  /** Compact the persisted IVF-SQ8 layout: streamed upserts append one
+    * file set per micro-batch into every probed PARTITION of the lists
+    * table (and into the bucketed vecs table) — after thousands of
+    * triggers the per-partition small files erode exactly the pruned
+    * scan the layout exists to serve. Rewrites the quantized lists at
+    * the same partitioning and the vecs at the same bucketing; meta
+    * untouched (the [[compactLsh]]/[[compactSq8]] crash-safety recipe —
+    * side dir, rename swap, stale sweep; unreadable mid-window layouts
+    * read as STALE by `ensureIvfSq8` and rebuild). Not safe concurrent
+    * with a writer.
+    */
+  def compactIvfSq8(spark: SparkSession, sourceDir: String): IvfSq8Handle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfSq8Base(spark, tag)
+    openIvfSq8(spark, sourceDir) // validates meta + attaches + refreshes
+    val sb = readMeta(base)("buckets").toInt
+    compactPartitioned(spark, base, s"graft_ivfsq8_lists_$tag", "lists",
+      "centroid_id")
+    compactBucketed(spark, base, s"graft_ivfsq8_vecs_$tag", "vecs",
+      "vec_id", sb)
+    attachIvfSq8(spark, tag, sb)
+    ivfSq8Handle(spark, tag)
+  }
+
+  /** [[compactIvfSq8]]'s float-IVF twin: rewrites the partitioned
+    * inverted lists of an [[ensureIvf]] layout into few files per
+    * partition; centroids (tiny plain parquet) untouched, meta
+    * untouched.
+    */
+  def compactIvf(spark: SparkSession, sourceDir: String): IvfHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfBase(spark, tag)
+    val listsTable = s"graft_ivf_lists_$tag"
+    require(readMeta(base).contains("lists"),
+      s"no persisted IVF index for '$sourceDir' ($base)")
+    require(parquetReadable(spark, s"$base/lists"),
+      s"persisted IVF layout for '$sourceDir' is unreadable — run " +
+        "ensureIvf to rebuild")
+    if (!spark.catalog.tableExists(listsTable))
+      registerExternal(spark, listsTable, s"$base/lists",
+        partitionedBy = Some("centroid_id"))
+    else spark.catalog.refreshTable(listsTable)
+    compactPartitioned(spark, base, listsTable, "lists", "centroid_id")
+    spark.sql(s"DROP TABLE IF EXISTS $listsTable")
+    registerExternal(spark, listsTable, s"$base/lists",
+      partitionedBy = Some("centroid_id"))
+    IvfHandle(spark.read.parquet(s"$base/centroids"),
+      spark.table(listsTable))
+  }
+
+  /** One partitioned table's compaction step (side-dir + swap): shared
+    * by [[compactIvf]] and [[compactIvfSq8]].
+    */
+  private def compactPartitioned(spark: SparkSession, base: String,
+      table: String, sub: String, partCol: String): Unit = {
+    sweepStaleCompaction(base, sub)
+    val side = s"$base/${sub}_compact_${ProcessHandle.current.pid}"
+    val tmp = s"${table}_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // repartition ON the partition column: without it every input task
+    // re-emits its rows into every partition dir it touches, and the
+    // compacted layout keeps the old file count; with it each list
+    // lands in exactly one task → one file per partition dir
+    spark.table(table).repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", side)
+      .partitionBy(partCol)
+      .format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $tmp") // external: catalog entry only
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    swapDir(s"$base/$sub", side)
+  }
+
+  /** One bucketed table's compaction step — the [[compactLsh]] /
+    * [[compactSq8]] inner move, shared here for the IVF-SQ8 vecs table.
+    */
+  private def compactBucketed(spark: SparkSession, base: String,
+      table: String, sub: String, key: String, buckets: Int): Unit = {
+    sweepStaleCompaction(base, sub)
+    val side = s"$base/${sub}_compact_${ProcessHandle.current.pid}"
+    val tmp = s"${table}_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(table).write.mode(SaveMode.Overwrite)
+      .option("path", side)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    swapDir(s"$base/$sub", side)
   }
 
   /** Query the persisted IVF-SQ8 index: rank centroids per query

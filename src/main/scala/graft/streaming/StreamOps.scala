@@ -396,6 +396,59 @@ object StreamOps {
         }
       }
 
+  /** [[streamingSq8Upsert]]'s composed-index twin: vectors arriving on
+    * `vecs(vec_id, embedding)` extend the persisted IVF-SQ8 index once
+    * per micro-batch ([[graft.sources.AnnIndex.upsertIvfSq8]] —
+    * assignment to the STORED centroids + per-row quantization, O(batch)
+    * append into the probed-list layout, batchId replay-skip). Unlike
+    * the plain-SQ8 stream this one carries the IVF drift contract: the
+    * centroid-drift gate fails a batch LOUDLY when the accumulated tail
+    * would overwhelm the trained base — a failed trigger beats a
+    * silently degraded serving index; rebuild (`ensureIvfSq8`) to
+    * retrain, then resume the stream.
+    */
+  def streamingIvfSq8Upsert(
+      vecs: DataFrame,
+      sourceDir: String,
+      lists: Int = 64,
+      iters: Int = 5,
+      storageBuckets: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AnnIndex.upsertIvfSq8(batch.sparkSession, sourceDir,
+            batch.toDF(), lists, iters, storageBuckets, batchId = Some(id))
+          ()
+        }
+      }
+
+  /** [[streamingSq8Retrieve]]'s composed-index twin: each query
+    * micro-batch re-attaches to the stored IVF-SQ8 layout via
+    * [[graft.sources.AnnIndex.openIvfSq8]] (meta read + catalog attach
+    * or refresh, no data scan) and answers through `queryIvfSq8` — the
+    * centroid probe → DPP-pruned quantized-list scan → exact re-rank.
+    */
+  def streamingIvfSq8Retrieve(
+      queries: DataFrame,
+      sourceDir: String,
+      k: Int = 4,
+      nProbe: Int = 24,
+      m: Int = 32)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val h = graft.sources.AnnIndex.openIvfSq8(batch.sparkSession,
+            sourceDir)
+          sink(graft.sources.AnnIndex.queryIvfSq8(batch.toDF(), h, k,
+            nProbe, m), id)
+        }
+      }
+
   final case class UserQuestion(
       user_id: Long, ts: Timestamp, question: String)
   final case class UserProfile(

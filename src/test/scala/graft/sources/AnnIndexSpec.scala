@@ -469,6 +469,85 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("drift"))
   }
 
+  test("compactIvfSq8 rewrites upserted appends into few files with " +
+      "identical answers; streaming ingest + retrieve serve the " +
+      "composed layout end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = s"spec-$runTag-ivfsq8s"
+    val baseRows = emb.filter(col("vec_id") % 10 =!= 7)
+    AnnIndex.ensureIvfSq8(spark, src, baseRows, lists = 8, iters = 3)
+    // stream the 10% tail in two micro-batches through the composed
+    // upsert (assignment to stored centroids + quantization per batch)
+    val tail = emb.filter(col("vec_id") % 10 === 7)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (tail1, tail2) = tail.splitAt(tail.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamOps.streamingIvfSq8Upsert(
+      mem.toDF().toDF("vec_id", "embedding"), src, lists = 8, iters = 3)
+      .start()
+    mem.addData(tail1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(tail2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val before = AnnIndex.openIvfSq8(spark, src)
+    assert(before.vecs.count() === emb.count())
+    val beforeHits = hits(AnnIndex.queryIvfSq8(queries, before, k = 4,
+      nProbe = 3, m = 16))
+    // streamed layout answers exactly like the in-memory composed path
+    // over the full set at the same centroids
+    assert(beforeHits === hits(SimilaritySearch.ivfSq8TopK(queries, emb,
+      before.centroids, k = 4, nProbe = 3, m = 16)))
+    // streaming retrieve serves the same answers from the stored layout
+    val qmem = MemoryStream[(Long, Array[Float])]
+    var streamed = Set.empty[(Long, Int, Long)]
+    val rq = graft.streaming.StreamOps.streamingIvfSq8Retrieve(
+      qmem.toDF().toDF("query_id", "query_vec"), src, k = 4, nProbe = 3,
+      m = 16) { (df, _) => streamed = hits(df) }
+      .start()
+    qmem.addData(queries.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq: _*)
+    rq.processAllAvailable()
+    rq.stop()
+    assert(streamed === beforeHits)
+    // compaction: fewer files, identical answers, replay guard intact
+    val beforeFiles = before.lists.inputFiles.length +
+      before.vecs.inputFiles.length
+    val h = AnnIndex.compactIvfSq8(spark, src)
+    assert(h.lists.inputFiles.length + h.vecs.inputFiles.length
+      < beforeFiles,
+      s"no file-count win ($beforeFiles -> ${
+        h.lists.inputFiles.length + h.vecs.inputFiles.length})")
+    assert(hits(AnnIndex.queryIvfSq8(queries, h, k = 4, nProbe = 3,
+      m = 16)) === beforeHits)
+    val n1 = h.lists.count()
+    AnnIndex.upsertIvfSq8(spark, src,
+      tail.take(5).map(r => (r._1 + 910000L, r._2)).toSeq
+        .toDF("vec_id", "embedding"),
+      lists = 8, iters = 3, batchId = Some(0L))
+    assert(AnnIndex.openIvfSq8(spark, src).lists.count() === n1,
+      "replay guard lost by compaction")
+  }
+
+  test("compactIvf rewrites the partitioned lists with identical " +
+      "answers and fewer files") {
+    val src = s"spec-$runTag-ivfc"
+    val baseRows = emb.filter(col("vec_id") % 10 =!= 7)
+    val tailRows = emb.filter(col("vec_id") % 10 === 7)
+    AnnIndex.ensureIvf(spark, src, baseRows, lists = 8, iters = 3)
+    val up = AnnIndex.upsertIvf(spark, src, tailRows, lists = 8, iters = 3)
+    val beforeHits = hits(AnnIndex.queryIvf(queries, up, k = 4, nProbe = 3))
+    val beforeFiles = up.lists.inputFiles.length
+    val h = AnnIndex.compactIvf(spark, src)
+    assert(h.lists.inputFiles.length < beforeFiles,
+      s"no file-count win ($beforeFiles -> ${h.lists.inputFiles.length})")
+    assert(hits(AnnIndex.queryIvf(queries, h, k = 4, nProbe = 3))
+      === beforeHits)
+  }
+
   test("upserted SQ8 index answers identically to one built on the full " +
       "set, and the composed checksum satisfies a later ensure") {
     val src = s"spec-$runTag-sq8up"
