@@ -321,15 +321,23 @@ object CorpusOps {
       else {
         // greedy disjoint selection in (cnt desc, lhs, rhs) order: the
         // top-1 is always taken, so progress is guaranteed; a symbol
-        // conflict just defers that pair to the next round's recount
+        // conflict just defers that pair to the next round's recount.
+        // Disjointness covers the MERGED outputs too, not only the
+        // pairs' own symbols: a selected pair's replace creates l+r
+        // symbols mid-batch, and a later in-batch pair touching l+r
+        // (as a side OR as its own merged output) would consume
+        // adjacencies that did not exist at round start — breaking the
+        // order-independence and round-start-count contracts the
+        // docstring states (reachable via multi-round chains where a
+        // merged symbol's pair re-forms).
         val used = scala.collection.mutable.Set.empty[String]
         val sel = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, Long)]
         for (r <- cands if sel.size < want) {
           val (l, rr, cnt) =
             (r.getString(0), r.getString(1), r.getLong(2))
-          if (!used(l) && !used(rr)) {
-            sel += ((l, rr, cnt)); used += l; used += rr
+          if (!used(l) && !used(rr) && !used(l + rr)) {
+            sel += ((l, rr, cnt)); used += l; used += rr; used += l + rr
           }
         }
         // one chained projection + ONE checkpoint for the whole batch
@@ -469,10 +477,20 @@ object CorpusOps {
     }
     words.indices.foreach(addWord(_, 1L))
     // lazy-deletion priority queue on (count desc, lhs asc, rhs asc):
-    // stale entries are dropped when popped by re-checking `cnt`
+    // stale entries are dropped when popped by re-checking `cnt`.
+    // String comparison must be UTF-8 BYTE order, not Scala's UTF-16
+    // code-unit order — Spark's orderBy(asc("lhs")) compares UTF8String
+    // bytes, and the two orders disagree for supplementary-plane
+    // symbols (a surrogate pair's UTF-16 units sort below U+E000..FFFF
+    // while its UTF-8 bytes sort above), which would silently break the
+    // row-identity contract with bpeMerges(B=1) on emoji-bearing text.
+    val utf8Order: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.util.Arrays.compareUnsigned(x, y)
+    }
     implicit val ord: Ordering[(Long, String, String)] =
-      Ordering.Tuple3(Ordering.Long,
-        Ordering.String.reverse, Ordering.String.reverse)
+      Ordering.Tuple3(Ordering.Long, utf8Order.reverse, utf8Order.reverse)
     val pq = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)]
     cnt.foreach { case ((l, r), c) => pq.enqueue((c, l, r)) }
     dirty.clear() // the initial enqueue above covered every pair

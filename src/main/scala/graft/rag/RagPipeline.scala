@@ -175,13 +175,17 @@ object RagPipeline {
       k: Int = 4,
       m: Int = 32,
       dim: Int = Embedder.DefaultDim): DataFrame = {
+    // explicit exists-branch, NOT a catch: openSq8's unreadable-layout
+    // error is a deliberate fail-loud signal (crashed compaction — an
+    // operator decision to rebuild), and swallowing it here would race
+    // an automatic ensureSq8 rebuild against a possibly-live
+    // streamingSq8Upsert writer on the same sourceDir
     val h =
-      try graft.sources.AnnIndex.openSq8(spark, sourceDir)
-      catch {
-        case scala.util.control.NonFatal(_) =>
-          graft.sources.AnnIndex.ensureSq8(spark, sourceDir,
-            index.select(col("chunk_id").as("vec_id"), col("embedding")))
-      }
+      if (graft.sources.AnnIndex.sq8Exists(spark, sourceDir))
+        graft.sources.AnnIndex.openSq8(spark, sourceDir)
+      else
+        graft.sources.AnnIndex.ensureSq8(spark, sourceDir,
+          index.select(col("chunk_id").as("vec_id"), col("embedding")))
     sq8Serve(h, queries, index, k, m, dim)
   }
 

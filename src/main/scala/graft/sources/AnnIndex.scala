@@ -981,6 +981,16 @@ object AnnIndex {
     sq8Handle(spark, tag)
   }
 
+  /** True iff a persisted SQ8 layout exists for `sourceDir` (meta
+    * present — no readability or freshness probe). Lets callers branch
+    * build-vs-open explicitly instead of catching [[openSq8]]'s
+    * deliberately fail-loud errors, which must keep distinguishing
+    * "never built" from "unreadable crashed layout".
+    */
+  def sq8Exists(spark: SparkSession, sourceDir: String): Boolean =
+    readMeta(sq8Base(spark, IndexStore.pathTag(sourceDir)))
+      .contains("buckets")
+
   /** Open an existing persisted SQ8 index read-only, WITHOUT a
     * freshness probe — the reader's path while a writer (e.g. a
     * [[graft.streaming.StreamOps.streamingSq8Upsert]] stream) appends

@@ -246,21 +246,36 @@ object StreamOps {
       queries.sparkSession, sourceDir, queries, index, k)
 
   /** A [[streamingChat]] retriever serving from the PERSISTED SQ8
-    * quantized index ([[graft.rag.RagPipeline.retrieveSq8Served]]):
-    * every micro-batch answers from the stored int8 codes (4× less
-    * scan I/O than the float chunk index) with exact re-rank of the m
-    * winners — output-identical to the default dense retriever at the
-    * shipped m (the q108 equality), so swapping it in changes the I/O
-    * profile, not the answers. The first trigger builds (or attaches
-    * to) the layout; later triggers go through the no-probe
-    * [[graft.sources.AnnIndex.openSq8]] reader, so a trigger costs the
-    * compressed codes scan — not a per-batch fingerprint pass over the
-    * float chunk index.
+    * quantized index: every micro-batch answers from the stored int8
+    * codes (4× less scan I/O than the float chunk index) with exact
+    * re-rank of the m winners — output-identical to the default dense
+    * retriever at the shipped m (the q108 equality), so swapping it in
+    * changes the I/O profile, not the answers.
+    *
+    * Freshness shape: the FIRST trigger runs the full
+    * [[graft.rag.RagPipeline.retrieveSq8Persisted]] ensure path — one
+    * fingerprint pass that builds the layout or detects a chunk corpus
+    * that drifted since the stream last ran (a re-chunked corpus under
+    * the same sourceDir would otherwise serve stale ids silently);
+    * every later trigger goes through the no-probe
+    * [[graft.sources.AnnIndex.openSq8]] reader
+    * ([[graft.rag.RagPipeline.retrieveSq8Served]]), so steady-state
+    * triggers cost the compressed codes scan, not a per-batch
+    * fingerprint pass. Mid-stream index growth arrives via a
+    * concurrent [[streamingSq8Upsert]] writer, which openSq8's
+    * relation-cache refresh picks up.
     */
   def persistedSq8Retriever(sourceDir: String)
-      : (DataFrame, DataFrame, Int) => DataFrame =
-    (queries, index, k) => graft.rag.RagPipeline.retrieveSq8Served(
-      queries.sparkSession, sourceDir, queries, index, k)
+      : (DataFrame, DataFrame, Int) => DataFrame = {
+    val ensured = new java.util.concurrent.atomic.AtomicBoolean(false)
+    (queries, index, k) =>
+      if (ensured.compareAndSet(false, true))
+        graft.rag.RagPipeline.retrieveSq8Persisted(
+          queries.sparkSession, sourceDir, queries, index, k)
+      else
+        graft.rag.RagPipeline.retrieveSq8Served(
+          queries.sparkSession, sourceDir, queries, index, k)
+  }
 
   /** Streaming retrieval served by the PERSISTED LSH index: each query
     * micro-batch re-attaches to the stored layout via

@@ -36,6 +36,10 @@ object AnnTune {
       df.select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+    def ranked(df: DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
     val exact = pairs(SimilaritySearch.bruteForceTopK(q, emb, k))
     println(s"index=$nIndex queries=$nQueries exact_hits=${exact.size}")
 
@@ -203,9 +207,6 @@ object AnnTune {
       val cents = SimilaritySearch
         .kMeansCentroids(emb.select("vec_id", "embedding"), 64, 5).cache()
       cents.count()
-      def ranked(df: DataFrame): Set[(Long, Int, Long)] =
-        df.select("query_id", "rank", "vec_id").collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       val exactR = ranked(SimilaritySearch.bruteForceTopK(q, emb, k))
       for (nProbe <- Seq(16, 24, 32, 40, 48, 56, 64)) {
         val ivfR = ranked(SimilaritySearch.ivfTopK(q, emb, cents, k, nProbe))
@@ -250,9 +251,6 @@ object AnnTune {
     // measures the (decay, d, m) identity points the q111/q112 oracles
     // pin, alongside the composition with SQ8 (truncate-then-quantize).
     if (mode == "mrlfl") {
-      def ranked(df: DataFrame): Set[(Long, Int, Long)] =
-        df.select("query_id", "rank", "vec_id").collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       for (decay <- Seq(0.7, 0.8, 0.9)) {
         val fl = emb.select(col("vec_id"),
           transform(col("embedding"),

@@ -847,10 +847,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batched.size === ref.size)
     assert(batched.head.productIterator.toSeq.take(5) ===
       ref.head.productIterator.toSeq.take(5))
-    // every batched pair_count is the pair's true round-start count:
-    // re-running B=1 to the same depth must reproduce the first round's
-    // top-1 regardless of batching
+    // steps stay densely sequential across rounds (a starved or
+    // conflicted selection defers pairs, never skips step numbers)
     assert(batched.map(_._1) === (1 to batched.size))
+    // every batched pair's recorded count is its true round-start
+    // adjacency count: for the FIRST round that is the count over the
+    // original character vocabulary, independently recomputable here
+    val charPairs = Seq("low low lower lowest newest",
+      "new newer newest wide widest low")
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .flatMap(w => w.toCharArray.map(_.toString).sliding(2)
+        .filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    batched.takeWhile { r =>
+      // first-round selections are those whose pair exists over the
+      // initial char vocab with exactly the recorded count
+      charPairs.get((r._2, r._3)).contains(r._5)
+    } match {
+      case firstRound => assert(firstRound.nonEmpty,
+        "first batched round must record true round-start counts")
+    }
   }
 
   test("bpeEncode applies learned merges: the low/lower run's realized " +
