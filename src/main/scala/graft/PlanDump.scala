@@ -38,7 +38,10 @@ object PlanDump {
       "q103_sq8_ann" -> "SQ8 quantized ANN: per-row int8 quantization fused into the scan projection, broadcast query side, integer-dot approximate scoring, bounded partial_top_k candidate selection, exact re-rank joined by id — the float vectors never ride the candidate exchange",
       "q104_lm_score" -> "n-gram LM scoring: two map-side-combinable count aggregates build the model (the only corpus-keyed exchanges besides the scoring joins), token stream hash-joins against them, (N, |V|) scalars broadcast, doc-keyed partial avg — no window, no self-join",
       "q105_sq8_persisted" -> "persisted SQ8 serving: the approximate scan reads the stored codes table (binary codes — 1/4 the bytes of the float table), bounded partial_top_k, re-rank id-join against the co-bucketed float table",
-      "q109_ivfsq8_persisted" -> "COMPOSED IVF-SQ8 (invariant query — the plan also carries the float-IVF and exact-kNN verification branches): the composed branch scans graft_ivfsq8_lists_* under a dynamicpruningexpression on centroid_id (unprobed list directories never read) at int8 codes width, integer-dot approximate scoring, bounded partial_top_k, exact re-rank id-join against the co-bucketed float table — probed-row pruning × 4×-smaller scanned rows multiplied in one plan")
+      "q109_ivfsq8_persisted" -> "COMPOSED IVF-SQ8 (invariant query — the plan also carries the float-IVF and exact-kNN verification branches): the composed branch scans graft_ivfsq8_lists_* under a dynamicpruningexpression on centroid_id (unprobed list directories never read) at int8 codes width, integer-dot approximate scoring, bounded partial_top_k, exact re-rank id-join against the co-bucketed float table — probed-row pruning × 4×-smaller scanned rows multiplied in one plan",
+      "q115_pq_ann" -> "product-quantized ANN: 16-byte PQ codes from a per-row native encode projection, per-query ADC dot table built on the BroadcastExchange side, lookup-sum scan kernel (zero multiplies) with bounded partial_top_k candidate selection, exact re-rank joined by id",
+      "q116_sq8_delete" -> "persisted SQ8 delete: the stored codes scan anti-joined against the co-bucketed tombstone table (broadcast for this small tomb set — the index side never shuffles), then the q105 serving shape over the surviving rows",
+      "q119_global_shuffle" -> "deterministic global shuffle: md5 key projection, ONE rangepartitioning exchange establishing global order, per-partition-id window numbering (every Window keyed by pid — no single-partition stage), nPart-row count aggregate + broadcast prefix-offset join")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.PlanDump` on sf0.01. What to look for:\n")

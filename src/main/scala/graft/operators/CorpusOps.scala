@@ -640,4 +640,46 @@ object CorpusOps {
       .withColumn("last_seq",
         floor((col("start_off") + col("n_tok") - 1) / budget))
   }
+
+  /** Deterministic global shuffle — the last step of every training-data
+    * export (decorrelate document order before the corpus is sharded
+    * into training files). Each row's shuffle key is `md5(id ":" seed)`,
+    * so the permutation is a pure function of (id, seed): reproducible
+    * across reruns, cluster sizes, and engines (an auditor can replay
+    * the exact order in any SQL engine — the q-oracle does, verbatim).
+    * Output: the input row plus `shuffle_pos` (0-based global position).
+    *
+    * Scale shape — NO global-window sort: a range repartition on the
+    * key spreads the sorted order across `partitions` tasks, each task
+    * window-numbers ITS rows only (the exchange keyed by the bounded
+    * partition id — parallelism = partitions throughout), and the
+    * per-partition row counts (a `partitions`-row aggregate) broadcast
+    * back as prefix-sum offsets. Two exchanges + one tiny agg total,
+    * vs the single-task funnel of `row_number() OVER (ORDER BY …)`.
+    */
+  def globalShuffle(df: DataFrame, idCol: String, seed: Long,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df
+      .withColumn("skey", md5(concat_ws(":", col(idCol), lit(seed))))
+      .repartitionByRange(nPart, col("skey"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+    // pid → rows-before-it offsets: prefix sums over the nPart-row count
+    // table via a broadcast triangle self-join (the q97 discipline — no
+    // single-partition window anywhere in the plan)
+    val counts = keyed.groupBy("pid").agg(count(lit(1)).as("n"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.select(col("pid").as("bpid"),
+        col("n").as("bn"))), col("bpid") < col("pid"), "left")
+      .groupBy("pid")
+      .agg(coalesce(sum("bn"), lit(0L)).as("offset"))
+    val wIn = Window.partitionBy("pid").orderBy("skey", idCol)
+    keyed
+      .withColumn("pos_in_part", row_number().over(wIn).cast("long") - 1L)
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("shuffle_pos", col("offset") + col("pos_in_part"))
+      .drop("skey", "pid", "pos_in_part", "offset")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -216,6 +216,201 @@ object SimilaritySearch {
       .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
     rerank(cand, queries, index, k)
   }
+
+  /** Per-subspace L2 k-means codebooks for product quantization:
+    * (sub_id 0-based, centroid_id 0-based < ksub, centroid_vec of
+    * dim/numSub doubles). All `numSub` subspaces train JOINTLY — one
+    * exploded (sub_id, vec_id, subvec) relation, assignment is a
+    * broadcast join against the numSub·ksub-row centroid set collapsed
+    * map-side by min_by (no window), the re-average one (sub, centroid,
+    * dim) aggregate — so a Lloyd round is two shuffles total no matter
+    * how many subspaces, and lineage is checkpoint-truncated per round
+    * like [[kMeansRefine]]. Seeds: the subvectors of the `ksub` index
+    * vectors with smallest xxhash64(vec_id) — the same stable draw as
+    * [[kMeansCentroids]], shared across subspaces. An emptied centroid
+    * keeps its previous position (same guard as kMeansRefine).
+    *
+    * L2 (not cosine) assignment is the standard PQ training objective:
+    * codes minimize per-subspace reconstruction error, and the ADC dot
+    * estimate Σ dot(c_m, q_m) inherits that bound regardless of the
+    * serving metric.
+    */
+  def pqCodebooks(index: DataFrame, numSub: Int = 16, ksub: Int = 16,
+      iters: Int = 5): DataFrame = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+    // dims not divisible by numSub are rejected loudly at encode time
+    // (PqEncodeF.checkDim); the int cast here matters because SQL `/`
+    // on ints yields double and slice takes int args
+    val dsubC = (size(col("embedding")) / numSub).cast("int")
+    val sub = index.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(numSub - 1)), s =>
+          slice(col("embedding"), s * dsubC + 1, dsubC)))
+        .as(Seq("sub_id", "subvec")))
+      .select(col("sub_id"), col("vec_id"),
+        VectorOps.toDouble(col("subvec")).as("subvec"))
+    val seedIds = index
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(ksub)
+      .select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted // ksub-bounded model-seed collect
+    // broadcast is applied at the assignment JOIN below — hinting the
+    // var itself would also (unsupportedly) hint the left side of the
+    // empty-cluster anti-join
+    var c = sub
+      .filter(col("vec_id").isin(seedIds.map(Long.box): _*))
+      .select(col("sub_id"),
+        // centroid id = rank of the seed vec_id within the draw
+        array_position(lit(seedIds), col("vec_id")).cast("int")
+          .minus(1).as("centroid_id"),
+        col("subvec").as("centroid_vec"))
+    val l2sq = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v)
+    for (_ <- 1 to iters) {
+      val assigned = sub.join(broadcast(c), Seq("sub_id"))
+        .withColumn("d2", l2sq(col("subvec"), col("centroid_vec")))
+        .groupBy("sub_id", "vec_id")
+        .agg(min_by(struct(col("centroid_id"), col("subvec")),
+          struct(col("d2"), col("centroid_id"))).as("w"))
+        .select(col("sub_id"), col("w.centroid_id").as("centroid_id"),
+          col("w.subvec").as("subvec"))
+      val refreshed = assigned
+        .select(col("sub_id"), col("centroid_id"),
+          posexplode(col("subvec")).as(Seq("dim", "v")))
+        .groupBy("sub_id", "centroid_id", "dim")
+        .agg(avg("v").as("mean_v"))
+        .groupBy("sub_id", "centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean_v"))))
+          .getField("mean_v").as("centroid_vec"))
+      c = refreshed.unionByName(
+          c.join(refreshed.select("sub_id", "centroid_id"),
+            Seq("sub_id", "centroid_id"), "left_anti"))
+        .localCheckpoint(true)
+    }
+    c
+  }
+
+  /** Collect a [[pqCodebooks]] relation into the flat driver-side array
+    * [[graft.functions.expressions.PqExpressions]] kernels embed
+    * (layout [sub][cid][dim-within-sub]; an untrained (sub, cid) slot —
+    * possible when ksub exceeds the distinct subvector count — stays
+    * zero-filled). Bounded by numSub · ksub rows: model parameters, the
+    * same class of collect as the k-means seed draw.
+    */
+  def collectCodebook(codebooks: DataFrame, numSub: Int, ksub: Int): Array[Double] = {
+    val rows = codebooks
+      .select(col("sub_id"), col("centroid_id"), col("centroid_vec"))
+      .collect()
+    require(rows.nonEmpty, "collectCodebook: empty codebook relation")
+    val dsub = rows.head.getSeq[Double](2).length
+    val flat = new Array[Double](numSub * ksub * dsub)
+    rows.foreach { r =>
+      val s = r.getInt(0); val cid = r.getInt(1)
+      require(s >= 0 && s < numSub && cid >= 0 && cid < ksub,
+        s"collectCodebook: (sub_id=$s, centroid_id=$cid) outside " +
+          s"numSub=$numSub × ksub=$ksub")
+      val v = r.getSeq[Double](2)
+      require(v.length == dsub,
+        s"collectCodebook: ragged centroid dim ${v.length} != $dsub")
+      var i = 0
+      while (i < dsub) { flat((s * ksub + cid) * dsub + i) = v(i); i += 1 }
+    }
+    flat
+  }
+
+  /** Product-quantized ANN: train per-subspace codebooks, encode the
+    * index to `numSub` bytes per vector, score every (query, vector)
+    * pair by ADC table lookups, take `m` candidates per query, exact
+    * float re-rank to top-k. MEASURED output-identical to
+    * [[bruteForceTopK]] at the shipped (numSub, ksub, m) operating
+    * point — q115 pins it against the exact-kNN DuckDB oracle, the
+    * q103/q105 SQ8 discipline; certify any new point with `AnnTune pq`
+    * before serving (PQ reconstruction error is data-dependent — this
+    * is an empirical identity, not a guarantee).
+    *
+    * Approximate score: `Σ_m dot(c_{m,code_m}, q_m) / (‖x‖‖q‖)` — the
+    * ADC estimate of exact cosine against the TRUE stored norms, so
+    * thresholds compose, like [[quantizedTopK]].
+    *
+    * Scale shape: the scan stage reads `numSub` bytes per vector
+    * (16 B at the fixture's 64-dim/numSub=16 — 16× under float32; 96 B
+    * at the reference's 1536-dim/numSub=96 — 64×) and does table
+    * lookups only, no multiplies; the per-query ADC table is built once
+    * on the broadcast side; map-side bounded TopKAgg ships
+    * O(partitions · queries · m); float vectors are touched only for
+    * the m winners per query (id equi-join). Training cost is `iters`
+    * two-shuffle rounds over the exploded subvector relation — run once
+    * and reuse via the `codebooks` parameter (the index-once/query-many
+    * shape).
+    */
+  def pqTopK(queries: DataFrame, index: DataFrame, k: Int = 4,
+      m: Int = 32, numSub: Int = 16, ksub: Int = 16, iters: Int = 5,
+      codebooks: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.expressions.PqExpressions.{pq_adc_dot, pq_encode, pq_table}
+    import graft.functions.expressions.TopKAgg.top_k
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    val cb = codebooks.getOrElse(pqCodebooks(index, numSub, ksub, iters))
+    val flat = collectCodebook(cb, numSub, ksub)
+    val enc = index.select(col("vec_id"),
+      pq_encode(col("embedding"), flat, numSub, ksub).as("pqcodes"),
+      VectorOps.l2Norm(col("embedding")).as("pnorm"))
+    val qt = broadcast(queries.select(col("query_id"),
+      pq_table(col("query_vec"), flat, numSub, ksub).as("adc"),
+      VectorOps.l2Norm(col("query_vec")).as("qqnorm")))
+    val cand = enc.crossJoin(qt)
+      .withColumn("ascore",
+        when(col("pnorm") * col("qqnorm") === 0.0, lit(0.0))
+          .otherwise(pq_adc_dot(col("pqcodes"), col("adc"))
+            / (col("pnorm") * col("qqnorm"))))
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
+    rerank(cand, queries, index, k)
+  }
+
+  /** MMR (maximal-marginal-relevance) diversified top-k — the
+    * `search_type="mmr"` retriever mode of the reference's LangChain
+    * stack (public API): fetch the `fetchK` most relevant vectors per
+    * query, then greedily re-select `k` of them trading relevance
+    * against redundancy at weight `lambda` (LangChain defaults:
+    * fetch_k=20, lambda_mult=0.5). Output (query_id, rank, vec_id,
+    * mmr_score), rank = pick order; rank 1 always equals the exact
+    * relevance top-1 (for λ > 0 the first pick has no redundancy term).
+    *
+    * Scale shape: the fetch IS [[bruteForceTopK]] (swap in any ANN/
+    * persisted fetch for a 100 TB index — MMR only needs the fetched
+    * rows); the greedy stage runs on one bounded array of fetchK
+    * (rank, id, score, embedding) structs per query — O(k · fetchK)
+    * local work inside a native expression, never index-sized, and the
+    * candidate array order (fetch rank) fixes the float accumulation
+    * order so the selection is deterministic.
+    */
+  def mmrTopK(queries: DataFrame, index: DataFrame, k: Int = 4,
+      fetchK: Int = 20, lambda: Double = 0.5): DataFrame = {
+    import graft.functions.expressions.MmrExpression.mmr_select
+    require(fetchK >= k, s"fetchK ($fetchK) must be >= k ($k)")
+    val fetched = bruteForceTopK(queries, index, fetchK)
+    val withVec = index.select(col("vec_id"), col("embedding"))
+      .join(broadcast(fetched), Seq("vec_id"))
+    withVec.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("vec_id"),
+        col("score"), col("embedding")))).as("c"))
+      .select(col("query_id"),
+        posexplode(mmr_select(col("c"), k, lambda)).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.rank").as("rank"),
+        col("hit.vec_id").as("vec_id"), col("hit.mmr").as("mmr_score"))
+  }
+
+  /** Score-threshold retrieval — the `similarity_score_threshold`
+    * retriever mode of the reference's stack (public LangChain API):
+    * exact top-k, then only hits at cosine ≥ `minScore` survive (so a
+    * query may return fewer than k rows; ranks keep their pre-filter
+    * values, matching the reference behavior of filtering a scored
+    * result list).
+    */
+  def thresholdTopK(queries: DataFrame, index: DataFrame, k: Int = 4,
+      minScore: Double = 0.0): DataFrame =
+    bruteForceTopK(queries, index, k).filter(col("score") >= minScore)
 
   /** LSH-bucketed ANN top-k with exact re-rank of candidates. Bucket
     * signatures come from one native expression pass (hyperplane

@@ -625,6 +625,105 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // Product-quantized ANN: per-subspace codebooks (16 subspaces × 64
+    // centroids over the 64-dim fixture → 16 bytes/vector, 16× under
+    // float32), ADC table-lookup scan picks 64 candidates per query,
+    // exact float re-rank returns top-4. Hash-matching the EXACT kNN
+    // oracle proves the PQ layer output-lossless at this operating
+    // point (certified by `AnnTune pq` at every fixture scale: identical
+    // from m=32 at sf0.001/sf0.01/sf0.1 — m=64 is the 2× margin; and by
+    // `AnnTune pqiters`: at m=64 identity holds from iters=1, so the
+    // shipped iters=2 carries its own margin) — the compression tier
+    // past q103's SQ8 (byte per subspace vs byte per component).
+    "q115_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilaritySearch.pqTopK(q, emb, k = 4, m = 64, numSub = 16,
+          ksub = 64, iters = 2)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // PERSISTED PQ serving — the train-once/query-many shape q115's
+    // in-memory path demonstrates: codebook + 16-byte codes + float
+    // vecs live on disk (built once per fixture, attach-by-DDL after),
+    // the query is ADC lookup-sums over the stored codes + exact
+    // re-rank. Same exact-kNN oracle as q115/q105.
+    "q120_pq_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val h = graft.sources.AnnIndex.ensurePq(s, dir,
+        emb.select("vec_id", "embedding"))
+      graft.sources.AnnIndex.queryPq(q, h, k = 4, m = 64)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // MMR diversified retrieval (LangChain `search_type="mmr"`, the
+    // reference stack's documented diversity mode) — invariant closure:
+    // rank-1 ≡ the exact relevance top-1 per query, every selection
+    // drawn from the fetch-20 candidate set, and the selected set's
+    // mean pairwise cosine (redundancy) no worse than plain top-k's.
+    // The greedy selection itself is pinned by a hand-computed
+    // ScalaTest (OperatorsSpec).
+    "q117_mmr_invariants" -> ((s, dir) => {
+      import graft.functions.VectorOps
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val mmr = SimilaritySearch.mmrTopK(q, emb, k = 4, fetchK = 20,
+        lambda = 0.5)
+      val exact = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+      val fetched = SimilaritySearch.bruteForceTopK(q, emb, k = 20)
+        .select("query_id", "vec_id")
+      def redundancy(sel: DataFrame): DataFrame = {
+        val withV = sel.select("query_id", "vec_id")
+          .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+        withV.select(col("query_id"), col("vec_id").as("id_a"),
+            col("embedding").as("emb_a"))
+          .join(withV.select(col("query_id"), col("vec_id").as("id_b"),
+            col("embedding").as("emb_b")), Seq("query_id"))
+          .filter(col("id_a") < col("id_b"))
+          .agg(avg(VectorOps.cosine(col("emb_a"), col("emb_b"))).as("red"))
+      }
+      mmr.agg(countDistinct("query_id").as("n_queries"),
+          count(lit(1)).as("n_rows"))
+        .crossJoin(mmr.filter(col("rank") === 1)
+          .join(exact.filter(col("rank") === 1), Seq("query_id", "vec_id"),
+            "left_anti")
+          .agg(count(lit(1)).as("top1_misses")))
+        .crossJoin(mmr.join(fetched, Seq("query_id", "vec_id"), "left_anti")
+          .agg(count(lit(1)).as("n_outside")))
+        .crossJoin(redundancy(mmr).select(col("red").as("mmr_red")))
+        .crossJoin(redundancy(exact).select(col("red").as("exact_red")))
+        .select(col("n_queries"), col("n_rows"), col("top1_misses"),
+          col("n_outside"),
+          (col("mmr_red") <= col("exact_red") + 1e-12).as("diversity_ok"))
+    }),
+
+    // Score-threshold retrieval (LangChain `similarity_score_threshold`)
+    // — top-10 filtered to cosine ≥ 0.32; a query keeps its pre-filter
+    // ranks and may return fewer than 10 rows. Fully SQL-expressible.
+    "q118_threshold_retrieval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilaritySearch.thresholdTopK(q, emb, k = 10, minScore = 0.32)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // Deterministic global shuffle — the export-time decorrelation pass
+    // (position = rank of md5(doc_id ":" seed)): no global-sort funnel,
+    // range-partitioned order + per-partition numbering + broadcast
+    // prefix offsets. The oracle replays the identical permutation.
+    "q119_global_shuffle" -> ((s, dir) =>
+      CorpusOps.globalShuffle(t(s, dir, "documents")
+          .select("doc_id", "n_chars"), "doc_id", seed = 42L)
+        .select("doc_id", "n_chars", "shuffle_pos")),
+
     // The 100 TB-shaped BPE trainer (counts formulation): ONE
     // distributed wordcount pass, then every merge learned driver-side
     // with incremental pair-count updates — zero per-merge Spark jobs
@@ -664,6 +763,29 @@ object PipelineQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val h = graft.sources.AnnIndex.ensureSq8(s, dir,
         emb.select("vec_id", "embedding"))
+      graft.sources.AnnIndex.querySq8(q, h, k = 4, m = 32)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // Pinecone-style DELETE on the persisted SQ8 index (the lifecycle
+    // verb next to q105's build and the upsert family): build a fresh
+    // layout under its own key, tombstone the 8 query vectors
+    // themselves — the strongest possible visibility, every rank-1
+    // self-hit disappears — and query through the tombstone-filtered
+    // handle. The oracle is the exact kNN restricted to the surviving
+    // ids (vec_id >= 8); hash-matching it proves merge-on-read delete
+    // semantics end-to-end at the certified m=32 margin. Re-runs are
+    // deterministic: ensureSq8 treats a tombstoned layout as stale
+    // ("serve exactly this source"), rebuilding before re-deleting.
+    "q116_sq8_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val key = s"$dir#sq8del"
+      graft.sources.AnnIndex.ensureSq8(s, key, emb.select("vec_id", "embedding"))
+      val h = graft.sources.AnnIndex.deleteSq8(s, key,
+        emb.filter(col("vec_id") < 8).select("vec_id"))
       graft.sources.AnnIndex.querySq8(q, h, k = 4, m = 32)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
@@ -1881,6 +2003,49 @@ object PipelineQueries {
         |  >= 0.35""".stripMargin,
     "q35_knn_bruteforce" -> knnExactOracle,
     "q51_knn_topk_agg" -> knnExactOracle,
+    // PQ scan + exact re-rank is output-identical to the exact kNN at
+    // the certified (numSub=16, ksub=64, m=64) point — same oracle
+    "q115_pq_ann" -> knnExactOracle,
+    // the persisted-PQ serving path at the same certified point
+    "q120_pq_persisted" -> knnExactOracle,
+    // MMR invariants: counts derived from the table; the boolean
+    // invariants (top-1 identity, candidate-subset, diversity-no-worse)
+    // must all hold
+    "q117_mmr_invariants" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |CAST(4 * count(*) AS BIGINT) AS n_rows,
+        |CAST(0 AS BIGINT) AS top1_misses,
+        |CAST(0 AS BIGINT) AS n_outside,
+        |true AS diversity_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // threshold retrieval: rank within top-10 BEFORE the score filter,
+    // exactly the reference stack's filter-a-scored-list semantics
+    "q118_threshold_retrieval" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(x.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+        |                             CAST(x.embedding AS DOUBLE[]))))
+        |    AS score
+        |  FROM embeddings q CROSS JOIN embeddings x
+        |  WHERE q.vec_id < 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 10 AND score >= 0.32""".stripMargin,
+    // the identical md5-keyed permutation, replayed relationally
+    "q119_global_shuffle" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || '42'),
+        |      doc_id) - 1 AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
     // the persisted-LSH path at the recall-1.0 point is output-identical
     // to the exact scan — same oracle as q35/q51/q59
     "q67_lsh_persisted" -> knnExactOracle,
@@ -2278,6 +2443,27 @@ object PipelineQueries {
     "q103_sq8_ann" -> knnExactOracle,
     // the persisted SQ8 path serves the identical output
     "q105_sq8_persisted" -> knnExactOracle,
+    // delete semantics: exact kNN over the index MINUS the tombstoned
+    // ids (the 8 query vectors) — every surviving hit re-ranked
+    "q116_sq8_delete" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(x.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+        |                             CAST(x.embedding AS DOUBLE[]))))
+        |    AS score
+        |  FROM embeddings q CROSS JOIN embeddings x
+        |  WHERE q.vec_id < 8 AND x.vec_id >= 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 4""".stripMargin,
     // composed IVF-SQ8: SQ8-inside-lists ≡ float IVF (zero diff) and
     // the q68 recall floor holds — 8 queries × k=4
     "q109_ivfsq8_persisted" ->

@@ -859,15 +859,31 @@ object AnnIndex {
     val base = sq8Base(spark, tag)
     spark.sql(s"DROP TABLE IF EXISTS graft_sq8_codes_$tag")
     spark.sql(s"DROP TABLE IF EXISTS graft_sq8_vecs_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_sq8_tombs_$tag")
     registerExternal(spark, s"graft_sq8_codes_$tag", s"$base/codes",
       clusteredBy = Some(("vec_id", storageBuckets)))
     registerExternal(spark, s"graft_sq8_vecs_$tag", s"$base/vecs",
       clusteredBy = Some(("vec_id", storageBuckets)))
+    if (parquetReadable(spark, s"$base/tombs"))
+      registerExternal(spark, s"graft_sq8_tombs_$tag", s"$base/tombs",
+        clusteredBy = Some(("vec_id", storageBuckets)))
   }
 
-  private def sq8Handle(spark: SparkSession, tag: String): Sq8Handle =
-    Sq8Handle(spark.table(s"graft_sq8_codes_$tag"),
-      spark.table(s"graft_sq8_vecs_$tag"))
+  /** The served view: when a tombstone table exists, BOTH sides carry
+    * the anti-join against it (the codes side is what excludes deleted
+    * ids from candidates; the vecs side keeps any direct consumer of
+    * the float table honest too). Tombs share the vec_id bucketing, so
+    * the anti-joins are shuffle-free on the index side.
+    */
+  private def sq8Handle(spark: SparkSession, tag: String): Sq8Handle = {
+    val codes = spark.table(s"graft_sq8_codes_$tag")
+    val vecs = spark.table(s"graft_sq8_vecs_$tag")
+    if (spark.catalog.tableExists(s"graft_sq8_tombs_$tag")) {
+      val tombs = spark.table(s"graft_sq8_tombs_$tag")
+      Sq8Handle(codes.join(tombs, Seq("vec_id"), "left_anti"),
+        vecs.join(tombs, Seq("vec_id"), "left_anti"))
+    } else Sq8Handle(codes, vecs)
+  }
 
   /** Build (or reuse) the persisted SQ8 layout over `index(vec_id,
     * embedding)`: quantization is one per-row projection pass; both
@@ -888,10 +904,15 @@ object AnnIndex {
       snapshotId: Option[String] = None): Sq8Handle = {
     val tag = IndexStore.pathTag(sourceDir)
     val base = sq8Base(spark, tag)
+    // a tombstoned layout no longer equals quantize(source): ensure's
+    // contract is "serve exactly this source", so deletions force a
+    // rebuild (which clears them) — deleteSq8 also drops the stored
+    // snapshot_id, this tomb check is the content-path twin
+    def tombFree = readMeta(base).get("tomb_rows").forall(_ == 0L)
     val snapFresh = snapshotId.exists { id =>
       readMetaStrs(base).get("snapshot_id").contains(id) &&
         readMeta(base).get("buckets").contains(storageBuckets.toLong)
-    }
+    } && tombFree
     if (snapFresh && servable(spark, Seq(s"$base/codes", s"$base/vecs"),
         sq8Registered(spark, tag),
         () => attachSq8(spark, tag, storageBuckets)))
@@ -902,10 +923,14 @@ object AnnIndex {
       meta.get("buckets").contains(storageBuckets.toLong) &&
         meta.get("n_rows").contains(n) &&
         meta.get("checksum").contains(fp)
-    } && servable(spark, Seq(s"$base/codes", s"$base/vecs"),
+    } && tombFree && servable(spark, Seq(s"$base/codes", s"$base/vecs"),
       sq8Registered(spark, tag),
       () => attachSq8(spark, tag, storageBuckets))
     if (!metaFresh) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_sq8_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
       spark.sql(s"DROP TABLE IF EXISTS graft_sq8_codes_$tag")
       SimilaritySearch.quantizeIndex(index.select("vec_id", "embedding"))
         .write.mode(SaveMode.Overwrite)
@@ -924,13 +949,17 @@ object AnnIndex {
     // through rebuilds unconditionally (the buildLsh discipline: a
     // rebuild between a streaming crash and its replay must not reopen
     // the replay-skip window).
-    if (!metaFresh || snapshotId.isDefined)
+    if (!metaFresh || snapshotId.isDefined) {
+      val old = readMeta(base)
       writeMetaFull(base,
         Seq("buckets" -> storageBuckets.toLong,
           "n_rows" -> n, "checksum" -> fp) ++
-          readMeta(base).get("last_batch_id")
-            .map("last_batch_id" -> _).toSeq,
+          old.get("last_batch_id").map("last_batch_id" -> _).toSeq ++
+          // both replay-skip windows survive a rebuild (the buildLsh
+          // discipline) — tomb_rows does NOT (the rebuild cleared them)
+          old.get("last_del_batch_id").map("last_del_batch_id" -> _).toSeq,
         snapshotId.map("snapshot_id" -> _).toSeq)
+    }
     sq8Handle(spark, tag)
   }
 
@@ -963,6 +992,17 @@ object AnnIndex {
     val replayed = batchId.exists(id =>
       meta.get("last_batch_id").exists(id <= _))
     if (replayed) return sq8Handle(spark, tag)
+    // append-only + tombstone contract: re-adding a deleted id would be
+    // silently swallowed by the tombstone anti-join — fail loudly; fold
+    // the tombstones first (compactSq8) if re-insertion is intended.
+    // The probe is batch-sized (broadcast semi-join), not index-sized.
+    if (meta.get("tomb_rows").exists(_ > 0L)) {
+      val clash = spark.table(s"graft_sq8_tombs_$tag")
+        .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi").count()
+      require(clash == 0L,
+        s"upsertSq8: $clash incoming vec_id(s) are tombstoned — run " +
+          "compactSq8 to fold deletions before re-inserting those ids")
+    }
     val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
     SimilaritySearch.quantizeIndex(newVecs.select("vec_id", "embedding"))
       .write.mode(SaveMode.Append)
@@ -976,8 +1016,74 @@ object AnnIndex {
         "n_rows" -> (meta("n_rows") + nNew),
         "checksum" -> (meta("checksum") ^ fpNew)) ++
         batchId.orElse(meta.get("last_batch_id"))
-          .map("last_batch_id" -> _).toSeq,
+          .map("last_batch_id" -> _).toSeq ++
+        meta.get("tomb_rows").map("tomb_rows" -> _).toSeq ++
+        meta.get("last_del_batch_id").map("last_del_batch_id" -> _).toSeq,
       Nil)
+    sq8Handle(spark, tag)
+  }
+
+  /** Delete by id from the persisted SQ8 index — the vector-store
+    * lifecycle verb the reference's stack exposes as Pinecone's
+    * `delete(ids=...)` (public API). Merge-on-read tombstones, the only
+    * delete that scales: the batch of ids is APPENDED to a tombstone
+    * table co-bucketed with the codes/vecs pair (O(batch) work, no
+    * index rewrite), and every served handle anti-joins it —
+    * shuffle-free on the index side thanks to the shared bucketing.
+    * [[compactSq8]] later folds tombstones into the base (physically
+    * removes the rows and resets the live fingerprint); until then
+    * re-inserting a deleted id fails loudly in [[upsertSq8]].
+    *
+    * Deleting ids absent from the index (or already deleted) is a
+    * semantic no-op — the anti-join ignores them. A delete moves the
+    * layout past any named snapshot (stored `snapshot_id` is dropped)
+    * and past the source content (`ensureSq8` over the original source
+    * rebuilds — "serve exactly this source" clears deletions by
+    * contract). `batchId` gives streaming delete feeds the same
+    * replay-skip contract as [[upsertSq8]], on its own counter
+    * (`last_del_batch_id`) so interleaved upsert/delete streams don't
+    * mask each other.
+    */
+  def deleteSq8(
+      spark: SparkSession,
+      sourceDir: String,
+      ids: DataFrame,
+      batchId: Option[Long] = None): Sq8Handle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = sq8Base(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("buckets"),
+      s"deleteSq8 needs an existing persisted SQ8 index for '$sourceDir'" +
+        s" — run ensureSq8 first")
+    val storageBuckets = meta("buckets").toInt
+    require(parquetReadable(spark, s"$base/codes") &&
+      parquetReadable(spark, s"$base/vecs"),
+      s"persisted SQ8 layout for '$sourceDir' is unreadable — run " +
+        "ensureSq8 to rebuild before deleting")
+    if (!sq8Registered(spark, tag)) attachSq8(spark, tag, storageBuckets)
+    val replayed = batchId.exists(id =>
+      meta.get("last_del_batch_id").exists(id <= _))
+    if (replayed) return sq8Handle(spark, tag)
+    val batch = ids.select("vec_id").distinct()
+    val nDel = batch.count()
+    if (spark.catalog.tableExists(s"graft_sq8_tombs_$tag"))
+      batch.write.mode(SaveMode.Append)
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(s"graft_sq8_tombs_$tag")
+    else
+      batch.write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/tombs")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(s"graft_sq8_tombs_$tag")
+    writeMetaFull(base,
+      Seq("buckets" -> meta("buckets"),
+        "n_rows" -> meta("n_rows"),
+        "checksum" -> meta("checksum"),
+        "tomb_rows" -> (meta.getOrElse("tomb_rows", 0L) + nDel)) ++
+        meta.get("last_batch_id").map("last_batch_id" -> _).toSeq ++
+        batchId.orElse(meta.get("last_del_batch_id"))
+          .map("last_del_batch_id" -> _).toSeq,
+      Nil) // snapshot_id intentionally dropped: the layout moved past it
     sq8Handle(spark, tag)
   }
 
@@ -1013,6 +1119,12 @@ object AnnIndex {
     else {
       spark.catalog.refreshTable(s"graft_sq8_codes_$tag")
       spark.catalog.refreshTable(s"graft_sq8_vecs_$tag")
+      // tombstones may have (dis)appeared under another session's
+      // delete or fold — re-derive the registration from the store
+      spark.sql(s"DROP TABLE IF EXISTS graft_sq8_tombs_$tag")
+      if (parquetReadable(spark, s"$base/tombs"))
+        registerExternal(spark, s"graft_sq8_tombs_$tag", s"$base/tombs",
+          clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
     sq8Handle(spark, tag)
   }
@@ -1041,13 +1153,221 @@ object AnnIndex {
     val tag = IndexStore.pathTag(sourceDir)
     val base = sq8Base(spark, tag)
     openSq8(spark, sourceDir) // validates meta + attaches + refreshes
-    val sb = readMeta(base)("buckets").toInt
+    val meta = readMeta(base)
+    val sb = meta("buckets").toInt
+    // tombstone FOLD: physically drop deleted rows while rewriting.
+    // Crash-window shape: after one swap the layout is mixed but the
+    // still-present tombstone anti-join keeps serving correctly; after
+    // the tomb removal but before the meta rewrite, the data is fully
+    // folded and the stale meta (tomb_rows > 0) makes the next ensure
+    // rebuild — every window is correct-serving or rebuild-triggering.
+    val folding = meta.get("tomb_rows").exists(_ > 0L) &&
+      spark.catalog.tableExists(s"graft_sq8_tombs_$tag")
+    val tombFilter = (df: DataFrame) =>
+      if (folding)
+        df.join(spark.table(s"graft_sq8_tombs_$tag"), Seq("vec_id"),
+          "left_anti")
+      else df
     compactBucketed(spark, base, s"graft_sq8_codes_$tag", "codes",
-      "vec_id", sb)
+      "vec_id", sb,
+      Some(tombFilter(spark.table(s"graft_sq8_codes_$tag"))))
     compactBucketed(spark, base, s"graft_sq8_vecs_$tag", "vecs",
-      "vec_id", sb)
+      "vec_id", sb,
+      Some(tombFilter(spark.table(s"graft_sq8_vecs_$tag"))))
+    if (folding) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_sq8_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+    }
     attachSq8(spark, tag, sb)
+    if (folding) {
+      // the live fingerprint changed: recompute from the folded vecs so
+      // upsert checksum composition stays coherent; replay-skip windows
+      // survive, tomb_rows resets
+      val (n, fp) = fingerprint(
+        spark.table(s"graft_sq8_vecs_$tag").select("vec_id", "embedding"))
+      writeMetaFull(base,
+        Seq("buckets" -> sb.toLong, "n_rows" -> n, "checksum" -> fp) ++
+          meta.get("last_batch_id").map("last_batch_id" -> _).toSeq ++
+          meta.get("last_del_batch_id")
+            .map("last_del_batch_id" -> _).toSeq,
+        Nil)
+    }
     sq8Handle(spark, tag)
+  }
+
+  // ----------------------------------------------------------------- PQ
+
+  /** Persisted product-quantized layout (q115's serving form, q120):
+    * `codebook` is the trained model artifact (numSub · ksub rows —
+    * tiny), `codes` the numSub-bytes-per-vector encodings bucketed by
+    * vec_id, `vecs` the float vectors co-bucketed for the exact
+    * re-rank. The whole point of PQ is train-once/query-many: the
+    * training cost (Lloyd rounds over the exploded subvector relation)
+    * is paid at build, and every query is table-lookup scans over the
+    * 16×-compressed codes.
+    */
+  final case class PqHandle(codebook: DataFrame, codes: DataFrame,
+      vecs: DataFrame, numSub: Int, ksub: Int)
+
+  private def pqBase(spark: SparkSession, tag: String) =
+    s"${annBase(spark)}/graft_ann_pq_$tag"
+
+  private def pqRegistered(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(s"graft_pq_codebook_$tag") &&
+      spark.catalog.tableExists(s"graft_pq_codes_$tag") &&
+      spark.catalog.tableExists(s"graft_pq_vecs_$tag")
+
+  private def attachPq(spark: SparkSession, tag: String,
+      storageBuckets: Int): Unit = {
+    val base = pqBase(spark, tag)
+    Seq("codebook", "codes", "vecs").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_pq_${t}_$tag"))
+    registerExternal(spark, s"graft_pq_codebook_$tag", s"$base/codebook")
+    registerExternal(spark, s"graft_pq_codes_$tag", s"$base/codes",
+      clusteredBy = Some(("vec_id", storageBuckets)))
+    registerExternal(spark, s"graft_pq_vecs_$tag", s"$base/vecs",
+      clusteredBy = Some(("vec_id", storageBuckets)))
+  }
+
+  private def pqHandle(spark: SparkSession, tag: String,
+      meta: Map[String, Long]): PqHandle =
+    PqHandle(spark.table(s"graft_pq_codebook_$tag"),
+      spark.table(s"graft_pq_codes_$tag"),
+      spark.table(s"graft_pq_vecs_$tag"),
+      meta("num_sub").toInt, meta("ksub").toInt)
+
+  /** Build (or reuse) the persisted PQ layout: train per-subspace
+    * codebooks ([[SimilaritySearch.pqCodebooks]]), encode every vector
+    * to `numSub` bytes with the trained model (per-row native
+    * projection), land codes and float vectors co-bucketed by vec_id.
+    * Freshness follows the `ensureSq8` discipline (O(1) snapshot-id
+    * trust / content fingerprint / `servable` recovery; meta committed
+    * after data). There is deliberately NO upsertPq: codes are only
+    * meaningful under the codebook that trained on the indexed
+    * distribution — growing the index re-trains (the IVF drift-gate
+    * rationale, applied strictly, since here the model IS the storage
+    * format).
+    */
+  def ensurePq(
+      spark: SparkSession,
+      sourceDir: String,
+      index: DataFrame,
+      numSub: Int = 16,
+      ksub: Int = 64,
+      iters: Int = 2,
+      storageBuckets: Int = 8,
+      snapshotId: Option[String] = None): PqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = pqBase(spark, tag)
+    val dirs = Seq(s"$base/codebook", s"$base/codes", s"$base/vecs")
+    def opFresh(meta: Map[String, Long]): Boolean =
+      meta.get("buckets").contains(storageBuckets.toLong) &&
+        meta.get("num_sub").contains(numSub.toLong) &&
+        meta.get("ksub").contains(ksub.toLong) &&
+        meta.get("iters").contains(iters.toLong)
+    val snapFresh = snapshotId.exists { id =>
+      readMetaStrs(base).get("snapshot_id").contains(id) &&
+        opFresh(readMeta(base))
+    }
+    if (snapFresh && servable(spark, dirs, pqRegistered(spark, tag),
+        () => attachPq(spark, tag, storageBuckets)))
+      return pqHandle(spark, tag, readMeta(base))
+    val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
+    val metaFresh = {
+      val meta = readMeta(base)
+      opFresh(meta) && meta.get("n_rows").contains(n) &&
+        meta.get("checksum").contains(fp)
+    } && servable(spark, dirs, pqRegistered(spark, tag),
+      () => attachPq(spark, tag, storageBuckets))
+    if (!metaFresh) {
+      import graft.functions.expressions.PqExpressions.pq_encode
+      val cb = SimilaritySearch.pqCodebooks(
+        index.select("vec_id", "embedding"), numSub, ksub, iters)
+      spark.sql(s"DROP TABLE IF EXISTS graft_pq_codebook_$tag")
+      cb.write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/codebook")
+        .format("parquet").saveAsTable(s"graft_pq_codebook_$tag")
+      // encode with the JUST-PERSISTED codebook so codes and stored
+      // model can never diverge (a re-trained in-memory cb after a
+      // crash would otherwise silently mismatch)
+      val flat = SimilaritySearch.collectCodebook(
+        spark.table(s"graft_pq_codebook_$tag"), numSub, ksub)
+      spark.sql(s"DROP TABLE IF EXISTS graft_pq_codes_$tag")
+      index.select(col("vec_id"),
+          pq_encode(col("embedding"), flat, numSub, ksub).as("pqcodes"),
+          graft.functions.VectorOps.l2Norm(col("embedding")).as("pnorm"))
+        .write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/codes")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(s"graft_pq_codes_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_pq_vecs_$tag")
+      index.select("vec_id", "embedding").write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/vecs")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(s"graft_pq_vecs_$tag")
+    }
+    if (!metaFresh || snapshotId.isDefined)
+      writeMetaFull(base,
+        Seq("buckets" -> storageBuckets.toLong, "num_sub" -> numSub.toLong,
+          "ksub" -> ksub.toLong, "iters" -> iters.toLong,
+          "n_rows" -> n, "checksum" -> fp),
+        snapshotId.map("snapshot_id" -> _).toSeq)
+    pqHandle(spark, tag, readMeta(base))
+  }
+
+  /** Open an existing persisted PQ index read-only (no freshness probe
+    * — the `openSq8` contract). */
+  def openPq(spark: SparkSession, sourceDir: String): PqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = pqBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("num_sub"),
+      s"no persisted PQ index for '$sourceDir' ($base)")
+    require(Seq("codebook", "codes", "vecs")
+        .forall(d => parquetReadable(spark, s"$base/$d")),
+      s"persisted PQ layout for '$sourceDir' is unreadable — run " +
+        "ensurePq to rebuild")
+    if (!pqRegistered(spark, tag))
+      attachPq(spark, tag, meta("buckets").toInt)
+    else Seq("codebook", "codes", "vecs").foreach(t =>
+      spark.catalog.refreshTable(s"graft_pq_${t}_$tag"))
+    pqHandle(spark, tag, meta)
+  }
+
+  /** Query the persisted PQ index: the stored codebook (numSub · ksub
+    * rows — a model-parameter collect) becomes the per-query ADC table
+    * on the broadcast side; the scan reads ONLY the stored codes
+    * (numSub bytes/vector — 16× under float at the shipped layout) and
+    * does lookup-sums; exact float re-rank of the m winners against the
+    * co-bucketed vecs table. Output-identical to the exact kNN at the
+    * certified (numSub, ksub, m) point (q120 pins it — the q105
+    * discipline).
+    */
+  def queryPq(
+      queries: DataFrame,
+      handle: PqHandle,
+      k: Int = 4,
+      m: Int = 64): DataFrame = {
+    import graft.functions.expressions.PqExpressions.{pq_adc_dot, pq_table}
+    import graft.functions.expressions.TopKAgg.top_k
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    val flat = SimilaritySearch.collectCodebook(handle.codebook,
+      handle.numSub, handle.ksub)
+    val qt = broadcast(queries.select(col("query_id"),
+      pq_table(col("query_vec"), flat, handle.numSub, handle.ksub)
+        .as("adc"),
+      graft.functions.VectorOps.l2Norm(col("query_vec")).as("qqnorm")))
+    val cand = handle.codes.crossJoin(qt)
+      .withColumn("ascore",
+        when(col("pnorm") * col("qqnorm") === 0.0, lit(0.0))
+          .otherwise(pq_adc_dot(col("pqcodes"), col("adc"))
+            / (col("pnorm") * col("qqnorm"))))
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
+    SimilaritySearch.rerank(cand, queries, handle.vecs, k)
   }
 
   // ------------------------------------------------------------- IVF-SQ8
@@ -1328,13 +1648,20 @@ object AnnIndex {
   /** One bucketed table's compaction step — the [[compactLsh]] /
     * [[compactSq8]] inner move, shared here for the IVF-SQ8 vecs table.
     */
+  /** Rewrite one bucketed table's content into a side dir at the same
+    * (bucketing, sort) spec and atomically swap it live. `content`
+    * overrides what gets written (default: the table's current rows) —
+    * the tombstone FOLD path passes the anti-joined live set, which is
+    * materialized while the old dir is still in place, then swapped.
+    */
   private def compactBucketed(spark: SparkSession, base: String,
-      table: String, sub: String, key: String, buckets: Int): Unit = {
+      table: String, sub: String, key: String, buckets: Int,
+      content: Option[DataFrame] = None): Unit = {
     sweepStaleCompaction(base, sub)
     val side = s"$base/${sub}_compact_${ProcessHandle.current.pid}"
     val tmp = s"${table}_compact"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    spark.table(table).write.mode(SaveMode.Overwrite)
+    content.getOrElse(spark.table(table)).write.mode(SaveMode.Overwrite)
       .option("path", side)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(tmp)

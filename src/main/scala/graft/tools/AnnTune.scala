@@ -195,6 +195,55 @@ object AnnTune {
       big.unpersist(); qd.unpersist()
     }
 
+    // "pq": product-quantization operating points — for a grid of
+    // (numSub, ksub, m), whether the ADC scan + exact re-rank is
+    // output-IDENTICAL to the exact kNN (the q115 evidence), plus the
+    // bytes-per-vector compression each point buys. Codebooks train
+    // once per (numSub, ksub) and are reused across the m sweep — the
+    // index-once/query-many shape pqTopK's `codebooks` param exists for.
+    if (mode == "pq") {
+      val ex = pairs(SimilaritySearch.bruteForceTopKAgg(q, emb, k))
+      for ((numSub, ksub) <- Seq((8, 16), (8, 64), (16, 16), (16, 64),
+          (32, 16))) {
+        val cb = SimilaritySearch.pqCodebooks(emb, numSub, ksub, iters = 5)
+          .cache()
+        cb.count()
+        for (m <- Seq(16, 32, 64, 128)) {
+          val t0 = System.nanoTime()
+          val got = pairs(SimilaritySearch.pqTopK(q, emb, k, m, numSub,
+            ksub, iters = 5, codebooks = Some(cb)))
+          val recall = (ex & got).size.toDouble / ex.size
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"pq numSub=$numSub%-3d ksub=$ksub%-3d m=$m%-4d " +
+            f"recall=$recall%.3f identical=${got == ex}%-5s " +
+            f"bytes/vec=$numSub sec=$sec%.1f")
+        }
+        cb.unpersist()
+      }
+    }
+
+    // "pqiters": Lloyd-round sensitivity at the shipped (numSub=16,
+    // ksub=64) point — the smallest iteration count whose codebook
+    // still yields output-identity (training cost is the PQ bench
+    // term; fewer certified rounds = cheaper q115).
+    if (mode == "pqiters") {
+      val ex = pairs(SimilaritySearch.bruteForceTopKAgg(q, emb, k))
+      for (iters <- Seq(1, 2, 3, 5)) {
+        val cb = SimilaritySearch.pqCodebooks(emb, 16, 64, iters).cache()
+        cb.count()
+        for (m <- Seq(32, 64)) {
+          val t0 = System.nanoTime()
+          val got = pairs(SimilaritySearch.pqTopK(q, emb, k, m, 16, 64,
+            iters, codebooks = Some(cb)))
+          val recall = (ex & got).size.toDouble / ex.size
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"pqiters iters=$iters%-2d m=$m%-4d recall=$recall%.3f " +
+            f"identical=${got == ex}%-5s sec=$sec%.1f")
+        }
+        cb.unpersist()
+      }
+    }
+
     // "ivfsq8": the composed index — int8 codes inside the probed
     // lists. Reports, per (nProbe, m) at the q37 centroid set
     // (64 lists / 5 Lloyd iters, hash seeding): recall vs the exact

@@ -996,6 +996,111 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sq8 === exact)
   }
 
+  test("PQ ANN is output-identical to exact kNN at the shipped operating point") {
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+      .select("query_id", "rank", "vec_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val pq = SimilaritySearch.pqTopK(q, emb, k = 4, m = 64, numSub = 16,
+        ksub = 64, iters = 2)
+      .select("query_id", "rank", "vec_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(pq === exact)
+  }
+
+  test("PQ ADC is exact when every distinct subvector earns its own centroid") {
+    import graft.functions.expressions.PqExpressions._
+    // 3 vectors, dim 4, numSub=2 ⇒ 6 subvectors, ≤3 distinct per
+    // subspace; ksub=4 ≥ distinct count, so Lloyd converges to the
+    // subvectors themselves and the ADC "approximation" is the exact
+    // dot product.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 2.0f)),
+      (2L, Seq(0.0f, 1.0f, 2.0f, 0.0f)),
+      (3L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cb = SimilaritySearch.pqCodebooks(vecs, numSub = 2, ksub = 4, iters = 3)
+    val flat = SimilaritySearch.collectCodebook(cb, numSub = 2, ksub = 4)
+    val qv = Seq((9L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("query_id", "query_vec")
+    val adc = vecs.crossJoin(qv)
+      .select(col("vec_id"),
+        pq_adc_dot(pq_encode(col("embedding"), flat, 2, 4),
+          pq_table(col("query_vec"), flat, 2, 4)).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(adc(1L) - (1.0 + 8.0)) < 1e-9)
+    assert(math.abs(adc(2L) - (2.0 + 6.0)) < 1e-9)
+    assert(math.abs(adc(3L) - 10.0) < 1e-9)
+  }
+
+  test("PQ kernels fail loudly on dimension/codebook mismatches") {
+    import graft.functions.expressions.PqExpressions._
+    val flat = new Array[Double](2 * 4 * 2) // numSub=2, ksub=4, dsub=2
+    val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString(" | ")
+    val e1 = intercept[Exception] {
+      bad.select(pq_encode(col("embedding"), flat, 2, 4)).collect()
+    }
+    assert(chain(e1).contains("pq_encode"))
+    // codes from a numSub=3 codebook scored against a numSub=2 table
+    val v = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val flat3 = new Array[Double](3 * 4 * 2) // numSub=3, ksub=4, dsub=2
+    val tab = new Array[Double](2 * 4 * 3)   // numSub=2 table, ksub=4... 24 % 3 = 0
+    val e2 = intercept[Exception] {
+      v.select(pq_adc_dot(pq_encode(col("embedding"), flat3, 3, 4),
+        lit(tab.take(7)))).collect() // 7 % 3 != 0 → must throw
+    }
+    assert(chain(e2).contains("pq_adc_dot"))
+  }
+
+  test("MMR greedy selection matches the hand-computed trade-off at two lambdas") {
+    val index = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.8f, 0.6f)),
+      (3L, Seq(0.6f, 0.8f)),
+      (4L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = Seq((9L, Seq(1.0f, 0.0f))).toDF("query_id", "query_vec")
+    // λ=0.7 favors relevance: 1 (rel 1.0), 2 (.7·.8−.3·.8=.32),
+    // 3 (.7·.6−.3·max(.6,.96)=.132)
+    val hi = SimilaritySearch.mmrTopK(q, index, k = 3, fetchK = 4,
+        lambda = 0.7)
+      .orderBy("rank").select("vec_id", "mmr_score")
+      .as[(Long, Double)].collect()
+    assert(hi.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(math.abs(hi(0)._2 - 1.0) < 1e-6)
+    assert(math.abs(hi(1)._2 - 0.32) < 1e-6)
+    assert(math.abs(hi(2)._2 - 0.132) < 1e-6)
+    // λ=0.3 favors diversity: 1, then 4 (orthogonal, .3·0−.7·0=0 beats
+    // 2's −.32 and 3's −.24), then 2 (−.32 beats 3's −.38)
+    val lo = SimilaritySearch.mmrTopK(q, index, k = 3, fetchK = 4,
+        lambda = 0.3)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(lo.toSeq === Seq(1L, 4L, 2L))
+  }
+
+  test("globalShuffle is a permutation, replayable locally, and invariant " +
+      "to input partitioning") {
+    val d = docs((1L to 97L).map(i => i -> s"doc $i"): _*)
+    val out = CorpusOps.globalShuffle(d, "doc_id", seed = 42L)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(out.values.toSeq.sorted === (0L until 97L).toSeq)
+    // independent local replay of the md5 permutation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String = md.digest(s"$id:42".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = (1L to 97L).sortBy(id => (key(id), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(out === expected)
+    // a different physical input layout yields the identical permutation
+    val out2 = CorpusOps.globalShuffle(d.repartition(7), "doc_id",
+        seed = 42L, partitions = 3)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(out2 === expected)
+  }
+
   test("lmScore reproduces the hand-computed interpolated bigram entropy") {
     val d = docs(1L -> "a a b", 2L -> "a b")
     val out = TextAnalysis.lmScore(d)

@@ -267,4 +267,49 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // …candidate selection stays the bounded map-side top-k
     assert(p.toLowerCase.contains("partial_topkagg"), p)
   }
+
+  test("q115 PQ ANN: ADC table broadcast with the query side; candidate " +
+      "selection keeps the bounded map-side top-k") {
+    val p = physical("q115_pq_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(p.toLowerCase.contains("partial_topkagg"),
+      s"PQ candidate selection lost the map-side bounded top-k:\n$p")
+  }
+
+  test("sq8 delete: the tombstone anti-join over the co-bucketed layout " +
+      "plans with ZERO exchanges") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val src = "plans-sq8del"
+    graft.sources.AnnIndex.ensureSq8(spark, src, emb)
+    graft.sources.AnnIndex.deleteSq8(spark, src,
+      emb.filter(col("vec_id") < 4).select("vec_id"))
+    val p = graft.sources.AnnIndex.openSq8(spark, src)
+      .codes.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+    // small tombstone sets broadcast; large ones ride the shared vec_id
+    // bucketing — either way the INDEX side must never shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"tombstone filter shuffled the index side:\n$p")
+  }
+
+  test("q120 persisted PQ: the scan reads the stored codes table, not " +
+      "the float embeddings; bounded map-side top-k") {
+    val p = physical("q120_pq_persisted")
+    assert(p.contains("graft_pq_codes_") || p.contains("graft_ann_pq_"), p)
+    assert(p.toLowerCase.contains("partial_topkagg"), p)
+  }
+
+  test("q119 global shuffle: range-partitioned order, every window " +
+      "keyed by the bounded partition id — no single-partition corpus " +
+      "window") {
+    val p = physical("q119_global_shuffle")
+    assert(p.contains("rangepartitioning"), p)
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(_.contains("pid")),
+      s"a window is not keyed by the partition id:\n${windows.mkString("\n")}")
+  }
 }

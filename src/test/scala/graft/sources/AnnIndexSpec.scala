@@ -574,4 +574,88 @@ class AnnIndexSpec extends AnyFunSuite {
       .codes.count()
     assert(n1 === emb.count() + tailRows.count(), "replay must not re-append")
   }
+
+  test("persisted PQ serves the exact kNN result, reuses the layout, and " +
+      "rebuilds on content change") {
+    val src = s"spec-$runTag-pq"
+    val h = AnnIndex.ensurePq(spark, src, emb)
+    val exact = hits(SimilaritySearch.bruteForceTopK(queries, emb, k = 4))
+    assert(hits(AnnIndex.queryPq(queries, h, k = 4, m = 64)) === exact)
+    // second ensure must REUSE (meta untouched)
+    val metaP = java.nio.file.Paths.get(
+      s"/tmp/graft_ann_pq_${IndexStore.pathTag(src)}", "_ann_meta.json")
+    val t1 = java.nio.file.Files.getLastModifiedTime(metaP)
+    AnnIndex.ensurePq(spark, src, emb)
+    assert(java.nio.file.Files.getLastModifiedTime(metaP) === t1)
+    // open-without-probe serves identically
+    assert(hits(AnnIndex.queryPq(queries, AnnIndex.openPq(spark, src),
+      k = 4, m = 64)) === exact)
+    // a content change re-trains + re-encodes (serve exactly the source)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val h2 = AnnIndex.ensurePq(spark, src, half)
+    assert(h2.codes.count() === half.count())
+    assert(hits(AnnIndex.queryPq(queries, h2, k = 4, m = 64))
+      === hits(SimilaritySearch.bruteForceTopK(queries, half, k = 4)))
+    // a mismatched operating point is a rebuild, not a silent reuse
+    val h3 = AnnIndex.ensurePq(spark, src, half, numSub = 8, ksub = 16)
+    assert(h3.numSub === 8)
+    assert(spark.table(s"graft_pq_codebook_${IndexStore.pathTag(src)}")
+      .count() === 8L * 16)
+  }
+
+  test("deleteSq8 tombstones serve exact-kNN-minus-deleted; compactSq8 " +
+      "folds them physically; ensure over the source clears them") {
+    val src = s"spec-$runTag-sq8del"
+    AnnIndex.ensureSq8(spark, src, emb)
+    val delIds = emb.filter(col("vec_id") < 8).select("vec_id")
+    val h = AnnIndex.deleteSq8(spark, src, delIds)
+    // logical delete: rows survive on disk, the served view excludes them
+    assert(h.codes.count() === emb.count() - 8)
+    val survivors = emb.filter(col("vec_id") >= 8)
+    val expected = hits(
+      SimilaritySearch.bruteForceTopK(queries, survivors, k = 4))
+    assert(hits(AnnIndex.querySq8(queries, h, k = 4, m = 32)) === expected)
+    // deleting absent or already-deleted ids is a no-op on the served set
+    val h2 = AnnIndex.deleteSq8(spark, src,
+      emb.sparkSession.range(1000000, 1000004).toDF("vec_id")
+        .unionByName(delIds.limit(2)))
+    assert(hits(AnnIndex.querySq8(queries, h2, k = 4, m = 32)) === expected)
+    // replayed delete batch is skipped
+    AnnIndex.deleteSq8(spark, src, delIds.limit(1), batchId = Some(7L))
+    AnnIndex.deleteSq8(spark, src,
+      emb.filter(col("vec_id") >= 8 && col("vec_id") < 12).select("vec_id"),
+      batchId = Some(7L))
+    assert(hits(AnnIndex.querySq8(queries, AnnIndex.openSq8(spark, src),
+      k = 4, m = 32)) === expected)
+    // re-inserting a tombstoned id fails loudly before the fold
+    val clash = intercept[IllegalArgumentException] {
+      AnnIndex.upsertSq8(spark, src, emb.filter(col("vec_id") === 3))
+    }
+    assert(clash.getMessage.contains("tombstoned"))
+    // FOLD: physical removal, identical answers, tombstone dir gone
+    val folded = AnnIndex.compactSq8(spark, src)
+    assert(folded.codes.count() === emb.count() - 8)
+    assert(folded.vecs.count() === emb.count() - 8)
+    val tombDir = java.nio.file.Paths.get(
+      s"/tmp/graft_ann_sq8_${IndexStore.pathTag(src)}", "tombs")
+    assert(!java.nio.file.Files.exists(tombDir))
+    assert(hits(AnnIndex.querySq8(queries, folded, k = 4, m = 32))
+      === expected)
+    // after the fold the deleted ids can come back via plain upsert
+    val back = AnnIndex.upsertSq8(spark, src,
+      emb.filter(col("vec_id") < 8))
+    assert(hits(AnnIndex.querySq8(queries, back, k = 4, m = 32))
+      === hits(SimilaritySearch.bruteForceTopK(queries, emb, k = 4)))
+    // and an ensure over the original source reuses the re-composed
+    // layout (checksum coherence survived delete → fold → re-add)…
+    val hEnsure = AnnIndex.ensureSq8(spark, src, emb)
+    assert(hEnsure.codes.count() === emb.count())
+    // …while a fresh delete followed by ensure REBUILDS (deletions are
+    // cleared: ensure means "serve exactly this source")
+    AnnIndex.deleteSq8(spark, src, delIds)
+    val hClear = AnnIndex.ensureSq8(spark, src, emb)
+    assert(hClear.codes.count() === emb.count())
+    assert(hits(AnnIndex.querySq8(queries, hClear, k = 4, m = 32))
+      === hits(SimilaritySearch.bruteForceTopK(queries, emb, k = 4)))
+  }
 }
