@@ -25,6 +25,46 @@ object TextExpressions {
   /** (n_tok, top_count, n_bi, n_bi_distinct) over a token array. */
   def repetition_stats(tokens: Column): Column =
     col(RepetitionStatsF(ex(tokens)))
+
+  /** (raw_len, deflate_len) of a string's UTF-8 bytes — the
+    * compression-ratio quality signal. */
+  def deflate_stats(text: Column, level: Int = 6): Column =
+    col(DeflateStatsF(ex(text), level))
+}
+
+/** Raw-DEFLATE size of a string's UTF-8 bytes in one per-row pass —
+  * the compression-ratio quality signal production corpus filters use
+  * (public: e.g. CCNet/RefinedWeb-class pipelines drop documents whose
+  * bytes compress too well — boilerplate/repetition — or too poorly —
+  * high-entropy gibberish). Returns struct(raw_len, deflate_len);
+  * downstream SQL derives the ratio so rounding stays in the query.
+  * `nowrap` raw deflate (no zlib header/checksum) at the given level;
+  * the JDK's bundled zlib makes the byte count deterministic within a
+  * runtime, and every oracled check on it is an invariant (bounds,
+  * subadditivity), never an exact byte count.
+  */
+case class DeflateStatsF(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(level >= 0 && level <= 9, s"deflate level must be 0..9: $level")
+  override def dataType: DataType = StructType(Seq(
+    StructField("raw_len", LongType, nullable = false),
+    StructField("deflate_len", LongType, nullable = false)))
+
+  override def nullSafeEval(in: Any): Any = {
+    val bytes = in.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bytes.length.toLong, total))
+    } finally d.end()
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Repetition statistics of a token array in one pass:

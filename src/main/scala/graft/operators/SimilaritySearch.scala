@@ -666,6 +666,85 @@ object SimilaritySearch {
       queries, index, k)
   }
 
+  /** [[assignWithVecs]] composed with PQ encoding: the IVF-PQ
+    * inverted-list materialization — one row per vector carrying its
+    * `numSub`-byte PQ codes (not its float embedding, not even SQ8's
+    * byte-per-component) under its nearest centroid. The faiss
+    * `IVFx,PQy` factory layout (public).
+    */
+  private[graft] def assignPqEncoded(
+      index: DataFrame, centroids: DataFrame, codebook: Array[Double],
+      numSub: Int, ksub: Int): DataFrame = {
+    import graft.functions.expressions.PqExpressions.pq_encode
+    assignWithVecs(index, centroids)
+      .select(col("centroid_id"), col("vec_id"),
+        pq_encode(col("embedding"), codebook, numSub, ksub).as("pqcodes"),
+        VectorOps.l2Norm(col("embedding")).as("pnorm"))
+  }
+
+  /** IVF-PQ candidate ids: probe the `nProbe` closest inverted lists,
+    * ADC-scan ONLY those lists' PQ codes, keep the top `m` per query.
+    * The two scan reductions multiply — probed-lists row pruning (IVF)
+    * × numSub bytes per scanned row (PQ: 16× under float at the
+    * shipped layout, vs SQ8's 4×). Each probe row carries its query's
+    * ADC table, so the scan stage needs no second query-side join
+    * (the [[ivfSq8Candidates]] shape).
+    */
+  private[graft] def ivfPqCandidates(
+      queries: DataFrame,
+      plists: DataFrame, // (centroid_id, vec_id, pqcodes, pnorm)
+      centroids: DataFrame,
+      codebook: Array[Double],
+      numSub: Int, ksub: Int,
+      nProbe: Int,
+      m: Int): DataFrame = {
+    import graft.functions.expressions.PqExpressions.{pq_adc_dot, pq_table}
+    import graft.functions.expressions.TopKAgg.top_k
+    val qt = queries.select(col("query_id"),
+      pq_table(col("query_vec"), codebook, numSub, ksub).as("adc"),
+      VectorOps.l2Norm(col("query_vec")).as("qqnorm"))
+    val probes = ivfProbes(queries, centroids, nProbe).join(qt, Seq("query_id"))
+    plists
+      .join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("ascore",
+        when(col("pnorm") * col("qqnorm") === 0.0, lit(0.0))
+          .otherwise(pq_adc_dot(col("pqcodes"), col("adc"))
+            / (col("pnorm") * col("qqnorm"))))
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
+  }
+
+  /** Composed IVF-PQ ANN, in-memory form: probe → PQ-coded-list ADC
+    * scan → exact float re-rank of the m winners. The PQ layer inside
+    * the probed lists is MEASURED output-identical to [[ivfTopK]] at
+    * the same (centroids, nProbe) for the certified (numSub, ksub, m)
+    * (`AnnTune ivfpq`; the q121 invariant pins it in CI alongside the
+    * q68-style recall floor) — the composition inherits exactly IVF's
+    * probe recall while scanning the probed rows at 1/16 of the float
+    * bytes. Train-once reuse via `codebooks`, like [[pqTopK]].
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      k: Int = 4,
+      nProbe: Int = 2,
+      m: Int = 64,
+      numSub: Int = 16,
+      ksub: Int = 64,
+      iters: Int = 2,
+      codebooks: Option[DataFrame] = None): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    val cb = codebooks.getOrElse(pqCodebooks(index, numSub, ksub, iters))
+    val flat = collectCodebook(cb, numSub, ksub)
+    rerank(
+      ivfPqCandidates(queries,
+        assignPqEncoded(index, centroids, flat, numSub, ksub),
+        centroids, flat, numSub, ksub, nProbe, m),
+      queries, index, k)
+  }
+
   /** Deterministic Lloyd refinement: start from the given centroids (e.g.
     * label means), run `iters` rounds of nearest-centroid assignment +
     * per-cluster re-averaging. Pure DataFrame ops — assignment is a

@@ -232,4 +232,23 @@ object TextAnalysis {
       .withColumn("fingerprint_full", xxhash64(col(textCol)))
       .withColumn("n_windows", greatest(lit(1), n - (k - 1)))
   }
+
+  /** Compression-ratio quality signal: (doc_id, raw_len, deflate_len,
+    * compress_ratio) per document — the zlib-ratio filter production
+    * pipelines use to drop boilerplate/repetition (ratio too low) and
+    * high-entropy gibberish (ratio ≈ 1). Pure per-row native
+    * projection — zero shuffle, linear in corpus bytes; an empty
+    * document reports ratio 1.0 (nothing to judge).
+    */
+  def compressionSignals(df: DataFrame, textCol: String = "text",
+      level: Int = 6): DataFrame = {
+    import graft.functions.expressions.TextExpressions.deflate_stats
+    df.withColumn("ds", deflate_stats(col(textCol), level))
+      .withColumn("raw_len", col("ds.raw_len"))
+      .withColumn("deflate_len", col("ds.deflate_len"))
+      .withColumn("compress_ratio",
+        when(col("raw_len") === 0, lit(1.0))
+          .otherwise(col("deflate_len").cast("double") / col("raw_len")))
+      .drop("ds")
+  }
 }

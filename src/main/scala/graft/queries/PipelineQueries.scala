@@ -645,6 +645,61 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // Compression-ratio quality signal (the zlib-ratio corpus filter) —
+    // invariant closure, since DuckDB cannot replay deflate byte
+    // counts: every ratio in (0, 1.5] (deflate never inflates text
+    // beyond framing at these lengths), and doubling a document is
+    // SUBADDITIVE (deflate(t·t) < 2·deflate(t) for docs ≥ 40 bytes —
+    // the second copy is back-references) — the property that makes the
+    // ratio a repetition detector at all. Exact per-string behavior is
+    // pinned in ScalaTest.
+    "q122_compression_ratio" -> ((s, dir) => {
+      import graft.functions.expressions.TextExpressions.deflate_stats
+      val sig = TextAnalysis.compressionSignals(t(s, dir, "documents"))
+      val withDoubled = sig.withColumn("d2",
+        deflate_stats(concat(col("text"), col("text"))))
+      withDoubled.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("compress_ratio") <= 0.0 ||
+          col("compress_ratio") > 1.5, 1L).otherwise(0L))
+          .as("n_ratio_out_of_bounds"),
+        sum(when(col("raw_len") >= 40 &&
+          col("d2.deflate_len") >= col("deflate_len") * 2, 1L)
+          .otherwise(0L)).as("n_superadditive"))
+    }),
+
+    // IVF-PQ composition (faiss `IVFx,PQy`): PQ codes inside the probed
+    // inverted lists — probed-row pruning × 16-bytes-per-scanned-row
+    // multiplied. Invariant closure (the q109 discipline): the composed
+    // path is IDENTICAL to the float IVF at the same (centroids,
+    // nProbe) — zero symmetric difference, so the PQ layer adds NOTHING
+    // to IVF's probe recall loss — plus the q68-style 0.84 exact-recall
+    // floor. Measured at every fixture scale (`AnnTune ivfpq`).
+    "q121_ivfpq_invariants" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val cents = SimilaritySearch.kMeansCentroids(
+        emb.select("vec_id", "embedding"), k = 64, iters = 5)
+      val ivf = SimilaritySearch.ivfTopK(q, emb, cents, k = 4, nProbe = 24)
+        .select("query_id", "rank", "vec_id")
+      val composed = SimilaritySearch.ivfPqTopK(q, emb, cents, k = 4,
+          nProbe = 24, m = 64, numSub = 16, ksub = 64, iters = 2)
+        .select("query_id", "rank", "vec_id")
+      val exact = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+        .select("query_id", "vec_id")
+      composed.agg(count(lit(1)).as("n_composed"))
+        .crossJoin(composed.exceptAll(ivf)
+          .unionByName(ivf.exceptAll(composed))
+          .agg(count(lit(1)).as("n_diff_ivf")))
+        .crossJoin(exact.agg(count(lit(1)).as("ne"))
+          .crossJoin(exact
+            .join(composed.select("query_id", "vec_id"),
+              Seq("query_id", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("hits")))
+          .select((col("hits") >= col("ne") * 0.84).as("recall_floor_ok")))
+    }),
+
     // PERSISTED PQ serving — the train-once/query-many shape q115's
     // in-memory path demonstrates: codebook + 16-byte codes + float
     // vecs live on disk (built once per fixture, attach-by-DDL after),
@@ -2008,6 +2063,20 @@ object PipelineQueries {
     "q115_pq_ann" -> knnExactOracle,
     // the persisted-PQ serving path at the same certified point
     "q120_pq_persisted" -> knnExactOracle,
+    // compression-signal invariants: bounds + doubling subadditivity
+    // hold for every document
+    "q122_compression_ratio" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(0 AS BIGINT) AS n_ratio_out_of_bounds,
+        |CAST(0 AS BIGINT) AS n_superadditive
+        |FROM documents""".stripMargin,
+    // IVF-PQ composition: PQ-inside-lists ≡ float IVF (zero diff) and
+    // the q68-style recall floor holds — 8 queries × k=4
+    "q121_ivfpq_invariants" ->
+      """SELECT CAST(4 * count(*) AS BIGINT) AS n_composed,
+        |CAST(0 AS BIGINT) AS n_diff_ivf,
+        |true AS recall_floor_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
     // MMR invariants: counts derived from the table; the boolean
     // invariants (top-1 identity, candidate-subset, diversity-no-worse)
     // must all hold

@@ -388,6 +388,29 @@ object StreamOps {
         }
       }
 
+  /** [[streamingSq8Upsert]]'s DELETE twin: id batches arriving on
+    * `ids(vec_id)` tombstone the persisted SQ8 index once per
+    * micro-batch ([[graft.sources.AnnIndex.deleteSq8]] — O(batch)
+    * co-bucketed append, replay-skip on the delete stream's OWN batch
+    * counter so an interleaved upsert stream can't mask a replayed
+    * delete). Deletes become visible to every reader at its next
+    * open/attach; [[graft.sources.AnnIndex.compactSq8]] folds them
+    * physically between ingest windows.
+    */
+  def streamingSq8Delete(
+      ids: DataFrame,
+      sourceDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AnnIndex.deleteSq8(batch.sparkSession, sourceDir,
+            batch.toDF(), batchId = Some(id))
+          ()
+        }
+      }
+
   /** [[streamingIndexRetrieve]]'s quantized twin: each query
     * micro-batch re-attaches to the stored SQ8 layout via
     * [[graft.sources.AnnIndex.openSq8]] (meta read + catalog attach or

@@ -244,6 +244,36 @@ object AnnTune {
       }
     }
 
+    // "ivfpq": the IVF-PQ composition — PQ codes inside the probed
+    // lists at the shipped (16, 64) codebook. Reports, per (nProbe, m),
+    // recall vs the exact kNN, identity to the exact kNN, and identity
+    // to the float IVF at the same nProbe (isolating the PQ layer's
+    // contribution — the q109/ivfsq8 discipline).
+    if (mode == "ivfpq") {
+      val cents = SimilaritySearch
+        .kMeansCentroids(emb.select("vec_id", "embedding"), 64, 5).cache()
+      cents.count()
+      val cb = SimilaritySearch.pqCodebooks(
+        emb.select("vec_id", "embedding"), 16, 64, 2).cache()
+      cb.count()
+      val exactR = ranked(SimilaritySearch.bruteForceTopK(q, emb, k))
+      for (nProbe <- Seq(16, 24, 32, 48)) {
+        val ivfR = ranked(SimilaritySearch.ivfTopK(q, emb, cents, k, nProbe))
+        for (m <- Seq(32, 64)) {
+          val t0 = System.nanoTime()
+          val got = ranked(SimilaritySearch.ivfPqTopK(q, emb, cents, k,
+            nProbe, m, 16, 64, 2, codebooks = Some(cb)))
+          val recall = (exact &
+            got.map(t => (t._1, t._3))).size.toDouble / exact.size
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"ivfpq nProbe=$nProbe%-2d m=$m%-3d recall=$recall%.3f " +
+            f"exact_ident=${got == exactR}%-5s ivf_ident=${got == ivfR}%-5s " +
+            f"sec=$sec%.1f")
+        }
+      }
+      cb.unpersist(); cents.unpersist()
+    }
+
     // "ivfsq8": the composed index — int8 codes inside the probed
     // lists. Reports, per (nProbe, m) at the q37 centroid set
     // (64 lists / 5 Lloyd iters, hash seeding): recall vs the exact

@@ -1010,6 +1010,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pq === exact)
   }
 
+  test("IVF-PQ is output-identical to float IVF at the same probes " +
+      "(the PQ layer adds no recall loss)") {
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val q = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cents = SimilaritySearch.kMeansCentroids(emb, k = 16, iters = 3)
+    val ivf = SimilaritySearch.ivfTopK(q, emb, cents, k = 4, nProbe = 6)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val ivfpq = SimilaritySearch.ivfPqTopK(q, emb, cents, k = 4,
+        nProbe = 6, m = 64, numSub = 16, ksub = 64, iters = 2)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(ivfpq === ivf)
+    assert(ivfpq.nonEmpty)
+  }
+
   test("PQ ADC is exact when every distinct subvector earns its own centroid") {
     import graft.functions.expressions.PqExpressions._
     // 3 vectors, dim 4, numSub=2 ⇒ 6 subvectors, ≤3 distinct per
@@ -1099,6 +1118,35 @@ class OperatorsSpec extends AnyFunSuite {
         seed = 42L, partitions = 3)
       .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
     assert(out2 === expected)
+  }
+
+  test("compressionSignals: repetition compresses far better than " +
+      "high-entropy text; ratio bounds and doubling subadditivity hold") {
+    val rep = "spam ham " * 60                  // 540 chars of repetition
+    val mixed = (1 to 60).map(i => s"w${i * 37 % 101}x${i * 53 % 89}")
+      .mkString(" ")                            // varied, little repetition
+    val d = docs(1L -> rep, 2L -> mixed, 3L -> "")
+    val out = TextAnalysis.compressionSignals(d)
+      .select("doc_id", "raw_len", "deflate_len", "compress_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === rep.length.toLong)
+    assert(out(1L)._4 < 0.1, s"repetition should crush: ${out(1L)}")
+    assert(out(2L)._4 > out(1L)._4 * 3,
+      s"varied text must compress worse: ${out(2L)} vs ${out(1L)}")
+    assert(out(2L)._4 > 0.0 && out(2L)._4 <= 1.5)
+    assert(out(3L)._4 === 1.0) // empty doc: nothing to judge
+    // doubling subadditivity — the back-reference property q122 pins
+    // corpus-wide
+    import graft.functions.expressions.TextExpressions.deflate_stats
+    val sub = d.filter(col("doc_id") =!= 3)
+      .select(col("doc_id"),
+        deflate_stats(col("text")).getField("deflate_len").as("one"),
+        deflate_stats(concat(col("text"), col("text")))
+          .getField("deflate_len").as("two"))
+      .as[(Long, Long, Long)].collect()
+    sub.foreach { case (id, one, two) =>
+      assert(two < 2 * one, s"doc $id: deflate(2t)=$two !< 2*deflate(t)=$one")
+    }
   }
 
   test("lmScore reproduces the hand-computed interpolated bigram entropy") {

@@ -236,6 +236,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toSet === exact)
   }
 
+  test("streamingSq8Delete: a streamed id feed tombstones the persisted " +
+      "index; serving answers exact-kNN-minus-deleted") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.AnnIndex
+    import graft.operators.SimilaritySearch
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val src = s"stream-sq8del-${java.util.UUID.randomUUID().toString.take(8)}"
+    AnnIndex.ensureSq8(spark, src, emb)
+
+    val idsIn = MemoryStream[Long]
+    val del = StreamOps.streamingSq8Delete(
+      idsIn.toDF().toDF("vec_id"), src).start()
+    idsIn.addData(0L to 7L: _*)
+    del.processAllAvailable()
+    del.stop()
+
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val expected = SimilaritySearch.bruteForceTopK(q,
+        emb.filter(col("vec_id") >= 8), k = 4)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+    val served = AnnIndex.querySq8(q, AnnIndex.openSq8(spark, src),
+        k = 4, m = 32)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+    assert(served === expected)
+  }
+
   test("streamingChat: the reference's ask loop end-to-end — history " +
       "conditions the next batch's retrieval; clear resets it") {
     implicit val sqlCtx = spark.sqlContext
