@@ -662,10 +662,20 @@ object CorpusOps {
     val spark = df.sparkSession
     val nPart = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    // ONE materialization of the range partitioning: the offsets branch
+    // and the numbering branch below must see the SAME partition
+    // boundaries, but RangePartitioner re-samples bounds per physical
+    // evaluation (sketch seed involves the RDD id) — two lazy
+    // evaluations can disagree and mis-split the prefix offsets. The
+    // output permutation itself is boundary-independent (contiguous
+    // ranges of the same total order), so pinning any one evaluation
+    // restores determinism. An export shuffle materializes the corpus
+    // by definition, so the checkpoint is not an added pass.
     val keyed = df
       .withColumn("skey", md5(concat_ws(":", col(idCol), lit(seed))))
       .repartitionByRange(nPart, col("skey"), col(idCol))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
     // pid → rows-before-it offsets: prefix sums over the nPart-row count
     // table via a broadcast triangle self-join (the q97 discipline — no
     // single-partition window anywhere in the plan)

@@ -387,11 +387,23 @@ object SimilaritySearch {
     */
   def mmrTopK(queries: DataFrame, index: DataFrame, k: Int = 4,
       fetchK: Int = 20, lambda: Double = 0.5): DataFrame = {
-    import graft.functions.expressions.MmrExpression.mmr_select
     require(fetchK >= k, s"fetchK ($fetchK) must be >= k ($k)")
-    val fetched = bruteForceTopK(queries, index, fetchK)
+    mmrRerank(bruteForceTopK(queries, index, fetchK), index, k, lambda)
+  }
+
+  /** The MMR greedy stage alone, over an ALREADY-FETCHED candidate set
+    * (query_id, rank, score, vec_id — any top-k path's output shape:
+    * exact, LSH, SQ8, a persisted index query). This is what makes MMR
+    * compose with the 100 TB fetch paths: at the recall-1.0 operating
+    * points the swapped-in fetch is row-identical to the exact one, so
+    * the MMR output is too (OperatorsSpec pins the composition).
+    */
+  def mmrRerank(fetched: DataFrame, index: DataFrame, k: Int,
+      lambda: Double): DataFrame = {
+    import graft.functions.expressions.MmrExpression.mmr_select
     val withVec = index.select(col("vec_id"), col("embedding"))
-      .join(broadcast(fetched), Seq("vec_id"))
+      .join(broadcast(fetched.select("query_id", "rank", "vec_id",
+        "score")), Seq("vec_id"))
     withVec.groupBy("query_id")
       .agg(sort_array(collect_list(struct(col("rank"), col("vec_id"),
         col("score"), col("embedding")))).as("c"))
@@ -800,7 +812,10 @@ object SimilaritySearch {
     val seeds = seedVecs.toSeq.zipWithIndex
       .map { case (v, i) => (i + 1, v) }
       .toDF("centroid_id", "centroid_vec")
-    kMeansRefine(index, broadcast(seeds), iters)
+    // broadcast applied at the assignment join inside kMeansRefine; a
+    // var-level hint would (unsupportedly) also hint the left side of
+    // the empty-cluster anti-join
+    kMeansRefine(index, seeds, iters)
   }
 
   /** Deterministic farthest-first (k-center) seeding on a BOUNDED sample
@@ -854,7 +869,10 @@ object SimilaritySearch {
     val seeds = chosen.toSeq.zipWithIndex
       .map { case (v, i) => (i + 1, v.toSeq) }
       .toDF("centroid_id", "centroid_vec")
-    kMeansRefine(index, broadcast(seeds), iters)
+    // broadcast applied at the assignment join inside kMeansRefine; a
+    // var-level hint would (unsupportedly) also hint the left side of
+    // the empty-cluster anti-join
+    kMeansRefine(index, seeds, iters)
   }
 
   /** Element-wise mean vector per key: posexplode + two-level agg — one

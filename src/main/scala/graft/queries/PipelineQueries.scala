@@ -700,6 +700,39 @@ object PipelineQueries {
           .select((col("hits") >= col("ne") * 0.84).as("recall_floor_ok")))
     }),
 
+    // PERSISTED IVF-PQ serving (q121's serving shape; the faiss
+    // `IVFx,PQy` stored layout): PQ codes inside the centroid-
+    // partitioned stored lists + stored codebook + co-bucketed float
+    // vecs. Same invariant closure as q109/q121: persisted composed ≡
+    // persisted float IVF at the same (lists, nProbe), zero symmetric
+    // difference, + the 0.84 exact-recall floor.
+    "q123_ivfpq_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val ivfH = graft.sources.AnnIndex.ensureIvf(s, dir,
+        emb.select("vec_id", "embedding"), lists = 64, iters = 5)
+      val ivf = graft.sources.AnnIndex.queryIvf(q, ivfH, k = 4, nProbe = 24)
+        .select("query_id", "rank", "vec_id")
+      val h = graft.sources.AnnIndex.ensureIvfPq(s, dir,
+        emb.select("vec_id", "embedding"), lists = 64, iters = 5)
+      val composed = graft.sources.AnnIndex
+        .queryIvfPq(q, h, k = 4, nProbe = 24, m = 64)
+        .select("query_id", "rank", "vec_id")
+      val exact = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
+        .select("query_id", "vec_id")
+      composed.agg(count(lit(1)).as("n_composed"))
+        .crossJoin(composed.exceptAll(ivf)
+          .unionByName(ivf.exceptAll(composed))
+          .agg(count(lit(1)).as("n_diff_ivf")))
+        .crossJoin(exact.agg(count(lit(1)).as("ne"))
+          .crossJoin(exact
+            .join(composed.select("query_id", "vec_id"),
+              Seq("query_id", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("hits")))
+          .select((col("hits") >= col("ne") * 0.84).as("recall_floor_ok")))
+    }),
+
     // PERSISTED PQ serving — the train-once/query-many shape q115's
     // in-memory path demonstrates: codebook + 16-byte codes + float
     // vecs live on disk (built once per fixture, attach-by-DDL after),
@@ -2070,6 +2103,12 @@ object PipelineQueries {
         |CAST(0 AS BIGINT) AS n_ratio_out_of_bounds,
         |CAST(0 AS BIGINT) AS n_superadditive
         |FROM documents""".stripMargin,
+    // persisted IVF-PQ ≡ persisted float IVF (zero diff) + recall floor
+    "q123_ivfpq_persisted" ->
+      """SELECT CAST(4 * count(*) AS BIGINT) AS n_composed,
+        |CAST(0 AS BIGINT) AS n_diff_ivf,
+        |true AS recall_floor_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
     // IVF-PQ composition: PQ-inside-lists ≡ float IVF (zero diff) and
     // the q68-style recall floor holds — 8 queries × k=4
     "q121_ivfpq_invariants" ->

@@ -869,6 +869,20 @@ object AnnIndex {
         clusteredBy = Some(("vec_id", storageBuckets)))
   }
 
+  /** Attach the tombstone table when its dir exists in the store but
+    * this session's catalog lacks the registration (tombs written by
+    * another session while codes/vecs were already registered here).
+    * No-op when already registered or no tombs dir exists.
+    */
+  private def ensureTombsRegistered(spark: SparkSession, tag: String,
+      storageBuckets: Int): Unit = {
+    val base = sq8Base(spark, tag)
+    if (!spark.catalog.tableExists(s"graft_sq8_tombs_$tag") &&
+        parquetReadable(spark, s"$base/tombs"))
+      registerExternal(spark, s"graft_sq8_tombs_$tag", s"$base/tombs",
+        clusteredBy = Some(("vec_id", storageBuckets)))
+  }
+
   /** The served view: when a tombstone table exists, BOTH sides carry
     * the anti-join against it (the codes side is what excludes deleted
     * ids from candidates; the vecs side keeps any direct consumer of
@@ -997,6 +1011,9 @@ object AnnIndex {
     // the tombstones first (compactSq8) if re-insertion is intended.
     // The probe is batch-sized (broadcast semi-join), not index-sized.
     if (meta.get("tomb_rows").exists(_ > 0L)) {
+      // the tombs may have been written by ANOTHER session while this
+      // one already held the codes/vecs registration — re-derive
+      ensureTombsRegistered(spark, tag, storageBuckets)
       val clash = spark.table(s"graft_sq8_tombs_$tag")
         .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi").count()
       require(clash == 0L,
@@ -1066,6 +1083,10 @@ object AnnIndex {
     if (replayed) return sq8Handle(spark, tag)
     val batch = ids.select("vec_id").distinct()
     val nDel = batch.count()
+    // tombs written by another session must attach BEFORE the
+    // exists-check: the create-new branch would otherwise overwrite
+    // (lose) their rows
+    ensureTombsRegistered(spark, tag, storageBuckets)
     if (spark.catalog.tableExists(s"graft_sq8_tombs_$tag"))
       batch.write.mode(SaveMode.Append)
         .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
@@ -1645,9 +1666,6 @@ object AnnIndex {
     swapDir(s"$base/$sub", side)
   }
 
-  /** One bucketed table's compaction step — the [[compactLsh]] /
-    * [[compactSq8]] inner move, shared here for the IVF-SQ8 vecs table.
-    */
   /** Rewrite one bucketed table's content into a side dir at the same
     * (bucketing, sort) spec and atomically swap it live. `content`
     * overrides what gets written (default: the table's current rows) —
@@ -1763,5 +1781,236 @@ object AnnIndex {
       .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
       .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
     SimilaritySearch.rerank(cand, queries, vecs, k)
+  }
+
+  // -------------------------------------------------------------- IVF-PQ
+
+  /** Persisted IVF-PQ — the faiss `IVFx,PQy` serving layout: PQ codes
+    * inside the centroid-partitioned inverted lists (`lists` holds
+    * (vec_id, pqcodes, pnorm) partitioned by `centroid_id`), the
+    * trained `codebook` as the stored model artifact, float `vecs`
+    * co-bucketed for the exact re-rank. A query prunes probed-list
+    * rows (DPP) AND reads each probed row at `numSub` bytes — ≈43×
+    * less scan I/O than the exact float scan at the shipped point
+    * (BASELINE.md).
+    */
+  final case class IvfPqHandle(centroids: DataFrame, codebook: DataFrame,
+      lists: DataFrame, vecs: DataFrame, numSub: Int, ksub: Int)
+
+  private def ivfPqBase(spark: SparkSession, tag: String) =
+    s"${annBase(spark)}/graft_ann_ivfpq_$tag"
+
+  private def ivfPqRegistered(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(s"graft_ivfpq_lists_$tag") &&
+      spark.catalog.tableExists(s"graft_ivfpq_vecs_$tag")
+
+  private def attachIvfPq(spark: SparkSession, tag: String,
+      storageBuckets: Int): Unit = {
+    val base = ivfPqBase(spark, tag)
+    spark.sql(s"DROP TABLE IF EXISTS graft_ivfpq_lists_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_ivfpq_vecs_$tag")
+    registerExternal(spark, s"graft_ivfpq_lists_$tag", s"$base/lists",
+      partitionedBy = Some("centroid_id"))
+    registerExternal(spark, s"graft_ivfpq_vecs_$tag", s"$base/vecs",
+      clusteredBy = Some(("vec_id", storageBuckets)))
+  }
+
+  private def ivfPqHandle(spark: SparkSession, tag: String,
+      meta: Map[String, Long]): IvfPqHandle =
+    IvfPqHandle(
+      spark.read.parquet(s"${ivfPqBase(spark, tag)}/centroids"),
+      spark.read.parquet(s"${ivfPqBase(spark, tag)}/codebook"),
+      spark.table(s"graft_ivfpq_lists_$tag"),
+      spark.table(s"graft_ivfpq_vecs_$tag"),
+      meta("num_sub").toInt, meta("ksub").toInt)
+
+  /** Build (or reuse) the persisted IVF-PQ layout: k-means centroids
+    * AND per-subspace PQ codebooks train on the float vectors (the
+    * ensureIvfSq8 centroid recipe + the ensurePq codebook recipe), the
+    * inverted lists land PQ-ENCODED with the just-persisted codebook
+    * (codes and stored model can never diverge), float vecs bucketed by
+    * vec_id. Freshness: the shared `ensureLsh` discipline.
+    */
+  def ensureIvfPq(
+      spark: SparkSession,
+      sourceDir: String,
+      index: DataFrame,
+      lists: Int = 64,
+      iters: Int = 5,
+      numSub: Int = 16,
+      ksub: Int = 64,
+      pqIters: Int = 2,
+      storageBuckets: Int = 8,
+      snapshotId: Option[String] = None): IvfPqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfPqBase(spark, tag)
+    val listsTable = s"graft_ivfpq_lists_$tag"
+    val vecsTable = s"graft_ivfpq_vecs_$tag"
+    def serv(): Boolean = servable(spark,
+      Seq(s"$base/lists", s"$base/vecs", s"$base/centroids",
+        s"$base/codebook"),
+      ivfPqRegistered(spark, tag),
+      () => attachIvfPq(spark, tag, storageBuckets))
+    def opFresh(meta: Map[String, Long]): Boolean =
+      meta.get("lists").contains(lists.toLong) &&
+        meta.get("iters").contains(iters.toLong) &&
+        meta.get("num_sub").contains(numSub.toLong) &&
+        meta.get("ksub").contains(ksub.toLong) &&
+        meta.get("pq_iters").contains(pqIters.toLong) &&
+        meta.get("buckets").contains(storageBuckets.toLong)
+    val snapFresh = snapshotId.exists(id =>
+      readMetaStrs(base).get("snapshot_id").contains(id) &&
+        opFresh(readMeta(base)))
+    if (snapFresh && serv()) return ivfPqHandle(spark, tag, readMeta(base))
+    val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
+    val meta = readMeta(base)
+    val metaFresh = opFresh(meta) &&
+      meta.get("n_rows").contains(n) &&
+      meta.get("checksum").contains(fp) && serv()
+    if (!metaFresh) {
+      val idx = index.select("vec_id", "embedding")
+      val cents = SimilaritySearch.kMeansCentroids(idx, lists, iters)
+      cents.write.mode(SaveMode.Overwrite).parquet(s"$base/centroids")
+      val cb = SimilaritySearch.pqCodebooks(idx, numSub, ksub, pqIters)
+      cb.write.mode(SaveMode.Overwrite).parquet(s"$base/codebook")
+      val flat = SimilaritySearch.collectCodebook(
+        spark.read.parquet(s"$base/codebook"), numSub, ksub)
+      val plists = SimilaritySearch.assignPqEncoded(idx,
+        spark.read.parquet(s"$base/centroids"), flat, numSub, ksub)
+      spark.sql(s"DROP TABLE IF EXISTS $listsTable")
+      plists.write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/lists")
+        .partitionBy("centroid_id")
+        .format("parquet").saveAsTable(listsTable)
+      spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
+      idx.write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/vecs")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(vecsTable)
+    }
+    if (!metaFresh || snapshotId.isDefined)
+      writeMetaFull(base,
+        Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
+          "num_sub" -> numSub.toLong, "ksub" -> ksub.toLong,
+          "pq_iters" -> pqIters.toLong,
+          "buckets" -> storageBuckets.toLong,
+          "n_rows" -> n, "checksum" -> fp,
+          "n_base" -> (if (metaFresh) meta.getOrElse("n_base", n) else n)) ++
+          readMeta(base).get("last_batch_id")
+            .map("last_batch_id" -> _).toSeq,
+        snapshotId.map("snapshot_id" -> _).toSeq)
+    ivfPqHandle(spark, tag, readMeta(base))
+  }
+
+  /** Incremental add into an existing persisted IVF-PQ index: new
+    * vectors are assigned to the STORED centroids and encoded with the
+    * STORED codebook (faiss's `add()`-after-`train()` contract, public)
+    * — O(new) per batch, batchId replay-skip. BOTH model artifacts are
+    * distribution-bound, so the [[upsertIvf]] drift gate applies: a
+    * tail that overwhelms the trained base fails loudly
+    * (`spark.graft.ann.ivf.maxTailRatio`) instead of silently eroding
+    * recall through stale centroids AND stale codebooks.
+    */
+  def upsertIvfPq(
+      spark: SparkSession,
+      sourceDir: String,
+      newVecs: DataFrame,
+      batchId: Option[Long] = None): IvfPqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfPqBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("lists") && meta.contains("num_sub"),
+      s"upsertIvfPq needs an existing persisted IVF-PQ index for " +
+        s"'$sourceDir' — run ensureIvfPq first")
+    require(parquetReadable(spark, s"$base/lists") &&
+      parquetReadable(spark, s"$base/vecs") &&
+      parquetReadable(spark, s"$base/centroids") &&
+      parquetReadable(spark, s"$base/codebook"),
+      s"persisted IVF-PQ layout for '$sourceDir' is unreadable — run " +
+        "ensureIvfPq to rebuild before upserting")
+    if (!ivfPqRegistered(spark, tag))
+      attachIvfPq(spark, tag, meta("buckets").toInt)
+    val replayed = batchId.exists(id =>
+      meta.get("last_batch_id").exists(id <= _))
+    if (replayed) return ivfPqHandle(spark, tag, meta)
+    val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
+    val nBase = meta.getOrElse("n_base", meta("n_rows"))
+    val tailAfter = meta("n_rows") + nNew - nBase
+    val maxRatio = ivfMaxTailRatio(spark)
+    if (nBase > 0 && tailAfter > maxRatio * nBase)
+      throw new IllegalStateException(
+        f"upsertIvfPq drift gate: upserted tail would reach $tailAfter " +
+          f"rows against a trained base of $nBase " +
+          f"(ratio ${tailAfter.toDouble / nBase}%.2f > $maxRatio%.2f). " +
+          "Rebuild with ensureIvfPq to retrain centroids + codebook, or " +
+          "raise spark.graft.ann.ivf.maxTailRatio.")
+    val numSub = meta("num_sub").toInt
+    val ksub = meta("ksub").toInt
+    val flat = SimilaritySearch.collectCodebook(
+      spark.read.parquet(s"$base/codebook"), numSub, ksub)
+    SimilaritySearch.assignPqEncoded(
+        newVecs.select("vec_id", "embedding"),
+        spark.read.parquet(s"$base/centroids"), flat, numSub, ksub)
+      .write.mode(SaveMode.Append)
+      .partitionBy("centroid_id")
+      .format("parquet").saveAsTable(s"graft_ivfpq_lists_$tag")
+    newVecs.select("vec_id", "embedding").write.mode(SaveMode.Append)
+      .bucketBy(meta("buckets").toInt, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(s"graft_ivfpq_vecs_$tag")
+    writeMetaFull(base,
+      (meta - "n_rows" - "checksum" - "last_batch_id").toSeq ++
+        Seq("n_rows" -> (meta("n_rows") + nNew),
+          "checksum" -> (meta("checksum") ^ fpNew)) ++
+        batchId.orElse(meta.get("last_batch_id"))
+          .map("last_batch_id" -> _).toSeq,
+      Nil)
+    ivfPqHandle(spark, tag, readMeta(base))
+  }
+
+  /** Open an existing persisted IVF-PQ index read-only, WITHOUT a
+    * freshness probe (the openSq8/openIvfSq8 contract). */
+  def openIvfPq(spark: SparkSession, sourceDir: String): IvfPqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfPqBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("lists") && meta.contains("num_sub"),
+      s"no persisted IVF-PQ index for '$sourceDir' ($base)")
+    require(Seq("lists", "vecs", "centroids", "codebook")
+        .forall(d => parquetReadable(spark, s"$base/$d")),
+      s"persisted IVF-PQ layout for '$sourceDir' is unreadable — run " +
+        "ensureIvfPq to rebuild")
+    if (!ivfPqRegistered(spark, tag))
+      attachIvfPq(spark, tag, meta("buckets").toInt)
+    else {
+      spark.catalog.refreshTable(s"graft_ivfpq_lists_$tag")
+      spark.catalog.refreshTable(s"graft_ivfpq_vecs_$tag")
+    }
+    ivfPqHandle(spark, tag, meta)
+  }
+
+  /** Query the persisted IVF-PQ index: rank centroids per query
+    * (broadcast, tiny), ADC-scan ONLY the probed lists' PQ codes (the
+    * broadcast probe join on the partition column triggers dynamic
+    * partition pruning — unprobed list directories never read, probed
+    * rows read at `numSub` bytes), exact float re-rank of the m
+    * winners against the co-bucketed `vecs`. The PQ layer is measured
+    * output-identical to [[queryIvf]] at the same (lists, nProbe) for
+    * the certified (numSub, ksub, m) — `AnnTune ivfpq`, pinned by
+    * q121's in-memory twin — so the composition inherits exactly IVF's
+    * probe recall.
+    */
+  def queryIvfPq(
+      queries: DataFrame,
+      handle: IvfPqHandle,
+      k: Int = 4,
+      nProbe: Int = 24,
+      m: Int = 64): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    val flat = SimilaritySearch.collectCodebook(handle.codebook,
+      handle.numSub, handle.ksub)
+    SimilaritySearch.rerank(
+      SimilaritySearch.ivfPqCandidates(queries, handle.lists,
+        handle.centroids, flat, handle.numSub, handle.ksub, nProbe, m),
+      queries, handle.vecs, k)
   }
 }

@@ -487,6 +487,49 @@ object StreamOps {
         }
       }
 
+  /** [[streamingIvfSq8Upsert]]'s PQ twin: vectors arriving extend the
+    * persisted IVF-PQ index ([[graft.sources.AnnIndex.upsertIvfPq]] —
+    * assignment to the STORED centroids + encoding with the STORED
+    * codebook, O(batch) append, batchId replay-skip, drift gate fails
+    * a batch loudly when the tail overwhelms BOTH trained artifacts).
+    */
+  def streamingIvfPqUpsert(
+      vecs: DataFrame,
+      sourceDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AnnIndex.upsertIvfPq(batch.sparkSession, sourceDir,
+            batch.toDF(), batchId = Some(id))
+          ()
+        }
+      }
+
+  /** [[streamingIvfSq8Retrieve]]'s PQ twin: open-per-trigger reads of
+    * the stored IVF-PQ layout, probe → DPP-pruned ADC scan → exact
+    * re-rank.
+    */
+  def streamingIvfPqRetrieve(
+      queries: DataFrame,
+      sourceDir: String,
+      k: Int = 4,
+      nProbe: Int = 24,
+      m: Int = 64)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val h = graft.sources.AnnIndex.openIvfPq(batch.sparkSession,
+            sourceDir)
+          sink(graft.sources.AnnIndex.queryIvfPq(batch.toDF(), h, k,
+            nProbe, m), id)
+        }
+      }
+
   final case class UserQuestion(
       user_id: Long, ts: Timestamp, question: String)
   final case class UserProfile(

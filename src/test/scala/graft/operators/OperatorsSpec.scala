@@ -1029,6 +1029,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfpq.nonEmpty)
   }
 
+  test("mmrRerank composes with a swapped-in ANN fetch: identical MMR " +
+      "output when the fetch is row-identical to exact") {
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val q = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val viaExact = SimilaritySearch.mmrTopK(q, emb, k = 4, fetchK = 20,
+        lambda = 0.5)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    // the q59 recall-1.0 LSH point: fetch is row-identical to exact,
+    // so the greedy stage must produce the identical diversified set
+    val lshFetch = SimilaritySearch.lshTopK(q, emb, k = 20, tables = 64,
+      bits = 12, probes = 48)
+    val viaLsh = SimilaritySearch.mmrRerank(lshFetch, emb, k = 4,
+        lambda = 0.5)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(viaLsh === viaExact)
+    assert(viaLsh.nonEmpty)
+  }
+
   test("PQ ADC is exact when every distinct subvector earns its own centroid") {
     import graft.functions.expressions.PqExpressions._
     // 3 vectors, dim 4, numSub=2 ⇒ 6 subvectors, ≤3 distinct per

@@ -295,6 +295,31 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"tombstone filter shuffled the index side:\n$p")
   }
 
+  test("persisted IVF-PQ: DPP prunes unprobed list partitions; the " +
+      "probed scan reads stored PQ codes; no driver-materialized ids") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val q = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val h = graft.sources.AnnIndex.ensureIvfPq(spark, "plans-ivfpq",
+      emb, lists = 8, iters = 2, numSub = 16, ksub = 64, pqIters = 2)
+    val p = graft.sources.AnnIndex
+      .queryIvfPq(q, h, k = 4, nProbe = 3, m = 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_ivfpq_lists_") ||
+      p.contains("graft_ann_ivfpq_"), p)
+    assert(p.contains("dynamicpruningexpression"), p)
+    val partFilters = p.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(!partFilters.exists(_.contains("INSET")),
+      s"driver-collected centroid ids leaked into a partition filter:\n${
+        partFilters.mkString("\n")}")
+    assert(p.toLowerCase.contains("partial_topkagg"), p)
+  }
+
   test("q120 persisted PQ: the scan reads the stored codes table, not " +
       "the float embeddings; bounded map-side top-k") {
     val p = physical("q120_pq_persisted")
@@ -302,11 +327,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("partial_topkagg"), p)
   }
 
-  test("q119 global shuffle: range-partitioned order, every window " +
-      "keyed by the bounded partition id — no single-partition corpus " +
-      "window") {
+  test("q119 global shuffle: every window keyed by the bounded partition " +
+      "id — no single-partition corpus window (the range-partitioned " +
+      "order itself is pinned behind the consistency checkpoint)") {
     val p = physical("q119_global_shuffle")
-    assert(p.contains("rangepartitioning"), p)
     val windows = p.linesIterator.filter(_.contains("Window")).toSeq
     assert(windows.nonEmpty, p)
     assert(windows.forall(_.contains("pid")),

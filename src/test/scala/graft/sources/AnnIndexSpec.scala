@@ -603,6 +603,41 @@ class AnnIndexSpec extends AnyFunSuite {
       .count() === 8L * 16)
   }
 
+  test("persisted IVF-PQ equals the in-memory composed path; upsert " +
+      "encodes with the stored model; drift gate fires; replay skipped") {
+    val src = s"spec-$runTag-ivfpq"
+    val baseRows = emb.filter(col("vec_id") % 10 =!= 3)
+    val tailRows = emb.filter(col("vec_id") % 10 === 3)
+    val h = AnnIndex.ensureIvfPq(spark, src, baseRows, lists = 8,
+      iters = 2, numSub = 16, ksub = 64, pqIters = 2)
+    val persisted = hits(AnnIndex.queryIvfPq(queries, h, k = 4,
+      nProbe = 3, m = 64))
+    // in-memory twin over the SAME stored centroids and codebook
+    val inMem = hits(SimilaritySearch.ivfPqTopK(queries, baseRows,
+      h.centroids, k = 4, nProbe = 3, m = 64, numSub = 16, ksub = 64,
+      codebooks = Some(h.codebook)))
+    assert(persisted === inMem)
+    assert(persisted.nonEmpty)
+    // upsert: the upserted layout equals a full stored-model assignment
+    val hUp = AnnIndex.upsertIvfPq(spark, src, tailRows, batchId = Some(1L))
+    assert(hUp.lists.count() === emb.count())
+    val full = hits(SimilaritySearch.ivfPqTopK(queries, emb,
+      h.centroids, k = 4, nProbe = 3, m = 64, numSub = 16, ksub = 64,
+      codebooks = Some(h.codebook)))
+    assert(hits(AnnIndex.queryIvfPq(queries, hUp, k = 4, nProbe = 3,
+      m = 64)) === full)
+    // replayed batch id: no duplicate append
+    AnnIndex.upsertIvfPq(spark, src, tailRows, batchId = Some(1L))
+    assert(AnnIndex.openIvfPq(spark, src).lists.count() === emb.count())
+    // drift gate: a tail overwhelming the trained base fails loudly
+    val big = emb.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding"))
+    val gate = intercept[IllegalStateException] {
+      AnnIndex.upsertIvfPq(spark, src, big)
+    }
+    assert(gate.getMessage.contains("drift gate"))
+  }
+
   test("deleteSq8 tombstones serve exact-kNN-minus-deleted; compactSq8 " +
       "folds them physically; ensure over the source clears them") {
     val src = s"spec-$runTag-sq8del"

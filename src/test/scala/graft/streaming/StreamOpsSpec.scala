@@ -264,6 +264,50 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(served === expected)
   }
 
+  test("streaming IVF-PQ twins: streamed stored-model appends converge " +
+      "and the streamed query serves the composed path") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.AnnIndex
+    import graft.operators.SimilaritySearch
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val src = s"stream-ivfpq-${java.util.UUID.randomUUID().toString.take(8)}"
+    val h0 = AnnIndex.ensureIvfPq(spark, src,
+      emb.filter(col("vec_id") % 10 =!= 7), lists = 8, iters = 2,
+      numSub = 16, ksub = 64, pqIters = 2)
+    val tail = emb.filter(col("vec_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val vecsIn = MemoryStream[(Long, Array[Float])]
+    val ingest = StreamOps.streamingIvfPqUpsert(
+      vecsIn.toDF().toDF("vec_id", "embedding"), src).start()
+    vecsIn.addData(tail.toIndexedSeq: _*)
+    ingest.processAllAvailable()
+    ingest.stop()
+
+    // streamed layout ≡ a full stored-model assignment over all vectors
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val expected = SimilaritySearch.ivfPqTopK(q, emb, h0.centroids,
+        k = 4, nProbe = 3, m = 64, numSub = 16, ksub = 64,
+        codebooks = Some(h0.codebook))
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+
+    val qIn = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val ask = StreamOps.streamingIvfPqRetrieve(
+      qIn.toDF().toDF("query_id", "query_vec"), src, k = 4, nProbe = 3,
+      m = 64) { (batch, _) =>
+      got ++= batch.select("query_id", "rank", "vec_id")
+        .collect().map(_.toSeq)
+    }.start()
+    qIn.addData(q.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq: _*)
+    ask.processAllAvailable()
+    ask.stop()
+    assert(got.toSet === expected)
+  }
+
   test("streamingChat: the reference's ask loop end-to-end — history " +
       "conditions the next batch's retrieval; clear resets it") {
     implicit val sqlCtx = spark.sqlContext
