@@ -21,7 +21,9 @@ import org.apache.spark.sql.types._
   * approximate dot product is `numSub` table lookups. The scan kernel
   * reads `numSub` bytes per vector (64-dim at numSub=16: 16 B vs
   * 256 B float32 = 16× less bandwidth; the reference's 1536-dim at
-  * numSub=96: 96 B vs 6 KiB = 64×) and does no multiplies at all.
+  * numSub=96 with the full ksub=256 codebook — the certified 1536
+  * operating point, `AnnTune pqdim`: 96 B vs 6 KiB = 64×) and does
+  * no multiplies at all.
   *
   * The codebook rides along as a flat `Array[Double]` constructor
   * parameter (layout `[sub][cid][dim-within-sub]`), bounded by

@@ -334,7 +334,8 @@ object SimilaritySearch {
     *
     * Scale shape: the scan stage reads `numSub` bytes per vector
     * (16 B at the fixture's 64-dim/numSub=16 — 16× under float32; 96 B
-    * at the reference's 1536-dim/numSub=96 — 64×) and does table
+    * at the reference's 1536-dim, numSub=96/ksub=256 — the certified
+    * point, `AnnTune pqdim` — 64×) and does table
     * lookups only, no multiplies; the per-query ADC table is built once
     * on the broadcast side; map-side bounded TopKAgg ships
     * O(partitions · queries · m); float vectors are touched only for

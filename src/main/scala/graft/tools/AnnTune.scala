@@ -244,6 +244,43 @@ object AnnTune {
       }
     }
 
+    // "pqdim": PQ at the reference's ambient 1536 dims (the sq8 mode's
+    // tile-and-jitter construction — ambient 1536, intrinsic ~64, the
+    // conservative case) — certifies the numSub=96 layout the docs
+    // quote as the 64× point, plus numSub=48 (128×).
+    if (mode == "pqdim") {
+      val reps = 24
+      val sigma = 0.25
+      val rms = sqrt(aggregate(col("embedding"), lit(0.0d),
+        (a, e) => a + e * e) / size(col("embedding")))
+      val big = emb.select(col("vec_id"),
+        flatten(transform(sequence(lit(0), lit(reps - 1)), r =>
+          transform(col("embedding"), (x, i) =>
+            (x + lit(sigma) * rms
+              * (hash(col("vec_id"), r, i).cast("double") / Int.MaxValue))
+              .cast("float")))).as("embedding")).cache()
+      val qd = big.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec")).cache()
+      val ex = pairs(SimilaritySearch.bruteForceTopKAgg(qd, big, k))
+      for ((numSub, ksub) <- Seq((48, 64), (96, 64), (96, 256))) {
+        val cb = SimilaritySearch.pqCodebooks(big, numSub, ksub, 2).cache()
+        cb.count()
+        for (m <- Seq(32, 64)) {
+          val t0 = System.nanoTime()
+          val got = pairs(SimilaritySearch.pqTopK(qd, big, k, m, numSub,
+            ksub, 2, codebooks = Some(cb)))
+          val recall = (ex & got).size.toDouble / ex.size
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"pqdim dim=${64 * reps} numSub=$numSub%-3d " +
+            f"ksub=$ksub%-4d m=$m%-3d recall=$recall%.3f " +
+            f"identical=${got == ex}%-5s bytes/vec=$numSub sec=$sec%.1f")
+        }
+        cb.unpersist()
+      }
+      big.unpersist(); qd.unpersist()
+    }
+
     // "ivfpq": the IVF-PQ composition — PQ codes inside the probed
     // lists at the shipped (16, 64) codebook. Reports, per (nProbe, m),
     // recall vs the exact kNN, identity to the exact kNN, and identity
