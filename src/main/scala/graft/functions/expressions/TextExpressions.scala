@@ -30,6 +30,12 @@ object TextExpressions {
     * compression-ratio quality signal. */
   def deflate_stats(text: Column, level: Int = 6): Column =
     col(DeflateStatsF(ex(text), level))
+
+  /** Gopher-rule repetition statistics over a token array: top-{2,3,4}
+    * word-n-gram character coverage and duplicated-{5..10}-gram token
+    * coverage. See [[GopherStatsF]]. */
+  def gopher_stats(tokens: Column): Column =
+    col(GopherStatsF(ex(tokens)))
 }
 
 /** Raw-DEFLATE size of a string's UTF-8 bytes in one per-row pass —
@@ -62,6 +68,112 @@ case class DeflateStatsF(child: Expression, level: Int)
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](bytes.length.toLong, total))
     } finally d.end()
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The Gopher repetitious-text rule set (Rae et al. 2021, §A1.1 —
+  * public), computed per row in O(L) passes with zero shuffle:
+  *
+  *   - `top{2,3,4}_cov`: the maximal CHARACTER coverage of any single
+  *     word n-gram — max over n-grams g of count(g) × numChars(g),
+  *     where g's characters include its n−1 separator spaces (the
+  *     "fraction of characters in the most frequent n-gram" family;
+  *     taking the max of the product is a total order, so no tie-break
+  *     is needed and the derived fraction is unambiguous).
+  *   - `dup{5..10}_cov`: the number of TOKEN positions covered by at
+  *     least one occurrence of an n-gram appearing ≥ 2 times within
+  *     the document (the "fraction of characters in duplicated
+  *     n-grams" family, in its token-coverage variant — overlapping
+  *     occurrences count each position once).
+  *
+  * Both families divide downstream (by char length / token count) so
+  * rounding stays in the query. The naive formulation explodes every
+  * n-gram of every document and shuffles them 9 times (once per n) —
+  * at 100 TB that is 9 corpus-sized exchanges; this expression does
+  * the same counting in per-row hash maps. Null array elements count
+  * as empty strings (the [[RepetitionStatsF]] convention).
+  */
+case class GopherStatsF(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(
+    StructField("n_tok", LongType, nullable = false) +:
+    (2 to 4).map(n => StructField(s"top${n}_cov", LongType, nullable = false)) ++:
+    (5 to 10).map(n => StructField(s"dup${n}_cov", LongType, nullable = false)))
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+        else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    def windows(k: Int): Array[UTF8String] = {
+      val m = math.max(0, n - k + 1)
+      val out = new Array[UTF8String](m)
+      var j = 0
+      while (j < m) {
+        out(j) = UTF8String.concatWs(sep,
+          java.util.Arrays.copyOfRange(toks, j, j + k): _*)
+        j += 1
+      }
+      out
+    }
+    def counts(ws: Array[UTF8String]): java.util.HashMap[UTF8String, Integer] = {
+      val m = new java.util.HashMap[UTF8String, Integer](ws.length * 2)
+      var j = 0
+      while (j < ws.length) {
+        val prev = m.get(ws(j))
+        m.put(ws(j), if (prev == null) 1 else prev.intValue() + 1)
+        j += 1
+      }
+      m
+    }
+    val vals = new Array[Any](1 + 3 + 6)
+    vals(0) = n.toLong
+    var slot = 1
+    var k = 2
+    while (k <= 4) { // top-k-gram char coverage: max count x numChars
+      val ws = windows(k)
+      val m = counts(ws)
+      var best = 0L
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cov = e.getValue.longValue() * e.getKey.numChars()
+        if (cov > best) best = cov
+      }
+      vals(slot) = best
+      slot += 1
+      k += 1
+    }
+    k = 5
+    val covered = new Array[Boolean](n)
+    while (k <= 10) { // duplicated-k-gram token coverage
+      val ws = windows(k)
+      val m = counts(ws)
+      java.util.Arrays.fill(covered, false)
+      var j = 0
+      while (j < ws.length) {
+        if (m.get(ws(j)).intValue() >= 2) {
+          var p = j
+          while (p < j + k) { covered(p) = true; p += 1 }
+        }
+        j += 1
+      }
+      var cov = 0L
+      j = 0
+      while (j < n) { if (covered(j)) cov += 1; j += 1 }
+      vals(slot) = cov
+      slot += 1
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

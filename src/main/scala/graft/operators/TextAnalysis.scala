@@ -150,6 +150,41 @@ object TextAnalysis {
       .drop("__rs")
   }
 
+  /** The Gopher repetitious-text rule set (Rae et al. 2021 §A1.1 — the
+    * published quality filters production pretraining pipelines apply):
+    * per document, the character fraction of its highest-coverage word
+    * {2,3,4}-gram (count × chars of the n-gram over the document's
+    * char length) and the token fraction covered by duplicated
+    * {5..10}-grams (positions under any occurrence of an n-gram
+    * appearing ≥ 2 times in the document). Gopher drops documents when
+    * e.g. top2_frac > 0.20 or dup10_frac > 0.10; this emits the raw
+    * fractions so thresholds stay policy.
+    *
+    * Scale shape: one native O(L)-per-row pass
+    * ([[graft.functions.expressions.GopherStatsF]]) — zero shuffle,
+    * linear in corpus tokens; the relational formulation (explode all
+    * n-grams for 9 values of n, groupBy(doc, n, gram)) would shuffle
+    * 9× the corpus token stream. The DuckDB oracle runs exactly that
+    * relational formulation — an independent recomputation.
+    */
+  def gopherSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val st = graft.functions.expressions.TextExpressions
+      .gopher_stats(split(col(textCol), " "))
+    val nc = length(col(textCol))
+    val base = df.withColumn("__g", st)
+      .withColumn("n_tok", col("__g.n_tok"))
+    val withTops = (2 to 4).foldLeft(base) { (d, n) =>
+      d.withColumn(s"top${n}_frac",
+        when(nc === 0, lit(0.0)).otherwise(
+          round(col(s"__g.top${n}_cov").cast("double") / nc, 6)))
+    }
+    (5 to 10).foldLeft(withTops) { (d, n) =>
+      d.withColumn(s"dup${n}_frac",
+        when(col("n_tok") === 0, lit(0.0)).otherwise(
+          round(col(s"__g.dup${n}_cov").cast("double") / col("n_tok"), 6)))
+    }.drop("__g")
+  }
+
   /** CCNet-style n-gram language-model quality scoring: train an
     * interpolated bigram LM on the corpus itself and score every document
     * by per-token cross-entropy (low = fluent/typical, high =

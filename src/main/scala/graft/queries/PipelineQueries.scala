@@ -668,6 +668,28 @@ object PipelineQueries {
           .otherwise(0L)).as("n_superadditive"))
     }),
 
+    // The Gopher repetitious-text rule set (top-{2,3,4}-gram char
+    // coverage, duplicated-{5..10}-gram token coverage) over a corpus
+    // deterministically degraded with repeated spans (every third doc
+    // gets its first 8 tokens appended twice — the q93 synthetic-input
+    // discipline; the raw fixture has no within-doc repeated 5-grams,
+    // which would leave the dup columns verifying nothing). Full
+    // DuckDB oracle: the relational 9-way n-gram explode recomputes
+    // what the engine's single native per-row pass emits.
+    "q124_gopher_signals" -> ((s, dir) => {
+      val toks0 = split(col("text"), " ")
+      val s8 = concat_ws(" ", slice(toks0, 1, 8))
+      val aug = t(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat_ws(" ", col("text"), s8, s8))
+          .otherwise(col("text")))
+      TextAnalysis.gopherSignals(aug)
+        .select(Seq(col("doc_id"), col("n_tok")) ++
+          (2 to 4).map(n => col(s"top${n}_frac")) ++
+          (5 to 10).map(n => col(s"dup${n}_frac")): _*)
+    }),
+
     // IVF-PQ composition (faiss `IVFx,PQy`): PQ codes inside the probed
     // inverted lists — probed-row pruning × 16-bytes-per-scanned-row
     // multiplied. Invariant closure (the q109 discipline): the composed
@@ -2422,6 +2444,65 @@ object PipelineQueries {
         |  round(COALESCE(1.0 - b.n_bi_distinct / b.n_bi, 0.0), 6)
         |    AS dup_bigram_frac
         |FROM wstat w LEFT JOIN bstat b USING (doc_id)""".stripMargin,
+    // the oracle recomputes the Gopher stats relationally: the same
+    // span-degraded corpus, then a 9-way positional n-gram explode with
+    // per-(doc, n, gram) counts — top coverage as max(count × chars),
+    // duplicated coverage as distinct covered positions
+    "q124_gopher_signals" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS l0 FROM documents),
+        |aug AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN text || ' ' || array_to_string(l0[1:8], ' ')
+        |             || ' ' || array_to_string(l0[1:8], ' ')
+        |    ELSE text END AS text FROM docs0),
+        |docs AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM aug),
+        |ns AS (SELECT * FROM (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10))
+        |  AS t(n)),
+        |idx AS (
+        |  SELECT doc_id, n, l,
+        |         unnest(range(1, greatest(len(l) - n + 1, 0) + 1)) AS i
+        |  FROM docs CROSS JOIN ns),
+        |wins AS (
+        |  SELECT doc_id, n, i, array_to_string(l[i:i+n-1], ' ') AS g
+        |  FROM idx),
+        |tops AS (
+        |  SELECT doc_id, n, max(c * length(g)) AS cov FROM (
+        |    SELECT doc_id, n, g, count(*) AS c FROM wins WHERE n <= 4
+        |    GROUP BY doc_id, n, g)
+        |  GROUP BY doc_id, n),
+        |duppos AS (
+        |  SELECT doc_id, n, unnest(range(i, i + n)) AS pos FROM (
+        |    SELECT doc_id, n, i,
+        |           count(*) OVER (PARTITION BY doc_id, n, g) AS c
+        |    FROM wins WHERE n >= 5)
+        |  WHERE c >= 2),
+        |cover AS (
+        |  SELECT doc_id, n, count(DISTINCT pos) AS cov FROM duppos
+        |  GROUP BY doc_id, n),
+        |base AS (SELECT doc_id, length(text) AS nc, len(l) AS nt FROM docs)
+        |SELECT b.doc_id, CAST(b.nt AS BIGINT) AS n_tok,
+        |  round(COALESCE(max(CASE WHEN t.n = 2 THEN t.cov END), 0) / b.nc, 6)
+        |    AS top2_frac,
+        |  round(COALESCE(max(CASE WHEN t.n = 3 THEN t.cov END), 0) / b.nc, 6)
+        |    AS top3_frac,
+        |  round(COALESCE(max(CASE WHEN t.n = 4 THEN t.cov END), 0) / b.nc, 6)
+        |    AS top4_frac,
+        |  round(COALESCE(max(CASE WHEN c.n = 5 THEN c.cov END), 0) / b.nt, 6)
+        |    AS dup5_frac,
+        |  round(COALESCE(max(CASE WHEN c.n = 6 THEN c.cov END), 0) / b.nt, 6)
+        |    AS dup6_frac,
+        |  round(COALESCE(max(CASE WHEN c.n = 7 THEN c.cov END), 0) / b.nt, 6)
+        |    AS dup7_frac,
+        |  round(COALESCE(max(CASE WHEN c.n = 8 THEN c.cov END), 0) / b.nt, 6)
+        |    AS dup8_frac,
+        |  round(COALESCE(max(CASE WHEN c.n = 9 THEN c.cov END), 0) / b.nt, 6)
+        |    AS dup9_frac,
+        |  round(COALESCE(max(CASE WHEN c.n = 10 THEN c.cov END), 0) / b.nt, 6)
+        |    AS dup10_frac
+        |FROM base b LEFT JOIN tops t USING (doc_id)
+        |  LEFT JOIN cover c ON b.doc_id = c.doc_id
+        |GROUP BY b.doc_id, b.nc, b.nt""".stripMargin,
     "q92_decontamination" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -673,6 +673,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 1L, 1.0, 0.0))) // no bigrams → 0.0, no NaN
   }
 
+  test("gopher signals: hand-computed top-n-gram char coverage and " +
+      "duplicated-n-gram token coverage; single-token doc yields zeros") {
+    val d = docs(
+      // 2-grams: "a b"x3 -> 3x3=9 chars of 13; 3-grams "a b a"x2 -> 10;
+      // 4-grams "a b a b"x2 -> 14 (overlaps double-count chars, the
+      // published formula's behavior); no repeated 5..10-gram
+      1L -> "a b a b a b c",
+      // "p q r s t" repeats at positions 0 and 5 -> dup5 covers all 10
+      // tokens; every 6..10-gram is unique
+      2L -> "p q r s t p q r s t",
+      3L -> "solo")
+    val out = TextAnalysis.gopherSignals(d)
+      .select("doc_id", "n_tok", "top2_frac", "top3_frac", "top4_frac",
+        "dup5_frac", "dup6_frac", "dup10_frac")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 7L, 0.692308, 0.769231, 1.076923, 0.0, 0.0, 0.0)))
+    assert(out(2L) === ((2L, 10L, 0.315789, 0.526316, 0.736842, 1.0, 0.0, 0.0)))
+    assert(out(3L) === ((3L, 1L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the " +
       "benchmark, counting distinct overlaps") {
     val bench = docs(100L -> "one two three four five six seven eight nine")
