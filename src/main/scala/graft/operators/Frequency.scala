@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.expressions.{FreqSketchAgg, HashExpressions}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+  StructField, StructType}
+
+/** Corpus-frequency operators: EXACT top-k heavy hitters priced for
+  * 100 TB by a sketch-prune-verify plan.
+  *
+  * The naive exact formulation — groupBy over every n-gram occurrence —
+  * shuffles the full corpus token stream (at 100 TB, the single biggest
+  * exchange a frequency query can emit). The classic two-pass
+  * alternative ([[FreqSketchAgg]], Misra–Gries):
+  *
+  *   1. SKETCH pass: one linear scan aggregating a mergeable bounded
+  *      summary — each map task ships ≤ 2·capacity rows, the reduce is
+  *      a single tiny merge. Yields a candidate set guaranteed to
+  *      contain every item with true count > delta (the sketch's
+  *      tracked decrement mass).
+  *   2. EXACT pass: one more linear scan counting ONLY candidate
+  *      n-grams — the candidate list broadcasts, the semi-joined
+  *      stream is a vanishing fraction of the corpus, and the groupBy
+  *      carries ≤ |candidates| keys per task after map-side combine.
+  *
+  * The result is then CERTIFIED exact: if the k-th candidate's exact
+  * count exceeds delta, no non-candidate can reach the top k (any
+  * absent item's true count ≤ delta). If certification fails the
+  * operator throws with the measured gap instead of returning a
+  * plausibly-wrong ranking — raise `capacity` (delta shrinks as
+  * capacity grows) and rerun. Hence the DuckDB oracle can be the plain
+  * exact top-k: whenever this returns, it IS the exact answer.
+  */
+object Frequency {
+
+  /** Exact top-k most frequent word n-grams, sketch-pruned and
+    * certified. Output: (rank, ngram, cnt) with ties broken (cnt desc,
+    * ngram asc) — a total order, deterministic at every scale.
+    */
+  def topNgramsExact(df: DataFrame, n: Int, k: Int, capacity: Int,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    require(k >= 1, s"k must be positive: $k")
+    require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
+    val spark = df.sparkSession
+    val grams = df.select(explode(
+      HashExpressions.shingles_k_positional(split(col(textCol), " "), n))
+      .as("g"))
+    // pass 1: the bounded mergeable sketch (one row out)
+    val sk = grams.agg(FreqSketchAgg.freq_sketch(col("g"), capacity)
+      .as("sk")).select(col("sk.items.item").as("cands"), col("sk.delta"))
+      .head()
+    val cands = sk.getSeq[String](0)
+    val delta = sk.getLong(1)
+    require(cands.size >= k,
+      s"topNgramsExact: sketch kept ${cands.size} < k=$k candidates — " +
+        "the corpus has fewer distinct n-grams than k, or capacity is " +
+        "too small")
+    // pass 2: exact counts over candidates only (broadcast semi-join)
+    import spark.implicits._
+    val candDf = cands.toDF("g")
+    val exact = grams.join(broadcast(candDf), Seq("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("g")).limit(k)
+      .collect() // k-bounded driver collect (the kMeans discipline)
+    val kth = exact.last.getLong(1)
+    require(kth > delta,
+      s"topNgramsExact NOT certifiable: k-th exact count $kth <= sketch " +
+        s"delta $delta — an unsketched n-gram could outrank it. Raise " +
+        s"capacity (= $capacity) until delta < the k-th count.")
+    val rows = exact.zipWithIndex.map { case (r, i) =>
+      Row(i + 1, r.getString(0), r.getLong(1))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("ngram", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false))))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.operators.{CorpusOps, Dedup, KeywordSearch, SimilaritySearch, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, Frequency, KeywordSearch, SimilaritySearch, TextAnalysis}
 import graft.rag.RagPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -689,6 +689,22 @@ object PipelineQueries {
           (2 to 4).map(n => col(s"top${n}_frac")) ++
           (5 to 10).map(n => col(s"dup${n}_frac")): _*)
     }),
+
+    // Exact top-20 bigram heavy hitters via the sketch-prune-verify
+    // plan: Misra-Gries bounded sketch pass (<= 2*capacity rows per
+    // map task) -> broadcast-pruned exact count pass -> in-query
+    // certification (k-th count > sketch delta, else the operator
+    // throws). The DuckDB oracle is the PLAIN exact top-k — whenever
+    // the operator returns, its answer is exact by construction.
+    // Fixture honesty: the synthetic corpus is near-UNIFORM (its
+    // ~930 distinct bigrams all fit the sketch, so delta = 0 and
+    // certification is trivially true here — MG certification has
+    // real teeth only on Zipfian data, which real corpora are); the
+    // purge pressure and the uncertifiable-refusal paths are pinned
+    // adversarially in OperatorsSpec instead.
+    "q125_heavy_hitters" -> ((s, dir) =>
+      Frequency.topNgramsExact(t(s, dir, "documents"), n = 2, k = 20,
+        capacity = 4096)),
 
     // IVF-PQ composition (faiss `IVFx,PQy`): PQ codes inside the probed
     // inverted lists — probed-row pruning × 16-bytes-per-scanned-row
@@ -2444,6 +2460,22 @@ object PipelineQueries {
         |  round(COALESCE(1.0 - b.n_bi_distinct / b.n_bi, 0.0), 6)
         |    AS dup_bigram_frac
         |FROM wstat w LEFT JOIN bstat b USING (doc_id)""".stripMargin,
+    // the oracle is the naive exact top-k the sketch-pruned plan
+    // certifiably equals: count EVERY trigram occurrence, rank by
+    // (count desc, gram asc)
+    "q125_heavy_hitters" ->
+      """WITH docs AS (
+        |  SELECT string_split(text, ' ') AS l FROM documents),
+        |idx AS (
+        |  SELECT l, unnest(range(1, greatest(len(l) - 1, 0) + 1)) AS i
+        |  FROM docs),
+        |cnt AS (
+        |  SELECT array_to_string(l[i:i+1], ' ') AS g, count(*) AS c
+        |  FROM idx GROUP BY g)
+        |SELECT CAST(row_number() OVER (ORDER BY c DESC, g ASC) AS INT)
+        |    AS rank,
+        |  g AS ngram, CAST(c AS BIGINT) AS cnt
+        |FROM cnt ORDER BY c DESC, g ASC LIMIT 20""".stripMargin,
     // the oracle recomputes the Gopher stats relationally: the same
     // span-degraded corpus, then a 9-way positional n-gram explode with
     // per-(doc, n, gram) counts — top coverage as max(count × chars),

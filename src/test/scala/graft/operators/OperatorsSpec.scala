@@ -694,6 +694,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 1L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("heavy hitters: sketch-pruned exact top-k equals brute force, " +
+      "survives purge pressure, and refuses to return uncertifiable output") {
+    // 3 clear heavy unigrams + 300 distinct singletons; capacity 8 forces
+    // many purges, yet the top-3 counts dominate delta
+    val heavy = Seq.fill(200)("aaa") ++ Seq.fill(150)("bbb") ++
+      Seq.fill(120)("ccc")
+    val noise = (1 to 200).map(i => s"n$i")
+    // interleave so the heavy items arrive spread across the stream
+    // (purges happen between their occurrences, exercising delta)
+    val stream = heavy.zipAll(noise, "", "").flatMap {
+      case (a, b) => Seq(a, b).filter(_.nonEmpty) }
+    val d = docs(1L -> stream.mkString(" "))
+    val out = Frequency.topNgramsExact(d, n = 1, k = 3, capacity = 8)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out === Seq((1, "aaa", 200L), (2, "bbb", 150L), (3, "ccc", 120L)))
+
+    // multi-row/multi-partition corpus: partial sketches merge; exact
+    // trigram counts match a hand count
+    val d2 = docs(
+      1L -> "x y z x y z x y z",
+      2L -> "x y z q r s",
+      3L -> "q r s q r s").repartition(3)
+    val out2 = Frequency.topNgramsExact(d2, n = 3, k = 2, capacity = 64)
+      .as[(Int, String, Long)].collect().toSeq
+    // "x y z": 3 (doc1 pos 0,3,6... positional windows: doc1 has 7 windows,
+    // x y z at 0,3,6 -> 3) + 1 (doc2) = 4; "q r s": doc2 1 + doc3 2 = 3
+    assert(out2 === Seq((1, "x y z", 4L), (2, "q r s", 3L)))
+
+    // uncertifiable: a flat distribution against a tiny sketch — the
+    // k-th count cannot exceed delta, so the operator must throw, not
+    // return a plausible-but-unproven ranking
+    val flat = docs(1L -> ((1 to 400).map(i => s"u$i u$i") ++
+      Seq.fill(5)("a") ++ Seq.fill(5)("b") ++ Seq.fill(5)("c"))
+      .mkString(" "))
+    val e = intercept[IllegalArgumentException] {
+      Frequency.topNgramsExact(flat, n = 1, k = 3, capacity = 4)
+    }
+    assert(e.getMessage.contains("NOT certifiable"))
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the " +
       "benchmark, counting distinct overlaps") {
     val bench = docs(100L -> "one two three four five six seven eight nine")
