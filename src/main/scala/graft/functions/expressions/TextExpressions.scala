@@ -36,6 +36,13 @@ object TextExpressions {
     * coverage. See [[GopherStatsF]]. */
   def gopher_stats(tokens: Column): Column =
     col(GopherStatsF(ex(tokens)))
+
+  /** Hashed bag-of-words feature vector (the hashing trick):
+    * array<float> of length `dim`; bucket = murmur3 of the token's
+    * UTF-8 bytes mod dim. `binary` → presence (0/1), else counts
+    * normalized by token count. See [[HashedBowF]]. */
+  def hashed_bow(tokens: Column, dim: Int, binary: Boolean = true): Column =
+    col(HashedBowF(ex(tokens), dim, binary))
 }
 
 /** Raw-DEFLATE size of a string's UTF-8 bytes in one per-row pass —
@@ -174,6 +181,44 @@ case class GopherStatsF(child: Expression)
       k += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hashed bag-of-words features (Weinberger et al. 2009's hashing
+  * trick — public; the fastText/CCNet quality-classifier feature map):
+  * one O(L) pass hashing each token's UTF-8 bytes (UTF8String's
+  * murmur3-based hashCode — deterministic across JVMs) into `dim`
+  * buckets. `binary` emits presence 0/1 per bucket; otherwise counts
+  * normalized by the token count. Zero shuffle, linear in corpus
+  * tokens; array<float> so the vector reuses the native [[DotF]] /
+  * VectorMeanAgg kernels downstream.
+  */
+case class HashedBowF(child: Expression, dim: Int, binary: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(dim >= 1, s"dim must be positive: $dim")
+  override def dataType: DataType =
+    ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+        else arr.getUTF8String(i)
+      val j = ((t.hashCode % dim) + dim) % dim
+      if (binary) v(j) = 1.0f else v(j) += 1.0f
+      i += 1
+    }
+    if (!binary && n > 0) {
+      var j = 0
+      while (j < dim) { v(j) /= n; j += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(v)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.operators.{CorpusOps, Dedup, Frequency, KeywordSearch, SimilaritySearch, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, Frequency, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, TextAnalysis}
 import graft.rag.RagPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -705,6 +705,41 @@ object PipelineQueries {
     "q125_heavy_hitters" -> ((s, dir) =>
       Frequency.topNgramsExact(t(s, dir, "documents"), n = 2, k = 20,
         capacity = 4096)),
+
+    // Trained quality classifier (the fastText/CCNet linear-filter
+    // pattern): distributed full-batch GD logistic regression over
+    // hashed BOW presence features, labels from a PLANTED text rule
+    // (doc contains the token "table") so learnability is a known
+    // quantity. Invariant closure (float-sum order makes exact
+    // weights run-varying at the ulp level): replayable n_docs/n_pos
+    // + accuracy >= 0.9 + final loss < 0.5 * initial, with the exact
+    // per-step trajectory pinned on a hand corpus in ScalaTest.
+    "q127_quality_classifier" -> ((s, dir) => {
+      val lab = t(s, dir, "documents").withColumn("y",
+        array_contains(split(col("text"), " "), "table").cast("double"))
+      val model = QualityClassifier.train(lab, "y", iters = 20, lr = 20.0)
+      val scored = QualityClassifier.score(lab, model)
+      scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y")).cast("long").as("n_pos"),
+        (avg(when(col("quality_pred") === col("y").cast("int"), 1.0)
+          .otherwise(0.0)) >= 0.9).as("acc_ok"),
+        lit(model.finalLoss < 0.5 * model.initLoss).as("loss_ok"))
+    }),
+
+    // Z-order (Morton) layout key — the multi-column data-skipping
+    // clustering lakehouses run at OPTIMIZE time. The key itself is
+    // fully deterministic (min/max quantization in IEEE double + a
+    // static bit-interleave), so the oracle replays it bit-exactly;
+    // the LAYOUT benefit (per-file min/max envelopes tight in both
+    // columns -> pruning on either) is measured in OperatorsSpec.
+    "q126_zorder_key" -> ((s, dir) =>
+      Layout.withZValue(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "zval")),
 
     // IVF-PQ composition (faiss `IVFx,PQy`): PQ codes inside the probed
     // inverted lists — probed-row pruning × 16-bytes-per-scanned-row
@@ -2460,6 +2495,38 @@ object PipelineQueries {
         |  round(COALESCE(1.0 - b.n_bi_distinct / b.n_bi, 0.0), 6)
         |    AS dup_bigram_frac
         |FROM wstat w LEFT JOIN bstat b USING (doc_id)""".stripMargin,
+    // invariant closure: the replayable halves (doc and positive-label
+    // counts) computed exactly; the learning halves pinned as literals
+    // (accuracy/loss bars the engine must clear or mismatch)
+    "q127_quality_classifier" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN contains(' ' || text || ' ', ' table ')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  true AS acc_ok, true AS loss_ok
+        |FROM documents""".stripMargin,
+    // bit-exact Morton replay: same IEEE-double quantization, same
+    // 32-term interleave (part key owns the odd/MSB bit positions)
+    "q126_zorder_key" -> {
+      val terms = (0 until 16).map(i =>
+        s"(((qa >> $i) & 1) << ${2 * i + 1}) + (((qb >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH st AS (
+         |  SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+         |         min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+         |  FROM lineitem),
+         |q AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    CASE WHEN mxp = mnp THEN 0 ELSE CAST(floor(
+         |      (l_partkey - mnp) * 65535.0 / (mxp - mnp)) AS BIGINT)
+         |      END AS qa,
+         |    CASE WHEN mxs = mns THEN 0 ELSE CAST(floor(
+         |      (l_suppkey - mns) * 65535.0 / (mxs - mns)) AS BIGINT)
+         |      END AS qb
+         |  FROM lineitem CROSS JOIN st)
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST($terms AS BIGINT) AS zval
+         |FROM q""".stripMargin
+    },
     // the oracle is the naive exact top-k the sketch-pruned plan
     // certifiably equals: count EVERY trigram occurrence, rank by
     // (count desc, gram asc)

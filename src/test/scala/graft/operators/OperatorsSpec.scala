@@ -734,6 +734,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NOT certifiable"))
   }
 
+  test("z-order: endpoint interleave is bit-exact; the layout keeps " +
+      "partition envelopes tight in BOTH columns where a 1-D sort cannot") {
+    // endpoints quantize to 0 / 65535, so the Morton key is closed-form
+    val ends = Seq((0L, 0L), (0L, 65535L), (65535L, 0L), (65535L, 65535L))
+      .toDF("a", "b")
+    val z = Layout.withZValue(ends, Seq("a", "b"))
+      .select("a", "b", "zval").as[(Long, Long, Long)].collect().toSet
+    assert(z === Set(
+      (0L, 0L, 0L),
+      (0L, 65535L, 0x55555555L),      // b owns the even bit positions
+      (65535L, 0L, 0xAAAAAAAAL),      // a owns the odd (higher) ones
+      (65535L, 65535L, 0xFFFFFFFFL)))
+
+    // 64x64 uniform grid into 16 range partitions: the Morton layout
+    // yields quadrant-like envelopes (tight in x AND y); sorting by x
+    // alone leaves every partition spanning ALL of y. A thin-in-y box
+    // query (y <= 7, any x) then intersects <= 6 z-partitions vs all
+    // 16 x-sorted ones — the data-skipping claim, measured.
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    def envelopes(laid: org.apache.spark.sql.DataFrame) = laid
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("y").as("mny"), max("y").as("mxy"),
+        min("x").as("mnx"), max("x").as("mxx"))
+      .collect()
+    val zEnv = envelopes(Layout.zorderLayout(grid, Seq("x", "y"), 16))
+    val xEnv = envelopes(grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions("x"))
+    assert(zEnv.length === 16 && xEnv.length === 16)
+    val zHit = zEnv.count(_.getLong(1) <= 7L) // min(y) <= 7 intersects
+    val xHit = xEnv.count(_.getLong(1) <= 7L)
+    assert(xHit === 16, s"1-D sort should not prune on y: $xHit")
+    assert(zHit <= 6, s"z-order should keep y envelopes tight: $zHit")
+  }
+
+  test("quality classifier: GD separates a planted vocabulary signal, " +
+      "loss falls, scoring is a pure projection of the trained model") {
+    // two disjoint vocabularies -> linearly separable presence features
+    val pos = (1 to 12).map(i =>
+      (i.toLong, s"good fine solid clean w$i", 1.0))
+    val neg = (13 to 24).map(i =>
+      (i.toLong, s"junk noise broken spam w$i", 0.0))
+    val d = (pos ++ neg).toDF("doc_id", "text", "y")
+    val m = QualityClassifier.train(d, "y", dim = 64, iters = 30, lr = 5.0)
+    assert(m.finalLoss < 0.3 * m.initLoss,
+      s"loss ${m.initLoss} -> ${m.finalLoss} did not converge")
+    val scored = QualityClassifier.score(d, m)
+      .select("doc_id", "y", "quality_prob", "quality_pred")
+      .as[(Long, Double, Double, Int)].collect()
+    assert(scored.forall(r => r._4 === r._2.toInt),
+      "separable corpus must classify perfectly")
+    // every positive outranks every negative in probability
+    val minPos = scored.filter(_._2 == 1.0).map(_._3).min
+    val maxNeg = scored.filter(_._2 == 0.0).map(_._3).max
+    assert(minPos > maxNeg)
+
+    // degenerate single-class corpus: the bias alone carries it
+    val onesOnly = pos.toDF("doc_id", "text", "y")
+    val m1 = QualityClassifier.train(onesOnly, "y", dim = 64,
+      iters = 20, lr = 5.0)
+    val s1 = QualityClassifier.score(onesOnly, m1)
+      .select("quality_pred").as[Int].collect()
+    assert(s1.forall(_ === 1))
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the " +
       "benchmark, counting distinct overlaps") {
     val bench = docs(100L -> "one two three four five six seven eight nine")
