@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation harness — the IR metrics every serving
+  * stack reports (public: TREC's trec_eval definitions): recall@k,
+  * MRR@k, nDCG@k of a ranked run against graded relevance judgments.
+  * An engine that ships retrieval operators (BM25, ANN, hybrid,
+  * adaptive) needs the measuring stick next to them; this is it.
+  *
+  * Scale shape: the run is k-bounded per query by construction; every
+  * exchange is keyed by query_id (the hits join, the ideal-ranking
+  * window over qrels, the per-query aggregate) — nothing global, linear
+  * in |run| + |qrels|. Gains are the standard (2^rel − 1)/log2(pos+1);
+  * ideal DCG ranks qrels by rel desc (ties are order-free: DCG depends
+  * only on the rel multiset).
+  */
+object Evaluation {
+
+  /** `run`: (query_id, rank, <idCol>) with rank 1..k unique per query.
+    * `qrels`: (query_id, <idCol>, rel) with rel > 0 — THE relevance
+    * set; anything absent is irrelevant. Returns per query
+    * (query_id, n_rel, recall_at_k, rr, ndcg) rounded to 6 — queries
+    * with no qrels row report (0, 0, 0, 0).
+    */
+  def rankingMetrics(run: DataFrame, qrels: DataFrame, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val hits = run.filter(col("rank") <= k)
+      .join(qrels.select(col("query_id"), col(idCol), col("rel")),
+        Seq("query_id", idCol), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val nRel = qrels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col(idCol).asc)
+    val ideal = qrels
+      .withColumn("irank", row_number().over(wIdeal))
+      .filter(col("irank") <= k)
+      .groupBy("query_id")
+      .agg(sum((pow(lit(2.0), col("rel")) - 1.0) /
+        log2(col("irank") + 1.0)).as("idcg"))
+    val per = hits.groupBy("query_id").agg(
+      sum(when(col("rel") > 0, 1.0).otherwise(0.0)).as("n_hit"),
+      max(when(col("rel") > 0, lit(1.0) / col("rank")).otherwise(0.0))
+        .as("rr"),
+      sum(when(col("rel") > 0,
+        (pow(lit(2.0), col("rel")) - 1.0) / log2(col("rank") + 1.0))
+        .otherwise(0.0)).as("dcg"))
+    per
+      .join(nRel, Seq("query_id"), "left")
+      .join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        round(when(coalesce(col("n_rel"), lit(0L)) === 0, 0.0)
+          .otherwise(col("n_hit") / col("n_rel")), 6).as("recall_at_k"),
+        round(col("rr"), 6).as("rr"),
+        round(when(coalesce(col("idcg"), lit(0.0)) === 0.0, 0.0)
+          .otherwise(col("dcg") / col("idcg")), 6).as("ndcg"))
+  }
+}

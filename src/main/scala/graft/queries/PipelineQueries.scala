@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.operators.{CorpusOps, Dedup, Frequency, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, Evaluation, Frequency, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, TextAnalysis}
 import graft.rag.RagPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -705,6 +705,28 @@ object PipelineQueries {
     "q125_heavy_hitters" -> ((s, dir) =>
       Frequency.topNgramsExact(t(s, dir, "documents"), n = 2, k = 20,
         capacity = 4096)),
+
+    // IR evaluation harness over a real run: BM25 top-5 scored against
+    // graded token-overlap qrels (rel = distinct query terms matched,
+    // >= 2 to be relevant) — recall@5, MRR, nDCG@5 per query, every
+    // number replayed relationally by the DuckDB oracle (the run is
+    // q78's SQL-expressible BM25, so run AND metrics are both oracled).
+    "q128_ranking_metrics" -> ((s, dir) => {
+      val q = retrievalQueryDf(s)
+      val docs = t(s, dir, "documents")
+      val run = KeywordSearch.bm25TopK(q, docs, k = 5)
+        .select("query_id", "rank", "doc_id")
+      val qt = q.select(col("query_id"),
+        explode(array_distinct(KeywordSearch.tokens(col("query_text"))))
+          .as("tok"))
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(KeywordSearch.tokens(col("text"))))
+          .as("tok"))
+      val qrels = qt.join(dt, Seq("tok"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+        .filter(col("rel") >= 2)
+      Evaluation.rankingMetrics(run, qrels, k = 5)
+    }),
 
     // Trained quality classifier (the fastText/CCNet linear-filter
     // pattern): distributed full-batch GD logistic regression over
@@ -2495,6 +2517,43 @@ object PipelineQueries {
         |  round(COALESCE(1.0 - b.n_bi_distinct / b.n_bi, 0.0), 6)
         |    AS dup_bigram_frac
         |FROM wstat w LEFT JOIN bstat b USING (doc_id)""".stripMargin,
+    // full relational replay: the q78 BM25 CTEs provide the run; qrels,
+    // recall/MRR/DCG/ideal-DCG all recomputed in SQL
+    "q128_ranking_metrics" ->
+      s"""WITH $lexicalCtes,
+        |dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+        |qrels AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS rel
+        |  FROM qt JOIN dt USING (tok) GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |run AS (SELECT query_id, doc_id, rank FROM bm25_ranked
+        |  WHERE rank <= 5),
+        |hits AS (SELECT r.query_id, r.rank, COALESCE(q.rel, 0) AS rel
+        |  FROM run r LEFT JOIN qrels q
+        |    ON r.query_id = q.query_id AND r.doc_id = q.doc_id),
+        |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM qrels GROUP BY 1),
+        |ideal AS (
+        |  SELECT query_id, sum((pow(2, rel) - 1) / log2(irank + 1))
+        |    AS idcg
+        |  FROM (
+        |    SELECT query_id, rel, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, doc_id ASC) AS irank
+        |    FROM qrels)
+        |  WHERE irank <= 5 GROUP BY 1),
+        |per AS (SELECT query_id,
+        |    sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0 END) AS n_hit,
+        |    max(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0 END) AS rr,
+        |    sum(CASE WHEN rel > 0 THEN (pow(2, rel) - 1) / log2(rank + 1)
+        |      ELSE 0 END) AS dcg
+        |  FROM hits GROUP BY 1)
+        |SELECT p.query_id, COALESCE(n.n_rel, 0) AS n_rel,
+        |  round(CASE WHEN COALESCE(n.n_rel, 0) = 0 THEN 0
+        |    ELSE p.n_hit / n.n_rel END, 6) AS recall_at_k,
+        |  round(p.rr, 6) AS rr,
+        |  round(CASE WHEN COALESCE(i.idcg, 0) = 0 THEN 0
+        |    ELSE p.dcg / i.idcg END, 6) AS ndcg
+        |FROM per p LEFT JOIN nrel n USING (query_id)
+        |  LEFT JOIN ideal i USING (query_id)""".stripMargin,
     // invariant closure: the replayable halves (doc and positive-label
     // counts) computed exactly; the learning halves pinned as literals
     // (accuracy/loss bars the engine must clear or mismatch)

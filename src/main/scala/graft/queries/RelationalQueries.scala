@@ -402,6 +402,22 @@ object RelationalQueries {
             .as("revenue"))
     }),
 
+    // J2 under skew, the sketch-driven form: Misra-Gries detects the
+    // hot keys (one bounded-sketch pass, <= 2*capacity rows per map
+    // task), ONLY their small-side rows replicate, cold keys join
+    // plain — vs q56's blanket salting that replicates the whole
+    // small side. Oracle = the same plain SQL join (output identity).
+    "q129_sketch_skew_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      graft.operators.SkewJoin.sketchSaltedEquiJoin(l, sup,
+        "l_suppkey", "s_suppkey", salts = 8, capacity = 64)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+
     // ST2 batch analogue: built-in session_window (end = last + gap)
     "q24_session_window" -> ((s, dir) => {
       StreamOps.sessionWindowAgg(t(s, dir, "events"), "30 minutes")
@@ -658,6 +674,13 @@ object RelationalQueries {
         |WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
         |GROUP BY window_start, event_type""".stripMargin,
     "q56_salted_join" ->
+      """SELECT s_name, count(*) AS n_lines,
+        |round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
+    // the sketch-salted path must agree with the planner's join
+    // bit-for-bit, exactly like q56
+    "q129_sketch_skew_join" ->
       """SELECT s_name, count(*) AS n_lines,
         |round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

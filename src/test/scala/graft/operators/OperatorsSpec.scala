@@ -800,6 +800,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s1.forall(_ === 1))
   }
 
+  test("ranking metrics: hand-computed recall/MRR/nDCG, graded gains, " +
+      "zero-qrels query reports zeros") {
+    val run = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 10L)).toDF("query_id", "rank", "doc_id")
+    // query 1: rel 3 at rank 1, rel 1 at rank 3; an unretrieved rel-2
+    // doc caps recall at 2/3 and lifts ideal DCG. query 2: no qrels.
+    val qrels = Seq((1L, 10L, 3L), (1L, 12L, 1L), (1L, 99L, 2L))
+      .toDF("query_id", "doc_id", "rel")
+    val out = Evaluation.rankingMetrics(run, qrels, k = 3)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val dcg = 7.0 / 1.0 + 1.0 / 2.0 // (2^3-1)/log2(2) + (2^1-1)/log2(4)
+    val idcg = 7.0 + 3.0 / (math.log(3.0) / math.log(2.0)) + 1.0 / 2.0
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L) === ((1L, 3L, r6(2.0 / 3.0), 1.0, r6(dcg / idcg))))
+    assert(out(2L) === ((2L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("sketch-salted skew join: output identical to the plain join " +
+      "when one key dominates; empty-hot-list and cold-only corpora survive") {
+    // one hot key (1000 rows) + a cold tail; small side has extras that
+    // must not leak (inner semantics)
+    val big = ((1 to 1000).map(_ => (7L, "hot")) ++
+      (1 to 50).map(i => (100L + i, s"cold$i"))).toDF("k", "payload")
+    val small = ((7L, "dimHOT") +: (1 to 50).map(i => (100L + i, s"dim$i")) :+
+      (9999L, "unmatched")).toDF("sk", "name")
+    val plain = big.join(small, col("k") === col("sk"))
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = SkewJoin.sketchSaltedEquiJoin(big, small, "k", "sk",
+      salts = 4, capacity = 8)
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(salted === plain)
+    assert(plain("dimHOT") === 1000L)
+
+    // a corpus with no repeated keys at a generous capacity: every key
+    // is a sketch survivor (hot list = all) — still identical output
+    val flat = (1 to 20).map(i => (i.toLong, "x")).toDF("k", "payload")
+    val flatOut = SkewJoin.sketchSaltedEquiJoin(flat, small, "k", "sk",
+      salts = 4, capacity = 64).count()
+    assert(flatOut === flat.join(small, col("k") === col("sk")).count())
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the " +
       "benchmark, counting distinct overlaps") {
     val bench = docs(100L -> "one two three four five six seven eight nine")
