@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank (Brin & Page 1998 — public) as iterative
+  * DataFrame joins — the graph-centrality signal curation pipelines
+  * use at the domain level (e.g. Common Crawl's public domain-level
+  * harmonic/PageRank rankings feed crawl prioritization and quality
+  * weighting).
+  *
+  * Scale shape, per iteration: one hash join of the rank frame against
+  * the (once-normalized, checkpointed) edge list keyed by src, one
+  * map-side-combinable aggregate keyed by dst, a 1-row dangling-mass
+  * aggregate broadcast back, and a `localCheckpoint` to keep the loop
+  * lineage flat (the alternating-CC discipline). Nothing global,
+  * everything keyed — linear in |E| per iteration at any node count.
+  */
+object GraphRank {
+
+  /** `edges`: (src, dst, w) directed, w > 0; `nodes`: one row per node
+    * (column `node`) — the universe, including isolated/dangling
+    * nodes. Returns (node, r) after `iters` damped iterations with
+    * uniform dangling-mass redistribution; Σr = 1 at every step.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be positive: $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1): $damping")
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val shares = edges.join(outw, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
+      .localCheckpoint(false) // static across iterations; built once
+    val n = nodes.count().toDouble
+    require(n > 0, "pageRank: empty node set")
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))
+      .localCheckpoint(false)
+    var it = 0
+    while (it < iters) {
+      val dang = ranks
+        .join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
+      val contribs = ranks
+        .join(shares, ranks("node") === shares("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") * col("share")).as("contrib"))
+      ranks = nodes.select(col("node"))
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          // association mirrors the relational replay exactly:
+          // (1-d)/n + d * (contrib + dm/n)
+          (lit((1.0 - damping) / n) +
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / n) * damping)
+            .as("r"))
+        .localCheckpoint(false)
+      it += 1
+    }
+    ranks
+  }
+}

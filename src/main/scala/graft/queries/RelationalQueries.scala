@@ -418,6 +418,21 @@ object RelationalQueries {
             .as("revenue"))
     }),
 
+    // J2 with a runtime Bloom filter: the fact side is pruned by the
+    // filtered dim's Bloom bits BEFORE its exchange (the
+    // InjectRuntimeFilter shape as an explicit operator). No false
+    // negatives -> output row-identical to the plain join; oracle =
+    // plain SQL. The measured pruning ratio is pinned in ScalaTest.
+    "q130_bloom_pruned_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_size") <= 5)
+      graft.operators.BloomJoin.bloomPrunedJoin(l, p,
+        "l_partkey", "p_partkey", expectedItems = 100000L)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("gross"))
+    }),
+
     // ST2 batch analogue: built-in session_window (end = last + gap)
     "q24_session_window" -> ((s, dir) => {
       StreamOps.sessionWindowAgg(t(s, dir, "events"), "30 minutes")
@@ -678,6 +693,12 @@ object RelationalQueries {
         |round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
+    "q130_bloom_pruned_join" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |round(sum(l_extendedprice), 2) AS gross
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY p_brand""".stripMargin,
     // the sketch-salted path must agree with the planner's join
     // bit-for-bit, exactly like q56
     "q129_sketch_skew_join" ->

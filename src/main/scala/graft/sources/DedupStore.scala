@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Incremental exact-dedup against a PERSISTED fingerprint store — the
+  * growing-corpus shape (a daily crawl increment must dedup against
+  * everything ever ingested without re-reading it). `Dedup.exact`
+  * re-hashes the whole corpus per run; this keeps the seen-set on disk
+  * and prices each new batch at O(|batch| + matching store partitions).
+  *
+  * Layout: `fps/` parquet partitioned by `hb` (hash bucket, hash mod
+  * `HashDirs`) holding (h, doc id, batch_id); `_dedup_meta.json`
+  * written AFTER data via temp-file + atomic rename (the AnnIndex
+  * meta discipline). A batch probe reads ONLY its hash-bucket
+  * partitions (static pruning — the batch's distinct `hb` set is ≤
+  * `HashDirs`, collected bounded), so the store is never scanned
+  * whole; the anti-join exchange carries 8-byte hashes.
+  *
+  * Batch semantics (the `Dedup.exact` keep-min convention, streamed):
+  * a row is KEPT iff its text-hash was never recorded by an earlier
+  * batch AND it has the minimum id among this batch's rows with that
+  * hash. Kept fingerprints append with this `batchId`; a replayed
+  * batch (id ≤ meta's `last_batch_id`, the idempotent-foreachBatch
+  * contract) appends nothing and RECONSTRUCTS its original answer from
+  * the store — the rows whose fingerprints carry exactly this batch id
+  * — so crash-retry emits byte-identical output. Hash collisions
+  * conflate texts with probability ≈ 2⁻⁶⁴ per pair (the q30 trade).
+  */
+object DedupStore {
+
+  /** Hash-bucket partition count. 256 keeps fixture layouts small; a
+    * 100 TB store raises it (e.g. 4096) so batch probes prune harder.
+    */
+  val HashDirs = 256
+
+  private def base(spark: SparkSession, storeKey: String): String =
+    s"${AnnIndex.annBase(spark)}/graft_dedupstore_${IndexStore.pathTag(storeKey)}"
+
+  private def metaPath(b: String) = Paths.get(b, "_dedup_meta.json")
+
+  private def readMeta(b: String): Map[String, Long] = {
+    val p = metaPath(b)
+    if (!Files.exists(p)) Map.empty
+    else "\"([a-zA-Z_]+)\"\\s*:\\s*(-?\\d+)".r
+      .findAllMatchIn(Files.readString(p))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
+  private def writeMeta(b: String, kv: (String, Long)*): Unit = {
+    Files.createDirectories(Paths.get(b))
+    val tmp = Paths.get(b, s"_dedup_meta.json.tmp${ProcessHandle.current.pid}")
+    Files.writeString(tmp,
+      kv.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}"))
+    Files.move(tmp, metaPath(b),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Rows of `batch` kept under incremental dedup, with the store
+    * updated (or replayed — see object doc). Returns full batch rows.
+    */
+  def dedupBatch(spark: SparkSession, storeKey: String, batch: DataFrame,
+      batchId: Long, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val b = base(spark, storeKey)
+    val meta = readMeta(b)
+    val fpsDir = s"$b/fps"
+    val hashed = batch.select(col(idCol),
+        xxhash64(col(textCol)).as("h"))
+      .withColumn("hb", pmod(col("h"), lit(HashDirs.toLong)).cast("int"))
+    // within-batch winner per hash: the minimum id (Dedup.exact order)
+    val firstInBatch = hashed.groupBy("h", "hb")
+      .agg(min(idCol).as(idCol))
+    if (meta.get("last_batch_id").exists(batchId <= _)) {
+      // replay: the original answer is exactly the fingerprints this
+      // batch id recorded
+      val mine = spark.read.parquet(fpsDir)
+        .filter(col("batch_id") === batchId).select("h")
+      return batch.join(
+        firstInBatch.join(mine, Seq("h"), "left_semi").select(idCol),
+        Seq(idCol), "left_semi")
+    }
+    val novel =
+      if (!Files.exists(Paths.get(fpsDir))) firstInBatch
+      else {
+        val hbs = firstInBatch.select("hb").distinct().as[Int].collect()
+        val store = spark.read.parquet(fpsDir)
+          .filter(col("hb").isin(hbs.map(Int.box): _*))
+        firstInBatch.join(store.select("h"), Seq("h"), "left_anti")
+      }
+    val pinned = novel.localCheckpoint(true) // one computation: write + count
+    pinned.withColumn("batch_id", lit(batchId))
+      .select(col("h"), col(idCol), col("batch_id"), col("hb"))
+      .write.mode(SaveMode.Append).partitionBy("hb")
+      .parquet(fpsDir)
+    writeMeta(b,
+      "n_rows" -> (meta.getOrElse("n_rows", 0L) + pinned.count()),
+      "last_batch_id" -> batchId)
+    batch.join(pinned.select(idCol), Seq(idCol), "left_semi")
+  }
+
+  /** Store size per meta (not a scan). */
+  def seenCount(spark: SparkSession, storeKey: String): Long =
+    readMeta(base(spark, storeKey)).getOrElse("n_rows", 0L)
+
+  /** Drop the store (tests / rebuild-from-scratch). */
+  def drop(spark: SparkSession, storeKey: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(base(spark, storeKey)))
+  }
+}

@@ -844,6 +844,80 @@ class OperatorsSpec extends AnyFunSuite {
     assert(flatOut === flat.join(small, col("k") === col("sk")).count())
   }
 
+  test("bloom-pruned join: output identical to the plain join, and the " +
+      "probe actually prunes the big side before the shuffle") {
+    val big = (0 until 1000).map(i => (i.toLong, s"row$i"))
+      .toDF("k", "payload")
+    val small = (0 until 50).map(i => (i.toLong, s"dim$i"))
+      .toDF("sk", "name")
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("k", "name").as[(Long, String)].collect().sorted.toSeq
+    val pruned = BloomJoin.bloomPrunedJoin(big, small, "k", "sk",
+      expectedItems = 1000L)
+      .select("k", "name").as[(Long, String)].collect().sorted.toSeq
+    assert(pruned === plain && plain.length === 50)
+    // the prune alone: all 50 matches survive; false positives stay a
+    // small fraction of the 950 non-matching keys at this sizing
+    val kept = BloomJoin.bloomPrune(big, small, "k", "sk",
+      expectedItems = 1000L).count()
+    assert(kept >= 50 && kept <= 100,
+      s"bloom should pass ~50 of 1000 rows, passed $kept")
+  }
+
+  test("pageRank: matches an independent in-memory reference on a graph " +
+      "with weights, a dangling node and an isolated node; mass sums to 1") {
+    val edges = Seq(
+      ("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "b", 2.0),
+      ("d", "a", 1.0)) // e is isolated, d has no in-edges, none dangling yet
+    val nodes = Seq("a", "b", "c", "d", "e") // e: isolated AND dangling
+    val got = GraphRank.pageRank(
+      edges.toDF("src", "dst", "w"), nodes.toDF("node"), iters = 10)
+      .as[(String, Double)].collect().toMap
+    // independent reference: dense in-memory iteration
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1.0 / 5).toMap
+    for (_ <- 1 to 10) {
+      val dang = nodes.filterNot(out.contains).map(r).sum
+      val contrib = nodes.map { v =>
+        v -> edges.filter(_._2 == v)
+          .map { case (u, _, w) => r(u) * w / out(u) }.sum
+      }.toMap
+      r = nodes.map(v =>
+        v -> (0.15 / 5 + 0.85 * (contrib(v) + dang / 5))).toMap
+    }
+    nodes.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-9,
+      s"$v: ${got(v)} vs ${r(v)}"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("incremental dedup store: cross-batch first-arrival-wins, " +
+      "within-batch min-id, replay reconstructs the original answer") {
+    import graft.sources.DedupStore
+    val key = "spec://" +
+      java.nio.file.Files.createTempDirectory("dedupstore").toString
+    try {
+      val b1 = docs(1L -> "x x x", 2L -> "x x x", 3L -> "y y")
+      val b2 = docs(4L -> "x x x", 5L -> "z", 6L -> "z")
+      val k1 = DedupStore.dedupBatch(spark, key, b1, batchId = 1L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(k1 === Set(1L, 3L)) // min id per duplicate group
+      val k2 = DedupStore.dedupBatch(spark, key, b2, batchId = 2L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(k2 === Set(5L)) // "x x x" already seen; z keeps min id
+      assert(DedupStore.seenCount(spark, key) === 3L)
+      // crash-retry: the replayed batch appends nothing and returns
+      // the identical kept set
+      val k2again = DedupStore.dedupBatch(spark, key, b2, batchId = 2L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(k2again === k2)
+      assert(DedupStore.seenCount(spark, key) === 3L)
+      // first-arrival wins: a LOWER id arriving later is still a dup
+      val k3 = DedupStore.dedupBatch(spark, key, docs(0L -> "y y"),
+        batchId = 3L).count()
+      assert(k3 === 0L)
+    } finally DedupStore.drop(spark, key)
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the " +
       "benchmark, counting distinct overlaps") {
     val bench = docs(100L -> "one two three four five six seven eight nine")
