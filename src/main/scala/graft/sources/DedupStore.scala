@@ -68,6 +68,15 @@ object DedupStore {
     val b = base(spark, storeKey)
     val meta = readMeta(b)
     val fpsDir = s"$b/fps"
+    // a gutted layout (crashed compaction's rename window) must not be
+    // silently treated as "store empty" — every past fingerprint would
+    // be forgotten and re-admitted; fail loudly, recover via drop +
+    // re-ingest (or restore the compaction side dir by hand)
+    require(meta.getOrElse("n_rows", 0L) == 0L ||
+      Files.exists(Paths.get(fpsDir)),
+      s"dedup store '$storeKey' meta claims ${meta("n_rows")} fingerprints " +
+        "but the fps dir is missing (crashed compaction?) — drop() and " +
+        "re-ingest, or restore fps__compact manually")
     val hashed = batch.select(col(idCol),
         xxhash64(col(textCol)).as("h"))
       .withColumn("hb", pmod(col("h"), lit(HashDirs.toLong)).cast("int"))
@@ -105,6 +114,34 @@ object DedupStore {
   /** Store size per meta (not a scan). */
   def seenCount(spark: SparkSession, storeKey: String): Long =
     readMeta(base(spark, storeKey)).getOrElse("n_rows", 0L)
+
+  /** Fold a many-batch fps layout into one file per hash bucket (the
+    * compactLsh side-dir recipe): thousands of streaming micro-batches
+    * each append a file per touched bucket, and the store probe
+    * becomes a small-files scan. Writes the compacted layout to a side
+    * dir, swaps it in by rename, sweeps the old one; meta untouched
+    * (n_rows / last_batch_id state is append-only truth). The rename
+    * window (fps missing) is caught loudly by [[dedupBatch]]'s layout
+    * guard, never read as an empty store.
+    */
+  def compactSeen(spark: SparkSession, storeKey: String): Unit = {
+    val b = base(spark, storeKey)
+    val fpsDir = s"$b/fps"
+    if (!Files.exists(Paths.get(fpsDir))) return
+    val side = s"$b/fps__compact"
+    val garbage = s"$b/fps__garbage_${ProcessHandle.current.pid}"
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(side))
+    spark.read.parquet(fpsDir)
+      .repartition(col("hb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("hb").parquet(side)
+    Files.move(Paths.get(fpsDir), Paths.get(garbage))
+    Files.move(Paths.get(side), Paths.get(fpsDir))
+    rm(Paths.get(garbage))
+  }
 
   /** Drop the store (tests / rebuild-from-scratch). */
   def drop(spark: SparkSession, storeKey: String): Unit = {

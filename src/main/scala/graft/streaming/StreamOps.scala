@@ -373,6 +373,38 @@ object StreamOps {
     * streaming ingest has no recall caveat, like the postings stream
     * and unlike IVF (whose centroids drift from the trained base).
     */
+  /** Streaming incremental dedup export: each micro-batch is deduped
+    * against the PERSISTED fingerprint store
+    * ([[graft.sources.DedupStore.dedupBatch]] — first-arrival-wins
+    * across the whole stream's history, min-id within a batch) and the
+    * KEPT rows land in `outDir` partitioned by batch_id with DYNAMIC
+    * partition overwrite — so a crash-replayed micro-batch, whose kept
+    * set the store reconstructs byte-identically, overwrites its own
+    * partition instead of appending a duplicate: the export is
+    * exactly-once per content end to end.
+    */
+  def streamingDedupStore(
+      docs: DataFrame,
+      storeKey: String,
+      outDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val kept = graft.sources.DedupStore.dedupBatch(
+            batch.sparkSession, storeKey, batch.toDF(), batchId = id,
+            idCol = idCol, textCol = textCol)
+          kept.withColumn("batch_id", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+      }
+
   def streamingSq8Upsert(
       vecs: DataFrame,
       sourceDir: String,

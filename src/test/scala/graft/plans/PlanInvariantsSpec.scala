@@ -36,6 +36,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p51.toLowerCase.contains("partial_topkagg"), p51)
   }
 
+  test("q129/q130: the hot list rides a broadcast; the bloom probe is a " +
+      "filter BELOW the join, not a post-join residual") {
+    val p129 = physical("q129_sketch_skew_join")
+    assert(p129.contains("BroadcastHashJoin"), p129)
+    assert(!p129.contains("CartesianProduct"), p129)
+    val p130 = physical("q130_bloom_pruned_join")
+    assert(p130.toLowerCase.contains("might_contain"), p130)
+    // the probe must appear in a Filter node (pre-exchange pruning),
+    // not only inside the join condition
+    val filterLines = p130.linesIterator
+      .filter(_.trim.startsWith("+- Filter")).toSeq
+    assert(filterLines.exists(_.toLowerCase.contains("might_contain")),
+      s"bloom probe is not a standalone pre-join filter:\n$p130")
+  }
+
   test("q36 LSH ANN: bucketed equi-join only, id-only exchanges") {
     val p = physical("q36_lsh_ann")
     assert(!p.contains("CartesianProduct"), p)

@@ -18,6 +18,36 @@ class StreamOpsSpec extends AnyFunSuite {
   private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
     StreamOps.Event(id, Timestamp.valueOf(t), user, typ, v, "{}")
 
+  test("streaming dedup-store export: micro-batches dedup against the " +
+      "persisted store; kept rows land partitioned by batch, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.DedupStore
+    val key = "stream-dedup-" + java.util.UUID.randomUUID().toString.take(8)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("dedup_out").toString
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamOps.streamingDedupStore(
+        mem.toDF().toDF("doc_id", "text"), key, outDir).start()
+      mem.addData((1L, "x x"), (2L, "x x"), (3L, "y"))
+      q.processAllAvailable()
+      mem.addData((4L, "x x"), (5L, "z"), (6L, "z"))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.read.parquet(outDir)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+      assert(out === Set((1L, 0L), (3L, 0L), (5L, 1L)))
+      assert(DedupStore.seenCount(spark, key) === 3L)
+      // compaction folds the per-batch files; answers unchanged and a
+      // later batch still dedups against the folded store
+      DedupStore.compactSeen(spark, key)
+      val k3 = DedupStore.dedupBatch(spark, key,
+        Seq((7L, "z"), (8L, "w")).toDF("doc_id", "text"), batchId = 2L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(k3 === Set(8L))
+    } finally DedupStore.drop(spark, key)
+  }
+
   private def runStream(name: String, events: Seq[StreamOps.Event],
       build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       outputMode: String = "append"): Seq[org.apache.spark.sql.Row] = {
