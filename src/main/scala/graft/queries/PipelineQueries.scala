@@ -706,6 +706,69 @@ object PipelineQueries {
       Frequency.topNgramsExact(t(s, dir, "documents"), n = 2, k = 20,
         capacity = 4096)),
 
+    // Incremental NEAR-dup dedup against the persisted MinHash store
+    // (the fuzzy twin of q132): two-batch ingest; invariant closure
+    // since minhash is not SQL-expressible — (a) the kept sets of the
+    // two batches are cross-batch CLEAN under an independent in-query
+    // recomputation (no banded signature collision at est-jaccard >=
+    // 0.5 between kept b2 and kept b1 docs: zero violations BY the
+    // drop rule's construction, re-derived here from scratch), and
+    // (b) a replayed batch reconstructs its kept set exactly. Exact
+    // per-doc behavior pinned in OperatorsSpec.
+    "q134_incremental_neardup" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents")
+      val key = dir + "#near_v1"
+      val k1 = graft.sources.DedupStore.nearDedupBatch(s, key,
+        docs.filter(col("doc_id") % 2 === 0), batchId = 1L)
+      val k2 = graft.sources.DedupStore.nearDedupBatch(s, key,
+        docs.filter(col("doc_id") % 2 =!= 0), batchId = 2L)
+      val k2r = graft.sources.DedupStore.nearDedupBatch(s, key,
+        docs.filter(col("doc_id") % 2 =!= 0), batchId = 2L)
+      def bandRows(d: org.apache.spark.sql.DataFrame) =
+        Dedup.minHashBandRows(
+          Dedup.minHashSigned(d.select("doc_id", "text"), 3, 32), 32, 8)
+      val cand = bandRows(k1)
+        .select(col("band"), col("bucket"), col("doc_id").as("id1"))
+        .join(bandRows(k2)
+          .select(col("band"), col("bucket"), col("doc_id").as("id2")),
+          Seq("band", "bucket"))
+        .select("id1", "id2").distinct()
+      def sigs(d: org.apache.spark.sql.DataFrame, idOut: String,
+          sigOut: String) =
+        Dedup.minHashSigned(d.select("doc_id", "text"), 3, 32)
+          .select(col("doc_id").as(idOut), col("sig").as(sigOut))
+      val violations = cand
+        .join(sigs(k1, "id1", "sig_a"), Seq("id1"))
+        .join(sigs(k2, "id2", "sig_b"), Seq("id2"))
+        .withColumn("n_eq", aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v))
+        .filter(col("n_eq").cast("double") / 32 >= 0.5)
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(k1.agg(count(lit(1)).as("nk1"))
+          .crossJoin(k2.agg(count(lit(1)).as("nk2")))
+          .crossJoin(docs.agg(count(lit(1)).as("nd")))
+          .select((col("nk1") + col("nk2") <= col("nd")).as("kept_le_in")))
+        .crossJoin(violations.agg((count(lit(1)) === 0)
+          .as("cross_clean")))
+        .crossJoin(k2.select("doc_id").exceptAll(k2r.select("doc_id"))
+          .unionByName(k2r.select("doc_id").exceptAll(k2.select("doc_id")))
+          .agg((count(lit(1)) === 0).as("replay_ok")))
+    }),
+
+    // Deterministic weighted sampling without replacement (A-Res):
+    // top-50 documents by md5-derived priority ln(u)/n_chars — a
+    // size-proportional corpus draw that is a pure function of
+    // (doc_id, seed). The oracle replays the hex-digit parse, the
+    // log-priority, and the ranking verbatim.
+    "q133_weighted_sample" -> ((s, dir) =>
+      CorpusOps.sampleWeighted(t(s, dir, "documents"), k = 50,
+        col("n_chars").cast("double"), col("doc_id"), seed = 42L)
+        .select(col("rank"), col("doc_id"),
+          round(col("logpri"), 6).as("logpri"))),
+
     // Incremental dedup against the persisted fingerprint store: the
     // corpus arrives as two batches (evens then odds); each is deduped
     // against everything already ingested WITHOUT re-reading it
@@ -2557,6 +2620,36 @@ object PipelineQueries {
         |  round(COALESCE(1.0 - b.n_bi_distinct / b.n_bi, 0.0), 6)
         |    AS dup_bigram_frac
         |FROM wstat w LEFT JOIN bstat b USING (doc_id)""".stripMargin,
+    // invariant closure (minhash not SQL-expressible): replayable doc
+    // count + the three engine-verified flags
+    "q134_incremental_neardup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS kept_le_in, true AS cross_clean, true AS replay_ok
+        |FROM documents""".stripMargin,
+    // digit-for-digit replay: 13 hex digits of md5(doc_id ":42") as a
+    // 52-bit integer (exact in a double), ln(u)/w priority, top-50
+    "q133_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |    md5(CAST(doc_id AS VARCHAR) || ':42') AS hx
+        |  FROM documents WHERE n_chars > 0),
+        |d AS (SELECT doc_id, w, hx, unnest(range(1, 14)) AS i FROM h),
+        |v AS (
+        |  SELECT doc_id, any_value(w) AS w,
+        |    sum(CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1
+        |      AS BIGINT) * CAST(power(16, 13 - i) AS BIGINT)) AS hv
+        |  FROM d GROUP BY doc_id),
+        |p AS (
+        |  SELECT doc_id,
+        |    ln((hv + 0.5) / 4503599627370496.0) / w AS logpri
+        |  FROM v),
+        |sel AS (
+        |  SELECT doc_id, logpri,
+        |    row_number() OVER (ORDER BY logpri DESC, doc_id ASC) AS rank
+        |  FROM p)
+        |SELECT CAST(rank AS INT) AS rank, doc_id, round(logpri, 6)
+        |  AS logpri
+        |FROM sel WHERE rank <= 50""".stripMargin,
     // independent formulation on raw text (the engine hashes — the
     // q30 trade): per text, keep the min id of the earliest batch
     "q132_incremental_dedup" ->

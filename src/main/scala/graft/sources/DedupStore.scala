@@ -115,6 +115,117 @@ object DedupStore {
   def seenCount(spark: SparkSession, storeKey: String): Long =
     readMeta(base(spark, storeKey)).getOrElse("n_rows", 0L)
 
+  // ------------------------------------------------------- near-dup twin
+
+  private def nearBase(spark: SparkSession, storeKey: String): String =
+    base(spark, storeKey) + "_near"
+
+  /** Incremental NEAR-dup dedup against a persisted MinHash store —
+    * the fuzzy twin of [[dedupBatch]] (production pipelines run
+    * exactly this shape on crawl increments: new docs LSH-probe the
+    * historical signature store instead of re-banding the corpus).
+    *
+    * Batch semantics: (1) WITHIN the batch, near-dup clusters form by
+    * the full `Dedup.minHashLsh` discipline (banded candidates, EXACT
+    * shingle-Jaccard verification, connected components) and the min
+    * id per cluster survives; (2) ACROSS batches, a surviving doc is
+    * dropped iff it shares an LSH band bucket with a STORED doc AND
+    * their signature-estimated Jaccard (fraction of equal minhash
+    * components — the store holds signatures, not the corpus) meets
+    * the threshold. The estimator's σ ≈ √(t(1−t)/numHashes) (≈ 0.088
+    * at t=0.5, 32 hashes) is the honest price of not persisting
+    * shingle sets; fixture-level behavior is spec-pinned. Kept docs
+    * append their band rows (partitioned by bucket-hash dir, so
+    * probes prune) and signatures under this `batchId`; a replayed
+    * batch reconstructs its original kept set from the store.
+    */
+  def nearDedupBatch(spark: SparkSession, storeKey: String,
+      batch: DataFrame, batchId: Long, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.operators.Dedup
+    val b = nearBase(spark, storeKey)
+    val meta = readMeta(b)
+    val bandsDir = s"$b/bands"
+    val sigsDir = s"$b/sigs"
+    require(meta.getOrElse("n_rows", 0L) == 0L ||
+      (Files.exists(Paths.get(bandsDir)) && Files.exists(Paths.get(sigsDir))),
+      s"near-dup store '$storeKey' meta claims ${meta("n_rows")} docs but " +
+        "a layout dir is missing (crashed compaction?) — dropNear() and " +
+        "re-ingest")
+    val named = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    if (meta.get("last_batch_id").exists(batchId <= _)) {
+      val mine = spark.read.parquet(sigsDir)
+        .filter(col("batch_id") === batchId).select("doc_id")
+      return batch.join(mine.withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_semi")
+    }
+    val withSig = Dedup.minHashSigned(named, k, numHashes)
+      .localCheckpoint(true)
+    // within-batch clusters (exact-verified pairs), min id survives
+    val pairs = Dedup.minHashLsh(named, k, numHashes, bands, threshold)
+      .select("doc_id_a", "doc_id_b")
+    val cl = Dedup.clusters(pairs)
+    val winners = withSig.join(cl, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select("doc_id", "sig")
+    // cross-batch probe: band buckets against the store, then the
+    // signature-estimated jaccard against stored signatures
+    val bandRows = Dedup.minHashBandRows(
+        withSig.join(winners.select("doc_id"), Seq("doc_id"), "left_semi"),
+        numHashes, bands)
+      .withColumn("bb", pmod(col("bucket"), lit(HashDirs.toLong)).cast("int"))
+    val survivors =
+      if (!Files.exists(Paths.get(bandsDir))) winners
+      else {
+        import spark.implicits._
+        val bbs = bandRows.select("bb").distinct().as[Int].collect()
+        val storeBands = spark.read.parquet(bandsDir)
+          .filter(col("bb").isin(bbs.map(Int.box): _*))
+        val cand = bandRows.join(
+            storeBands.select(col("band"), col("bucket"),
+              col("doc_id").as("stored_id")),
+            Seq("band", "bucket"))
+          .select("doc_id", "stored_id").distinct()
+        val storeSigs = spark.read.parquet(sigsDir)
+          .select(col("doc_id").as("stored_id"), col("sig").as("sig_b"))
+        val sigEq = cand
+          .join(winners.select(col("doc_id"), col("sig").as("sig_a")),
+            Seq("doc_id"))
+          .join(storeSigs, Seq("stored_id"))
+          .withColumn("n_eq", aggregate(
+            zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v))
+          .filter(col("n_eq").cast("double") / numHashes >= threshold)
+          .select("doc_id").distinct()
+        winners.join(sigEq, Seq("doc_id"), "left_anti")
+      }
+    val pinned = survivors.localCheckpoint(true)
+    Dedup.minHashBandRows(
+        withSig.join(pinned.select("doc_id"), Seq("doc_id"), "left_semi"),
+        numHashes, bands)
+      .withColumn("bb", pmod(col("bucket"), lit(HashDirs.toLong)).cast("int"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Append).partitionBy("bb").parquet(bandsDir)
+    pinned.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Append).parquet(sigsDir)
+    writeMeta(b,
+      "n_rows" -> (meta.getOrElse("n_rows", 0L) + pinned.count()),
+      "last_batch_id" -> batchId)
+    batch.join(pinned.select(col("doc_id").as(idCol)), Seq(idCol),
+      "left_semi")
+  }
+
+  /** Drop the near-dup store. */
+  def dropNear(spark: SparkSession, storeKey: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(nearBase(spark, storeKey)))
+  }
+
   /** Fold a many-batch fps layout into one file per hash bucket (the
     * compactLsh side-dir recipe): thousands of streaming micro-batches
     * each append a file per touched bucket, and the store probe

@@ -918,6 +918,65 @@ class OperatorsSpec extends AnyFunSuite {
     } finally DedupStore.drop(spark, key)
   }
 
+  test("weighted sampling: priorities match an independent md5 " +
+      "reimplementation; huge weight dominates; zero weight is excluded") {
+    val rows = Seq((1L, 5.0), (2L, 1e9), (3L, 0.0), (4L, 7.0), (5L, 2.0))
+    val d = rows.toDF("doc_id", "w")
+    val got = CorpusOps.sampleWeighted(d, k = 3, col("w"), col("doc_id"),
+      seed = 42L)
+      .select("rank", "doc_id", "logpri")
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    // independent reference: java MessageDigest md5, same 13-hex-digit
+    // uniform, same ln(u)/w priority
+    def pri(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val hv = java.lang.Long.parseLong(hex, 16).toDouble
+      math.log((hv + 0.5) / math.pow(16.0, 13.0)) / w
+    }
+    val expect = rows.filter(_._2 > 0.0)
+      .map { case (id, w) => (id, pri(id, w)) }
+      .sortBy { case (id, p) => (-p, id) }.take(3)
+      .zipWithIndex.map { case ((id, p), i) => (i + 1, id, p) }
+    assert(got.map(r => (r._1, r._2)) === expect.map(e => (e._1, e._2)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-12) }
+    assert(got.head._2 === 2L, "the 1e9-weight row must win rank 1")
+    assert(!got.exists(_._2 === 3L), "zero-weight rows have no mass")
+  }
+
+  test("incremental NEAR-dup store: within-batch clusters keep min id, " +
+      "cross-batch signature probe drops near-dups of stored docs, replay " +
+      "reconstructs") {
+    import graft.sources.DedupStore
+    val key = "spec-near://" +
+      java.nio.file.Files.createTempDirectory("neardup").toString
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    try {
+      val b1 = docs(
+        1L -> base,
+        2L -> (base + " extra"), // near-dup of 1 (same batch cluster)
+        3L -> "completely different words that never overlap anything here at all today")
+      val k1 = DedupStore.nearDedupBatch(spark, key, b1, batchId = 1L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(k1 === Set(1L, 3L))
+      val b2 = docs(
+        4L -> (base + " addendum"), // near-dup of STORED 1
+        5L -> "fresh content with its own vocabulary nothing shared with previous documents whatsoever",
+        6L -> "planted pair alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+        7L -> "planted pair alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu")
+      val k2 = DedupStore.nearDedupBatch(spark, key, b2, batchId = 2L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(k2 === Set(5L, 6L))
+      // crash-retry reconstructs the identical kept set, appends nothing
+      val k2b = DedupStore.nearDedupBatch(spark, key, b2, batchId = 2L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(k2b === k2)
+    } finally DedupStore.dropNear(spark, key)
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the " +
       "benchmark, counting distinct overlaps") {
     val bench = docs(100L -> "one two three four five six seven eight nine")
