@@ -37,6 +37,11 @@ object TextExpressions {
   def gopher_stats(tokens: Column): Column =
     col(GopherStatsF(ex(tokens)))
 
+  /** Unicode NFC normalization of a string (java.text.Normalizer —
+    * identical results to any conformant implementation; Unicode
+    * normalization is fully specified). See [[NfcNormalizeF]]. */
+  def nfc_normalize(text: Column): Column = col(NfcNormalizeF(ex(text)))
+
   /** Hashed bag-of-words feature vector (the hashing trick):
     * array<float> of length `dim`; bucket = murmur3 of the token's
     * UTF-8 bytes mod dim. `binary` → presence (0/1), else counts
@@ -181,6 +186,30 @@ case class GopherStatsF(child: Expression)
       k += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Unicode NFC normalization per row — the canonical-composition step
+  * of every text-normalization pipeline (decomposed accents compose,
+  * singleton equivalences collapse; byte-identical content that only
+  * differs in representation becomes identical, which upstream exact
+  * dedup then catches). Normalization is fully specified by Unicode,
+  * so the JVM's Normalizer and DuckDB's utf8proc produce identical
+  * output — the oracle replays it with `nfc_normalize`. Per-row, zero
+  * shuffle; the fast path (already-NFC ASCII, the overwhelming corpus
+  * majority) is a cheap isNormalized check with no allocation.
+  */
+case class NfcNormalizeF(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(in: Any): Any = {
+    val s = in.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s,
+        java.text.Normalizer.Form.NFC)) in
+    else UTF8String.fromString(java.text.Normalizer.normalize(s,
+      java.text.Normalizer.Form.NFC))
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -180,7 +180,27 @@ object CorpusOps {
     */
   def removeDuplicateSpans(df: DataFrame, n: Int = 8,
       minSpanTokens: Int = 16, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    removeSpansImpl(df, n, minSpanTokens, textCol, idCol, None)
+
+  /** Benchmark decontamination by REMOVAL — the step after
+    * [[contamination]] flags overlap: instead of dropping whole
+    * documents, cut the spans that match the benchmark (n-shingle runs
+    * ≥ `minSpanTokens` long, the [[removeDuplicateSpans]] machinery
+    * with "duplicated" redefined as "present in the benchmark").
+    * The benchmark's distinct shingle-hash set is broadcast (eval
+    * suites are MBs against a TB corpus — the [[contamination]] scale
+    * argument), so the only corpus-wide exchanges are the doc-keyed
+    * window over matching starts and the ordered rebuild.
+    */
+  def removeContaminatedSpans(df: DataFrame, benchmark: DataFrame,
+      n: Int = 8, minSpanTokens: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    removeSpansImpl(df, n, minSpanTokens, textCol, idCol, Some(benchmark))
+
+  private def removeSpansImpl(df: DataFrame, n: Int,
+      minSpanTokens: Int, textCol: String, idCol: String,
+      benchmark: Option[DataFrame]): DataFrame = {
     require(n >= 1, s"shingle size must be positive: $n")
     require(minSpanTokens >= n,
       s"minSpanTokens ($minSpanTokens) must be >= shingle size ($n)")
@@ -189,13 +209,23 @@ object CorpusOps {
         posexplode(graft.functions.expressions.HashExpressions
           .shingles_k_positional(toksArr, n)).as(Seq("pos", "sh")))
       .select(col(idCol), col("pos"), xxhash64(col("sh")).as("h"))
-    // duplicated = the shingle occurs in >= 2 DISTINCT docs (within-doc
-    // repetition alone is repetition, not cross-doc boilerplate — the
-    // dupShingleStats convention)
-    val dupHashes = starts.select(col(idCol), col("h")).distinct()
-      .groupBy("h").agg(count(lit(1)).as("n_docs_with"))
-      .filter(col("n_docs_with") >= 2)
-      .select("h")
+    val dupHashes = benchmark match {
+      case Some(bench) =>
+        // benchmark shingle hashes, distinct, broadcast
+        broadcast(bench
+          .select(explode(graft.functions.expressions.HashExpressions
+            .shingles_k_strict(split(col(textCol), " "), n)).as("sh"))
+          .select(xxhash64(col("sh")).as("h"))
+          .distinct())
+      case None =>
+        // duplicated = the shingle occurs in >= 2 DISTINCT docs
+        // (within-doc repetition alone is repetition, not cross-doc
+        // boilerplate — the dupShingleStats convention)
+        starts.select(col(idCol), col("h")).distinct()
+          .groupBy("h").agg(count(lit(1)).as("n_docs_with"))
+          .filter(col("n_docs_with") >= 2)
+          .select("h")
+    }
     val dupStarts = starts.join(dupHashes, Seq("h"))
       .select(col(idCol), col("pos"))
     val w = org.apache.spark.sql.expressions.Window
@@ -619,6 +649,28 @@ object CorpusOps {
       .withColumn("cum_frac",
         round(col("cum_cnt").cast("double") / col("total_tok"), 6))
       .select("rank", "word", "cnt", "cum_frac")
+  }
+
+  /** Percentile outlier trimming (winsorize-drop): keep rows whose
+    * metric lies within the corpus's [loQ, hiQ] interpolated
+    * percentiles — the length-trim every curation recipe applies
+    * (drop the empty-ish head and the mega-document tail before
+    * training). Uses EXACT interpolated percentiles (SQL-replayable,
+    * and the q107-certified `percentile_approx` is the documented
+    * drop-in at 100 TB where the exact sort-based percentile is the
+    * bottleneck). One aggregate, bounds broadcast back, per-row
+    * filter — the corpus is touched twice, shuffled never.
+    */
+  def trimOutliers(df: DataFrame, metricCol: String, loQ: Double,
+      hiQ: Double): DataFrame = {
+    require(loQ >= 0.0 && loQ < hiQ && hiQ <= 1.0,
+      s"need 0 <= loQ < hiQ <= 1: ($loQ, $hiQ)")
+    val bounds = df.agg(
+      percentile(col(metricCol), lit(loQ)).as("p_lo"),
+      percentile(col(metricCol), lit(hiQ)).as("p_hi"))
+    df.crossJoin(broadcast(bounds))
+      .filter(col(metricCol) >= col("p_lo") &&
+        col(metricCol) <= col("p_hi"))
   }
 
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &

@@ -255,6 +255,24 @@ object TextAnalysis {
         round(exp(-avg(log(col("p")))), 4).as("ppl"))
   }
 
+  /** Text normalization pipeline: Unicode NFC (native
+    * [[graft.functions.expressions.NfcNormalizeF]] — canonical
+    * composition, fully specified by Unicode so any conformant engine
+    * replays it), whitespace-run collapse to single spaces, remaining
+    * control-character strip, trim. Adds `norm_text`. Pure per-row
+    * projections — zero shuffle, linear; the regex steps stay in the
+    * Java∩RE2 subset (the redactPii discipline) so the oracle replays
+    * them verbatim.
+    */
+  def normalizeText(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("norm_text",
+      trim(regexp_replace(
+        regexp_replace(
+          graft.functions.expressions.TextExpressions
+            .nfc_normalize(col(textCol)),
+          "[ \\t\\n\\r]+", " "),
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")))
+
   /** Rolling-hash document fingerprint (winnowing-style): polynomial
     * rolling hash of each k-token window (O(n) native expression),
     * fingerprint = min window hash — plus a full-text xxhash64.

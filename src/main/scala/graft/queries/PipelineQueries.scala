@@ -706,6 +706,53 @@ object PipelineQueries {
       Frequency.topNgramsExact(t(s, dir, "documents"), n = 2, k = 20,
         capacity = 4096)),
 
+    // Percentile length trimming (winsorize-drop): keep documents
+    // inside the corpus's [p5, p95] token-count percentiles — exact
+    // interpolated percentiles, fully SQL-replayable (the
+    // q107-certified percentile_approx is the documented 100 TB
+    // drop-in).
+    "q136_length_trim" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_tok",
+          size(split(col("text"), " ")).cast("double"))
+      CorpusOps.trimOutliers(d, "n_tok", 0.05, 0.95)
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+          round(col("p_lo"), 6).as("p_lo"),
+          round(col("p_hi"), 6).as("p_hi"))
+    }),
+
+    // Text normalization (NFC + whitespace collapse + control strip)
+    // over a corpus deterministically degraded with decomposed
+    // accents, a BEL control char, and double spaces (the q93
+    // synthetic-input discipline — the raw fixture is pure ASCII and
+    // would verify nothing). The oracle replays NFC via DuckDB's
+    // nfc_normalize (Unicode normalization is fully specified) and
+    // the regex steps verbatim; md5 pins the exact bytes.
+    "q137_normalize_text" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          lit("  cafe\u0301  \u212B\u0007 end")))
+      TextAnalysis.normalizeText(aug)
+        .select(col("doc_id"),
+          length(col("text")).as("n_raw"),
+          length(col("norm_text")).as("n_norm"),
+          md5(col("norm_text")).as("norm_md5"))
+    }),
+
+    // Benchmark decontamination by span REMOVAL (the step after q92's
+    // flagging): spans of benchmark-matching 8-shingles are cut from
+    // every corpus document, the documents survive. Same benchmark
+    // construction as q92 (every 97th doc's first 12 tokens); full
+    // DuckDB oracle replays the span cut on raw shingle strings.
+    "q135_decontaminate_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(concat_ws(" ", slice(split(col("text"), " "), 1, 12))
+          .as("text"))
+      CorpusOps.removeContaminatedSpans(docs, bench, n = 8,
+        minSpanTokens = 8)
+    }),
+
     // Incremental NEAR-dup dedup against the persisted MinHash store
     // (the fuzzy twin of q132): two-batch ingest; invariant closure
     // since minhash is not SQL-expressible — (a) the kept sets of the
@@ -2620,6 +2667,86 @@ object PipelineQueries {
         |  round(COALESCE(1.0 - b.n_bi_distinct / b.n_bi, 0.0), 6)
         |    AS dup_bigram_frac
         |FROM wstat w LEFT JOIN bstat b USING (doc_id)""".stripMargin,
+    "q136_length_trim" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+        |  FROM documents),
+        |q AS (SELECT quantile_cont(n_tok, 0.05) AS lo,
+        |  quantile_cont(n_tok, 0.95) AS hi FROM m)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  round(lo, 6) AS p_lo, round(hi, 6) AS p_hi
+        |FROM m CROSS JOIN q
+        |WHERE n_tok >= lo AND n_tok <= hi""".stripMargin,
+    // identical augmentation (combining acute = chr(769), angstrom
+    // sign = chr(8491), BEL = chr(7)), NFC via nfc_normalize, same
+    // regex steps in the shared Java-and-RE2 subset
+    "q137_normalize_text" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || '  cafe' || chr(769) || '  ' ||
+        |    chr(8491) || chr(7) || ' end' AS text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[ \t\n\r]+', ' ', 'g'),
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS norm
+        |  FROM aug)
+        |SELECT doc_id, CAST(length(text) AS INT) AS n_raw,
+        |  CAST(length(norm) AS INT) AS n_norm, md5(norm) AS norm_md5
+        |FROM n""".stripMargin,
+    // the q100 replay machinery with "duplicated" = "in the benchmark
+    // shingle set" (q92's benchmark), minSpanTokens = n = 8
+    "q135_decontaminate_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS l
+        |  FROM documents),
+        |bdocs AS (SELECT l[1:12] AS bl FROM docs WHERE doc_id % 97 = 0),
+        |bidx AS (
+        |  SELECT bl, unnest(range(1, greatest(len(bl) - 7, 0) + 1)) AS i
+        |  FROM bdocs),
+        |bench AS (
+        |  SELECT DISTINCT array_to_string(bl[i:i+7], ' ') AS s
+        |  FROM bidx),
+        |sidx AS (
+        |  SELECT doc_id, l,
+        |         unnest(range(1, greatest(len(l) - 7, 0) + 1)) AS i
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id, i, array_to_string(l[i:i+7], ' ') AS s
+        |  FROM sidx),
+        |ds AS (SELECT sh.doc_id, sh.i FROM sh JOIN bench USING (s)),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |         i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |           AS g
+        |  FROM ds),
+        |spans AS (
+        |  SELECT doc_id, min(i) AS a, max(i) + 7 AS e
+        |  FROM isl GROUP BY doc_id, g
+        |  HAVING max(i) + 8 - min(i) >= 8),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(a, e + 1)) AS pos
+        |  FROM spans),
+        |toks AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |         generate_subscripts(l, 1) AS pos
+        |  FROM docs),
+        |reb AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos)
+        |           AS cleaned,
+        |         count(*) AS n_kept
+        |  FROM toks t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, COALESCE(r.cleaned, '') AS cleaned_text,
+        |  CAST(len(d.l) AS BIGINT) AS n_tok,
+        |  CAST(len(d.l) - COALESCE(r.n_kept, 0) AS BIGINT)
+        |    AS n_removed_tok,
+        |  CAST(length(d.text) - length(COALESCE(r.cleaned, ''))
+        |    AS BIGINT) AS n_removed_chars
+        |FROM docs d LEFT JOIN reb r USING (doc_id)""".stripMargin,
     // invariant closure (minhash not SQL-expressible): replayable doc
     // count + the three engine-verified flags
     "q134_incremental_neardup" ->

@@ -373,6 +373,22 @@ object StreamOps {
     * streaming ingest has no recall caveat, like the postings stream
     * and unlike IVF (whose centroids drift from the trained base).
     */
+  /** Streaming heavy hitters: the mergeable Misra–Gries summary
+    * ([[graft.functions.expressions.FreqSketchAgg]]) as a streaming
+    * aggregate — per trigger (complete mode) one row holding the
+    * bounded candidate list + delta over EVERYTHING seen so far. The
+    * state store carries the serialized sketch (≤ 2·capacity
+    * entries), not the stream's history — the whole point of sketching
+    * a stream. Same contract as batch: any item with true count >
+    * delta is guaranteed present, est ≤ true ≤ est + delta.
+    */
+  def streamingHeavyHitters(items: DataFrame, itemCol: String,
+      capacity: Int): DataFrame =
+    items.groupBy()
+      .agg(graft.functions.expressions.FreqSketchAgg
+        .freq_sketch(col(itemCol), capacity).as("sk"))
+      .select(col("sk.items").as("items"), col("sk.delta").as("delta"))
+
   /** Streaming incremental dedup export: each micro-batch is deduped
     * against the PERSISTED fingerprint store
     * ([[graft.sources.DedupStore.dedupBatch]] — first-arrival-wins

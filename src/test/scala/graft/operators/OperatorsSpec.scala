@@ -977,6 +977,40 @@ class OperatorsSpec extends AnyFunSuite {
     } finally DedupStore.dropNear(spark, key)
   }
 
+  test("removeContaminatedSpans cuts exactly the benchmark-matching run " +
+      "and leaves clean docs byte-identical") {
+    val bench = docs(100L -> "one two three four five six seven eight")
+    val corpus = docs(
+      // the benchmark 8-gram sits mid-document -> that span is cut
+      1L -> "aa bb one two three four five six seven eight cc dd",
+      2L -> "totally clean words that never overlap anything at all here")
+    val out = CorpusOps.removeContaminatedSpans(corpus, bench, n = 8,
+        minSpanTokens = 8)
+      .select("doc_id", "cleaned_text", "n_removed_tok")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, "aa bb cc dd", 8L)))
+    assert(out(2L)._2 ===
+      "totally clean words that never overlap anything at all here")
+    assert(out(2L)._3 === 0L)
+  }
+
+  test("trimOutliers keeps the interpolated-percentile interior; " +
+      "normalizeText composes NFC + whitespace + control stripping") {
+    val d = (1 to 20).map(i => (i.toLong, i.toDouble)).toDF("id", "m")
+    val kept = CorpusOps.trimOutliers(d, "m", 0.10, 0.90)
+      .select("id").as[Long].collect().toSet
+    // p10 of 1..20 = 2.9, p90 = 18.1 -> kept 3..18
+    assert(kept === (3L to 18L).toSet)
+
+    // decomposed a + COMBINING ACUTE, tab run, BEL, ANGSTROM SIGN
+    val t = Seq((1L, "a\u0301b  c\tde\u0007 \u212B "))
+      .toDF("doc_id", "text")
+    val norm = TextAnalysis.normalizeText(t)
+      .select("norm_text").as[String].head()
+    assert(norm === "\u00E1b c de \u00C5",
+      norm.map(_.toInt.toHexString).mkString(","))
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the " +
       "benchmark, counting distinct overlaps") {
     val bench = docs(100L -> "one two three four five six seven eight nine")

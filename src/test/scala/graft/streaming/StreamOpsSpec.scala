@@ -48,6 +48,39 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally DedupStore.drop(spark, key)
   }
 
+  test("streaming heavy hitters: the sketch over all triggers keeps every " +
+      "guaranteed item with a bounded estimate; state is the sketch, not " +
+      "the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = StreamOps.streamingHeavyHitters(
+      mem.toDF().toDF("item"), "item", capacity = 8)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream").start()
+    val b1 = Seq.fill(40)("aaa") ++ (1 to 30).map(i => s"n$i")
+    val b2 = Seq.fill(25)("bbb") ++ (31 to 60).map(i => s"n$i")
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    val row = spark.table("hh_stream").collect().head
+    q.stop()
+    val items = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val delta = row.getLong(1)
+    val truth = (b1 ++ b2).groupBy(identity).view.mapValues(_.size.toLong)
+    // guarantee: anything with true count > delta is present, and every
+    // estimate is within [true - delta, true]
+    truth.filter(_._2 > delta).foreach { case (it, c) =>
+      assert(items.contains(it), s"$it (count $c) missing, delta=$delta")
+    }
+    items.foreach { case (it, est) =>
+      val c = truth(it)
+      assert(est <= c && c <= est + delta, s"$it est=$est true=$c delta=$delta")
+    }
+    assert(items.contains("aaa") && items.contains("bbb"))
+  }
+
   private def runStream(name: String, events: Seq[StreamOps.Event],
       build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       outputMode: String = "append"): Seq[org.apache.spark.sql.Row] = {
