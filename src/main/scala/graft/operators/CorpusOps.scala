@@ -704,7 +704,15 @@ object CorpusOps {
     val logpri = log((hv + 0.5) / sixteen13) / weight
     val scored = df.filter(weight > 0.0)
       .withColumn("__logpri", logpri)
-      .withColumn("__key", key.cast("long"))
+      // loud cast guard: a non-numeric key would cast to null, which
+      // the bounded top-k skips — the operator would silently return
+      // an empty "sample" instead of failing
+      .withColumn("__key",
+        when(key.isNotNull && key.cast("long").isNull,
+          raise_error(concat(
+            lit("sampleWeighted: key is not castable to long: "),
+            key.cast("string"))))
+        .otherwise(key.cast("long")))
     import graft.functions.expressions.TopKAgg
     val winners = scored
       .agg(TopKAgg.top_k(col("__logpri"), col("__key"), k).as("topk"))

@@ -48,7 +48,17 @@ object Evaluation {
       sum(when(col("rel") > 0,
         (pow(lit(2.0), col("rel")) - 1.0) / log2(col("rank") + 1.0))
         .otherwise(0.0)).as("dcg"))
-    per
+    // the reporting universe is run ∪ qrels: a query with judgments
+    // but ZERO run rows must report recall/rr/ndcg = 0 (trec_eval
+    // semantics) — deriving rows from the run alone would silently
+    // drop it and inflate any averaged metric
+    val allQ = run.select("query_id")
+      .unionByName(qrels.select("query_id")).distinct()
+    allQ
+      .join(per, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0.0)))
+      .withColumn("rr", coalesce(col("rr"), lit(0.0)))
+      .withColumn("dcg", coalesce(col("dcg"), lit(0.0)))
       .join(nRel, Seq("query_id"), "left")
       .join(ideal, Seq("query_id"), "left")
       .select(col("query_id"),

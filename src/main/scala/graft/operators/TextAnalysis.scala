@@ -265,13 +265,16 @@ object TextAnalysis {
     * them verbatim.
     */
   def normalizeText(df: DataFrame, textCol: String = "text"): DataFrame =
+    // controls become SPACES first, then whitespace runs collapse —
+    // stripping controls after the collapse would leave "a  b"
+    // as a double space, violating the single-space contract
     df.withColumn("norm_text",
       trim(regexp_replace(
         regexp_replace(
           graft.functions.expressions.TextExpressions
             .nfc_normalize(col(textCol)),
-          "[ \\t\\n\\r]+", " "),
-        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")))
+          "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", " "),
+        "[ \\t\\n\\r]+", " ")))
 
   /** Rolling-hash document fingerprint (winnowing-style): polynomial
     * rolling hash of each k-token window (O(n) native expression),

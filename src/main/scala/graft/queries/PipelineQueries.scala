@@ -2689,8 +2689,8 @@ object PipelineQueries {
         |n AS (
         |  SELECT doc_id, text,
         |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
-        |      '[ \t\n\r]+', ' ', 'g'),
-        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS norm
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+        |      '[ \t\n\r]+', ' ', 'g')) AS norm
         |  FROM aug)
         |SELECT doc_id, CAST(length(text) AS INT) AS n_raw,
         |  CAST(length(norm) AS INT) AS n_norm, md5(norm) AS norm_md5
@@ -2858,12 +2858,17 @@ object PipelineQueries {
         |      ORDER BY rel DESC, doc_id ASC) AS irank
         |    FROM qrels)
         |  WHERE irank <= 5 GROUP BY 1),
-        |per AS (SELECT query_id,
+        |allq AS (SELECT DISTINCT query_id FROM run
+        |  UNION SELECT DISTINCT query_id FROM qrels),
+        |per0 AS (SELECT query_id,
         |    sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0 END) AS n_hit,
         |    max(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0 END) AS rr,
         |    sum(CASE WHEN rel > 0 THEN (pow(2, rel) - 1) / log2(rank + 1)
         |      ELSE 0 END) AS dcg
-        |  FROM hits GROUP BY 1)
+        |  FROM hits GROUP BY 1),
+        |per AS (SELECT a.query_id, COALESCE(p.n_hit, 0) AS n_hit,
+        |    COALESCE(p.rr, 0) AS rr, COALESCE(p.dcg, 0) AS dcg
+        |  FROM allq a LEFT JOIN per0 p USING (query_id))
         |SELECT p.query_id, COALESCE(n.n_rel, 0) AS n_rel,
         |  round(CASE WHEN COALESCE(n.n_rel, 0) = 0 THEN 0
         |    ELSE p.n_hit / n.n_rel END, 6) AS recall_at_k,

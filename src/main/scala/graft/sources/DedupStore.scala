@@ -85,9 +85,21 @@ object DedupStore {
       .agg(min(idCol).as(idCol))
     if (meta.get("last_batch_id").exists(batchId <= _)) {
       // replay: the original answer is exactly the fingerprints this
-      // batch id recorded
+      // batch id recorded. VERIFY it really is a replay: every stored
+      // fingerprint of this batch id must re-occur in the batch — a
+      // batch-id counter that restarted (fresh checkpoint dir, reused
+      // id) would otherwise silently serve an UNRELATED old batch's
+      // answer and drop genuinely new content un-deduped, un-stored.
       val mine = spark.read.parquet(fpsDir)
         .filter(col("batch_id") === batchId).select("h")
+      val foreign = mine.join(hashed.select("h"), Seq("h"), "left_anti")
+        .count()
+      require(foreign == 0L,
+        s"dedup store '$storeKey': batchId $batchId <= last_batch_id " +
+          s"${meta("last_batch_id")} but $foreign stored fingerprints of " +
+          "that batch are absent from this batch's content — this is NOT " +
+          "a replay (restarted batch counter?); re-ingest under a fresh " +
+          "batchId or a fresh store")
       return batch.join(
         firstInBatch.join(mine, Seq("h"), "left_semi").select(idCol),
         Seq(idCol), "left_semi")
@@ -155,8 +167,18 @@ object DedupStore {
         "re-ingest")
     val named = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     if (meta.get("last_batch_id").exists(batchId <= _)) {
+      // replay-verification (the dedupBatch discipline): every doc id
+      // this batch id stored must re-occur in the batch, else refuse —
+      // a restarted batch counter must not serve a stale answer
       val mine = spark.read.parquet(sigsDir)
         .filter(col("batch_id") === batchId).select("doc_id")
+      val foreign = mine
+        .join(named.select("doc_id"), Seq("doc_id"), "left_anti").count()
+      require(foreign == 0L,
+        s"near-dup store '$storeKey': batchId $batchId <= last_batch_id " +
+          s"${meta("last_batch_id")} but $foreign stored docs of that " +
+          "batch are absent from this batch — NOT a replay (restarted " +
+          "batch counter?); re-ingest under a fresh batchId or store")
       return batch.join(mine.withColumnRenamed("doc_id", idCol),
         Seq(idCol), "left_semi")
     }
@@ -218,13 +240,9 @@ object DedupStore {
   }
 
   /** Drop the near-dup store. */
-  def dropNear(spark: SparkSession, storeKey: String): Unit = {
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(nearBase(spark, storeKey)))
-  }
+  def dropNear(spark: SparkSession, storeKey: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(nearBase(spark, storeKey)))
 
   /** Fold a many-batch fps layout into one file per hash bucket (the
     * compactLsh side-dir recipe): thousands of streaming micro-batches
@@ -241,26 +259,19 @@ object DedupStore {
     if (!Files.exists(Paths.get(fpsDir))) return
     val side = s"$b/fps__compact"
     val garbage = s"$b/fps__garbage_${ProcessHandle.current.pid}"
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(side))
+    def rm(p: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    rm(side)
     spark.read.parquet(fpsDir)
       .repartition(col("hb"))
       .write.mode(SaveMode.Overwrite).partitionBy("hb").parquet(side)
     Files.move(Paths.get(fpsDir), Paths.get(garbage))
     Files.move(Paths.get(side), Paths.get(fpsDir))
-    rm(Paths.get(garbage))
+    rm(garbage)
   }
 
   /** Drop the store (tests / rebuild-from-scratch). */
-  def drop(spark: SparkSession, storeKey: String): Unit = {
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(rm(_))
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(base(spark, storeKey)))
-  }
+  def drop(spark: SparkSession, storeKey: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(base(spark, storeKey)))
 }

@@ -915,6 +915,13 @@ class OperatorsSpec extends AnyFunSuite {
       val k3 = DedupStore.dedupBatch(spark, key, docs(0L -> "y y"),
         batchId = 3L).count()
       assert(k3 === 0L)
+      // a REUSED batch id over different content is NOT a replay: the
+      // store must refuse instead of serving the old batch's answer
+      val e = intercept[IllegalArgumentException] {
+        DedupStore.dedupBatch(spark, key,
+          docs(50L -> "brand new content"), batchId = 2L).count()
+      }
+      assert(e.getMessage.contains("NOT a replay"))
     } finally DedupStore.drop(spark, key)
   }
 
@@ -1009,6 +1016,12 @@ class OperatorsSpec extends AnyFunSuite {
       .select("norm_text").as[String].head()
     assert(norm === "\u00E1b c de \u00C5",
       norm.map(_.toInt.toHexString).mkString(","))
+    // a control char BETWEEN spaces must not leave a double space
+    // (controls map to space BEFORE the whitespace collapse)
+    val norm2 = TextAnalysis.normalizeText(
+      Seq((1L, "a \u0007 b")).toDF("doc_id", "text"))
+      .select("norm_text").as[String].head()
+    assert(norm2 === "a b", norm2.map(_.toInt.toHexString).mkString(","))
   }
 
   test("contamination flags exactly the docs sharing an n-gram with the " +
