@@ -41,7 +41,14 @@ object PlanDump {
       "q109_ivfsq8_persisted" -> "COMPOSED IVF-SQ8 (invariant query — the plan also carries the float-IVF and exact-kNN verification branches): the composed branch scans graft_ivfsq8_lists_* under a dynamicpruningexpression on centroid_id (unprobed list directories never read) at int8 codes width, integer-dot approximate scoring, bounded partial_top_k, exact re-rank id-join against the co-bucketed float table — probed-row pruning × 4×-smaller scanned rows multiplied in one plan",
       "q115_pq_ann" -> "product-quantized ANN: 16-byte PQ codes from a per-row native encode projection, per-query ADC dot table built on the BroadcastExchange side, lookup-sum scan kernel (zero multiplies) with bounded partial_top_k candidate selection, exact re-rank joined by id",
       "q116_sq8_delete" -> "persisted SQ8 delete: the stored codes scan anti-joined against the co-bucketed tombstone table (broadcast for this small tomb set — the index side never shuffles), then the q105 serving shape over the surviving rows",
-      "q119_global_shuffle" -> "deterministic global shuffle: md5 key projection, ONE rangepartitioning exchange establishing global order, per-partition-id window numbering (every Window keyed by pid — no single-partition stage), nPart-row count aggregate + broadcast prefix-offset join")
+      "q119_global_shuffle" -> "deterministic global shuffle: md5 key projection, ONE rangepartitioning exchange establishing global order, per-partition-id window numbering (every Window keyed by pid — no single-partition stage), nPart-row count aggregate + broadcast prefix-offset join",
+      "q126_zorder_key" -> "Z-order layout key: per-column min/max from ONE aggregate riding a BroadcastExchange, the Morton interleave a pure codegen projection — zero corpus-keyed exchange anywhere",
+      "q129_sketch_skew_join" -> "sketch-driven differentiated skew join: the (bounded) hot-key list BroadcastExchange feeding the semi/anti split, hot side salted-hash-joined against the replicated-hot-only dim, cold side a plain equi-join — union of the two, no blanket dim replication",
+      "q130_bloom_pruned_join" -> "Bloom-pruned join: bloom_filter_might_contain as a Filter DIRECTLY above the fact scan (pre-exchange pruning), then the ordinary equi-join — the runtime-filter shape, explicit",
+      "q131_source_pagerank" -> "weighted PageRank (final iteration): rank frame from the flat localCheckpoint scan, contribution join keyed by src + map-side-combined dst aggregate, 1-row dangling mass on a BroadcastExchange — nothing global, everything keyed",
+      "q133_weighted_sample" -> "weighted sampling: md5-derived priority a per-row projection, bounded partial_top_k before the single final exchange — no global sort for a global top-k",
+      "q135_decontaminate_spans" -> "decontamination span removal: the benchmark shingle-hash set BroadcastExchange; corpus exchanges carry (id, pos, 8-byte hash); the only window is doc-keyed over MATCHING starts; ordered doc-keyed rebuild",
+      "q137_normalize_text" -> "text normalization: NFC + regex steps fused into the scan projection — the whole operator is one per-row pass, zero Exchange operators")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.PlanDump` on sf0.01. What to look for:\n")

@@ -90,6 +90,11 @@ object DedupStore {
       // batch-id counter that restarted (fresh checkpoint dir, reused
       // id) would otherwise silently serve an UNRELATED old batch's
       // answer and drop genuinely new content un-deduped, un-stored.
+      // an absent fps dir here means the whole window was expired:
+      // the replayed batch's fingerprints are gone, the safe answer
+      // is the empty kept set (see expireSeen)
+      if (!Files.exists(Paths.get(fpsDir)))
+        return batch.limit(0)
       val mine = spark.read.parquet(fpsDir)
         .filter(col("batch_id") === batchId).select("h")
       val foreign = mine.join(hashed.select("h"), Seq("h"), "left_anti")
@@ -268,6 +273,45 @@ object DedupStore {
     Files.move(Paths.get(fpsDir), Paths.get(garbage))
     Files.move(Paths.get(side), Paths.get(fpsDir))
     rm(garbage)
+  }
+
+  /** Retention: forget fingerprints recorded BEFORE `keepFromBatchId`
+    * (the sliding-window dedup production stores run — "dedup against
+    * the last N days", not all of history). Same side-dir + rename
+    * swap as [[compactSeen]]; meta's n_rows shrinks to the surviving
+    * count and last_batch_id is untouched (the replay contract keeps
+    * working for retained batches. A replay of an EXPIRED batch id
+    * returns an empty kept set (its fingerprints are gone, and an
+    * empty recorded batch is indistinguishable from an expired one) —
+    * the safe direction for an exactly-once export (no duplicates
+    * re-enter), reachable only by rolling a checkpoint back past the
+    * retention window, which is an operational error.
+    */
+  def expireSeen(spark: SparkSession, storeKey: String,
+      keepFromBatchId: Long): Unit = {
+    val b = base(spark, storeKey)
+    val fpsDir = s"$b/fps"
+    if (!Files.exists(Paths.get(fpsDir))) return
+    val meta = readMeta(b)
+    val side = s"$b/fps__compact"
+    val garbage = s"$b/fps__garbage_${ProcessHandle.current.pid}"
+    def rm(p: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    rm(side)
+    val kept = spark.read.parquet(fpsDir)
+      .filter(col("batch_id") >= keepFromBatchId)
+      .localCheckpoint(true)
+    kept.repartition(col("hb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("hb").parquet(side)
+    val nKept = kept.count()
+    Files.move(Paths.get(fpsDir), Paths.get(garbage))
+    if (nKept > 0) Files.move(Paths.get(side), Paths.get(fpsDir))
+    else rm(side) // a zero-row parquet dir has no inferable schema —
+                  // an absent dir IS the empty-store state
+    rm(garbage)
+    writeMeta(b,
+      "n_rows" -> nKept,
+      "last_batch_id" -> meta.getOrElse("last_batch_id", 0L))
   }
 
   /** Drop the store (tests / rebuild-from-scratch). */

@@ -922,6 +922,13 @@ class OperatorsSpec extends AnyFunSuite {
           docs(50L -> "brand new content"), batchId = 2L).count()
       }
       assert(e.getMessage.contains("NOT a replay"))
+      // retention: expiring batches < 3 forgets batch-1/2 fingerprints,
+      // so previously-seen content is novel again under a NEW batch id
+      DedupStore.expireSeen(spark, key, keepFromBatchId = 3L)
+      assert(DedupStore.seenCount(spark, key) === 0L) // batch 3 kept 0
+      val k4 = DedupStore.dedupBatch(spark, key, docs(60L -> "x x x"),
+        batchId = 4L).count()
+      assert(k4 === 1L, "expired fingerprints must be forgotten")
     } finally DedupStore.drop(spark, key)
   }
 
