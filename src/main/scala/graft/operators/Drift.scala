@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between a reference corpus and a new
+  * increment — the QA gate production ingest pipelines run per batch
+  * before letting it into the training mix. The metric is the
+  * Population Stability Index (public, standard in model monitoring):
+  *
+  *   PSI = Σ_buckets (p_cur − p_ref) · ln(p_cur / p_ref)
+  *
+  * with the usual reading: < 0.1 stable, 0.1–0.25 moderate shift,
+  * > 0.25 drifted. Bucket shares are Laplace-smoothed
+  * ((count + 0.5) / (N + 0.5·buckets)) so an empty bucket on either
+  * side contributes a large-but-finite term instead of ±∞.
+  *
+  * Scale shape: ONE map-side-combinable bucket-count aggregate per
+  * side (the exchange carries ≤ `buckets` rows), a bucket-keyed join
+  * of two ≤-`buckets`-row frames, and a broadcast total — the corpora
+  * are each touched once, nothing corpus-keyed ever shuffles.
+  */
+object Drift {
+
+  /** Per-bucket PSI decomposition of `metric` over `buckets`
+    * equal-width bins of [lo, hi] (outside values clamp to the edge
+    * bins). Returns one row per bucket: (bucket, n_ref, n_cur, p_ref,
+    * p_cur, contrib, psi) — `psi` is the total, repeated per row so a
+    * single-row consumer can filter `bucket = 0`.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, metric: Column,
+      buckets: Int, lo: Double, hi: Double): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets: $buckets")
+    require(lo < hi, s"need lo < hi: ($lo, $hi)")
+    val width = (hi - lo) / buckets
+    def bucketed(df: DataFrame, name: String) = df
+      .select(least(lit(buckets - 1), greatest(lit(0),
+        floor((metric.cast("double") - lo) / width).cast("int")))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(name))
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val all = (0 until buckets).toDF("bucket")
+    val joined = all
+      .join(bucketed(ref, "n_ref"), Seq("bucket"), "left")
+      .join(bucketed(cur, "n_cur"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val smoothed = joined.crossJoin(broadcast(tot))
+      .withColumn("p_ref",
+        (col("n_ref") + 0.5) / (col("t_ref") + 0.5 * buckets))
+      .withColumn("p_cur",
+        (col("n_cur") + 0.5) / (col("t_cur") + 0.5 * buckets))
+      .withColumn("contrib",
+        (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+    smoothed
+      .crossJoin(broadcast(
+        smoothed.agg(sum("contrib").as("psi_total"))))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"),
+        round(col("p_cur"), 6).as("p_cur"),
+        round(col("contrib"), 6).as("contrib"),
+        round(col("psi_total"), 6).as("psi"))
+  }
+}

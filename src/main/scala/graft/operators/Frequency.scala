@@ -79,4 +79,60 @@ object Frequency {
         StructField("ngram", StringType, nullable = false),
         StructField("cnt", LongType, nullable = false))))
   }
+
+  /** [[topNgramsExact]] PER GROUP (per-language/per-domain top terms —
+    * the stratified form curation dashboards want): one sketch per
+    * group in a single grouped aggregate, candidates still bounded
+    * (≤ 2·capacity per group, `maxGroups` guarded loudly), one exact
+    * pass pruned by the broadcast (group, ngram) candidate list,
+    * per-group certification with the same refuse-don't-guess rule.
+    * Output (group, rank, ngram, cnt), ties (cnt desc, ngram asc).
+    */
+  def topNgramsExactByGroup(df: DataFrame, groupCol: String, n: Int,
+      k: Int, capacity: Int, textCol: String = "text",
+      maxGroups: Int = 10000): DataFrame = {
+    require(n >= 1 && k >= 1 && capacity >= k,
+      s"need n,k >= 1 and capacity >= k: ($n, $k, $capacity)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = df.select(col(groupCol).as("grp"), explode(
+      HashExpressions.shingles_k_positional(split(col(textCol), " "), n))
+      .as("g"))
+    val sketches = df.select(col(groupCol).as("grp"))
+      .groupBy("grp").agg(count(lit(1)))
+      .count()
+    require(sketches <= maxGroups,
+      s"topNgramsExactByGroup: $sketches groups exceeds maxGroups=" +
+        s"$maxGroups — the per-group candidate collect would not stay " +
+        "driver-bounded; raise maxGroups deliberately or pre-aggregate")
+    val sk = grams.groupBy("grp")
+      .agg(FreqSketchAgg.freq_sketch(col("g"), capacity).as("sk"))
+      .select(col("grp"), col("sk.items.item").as("cands"),
+        col("sk.delta"))
+      .collect()
+    val candRows = sk.flatMap(r =>
+      r.getSeq[String](1).map(g => (r.getString(0), g))).toSeq
+    val deltas = sk.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val candDf = candRows.toDF("grp", "g")
+    val exact = grams.join(broadcast(candDf), Seq("grp", "g"))
+      .groupBy("grp", "g").agg(count(lit(1)).as("cnt"))
+      .collect() // bounded by groups x 2*capacity
+      .groupBy(_.getString(0))
+    val out = exact.toSeq.sortBy(_._1).flatMap { case (grp, rows) =>
+      val top = rows.map(r => (r.getString(1), r.getLong(2)))
+        .sortBy { case (g, c) => (-c, g) }.take(k)
+      val delta = deltas(grp)
+      // fewer than k candidates is only provably-complete when the
+      // sketch never purged (delta 0 -> it held every distinct gram)
+      require(if (top.size < k) delta == 0L else top.last._2 > delta,
+        s"topNgramsExactByGroup NOT certifiable for group '$grp': " +
+          (if (top.size < k)
+            s"only ${top.size} candidates survived but delta $delta > 0"
+          else s"k-th exact count ${top.last._2} <= sketch delta $delta") +
+          s" — raise capacity (= $capacity)")
+      top.zipWithIndex.map { case ((g, c), i) => (grp, i + 1, g, c) }
+    }
+    out.toDF("grp", "rank", "ngram", "cnt")
+      .withColumnRenamed("grp", groupCol)
+  }
 }

@@ -706,6 +706,28 @@ object PipelineQueries {
       Frequency.topNgramsExact(t(s, dir, "documents"), n = 2, k = 20,
         capacity = 4096)),
 
+    // Distribution-drift gate (PSI over doc-length buckets): reference
+    // = even-id docs, current = odd-id docs with a deterministic +20%
+    // length shift (the q93 synthetic-input discipline — unshifted
+    // halves of one corpus would verify only the ~0 case). Fully
+    // SQL-expressible: bucket counts, Laplace smoothing, the PSI sum.
+    "q138_psi_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ref = d.filter(col("doc_id") % 2 === 0)
+      val cur = d.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("n_chars", floor(col("n_chars") * 1.2).cast("long"))
+      graft.operators.Drift.psi(ref, cur, col("n_chars"),
+        buckets = 16, lo = 0.0, hi = 640.0)
+    }),
+
+    // Per-group certified-exact heavy hitters: top-5 bigrams PER
+    // LANGUAGE via one grouped Misra-Gries sketch + a candidate-pruned
+    // exact pass + per-group certification. Oracle = plain per-group
+    // exact top-k.
+    "q139_group_heavy_hitters" -> ((s, dir) =>
+      Frequency.topNgramsExactByGroup(t(s, dir, "documents"), "lang",
+        n = 2, k = 5, capacity = 2048)),
+
     // Percentile length trimming (winsorize-drop): keep documents
     // inside the corpus's [p5, p95] token-count percentiles — exact
     // interpolated percentiles, fully SQL-replayable (the
@@ -2667,6 +2689,63 @@ object PipelineQueries {
         |  round(COALESCE(1.0 - b.n_bi_distinct / b.n_bi, 0.0), 6)
         |    AS dup_bigram_frac
         |FROM wstat w LEFT JOIN bstat b USING (doc_id)""".stripMargin,
+    // identical bucketing (clamped equal-width), identical Laplace
+    // smoothing, identical PSI formula
+    "q138_psi_drift" ->
+      """WITH ref AS (
+        |  SELECT least(15, greatest(0,
+        |    CAST(floor(CAST(n_chars AS DOUBLE) / 40.0) AS INT)))
+        |    AS bucket
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cur AS (
+        |  SELECT least(15, greatest(0,
+        |    CAST(floor(CAST(CAST(floor(n_chars * 1.2) AS BIGINT) AS DOUBLE)
+        |      / 40.0) AS INT))) AS bucket
+        |  FROM documents WHERE doc_id % 2 <> 0),
+        |b AS (SELECT unnest(range(0, 16)) AS bucket),
+        |rc AS (SELECT bucket, count(*) AS n_ref FROM ref GROUP BY 1),
+        |cc AS (SELECT bucket, count(*) AS n_cur FROM cur GROUP BY 1),
+        |j AS (
+        |  SELECT b.bucket, COALESCE(rc.n_ref, 0) AS n_ref,
+        |    COALESCE(cc.n_cur, 0) AS n_cur
+        |  FROM b LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket)),
+        |t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM j),
+        |sm AS (
+        |  SELECT j.bucket, j.n_ref, j.n_cur,
+        |    (j.n_ref + 0.5) / (t.t_ref + 8.0) AS p_ref,
+        |    (j.n_cur + 0.5) / (t.t_cur + 8.0) AS p_cur
+        |  FROM j CROSS JOIN t),
+        |c AS (
+        |  SELECT bucket, n_ref, n_cur, p_ref, p_cur,
+        |    (p_cur - p_ref) * ln(p_cur / p_ref) AS contrib
+        |  FROM sm),
+        |tot AS (SELECT sum(contrib) AS psi_total FROM c)
+        |SELECT c.bucket, CAST(c.n_ref AS BIGINT) AS n_ref,
+        |  CAST(c.n_cur AS BIGINT) AS n_cur,
+        |  round(c.p_ref, 6) AS p_ref, round(c.p_cur, 6) AS p_cur,
+        |  round(c.contrib, 6) AS contrib,
+        |  round(tot.psi_total, 6) AS psi
+        |FROM c CROSS JOIN tot""".stripMargin,
+    // plain per-group exact top-k, the certification's ground truth
+    "q139_group_heavy_hitters" ->
+      """WITH docs AS (
+        |  SELECT lang, string_split(text, ' ') AS l FROM documents),
+        |idx AS (
+        |  SELECT lang, l, unnest(range(1, greatest(len(l) - 1, 0) + 1))
+        |    AS i
+        |  FROM docs),
+        |cnt AS (
+        |  SELECT lang, array_to_string(l[i:i+1], ' ') AS g,
+        |    count(*) AS c
+        |  FROM idx GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, g, c,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY c DESC, g ASC) AS rank
+        |  FROM cnt)
+        |SELECT lang, CAST(rank AS INT) AS rank, g AS ngram,
+        |  CAST(c AS BIGINT) AS cnt
+        |FROM r WHERE rank <= 5""".stripMargin,
     "q136_length_trim" ->
       """WITH m AS (
         |  SELECT doc_id,

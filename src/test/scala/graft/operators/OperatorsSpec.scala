@@ -1031,6 +1031,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(norm2 === "a b", norm2.map(_.toInt.toHexString).mkString(","))
   }
 
+  test("PSI drift: identical corpora score ~0, a hard shift scores big, " +
+      "hand-computed two-bucket case is exact") {
+    import graft.operators.Drift
+    val a = (1 to 100).map(i => Tuple1((i % 10).toDouble)).toDF("m")
+    val same = Drift.psi(a, a, col("m"), buckets = 4, lo = 0, hi = 10)
+      .select("psi").as[Double].head()
+    assert(same === 0.0)
+    val shifted = (1 to 100).map(i => Tuple1((i % 10) + 20.0)).toDF("m")
+    val big = Drift.psi(a, shifted, col("m"), buckets = 4, lo = 0, hi = 10)
+      .select("psi").as[Double].head()
+    assert(big > 0.25, s"hard shift must read as drift: $big")
+    // hand case: 2 buckets, ref 10/0, cur 5/5 (clamped)
+    val r2 = (1 to 10).map(_ => Tuple1(0.0)).toDF("m")
+    val c2 = ((1 to 5).map(_ => Tuple1(0.0)) ++
+      (1 to 5).map(_ => Tuple1(9.0))).toDF("m")
+    val got = Drift.psi(r2, c2, col("m"), buckets = 2, lo = 0, hi = 10)
+      .select("bucket", "contrib").as[(Int, Double)].collect().toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pr0 = 10.5 / 11.0; val pc0 = 5.5 / 11.0
+    val pr1 = 0.5 / 11.0; val pc1 = 5.5 / 11.0
+    assert(got(0) === r6((pc0 - pr0) * math.log(pc0 / pr0)))
+    assert(got(1) === r6((pc1 - pr1) * math.log(pc1 / pr1)))
+  }
+
+  test("per-group heavy hitters: exact per-group top-k with per-group " +
+      "certification; a purged small group refuses instead of guessing") {
+    val d = Seq(
+      (1L, "en", Seq.fill(30)("aa").mkString(" ") + " " +
+        Seq.fill(20)("bb").mkString(" ")),
+      (2L, "de", Seq.fill(25)("xx").mkString(" ") + " " +
+        Seq.fill(10)("yy").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = Frequency.topNgramsExactByGroup(d, "lang", n = 1, k = 2,
+      capacity = 64)
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(out === Set(("en", 1, "aa", 30L), ("en", 2, "bb", 20L),
+      ("de", 1, "xx", 25L), ("de", 2, "yy", 10L)))
+    // flat group under a tiny sketch: per-group refusal
+    val flat = Seq((1L, "en",
+      ((1 to 300).map(i => s"u$i u$i") ++ Seq.fill(5)("a") ++
+        Seq.fill(5)("b")).mkString(" "))).toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      Frequency.topNgramsExactByGroup(flat, "lang", n = 1, k = 2,
+        capacity = 4)
+    }
+    assert(e.getMessage.contains("NOT certifiable"))
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the " +
       "benchmark, counting distinct overlaps") {
     val bench = docs(100L -> "one two three four five six seven eight nine")
