@@ -1,10 +1,8 @@
 package graft.operators
 
 import graft.functions.expressions.{FreqSketchAgg, HashExpressions}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
-  StructField, StructType}
 
 /** Corpus-frequency operators: EXACT top-k heavy hitters priced for
   * 100 TB by a sketch-prune-verify plan.
@@ -69,15 +67,9 @@ object Frequency {
       s"topNgramsExact NOT certifiable: k-th exact count $kth <= sketch " +
         s"delta $delta — an unsketched n-gram could outrank it. Raise " +
         s"capacity (= $capacity) until delta < the k-th count.")
-    val rows = exact.zipWithIndex.map { case (r, i) =>
-      Row(i + 1, r.getString(0), r.getLong(1))
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1),
-      StructType(Seq(
-        StructField("rank", IntegerType, nullable = false),
-        StructField("ngram", StringType, nullable = false),
-        StructField("cnt", LongType, nullable = false))))
+    exact.zipWithIndex.map { case (r, i) =>
+      (i + 1, r.getString(0), r.getLong(1))
+    }.toSeq.toDF("rank", "ngram", "cnt")
   }
 
   /** [[topNgramsExact]] PER GROUP (per-language/per-domain top terms —
@@ -98,9 +90,10 @@ object Frequency {
     val grams = df.select(col(groupCol).as("grp"), explode(
       HashExpressions.shingles_k_positional(split(col(textCol), " "), n))
       .as("g"))
-    val sketches = df.select(col(groupCol).as("grp"))
-      .groupBy("grp").agg(count(lit(1)))
-      .count()
+    // limit-probe, not a full count: stops scanning once maxGroups+1
+    // distinct groups are seen
+    val sketches = df.select(col(groupCol).as("grp")).distinct()
+      .limit(maxGroups + 1).count()
     require(sketches <= maxGroups,
       s"topNgramsExactByGroup: $sketches groups exceeds maxGroups=" +
         s"$maxGroups — the per-group candidate collect would not stay " +

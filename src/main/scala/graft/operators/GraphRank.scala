@@ -40,9 +40,13 @@ object GraphRank {
     val shares = edgesC.join(outw, Seq("src"))
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("share"))
       .localCheckpoint(false)
-    val n = nodes.count().toDouble
+    // the node universe is read every iteration (the left join that
+    // re-materializes zero-contribution nodes) plus the count — pin it
+    // once like the edge frames
+    val nodesC = nodes.select(col("node")).localCheckpoint(false)
+    val n = nodesC.count().toDouble
     require(n > 0, "pageRank: empty node set")
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))
+    var ranks = nodesC.select(col("node"), lit(1.0 / n).as("r"))
       .localCheckpoint(false)
     var it = 0
     while (it < iters) {
@@ -53,7 +57,7 @@ object GraphRank {
         .join(shares, ranks("node") === shares("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("r") * col("share")).as("contrib"))
-      ranks = nodes.select(col("node"))
+      ranks = nodesC
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
