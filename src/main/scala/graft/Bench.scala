@@ -94,7 +94,13 @@ object Bench {
     // references or both serving paths beside the operator under test.
     // Splitting their cost out stops it masking operator regressions.
     val verificationQ = Set("q53", "q60", "q61", "q62", "q63", "q65",
-      "q66", "q68", "q69", "q77", "q85", "q87", "q89", "q108", "q109")
+      "q66", "q68", "q69", "q77", "q85", "q87", "q89", "q108", "q109",
+      // round-8 verification-family additions: sketch-vs-exact ground
+      // truth (q107), MMR invariant closure (q117), the in-memory and
+      // persisted IVF-PQ identity panels (q121/q123), and the
+      // incremental near-dup invariant closure (q134 — three store
+      // calls + a from-scratch cross-batch recomputation)
+      "q107", "q117", "q121", "q123", "q134")
     // The harness that records this line captures only the TAIL of the
     // process output (~2000 chars), so the parsed JSON line must stay
     // well under that: short query keys (the unique qNN prefix), 2-decimal
