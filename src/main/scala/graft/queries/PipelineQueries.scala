@@ -706,6 +706,30 @@ object PipelineQueries {
       Frequency.topNgramsExact(t(s, dir, "documents"), n = 2, k = 20,
         capacity = 4096)),
 
+    // Curation funnel v2 — the round-8 operators composed the way a
+    // production pipeline chains them: normalize (NFC + whitespace +
+    // control) -> Gopher repetition gate (top2_frac <= 0.12 on the
+    // normalized text) -> percentile length trim ([p5, p95] of the
+    // SURVIVING population) -> exact dedup (min id per text). One row
+    // of per-stage counts + the kept token mass; every stage is
+    // SQL-expressible, so the whole funnel replays relationally.
+    "q140_curation_funnel" -> ((s, dir) => {
+      val d0 = TextAnalysis.normalizeText(t(s, dir, "documents"))
+        .withColumn("text", col("norm_text")).drop("norm_text")
+      val g = TextAnalysis.gopherSignals(d0)
+      val s1 = g.filter(col("top2_frac") <= 0.12)
+        .withColumn("n_tok_d", col("n_tok").cast("double"))
+      val s2 = CorpusOps.trimOutliers(s1, "n_tok_d", 0.05, 0.95)
+      val s3 = s2.join(
+        Dedup.exact(s2).select(col("keep_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      t(s, dir, "documents").agg(count(lit(1)).as("n_in"))
+        .crossJoin(s1.agg(count(lit(1)).as("n_after_gopher")))
+        .crossJoin(s2.agg(count(lit(1)).as("n_after_trim")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_after_dedup"),
+          sum("n_tok").as("kept_tokens")))
+    }),
+
     // Distribution-drift gate (PSI over doc-length buckets): reference
     // = even-id docs, current = odd-id docs with a deterministic +20%
     // length shift (the q93 synthetic-input discipline — unshifted
@@ -2689,6 +2713,42 @@ object PipelineQueries {
         |  round(COALESCE(1.0 - b.n_bi_distinct / b.n_bi, 0.0), 6)
         |    AS dup_bigram_frac
         |FROM wstat w LEFT JOIN bstat b USING (doc_id)""".stripMargin,
+    // the whole funnel replayed: NFC+regex normalize, the top-2-gram
+    // coverage gate (rounded before the threshold, like the engine),
+    // percentile trim over the SURVIVING population, min-id dedup
+    "q140_curation_funnel" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+        |      '[ \t\n\r]+', ' ', 'g')) AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM n),
+        |idx AS (
+        |  SELECT doc_id, l, unnest(range(1, greatest(len(l) - 1, 0) + 1))
+        |    AS i
+        |  FROM d),
+        |t2 AS (
+        |  SELECT doc_id, max(c * length(g)) AS cov FROM (
+        |    SELECT doc_id, array_to_string(l[i:i+1], ' ') AS g,
+        |      count(*) AS c
+        |    FROM idx GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |s1 AS (
+        |  SELECT d.doc_id, d.text, len(d.l) AS n_tok
+        |  FROM d LEFT JOIN t2 USING (doc_id)
+        |  WHERE round(COALESCE(t2.cov, 0) / length(d.text), 6) <= 0.12),
+        |q AS (SELECT quantile_cont(CAST(n_tok AS DOUBLE), 0.05) AS lo,
+        |  quantile_cont(CAST(n_tok AS DOUBLE), 0.95) AS hi FROM s1),
+        |s2 AS (SELECT s1.* FROM s1 CROSS JOIN q
+        |  WHERE n_tok >= lo AND n_tok <= hi),
+        |s3 AS (SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok
+        |  FROM s2 GROUP BY text)
+        |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_in,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_after_gopher,
+        |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_after_trim,
+        |  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_after_dedup,
+        |  CAST((SELECT sum(n_tok) FROM s3) AS BIGINT) AS kept_tokens""".stripMargin,
     // identical bucketing (clamped equal-width), identical Laplace
     // smoothing, identical PSI formula
     "q138_psi_drift" ->
