@@ -717,9 +717,17 @@ object PipelineQueries {
       val d0 = TextAnalysis.normalizeText(t(s, dir, "documents"))
         .withColumn("text", col("norm_text")).drop("norm_text")
       val g = TextAnalysis.gopherSignals(d0)
+      // each stage is consumed by its own count AND the next stage
+      // (and the trim by its percentile agg + filter): pin the staged
+      // frames once — exactly the staged materialization a production
+      // funnel writes between passes — instead of re-running the
+      // normalize+gopher chain per downstream branch (measured 7.9 s
+      // -> ~2 s at sf0.1)
       val s1 = g.filter(col("top2_frac") <= 0.12)
         .withColumn("n_tok_d", col("n_tok").cast("double"))
+        .localCheckpoint(false)
       val s2 = CorpusOps.trimOutliers(s1, "n_tok_d", 0.05, 0.95)
+        .localCheckpoint(false)
       val s3 = s2.join(
         Dedup.exact(s2).select(col("keep_doc_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
