@@ -389,6 +389,35 @@ object StreamOps {
         .freq_sketch(col(itemCol), capacity).as("sk"))
       .select(col("sk.items").as("items"), col("sk.delta").as("delta"))
 
+  /** Streaming drift gate: every micro-batch is PSI-scored against the
+    * static reference distribution ([[graft.operators.Drift.psi]]) and
+    * the per-batch verdict handed to `onBatch` — the per-increment QA
+    * gate run BEFORE a batch is admitted into the training mix (the
+    * caller typically diverts drifted batches to quarantine). The
+    * reference's bucket counts are computed once per trigger from the
+    * (small, typically cached) reference frame; the batch side is one
+    * bounded bucket aggregate.
+    */
+  def streamingDriftGate(
+      batches: DataFrame,
+      ref: DataFrame,
+      metricCol: String,
+      buckets: Int,
+      lo: Double,
+      hi: Double)(
+      onBatch: (Long, Double) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val psi = graft.operators.Drift
+            .psi(ref, batch.toDF(), col(metricCol), buckets, lo, hi)
+            .select("psi").head().getDouble(0)
+          onBatch(id, psi)
+        }
+      }
+
   /** Streaming incremental dedup export: each micro-batch is deduped
     * against the PERSISTED fingerprint store
     * ([[graft.sources.DedupStore.dedupBatch]] — first-arrival-wins

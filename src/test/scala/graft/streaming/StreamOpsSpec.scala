@@ -81,6 +81,26 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(items.contains("aaa") && items.contains("bbb"))
   }
 
+  test("streaming drift gate: an in-distribution batch scores ~0, a " +
+      "shifted batch trips the 0.25 drift bar, per trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (1 to 200).map(i => Tuple1((i % 10).toDouble)).toDF("m")
+    val mem = MemoryStream[Double]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q = StreamOps.streamingDriftGate(
+      mem.toDF().toDF("m"), ref, "m", buckets = 4, lo = 0, hi = 10) {
+      (id, psi) => got += ((id, psi))
+    }.start()
+    mem.addData((1 to 100).map(i => (i % 10).toDouble): _*) // same dist
+    q.processAllAvailable()
+    mem.addData((1 to 100).map(i => (i % 10) + 20.0): _*) // hard shift
+    q.processAllAvailable()
+    q.stop()
+    assert(got.size === 2)
+    assert(got(0)._2 < 0.1, s"in-distribution batch drifted: ${got(0)}")
+    assert(got(1)._2 > 0.25, s"shifted batch not flagged: ${got(1)}")
+  }
+
   private def runStream(name: String, events: Seq[StreamOps.Event],
       build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       outputMode: String = "append"): Seq[org.apache.spark.sql.Row] = {
