@@ -594,11 +594,16 @@ object CorpusOps {
     val stats = df.groupBy(strataCol).agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col(textCol), " "))).cast("long").as("n_tok"))
-    // Right join from the target table so a stratum named in targetShares
-    // but absent from the corpus is NOT silently dropped (which would
-    // realize a mixture deviating from the requested shares with no
-    // signal): the null stats row raises at materialization instead.
-    val joined = stats.join(broadcast(shares), Seq(strataCol), "right")
+    // Left join FROM the target table, broadcasting the post-aggregate
+    // per-stratum stats (the NON-preserved side — the only side a
+    // left-outer broadcast hash join can build; a hint on the preserved
+    // side is ignored with a HintErrorLogger warning and falls back to
+    // a shuffled join). Preserving the target rows means a stratum
+    // named in targetShares but absent from the corpus is NOT silently
+    // dropped (which would realize a mixture deviating from the
+    // requested shares with no signal): the null stats row raises at
+    // materialization instead.
+    val joined = shares.join(broadcast(stats), Seq(strataCol), "left")
       .withColumn("n_tok", when(col("n_tok").isNull,
         raise_error(concat(lit("mixturePlan: stratum '"), col(strataCol),
           lit("' in targetShares is absent from the corpus"))))
@@ -719,7 +724,19 @@ object CorpusOps {
       .select(posexplode(col("topk")).as(Seq("pos", "hit")))
       .select((col("pos") + 1).cast("int").as("rank"),
         col("hit.id").as("__key"), col("hit.score").as("logpri"))
+    // A-Res is a per-item scheme: `key` MUST be unique (the contract —
+    // duplicate keys would re-attach every row sharing a winning key,
+    // returning > k rows with repeated ranks). The guard is in-plan
+    // over the ≤ k-keyed join output (a window over at most k groups,
+    // not a corpus pass) and raises loudly instead of over-sampling.
+    val wk = Window.partitionBy("__key")
     winners.join(scored.drop("__logpri"), Seq("__key"))
+      .withColumn("rank",
+        when(count(lit(1)).over(wk) > 1, raise_error(concat(
+          lit("sampleWeighted: duplicate key value "), col("__key"),
+          lit(" — the A-Res per-item contract needs a unique key; " +
+            "dedup the input or choose a distinct key column"))))
+        .otherwise(col("rank")))
       .drop("__key")
   }
 

@@ -45,7 +45,23 @@ object Drift {
       .join(bucketed(ref, "n_ref"), Seq("bucket"), "left")
       .join(bucketed(cur, "n_cur"), Seq("bucket"), "left")
       .na.fill(0L, Seq("n_ref", "n_cur"))
+    // an EMPTY side must fail loudly, not smooth into a uniform pseudo-
+    // distribution: Laplace smoothing over zero rows yields a finite,
+    // often sub-threshold PSI, so a misconfigured gate (a reference
+    // filter matching nothing) would silently admit every batch. The
+    // guard lives in the plan — no extra pass, raises at materialization
+    // (the refuse-don't-guess discipline the other operators follow).
     val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+      .select(
+        when(col("t_ref") === 0L, raise_error(lit(
+          "Drift.psi: reference side is EMPTY — a zero-row reference " +
+            "smooths to a uniform pseudo-distribution and would admit " +
+            "any batch; fix the reference selection")))
+          .otherwise(col("t_ref")).as("t_ref"),
+        when(col("t_cur") === 0L, raise_error(lit(
+          "Drift.psi: current side is EMPTY — a zero-row batch smooths " +
+            "to a uniform pseudo-distribution; fix the batch selection")))
+          .otherwise(col("t_cur")).as("t_cur"))
     val smoothed = joined.crossJoin(broadcast(tot))
       .withColumn("p_ref",
         (col("n_ref") + 0.5) / (col("t_ref") + 0.5 * buckets))

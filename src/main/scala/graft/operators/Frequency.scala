@@ -87,7 +87,11 @@ object Frequency {
       s"need n,k >= 1 and capacity >= k: ($n, $k, $capacity)")
     val spark = df.sparkSession
     import spark.implicits._
-    val grams = df.select(col(groupCol).as("grp"), explode(
+    // group keys ride driver-side maps as strings (an int domain id or
+    // any other type must not ClassCastException on getString) — cast
+    // in, cast back on output
+    val groupType = df.schema(groupCol).dataType
+    val grams = df.select(col(groupCol).cast("string").as("grp"), explode(
       HashExpressions.shingles_k_positional(split(col(textCol), " "), n))
       .as("g"))
     // limit-probe, not a full count: stops scanning once maxGroups+1
@@ -126,6 +130,7 @@ object Frequency {
       top.zipWithIndex.map { case ((g, c), i) => (grp, i + 1, g, c) }
     }
     out.toDF("grp", "rank", "ngram", "cnt")
+      .withColumn("grp", col("grp").cast(groupType))
       .withColumnRenamed("grp", groupCol)
   }
 }

@@ -109,16 +109,37 @@ object DedupStore {
         firstInBatch.join(mine, Seq("h"), "left_semi").select(idCol),
         Seq(idCol), "left_semi")
     }
-    val novel =
-      if (!Files.exists(Paths.get(fpsDir))) firstInBatch
+    // Crash-retry idempotence: the probe ignores THIS batch's own rows
+    // (batch_id < batchId) — a retry after an append-but-no-meta crash
+    // would otherwise see its partially-committed fingerprints, classify
+    // every row as seen, and overwrite the batch's output with an empty
+    // kept set (silent permanent loss). With the filter, the retry
+    // re-derives the ORIGINAL kept set from exactly the pre-batch store
+    // state; the append below then skips rows the crashed attempt
+    // already committed, and the meta (never written by the crashed
+    // attempt) counts the full kept set once — byte-identical output,
+    // exactly-once store state, at any crash point.
+    val storeHere =
+      if (!Files.exists(Paths.get(fpsDir))) None
       else {
         val hbs = firstInBatch.select("hb").distinct().as[Int].collect()
-        val store = spark.read.parquet(fpsDir)
-          .filter(col("hb").isin(hbs.map(Int.box): _*))
-        firstInBatch.join(store.select("h"), Seq("h"), "left_anti")
+        Some(spark.read.parquet(fpsDir)
+          .filter(col("hb").isin(hbs.map(Int.box): _*)))
       }
+    val novel = storeHere match {
+      case None => firstInBatch
+      case Some(store) => firstInBatch.join(
+        store.filter(col("batch_id") < batchId).select("h"),
+        Seq("h"), "left_anti")
+    }
     val pinned = novel.localCheckpoint(true) // one computation: write + count
-    pinned.withColumn("batch_id", lit(batchId))
+    val toAppend = storeHere match {
+      case None => pinned
+      case Some(store) => pinned.join(
+        store.filter(col("batch_id") === batchId).select("h"),
+        Seq("h"), "left_anti")
+    }
+    toAppend.withColumn("batch_id", lit(batchId))
       .select(col("h"), col(idCol), col("batch_id"), col("hb"))
       .write.mode(SaveMode.Append).partitionBy("hb")
       .parquet(fpsDir)
@@ -172,6 +193,11 @@ object DedupStore {
         "re-ingest")
     val named = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     if (meta.get("last_batch_id").exists(batchId <= _)) {
+      // an absent sigs dir here means the whole window was expired
+      // (expireNear): the replayed batch's signatures are gone, the
+      // safe answer is the empty kept set (the expireSeen contract)
+      if (!Files.exists(Paths.get(sigsDir)))
+        return batch.limit(0)
       // replay-verification (the dedupBatch discipline): every doc id
       // this batch id stored must re-occur in the batch, else refuse —
       // a restarted batch counter must not serve a stale answer
@@ -202,19 +228,30 @@ object DedupStore {
         withSig.join(winners.select("doc_id"), Seq("doc_id"), "left_semi"),
         numHashes, bands)
       .withColumn("bb", pmod(col("bucket"), lit(HashDirs.toLong)).cast("int"))
+    // the batch_id < batchId probe filters are the dedupBatch crash-
+    // retry discipline: a retry after an append-but-no-meta crash must
+    // not band-match its OWN partially-committed rows (every winner
+    // would read as a near-dup of itself and the kept set would come
+    // back empty). Both dirs present is the normal prior-batch state;
+    // bands-without-sigs can only be this batch's own crashed partial
+    // write (sigs land after bands), which the filters would discard
+    // anyway — treat as empty store.
     val survivors =
-      if (!Files.exists(Paths.get(bandsDir))) winners
+      if (!Files.exists(Paths.get(bandsDir)) ||
+          !Files.exists(Paths.get(sigsDir))) winners
       else {
         import spark.implicits._
         val bbs = bandRows.select("bb").distinct().as[Int].collect()
         val storeBands = spark.read.parquet(bandsDir)
           .filter(col("bb").isin(bbs.map(Int.box): _*))
+          .filter(col("batch_id") < batchId)
         val cand = bandRows.join(
             storeBands.select(col("band"), col("bucket"),
               col("doc_id").as("stored_id")),
             Seq("band", "bucket"))
           .select("doc_id", "stored_id").distinct()
         val storeSigs = spark.read.parquet(sigsDir)
+          .filter(col("batch_id") < batchId)
           .select(col("doc_id").as("stored_id"), col("sig").as("sig_b"))
         val sigEq = cand
           .join(winners.select(col("doc_id"), col("sig").as("sig_a")),
@@ -229,13 +266,31 @@ object DedupStore {
         winners.join(sigEq, Seq("doc_id"), "left_anti")
       }
     val pinned = survivors.localCheckpoint(true)
+    // append-exclusion per table (the dedupBatch retry discipline):
+    // docs a crashed attempt already committed under this batch id are
+    // skipped, so a retry converges to exactly-once store rows — bands
+    // and sigs independently, since a crash can land between the two
+    // appends
+    def alreadyIn(dir: String): Option[DataFrame] =
+      if (!Files.exists(Paths.get(dir))) None
+      else Some(spark.read.parquet(dir)
+        .filter(col("batch_id") === batchId).select("doc_id").distinct())
+    val bandDocs = alreadyIn(bandsDir) match {
+      case None => pinned.select("doc_id")
+      case Some(d) => pinned.select("doc_id").join(d, Seq("doc_id"),
+        "left_anti")
+    }
     Dedup.minHashBandRows(
-        withSig.join(pinned.select("doc_id"), Seq("doc_id"), "left_semi"),
+        withSig.join(bandDocs, Seq("doc_id"), "left_semi"),
         numHashes, bands)
       .withColumn("bb", pmod(col("bucket"), lit(HashDirs.toLong)).cast("int"))
       .withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Append).partitionBy("bb").parquet(bandsDir)
-    pinned.withColumn("batch_id", lit(batchId))
+    val sigRows = alreadyIn(sigsDir) match {
+      case None => pinned
+      case Some(d) => pinned.join(d, Seq("doc_id"), "left_anti")
+    }
+    sigRows.withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Append).parquet(sigsDir)
     writeMeta(b,
       "n_rows" -> (meta.getOrElse("n_rows", 0L) + pinned.count()),
@@ -248,6 +303,92 @@ object DedupStore {
   def dropNear(spark: SparkSession, storeKey: String): Unit =
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(nearBase(spark, storeKey)))
+
+  /** [[compactSeen]]'s near-dup twin: fold the many-batch bands layout
+    * into one file per bucket dir and the sigs layout into few files —
+    * thousands of streaming micro-batches each append a file per
+    * touched band bucket plus a sigs file, and the cross-batch probe
+    * becomes a small-files scan. Same side-dir + rename recipe per
+    * table; bands swap first, and a crash between the two swaps leaves
+    * both tables logically intact (compaction changes files, not
+    * rows). Meta untouched. Not safe concurrent with a writer.
+    */
+  def compactNear(spark: SparkSession, storeKey: String): Unit = {
+    val b = nearBase(spark, storeKey)
+    def rm(p: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    def swap(live: String, side: String): Unit = {
+      val garbage = s"${live}__garbage_${ProcessHandle.current.pid}"
+      Files.move(Paths.get(live), Paths.get(garbage))
+      Files.move(Paths.get(side), Paths.get(live))
+      rm(garbage)
+    }
+    val bandsDir = s"$b/bands"
+    if (Files.exists(Paths.get(bandsDir))) {
+      val side = s"$b/bands__compact"
+      rm(side)
+      spark.read.parquet(bandsDir)
+        .repartition(col("bb"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bb").parquet(side)
+      swap(bandsDir, side)
+    }
+    val sigsDir = s"$b/sigs"
+    if (Files.exists(Paths.get(sigsDir))) {
+      val side = s"$b/sigs__compact"
+      rm(side)
+      spark.read.parquet(sigsDir).coalesce(8)
+        .write.mode(SaveMode.Overwrite).parquet(side)
+      swap(sigsDir, side)
+    }
+  }
+
+  /** [[expireSeen]]'s near-dup twin: forget band rows AND signatures
+    * recorded before `keepFromBatchId` (sliding-window near-dedup —
+    * "near-dup against the last N days"). Meta's n_rows shrinks to the
+    * surviving signature count; last_batch_id is untouched, so the
+    * replay contract keeps working for retained batches and a replay
+    * of an EXPIRED batch returns the empty kept set (the safe
+    * direction — no duplicates re-enter an exactly-once export).
+    */
+  def expireNear(spark: SparkSession, storeKey: String,
+      keepFromBatchId: Long): Unit = {
+    val b = nearBase(spark, storeKey)
+    val sigsDir = s"$b/sigs"
+    if (!Files.exists(Paths.get(sigsDir))) return
+    val meta = readMeta(b)
+    def rm(p: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    def swapOrDrop(live: String, side: String, nKept: Long): Unit = {
+      val garbage = s"${live}__garbage_${ProcessHandle.current.pid}"
+      Files.move(Paths.get(live), Paths.get(garbage))
+      if (nKept > 0) Files.move(Paths.get(side), Paths.get(live))
+      else rm(side) // absent dir IS the empty-store state (expireSeen)
+      rm(garbage)
+    }
+    val bandsDir = s"$b/bands"
+    if (Files.exists(Paths.get(bandsDir))) {
+      val side = s"$b/bands__compact"
+      rm(side)
+      val keptBands = spark.read.parquet(bandsDir)
+        .filter(col("batch_id") >= keepFromBatchId)
+        .localCheckpoint(true)
+      keptBands.repartition(col("bb"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bb").parquet(side)
+      swapOrDrop(bandsDir, side, keptBands.count())
+    }
+    val sideS = s"$b/sigs__compact"
+    rm(sideS)
+    val keptSigs = spark.read.parquet(sigsDir)
+      .filter(col("batch_id") >= keepFromBatchId)
+      .localCheckpoint(true)
+    keptSigs.coalesce(8)
+      .write.mode(SaveMode.Overwrite).parquet(sideS)
+    val nKept = keptSigs.count()
+    swapOrDrop(sigsDir, sideS, nKept)
+    writeMeta(b,
+      "n_rows" -> nKept,
+      "last_batch_id" -> meta.getOrElse("last_batch_id", 0L))
+  }
 
   /** Fold a many-batch fps layout into one file per hash bucket (the
     * compactLsh side-dir recipe): thousands of streaming micro-batches

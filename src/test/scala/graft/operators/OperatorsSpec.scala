@@ -991,6 +991,117 @@ class OperatorsSpec extends AnyFunSuite {
     } finally DedupStore.dropNear(spark, key)
   }
 
+  test("dedup store crash window: a retry after append-but-no-meta " +
+      "re-derives the original kept set and the store stays exactly-once") {
+    import graft.sources.{DedupStore, IndexStore}
+    val key = "spec-crash://" +
+      java.nio.file.Files.createTempDirectory("dedupcrash").toString
+    val b = s"/tmp/graft_dedupstore_${IndexStore.pathTag(key)}"
+    val metaPath = java.nio.file.Paths.get(b, "_dedup_meta.json")
+    try {
+      DedupStore.dedupBatch(spark, key,
+        docs(1L -> "x x x", 2L -> "y y"), batchId = 1L).count()
+      val metaAfter1 = java.nio.file.Files.readString(metaPath)
+      val b2 = docs(3L -> "x x x", 4L -> "z", 5L -> "z")
+      val k2 = DedupStore.dedupBatch(spark, key, b2, batchId = 2L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(k2 === Set(4L))
+      // simulate the crash: batch 2's fps rows are committed but the
+      // meta write never happened — rewind the meta to the batch-1 state
+      java.nio.file.Files.writeString(metaPath, metaAfter1)
+      val retry = DedupStore.dedupBatch(spark, key, b2, batchId = 2L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(retry === k2,
+        "retry must re-derive the ORIGINAL kept set, not an empty one")
+      assert(DedupStore.seenCount(spark, key) === 3L)
+      // each fingerprint lands exactly once (no duplicate re-append)
+      val fps = spark.read.parquet(s"$b/fps")
+      assert(fps.count() === fps.select("h").distinct().count())
+    } finally DedupStore.drop(spark, key)
+  }
+
+  test("near-dup store crash window + compactNear/expireNear parity") {
+    import graft.sources.{DedupStore, IndexStore}
+    val key = "spec-nearcrash://" +
+      java.nio.file.Files.createTempDirectory("nearcrash").toString
+    val b = s"/tmp/graft_dedupstore_${IndexStore.pathTag(key)}_near"
+    val metaPath = java.nio.file.Paths.get(b, "_dedup_meta.json")
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    try {
+      DedupStore.nearDedupBatch(spark, key,
+        docs(1L -> base,
+          2L -> "completely different words that never overlap anything here at all today"),
+        batchId = 1L).count()
+      val metaAfter1 = java.nio.file.Files.readString(metaPath)
+      val b2 = docs(
+        3L -> (base + " addendum"), // near-dup of STORED 1
+        4L -> "fresh content with its own vocabulary nothing shared with previous documents whatsoever")
+      val k2 = DedupStore.nearDedupBatch(spark, key, b2, batchId = 2L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(k2 === Set(4L))
+      // crash between append and meta commit: rewind meta, retry
+      java.nio.file.Files.writeString(metaPath, metaAfter1)
+      val retry = DedupStore.nearDedupBatch(spark, key, b2, batchId = 2L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(retry === k2,
+        "retry must re-derive the original kept set (own partial rows " +
+          "must not band-match the batch against itself)")
+      // exactly-once store rows after the retry
+      val sigs = spark.read.parquet(s"$b/sigs")
+      assert(sigs.count() === sigs.select("doc_id").distinct().count())
+      // compaction preserves behavior: the probe still drops a
+      // near-dup of a stored doc, and file counts shrink to O(dirs)
+      DedupStore.compactNear(spark, key)
+      val k3 = DedupStore.nearDedupBatch(spark, key,
+        docs(5L -> (base + " postscript")), batchId = 3L).count()
+      assert(k3 === 0L, "post-compaction probe must still see stored docs")
+      // retention: expiring everything before batch 4 forgets the
+      // stored signatures — previously near-dup content is kept again
+      DedupStore.expireNear(spark, key, keepFromBatchId = 4L)
+      val k4 = DedupStore.nearDedupBatch(spark, key,
+        docs(6L -> (base + " reprise")), batchId = 4L).count()
+      assert(k4 === 1L, "expired near-dup signatures must be forgotten")
+    } finally DedupStore.dropNear(spark, key)
+  }
+
+  test("sampleWeighted refuses duplicate key values; Drift.psi refuses " +
+      "an empty side; per-group heavy hitters accept a non-string group") {
+    // duplicate keys: the A-Res per-item contract is violated — raise,
+    // don't over-sample
+    val dup = Seq((1L, 5.0), (1L, 3.0), (2L, 4.0)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      CorpusOps.sampleWeighted(dup, k = 2, col("w"), col("doc_id"),
+        seed = 7L).collect()
+    }
+    assert(e.getMessage.contains("duplicate key"), e.getMessage)
+
+    import graft.operators.Drift
+    val some = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("m")
+    val none = some.filter(col("m") < 0)
+    val e2 = intercept[Exception] {
+      Drift.psi(none, some, col("m"), buckets = 4, lo = 0, hi = 10)
+        .collect()
+    }
+    assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      Drift.psi(some, none, col("m"), buckets = 4, lo = 0, hi = 10)
+        .collect()
+    }
+    assert(e3.getMessage.contains("EMPTY"), e3.getMessage)
+
+    // integer group column: no ClassCastException, output keeps the type
+    val d = Seq((1L, 7, Seq.fill(20)("aa").mkString(" ")),
+      (2L, 9, Seq.fill(15)("bb").mkString(" ")))
+      .toDF("doc_id", "domain", "text")
+    val out = Frequency.topNgramsExactByGroup(d, "domain", n = 1, k = 1,
+      capacity = 32)
+    assert(out.schema("domain").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(out.as[(Int, Int, String, Long)].collect().toSet ===
+      Set((7, 1, "aa", 20L), (9, 1, "bb", 15L)))
+  }
+
   test("removeContaminatedSpans cuts exactly the benchmark-matching run " +
       "and leaves clean docs byte-identical") {
     val bench = docs(100L -> "one two three four five six seven eight")
