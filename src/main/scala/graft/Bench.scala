@@ -100,7 +100,11 @@ object Bench {
       // persisted IVF-PQ identity panels (q121/q123), and the
       // incremental near-dup invariant closure (q134 — three store
       // calls + a from-scratch cross-batch recomputation)
-      "q107", "q117", "q121", "q123", "q134")
+      "q107", "q117", "q121", "q123", "q134",
+      // round-9 additions: delete/filtered closures on the composed
+      // layouts — each runs the float-IVF reference and the exact kNN
+      // beside the operator under test
+      "q141", "q142", "q143", "q144")
     // The harness that records this line captures only the TAIL of the
     // process output (~2000 chars), so the parsed JSON line must stay
     // well under that: short query keys (the unique qNN prefix), 2-decimal

@@ -1417,17 +1417,34 @@ object AnnIndex {
     val base = ivfSq8Base(spark, tag)
     spark.sql(s"DROP TABLE IF EXISTS graft_ivfsq8_lists_$tag")
     spark.sql(s"DROP TABLE IF EXISTS graft_ivfsq8_vecs_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_ivfsq8_tombs_$tag")
     registerExternal(spark, s"graft_ivfsq8_lists_$tag", s"$base/lists",
       partitionedBy = Some("centroid_id"))
     registerExternal(spark, s"graft_ivfsq8_vecs_$tag", s"$base/vecs",
       clusteredBy = Some(("vec_id", storageBuckets)))
+    if (parquetReadable(spark, s"$base/tombs"))
+      registerExternal(spark, s"graft_ivfsq8_tombs_$tag", s"$base/tombs",
+        clusteredBy = Some(("vec_id", storageBuckets)))
   }
 
-  private def ivfSq8Handle(spark: SparkSession, tag: String): IvfSq8Handle =
-    IvfSq8Handle(
-      spark.read.parquet(s"${ivfSq8Base(spark, tag)}/centroids"),
-      spark.table(s"graft_ivfsq8_lists_$tag"),
-      spark.table(s"graft_ivfsq8_vecs_$tag"))
+  /** The served IVF-SQ8 view (the [[sq8Handle]] discipline): when a
+    * tombstone table exists, the lists side anti-joins on (centroid_id,
+    * vec_id) — tombstones are co-keyed by centroid at delete time, so
+    * a probed-list scan prunes its tombstones with it and never pays a
+    * full tombstone pass per probe — and the vecs side anti-joins on
+    * the shared vec_id bucketing (shuffle-free on the index side).
+    */
+  private def ivfSq8Handle(spark: SparkSession, tag: String): IvfSq8Handle = {
+    val cents = spark.read.parquet(s"${ivfSq8Base(spark, tag)}/centroids")
+    val lists = spark.table(s"graft_ivfsq8_lists_$tag")
+    val vecs = spark.table(s"graft_ivfsq8_vecs_$tag")
+    if (spark.catalog.tableExists(s"graft_ivfsq8_tombs_$tag")) {
+      val tombs = spark.table(s"graft_ivfsq8_tombs_$tag")
+      IvfSq8Handle(cents,
+        lists.join(tombs, Seq("centroid_id", "vec_id"), "left_anti"),
+        vecs.join(tombs.select("vec_id"), Seq("vec_id"), "left_anti"))
+    } else IvfSq8Handle(cents, lists, vecs)
+  }
 
   /** Build (or reuse) the persisted IVF-SQ8 layout: k-means centroids
     * train on the float vectors (same deterministic hash-draw + Lloyd
@@ -1460,16 +1477,24 @@ object AnnIndex {
       meta.get("lists").contains(lists.toLong) &&
         meta.get("iters").contains(iters.toLong) &&
         meta.get("buckets").contains(storageBuckets.toLong)
+    // a tombstoned layout no longer equals quantize-and-assign(source):
+    // ensure's contract is "serve exactly this source", so deletions
+    // force a rebuild which clears them (the ensureSq8 discipline)
+    def tombFree = readMeta(base).get("tomb_rows").forall(_ == 0L)
     val snapFresh = snapshotId.exists(id =>
       readMetaStrs(base).get("snapshot_id").contains(id) &&
-        opFresh(readMeta(base)))
+        opFresh(readMeta(base))) && tombFree
     if (snapFresh && serv()) return ivfSq8Handle(spark, tag)
     val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
     val meta = readMeta(base)
     val metaFresh = opFresh(meta) &&
       meta.get("n_rows").contains(n) &&
-      meta.get("checksum").contains(fp) && serv()
+      meta.get("checksum").contains(fp) && tombFree && serv()
     if (!metaFresh) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivfsq8_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
       val cents = SimilaritySearch.kMeansCentroids(
         index.select("vec_id", "embedding"), lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
@@ -1493,7 +1518,11 @@ object AnnIndex {
           "n_rows" -> n, "checksum" -> fp,
           "n_base" -> (if (metaFresh) meta.getOrElse("n_base", n) else n)) ++
           readMeta(base).get("last_batch_id")
-            .map("last_batch_id" -> _).toSeq,
+            .map("last_batch_id" -> _).toSeq ++
+          // the delete replay-skip window survives a rebuild (the
+          // ensureSq8 discipline) — tomb_rows does NOT (just cleared)
+          readMeta(base).get("last_del_batch_id")
+            .map("last_del_batch_id" -> _).toSeq,
         snapshotId.map("snapshot_id" -> _).toSeq)
     ivfSq8Handle(spark, tag)
   }
@@ -1535,6 +1564,17 @@ object AnnIndex {
     val replayed = batchId.exists(id =>
       meta.get("last_batch_id").exists(id <= _))
     if (replayed) return ivfSq8Handle(spark, tag)
+    // append-only + tombstone contract (the upsertSq8 discipline):
+    // re-adding a deleted id would be silently swallowed by the
+    // tombstone anti-join — fail loudly; compactIvfSq8 folds first
+    if (meta.get("tomb_rows").exists(_ > 0L) &&
+        spark.catalog.tableExists(s"graft_ivfsq8_tombs_$tag")) {
+      val clash = spark.table(s"graft_ivfsq8_tombs_$tag")
+        .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi").count()
+      require(clash == 0L,
+        s"upsertIvfSq8: $clash incoming vec_id(s) are tombstoned — run " +
+          "compactIvfSq8 to fold deletions before re-inserting those ids")
+    }
     val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
     val nBase = meta.getOrElse("n_base", meta("n_rows"))
     val tailAfter = meta("n_rows") + nNew - nBase
@@ -1561,9 +1601,119 @@ object AnnIndex {
         "checksum" -> (meta("checksum") ^ fpNew),
         "n_base" -> nBase) ++
         batchId.orElse(meta.get("last_batch_id"))
-          .map("last_batch_id" -> _).toSeq,
+          .map("last_batch_id" -> _).toSeq ++
+        meta.get("tomb_rows").map("tomb_rows" -> _).toSeq ++
+        meta.get("last_del_batch_id").map("last_del_batch_id" -> _).toSeq,
       Nil)
     ivfSq8Handle(spark, tag)
+  }
+
+  /** Delete by id from the persisted IVF-SQ8 index — [[deleteSq8]]'s
+    * composed-layout twin, the verb the 100 TB serving layout was
+    * missing (a production user must remove vectors without an
+    * ensure-rebuild). Merge-on-read tombstones CO-KEYED BY CENTROID:
+    * the batch of ids joins the bucketed float `vecs` table (O(batch),
+    * shuffle-free on the index side) to fetch embeddings, re-derives
+    * each id's nearest stored centroid — the SAME deterministic
+    * assignment that placed its list row, so (centroid_id, vec_id)
+    * names exactly the stored row — and appends to a tombstone table.
+    * The served handle anti-joins the probed lists on (centroid_id,
+    * vec_id), so a probe prunes its tombstones together with its
+    * lists, and the vecs side on the shared vec_id bucketing.
+    *
+    * Ids absent from the index (no vecs row) are a semantic no-op.
+    * [[compactIvfSq8]] folds tombstones into the base; until then
+    * re-inserting a deleted id fails loudly in [[upsertIvfSq8]]. A
+    * delete moves the layout past any named snapshot (stored
+    * `snapshot_id` dropped) and past the source content (`ensureIvfSq8`
+    * over the original source rebuilds). `batchId` gives streaming
+    * delete feeds the replay-skip contract on its own counter
+    * (`last_del_batch_id`), as [[deleteSq8]].
+    */
+  def deleteIvfSq8(
+      spark: SparkSession,
+      sourceDir: String,
+      ids: DataFrame,
+      batchId: Option[Long] = None): IvfSq8Handle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfSq8Base(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("lists") && meta.contains("buckets"),
+      s"deleteIvfSq8 needs an existing persisted IVF-SQ8 index for " +
+        s"'$sourceDir' — run ensureIvfSq8 first")
+    val storageBuckets = meta("buckets").toInt
+    require(parquetReadable(spark, s"$base/lists") &&
+      parquetReadable(spark, s"$base/vecs") &&
+      parquetReadable(spark, s"$base/centroids"),
+      s"persisted IVF-SQ8 layout for '$sourceDir' is unreadable — run " +
+        "ensureIvfSq8 to rebuild before deleting")
+    if (!ivfSq8Registered(spark, tag))
+      attachIvfSq8(spark, tag, storageBuckets)
+    val replayed = batchId.exists(id =>
+      meta.get("last_del_batch_id").exists(id <= _))
+    if (replayed) return ivfSq8Handle(spark, tag)
+    // co-key each deleted id by its stored centroid: embeddings come
+    // from the bucketed vecs table (batch-sized semi-ish join), the
+    // assignment is the same deterministic nearest-centroid max_by that
+    // placed the list row — identical input, identical tie-break,
+    // identical centroid_id
+    val batch = SimilaritySearch.assignWithVecs(
+        spark.table(s"graft_ivfsq8_vecs_$tag")
+          .join(ids.select("vec_id").distinct(), Seq("vec_id"),
+            "left_semi"),
+        spark.read.parquet(s"$base/centroids"))
+      .select("centroid_id", "vec_id")
+    val nDel = batch.count()
+    writeTombs(spark, base, s"graft_ivfsq8_tombs_$tag", batch,
+      storageBuckets)
+    writeMetaFull(base,
+      (meta - "tomb_rows" - "last_del_batch_id").toSeq ++
+        Seq("tomb_rows" -> (meta.getOrElse("tomb_rows", 0L) + nDel)) ++
+        batchId.orElse(meta.get("last_del_batch_id"))
+          .map("last_del_batch_id" -> _).toSeq,
+      Nil) // snapshot_id intentionally dropped: the layout moved past it
+    ivfSq8Handle(spark, tag)
+  }
+
+  /** Append a tombstone batch to `table` at `$base/tombs` (creating the
+    * layout on first delete) — shared by the composed layouts' delete
+    * verbs. Rows land bucketed by vec_id so the float-table anti-join
+    * stays shuffle-free on the index side.
+    */
+  private def writeTombs(spark: SparkSession, base: String, table: String,
+      batch: DataFrame, storageBuckets: Int): Unit = {
+    // tombs written by another session must attach BEFORE the
+    // exists-check: the create-new branch would otherwise overwrite
+    // (lose) their rows
+    if (!spark.catalog.tableExists(table) &&
+        parquetReadable(spark, s"$base/tombs"))
+      registerExternal(spark, table, s"$base/tombs",
+        clusteredBy = Some(("vec_id", storageBuckets)))
+    if (spark.catalog.tableExists(table))
+      batch.write.mode(SaveMode.Append)
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(table)
+    else
+      batch.write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/tombs")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(table)
+  }
+
+  /** True iff a persisted IVF-SQ8 layout exists for `sourceDir` AT the
+    * given operating point (meta check only — no readability or
+    * freshness probe; the [[sq8Exists]] contract). Lets callers branch
+    * build-vs-open explicitly — the delete-serving lifecycle needs
+    * this, since a tombstoned layout deliberately fails `ensure*`'s
+    * freshness ("serve exactly this source") and must be OPENED, not
+    * re-ensured, to keep serving its deletions.
+    */
+  def ivfSq8Exists(spark: SparkSession, sourceDir: String,
+      lists: Int = 64, iters: Int = 5, storageBuckets: Int = 8): Boolean = {
+    val meta = readMeta(ivfSq8Base(spark, IndexStore.pathTag(sourceDir)))
+    meta.get("lists").contains(lists.toLong) &&
+      meta.get("iters").contains(iters.toLong) &&
+      meta.get("buckets").contains(storageBuckets.toLong)
   }
 
   /** Open an existing persisted IVF-SQ8 index read-only, WITHOUT a
@@ -1589,6 +1739,12 @@ object AnnIndex {
     else {
       spark.catalog.refreshTable(s"graft_ivfsq8_lists_$tag")
       spark.catalog.refreshTable(s"graft_ivfsq8_vecs_$tag")
+      // tombstones may have (dis)appeared under another session's
+      // delete or fold — re-derive the registration from the store
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivfsq8_tombs_$tag")
+      if (parquetReadable(spark, s"$base/tombs"))
+        registerExternal(spark, s"graft_ivfsq8_tombs_$tag", s"$base/tombs",
+          clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
     ivfSq8Handle(spark, tag)
   }
@@ -1608,12 +1764,44 @@ object AnnIndex {
     val tag = IndexStore.pathTag(sourceDir)
     val base = ivfSq8Base(spark, tag)
     openIvfSq8(spark, sourceDir) // validates meta + attaches + refreshes
-    val sb = readMeta(base)("buckets").toInt
+    val meta = readMeta(base)
+    val sb = meta("buckets").toInt
+    // tombstone FOLD (the compactSq8 discipline): physically drop
+    // deleted rows while rewriting; every crash window either keeps
+    // serving correctly (tombs still present) or triggers a rebuild
+    // (stale tomb_rows meta over folded data)
+    val folding = meta.get("tomb_rows").exists(_ > 0L) &&
+      spark.catalog.tableExists(s"graft_ivfsq8_tombs_$tag")
+    val tombs =
+      if (folding) Some(spark.table(s"graft_ivfsq8_tombs_$tag")) else None
     compactPartitioned(spark, base, s"graft_ivfsq8_lists_$tag", "lists",
-      "centroid_id")
+      "centroid_id",
+      tombs.map(t => spark.table(s"graft_ivfsq8_lists_$tag")
+        .join(t, Seq("centroid_id", "vec_id"), "left_anti")))
     compactBucketed(spark, base, s"graft_ivfsq8_vecs_$tag", "vecs",
-      "vec_id", sb)
+      "vec_id", sb,
+      tombs.map(t => spark.table(s"graft_ivfsq8_vecs_$tag")
+        .join(t.select("vec_id"), Seq("vec_id"), "left_anti")))
+    if (folding) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivfsq8_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+    }
     attachIvfSq8(spark, tag, sb)
+    if (folding) {
+      // the live fingerprint changed: recompute from the folded vecs so
+      // upsert checksum composition stays coherent; replay-skip windows
+      // survive, tomb_rows resets. n_base is NOT reduced — the
+      // centroids were trained on the original base, and shrinking
+      // n_base would only tighten the drift gate spuriously.
+      val (n, fp) = fingerprint(spark.table(s"graft_ivfsq8_vecs_$tag")
+        .select("vec_id", "embedding"))
+      writeMetaFull(base,
+        (meta - "n_rows" - "checksum" - "tomb_rows").toSeq ++
+          Seq("n_rows" -> n, "checksum" -> fp),
+        Nil)
+    }
     ivfSq8Handle(spark, tag)
   }
 
@@ -1647,7 +1835,8 @@ object AnnIndex {
     * by [[compactIvf]] and [[compactIvfSq8]].
     */
   private def compactPartitioned(spark: SparkSession, base: String,
-      table: String, sub: String, partCol: String): Unit = {
+      table: String, sub: String, partCol: String,
+      content: Option[DataFrame] = None): Unit = {
     sweepStaleCompaction(base, sub)
     val side = s"$base/${sub}_compact_${ProcessHandle.current.pid}"
     val tmp = s"${table}_compact"
@@ -1656,7 +1845,7 @@ object AnnIndex {
     // re-emits its rows into every partition dir it touches, and the
     // compacted layout keeps the old file count; with it each list
     // lands in exactly one task → one file per partition dir
-    spark.table(table).repartition(col(partCol))
+    content.getOrElse(spark.table(table)).repartition(col(partCol))
       .write.mode(SaveMode.Overwrite)
       .option("path", side)
       .partitionBy(partCol)
@@ -1708,6 +1897,38 @@ object AnnIndex {
     require(m >= k, s"candidate count m ($m) must be >= k ($k)")
     SimilaritySearch.rerank(
       SimilaritySearch.ivfSq8Candidates(queries, handle.lists,
+        handle.centroids, nProbe, m),
+      queries, handle.vecs, k)
+  }
+
+  /** Metadata-FILTERED search on the composed IVF-SQ8 layout —
+    * [[querySq8Filtered]]'s twin for the 100 TB serving shape, so
+    * filtered retrieval no longer forfeits the composed scan-I/O win.
+    * PRE-filter semantics: `allowed` left-semi restricts the probed
+    * quantized lists BEFORE the top-m selection, so top-m and top-k
+    * are taken WITHIN the filtered set (never the post-filter shape
+    * that silently under-returns). The filter shrinks per-list
+    * candidates, which interacts with the (nProbe, m) margin — certify
+    * the operating point under the target selectivity the way
+    * q113/q114 did (q143 pins ~50% selectivity at the shipped point).
+    *
+    * Scale shape: the semi-join keys the probed lists' rows against
+    * the allowed ids (broadcast when the filtered set is small); DPP
+    * from the probe join still prunes unprobed list directories, and
+    * the probed rows are still read at SQ8 bytes.
+    */
+  def queryIvfSq8Filtered(
+      queries: DataFrame,
+      handle: IvfSq8Handle,
+      allowed: DataFrame,
+      k: Int = 4,
+      nProbe: Int = 24,
+      m: Int = 32): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    SimilaritySearch.rerank(
+      SimilaritySearch.ivfSq8Candidates(queries,
+        handle.lists.join(allowed.select("vec_id"), Seq("vec_id"),
+          "left_semi"),
         handle.centroids, nProbe, m),
       queries, handle.vecs, k)
   }
@@ -1809,20 +2030,36 @@ object AnnIndex {
     val base = ivfPqBase(spark, tag)
     spark.sql(s"DROP TABLE IF EXISTS graft_ivfpq_lists_$tag")
     spark.sql(s"DROP TABLE IF EXISTS graft_ivfpq_vecs_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_ivfpq_tombs_$tag")
     registerExternal(spark, s"graft_ivfpq_lists_$tag", s"$base/lists",
       partitionedBy = Some("centroid_id"))
     registerExternal(spark, s"graft_ivfpq_vecs_$tag", s"$base/vecs",
       clusteredBy = Some(("vec_id", storageBuckets)))
+    if (parquetReadable(spark, s"$base/tombs"))
+      registerExternal(spark, s"graft_ivfpq_tombs_$tag", s"$base/tombs",
+        clusteredBy = Some(("vec_id", storageBuckets)))
   }
 
+  /** The served IVF-PQ view — tombstone anti-joins exactly as
+    * [[ivfSq8Handle]]: lists on (centroid_id, vec_id) so probes prune
+    * their tombstones with their lists, vecs on the shared vec_id
+    * bucketing.
+    */
   private def ivfPqHandle(spark: SparkSession, tag: String,
-      meta: Map[String, Long]): IvfPqHandle =
-    IvfPqHandle(
-      spark.read.parquet(s"${ivfPqBase(spark, tag)}/centroids"),
-      spark.read.parquet(s"${ivfPqBase(spark, tag)}/codebook"),
-      spark.table(s"graft_ivfpq_lists_$tag"),
-      spark.table(s"graft_ivfpq_vecs_$tag"),
+      meta: Map[String, Long]): IvfPqHandle = {
+    val cents = spark.read.parquet(s"${ivfPqBase(spark, tag)}/centroids")
+    val cb = spark.read.parquet(s"${ivfPqBase(spark, tag)}/codebook")
+    val lists = spark.table(s"graft_ivfpq_lists_$tag")
+    val vecs = spark.table(s"graft_ivfpq_vecs_$tag")
+    if (spark.catalog.tableExists(s"graft_ivfpq_tombs_$tag")) {
+      val tombs = spark.table(s"graft_ivfpq_tombs_$tag")
+      IvfPqHandle(cents, cb,
+        lists.join(tombs, Seq("centroid_id", "vec_id"), "left_anti"),
+        vecs.join(tombs.select("vec_id"), Seq("vec_id"), "left_anti"),
+        meta("num_sub").toInt, meta("ksub").toInt)
+    } else IvfPqHandle(cents, cb, lists, vecs,
       meta("num_sub").toInt, meta("ksub").toInt)
+  }
 
   /** Build (or reuse) the persisted IVF-PQ layout: k-means centroids
     * AND per-subspace PQ codebooks train on the float vectors (the
@@ -1858,16 +2095,23 @@ object AnnIndex {
         meta.get("ksub").contains(ksub.toLong) &&
         meta.get("pq_iters").contains(pqIters.toLong) &&
         meta.get("buckets").contains(storageBuckets.toLong)
+    // tombstoned layout ⇒ stale under ensure's "serve exactly this
+    // source" contract (the ensureSq8/ensureIvfSq8 discipline)
+    def tombFree = readMeta(base).get("tomb_rows").forall(_ == 0L)
     val snapFresh = snapshotId.exists(id =>
       readMetaStrs(base).get("snapshot_id").contains(id) &&
-        opFresh(readMeta(base)))
+        opFresh(readMeta(base))) && tombFree
     if (snapFresh && serv()) return ivfPqHandle(spark, tag, readMeta(base))
     val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
     val meta = readMeta(base)
     val metaFresh = opFresh(meta) &&
       meta.get("n_rows").contains(n) &&
-      meta.get("checksum").contains(fp) && serv()
+      meta.get("checksum").contains(fp) && tombFree && serv()
     if (!metaFresh) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivfpq_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
       val idx = index.select("vec_id", "embedding")
       val cents = SimilaritySearch.kMeansCentroids(idx, lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(s"$base/centroids")
@@ -1897,7 +2141,10 @@ object AnnIndex {
           "n_rows" -> n, "checksum" -> fp,
           "n_base" -> (if (metaFresh) meta.getOrElse("n_base", n) else n)) ++
           readMeta(base).get("last_batch_id")
-            .map("last_batch_id" -> _).toSeq,
+            .map("last_batch_id" -> _).toSeq ++
+          // delete replay-skip survives a rebuild; tomb_rows does not
+          readMeta(base).get("last_del_batch_id")
+            .map("last_del_batch_id" -> _).toSeq,
         snapshotId.map("snapshot_id" -> _).toSeq)
     ivfPqHandle(spark, tag, readMeta(base))
   }
@@ -1933,6 +2180,16 @@ object AnnIndex {
     val replayed = batchId.exists(id =>
       meta.get("last_batch_id").exists(id <= _))
     if (replayed) return ivfPqHandle(spark, tag, meta)
+    // tombstone clash guard (the upsertSq8/upsertIvfSq8 discipline):
+    // re-adding a deleted id would be silently swallowed — fail loudly
+    if (meta.get("tomb_rows").exists(_ > 0L) &&
+        spark.catalog.tableExists(s"graft_ivfpq_tombs_$tag")) {
+      val clash = spark.table(s"graft_ivfpq_tombs_$tag")
+        .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi").count()
+      require(clash == 0L,
+        s"upsertIvfPq: $clash incoming vec_id(s) are tombstoned — run " +
+          "compactIvfPq to fold deletions before re-inserting those ids")
+    }
     val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
     val nBase = meta.getOrElse("n_base", meta("n_rows"))
     val tailAfter = meta("n_rows") + nNew - nBase
@@ -1967,6 +2224,68 @@ object AnnIndex {
     ivfPqHandle(spark, tag, readMeta(base))
   }
 
+  /** Delete by id from the persisted IVF-PQ index — [[deleteIvfSq8]]'s
+    * PQ twin, completing the delete verb across every composed serving
+    * layout. Tombstones co-keyed by centroid (same derivation: batch
+    * ids join the bucketed float vecs, nearest-STORED-centroid
+    * assignment reproduces the stored list placement deterministically)
+    * with the same contracts: absent ids are a no-op, re-insert fails
+    * loudly until [[compactIvfPq]] folds, snapshot_id drops, `batchId`
+    * replay-skips on `last_del_batch_id`.
+    */
+  def deleteIvfPq(
+      spark: SparkSession,
+      sourceDir: String,
+      ids: DataFrame,
+      batchId: Option[Long] = None): IvfPqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfPqBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("lists") && meta.contains("num_sub"),
+      s"deleteIvfPq needs an existing persisted IVF-PQ index for " +
+        s"'$sourceDir' — run ensureIvfPq first")
+    val storageBuckets = meta("buckets").toInt
+    require(Seq("lists", "vecs", "centroids", "codebook")
+        .forall(d => parquetReadable(spark, s"$base/$d")),
+      s"persisted IVF-PQ layout for '$sourceDir' is unreadable — run " +
+        "ensureIvfPq to rebuild before deleting")
+    if (!ivfPqRegistered(spark, tag))
+      attachIvfPq(spark, tag, storageBuckets)
+    val replayed = batchId.exists(id =>
+      meta.get("last_del_batch_id").exists(id <= _))
+    if (replayed) return ivfPqHandle(spark, tag, meta)
+    val batch = SimilaritySearch.assignWithVecs(
+        spark.table(s"graft_ivfpq_vecs_$tag")
+          .join(ids.select("vec_id").distinct(), Seq("vec_id"),
+            "left_semi"),
+        spark.read.parquet(s"$base/centroids"))
+      .select("centroid_id", "vec_id")
+    val nDel = batch.count()
+    writeTombs(spark, base, s"graft_ivfpq_tombs_$tag", batch,
+      storageBuckets)
+    writeMetaFull(base,
+      (meta - "tomb_rows" - "last_del_batch_id").toSeq ++
+        Seq("tomb_rows" -> (meta.getOrElse("tomb_rows", 0L) + nDel)) ++
+        batchId.orElse(meta.get("last_del_batch_id"))
+          .map("last_del_batch_id" -> _).toSeq,
+      Nil) // snapshot_id intentionally dropped: the layout moved past it
+    ivfPqHandle(spark, tag, readMeta(base))
+  }
+
+  /** [[ivfSq8Exists]]'s IVF-PQ twin: meta-only operating-point check,
+    * for the build-vs-open branch a tombstone-serving caller needs. */
+  def ivfPqExists(spark: SparkSession, sourceDir: String,
+      lists: Int = 64, iters: Int = 5, numSub: Int = 16, ksub: Int = 64,
+      pqIters: Int = 2, storageBuckets: Int = 8): Boolean = {
+    val meta = readMeta(ivfPqBase(spark, IndexStore.pathTag(sourceDir)))
+    meta.get("lists").contains(lists.toLong) &&
+      meta.get("iters").contains(iters.toLong) &&
+      meta.get("num_sub").contains(numSub.toLong) &&
+      meta.get("ksub").contains(ksub.toLong) &&
+      meta.get("pq_iters").contains(pqIters.toLong) &&
+      meta.get("buckets").contains(storageBuckets.toLong)
+  }
+
   /** Open an existing persisted IVF-PQ index read-only, WITHOUT a
     * freshness probe (the openSq8/openIvfSq8 contract). */
   def openIvfPq(spark: SparkSession, sourceDir: String): IvfPqHandle = {
@@ -1984,8 +2303,63 @@ object AnnIndex {
     else {
       spark.catalog.refreshTable(s"graft_ivfpq_lists_$tag")
       spark.catalog.refreshTable(s"graft_ivfpq_vecs_$tag")
+      // tombstones may have (dis)appeared under another session's
+      // delete or fold — re-derive the registration from the store
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivfpq_tombs_$tag")
+      if (parquetReadable(spark, s"$base/tombs"))
+        registerExternal(spark, s"graft_ivfpq_tombs_$tag", s"$base/tombs",
+          clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
     ivfPqHandle(spark, tag, meta)
+  }
+
+  /** Compact the persisted IVF-PQ layout — the lifecycle-parity verb
+    * the layout was missing (a long-streamed IVF-PQ index accumulated
+    * small files with no remedy short of rebuild): rewrites the
+    * PQ-coded lists at the same partitioning and the float vecs at the
+    * same bucketing (the [[compactIvfSq8]] side-dir + rename-swap
+    * crash recipe — mid-window unreadable layouts read as STALE by
+    * `ensureIvfPq` and rebuild), folding any tombstones into the base
+    * as it goes (drop deleted rows, reset tomb_rows, recompute the
+    * live fingerprint; replay-skip counters survive). Centroids and
+    * codebook (tiny model artifacts) are untouched — compaction
+    * changes files, never the trained model. Not safe concurrent with
+    * a writer.
+    */
+  def compactIvfPq(spark: SparkSession, sourceDir: String): IvfPqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfPqBase(spark, tag)
+    openIvfPq(spark, sourceDir) // validates meta + attaches + refreshes
+    val meta = readMeta(base)
+    val sb = meta("buckets").toInt
+    val folding = meta.get("tomb_rows").exists(_ > 0L) &&
+      spark.catalog.tableExists(s"graft_ivfpq_tombs_$tag")
+    val tombs =
+      if (folding) Some(spark.table(s"graft_ivfpq_tombs_$tag")) else None
+    compactPartitioned(spark, base, s"graft_ivfpq_lists_$tag", "lists",
+      "centroid_id",
+      tombs.map(t => spark.table(s"graft_ivfpq_lists_$tag")
+        .join(t, Seq("centroid_id", "vec_id"), "left_anti")))
+    compactBucketed(spark, base, s"graft_ivfpq_vecs_$tag", "vecs",
+      "vec_id", sb,
+      tombs.map(t => spark.table(s"graft_ivfpq_vecs_$tag")
+        .join(t.select("vec_id"), Seq("vec_id"), "left_anti")))
+    if (folding) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivfpq_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+    }
+    attachIvfPq(spark, tag, sb)
+    if (folding) {
+      val (n, fp) = fingerprint(spark.table(s"graft_ivfpq_vecs_$tag")
+        .select("vec_id", "embedding"))
+      writeMetaFull(base,
+        (meta - "n_rows" - "checksum" - "tomb_rows").toSeq ++
+          Seq("n_rows" -> n, "checksum" -> fp),
+        Nil)
+    }
+    ivfPqHandle(spark, tag, readMeta(base))
   }
 
   /** Query the persisted IVF-PQ index: rank centroids per query
@@ -2010,6 +2384,32 @@ object AnnIndex {
       handle.numSub, handle.ksub)
     SimilaritySearch.rerank(
       SimilaritySearch.ivfPqCandidates(queries, handle.lists,
+        handle.centroids, flat, handle.numSub, handle.ksub, nProbe, m),
+      queries, handle.vecs, k)
+  }
+
+  /** Metadata-FILTERED search on the composed IVF-PQ layout —
+    * [[queryIvfSq8Filtered]]'s PQ twin, same PRE-filter semantics
+    * (top-m ADC and top-k taken WITHIN the allowed set) and the same
+    * scale shape: DPP still prunes unprobed list directories, probed
+    * rows still read at numSub bytes, the semi-join keys ids only.
+    * Certify the (nProbe, m) point under the target selectivity
+    * (q144 pins ~50%).
+    */
+  def queryIvfPqFiltered(
+      queries: DataFrame,
+      handle: IvfPqHandle,
+      allowed: DataFrame,
+      k: Int = 4,
+      nProbe: Int = 24,
+      m: Int = 64): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    val flat = SimilaritySearch.collectCodebook(handle.codebook,
+      handle.numSub, handle.ksub)
+    SimilaritySearch.rerank(
+      SimilaritySearch.ivfPqCandidates(queries,
+        handle.lists.join(allowed.select("vec_id"), Seq("vec_id"),
+          "left_semi"),
         handle.centroids, flat, handle.numSub, handle.ksub, nProbe, m),
       queries, handle.vecs, k)
   }

@@ -693,4 +693,165 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hits(AnnIndex.querySq8(queries, hClear, k = 4, m = 32))
       === hits(SimilaritySearch.bruteForceTopK(queries, emb, k = 4)))
   }
+
+  test("deleteIvfSq8: centroid-co-keyed tombstones serve float-IVF-over-" +
+      "survivors; compactIvfSq8 folds them; re-add + ensure stay coherent") {
+    val src = s"spec-$runTag-ivfsq8del"
+    AnnIndex.ensureIvfSq8(spark, src, emb, lists = 8, iters = 3)
+    val delIds = emb.filter(col("vec_id") < 8).select("vec_id")
+    val h = AnnIndex.deleteIvfSq8(spark, src, delIds)
+    // logical delete: rows survive on disk, the served view excludes them
+    assert(h.lists.count() === emb.count() - 8)
+    assert(h.vecs.count() === emb.count() - 8)
+    // reference: the FLOAT IVF over the survivors at the same stored
+    // centroids (the q141 closure — composed ≡ float at the certified
+    // (nProbe, m), so tombstoned composed ≡ survivor-restricted float)
+    val survivors = emb.filter(col("vec_id") >= 8)
+    val expected = hits(SimilaritySearch.ivfTopK(queries, survivors,
+      h.centroids, k = 4, nProbe = 3))
+    assert(hits(AnnIndex.queryIvfSq8(queries, h, k = 4, nProbe = 3,
+      m = 16)) === expected)
+    // deleting absent or already-deleted ids is a served-set no-op
+    val h2 = AnnIndex.deleteIvfSq8(spark, src,
+      spark.range(1000000, 1000004).toDF("vec_id")
+        .unionByName(delIds.limit(2)))
+    assert(hits(AnnIndex.queryIvfSq8(queries, h2, k = 4, nProbe = 3,
+      m = 16)) === expected)
+    // replayed delete batch (last_del_batch_id) is skipped
+    AnnIndex.deleteIvfSq8(spark, src, delIds.limit(1), batchId = Some(7L))
+    AnnIndex.deleteIvfSq8(spark, src,
+      emb.filter(col("vec_id") >= 8 && col("vec_id") < 12).select("vec_id"),
+      batchId = Some(7L))
+    assert(hits(AnnIndex.queryIvfSq8(queries,
+      AnnIndex.openIvfSq8(spark, src), k = 4, nProbe = 3, m = 16))
+      === expected)
+    // re-inserting a tombstoned id fails loudly before the fold
+    val clash = intercept[IllegalArgumentException] {
+      AnnIndex.upsertIvfSq8(spark, src, emb.filter(col("vec_id") === 3),
+        lists = 8, iters = 3)
+    }
+    assert(clash.getMessage.contains("tombstoned"))
+    // FOLD: physical removal, identical answers, tombstone dir gone
+    val folded = AnnIndex.compactIvfSq8(spark, src)
+    assert(folded.lists.count() === emb.count() - 8)
+    assert(folded.vecs.count() === emb.count() - 8)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"/tmp/graft_ann_ivfsq8_${IndexStore.pathTag(src)}", "tombs")))
+    assert(hits(AnnIndex.queryIvfSq8(queries, folded, k = 4, nProbe = 3,
+      m = 16)) === expected)
+    // after the fold the deleted ids come back via plain upsert, and the
+    // re-composed layout answers like the full in-memory composed path
+    val back = AnnIndex.upsertIvfSq8(spark, src,
+      emb.filter(col("vec_id") < 8), lists = 8, iters = 3)
+    assert(hits(AnnIndex.queryIvfSq8(queries, back, k = 4, nProbe = 3,
+      m = 16)) === hits(SimilaritySearch.ivfSq8TopK(queries, emb,
+      back.centroids, k = 4, nProbe = 3, m = 16)))
+    // checksum coherence survived delete → fold → re-add: ensure over
+    // the original source REUSES (meta untouched)…
+    val metaP = java.nio.file.Paths.get(
+      s"/tmp/graft_ann_ivfsq8_${IndexStore.pathTag(src)}", "_ann_meta.json")
+    val t1 = java.nio.file.Files.getLastModifiedTime(metaP)
+    AnnIndex.ensureIvfSq8(spark, src, emb, lists = 8, iters = 3)
+    assert(java.nio.file.Files.getLastModifiedTime(metaP) === t1,
+      "re-composed layout must satisfy ensure without a rebuild")
+    // …while a fresh delete followed by ensure REBUILDS (cleared tombs)
+    AnnIndex.deleteIvfSq8(spark, src, delIds)
+    val hClear = AnnIndex.ensureIvfSq8(spark, src, emb, lists = 8, iters = 3)
+    assert(hClear.lists.count() === emb.count())
+  }
+
+  test("deleteIvfPq + compactIvfPq: the PQ serving layout gains the same " +
+      "delete/fold/compaction lifecycle; filtered queries stay pre-filter") {
+    val src = s"spec-$runTag-ivfpqdel"
+    AnnIndex.ensureIvfPq(spark, src, emb, lists = 8, iters = 2)
+    val delIds = emb.filter(col("vec_id") < 8).select("vec_id")
+    val h = AnnIndex.deleteIvfPq(spark, src, delIds)
+    assert(h.lists.count() === emb.count() - 8)
+    val survivors = emb.filter(col("vec_id") >= 8)
+    val expected = hits(SimilaritySearch.ivfTopK(queries, survivors,
+      h.centroids, k = 4, nProbe = 3))
+    assert(hits(AnnIndex.queryIvfPq(queries, h, k = 4, nProbe = 3,
+      m = 128)) === expected)
+    // clash guard before the fold
+    val clash = intercept[IllegalArgumentException] {
+      AnnIndex.upsertIvfPq(spark, src, emb.filter(col("vec_id") === 3))
+    }
+    assert(clash.getMessage.contains("tombstoned"))
+    // fold: physical removal, identical answers, fewer files than the
+    // freshly-deleted layout would accumulate after appends
+    val folded = AnnIndex.compactIvfPq(spark, src)
+    assert(folded.lists.count() === emb.count() - 8)
+    assert(folded.vecs.count() === emb.count() - 8)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"/tmp/graft_ann_ivfpq_${IndexStore.pathTag(src)}", "tombs")))
+    assert(hits(AnnIndex.queryIvfPq(queries, folded, k = 4, nProbe = 3,
+      m = 128)) === expected)
+    // re-add after the fold: the layout re-composes to the full set and
+    // a later ensure reuses it (checksum coherence)
+    val back = AnnIndex.upsertIvfPq(spark, src,
+      emb.filter(col("vec_id") < 8))
+    assert(back.lists.count() === emb.count())
+    val metaP = java.nio.file.Paths.get(
+      s"/tmp/graft_ann_ivfpq_${IndexStore.pathTag(src)}", "_ann_meta.json")
+    val t1 = java.nio.file.Files.getLastModifiedTime(metaP)
+    AnnIndex.ensureIvfPq(spark, src, emb, lists = 8, iters = 2)
+    assert(java.nio.file.Files.getLastModifiedTime(metaP) === t1,
+      "re-composed layout must satisfy ensure without a rebuild")
+  }
+
+  test("compactIvfPq rewrites upserted appends into few files with " +
+      "identical answers; the replay guard survives") {
+    val src = s"spec-$runTag-ivfpqc"
+    val baseRows = emb.filter(col("vec_id") % 10 =!= 3)
+    AnnIndex.ensureIvfPq(spark, src, baseRows, lists = 8, iters = 2)
+    // several small upsert batches to fragment the partitioned layout
+    val tail = emb.filter(col("vec_id") % 10 === 3)
+    Seq(0, 1, 2).foreach(i =>
+      AnnIndex.upsertIvfPq(spark, src,
+        tail.filter(col("vec_id") % 3 === i), batchId = Some(i.toLong)))
+    val before = AnnIndex.openIvfPq(spark, src)
+    assert(before.lists.count() === emb.count())
+    val beforeHits = hits(AnnIndex.queryIvfPq(queries, before, k = 4,
+      nProbe = 3, m = 64))
+    val beforeFiles = before.lists.inputFiles.length +
+      before.vecs.inputFiles.length
+    val h = AnnIndex.compactIvfPq(spark, src)
+    assert(h.lists.inputFiles.length + h.vecs.inputFiles.length
+      < beforeFiles,
+      s"no file-count win ($beforeFiles -> ${
+        h.lists.inputFiles.length + h.vecs.inputFiles.length})")
+    assert(hits(AnnIndex.queryIvfPq(queries, h, k = 4, nProbe = 3,
+      m = 64)) === beforeHits)
+    // replayed upsert batch id still skipped after compaction
+    val n1 = h.lists.count()
+    AnnIndex.upsertIvfPq(spark, src,
+      tail.select((col("vec_id") + 910000L).as("vec_id"), col("embedding")),
+      batchId = Some(2L))
+    assert(AnnIndex.openIvfPq(spark, src).lists.count() === n1,
+      "replay guard lost by compaction")
+  }
+
+  test("queryIvfSq8Filtered / queryIvfPqFiltered: pre-filter semantics — " +
+      "top-k within the allowed set, identical to the filtered float IVF") {
+    val allEmb = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val allowed = allEmb.filter(col("label") % 2 === 0).select("vec_id")
+    val allowedRows = allEmb.filter(col("label") % 2 === 0)
+      .select("vec_id", "embedding")
+    val srcA = s"spec-$runTag-ivfsq8f"
+    val hA = AnnIndex.ensureIvfSq8(spark, srcA, emb, lists = 8, iters = 3)
+    val expA = hits(SimilaritySearch.ivfTopK(queries, allowedRows,
+      hA.centroids, k = 4, nProbe = 3))
+    val gotA = AnnIndex.queryIvfSq8Filtered(queries, hA, allowed, k = 4,
+      nProbe = 3, m = 16)
+    assert(hits(gotA) === expA)
+    // every hit inside the filter (pre-filter can't leak)
+    assert(gotA.join(allowed, Seq("vec_id"), "left_anti").count() === 0)
+    val srcB = s"spec-$runTag-ivfpqf"
+    val hB = AnnIndex.ensureIvfPq(spark, srcB, emb, lists = 8, iters = 2)
+    val gotB = AnnIndex.queryIvfPqFiltered(queries, hB, allowed, k = 4,
+      nProbe = 3, m = 128)
+    assert(hits(gotB) === hits(SimilaritySearch.ivfTopK(queries,
+      allowedRows, hB.centroids, k = 4, nProbe = 3)))
+    assert(gotB.join(allowed, Seq("vec_id"), "left_anti").count() === 0)
+  }
 }
