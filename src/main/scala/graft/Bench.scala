@@ -104,7 +104,13 @@ object Bench {
       // round-9 additions: delete/filtered closures on the composed
       // layouts — each runs the float-IVF reference and the exact kNN
       // beside the operator under test
-      "q141", "q142", "q143", "q144")
+      "q141", "q142", "q143", "q144",
+      // quantized-hybrid identity panel (three full hybrid paths)
+      "q145",
+      // 1536-dim persisted PQ canary; Zipf-teeth heavy hitters;
+      // leakage-safe split; DSIR resampling; CCNet ppl buckets;
+      // quantized-adaptive identity panel
+      "q146", "q147", "q148", "q149", "q150", "q151")
     // The harness that records this line captures only the TAIL of the
     // process output (~2000 chars), so the parsed JSON line must stay
     // well under that: short query keys (the unique qNN prefix), 2-decimal

@@ -811,4 +811,42 @@ object CorpusOps {
       .withColumn("shuffle_pos", col("offset") + col("pos_in_part"))
       .drop("skey", "pid", "pos_in_part", "offset")
   }
+
+  /** Leakage-safe train/val/test split: the unit of assignment is the
+    * GROUP (near-dup cluster, source domain, url host…), never the row,
+    * so two rows of the same group can NEVER straddle splits — the
+    * contamination mode a row-level random split silently commits
+    * (a train document's near-duplicate landing in test inflates eval).
+    *
+    * The decision is [[sampleStratified]]'s engine-portable md5-prefix
+    * uniform: split = the first name whose CUMULATIVE fraction boundary
+    * (`hexThreshold`) exceeds `substring(md5(group ":" seed), 1, 4)` —
+    * a pure per-row projection, NO shuffle, no group table, and the
+    * same group value always lands in the same split on any cluster
+    * size or engine (the oracle replays the ladder verbatim). Fractions
+    * must sum to 1 (±1e-9); the last split absorbs the top boundary.
+    * Realized fractions are granular at the GROUP level: a split only
+    * approximates its fraction when groups are numerous and none
+    * dominates — exactly the regime splits are computed in.
+    */
+  def groupSplit(df: DataFrame, groupCol: String,
+      splits: Seq[(String, Double)], seed: Long = 0L): DataFrame = {
+    require(splits.nonEmpty, "groupSplit: need at least one split")
+    require(splits.forall(_._2 > 0.0),
+      s"groupSplit: every fraction must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"groupSplit: fractions must sum to 1: ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"groupSplit: duplicate split names: ${splits.map(_._1)}")
+    val hv = substring(
+      md5(concat(col(groupCol).cast("string"), lit(":" + seed))), 1, 4)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // ladder of cumulative boundaries; the last split is the otherwise
+    // branch, so the full [0, 1) mass is always assigned
+    val assigned = splits.init.zip(cum.init).reverse.foldLeft(
+      lit(splits.last._1): Column) { case (acc, ((name, _), c)) =>
+      when(hv < lit(hexThreshold(c)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
 }

@@ -37,7 +37,20 @@ object Frequency {
     * ngram asc) — a total order, deterministic at every scale.
     */
   def topNgramsExact(df: DataFrame, n: Int, k: Int, capacity: Int,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    topNgramsExactWithDelta(df, n, k, capacity, textCol)._1
+
+  /** [[topNgramsExact]] plus the sketch's tracked decrement mass
+    * (delta) — the certification's evidence. delta is partitioning-
+    * dependent (a merge-order artifact), so it must never enter a
+    * deterministic output; expose it for measurement and for pinning
+    * "certification had teeth" (delta > 0) on Zipfian corpora, where
+    * the distinct-gram count exceeds capacity and purges actually
+    * happen (q147 — a near-uniform corpus certifies trivially at
+    * delta = 0, which proves nothing about the refusal rule).
+    */
+  def topNgramsExactWithDelta(df: DataFrame, n: Int, k: Int,
+      capacity: Int, textCol: String = "text"): (DataFrame, Long) = {
     require(n >= 1, s"n must be positive: $n")
     require(k >= 1, s"k must be positive: $k")
     require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
@@ -67,9 +80,9 @@ object Frequency {
       s"topNgramsExact NOT certifiable: k-th exact count $kth <= sketch " +
         s"delta $delta — an unsketched n-gram could outrank it. Raise " +
         s"capacity (= $capacity) until delta < the k-th count.")
-    exact.zipWithIndex.map { case (r, i) =>
+    (exact.zipWithIndex.map { case (r, i) =>
       (i + 1, r.getString(0), r.getLong(1))
-    }.toSeq.toDF("rank", "ngram", "cnt")
+    }.toSeq.toDF("rank", "ngram", "cnt"), delta)
   }
 
   /** [[topNgramsExact]] PER GROUP (per-language/per-domain top terms —

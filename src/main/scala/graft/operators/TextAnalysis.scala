@@ -307,4 +307,93 @@ object TextAnalysis {
           .otherwise(col("deflate_len").cast("double") / col("raw_len")))
       .drop("ds")
   }
+
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling" — public): score every document by the
+    * log-likelihood ratio of a TARGET-domain unigram LM over the RAW
+    * corpus unigram LM, averaged per token (length-normalized so long
+    * documents don't dominate by token count alone). Downstream,
+    * [[CorpusOps.sampleWeighted]] over `exp(log_w)` IS the importance
+    * resampling step — the composition q149 ships.
+    *
+    * Both LMs use add-α smoothing over the SHARED raw-corpus
+    * vocabulary (the target is a subset of the corpus, so every scored
+    * token has a raw count; target counts coalesce to 0):
+    *   log_w(d) = avg_tok [ ln((c_t + α)/(N_t + α|V|))
+    *                      − ln((c_r + α)/(N_r + α|V|)) ]
+    * Output: (doc_id, n_tok, log_w rounded to 6). Empty documents emit
+    * no row; an empty target set fails loudly (weights would degenerate
+    * to a constant and "resampling" would silently be uniform).
+    *
+    * Scale shape (the [[lmScore]] discipline): two map-side-combinable
+    * unigram count aggregates (token-keyed, linear — at 100 TB the
+    * count tables stay distributed), one hash join of the token stream
+    * against the raw table plus a LEFT join against the target table
+    * (exchanges carry (doc_id, token, 8-byte count) only), scalars ride
+    * one broadcast, then a doc-keyed avg.
+    */
+  def importanceWeights(df: DataFrame, targetPred: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive: $alpha")
+    val arr = filter(split(col(textCol), " "), t => t =!= "")
+    val toks = df.select(col(idCol), targetPred.as("__tgt"),
+        explode(arr).as("tok"))
+    val uniR = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
+    val uniT = toks.filter(col("__tgt"))
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val tot = uniR.agg(sum("cr").as("nr"), count(lit(1)).as("v"))
+      .crossJoin(uniT.agg(
+        // loud empty-target guard rides the same 1-row aggregate
+        when(coalesce(sum("ct"), lit(0L)) === 0L,
+          raise_error(lit("importanceWeights: target predicate matched " +
+            "no tokens — the likelihood ratio is undefined; fix the " +
+            "predicate or the corpus")))
+          .otherwise(sum("ct")).as("nt")))
+    toks
+      .join(uniR, Seq("tok"))
+      .join(uniT, Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lr",
+        log((coalesce(col("ct"), lit(0L)) + alpha)
+          / (col("nt") + col("v") * alpha))
+          - log((col("cr") + alpha) / (col("nr") + col("v") * alpha)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(col("lr")), 6).as("log_w"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 — public):
+    * label every document head / middle / tail by its [[lmScore]]
+    * perplexity TERCILE WITHIN its language — the standard quality
+    * stratification a curation pipeline mixes on (head = most fluent
+    * third under the LM). Boundaries are the exact interpolated
+    * per-language (⅓, ⅔) percentiles of ppl; a document is `head` when
+    * ppl ≤ p33, `middle` when ≤ p66, else `tail` (boundary ties go to
+    * the better bucket — value-based, so no rank tie-break
+    * nondeterminism). Output: (doc_id, lang-col, n_tok, ppl, bucket).
+    *
+    * Scale shape: [[lmScore]] as documented; the boundary table is one
+    * ≤-languages-row aggregate that BROADCASTS (the [[CorpusOps
+    * .trimOutliers]] discipline — no per-language sort window over the
+    * corpus, so a dominant language cannot pin a single task);
+    * `percentile_approx` is the certified 100 TB drop-in (q107).
+    */
+  def perplexityBuckets(df: DataFrame, byCol: String = "lang",
+      textCol: String = "text", idCol: String = "doc_id",
+      alpha: Double = 0.1, lambda: Double = 0.7): DataFrame = {
+    val scored = lmScore(df, textCol, idCol, alpha, lambda)
+      .join(df.select(col(idCol), col(byCol)), Seq(idCol))
+    val bounds = scored.groupBy(byCol).agg(
+      percentile(col("ppl"), lit(1.0 / 3.0)).as("p33"),
+      percentile(col("ppl"), lit(2.0 / 3.0)).as("p66"))
+    scored.join(broadcast(bounds), Seq(byCol))
+      .withColumn("bucket",
+        when(col("ppl") <= col("p33"), lit("head"))
+          .when(col("ppl") <= col("p66"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(byCol), col("n_tok"), col("ppl"),
+        col("bucket"))
+  }
 }

@@ -1053,6 +1053,155 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // PERSISTED PQ at the reference's 1536-dim operating point — the
+    // dim-hardcoding canary for the PQ family (what DIM1536 pins for
+    // SQ8). Fixture: GROUP-structured tiled vectors — every vec_id
+    // shares the base embedding of its representative (vec_id % G,
+    // G = n/8 so ~8 members per group at every scale), tiled 24× with
+    // per-tile decay 0.9^j, plus a per-member perturbation
+    // (p·0.03, p = vec_id / G) on dim 0 that makes within-group scores
+    // distinct. Within-group cosines ≈ 1 vs cross-group ≈ 0.4, so the
+    // true top-4 is always inside the ADC candidate set at m = 64 and
+    // the exact float re-rank makes queryPq ≡ exact kNN ROBUSTLY —
+    // unlike a random-direction fixture, where numSub=96/ksub=256
+    // reconstruction noise on 2 000 unclustered points reorders ranks
+    // at any margin (measured: a true rank-2 neighbor at ADC rank 815).
+    // The construction is float-rounded and replayed verbatim by the
+    // DuckDB oracle.
+    "q146_pq1536_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g = emb.count() / 8
+      val based = emb.select(col("vec_id"),
+          (col("vec_id") % g).as("rid"),
+          floor(col("vec_id") / lit(g)).cast("long").as("p"))
+        .join(broadcast(emb.select(col("vec_id").as("rid"),
+          col("embedding").as("bemb"))), Seq("rid"))
+      val tiled = based.select(col("vec_id"),
+        concat(
+          array((element_at(col("bemb"), 1) + col("p") * 0.03)
+            .cast("float")),
+          transform(slice(col("bemb"), 2, 63), x => x.cast("float")),
+          flatten(transform(sequence(lit(1), lit(23)),
+            j => transform(col("bemb"),
+              x => (x * pow(lit(0.9), j)).cast("float"))))).as("embedding"))
+      val q = tiled.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val h = graft.sources.AnnIndex.ensurePq(s, s"$dir#pq1536", tiled,
+        numSub = 96, ksub = 256, iters = 2)
+      graft.sources.AnnIndex.queryPq(q, h, k = 4, m = 64)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // Certified heavy hitters WITH TEETH: q125's near-uniform corpus
+    // fits every bigram in the sketch (delta = 0 — certification is
+    // trivially true and proves nothing about the refusal rule). Here
+    // the corpus is a deterministic ZIPF stream — 16 tokens per doc,
+    // token = z⌊M/(t+1)⌋ for t = (doc_id·16 + i) mod M (harmonic
+    // bucketing: rank-r count ∝ 1/(r(r+1)), ~2√M ≈ 141 distinct) — so
+    // capacity 64 < distinct forces MG purges in every map task,
+    // delta > 0, and the k-th-count > delta certification is earned,
+    // not vacuous. delta itself is a merge-order artifact (never in
+    // deterministic output); the hash-compared `delta_has_teeth`
+    // column records that it was NONZERO at every scale.
+    "q147_heavy_hitters_zipf" -> ((s, dir) => {
+      val ztext = t(s, dir, "documents").select(
+        concat_ws(" ", transform(sequence(lit(0), lit(15)),
+          i => concat(lit("z"),
+            floor(lit(4999) / ((col("doc_id") * 16 + i) % 4999 + 1))
+              .cast("long").cast("string")))).as("text"))
+      val (top, delta) = Frequency.topNgramsExactWithDelta(
+        ztext, n = 1, k = 10, capacity = 64)
+      top.withColumn("delta_has_teeth", lit(delta > 0L))
+    }),
+
+    // LEAKAGE-SAFE SPLIT: the unit of assignment is the exact-dup
+    // cluster (min doc_id per identical text), so a train document's
+    // duplicate can never land in test — the contamination a row-level
+    // split commits silently. Assignment is the engine-portable
+    // md5-prefix ladder (pure projection, zero extra shuffle beyond
+    // the cluster join). Output: per-split group/row counts + the
+    // hash-compared n_straddle = 0 leakage invariant.
+    "q148_group_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val withGrp = d.withColumn("text_hash", xxhash64(col("text")))
+        .join(Dedup.exact(d).select(col("text_hash"),
+          col("keep_doc_id").as("grp")), Seq("text_hash"))
+      val split = CorpusOps.groupSplit(withGrp, "grp",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L)
+        .localCheckpoint(false)
+      split.groupBy("split")
+        .agg(countDistinct("grp").as("n_groups"),
+          count(lit(1)).as("n_rows"))
+        .crossJoin(split.groupBy("grp")
+          .agg(countDistinct("split").as("ns"))
+          .filter(col("ns") > 1)
+          .agg(count(lit(1)).as("n_straddle")))
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): weight every doc
+    // by the per-token log-likelihood ratio of the TARGET-domain
+    // (lang = 'en') unigram LM over the raw-corpus LM, then draw the
+    // A-Res weighted sample over exp(log_w) — the document-level
+    // importance-resampled subcorpus. Fully replayed by the oracle
+    // (both LMs, the ratio, the md5 priority, the top-k).
+    "q149_dsir_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val w = TextAnalysis.importanceWeights(d, col("lang") === "en")
+      CorpusOps.sampleWeighted(
+        w.withColumn("w", exp(col("log_w"))), k = 25,
+        weight = col("w"), key = col("doc_id"), seed = 11L)
+        .select(col("rank"), col("doc_id"), col("log_w"))
+    }),
+
+    // CCNet perplexity buckets (Wenzek et al. 2020): head/middle/tail
+    // by per-LANGUAGE ppl terciles of the corpus-trained bigram LM —
+    // the quality stratification curation mixes on. Boundaries are
+    // exact interpolated percentiles broadcast per language (the
+    // trimOutliers discipline; percentile_approx is the certified
+    // 100 TB drop-in). Per-doc output so every document's bucket is
+    // hash-verified.
+    "q150_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // The QUANTIZED adaptive serving surface (the q145 discipline for
+    // the blended retriever): both probe fans served from the persisted
+    // SQ8 codes must be OUTPUT-IDENTICAL to the direct adaptive blend
+    // AND to the LSH-persisted form at the certified margin, and the
+    // alpha = 1 quantized path must degrade to the plain retrieval
+    // bit-exactly (the q89 closure, served compressed).
+    "q151_adaptive_quantized" -> ((s, dir) => {
+      import s.implicits._
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200)
+      val q = Seq((1L, 7L, "vector index scan fast"),
+        (2L, 8L, "spark join shuffle partition"))
+        .toDF("query_id", "user_id", "query_text")
+      val hist = Seq((7L, "customer order value table"),
+        (8L, "window agg batch row")).toDF("user_id", "question")
+      def hitsOf(df: DataFrame) = df.select("query_id", "rank", "chunk_id")
+      val exact = hitsOf(RagPipeline.adaptiveRetrieve(q, hist, index,
+        k = 4, alpha = 0.3))
+      val quantized = hitsOf(RagPipeline.adaptiveRetrieveQuantized(s,
+        dir + "!adaptq", q, hist, index, k = 4, alpha = 0.3))
+      val persisted = hitsOf(RagPipeline.adaptiveRetrievePersisted(s,
+        dir + "!hybrid", q, hist, index, k = 4, alpha = 0.3))
+      val plain = hitsOf(RagPipeline.retrieve(
+        q.select("query_id", "query_text"), index, k = 4))
+      val a1 = hitsOf(RagPipeline.adaptiveRetrieveQuantized(s,
+        dir + "!adaptq", q, hist, index, k = 4, alpha = 1.0))
+      exact.agg(count(lit(1)).as("n_adaptive"))
+        .crossJoin(quantized.exceptAll(exact)
+          .unionByName(exact.exceptAll(quantized))
+          .agg(count(lit(1)).as("n_diff_direct")))
+        .crossJoin(quantized.exceptAll(persisted)
+          .unionByName(persisted.exceptAll(quantized))
+          .agg(count(lit(1)).as("n_diff_persisted")))
+        .crossJoin(a1.exceptAll(plain).unionByName(plain.exceptAll(a1))
+          .agg(count(lit(1)).as("n_diff_alpha1")))
+    }),
+
     // MMR diversified retrieval (LangChain `search_type="mmr"`, the
     // reference stack's documented diversity mode) — invariant closure:
     // rank-1 ≡ the exact relevance top-1 per query, every selection
@@ -1575,6 +1724,32 @@ object PipelineQueries {
         .crossJoin(persisted.exceptAll(direct)
           .unionByName(direct.exceptAll(persisted))
           .agg(count(lit(1)).as("n_diff")))
+    }),
+
+    // The QUANTIZED hybrid serving surface (round-8 gap #3 closed):
+    // hybridRetrieveQuantized serves the dense half from the persisted
+    // SQ8 codes (4× less dense-scan I/O than the float path) and must
+    // be OUTPUT-IDENTICAL to BOTH the direct hybridRetrieve and the
+    // LSH-based hybridRetrievePersisted at the certified margin
+    // (m=64 ≥ fetchK=10) — zero symmetric difference on
+    // (query_id, rank, chunk_id) at every fixture scale.
+    "q145_hybrid_quantized" -> ((s, dir) => {
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200)
+      val q = retrievalQueryDf(s)
+      def hitsOf(df: DataFrame) = df.select("query_id", "rank", "chunk_id")
+      val direct = hitsOf(RagPipeline.hybridRetrieve(q, index, k = 4))
+      val quantized = hitsOf(RagPipeline.hybridRetrieveQuantized(s,
+        dir + "!hybridq", q, index, k = 4))
+      val persisted = hitsOf(RagPipeline.hybridRetrievePersisted(s,
+        dir + "!hybrid", q, index, k = 4))
+      direct.agg(count(lit(1)).as("n_direct"))
+        .crossJoin(quantized.exceptAll(direct)
+          .unionByName(direct.exceptAll(quantized))
+          .agg(count(lit(1)).as("n_diff_direct")))
+        .crossJoin(quantized.exceptAll(persisted)
+          .unionByName(persisted.exceptAll(quantized))
+          .agg(count(lit(1)).as("n_diff_persisted")))
     }),
 
     // SQ8-served RAG retrieval ≡ direct dense retrieval (the q87
@@ -3259,6 +3434,138 @@ object PipelineQueries {
         |    AS rank,
         |  g AS ngram, CAST(c AS BIGINT) AS cnt
         |FROM cnt ORDER BY c DESC, g ASC LIMIT 20""".stripMargin,
+    // the Zipf-stream twin: the oracle replays the harmonic-bucketing
+    // token construction and counts every token exactly; the operator
+    // must return the identical exact top-10 AND have certified it
+    // against a NONZERO sketch delta (delta_has_teeth)
+    "q147_heavy_hitters_zipf" ->
+      """WITH toks AS (
+        |  SELECT 'z' || CAST(4999 // ((d.doc_id * 16 + r.i) % 4999 + 1)
+        |    AS VARCHAR) AS g
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS i) r),
+        |cnt AS (SELECT g, count(*) AS c FROM toks GROUP BY g)
+        |SELECT CAST(row_number() OVER (ORDER BY c DESC, g ASC) AS INT)
+        |    AS rank,
+        |  g AS ngram, CAST(c AS BIGINT) AS cnt, TRUE AS delta_has_teeth
+        |FROM cnt ORDER BY c DESC, g ASC LIMIT 10""".stripMargin,
+    // leakage-safe split: replay the exact-dup grouping (min doc_id
+    // per text — the engine's hash two-phase is semantics-identical),
+    // the md5 cumulative ladder (0.8 -> 'cccd', 0.9 -> 'e666'), and
+    // the per-split counts; n_straddle = 0 is recomputed, not assumed
+    "q148_group_split" ->
+      """WITH grpd AS (
+        |  SELECT d.doc_id, m.grp FROM documents d
+        |  JOIN (SELECT text, min(doc_id) AS grp FROM documents
+        |        GROUP BY text) m USING (text)),
+        |asg AS (
+        |  SELECT grp, CASE
+        |    WHEN substring(md5(CAST(grp AS VARCHAR) || ':7'), 1, 4)
+        |      < 'cccd' THEN 'train'
+        |    WHEN substring(md5(CAST(grp AS VARCHAR) || ':7'), 1, 4)
+        |      < 'e666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM grpd),
+        |straddle AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_straddle FROM (
+        |    SELECT grp FROM asg GROUP BY grp
+        |    HAVING count(DISTINCT split) > 1))
+        |SELECT split, CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+        |  CAST(count(*) AS BIGINT) AS n_rows, s.n_straddle
+        |FROM asg CROSS JOIN straddle s
+        |GROUP BY split, s.n_straddle""".stripMargin,
+    // DSIR: both unigram LMs over the shared raw vocabulary, the
+    // length-normalized log ratio, exp -> A-Res priority (the q133
+    // 13-hex-digit md5 parse), top-25
+    "q149_dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |tgt AS (
+        |  SELECT t.doc_id, t.tok FROM toks t
+        |  JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+        |uniR AS (SELECT tok, count(*) AS cr FROM toks GROUP BY tok),
+        |totR AS (SELECT sum(cr) AS nr, count(*) AS v FROM uniR),
+        |uniT AS (SELECT tok, count(*) AS ct FROM tgt GROUP BY tok),
+        |totT AS (SELECT sum(ct) AS nt FROM uniT),
+        |lw AS (
+        |  SELECT t.doc_id, round(avg(
+        |    ln((coalesce(ut.ct, 0) + 0.1) / (tt.nt + 0.1 * tr.v))
+        |    - ln((ur.cr + 0.1) / (tr.nr + 0.1 * tr.v))), 6) AS log_w
+        |  FROM toks t
+        |  JOIN uniR ur USING (tok)
+        |  LEFT JOIN uniT ut USING (tok)
+        |  CROSS JOIN totR tr CROSS JOIN totT tt
+        |  GROUP BY t.doc_id),
+        |h AS (
+        |  SELECT doc_id, log_w, exp(log_w) AS w,
+        |    md5(CAST(doc_id AS VARCHAR) || ':11') AS hx
+        |  FROM lw),
+        |dg AS (SELECT doc_id, unnest(range(1, 14)) AS i FROM h),
+        |v AS (
+        |  SELECT doc_id,
+        |    sum(CAST(strpos('0123456789abcdef', substr(h.hx, dg.i, 1))
+        |      - 1 AS BIGINT) * CAST(power(16, 13 - dg.i) AS BIGINT))
+        |      AS hv
+        |  FROM dg JOIN h USING (doc_id) GROUP BY doc_id),
+        |p AS (
+        |  SELECT h.doc_id, h.log_w,
+        |    ln((v.hv + 0.5) / 4503599627370496.0) / h.w AS logpri
+        |  FROM h JOIN v USING (doc_id) WHERE h.w > 0),
+        |sel AS (
+        |  SELECT doc_id, log_w,
+        |    row_number() OVER (ORDER BY logpri DESC, doc_id ASC) AS rank
+        |  FROM p)
+        |SELECT CAST(rank AS INT) AS rank, doc_id, log_w
+        |FROM sel WHERE rank <= 25""".stripMargin,
+    // CCNet buckets: the q104 LM replay + per-language exact tercile
+    // boundaries (quantile_cont == Spark's interpolated percentile,
+    // the q136-proven equivalence) + the value-based bucket CASE
+    "q150_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok, ord FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split(text, ' ')) AS tok,
+        |           generate_subscripts(string_split(text, ' '), 1) AS ord
+        |    FROM documents) WHERE tok <> ''),
+        |seq AS (
+        |  SELECT doc_id, ord, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS prev
+        |  FROM toks),
+        |uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c1) AS n_total, count(*) AS v_size FROM uni),
+        |bi AS (SELECT prev, tok, count(*) AS c2 FROM seq
+        |       WHERE prev IS NOT NULL GROUP BY prev, tok),
+        |scored AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN s.prev IS NULL
+        |      THEN (u.c1 + 0.1) / (t.n_total + 0.1 * t.v_size)
+        |      ELSE 0.7 * ((b.c2 + 0.1) / (up.c1 + 0.1 * t.v_size))
+        |         + 0.3 * ((u.c1 + 0.1) / (t.n_total + 0.1 * t.v_size))
+        |    END AS p
+        |  FROM seq s
+        |  JOIN uni u ON s.tok = u.tok
+        |  LEFT JOIN uni up ON s.prev = up.tok
+        |  LEFT JOIN bi b ON s.prev = b.prev AND s.tok = b.tok
+        |  CROSS JOIN tot t),
+        |lm AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    round(exp(-avg(ln(p))), 4) AS ppl
+        |  FROM scored GROUP BY doc_id),
+        |lang AS (
+        |  SELECT l.doc_id, d.lang, l.n_tok, l.ppl
+        |  FROM lm l JOIN documents d USING (doc_id)),
+        |bounds AS (
+        |  SELECT lang, quantile_cont(ppl, 1.0/3) AS p33,
+        |    quantile_cont(ppl, 2.0/3) AS p66
+        |  FROM lang GROUP BY lang)
+        |SELECT g.doc_id, g.lang, g.n_tok, g.ppl,
+        |  CASE WHEN g.ppl <= b.p33 THEN 'head'
+        |       WHEN g.ppl <= b.p66 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM lang g JOIN bounds b USING (lang)
+        |ORDER BY doc_id""".stripMargin,
     // the oracle recomputes the Gopher stats relationally: the same
     // span-degraded corpus, then a 9-way positional n-gram explode with
     // per-(doc, n, gram) counts — top coverage as max(count × chars),
@@ -3443,6 +3750,43 @@ object PipelineQueries {
     "q111_mrl_frontloaded" -> knnFrontLoadedOracle,
     // ...and so is the truncate-then-quantize composition
     "q112_mrl_sq8" -> knnFrontLoadedOracle,
+    // 1536-dim persisted PQ ≡ exact kNN over the group-structured
+    // tiled fixture (the same float-rounded construction, replayed
+    // verbatim: base = embedding of vec_id % (n/8), dim-0 perturbed by
+    // (vec_id / (n/8))·0.03, tiles 1-23 decayed 0.9^j)
+    "q146_pq1536_persisted" ->
+      """WITH params AS (
+        |  SELECT CAST(count(*) // 8 AS BIGINT) AS g FROM embeddings),
+        |based AS (
+        |  SELECT e.vec_id, e.vec_id // p.g AS p, r.embedding AS bemb
+        |  FROM embeddings e CROSS JOIN params p
+        |  JOIN embeddings r ON r.vec_id = e.vec_id % p.g),
+        |tiled AS (
+        |  SELECT vec_id,
+        |    [CAST(bemb[1] + p * 0.03 AS FLOAT)]
+        |    || list_transform(bemb[2:64], x -> CAST(x AS FLOAT))
+        |    || flatten(list_transform(range(1, 24),
+        |      j -> list_transform(bemb,
+        |        x -> CAST(x * power(0.9, j) AS FLOAT)))) AS embedding
+        |  FROM based),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(x.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+        |                             CAST(x.embedding AS DOUBLE[]))))
+        |    AS score
+        |  FROM tiled q CROSS JOIN tiled x
+        |  WHERE q.vec_id < 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 4""".stripMargin,
     // filtered retrieval: exact top-4 among even-label vectors only
     "q113_filtered_knn" -> knnFilteredOracle,
     // the filtered SQ8-served path returns the identical output
@@ -3651,6 +3995,20 @@ object PipelineQueries {
     "q108_sq8_retrieval_identity" ->
       """SELECT CAST(20 AS BIGINT) AS n_direct,
         |CAST(0 AS BIGINT) AS n_diff""".stripMargin,
+    // quantized hybrid ≡ direct hybrid ≡ LSH-persisted hybrid at the
+    // certified m=64 margin: 5 queries × k=4 hits, zero diff each way
+    "q145_hybrid_quantized" ->
+      """SELECT CAST(20 AS BIGINT) AS n_direct,
+        |CAST(0 AS BIGINT) AS n_diff_direct,
+        |CAST(0 AS BIGINT) AS n_diff_persisted""".stripMargin,
+    // quantized adaptive ≡ direct blend ≡ LSH-persisted blend at the
+    // certified margin; alpha=1 degrades to plain retrieval:
+    // 2 queries × k=4 hits, zero diff on every closure
+    "q151_adaptive_quantized" ->
+      """SELECT CAST(8 AS BIGINT) AS n_adaptive,
+        |CAST(0 AS BIGINT) AS n_diff_direct,
+        |CAST(0 AS BIGINT) AS n_diff_persisted,
+        |CAST(0 AS BIGINT) AS n_diff_alpha1""".stripMargin,
     // blended-probe adaptive over the stored index ≡ exact adaptive;
     // alpha=1 ≡ plain retrieve: 2 queries × k=4 hits, zero diff
     "q89_adaptive_persisted_invariants" ->

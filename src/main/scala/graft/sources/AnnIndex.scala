@@ -486,8 +486,14 @@ object AnnIndex {
     */
   private[sources] def parquetReadable(spark: SparkSession,
       path: String): Boolean =
-    try { spark.read.parquet(path).schema; true }
-    catch { case scala.util.control.NonFatal(_) => false }
+    try {
+      // short-circuit the common absent-dir case (e.g. a store that has
+      // never seen a delete has no tombs dir) WITHOUT raising: Spark 4's
+      // cached-analysis stack rewriting makes a thrown-and-caught
+      // PATH_NOT_FOUND indistinguishable from a real failure in logs
+      Files.exists(Paths.get(path)) &&
+        { spark.read.parquet(path).schema; true }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** THE reuse-vs-rebuild probe, shared by every `ensure*` freshness
     * site (LSH, IVF-adjacent, postings): a layout is servable iff every
@@ -1978,21 +1984,27 @@ object AnnIndex {
         "left_semi"),
       handle.vecs, k, m)
 
-  private def querySq8Core(
+  /** The candidate stage of [[querySq8]] alone: per query the top-m
+    * `(query_id, vec_id)` pairs by the int8 approximate cosine over the
+    * compressed codes scan — no re-rank. Exposed inside the package so
+    * composed serving paths (the quantized adaptive retriever probes
+    * the SAME codes table with the query AND the profile vector and
+    * exact-reranks the candidate UNION by the blend) reuse the scan
+    * stage without paying a second rerank join.
+    */
+  private[graft] def sq8Candidates(
       queries: DataFrame,
       codes: DataFrame,
-      vecs: DataFrame,
-      k: Int,
       m: Int): DataFrame = {
     import graft.functions.expressions.TopKAgg.top_k
     import graft.functions.expressions.VectorExpressions.dot_i8
-    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    require(m >= 1, s"candidate count m ($m) must be >= 1")
     val qq = broadcast(
       SimilaritySearch.quantizeIndex(queries, idCol = "query_id",
           vecCol = "query_vec")
         .select(col("query_id"), col("codes").as("qcodes"),
           col("qscale").as("qqscale"), col("qnorm").as("qqnorm")))
-    val cand = codes.crossJoin(qq)
+    codes.crossJoin(qq)
       .withColumn("ascore",
         when(col("qnorm") * col("qqnorm") === 0.0, lit(0.0))
           .otherwise(dot_i8(col("codes"), col("qcodes")).cast("double")
@@ -2001,7 +2013,17 @@ object AnnIndex {
       .groupBy("query_id")
       .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
       .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
-    SimilaritySearch.rerank(cand, queries, vecs, k)
+  }
+
+  private def querySq8Core(
+      queries: DataFrame,
+      codes: DataFrame,
+      vecs: DataFrame,
+      k: Int,
+      m: Int): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    SimilaritySearch.rerank(sq8Candidates(queries, codes, m),
+      queries, vecs, k)
   }
 
   // -------------------------------------------------------------- IVF-PQ

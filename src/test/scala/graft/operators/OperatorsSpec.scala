@@ -734,6 +734,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NOT certifiable"))
   }
 
+  test("heavy hitters on a Zipf stream: certification passes WITH a " +
+      "nonzero delta (q147's fixture — purges actually happened)") {
+    // the q147 harmonic-bucketing construction: rank-r token count
+    // ∝ 1/(r(r+1)), ~141 distinct over M=4999 — capacity 64 < distinct
+    // forces MG purges, yet the top counts dominate the tracked mass
+    val m = 4999
+    val stream = (0 until 500).flatMap(d =>
+      (0 until 16).map(i => s"z${m / ((d * 16 + i) % m + 1)}"))
+    val d = docs(1L -> stream.mkString(" ")).repartition(4)
+    val (top, delta) = Frequency.topNgramsExactWithDelta(
+      d, n = 1, k = 10, capacity = 64)
+    val out = top.as[(Int, String, Long)].collect().toSeq
+    assert(delta > 0L, "Zipf fixture must force purges (delta > 0) — " +
+      "otherwise certification is vacuous like the near-uniform corpus")
+    // independent exact count
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (g, c) => (-c, g) }.take(10)
+      .zipWithIndex.map { case ((g, c), i) => (i + 1, g, c) }
+    assert(out === truth)
+  }
+
   test("z-order: endpoint interleave is bit-exact; the layout keeps " +
       "partition envelopes tight in BOTH columns where a 1-D sort cannot") {
     // endpoints quantize to 0 / 65535, so the Morton key is closed-form
@@ -1741,5 +1762,80 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
     assert(out(99L) > out(1L)) // gibberish = high cross-entropy
     assert(out(1L) === out(2L)) // identical docs score identically
+  }
+
+  test("groupSplit: a group can NEVER straddle splits, fractions are " +
+      "respected over many groups, malformed fractions raise") {
+    val d = (0L until 600L).map(i => (i, i / 3L)).toDF("doc_id", "grp")
+    val out = CorpusOps.groupSplit(d, "grp",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L)
+    // leakage invariant: every group maps to exactly one split
+    val straddle = out.groupBy("grp")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(straddle === 0L)
+    // all three splits populated; realized group fractions near target
+    // (200 groups, md5-uniform — train should hold a clear majority)
+    val byS = out.select("grp", "split").distinct()
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byS.keySet === Set("train", "val", "test"))
+    assert(byS("train") > 140 && byS("train") < 190, byS.toString)
+    // same (group, seed) -> same split regardless of the row set
+    val out2 = CorpusOps.groupSplit(d.filter(col("doc_id") % 2 === 0),
+      "grp", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L)
+    val m1 = out.select("grp", "split").distinct()
+      .as[(Long, String)].collect().toMap
+    val m2 = out2.select("grp", "split").distinct()
+      .as[(Long, String)].collect().toMap
+    assert(m2.forall { case (g, s) => m1(g) == s })
+    intercept[IllegalArgumentException] {
+      CorpusOps.groupSplit(d, "grp", Seq(("a", 0.5), ("b", 0.4)))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.groupSplit(d, "grp", Seq(("a", 0.5), ("a", 0.5)))
+    }
+  }
+
+  test("importanceWeights: documents dense in target-domain tokens " +
+      "outweigh off-domain ones; the empty target raises loudly") {
+    val d = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "gamma delta gamma delta", false),
+      (3L, "alpha beta gamma delta", false))
+      .toDF("doc_id", "text", "is_tgt")
+    val w = TextAnalysis.importanceWeights(d, col("is_tgt"))
+      .select("doc_id", "log_w").as[(Long, Double)].collect().toMap
+    // doc 1 is pure target vocabulary, doc 2 pure off-target, doc 3
+    // mixed: strict ordering
+    assert(w(1L) > w(3L) && w(3L) > w(2L), w.toString)
+    val e = intercept[Exception] {
+      TextAnalysis.importanceWeights(d, lit(false)).collect()
+    }
+    assert(e.getMessage.contains("importanceWeights") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("importanceWeights")), e.getMessage)
+  }
+
+  test("perplexityBuckets: per-language terciles — each language splits " +
+      "into nonempty head/middle/tail with head holding the lowest ppl") {
+    // 9 distinct-fluency docs per lang: repeated fluent text scores low,
+    // unique token soup scores high
+    val rows = for {
+      lang <- Seq("aa", "bb"); i <- 0 until 9
+    } yield ((lang.hashCode.toLong * 100 + i),
+      if (i < 3) "the cat sat on the mat the cat sat"
+      else if (i < 6) s"the cat sat on mat$i the dog ran"
+      else s"zq$i xv$i wk$i jj$i qq$i pp$i",
+      lang)
+    val d = rows.toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(d)
+      .select("lang", "bucket", "ppl").as[(String, String, Double)]
+      .collect()
+    for (l <- Seq("aa", "bb")) {
+      val g = out.filter(_._1 == l)
+      val byB = g.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+      assert(byB.keySet === Set("head", "middle", "tail"), byB.keySet)
+      assert(byB("head").max <= byB("middle").min)
+      assert(byB("middle").max <= byB("tail").min)
+    }
   }
 }

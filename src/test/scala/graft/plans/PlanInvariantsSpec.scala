@@ -342,6 +342,24 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("partial_topkagg"), p)
   }
 
+  test("q145 quantized hybrid: the dense half scans the stored SQ8 codes " +
+      "table (not the float LSH buckets), the lexical half the stored " +
+      "postings — the flagship serving path actually gets the " +
+      "compressed-scan win") {
+    val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val index = graft.rag.RagPipeline.buildIndex(spark, docs, chunkSize = 200)
+    val q = graft.queries.PipelineQueries.retrievalQueryDf(spark)
+    val p = graft.rag.RagPipeline.hybridRetrieveQuantized(spark,
+        TestSpark.Sf0001 + "!hybridqplan", q, index, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_sq8_codes_"), p)
+    assert(p.contains("graft_kw_postings_"), p)
+    assert(!p.contains("graft_ann_lsh_"),
+      s"the dense half fell back to the float LSH layout:\n$p")
+    assert(p.toLowerCase.contains("partial_topkagg"), p)
+    index.unpersist()
+  }
+
   test("q119 global shuffle: every window keyed by the bounded partition " +
       "id — no single-partition corpus window (the range-partitioned " +
       "order itself is pinned behind the consistency checkpoint)") {

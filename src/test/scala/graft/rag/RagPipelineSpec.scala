@@ -52,6 +52,28 @@ class RagPipelineSpec extends AnyFunSuite {
     assert(adapted(2L) === 1L, "shuffle-history user should surface doc 1")
   }
 
+  test("adaptiveRetrieveQuantized equals the direct adaptive blend at " +
+      "the certified margin (both probe fans from the SQ8 codes)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
+    val index = RagPipeline.buildIndex(spark, docs, chunkSize = 200).cache()
+    val q = Seq((1L, 7L, "vector index scan fast"),
+      (2L, 8L, "spark join shuffle partition"))
+      .toDF("query_id", "user_id", "query_text")
+    val hist = Seq((7L, "customer order value table"),
+      (8L, "window agg batch row")).toDF("user_id", "question")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "chunk_id", "doc_id")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val direct = canon(RagPipeline.adaptiveRetrieve(q, hist, index,
+      k = 4, alpha = 0.3))
+    val quantized = canon(RagPipeline.adaptiveRetrieveQuantized(spark,
+      TestSpark.Sf0001 + "!adaptqspec", q, hist, index, k = 4,
+      alpha = 0.3))
+    assert(quantized === direct)
+    index.unpersist()
+  }
+
   test("retrieveAnn equals exact retrieve at the shipped operating point") {
     val docs = Tables.load(spark, TestSpark.Sf0001, "documents")
     val index = RagPipeline.buildIndex(spark, docs, chunkSize = 200).cache()
@@ -77,6 +99,11 @@ class RagPipelineSpec extends AnyFunSuite {
     val persisted = canon(RagPipeline.hybridRetrievePersisted(spark,
       TestSpark.Sf0001 + "!hybridspec", queries, index, k = 4))
     assert(persisted === direct)
+    // the quantized serving form (dense half from the persisted SQ8
+    // codes) is identical too, at the certified m=64 >= fetchK margin
+    val quantized = canon(RagPipeline.hybridRetrieveQuantized(spark,
+      TestSpark.Sf0001 + "!hybridqspec", queries, index, k = 4))
+    assert(quantized === direct)
     index.unpersist()
   }
 
