@@ -109,8 +109,10 @@ object Bench {
       "q145",
       // 1536-dim persisted PQ canary; Zipf-teeth heavy hitters;
       // leakage-safe split; DSIR resampling; CCNet ppl buckets;
-      // quantized-adaptive identity panel
-      "q146", "q147", "q148", "q149", "q150", "q151")
+      // quantized-adaptive identity panel; temperature mixture;
+      // tokenizer fertility; winnowing
+      "q146", "q147", "q148", "q149", "q150", "q151",
+      "q152", "q153", "q154")
     // The harness that records this line captures only the TAIL of the
     // process output (~2000 chars), so the parsed JSON line must stay
     // well under that: short query keys (the unique qNN prefix), 2-decimal

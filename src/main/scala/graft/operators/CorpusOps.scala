@@ -408,24 +408,64 @@ object CorpusOps {
     */
   def bpeEncode(df: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(merges.nonEmpty, "merges must be non-empty (bpeMerges output)")
-    val S = "\u0001"
-    val T = "\u0002"
     val words = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
-    val vocab0 = words.select("word").distinct()
+    words.join(bpeEncodeVocab(words.select("word").distinct(), merges),
+        Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sym").as("n_tokens"),
+        round(sum("n_chars").cast("double") / sum("n_sym"), 6)
+          .as("chars_per_token"))
+  }
+
+  /** The encode core [[bpeEncode]] and [[tokenizerFertility]] share:
+    * apply `merges` over the DISTINCT-WORD vocabulary (never the token
+    * stream — the vocabulary is the small relation) and return per
+    * word its encoded symbol count and char length.
+    */
+  private def bpeEncodeVocab(vocab: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty (bpeMerges output)")
+    val S = "\u0001"
+    val T = "\u0002"
+    val vocab0 = vocab
       .withColumn("rep", regexp_replace(col("word"), "(.)", S + "$1" + T))
-    val encoded = merges.foldLeft(vocab0) { case (v, (l, r)) =>
+    merges.foldLeft(vocab0) { case (v, (l, r)) =>
       v.withColumn("rep",
         replace(col("rep"), lit(S + l + T + S + r + T), lit(S + l + r + T)))
     }.select(col("word"),
       (size(split(replace(col("rep"), lit(T), lit("")), S)) - 1).as("n_sym"),
       length(col("word")).as("n_chars"))
-    words.join(encoded, Seq("word"))
-      .groupBy(idCol)
+  }
+
+  /** Tokenizer FERTILITY per stratum (tokens emitted per word — the
+    * standard tokenizer-evaluation metric; high fertility on a
+    * language means the vocabulary underserves it and its documents
+    * pay more sequence length per content): encode the distinct-word
+    * vocabulary once with the learned merges, then one stratum-keyed
+    * aggregate over the token stream. Output per stratum: (byCol,
+    * n_words, n_tokens, fertility = tokens/word, chars_per_token).
+    *
+    * Scale shape: the merges fold runs over the DISTINCT vocabulary
+    * (the [[bpeEncode]] discipline — never the corpus stream); the
+    * corpus-wide work is one word explode + one hash join against the
+    * encoded vocab + one map-side-combinable aggregate keyed by the
+    * tiny stratum set.
+    */
+  def tokenizerFertility(df: DataFrame, merges: Seq[(String, String)],
+      byCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val words = df
+      .select(col(byCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+    words.join(bpeEncodeVocab(words.select("word").distinct(), merges),
+        Seq("word"))
+      .groupBy(byCol)
       .agg(count(lit(1)).as("n_words"),
         sum("n_sym").as("n_tokens"),
+        round(sum("n_sym").cast("double") / count(lit(1)), 6)
+          .as("fertility"),
         round(sum("n_chars").cast("double") / sum("n_sym"), 6)
           .as("chars_per_token"))
   }
@@ -590,7 +630,19 @@ object CorpusOps {
       "target shares must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val shares = targetShares.toSeq.toDF(strataCol, "target_share")
+    mixturePlanFromShares(df, strataCol,
+      targetShares.toSeq.toDF(strataCol, "target_share"), textCol)
+  }
+
+  /** [[mixturePlan]] with the target shares as a RELATION instead of a
+    * driver-side map — the composition shape when the shares are
+    * themselves computed in-plan (e.g. [[temperatureShares]]); nothing
+    * ever leaves the cluster. `shares` must be `(strataCol,
+    * target_share)` with positive shares.
+    */
+  def mixturePlanFromShares(df: DataFrame, strataCol: String,
+      shares: DataFrame,
+      textCol: String = "text"): DataFrame = {
     val stats = df.groupBy(strataCol).agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col(textCol), " "))).cast("long").as("n_tok"))
@@ -617,6 +669,36 @@ object CorpusOps {
         round(col("rate") * col("n_tok"), 0).cast("long"))
       .select(strataCol, "n_docs", "n_tok", "target_share", "rate",
         "exp_tok")
+  }
+
+  /** Temperature-scaled mixture shares (the multilingual alpha-sampling
+    * rule of XLM / mBERT, public: sample stratum s with probability
+    * ∝ p_s^(1/T) where p_s is its natural token share) — T = 1 keeps
+    * the corpus's own mixture, T → ∞ approaches uniform, the standard
+    * knob for upweighting low-resource languages/domains without
+    * hand-written shares. Output per stratum: (strataCol, n_tok,
+    * nat_share, target_share rounded to 6) — feed into
+    * [[mixturePlanFromShares]] → [[sampleStratified]] to materialize.
+    *
+    * Scale shape: ONE map-side-combinable token-count aggregate over
+    * the corpus; the share arithmetic (two normalizations) runs on the
+    * tiny per-stratum frame with 1-row broadcasts.
+    */
+  def temperatureShares(df: DataFrame, strataCol: String,
+      temperature: Double, textCol: String = "text"): DataFrame = {
+    require(temperature > 0.0,
+      s"temperature must be positive: $temperature")
+    val stats = df.groupBy(strataCol).agg(
+      sum(size(split(col(textCol), " "))).cast("long").as("n_tok"))
+    val tot = stats.agg(sum("n_tok").as("total_tok"))
+    val nat = stats.crossJoin(broadcast(tot))
+      .withColumn("nat_share",
+        col("n_tok") / col("total_tok"))
+      .withColumn("pw", pow(col("nat_share"), lit(1.0 / temperature)))
+    val z = nat.agg(sum("pw").as("z"))
+    nat.crossJoin(broadcast(z))
+      .withColumn("target_share", round(col("pw") / col("z"), 6))
+      .select(strataCol, "n_tok", "nat_share", "target_share")
   }
 
   /** Vocabulary induction with coverage: the top-V corpus words by

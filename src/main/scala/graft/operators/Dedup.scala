@@ -597,4 +597,73 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("vec_id_a", "vec_id_b", "cos")
   }
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm; public): hash every k-token
+    * gram, slide a window of `w` consecutive gram hashes, keep each
+    * window's MINIMUM — the selected hash set is the fingerprint.
+    * The paper's guarantee: any shared token run of length ≥ w + k − 1
+    * yields at least one shared fingerprint, with expected density
+    * 2/(w+1) — a principled, tunable thinning that MinHash does not
+    * give (MinHash bounds RESEMBLANCE; winnowing bounds CONTAINMENT of
+    * long runs, the plagiarism/boilerplate shape).
+    *
+    * The gram hash is the engine-portable md5-prefix 52-bit value (the
+    * [[CorpusOps.sampleWeighted]] uniform — the oracle replays it
+    * digit for digit); at 100 TB swap in xxhash64 for cheaper hashing,
+    * the selection logic is hash-agnostic. Documents shorter than k
+    * tokens have no grams and are absent (the [[CorpusOps
+    * .dupShingleStats]] contract).
+    *
+    * Scale shape: fingerprint construction is a PURE PER-ROW
+    * projection (one lambda tree; O(L·w) comparisons per row — compute
+    * bound per document, zero shuffle, no corpus-wide state). Output:
+    * (idCol, fp) distinct per document.
+    */
+  def winnowFingerprints(df: DataFrame, k: Int = 4, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k, w >= 1: ($k, $w)")
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val nGrams = size(toks) - (k - 1)
+    val hashes = transform(sequence(lit(1), nGrams), i =>
+      conv(substring(md5(concat_ws(" ", slice(toks, i, lit(k)))), 1, 13),
+        16, 10).cast("long"))
+    val wins = transform(
+      sequence(lit(1), greatest(nGrams - (w - 1), lit(1))),
+      j => array_min(slice(hashes, j, lit(w))))
+    df.filter(size(toks) >= k)
+      .select(col(idCol), explode(array_distinct(wins)).as("fp"))
+  }
+
+  /** Cross-document overlap pairs from [[winnowFingerprints]] output:
+    * candidate pairs share a fingerprint; `dfCap` drops fingerprints
+    * present in more than that many documents (ubiquitous boilerplate
+    * phrases would otherwise pair-explode quadratically — the
+    * [[jaccardNearDups]] df-cap discipline), and pairs must share at
+    * least `minShared` surviving fingerprints. Output: (doc_id_a <
+    * doc_id_b, n_shared).
+    *
+    * Scale shape: one fp-keyed document-frequency aggregate + one
+    * fp-keyed self-join carrying ONLY (8-byte fp, id) — text never
+    * shuffles; the df-cap bounds each fingerprint's pair fan-out at
+    * dfCap², so the pair stage is linear in surviving fp postings.
+    */
+  def winnowPairs(fps: DataFrame, dfCap: Int = 10,
+      minShared: Int = 2): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2 to form any pair: $dfCap")
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val rare = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap && col("df") >= 2)
+      .select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    kept.select(col("fp"), col("doc_id").as("doc_id_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_id_b")),
+        Seq("fp"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

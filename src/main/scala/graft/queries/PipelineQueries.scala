@@ -1165,6 +1165,43 @@ object PipelineQueries {
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // WINNOWING (MOSS) fingerprint overlap: window-min selection over
+    // k-gram hashes gives the paper's guarantee (any shared run of
+    // ≥ w+k−1 tokens yields a shared fingerprint at ~2/(w+1) density)
+    // — the CONTAINMENT-oriented dedup signal MinHash's resemblance
+    // estimate misses. df-capped fp self-join → overlap pairs.
+    "q154_winnow_pairs" -> ((s, dir) => {
+      val fps = Dedup.winnowFingerprints(t(s, dir, "documents"))
+      Dedup.winnowPairs(fps).orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    // Tokenizer FERTILITY per language (tokens/word under the trained
+    // merges — the standard tokenizer-equity metric: a language with
+    // high fertility pays more sequence length per content, the signal
+    // vocabulary-allocation decisions key on). Trains the q101/q106
+    // merge list, encodes the distinct vocabulary once, one
+    // stratum-keyed aggregate.
+    "q153_tokenizer_fertility" -> ((s, dir) => {
+      val merges = CorpusOps.bpeMerges(t(s, dir, "documents"),
+          numMerges = 12)
+        .orderBy("step").select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      CorpusOps.tokenizerFertility(t(s, dir, "documents"), merges)
+    }),
+
+    // Temperature-scaled mixture (XLM/mBERT alpha-sampling, T = 2):
+    // shares ∝ nat_share^(1/T) computed IN-PLAN and fed straight into
+    // the mixture planner relation-to-relation — upweights low-resource
+    // languages without hand-written shares; the whole two-stage
+    // arithmetic replays in SQL.
+    "q152_temperature_mixture" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val shares = CorpusOps.temperatureShares(d, "lang",
+        temperature = 2.0)
+      CorpusOps.mixturePlanFromShares(d, "lang",
+        shares.select(col("lang"), col("target_share")))
+    }),
+
     // The QUANTIZED adaptive serving surface (the q145 discipline for
     // the blended retriever): both probe fans served from the persisted
     // SQ8 codes must be OUTPUT-IDENTICAL to the direct adaptive blend
@@ -3742,6 +3779,8 @@ object PipelineQueries {
     // encode = the same unrolled training chain, final vocab joined
     // back to every doc's words
     "q106_bpe_encode" -> bpeEncodeOracle(12),
+    // fertility = the encode chain aggregated per language
+    "q153_tokenizer_fertility" -> fertilityOracle(12),
     // the driver-side counts-formulation trainer replays the identical
     // greedy run — same oracle as q101
     "q110_bpe_local" -> bpeOracle(12),
@@ -4001,6 +4040,60 @@ object PipelineQueries {
       """SELECT CAST(20 AS BIGINT) AS n_direct,
         |CAST(0 AS BIGINT) AS n_diff_direct,
         |CAST(0 AS BIGINT) AS n_diff_persisted""".stripMargin,
+    // winnowing: the full pipeline replays — portable md5-52bit gram
+    // hashes, window minima, distinct fps, df-capped pair join
+    "q154_winnow_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, l, len(l) - 3 AS ng FROM docs WHERE len(l) >= 4),
+        |h AS (
+        |  SELECT doc_id, ng,
+        |    list_transform(range(1, ng + 1), i ->
+        |      CAST(concat('0x',
+        |        substr(md5(array_to_string(l[i:i+3], ' ')), 1, 13))
+        |        AS BIGINT)) AS hs
+        |  FROM g),
+        |wins AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(ng - 3, 1) + 1),
+        |      j -> list_min(hs[j:j+3]))) AS fpl
+        |  FROM h),
+        |fps AS (SELECT doc_id, unnest(fpl) AS fp FROM wins),
+        |rare AS (
+        |  SELECT fp FROM fps GROUP BY fp
+        |  HAVING count(*) BETWEEN 2 AND 10),
+        |kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 2
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // temperature mixture: replay both stages — the T=2 share rule
+    // (power 0.5 over natural token shares, normalized, rounded) and
+    // the q96 downsample-only rate arithmetic over those shares
+    "q152_temperature_mixture" ->
+      """WITH stats AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok
+        |        FROM stats),
+        |nat AS (SELECT lang, n_docs, n_tok,
+        |  power(n_tok / t.total_tok, 0.5) AS pw FROM stats, tot t),
+        |z AS (SELECT sum(pw) AS z FROM nat),
+        |j AS (SELECT lang, n_docs, n_tok,
+        |  round(pw / z.z, 6) AS target_share FROM nat, z),
+        |ts AS (SELECT min(n_tok / target_share) AS t_star FROM j)
+        |SELECT lang, n_docs, n_tok, target_share,
+        |  round(least(1.0, target_share * ts.t_star / n_tok), 6) AS rate,
+        |  CAST(round(round(least(1.0, target_share * ts.t_star / n_tok),
+        |    6) * n_tok, 0) AS BIGINT) AS exp_tok
+        |FROM j, ts""".stripMargin,
     // quantized adaptive ≡ direct blend ≡ LSH-persisted blend at the
     // certified margin; alpha=1 degrades to plain retrieval:
     // 2 queries × k=4 hits, zero diff on every closure
@@ -4135,6 +4228,27 @@ object PipelineQueries {
     * words joined against the trained word → rep vocabulary — per-word
     * symbol count = the training run's final representation.
     */
+  /** q153: the [[bpeEncodeOracle]] chain grouped per language instead
+    * of per document — fertility = tokens emitted per word.
+    */
+  private def fertilityOracle(m: Int): String =
+    s"""WITH ${bpeChain(m)},
+       |enc AS (
+       |  SELECT word, len(string_split(replace(rep, chr(2), ''),
+       |           chr(1))) - 1 AS n_sym,
+       |         length(word) AS n_chars
+       |  FROM v$m),
+       |toks AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n_sym) AS BIGINT) AS n_tokens,
+       |  round(sum(e.n_sym) * 1.0 / count(*), 6) AS fertility,
+       |  round(sum(e.n_chars) * 1.0 / sum(e.n_sym), 6) AS chars_per_token
+       |FROM toks t JOIN enc e USING (word)
+       |WHERE t.word <> ''
+       |GROUP BY t.lang""".stripMargin
+
   private def bpeEncodeOracle(m: Int): String =
     s"""WITH ${bpeChain(m)},
        |enc AS (

@@ -344,6 +344,47 @@ object AnnTune {
       cents.unpersist()
     }
 
+    // "filtered": the composed-layout FILTERED margins q143/q144 ship —
+    // ~50% selectivity (even vec_ids), identity vs the filtered float
+    // IVF at the same (nProbe) over the SAME stored centroids, and
+    // recall vs the filtered exact kNN. Reproduces the certification
+    // that set SQ8 m=32 / PQ m=128 (the restricted candidate set
+    // tightens the ADC boundary — a smaller m that is identical
+    // unfiltered measurably is not under the filter).
+    if (mode == "filtered") {
+      import graft.sources.AnnIndex
+      val allowed = emb.filter(col("vec_id") % 2 === 0)
+      val exactF = ranked(SimilaritySearch.bruteForceTopK(
+        q, allowed, k))
+      val exactFPairs = exactF.map(t => (t._1, t._3))
+      val hs = AnnIndex.ensureIvfSq8(spark, s"$sfDir#tunefilt", emb)
+      val hp = AnnIndex.ensureIvfPq(spark, s"$sfDir#tunefilt", emb)
+      for (nProbe <- Seq(16, 24, 32)) {
+        val ivfF = ranked(SimilaritySearch.ivfTopK(q, allowed,
+          hs.centroids, k, nProbe))
+        for (m <- Seq(16, 32, 64)) {
+          val got = ranked(AnnIndex.queryIvfSq8Filtered(q, hs, allowed,
+            k, nProbe, m))
+          val recall = (exactFPairs &
+            got.map(t => (t._1, t._3))).size.toDouble / exactFPairs.size
+          println(f"filtered-sq8 nProbe=$nProbe%-2d m=$m%-3d " +
+            f"recall=$recall%.3f exact_ident=${got == exactF}%-5s " +
+            f"ivf_ident=${got == ivfF}%-5s")
+        }
+        val ivfFP = ranked(SimilaritySearch.ivfTopK(q, allowed,
+          hp.centroids, k, nProbe))
+        for (m <- Seq(32, 64, 128)) {
+          val got = ranked(AnnIndex.queryIvfPqFiltered(q, hp, allowed,
+            k, nProbe, m))
+          val recall = (exactFPairs &
+            got.map(t => (t._1, t._3))).size.toDouble / exactFPairs.size
+          println(f"filtered-pq  nProbe=$nProbe%-2d m=$m%-3d " +
+            f"recall=$recall%.3f exact_ident=${got == exactF}%-5s " +
+            f"ivf_ident=${got == ivfFP}%-5s")
+        }
+      }
+    }
+
     // "mrl": truncated-dimension coarse ranking — smallest (d, m) at
     // which first-d-components scoring + exact re-rank is output-
     // identical to the exact kNN. Generic (non-MRL-trained) fixture

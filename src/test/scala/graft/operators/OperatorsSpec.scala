@@ -1815,6 +1815,69 @@ class OperatorsSpec extends AnyFunSuite {
         e.getCause.getMessage.contains("importanceWeights")), e.getMessage)
   }
 
+  test("temperatureShares: T=1 reproduces the natural mixture, higher T " +
+      "flattens toward uniform, shares stay normalized") {
+    val d = Seq.tabulate(90)(i =>
+        (i.toLong, ("w " * (if (i < 80) 10 else 1)).trim,
+          if (i < 80) "big" else "small"))
+      .toDF("doc_id", "text", "lang")
+    def shares(t: Double) = CorpusOps.temperatureShares(d, "lang", t)
+      .select("lang", "nat_share", "target_share")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val s1 = shares(1.0)
+    assert(math.abs(s1("big")._2 - s1("big")._1) < 1e-6)
+    val s4 = shares(4.0)
+    // T=4 pulls the small stratum up, the big one down — toward uniform
+    assert(s4("small")._2 > s1("small")._2)
+    assert(s4("big")._2 < s1("big")._2)
+    assert(math.abs(s4.values.map(_._2).sum - 1.0) < 1e-5)
+    intercept[IllegalArgumentException] {
+      CorpusOps.temperatureShares(d, "lang", 0.0)
+    }
+  }
+
+  test("tokenizerFertility: a language whose words the merges cover " +
+      "encodes at lower fertility than one they never touch") {
+    val d = Seq(
+      (1L, "abab abab abab", "cov"),
+      (2L, "xyzq xyzq xyzq", "unc"))
+      .toDF("doc_id", "text", "lang")
+    // merges hand-build the 'abab' word: (a,b) -> ab, (ab,ab) -> abab
+    val out = CorpusOps.tokenizerFertility(d,
+        Seq(("a", "b"), ("ab", "ab")))
+      .select("lang", "fertility").as[(String, Double)].collect().toMap
+    assert(out("cov") === 1.0) // one symbol per word
+    assert(out("unc") === 4.0) // four chars, no merge applies
+  }
+
+  test("winnowing: a shared run of w+k-1 tokens yields a shared " +
+      "fingerprint (the paper's guarantee); disjoint docs share none; " +
+      "the df-cap kills ubiquitous boilerplate pairs") {
+    // k=4, w=4: guarantee threshold = 7 shared consecutive tokens
+    val shared = "p1 p2 p3 p4 p5 p6 p7"
+    val d = docs(
+      1L -> s"a1 a2 a3 $shared a4 a5",
+      2L -> s"b1 b2 $shared b3 b4 b5",
+      3L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+    val fps = Dedup.winnowFingerprints(d).cache()
+    val byDoc = fps.as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "docs sharing a 7-token run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    val pairs = Dedup.winnowPairs(fps, dfCap = 10, minShared = 1)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // a fingerprint in MORE than dfCap docs forms no pairs
+    val boiler = docs((1L to 12L).map(i =>
+      i -> s"x1 x2 x3 x4 x5 x6 x7"): _*)
+    val bp = Dedup.winnowPairs(Dedup.winnowFingerprints(boiler),
+      dfCap = 10, minShared = 1).count()
+    assert(bp === 0L)
+    fps.unpersist()
+  }
+
   test("perplexityBuckets: per-language terciles — each language splits " +
       "into nonempty head/middle/tail with head holding the lowest ppl") {
     // 9 distinct-fluency docs per lang: repeated fluent text scores low,
