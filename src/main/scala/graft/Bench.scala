@@ -112,7 +112,9 @@ object Bench {
       // quantized-adaptive identity panel; temperature mixture;
       // tokenizer fertility; winnowing
       "q146", "q147", "q148", "q149", "q150", "q151",
-      "q152", "q153", "q154")
+      "q152", "q153", "q154",
+      // hard negatives; budget admission
+      "q155", "q156")
     // The harness that records this line captures only the TAIL of the
     // process output (~2000 chars), so the parsed JSON line must stay
     // well under that: short query keys (the unique qNN prefix), 2-decimal

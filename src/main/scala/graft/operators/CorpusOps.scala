@@ -671,6 +671,35 @@ object CorpusOps {
         "exp_tok")
   }
 
+  /** Per-stratum TOKEN-BUDGET admission (quota ingest): in `orderCol`
+    * order within each stratum, a document is admitted iff the running
+    * token total THROUGH it stays ≤ `budget` — the maximal admissible
+    * prefix (the running total advances over rejected documents too, so
+    * once a stratum crosses its budget it is CLOSED; a later small
+    * document does not reopen it). That prefix rule is exactly what a
+    * streaming quota does — [[graft.streaming.StreamOps
+    * .streamingBudgetAdmit]] is the trigger-by-trigger twin and the
+    * parity is spec-pinned. `orderCol` must be a total order within
+    * each stratum (ties would make the cumulative sum nondeterministic).
+    * Output: the input plus (n_tok, cum_tok, admitted).
+    *
+    * Scale shape: one exchange keyed by stratum + an in-partition
+    * cumulative-sum window over (orderCol, n_tok) pairs — the window
+    * carries 16-byte rows, never text. A single dominant stratum
+    * serializes its own scan (the window is per-stratum sequential by
+    * semantics); shard the stratum key upstream if that ever binds.
+    */
+  def budgetAdmit(df: DataFrame, strataCol: String, orderCol: String,
+      budget: Long, textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(strataCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tok",
+        size(filter(split(col(textCol), " "), t => t =!= "")).cast("long"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .withColumn("admitted", col("cum_tok") <= budget)
+  }
+
   /** Temperature-scaled mixture shares (the multilingual alpha-sampling
     * rule of XLM / mBERT, public: sample stratum s with probability
     * ∝ p_s^(1/T) where p_s is its natural token share) — T = 1 keeps

@@ -69,4 +69,30 @@ object Evaluation {
         round(when(coalesce(col("idcg"), lit(0.0)) === 0.0, 0.0)
           .otherwise(col("dcg") / col("idcg")), 6).as("ndcg"))
   }
+
+  /** HARD-NEGATIVE mining for retriever/embedding training (the DPR
+    * recipe, Karpukhin et al. 2020 — public: the strongest-ranked
+    * NON-relevant candidates are the negatives contrastive training
+    * needs; random negatives are too easy to teach the boundary).
+    * Takes a ranked `run` (any retriever — BM25 is the classic choice,
+    * an ANN run works identically) and the relevance set, drops every
+    * judged-relevant hit, and renumbers the survivors 1..n per query.
+    * Output: (query_id, neg_rank, <idCol>, score).
+    *
+    * Scale shape: the run is k-bounded per query by construction, so
+    * the anti-join and the per-query renumbering window touch ≤ k rows
+    * per query — query_id-keyed, nothing global. A query whose entire
+    * top-k is relevant yields fewer than n rows (honest — there are no
+    * hard negatives that deep; widen the run's k, don't fabricate).
+    */
+  def hardNegatives(run: DataFrame, qrels: DataFrame, n: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    run.join(qrels.select(col("query_id"), col(idCol)),
+        Seq("query_id", idCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("int"))
+      .filter(col("neg_rank") <= n)
+      .select(col("query_id"), col("neg_rank"), col(idCol), col("score"))
+  }
 }

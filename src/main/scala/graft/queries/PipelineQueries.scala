@@ -1165,6 +1165,46 @@ object PipelineQueries {
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Per-source TOKEN-BUDGET admission (quota ingest): admit each
+    // source's maximal doc_id-ordered prefix whose token total stays
+    // ≤ 2000 — the batch form of the streaming quota (rejected docs
+    // advance the total too: a crossed budget CLOSES the source).
+    // Streaming twin parity is StreamOpsSpec-pinned; here the whole
+    // cumulative rule replays in SQL.
+    "q156_budget_admit" -> ((s, dir) =>
+      CorpusOps.budgetAdmit(t(s, dir, "documents"), "source", "doc_id",
+          budget = 2000L)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("admitted"), col("n_tok")).otherwise(0L))
+            .as("admitted_tok"))),
+
+    // HARD-NEGATIVE mining (the DPR recipe): BM25 top-20 minus the
+    // token-overlap relevance set (q128's qrels), renumbered — the
+    // strongest non-relevant candidates, i.e. the negatives contrastive
+    // retriever training actually needs. Run + qrels + anti + renumber
+    // all replay in SQL.
+    "q155_hard_negatives" -> ((s, dir) => {
+      val q = retrievalQueryDf(s)
+      val docs = t(s, dir, "documents")
+      val run = KeywordSearch.bm25TopK(q, docs, k = 20)
+      val qt = q.select(col("query_id"),
+        explode(array_distinct(KeywordSearch.tokens(col("query_text"))))
+          .as("tok"))
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(KeywordSearch.tokens(col("text"))))
+          .as("tok"))
+      // rel >= 4 on these 4-token queries = "shares every query token";
+      // anything weaker floods qrels on this vocabulary-dense corpus
+      // and the whole top-20 reads relevant (no negatives anywhere)
+      val qrels = qt.join(dt, Seq("tok"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+        .filter(col("rel") >= 4)
+      Evaluation.hardNegatives(run, qrels, n = 5)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
     // WINNOWING (MOSS) fingerprint overlap: window-min selection over
     // k-gram hashes gives the paper's guarantee (any shared run of
     // ≥ w+k−1 tokens yields a shared fingerprint at ~2/(w+1) density)
@@ -4040,6 +4080,44 @@ object PipelineQueries {
       """SELECT CAST(20 AS BIGINT) AS n_direct,
         |CAST(0 AS BIGINT) AS n_diff_direct,
         |CAST(0 AS BIGINT) AS n_diff_persisted""".stripMargin,
+    // budget admission: the cumulative prefix rule replayed verbatim
+    "q156_budget_admit" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN cum <= 2000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_admitted,
+        |  CAST(sum(CASE WHEN cum <= 2000 THEN n_tok ELSE 0 END)
+        |    AS BIGINT) AS admitted_tok
+        |FROM c GROUP BY source""".stripMargin,
+    // hard negatives: BM25 replay + the q128 qrels + anti-join +
+    // per-query renumbering
+    "q155_hard_negatives" ->
+      s"""WITH $lexicalCtes,
+        |dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+        |qrels AS (SELECT query_id, doc_id
+        |  FROM qt JOIN dt USING (tok) GROUP BY 1, 2
+        |  HAVING count(*) >= 4),
+        |negs AS (
+        |  SELECT b.query_id, b.doc_id, b.score, b.rank
+        |  FROM bm25_ranked b
+        |  ANTI JOIN qrels q
+        |    ON b.query_id = q.query_id AND b.doc_id = q.doc_id
+        |  WHERE b.rank <= 20)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank)
+        |    AS INT) AS neg_rank,
+        |  doc_id, round(score, 6) AS score
+        |FROM negs
+        |QUALIFY neg_rank <= 5""".stripMargin,
     // winnowing: the full pipeline replays — portable md5-52bit gram
     // hashes, window minima, distinct fps, df-capped pair join
     "q154_winnow_pairs" ->

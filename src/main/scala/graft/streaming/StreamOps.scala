@@ -753,4 +753,48 @@ object StreamOps {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class BudgetDoc(source: String, doc_id: Long, n_tok: Long)
+  final case class AdmitVerdict(source: String, doc_id: Long,
+      n_tok: Long, cum_tok: Long, admitted: Boolean)
+
+  /** Streaming per-stratum TOKEN-BUDGET admission — the trigger-by-
+    * trigger twin of [[graft.operators.CorpusOps.budgetAdmit]]'s prefix
+    * rule: per stratum the state is the running token total over EVERY
+    * document seen (rejected ones advance it too — a stratum that has
+    * crossed its budget is closed for good), and a document is admitted
+    * iff the total through it stays ≤ `budget`. When the cross-trigger
+    * arrival order equals the batch `orderCol` order, the per-document
+    * verdicts are IDENTICAL to the batch operator's (StreamOpsSpec pins
+    * the parity and the mid-stream close). Within a trigger, rows apply
+    * in doc_id order (the arrival tie-break).
+    *
+    * State: ONE long per stratum — bounded by the stratum universe
+    * (domains/languages), not the stream, hence NoTimeout; quota state
+    * must survive idle periods by design (an evicted total would
+    * silently reopen a closed stratum).
+    */
+  def streamingBudgetAdmit(
+      spark: SparkSession,
+      docs: Dataset[BudgetDoc],
+      budget: Long): Dataset[AdmitVerdict] = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import spark.implicits._
+    def update(
+        source: String,
+        rows: Iterator[BudgetDoc],
+        state: GroupState[Long]): Iterator[AdmitVerdict] = {
+      var consumed = state.getOption.getOrElse(0L)
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        consumed += d.n_tok
+        AdmitVerdict(source, d.doc_id, d.n_tok, consumed,
+          consumed <= budget)
+      }
+      state.update(consumed)
+      out.iterator
+    }
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

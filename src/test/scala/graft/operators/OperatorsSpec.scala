@@ -1878,6 +1878,37 @@ class OperatorsSpec extends AnyFunSuite {
     fps.unpersist()
   }
 
+  test("hardNegatives drops judged-relevant hits and renumbers; a fully " +
+      "relevant top-k yields honestly fewer rows") {
+    val run = Seq((1L, 1, 10L, 9.0), (1L, 2, 11L, 8.0), (1L, 3, 12L, 7.0),
+      (2L, 1, 20L, 5.0), (2L, 2, 21L, 4.0))
+      .toDF("query_id", "rank", "doc_id", "score")
+    val qrels = Seq((1L, 11L, 2L), (2L, 20L, 1L), (2L, 21L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val out = Evaluation.hardNegatives(run, qrels, n = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // query 1: 11 removed, 10 and 12 renumbered 1, 2; query 2: all
+    // relevant -> zero negatives, not fabricated ones
+    assert(out === Set((1L, 1, 10L, 9.0), (1L, 2, 12L, 7.0)))
+  }
+
+  test("budgetAdmit: the prefix rule — rejected docs advance the " +
+      "running total, so a crossed budget closes the stratum") {
+    val d = Seq(("A", 1L, "w " * 40), ("A", 2L, "w " * 50),
+      ("A", 3L, "w " * 30), ("A", 4L, "w " * 5), ("B", 5L, "w " * 10))
+      .toDF("source", "doc_id", "text")
+    val out = CorpusOps.budgetAdmit(d, "source", "doc_id", budget = 100L)
+      .select("doc_id", "cum_tok", "admitted")
+      .as[(Long, Long, Boolean)].collect().toSet
+    // doc 3 overflows (120); doc 4 would fit a greedy rule (125 > 100
+    // still rejected) — the stratum is closed
+    assert(out === Set((1L, 40L, true), (2L, 90L, true),
+      (3L, 120L, false), (4L, 125L, false), (5L, 10L, true)))
+    intercept[IllegalArgumentException] {
+      CorpusOps.budgetAdmit(d, "source", "doc_id", budget = 0L)
+    }
+  }
+
   test("perplexityBuckets: per-language terciles — each language splits " +
       "into nonempty head/middle/tail with head holding the lowest ppl") {
     // 9 distinct-fluency docs per lang: repeated fluent text scores low,

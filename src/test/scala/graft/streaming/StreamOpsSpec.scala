@@ -635,4 +635,42 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.contains((1L, 5.0))) // fresh state after expiry
     assert(!rows.contains((2L, 6.0))) // state did NOT survive the TTL
   }
+
+  test("streamingBudgetAdmit: trigger-by-trigger verdicts equal the " +
+      "batch prefix rule; a budget crossed mid-stream stays closed " +
+      "across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.BudgetDoc]
+    val out = StreamOps.streamingBudgetAdmit(spark, mem.toDS(), budget = 100L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("budget_stream").start()
+    // source A: 40+40 admitted in trigger 1; the 30 in trigger 2
+    // overflows (110) and CLOSES A — the later 5 must stay rejected.
+    // source B: stays under budget throughout.
+    mem.addData(
+      StreamOps.BudgetDoc("A", 1L, 40L), StreamOps.BudgetDoc("A", 2L, 40L),
+      StreamOps.BudgetDoc("B", 3L, 50L))
+    q.processAllAvailable()
+    mem.addData(
+      StreamOps.BudgetDoc("A", 4L, 30L), StreamOps.BudgetDoc("A", 5L, 5L),
+      StreamOps.BudgetDoc("B", 6L, 45L))
+    q.processAllAvailable()
+    val got = spark.table("budget_stream")
+      .select("doc_id", "cum_tok", "admitted")
+      .as[(Long, Long, Boolean)].collect().toSet
+    q.stop()
+    assert(got === Set(
+      (1L, 40L, true), (2L, 80L, true), (3L, 50L, true),
+      (4L, 110L, false), (5L, 115L, false), (6L, 95L, true)))
+    // parity with the batch operator over the same docs in doc_id order
+    val batchDocs = Seq(
+      ("A", 1L, "w " * 40), ("A", 2L, "w " * 40), ("B", 3L, "w " * 50),
+      ("A", 4L, "w " * 30), ("A", 5L, "w " * 5), ("B", 6L, "w " * 45))
+      .toDF("source", "doc_id", "text")
+    val batch = graft.operators.CorpusOps
+      .budgetAdmit(batchDocs, "source", "doc_id", budget = 100L)
+      .select("doc_id", "cum_tok", "admitted")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(batch === got)
+  }
 }
