@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.operators.{CorpusOps, Dedup, Evaluation, Frequency, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, Evaluation, Frequency, Funnel, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, TextAnalysis}
 import graft.rag.RagPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1164,6 +1164,24 @@ object PipelineQueries {
     "q150_ppl_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"))
         .orderBy("doc_id")),
+
+    // Ordered FUNNEL (first-match semantics, 7-day conversion window
+    // anchored at funnel entry): view -> click -> purchase per user —
+    // the product-analytics staple over the events log. One user-keyed
+    // min aggregate per step; monotone counts by construction.
+    "q157_funnel" -> ((s, dir) =>
+      Funnel.funnelCounts(t(s, dir, "events"),
+        Seq("view", "click", "purchase"), within = Some("7 DAYS"))),
+
+    // Weekly COHORT RETENTION: cohort = ISO week of first event;
+    // each (cohort, week_offset) cell counts distinct active users.
+    "q158_retention" -> ((s, dir) =>
+      Funnel.retentionCohorts(t(s, dir, "events"))
+        // the compare layer renders date32 as midnight timestamps —
+        // ship the cohort key as its ISO string
+        .withColumn("cohort_week",
+          date_format(col("cohort_week"), "yyyy-MM-dd"))
+        .orderBy("cohort_week", "week_offset")),
 
     // Per-source TOKEN-BUDGET admission (quota ingest): admit each
     // source's maximal doc_id-ordered prefix whose token total stays
@@ -4080,6 +4098,45 @@ object PipelineQueries {
       """SELECT CAST(20 AS BIGINT) AS n_direct,
         |CAST(0 AS BIGINT) AS n_diff_direct,
         |CAST(0 AS BIGINT) AS n_diff_persisted""".stripMargin,
+    // funnel: the first-match chain replayed level by level
+    "q157_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, any_value(s1.t1) AS t1, min(e.ts) AS t2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t1 + INTERVAL 7 DAY GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(2 AS INT), 'click',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s3)""".stripMargin,
+    // retention: first-seen week cohorts, distinct-active cells
+    "q158_retention" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT)
+        |    AS cohort_size FROM f GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |j AS (SELECT f.cohort_week,
+        |    CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INT)
+        |      AS week_offset, a.user_id
+        |  FROM a JOIN f USING (user_id))
+        |SELECT strftime(j.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  j.week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_active, sz.cohort_size
+        |FROM j JOIN sz USING (cohort_week)
+        |GROUP BY 1, 2, sz.cohort_size
+        |ORDER BY 1, 2""".stripMargin,
     // budget admission: the cumulative prefix rule replayed verbatim
     "q156_budget_admit" ->
       """WITH d AS (

@@ -1878,6 +1878,54 @@ class OperatorsSpec extends AnyFunSuite {
     fps.unpersist()
   }
 
+  test("funnelCounts: first-match ordering — a click BEFORE the first " +
+      "view doesn't count; the window anchored at entry cuts late " +
+      "conversions; counts are monotone") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      // user 1 completes in order within the window
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-02 10:00:00")),
+      (1L, "purchase", ts("2024-01-03 10:00:00")),
+      // user 2 clicked BEFORE the first view: no step-2 credit
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      // user 3 clicks only after the 7-day window expires
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "click", ts("2024-01-09 10:00:01")),
+      // user 4 never views: not even in step 1
+      (4L, "purchase", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnelCounts(e, Seq("view", "click", "purchase"),
+        within = Some("7 DAYS"))
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(out === Seq((1, "view", 3L), (2, "click", 1L),
+      (3, "purchase", 1L)))
+    // no window: user 3's late click now counts
+    val open = Funnel.funnelCounts(e, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(open === Seq((1, "view", 3L), (2, "click", 2L)))
+  }
+
+  test("retentionCohorts: offset-0 cell equals the cohort size; a " +
+      "returning user lands in the right offset cell") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Mon, cohort wk of Jan 1
+      (1L, ts("2024-01-10 10:00:00")), // offset 1
+      (2L, ts("2024-01-03 10:00:00")), // same cohort
+      (3L, ts("2024-01-08 10:00:00")), // next week's cohort
+      (3L, ts("2024-01-22 10:00:00"))) // offset 2
+      .toDF("user_id", "ts")
+    val out = Funnel.retentionCohorts(e)
+      .select("cohort_week", "week_offset", "n_active", "cohort_size")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set(
+      ("2024-01-01", 0, 2L, 2L), ("2024-01-01", 1, 1L, 2L),
+      ("2024-01-08", 0, 1L, 1L), ("2024-01-08", 2, 1L, 1L)))
+  }
+
   test("hardNegatives drops judged-relevant hits and renumbers; a fully " +
       "relevant top-k yields honestly fewer rows") {
     val run = Seq((1L, 1, 10L, 9.0), (1L, 2, 11L, 8.0), (1L, 3, 12L, 7.0),

@@ -579,6 +579,13 @@ class StreamOpsSpec extends AnyFunSuite {
       .adaptiveRetrievePersistedWithProfiles(spark, dir, queries, profDf,
         index, k = 2, alpha = 0.3))
     assert(viaPersisted === viaBatch)
+    // ...and through the QUANTIZED composed serving path too: streamed
+    // profiles blended against the persisted SQ8 codes (q151's identity
+    // closed over incrementally-maintained state)
+    val viaQuantized = hits(graft.rag.RagPipeline
+      .adaptiveRetrieveQuantizedWithProfiles(spark, dir + "!q", queries,
+        profDf, index, k = 2, alpha = 0.3))
+    assert(viaQuantized === viaBatch)
     index.unpersist()
   }
 
