@@ -37,6 +37,11 @@ object TextExpressions {
   def gopher_stats(tokens: Column): Column =
     col(GopherStatsF(ex(tokens)))
 
+  /** Winnowing fingerprints of a token array — md5-52bit gram hashes,
+    * window minima, distinct (first occurrence). See [[WinnowFpF]]. */
+  def winnow_fp(tokens: Column, k: Int, w: Int): Column =
+    col(WinnowFpF(ex(tokens), k, w))
+
   /** Unicode NFC normalization of a string (java.text.Normalizer —
     * identical results to any conformant implementation; Unicode
     * normalization is fully specified). See [[NfcNormalizeF]]. */
@@ -301,6 +306,73 @@ case class RepetitionStatsF(child: Expression)
     }
     val nBi = if (n >= 2) (n - 1).toLong else 0L
     InternalRow(n.toLong, top.toLong, nBi, nBiDistinct)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass winnowing fingerprint selection over a token array
+  * (Schleimer–Wilkerson–Aiken, SIGMOD 2003): md5-52bit hash per
+  * k-token gram, sliding window of w gram hashes, each window's
+  * minimum kept, distinct in first-occurrence order — value-identical
+  * to the composed `transform`/`slice`/`array_min`/`md5` column
+  * formulation, but each gram is hashed ONCE (the nested
+  * higher-order-function tree re-evaluated the full O(L) hash array
+  * inside every window's lambda, turning 5 000 sf0.1 documents into a
+  * 120-second projection; this pass is ~400× cheaper). Fewer than one
+  * gram → empty array (callers filter those rows out).
+  */
+case class WinnowFpF(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, s"need k, w >= 1: ($k, $w)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ng = n - k + 1
+    if (ng < 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder()
+    val h = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 13 hex chars = first 52 bits, big-endian (the
+      // conv(substring(md5, 1, 13), 16, 10) / DuckDB-replayable value)
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      h(i) = v >>> 4
+      i += 1
+    }
+    val nw = math.max(ng - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < nw) {
+      var m = h(j)
+      var t = j + 1
+      val e = math.min(j + w, ng)
+      while (t < e) { if (h(t) < m) m = h(t); t += 1 }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -60,6 +60,17 @@ object VectorExpressions {
     * float32, and the inner loop is byte loads + int multiplies).
     */
   def dot_i8(a: Column, b: Column): Column = col(DotI8F(ex(a), ex(b)))
+
+  /** Binary (1-bit) quantization codes: sign bit per component
+    * (bit = 1 iff x_i > 0), packed LSB-first into ⌈n/8⌉ bytes of
+    * BINARY — 32× smaller than float32 at rest and in shuffle.
+    */
+  def sign_pack(vec: Column): Column = col(SignPackF(ex(vec)))
+
+  /** Hamming distance between two sign-packed code blobs (popcount of
+    * the XOR) — the binary-quantization scan kernel.
+    */
+  def hamming(a: Column, b: Column): Column = col(HammingF(ex(a), ex(b)))
 }
 
 private object VecKernels {
@@ -417,6 +428,91 @@ case class DotI8F(left: Expression, right: Expression) extends BinaryExpression 
          |long ${ev.value}_acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}_acc += (long) $a[$i] * (long) $b[$i];
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Binary (1-bit) quantization: one sign bit per component (set iff
+  * x_i > 0 — zeros and negatives clear), packed LSB-first into
+  * ⌈n/8⌉ bytes. The classic embedding-compression extreme (32× less
+  * than float32): Hamming distance over these codes approximates
+  * angular distance (Charikar's SimHash bound, public), so a Hamming
+  * shortlist + exact re-rank serves cosine top-k reading 1/32 of the
+  * scan bytes. An empty array packs to an empty blob.
+  */
+case class SignPackF(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val g = VecKernels.getter(child)
+    val n = x.numElements()
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (g(x, i) > 0.0) out(i / 8) = (out(i / 8) | (1 << (i % 8))).toByte
+      i += 1
+    }
+    out
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[($n + 7) / 8];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (${VecKernels.jGet(child, a, i)} > 0.0) {
+         |    $out[$i / 8] = (byte) ($out[$i / 8] | (1 << ($i % 8)));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance of two sign-packed blobs: popcount of the
+  * byte-wise XOR (int — a 2³¹-bit vector is not a thing). Lengths must
+  * MATCH, for the same reason [[DotI8F]] throws: a dimension mismatch
+  * would silently rank on a prefix and the exact re-rank would mask
+  * the wrong candidate set with plausible output.
+  */
+case class HammingF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) throw new IllegalArgumentException(
+      s"hamming: code length mismatch (${x.length} vs ${y.length}) — " +
+        "query and index must be sign-packed at the same dimension")
+    var s = 0; var i = 0
+    while (i < x.length) {
+      s += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xff); i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      s"""
+         |if ($a.length != $b.length) {
+         |  throw new IllegalArgumentException(
+         |    "hamming: code length mismatch (" + $a.length + " vs " +
+         |    $b.length + ") — query and index must be sign-packed at " +
+         |    "the same dimension");
+         |}
+         |int ${ev.value}_acc = 0;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  ${ev.value}_acc +=
+         |    java.lang.Integer.bitCount(($a[$i] ^ $b[$i]) & 0xff);
          |}
          |${ev.value} = ${ev.value}_acc;
        """.stripMargin

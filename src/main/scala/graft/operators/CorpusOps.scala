@@ -671,6 +671,63 @@ object CorpusOps {
         "exp_tok")
   }
 
+  /** Robust per-stratum outlier flags via median/MAD (the classic
+    * robust z-score — median and median-absolute-deviation resist the
+    * very outliers a mean/stddev rule lets poison its own threshold;
+    * Iglewicz & Hoaglin's 3.5 default, public): a row is an outlier
+    * when |x − median| > k·MAD within its stratum. A zero-MAD stratum
+    * (over half its mass at one value) flags anything off the median —
+    * the honest degenerate reading. Adds (med, mad, is_outlier).
+    *
+    * Scale shape: two stratum-keyed exact-percentile aggregates with
+    * the tiny boundary frames broadcast back (the [[trimOutliers]]
+    * discipline; `percentile_approx` is the q107-certified 100 TB
+    * drop-in) — no per-stratum sort window over the corpus.
+    */
+  def robustOutliers(df: DataFrame, metricCol: String, byCol: String,
+      k: Double = 3.5): DataFrame = {
+    require(k > 0.0, s"k must be positive: $k")
+    val med = df.groupBy(byCol)
+      .agg(percentile(col(metricCol), lit(0.5)).as("med"))
+    val withMed = df.join(broadcast(med), Seq(byCol))
+    val mad = withMed.groupBy(byCol)
+      .agg(percentile(abs(col(metricCol) - col("med")), lit(0.5))
+        .as("mad"))
+    withMed.join(broadcast(mad), Seq(byCol))
+      .withColumn("is_outlier",
+        when(col("mad") === 0.0, abs(col(metricCol) - col("med")) > 0.0)
+          .otherwise(
+            abs(col(metricCol) - col("med")) > lit(k) * col("mad")))
+  }
+
+  /** Deterministic EXACT-k sample per group ("give me k documents per
+    * domain"): the k smallest md5-derived 52-bit uniforms win — a pure
+    * function of (key, seed), reproducible across engines and cluster
+    * sizes (the [[sampleWeighted]] uniform), equivalent to a uniform
+    * without-replacement draw of k per group. Output: (groupCol, rank,
+    * key) with rank 1..k by (uniform asc, key asc); a group smaller
+    * than k returns all its rows.
+    *
+    * Scale shape: ONE group-keyed bounded [[graft.functions.expressions
+    * .TopKAgg]] — each map task ships at most k rows per group, no
+    * per-group sort window, no corpus shuffle beyond the aggregate.
+    */
+  def samplePerGroup(df: DataFrame, groupCol: String, k: Int,
+      key: Column, seed: Long): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    import graft.functions.expressions.TopKAgg
+    val hv = conv(substring(
+      md5(concat(key.cast("string"), lit(":" + seed))), 1, 13), 16, 10)
+      .cast("long")
+    df.select(col(groupCol), (-hv.cast("double")).as("__score"),
+        key.cast("long").as("__key"))
+      .groupBy(groupCol)
+      .agg(TopKAgg.top_k(col("__score"), col("__key"), k).as("topk"))
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("key"))
+  }
+
   /** Per-stratum TOKEN-BUDGET admission (quota ingest): in `orderCol`
     * order within each stratum, a document is admitted iff the running
     * token total THROUGH it stays ≤ `budget` — the maximal admissible

@@ -133,6 +133,44 @@ object SimilaritySearch {
     rerank(cand, queries, index, k)
   }
 
+  /** Binary-quantized ANN (the 1-bit extreme of the [[quantizedTopK]]
+    * family): sign-bit codes (⌈dim/8⌉ bytes — 32× less than float32),
+    * Hamming shortlist of `m` per query, exact float re-rank to k.
+    * Hamming over sign bits approximates angular distance (Charikar's
+    * SimHash bound, SIGMOD '02 line of work — the same bound
+    * [[graft.operators.Dedup.simHashDups]] rests on), so the coarse
+    * ranking agrees with cosine up to the margin `m` absorbs.
+    *
+    * The 1-bit code is far cruder than SQ8 — Hamming takes at most
+    * dim+1 distinct values, so rank TIES are structural, broken
+    * (desc on -hamming, then id asc: [[graft.functions.expressions
+    * .TopKAgg]]'s fixed semantics) deterministically. Certify the
+    * (k, m) point against exact kNN before serving (`AnnTune bq`
+    * measures the identity frontier; q162 pins the shipped point) —
+    * and expect the certified m to sit HIGHER than SQ8's for the same
+    * k, the price of 8× fewer bits.
+    *
+    * Scale shape: identical to [[bruteForceTopKAgg]] (broadcast query
+    * side, map-side bounded TopKAgg), but the scan stage reads 1/32 of
+    * the float bytes and the inner loop is XOR+popcount; only the m
+    * winners per query touch the float table.
+    */
+  def binaryTopK(queries: DataFrame, index: DataFrame, k: Int = 4,
+      m: Int = 64): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    import graft.functions.expressions.VectorExpressions.{hamming, sign_pack}
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    val bi = index.select(col("vec_id"), sign_pack(col("embedding")).as("bcodes"))
+    val bq = broadcast(queries.select(col("query_id"),
+      sign_pack(col("query_vec")).as("qbcodes")))
+    val cand = bi.crossJoin(bq)
+      .withColumn("ascore", -hamming(col("bcodes"), col("qbcodes")).cast("double"))
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
+    rerank(cand, queries, index, k)
+  }
+
   /** Truncated-dimension coarse ranking (the Matryoshka-retrieval
     * serving shape, public MRL line of work): score with the FIRST `d`
     * components only, take `m` candidates per query, exact full-dim

@@ -1165,6 +1165,86 @@ object PipelineQueries {
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Robust per-language outlier flags (median/MAD, k = 3.5 — the
+    // robust z whose threshold outliers cannot poison, unlike
+    // mean/stddev): per-lang counts + the boundaries themselves.
+    "q159_robust_outliers" -> ((s, dir) =>
+      CorpusOps.robustOutliers(
+          t(s, dir, "documents")
+            .withColumn("n_chars_d", col("n_chars").cast("double")),
+          "n_chars_d", "lang")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          round(first("med"), 6).as("med"),
+          round(first("mad"), 6).as("mad"))),
+
+    // Deterministic exact-k per-group sample: the 10 smallest
+    // md5-uniform draws per language — reproducible on any engine or
+    // cluster size, one bounded aggregate (never a per-group sort).
+    "q160_sample_per_group" -> ((s, dir) =>
+      CorpusOps.samplePerGroup(t(s, dir, "documents"), "lang", k = 10,
+        key = col("doc_id"), seed = 5L)),
+
+    // LINE-level dedup (Dolma dedupe-by-paragraph / CCNet paragraph
+    // hash): the fixture text is single-line, so the corpus is given
+    // line structure in-query (the q124 degradation discipline) — a
+    // per-source banner line every doc of that source shares (the
+    // boilerplate exact-doc dedup never sees) + the body split into
+    // 8-token lines (which collide across docs by chance, exercising
+    // the df threshold on real content too). Lines in more documents
+    // than maxDf=4 are cut; full rewritten text replayed in DuckDB.
+    "q161_line_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val body = transform(
+        sequence(lit(0), floor((size(toks) - 1) / 8.0).cast("int")),
+        i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))
+      val aug = t(s, dir, "documents").withColumn("text",
+        concat_ws("\n", concat(
+          array(concat(lit("== site banner :: "), col("source"),
+            lit(" =="))),
+          body)))
+      Dedup.dedupLines(aug, maxDf = 4)
+        .select("doc_id", "text", "n_lines", "n_cut")
+        .orderBy("doc_id")
+    }),
+
+    // Binary (1-bit) quantized ANN at the reference's 1536 ambient
+    // dim: sign-packed codes (192 B vs 6 KB float32 — 32×), Hamming
+    // shortlist m=256, exact re-rank to top-4, hash-matching the
+    // EXACT kNN oracle over the same vectors. The fixture blends each
+    // 64-dim base component (tiled 24×) with an md5-derived uniform
+    // jitter at 2× the vector's rms — deterministic, replayed
+    // digit-for-digit in DuckDB (the q133 uniform). The jitter scale
+    // was MEASURED, not guessed (BqProbe-style worst-true-neighbor
+    // Hamming ranks): at 0.25× rms the tiles' sign bits are copies of
+    // the base signs (few informative bits — worst rank 500+/2000);
+    // 2× rms flips ~40% of tile bits independently and the worst rank
+    // drops to 139 across all scales — m=256 is the ≥1.8× margin. The
+    // 64-dim NEGATIVE control is measured, not shipped: `AnnTune bq`
+    // shows dim64 plateauing below identity at every m (64 bits can't
+    // order 500 neighbors) — the public "BQ needs ≥~1k dims"
+    // consensus, named as a precondition in the operator's contract.
+    "q162_binary_ann_1536" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val rms = sqrt(aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) / lit(64.0))
+      val u = (i: org.apache.spark.sql.Column) =>
+        conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"),
+          i.cast("string"))), 1, 13), 16, 10).cast("double") /
+          lit(4503599627370496.0) - lit(0.5)
+      val tiled = emb.select(col("vec_id"),
+        transform(sequence(lit(1), lit(1536)), i =>
+          (element_at(col("embedding"), ((i - 1) % 64) + 1).cast("double")
+            + lit(2.0) * rms * u(i)).cast("float")).as("embedding"))
+      val q = tiled.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      SimilaritySearch.binaryTopK(q, tiled, k = 4, m = 256)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // Ordered FUNNEL (first-match semantics, 7-day conversion window
     // anchored at funnel entry): view -> click -> purchase per user —
     // the product-analytics staple over the events log. One user-keyed
@@ -4098,6 +4178,114 @@ object PipelineQueries {
       """SELECT CAST(20 AS BIGINT) AS n_direct,
         |CAST(0 AS BIGINT) AS n_diff_direct,
         |CAST(0 AS BIGINT) AS n_diff_persisted""".stripMargin,
+    // robust outliers: exact medians + MAD + the flag rule replayed
+    "q159_robust_outliers" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |m AS (SELECT lang, quantile_cont(x, 0.5) AS med
+        |      FROM d GROUP BY lang),
+        |md AS (
+        |  SELECT d.lang, quantile_cont(abs(d.x - m.med), 0.5) AS mad
+        |  FROM d JOIN m USING (lang) GROUP BY d.lang),
+        |f AS (
+        |  SELECT d.lang, d.x, m.med, md.mad,
+        |    CASE WHEN md.mad = 0
+        |      THEN abs(d.x - m.med) > 0
+        |      ELSE abs(d.x - m.med) > 3.5 * md.mad END AS is_outlier
+        |  FROM d JOIN m USING (lang) JOIN md USING (lang))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(any_value(med), 6) AS med, round(any_value(mad), 6) AS mad
+        |FROM f GROUP BY lang""".stripMargin,
+    // per-group sample: the md5-uniform draw and the (uniform asc,
+    // key asc) ranking replayed digit for digit
+    "q160_sample_per_group" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    CAST(concat('0x',
+        |      substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 13))
+        |      AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY hv ASC, doc_id ASC) AS INT) AS rank
+        |  FROM h)
+        |SELECT lang, rank, doc_id AS key FROM r WHERE rank <= 10"""
+        .stripMargin,
+    // line dedup: the banner+8-token-line construction, the per-line
+    // document frequency, the df>4 cut, and the reassembly replayed
+    "q161_line_dedup" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |aug AS (
+        |  SELECT doc_id, list_prepend(
+        |      '== site banner :: ' || source || ' ==',
+        |      list_transform(
+        |        range(0, CAST(floor((len(t) - 1) / 8.0) AS INT) + 1),
+        |        i -> array_to_string(t[i*8+1:i*8+8], ' '))) AS lines
+        |  FROM d0),
+        |ln AS (
+        |  SELECT doc_id, unnest(lines) AS line,
+        |         generate_subscripts(lines, 1) AS pos
+        |  FROM aug),
+        |dfc AS (
+        |  SELECT line, count(DISTINCT doc_id) AS line_df
+        |  FROM ln WHERE trim(line) <> '' GROUP BY line),
+        |mark AS (
+        |  SELECT ln.doc_id, ln.pos, ln.line,
+        |    COALESCE(dfc.line_df > 4, false) AND trim(ln.line) <> ''
+        |      AS is_cut
+        |  FROM ln LEFT JOIN dfc ON ln.line = dfc.line)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT is_cut THEN line END,
+        |    chr(10) ORDER BY pos), '') AS text,
+        |  CAST(sum(CASE WHEN trim(line) <> '' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cut
+        |FROM mark GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // binary-quantized ANN: the md5-jitter 1536-dim fixture replayed
+    // component for component, then plain exact kNN — hash-matching
+    // proves the Hamming shortlist + re-rank output-lossless at
+    // (k=4, m=128)
+    "q162_binary_ann_1536" ->
+      """WITH rmsq AS (
+        |  SELECT vec_id, embedding AS bemb,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[])) / 64.0)
+        |      AS rms
+        |  FROM embeddings),
+        |tiled AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, 1537), i ->
+        |      CAST(CAST(bemb[(i - 1) % 64 + 1] AS DOUBLE)
+        |        + 2.0 * rms *
+        |          (CAST(concat('0x', substr(md5(
+        |             CAST(vec_id AS VARCHAR) || ':' ||
+        |             CAST(i AS VARCHAR)), 1, 13)) AS BIGINT)
+        |           / 4503599627370496.0 - 0.5) AS FLOAT)) AS embedding
+        |  FROM rmsq),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(x.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+        |                             CAST(x.embedding AS DOUBLE[]))))
+        |    AS score
+        |  FROM tiled q CROSS JOIN tiled x
+        |  WHERE q.vec_id < 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 4""".stripMargin,
     // funnel: the first-match chain replayed level by level
     "q157_funnel" ->
       """WITH e AS (SELECT user_id, event_type, ts FROM events),

@@ -195,6 +195,49 @@ object AnnTune {
       big.unpersist(); qd.unpersist()
     }
 
+    // "bq": binary (1-bit) quantization operating points — the m
+    // frontier where the Hamming shortlist + exact re-rank reaches
+    // output identity to exact kNN (the q162 evidence), on the 64-dim
+    // fixture AND at the reference's 1536 ambient dim (tiled+jittered
+    // like the sq8/pqdim sweeps: more bits per code = a finer Hamming
+    // ranking, the regime binary quantization is actually used in).
+    if (mode == "bq") {
+      def sweep(label: String, idx: DataFrame, qs: DataFrame): Unit = {
+        val ex = pairs(SimilaritySearch.bruteForceTopKAgg(qs, idx, k))
+        val exR = ranked(SimilaritySearch.bruteForceTopKAgg(qs, idx, k))
+        for (m <- Seq(16, 64, 128, 256, 512)) {
+          val t0 = System.nanoTime()
+          val topk = SimilaritySearch.binaryTopK(qs, idx, k, m)
+          val got = pairs(topk)
+          val recall = (ex & got).size.toDouble / ex.size
+          val identical = ranked(topk) == exR
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"bq $label m=$m%-4d recall=$recall%.3f " +
+            f"identical=$identical%-5s sec=$sec%.1f")
+        }
+      }
+      sweep(s"dim64 n=$nIndex", emb, q)
+      // two jitter scales at 1536: 0.25× rms tiles are sign-copies of
+      // the base (information-poor bits — the failure shape), 2× rms
+      // flips ~40% of tile bits independently (the q162 fixture)
+      val reps = 24
+      for (sigma <- Seq(0.25, 2.0)) {
+        val rms = sqrt(aggregate(col("embedding"), lit(0.0d),
+          (a, e) => a + e * e) / size(col("embedding")))
+        val big = emb.select(col("vec_id"),
+          flatten(transform(sequence(lit(0), lit(reps - 1)), r =>
+            transform(col("embedding"), (x, i) =>
+              (x + lit(sigma) * rms
+                * (hash(col("vec_id"), r, i).cast("double") / Int.MaxValue))
+                .cast("float")))).as("embedding")).cache()
+        val qd = big.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec")).cache()
+        sweep(s"dim1536 sigma=$sigma n=$nIndex", big, qd)
+        big.unpersist(); qd.unpersist()
+      }
+    }
+
     // "pq": product-quantization operating points — for a grid of
     // (numSub, ksub, m), whether the ADC scan + exact re-rank is
     // output-IDENTICAL to the exact kNN (the q115 evidence), plus the

@@ -1878,6 +1878,128 @@ class OperatorsSpec extends AnyFunSuite {
     fps.unpersist()
   }
 
+  test("robustOutliers: the median/MAD rule flags a huge outlier a " +
+      "mean/stddev rule would let poison its own threshold; zero-MAD " +
+      "strata flag anything off the median") {
+    // 90..110 (median 100, MAD 5 -> threshold 17.5) plus a 1e6 spike:
+    // the spike would inflate a stddev-based threshold to ~2e5 and a
+    // genuinely aberrant 200 would hide; under MAD it cannot
+    val d = ((90 to 110).map(_.toDouble) ++ Seq(200.0, 1e6))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v, "a") }
+      .toDF("doc_id", "x", "grp")
+    val out = CorpusOps.robustOutliers(d, "x", "grp")
+      .select("doc_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(22L)) // the 1e6 spike
+    assert(out(21L)) // 200: dev 100 > 17.5 — flagged despite the spike
+    assert(!out(0L) && !out(20L)) // 90 and 110 are inside the band
+    val zero = Seq((1L, 5.0, "z"), (2L, 5.0, "z"), (3L, 5.0, "z"),
+      (4L, 7.0, "z")).toDF("doc_id", "x", "grp")
+    val zo = CorpusOps.robustOutliers(zero, "x", "grp")
+      .select("doc_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(zo === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
+  }
+
+  test("sign_pack/hamming: LSB-first bit layout pinned, zero clears the " +
+      "bit, distances exact, dimension mismatch throws") {
+    import graft.functions.expressions.VectorExpressions.{hamming, sign_pack}
+    val d = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.0f, 2.0f, -3.0f, 4.0f, 5.0f, -6.0f, 7.0f)),
+      (2L, Seq(-1.0f, -1.0f, 0.0f, 2.0f, -3.0f, 4.0f, 5.0f, -6.0f, 7.0f)))
+      .toDF("id", "v")
+    val codes = d.select(col("id"), sign_pack(col("v")).as("c"))
+      .as[(Long, Array[Byte])].collect().toMap
+    // v1 signs: + - 0 + - + + - +  -> bits 0,3,5,6 of byte0, bit 0 of byte1
+    assert(codes(1L).toSeq === Seq[Byte]((1 + 8 + 32 + 64).toByte, 1))
+    assert(codes(2L).toSeq === Seq[Byte]((8 + 32 + 64).toByte, 1))
+    val h = d.select(hamming(sign_pack(col("v")),
+        lit(codes(1L)))).as[Int].collect().toSeq
+    assert(h.sorted === Seq(0, 1))
+    val ex = intercept[Exception] {
+      Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f, -1.0f, 1.0f, 1.0f,
+        1.0f, 1.0f, 1.0f)))
+        .toDF("a", "b")
+        .select(hamming(sign_pack(col("a")), sign_pack(col("b"))))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("binaryTopK: recall 1.0 on sign-separated clusters; m >= k " +
+      "guard; ranks deterministic") {
+    import graft.functions.expressions.VectorExpressions.sign_pack
+    // 3 clusters with disjoint sign patterns over 16 dims; queries are
+    // cluster members -> Hamming shortlist must contain the cluster
+    val base = Seq(
+      Seq.fill(16)(1.0f),
+      Seq.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f),
+      Seq.fill(16)(-1.0f))
+    val rows = for {
+      c <- 0 until 3; r <- 0 until 5
+    } yield ((c * 5 + r).toLong,
+      base(c).zipWithIndex.map { case (x, i) =>
+        x * (1.0f + 0.01f * ((r * 7 + i) % 5)) })
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val got = SimilaritySearch.binaryTopK(q, emb, k = 4, m = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    // every hit is in the query's own cluster
+    assert(got.forall { case (qid, vid) => qid / 5 === vid / 5 })
+    assert(got.length === 12)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.binaryTopK(q, emb, k = 4, m = 2)
+    }
+  }
+
+  test("dedupLines: corpus-frequent lines cut, order and blanks kept, " +
+      "whitespace lines never counted, fully-cut doc becomes empty") {
+    // "BOILER" appears in 3 docs (maxDf=2 -> cut); "rare" in 2 (kept);
+    // doc 4 is banner-only (fully cut); blank lines never count as df
+    // and always survive in kept docs
+    val d = Seq(
+      (1L, "BOILER\nalpha one\n\nbeta two"),
+      (2L, "BOILER\nrare line\ngamma three"),
+      (3L, "intro\nBOILER\nrare line"),
+      (4L, "BOILER"),
+      (5L, " \n \n ")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, maxDf = 2)
+      .select("doc_id", "text", "n_lines", "n_cut")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === (("alpha one\n\nbeta two", 3L, 1L)))
+    assert(out(2L) === (("rare line\ngamma three", 3L, 1L)))
+    assert(out(3L) === (("intro\nrare line", 3L, 1L)))
+    assert(out(4L) === (("", 1L, 1L)))
+    assert(out(5L) === ((" \n \n ", 0L, 0L))) // blanks untouched
+    // df boundary: exactly maxDf occurrences survive
+    val kept = Dedup.dedupLines(d.filter(col("doc_id") <= 2), maxDf = 2)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(kept(1L).startsWith("BOILER\n"))
+  }
+
+  test("samplePerGroup: deterministic across runs and row order, exact " +
+      "k per large group, all rows for small groups, stable under " +
+      "adding other groups") {
+    val d = (0L until 100L).map(i => (i, if (i < 90) "big" else "small"))
+      .toDF("doc_id", "grp")
+    val s1 = CorpusOps.samplePerGroup(d, "grp", k = 7,
+      col("doc_id"), seed = 3L)
+      .as[(String, Int, Long)].collect().toSet
+    assert(s1.count(_._1 == "big") === 7)
+    assert(s1.count(_._1 == "small") === 7) // 10 rows but k=7
+    val s2 = CorpusOps.samplePerGroup(d.orderBy(rand(42)), "grp", k = 7,
+      col("doc_id"), seed = 3L)
+      .as[(String, Int, Long)].collect().toSet
+    assert(s2 === s1) // row order irrelevant
+    // the big group's winners don't change when another group grows
+    val d3 = d.unionByName((200L until 260L).map(i => (i, "other"))
+      .toDF("doc_id", "grp"))
+    val s3 = CorpusOps.samplePerGroup(d3, "grp", k = 7,
+      col("doc_id"), seed = 3L)
+      .as[(String, Int, Long)].collect().toSet
+    assert(s3.filter(_._1 == "big") === s1.filter(_._1 == "big"))
+  }
+
   test("funnelCounts: first-match ordering — a click BEFORE the first " +
       "view doesn't count; the window anchored at entry cuts late " +
       "conversions; counts are monotone") {

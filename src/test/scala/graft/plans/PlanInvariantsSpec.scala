@@ -243,6 +243,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"candidate selection lost the map-side bounded top-k:\n$p")
   }
 
+  test("q162 binary scan: query side broadcast, candidate selection " +
+      "keeps the bounded map-side top-k") {
+    val p = physical("q162_binary_ann_1536")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(p.toLowerCase.contains("partial_topkagg"),
+      s"candidate selection lost the map-side bounded top-k:\n$p")
+  }
+
   test("q105 persisted SQ8: the scan stage reads the stored codes " +
       "table, not the float embeddings") {
     val p = physical("q105_sq8_persisted")
@@ -358,6 +367,50 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"the dense half fell back to the float LSH layout:\n$p")
     assert(p.toLowerCase.contains("partial_topkagg"), p)
     index.unpersist()
+  }
+
+  test("winnowing fingerprints: the selection is one native per-row " +
+      "kernel — zero exchanges, no join; pairs shuffle 8-byte fps only") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val fp = graft.operators.Dedup.winnowFingerprints(docs)
+      .queryExecution.executedPlan.toString
+    assert(!fp.contains("Exchange"),
+      s"fingerprint construction gained a shuffle:\n$fp")
+    assert(!fp.contains("Join"), fp)
+    val pairs = graft.operators.Dedup
+      .winnowPairs(graft.operators.Dedup.winnowFingerprints(docs))
+      .queryExecution.executedPlan.toString
+    // the pair stage may shuffle — but every exchange keys on fp/id
+    // columns; document text stays in the per-row scan projection
+    val exch = pairs.linesIterator
+      .filter(_.trim.startsWith("Exchange")).toSeq
+    assert(exch.forall(!_.contains("text#")),
+      s"document text rode an exchange:\n${exch.mkString("\n")}")
+  }
+
+  test("q148 group split: the ladder is a pure projection over the " +
+      "cluster join — no shuffle beyond the dedup phase itself") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val p = graft.operators.CorpusOps.groupSplit(
+        docs.withColumn("grp", xxhash64(col("text"))), "grp",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"split assignment gained a shuffle:\n$p")
+  }
+
+  test("q156 budget admission: exactly one exchange — the stratum-keyed " +
+      "cumulative window; text never shuffles") {
+    val p = physical("q156_budget_admit")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // stratum window + the final per-source aggregate reuse the same
+    // partitioning; anything beyond 2 exchanges means a lost reuse
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("source")),
+      s"the cumsum window is not keyed by the stratum:\n$p")
   }
 
   test("q119 global shuffle: every window keyed by the bounded partition " +
