@@ -114,8 +114,10 @@ object Bench {
       "q146", "q147", "q148", "q149", "q150", "q151",
       "q152", "q153", "q154",
       // hard negatives; budget admission; funnel; retention;
-      // robust outliers; per-group sample; line dedup; binary ANN
-      "q155", "q156", "q157", "q158", "q159", "q160", "q161", "q162")
+      // robust outliers; per-group sample; line dedup; binary ANN;
+      // langid calibration
+      "q155", "q156", "q157", "q158", "q159", "q160", "q161", "q162",
+      "q163")
     // The harness that records this line captures only the TAIL of the
     // process output (~2000 chars), so the parsed JSON line must stay
     // well under that: short query keys (the unique qNN prefix), 2-decimal

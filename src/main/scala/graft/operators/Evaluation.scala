@@ -95,4 +95,35 @@ object Evaluation {
       .filter(col("neg_rank") <= n)
       .select(col("query_id"), col("neg_rank"), col(idCol), col("score"))
   }
+
+  /** Reliability table + Expected Calibration Error (the standard
+    * equal-width-bin ECE of Naeini et al. / Guo et al., public): bin
+    * predicted confidence into `bins` equal-width buckets, report per
+    * bucket (n, mean confidence, accuracy), and attach
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b| — the gap a trusted
+    * probability estimate must close before its scores can gate
+    * admission thresholds (a classifier can be 95% accurate and still
+    * uselessly over-confident). Scores must sit in [0, 1]; score 1.0
+    * folds into the top bucket (the usual convention).
+    *
+    * Scale shape: one bin-keyed aggregate over (double, boolean) pairs
+    * (map-side partial — at most `bins` rows per task), one
+    * `bins`-row ECE aggregate broadcast back. Nothing corpus-sized
+    * moves or collects.
+    */
+  def calibration(df: DataFrame, scoreCol: String, correctCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins: $bins")
+    val table = df
+      .withColumn("bin",
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        avg(col(scoreCol)).as("conf"),
+        avg(col(correctCol).cast("double")).as("acc"))
+    val ece = table.agg(
+      (sum(col("n") * abs(col("acc") - col("conf"))) / sum(col("n")))
+        .as("ece"))
+    table.crossJoin(broadcast(ece))
+  }
 }

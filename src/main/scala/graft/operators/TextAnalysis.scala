@@ -123,6 +123,37 @@ object TextAnalysis {
       .withColumn("marker_hits", best.getField("hits"))
   }
 
+  /** [[languageId]] plus a CONFIDENCE estimate: Laplace-smoothed share
+    * of the winner's marker hits, conf = (hits_best + 1) /
+    * (Σ_lang hits + |langs|) ∈ (0, 1] — a probability-shaped score a
+    * calibration pass ([[Evaluation.calibration]], q163) can audit
+    * against ground truth. Adds (predicted_lang, marker_hits,
+    * total_hits, lang_conf); same per-row zero-shuffle shape.
+    */
+  def languageIdWithConf(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val profiles = LangMarkers.toSeq.sortBy(_._1)
+    val scoreCols = profiles.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(
+        size(filter(toks, x => array_contains(arr, x))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = aggregate(
+      array(scoreCols: _*),
+      struct(lit(-1).as("hits"), lit("").as("lang")),
+      (acc, s) => when(s.getField("hits") > acc.getField("hits"), s).otherwise(acc))
+    val total = aggregate(
+      array(scoreCols: _*), lit(0),
+      (acc, s) => acc + s.getField("hits"))
+    df.withColumn("predicted_lang", best.getField("lang"))
+      .withColumn("marker_hits", best.getField("hits"))
+      .withColumn("total_hits", total)
+      .withColumn("lang_conf",
+        (col("marker_hits") + 1) /
+          (col("total_hits") + lit(profiles.size.toDouble)))
+  }
+
   /** Repetition quality signals (the Gopher-style repetitious-text
     * filters): fraction of the document that is its single most frequent
     * word, and fraction of word bigrams that are repeats. Both are

@@ -1233,16 +1233,38 @@ object PipelineQueries {
         conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"),
           i.cast("string"))), 1, 13), 16, 10).cast("double") /
           lit(4503599627370496.0) - lit(0.5)
+      // pinned: the 1536-component md5-jitter construction is ~3M md5
+      // HOF evaluations — without the checkpoint every consumer (query
+      // side, code scan, float re-rank join) re-runs it (21 s -> ~5 s)
       val tiled = emb.select(col("vec_id"),
         transform(sequence(lit(1), lit(1536)), i =>
           (element_at(col("embedding"), ((i - 1) % 64) + 1).cast("double")
             + lit(2.0) * rms * u(i)).cast("float")).as("embedding"))
+        .localCheckpoint(false)
       val q = tiled.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_vec"))
       SimilaritySearch.binaryTopK(q, tiled, k = 4, m = 256)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
+    }),
+
+    // Calibration audit of the language-ID classifier: its Laplace-
+    // smoothed confidence (hits+1)/(total+|langs|) binned into 10
+    // reliability buckets against the fixture's true lang labels, plus
+    // the Expected Calibration Error — the eval that tells you whether
+    // a score is a PROBABILITY or just a ranking before anyone
+    // thresholds on it. Full SQL replay (marker hits, argmax, smoothing,
+    // binning, ECE) at all three scales.
+    "q163_langid_calibration" -> ((s, dir) => {
+      val scored = TextAnalysis.languageIdWithConf(t(s, dir, "documents"))
+        .withColumn("correct", col("predicted_lang") === col("lang"))
+      Evaluation.calibration(scored, "lang_conf", "correct", bins = 10)
+        .select(col("bin"), col("n"),
+          round(col("conf"), 6).as("conf"),
+          round(col("acc"), 6).as("acc"),
+          round(col("ece"), 6).as("ece"))
+        .orderBy("bin")
     }),
 
     // Ordered FUNNEL (first-match semantics, 7-day conversion window
@@ -2816,6 +2838,57 @@ object PipelineQueries {
        |FROM best GROUP BY lang, predicted_lang_ngram""".stripMargin
   }
 
+  /** q163: the q41 marker machinery extended per-doc with the Laplace
+    * confidence, the 10-bin reliability table, and the ECE.
+    */
+  private val langidCalibrationOracle = {
+    val markers = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+    val hitExprs = markers.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(tk, x -> list_contains($arr, x))) AS hits_$lang"
+    }.mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val caseArms = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"hits_$l >= hits_$o")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("\n      ")
+    val greatest = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+    val total = langs.map(l => s"hits_$l").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $hitExprs
+       |  FROM toks),
+       |best AS (
+       |  SELECT doc_id, lang,
+       |    CASE
+       |      $caseArms
+       |    END AS predicted_lang,
+       |    CAST($greatest AS INT) AS marker_hits,
+       |    CAST($total AS INT) AS total_hits
+       |  FROM scored),
+       |conf AS (
+       |  SELECT marker_hits, total_hits,
+       |    (marker_hits + 1) / (total_hits + ${langs.size}.0) AS lang_conf,
+       |    predicted_lang = lang AS correct
+       |  FROM best),
+       |binned AS (
+       |  SELECT least(CAST(floor(lang_conf * 10) AS INT), 9) AS bin,
+       |    lang_conf, correct FROM conf),
+       |tbl AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |    avg(lang_conf) AS conf,
+       |    avg(CASE WHEN correct THEN 1.0 ELSE 0.0 END) AS acc
+       |  FROM binned GROUP BY bin),
+       |e AS (SELECT sum(n * abs(acc - conf)) / sum(n) AS ece FROM tbl)
+       |SELECT bin, n, round(conf, 6) AS conf, round(acc, 6) AS acc,
+       |  round((SELECT ece FROM e), 6) AS ece
+       |FROM tbl ORDER BY bin""".stripMargin
+  }
+
   private val langidOracle = {
     // mirrors TextAnalysis.LangMarkers with first-max (alphabetical) ties
     val markers = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
@@ -3964,6 +4037,9 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, rank, vec_id, round(score, 6) AS score
         |FROM ranked WHERE rank <= 4""".stripMargin,
+    // langid calibration: marker hits, argmax, Laplace confidence,
+    // 10-bin reliability table, and the ECE replayed end to end
+    "q163_langid_calibration" -> langidCalibrationOracle,
     // filtered retrieval: exact top-4 among even-label vectors only
     "q113_filtered_knn" -> knnFilteredOracle,
     // the filtered SQ8-served path returns the identical output

@@ -758,6 +758,11 @@ object StreamOps {
   final case class AdmitVerdict(source: String, doc_id: Long,
       n_tok: Long, cum_tok: Long, admitted: Boolean)
 
+  final case class FunnelEvent(user_id: Long, event_type: String,
+      ts: Timestamp)
+  final case class FunnelHit(user_id: Long, step: Int, step_name: String,
+      ts: Timestamp)
+
   /** Streaming per-stratum TOKEN-BUDGET admission — the trigger-by-
     * trigger twin of [[graft.operators.CorpusOps.budgetAdmit]]'s prefix
     * rule: per stratum the state is the running token total over EVERY
@@ -794,6 +799,68 @@ object StreamOps {
       out.iterator
     }
     docs.groupByKey(_.source)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming twin of [[graft.operators.Funnel.funnelCounts]]: per
+    * user, the first-match step chain (a step-i event counts iff it is
+    * the next unachieved step, strictly after the previous step's
+    * time, and — with `withinMicros` — no later than the step-1 anchor
+    * plus the window). Emits ONE append-only [[FunnelHit]] the moment
+    * a user first reaches each step; `groupBy(step).count()` downstream
+    * (legal after an Append-mode flatMapGroupsWithState) is the live
+    * funnel — counts monotone per step by construction, matching the
+    * batch operator's n_users level by level.
+    *
+    * CONTRACT (documented boundary, the [[streamingBudgetAdmit]]
+    * discipline): events must arrive per-user in event-time order
+    * ACROSS triggers (the partition-by-user, time-ordered-log shape);
+    * within a trigger order is free — rows sort by (ts, event order)
+    * before the chain advances. An out-of-order earlier step-i event
+    * arriving after step i was achieved cannot retroactively lower the
+    * anchor, so cross-trigger reordering trades exactness for
+    * unbounded buffering — the batch operator is the replayable
+    * ground truth, and StreamOpsSpec pins trigger-parity on ordered
+    * feeds. State = one ≤ |steps|-length micros array per ACTIVE user,
+    * deliberately no TTL: a converted funnel must not reopen.
+    */
+  def streamingFunnel(
+      spark: SparkSession,
+      events: Dataset[FunnelEvent],
+      steps: Seq[String],
+      withinMicros: Option[Long] = None): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "streamingFunnel: need at least one step")
+    require(steps.distinct.size == steps.size,
+      s"streamingFunnel: repeated step types not supported: $steps")
+    require(withinMicros.forall(_ > 0),
+      s"streamingFunnel: window must be positive: $withinMicros")
+    import spark.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    def update(
+        user: Long,
+        rows: Iterator[FunnelEvent],
+        state: GroupState[Seq[Long]]): Iterator[FunnelHit] = {
+      var achieved = state.getOption.getOrElse(Seq.empty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos)).foreach { e =>
+        val next = achieved.size
+        if (next < steps.size && e.event_type == steps(next)) {
+          val t = micros(e.ts)
+          val afterPrev = achieved.isEmpty || t > achieved.last
+          val inWindow = achieved.isEmpty ||
+            withinMicros.forall(w => t <= achieved.head + w)
+          if (afterPrev && inWindow) {
+            achieved = achieved :+ t
+            out += FunnelHit(user, next + 1, steps(next), e.ts)
+          }
+        }
+      }
+      if (achieved.nonEmpty) state.update(achieved)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }

@@ -1899,6 +1899,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(zo === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("calibration: hand-computed reliability table and ECE; " +
+      "perfectly calibrated input scores ECE ~ bin-width noise only") {
+    // bin 7 [0.7, 0.8): conf 0.75, acc 1.0 -> gap 0.25 over 2 of 4 rows
+    // bin 2 [0.2, 0.3): conf 0.25, acc 0.5 -> gap 0.25 over 2 of 4 rows
+    val d = Seq((0.7, true), (0.8 - 1e-9, true), (0.2, false), (0.3 - 1e-9, true))
+      .toDF("p", "ok")
+    val out = Evaluation.calibration(d, "p", "ok", bins = 10)
+      .select("bin", "n", "conf", "acc", "ece")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(2, 7))
+    assert(math.abs(out(7)._3 - 0.75) < 1e-6); assert(out(7)._4 === 1.0)
+    assert(math.abs(out(2)._3 - 0.25) < 1e-6); assert(out(2)._4 === 0.5)
+    assert(math.abs(out(7)._5 - 0.25) < 1e-6) // (2/4)*0.25 + (2/4)*0.25
+    // score exactly 1.0 folds into the top bin, not bin 10
+    val top = Evaluation.calibration(
+      Seq((1.0, true)).toDF("p", "ok"), "p", "ok").select("bin")
+      .as[Int].collect()
+    assert(top === Array(9))
+    intercept[IllegalArgumentException] {
+      Evaluation.calibration(d, "p", "ok", bins = 1)
+    }
+  }
+
+  test("languageIdWithConf: predictions identical to languageId; conf " +
+      "is the Laplace share and sums sensibly") {
+    val docs = graft.Tables.load(spark, graft.TestSpark.Sf0001, "documents")
+    val a = TextAnalysis.languageId(docs)
+      .select("doc_id", "predicted_lang", "marker_hits")
+      .as[(Long, String, Int)].collect()
+      .map { case (i, pl, h) => i -> ((pl, h)) }.toMap
+    val b = TextAnalysis.languageIdWithConf(docs)
+      .select("doc_id", "predicted_lang", "marker_hits", "total_hits",
+        "lang_conf")
+      .collect()
+    assert(b.forall { r =>
+      a(r.getLong(0)) == ((r.getString(1), r.getInt(2)))
+    })
+    assert(b.forall { r =>
+      val conf = r.getDouble(4)
+      math.abs(conf - (r.getInt(2) + 1.0) / (r.getInt(3) + 5.0)) < 1e-12 &&
+        conf > 0.0 && conf <= 1.0
+    })
+  }
+
   test("sign_pack/hamming: LSB-first bit layout pinned, zero clears the " +
       "bit, distances exact, dimension mismatch throws") {
     import graft.functions.expressions.VectorExpressions.{hamming, sign_pack}

@@ -680,4 +680,56 @@ class StreamOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(batch === got)
   }
+
+  test("streamingFunnel: first-match chain across triggers equals the " +
+      "batch funnel; a click before the first view never counts; the " +
+      "entry-anchored window cuts late conversions; converted stays " +
+      "converted") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val mem = MemoryStream[StreamOps.FunnelEvent]
+    val out = StreamOps.streamingFunnel(spark, mem.toDS(),
+      steps = Seq("view", "click", "purchase"),
+      withinMicros = Some(10L * 60 * 1000000)) // 10 minutes
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_stream").start()
+    // user 1: click at :01 BEFORE its first view at :02 -> that click
+    //         must not count; the :05 click and :08 purchase do.
+    // user 2: view :00, click :03, purchase at :15 -> outside the
+    //         10-min window anchored at :00 -> cut.
+    // user 3: view only.
+    mem.addData(
+      StreamOps.FunnelEvent(1L, "click", t(1)),
+      StreamOps.FunnelEvent(1L, "view", t(2)),
+      StreamOps.FunnelEvent(2L, "view", t(0)),
+      StreamOps.FunnelEvent(3L, "view", t(4)))
+    q.processAllAvailable()
+    mem.addData(
+      StreamOps.FunnelEvent(1L, "click", t(5)),
+      StreamOps.FunnelEvent(2L, "click", t(3)), // LATE vs contract? no:
+      // user 2's trigger-2 rows are still after its trigger-1 rows
+      StreamOps.FunnelEvent(1L, "purchase", t(8)),
+      StreamOps.FunnelEvent(2L, "purchase", t(15)),
+      StreamOps.FunnelEvent(1L, "view", t(9))) // already past step 1
+    q.processAllAvailable()
+    val hits = spark.table("funnel_stream")
+      .select("user_id", "step", "step_name")
+      .as[(Long, Int, String)].collect().toSet
+    q.stop()
+    assert(hits === Set(
+      (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+      (2L, 1, "view"), (2L, 2, "click"),
+      (3L, 1, "view")))
+    // parity: batch funnelCounts over the same events
+    val all = Seq(
+      (1L, "click", t(1)), (1L, "view", t(2)), (2L, "view", t(0)),
+      (3L, "view", t(4)), (1L, "click", t(5)), (2L, "click", t(3)),
+      (1L, "purchase", t(8)), (2L, "purchase", t(15)), (1L, "view", t(9)))
+      .toDF("user_id", "event_type", "ts")
+    val batch = graft.operators.Funnel.funnelCounts(all,
+        Seq("view", "click", "purchase"), within = Some("10 minutes"))
+      .select("step", "n_users").as[(Int, Long)].collect().toMap
+    val streamCounts = hits.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(batch === streamCounts)
+  }
 }
