@@ -71,6 +71,10 @@ object VectorExpressions {
     * the XOR) — the binary-quantization scan kernel.
     */
   def hamming(a: Column, b: Column): Column = col(HammingF(ex(a), ex(b)))
+
+  /** y = M·x for a fixed row-major matrix literal (rotation kernel). */
+  def mat_vec(vec: Column, mat: Array[Double], cols: Int): Column =
+    col(MatVecF(ex(vec), mat, cols))
 }
 
 private object VecKernels {
@@ -520,4 +524,41 @@ case class HammingF(left: Expression, right: Expression) extends BinaryExpressio
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Dense mat-vec y = M·x for a FIXED row-major matrix (the rotation /
+  * projection kernel: M rides in the expression as a model literal —
+  * the stored-codebook discipline — never as a per-row column). Input
+  * float or double array of length `cols`; output array<double> of
+  * length rows = mat.length / cols. Double accumulation, strict
+  * left-to-right per output row. Throws on a dimension mismatch
+  * (the [[DotI8F]] rationale: a silent prefix mat-vec would produce
+  * plausible wrong geometry downstream).
+  */
+case class MatVecF(child: Expression, mat: Array[Double], cols: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(cols >= 1 && mat.length % cols == 0,
+    s"mat_vec: matrix length ${mat.length} is not a multiple of cols $cols")
+  private val rows = mat.length / cols
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(in: Any): Any = {
+    val x = in.asInstanceOf[ArrayData]
+    val g = VecKernels.getter(child)
+    if (x.numElements() != cols) throw new IllegalArgumentException(
+      s"mat_vec: vector length ${x.numElements()} != cols $cols")
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      var s = 0.0
+      var c = 0
+      val base = r * cols
+      while (c < cols) { s += mat(base + c) * g(x, c); c += 1 }
+      out(r) = s
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -931,4 +931,121 @@ object SimilaritySearch {
   def labelCentroids(embeddings: DataFrame): DataFrame =
     meanVectors(embeddings, "label", "embedding", "centroid_vec")
       .withColumnRenamed("label", "centroid_id")
+
+  /** Energy-compacting rotation model: rows of `rot` (row-major d×d)
+    * are the eigenvectors of the corpus's UNCENTERED second-moment
+    * matrix E[x xᵀ], eigenvalue-descending — the PCA axis alignment
+    * that OPQ (Ge et al., "Optimized Product Quantization", CVPR '13 /
+    * faiss `OPQMatrix`, public) seeds from. `eigvals` are the
+    * per-rotated-component mean energies (the spectrum).
+    */
+  final case class RotationModel(rot: Array[Double],
+      eigvals: Array[Double], dim: Int)
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (flattened
+    * row-major) — deterministic, O(d³) per sweep, driver-side on a
+    * BOUNDED d² model artifact (the collectCodebook discipline; d=64
+    * → 4 096 doubles, d=1536 → 2.4 M — model-sized, never corpus-
+    * sized). Returns (eigenvalues, eigenvector-COLUMNS matrix).
+    */
+  private[graft] def jacobiEig(s: Array[Double], d: Int): (Array[Double], Array[Double]) = {
+    require(s.length == d * d, s"jacobiEig: ${s.length} != $d^2")
+    val a = s.clone()
+    val v = Array.tabulate(d * d)(i => if (i / d == i % d) 1.0 else 0.0)
+    def off2(): Double = {
+      var t = 0.0; var p = 0
+      while (p < d) {
+        var q = 0
+        while (q < d) {
+          if (p != q) t += a(p * d + q) * a(p * d + q); q += 1
+        }
+        p += 1
+      }
+      t
+    }
+    var fro2 = 0.0
+    var i = 0
+    while (i < a.length) { fro2 += a(i) * a(i); i += 1 }
+    var sweep = 0
+    while (sweep < 64 && off2() > 1e-24 * math.max(1.0, fro2)) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p * d + q)
+          if (apq != 0.0) {
+            val theta = (a(q * d + q) - a(p * d + p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val sn = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k * d + p); val akq = a(k * d + q)
+              a(k * d + p) = c * akp - sn * akq
+              a(k * d + q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p * d + k); val aqk = a(q * d + k)
+              a(p * d + k) = c * apk - sn * aqk
+              a(q * d + k) = sn * apk + c * aqk
+              val vkp = v(k * d + p); val vkq = v(k * d + q)
+              v(k * d + p) = c * vkp - sn * vkq
+              v(k * d + q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i * d + i)), v)
+  }
+
+  /** Fit the rotation from the corpus: ONE map-side-partial
+    * [[graft.functions.SecondMomentAgg]] pass (d² doubles per task),
+    * Jacobi on the driver. Because the moment is uncentered, the
+    * rotation is a pure isometry: dot products, norms and cosines of
+    * rotated vectors equal the originals EXACTLY (up to double
+    * rounding), so rotated search is output-identical to plain search
+    * by algebra (q164 pins it against the plain exact-kNN oracle) —
+    * while per-component energy concentrates into the leading rotated
+    * axes, which is what a downstream quantizer (SQ8 truncation, PQ
+    * subspace split, MRL prefix) feeds on. `AnnTune rot` measures the
+    * compaction on the fixtures.
+    */
+  def rotationModel(index: DataFrame, vecCol: String = "embedding"): RotationModel = {
+    import graft.functions.SecondMomentAgg
+    val s = index.select(
+        SecondMomentAgg.asColumn(col(vecCol).cast("array<float>")).as("s"))
+      .head().getSeq[Double](0).toArray
+    require(s.nonEmpty, "rotationModel: empty corpus")
+    val d = math.round(math.sqrt(s.length.toDouble)).toInt
+    val (eig, vcols) = jacobiEig(s, d)
+    val order = (0 until d).sortBy(i => -eig(i))
+    val rot = new Array[Double](d * d)
+    var r = 0
+    while (r < d) {
+      val src = order(r)
+      var c = 0
+      while (c < d) { rot(r * d + c) = vcols(c * d + src); c += 1 }
+      r += 1
+    }
+    RotationModel(rot, order.map(eig).toArray, d)
+  }
+
+  /** Rotate a vector column by a fitted [[RotationModel]] (per-row
+    * native mat-vec kernel, model as literal — zero shuffle, zero
+    * joins). Output replaces `vecCol` with the rotated array<double>.
+    */
+  def rotate(df: DataFrame, model: RotationModel,
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.mat_vec
+    df.withColumn(vecCol, mat_vec(col(vecCol), model.rot, model.dim))
+  }
 }

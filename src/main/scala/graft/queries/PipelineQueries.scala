@@ -1249,6 +1249,67 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // PCA / OPQ-style rotation (Ge et al., faiss OPQMatrix): fit the
+    // uncentered-second-moment eigenbasis (one map-side-partial d²
+    // aggregate + driver Jacobi — a bounded model artifact), rotate
+    // corpus AND queries with the native mat-vec kernel, search the
+    // ROTATED space. The oracle is the PLAIN exact kNN over the
+    // original vectors: hash-matching proves the rotation is an exact
+    // isometry (ids, ranks AND 6-decimal cosines identical) — the
+    // property that lets a quantizer run in the energy-compacted basis
+    // for free. The compaction itself is measured (`AnnTune rot`).
+    "q164_rotated_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = SimilaritySearch.rotationModel(emb)
+      val rot = SimilaritySearch.rotate(emb, model)
+      val q = rot.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      SimilaritySearch.bruteForceTopKAgg(q, rot, k = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // The OPQ recovery closure: give the corpus a front-loaded 0.8^i
+    // spectrum, HIDE it behind a fixed orthogonal mix (the eigenbasis
+    // of a deterministic sin-matrix — axis-aligned energy gone), fit
+    // rotationModel on the scrambled corpus alone, and serve a d=8
+    // TRUNCATED search in the recovered basis. Oracle = plain exact
+    // kNN over the UNMIXED front-loaded vectors: hash-matching proves
+    // (a) the recovered rotation re-concentrates 97% of energy into 8
+    // axes (else the d=8 shortlist loses neighbors) and (b) the whole
+    // mix→recover chain is an exact isometry (6-decimal cosines
+    // identical). `AnnTune rot` records the spectrum + frontier; the
+    // flat fixture is the measured negative control (nothing to
+    // recover — rotation earns nothing there, and the scaladoc says
+    // so).
+    "q165_opq_recovery" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fl = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * pow(lit(0.8), i)).cast("float")).as("embedding"))
+      val d = 64
+      val m0 = Array.tabulate(d * d) { kk =>
+        val i = kk / d; val j = kk % d
+        math.sin(i * 7919.0 + j * 104729.0) +
+          math.sin(j * 7919.0 + i * 104729.0)
+      }
+      val (_, qcols) = SimilaritySearch.jacobiEig(m0, d)
+      val qrows = Array.tabulate(d * d)(kk =>
+        qcols((kk % d) * d + kk / d))
+      val mix = SimilaritySearch.RotationModel(qrows, Array.fill(d)(0.0), d)
+      val scrambled = SimilaritySearch.rotate(fl, mix).localCheckpoint(false)
+      val rec = SimilaritySearch.rotationModel(scrambled)
+      val unscr = SimilaritySearch.rotate(scrambled, rec)
+        .localCheckpoint(false)
+      val q = unscr.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      SimilaritySearch.truncatedTopK(q, unscr, k = 4, d = 8, m = 32)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // Calibration audit of the language-ID classifier: its Laplace-
     // smoothed confidence (hits+1)/(total+|langs|) binned into 10
     // reliability buckets against the fixture's true lang labels, plus
@@ -4040,6 +4101,37 @@ object PipelineQueries {
     // langid calibration: marker hits, argmax, Laplace confidence,
     // 10-bin reliability table, and the ECE replayed end to end
     "q163_langid_calibration" -> langidCalibrationOracle,
+    // rotated search: the PLAIN exact kNN — matching proves the
+    // eigenbasis rotation an exact isometry (no rotated replay needed)
+    "q164_rotated_knn" -> knnExactOracle,
+    // OPQ recovery: exact kNN over the front-loaded (0.8^i) vectors —
+    // the mix and the recovered rotation are both isometries, so the
+    // truncated search in the recovered basis must reproduce it
+    "q165_opq_recovery" ->
+      """WITH fl AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(embedding) + 1), i ->
+        |      CAST(embedding[i] * power(0.8, i - 1) AS FLOAT))
+        |      AS embedding
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(x.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+        |                             CAST(x.embedding AS DOUBLE[]))))
+        |    AS score
+        |  FROM fl q CROSS JOIN fl x
+        |  WHERE q.vec_id < 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 4""".stripMargin,
     // filtered retrieval: exact top-4 among even-label vectors only
     "q113_filtered_knn" -> knnFilteredOracle,
     // the filtered SQ8-served path returns the identical output

@@ -238,6 +238,88 @@ object AnnTune {
       }
     }
 
+    // "rot": what the PCA/OPQ-style rotation buys a downstream
+    // quantizer — the energy spectrum before/after (top-d' energy
+    // share), SQ8 reconstruction MSE plain vs rotated, and the
+    // truncated-dim identity frontier in the rotated basis (the MRL
+    // serving shape on arbitrary embeddings: rotation front-loads
+    // energy the way MRL training does).
+    if (mode == "rot") {
+      val model = SimilaritySearch.rotationModel(emb)
+      val tot = model.eigvals.sum
+      for (dp <- Seq(8, 16, 32)) {
+        val share = model.eigvals.take(dp).sum / tot
+        println(f"rot spectrum top$dp/${model.dim} energy=$share%.3f")
+      }
+      val rot = SimilaritySearch.rotate(emb, model).cache()
+      rot.count()
+      // SQ8 MSE: mean squared (x - dequant(quant(x))) per component
+      def mse(idx: DataFrame): Double = {
+        import graft.functions.expressions.VectorExpressions.max_abs
+        val d = idx.withColumn("s", max_abs(col("embedding")) / 127.0)
+          .select(avg(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => {
+              val q = round(x.cast("double") / col("s"))
+              val e = x.cast("double") - q * col("s")
+              acc + e * e
+            }) / size(col("embedding"))))
+        d.head().getDouble(0)
+      }
+      println(f"rot sq8_mse plain=${mse(emb)}%.6g rotated=${mse(rot)}%.6g")
+      val exR = ranked(SimilaritySearch.bruteForceTopKAgg(q, emb, k))
+      val qrot = rot.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec")).cache()
+      for (dp <- Seq(8, 16, 32); m <- Seq(16, 32)) {
+        val got = ranked(
+          SimilaritySearch.truncatedTopK(qrot, rot, k, d = dp, m = m))
+        println(f"rot trunc d=$dp%-3d m=$m%-3d identical=${got == exR}")
+      }
+      rot.unpersist(); qrot.unpersist()
+
+      // RECOVERY control: the flat fixture has no axis-aligned energy
+      // to find (negative control above). Build the front-loaded
+      // spectrum (0.8^i — the mrlfl shape), HIDE it with a fixed
+      // deterministic orthogonal mix Q, and check rotationModel
+      // recovers the compaction from the scrambled corpus alone —
+      // spectrum share and the truncated-basis identity frontier
+      // should match the unscrambled front-loaded fixture's.
+      val fl = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * pow(lit(0.8), i)).cast("float")).as("embedding"))
+      val dmix = 64
+      val m0 = Array.tabulate(dmix * dmix) { kk =>
+        val i = kk / dmix; val j = kk % dmix
+        math.sin(i * 7919.0 + j * 104729.0) +
+          math.sin(j * 7919.0 + i * 104729.0)
+      }
+      val (_, qcols) = SimilaritySearch.jacobiEig(m0, dmix)
+      val qrows = Array.tabulate(dmix * dmix)(kk =>
+        qcols((kk % dmix) * dmix + kk / dmix))
+      val mixModel = SimilaritySearch.RotationModel(
+        qrows, Array.fill(dmix)(0.0), dmix)
+      val scrambled = SimilaritySearch.rotate(fl, mixModel).cache()
+      scrambled.count()
+      val rec = SimilaritySearch.rotationModel(scrambled)
+      val rtot = rec.eigvals.sum
+      for (dp <- Seq(8, 16, 32)) {
+        val share = rec.eigvals.take(dp).sum / rtot
+        println(f"rot recovered spectrum top$dp/64 energy=$share%.3f")
+      }
+      val unscr = SimilaritySearch.rotate(scrambled, rec).cache()
+      val qs = unscr.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val exS = ranked(SimilaritySearch.bruteForceTopKAgg(qs, unscr, k))
+      for (dp <- Seq(8, 16); m <- Seq(16, 32)) {
+        val got = ranked(
+          SimilaritySearch.truncatedTopK(qs, unscr, k, d = dp, m = m))
+        println(f"rot recovered trunc d=$dp%-3d m=$m%-3d " +
+          f"identical=${got == exS}")
+      }
+      scrambled.unpersist(); unscr.unpersist()
+    }
+
     // "pq": product-quantization operating points — for a grid of
     // (numSub, ksub, m), whether the ADC scan + exact re-rank is
     // output-IDENTICAL to the exact kNN (the q115 evidence), plus the

@@ -1899,6 +1899,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(zo === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("jacobiEig: hand 2x2 and diagonal cases; rotationModel is " +
+      "orthonormal, eigenvalue-descending, and an exact isometry") {
+    // [[3,1],[1,3]] -> eigenvalues 4 and 2
+    val (ev, _) = SimilaritySearch.jacobiEig(
+      Array(3.0, 1.0, 1.0, 3.0), 2)
+    assert(ev.sorted.reverse.zip(Seq(4.0, 2.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // a fixture-fitted model: R R^T = I, spectrum desc, dots preserved
+    val emb = graft.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
+    val m = SimilaritySearch.rotationModel(emb)
+    val d = m.dim
+    for (r <- 0 until d; c <- r until d) {
+      var s = 0.0
+      for (k <- 0 until d) s += m.rot(r * d + k) * m.rot(c * d + k)
+      assert(math.abs(s - (if (r == c) 1.0 else 0.0)) < 1e-9,
+        s"R R^T [$r,$c] = $s")
+    }
+    assert(m.eigvals.zip(m.eigvals.tail).forall { case (a, b) => a >= b - 1e-12 })
+    // isometry on real rows: pairwise dot products unchanged
+    import graft.functions.expressions.VectorExpressions.dot_f
+    val two = emb.filter(col("vec_id") < 2).cache()
+    val before = two.as("a").crossJoin(two.as("b"))
+      .select(dot_f(col("a.embedding"), col("b.embedding")))
+      .as[Double].collect().sorted
+    val rot2 = SimilaritySearch.rotate(two, m).cache()
+    val after = rot2.as("a").crossJoin(rot2.as("b"))
+      .select(dot_f(col("a.embedding"), col("b.embedding")))
+      .as[Double].collect().sorted
+    assert(before.zip(after).forall { case (x, y) => math.abs(x - y) < 1e-8 })
+    two.unpersist(); rot2.unpersist()
+  }
+
+  test("SecondMomentAgg hand case; MatVecF known product and " +
+      "dimension-mismatch throw") {
+    import graft.functions.expressions.VectorExpressions.mat_vec
+    val s = Seq(Array(1.0f, 2.0f), Array(3.0f, 4.0f)).toDF("v")
+      .select(graft.functions.SecondMomentAgg.asColumn(col("v")))
+      .as[Array[Double]].head()
+    // E[x x^T] of (1,2),(3,4): [[5,7],[7,10]]
+    assert(s.toSeq === Seq(5.0, 7.0, 7.0, 10.0))
+    val y = Seq(Array(1.0f, 2.0f)).toDF("v")
+      .select(mat_vec(col("v"), Array(0.0, 1.0, 1.0, 0.0), 2))
+      .as[Array[Double]].head()
+    assert(y.toSeq === Seq(2.0, 1.0)) // swap matrix
+    intercept[Exception] {
+      Seq(Array(1.0f, 2.0f, 3.0f)).toDF("v")
+        .select(mat_vec(col("v"), Array(0.0, 1.0, 1.0, 0.0), 2))
+        .collect()
+    }
+  }
+
   test("calibration: hand-computed reliability table and ECE; " +
       "perfectly calibrated input scores ECE ~ bin-width noise only") {
     // bin 7 [0.7, 0.8): conf 0.75, acc 1.0 -> gap 0.25 over 2 of 4 rows
