@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,76 @@ object Evaluation {
       .withColumn("neg_rank", row_number().over(w).cast("int"))
       .filter(col("neg_rank") <= n)
       .select(col("query_id"), col("neg_rank"), col(idCol), col("score"))
+  }
+
+  /** Cumulative P(Poisson(1) ≤ k) for k = 0..7 (tail capped at 8) —
+    * shared by [[bootstrapCI]] and its DuckDB oracle so the inverse-CDF
+    * thresholds are the SAME doubles on both sides.
+    */
+  private[graft] val PoissonCum: Array[Double] = {
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cum += math.exp(-1.0) / fact
+      cum
+    }.toArray
+  }
+
+  /** Poisson(1) BOOTSTRAP confidence interval for a per-query metric
+    * (the scalable bootstrap variant — Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google TR 2012; public):
+    * each of `b` replicates re-weights every query by an independent
+    * Poisson(1) draw (the large-n limit of multinomial resampling),
+    * the replicate estimate is the weighted mean, and the CI is the
+    * nearest-rank 2.5%/97.5% of the replicate distribution. The draw
+    * is the engine-portable md5-52bit uniform (the q133 discipline)
+    * through the shared [[PoissonCum]] inverse CDF — every replicate
+    * weight, estimate, and rank REPLAYS digit for digit in DuckDB.
+    * Replicates whose weights all drew zero are dropped (counted in
+    * `b_eff`); estimates round to 9 decimals before ranking (ties
+    * break by replicate id) so the order is float-reorder-proof.
+    *
+    * Output: one row (point, ci_lo, ci_hi, b_eff).
+    *
+    * Scale shape: the fan-out is b rows per QUERY (queries × b tiny
+    * 16-byte rows — never corpus-sized), the replicate aggregate is
+    * map-side partial, and the final ranking window orders ≤ b rows
+    * (bounded by the b parameter, not the data).
+    */
+  def bootstrapCI(perQuery: DataFrame, metricCol: String, b: Int = 200,
+      seed: Long = 7L, queryCol: String = "query_id"): DataFrame = {
+    require(b >= 40, s"need >= 40 replicates for 2.5/97.5 nearest-rank: $b")
+    val u = conv(substring(md5(concat(
+        col(queryCol).cast("string"), lit(":"),
+        col("rep").cast("string"), lit(":" + seed))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0)
+    val w = PoissonCum.zipWithIndex.foldRight(
+      lit(PoissonCum.length): Column) { case ((t, k), e) =>
+        when(col("__u") < lit(t), lit(k)).otherwise(e)
+      }
+    val reps = perQuery
+      .select(col(queryCol), col(metricCol).cast("double").as("__m"))
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", u)
+      .withColumn("__w", w.cast("double"))
+    val ests = reps.groupBy("rep").agg(
+        sum(col("__w") * col("__m")).as("num"), sum("__w").as("den"))
+      .filter(col("den") > 0)
+      .select(col("rep"), round(col("num") / col("den"), 9).as("est"))
+    val ranked = ests.withColumn("r",
+      row_number().over(Window.orderBy(col("est"), col("rep"))))
+    val stats = ranked.agg(count(lit(1)).as("b_eff"))
+    val point = perQuery.agg(avg(col(metricCol).cast("double")).as("point"))
+    ranked.crossJoin(broadcast(stats))
+      .filter(col("r") === greatest(lit(1), ceil(lit(0.025) * col("b_eff")))
+        || col("r") === ceil(lit(0.975) * col("b_eff")))
+      .groupBy("b_eff").agg(min("est").as("ci_lo"), max("est").as("ci_hi"))
+      .crossJoin(broadcast(point))
+      .select(round(col("point"), 6).as("point"),
+        round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"),
+        col("b_eff").cast("long").as("b_eff"))
   }
 
   /** Reliability table + Expected Calibration Error (the standard

@@ -1270,6 +1270,31 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // Poisson-bootstrap 95% CI for the q128 eval harness's recall@5:
+    // 200 replicates, each re-weighting every query by a Poisson(1)
+    // draw from the engine-portable md5 uniform — weights, replicate
+    // estimates, nearest-rank selection all replayed digit for digit.
+    // The number an eval report should carry instead of a bare mean:
+    // on tens of queries the interval is WIDE, and shipping it makes
+    // that fact unhideable.
+    "q166_bootstrap_ci" -> ((s, dir) => {
+      val q = retrievalQueryDf(s)
+      val docs = t(s, dir, "documents")
+      val run = KeywordSearch.bm25TopK(q, docs, k = 5)
+        .select("query_id", "rank", "doc_id")
+      val qt = q.select(col("query_id"),
+        explode(array_distinct(KeywordSearch.tokens(col("query_text"))))
+          .as("tok"))
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(KeywordSearch.tokens(col("text"))))
+          .as("tok"))
+      val qrels = qt.join(dt, Seq("tok"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+        .filter(col("rel") >= 2)
+      val per = Evaluation.rankingMetrics(run, qrels, k = 5)
+      Evaluation.bootstrapCI(per, "recall_at_k", b = 200, seed = 7L)
+    }),
+
     // The OPQ recovery closure: give the corpus a front-loaded 0.8^i
     // spectrum, HIDE it behind a fixed orthogonal mix (the eigenbasis
     // of a deterministic sin-matrix — axis-aligned energy gone), fit
@@ -4104,6 +4129,64 @@ object PipelineQueries {
     // rotated search: the PLAIN exact kNN — matching proves the
     // eigenbasis rotation an exact isometry (no rotated replay needed)
     "q164_rotated_knn" -> knnExactOracle,
+    // bootstrap CI: the q128 metric CTEs + Poisson weights from the
+    // shared inverse-CDF thresholds + nearest-rank selection replayed
+    "q166_bootstrap_ci" -> {
+      val cs = graft.operators.Evaluation.PoissonCum
+      val caseArms = cs.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString("\n      ")
+      s"""WITH $lexicalCtes,
+        |dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+        |qrels AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS rel
+        |  FROM qt JOIN dt USING (tok) GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |run AS (SELECT query_id, doc_id, rank FROM bm25_ranked
+        |  WHERE rank <= 5),
+        |hits AS (SELECT r.query_id, r.rank, COALESCE(q.rel, 0) AS rel
+        |  FROM run r LEFT JOIN qrels q
+        |    ON r.query_id = q.query_id AND r.doc_id = q.doc_id),
+        |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM qrels GROUP BY 1),
+        |allq AS (SELECT DISTINCT query_id FROM run
+        |  UNION SELECT DISTINCT query_id FROM qrels),
+        |per0 AS (SELECT query_id,
+        |    sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0 END) AS n_hit
+        |  FROM hits GROUP BY 1),
+        |metrics AS (SELECT a.query_id,
+        |    round(CASE WHEN COALESCE(n.n_rel, 0) = 0 THEN 0
+        |      ELSE COALESCE(p.n_hit, 0) / n.n_rel END, 6) AS m
+        |  FROM allq a LEFT JOIN per0 p USING (query_id)
+        |    LEFT JOIN nrel n USING (query_id)),
+        |reps AS (
+        |  SELECT query_id, m, unnest(range(0, 200)) AS rep
+        |  FROM metrics),
+        |uu AS (
+        |  SELECT rep, m,
+        |    CAST(concat('0x', substr(md5(CAST(query_id AS VARCHAR)
+        |      || ':' || CAST(rep AS VARCHAR) || ':7'), 1, 13))
+        |      AS BIGINT) / 4503599627370496.0 AS u
+        |  FROM reps),
+        |ww AS (SELECT rep, m,
+        |    CASE
+        |      $caseArms
+        |      ELSE ${cs.length} END AS w
+        |  FROM uu),
+        |ests AS (SELECT rep, round(sum(w * m) / sum(w), 9) AS est
+        |  FROM ww GROUP BY rep HAVING sum(w) > 0),
+        |rk AS (SELECT est, rep,
+        |    row_number() OVER (ORDER BY est, rep) AS r,
+        |    count(*) OVER () AS b_eff
+        |  FROM ests),
+        |sel AS (SELECT b_eff, min(est) AS lo, max(est) AS hi FROM rk
+        |  WHERE r = greatest(1, CAST(ceil(0.025 * b_eff) AS BIGINT))
+        |     OR r = CAST(ceil(0.975 * b_eff) AS BIGINT)
+        |  GROUP BY b_eff),
+        |pt AS (SELECT avg(m) AS point FROM metrics)
+        |SELECT round(pt.point, 6) AS point, round(sel.lo, 6) AS ci_lo,
+        |  round(sel.hi, 6) AS ci_hi, CAST(sel.b_eff AS BIGINT) AS b_eff
+        |FROM sel CROSS JOIN pt""".stripMargin
+    },
     // OPQ recovery: exact kNN over the front-loaded (0.8^i) vectors —
     // the mix and the recovered rotation are both isometries, so the
     // truncated search in the recovered basis must reproduce it

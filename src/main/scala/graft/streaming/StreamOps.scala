@@ -763,6 +763,9 @@ object StreamOps {
   final case class FunnelHit(user_id: Long, step: Int, step_name: String,
       ts: Timestamp)
 
+  final case class SampleItem(grp: String, key: Long)
+  final case class SampleSnapshot(grp: String, seq_no: Long, keys: Seq[Long])
+
   /** Streaming per-stratum TOKEN-BUDGET admission — the trigger-by-
     * trigger twin of [[graft.operators.CorpusOps.budgetAdmit]]'s prefix
     * rule: per stratum the state is the running token total over EVERY
@@ -861,6 +864,52 @@ object StreamOps {
       out.iterator
     }
     events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming twin of [[graft.operators.CorpusOps.samplePerGroup]]:
+    * a per-group BOUNDED reservoir holding the k smallest md5-52bit
+    * uniforms (the batch operator's exact draw — same md5, same
+    * (uniform asc, key asc) order), updated per trigger, emitting one
+    * versioned [[SampleSnapshot]] (rank-ordered keys, monotone
+    * `seq_no`) per group per trigger it receives data. At ANY trigger
+    * boundary the latest snapshot equals the batch operator run over
+    * everything ingested so far — deterministic sampling makes the
+    * streaming sample replayable, which a random reservoir is not
+    * (StreamOpsSpec pins the mid-stream AND final parity).
+    *
+    * State = at most k (uniform, key) pairs per group — bounded by
+    * construction; re-arriving keys fold idempotently (same key, same
+    * uniform), so at-least-once delivery cannot corrupt the sample.
+    */
+  def streamingSamplePerGroup(
+      spark: SparkSession,
+      items: Dataset[SampleItem],
+      k: Int,
+      seed: Long): Dataset[SampleSnapshot] = {
+    require(k >= 1, s"k must be positive: $k")
+    import spark.implicits._
+    def hv(key: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(
+        s"$key:$seed".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v >>> 4
+    }
+    def update(
+        grp: String,
+        rows: Iterator[SampleItem],
+        state: GroupState[(Long, Seq[(Long, Long)])]): Iterator[SampleSnapshot] = {
+      val (seq, winners) = state.getOption.getOrElse((0L, Seq.empty))
+      val merged = (winners ++ rows.map(i => (hv(i.key), i.key)))
+        .distinct.sorted.take(k)
+      state.update((seq + 1, merged))
+      Iterator.single(SampleSnapshot(grp, seq + 1, merged.map(_._2)))
+    }
+    items.groupByKey(_.grp)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }

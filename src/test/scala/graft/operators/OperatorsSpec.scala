@@ -1899,6 +1899,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(zo === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("bootstrapCI: a constant metric collapses the interval to the " +
+      "constant; a spread metric straddles the point; replicate count " +
+      "bounded by b; low-b guard") {
+    val const = (0L until 30L).map(i => (i, 0.5)).toDF("query_id", "m")
+    val c = Evaluation.bootstrapCI(const, "m", b = 100, seed = 1L)
+      .as[(Double, Double, Double, Long)].head()
+    assert(c === ((0.5, 0.5, 0.5, 100L)))
+    // all-zero-weight replicates are possible but vanishingly rare at
+    // 30 queries — b_eff == b here is the expected (and asserted) case
+    val spread = (0L until 30L).map(i => (i, if (i < 15) 0.0 else 1.0))
+      .toDF("query_id", "m")
+    val s = Evaluation.bootstrapCI(spread, "m", b = 200, seed = 2L)
+      .as[(Double, Double, Double, Long)].head()
+    assert(s._1 === 0.5)
+    assert(s._2 < 0.5 && s._3 > 0.5, s"CI must straddle the point: $s")
+    assert(s._2 > 0.2 && s._3 < 0.8,
+      s"95% CI of a balanced 0/1 metric over 30 queries is ~±0.18: $s")
+    assert(s._4 === 200L)
+    intercept[IllegalArgumentException] {
+      Evaluation.bootstrapCI(spread, "m", b = 10)
+    }
+  }
+
   test("jacobiEig: hand 2x2 and diagonal cases; rotationModel is " +
       "orthonormal, eigenvalue-descending, and an exact isometry") {
     // [[3,1],[1,3]] -> eigenvalues 4 and 2

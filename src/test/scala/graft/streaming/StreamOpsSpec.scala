@@ -732,4 +732,34 @@ class StreamOpsSpec extends AnyFunSuite {
     val streamCounts = hits.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     assert(batch === streamCounts)
   }
+
+  test("streamingSamplePerGroup: every snapshot equals the batch " +
+      "deterministic sample over everything ingested so far; state " +
+      "bounded at k; re-delivery folds idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    def batchSample(keys: Seq[Long]): Seq[Long] =
+      graft.operators.CorpusOps.samplePerGroup(
+          keys.map(k => (k, "g")).toDF("doc_id", "grp"),
+          "grp", k = 3, key = col("doc_id"), seed = 11L)
+        .orderBy("rank").select("key").as[Long].collect().toSeq
+    val mem = MemoryStream[StreamOps.SampleItem]
+    val out = StreamOps.streamingSamplePerGroup(spark, mem.toDS(),
+      k = 3, seed = 11L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sample_stream").start()
+    val t1 = (0L until 10L)
+    val t2 = (10L until 25L)
+    mem.addData(t1.map(StreamOps.SampleItem("g", _)): _*)
+    q.processAllAvailable()
+    // trigger 2 includes a REDELIVERY of key 0 — must not change ranks
+    mem.addData((t2 :+ 0L).map(StreamOps.SampleItem("g", _)): _*)
+    q.processAllAvailable()
+    val snaps = spark.table("sample_stream")
+      .as[StreamOps.SampleSnapshot].collect()
+      .map(s => s.seq_no -> s.keys.toSeq).toMap
+    q.stop()
+    assert(snaps(1L) === batchSample(t1))
+    assert(snaps(2L) === batchSample(t1 ++ t2))
+    assert(snaps.values.forall(_.size <= 3))
+  }
 }
