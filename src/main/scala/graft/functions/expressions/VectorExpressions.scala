@@ -75,6 +75,11 @@ object VectorExpressions {
   /** y = M·x for a fixed row-major matrix literal (rotation kernel). */
   def mat_vec(vec: Column, mat: Array[Double], cols: Int): Column =
     col(MatVecF(ex(vec), mat, cols))
+
+  /** Tile a base vector reps× with md5-uniform jitter (the q162
+    * high-dim fixture builder — see [[TileJitterF]]). */
+  def tile_jitter(id: Column, vec: Column, reps: Int, sigma: Double): Column =
+    col(TileJitterF(ex(id), ex(vec), reps, sigma))
 }
 
 private object VecKernels {
@@ -561,4 +566,52 @@ case class MatVecF(child: Expression, mat: Array[Double], cols: Int)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** The q162 1536-dim fixture builder as ONE per-row kernel: tile the
+  * base vector `reps`×, add `sigma`·rms·u(i) jitter where u(i) is the
+  * engine-portable md5-52bit uniform of "id:i" (1-based component i),
+  * emit float32 — value-identical to the composed
+  * `transform`/`md5`/`conv` column formulation (the DuckDB oracle
+  * replays THAT formula digit for digit; this kernel exists because
+  * 1536 interpreted HOF hash-chain evaluations per row made the
+  * construction cost ~6× the search it feeds — the winnowing lesson).
+  */
+case class TileJitterF(id: Expression, vec: Expression, reps: Int,
+    sigma: Double) extends BinaryExpression with CodegenFallback {
+  override def left: Expression = id
+  override def right: Expression = vec
+  require(reps >= 1, s"reps must be >= 1: $reps")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(idv: Any, vecv: Any): Any = {
+    val vid = idv.asInstanceOf[Long]
+    val x = vecv.asInstanceOf[ArrayData]
+    val g = VecKernels.getter(vec)
+    val d = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < d) { val v = g(x, i); ss += v * v; i += 1 }
+    val s = sigma * math.sqrt(ss / d)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Float](reps * d)
+    i = 0
+    while (i < reps * d) {
+      val i1 = i + 1
+      md.reset()
+      val dig = md.digest(s"$vid:$i1".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      var hv = 0L
+      var b = 0
+      while (b < 7) { hv = (hv << 8) | (dig(b) & 0xffL); b += 1 }
+      hv >>>= 4
+      val u = hv.toDouble / 4503599627370496.0 - 0.5
+      out(i) = (g(x, i % d) + s * u).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(id = newLeft, vec = newRight)
 }

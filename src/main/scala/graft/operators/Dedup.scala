@@ -688,18 +688,33 @@ object Dedup {
   def dedupLines(df: DataFrame, maxDf: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
-    val lineArr = split(col(textCol), "\n")
-    val isBlank = (l: Column) => trim(l) === ""
-    // (id, position, line-hash) — one row per non-blank line
-    val lines = df.select(col(idCol),
-        posexplode(lineArr).as(Seq("pos", "line")))
-      .filter(!isBlank(col("line")))
-      .select(col(idCol), col("pos"), xxhash64(col("line")).as("lh"))
+    val lines = lineRows(df, textCol, idCol)
     val hot = lines.select(col(idCol), col("lh")).distinct()
       .groupBy("lh").agg(count(lit(1)).as("line_df"))
       .filter(col("line_df") > maxDf)
       .select("lh")
-    // per-doc positions to cut (absent for untouched docs)
+    cutLines(df, lines, hot, textCol, idCol)
+  }
+
+  /** (id, pos, lh) — one row per NON-BLANK line of each document
+    * (blank lines carry no content and never count toward df or cuts).
+    */
+  private[graft] def lineRows(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+      .select(col(idCol), col("pos"), xxhash64(col("line")).as("lh"))
+
+  /** Rewrite each document dropping the positions whose line-hash is
+    * in `hot` (a 1-column `lh` frame): hash-keyed join, per-doc cut
+    * set, pure per-row lambda rewrite — document text never rides an
+    * exchange. Adds (n_lines, n_cut).
+    */
+  private[graft] def cutLines(df: DataFrame, lines: DataFrame,
+      hot: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lineArr = split(col(textCol), "\n")
+    val isBlank = (l: Column) => trim(l) === ""
     val cuts = lines.join(hot, Seq("lh"))
       .groupBy(idCol).agg(collect_set(col("pos")).as("__cut"))
     df.join(cuts, Seq(idCol), "left")

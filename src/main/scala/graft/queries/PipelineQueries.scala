@@ -1227,19 +1227,15 @@ object PipelineQueries {
     // consensus, named as a precondition in the operator's contract.
     "q162_binary_ann_1536" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val rms = sqrt(aggregate(col("embedding"), lit(0.0d),
-        (a, x) => a + x.cast("double") * x.cast("double")) / lit(64.0))
-      val u = (i: org.apache.spark.sql.Column) =>
-        conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"),
-          i.cast("string"))), 1, 13), 16, 10).cast("double") /
-          lit(4503599627370496.0) - lit(0.5)
-      // pinned: the 1536-component md5-jitter construction is ~3M md5
-      // HOF evaluations — without the checkpoint every consumer (query
-      // side, code scan, float re-rank join) re-runs it (21 s -> ~5 s)
+      // the construction runs as ONE native per-row kernel (value-
+      // identical to the composed transform/md5/conv formulation the
+      // oracle replays — TileJitterF's contract; the HOF form cost
+      // ~6× the search it feeds), pinned so each consumer (query
+      // side, code scan, float re-rank join) reads it once
+      import graft.functions.expressions.VectorExpressions.tile_jitter
       val tiled = emb.select(col("vec_id"),
-        transform(sequence(lit(1), lit(1536)), i =>
-          (element_at(col("embedding"), ((i - 1) % 64) + 1).cast("double")
-            + lit(2.0) * rms * u(i)).cast("float")).as("embedding"))
+        tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+          sigma = 2.0).as("embedding"))
         .localCheckpoint(false)
       val q = tiled.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"),
@@ -1268,6 +1264,36 @@ object PipelineQueries {
       SimilaritySearch.bruteForceTopKAgg(q, rot, k = 4)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
+    }),
+
+    // INCREMENTAL line dedup against the persisted line-df store (the
+    // q161 operator streamed batch by batch — the production Dolma
+    // shape): batch 1 (even doc_ids) cuts on its own df; batch 2 cuts
+    // on batch-1-accumulated + own df. First-arrival leniency is the
+    // pinned semantics: a line that crosses maxDf only in batch 2
+    // survives in batch 1's (already emitted) output and is cut from
+    // batch 2's — the oracle replays both batches' df arithmetic and
+    // every rewritten text. Re-runs hit the store's replay path and
+    // reconstruct identical output (the bench's min-of-3 exercises it).
+    "q167_line_dedup_store" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val body = transform(
+        sequence(lit(0), floor((size(toks) - 1) / 8.0).cast("int")),
+        i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))
+      val aug = t(s, dir, "documents").withColumn("text",
+        concat_ws("\n", concat(
+          array(concat(lit("== site banner :: "), col("source"),
+            lit(" =="))),
+          body)))
+      val key = dir + "#lines_v1"
+      val k1 = graft.sources.DedupStore.lineDedupBatch(s, key,
+        aug.filter(col("doc_id") % 2 === 0), batchId = 1L, maxDf = 4)
+      val k2 = graft.sources.DedupStore.lineDedupBatch(s, key,
+        aug.filter(col("doc_id") % 2 === 1), batchId = 2L, maxDf = 4)
+      k1.unionByName(k2)
+        .withColumn("batch", (col("doc_id") % 2 + 1).cast("int"))
+        .select("batch", "doc_id", "text", "n_lines", "n_cut")
+        .orderBy("doc_id")
     }),
 
     // Poisson-bootstrap 95% CI for the q128 eval harness's recall@5:
@@ -4126,6 +4152,45 @@ object PipelineQueries {
     // langid calibration: marker hits, argmax, Laplace confidence,
     // 10-bin reliability table, and the ECE replayed end to end
     "q163_langid_calibration" -> langidCalibrationOracle,
+    // incremental line dedup: both batches' df arithmetic (own-only
+    // for batch 1, accumulated for batch 2) + every rewrite replayed
+    "q167_line_dedup_store" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |aug AS (
+        |  SELECT doc_id, list_prepend(
+        |      '== site banner :: ' || source || ' ==',
+        |      list_transform(
+        |        range(0, CAST(floor((len(t) - 1) / 8.0) AS INT) + 1),
+        |        i -> array_to_string(t[i*8+1:i*8+8], ' '))) AS lines
+        |  FROM d0),
+        |ln AS (
+        |  SELECT doc_id, unnest(lines) AS line,
+        |         generate_subscripts(lines, 1) AS pos
+        |  FROM aug),
+        |df1 AS (
+        |  SELECT line, count(DISTINCT doc_id) AS df FROM ln
+        |  WHERE trim(line) <> '' AND doc_id % 2 = 0 GROUP BY line),
+        |df2 AS (
+        |  SELECT line, count(DISTINCT doc_id) AS df FROM ln
+        |  WHERE trim(line) <> '' AND doc_id % 2 = 1 GROUP BY line),
+        |mark AS (
+        |  SELECT ln.doc_id, ln.pos, ln.line,
+        |    CASE WHEN trim(ln.line) = '' THEN false
+        |         WHEN ln.doc_id % 2 = 0 THEN COALESCE(f1.df, 0) > 4
+        |         ELSE COALESCE(f1.df, 0) + COALESCE(f2.df, 0) > 4
+        |    END AS is_cut
+        |  FROM ln LEFT JOIN df1 f1 ON ln.line = f1.line
+        |          LEFT JOIN df2 f2 ON ln.line = f2.line)
+        |SELECT CAST(doc_id % 2 + 1 AS INT) AS batch, doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT is_cut THEN line END,
+        |    chr(10) ORDER BY pos), '') AS text,
+        |  CAST(sum(CASE WHEN trim(line) <> '' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cut
+        |FROM mark GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // rotated search: the PLAIN exact kNN — matching proves the
     // eigenbasis rotation an exact isometry (no rotated replay needed)
     "q164_rotated_knn" -> knnExactOracle,

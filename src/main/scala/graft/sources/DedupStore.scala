@@ -153,6 +153,129 @@ object DedupStore {
   def seenCount(spark: SparkSession, storeKey: String): Long =
     readMeta(base(spark, storeKey)).getOrElse("n_rows", 0L)
 
+  // ---------------------------------------------------- line-df twin
+
+  private def lineBase(spark: SparkSession, storeKey: String): String =
+    base(spark, storeKey) + "_lines"
+
+  /** Incremental LINE-level dedup against a persisted line-frequency
+    * store — [[graft.operators.Dedup.dedupLines]] (the Dolma/CCNet
+    * boilerplate cut) streamed batch by batch: the store accumulates
+    * per line-hash the number of documents seen across ALL prior
+    * batches, and a batch's lines are cut when that accumulated count
+    * PLUS the batch's own reaches past `maxDf`. First-arrival
+    * leniency is the honest incremental semantics: a boilerplate line
+    * below threshold in early batches survives in THOSE batches'
+    * (already emitted) output and starts being cut from the batch
+    * that pushes it over — exactly what a single-pass batch operator
+    * over the union could not emit incrementally.
+    *
+    * Discipline inherited from [[dedupBatch]] verbatim: hash-bucketed
+    * probes (only the batch's `hb` partitions read), the probe
+    * ignores this batch's own partially-committed rows (crash-retry
+    * re-derives the original answer idempotently), appends skip rows
+    * a crashed attempt already committed, meta-after-data, and a
+    * replayed batchId reconstructs its original output from the store
+    * with a loud verification that it really IS a replay.
+    *
+    * Output: the batch rewritten (text, n_lines, n_cut — the
+    * [[graft.operators.Dedup.dedupLines]] shape).
+    */
+  def lineDedupBatch(spark: SparkSession, storeKey: String,
+      batch: DataFrame, batchId: Long, maxDf: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    val b = lineBase(spark, storeKey)
+    val meta = readMeta(b)
+    val dfDir = s"$b/linedf"
+    require(meta.getOrElse("n_rows", 0L) == 0L ||
+      Files.exists(Paths.get(dfDir)),
+      s"line-dedup store '$storeKey' meta claims ${meta.getOrElse("n_rows", 0L)} " +
+        "rows but the linedf dir is missing (crashed compaction?) — " +
+        "dropLines() and re-ingest")
+    val lines = Dedup.lineRows(batch, textCol, idCol)
+      .localCheckpoint(false)
+    // per-line document frequency WITHIN this batch
+    val dfb = lines.select(col(idCol), col("lh")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("df"))
+      .withColumn("hb", pmod(col("lh"), lit(HashDirs.toLong)).cast("int"))
+      .localCheckpoint(false)
+    val store =
+      if (!Files.exists(Paths.get(dfDir))) None
+      else {
+        val hbs = dfb.select("hb").distinct().as[Int].collect()
+        Some(spark.read.parquet(dfDir)
+          .filter(col("hb").isin(hbs.map(Int.box): _*)))
+      }
+    if (meta.get("last_batch_id").exists(batchId <= _)) {
+      // replay: reconstruct from prior-batch counts + this batch's
+      // recomputed within-batch counts; verify the stored rows of this
+      // batchId match the recomputation (restarted-counter guard).
+      // NB the verification reads the store UNPRUNED — the hb pruning
+      // keys on the INCOMING batch's buckets, and a restarted counter
+      // with unrelated content would prune its own stored rows away
+      // and sail through
+      if (!Files.exists(Paths.get(dfDir)))
+        return batch.limit(0)
+          .withColumn("n_lines", lit(0L)).withColumn("n_cut", lit(0L))
+      val st = spark.read.parquet(dfDir)
+      val mine = st.filter(col("batch_id") === batchId)
+        .select(col("lh"), col("df").as("stored_df"))
+      val bad = mine.join(dfb, Seq("lh"), "left")
+        .filter(col("df").isNull || col("df") =!= col("stored_df"))
+        .count()
+      require(bad == 0L,
+        s"line-dedup store '$storeKey': batchId $batchId <= last_batch_id " +
+          s"${meta("last_batch_id")} but $bad stored line counts of that " +
+          "batch don't re-derive from this batch's content — NOT a replay " +
+          "(restarted batch counter?); use a fresh batchId or store")
+      val prior = st.filter(col("batch_id") < batchId)
+        .groupBy("lh").agg(sum("df").as("prior_df"))
+      val hot = dfb.join(prior, Seq("lh"), "left")
+        .filter(coalesce(col("prior_df"), lit(0L)) + col("df") > maxDf)
+        .select("lh")
+      return Dedup.cutLines(batch, lines, hot, textCol, idCol)
+    }
+    val prior = store match {
+      case None => None
+      case Some(st) => Some(st.filter(col("batch_id") < batchId)
+        .groupBy("lh").agg(sum("df").as("prior_df")))
+    }
+    val hot = prior match {
+      case None => dfb.filter(col("df") > maxDf).select("lh")
+      case Some(p) => dfb.join(p, Seq("lh"), "left")
+        .filter(coalesce(col("prior_df"), lit(0L)) + col("df") > maxDf)
+        .select("lh")
+    }
+    val out = Dedup.cutLines(batch, lines, hot, textCol, idCol)
+    val toAppend = store match {
+      case None => dfb
+      case Some(st) => dfb.join(
+        st.filter(col("batch_id") === batchId).select("lh"),
+        Seq("lh"), "left_anti")
+    }
+    val pinned = toAppend.localCheckpoint(true)
+    pinned.withColumn("batch_id", lit(batchId))
+      .select(col("lh"), col("df"), col("batch_id"), col("hb"))
+      .write.mode(SaveMode.Append).partitionBy("hb")
+      .parquet(dfDir)
+    writeMeta(b,
+      "n_rows" -> (meta.getOrElse("n_rows", 0L) + pinned.count()),
+      "last_batch_id" -> batchId)
+    out
+  }
+
+  /** Remove the line-df store (tests / re-ingest). */
+  def dropLines(spark: SparkSession, storeKey: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(lineBase(spark, storeKey)))
+
+  /** Line-store size per meta (not a scan). */
+  def lineCount(spark: SparkSession, storeKey: String): Long =
+    readMeta(lineBase(spark, storeKey)).getOrElse("n_rows", 0L)
+
   // ------------------------------------------------------- near-dup twin
 
   private def nearBase(spark: SparkSession, storeKey: String): String =

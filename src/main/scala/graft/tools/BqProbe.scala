@@ -18,19 +18,12 @@ object BqProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.functions.expressions.VectorExpressions.{hamming, sign_pack}
+    import graft.functions.expressions.VectorExpressions.{hamming, sign_pack, tile_jitter}
     val emb = graft.Tables.load(spark, args(0), "embeddings")
     val sigma = args(1).toDouble
-    val rms = sqrt(aggregate(col("embedding"), lit(0.0d),
-      (a, x) => a + x.cast("double") * x.cast("double")) / lit(64.0))
-    val u = (i: org.apache.spark.sql.Column) =>
-      conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"),
-        i.cast("string"))), 1, 13), 16, 10).cast("double") /
-        lit(4503599627370496.0) - lit(0.5)
     val tiled = emb.select(col("vec_id"),
-      transform(sequence(lit(1), lit(1536)), i =>
-        (element_at(col("embedding"), ((i - 1) % 64) + 1).cast("double")
-          + lit(sigma) * rms * u(i)).cast("float")).as("embedding")).cache()
+      tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+        sigma = sigma).as("embedding")).cache()
     val q = tiled.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     val exact = SimilaritySearch.bruteForceTopKAgg(q, tiled, 4)

@@ -1041,6 +1041,55 @@ class OperatorsSpec extends AnyFunSuite {
     } finally DedupStore.drop(spark, key)
   }
 
+  test("line-dedup store: cross-batch df accumulation with first-" +
+      "arrival leniency; replay reconstructs; crash window idempotent") {
+    import graft.sources.{DedupStore, IndexStore}
+    val key = "spec-linestore://" +
+      java.nio.file.Files.createTempDirectory("linestore").toString
+    val b = s"/tmp/graft_dedupstore_${IndexStore.pathTag(key)}_lines"
+    val metaPath = java.nio.file.Paths.get(b, "_dedup_meta.json")
+    def outOf(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "text", "n_cut")
+        .as[(Long, String, Long)].collect()
+        .map { case (i, t, c) => i -> ((t, c)) }.toMap
+    try {
+      // BOILER df=3 in batch 1: under maxDf=4 -> survives (leniency)
+      val b1 = docs(1L -> "BOILER\nalpha", 2L -> "BOILER\nbeta",
+        3L -> "BOILER\ngamma")
+      val o1 = outOf(DedupStore.lineDedupBatch(spark, key, b1,
+        batchId = 1L, maxDf = 4))
+      assert(o1(1L) === (("BOILER\nalpha", 0L)))
+      assert(DedupStore.lineCount(spark, key) === 4L) // BOILER + 3 uniques
+      val metaAfter1 = java.nio.file.Files.readString(metaPath)
+      // batch 2 pushes BOILER to df=5 > 4 -> cut from batch 2 onward
+      val b2 = docs(4L -> "BOILER\ndelta", 5L -> "BOILER\nepsilon")
+      val o2 = outOf(DedupStore.lineDedupBatch(spark, key, b2,
+        batchId = 2L, maxDf = 4))
+      assert(o2 === Map(4L -> (("delta", 1L)), 5L -> (("epsilon", 1L))))
+      // replay: identical output, nothing re-appended
+      val n2 = DedupStore.lineCount(spark, key)
+      val o2r = outOf(DedupStore.lineDedupBatch(spark, key, b2,
+        batchId = 2L, maxDf = 4))
+      assert(o2r === o2)
+      assert(DedupStore.lineCount(spark, key) === n2)
+      // crash window: batch-2 rows committed, meta not — retry must
+      // re-derive the original answer and keep the store exactly-once
+      java.nio.file.Files.writeString(metaPath, metaAfter1)
+      val o2c = outOf(DedupStore.lineDedupBatch(spark, key, b2,
+        batchId = 2L, maxDf = 4))
+      assert(o2c === o2)
+      val rows = spark.read.parquet(s"$b/linedf")
+      assert(rows.count() ===
+        rows.select("lh", "batch_id").distinct().count())
+      // a restarted batch counter (same id, different content) refuses
+      intercept[IllegalArgumentException] {
+        DedupStore.lineDedupBatch(spark, key,
+          docs(9L -> "unrelated\ncontent"), batchId = 2L, maxDf = 4)
+          .count()
+      }
+    } finally DedupStore.dropLines(spark, key)
+  }
+
   test("near-dup store crash window + compactNear/expireNear parity") {
     import graft.sources.{DedupStore, IndexStore}
     val key = "spec-nearcrash://" +
@@ -2016,6 +2065,30 @@ class OperatorsSpec extends AnyFunSuite {
       math.abs(conf - (r.getInt(2) + 1.0) / (r.getInt(3) + 5.0)) < 1e-12 &&
         conf > 0.0 && conf <= 1.0
     })
+  }
+
+  test("TileJitterF: bit-identical to the composed transform/md5/conv " +
+      "column formulation the DuckDB oracle replays") {
+    import graft.functions.expressions.VectorExpressions.tile_jitter
+    val emb = graft.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 20)
+    val rms = sqrt(aggregate(col("embedding"), lit(0.0d),
+      (a, x) => a + x.cast("double") * x.cast("double")) / lit(64.0))
+    val u = (i: org.apache.spark.sql.Column) =>
+      conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"),
+        i.cast("string"))), 1, 13), 16, 10).cast("double") /
+        lit(4503599627370496.0) - lit(0.5)
+    val composed = emb.select(col("vec_id"),
+      transform(sequence(lit(1), lit(1536)), i =>
+        (element_at(col("embedding"), ((i - 1) % 64) + 1).cast("double")
+          + lit(2.0) * rms * u(i)).cast("float")).as("v"))
+      .as[(Long, Array[Float])].collect().toMap
+    val kernel = emb.select(col("vec_id"),
+      tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+        sigma = 2.0).as("v"))
+      .as[(Long, Array[Float])].collect().toMap
+    assert(kernel.keySet === composed.keySet)
+    assert(kernel.forall { case (k, v) => v.sameElements(composed(k)) })
   }
 
   test("sign_pack/hamming: LSB-first bit layout pinned, zero clears the " +
