@@ -680,10 +680,16 @@ object Dedup {
     * Scale shape: the df aggregate exchanges ONLY (8-byte xxhash64,
     * doc id) pairs — never line text; the over-threshold hash set
     * joins back hash-keyed; the rewrite is a pure per-row lambda
-    * (re-split, drop flagged positions, re-join), so document text
-    * never rides an exchange. The cut set is usually tiny (only
-    * corpus-frequent lines), but nothing here assumes it fits in
-    * memory — no broadcast, no driver collect.
+    * (re-split, drop flagged positions, re-join). Document text can
+    * ride at most the ONE per-doc rewrite join ([[cutLines]]): when
+    * the planner broadcasts the (id, positions) cut side — the usual
+    * case, cuts touch only boilerplate-affected docs — text stays in
+    * place; when both sides are large, store the corpus id-BUCKETED
+    * (the q64 layout) and the join needs no text exchange at all.
+    * Nothing here assumes the cut set fits in memory — no forced
+    * broadcast, no driver collect. PlanInvariantsSpec pins the
+    * hash-only df machinery and bounds text-carrying exchanges at
+    * one per rewrite.
     */
   def dedupLines(df: DataFrame, maxDf: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

@@ -717,6 +717,68 @@ object SimilaritySearch {
       queries, index, k)
   }
 
+  /** [[assignWithVecs]] composed with 1-bit sign packing: the IVF-BQ
+    * inverted-list materialization — one row per vector carrying its
+    * ⌈dim/8⌉-byte binary code under its nearest centroid (the faiss
+    * `IVFx,..` + binary-refine shape; Qdrant/Weaviate's "binary
+    * quantization inside the index" serving layout, public).
+    */
+  private[graft] def assignBinary(
+      index: DataFrame, centroids: DataFrame): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.sign_pack
+    assignWithVecs(index, centroids)
+      .select(col("centroid_id"), col("vec_id"),
+        sign_pack(col("embedding")).as("bcodes"))
+  }
+
+  /** IVF-BQ candidate ids: probe the `nProbe` closest inverted lists,
+    * Hamming-scan ONLY those lists' 1-bit codes, keep the top `m` per
+    * query. The two scan reductions multiply: probed-lists row pruning
+    * (IVF) × 32×-smaller bytes per scanned row (BQ) — 8× past even
+    * IVF-SQ8's bytes, paid for with the fatter re-rank margin the
+    * binary family needs ([[binaryTopK]]'s contract: high ambient dim
+    * is a precondition, certify (nProbe, m) against the float path
+    * before serving — `AnnTune ivfbq`, q168).
+    */
+  private[graft] def ivfBqCandidates(
+      queries: DataFrame,
+      blists: DataFrame, // (centroid_id, vec_id, bcodes)
+      centroids: DataFrame,
+      nProbe: Int,
+      m: Int): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    import graft.functions.expressions.VectorExpressions.{hamming, sign_pack}
+    val bq = queries.select(col("query_id"),
+      sign_pack(col("query_vec")).as("qbcodes"))
+    val probes = ivfProbes(queries, centroids, nProbe).join(bq, Seq("query_id"))
+    blists
+      .join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("ascore",
+        -hamming(col("bcodes"), col("qbcodes")).cast("double"))
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
+  }
+
+  /** Composed IVF-BQ ANN, in-memory form: probe → 1-bit Hamming list
+    * scan → exact float re-rank of the m winners. Certify identity to
+    * [[ivfTopK]] at the same (centroids, nProbe) before serving — the
+    * [[ivfSq8TopK]] discipline with the binary family's fatter m.
+    */
+  def ivfBqTopK(
+      queries: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      k: Int = 4,
+      nProbe: Int = 2,
+      m: Int = 256): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    rerank(
+      ivfBqCandidates(queries, assignBinary(index, centroids),
+        centroids, nProbe, m),
+      queries, index, k)
+  }
+
   /** [[assignWithVecs]] composed with PQ encoding: the IVF-PQ
     * inverted-list materialization — one row per vector carrying its
     * `numSub`-byte PQ codes (not its float embedding, not even SQ8's

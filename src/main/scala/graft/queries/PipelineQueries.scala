@@ -1266,6 +1266,42 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // Composed IVF-BQ ANN certification (the q121 discipline for the
+    // binary family): on the 1536-dim md5-jitter fixture, probe 4 of 8
+    // inverted lists and Hamming-scan ONLY their 1-bit codes (probed-
+    // row pruning × 32× fewer bytes per row — 8× past IVF-SQ8), then
+    // exact-re-rank m=256. The panel pins (a) output IDENTITY to the
+    // float IVF path at the same probes (the binary layer is output-
+    // lossless at this point) and (b) a recall floor vs exact kNN
+    // (inherited from IVF's probe recall, not degraded by BQ).
+    "q168_ivfbq_composed" -> ((s, dir) => {
+      import graft.functions.expressions.VectorExpressions.tile_jitter
+      val emb = t(s, dir, "embeddings")
+      val tiled = emb.select(col("vec_id"),
+        tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+          sigma = 2.0).as("embedding"))
+        .localCheckpoint(false)
+      val q = tiled.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val cents = SimilaritySearch.kMeansCentroids(tiled, k = 8, iters = 2)
+        .localCheckpoint(false)
+      val fl = SimilaritySearch.ivfTopK(q, tiled, cents, k = 4, nProbe = 4)
+        .select("query_id", "rank", "vec_id")
+      val bq = SimilaritySearch.ivfBqTopK(q, tiled, cents, k = 4,
+          nProbe = 4, m = 256)
+        .select("query_id", "rank", "vec_id")
+      val exact = SimilaritySearch.bruteForceTopKAgg(q, tiled, k = 4)
+        .select("query_id", "vec_id")
+      val nBq = bq.agg(count(lit(1)).as("n_bq"))
+      val nDiff = bq.exceptAll(fl).unionByName(fl.exceptAll(bq))
+        .agg(count(lit(1)).as("n_diff_float"))
+      val recOk = bq.join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .agg((count(lit(1)).cast("double") / lit(32.0) >= 0.4)
+          .as("recall_ok"))
+      nBq.crossJoin(nDiff).crossJoin(recOk)
+    }),
+
     // INCREMENTAL line dedup against the persisted line-df store (the
     // q161 operator streamed batch by batch — the production Dolma
     // shape): batch 1 (even doc_ids) cuts on its own df; batch 2 cuts
@@ -4152,6 +4188,13 @@ object PipelineQueries {
     // langid calibration: marker hits, argmax, Laplace confidence,
     // 10-bin reliability table, and the ECE replayed end to end
     "q163_langid_calibration" -> langidCalibrationOracle,
+    // composed IVF-BQ: identity to the float-IVF path (n_diff = 0) and
+    // the exact-recall floor, engine-verified; counts are the panel's
+    // replayable half (8 queries × k=4)
+    "q168_ivfbq_composed" ->
+      """SELECT CAST(32 AS BIGINT) AS n_bq,
+        |CAST(0 AS BIGINT) AS n_diff_float, true AS recall_ok"""
+        .stripMargin,
     // incremental line dedup: both batches' df arithmetic (own-only
     // for batch 1, accumulated for batch 2) + every rewrite replayed
     "q167_line_dedup_store" ->

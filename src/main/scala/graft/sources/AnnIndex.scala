@@ -2435,4 +2435,46 @@ object AnnIndex {
         handle.centroids, flat, handle.numSub, handle.ksub, nProbe, m),
       queries, handle.vecs, k)
   }
+
+  /** One row per persisted index store (the reference stack's
+    * control-plane surface: Pinecone `pc.list_indexes()` for
+    * create-or-connect, `index.describe_index_stats()` for occupancy —
+    * `/root/reference/AI.py:48,56`): store name, layout family, row
+    * count and last upsert batch from the meta, plus on-disk file
+    * count and bytes (what compaction monitoring watches — a streamed
+    * store's file count growing without bound IS the compaction
+    * alarm).
+    *
+    * Scale shape: driver-side directory walk over the INDEX base —
+    * control-plane metadata bounded by the number of indexes, never
+    * corpus data. Stores whose meta is missing (mid-build, crashed
+    * rename window) are skipped, not half-read.
+    */
+  def listIndexes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val baseDir = new java.io.File(annBase(spark))
+    val rows = Option(baseDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_ann_"))
+      .sortBy(_.getName)
+      .flatMap { d =>
+        val meta = readMeta(d.getAbsolutePath)
+        if (meta.isEmpty) None
+        else {
+          val layout = d.getName.stripPrefix("graft_ann_")
+            .split('_').dropRight(1).mkString("_")
+          var bytes = 0L
+          var files = 0L
+          val it = Files.walk(d.toPath)
+          try it.forEach { p =>
+            if (Files.isRegularFile(p)) {
+              files += 1; bytes += Files.size(p)
+            }
+          } finally it.close()
+          Some((d.getName, layout, meta.getOrElse("n_rows", 0L),
+            meta.getOrElse("last_batch_id", -1L), files, bytes))
+        }
+      }
+    rows.toSeq
+      .toDF("name", "layout", "n_rows", "last_batch_id", "n_files", "bytes")
+  }
 }

@@ -2143,6 +2143,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfBqTopK: output-identical to the float IVF path when the " +
+      "shortlist covers the probed lists; m >= k guard") {
+    val base = Seq(
+      Seq.fill(16)(1.0f),
+      Seq.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f),
+      Seq.fill(16)(-1.0f))
+    val rows = for {
+      c <- 0 until 3; r <- 0 until 6
+    } yield ((c * 6 + r).toLong,
+      base(c).zipWithIndex.map { case (x, i) =>
+        x * (1.0f + 0.02f * ((r * 5 + i) % 4)) })
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") % 6 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val cents = SimilaritySearch.kMeansCentroids(emb, k = 3, iters = 3)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val fl = hits(SimilaritySearch.ivfTopK(q, emb, cents, k = 4, nProbe = 1))
+    val bq = hits(SimilaritySearch.ivfBqTopK(q, emb, cents, k = 4,
+      nProbe = 1, m = 16))
+    assert(bq === fl)
+    assert(bq.nonEmpty)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfBqTopK(q, emb, cents, k = 4, nProbe = 1, m = 2)
+    }
+  }
+
   test("dedupLines: corpus-frequent lines cut, order and blanks kept, " +
       "whitespace lines never counted, fully-cut doc becomes empty") {
     // "BOILER" appears in 3 docs (maxDf=2 -> cut); "rare" in 2 (kept);

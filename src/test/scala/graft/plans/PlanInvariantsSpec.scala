@@ -243,6 +243,56 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"candidate selection lost the map-side bounded top-k:\n$p")
   }
 
+  test("q161/q167 line dedup: the df machinery shuffles only ids, " +
+      "positions and 8-byte line hashes; text-carrying hash exchanges " +
+      "bounded at one per rewrite join (zero with bucketed storage)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("q161_line_dedup", "q167_line_dedup_store")) {
+        val plan = SparkEntry.queries(name)(spark, TestSpark.Sf0001)
+          .queryExecution.executedPlan
+        val hashed = plan.collect {
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+        }
+        assert(hashed.nonEmpty, s"$name lost its df aggregate shuffle")
+        // the df/hot/cut derivation must be hash-only; text may ride
+        // ONLY the final per-doc rewrite join (one per batch path —
+        // eliminated in production by id-bucketed corpus storage, the
+        // q64 layout; see cutLines' scaladoc)
+        val textFree = hashed.filterNot(_.child.output.exists(a =>
+          a.name == "text" || a.name == "line"))
+        val textCarrying = hashed.size - textFree.size
+        assert(textFree.size >= 2,
+          s"$name: the line-hash df machinery lost its hash-only " +
+            s"exchanges:\n$plan")
+        val batches = if (name.contains("store")) 2 else 1
+        assert(textCarrying <= batches,
+          s"$name: $textCarrying text-carrying hash exchanges (> " +
+            s"$batches rewrite joins):\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q159 robust outliers: both boundary frames broadcast back — " +
+      "no shuffled join against the corpus") {
+    val p = physical("q159_robust_outliers")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"a boundary frame fell off the broadcast path:\n$p")
+  }
+
+  test("q160 per-group sample: ONE bounded map-side top-k aggregate — " +
+      "no per-group sort window") {
+    val p = physical("q160_sample_per_group")
+    assert(p.toLowerCase.contains("partial_topkagg"),
+      s"sample selection lost the map-side bounded top-k:\n$p")
+    assert(!p.contains("Window"),
+      s"a per-group sort window crept in:\n$p")
+  }
+
   test("q162 binary scan: query side broadcast, candidate selection " +
       "keeps the bounded map-side top-k") {
     val p = physical("q162_binary_ann_1536")

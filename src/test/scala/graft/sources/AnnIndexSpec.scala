@@ -854,4 +854,28 @@ class AnnIndexSpec extends AnyFunSuite {
       allowedRows, hB.centroids, k = 4, nProbe = 3)))
     assert(gotB.join(allowed, Seq("vec_id"), "left_anti").count() === 0)
   }
+
+  test("listIndexes (Pinecone list_indexes/describe_index_stats " +
+      "parity): a fresh ensure appears with its layout, meta row count " +
+      "and a real on-disk footprint; an upsert moves the stats") {
+    val src = s"spec-$runTag-list"
+    val rows1 = emb.filter(col("vec_id") < 150)
+    AnnIndex.ensureLsh(spark, src, rows1, tables = 16, bits = 6)
+    val name = s"graft_ann_lsh_${IndexStore.pathTag(src)}"
+    val before = AnnIndex.listIndexes(spark)
+      .filter(col("name") === name).collect()
+    assert(before.nonEmpty, "fresh index missing from listIndexes")
+    val row = before.head
+    assert(row.getAs[String]("layout") === "lsh")
+    assert(row.getAs[Long]("n_rows") === 150L)
+    assert(row.getAs[Long]("n_files") > 0 && row.getAs[Long]("bytes") > 0)
+    AnnIndex.upsertLsh(spark, src,
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 180),
+      tables = 16, bits = 6, batchId = Some(1L))
+    val after = AnnIndex.listIndexes(spark)
+      .filter(col("name") === name).collect().head
+    assert(after.getAs[Long]("n_rows") === 180L)
+    assert(after.getAs[Long]("last_batch_id") === 1L)
+    assert(after.getAs[Long]("bytes") > row.getAs[Long]("bytes"))
+  }
 }
