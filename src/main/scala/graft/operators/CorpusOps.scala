@@ -440,6 +440,70 @@ object CorpusOps {
       length(col("word")).as("n_chars"))
   }
 
+  /** ACTUAL token sequences (not just counts — what sequence packing,
+    * training-data export and decode all consume): per document, the
+    * BPE symbols of its words in order, joined with `sep`, plus the
+    * DECODE round trip. Decode for this tokenizer is concatenation by
+    * construction — a word's symbols concatenate back to exactly the
+    * word (the merge fold only ever fuses adjacent symbols), so
+    * `rt_text` (words reassembled from their symbols, joined by one
+    * space) must equal the space-normalized input, and `rt_ok` says
+    * so per row — the tokenizer round-trip certification, verified
+    * corpus-wide by the q169 oracle which replays training, encoding,
+    * sequence assembly AND the round trip in SQL.
+    *
+    * Output: (idCol, n_words, n_tokens, tokens_str, rt_ok).
+    *
+    * Scale shape: the merges fold runs over the DISTINCT vocabulary
+    * (the [[bpeEncode]] discipline); the corpus-wide work is one word
+    * explode + one hash join + one id-keyed ordered re-assembly (the
+    * only stage where text rides an exchange — same class as any
+    * tokenize-and-export job's output shuffle).
+    */
+  def bpeEncodeTokens(df: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id",
+      sep: String = "|"): DataFrame = {
+    val words = df
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val enc = bpeEncodeVocabSyms(words.select("word").distinct(), merges)
+    val rebuilt = words.join(enc, Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_tokens"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          s => s.getField("syms"))), sep).as("tokens_str"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word")), " ").as("rt_text"))
+    rebuilt.join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .withColumn("rt_ok", col("rt_text") ===
+        array_join(filter(split(col(textCol), " "), w => w =!= ""), " "))
+      .select(col(idCol), col("n_words"), col("n_tokens"),
+        col("tokens_str"), col("rt_ok"))
+  }
+
+  /** [[bpeEncodeVocab]] keeping the SYMBOL SEQUENCES (the `syms`
+    * array) alongside the counts — per word, its encoded symbols in
+    * order; concatenating them reproduces the word exactly.
+    */
+  private def bpeEncodeVocabSyms(vocab: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty (bpeMerges output)")
+    val S = "\u0001"
+    val T = "\u0002"
+    val vocab0 = vocab
+      .withColumn("rep", regexp_replace(col("word"), "(.)", S + "$1" + T))
+    merges.foldLeft(vocab0) { case (v, (l, r)) =>
+      v.withColumn("rep",
+        replace(col("rep"), lit(S + l + T + S + r + T), lit(S + l + r + T)))
+    }.select(col("word"),
+      filter(split(replace(col("rep"), lit(T), lit("")), S),
+        s => s =!= "").as("syms"))
+  }
+
   /** Tokenizer FERTILITY per stratum (tokens emitted per word — the
     * standard tokenizer-evaluation metric; high fertility on a
     * language means the vocabulary underserves it and its documents

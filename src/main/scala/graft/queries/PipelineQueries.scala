@@ -1266,6 +1266,20 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // ACTUAL BPE token sequences + the decode round trip (q106 emits
+    // counts; packing/export/decode consume SEQUENCES): per doc the
+    // ordered symbol stream under the learned 12-merge chain, and the
+    // round-trip flag (symbols concatenate back to every word — decode
+    // is concatenation by construction). The oracle replays training,
+    // encoding, the sequence assembly AND the round trip in SQL.
+    "q169_bpe_tokens" -> ((s, dir) => {
+      val merges = CorpusOps.bpeMerges(t(s, dir, "documents"), numMerges = 12)
+        .orderBy("step").select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      CorpusOps.bpeEncodeTokens(t(s, dir, "documents"), merges)
+        .orderBy("doc_id")
+    }),
+
     // Composed IVF-BQ ANN certification (the q121 discipline for the
     // binary family): on the 1536-dim md5-jitter fixture, probe 4 of 8
     // inverted lists and Hamming-scan ONLY their 1-bit codes (probed-
@@ -4138,6 +4152,8 @@ object PipelineQueries {
     // encode = the same unrolled training chain, final vocab joined
     // back to every doc's words
     "q106_bpe_encode" -> bpeEncodeOracle(12),
+    // token sequences + decode round trip, same replayed merge chain
+    "q169_bpe_tokens" -> bpeTokensOracle(12),
     // fertility = the encode chain aggregated per language
     "q153_tokenizer_fertility" -> fertilityOracle(12),
     // the driver-side counts-formulation trainer replays the identical
@@ -4930,6 +4946,32 @@ object PipelineQueries {
        |FROM toks t JOIN enc e USING (word)
        |WHERE t.word <> ''
        |GROUP BY t.lang""".stripMargin
+
+  /** q169: per-word symbol lists from the replayed merge chain,
+    * re-assembled per document in word order, with the round trip.
+    */
+  private def bpeTokensOracle(m: Int): String =
+    s"""WITH ${bpeChain(m)},
+       |enc AS (
+       |  SELECT word,
+       |    list_filter(string_split(replace(rep, chr(2), ''), chr(1)),
+       |      s -> s <> '') AS syms
+       |  FROM v$m),
+       |docs AS (SELECT doc_id, text, string_split(text, ' ') AS l
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(l) AS word,
+       |         generate_subscripts(l, 1) AS pos
+       |  FROM docs),
+       |nz AS (SELECT * FROM toks WHERE word <> '')
+       |SELECT n.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(e.syms)) AS BIGINT) AS n_tokens,
+       |  string_agg(array_to_string(e.syms, '|'), '|' ORDER BY n.pos)
+       |    AS tokens_str,
+       |  bool_and(array_to_string(e.syms, '') = n.word) AS rt_ok
+       |FROM nz n JOIN enc e USING (word)
+       |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
 
   private def bpeEncodeOracle(m: Int): String =
     s"""WITH ${bpeChain(m)},

@@ -2143,6 +2143,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeEncodeTokens: known merges yield the exact symbol stream; " +
+      "round trip holds; multi-space input normalizes") {
+    val d = Seq((1L, "abab ab  cd"), (2L, "zz")).toDF("doc_id", "text")
+    // merges: (a,b) then (ab,ab): "abab" -> [abab], "ab" -> [ab],
+    // "cd" -> [c, d], "zz" -> [z, z]
+    val out = CorpusOps.bpeEncodeTokens(d,
+        Seq(("a", "b"), ("ab", "ab")))
+      .select("doc_id", "n_words", "n_tokens", "tokens_str", "rt_ok")
+      .as[(Long, Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 4L, "abab|ab|c|d", true)))
+    assert(out(2L) === ((2L, 1L, 2L, "z|z", true)))
+  }
+
   test("ivfBqTopK: output-identical to the float IVF path when the " +
       "shortlist covers the probed lists; m >= k guard") {
     val base = Seq(
