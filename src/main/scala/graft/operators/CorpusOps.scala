@@ -931,6 +931,41 @@ object CorpusOps {
     * corpus draw ("sample documents proportional to token count"),
     * complementing [[sampleStratified]]'s per-stratum rates.
     */
+  /** Deterministic source-INTERLEAVED training order (the data-order
+    * staple of large-scale pretraining dataloaders, public: maximal
+    * spacing of same-source documents so the training stream never
+    * sees long single-domain runs — long runs make gradient batches
+    * domain-correlated). Two engine-portable md5 uniforms: documents
+    * rank within their source by u1(key); the global order key is
+    * (rank_in_source, u2(source, rank)) — round r emits every source
+    * exactly once (the round-robin invariant, until a source runs
+    * dry), with u2 rotating each round's source order so no fixed
+    * alphabetical cycle leaks into the curriculum.
+    *
+    * Output adds (rank_in_source, interleave_u); ORDER BY
+    * (rank_in_source, interleave_u, key) IS the training order. At
+    * 100 TB that order is a range-partitioned sort on two numeric
+    * keys — the [[globalShuffle]]/q119 discipline — never a
+    * single-task window; the only shuffle here is the source-keyed
+    * ranking window.
+    */
+  def interleaveBySource(df: DataFrame, byCol: String, key: Column,
+      seed: Long): DataFrame = {
+    val sixteen13 = math.pow(16.0, 13.0) // 2^52, exact
+    val u1 = conv(substring(
+      md5(concat(key.cast("string"), lit(":" + seed))), 1, 13), 16, 10)
+      .cast("double") / lit(sixteen13)
+    val w = Window.partitionBy(byCol).orderBy(col("__u1"), key)
+    val u2 = conv(substring(
+      md5(concat(col(byCol), lit(":"), col("rank_in_source").cast("string"),
+        lit(":" + seed))), 1, 13), 16, 10)
+      .cast("double") / lit(sixteen13)
+    df.withColumn("__u1", u1)
+      .withColumn("rank_in_source", row_number().over(w).cast("int"))
+      .withColumn("interleave_u", u2)
+      .drop("__u1")
+  }
+
   def sampleWeighted(df: DataFrame, k: Int, weight: Column, key: Column,
       seed: Long): DataFrame = {
     require(k >= 1, s"k must be positive: $k")

@@ -1266,6 +1266,18 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // Source-interleaved training order: round-robin by source with a
+    // per-round rotating tiebreak — both md5 uniforms, the
+    // within-source ranking and the rotation key replayed digit for
+    // digit. ORDER BY (rank_in_source, interleave_u, doc_id) is the
+    // curriculum; at scale it's a range sort on two numeric keys.
+    "q170_interleave_order" -> ((s, dir) =>
+      CorpusOps.interleaveBySource(t(s, dir, "documents"), "source",
+          col("doc_id"), seed = 9L)
+        .select(col("doc_id"), col("source"), col("rank_in_source"),
+          round(col("interleave_u"), 6).as("interleave_u"))
+        .orderBy("doc_id")),
+
     // ACTUAL BPE token sequences + the decode round trip (q106 emits
     // counts; packing/export/decode consume SEQUENCES): per doc the
     // ordered symbol stream under the learned 12-merge chain, and the
@@ -4154,6 +4166,23 @@ object PipelineQueries {
     "q106_bpe_encode" -> bpeEncodeOracle(12),
     // token sequences + decode round trip, same replayed merge chain
     "q169_bpe_tokens" -> bpeTokensOracle(12),
+    // interleave order: both uniforms + the source-partitioned rank
+    "q170_interleave_order" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':9'), 1, 13)) AS BIGINT) / 4503599627370496.0 AS u1
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY u1, doc_id) AS INT) AS rank_in_source
+        |  FROM u)
+        |SELECT doc_id, source, rank_in_source,
+        |  round(CAST(concat('0x', substr(md5(source || ':' ||
+        |    CAST(rank_in_source AS VARCHAR) || ':9'), 1, 13)) AS BIGINT)
+        |    / 4503599627370496.0, 6) AS interleave_u
+        |FROM r ORDER BY doc_id""".stripMargin,
     // fertility = the encode chain aggregated per language
     "q153_tokenizer_fertility" -> fertilityOracle(12),
     // the driver-side counts-formulation trainer replays the identical

@@ -2143,6 +2143,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("interleaveBySource: the round-robin invariant — every rank " +
+      "block holds each source exactly once (until one runs dry); " +
+      "deterministic across runs and row order") {
+    val d = (0L until 12L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = CorpusOps.interleaveBySource(d, "source", col("doc_id"),
+        seed = 4L)
+      .select("doc_id", "source", "rank_in_source", "interleave_u")
+      .as[(Long, String, Int, Double)].collect()
+    // balanced 3 sources x 4 docs: ranks 1..4, each rank = all 3 sources
+    (1 to 4).foreach { r =>
+      assert(out.filter(_._3 == r).map(_._2).toSet === Set("s0", "s1", "s2"))
+    }
+    // the training order never puts two same-source docs adjacent
+    // WITHIN a rank block (by construction) and the rotation key is
+    // shared per (source, rank)
+    val ordered = out.sortBy(t => (t._3, t._4, t._1))
+    ordered.grouped(3).foreach(b => assert(b.map(_._2).distinct.size === 3))
+    // determinism under row order
+    val out2 = CorpusOps.interleaveBySource(d.orderBy(rand(1)), "source",
+        col("doc_id"), seed = 4L)
+      .select("doc_id", "source", "rank_in_source", "interleave_u")
+      .as[(Long, String, Int, Double)].collect()
+    assert(out2.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    // an unbalanced source runs dry: later blocks shrink, never crash
+    val d2 = d.unionByName(Seq((100L, "s0")).toDF("doc_id", "source"))
+    val o3 = CorpusOps.interleaveBySource(d2, "source", col("doc_id"), 4L)
+      .filter(col("rank_in_source") === 5)
+      .select("source").as[String].collect()
+    assert(o3.toSeq === Seq("s0"))
+  }
+
   test("bpeEncodeTokens: known merges yield the exact symbol stream; " +
       "round trip holds; multi-space input normalizes") {
     val d = Seq((1L, "abab ab  cd"), (2L, "zz")).toDF("doc_id", "text")
