@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.functions.expressions.KmvAgg
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distinct-cardinality sketches and cross-corpus set algebra on them
+  * (KMV / theta-sketch family — Bar-Yossef et al. 2002, Beyer et al.
+  * SIGMOD 2007, Apache DataSketches; all public).
+  *
+  * The corpus-curation questions these answer at 100 TB — "how many
+  * distinct n-grams does each source contribute?", "how much does
+  * crawl A overlap crawl B?" — are exactly the ones
+  * `count(DISTINCT ...)` cannot price: an exact per-pair overlap is a
+  * corpus-sized distinct exchange PER PAIR. The KMV sketch replaces
+  * all of it with ≤ k 8-byte hashes per group (map-side bounded, any
+  * merge order), and union/Jaccard/intersection then run on k-row
+  * frames: one corpus scan total, no matter how many groups or pairs.
+  *
+  * Everything is deterministic and DuckDB-replayable: the hash is the
+  * engine-portable md5-52-bit value, and "the k smallest distinct
+  * hashes" is a pure function of the input set — so the oracle can
+  * rebuild sketch, estimates, and pair algebra digit for digit
+  * (`SELECT DISTINCT h ORDER BY h LIMIT k` + the same arithmetic).
+  *
+  * Estimator (Beyer et al. 2007, unbiased): with the sketch full,
+  * est = (k-1) / u_k where u_k = h_k / 2^52 is the k-th smallest
+  * normalized hash; with fewer than k distinct hashes seen the sketch
+  * IS the distinct set and the count is exact. Union sketch = k
+  * smallest of the merged sketches (a valid KMV of the union);
+  * Jaccard = |{h in K(A∪B) : h in K(A) and h in K(B)}| / |K(A∪B)|;
+  * intersection = Jaccard · est_union (the standard KMV composition).
+  */
+object Sketches {
+
+  /** 2^52 — the hash space size, exact in a double. */
+  private val Two52 = 4503599627370496.0
+
+  /** Engine-portable 52-bit hash: first 13 hex digits of
+    * md5(value ":" seed) — the q133/q170 uniform, kept as a LONG in
+    * [0, 2^52). DuckDB replay:
+    * `CAST(concat('0x', substr(md5(x || ':seed'), 1, 13)) AS BIGINT)`.
+    */
+  def hash52(c: Column, seed: Long): Column =
+    conv(substring(md5(concat(c, lit(":" + seed))), 1, 13), 16, 10)
+      .cast("long")
+
+  /** Per-group KMV sketch of `item` rows → (groupCol, kmv:
+    * array<long> ascending, ≤ k). One linear scan; each map task ships
+    * ≤ k longs per group.
+    */
+  def kmvSketch(items: DataFrame, groupCol: String, item: Column, k: Int,
+      seed: Long): DataFrame =
+    items.groupBy(groupCol)
+      .agg(KmvAgg.kmv(hash52(item, seed), k).as("kmv"))
+
+  /** The KMV estimator over a (possibly not full) sketch column
+    * (public so stats consumers like [[Analyze.columnStats]] can apply
+    * it to sketches they carried through their own plans).
+    */
+  def estimate(kmv: Column, k: Int): Column = est(kmv, k)
+
+  private def est(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(lit((k - 1).toDouble)
+        / (element_at(kmv, k).cast("double") / lit(Two52)))
+
+  /** Per-group distinct-count estimates: (groupCol, sk_size, h_max —
+    * the k-th/last kept hash, the sketch's replayable fingerprint —
+    * est_distinct). Exact when sk_size < k.
+    */
+  def kmvDistinct(items: DataFrame, groupCol: String, item: Column,
+      k: Int, seed: Long): DataFrame =
+    kmvSketch(items, groupCol, item, k, seed)
+      .select(col(groupCol),
+        size(col("kmv")).as("sk_size"),
+        when(size(col("kmv")) > 0,
+          element_at(col("kmv"), size(col("kmv")))).as("h_max"),
+        est(col("kmv"), k).as("est_distinct"))
+
+  /** Pairwise overlap estimates between all group pairs (grp_a <
+    * grp_b): union-sketch size, per-side and union distinct
+    * estimates, KMV Jaccard, and the implied intersection estimate.
+    * The pair frame is G²/2 rows of 2k longs each — `maxGroups`
+    * guards the quadratic loudly (the corpus itself is touched ONCE,
+    * in the sketch pass).
+    */
+  def kmvOverlap(items: DataFrame, groupCol: String, item: Column,
+      k: Int, seed: Long, maxGroups: Int = 1000): DataFrame = {
+    // limit-probe the group universe BEFORE anything collects (the
+    // Frequency.topNgramsExactByGroup discipline)
+    val g = items.select(col(groupCol)).distinct()
+      .limit(maxGroups + 1).count()
+    require(g <= maxGroups,
+      s"kmvOverlap: $g groups exceeds maxGroups=$maxGroups — the " +
+        "G^2/2 pair frame is the quadratic you must opt into; raise " +
+        "maxGroups deliberately")
+    val sk = kmvSketch(items, groupCol, item, k, seed)
+    // one corpus scan total: the sketch frame (≤ maxGroups × k longs,
+    // guarded above) collects once and re-enters as a local relation,
+    // so the a/b self-join cannot re-run the scan
+    val spark = items.sparkSession
+    val skLocal = spark.createDataFrame(
+      java.util.Arrays.asList(sk.collect(): _*), sk.schema)
+    val a = skLocal.select(col(groupCol).as("grp_a"), col("kmv").as("ka"))
+    val b = skLocal.select(col(groupCol).as("grp_b"), col("kmv").as("kb"))
+    // union sketch: k smallest of the merged sketches (both inputs
+    // ascending; array_union dedups, array_sort restores order)
+    val uk = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .withColumn("uk", uk)
+      .withColumn("inter_cnt", size(filter(col("uk"),
+        h => array_contains(col("ka"), h) && array_contains(col("kb"), h))))
+      .select(col("grp_a"), col("grp_b"),
+        size(col("uk")).as("union_k"),
+        est(col("ka"), k).as("est_a"),
+        est(col("kb"), k).as("est_b"),
+        est(col("uk"), k).as("est_union"),
+        (col("inter_cnt").cast("double") / size(col("uk")))
+          .as("jaccard_est"),
+        (col("inter_cnt").cast("double") / size(col("uk"))
+          * est(col("uk"), k)).as("est_inter"))
+  }
+}

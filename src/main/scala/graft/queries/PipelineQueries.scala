@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.operators.{CorpusOps, Dedup, Evaluation, Frequency, Funnel, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, TextAnalysis}
+import graft.functions.expressions.HashExpressions
+import graft.operators.{Analyze, CorpusOps, Dedup, Evaluation, Frequency, Funnel, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, Sketches, TextAnalysis}
 import graft.rag.RagPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1277,6 +1278,58 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("rank_in_source"),
           round(col("interleave_u"), 6).as("interleave_u"))
         .orderBy("doc_id")),
+
+    // KMV distinct sketch: per-source distinct-3-gram estimates from a
+    // k=128 bounded sketch (the count(DISTINCT) replacement whose
+    // exchanges carry ≤ k longs per group), exact distinct joined as
+    // the honesty panel. The sketch — k smallest md5-52bit hashes — is
+    // a pure function of the gram SET, so DuckDB replays it verbatim.
+    "q171_kmv_distinct" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(HashExpressions.shingles_k_positional(
+          filter(split(col("text"), " "), x => x =!= lit("")), 3))
+          .as("gram"))
+      val est = Sketches.kmvDistinct(toks, "source", col("gram"), 128, 11L)
+      val exact = toks.groupBy("source")
+        .agg(countDistinct(col("gram")).as("exact_distinct"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("sk_size"), col("h_max"),
+          round(col("est_distinct"), 6).as("est_distinct"),
+          col("exact_distinct"),
+          round(abs(col("est_distinct") - col("exact_distinct"))
+            / col("exact_distinct"), 6).as("rel_err"))
+        .orderBy("source")
+    }),
+
+    // KMV set algebra: pairwise source overlap (union estimate, KMV
+    // Jaccard, implied intersection) computed entirely on the k-row
+    // sketches — ONE corpus scan for all 190 pairs; the per-pair exact
+    // distinct join the naive form needs never happens.
+    "q172_kmv_overlap" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(HashExpressions.shingles_k_positional(
+          filter(split(col("text"), " "), x => x =!= lit("")), 3))
+          .as("gram"))
+      Sketches.kmvOverlap(toks, "source", col("gram"), 128, 11L)
+        .select(col("grp_a"), col("grp_b"), col("union_k"),
+          round(col("est_a"), 6).as("est_a"),
+          round(col("est_b"), 6).as("est_b"),
+          round(col("est_union"), 6).as("est_union"),
+          round(col("jaccard_est"), 6).as("jaccard_est"),
+          round(col("est_inter"), 6).as("est_inter"))
+        .orderBy("grp_a", "grp_b")
+    }),
+
+    // ANALYZE-style per-column stats in one scan: count / nulls /
+    // KMV-sketched NDV / canonical min-max / avg canonical length for
+    // seven lineitem columns of four types, shipped WITH the
+    // count(DISTINCT) honesty panel (the Expand the sketch replaces —
+    // the exact=false production call is spec-pinned Expand-free).
+    "q173_column_stats" -> ((s, dir) =>
+      Analyze.columnStats(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_linestatus",
+          "l_shipdate"), k = 128, seed = 13L, exact = true)),
 
     // ACTUAL BPE token sequences + the decode round trip (q106 emits
     // counts; packing/export/decode consume SEQUENCES): per doc the
@@ -4183,6 +4236,103 @@ object PipelineQueries {
         |    CAST(rank_in_source AS VARCHAR) || ':9'), 1, 13)) AS BIGINT)
         |    / 4503599627370496.0, 6) AS interleave_u
         |FROM r ORDER BY doc_id""".stripMargin,
+    // KMV sketch replay: the k smallest distinct md5-52bit 3-gram
+    // hashes per source ARE the sketch (pure function of the set);
+    // estimator and honesty panel are plain arithmetic on top
+    "q171_kmv_distinct" ->
+      """WITH docs AS (
+        |  SELECT source,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, array_to_string(l[i.i:i.i+2], ' ') AS gram
+        |  FROM docs, unnest(range(1, len(l) - 1)) AS i(i)
+        |  WHERE len(l) >= 3),
+        |hd AS (
+        |  SELECT DISTINCT source,
+        |    CAST(concat('0x', substr(md5(gram || ':11'), 1, 13))
+        |      AS BIGINT) AS h
+        |  FROM g),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM hd),
+        |sk AS (SELECT source, CAST(count(*) AS INT) AS sk_size,
+        |  max(h) AS h_max FROM r WHERE rn <= 128 GROUP BY source),
+        |ex AS (SELECT source,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS exact_distinct
+        |  FROM g GROUP BY source),
+        |e AS (SELECT source, sk_size, h_max,
+        |  CASE WHEN sk_size < 128 THEN CAST(sk_size AS DOUBLE)
+        |    ELSE 127.0 / (h_max / 4503599627370496.0) END AS est
+        |  FROM sk)
+        |SELECT e.source, sk_size, h_max, round(est, 6) AS est_distinct,
+        |  exact_distinct,
+        |  round(abs(est - exact_distinct) / exact_distinct, 6) AS rel_err
+        |FROM e JOIN ex ON e.source = ex.source
+        |ORDER BY e.source""".stripMargin,
+    // KMV pair algebra replay: union sketch = k smallest of the merged
+    // per-source sketches; Jaccard = shared fraction of the union
+    // sketch; intersection = jaccard x union estimate
+    "q172_kmv_overlap" ->
+      """WITH docs AS (
+        |  SELECT source,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, array_to_string(l[i.i:i.i+2], ' ') AS gram
+        |  FROM docs, unnest(range(1, len(l) - 1)) AS i(i)
+        |  WHERE len(l) >= 3),
+        |hd AS (
+        |  SELECT DISTINCT source,
+        |    CAST(concat('0x', substr(md5(gram || ':11'), 1, 13))
+        |      AS BIGINT) AS h
+        |  FROM g),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM hd),
+        |sk AS (SELECT source, h FROM r WHERE rn <= 128),
+        |szs AS (SELECT source, count(*) AS sz, max(h) AS hmax
+        |  FROM sk GROUP BY source),
+        |pairs AS (SELECT a.source AS sa, b.source AS sb
+        |  FROM szs a JOIN szs b ON a.source < b.source),
+        |u AS (SELECT p.sa, p.sb, s.h FROM pairs p
+        |  JOIN sk s ON s.source IN (p.sa, p.sb)
+        |  GROUP BY p.sa, p.sb, s.h),
+        |ur AS (SELECT sa, sb, h,
+        |  row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        |  FROM u),
+        |uk AS (SELECT sa, sb, h FROM ur WHERE rn <= 128),
+        |uks AS (SELECT sa, sb, count(*) AS usz, max(h) AS uhmax
+        |  FROM uk GROUP BY sa, sb),
+        |inter AS (SELECT uk.sa, uk.sb, count(*) AS ic FROM uk
+        |  JOIN sk x ON x.source = uk.sa AND x.h = uk.h
+        |  JOIN sk y ON y.source = uk.sb AND y.h = uk.h
+        |  GROUP BY uk.sa, uk.sb),
+        |e AS (SELECT p.sa, p.sb,
+        |  CASE WHEN a.sz < 128 THEN CAST(a.sz AS DOUBLE)
+        |    ELSE 127.0 / (a.hmax / 4503599627370496.0) END AS est_a,
+        |  CASE WHEN b.sz < 128 THEN CAST(b.sz AS DOUBLE)
+        |    ELSE 127.0 / (b.hmax / 4503599627370496.0) END AS est_b,
+        |  CASE WHEN u.usz < 128 THEN CAST(u.usz AS DOUBLE)
+        |    ELSE 127.0 / (u.uhmax / 4503599627370496.0) END AS est_u,
+        |  u.usz, coalesce(i.ic, 0) AS ic
+        |  FROM pairs p
+        |  JOIN szs a ON a.source = p.sa
+        |  JOIN szs b ON b.source = p.sb
+        |  JOIN uks u ON u.sa = p.sa AND u.sb = p.sb
+        |  LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb)
+        |SELECT sa AS grp_a, sb AS grp_b, CAST(usz AS INT) AS union_k,
+        |  round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+        |  round(est_u, 6) AS est_union,
+        |  round(ic / usz, 6) AS jaccard_est,
+        |  round(ic / usz * est_u, 6) AS est_inter
+        |FROM e ORDER BY grp_a, grp_b""".stripMargin,
+    // per-column stats replay through the same canonical encodings
+    "q173_column_stats" -> columnStatsOracle("lineitem", Seq(
+      "l_orderkey" -> canonInt, "l_linenumber" -> canonInt,
+      "l_quantity" -> canonDouble, "l_extendedprice" -> canonDouble,
+      "l_returnflag" -> canonStr, "l_linestatus" -> canonStr,
+      "l_shipdate" -> canonTs), 128, 13L),
     // fertility = the encode chain aggregated per language
     "q153_tokenizer_fertility" -> fertilityOracle(12),
     // the driver-side counts-formulation trainer replays the identical
@@ -4955,6 +5105,50 @@ object PipelineQueries {
     * words joined against the trained word → rep vocabulary — per-word
     * symbol count = the training run's final representation.
     */
+  /** q173 replay: per profiled column, the same canonical string
+    * encoding (integers plain, doubles via DECIMAL(18,6), timestamps
+    * strftime'd to seconds), then count / nulls / KMV NDV (DISTINCT
+    * canonical → md5-52bit → k smallest) / canonical(min,max) /
+    * avg length — UNION ALL'd into the stats frame. `rel_err` derives
+    * from the UNROUNDED estimate, exactly as the Spark side does.
+    */
+  private def columnStatsOracle(table: String,
+      cols: Seq[(String, String => String)], k: Int, seed: Long): String = {
+    val perCol = cols.map { case (c, e) =>
+      s"""(SELECT '$c' AS col_name,
+         |  (SELECT count(v) FROM (SELECT ${e(c)} AS v FROM $table)) AS cnt,
+         |  (SELECT count(*) - count(v)
+         |     FROM (SELECT ${e(c)} AS v FROM $table)) AS null_cnt,
+         |  (SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+         |     ELSE ${k - 1}.0 / (max(h) / 4503599627370496.0) END
+         |   FROM (SELECT DISTINCT CAST(concat('0x',
+         |       substr(md5(v || ':$seed'), 1, 13)) AS BIGINT) AS h
+         |     FROM (SELECT ${e(c)} AS v FROM $table)
+         |     WHERE v IS NOT NULL ORDER BY h LIMIT $k)) AS ndv_raw,
+         |  (SELECT ${e(s"min($c)")} FROM $table) AS min_repr,
+         |  (SELECT ${e(s"max($c)")} FROM $table) AS max_repr,
+         |  (SELECT round(avg(length(v)), 6)
+         |     FROM (SELECT ${e(c)} AS v FROM $table)) AS avg_len,
+         |  (SELECT count(DISTINCT v)
+         |     FROM (SELECT ${e(c)} AS v FROM $table)) AS exact_ndv)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT col_name, cnt, null_cnt, round(ndv_raw, 6) AS ndv_est,
+       |  min_repr, max_repr, avg_len, exact_ndv,
+       |  round(abs(ndv_raw - exact_ndv) / exact_ndv, 6) AS rel_err
+       |FROM (
+       |$perCol
+       |) ORDER BY col_name""".stripMargin
+  }
+
+  /** DuckDB canonical encoders matching [[Analyze.canon]]. */
+  private val canonInt: String => String = x => s"CAST($x AS VARCHAR)"
+  private val canonDouble: String => String =
+    x => s"CAST(CAST($x AS DECIMAL(18,6)) AS VARCHAR)"
+  private val canonTs: String => String =
+    x => s"strftime($x, '%Y-%m-%d %H:%M:%S')"
+  private val canonStr: String => String = identity
+
   /** q153: the [[bpeEncodeOracle]] chain grouped per language instead
     * of per document — fertility = tokens emitted per word.
     */

@@ -2175,6 +2175,124 @@ class OperatorsSpec extends AnyFunSuite {
     assert(o3.toSeq === Seq("s0"))
   }
 
+  test("kmvSketch: k smallest DISTINCT md5-52bit hashes, pinned by an " +
+      "independent MessageDigest replay; partitioning/merge-order and " +
+      "duplicate-item invariance") {
+    val items = ('a' to 'z').map(c => ("g", c.toString)).toDF("grp", "item")
+    val out = Sketches.kmvSketch(items, "grp", col("item"), k = 5, 3L)
+      .select("kmv").as[Seq[Long]].head()
+    // independent reference: first 13 md5 hex digits of "<item>:3"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s"$s:3".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(13), 16)
+    val expected = ('a' to 'z').map(c => h(c.toString))
+      .distinct.sorted.take(5)
+    assert(out === expected)
+    // duplicates and physical layout cannot move the sketch
+    val dup = (items.union(items).union(items)).repartition(7)
+    val out2 = Sketches.kmvSketch(dup, "grp", col("item"), k = 5, 3L)
+      .select("kmv").as[Seq[Long]].head()
+    assert(out2 === expected)
+  }
+
+  test("kmvDistinct: exact below k (est == true count), estimator " +
+      "formula (k-1)/u_k when full; est within 3 sigma on a 2000-item " +
+      "stream") {
+    val small = (1 to 7).map(i => ("g", s"it$i")).toDF("grp", "item")
+    val r1 = Sketches.kmvDistinct(small, "grp", col("item"), k = 16, 5L)
+      .select("sk_size", "est_distinct").as[(Int, Double)].head()
+    assert(r1 === ((7, 7.0)))
+    val big = (1 to 2000).map(i => ("g", s"item$i")).toDF("grp", "item")
+    val r2 = Sketches.kmvDistinct(big, "grp", col("item"), k = 128, 5L)
+      .select("sk_size", "h_max", "est_distinct")
+      .as[(Int, Long, Double)].head()
+    assert(r2._1 === 128)
+    assert(r2._3 === 127.0 / (r2._2.toDouble / 4503599627370496.0))
+    // Beyer et al.: sd ~ n/sqrt(k-2) => 3 sigma ~ 535 here
+    assert(math.abs(r2._3 - 2000.0) < 535.0,
+      s"KMV estimate ${r2._3} implausibly far from 2000")
+  }
+
+  test("kmvOverlap: identical sets -> jaccard 1 and est_inter == " +
+      "est_union; disjoint sets -> 0; union sketch == sketch of the " +
+      "union; maxGroups guard throws") {
+    val a = (1 to 400).map(i => ("A", s"x$i"))
+    val b = (1 to 400).map(i => ("B", s"x$i"))   // identical item set
+    val c = (1 to 400).map(i => ("C", s"y$i"))   // disjoint from both
+    val items = (a ++ b ++ c).toDF("grp", "item")
+    val out = Sketches.kmvOverlap(items, "grp", col("item"), k = 64, 9L)
+      .select("grp_a", "grp_b", "union_k", "est_union", "jaccard_est",
+        "est_inter")
+      .as[(String, String, Int, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ab = out(("A", "B"))
+    assert(ab._5 === 1.0 && ab._6 === ab._4)
+    assert(out(("A", "C"))._5 === 0.0 && out(("A", "C"))._6 === 0.0)
+    // union-sketch validity: est_union(A,C) == est_distinct of the
+    // relabeled union corpus (the k-smallest-of-merge IS a KMV of it)
+    val unioned = (a ++ c).map { case (_, it) => ("U", it) }
+      .toDF("grp", "item")
+    val estU = Sketches.kmvDistinct(unioned, "grp", col("item"), 64, 9L)
+      .select("est_distinct").as[Double].head()
+    assert(out(("A", "C"))._4 === estU)
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.kmvOverlap(items, "grp", col("item"), k = 64, 9L,
+        maxGroups = 2)
+    }
+    assert(ex.getMessage.contains("maxGroups"))
+  }
+
+  test("columnStats: pinned tiny-frame stats (counts, nulls, canonical " +
+      "min/max, avg_len, exact ndv, est == exact below k); unknown " +
+      "column throws") {
+    val d = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 17.5, "aa"), (2L, null, "bbb"), (2L, 3.25, null),
+      (5L, 3.25, "aa")).toDF("id", "x", "s")
+    val out = Analyze.columnStats(d, Seq("id", "x", "s"), k = 16,
+      seed = 7L, exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert(id.getLong(1) === 4 && id.getLong(2) === 0)       // cnt, nulls
+    assert(id.getString(4) === "1" && id.getString(5) === "5") // min,max
+    assert(id.getLong(7) === 3 && id.getDouble(3) === 3.0)   // ndv exact
+    assert(id.getDouble(8) === 0.0)                          // rel_err
+    val x = out("x")
+    assert(x.getLong(1) === 3 && x.getLong(2) === 1)
+    assert(x.getString(4) === "3.250000" && x.getString(5) === "17.500000")
+    // "17.500000"(9) + "3.250000"(8) + "3.250000"(8) over 3 rows
+    assert(x.getDouble(6) === math.rint(25.0 / 3.0 * 1e6) / 1e6)
+    assert(x.getLong(7) === 2)
+    val s = out("s")
+    assert(s.getLong(1) === 3 && s.getLong(2) === 1 && s.getLong(7) === 2)
+    assert(s.getDouble(6) === math.rint(7.0 / 3.0 * 1e6) / 1e6)
+    intercept[IllegalArgumentException] {
+      Analyze.columnStats(d, Seq("nope"), 16, 7L, exact = false)
+    }
+  }
+
+  test("columnStats: timestamp canonicalization matches strftime-to-" +
+      "seconds; production (exact=false) plan is Expand-free with ONE " +
+      "data aggregate") {
+    val d = Seq(Tuple1(Timestamp.valueOf("2024-03-15 12:34:56")))
+      .toDF("ts")
+    val r = Analyze.columnStats(d, Seq("ts"), 16, 7L, exact = false)
+      .collect().head
+    assert(r.getString(4) === "2024-03-15 12:34:56")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("a", "b")
+      val plan = Analyze.columnStats(big, Seq("a", "b"), 16, 7L,
+        exact = false).queryExecution.executedPlan
+      val expands = plan.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e }
+      // the only Expand allowed is none at all: the unpivot is a
+      // projection over ONE aggregated row, planned as Generate
+      assert(expands.isEmpty,
+        s"exact=false stats pass grew an Expand:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bpeEncodeTokens: known merges yield the exact symbol stream; " +
       "round trip holds; multi-space input normalizes") {
     val d = Seq((1L, "abab ab  cd"), (2L, "zz")).toDF("doc_id", "text")
