@@ -78,6 +78,16 @@ object Sketches {
           element_at(col("kmv"), size(col("kmv")))).as("h_max"),
         est(col("kmv"), k).as("est_distinct"))
 
+  /** Merge aggregator for per-pane sketches that land in one target
+    * group (e.g. daily panes assembling a sliding window): k smallest
+    * of the distinct union of the panes — a valid KMV of the union set
+    * (the k smallest of a set are the k smallest of any cover of it).
+    * Bounded: collect_list gathers ≤ panes-per-group arrays of ≤ k
+    * longs, never raw rows.
+    */
+  def kmvMergeAgg(kmv: Column, k: Int): Column =
+    slice(array_sort(array_distinct(flatten(collect_list(kmv)))), 1, k)
+
   /** Pairwise overlap estimates between all group pairs (grp_a <
     * grp_b): union-sketch size, per-side and union distinct
     * estimates, KMV Jaccard, and the implied intersection estimate.

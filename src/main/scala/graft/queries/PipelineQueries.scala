@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.functions.expressions.HashExpressions
-import graft.operators.{Analyze, CorpusOps, Dedup, Evaluation, Frequency, Funnel, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, Sketches, TextAnalysis}
+import graft.operators.{Analyze, CorpusOps, Dedup, Evaluation, Frequency, Funnel, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, Sketches, TextAnalysis, ZOrder}
 import graft.rag.RagPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1320,6 +1320,41 @@ object PipelineQueries {
         .orderBy("grp_a", "grp_b")
     }),
 
+    // Sliding-window distinct (distinct users per trailing 7 days)
+    // assembled by MERGING per-day KMV panes — each event day is
+    // sketched once (bounded state), every window is then 7 tiny
+    // array merges; the exact panel carries the 7x-amplified range
+    // join the panes replace. Pane-merge == window-KMV is the
+    // mergeability theorem the oracle certifies (it computes the
+    // window sketch directly from raw rows).
+    "q174_sliding_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+      val panes = Sketches.kmvSketch(
+        ev, "d", col("user_id").cast("string"), 128, 17L)
+      val spine = panes.select(col("d").as("win_end"))
+      val merged = panes.join(broadcast(spine),
+          datediff(col("win_end"), col("d")).between(0, 6))
+        .groupBy("win_end")
+        .agg(count(lit(1)).as("days_in_win"),
+          Sketches.kmvMergeAgg(col("kmv"), 128).as("kmv"))
+      val exact = ev.join(broadcast(spine),
+          datediff(col("win_end"), col("d")).between(0, 6))
+        .groupBy("win_end")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      merged.join(exact, Seq("win_end"))
+        .select(date_format(col("win_end"), "yyyy-MM-dd").as("win_end"),
+          col("days_in_win"),
+          size(col("kmv")).as("sk_size"),
+          element_at(col("kmv"), size(col("kmv"))).as("h_max"),
+          round(Sketches.estimate(col("kmv"), 128), 6).as("est_distinct"),
+          col("exact_distinct"),
+          round(abs(Sketches.estimate(col("kmv"), 128)
+            - col("exact_distinct")) / col("exact_distinct"), 6)
+            .as("rel_err"))
+        .orderBy("win_end")
+    }),
+
     // ANALYZE-style per-column stats in one scan: count / nulls /
     // KMV-sketched NDV / canonical min-max / avg canonical length for
     // seven lineitem columns of four types, shipped WITH the
@@ -1330,6 +1365,25 @@ object PipelineQueries {
         Seq("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag", "l_linestatus",
           "l_shipdate"), k = 128, seed = 13L, exact = true)),
+
+    // Z-order (Morton) clustering vs a 1-D sort, judged by zone maps:
+    // per-bucket min/max boxes + box_frac (bounding-box area as a
+    // domain fraction). Interleaved buckets are compact rectangles;
+    // xsort buckets are full-height stripes — the layout decision a
+    // 100 TB table makes before writing files.
+    "q175_zorder_zonemaps" -> ((s, dir) =>
+      ZOrder.zoneMaps(t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+        bits = 8, nBuckets = 32)
+        .orderBy("layout", "bucket")),
+
+    // ...and the MEASURED pruning panel: 20 seeded box predicates ×
+    // both layouts — buckets touched, rows a zone-map-guided scan
+    // reads, true hits, scan amplification. The rect×zonemap join is
+    // metadata-scale; data is touched once for the honesty column.
+    "q176_zonemap_pruning" -> ((s, dir) =>
+      ZOrder.pruningPanel(t(s, dir, "lineitem"), "l_partkey",
+        "l_suppkey", bits = 8, nBuckets = 32, nRects = 20)
+        .orderBy("rect_id", "layout")),
 
     // ACTUAL BPE token sequences + the decode round trip (q106 emits
     // counts; packing/export/decode consume SEQUENCES): per doc the
@@ -4327,6 +4381,42 @@ object PipelineQueries {
         |  round(ic / usz, 6) AS jaccard_est,
         |  round(ic / usz * est_u, 6) AS est_inter
         |FROM e ORDER BY grp_a, grp_b""".stripMargin,
+    // zone-map replay: identical quantize → unrolled bit-interleave →
+    // fixed-width bucket → min/max/count arithmetic
+    "q175_zorder_zonemaps" -> zoneMapOracle(withPanel = false),
+    // pruning-panel replay: the same seeded rectangles intersected
+    // against the replayed zone maps + the exact hit counts
+    "q176_zonemap_pruning" -> zoneMapOracle(withPanel = true),
+    // sliding-distinct replay: the window sketch computed DIRECTLY
+    // from raw rows (k smallest distinct hashes in the 7-day range) —
+    // equality with Spark's pane-merge IS the mergeability certificate
+    "q174_sliding_distinct" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM ev),
+        |h AS (SELECT DISTINCT d, CAST(concat('0x',
+        |    substr(md5(CAST(user_id AS VARCHAR) || ':17'), 1, 13))
+        |    AS BIGINT) AS h FROM ev),
+        |win AS (SELECT w.d AS win_end, h.h FROM days w
+        |  JOIN h ON h.d BETWEEN w.d - 6 AND w.d GROUP BY w.d, h.h),
+        |r AS (SELECT win_end, h,
+        |  row_number() OVER (PARTITION BY win_end ORDER BY h) AS rn
+        |  FROM win),
+        |sk AS (SELECT win_end, CAST(count(*) AS INT) AS sk_size,
+        |  max(h) AS h_max FROM r WHERE rn <= 128 GROUP BY win_end),
+        |ex AS (SELECT w.d AS win_end,
+        |  count(DISTINCT e.user_id) AS exact_distinct,
+        |  count(DISTINCT e.d) AS days_in_win
+        |  FROM days w JOIN ev e ON e.d BETWEEN w.d - 6 AND w.d
+        |  GROUP BY w.d),
+        |e AS (SELECT s.win_end, sk_size, h_max,
+        |  CASE WHEN sk_size < 128 THEN CAST(sk_size AS DOUBLE)
+        |    ELSE 127.0 / (h_max / 4503599627370496.0) END AS est
+        |  FROM sk s)
+        |SELECT strftime(e.win_end, '%Y-%m-%d') AS win_end, days_in_win,
+        |  sk_size, h_max, round(est, 6) AS est_distinct, exact_distinct,
+        |  round(abs(est - exact_distinct) / exact_distinct, 6) AS rel_err
+        |FROM e JOIN ex ON e.win_end = ex.win_end
+        |ORDER BY win_end""".stripMargin,
     // per-column stats replay through the same canonical encodings
     "q173_column_stats" -> columnStatsOracle("lineitem", Seq(
       "l_orderkey" -> canonInt, "l_linenumber" -> canonInt,
@@ -5139,6 +5229,81 @@ object PipelineQueries {
        |FROM (
        |$perCol
        |) ORDER BY col_name""".stripMargin
+  }
+
+  /** The unrolled Morton bit-interleave as DuckDB SQL — the exact
+    * shift/mask/scale sum [[graft.operators.ZOrder.interleave]] plans.
+    */
+  private def interleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"(($y >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+
+  /** q175/q176 replay: quantized lineitem (l_partkey, l_suppkey) under
+    * both layouts' bucket functions → zone maps; `withPanel` layers the
+    * 20 seeded rectangle predicates + exact hits on top (q176).
+    */
+  private def zoneMapOracle(withPanel: Boolean): String = {
+    val base =
+      s"""WITH b AS (SELECT min(l_partkey) AS x_mn, max(l_partkey) AS x_mx,
+         |    min(l_suppkey) AS y_mn, max(l_suppkey) AS y_mx
+         |  FROM lineitem),
+         |q AS (SELECT l_partkey AS x, l_suppkey AS y,
+         |    CAST((x_mx - x_mn + 1) * (y_mx - y_mn + 1) AS DOUBLE) AS dom,
+         |    CAST(floor((l_partkey - x_mn) * 256 / (x_mx - x_mn + 1))
+         |      AS BIGINT) AS xq,
+         |    CAST(floor((l_suppkey - y_mn) * 256 / (y_mx - y_mn + 1))
+         |      AS BIGINT) AS yq
+         |  FROM lineitem, b),
+         |z AS (
+         |  SELECT x, y, dom, 'zorder' AS layout,
+         |    CAST(floor((${interleaveSql("xq", "yq", 8)}) / 2048)
+         |      AS BIGINT) AS bucket
+         |  FROM q
+         |  UNION ALL
+         |  SELECT x, y, dom, 'xsort' AS layout,
+         |    CAST(floor(xq / 8) AS BIGINT) AS bucket
+         |  FROM q),
+         |zm AS (SELECT layout, bucket, count(*) AS n_rows,
+         |    min(x) AS x_min, max(x) AS x_max,
+         |    min(y) AS y_min, max(y) AS y_max, max(dom) AS dom
+         |  FROM z GROUP BY layout, bucket)""".stripMargin
+    if (!withPanel)
+      s"""$base
+         |SELECT layout, bucket, n_rows, x_min, x_max, y_min, y_max,
+         |  round((x_max - x_min + 1) * (y_max - y_min + 1) / dom, 6)
+         |    AS box_frac
+         |FROM zm ORDER BY layout, bucket""".stripMargin
+    else
+      s"""$base,
+         |rects AS (SELECT i.i AS rect_id,
+         |    x_mn + CAST(floor((i.i * 37 % 64) * (x_mx - x_mn + 1) / 64)
+         |      AS BIGINT) AS ra,
+         |    y_mn + CAST(floor((i.i * 23 % 64) * (y_mx - y_mn + 1) / 64)
+         |      AS BIGINT) AS rc,
+         |    CAST(floor((x_mx - x_mn + 1) / 8) AS BIGINT) AS xw,
+         |    CAST(floor((y_mx - y_mn + 1) / 8) AS BIGINT) AS yw
+         |  FROM unnest(range(20)) AS i(i), b),
+         |r2 AS (SELECT rect_id, ra, ra + xw AS rb, rc, rc + yw AS rd
+         |  FROM rects),
+         |touched AS (SELECT rect_id, layout,
+         |    count(*) AS buckets_touched,
+         |    CAST(sum(n_rows) AS BIGINT) AS rows_scanned
+         |  FROM r2 JOIN zm ON ra <= x_max AND rb >= x_min
+         |    AND rc <= y_max AND rd >= y_min
+         |  GROUP BY rect_id, layout),
+         |hits AS (SELECT rect_id,
+         |    count(CASE WHEN l.l_partkey BETWEEN ra AND rb
+         |      AND l.l_suppkey BETWEEN rc AND rd THEN 1 END) AS true_hits
+         |  FROM r2 LEFT JOIN lineitem l ON l.l_partkey BETWEEN ra AND rb
+         |    AND l.l_suppkey BETWEEN rc AND rd
+         |  GROUP BY rect_id)
+         |SELECT t.rect_id, t.layout, t.buckets_touched, t.rows_scanned,
+         |  h.true_hits,
+         |  round(t.rows_scanned / CAST(greatest(h.true_hits, 1) AS DOUBLE),
+         |    6) AS scan_amp
+         |FROM touched t JOIN hits h ON t.rect_id = h.rect_id
+         |ORDER BY t.rect_id, t.layout""".stripMargin
   }
 
   /** DuckDB canonical encoders matching [[Analyze.canon]]. */

@@ -2243,6 +2243,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxGroups"))
   }
 
+  test("ZOrder.interleave pins known Morton codes; quantize maps " +
+      "bounds to [0, 2^bits) inclusive-exclusive") {
+    val d = Seq((5L, 3L)).toDF("x", "y") // 0b101, 0b011
+    val z = d.select(ZOrder.interleave(col("x"), col("y"), 3).as("z"))
+      .as[Long].head()
+    // x bits -> positions 0,2,4 (1+0+16); y bits -> 1,3,5 (2+8+0)
+    assert(z === 27L)
+    val q = Seq((10L, 10L), (19L, 10L), (20L, 10L)).toDF("v", "mn")
+      .select(ZOrder.quantize(col("v"), col("mn"), lit(20L), 8).as("q"))
+      .as[Long].collect()
+    assert(q(0) === 0L)          // v == mn
+    assert(q(2) === 232L)        // v == mx stays below 2^8
+    assert(q.forall(x => x >= 0 && x < 256))
+  }
+
+  test("pruningPanel: on a uniform grid, z-order strictly beats the " +
+      "1-D sort on rows scanned for square predicates, at equal hits") {
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val p = ZOrder.pruningPanel(grid, "x", "y", bits = 6, nBuckets = 16,
+      nRects = 12)
+      .groupBy("layout")
+      .agg(sum("rows_scanned").as("scanned"), sum("true_hits").as("hits"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(p("zorder")._2 === p("xsort")._2, "hit counts must agree")
+    assert(p("zorder")._1 < p("xsort")._1,
+      s"z-order lost its pruning edge: $p")
+  }
+
+  test("kmvMergeAgg: merged per-pane sketches equal the direct sketch " +
+      "of the union set (truncation active), regardless of pane split") {
+    val ev = Seq("d1" -> "u1", "d1" -> "u2", "d1" -> "u3", "d2" -> "u2",
+      "d2" -> "u4", "d3" -> "u5", "d3" -> "u6", "d3" -> "u1")
+      .toDF("d", "u")
+    val direct = Sketches.kmvSketch(ev.withColumn("g", lit("all")), "g",
+      col("u"), 4, 1L).select("kmv").as[Seq[Long]].head()
+    assert(direct.size === 4) // 6 distinct users > k — truncation real
+    for (paneCol <- Seq("d", "u")) { // day panes AND degenerate 1-row panes
+      val panes = Sketches.kmvSketch(ev, paneCol, col("u"), 4, 1L)
+      val merged = panes.agg(Sketches.kmvMergeAgg(col("kmv"), 4))
+        .as[Seq[Long]].head()
+      assert(merged === direct, s"pane split by $paneCol diverged")
+    }
+  }
+
   test("columnStats: pinned tiny-frame stats (counts, nulls, canonical " +
       "min/max, avg_len, exact ndv, est == exact below k); unknown " +
       "column throws") {
