@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.functions.expressions.HashExpressions
-import graft.operators.{Analyze, CorpusOps, Dedup, Evaluation, Frequency, Funnel, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, Sketches, TextAnalysis, ZOrder}
+import graft.operators.{Analyze, CorpusOps, CountMin, Dedup, Evaluation, Frequency, Funnel, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, Sketches, TextAnalysis, ZOrder}
 import graft.rag.RagPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1365,6 +1365,60 @@ object PipelineQueries {
         Seq("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag", "l_linestatus",
           "l_shipdate"), k = 128, seed = 13L, exact = true)),
+
+    // Count-Min point frequencies with the NEVER-undercounts
+    // certificate: a d=4 × w=64 sketch whose exchange is bounded by
+    // d·w cells per task regardless of corpus size, probed for the 20
+    // heaviest tokens; ge_ok pins est >= exact row by row, overshoot
+    // measures the collision mass (the e/w closeness bound is over
+    // hash draws — reported, not certified).
+    "q177_cms_freq" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(lit("all").as("grp"),
+        explode(filter(split(col("text"), " "), x => x =!= lit("")))
+          .as("tok"))
+      val cms = CountMin.cmsByGroup(toks, "grp", col("tok"), 4, 64, 19L)
+      val exact = toks.groupBy("grp", "tok")
+        .agg(count(lit(1)).as("exact_cnt"))
+      val top = exact.orderBy(desc("exact_cnt"), asc("tok")).limit(20)
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val est = CountMin.pointEstimates(cms,
+        top.select("grp", "tok"), "tok", 4, 64, 19L)
+      top.join(est, Seq("grp", "tok")).crossJoin(broadcast(total))
+        .select(col("tok"), col("exact_cnt"), col("est").as("est_cnt"),
+          (col("est") >= col("exact_cnt")).as("ge_ok"),
+          round((col("est") - col("exact_cnt")).cast("double")
+            / col("n_total"), 6).as("overshoot"))
+        .orderBy("tok")
+    }),
+
+    // CMS inner products as equi-join size estimates (the optimizer's
+    // cardinality question: |A join B on token|) for all 190 source
+    // pairs — computed on G·d·w cell frames, never re-touching the
+    // corpus; exact panel joins vocabulary-scale count frames. w=16 is
+    // DELIBERATELY narrow against the fixture's 31-word vocabulary so
+    // collisions are real and ge_ok certifies a live overestimate, not
+    // a vacuous equality.
+    "q178_cms_join_size" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source").as("grp"),
+        explode(filter(split(col("text"), " "), x => x =!= lit("")))
+          .as("tok"))
+      val cms = CountMin.cmsByGroup(toks, "grp", col("tok"), 4, 16, 23L)
+      val tc = toks.groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+      val exact = tc.select(col("grp").as("grp_a"), col("tok"),
+          col("c").as("ca"))
+        .join(tc.select(col("grp").as("grp_b"), col("tok"),
+          col("c").as("cb")), Seq("tok"))
+        .where(col("grp_a") < col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(sum(col("ca") * col("cb")).as("exact_join"))
+      CountMin.joinSizeEstimates(cms).join(exact, Seq("grp_a", "grp_b"))
+        .select(col("grp_a"), col("grp_b"), col("est_join"),
+          col("exact_join"),
+          (col("est_join") >= col("exact_join")).as("ge_ok"),
+          round((col("est_join") - col("exact_join")).cast("double")
+            / col("exact_join"), 6).as("rel_overshoot"))
+        .orderBy("grp_a", "grp_b")
+    }),
 
     // Z-order (Morton) clustering vs a 1-D sort, judged by zone maps:
     // per-bucket min/max boxes + box_frac (bounding-box area as a
@@ -4381,6 +4435,59 @@ object PipelineQueries {
         |  round(ic / usz, 6) AS jaccard_est,
         |  round(ic / usz * est_u, 6) AS est_inter
         |FROM e ORDER BY grp_a, grp_b""".stripMargin,
+    // CMS replay: every occupied cell rebuilt by the same md5 buckets,
+    // probes take min over the d rows (absent cell = 0)
+    "q177_cms_freq" ->
+      """WITH docs AS (SELECT list_filter(string_split(text, ' '),
+        |    t -> t <> '') AS l FROM documents),
+        |toks AS (SELECT u.tok FROM docs, unnest(l) AS u(tok)),
+        |tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |top AS (SELECT tok, c FROM tc ORDER BY c DESC, tok LIMIT 20),
+        |cells AS (SELECT j.j AS j,
+        |    CAST(concat('0x', substr(md5(tok || ':' ||
+        |      CAST(19 + j.j AS VARCHAR)), 1, 13)) AS BIGINT) % 64 AS b,
+        |    count(*) AS cnt
+        |  FROM toks, unnest(range(4)) AS j(j) GROUP BY 1, 2),
+        |pr AS (SELECT t.tok, t.c, j.j AS j,
+        |    CAST(concat('0x', substr(md5(t.tok || ':' ||
+        |      CAST(19 + j.j AS VARCHAR)), 1, 13)) AS BIGINT) % 64 AS b
+        |  FROM top t, unnest(range(4)) AS j(j)),
+        |pe AS (SELECT tok, c, min(coalesce(cells.cnt, 0)) AS est
+        |  FROM pr LEFT JOIN cells ON pr.j = cells.j AND pr.b = cells.b
+        |  GROUP BY tok, c),
+        |n AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT tok, c AS exact_cnt, est AS est_cnt, est >= c AS ge_ok,
+        |  round(CAST(est - c AS DOUBLE) / n_total, 6) AS overshoot
+        |FROM pe, n ORDER BY tok""".stripMargin,
+    // CMS join-size replay: per-pair per-row cell inner products, min
+    // over rows; exact panel from the vocabulary count frames
+    "q178_cms_join_size" ->
+      """WITH docs AS (SELECT source, list_filter(string_split(text, ' '),
+        |    t -> t <> '') AS l FROM documents),
+        |toks AS (SELECT source AS grp, u.tok FROM docs, unnest(l) AS u(tok)),
+        |cells AS (SELECT grp, j.j AS j,
+        |    CAST(concat('0x', substr(md5(tok || ':' ||
+        |      CAST(23 + j.j AS VARCHAR)), 1, 13)) AS BIGINT) % 16 AS b,
+        |    count(*) AS cnt
+        |  FROM toks, unnest(range(4)) AS j(j) GROUP BY 1, 2, 3),
+        |ip AS (SELECT a.grp AS grp_a, b2.grp AS grp_b, a.j,
+        |    sum(a.cnt * b2.cnt) AS ip
+        |  FROM cells a JOIN cells b2 ON a.j = b2.j AND a.b = b2.b
+        |    AND a.grp < b2.grp
+        |  GROUP BY 1, 2, 3),
+        |estj AS (SELECT grp_a, grp_b, CAST(min(ip) AS BIGINT) AS est_join
+        |  FROM ip GROUP BY 1, 2),
+        |tc AS (SELECT grp, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |ex AS (SELECT a.grp AS grp_a, b2.grp AS grp_b,
+        |    CAST(sum(a.c * b2.c) AS BIGINT) AS exact_join
+        |  FROM tc a JOIN tc b2 ON a.tok = b2.tok AND a.grp < b2.grp
+        |  GROUP BY 1, 2)
+        |SELECT e.grp_a, e.grp_b, est_join, exact_join,
+        |  est_join >= exact_join AS ge_ok,
+        |  round(CAST(est_join - exact_join AS DOUBLE) / exact_join, 6)
+        |    AS rel_overshoot
+        |FROM estj e JOIN ex ON e.grp_a = ex.grp_a AND e.grp_b = ex.grp_b
+        |ORDER BY e.grp_a, e.grp_b""".stripMargin,
     // zone-map replay: identical quantize → unrolled bit-interleave →
     // fixed-width bucket → min/max/count arithmetic
     "q175_zorder_zonemaps" -> zoneMapOracle(withPanel = false),

@@ -2243,6 +2243,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxGroups"))
   }
 
+  test("CountMin: bucket replays MessageDigest md5-52bit mod w; point " +
+      "estimates never undercount and are exact at collision-free " +
+      "width") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(13), 16)
+    val b = Seq("x").toDF("t")
+      .select(CountMin.bucket(col("t"), 2, 64, 19L)).as[Long].head()
+    assert(b === h("x:21") % 64)
+    val items = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .map(("all", _)).toDF("grp", "tok")
+    val probes = Seq("a", "b", "c").map(("all", _)).toDF("grp", "tok")
+    for (w <- Seq(4, 4096)) { // narrow (collisions) and wide (exact)
+      val cms = CountMin.cmsByGroup(items, "grp", col("tok"), 3, w, 19L)
+      val est = CountMin.pointEstimates(cms, probes, "tok", 3, w, 19L)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(est("a") >= 5 && est("b") >= 3 && est("c") >= 1,
+        s"w=$w undercounted: $est")
+      if (w == 4096) assert(est === Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+    }
+  }
+
+  test("CountMin.joinSizeEstimates: >= the true inner product always, " +
+      "== it at collision-free width") {
+    val a = Seq.fill(4)("t1") ++ Seq.fill(2)("t2") ++ Seq("t3")
+    val bb = Seq.fill(3)("t1") ++ Seq.fill(5)("t4")
+    val items = (a.map(("A", _)) ++ bb.map(("B", _))).toDF("grp", "tok")
+    val exactIp = 4L * 3L // only t1 shared
+    for (w <- Seq(2, 4096)) {
+      val cms = CountMin.cmsByGroup(items, "grp", col("tok"), 3, w, 7L)
+      val est = CountMin.joinSizeEstimates(cms)
+        .select("est_join").as[Long].head()
+      assert(est >= exactIp, s"w=$w undercounted join size: $est")
+      if (w == 4096) assert(est === exactIp)
+    }
+  }
+
   test("ZOrder.interleave pins known Morton codes; quantize maps " +
       "bounds to [0, 2^bits) inclusive-exclusive") {
     val d = Seq((5L, 3L)).toDF("x", "y") // 0b101, 0b011
