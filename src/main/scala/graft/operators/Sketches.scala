@@ -88,6 +88,45 @@ object Sketches {
   def kmvMergeAgg(kmv: Column, k: Int): Column =
     slice(array_sort(array_distinct(flatten(collect_list(kmv)))), 1, k)
 
+  /** Per-group NOVELTY vs the rest of the corpus — the theta-sketch
+    * A-not-B operation (Apache DataSketches' aNotB): how many distinct
+    * items does group g contribute that NO other group has? The
+    * curation question behind source-acquisition priority ("does crawl
+    * g add anything?"), exactly priced without a per-group
+    * corpus-anti-join: on k-row sketch frames, novel_est(g) =
+    * |{h ∈ K(all) : h ∈ K(g) ∧ h ∉ K(rest_g)}| / |K(all)| · est(all).
+    *
+    * Output: (groupCol, novel_in_k — the sketch-membership count —
+    * novel_est). The corpus is scanned once (the sketch pass);
+    * rest-of-corpus sketches are G·k-long merges of the OTHER groups'
+    * sketches (valid KMVs of each complement by mergeability).
+    */
+  def kmvNovelty(items: DataFrame, groupCol: String, item: Column,
+      k: Int, seed: Long, maxGroups: Int = 1000): DataFrame = {
+    val g = items.select(col(groupCol)).distinct()
+      .limit(maxGroups + 1).count()
+    require(g <= maxGroups,
+      s"kmvNovelty: $g groups exceeds maxGroups=$maxGroups")
+    val sk = kmvSketch(items, groupCol, item, k, seed)
+    val spark = items.sparkSession
+    val skLocal = spark.createDataFrame(
+      java.util.Arrays.asList(sk.collect(): _*), sk.schema)
+    val a = skLocal.select(col(groupCol).as("g"), col("kmv").as("kg"))
+    val b = skLocal.select(col(groupCol).as("o"), col("kmv").as("ko"))
+    // complement sketches: merge of every OTHER group's sketch
+    val rest = a.join(broadcast(b), col("g") =!= col("o"))
+      .groupBy("g").agg(kmvMergeAgg(col("ko"), k).as("kr"))
+    // the global sketch (one row): merge of all groups
+    val all = skLocal.agg(kmvMergeAgg(col("kmv"), k).as("kall"))
+    a.join(rest, Seq("g")).crossJoin(broadcast(all))
+      .withColumn("novel_in_k", size(filter(col("kall"),
+        h => array_contains(col("kg"), h)
+          && !array_contains(col("kr"), h))))
+      .select(col("g").as(groupCol), col("novel_in_k"),
+        (col("novel_in_k").cast("double") / size(col("kall"))
+          * est(col("kall"), k)).as("novel_est"))
+  }
+
   /** Pairwise overlap estimates between all group pairs (grp_a <
     * grp_b): union-sketch size, per-side and union distinct
     * estimates, KMV Jaccard, and the implied intersection estimate.

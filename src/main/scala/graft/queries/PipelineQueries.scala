@@ -1366,6 +1366,55 @@ object PipelineQueries {
           "l_extendedprice", "l_returnflag", "l_linestatus",
           "l_shipdate"), k = 128, seed = 13L, exact = true)),
 
+    // Incremental distinct tracking through the PERSISTED sketch
+    // store: three deterministic ingest batches (doc_id mod 3), then
+    // the merged read — the oracle computes each sketch DIRECTLY from
+    // the full corpus, so batched ingest must be invisible digit for
+    // digit. Re-runs replay committed batch ids (verified no-ops); the
+    // bench's min-of-3 exercises that path by design.
+    "q180_kmv_store" -> ((s, dir) => {
+      val key = dir + "#kmvstore_v1"
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        explode(HashExpressions.shingles_k_positional(
+          filter(split(col("text"), " "), x => x =!= lit("")), 3))
+          .as("gram"))
+      for (bid <- 0L to 2L)
+        graft.sources.SketchStore.update(s, key,
+          toks.filter(col("doc_id") % 3 === bid), "source",
+          col("gram"), batchId = bid + 1, k = 128, seed = 11L)
+      graft.sources.SketchStore.read(s, key)
+        .select(col("grp").as("source"),
+          size(col("kmv")).as("sk_size"),
+          when(size(col("kmv")) > 0,
+            element_at(col("kmv"), size(col("kmv")))).as("h_max"),
+          round(Sketches.estimate(col("kmv"), 128), 6)
+            .as("est_distinct"))
+        .orderBy("source")
+    }),
+
+    // Theta-sketch A-not-B novelty: each source's marginal distinct-
+    // 3-gram contribution vs the REST of the corpus (the source-
+    // acquisition question), priced on k-row sketch frames — the exact
+    // panel is the per-source corpus anti-join the sketch replaces.
+    "q179_kmv_novelty" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(HashExpressions.shingles_k_positional(
+          filter(split(col("text"), " "), x => x =!= lit("")), 5))
+          .as("gram"))
+      val nov = Sketches.kmvNovelty(toks, "source", col("gram"), 128, 11L)
+      val sg = toks.select("source", "gram").distinct()
+      val exact = sg.groupBy("gram")
+        .agg(count(lit(1)).as("ns"), min("source").as("source"))
+        .where(col("ns") === 1)
+        .groupBy("source").agg(count(lit(1)).as("novel_exact"))
+      nov.join(exact, Seq("source"), "left")
+        .na.fill(0L, Seq("novel_exact"))
+        .select(col("source"), col("novel_in_k"),
+          round(col("novel_est"), 6).as("novel_est"), col("novel_exact"))
+        .orderBy("source")
+    }),
+
     // Count-Min point frequencies with the NEVER-undercounts
     // certificate: a d=4 × w=64 sketch whose exchange is bounded by
     // d·w cells per task regardless of corpus size, probed for the 20
@@ -4435,6 +4484,88 @@ object PipelineQueries {
         |  round(ic / usz, 6) AS jaccard_est,
         |  round(ic / usz * est_u, 6) AS est_inter
         |FROM e ORDER BY grp_a, grp_b""".stripMargin,
+    // store replay: the DIRECT full-corpus sketch (q171's form, no
+    // exact panel) — incremental batched ingest must reproduce it
+    "q180_kmv_store" ->
+      """WITH docs AS (
+        |  SELECT source,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, array_to_string(l[i.i:i.i+2], ' ') AS gram
+        |  FROM docs, unnest(range(1, len(l) - 1)) AS i(i)
+        |  WHERE len(l) >= 3),
+        |hd AS (
+        |  SELECT DISTINCT source,
+        |    CAST(concat('0x', substr(md5(gram || ':11'), 1, 13))
+        |      AS BIGINT) AS h
+        |  FROM g),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM hd),
+        |sk AS (SELECT source, CAST(count(*) AS INT) AS sk_size,
+        |  max(h) AS h_max FROM r WHERE rn <= 128 GROUP BY source)
+        |SELECT source, sk_size, h_max,
+        |  round(CASE WHEN sk_size < 128 THEN CAST(sk_size AS DOUBLE)
+        |    ELSE 127.0 / (h_max / 4503599627370496.0) END, 6)
+        |    AS est_distinct
+        |FROM sk ORDER BY source""".stripMargin,
+    // A-not-B replay: per-source, rest-of-corpus, and global sketches
+    // rebuilt from raw grams; membership arithmetic on the global
+    // sketch; exact novelty = grams seen in exactly one source
+    "q179_kmv_novelty" ->
+      """WITH docs AS (
+        |  SELECT source,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, array_to_string(l[i.i:i.i+4], ' ') AS gram
+        |  FROM docs, unnest(range(1, len(l) - 3)) AS i(i)
+        |  WHERE len(l) >= 5),
+        |hd AS (
+        |  SELECT DISTINCT source,
+        |    CAST(concat('0x', substr(md5(gram || ':11'), 1, 13))
+        |      AS BIGINT) AS h
+        |  FROM g),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM hd),
+        |sk AS (SELECT source, h FROM r WHERE rn <= 128),
+        |ar AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |  FROM (SELECT DISTINCT h FROM hd)),
+        |ka AS (SELECT h FROM ar WHERE rn <= 128),
+        |kstats AS (SELECT count(*) AS sz, max(h) AS hmax FROM ka),
+        |srcs AS (SELECT DISTINCT source FROM hd),
+        |resth AS (SELECT s.source AS grp, x.h FROM srcs s
+        |  JOIN sk x ON x.source <> s.source GROUP BY 1, 2),
+        |rr AS (SELECT grp, h,
+        |  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |  FROM resth),
+        |kr AS (SELECT grp, h FROM rr WHERE rn <= 128),
+        |m AS (SELECT s.source, a.h,
+        |    CASE WHEN x.h IS NOT NULL THEN 1 ELSE 0 END AS in_g,
+        |    CASE WHEN y.h IS NOT NULL THEN 1 ELSE 0 END AS in_r
+        |  FROM srcs s CROSS JOIN ka a
+        |  LEFT JOIN sk x ON x.source = s.source AND x.h = a.h
+        |  LEFT JOIN kr y ON y.grp = s.source AND y.h = a.h),
+        |nov AS (SELECT source,
+        |    count(CASE WHEN in_g = 1 AND in_r = 0 THEN 1 END)
+        |      AS novel_in_k
+        |  FROM m GROUP BY source),
+        |est AS (SELECT sz, CASE WHEN sz < 128 THEN CAST(sz AS DOUBLE)
+        |    ELSE 127.0 / (hmax / 4503599627370496.0) END AS est_all
+        |  FROM kstats),
+        |ex AS (SELECT src AS source, count(*) AS novel_exact FROM (
+        |    SELECT gram, min(source) AS src
+        |    FROM (SELECT DISTINCT source, gram FROM g)
+        |    GROUP BY gram HAVING count(*) = 1)
+        |  GROUP BY 1)
+        |SELECT n.source, CAST(novel_in_k AS INT) AS novel_in_k,
+        |  round(novel_in_k / CAST(sz AS DOUBLE) * est_all, 6)
+        |    AS novel_est,
+        |  coalesce(novel_exact, 0) AS novel_exact
+        |FROM nov n LEFT JOIN ex ON n.source = ex.source CROSS JOIN est
+        |ORDER BY n.source""".stripMargin,
     // CMS replay: every occupied cell rebuilt by the same md5 buckets,
     // probes take min over the d rows (absent cell = 0)
     "q177_cms_freq" ->

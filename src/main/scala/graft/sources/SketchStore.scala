@@ -1,0 +1,126 @@
+package graft.sources
+
+import graft.operators.Sketches
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Persisted INCREMENTAL KMV sketch store — distinct-cardinality
+  * tracking for a growing corpus ("how many distinct n-grams has each
+  * source contributed, ever?") priced per increment at O(|batch|),
+  * with the historical corpus never re-read.
+  *
+  * Layout: `panes/batch_id=N/` parquet (grp, kmv) — one bounded pane
+  * per ingested batch — plus `_sketch_meta.json` (last_batch_id, k,
+  * seed) written AFTER data via temp-file + atomic rename (the
+  * AnnIndex/DedupStore meta discipline).
+  *
+  * Exactly-once is STRUCTURAL here, not protocol-deep: a KMV pane is a
+  * pure function of the batch's item SET, and reading merges panes
+  * under set union (idempotent, commutative, associative — see
+  * [[graft.operators.Sketches.kmvMergeAgg]]). So a crash-retry simply
+  * rewrites the same partition with byte-identical content, a replayed
+  * batch id is detected via meta and re-served from its pane (after
+  * verifying the pane content re-derives — a restarted batch counter
+  * must fail loudly, the DedupStore lesson), and no probe-ordering
+  * window exists at all — the contrast with DedupStore's careful
+  * batch_id < batchId probe filtering is the point: choose
+  * merge-idempotent state when the semantics allow it.
+  *
+  * The incremental read is certified by the oracle the hard way:
+  * q180's DuckDB replay computes each sketch DIRECTLY from the full
+  * corpus — batched ingest must be invisible digit for digit.
+  */
+object SketchStore {
+
+  private def base(spark: SparkSession, storeKey: String): String =
+    s"${AnnIndex.annBase(spark)}/graft_sketchstore_${IndexStore.pathTag(storeKey)}"
+
+  private def metaPath(b: String) = Paths.get(b, "_sketch_meta.json")
+
+  private def readMeta(b: String): Map[String, Long] = {
+    val p = metaPath(b)
+    if (!Files.exists(p)) Map.empty
+    else "\"([a-zA-Z_]+)\"\\s*:\\s*(-?\\d+)".r
+      .findAllMatchIn(Files.readString(p))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
+  private def writeMeta(b: String, kv: (String, Long)*): Unit = {
+    Files.createDirectories(Paths.get(b))
+    val tmp = Paths.get(b, s"_sketch_meta.json.tmp${ProcessHandle.current.pid}")
+    Files.writeString(tmp,
+      kv.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}"))
+    Files.move(tmp, metaPath(b),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def drop(spark: SparkSession, storeKey: String): Unit = {
+    val b = Paths.get(base(spark, storeKey))
+    if (Files.exists(b)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(b).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  /** Ingest one batch: sketch its (group, item) rows and commit the
+    * pane. Idempotent under crash-retry AND under batch replay
+    * (batchId ≤ committed → verify + no-op). (k, seed) are pinned by
+    * the first update; a mismatch fails loudly.
+    */
+  def update(spark: SparkSession, storeKey: String, items: DataFrame,
+      groupCol: String, item: Column, batchId: Long, k: Int,
+      seed: Long): Unit = {
+    val b = base(spark, storeKey)
+    val meta = readMeta(b)
+    meta.get("k").foreach(k0 => require(k0 == k && meta("seed") == seed,
+      s"sketch store '$storeKey' was built with (k=$k0, seed=" +
+        s"${meta("seed")}), got (k=$k, seed=$seed) — sketches under " +
+        "different parameters do not merge; drop() to rebuild"))
+    val pane = Sketches.kmvSketch(items, groupCol, item, k, seed)
+      .withColumnRenamed(groupCol, "grp")
+      .withColumn("batch_id", lit(batchId))
+    if (meta.get("last_batch_id").exists(batchId <= _)) {
+      // replay: the pane must re-derive from this batch's content —
+      // a restarted batch counter serving an unrelated batch under a
+      // committed id must fail loudly, not silently drop its data
+      val stored = spark.read.parquet(s"$b/panes")
+        .filter(col("batch_id") === batchId)
+        .select(col("grp"), explode(col("kmv")).as("h"))
+      val fresh = pane.select(col("grp"), explode(col("kmv")).as("h"))
+      val diverged = stored.unionByName(fresh)
+        .groupBy("grp", "h").agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= 2).limit(1).count()
+      require(diverged == 0L,
+        s"sketch store '$storeKey': batchId $batchId is committed but " +
+          "this batch's sketch differs from the stored pane — NOT a " +
+          "replay (restarted batch counter?); use a fresh batchId or " +
+          "a fresh store")
+      return
+    }
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pane.write.mode(SaveMode.Overwrite).partitionBy("batch_id")
+      .parquet(s"$b/panes")
+    writeMeta(b, "last_batch_id" -> batchId, "k" -> k.toLong,
+      "seed" -> seed)
+  }
+
+  /** The merged per-group sketch over every COMMITTED pane (panes past
+    * the meta's last_batch_id — a crashed half-written future batch —
+    * are excluded): (grp, kmv). Identical, by mergeability, to the
+    * sketch of everything ever ingested.
+    */
+  def read(spark: SparkSession, storeKey: String): DataFrame = {
+    val b = base(spark, storeKey)
+    val meta = readMeta(b)
+    require(meta.contains("last_batch_id"),
+      s"sketch store '$storeKey' has no committed batches")
+    val k = meta("k").toInt
+    spark.read.parquet(s"$b/panes")
+      .filter(col("batch_id") <= meta("last_batch_id"))
+      .groupBy("grp")
+      .agg(Sketches.kmvMergeAgg(col("kmv"), k).as("kmv"))
+  }
+}

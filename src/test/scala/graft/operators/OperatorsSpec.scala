@@ -2243,6 +2243,66 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxGroups"))
   }
 
+  test("SketchStore: incremental panes merge to the direct sketch; " +
+      "replayed batch id verifies and no-ops; imposter batch under a " +
+      "committed id and parameter drift fail loudly") {
+    import graft.sources.SketchStore
+    val key = s"sketchstore-spec-${System.nanoTime()}"
+    try {
+      val all = (1 to 300).map(i => ("g" + i % 3, s"item$i"))
+        .toDF("grp", "it")
+      SketchStore.update(spark, key, all.filter($"it".substr(5, 9)
+        .cast("int") <= 150), "grp", col("it"), 1L, k = 32, seed = 5L)
+      SketchStore.update(spark, key, all.filter($"it".substr(5, 9)
+        .cast("int") > 150), "grp", col("it"), 2L, k = 32, seed = 5L)
+      val direct = Sketches.kmvSketch(all, "grp", col("it"), 32, 5L)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val stored = SketchStore.read(spark, key)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(stored === direct)
+      // replay: same batch id + same content -> verified no-op
+      SketchStore.update(spark, key, all.filter($"it".substr(5, 9)
+        .cast("int") > 150), "grp", col("it"), 2L, k = 32, seed = 5L)
+      assert(SketchStore.read(spark, key)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+        .toMap === direct)
+      // imposter content under a committed id must fail loudly
+      val ex = intercept[IllegalArgumentException] {
+        SketchStore.update(spark, key,
+          Seq(("g0", "unrelated")).toDF("grp", "it"), "grp", col("it"),
+          2L, k = 32, seed = 5L)
+      }
+      assert(ex.getMessage.contains("NOT a replay"))
+      // parameter drift must fail loudly
+      val ex2 = intercept[IllegalArgumentException] {
+        SketchStore.update(spark, key, all, "grp", col("it"), 3L,
+          k = 64, seed = 5L)
+      }
+      assert(ex2.getMessage.contains("do not merge"))
+    } finally SketchStore.drop(spark, key)
+  }
+
+  test("kmvNovelty: a strict-subset group has zero novelty, its " +
+      "superset's novelty is exact below k; disjoint groups are fully " +
+      "novel; maxGroups guard throws") {
+    // A = {x1..x40}, B = {x1..x10} (subset), C = {y1..y25} (disjoint)
+    val items = ((1 to 40).map(i => ("A", s"x$i")) ++
+      (1 to 10).map(i => ("B", s"x$i")) ++
+      (1 to 25).map(i => ("C", s"y$i"))).toDF("grp", "it")
+    // k=128 > 65 distinct items -> every sketch IS its set: estimates
+    // are exact set arithmetic
+    val out = Sketches.kmvNovelty(items, "grp", col("it"), 128, 3L)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(out("B")._1 === 0 && out("B")._2 === 0.0)
+    assert(out("A")._1 === 30 && out("A")._2 === 30.0)
+    assert(out("C")._1 === 25 && out("C")._2 === 25.0)
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.kmvNovelty(items, "grp", col("it"), 128, 3L, maxGroups = 2)
+    }
+    assert(ex.getMessage.contains("maxGroups"))
+  }
+
   test("CountMin: bucket replays MessageDigest md5-52bit mod w; point " +
       "estimates never undercount and are exact at collision-free " +
       "width") {
