@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.functions.expressions.HashExpressions
-import graft.operators.{Analyze, CorpusOps, CountMin, Dedup, Evaluation, Frequency, Funnel, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, Sketches, TextAnalysis, ZOrder}
+import graft.operators.{Analyze, CorpusOps, CountMin, Dedup, Evaluation, Frequency, Funnel, KeywordSearch, Layout, QualityClassifier, SimilaritySearch, Sketches, SnapshotDiff, TextAnalysis, ZOrder}
 import graft.rag.RagPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1365,6 +1365,59 @@ object PipelineQueries {
         Seq("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag", "l_linestatus",
           "l_shipdate"), k = 128, seed = 13L, exact = true)),
+
+    // CDC snapshot diff: v2 = lineitem under a deterministic mutation
+    // (keys mod 97 deleted, quantities bumped on mod 13, mod-101 rows
+    // re-inserted under shifted line numbers) — the change feed an
+    // incremental pipeline reads instead of reprocessing the table.
+    // Spark compares 8-byte row fingerprints; the oracle replays the
+    // SEMANTICS (any-column IS DISTINCT FROM), so a hash that conflated
+    // a real change would hash-mismatch here.
+    "q182_snapshot_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "lineitem")
+      val v2 = v1.filter(col("l_orderkey") % 97 =!= 0)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 13 === 0, col("l_quantity") + 1)
+            .otherwise(col("l_quantity")))
+        .unionByName(v1.filter(col("l_orderkey") % 101 === 0)
+          .withColumn("l_linenumber", col("l_linenumber") + 10))
+      SnapshotDiff.diff(v1, v2, Seq("l_orderkey", "l_linenumber"))
+        .filter(col("op") =!= "unchanged")
+        .orderBy("l_orderkey", "l_linenumber", "op")
+    }),
+
+    // Time-decayed event mass (the trending/freshness score): the
+    // corpus collapses ONCE to (event_type, age_days) cells, then any
+    // decay schedule is arithmetic on cells — here half-life-ish
+    // 0.9^day and 0.5^(day/7) as exact integer micro-unit weights
+    // (only |days| distinct pow() evals, each floor'd at 1e-6 — no
+    // order-dependent float summation anywhere), plus the share panel.
+    // Changing lambda or the horizon NEVER rescans the corpus.
+    "q181_decayed_counts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+      val mx = ev.agg(max(col("d")).as("mxd"))
+      val cells = ev.crossJoin(broadcast(mx))
+        .groupBy(col("event_type"),
+          datediff(col("mxd"), col("d")).as("age"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = cells
+        .withColumn("w09",
+          floor(pow(lit(0.9), col("age")) * 1e6).cast("long"))
+        .withColumn("w05",
+          floor(pow(lit(0.5), col("age") / lit(7.0)) * 1e6).cast("long"))
+      val agg = w.groupBy("event_type").agg(
+        sum(col("cnt")).as("n_events"),
+        sum(col("cnt") * col("w09")).as("decayed_09_micro"),
+        sum(col("cnt") * col("w05")).as("decayed_w05_micro"))
+      val tot = agg.agg(sum(col("decayed_09_micro")).as("t09"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_events"),
+          col("decayed_09_micro"), col("decayed_w05_micro"),
+          round(col("decayed_09_micro").cast("double") / col("t09"), 6)
+            .as("share_09"))
+        .orderBy("event_type")
+    }),
 
     // Incremental distinct tracking through the PERSISTED sketch
     // store: three deterministic ingest batches (doc_id mod 3), then
@@ -4484,6 +4537,63 @@ object PipelineQueries {
         |  round(ic / usz, 6) AS jaccard_est,
         |  round(ic / usz * est_u, 6) AS est_inter
         |FROM e ORDER BY grp_a, grp_b""".stripMargin,
+    // snapshot-diff replay: the same mutation, change detection by
+    // actual column comparison (IS DISTINCT FROM over every non-key
+    // column) instead of fingerprints — a conflating hash would
+    // mismatch here
+    "q182_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 13 = 0 THEN l_quantity + 1
+        |      ELSE l_quantity END AS l_quantity,
+        |    l_extendedprice, l_discount, l_tax, l_returnflag,
+        |    l_linestatus, l_shipdate
+        |  FROM lineitem WHERE l_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber + 10,
+        |    l_quantity, l_extendedprice, l_discount, l_tax,
+        |    l_returnflag, l_linestatus, l_shipdate
+        |  FROM lineitem WHERE l_orderkey % 101 = 0),
+        |d AS (SELECT
+        |    coalesce(a.l_orderkey, b.l_orderkey) AS l_orderkey,
+        |    coalesce(a.l_linenumber, b.l_linenumber) AS l_linenumber,
+        |    CASE WHEN a.l_orderkey IS NULL THEN 'insert'
+        |      WHEN b.l_orderkey IS NULL THEN 'delete'
+        |      WHEN a.l_partkey IS DISTINCT FROM b.l_partkey
+        |        OR a.l_suppkey IS DISTINCT FROM b.l_suppkey
+        |        OR a.l_quantity IS DISTINCT FROM b.l_quantity
+        |        OR a.l_extendedprice IS DISTINCT FROM b.l_extendedprice
+        |        OR a.l_discount IS DISTINCT FROM b.l_discount
+        |        OR a.l_tax IS DISTINCT FROM b.l_tax
+        |        OR a.l_returnflag IS DISTINCT FROM b.l_returnflag
+        |        OR a.l_linestatus IS DISTINCT FROM b.l_linestatus
+        |        OR a.l_shipdate IS DISTINCT FROM b.l_shipdate
+        |      THEN 'update' ELSE 'unchanged' END AS op
+        |  FROM lineitem a FULL OUTER JOIN v2 b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber = b.l_linenumber)
+        |SELECT l_orderkey, l_linenumber, op FROM d
+        |WHERE op <> 'unchanged'
+        |ORDER BY l_orderkey, l_linenumber, op""".stripMargin,
+    // decayed-mass replay: identical cells, identical integer weights
+    "q181_decayed_counts" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+        |mx AS (SELECT max(d) AS mxd FROM ev),
+        |cells AS (SELECT event_type, date_diff('day', d, mxd) AS age,
+        |    count(*) AS cnt
+        |  FROM ev, mx GROUP BY 1, 2),
+        |w AS (SELECT event_type, cnt,
+        |    CAST(floor(pow(0.9, age) * 1000000) AS BIGINT) AS w09,
+        |    CAST(floor(pow(0.5, age / 7.0) * 1000000) AS BIGINT) AS w05
+        |  FROM cells),
+        |agg AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+        |    CAST(sum(cnt * w09) AS BIGINT) AS decayed_09_micro,
+        |    CAST(sum(cnt * w05) AS BIGINT) AS decayed_w05_micro
+        |  FROM w GROUP BY 1),
+        |tot AS (SELECT sum(decayed_09_micro) AS t09 FROM agg)
+        |SELECT event_type, n_events, decayed_09_micro, decayed_w05_micro,
+        |  round(decayed_09_micro / CAST(t09 AS DOUBLE), 6) AS share_09
+        |FROM agg, tot ORDER BY event_type""".stripMargin,
     // store replay: the DIRECT full-corpus sketch (q171's form, no
     // exact panel) — incremental batched ingest must reproduce it
     "q180_kmv_store" ->

@@ -450,6 +450,34 @@ object StreamOps {
         }
       }
 
+  /** Streaming per-group distinct tracking: each micro-batch lands as
+    * an immutable KMV pane in the persisted
+    * [[graft.sources.SketchStore]] (pane id = the streaming batch id,
+    * so Structured Streaming's idempotent-foreachBatch retry contract
+    * maps 1:1 onto the store's structural exactly-once — a replayed
+    * micro-batch verifies its pane re-derives and no-ops).
+    * `SketchStore.read` serves the merged per-group sketch at any
+    * point; because a KMV is a pure function of the item SET, the
+    * served answer is independent of micro-batch boundaries (the spec
+    * certifies equality with the one-shot batch sketch).
+    */
+  def streamingDistinctPanes(
+      items: DataFrame,
+      storeKey: String,
+      groupCol: String,
+      itemCol: String,
+      k: Int,
+      seed: Long)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    items.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.SketchStore.update(batch.sparkSession, storeKey,
+            batch.toDF(), groupCol, col(itemCol), batchId = id, k = k,
+            seed = seed)
+      }
+
   def streamingSq8Upsert(
       vecs: DataFrame,
       sourceDir: String,

@@ -2243,6 +2243,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxGroups"))
   }
 
+  test("SnapshotDiff: all four ops classified on a hand case; counts " +
+      "agree; non-key schema mismatch throws") {
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "x")
+    val v2 = Seq((1L, "a", 10.0), (2L, "b", 99.0), (4L, "d", 40.0))
+      .toDF("k", "s", "x")
+    val ops = SnapshotDiff.diff(v1, v2, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops === Map(1L -> "unchanged", 2L -> "update",
+      3L -> "delete", 4L -> "insert"))
+    val counts = SnapshotDiff.diffCounts(v1, v2, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("unchanged" -> 1L, "update" -> 1L,
+      "delete" -> 1L, "insert" -> 1L))
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(v1, v2.withColumnRenamed("x", "y"), Seq("k"))
+    }
+  }
+
   test("SketchStore: incremental panes merge to the direct sketch; " +
       "replayed batch id verifies and no-ops; imposter batch under a " +
       "committed id and parameter drift fail loudly") {

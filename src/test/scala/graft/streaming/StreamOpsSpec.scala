@@ -48,6 +48,37 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally DedupStore.drop(spark, key)
   }
 
+  test("streaming distinct panes: micro-batched ingest serves the same " +
+      "per-group sketch as a one-shot batch build — boundaries are " +
+      "invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SketchStore
+    import graft.operators.Sketches
+    val key = "stream-kmv-" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      val mem = MemoryStream[(String, String)]
+      val q = StreamOps.streamingDistinctPanes(
+        mem.toDF().toDF("grp", "it"), key, "grp", "it", k = 8,
+        seed = 5L).start()
+      val r1 = (1 to 20).map(i => ("a", s"x$i")) ++
+        (1 to 5).map(i => ("b", s"y$i"))
+      val r2 = (15 to 30).map(i => ("a", s"x$i")) ++
+        (1 to 20).map(i => ("b", s"y$i"))
+      mem.addData(r1: _*)
+      q.processAllAvailable()
+      mem.addData(r2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val served = SketchStore.read(spark, key)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val direct = Sketches.kmvSketch((r1 ++ r2).toDF("grp", "it"),
+        "grp", col("it"), 8, 5L)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(served === direct)
+      assert(served("a").size === 8) // truncation live (30 distinct > k)
+    } finally SketchStore.drop(spark, key)
+  }
+
   test("streaming heavy hitters: the sketch over all triggers keeps every " +
       "guaranteed item with a bounded estimate; state is the sketch, not " +
       "the stream") {
