@@ -23,6 +23,13 @@ object SnapshotDiff {
   /** Row-level diff of `v1 → v2` on `keyCols`: (keyCols..., op) with
     * op ∈ insert | delete | update | unchanged. Non-key columns must
     * match between versions (canonical name order pins the hash).
+    *
+    * The key must be UNIQUE in each version — a duplicate key turns
+    * the full-outer join into an m×n pairing whose "ops" mean nothing
+    * (and silently breaks downstream view maintenance), so it is
+    * refused loudly. The check is a limit-1 probe per side: one
+    * aggregate over the key columns only, the price of not shipping
+    * garbage.
     */
   def diff(v1: DataFrame, v2: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "diff: no key columns")
@@ -31,6 +38,15 @@ object SnapshotDiff {
     require(nonKey1.sameElements(nonKey2),
       s"diff: non-key schemas differ: ${nonKey1.mkString(",")} vs " +
         nonKey2.mkString(","))
+    for ((df, name) <- Seq(v1 -> "v1", v2 -> "v2")) {
+      val dup = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .limit(1).count()
+      require(dup == 0L,
+        s"diff: key (${keyCols.mkString(",")}) is not unique in $name " +
+          "— an m×n key pairing has no diff semantics; dedup or pick " +
+          "a real key")
+    }
     def fp(df: DataFrame, name: String): DataFrame =
       df.select(keyCols.map(col) :+
         xxhash64(nonKey1.map(col): _*).as(name): _*)
@@ -40,6 +56,27 @@ object SnapshotDiff {
           .when(col("fp2").isNull, lit("delete"))
           .when(col("fp1") =!= col("fp2"), lit("update"))
           .otherwise(lit("unchanged")).as("op"): _*)
+  }
+
+  /** Signed change rows for INCREMENTAL VIEW MAINTENANCE: each
+    * non-unchanged key contributes its v1 row with sign −1 (delete /
+    * update-old) and/or its v2 row with sign +1 (insert / update-new).
+    * Any distributive aggregate over any grouping then maintains as
+    * `old + Σ sign·contribution` — including group-MIGRATING updates,
+    * whose −old and +new rows land in different groups. Only changed
+    * keys ride the semi-joins; the unchanged bulk of the table is
+    * never re-aggregated.
+    */
+  def changeRows(v1: DataFrame, v2: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val d = diff(v1, v2, keyCols).filter(col("op") =!= "unchanged")
+    def keysWith(ops: Seq[String]) =
+      d.filter(col("op").isin(ops: _*)).select(keyCols.map(col): _*)
+    val oldRows = v1.join(keysWith(Seq("delete", "update")), keyCols,
+      "left_semi").withColumn("sign", lit(-1))
+    val newRows = v2.join(keysWith(Seq("insert", "update")), keyCols,
+      "left_semi").withColumn("sign", lit(1))
+    oldRows.unionByName(newRows)
   }
 
   /** The change-feed summary: op → key count. */

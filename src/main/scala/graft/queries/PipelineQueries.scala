@@ -1366,24 +1366,108 @@ object PipelineQueries {
           "l_extendedprice", "l_returnflag", "l_linestatus",
           "l_shipdate"), k = 128, seed = 13L, exact = true)),
 
-    // CDC snapshot diff: v2 = lineitem under a deterministic mutation
-    // (keys mod 97 deleted, quantities bumped on mod 13, mod-101 rows
-    // re-inserted under shifted line numbers) — the change feed an
-    // incremental pipeline reads instead of reprocessing the table.
+    // CBO join planning from sketch stats: for three star-schema
+    // joins, the classic cardinality estimate |A ⋈ B| = |A|·|B| /
+    // max(ndv_A, ndv_B) with NDVs from the KMV sketch (two
+    // column-pruned stats aggregates per join — the corpus-priced
+    // question answered at metadata cost), the exact join size as the
+    // honesty panel, and the broadcast-vs-shuffle decision the
+    // estimate drives. THE reason an engine carries stats at all.
+    "q183_join_planner" -> ((s, dir) => {
+      def side(tbl: String, key: String, suffix: String) =
+        t(s, dir, tbl).agg(
+          count(lit(1)).as(s"rows_$suffix"),
+          Sketches.estimate(graft.functions.expressions.KmvAgg.kmv(
+            Sketches.hash52(col(key).cast("string"), 29L), 128), 128)
+            .as(s"ndv_$suffix"))
+      def plan(name: String, ta: String, ka: String, tb: String,
+          kb: String) = {
+        val exact = t(s, dir, ta).select(col(ka).as("k"))
+          .join(t(s, dir, tb).select(col(kb).as("k")), Seq("k"))
+          .agg(count(lit(1)).as("exact_rows"))
+        side(ta, ka, "a").crossJoin(side(tb, kb, "b"))
+          .crossJoin(exact)
+          .select(lit(name).as("join_name"),
+            col("rows_a"), col("rows_b"),
+            round(col("ndv_a"), 6).as("ndv_a"),
+            round(col("ndv_b"), 6).as("ndv_b"),
+            round(col("rows_a") * col("rows_b")
+              / greatest(col("ndv_a"), col("ndv_b")), 6).as("est_rows"),
+            col("exact_rows"),
+            round(abs(col("rows_a") * col("rows_b")
+              / greatest(col("ndv_a"), col("ndv_b"))
+              - col("exact_rows")) / col("exact_rows"), 6).as("rel_err"),
+            when(least(col("rows_a"), col("rows_b")) < 50000,
+              lit("broadcast")).otherwise(lit("shuffle")).as("decision"))
+      }
+      plan("customer_orders", "customer", "c_custkey",
+          "orders", "o_custkey")
+        .unionByName(plan("orders_lineitem", "orders", "o_orderkey",
+          "lineitem", "l_orderkey"))
+        .unionByName(plan("part_lineitem", "part", "p_partkey",
+          "lineitem", "l_partkey"))
+        .orderBy("join_name")
+    }),
+
+    // CDC snapshot diff: v2 = orders under a deterministic mutation
+    // (keys mod 97 deleted, totalprice bumped on mod 13, mod-101 rows
+    // re-inserted under offset keys) — the change feed an incremental
+    // pipeline reads instead of reprocessing the table. orders because
+    // o_orderkey is a REAL unique key (the fixture's (l_orderkey,
+    // l_linenumber) is not, and diff refuses non-unique keys loudly).
     // Spark compares 8-byte row fingerprints; the oracle replays the
     // SEMANTICS (any-column IS DISTINCT FROM), so a hash that conflated
     // a real change would hash-mismatch here.
     "q182_snapshot_diff" -> ((s, dir) => {
-      val v1 = t(s, dir, "lineitem")
-      val v2 = v1.filter(col("l_orderkey") % 97 =!= 0)
-        .withColumn("l_quantity",
-          when(col("l_orderkey") % 13 === 0, col("l_quantity") + 1)
-            .otherwise(col("l_quantity")))
-        .unionByName(v1.filter(col("l_orderkey") % 101 === 0)
-          .withColumn("l_linenumber", col("l_linenumber") + 10))
-      SnapshotDiff.diff(v1, v2, Seq("l_orderkey", "l_linenumber"))
+      val v1 = t(s, dir, "orders")
+      val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(v1.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      SnapshotDiff.diff(v1, v2, Seq("o_orderkey"))
         .filter(col("op") =!= "unchanged")
-        .orderBy("l_orderkey", "l_linenumber", "op")
+        .orderBy("o_orderkey")
+    }),
+
+    // Incremental view maintenance: a per-orderstatus (count, revenue
+    // cents) view maintained from the SIGNED change feed alone — the
+    // unchanged bulk is never re-aggregated, and the mutation includes
+    // GROUP-MIGRATING updates (mod-31 orders flip their status to 'Z',
+    // so -old and +new land in different groups — the IVM case naive
+    // delta code gets wrong). The oracle recomputes the view DIRECTLY
+    // from v2: incremental must equal recompute digit for digit.
+    // Revenue sums as floor(price·100 + 0.5) BIGINT cents — exact, no
+    // order-dependent float summation.
+    "q184_incremental_agg" -> ((s, dir) => {
+      val cents = (c: org.apache.spark.sql.Column) =>
+        floor(c * 100 + 0.5).cast("long")
+      val v1 = t(s, dir, "orders")
+      val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 31 === 0, lit("Z"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(v1.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      val base = v1.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("b_rows"),
+          sum(cents(col("o_totalprice"))).as("b_cents"))
+      val deltas = SnapshotDiff.changeRows(v1, v2, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("sign")).as("d_rows"),
+          sum(col("sign") * cents(col("o_totalprice"))).as("d_cents"))
+      base.join(deltas, Seq("o_orderstatus"), "full_outer")
+        .na.fill(0L, Seq("b_rows", "b_cents", "d_rows", "d_cents"))
+        .select(col("o_orderstatus"),
+          (col("b_rows") + col("d_rows")).as("n_rows"),
+          (col("b_cents") + col("d_cents")).as("sum_cents"),
+          col("d_rows"), col("d_cents"))
+        .filter(col("n_rows") > 0)
+        .orderBy("o_orderstatus")
     }),
 
     // Time-decayed event mass (the trending/freshness score): the
@@ -4537,44 +4621,93 @@ object PipelineQueries {
         |  round(ic / usz, 6) AS jaccard_est,
         |  round(ic / usz * est_u, 6) AS est_inter
         |FROM e ORDER BY grp_a, grp_b""".stripMargin,
+    // join-planner replay: per side the same KMV NDV, the same
+    // estimate formula from UNROUNDED ndv, exact join counts
+    "q183_join_planner" -> Seq(
+      ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+      ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+      ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"))
+      .map { case (n, ta, ka, tb, kb) => joinPlanOracle(n, ta, ka, tb, kb) }
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY join_name"),
     // snapshot-diff replay: the same mutation, change detection by
     // actual column comparison (IS DISTINCT FROM over every non-key
     // column) instead of fingerprints — a conflating hash would
     // mismatch here
     "q182_snapshot_diff" ->
       """WITH v2 AS (
-        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
-        |    CASE WHEN l_orderkey % 13 = 0 THEN l_quantity + 1
-        |      ELSE l_quantity END AS l_quantity,
-        |    l_extendedprice, l_discount, l_tax, l_returnflag,
-        |    l_linestatus, l_shipdate
-        |  FROM lineitem WHERE l_orderkey % 97 <> 0
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
         |  UNION ALL
-        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber + 10,
-        |    l_quantity, l_extendedprice, l_discount, l_tax,
-        |    l_returnflag, l_linestatus, l_shipdate
-        |  FROM lineitem WHERE l_orderkey % 101 = 0),
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0),
         |d AS (SELECT
-        |    coalesce(a.l_orderkey, b.l_orderkey) AS l_orderkey,
-        |    coalesce(a.l_linenumber, b.l_linenumber) AS l_linenumber,
-        |    CASE WHEN a.l_orderkey IS NULL THEN 'insert'
-        |      WHEN b.l_orderkey IS NULL THEN 'delete'
-        |      WHEN a.l_partkey IS DISTINCT FROM b.l_partkey
-        |        OR a.l_suppkey IS DISTINCT FROM b.l_suppkey
-        |        OR a.l_quantity IS DISTINCT FROM b.l_quantity
-        |        OR a.l_extendedprice IS DISTINCT FROM b.l_extendedprice
-        |        OR a.l_discount IS DISTINCT FROM b.l_discount
-        |        OR a.l_tax IS DISTINCT FROM b.l_tax
-        |        OR a.l_returnflag IS DISTINCT FROM b.l_returnflag
-        |        OR a.l_linestatus IS DISTINCT FROM b.l_linestatus
-        |        OR a.l_shipdate IS DISTINCT FROM b.l_shipdate
+        |    coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |      WHEN b.o_orderkey IS NULL THEN 'delete'
+        |      WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+        |        OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |        OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |        OR a.o_orderdate IS DISTINCT FROM b.o_orderdate
+        |        OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
         |      THEN 'update' ELSE 'unchanged' END AS op
-        |  FROM lineitem a FULL OUTER JOIN v2 b
-        |    ON a.l_orderkey = b.l_orderkey
-        |    AND a.l_linenumber = b.l_linenumber)
-        |SELECT l_orderkey, l_linenumber, op FROM d
+        |  FROM orders a FULL OUTER JOIN v2 b
+        |    ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, op FROM d
         |WHERE op <> 'unchanged'
-        |ORDER BY l_orderkey, l_linenumber, op""".stripMargin,
+        |ORDER BY o_orderkey""".stripMargin,
+    // IVM replay: the view recomputed DIRECTLY from v2 (the theorem
+    // the incremental path must reproduce), deltas re-derived from the
+    // classified change feed
+    "q184_incremental_agg" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 31 = 0 THEN 'Z'
+        |      ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |direct AS (SELECT o_orderstatus, count(*) AS n_rows,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sum_cents
+        |  FROM v2 GROUP BY 1),
+        |cls AS (SELECT
+        |    coalesce(a.o_orderkey, b.o_orderkey) AS k1,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |      WHEN b.o_orderkey IS NULL THEN 'delete'
+        |      WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |        OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |      THEN 'update' ELSE 'unchanged' END AS op
+        |  FROM orders a FULL OUTER JOIN v2 b
+        |    ON a.o_orderkey = b.o_orderkey),
+        |chg AS (SELECT k1, op FROM cls WHERE op <> 'unchanged'),
+        |sgn AS (
+        |  SELECT o.o_orderstatus, -1 AS sign, o.o_totalprice
+        |  FROM orders o JOIN chg c ON o.o_orderkey = c.k1
+        |    AND c.op IN ('delete', 'update')
+        |  UNION ALL
+        |  SELECT v.o_orderstatus, 1, v.o_totalprice
+        |  FROM v2 v JOIN chg c ON v.o_orderkey = c.k1
+        |    AND c.op IN ('insert', 'update')),
+        |deltas AS (SELECT o_orderstatus,
+        |    CAST(sum(sign) AS BIGINT) AS d_rows,
+        |    CAST(sum(sign * CAST(floor(o_totalprice * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS d_cents
+        |  FROM sgn GROUP BY 1)
+        |SELECT dd.o_orderstatus, n_rows, sum_cents,
+        |  coalesce(d_rows, 0) AS d_rows, coalesce(d_cents, 0) AS d_cents
+        |FROM direct dd LEFT JOIN deltas d
+        |  ON dd.o_orderstatus = d.o_orderstatus
+        |ORDER BY dd.o_orderstatus""".stripMargin,
     // decayed-mass replay: identical cells, identical integer weights
     "q181_decayed_counts" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
@@ -5577,6 +5710,36 @@ object PipelineQueries {
        |FROM (
        |$perCol
        |) ORDER BY col_name""".stripMargin
+  }
+
+  /** q183 per-join replay: side stats (row count + KMV NDV of the key
+    * under seed 29), the |A|·|B| / max(ndv) estimate from UNROUNDED
+    * NDVs (as the Spark side computes it), the exact join count, and
+    * the broadcast decision.
+    */
+  private def joinPlanOracle(name: String, ta: String, ka: String,
+      tb: String, kb: String): String = {
+    def ndv(tbl: String, key: String) =
+      s"""(SELECT CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+         |    ELSE 127.0 / (max(h) / 4503599627370496.0) END FROM (
+         |    SELECT DISTINCT CAST(concat('0x', substr(md5(
+         |      CAST($key AS VARCHAR) || ':29'), 1, 13)) AS BIGINT) AS h
+         |    FROM $tbl ORDER BY h LIMIT 128))""".stripMargin
+    s"""SELECT '$name' AS join_name, rows_a, rows_b,
+       |  round(na, 6) AS ndv_a, round(nb, 6) AS ndv_b,
+       |  round(rows_a * rows_b / greatest(na, nb), 6) AS est_rows,
+       |  exact_rows,
+       |  round(abs(rows_a * rows_b / greatest(na, nb) - exact_rows)
+       |    / exact_rows, 6) AS rel_err,
+       |  CASE WHEN least(rows_a, rows_b) < 50000 THEN 'broadcast'
+       |    ELSE 'shuffle' END AS decision
+       |FROM (SELECT
+       |  (SELECT count(*) FROM $ta) AS rows_a,
+       |  (SELECT count(*) FROM $tb) AS rows_b,
+       |  ${ndv(ta, ka)} AS na,
+       |  ${ndv(tb, kb)} AS nb,
+       |  (SELECT count(*) FROM $ta x JOIN $tb y ON x.$ka = y.$kb)
+       |    AS exact_rows)""".stripMargin
   }
 
   /** The unrolled Morton bit-interleave as DuckDB SQL — the exact

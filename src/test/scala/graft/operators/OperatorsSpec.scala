@@ -2260,6 +2260,40 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SnapshotDiff.diff(v1, v2.withColumnRenamed("x", "y"), Seq("k"))
     }
+    // a non-unique key has no diff semantics (m x n pairing) — refused
+    val dup = intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(v1.union(v1), v2, Seq("k"))
+    }
+    assert(dup.getMessage.contains("not unique"))
+  }
+
+  test("SnapshotDiff.changeRows maintains a grouped view through " +
+      "group-migrating updates: base + signed deltas == direct " +
+      "recompute") {
+    val v1 = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L),
+      (4L, "g2", 40L)).toDF("k", "g", "x")
+    // delete 4; migrate 3 to g1 with a new value; insert 5 in g3
+    val v2 = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g1", 31L),
+      (5L, "g3", 50L)).toDF("k", "g", "x")
+    val base = v1.groupBy("g").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"))
+    val inc = base.join(
+        SnapshotDiff.changeRows(v1, v2, Seq("k")).groupBy("g")
+          .agg(sum("sign").as("dn"),
+            sum(col("sign") * col("x")).as("dx")),
+        Seq("g"), "full_outer")
+      .na.fill(0L, Seq("n", "sx", "dn", "dx"))
+      .select(col("g"), (col("n") + col("dn")).as("n"),
+        (col("sx") + col("dx")).as("sx"))
+      .filter(col("n") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val direct = v2.groupBy("g").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(inc === direct)
+    assert(direct === Set(("g1", 3L, 61L), ("g3", 1L, 50L)))
   }
 
   test("SketchStore: incremental panes merge to the direct sketch; " +
