@@ -1366,6 +1366,45 @@ object PipelineQueries {
           "l_extendedprice", "l_returnflag", "l_linestatus",
           "l_shipdate"), k = 128, seed = 13L, exact = true)),
 
+    // Exact equi-depth histogram of order revenue: boundaries at exact
+    // global ranks ceil(i·N/16) under the (price, key) total order —
+    // computed the distributed way (range repartition + per-partition
+    // offsets, never a single-task window) and replayed by the oracle
+    // with row_number(). The stats object range predicates price
+    // against (equi-width lies under skew; this can't).
+    "q185_equidepth_hist" -> ((s, dir) =>
+      graft.operators.Histogram.equiDepth(t(s, dir, "orders"),
+        "o_totalprice", "o_orderkey", buckets = 16)
+        .orderBy("bucket")),
+
+    // ...and the selectivity panel it exists for: 12 seeded `price <=
+    // x` predicates estimated by per-bucket linear interpolation
+    // (integer micro-row contributions — no float-sum order anywhere),
+    // with exact counts and relative error as the honesty columns.
+    "q186_range_selectivity" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val hist = graft.operators.Histogram.equiDepth(orders,
+        "o_totalprice", "o_orderkey", buckets = 16)
+      val mnmx = orders.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      val preds = s.range(12).toDF("pred_id")
+        .crossJoin(broadcast(mnmx))
+        .select(col("pred_id"),
+          (col("mn") + (col("pred_id") * 37 % 64)
+            * (col("mx") - col("mn")) / 64.0).as("x"))
+      val est = graft.operators.Histogram.rangeSelectivity(hist, preds)
+      val actual = orders.crossJoin(broadcast(preds))
+        .groupBy("pred_id")
+        .agg(count(when(col("o_totalprice") <= col("x"), 1))
+          .as("actual_rows"))
+      est.join(actual, Seq("pred_id"))
+        .select(col("pred_id"), round(col("x"), 6).as("x"),
+          col("est_micro"), col("est_rows"), col("actual_rows"),
+          round(abs(col("est_micro") / 1e6 - col("actual_rows"))
+            / greatest(col("actual_rows"), lit(1L)), 6).as("rel_err"))
+        .orderBy("pred_id")
+    }),
+
     // CBO join planning from sketch stats: for three star-schema
     // joins, the classic cardinality estimate |A ⋈ B| = |A|·|B| /
     // max(ndv_A, ndv_B) with NDVs from the KMV sketch (two
@@ -4621,6 +4660,37 @@ object PipelineQueries {
         |  round(ic / usz, 6) AS jaccard_est,
         |  round(ic / usz * est_u, 6) AS est_inter
         |FROM e ORDER BY grp_a, grp_b""".stripMargin,
+    // equi-depth replay: exact boundary ranks via row_number()
+    "q185_equidepth_hist" ->
+      s"""WITH $histSql
+         |SELECT bucket, lo, hi, n_rows FROM hist ORDER BY bucket"""
+        .stripMargin,
+    // selectivity replay: same seeded thresholds, same integer
+    // micro-row interpolation, exact counts
+    "q186_range_selectivity" ->
+      s"""WITH $histSql,
+         |mnmx AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+         |  FROM orders),
+         |preds AS (SELECT j.j AS pred_id,
+         |    mn + (j.j * 37 % 64) * (mx - mn) / 64.0 AS x
+         |  FROM unnest(range(12)) AS j(j), mnmx),
+         |contrib AS (SELECT pred_id, x,
+         |    CAST(floor(n_rows * CASE WHEN x >= hi THEN 1.0
+         |      WHEN x < lo THEN 0.0
+         |      WHEN hi > lo THEN (x - lo) / (hi - lo)
+         |      ELSE 1.0 END * 1000000 + 0.5) AS BIGINT) AS cm
+         |  FROM preds, hist),
+         |e AS (SELECT pred_id, x, CAST(sum(cm) AS BIGINT) AS est_micro
+         |  FROM contrib GROUP BY 1, 2),
+         |act AS (SELECT pred_id,
+         |    count(CASE WHEN o_totalprice <= x THEN 1 END) AS actual_rows
+         |  FROM preds CROSS JOIN orders GROUP BY 1)
+         |SELECT e.pred_id, round(e.x, 6) AS x, est_micro,
+         |  round(est_micro / 1000000.0, 6) AS est_rows, actual_rows,
+         |  round(abs(est_micro / 1000000.0 - actual_rows)
+         |    / greatest(actual_rows, 1), 6) AS rel_err
+         |FROM e JOIN act ON e.pred_id = act.pred_id
+         |ORDER BY e.pred_id""".stripMargin,
     // join-planner replay: per side the same KMV NDV, the same
     // estimate formula from UNROUNDED ndv, exact join counts
     "q183_join_planner" -> Seq(
@@ -5711,6 +5781,27 @@ object PipelineQueries {
        |$perCol
        |) ORDER BY col_name""".stripMargin
   }
+
+  /** q185/q186 histogram replay: boundaries at exact global ranks via
+    * row_number() over the same (price, key) total order; bucket spans
+    * by the identical R(i) arithmetic.
+    */
+  private val histSql: String =
+    """rk AS (SELECT o_totalprice AS v,
+      |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank
+      |  FROM orders),
+      |nn AS (SELECT count(*) AS n FROM orders),
+      |bi AS (SELECT i.i AS i,
+      |    greatest(1, CAST(ceil(i.i * nn.n / 16.0) AS BIGINT)) AS brank
+      |  FROM unnest(range(17)) AS i(i), nn),
+      |bounds AS (SELECT bi.i, rk.v FROM bi JOIN rk ON rk.rank = bi.brank),
+      |hist AS (SELECT CAST(hi.i AS INT) AS bucket, lo.v AS lo,
+      |    hi.v AS hi,
+      |    greatest(1, CAST(ceil(hi.i * nn.n / 16.0) AS BIGINT))
+      |      - greatest(1, CAST(ceil((hi.i - 1) * nn.n / 16.0) AS BIGINT))
+      |      + CASE WHEN hi.i = 1 THEN 1 ELSE 0 END AS n_rows
+      |  FROM bounds hi JOIN bounds lo ON lo.i = hi.i - 1
+      |  CROSS JOIN nn WHERE hi.i >= 1)""".stripMargin
 
   /** q183 per-join replay: side stats (row count + KMV NDV of the key
     * under seed 29), the |A|·|B| / max(ndv) estimate from UNROUNDED

@@ -2243,6 +2243,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxGroups"))
   }
 
+  test("Histogram.globalRank: ranks equal the total-order position on " +
+      "shuffled multi-partition input; ties broken by the tie column") {
+    val d = spark.range(1, 101).toDF("k")
+      .withColumn("v", col("k") % 10) // heavy ties
+      .repartition(7)
+    val out = Histogram.globalRank(d, Seq("v", "k"), nPart = 5)
+      .select("v", "k", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = out.map(t => (t._1, t._2)).sortBy(identity)
+      .zipWithIndex.map { case ((v, k), i) => (v, k, i + 1L) }.toSet
+    assert(out.toSet === expected)
+  }
+
+  test("Histogram.equiDepth pins a hand case (N=10, B=4: spans " +
+      "3/2/3/2, rank boundaries 3,5,8,10); rangeSelectivity " +
+      "interpolates exactly") {
+    val d = (1 to 10).map(i => (i * 10.0, i.toLong)).toDF("v", "k")
+    val h = Histogram.equiDepth(d, "v", "k", buckets = 4, nPart = 3)
+      .orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(h === Array((1, 10.0, 30.0, 3L), (2, 30.0, 50.0, 2L),
+      (3, 50.0, 80.0, 3L), (4, 80.0, 100.0, 2L)))
+    assert(h.map(_._4).sum === 10L)
+    // x = 40 -> bucket1 full (3) + bucket2 half (1) = 4 exact rows <= 40
+    val preds = Seq((0L, 40.0), (1L, 5.0), (2L, 500.0))
+      .toDF("pred_id", "x")
+    val est = Histogram.rangeSelectivity(
+      Histogram.equiDepth(d, "v", "k", 4, 3), preds)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(est(0L) === 4.0)
+    assert(est(1L) === 0.0)
+    assert(est(2L) === 10.0)
+  }
+
   test("SnapshotDiff: all four ops classified on a hand case; counts " +
       "agree; non-key schema mismatch throws") {
     val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
