@@ -1366,6 +1366,88 @@ object PipelineQueries {
           "l_extendedprice", "l_returnflag", "l_linestatus",
           "l_shipdate"), k = 128, seed = 13L, exact = true)),
 
+    // PMI collocations (Church & Hanks 1990): pointwise mutual
+    // information over adjacent-token bigrams — ln(p(ab)/(p(a)p(b))),
+    // one log per DISTINCT bigram (never a float summation), support
+    // >= 5, top-20 by (rounded pmi, bigram). Counts are three exact
+    // aggregates; the unigram join is vocabulary-scale.
+    "q187_pmi_collocations" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(explode(
+        filter(split(col("text"), " "), x => x =!= lit(""))).as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+      val nUni = toks.agg(count(lit(1)).as("n_uni"))
+      val bigrams = docs.select(explode(
+        HashExpressions.shingles_k_positional(
+          filter(split(col("text"), " "), x => x =!= lit("")), 2))
+        .as("bg"))
+      val bgc = bigrams.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      val nBig = bigrams.agg(count(lit(1)).as("n_big"))
+      bgc.filter(col("c_ab") >= 5)
+        .withColumn("a", split(col("bg"), " ").getItem(0))
+        .withColumn("b", split(col("bg"), " ").getItem(1))
+        .join(uni.select(col("tok").as("a"), col("cu").as("c_a")), Seq("a"))
+        .join(uni.select(col("tok").as("b"), col("cu").as("c_b")), Seq("b"))
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+        .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"),
+          round(log((col("c_ab") / col("n_big"))
+            / ((col("c_a") / col("n_uni"))
+              * (col("c_b") / col("n_uni")))), 6).as("pmi"))
+        .orderBy(desc("pmi"), asc("bg")).limit(20)
+    }),
+
+    // Trailing-window anomaly flags: per (event_type, day), the count
+    // z-scored against the previous 7 days' exact integer sums (mean /
+    // std are single-op arithmetic on exact sums — deterministic, no
+    // accumulation order anywhere); |z| > 2 flags. The range join runs
+    // on the tiny cells frame, never on raw events.
+    "q188_anomaly_zscore" -> ((s, dir) => {
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))
+      val hist = cells.select(col("event_type"), col("d").as("hd"),
+        col("c").as("hc"))
+      cells.join(hist, Seq("event_type"))
+        .filter(datediff(col("d"), col("hd")).between(1, 7))
+        .groupBy(col("event_type"), col("d"), col("c"))
+        .agg(count(lit(1)).as("nh"), sum(col("hc")).as("sh"),
+          sum(col("hc") * col("hc")).as("sq"))
+        .filter(col("nh") === 7)
+        .withColumn("mean", col("sh") / 7.0)
+        .withColumn("sd", sqrt((col("sq") - col("sh") * col("sh") / 7.0)
+          / 6.0))
+        .withColumn("z", when(col("sd") > 0,
+          (col("c") - col("mean")) / col("sd")).otherwise(lit(0.0)))
+        .select(col("event_type"),
+          date_format(col("d"), "yyyy-MM-dd").as("d"), col("c"),
+          round(col("mean"), 6).as("mean"), round(col("sd"), 6).as("sd"),
+          round(col("z"), 6).as("z"),
+          (col("sd") > 0 && abs(col("z")) > 2).as("flagged"))
+        .orderBy("event_type", "d")
+    }),
+
+    // k-anonymity audit over the (source, lang, length-bucket)
+    // quasi-identifier: per
+    // equivalence class its size, below-k flag, and corpus share; ONE
+    // aggregate over the corpus, the class frame is metadata-scale.
+    // The governance question a training corpus answers before release.
+    "q189_k_anonymity" -> ((s, dir) => {
+      val cls = t(s, dir, "documents")
+        .withColumn("len_bucket", floor(col("n_chars") / 200).cast("long"))
+        .groupBy("source", "lang", "len_bucket")
+        .agg(count(lit(1)).as("n"))
+      val tot = cls.agg(sum(col("n")).as("total"),
+        sum(when(col("n") < 10, col("n")).otherwise(lit(0L)))
+          .as("risk_rows"))
+      cls.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("len_bucket"), col("n"),
+          (col("n") < 10).as("below_k"),
+          round(col("n").cast("double") / col("total"), 6).as("share"),
+          round(col("risk_rows").cast("double") / col("total"), 6)
+            .as("corpus_risk_share"))
+        .orderBy("source", "lang", "len_bucket")
+    }),
+
     // Exact equi-depth histogram of order revenue: boundaries at exact
     // global ranks ceil(i·N/16) under the (price, key) total order —
     // computed the distributed way (range repartition + per-partition
@@ -4660,6 +4742,63 @@ object PipelineQueries {
         |  round(ic / usz, 6) AS jaccard_est,
         |  round(ic / usz * est_u, 6) AS est_inter
         |FROM e ORDER BY grp_a, grp_b""".stripMargin,
+    // PMI replay: same counts, one ln per distinct surviving bigram
+    "q187_pmi_collocations" ->
+      """WITH docs AS (SELECT list_filter(string_split(text, ' '),
+        |    t -> t <> '') AS l FROM documents),
+        |toks AS (SELECT u.tok FROM docs, unnest(l) AS u(tok)),
+        |uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+        |nu AS (SELECT count(*) AS n_uni FROM toks),
+        |bgs AS (SELECT array_to_string(l[i.i:i.i+1], ' ') AS bg
+        |  FROM docs, unnest(range(1, len(l))) AS i(i)
+        |  WHERE len(l) >= 2),
+        |bgc AS (SELECT bg, count(*) AS c_ab FROM bgs GROUP BY bg
+        |  HAVING count(*) >= 5),
+        |nb AS (SELECT count(*) AS n_big FROM bgs),
+        |j AS (SELECT b.bg, b.c_ab, ua.cu AS c_a, ub.cu AS c_b,
+        |    round(ln((b.c_ab / nb.n_big)
+        |      / ((ua.cu / nu.n_uni) * (ub.cu / nu.n_uni))), 6) AS pmi
+        |  FROM bgc b
+        |  JOIN uni ua ON ua.tok = string_split(b.bg, ' ')[1]
+        |  JOIN uni ub ON ub.tok = string_split(b.bg, ' ')[2]
+        |  CROSS JOIN nu CROSS JOIN nb)
+        |SELECT bg, c_ab, c_a, c_b, pmi FROM j
+        |ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
+    // anomaly replay: identical cells, trailing sums, single-op moments
+    "q188_anomaly_zscore" ->
+      """WITH cells AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.d, a.c, count(*) AS nh,
+        |    sum(b.c) AS sh, sum(b.c * b.c) AS sq
+        |  FROM cells a JOIN cells b ON a.event_type = b.event_type
+        |    AND date_diff('day', b.d, a.d) BETWEEN 1 AND 7
+        |  GROUP BY 1, 2, 3 HAVING count(*) = 7),
+        |z AS (SELECT event_type, d, c, sh / 7.0 AS mean,
+        |    sqrt((sq - sh * sh / 7.0) / 6.0) AS sd
+        |  FROM j)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS d, c,
+        |  round(mean, 6) AS mean, round(sd, 6) AS sd,
+        |  round(CASE WHEN sd > 0 THEN (c - mean) / sd ELSE 0.0 END, 6)
+        |    AS z,
+        |  (sd > 0 AND abs(CASE WHEN sd > 0 THEN (c - mean) / sd
+        |    ELSE 0.0 END) > 2) AS flagged
+        |FROM z ORDER BY event_type, d""".stripMargin,
+    // k-anonymity replay: class sizes + the risk shares
+    "q189_k_anonymity" ->
+      """WITH cls AS (SELECT source, lang,
+        |    CAST(floor(n_chars / 200.0) AS BIGINT) AS len_bucket,
+        |    count(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+        |      AS risk_rows
+        |  FROM cls)
+        |SELECT source, lang, len_bucket, n, n < 10 AS below_k,
+        |  round(n / CAST(total AS DOUBLE), 6) AS share,
+        |  round(risk_rows / CAST(total AS DOUBLE), 6)
+        |    AS corpus_risk_share
+        |FROM cls, tot ORDER BY source, lang, len_bucket""".stripMargin,
     // equi-depth replay: exact boundary ranks via row_number()
     "q185_equidepth_hist" ->
       s"""WITH $histSql
