@@ -83,6 +83,12 @@ object SketchStore {
       .withColumnRenamed(groupCol, "grp")
       .withColumn("batch_id", lit(batchId))
     if (meta.get("last_batch_id").exists(batchId <= _)) {
+      // below the verify floor (compacted/expired panes are gone) a
+      // replay no-ops UNVERIFIED — the imposter-counter protection
+      // ends at the horizon, reachable only by rolling a checkpoint
+      // back past compaction/retention (the DedupStore expireSeen
+      // boundary; operational error, documented not hidden)
+      if (meta.get("verify_floor").exists(batchId <= _)) return
       // replay: the pane must re-derive from this batch's content —
       // a restarted batch counter serving an unrelated batch under a
       // committed id must fail loudly, not silently drop its data
@@ -105,6 +111,66 @@ object SketchStore {
       .parquet(s"$b/panes")
     writeMeta(b, "last_batch_id" -> batchId, "k" -> k.toLong,
       "seed" -> seed)
+  }
+
+  /** Fold every committed pane into ONE pane carrying batch_id =
+    * last_batch_id — the pane COUNT is the only thing that grows in
+    * this store (each pane is already ≤ G·k longs), and reads are
+    * unchanged by mergeability. Side-dir + atomic rename swap (the
+    * DedupStore compaction discipline); meta's verify_floor rises to
+    * last_batch_id − 1: replays of folded batch ids no-op unverified
+    * (their panes no longer exist to compare against).
+    */
+  def compactPanes(spark: SparkSession, storeKey: String): Unit = {
+    val b = base(spark, storeKey)
+    val meta = readMeta(b)
+    if (!meta.contains("last_batch_id")) return
+    val last = meta("last_batch_id")
+    val side = s"$b/panes__compact"
+    val garbage = s"$b/panes__garbage_${ProcessHandle.current.pid}"
+    def rm(p: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    rm(side)
+    read(spark, storeKey).withColumn("batch_id", lit(last))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
+      .parquet(side)
+    Files.move(Paths.get(s"$b/panes"), Paths.get(garbage))
+    Files.move(Paths.get(side), Paths.get(s"$b/panes"))
+    rm(garbage)
+    writeMeta(b, "last_batch_id" -> last, "k" -> meta("k"),
+      "seed" -> meta("seed"), "verify_floor" -> (last - 1))
+  }
+
+  /** Retention: drop panes with batch_id < `keepFromBatchId` — the
+    * read then answers "distinct items over the RETAINED batches": the
+    * trailing-window semantics fall out of pane immutability (a KMV
+    * cannot subtract, but a window of panes never needs to). Expired
+    * batch ids join the unverified-replay horizon.
+    */
+  def expirePanes(spark: SparkSession, storeKey: String,
+      keepFromBatchId: Long): Unit = {
+    val b = base(spark, storeKey)
+    val meta = readMeta(b)
+    if (!meta.contains("last_batch_id")) return
+    require(keepFromBatchId <= meta("last_batch_id"),
+      s"expirePanes: keepFrom $keepFromBatchId would drop every pane " +
+        s"(last committed is ${meta("last_batch_id")})")
+    import scala.jdk.CollectionConverters._
+    val panes = Paths.get(s"$b/panes")
+    if (Files.exists(panes)) {
+      Files.list(panes).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("batch_id=") &&
+            n.stripPrefix("batch_id=").toLong < keepFromBatchId
+        }
+        .foreach(p => org.apache.commons.io.FileUtils
+          .deleteDirectory(p.toFile))
+    }
+    writeMeta(b, "last_batch_id" -> meta("last_batch_id"),
+      "k" -> meta("k"), "seed" -> meta("seed"),
+      "verify_floor" -> math.max(meta.getOrElse("verify_floor", -1L),
+        keepFromBatchId - 1))
   }
 
   /** The merged per-group sketch over every COMMITTED pane (panes past
