@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   * Determinism / oracle replay: values are hashed and rendered through
   * a CANONICAL string encoding chosen per type to agree byte-for-byte
   * between Spark and DuckDB (integers: plain cast; floating point:
-  * via decimal(18,6) — fixed scale, no exponent-format divergence;
+  * via decimal(38,6) — fixed scale, no exponent-format divergence;
   * timestamps: strftime to seconds). NDV therefore replays as
   * `DISTINCT canonical → md5-52bit → ORDER BY h LIMIT k`, and
   * min/max render as canonical(typed min/max), never a lexicographic
@@ -43,9 +43,12 @@ object Analyze {
   def canon(c: Column, dt: DataType): Column = dt match {
     case StringType => c
     case ByteType | ShortType | IntegerType | LongType => c.cast("string")
+    // Decimal(38,6), not (18,6): a non-ANSI cast overflows |x| >= 1e12
+    // to null, silently undercounting ndv and rendering min/max null —
+    // 38,6 covers |x| < 1e32 and prints identically in DuckDB
     case FloatType | DoubleType =>
-      c.cast(DecimalType(18, 6)).cast("string")
-    case _: DecimalType => c.cast(DecimalType(18, 6)).cast("string")
+      c.cast(DecimalType(38, 6)).cast("string")
+    case _: DecimalType => c.cast(DecimalType(38, 6)).cast("string")
     case TimestampType | TimestampNTZType =>
       date_format(c, "yyyy-MM-dd HH:mm:ss")
     case DateType => c.cast("string")

@@ -157,18 +157,41 @@ object SimilaritySearch {
     */
   def binaryTopK(queries: DataFrame, index: DataFrame, k: Int = 4,
       m: Int = 64): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    rerank(binaryCandidates(queries, binarizeIndex(index), m),
+      queries, index, k)
+  }
+
+  /** Sign-pack an index frame to its 1-bit serving form: (vec_id,
+    * bcodes) at ⌈dim/8⌉ bytes per row — the projection [[binaryTopK]]
+    * scans in memory and [[graft.sources.AnnIndex.ensureBq]] persists
+    * (one per-row pass, no global statistics — so like SQ8, an upsert
+    * is exactly a rebuild restricted to the new rows).
+    */
+  def binarizeIndex(index: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.sign_pack
+    index.select(col(idCol), sign_pack(col(vecCol)).as("bcodes"))
+  }
+
+  /** The Hamming candidate stage of [[binaryTopK]] alone: per query
+    * the top-m (query_id, vec_id) by ascending Hamming distance over a
+    * 1-bit codes frame — no re-rank. Shared verbatim by the in-memory
+    * and persisted ([[graft.sources.AnnIndex.queryBq]]) paths, so
+    * persisted ≡ in-memory holds by construction, not by test alone.
+    */
+  private[graft] def binaryCandidates(queries: DataFrame,
+      codes: DataFrame, m: Int): DataFrame = {
     import graft.functions.expressions.TopKAgg.top_k
     import graft.functions.expressions.VectorExpressions.{hamming, sign_pack}
-    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
-    val bi = index.select(col("vec_id"), sign_pack(col("embedding")).as("bcodes"))
+    require(m >= 1, s"candidate count m ($m) must be >= 1")
     val bq = broadcast(queries.select(col("query_id"),
       sign_pack(col("query_vec")).as("qbcodes")))
-    val cand = bi.crossJoin(bq)
+    codes.crossJoin(bq)
       .withColumn("ascore", -hamming(col("bcodes"), col("qbcodes")).cast("double"))
       .groupBy("query_id")
       .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
       .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
-    rerank(cand, queries, index, k)
   }
 
   /** Truncated-dimension coarse ranking (the Matryoshka-retrieval

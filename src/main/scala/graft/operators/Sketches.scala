@@ -113,12 +113,19 @@ object Sketches {
       java.util.Arrays.asList(sk.collect(): _*), sk.schema)
     val a = skLocal.select(col(groupCol).as("g"), col("kmv").as("kg"))
     val b = skLocal.select(col(groupCol).as("o"), col("kmv").as("ko"))
-    // complement sketches: merge of every OTHER group's sketch
+    // complement sketches: merge of every OTHER group's sketch. With
+    // a SINGLE group the g =!= o pairing is empty — left-join and
+    // coalesce the missing complement to an empty sketch so a lone
+    // group reports everything novel instead of silently vanishing
+    // from the inner join.
     val rest = a.join(broadcast(b), col("g") =!= col("o"))
       .groupBy("g").agg(kmvMergeAgg(col("ko"), k).as("kr"))
     // the global sketch (one row): merge of all groups
     val all = skLocal.agg(kmvMergeAgg(col("kmv"), k).as("kall"))
-    a.join(rest, Seq("g")).crossJoin(broadcast(all))
+    a.join(rest, Seq("g"), "left")
+      .withColumn("kr",
+        coalesce(col("kr"), array().cast("array<bigint>")))
+      .crossJoin(broadcast(all))
       .withColumn("novel_in_k", size(filter(col("kall"),
         h => array_contains(col("kg"), h)
           && !array_contains(col("kr"), h))))

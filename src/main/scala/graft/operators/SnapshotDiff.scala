@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * never ride the comparison, and with both versions bucketed by key
   * (the q64 storage layout) the join is exchange-free. The fingerprint
   * conflates differing rows with probability ≈ 2⁻⁶⁴ per key (the q30
-  * trade, documented not hidden); fingerprints also treat a null
-  * column as absent from the hash, so all-null-vs-value flips on
-  * null-free fixtures are out of scope.
+  * trade, documented not hidden). It IS injective on null patterns:
+  * each value is chained behind its isnull bit, so a value migrating
+  * between columns across nulls — (a=1,b=null) vs (a=null,b=1) — hashes
+  * differently (a bare xxhash64 over the columns would skip nulls,
+  * leave the seed chain identical, and silently classify the update
+  * as 'unchanged').
   */
 object SnapshotDiff {
 
@@ -27,9 +30,9 @@ object SnapshotDiff {
     * The key must be UNIQUE in each version — a duplicate key turns
     * the full-outer join into an m×n pairing whose "ops" mean nothing
     * (and silently breaks downstream view maintenance), so it is
-    * refused loudly. The check is a limit-1 probe per side: one
-    * aggregate over the key columns only, the price of not shipping
-    * garbage.
+    * refused loudly. The check is ONE grouped aggregate over both
+    * sides' key columns (side-tagged union, limit-1 probe) — one job,
+    * keys only, the price of not shipping garbage.
     */
   def diff(v1: DataFrame, v2: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "diff: no key columns")
@@ -38,18 +41,22 @@ object SnapshotDiff {
     require(nonKey1.sameElements(nonKey2),
       s"diff: non-key schemas differ: ${nonKey1.mkString(",")} vs " +
         nonKey2.mkString(","))
-    for ((df, name) <- Seq(v1 -> "v1", v2 -> "v2")) {
-      val dup = df.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-        .limit(1).count()
-      require(dup == 0L,
-        s"diff: key (${keyCols.mkString(",")}) is not unique in $name " +
-          "— an m×n key pairing has no diff semantics; dedup or pick " +
-          "a real key")
-    }
+    val dupSides = v1.select(keyCols.map(col) :+ lit("v1").as("__side"): _*)
+      .unionByName(
+        v2.select(keyCols.map(col) :+ lit("v2").as("__side"): _*))
+      .groupBy((keyCols :+ "__side").map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select("__side").limit(1).collect()
+    require(dupSides.isEmpty,
+      s"diff: key (${keyCols.mkString(",")}) is not unique in " +
+        s"${dupSides.head.getString(0)} — an m×n key pairing has no " +
+        "diff semantics; dedup or pick a real key")
+    // null-injective fingerprint: each value chained behind its isnull
+    // bit (never null itself), so null-pattern flips change the hash
     def fp(df: DataFrame, name: String): DataFrame =
       df.select(keyCols.map(col) :+
-        xxhash64(nonKey1.map(col): _*).as(name): _*)
+        xxhash64(nonKey1.flatMap(c =>
+          Seq(isnull(col(c)), col(c))): _*).as(name): _*)
     fp(v1, "fp1").join(fp(v2, "fp2"), keyCols, "full_outer")
       .select(keyCols.map(col) :+
         when(col("fp1").isNull, lit("insert"))
@@ -69,7 +76,13 @@ object SnapshotDiff {
     */
   def changeRows(v1: DataFrame, v2: DataFrame,
       keyCols: Seq[String]): DataFrame = {
+    // pin the diff ONCE (the q140 staged-materialization discipline):
+    // `d` feeds two keysWith branches inside two semi-joins, and an
+    // unpinned plan re-executes the full-outer fingerprint join (plus
+    // diff's uniqueness probe) per consumer. Changed keys + op only —
+    // narrow rows, bounded by the change set.
     val d = diff(v1, v2, keyCols).filter(col("op") =!= "unchanged")
+      .localCheckpoint(true)
     def keysWith(ops: Seq[String]) =
       d.filter(col("op").isin(ops: _*)).select(keyCols.map(col): _*)
     val oldRows = v1.join(keysWith(Seq("delete", "update")), keyCols,

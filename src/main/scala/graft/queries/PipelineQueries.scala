@@ -1981,10 +1981,13 @@ object PipelineQueries {
     // merges — the standard tokenizer-equity metric: a language with
     // high fertility pays more sequence length per content, the signal
     // vocabulary-allocation decisions key on). Trains the q101/q106
-    // merge list, encodes the distinct vocabulary once, one
-    // stratum-keyed aggregate.
+    // merge list via the driver-side trainer (row-identical to
+    // bpeMerges(B=1) — q110/OperatorsSpec parity — and ~21× faster:
+    // ONE vocab aggregate instead of 12 driver-synchronized Spark
+    // rounds), encodes the distinct vocabulary once, one stratum-keyed
+    // aggregate.
     "q153_tokenizer_fertility" -> ((s, dir) => {
-      val merges = CorpusOps.bpeMerges(t(s, dir, "documents"),
+      val merges = CorpusOps.bpeMergesLocal(t(s, dir, "documents"),
           numMerges = 12)
         .orderBy("step").select("lhs", "rhs").collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -5886,7 +5889,7 @@ object PipelineQueries {
     * symbol count = the training run's final representation.
     */
   /** q173 replay: per profiled column, the same canonical string
-    * encoding (integers plain, doubles via DECIMAL(18,6), timestamps
+    * encoding (integers plain, doubles via DECIMAL(38,6), timestamps
     * strftime'd to seconds), then count / nulls / KMV NDV (DISTINCT
     * canonical → md5-52bit → k smallest) / canonical(min,max) /
     * avg length — UNION ALL'd into the stats frame. `rel_err` derives
@@ -6050,7 +6053,7 @@ object PipelineQueries {
   /** DuckDB canonical encoders matching [[Analyze.canon]]. */
   private val canonInt: String => String = x => s"CAST($x AS VARCHAR)"
   private val canonDouble: String => String =
-    x => s"CAST(CAST($x AS DECIMAL(18,6)) AS VARCHAR)"
+    x => s"CAST(CAST($x AS DECIMAL(38,6)) AS VARCHAR)"
   private val canonTs: String => String =
     x => s"strftime($x, '%Y-%m-%d %H:%M:%S')"
   private val canonStr: String => String = identity

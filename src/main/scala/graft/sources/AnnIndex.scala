@@ -2436,6 +2436,724 @@ object AnnIndex {
       queries, handle.vecs, k)
   }
 
+  // ------------------------------------------------------------------ BQ
+
+  /** Persisted binary-quantized layout — the 1-bit extreme of the
+    * quantized serving family and the biggest scan-I/O lever in the
+    * house (⌈dim/8⌉ bytes per row: 32× under float32, 8× under SQ8).
+    * `codes` holds (vec_id, bcodes), `vecs` the float vectors
+    * co-bucketed by vec_id for the exact re-rank join. Inherits
+    * [[binaryTopK]]'s deploy contract: high ambient dimension is a
+    * PRECONDITION (the measured 64-dim negative control never reaches
+    * identity — `AnnTune bq`), and the (k, m) point must be certified
+    * against exact kNN before serving (q162 pins 1536-dim, m=256).
+    */
+  final case class BqHandle(codes: DataFrame, vecs: DataFrame)
+
+  private def bqBase(spark: SparkSession, tag: String) =
+    s"${annBase(spark)}/graft_ann_bq_$tag"
+
+  private def bqRegistered(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(s"graft_bq_codes_$tag") &&
+      spark.catalog.tableExists(s"graft_bq_vecs_$tag")
+
+  private def attachBq(spark: SparkSession, tag: String,
+      storageBuckets: Int): Unit = {
+    val base = bqBase(spark, tag)
+    spark.sql(s"DROP TABLE IF EXISTS graft_bq_codes_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_bq_vecs_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_bq_tombs_$tag")
+    registerExternal(spark, s"graft_bq_codes_$tag", s"$base/codes",
+      clusteredBy = Some(("vec_id", storageBuckets)))
+    registerExternal(spark, s"graft_bq_vecs_$tag", s"$base/vecs",
+      clusteredBy = Some(("vec_id", storageBuckets)))
+    if (parquetReadable(spark, s"$base/tombs"))
+      registerExternal(spark, s"graft_bq_tombs_$tag", s"$base/tombs",
+        clusteredBy = Some(("vec_id", storageBuckets)))
+  }
+
+  /** The served BQ view (the [[sq8Handle]] discipline): when a
+    * tombstone table exists both sides anti-join it on the shared
+    * vec_id bucketing — shuffle-free on the index side.
+    */
+  private def bqHandle(spark: SparkSession, tag: String): BqHandle = {
+    val codes = spark.table(s"graft_bq_codes_$tag")
+    val vecs = spark.table(s"graft_bq_vecs_$tag")
+    if (spark.catalog.tableExists(s"graft_bq_tombs_$tag")) {
+      val tombs = spark.table(s"graft_bq_tombs_$tag")
+      BqHandle(codes.join(tombs, Seq("vec_id"), "left_anti"),
+        vecs.join(tombs, Seq("vec_id"), "left_anti"))
+    } else BqHandle(codes, vecs)
+  }
+
+  /** Build (or reuse) the persisted BQ layout over `index(vec_id,
+    * embedding)`: sign-packing is one per-row projection pass (no
+    * global statistics — the [[ensureSq8]] shape, not IVF's), both
+    * tables land bucketed by vec_id through the catalog. Freshness
+    * follows the `ensureLsh` discipline — O(1) snapshot-id trust,
+    * content-fingerprint fallback, the shared `servable` recovery
+    * probe, meta committed atomically after the data. A tombstoned
+    * layout fails freshness ("serve exactly this source") and
+    * rebuilds, clearing the deletions.
+    */
+  def ensureBq(
+      spark: SparkSession,
+      sourceDir: String,
+      index: DataFrame,
+      storageBuckets: Int = 8,
+      snapshotId: Option[String] = None): BqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = bqBase(spark, tag)
+    def tombFree = readMeta(base).get("tomb_rows").forall(_ == 0L)
+    val snapFresh = snapshotId.exists { id =>
+      readMetaStrs(base).get("snapshot_id").contains(id) &&
+        readMeta(base).get("buckets").contains(storageBuckets.toLong)
+    } && tombFree
+    if (snapFresh && servable(spark, Seq(s"$base/codes", s"$base/vecs"),
+        bqRegistered(spark, tag),
+        () => attachBq(spark, tag, storageBuckets)))
+      return bqHandle(spark, tag)
+    val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
+    val metaFresh = {
+      val meta = readMeta(base)
+      meta.get("buckets").contains(storageBuckets.toLong) &&
+        meta.get("n_rows").contains(n) &&
+        meta.get("checksum").contains(fp)
+    } && tombFree && servable(spark, Seq(s"$base/codes", s"$base/vecs"),
+      bqRegistered(spark, tag),
+      () => attachBq(spark, tag, storageBuckets))
+    if (!metaFresh) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_bq_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+      spark.sql(s"DROP TABLE IF EXISTS graft_bq_codes_$tag")
+      SimilaritySearch.binarizeIndex(index.select("vec_id", "embedding"))
+        .write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/codes")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(s"graft_bq_codes_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_bq_vecs_$tag")
+      index.select("vec_id", "embedding").write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/vecs")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(s"graft_bq_vecs_$tag")
+    }
+    if (!metaFresh || snapshotId.isDefined) {
+      val old = readMeta(base)
+      writeMetaFull(base,
+        Seq("buckets" -> storageBuckets.toLong,
+          "n_rows" -> n, "checksum" -> fp) ++
+          // both replay-skip windows survive a rebuild (the buildLsh
+          // discipline) — tomb_rows does NOT (the rebuild cleared them)
+          old.get("last_batch_id").map("last_batch_id" -> _).toSeq ++
+          old.get("last_del_batch_id").map("last_del_batch_id" -> _).toSeq,
+        snapshotId.map("snapshot_id" -> _).toSeq)
+    }
+    bqHandle(spark, tag)
+  }
+
+  /** Incremental add into an existing persisted BQ index. Sign-packing
+    * is strictly per-row, so an upsert is EXACTLY a rebuild restricted
+    * to the new rows — O(new) per batch, upsert ≡ rebuild
+    * row-identically by construction. Append-only contract, tombstone
+    * clash refusal, and `batchId` replay-skip as in [[upsertSq8]].
+    */
+  def upsertBq(
+      spark: SparkSession,
+      sourceDir: String,
+      newVecs: DataFrame,
+      storageBuckets: Int = 8,
+      batchId: Option[Long] = None): BqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = bqBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.get("buckets").contains(storageBuckets.toLong),
+      s"upsertBq needs an existing index at the same layout " +
+        s"(buckets=$storageBuckets); found $meta")
+    require(parquetReadable(spark, s"$base/codes") &&
+      parquetReadable(spark, s"$base/vecs"),
+      s"persisted BQ layout for '$sourceDir' is unreadable — run " +
+        "ensureBq to rebuild before upserting")
+    if (!bqRegistered(spark, tag)) attachBq(spark, tag, storageBuckets)
+    val replayed = batchId.exists(id =>
+      meta.get("last_batch_id").exists(id <= _))
+    if (replayed) return bqHandle(spark, tag)
+    if (meta.get("tomb_rows").exists(_ > 0L)) {
+      if (!spark.catalog.tableExists(s"graft_bq_tombs_$tag") &&
+          parquetReadable(spark, s"$base/tombs"))
+        registerExternal(spark, s"graft_bq_tombs_$tag", s"$base/tombs",
+          clusteredBy = Some(("vec_id", storageBuckets)))
+      val clash = spark.table(s"graft_bq_tombs_$tag")
+        .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi").count()
+      require(clash == 0L,
+        s"upsertBq: $clash incoming vec_id(s) are tombstoned — run " +
+          "compactBq to fold deletions before re-inserting those ids")
+    }
+    val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
+    SimilaritySearch.binarizeIndex(newVecs.select("vec_id", "embedding"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(s"graft_bq_codes_$tag")
+    newVecs.select("vec_id", "embedding").write.mode(SaveMode.Append)
+      .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(s"graft_bq_vecs_$tag")
+    writeMetaFull(base,
+      Seq("buckets" -> storageBuckets.toLong,
+        "n_rows" -> (meta("n_rows") + nNew),
+        "checksum" -> (meta("checksum") ^ fpNew)) ++
+        batchId.orElse(meta.get("last_batch_id"))
+          .map("last_batch_id" -> _).toSeq ++
+        meta.get("tomb_rows").map("tomb_rows" -> _).toSeq ++
+        meta.get("last_del_batch_id").map("last_del_batch_id" -> _).toSeq,
+      Nil)
+    bqHandle(spark, tag)
+  }
+
+  /** Delete by id from the persisted BQ index — [[deleteSq8]]'s 1-bit
+    * twin: merge-on-read tombstones co-bucketed with codes/vecs
+    * (O(batch) work, no index rewrite), every served handle anti-joins
+    * them shuffle-free. Ids absent from the index are a semantic
+    * no-op; [[compactBq]] folds; re-inserting a deleted id fails
+    * loudly in [[upsertBq]]; a delete moves the layout past any named
+    * snapshot; `batchId` replay-skip on its own counter
+    * (`last_del_batch_id`).
+    */
+  def deleteBq(
+      spark: SparkSession,
+      sourceDir: String,
+      ids: DataFrame,
+      batchId: Option[Long] = None): BqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = bqBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("buckets"),
+      s"deleteBq needs an existing persisted BQ index for '$sourceDir'" +
+        s" — run ensureBq first")
+    val storageBuckets = meta("buckets").toInt
+    require(parquetReadable(spark, s"$base/codes") &&
+      parquetReadable(spark, s"$base/vecs"),
+      s"persisted BQ layout for '$sourceDir' is unreadable — run " +
+        "ensureBq to rebuild before deleting")
+    if (!bqRegistered(spark, tag)) attachBq(spark, tag, storageBuckets)
+    val replayed = batchId.exists(id =>
+      meta.get("last_del_batch_id").exists(id <= _))
+    if (replayed) return bqHandle(spark, tag)
+    val batch = ids.select("vec_id").distinct()
+    val nDel = batch.count()
+    writeTombs(spark, base, s"graft_bq_tombs_$tag", batch, storageBuckets)
+    writeMetaFull(base,
+      Seq("buckets" -> meta("buckets"),
+        "n_rows" -> meta("n_rows"),
+        "checksum" -> meta("checksum"),
+        "tomb_rows" -> (meta.getOrElse("tomb_rows", 0L) + nDel)) ++
+        meta.get("last_batch_id").map("last_batch_id" -> _).toSeq ++
+        batchId.orElse(meta.get("last_del_batch_id"))
+          .map("last_del_batch_id" -> _).toSeq,
+      Nil) // snapshot_id intentionally dropped: the layout moved past it
+    bqHandle(spark, tag)
+  }
+
+  /** True iff a persisted BQ layout exists for `sourceDir` (meta
+    * presence only — the [[sq8Exists]] contract).
+    */
+  def bqExists(spark: SparkSession, sourceDir: String): Boolean =
+    readMeta(bqBase(spark, IndexStore.pathTag(sourceDir)))
+      .contains("buckets")
+
+  /** Open an existing persisted BQ index read-only, WITHOUT a
+    * freshness probe (the [[openSq8]] contract — the reader's path
+    * while a writer appends concurrently).
+    */
+  def openBq(spark: SparkSession, sourceDir: String): BqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = bqBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("buckets"),
+      s"no persisted BQ index for '$sourceDir' ($base)")
+    require(parquetReadable(spark, s"$base/codes") &&
+      parquetReadable(spark, s"$base/vecs"),
+      s"persisted BQ layout for '$sourceDir' is unreadable — run " +
+        "ensureBq to rebuild")
+    if (!bqRegistered(spark, tag))
+      attachBq(spark, tag, meta("buckets").toInt)
+    else {
+      spark.catalog.refreshTable(s"graft_bq_codes_$tag")
+      spark.catalog.refreshTable(s"graft_bq_vecs_$tag")
+      // tombstones may have (dis)appeared under another session's
+      // delete or fold — re-derive the registration from the store
+      spark.sql(s"DROP TABLE IF EXISTS graft_bq_tombs_$tag")
+      if (parquetReadable(spark, s"$base/tombs"))
+        registerExternal(spark, s"graft_bq_tombs_$tag", s"$base/tombs",
+          clusteredBy = Some(("vec_id", meta("buckets").toInt)))
+    }
+    bqHandle(spark, tag)
+  }
+
+  /** Compact the persisted BQ layout — [[compactSq8]]'s 1-bit twin:
+    * rewrites both bucketed tables at the same (bucketing, sort) spec
+    * (side dir + rename swap, stale sweep), FOLDS tombstones when
+    * present (physically drops deleted rows, recomputes the live
+    * fingerprint so upsert checksum composition stays coherent,
+    * resets tomb_rows; replay-skip windows survive). Not safe
+    * concurrent with a writer.
+    */
+  def compactBq(spark: SparkSession, sourceDir: String): BqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = bqBase(spark, tag)
+    openBq(spark, sourceDir) // validates meta + attaches + refreshes
+    val meta = readMeta(base)
+    val sb = meta("buckets").toInt
+    val folding = meta.get("tomb_rows").exists(_ > 0L) &&
+      spark.catalog.tableExists(s"graft_bq_tombs_$tag")
+    val tombFilter = (df: DataFrame) =>
+      if (folding)
+        df.join(spark.table(s"graft_bq_tombs_$tag"), Seq("vec_id"),
+          "left_anti")
+      else df
+    compactBucketed(spark, base, s"graft_bq_codes_$tag", "codes",
+      "vec_id", sb,
+      Some(tombFilter(spark.table(s"graft_bq_codes_$tag"))))
+    compactBucketed(spark, base, s"graft_bq_vecs_$tag", "vecs",
+      "vec_id", sb,
+      Some(tombFilter(spark.table(s"graft_bq_vecs_$tag"))))
+    if (folding) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_bq_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+    }
+    attachBq(spark, tag, sb)
+    if (folding) {
+      val (n, fp) = fingerprint(
+        spark.table(s"graft_bq_vecs_$tag").select("vec_id", "embedding"))
+      writeMetaFull(base,
+        Seq("buckets" -> sb.toLong, "n_rows" -> n, "checksum" -> fp) ++
+          meta.get("last_batch_id").map("last_batch_id" -> _).toSeq ++
+          meta.get("last_del_batch_id")
+            .map("last_del_batch_id" -> _).toSeq,
+        Nil)
+    }
+    bqHandle(spark, tag)
+  }
+
+  /** Query the persisted BQ index: XOR+popcount Hamming over the
+    * stored 1-bit codes selects `m` candidates per query (bounded
+    * map-side TopKAgg — the scan reads 1/32 of the float bytes), exact
+    * float re-rank against the co-bucketed `vecs` table returns top-k.
+    * The candidate stage is [[SimilaritySearch.binaryCandidates]] —
+    * shared verbatim with the in-memory [[SimilaritySearch.binaryTopK]]
+    * path, so persisted ≡ in-memory by construction. The default m
+    * is the q162-certified 1536-dim margin; certify any new
+    * (dim, k, m) point against exact kNN before serving.
+    */
+  def queryBq(
+      queries: DataFrame,
+      handle: BqHandle,
+      k: Int = 4,
+      m: Int = 256): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    SimilaritySearch.rerank(
+      SimilaritySearch.binaryCandidates(queries, handle.codes, m),
+      queries, handle.vecs, k)
+  }
+
+  /** Metadata-FILTERED binary serving ([[querySq8Filtered]]'s 1-bit
+    * twin): `allowed` left-semi restricts the codes scan BEFORE
+    * candidate selection — top-m and top-k taken WITHIN the filtered
+    * set, never the silently-under-returning post-filter shape.
+    */
+  def queryBqFiltered(
+      queries: DataFrame,
+      handle: BqHandle,
+      allowed: DataFrame,
+      k: Int = 4,
+      m: Int = 256): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    SimilaritySearch.rerank(
+      SimilaritySearch.binaryCandidates(queries,
+        handle.codes.join(allowed.select("vec_id"), Seq("vec_id"),
+          "left_semi"), m),
+      queries, handle.vecs, k)
+  }
+
+  // -------------------------------------------------------------- IVF-BQ
+
+  /** Persisted IVF-BQ — 1-bit codes inside centroid-partitioned
+    * inverted lists (the Qdrant/Weaviate "binary quantization inside
+    * the index" serving layout, public): `lists` holds (vec_id,
+    * bcodes) partitioned by centroid_id, float `vecs` co-bucketed for
+    * the exact re-rank. A query prunes probed-list rows (DPP) AND
+    * reads each probed row at ⌈dim/8⌉ bytes — the two scan reductions
+    * multiply, 8× past even IVF-SQ8's bytes, paid for with the fatter
+    * re-rank margin the binary family needs (q168's certified
+    * nProbe/m point).
+    */
+  final case class IvfBqHandle(centroids: DataFrame, lists: DataFrame,
+      vecs: DataFrame)
+
+  private def ivfBqBase(spark: SparkSession, tag: String) =
+    s"${annBase(spark)}/graft_ann_ivfbq_$tag"
+
+  private def ivfBqRegistered(spark: SparkSession, tag: String): Boolean =
+    spark.catalog.tableExists(s"graft_ivfbq_lists_$tag") &&
+      spark.catalog.tableExists(s"graft_ivfbq_vecs_$tag")
+
+  private def attachIvfBq(spark: SparkSession, tag: String,
+      storageBuckets: Int): Unit = {
+    val base = ivfBqBase(spark, tag)
+    spark.sql(s"DROP TABLE IF EXISTS graft_ivfbq_lists_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_ivfbq_vecs_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_ivfbq_tombs_$tag")
+    registerExternal(spark, s"graft_ivfbq_lists_$tag", s"$base/lists",
+      partitionedBy = Some("centroid_id"))
+    registerExternal(spark, s"graft_ivfbq_vecs_$tag", s"$base/vecs",
+      clusteredBy = Some(("vec_id", storageBuckets)))
+    if (parquetReadable(spark, s"$base/tombs"))
+      registerExternal(spark, s"graft_ivfbq_tombs_$tag", s"$base/tombs",
+        clusteredBy = Some(("vec_id", storageBuckets)))
+  }
+
+  /** The served IVF-BQ view (the [[ivfSq8Handle]] discipline):
+    * tombstones are co-keyed by centroid, so a probed-list scan prunes
+    * its tombstones with it; the vecs side anti-joins on the shared
+    * vec_id bucketing.
+    */
+  private def ivfBqHandle(spark: SparkSession, tag: String): IvfBqHandle = {
+    val cents = spark.read.parquet(s"${ivfBqBase(spark, tag)}/centroids")
+    val lists = spark.table(s"graft_ivfbq_lists_$tag")
+    val vecs = spark.table(s"graft_ivfbq_vecs_$tag")
+    if (spark.catalog.tableExists(s"graft_ivfbq_tombs_$tag")) {
+      val tombs = spark.table(s"graft_ivfbq_tombs_$tag")
+      IvfBqHandle(cents,
+        lists.join(tombs, Seq("centroid_id", "vec_id"), "left_anti"),
+        vecs.join(tombs.select("vec_id"), Seq("vec_id"), "left_anti"))
+    } else IvfBqHandle(cents, lists, vecs)
+  }
+
+  /** Build (or reuse) the persisted IVF-BQ layout: k-means centroids
+    * train on the float vectors (same deterministic recipe as
+    * [[ensureIvf]]); the inverted lists land SIGN-PACKED (one per-row
+    * projection over the assignment — the float embedding never
+    * reaches the list layout); the float table lands bucketed by
+    * vec_id for the shuffle-free re-rank. Freshness per the
+    * `ensureLsh` discipline; a tombstoned layout rebuilds.
+    */
+  def ensureIvfBq(
+      spark: SparkSession,
+      sourceDir: String,
+      index: DataFrame,
+      lists: Int = 64,
+      iters: Int = 5,
+      storageBuckets: Int = 8,
+      snapshotId: Option[String] = None): IvfBqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfBqBase(spark, tag)
+    val listsTable = s"graft_ivfbq_lists_$tag"
+    val vecsTable = s"graft_ivfbq_vecs_$tag"
+    val centsPath = s"$base/centroids"
+    def serv(): Boolean = servable(spark,
+      Seq(s"$base/lists", s"$base/vecs", centsPath),
+      ivfBqRegistered(spark, tag),
+      () => attachIvfBq(spark, tag, storageBuckets))
+    def opFresh(meta: Map[String, Long]): Boolean =
+      meta.get("lists").contains(lists.toLong) &&
+        meta.get("iters").contains(iters.toLong) &&
+        meta.get("buckets").contains(storageBuckets.toLong)
+    def tombFree = readMeta(base).get("tomb_rows").forall(_ == 0L)
+    val snapFresh = snapshotId.exists(id =>
+      readMetaStrs(base).get("snapshot_id").contains(id) &&
+        opFresh(readMeta(base))) && tombFree
+    if (snapFresh && serv()) return ivfBqHandle(spark, tag)
+    val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
+    val meta = readMeta(base)
+    val metaFresh = opFresh(meta) &&
+      meta.get("n_rows").contains(n) &&
+      meta.get("checksum").contains(fp) && tombFree && serv()
+    if (!metaFresh) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivfbq_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+      val cents = SimilaritySearch.kMeansCentroids(
+        index.select("vec_id", "embedding"), lists, iters)
+      cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
+      val blists = SimilaritySearch.assignBinary(
+        index.select("vec_id", "embedding"), spark.read.parquet(centsPath))
+      spark.sql(s"DROP TABLE IF EXISTS $listsTable")
+      blists.write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/lists")
+        .partitionBy("centroid_id")
+        .format("parquet").saveAsTable(listsTable)
+      spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
+      index.select("vec_id", "embedding").write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/vecs")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(vecsTable)
+    }
+    if (!metaFresh || snapshotId.isDefined)
+      writeMetaFull(base,
+        Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
+          "buckets" -> storageBuckets.toLong,
+          "n_rows" -> n, "checksum" -> fp,
+          "n_base" -> (if (metaFresh) meta.getOrElse("n_base", n) else n)) ++
+          readMeta(base).get("last_batch_id")
+            .map("last_batch_id" -> _).toSeq ++
+          readMeta(base).get("last_del_batch_id")
+            .map("last_del_batch_id" -> _).toSeq,
+        snapshotId.map("snapshot_id" -> _).toSeq)
+    ivfBqHandle(spark, tag)
+  }
+
+  /** Incremental add into an existing persisted IVF-BQ index: new
+    * vectors are assigned to the STORED centroids and appended
+    * sign-packed into the partitioned lists (plus float rows into
+    * `vecs`) — O(new) per batch. Inherits [[upsertIvf]]'s
+    * centroid-drift gate (the BQ layer is per-row and drift-free, the
+    * centroids are not) and [[upsertSq8]]'s batchId replay-skip.
+    */
+  def upsertIvfBq(
+      spark: SparkSession,
+      sourceDir: String,
+      newVecs: DataFrame,
+      lists: Int = 64,
+      iters: Int = 5,
+      storageBuckets: Int = 8,
+      batchId: Option[Long] = None): IvfBqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfBqBase(spark, tag)
+    val centsPath = s"$base/centroids"
+    val meta = readMeta(base)
+    require(meta.get("lists").contains(lists.toLong) &&
+      meta.get("iters").contains(iters.toLong) &&
+      meta.get("buckets").contains(storageBuckets.toLong),
+      s"upsertIvfBq needs an existing index at the same operating point " +
+        s"(lists=$lists iters=$iters buckets=$storageBuckets); found $meta")
+    require(parquetReadable(spark, s"$base/lists") &&
+      parquetReadable(spark, s"$base/vecs") &&
+      parquetReadable(spark, centsPath),
+      s"persisted IVF-BQ layout for '$sourceDir' is unreadable — run " +
+        "ensureIvfBq to rebuild before upserting")
+    if (!ivfBqRegistered(spark, tag))
+      attachIvfBq(spark, tag, storageBuckets)
+    val replayed = batchId.exists(id =>
+      meta.get("last_batch_id").exists(id <= _))
+    if (replayed) return ivfBqHandle(spark, tag)
+    if (meta.get("tomb_rows").exists(_ > 0L) &&
+        spark.catalog.tableExists(s"graft_ivfbq_tombs_$tag")) {
+      val clash = spark.table(s"graft_ivfbq_tombs_$tag")
+        .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi").count()
+      require(clash == 0L,
+        s"upsertIvfBq: $clash incoming vec_id(s) are tombstoned — run " +
+          "compactIvfBq to fold deletions before re-inserting those ids")
+    }
+    val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
+    val nBase = meta.getOrElse("n_base", meta("n_rows"))
+    val tailAfter = meta("n_rows") + nNew - nBase
+    val maxRatio = ivfMaxTailRatio(spark)
+    if (nBase > 0 && tailAfter > maxRatio * nBase)
+      throw new IllegalStateException(
+        f"upsertIvfBq drift gate: upserted tail would reach $tailAfter " +
+          f"rows against a trained base of $nBase " +
+          f"(ratio ${tailAfter.toDouble / nBase}%.2f > $maxRatio%.2f). " +
+          "Rebuild with ensureIvfBq to retrain centroids, or raise " +
+          "spark.graft.ann.ivf.maxTailRatio.")
+    SimilaritySearch.assignBinary(
+        newVecs.select("vec_id", "embedding"), spark.read.parquet(centsPath))
+      .write.mode(SaveMode.Append)
+      .partitionBy("centroid_id")
+      .format("parquet").saveAsTable(s"graft_ivfbq_lists_$tag")
+    newVecs.select("vec_id", "embedding").write.mode(SaveMode.Append)
+      .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(s"graft_ivfbq_vecs_$tag")
+    writeMetaFull(base,
+      Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
+        "buckets" -> storageBuckets.toLong,
+        "n_rows" -> (meta("n_rows") + nNew),
+        "checksum" -> (meta("checksum") ^ fpNew),
+        "n_base" -> nBase) ++
+        batchId.orElse(meta.get("last_batch_id"))
+          .map("last_batch_id" -> _).toSeq ++
+        meta.get("tomb_rows").map("tomb_rows" -> _).toSeq ++
+        meta.get("last_del_batch_id").map("last_del_batch_id" -> _).toSeq,
+      Nil)
+    ivfBqHandle(spark, tag)
+  }
+
+  /** Delete by id from the persisted IVF-BQ index — [[deleteIvfSq8]]'s
+    * 1-bit twin: the batch's embeddings come from the bucketed float
+    * table, each id's nearest STORED centroid re-derives
+    * deterministically (identical input, identical tie-break → the
+    * exact (centroid_id, vec_id) the list row carries), tombstones
+    * append co-keyed by centroid. Same no-op/fold/snapshot/replay
+    * contracts as the SQ8 form.
+    */
+  def deleteIvfBq(
+      spark: SparkSession,
+      sourceDir: String,
+      ids: DataFrame,
+      batchId: Option[Long] = None): IvfBqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfBqBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("lists") && meta.contains("buckets"),
+      s"deleteIvfBq needs an existing persisted IVF-BQ index for " +
+        s"'$sourceDir' — run ensureIvfBq first")
+    val storageBuckets = meta("buckets").toInt
+    require(parquetReadable(spark, s"$base/lists") &&
+      parquetReadable(spark, s"$base/vecs") &&
+      parquetReadable(spark, s"$base/centroids"),
+      s"persisted IVF-BQ layout for '$sourceDir' is unreadable — run " +
+        "ensureIvfBq to rebuild before deleting")
+    if (!ivfBqRegistered(spark, tag))
+      attachIvfBq(spark, tag, storageBuckets)
+    val replayed = batchId.exists(id =>
+      meta.get("last_del_batch_id").exists(id <= _))
+    if (replayed) return ivfBqHandle(spark, tag)
+    val batch = SimilaritySearch.assignWithVecs(
+        spark.table(s"graft_ivfbq_vecs_$tag")
+          .join(ids.select("vec_id").distinct(), Seq("vec_id"),
+            "left_semi"),
+        spark.read.parquet(s"$base/centroids"))
+      .select("centroid_id", "vec_id")
+    val nDel = batch.count()
+    writeTombs(spark, base, s"graft_ivfbq_tombs_$tag", batch,
+      storageBuckets)
+    writeMetaFull(base,
+      (meta - "tomb_rows" - "last_del_batch_id").toSeq ++
+        Seq("tomb_rows" -> (meta.getOrElse("tomb_rows", 0L) + nDel)) ++
+        batchId.orElse(meta.get("last_del_batch_id"))
+          .map("last_del_batch_id" -> _).toSeq,
+      Nil) // snapshot_id intentionally dropped: the layout moved past it
+    ivfBqHandle(spark, tag)
+  }
+
+  /** True iff a persisted IVF-BQ layout exists for `sourceDir` AT the
+    * given operating point (meta check only — the [[ivfSq8Exists]]
+    * contract; a tombstoned layout must be OPENED, not re-ensured).
+    */
+  def ivfBqExists(spark: SparkSession, sourceDir: String,
+      lists: Int = 64, iters: Int = 5, storageBuckets: Int = 8): Boolean = {
+    val meta = readMeta(ivfBqBase(spark, IndexStore.pathTag(sourceDir)))
+    meta.get("lists").contains(lists.toLong) &&
+      meta.get("iters").contains(iters.toLong) &&
+      meta.get("buckets").contains(storageBuckets.toLong)
+  }
+
+  /** Open an existing persisted IVF-BQ index read-only, WITHOUT a
+    * freshness probe (the [[openIvfSq8]] contract).
+    */
+  def openIvfBq(spark: SparkSession, sourceDir: String): IvfBqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfBqBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("lists") && meta.contains("buckets"),
+      s"no persisted IVF-BQ index for '$sourceDir' ($base)")
+    require(parquetReadable(spark, s"$base/lists") &&
+      parquetReadable(spark, s"$base/vecs") &&
+      parquetReadable(spark, s"$base/centroids"),
+      s"persisted IVF-BQ layout for '$sourceDir' is unreadable — run " +
+        "ensureIvfBq to rebuild")
+    if (!ivfBqRegistered(spark, tag))
+      attachIvfBq(spark, tag, meta("buckets").toInt)
+    else {
+      spark.catalog.refreshTable(s"graft_ivfbq_lists_$tag")
+      spark.catalog.refreshTable(s"graft_ivfbq_vecs_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivfbq_tombs_$tag")
+      if (parquetReadable(spark, s"$base/tombs"))
+        registerExternal(spark, s"graft_ivfbq_tombs_$tag", s"$base/tombs",
+          clusteredBy = Some(("vec_id", meta("buckets").toInt)))
+    }
+    ivfBqHandle(spark, tag)
+  }
+
+  /** Compact the persisted IVF-BQ layout ([[compactIvfSq8]]'s 1-bit
+    * twin): rewrites the sign-packed lists at the same partitioning
+    * and the vecs at the same bucketing; FOLDS tombstones when present
+    * (n_base deliberately NOT reduced — the centroids trained on the
+    * original base). Not safe concurrent with a writer.
+    */
+  def compactIvfBq(spark: SparkSession, sourceDir: String): IvfBqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfBqBase(spark, tag)
+    openIvfBq(spark, sourceDir) // validates meta + attaches + refreshes
+    val meta = readMeta(base)
+    val sb = meta("buckets").toInt
+    val folding = meta.get("tomb_rows").exists(_ > 0L) &&
+      spark.catalog.tableExists(s"graft_ivfbq_tombs_$tag")
+    val tombs =
+      if (folding) Some(spark.table(s"graft_ivfbq_tombs_$tag")) else None
+    compactPartitioned(spark, base, s"graft_ivfbq_lists_$tag", "lists",
+      "centroid_id",
+      tombs.map(t => spark.table(s"graft_ivfbq_lists_$tag")
+        .join(t, Seq("centroid_id", "vec_id"), "left_anti")))
+    compactBucketed(spark, base, s"graft_ivfbq_vecs_$tag", "vecs",
+      "vec_id", sb,
+      tombs.map(t => spark.table(s"graft_ivfbq_vecs_$tag")
+        .join(t.select("vec_id"), Seq("vec_id"), "left_anti")))
+    if (folding) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivfbq_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+    }
+    attachIvfBq(spark, tag, sb)
+    if (folding) {
+      val (n, fp) = fingerprint(spark.table(s"graft_ivfbq_vecs_$tag")
+        .select("vec_id", "embedding"))
+      writeMetaFull(base,
+        (meta - "n_rows" - "checksum" - "tomb_rows").toSeq ++
+          Seq("n_rows" -> n, "checksum" -> fp),
+        Nil)
+    }
+    ivfBqHandle(spark, tag)
+  }
+
+  /** Query the persisted IVF-BQ index: rank centroids per query
+    * (broadcast, tiny), Hamming-scan ONLY the probed lists' 1-bit
+    * codes — the broadcast probe join on the partition column triggers
+    * dynamic partition pruning, so unprobed list directories are never
+    * read and probed rows cost 1/32 of the float bytes — then exact
+    * float re-rank of the m winners against the co-bucketed `vecs`.
+    * The candidate stage is [[SimilaritySearch.ivfBqCandidates]] —
+    * shared verbatim with the in-memory [[SimilaritySearch.ivfBqTopK]],
+    * so persisted ≡ in-memory by construction; q168's panel certifies
+    * the (nProbe, m) point against the float IVF path.
+    */
+  def queryIvfBq(
+      queries: DataFrame,
+      handle: IvfBqHandle,
+      k: Int = 4,
+      nProbe: Int = 24,
+      m: Int = 256): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    SimilaritySearch.rerank(
+      SimilaritySearch.ivfBqCandidates(queries, handle.lists,
+        handle.centroids, nProbe, m),
+      queries, handle.vecs, k)
+  }
+
+  /** Metadata-FILTERED search on the composed IVF-BQ layout
+    * ([[queryIvfSq8Filtered]]'s 1-bit twin): PRE-filter semantics —
+    * `allowed` restricts the probed sign-packed lists BEFORE top-m,
+    * DPP still prunes unprobed directories.
+    */
+  def queryIvfBqFiltered(
+      queries: DataFrame,
+      handle: IvfBqHandle,
+      allowed: DataFrame,
+      k: Int = 4,
+      nProbe: Int = 24,
+      m: Int = 256): DataFrame = {
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    SimilaritySearch.rerank(
+      SimilaritySearch.ivfBqCandidates(queries,
+        handle.lists.join(allowed.select("vec_id"), Seq("vec_id"),
+          "left_semi"),
+        handle.centroids, nProbe, m),
+      queries, handle.vecs, k)
+  }
+
   /** One row per persisted index store (the reference stack's
     * control-plane surface: Pinecone `pc.list_indexes()` for
     * create-or-connect, `index.describe_index_stats()` for occupancy —

@@ -261,8 +261,14 @@ object DedupStore {
       .select(col("lh"), col("df"), col("batch_id"), col("hb"))
       .write.mode(SaveMode.Append).partitionBy("hb")
       .parquet(dfDir)
+    // meta counts the FULL batch frame (dfb), not the post-exclusion
+    // toAppend set: rows a crashed attempt already committed are on
+    // disk but were never counted (it died before writeMeta), so
+    // counting only `pinned` would permanently undercount after a
+    // crash-retry — and dedupBatch's convention counts
+    // pinned-before-exclusion too
     writeMeta(b,
-      "n_rows" -> (meta.getOrElse("n_rows", 0L) + pinned.count()),
+      "n_rows" -> (meta.getOrElse("n_rows", 0L) + dfb.count()),
       "last_batch_id" -> batchId)
     out
   }

@@ -106,8 +106,14 @@ object SketchStore {
           "a fresh store")
       return
     }
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    pane.write.mode(SaveMode.Overwrite).partitionBy("batch_id")
+    // dynamic overwrite scoped to THIS write (the StreamOps pane
+    // pattern): a session-global conf flip would silently switch every
+    // later Overwrite+partitionBy in the session (e.g. AnnIndex ensure*
+    // rebuilds) from truncate-directory to dynamic semantics, letting a
+    // rebuild keep stale partitions its new assignment left empty
+    pane.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
       .parquet(s"$b/panes")
     writeMeta(b, "last_batch_id" -> batchId, "k" -> k.toLong,
       "seed" -> seed)

@@ -1078,6 +1078,10 @@ class OperatorsSpec extends AnyFunSuite {
       val o2c = outOf(DedupStore.lineDedupBatch(spark, key, b2,
         batchId = 2L, maxDf = 4))
       assert(o2c === o2)
+      // meta accounting survives the crash-retry: the increment counts
+      // the FULL batch frame, so rows the crashed attempt committed
+      // (on disk, never counted) are not lost from n_rows
+      assert(DedupStore.lineCount(spark, key) === n2)
       val rows = spark.read.parquet(s"$b/linedf")
       assert(rows.count() ===
         rows.select("lh", "batch_id").distinct().count())
@@ -2300,6 +2304,17 @@ class OperatorsSpec extends AnyFunSuite {
       SnapshotDiff.diff(v1.union(v1), v2, Seq("k"))
     }
     assert(dup.getMessage.contains("not unique"))
+    // null-pattern injectivity: a value MIGRATING between columns
+    // across nulls — (a=1,b=null) vs (a=null,b=1) — is a real update;
+    // a null-skipping fingerprint would hash both sides identically
+    // and silently classify it 'unchanged'
+    val n1 = Seq((1L, Some(1L), Option.empty[Long]),
+      (2L, Some(7L), Some(8L))).toDF("k", "a", "b")
+    val n2 = Seq((1L, Option.empty[Long], Some(1L)),
+      (2L, Some(7L), Some(8L))).toDF("k", "a", "b")
+    val nOps = SnapshotDiff.diff(n1, n2, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nOps === Map(1L -> "update", 2L -> "unchanged"))
   }
 
   test("SnapshotDiff.changeRows maintains a grouped view through " +
@@ -2389,6 +2404,13 @@ class OperatorsSpec extends AnyFunSuite {
       Sketches.kmvNovelty(items, "grp", col("it"), 128, 3L, maxGroups = 2)
     }
     assert(ex.getMessage.contains("maxGroups"))
+    // a LONE group has an empty complement: it must report everything
+    // novel, not vanish through an inner join on the empty pairing
+    val lone = Sketches.kmvNovelty(
+      items.filter(col("grp") === "A"), "grp", col("it"), 128, 3L)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(lone === Map("A" -> ((40, 40.0))))
   }
 
   test("CountMin: bucket replays MessageDigest md5-52bit mod w; point " +

@@ -421,22 +421,41 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   test("winnowing fingerprints: the selection is one native per-row " +
       "kernel — zero exchanges, no join; pairs shuffle 8-byte fps only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.functions.col
-    val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
-    val fp = graft.operators.Dedup.winnowFingerprints(docs)
-      .queryExecution.executedPlan.toString
-    assert(!fp.contains("Exchange"),
-      s"fingerprint construction gained a shuffle:\n$fp")
-    assert(!fp.contains("Join"), fp)
-    val pairs = graft.operators.Dedup
-      .winnowPairs(graft.operators.Dedup.winnowFingerprints(docs))
-      .queryExecution.executedPlan.toString
-    // the pair stage may shuffle — but every exchange keys on fp/id
-    // columns; document text stays in the per-row scan projection
-    val exch = pairs.linesIterator
-      .filter(_.trim.startsWith("Exchange")).toSeq
-    assert(exch.forall(!_.contains("text#")),
-      s"document text rode an exchange:\n${exch.mkString("\n")}")
+    // NB line-filtering plan text with .trim.startsWith("Exchange")
+    // is VACUOUS — Spark renders "+- Exchange …", so the filtered seq
+    // is always empty and any forall over it passes. Tree-walk the
+    // executed plan (AQE off so exchanges are visible pre-stage-
+    // materialization) — the q161/q167 guard pattern.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
+      val fp = graft.operators.Dedup.winnowFingerprints(docs)
+        .queryExecution.executedPlan
+      assert(fp.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"fingerprint construction gained a shuffle:\n$fp")
+      assert(!fp.toString.contains("Join"), fp.toString)
+      val pairs = graft.operators.Dedup
+        .winnowPairs(graft.operators.Dedup.winnowFingerprints(docs))
+        .queryExecution.executedPlan
+      // the pair stage may shuffle — but every exchange keys on fp/id
+      // columns; document text stays in the per-row scan projection
+      val exch = pairs.collect { case e: ShuffleExchangeExec => e }
+      assert(exch.nonEmpty,
+        s"pair stage lost its fp exchange — guard gone vacuous:\n$pairs")
+      assert(exch.forall(!_.child.output.exists(_.name == "text")),
+        s"document text rode an exchange:\n$pairs")
+      // negative control: force text onto an exchange; the guard's
+      // predicate must trip (proves the text check has teeth)
+      val forced = docs.repartition(4, col("doc_id"))
+        .select(col("doc_id"), col("text"))
+        .queryExecution.executedPlan
+      val fexch = forced.collect { case e: ShuffleExchangeExec => e }
+      assert(fexch.nonEmpty &&
+        fexch.exists(_.child.output.exists(_.name == "text")),
+        s"negative control failed to put text on an exchange:\n$forced")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("q148 group split: the ladder is a pure projection over the " +
@@ -451,16 +470,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"split assignment gained a shuffle:\n$p")
   }
 
-  test("q156 budget admission: exactly one exchange — the stratum-keyed " +
+  test("q156 budget admission: bounded exchanges — the stratum-keyed " +
       "cumulative window; text never shuffles") {
-    val p = physical("q156_budget_admit")
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
-    // stratum window + the final per-source aggregate reuse the same
-    // partitioning; anything beyond 2 exchanges means a lost reuse
-    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
-    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windowLines.nonEmpty && windowLines.forall(_.contains("source")),
-      s"the cumsum window is not keyed by the stratum:\n$p")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // tree-walk with AQE off, NOT a line filter on "Exchange" (which
+    // never matches Spark's "+- Exchange …" rendering — the inherited
+    // count was vacuously 0)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q156_budget_admit")(
+        spark, TestSpark.Sf0001).queryExecution.executedPlan
+      val exch = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exch.nonEmpty,
+        s"q156 lost its stratum exchange — guard gone vacuous:\n$plan")
+      // stratum window + the final per-source aggregate reuse the same
+      // partitioning; anything beyond 3 shuffles means a lost reuse
+      assert(exch.size <= 3, s"${exch.size} exchanges:\n$plan")
+      assert(exch.forall(!_.child.output.exists(_.name == "text")),
+        s"document text rode an exchange:\n$plan")
+      val p = plan.toString
+      val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windowLines.nonEmpty && windowLines.forall(_.contains("source")),
+        s"the cumsum window is not keyed by the stratum:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("q119 global shuffle: every window keyed by the bounded partition " +
