@@ -117,7 +117,11 @@ object Bench {
       // robust outliers; per-group sample; line dedup; binary ANN;
       // langid calibration
       "q155", "q156", "q157", "q158", "q159", "q160", "q161", "q162",
-      "q163")
+      "q163",
+      // round-10 additions: composed IVF-BQ identity panels — each runs
+      // the float-IVF (q192) or in-memory-composed (q193) reference and
+      // the exact kNN beside the persisted serving path under test
+      "q192", "q193")
     // The harness that records this line captures only the TAIL of the
     // process output (~2000 chars), so the parsed JSON line must stay
     // well under that: short query keys (the unique qNN prefix), 2-decimal

@@ -1448,6 +1448,138 @@ object PipelineQueries {
         .orderBy("source", "lang", "len_bucket")
     }),
 
+    // PERSISTED binary-quantized serving (round-10: the q105 discipline
+    // for the 1-bit family): build the q162 fixture's BQ layout ONCE on
+    // disk — 192-byte codes co-bucketed with the float vecs — and serve
+    // through AnnIndex.queryBq, whose candidate stage is the SAME
+    // SimilaritySearch.binaryCandidates the in-memory q162 path runs
+    // (persisted ≡ in-memory by construction). Hash-matches the exact
+    // kNN oracle over the tiled vectors at the certified m = 256.
+    "q190_bq_persisted" -> ((s, dir) => {
+      import graft.functions.expressions.VectorExpressions.tile_jitter
+      val emb = t(s, dir, "embeddings")
+      val tiled = emb.select(col("vec_id"),
+        tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+          sigma = 2.0).as("embedding"))
+        .localCheckpoint(false)
+      val q = tiled.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val h = graft.sources.AnnIndex.ensureBq(s, s"$dir#bq1536", tiled)
+      graft.sources.AnnIndex.queryBq(q, h, k = 4, m = 256)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // DELETE on the persisted BQ layout (q116's 1-bit twin): tombstone
+    // the 8 query vectors themselves — every rank-1 self-hit must
+    // disappear — and serve through the tombstone-filtered handle.
+    // Oracle: exact kNN over the tiled SURVIVORS (vec_id >= 8).
+    // Re-runs are deterministic: ensureBq treats a tombstoned layout
+    // as stale and rebuilds before re-deleting.
+    "q191_bq_delete" -> ((s, dir) => {
+      import graft.functions.expressions.VectorExpressions.tile_jitter
+      val emb = t(s, dir, "embeddings")
+      val tiled = emb.select(col("vec_id"),
+        tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+          sigma = 2.0).as("embedding"))
+        .localCheckpoint(false)
+      val q = tiled.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val key = s"$dir#bqdel"
+      graft.sources.AnnIndex.ensureBq(s, key, tiled)
+      val h = graft.sources.AnnIndex.deleteBq(s, key,
+        tiled.filter(col("vec_id") < 8).select("vec_id"))
+      graft.sources.AnnIndex.queryBq(q, h, k = 4, m = 256)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // PERSISTED composed IVF-BQ (q123's discipline for the binary
+    // family): centroid-partitioned 1-bit lists + co-bucketed float
+    // vecs live on disk at q168's certified operating point (8 lists,
+    // probe 4, m = 256); the panel pins output IDENTITY to the float
+    // IVF at the SAME stored centroids and the exact-recall floor.
+    // Build-once / serve-many: the snapshot-style exists-check keeps
+    // re-runs from retraining k-means.
+    "q192_ivfbq_persisted" -> ((s, dir) => {
+      import graft.functions.expressions.VectorExpressions.tile_jitter
+      val emb = t(s, dir, "embeddings")
+      val tiled = emb.select(col("vec_id"),
+        tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+          sigma = 2.0).as("embedding"))
+        .localCheckpoint(false)
+      val q = tiled.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val h = graft.sources.AnnIndex.ensureIvfBq(s, s"$dir#ivfbq1536",
+        tiled, lists = 8, iters = 2)
+      val served = graft.sources.AnnIndex
+        .queryIvfBq(q, h, k = 4, nProbe = 4, m = 256)
+        .select("query_id", "rank", "vec_id")
+      val fl = SimilaritySearch.ivfTopK(q, tiled, h.centroids, k = 4,
+          nProbe = 4)
+        .select("query_id", "rank", "vec_id")
+      val exact = SimilaritySearch.bruteForceTopKAgg(q, tiled, k = 4)
+        .select("query_id", "vec_id")
+      served.agg(count(lit(1)).as("n_bq"))
+        .crossJoin(served.exceptAll(fl).unionByName(fl.exceptAll(served))
+          .agg(count(lit(1)).as("n_diff_float")))
+        .crossJoin(served.join(exact, Seq("query_id", "vec_id"),
+            "left_semi")
+          .agg((count(lit(1)).cast("double") / lit(32.0) >= 0.4)
+            .as("recall_ok")))
+    }),
+
+    // 1536-dim IVF-BQ END-TO-END canary (the DIM1536/PQ1536 discipline
+    // applied to the binary family, over the REAL pipeline): chunk the
+    // documents, embed each chunk at the reference's 1536-dim operating
+    // point (AI.py:51 — deterministic hashing-trick embedder), persist
+    // the composed IVF-BQ layout, serve. The panel pins (a) identity of
+    // the PERSISTED serving to the in-memory composed path at the same
+    // stored centroids — the disk round trip (sign codes written, list
+    // partitions pruned, handle reattached) changes nothing — (b) the
+    // exact-kNN recall floor (measured ≥0.71 at every scale; floored at
+    // 0.4), (c) the 192-byte code width: no dim hardcoding anywhere in
+    // the lifecycle. Float-IVF IDENTITY is deliberately NOT claimed
+    // here: sparse hashing-trick sign bits (~40 set of 1536) only reach
+    // it at m ≈ corpus (E2eBqProbe: m=1024 clean at ~1k chunks, 22/32
+    // diffs at 10k; m=4096 = 41% of the corpus is no margin) — the
+    // measured negative control for this embedding family, exactly the
+    // contract binaryTopK documents. The informative-bits identity is
+    // q190-q192's jitter fixture.
+    "q193_ivfbq_1536_e2e" -> ((s, dir) => {
+      val index = graft.rag.RagPipeline.buildIndex(s,
+          t(s, dir, "documents"), chunkSize = 200, dim = 1536)
+        .select(col("chunk_id").as("vec_id"), col("embedding"))
+        .localCheckpoint(false)
+      // chunk 0 of docs 0-7: deterministic ids (doc_id·10⁴ + index)
+      val q = index
+        .filter(col("vec_id") < 80000 && col("vec_id") % 10000 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val h = graft.sources.AnnIndex.ensureIvfBq(s, s"$dir#ivfbq1536e2e",
+        index, lists = 8, iters = 2)
+      val served = graft.sources.AnnIndex
+        .queryIvfBq(q, h, k = 4, nProbe = 4, m = 256)
+        .select("query_id", "rank", "vec_id")
+      val mem = SimilaritySearch.ivfBqTopK(q, index, h.centroids, k = 4,
+          nProbe = 4, m = 256)
+        .select("query_id", "rank", "vec_id")
+      val exact = SimilaritySearch.bruteForceTopKAgg(q, index, k = 4)
+        .select("query_id", "vec_id")
+      served.agg(count(lit(1)).as("n_bq"))
+        .crossJoin(served.exceptAll(mem).unionByName(mem.exceptAll(served))
+          .agg(count(lit(1)).as("n_diff_mem")))
+        .crossJoin(served.join(exact, Seq("query_id", "vec_id"),
+            "left_semi")
+          .agg((count(lit(1)).cast("double") / lit(32.0) >= 0.4)
+            .as("recall_ok")))
+        .crossJoin(h.lists
+          .agg(max(length(col("bcodes"))).cast("long").as("code_bytes")))
+    }),
+
     // Exact equi-depth histogram of order revenue: boundaries at exact
     // global ranks ceil(i·N/16) under the (price, key) total order —
     // computed the distributed way (range repartition + per-partition
@@ -5588,41 +5720,27 @@ object PipelineQueries {
     // component for component, then plain exact kNN — hash-matching
     // proves the Hamming shortlist + re-rank output-lossless at
     // (k=4, m=128)
-    "q162_binary_ann_1536" ->
-      """WITH rmsq AS (
-        |  SELECT vec_id, embedding AS bemb,
-        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-        |                          CAST(embedding AS DOUBLE[])) / 64.0)
-        |      AS rms
-        |  FROM embeddings),
-        |tiled AS (
-        |  SELECT vec_id,
-        |    list_transform(range(1, 1537), i ->
-        |      CAST(CAST(bemb[(i - 1) % 64 + 1] AS DOUBLE)
-        |        + 2.0 * rms *
-        |          (CAST(concat('0x', substr(md5(
-        |             CAST(vec_id AS VARCHAR) || ':' ||
-        |             CAST(i AS VARCHAR)), 1, 13)) AS BIGINT)
-        |           / 4503599627370496.0 - 0.5) AS FLOAT)) AS embedding
-        |  FROM rmsq),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, x.vec_id,
-        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
-        |                     CAST(x.embedding AS DOUBLE[]))
-        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-        |                             CAST(q.embedding AS DOUBLE[])))
-        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
-        |                             CAST(x.embedding AS DOUBLE[]))))
-        |    AS score
-        |  FROM tiled q CROSS JOIN tiled x
-        |  WHERE q.vec_id < 8),
-        |ranked AS (
-        |  SELECT query_id, vec_id, score,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, vec_id, round(score, 6) AS score
-        |FROM ranked WHERE rank <= 4""".stripMargin,
+    "q162_binary_ann_1536" -> tiledBqKnnOracle("q.vec_id < 8"),
+    // the persisted BQ layout serves the identical output (the q105
+    // discipline for the 1-bit family)
+    "q190_bq_persisted" -> tiledBqKnnOracle("q.vec_id < 8"),
+    // BQ delete semantics: exact kNN over the tiled index MINUS the
+    // tombstoned ids (the 8 query vectors)
+    "q191_bq_delete" ->
+      tiledBqKnnOracle("q.vec_id < 8 AND x.vec_id >= 8"),
+    // persisted composed IVF-BQ: identity to the float-IVF path and
+    // the exact-recall floor, engine-verified; counts are the panel's
+    // replayable half (8 queries × k=4)
+    "q192_ivfbq_persisted" ->
+      """SELECT CAST(32 AS BIGINT) AS n_bq,
+        |CAST(0 AS BIGINT) AS n_diff_float, true AS recall_ok"""
+        .stripMargin,
+    // 1536-dim end-to-end canary: persisted ≡ in-memory through the
+    // disk round trip, the exact-recall floor, the 192-byte code width
+    "q193_ivfbq_1536_e2e" ->
+      """SELECT CAST(32 AS BIGINT) AS n_bq,
+        |CAST(0 AS BIGINT) AS n_diff_mem, true AS recall_ok,
+        |CAST(192 AS BIGINT) AS code_bytes""".stripMargin,
     // funnel: the first-match chain replayed level by level
     "q157_funnel" ->
       """WITH e AS (SELECT user_id, event_type, ts FROM events),
@@ -6049,6 +6167,48 @@ object PipelineQueries {
          |FROM touched t JOIN hits h ON t.rect_id = h.rect_id
          |ORDER BY t.rect_id, t.layout""".stripMargin
   }
+
+  /** q162/q190/q191 replay: the md5-jitter 1536-dim fixture rebuilt in
+    * SQL (2·rms uniform jitter per tiled component), exact cosine kNN
+    * over the pairs `pairFilter` admits — the query restriction for
+    * the serving paths, plus a survivor restriction for the delete
+    * semantics.
+    */
+  private def tiledBqKnnOracle(pairFilter: String): String =
+    s"""WITH rmsq AS (
+       |  SELECT vec_id, embedding AS bemb,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[])) / 64.0)
+       |      AS rms
+       |  FROM embeddings),
+       |tiled AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 1537), i ->
+       |      CAST(CAST(bemb[(i - 1) % 64 + 1] AS DOUBLE)
+       |        + 2.0 * rms *
+       |          (CAST(concat('0x', substr(md5(
+       |             CAST(vec_id AS VARCHAR) || ':' ||
+       |             CAST(i AS VARCHAR)), 1, 13)) AS BIGINT)
+       |           / 4503599627370496.0 - 0.5) AS FLOAT)) AS embedding
+       |  FROM rmsq),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id,
+       |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+       |                     CAST(x.embedding AS DOUBLE[]))
+       |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+       |                             CAST(q.embedding AS DOUBLE[])))
+       |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+       |                             CAST(x.embedding AS DOUBLE[]))))
+       |    AS score
+       |  FROM tiled q CROSS JOIN tiled x
+       |  WHERE $pairFilter),
+       |ranked AS (
+       |  SELECT query_id, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, round(score, 6) AS score
+       |FROM ranked WHERE rank <= 4""".stripMargin
 
   /** DuckDB canonical encoders matching [[Analyze.canon]]. */
   private val canonInt: String => String = x => s"CAST($x AS VARCHAR)"

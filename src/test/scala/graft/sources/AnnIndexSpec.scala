@@ -878,4 +878,269 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(after.getAs[Long]("last_batch_id") === 1L)
     assert(after.getAs[Long]("bytes") > row.getAs[Long]("bytes"))
   }
+
+  // ------------------------------------------------- BQ / IVF-BQ family
+  // BQ's deploy contract requires high ambient dimension (the measured
+  // 64-dim negative control never reaches identity), so every BQ test
+  // runs on the q162 fixture: 64-dim bases tiled 24× with 2·rms
+  // md5-jitter → 1536 dims, m = 256 the certified margin. Pinned once —
+  // tile_jitter is deterministic but the checkpoint keeps each consumer
+  // from re-deriving it.
+  private lazy val tiled1536: DataFrame = {
+    import graft.functions.expressions.VectorExpressions.tile_jitter
+    emb.select(col("vec_id"),
+      tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+        sigma = 2.0).as("embedding"))
+      .localCheckpoint(true)
+  }
+  private def tQueries: DataFrame =
+    tiled1536.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+
+  test("persisted BQ serves the exact kNN result, equals the in-memory " +
+      "binaryTopK, and reuses the layout") {
+    val src = s"spec-$runTag-bq"
+    val h = AnnIndex.ensureBq(spark, src, tiled1536)
+    val served = hits(AnnIndex.queryBq(tQueries, h, k = 4, m = 256))
+    val exact = hits(
+      SimilaritySearch.bruteForceTopK(tQueries, tiled1536, k = 4))
+    assert(served === exact)
+    assert(served === hits(
+      SimilaritySearch.binaryTopK(tQueries, tiled1536, k = 4, m = 256)))
+    // codes table carries the 1-bit layout: 1536 bits = 192 bytes/row
+    assert(h.codes.count() === tiled1536.count())
+    assert(h.codes.schema("bcodes").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    assert(h.codes.select(max(length(col("bcodes")))).head.getInt(0)
+      === 192)
+    // a second ensure over identical content must reuse (no rebuild)
+    val metaP = java.nio.file.Paths.get(
+      s"/tmp/graft_ann_bq_${IndexStore.pathTag(src)}", "_ann_meta.json")
+    val t1 = java.nio.file.Files.getLastModifiedTime(metaP)
+    val h2 = AnnIndex.ensureBq(spark, src, tiled1536)
+    assert(java.nio.file.Files.getLastModifiedTime(metaP) === t1,
+      "fresh layout must not rebuild")
+    assert(hits(AnnIndex.queryBq(tQueries, h2, k = 4, m = 256)) === exact)
+    // a content change is detected and rebuilt
+    val fewer = tiled1536.filter(col("vec_id") < 300)
+    val h3 = AnnIndex.ensureBq(spark, src, fewer)
+    assert(h3.codes.count() === fewer.count())
+  }
+
+  test("upserted BQ index answers identically to one built on the full " +
+      "set; a replayed batchId is skipped") {
+    val srcFull = s"spec-$runTag-bqfull"
+    val srcInc = s"spec-$runTag-bqinc"
+    val full = AnnIndex.ensureBq(spark, srcFull, tiled1536)
+    AnnIndex.ensureBq(spark, srcInc,
+      tiled1536.filter(col("vec_id") % 10 =!= 7))
+    val inc = AnnIndex.upsertBq(spark, srcInc,
+      tiled1536.filter(col("vec_id") % 10 === 7), batchId = Some(1L))
+    assert(hits(AnnIndex.queryBq(tQueries, inc, k = 4, m = 256)) ===
+      hits(AnnIndex.queryBq(tQueries, full, k = 4, m = 256)))
+    // replay: same batchId again must not duplicate rows
+    val n = inc.codes.count()
+    val rep = AnnIndex.upsertBq(spark, srcInc,
+      tiled1536.filter(col("vec_id") % 10 === 7), batchId = Some(1L))
+    assert(rep.codes.count() === n)
+  }
+
+  test("queryBqFiltered: pre-filter semantics — top-k within the " +
+      "filtered set, identical to exact kNN over the filtered index") {
+    val src = s"spec-$runTag-bqf"
+    val withLabel = Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val h = AnnIndex.ensureBq(spark, src, tiled1536)
+    val allowed = withLabel.filter(col("label") % 2 === 0)
+      .select("vec_id")
+    val served = hits(AnnIndex.queryBqFiltered(tQueries, h, allowed,
+      k = 4, m = 256))
+    val exact = hits(SimilaritySearch.bruteForceTopK(tQueries,
+      tiled1536.join(allowed, Seq("vec_id"), "left_semi"), k = 4))
+    assert(served === exact)
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    assert(served.forall(x => allowedIds(x._3)))
+    assert(served.groupBy(_._1).forall(_._2.size == 4))
+  }
+
+  test("deleteBq tombstones serve exact-kNN-minus-deleted; compactBq " +
+      "folds them physically; ensure over the source clears them") {
+    val src = s"spec-$runTag-bqdel"
+    AnnIndex.ensureBq(spark, src, tiled1536)
+    val delIds = tiled1536.filter(col("vec_id") < 8).select("vec_id")
+    val h = AnnIndex.deleteBq(spark, src, delIds)
+    assert(h.codes.count() === tiled1536.count() - 8)
+    val survivors = tiled1536.filter(col("vec_id") >= 8)
+    val expected = hits(
+      SimilaritySearch.bruteForceTopK(tQueries, survivors, k = 4))
+    assert(hits(AnnIndex.queryBq(tQueries, h, k = 4, m = 256))
+      === expected)
+    // deleting absent or already-deleted ids is a served-set no-op
+    val h2 = AnnIndex.deleteBq(spark, src,
+      spark.range(1000000, 1000004).toDF("vec_id")
+        .unionByName(delIds.limit(2)))
+    assert(hits(AnnIndex.queryBq(tQueries, h2, k = 4, m = 256))
+      === expected)
+    // replayed delete batch (last_del_batch_id) is skipped
+    AnnIndex.deleteBq(spark, src, delIds.limit(1), batchId = Some(7L))
+    AnnIndex.deleteBq(spark, src,
+      tiled1536.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+        .select("vec_id"),
+      batchId = Some(7L))
+    assert(hits(AnnIndex.queryBq(tQueries, AnnIndex.openBq(spark, src),
+      k = 4, m = 256)) === expected)
+    // re-inserting a tombstoned id fails loudly before the fold
+    val clash = intercept[IllegalArgumentException] {
+      AnnIndex.upsertBq(spark, src,
+        tiled1536.filter(col("vec_id") === 3))
+    }
+    assert(clash.getMessage.contains("tombstoned"))
+    // FOLD: physical removal, identical answers, tombstone dir gone
+    val folded = AnnIndex.compactBq(spark, src)
+    assert(folded.codes.count() === tiled1536.count() - 8)
+    assert(folded.vecs.count() === tiled1536.count() - 8)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"/tmp/graft_ann_bq_${IndexStore.pathTag(src)}", "tombs")))
+    assert(hits(AnnIndex.queryBq(tQueries, folded, k = 4, m = 256))
+      === expected)
+    // after the fold the deleted ids come back via plain upsert
+    val back = AnnIndex.upsertBq(spark, src,
+      tiled1536.filter(col("vec_id") < 8))
+    assert(hits(AnnIndex.queryBq(tQueries, back, k = 4, m = 256))
+      === hits(SimilaritySearch.bruteForceTopK(tQueries, tiled1536,
+        k = 4)))
+    // checksum coherence survived delete → fold → re-add: ensure over
+    // the original source reuses…
+    val metaP = java.nio.file.Paths.get(
+      s"/tmp/graft_ann_bq_${IndexStore.pathTag(src)}", "_ann_meta.json")
+    val t1 = java.nio.file.Files.getLastModifiedTime(metaP)
+    AnnIndex.ensureBq(spark, src, tiled1536)
+    assert(java.nio.file.Files.getLastModifiedTime(metaP) === t1,
+      "re-composed layout must satisfy ensure without a rebuild")
+    // …while a fresh delete followed by ensure REBUILDS (cleared tombs)
+    AnnIndex.deleteBq(spark, src, delIds)
+    val hClear = AnnIndex.ensureBq(spark, src, tiled1536)
+    assert(hClear.codes.count() === tiled1536.count())
+  }
+
+  test("compactBq rewrites upserted appends into few files per table " +
+      "with identical answers and untouched meta") {
+    val src = s"spec-$runTag-bqk"
+    AnnIndex.ensureBq(spark, src,
+      tiled1536.filter(col("vec_id") % 10 =!= 7))
+    for (b <- 0 until 3)
+      AnnIndex.upsertBq(spark, src,
+        tiled1536.filter(col("vec_id") % 30 === (7 + 10 * b)),
+        batchId = Some(b + 1L))
+    val base = s"/tmp/graft_ann_bq_${IndexStore.pathTag(src)}"
+    def files(sub: String): Long = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(base, sub))
+      try it.filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.toString.endsWith(".parquet")).count()
+      finally it.close()
+    }
+    val before = hits(AnnIndex.queryBq(tQueries,
+      AnnIndex.openBq(spark, src), k = 4, m = 256))
+    val filesBefore = files("codes")
+    val meta1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(base, "_ann_meta.json"))
+    val compacted = AnnIndex.compactBq(spark, src)
+    assert(files("codes") < filesBefore)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(base, "_ann_meta.json")) === meta1,
+      "compaction must not touch the meta")
+    assert(hits(AnnIndex.queryBq(tQueries, compacted, k = 4, m = 256))
+      === before)
+  }
+
+  test("persisted IVF-BQ equals the in-memory composed path AND the " +
+      "float IVF at the stored centroids; upsert stays converged") {
+    val src = s"spec-$runTag-ivfbq"
+    val h = AnnIndex.ensureIvfBq(spark, src, tiled1536, lists = 8,
+      iters = 3)
+    val served = hits(AnnIndex.queryIvfBq(tQueries, h, k = 4,
+      nProbe = 4, m = 256))
+    // identity to the float IVF at the SAME stored centroids (q168's
+    // closure: the 1-bit layer is output-lossless at the certified m)
+    assert(served === hits(SimilaritySearch.ivfTopK(tQueries, tiled1536,
+      h.centroids, k = 4, nProbe = 4)))
+    // identity to the in-memory composed path at the same centroids
+    assert(served === hits(SimilaritySearch.ivfBqTopK(tQueries,
+      tiled1536, h.centroids, k = 4, nProbe = 4, m = 256)))
+    // upsert: assign-to-stored-centroids appends stay converged
+    val srcInc = s"spec-$runTag-ivfbqinc"
+    AnnIndex.ensureIvfBq(spark, srcInc,
+      tiled1536.filter(col("vec_id") % 10 =!= 7), lists = 8, iters = 3)
+    val inc = AnnIndex.upsertIvfBq(spark, srcInc,
+      tiled1536.filter(col("vec_id") % 10 === 7), lists = 8, iters = 3,
+      batchId = Some(1L))
+    assert(hits(AnnIndex.queryIvfBq(tQueries, inc, k = 4, nProbe = 4,
+      m = 256)) === hits(SimilaritySearch.ivfBqTopK(tQueries, tiled1536,
+      inc.centroids, k = 4, nProbe = 4, m = 256)))
+    // replayed upsert batch is skipped
+    val n = inc.lists.count()
+    val rep = AnnIndex.upsertIvfBq(spark, srcInc,
+      tiled1536.filter(col("vec_id") % 10 === 7), lists = 8, iters = 3,
+      batchId = Some(1L))
+    assert(rep.lists.count() === n)
+  }
+
+  test("deleteIvfBq: centroid-co-keyed tombstones serve float-IVF-over-" +
+      "survivors; compactIvfBq folds them; re-add + ensure stay coherent") {
+    val src = s"spec-$runTag-ivfbqdel"
+    AnnIndex.ensureIvfBq(spark, src, tiled1536, lists = 8, iters = 3)
+    val delIds = tiled1536.filter(col("vec_id") < 8).select("vec_id")
+    val h = AnnIndex.deleteIvfBq(spark, src, delIds)
+    assert(h.lists.count() === tiled1536.count() - 8)
+    assert(h.vecs.count() === tiled1536.count() - 8)
+    val survivors = tiled1536.filter(col("vec_id") >= 8)
+    val expected = hits(SimilaritySearch.ivfTopK(tQueries, survivors,
+      h.centroids, k = 4, nProbe = 4))
+    assert(hits(AnnIndex.queryIvfBq(tQueries, h, k = 4, nProbe = 4,
+      m = 256)) === expected)
+    // absent/duplicate deletes are a served-set no-op; replay skipped
+    val h2 = AnnIndex.deleteIvfBq(spark, src,
+      spark.range(1000000, 1000004).toDF("vec_id")
+        .unionByName(delIds.limit(2)))
+    assert(hits(AnnIndex.queryIvfBq(tQueries, h2, k = 4, nProbe = 4,
+      m = 256)) === expected)
+    AnnIndex.deleteIvfBq(spark, src, delIds.limit(1), batchId = Some(7L))
+    AnnIndex.deleteIvfBq(spark, src,
+      tiled1536.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+        .select("vec_id"),
+      batchId = Some(7L))
+    assert(hits(AnnIndex.queryIvfBq(tQueries,
+      AnnIndex.openIvfBq(spark, src), k = 4, nProbe = 4, m = 256))
+      === expected)
+    // tombstoned re-insert refused before the fold
+    val clash = intercept[IllegalArgumentException] {
+      AnnIndex.upsertIvfBq(spark, src,
+        tiled1536.filter(col("vec_id") === 3), lists = 8, iters = 3)
+    }
+    assert(clash.getMessage.contains("tombstoned"))
+    // FOLD: physical removal, identical answers, tombstone dir gone
+    val folded = AnnIndex.compactIvfBq(spark, src)
+    assert(folded.lists.count() === tiled1536.count() - 8)
+    assert(folded.vecs.count() === tiled1536.count() - 8)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"/tmp/graft_ann_ivfbq_${IndexStore.pathTag(src)}", "tombs")))
+    assert(hits(AnnIndex.queryIvfBq(tQueries, folded, k = 4, nProbe = 4,
+      m = 256)) === expected)
+    // re-add after the fold; ensure over the source reuses
+    val back = AnnIndex.upsertIvfBq(spark, src,
+      tiled1536.filter(col("vec_id") < 8), lists = 8, iters = 3)
+    assert(hits(AnnIndex.queryIvfBq(tQueries, back, k = 4, nProbe = 4,
+      m = 256)) === hits(SimilaritySearch.ivfBqTopK(tQueries, tiled1536,
+      back.centroids, k = 4, nProbe = 4, m = 256)))
+    val metaP = java.nio.file.Paths.get(
+      s"/tmp/graft_ann_ivfbq_${IndexStore.pathTag(src)}", "_ann_meta.json")
+    val t1 = java.nio.file.Files.getLastModifiedTime(metaP)
+    AnnIndex.ensureIvfBq(spark, src, tiled1536, lists = 8, iters = 3)
+    assert(java.nio.file.Files.getLastModifiedTime(metaP) === t1,
+      "re-composed layout must satisfy ensure without a rebuild")
+    AnnIndex.deleteIvfBq(spark, src, delIds)
+    val hClear = AnnIndex.ensureIvfBq(spark, src, tiled1536, lists = 8,
+      iters = 3)
+    assert(hClear.lists.count() === tiled1536.count())
+  }
 }
