@@ -1580,6 +1580,43 @@ object PipelineQueries {
           .agg(max(length(col("bcodes"))).cast("long").as("code_bytes")))
     }),
 
+    // HYBRID DELETE end-to-end (round-10: the round-9 gap where a
+    // deleted document vanished from vector results but kept surfacing
+    // through BM25 fusion): build the quantized hybrid pair, tombstone
+    // every query's direct rank-1 chunk — the strongest visibility,
+    // every top hit must change — and serve through the OPENED
+    // tombstone-filtered pair. The panel pins zero symmetric
+    // difference vs the direct in-memory hybrid over the SURVIVING
+    // chunks (lexical: delete ≡ rebuild exactly; dense: the q116
+    // tombstoned-SQ8 identity at m=64 ≥ fetchK=10) and zero tombstoned
+    // chunks in the served output. Re-runs are deterministic: ensure*
+    // treats the tombstoned layouts as stale and rebuilds them before
+    // re-deleting.
+    "q194_hybrid_delete" -> ((s, dir) => {
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200)
+      val q = retrievalQueryDf(s)
+      val key = dir + "!hybdel"
+      def hitsOf(df: DataFrame) = df.select("query_id", "rank", "chunk_id")
+      // ensure both layouts fresh (rebuilds any prior run's tombstones)
+      RagPipeline.hybridRetrieveQuantized(s, key, q, index, k = 4)
+        .queryExecution.toRdd.count()
+      val victims = RagPipeline.hybridRetrieve(q, index, k = 4)
+        .filter(col("rank") === 1).select("chunk_id").distinct()
+        .localCheckpoint(false)
+      RagPipeline.hybridDeleteQuantized(s, key, victims)
+      val served = hitsOf(RagPipeline.hybridRetrieveQuantizedOpen(
+        s, key, q, index, k = 4)).localCheckpoint(false)
+      val expected = hitsOf(RagPipeline.hybridRetrieve(q,
+        index.join(victims, Seq("chunk_id"), "left_anti"), k = 4))
+      served.agg(count(lit(1)).as("n_served"))
+        .crossJoin(served.exceptAll(expected)
+          .unionByName(expected.exceptAll(served))
+          .agg(count(lit(1)).as("n_diff_survivor_direct")))
+        .crossJoin(served.join(victims, Seq("chunk_id"), "left_semi")
+          .agg(count(lit(1)).as("n_tombstoned_served")))
+    }),
+
     // Exact equi-depth histogram of order revenue: boundaries at exact
     // global ranks ceil(i·N/16) under the (price, key) total order —
     // computed the distributed way (range repartition + per-partition
@@ -5741,6 +5778,12 @@ object PipelineQueries {
       """SELECT CAST(32 AS BIGINT) AS n_bq,
         |CAST(0 AS BIGINT) AS n_diff_mem, true AS recall_ok,
         |CAST(192 AS BIGINT) AS code_bytes""".stripMargin,
+    // hybrid delete: served-after-delete ≡ direct hybrid over the
+    // surviving chunks (5 queries × k=4), zero tombstoned hits
+    "q194_hybrid_delete" ->
+      """SELECT CAST(20 AS BIGINT) AS n_served,
+        |CAST(0 AS BIGINT) AS n_diff_survivor_direct,
+        |CAST(0 AS BIGINT) AS n_tombstoned_served""".stripMargin,
     // funnel: the first-match chain replayed level by level
     "q157_funnel" ->
       """WITH e AS (SELECT user_id, event_type, ts FROM events),

@@ -615,6 +615,69 @@ object RagPipeline {
       .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
   }
 
+  /** Delete chunks from BOTH halves of the persisted quantized hybrid
+    * index — the lifecycle verb the reference stack exposes as Pinecone
+    * `delete(ids=...)` (public API), applied to the fused surface:
+    * deleting only from the dense side would keep the document
+    * surfacing through BM25 fusion (the round-9 gap). One id batch,
+    * two merge-on-read tombstone appends ([[graft.sources.AnnIndex
+    * .deleteSq8]] + [[graft.sources.KeywordIndex.deletePostings]]),
+    * each O(batch) with its own `last_del_batch_id` replay-skip.
+    * Serve through [[hybridRetrieveQuantizedOpen]] afterwards —
+    * `ensure*` treats a tombstoned layout as stale ("serve exactly
+    * this source") and would rebuild it, clearing the deletions.
+    */
+  def hybridDeleteQuantized(
+      spark: SparkSession,
+      sourceDir: String,
+      chunkIds: DataFrame,
+      batchId: Option[Long] = None): Unit = {
+    graft.sources.AnnIndex.deleteSq8(spark, sourceDir,
+      chunkIds.select(col("chunk_id").as("vec_id")), batchId = batchId)
+    graft.sources.KeywordIndex.deletePostings(spark, sourceDir,
+      chunkIds, idCol = "chunk_id", batchId = batchId)
+  }
+
+  /** [[hybridRetrieveQuantized]] served from the OPENED persisted pair
+    * (no freshness probe, no rebuild decision) — the reader's path
+    * while writers stream upserts in, and the ONLY correct path after
+    * [[hybridDeleteQuantized]]: both halves' handles carry their
+    * tombstone anti-joins, so a deleted chunk is excluded from the
+    * dense candidates AND the BM25 ranking before fusion — the fused
+    * output equals the direct [[hybridRetrieve]] over the surviving
+    * chunks exactly (q194 pins zero symmetric difference at every
+    * fixture scale; the lexical half is exact by the delete ≡ rebuild
+    * invariant, the dense half by the q116 tombstoned-SQ8 identity at
+    * the certified margin).
+    */
+  def hybridRetrieveQuantizedOpen(
+      spark: SparkSession,
+      sourceDir: String,
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
+      fetchK: Int = 10,
+      rrfK: Int = 60,
+      m: Int = 64,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    import graft.operators.KeywordSearch
+    require(fetchK >= k, s"fetchK=$fetchK must be >= k=$k")
+    require(m >= fetchK, s"candidate margin m=$m must be >= fetchK=$fetchK")
+    val q = queries
+      .withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
+      .select("query_id", "query_vec")
+    val h = graft.sources.AnnIndex.openSq8(spark, sourceDir)
+    val dense = graft.sources.AnnIndex.querySq8(q, h, fetchK, m)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val post = graft.sources.KeywordIndex.openPostings(spark, sourceDir)
+    val lexical = KeywordSearch.bm25TopKFromPostings(queries, post, fetchK)
+    KeywordSearch.rrfFuse(Seq(dense, lexical), k, rrfK)
+      .select(col("query_id"), col("rank"), col("doc_id").as("chunk_id"),
+        col("rrf_score").as("score"))
+      .join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
+      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+  }
+
   /** E2 context assembly: the stuff-chain concat — top-k chunk texts joined
     * by "\n\n" per query, in rank order (`/root/reference/AI.py:142`).
     */

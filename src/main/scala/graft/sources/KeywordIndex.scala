@@ -28,6 +28,7 @@ object KeywordIndex {
   private def kwBase(spark: SparkSession, tag: String) =
     s"${AnnIndex.annBase(spark)}/graft_kw_$tag"
   private def tableName(tag: String) = s"graft_kw_postings_$tag"
+  private def tombsName(tag: String) = s"graft_kw_tombs_$tag"
 
   private def registered(spark: SparkSession, tag: String): Boolean =
     spark.catalog.tableExists(tableName(tag))
@@ -37,6 +38,25 @@ object KeywordIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(tag)}")
     AnnIndex.registerExternal(spark, tableName(tag),
       s"${kwBase(spark, tag)}/postings")
+    spark.sql(s"DROP TABLE IF EXISTS ${tombsName(tag)}")
+    if (AnnIndex.parquetReadable(spark, s"${kwBase(spark, tag)}/tombs"))
+      AnnIndex.registerExternal(spark, tombsName(tag),
+        s"${kwBase(spark, tag)}/tombs")
+  }
+
+  /** The SERVED view: when a tombstone table exists the postings
+    * anti-join it on doc_id. Because df/avgdl/N derive at QUERY time
+    * from the merged postings ([[KeywordSearch.bm25TopKFromPostings]]),
+    * the anti-joined view answers IDENTICALLY to a rebuild from the
+    * surviving documents — delete ≡ rebuild exactly, the lexical twin
+    * of the upsert ≡ rebuild invariant. The tombstone side is a doc-id
+    * list (bounded by deletions, broadcast at query time).
+    */
+  private def served(spark: SparkSession, tag: String): DataFrame = {
+    val post = spark.table(tableName(tag))
+    if (spark.catalog.tableExists(tombsName(tag)))
+      post.join(spark.table(tombsName(tag)), Seq("doc_id"), "left_anti")
+    else post
   }
 
   private def metaMatches(meta: Map[String, Long], n: Long,
@@ -55,6 +75,13 @@ object KeywordIndex {
     // ensure* callers pass the CURRENT corpus); rebuilding from a source
     // that deliberately excludes applied batches needs a fresh sourceDir.
     val priorBatch = AnnIndex.readMeta(base).get("last_batch_id")
+    val priorDelBatch = AnnIndex.readMeta(base).get("last_del_batch_id")
+    // a rebuild serves exactly its source: tombstones are cleared (the
+    // ensureSq8 discipline) — the delete replay-skip window survives
+    spark.sql(s"DROP TABLE IF EXISTS ${tombsName(tag)}")
+    val tombDir = java.nio.file.Paths.get(base, "tombs")
+    if (java.nio.file.Files.exists(tombDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(tag)}")
     KeywordSearch.bm25Postings(docs, idCol, textCol)
       .write.mode(SaveMode.Overwrite)
@@ -62,7 +89,8 @@ object KeywordIndex {
       .format("parquet").saveAsTable(tableName(tag))
     AnnIndex.writeMetaFull(base,
       Seq("n_docs" -> n, "checksum" -> fp) ++
-        priorBatch.map("last_batch_id" -> _).toSeq,
+        priorBatch.map("last_batch_id" -> _).toSeq ++
+        priorDelBatch.map("last_del_batch_id" -> _).toSeq,
       snapshotId.map("snapshot_id" -> _).toSeq)
   }
 
@@ -81,14 +109,18 @@ object KeywordIndex {
       snapshotId: Option[String] = None): DataFrame = {
     val tag = IndexStore.pathTag(sourceDir)
     val base = kwBase(spark, tag)
+    // a tombstoned layout no longer equals postings(source): ensure's
+    // contract is "serve exactly this source", so deletions force a
+    // rebuild which clears them (the ensureSq8 discipline)
+    def tombFree = AnnIndex.readMeta(base).get("tomb_rows").forall(_ == 0L)
     val snapFresh = snapshotId.exists { id =>
       AnnIndex.readMetaStrs(base).get("snapshot_id").contains(id) &&
         AnnIndex.readMeta(base).contains("checksum")
-    }
+    } && tombFree
     if (snapFresh && AnnIndex.servable(spark, Seq(s"$base/postings"),
         registered(spark, tag), () => attach(spark, tag))) {
       spark.catalog.refreshTable(tableName(tag))
-      return spark.table(tableName(tag))
+      return served(spark, tag)
     }
     val (n, fp) = AnnIndex.fingerprint(
       docs.select(docs(idCol), docs(textCol)))
@@ -97,10 +129,11 @@ object KeywordIndex {
     // rename window) counts as STALE — the rebuild is the recovery path
     // (AnnIndex.servable: footer probe + attach, never trusting this
     // session's registration alone)
-    val metaFresh = metaMatches(meta, n, fp) &&
+    val metaFresh = metaMatches(meta, n, fp) && tombFree &&
       AnnIndex.servable(spark, Seq(s"$base/postings"),
         registered(spark, tag), () => attach(spark, tag))
-    if (!metaFresh) build(spark, tag, docs, idCol, textCol, n, fp, snapshotId)
+    if (!metaFresh)
+      build(spark, tag, docs, idCol, textCol, n, fp, snapshotId)
     else if (snapshotId.isDefined)
       // content unchanged under a new snapshot name: record the id so
       // the next ensure at this snapshot skips the scan entirely —
@@ -113,7 +146,7 @@ object KeywordIndex {
     // a cross-process writer may have appended since this session last
     // listed the table — reuse must serve the CURRENT files
     spark.catalog.refreshTable(tableName(tag))
-    spark.table(tableName(tag))
+    served(spark, tag)
   }
 
   /** Open the persisted postings WITHOUT a freshness probe — the
@@ -126,7 +159,7 @@ object KeywordIndex {
   def openPostings(spark: SparkSession, sourceDir: String): DataFrame = {
     val tag = IndexStore.pathTag(sourceDir)
     val base = kwBase(spark, tag)
-    require(AnnIndex.readMeta(base).contains("checksum"),
+    require(AnnIndex.readMeta(base).contains("n_docs"),
       s"no persisted keyword index for $sourceDir — run ensurePostings")
     // readability (one footer read, not a freshness scan): a surviving
     // catalog registration over a gutted directory would otherwise read
@@ -135,8 +168,15 @@ object KeywordIndex {
       s"persisted keyword layout for $sourceDir is unreadable (crashed " +
         "compaction?) — run ensurePostings to rebuild")
     if (!registered(spark, tag)) attach(spark, tag)
-    spark.catalog.refreshTable(tableName(tag))
-    spark.table(tableName(tag))
+    else {
+      spark.catalog.refreshTable(tableName(tag))
+      // tombstones may have (dis)appeared under another session's
+      // delete or fold — re-derive the registration from the store
+      spark.sql(s"DROP TABLE IF EXISTS ${tombsName(tag)}")
+      if (AnnIndex.parquetReadable(spark, s"$base/tombs"))
+        AnnIndex.registerExternal(spark, tombsName(tag), s"$base/tombs")
+    }
+    served(spark, tag)
   }
 
   /** Incremental add: postings for the NEW documents only, appended —
@@ -156,7 +196,7 @@ object KeywordIndex {
     val tag = IndexStore.pathTag(sourceDir)
     val base = kwBase(spark, tag)
     val meta = AnnIndex.readMeta(base)
-    require(meta.contains("checksum"),
+    require(meta.contains("n_docs"),
       s"upsertPostings needs an existing index for $sourceDir — run " +
         "ensurePostings first")
     // appending into a crashed-compaction gutted layout would RECREATE
@@ -169,7 +209,21 @@ object KeywordIndex {
     if (!registered(spark, tag)) attach(spark, tag)
     val replayed = batchId.exists(id =>
       meta.get("last_batch_id").exists(id <= _))
-    if (replayed) return spark.table(tableName(tag))
+    if (replayed) return served(spark, tag)
+    // append-only + tombstone contract (the upsertSq8 discipline):
+    // re-adding a deleted doc would be silently swallowed by the
+    // tombstone anti-join — fail loudly; compactPostings folds first
+    if (meta.get("tomb_rows").exists(_ > 0L)) {
+      if (!spark.catalog.tableExists(tombsName(tag)) &&
+          AnnIndex.parquetReadable(spark, s"$base/tombs"))
+        AnnIndex.registerExternal(spark, tombsName(tag), s"$base/tombs")
+      val clash = spark.table(tombsName(tag))
+        .join(newDocs.select(newDocs(idCol).as("doc_id")), Seq("doc_id"),
+          "left_semi").count()
+      require(clash == 0L,
+        s"upsertPostings: $clash incoming doc id(s) are tombstoned — " +
+          "run compactPostings to fold deletions before re-inserting")
+    }
     val (nNew, fpNew) = AnnIndex.fingerprint(
       newDocs.select(newDocs(idCol), newDocs(textCol)))
     KeywordSearch.bm25Postings(newDocs, idCol, textCol)
@@ -178,13 +232,79 @@ object KeywordIndex {
     // any stored snapshot_id is deliberately dropped — the layout is now
     // ahead of the snapshot that id named (the upsertLsh rule)
     AnnIndex.writeMetaFull(base,
-      Seq("n_docs" -> (meta("n_docs") + nNew),
-        "checksum" -> (meta("checksum") ^ fpNew)) ++
+      Seq("n_docs" -> (meta("n_docs") + nNew)) ++
+        // absent after a tombstone fold (no source text to re-derive
+        // from): stays absent — the next ensure rebuilds and re-seeds
+        meta.get("checksum").map(c => "checksum" -> (c ^ fpNew)).toSeq ++
         batchId.orElse(meta.get("last_batch_id"))
-          .map("last_batch_id" -> _).toSeq,
+          .map("last_batch_id" -> _).toSeq ++
+        meta.get("tomb_rows").map("tomb_rows" -> _).toSeq ++
+        meta.get("last_del_batch_id")
+          .map("last_del_batch_id" -> _).toSeq,
       Nil)
     spark.catalog.refreshTable(tableName(tag))
-    spark.table(tableName(tag))
+    served(spark, tag)
+  }
+
+  /** Delete documents by id from the persisted keyword index — the
+    * lexical half of the vector-store delete verb ([[AnnIndex
+    * .deleteSq8]]'s twin; without it a hybrid deployment's deleted
+    * documents vanish from vector results but keep surfacing through
+    * BM25 fusion). Merge-on-read tombstones: the id batch APPENDS to a
+    * doc-id tombstone table (O(batch), no postings rewrite) and every
+    * served view anti-joins it. Because corpus statistics derive at
+    * query time from the merged postings, the tombstoned view answers
+    * EXACTLY like a rebuild from the survivors — delete ≡ rebuild with
+    * no recall caveat (q194 hash-matches the survivor-rebuilt oracle).
+    *
+    * Deleting absent or already-deleted ids is a semantic no-op. A
+    * delete moves the layout past any named snapshot (stored
+    * `snapshot_id` dropped) and past the source content
+    * ([[ensurePostings]] over the original source rebuilds, clearing
+    * deletions). [[compactPostings]] folds tombstones physically.
+    * `batchId` gives streaming delete feeds replay-skip on its own
+    * counter (`last_del_batch_id`), as [[AnnIndex.deleteSq8]].
+    */
+  def deletePostings(
+      spark: SparkSession,
+      sourceDir: String,
+      ids: DataFrame,
+      idCol: String = "doc_id",
+      batchId: Option[Long] = None): DataFrame = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = kwBase(spark, tag)
+    val meta = AnnIndex.readMeta(base)
+    require(meta.contains("checksum") || meta.contains("n_docs"),
+      s"deletePostings needs an existing keyword index for $sourceDir " +
+        "— run ensurePostings first")
+    require(AnnIndex.parquetReadable(spark, s"$base/postings"),
+      s"persisted keyword layout for $sourceDir is unreadable (crashed " +
+        "compaction?) — run ensurePostings to rebuild before deleting")
+    if (!registered(spark, tag)) attach(spark, tag)
+    val replayed = batchId.exists(id =>
+      meta.get("last_del_batch_id").exists(id <= _))
+    if (replayed) return served(spark, tag)
+    val batch = ids.select(ids(idCol).as("doc_id")).distinct()
+    val nDel = batch.count()
+    // tombs written by another session must attach BEFORE the
+    // exists-check (the AnnIndex.writeTombs rule)
+    if (!spark.catalog.tableExists(tombsName(tag)) &&
+        AnnIndex.parquetReadable(spark, s"$base/tombs"))
+      AnnIndex.registerExternal(spark, tombsName(tag), s"$base/tombs")
+    if (spark.catalog.tableExists(tombsName(tag)))
+      batch.write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(tombsName(tag))
+    else
+      batch.write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/tombs")
+        .format("parquet").saveAsTable(tombsName(tag))
+    AnnIndex.writeMetaFull(base,
+      (meta - "tomb_rows" - "last_del_batch_id").toSeq ++
+        Seq("tomb_rows" -> (meta.getOrElse("tomb_rows", 0L) + nDel)) ++
+        batchId.orElse(meta.get("last_del_batch_id"))
+          .map("last_del_batch_id" -> _).toSeq,
+      Nil) // snapshot_id intentionally dropped: the layout moved past it
+    served(spark, tag)
   }
 
   /** Compact the persisted layout: a long-running streaming ingest
@@ -213,15 +333,41 @@ object KeywordIndex {
       numFiles: Int = 8): DataFrame = {
     val tag = IndexStore.pathTag(sourceDir)
     val base = kwBase(spark, tag)
-    val rows = openPostings(spark, sourceDir)
+    val rows = openPostings(spark, sourceDir) // already tombstone-filtered
+    val meta = AnnIndex.readMeta(base)
+    val folding = meta.get("tomb_rows").exists(_ > 0L) &&
+      spark.catalog.tableExists(tombsName(tag))
     AnnIndex.sweepStaleCompaction(base, "postings")
     val sidePath = s"$base/postings_compact_${ProcessHandle.current.pid}"
     rows.repartition(numFiles, org.apache.spark.sql.functions.col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(sidePath)
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(tag)}")
     AnnIndex.swapDir(s"$base/postings", sidePath)
+    if (folding) {
+      spark.sql(s"DROP TABLE IF EXISTS ${tombsName(tag)}")
+      val tombDir = java.nio.file.Paths.get(base, "tombs")
+      if (java.nio.file.Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+    }
     attach(spark, tag)
-    spark.table(tableName(tag))
+    if (folding) {
+      // the tombstone FOLD physically removed documents. Unlike the
+      // ANN folds there is no stored source text to re-fingerprint
+      // from, so the (doc_id, text) checksum CANNOT be re-derived:
+      // n_docs is recounted from the surviving postings and the
+      // checksum is DROPPED — upsert/open/delete keep working off
+      // n_docs, while the next ensurePostings over any source finds no
+      // matching checksum and rebuilds (re-seeding it). Documented
+      // cost: one rebuild-sized ensure after a fold, never a silently
+      // wrong reuse. Replay-skip windows survive; tomb_rows resets.
+      val nLive = spark.table(tableName(tag))
+        .select("doc_id").distinct().count()
+      AnnIndex.writeMetaFull(base,
+        (meta - "n_docs" - "checksum" - "tomb_rows").toSeq ++
+          Seq("n_docs" -> nLive),
+        Nil)
+    }
+    served(spark, tag)
   }
 
   /** Deterministic build-plus-upsert (the q82 shape): reuse when the
@@ -244,12 +390,13 @@ object KeywordIndex {
     val ubase = kwBase(spark, tag)
     val combinedFresh = metaMatches(
       AnnIndex.readMeta(ubase), nb + nt, fb ^ ft) &&
+      AnnIndex.readMeta(ubase).get("tomb_rows").forall(_ == 0L) &&
       AnnIndex.servable(spark, Seq(s"$ubase/postings"),
         registered(spark, tag), () => attach(spark, tag))
     if (!combinedFresh) {
       build(spark, tag, baseDocs, idCol, textCol, nb, fb, None)
       upsertPostings(spark, sourceDir, tailDocs, idCol, textCol)
     }
-    spark.table(tableName(tag))
+    served(spark, tag)
   }
 }

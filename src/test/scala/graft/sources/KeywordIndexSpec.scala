@@ -173,4 +173,65 @@ class KeywordIndexSpec extends AnyFunSuite {
     assert(hits(KeywordSearch.bm25TopKFromPostings(queries, post, k = 5))
       === hits(KeywordSearch.bm25TopK(queries, docs, k = 5)))
   }
+
+  test("deletePostings: tombstoned serving equals a rebuild from the " +
+      "survivors EXACTLY; fold via compactPostings; ensure clears") {
+    val src = s"kwspec-$runTag-h"
+    KeywordIndex.ensurePostings(spark, src, docs)
+    // delete the rank-1 docs of every query: the strongest visibility
+    val victims = KeywordSearch.bm25TopK(queries, docs, k = 5)
+      .filter(col("rank") === 1).select("doc_id").distinct()
+      .localCheckpoint(true)
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    assert(victimIds.nonEmpty)
+    val served = KeywordIndex.deletePostings(spark, src, victims)
+    val survivors = docs.join(victims, Seq("doc_id"), "left_anti")
+    val expected = hits(KeywordSearch.bm25TopK(queries, survivors, k = 5))
+    val got = hits(KeywordSearch.bm25TopKFromPostings(queries, served,
+      k = 5))
+    assert(got === expected,
+      "tombstoned postings must score exactly like a survivor rebuild " +
+        "(df/avgdl/N re-derive at query time)")
+    assert(got.forall(h5 => !victimIds(h5._3)),
+      "a deleted doc surfaced through BM25")
+    // absent/duplicate deletes are a served-set no-op; replay skipped
+    val served2 = KeywordIndex.deletePostings(spark, src,
+      spark.range(9000000, 9000004).toDF("doc_id")
+        .unionByName(victims.limit(1)))
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, served2,
+      k = 5)) === expected)
+    KeywordIndex.deletePostings(spark, src, victims.limit(1),
+      batchId = Some(7L))
+    KeywordIndex.deletePostings(spark, src,
+      survivors.limit(3).select("doc_id"), batchId = Some(7L))
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries,
+      KeywordIndex.openPostings(spark, src), k = 5)) === expected)
+    // re-inserting a tombstoned doc fails loudly before the fold
+    val clash = intercept[IllegalArgumentException] {
+      KeywordIndex.upsertPostings(spark, src,
+        docs.filter(col("doc_id") === victimIds.head))
+    }
+    assert(clash.getMessage.contains("tombstoned"))
+    // FOLD: physical removal; tombs dir gone; identical answers
+    val folded = KeywordIndex.compactPostings(spark, src)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"/tmp/graft_kw_${IndexStore.pathTag(src)}", "tombs")))
+    assert(folded.join(victims, Seq("doc_id"), "left_semi").count() === 0)
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, folded,
+      k = 5)) === expected)
+    // post-fold re-add via plain upsert restores the full corpus
+    val back = KeywordIndex.upsertPostings(spark, src,
+      docs.join(victims, Seq("doc_id"), "left_semi"))
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, back, k = 5))
+      === hits(KeywordSearch.bm25TopK(queries, docs, k = 5)))
+    // the fold dropped the checksum (no source text to re-derive it):
+    // ensure over the original source REBUILDS and re-seeds it
+    val post = KeywordIndex.ensurePostings(spark, src, docs)
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, post, k = 5))
+      === hits(KeywordSearch.bm25TopK(queries, docs, k = 5)))
+    // …and a fresh delete followed by ensure also clears (tombFree gate)
+    KeywordIndex.deletePostings(spark, src, victims)
+    val cleared = KeywordIndex.ensurePostings(spark, src, docs)
+    assert(cleared.join(victims, Seq("doc_id"), "left_semi").count() > 0)
+  }
 }
