@@ -635,6 +635,162 @@ object StreamOps {
         }
       }
 
+  /** [[streamingSq8Delete]]'s composed-index twin: id batches arriving
+    * on `ids(vec_id)` tombstone the persisted IVF-SQ8 index once per
+    * micro-batch ([[graft.sources.AnnIndex.deleteIvfSq8]] — embeddings
+    * fetched from the bucketed float table, centroid re-derived
+    * deterministically, O(batch) co-keyed append; replay-skip on the
+    * delete stream's OWN counter so an interleaved upsert stream can't
+    * mask a replayed delete). [[graft.sources.AnnIndex.compactIvfSq8]]
+    * folds between ingest windows.
+    */
+  def streamingIvfSq8Delete(
+      ids: DataFrame,
+      sourceDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AnnIndex.deleteIvfSq8(batch.sparkSession,
+            sourceDir, batch.toDF(), batchId = Some(id))
+          ()
+        }
+      }
+
+  /** [[streamingIvfSq8Delete]]'s PQ twin: tombstones the persisted
+    * IVF-PQ index per micro-batch with the same centroid co-keying and
+    * delete-counter replay-skip.
+    */
+  def streamingIvfPqDelete(
+      ids: DataFrame,
+      sourceDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AnnIndex.deleteIvfPq(batch.sparkSession,
+            sourceDir, batch.toDF(), batchId = Some(id))
+          ()
+        }
+      }
+
+  /** [[streamingSq8Upsert]]'s 1-bit twin: vectors arriving on
+    * `vecs(vec_id, embedding)` extend the persisted BQ index once per
+    * micro-batch ([[graft.sources.AnnIndex.upsertBq]] — per-row
+    * sign-packing, O(batch) append, batchId replay-skip; no trained
+    * artifact, so no drift gate).
+    */
+  def streamingBqUpsert(
+      vecs: DataFrame,
+      sourceDir: String,
+      storageBuckets: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AnnIndex.upsertBq(batch.sparkSession, sourceDir,
+            batch.toDF(), storageBuckets, batchId = Some(id))
+          ()
+        }
+      }
+
+  /** [[streamingSq8Delete]]'s 1-bit twin. */
+  def streamingBqDelete(
+      ids: DataFrame,
+      sourceDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AnnIndex.deleteBq(batch.sparkSession, sourceDir,
+            batch.toDF(), batchId = Some(id))
+          ()
+        }
+      }
+
+  /** [[streamingSq8Retrieve]]'s 1-bit twin: open-per-trigger reads of
+    * the stored BQ layout, Hamming shortlist over the 192-byte codes +
+    * exact float re-rank.
+    */
+  def streamingBqRetrieve(
+      queries: DataFrame,
+      sourceDir: String,
+      k: Int = 4,
+      m: Int = 256)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val h = graft.sources.AnnIndex.openBq(batch.sparkSession, sourceDir)
+          sink(graft.sources.AnnIndex.queryBq(batch.toDF(), h, k, m), id)
+        }
+      }
+
+  /** [[streamingIvfSq8Upsert]]'s 1-bit twin: assignment to the STORED
+    * centroids + per-row sign-packing, O(batch) append into the probed
+    * list layout; carries the IVF drift gate (the centroids are
+    * trained, the BQ layer is not).
+    */
+  def streamingIvfBqUpsert(
+      vecs: DataFrame,
+      sourceDir: String,
+      lists: Int = 64,
+      iters: Int = 5,
+      storageBuckets: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AnnIndex.upsertIvfBq(batch.sparkSession, sourceDir,
+            batch.toDF(), lists, iters, storageBuckets, batchId = Some(id))
+          ()
+        }
+      }
+
+  /** [[streamingIvfSq8Delete]]'s 1-bit twin. */
+  def streamingIvfBqDelete(
+      ids: DataFrame,
+      sourceDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.AnnIndex.deleteIvfBq(batch.sparkSession,
+            sourceDir, batch.toDF(), batchId = Some(id))
+          ()
+        }
+      }
+
+  /** [[streamingIvfSq8Retrieve]]'s 1-bit twin: open-per-trigger reads,
+    * probe → DPP-pruned Hamming list scan → exact re-rank.
+    */
+  def streamingIvfBqRetrieve(
+      queries: DataFrame,
+      sourceDir: String,
+      k: Int = 4,
+      nProbe: Int = 24,
+      m: Int = 256)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val h = graft.sources.AnnIndex.openIvfBq(batch.sparkSession,
+            sourceDir)
+          sink(graft.sources.AnnIndex.queryIvfBq(batch.toDF(), h, k,
+            nProbe, m), id)
+        }
+      }
+
   final case class UserQuestion(
       user_id: Long, ts: Timestamp, question: String)
   final case class UserProfile(

@@ -422,6 +422,185 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toSet === expected)
   }
 
+  test("streaming composed deletes: streamed tombstone feeds serve " +
+      "composed-kNN-minus-deleted on IVF-SQ8 and IVF-PQ, parity with " +
+      "batch delete") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.AnnIndex
+    import graft.operators.SimilaritySearch
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val survivors = emb.filter(col("vec_id") >= 8)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+
+    val src1 = s"stream-ivfsq8del-$tag"
+    val h1 = AnnIndex.ensureIvfSq8(spark, src1, emb, lists = 8, iters = 3)
+    val ids1 = MemoryStream[Long]
+    val del1 = StreamOps.streamingIvfSq8Delete(
+      ids1.toDF().toDF("vec_id"), src1).start()
+    ids1.addData(0L to 7L: _*)
+    del1.processAllAvailable()
+    del1.stop()
+    val exp1 = SimilaritySearch.ivfTopK(q, survivors, h1.centroids,
+        k = 4, nProbe = 3)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+    assert(AnnIndex.queryIvfSq8(q, AnnIndex.openIvfSq8(spark, src1),
+        k = 4, nProbe = 3, m = 16)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+      === exp1)
+    // a replayed delete batch (same micro-batch id) is skipped: replay
+    // the SAME stream from a fresh MemoryStream at batch id 0 with
+    // different ids — the counter already covers id 0, nothing appends
+    val tombsBefore = spark.read.parquet(
+      s"/tmp/graft_ann_ivfsq8_${graft.sources.IndexStore.pathTag(src1)}/tombs")
+      .count()
+    val ids1r = MemoryStream[Long]
+    val del1r = StreamOps.streamingIvfSq8Delete(
+      ids1r.toDF().toDF("vec_id"), src1).start()
+    ids1r.addData(8L, 9L)
+    del1r.processAllAvailable()
+    del1r.stop()
+    assert(spark.read.parquet(
+      s"/tmp/graft_ann_ivfsq8_${graft.sources.IndexStore.pathTag(src1)}/tombs")
+      .count() === tombsBefore,
+      "a replayed delete micro-batch id must be skipped")
+
+    val src2 = s"stream-ivfpqdel-$tag"
+    val h2 = AnnIndex.ensureIvfPq(spark, src2, emb, lists = 8, iters = 2)
+    val ids2 = MemoryStream[Long]
+    val del2 = StreamOps.streamingIvfPqDelete(
+      ids2.toDF().toDF("vec_id"), src2).start()
+    ids2.addData(0L to 7L: _*)
+    del2.processAllAvailable()
+    del2.stop()
+    val exp2 = SimilaritySearch.ivfTopK(q, survivors, h2.centroids,
+        k = 4, nProbe = 3)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+    assert(AnnIndex.queryIvfPq(q, AnnIndex.openIvfPq(spark, src2),
+        k = 4, nProbe = 3, m = 128)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+      === exp2)
+  }
+
+  test("end-to-end persisted BQ streams: streamed 1-bit appends " +
+      "converge, streamed queries serve, streamed tombstones delete") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.AnnIndex
+    import graft.operators.SimilaritySearch
+    import graft.functions.expressions.VectorExpressions.tile_jitter
+    val tiled = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"),
+        tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+          sigma = 2.0).as("embedding"))
+      .localCheckpoint(true)
+    val src = s"stream-bq-${java.util.UUID.randomUUID().toString.take(8)}"
+    AnnIndex.ensureBq(spark, src, tiled.filter(col("vec_id") % 10 =!= 7))
+    val tail = tiled.filter(col("vec_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val vecsIn = MemoryStream[(Long, Array[Float])]
+    val ingest = StreamOps.streamingBqUpsert(
+      vecsIn.toDF().toDF("vec_id", "embedding"), src).start()
+    vecsIn.addData(tail.toIndexedSeq: _*)
+    ingest.processAllAvailable()
+    ingest.stop()
+
+    val q = tiled.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = SimilaritySearch.bruteForceTopK(q, tiled, k = 4)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+    val qIn = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val ask = StreamOps.streamingBqRetrieve(
+      qIn.toDF().toDF("query_id", "query_vec"), src, k = 4, m = 256) {
+      (batch, _) =>
+        got ++= batch.select("query_id", "rank", "vec_id")
+          .collect().map(_.toSeq)
+    }.start()
+    qIn.addData(q.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq: _*)
+    ask.processAllAvailable()
+    ask.stop()
+    assert(got.toSet === exact)
+
+    // streamed tombstones: serving answers exact-kNN-minus-deleted
+    val idsIn = MemoryStream[Long]
+    val del = StreamOps.streamingBqDelete(
+      idsIn.toDF().toDF("vec_id"), src).start()
+    idsIn.addData(0L to 7L: _*)
+    del.processAllAvailable()
+    del.stop()
+    val expectedDel = SimilaritySearch.bruteForceTopK(q,
+        tiled.filter(col("vec_id") >= 8), k = 4)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+    assert(AnnIndex.queryBq(q, AnnIndex.openBq(spark, src), k = 4,
+        m = 256)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+      === expectedDel)
+  }
+
+  test("streaming IVF-BQ twins: streamed stored-centroid appends " +
+      "converge, streamed queries serve the composed path, streamed " +
+      "tombstones delete") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.AnnIndex
+    import graft.operators.SimilaritySearch
+    import graft.functions.expressions.VectorExpressions.tile_jitter
+    val tiled = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"),
+        tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+          sigma = 2.0).as("embedding"))
+      .localCheckpoint(true)
+    val src = s"stream-ivfbq-${java.util.UUID.randomUUID().toString.take(8)}"
+    val h0 = AnnIndex.ensureIvfBq(spark, src,
+      tiled.filter(col("vec_id") % 10 =!= 7), lists = 8, iters = 3)
+    val tail = tiled.filter(col("vec_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val vecsIn = MemoryStream[(Long, Array[Float])]
+    val ingest = StreamOps.streamingIvfBqUpsert(
+      vecsIn.toDF().toDF("vec_id", "embedding"), src, lists = 8,
+      iters = 3).start()
+    vecsIn.addData(tail.toIndexedSeq: _*)
+    ingest.processAllAvailable()
+    ingest.stop()
+
+    val q = tiled.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val expected = SimilaritySearch.ivfBqTopK(q, tiled, h0.centroids,
+        k = 4, nProbe = 4, m = 256)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+    val qIn = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val ask = StreamOps.streamingIvfBqRetrieve(
+      qIn.toDF().toDF("query_id", "query_vec"), src, k = 4, nProbe = 4,
+      m = 256) { (batch, _) =>
+      got ++= batch.select("query_id", "rank", "vec_id")
+        .collect().map(_.toSeq)
+    }.start()
+    qIn.addData(q.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq: _*)
+    ask.processAllAvailable()
+    ask.stop()
+    assert(got.toSet === expected)
+
+    val idsIn = MemoryStream[Long]
+    val del = StreamOps.streamingIvfBqDelete(
+      idsIn.toDF().toDF("vec_id"), src).start()
+    idsIn.addData(0L to 7L: _*)
+    del.processAllAvailable()
+    del.stop()
+    val expDel = SimilaritySearch.ivfTopK(q,
+        tiled.filter(col("vec_id") >= 8), h0.centroids, k = 4, nProbe = 4)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+    assert(AnnIndex.queryIvfBq(q, AnnIndex.openIvfBq(spark, src),
+        k = 4, nProbe = 4, m = 256)
+      .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet
+      === expDel)
+  }
+
   test("streamingChat: the reference's ask loop end-to-end — history " +
       "conditions the next batch's retrieval; clear resets it") {
     implicit val sqlCtx = spark.sqlContext
