@@ -1617,6 +1617,46 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_tombstoned_served")))
     }),
 
+    // MMR retriever mode over the QUANTIZED flagship fetch (round-10:
+    // the reference's search_type="mmr" served from compressed codes):
+    // retrieveMmrQuantized fetches fetchK=20 candidates from the
+    // persisted SQ8 layout (m=64 ≥ fetchK — the q145 margin) and runs
+    // the greedy MMR stage on them; the panel pins zero symmetric
+    // difference on (query_id, rank, chunk_id) vs the float-path
+    // retrieveMmr at every fixture scale.
+    "q195_mmr_quantized" -> ((s, dir) => {
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200)
+      val q = retrievalQueryDf(s)
+      def hitsOf(df: DataFrame) = df.select("query_id", "rank", "chunk_id")
+      val fl = hitsOf(RagPipeline.retrieveMmr(q, index, k = 4,
+        fetchK = 20, lambda = 0.5))
+      val quant = hitsOf(RagPipeline.retrieveMmrQuantized(s,
+        dir + "!mmrq", q, index, k = 4, fetchK = 20, lambda = 0.5,
+        m = 64))
+      fl.agg(count(lit(1)).as("n_float"))
+        .crossJoin(quant.exceptAll(fl).unionByName(fl.exceptAll(quant))
+          .agg(count(lit(1)).as("n_diff")))
+    }),
+
+    // Score-threshold retrieval served from the PERSISTED SQ8 codes
+    // (round-10: q118's retriever mode composed onto the quantized
+    // serving layout): top-10 from the compressed scan + exact re-rank
+    // at m=64, pre-filter ranks, cosine ≥ 0.32 filter — hash-matching
+    // the SAME float-path DuckDB oracle as q118.
+    "q196_threshold_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val h = graft.sources.AnnIndex.ensureSq8(s, dir,
+        emb.select("vec_id", "embedding"))
+      graft.sources.AnnIndex.querySq8(q, h, k = 10, m = 64)
+        .filter(col("score") >= 0.32)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // Exact equi-depth histogram of order revenue: boundaries at exact
     // global ranks ceil(i·N/16) under the (price, key) total order —
     // computed the distributed way (range repartition + per-partition
@@ -3856,25 +3896,15 @@ object PipelineQueries {
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     // threshold retrieval: rank within top-10 BEFORE the score filter,
     // exactly the reference stack's filter-a-scored-list semantics
-    "q118_threshold_retrieval" ->
-      """WITH scored AS (
-        |  SELECT q.vec_id AS query_id, x.vec_id,
-        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
-        |                     CAST(x.embedding AS DOUBLE[]))
-        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-        |                             CAST(q.embedding AS DOUBLE[])))
-        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
-        |                             CAST(x.embedding AS DOUBLE[]))))
-        |    AS score
-        |  FROM embeddings q CROSS JOIN embeddings x
-        |  WHERE q.vec_id < 8),
-        |ranked AS (
-        |  SELECT query_id, vec_id, score,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, vec_id, round(score, 6) AS score
-        |FROM ranked WHERE rank <= 10 AND score >= 0.32""".stripMargin,
+    "q118_threshold_retrieval" -> thresholdKnnOracle,
+    // the quantized-served threshold mode returns the identical output
+    // at the certified m ≥ k margin — same oracle as q118
+    "q196_threshold_sq8" -> thresholdKnnOracle,
+    // quantized-fetch MMR ≡ float-path MMR at the RAG surface: 5
+    // queries × k=4 hits, zero symmetric difference
+    "q195_mmr_quantized" ->
+      """SELECT CAST(20 AS BIGINT) AS n_float,
+        |CAST(0 AS BIGINT) AS n_diff""".stripMargin,
     // the identical md5-keyed permutation, replayed relationally
     "q119_global_shuffle" ->
       """SELECT doc_id, n_chars,
@@ -6210,6 +6240,30 @@ object PipelineQueries {
          |FROM touched t JOIN hits h ON t.rect_id = h.rect_id
          |ORDER BY t.rect_id, t.layout""".stripMargin
   }
+
+  /** q118/q196 replay: exact top-10 cosine, pre-filter ranks, then the
+    * score-threshold filter — the reference stack's
+    * `similarity_score_threshold` semantics.
+    */
+  private val thresholdKnnOracle: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, x.vec_id,
+      |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+      |                     CAST(x.embedding AS DOUBLE[]))
+      |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+      |                             CAST(q.embedding AS DOUBLE[])))
+      |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+      |                             CAST(x.embedding AS DOUBLE[]))))
+      |    AS score
+      |  FROM embeddings q CROSS JOIN embeddings x
+      |  WHERE q.vec_id < 8),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, round(score, 6) AS score
+      |FROM ranked WHERE rank <= 10 AND score >= 0.32""".stripMargin
 
   /** q162/q190/q191 replay: the md5-jitter 1536-dim fixture rebuilt in
     * SQL (2·rms uniform jitter per tiled component), exact cosine kNN

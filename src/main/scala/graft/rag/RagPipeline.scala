@@ -209,6 +209,102 @@ object RagPipeline {
       .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
   }
 
+  /** E2 retrieval in the `search_type="mmr"` retriever mode (the
+    * reference stack's LangChain MMR retriever, public API) at the RAG
+    * surface: embed the queries, fetch the `fetchK` most relevant
+    * chunks, greedily re-select `k` trading relevance against
+    * redundancy at `lambda`, re-attach chunk metadata. The float
+    * reference path for [[retrieveMmrQuantized]].
+    */
+  def retrieveMmr(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
+      fetchK: Int = 20,
+      lambda: Double = 0.5,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    val q = queries
+      .withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
+      .select("query_id", "query_vec")
+    val idx = index.select(col("chunk_id").as("vec_id"), col("embedding"))
+    graft.operators.SimilaritySearch.mmrTopK(q, idx, k, fetchK, lambda)
+      .select(col("query_id"), col("rank"), col("vec_id").as("chunk_id"),
+        col("mmr_score"))
+      .join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
+      .select("query_id", "rank", "chunk_id", "doc_id", "mmr_score",
+        "text")
+  }
+
+  /** [[retrieveMmr]] with the FETCH stage served from the persisted
+    * SQ8 codes — the retriever mode composed onto the quantized
+    * flagship's fetch (what [[hybridRetrieveQuantized]] did for the
+    * fused surface): the fetchK-deep candidate ranking scans the
+    * 4×-compressed codes + exact-reranks (querySq8 at the certified
+    * m ≥ fetchK margin — identical to the exact fetch, the q145
+    * argument), and the MMR greedy stage runs unchanged on the fetched
+    * rows. Output IDENTICAL to [[retrieveMmr]] at the certified margin
+    * (q195 pins zero symmetric difference at every fixture scale).
+    */
+  def retrieveMmrQuantized(
+      spark: SparkSession,
+      sourceDir: String,
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
+      fetchK: Int = 20,
+      lambda: Double = 0.5,
+      m: Int = 64,
+      snapshotId: Option[String] = None,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    require(fetchK >= k, s"fetchK=$fetchK must be >= k=$k")
+    require(m >= fetchK, s"candidate margin m=$m must be >= fetchK=$fetchK")
+    val q = queries
+      .withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
+      .select("query_id", "query_vec")
+    val idx = index.select(col("chunk_id").as("vec_id"), col("embedding"))
+    val h = graft.sources.AnnIndex.ensureSq8(spark, sourceDir, idx,
+      snapshotId = snapshotId)
+    val fetched = graft.sources.AnnIndex.querySq8(q, h, fetchK, m)
+    graft.operators.SimilaritySearch.mmrRerank(fetched, idx, k, lambda)
+      .select(col("query_id"), col("rank"), col("vec_id").as("chunk_id"),
+        col("mmr_score"))
+      .join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
+      .select("query_id", "rank", "chunk_id", "doc_id", "mmr_score",
+        "text")
+  }
+
+  /** Score-threshold retrieval (`similarity_score_threshold`, public
+    * LangChain API) with the scan served from the persisted SQ8 codes:
+    * top-k from the compressed scan + exact re-rank (identical to the
+    * exact top-k at the certified margin), then only hits at cosine ≥
+    * `minScore` survive — pre-filter ranks, possibly fewer than k rows
+    * per query, exactly the reference's filter-a-scored-list semantics
+    * (q196 hash-matches the q118 float-path oracle).
+    */
+  def retrieveThresholdQuantized(
+      spark: SparkSession,
+      sourceDir: String,
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 4,
+      minScore: Double = 0.0,
+      m: Int = 64,
+      snapshotId: Option[String] = None,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    val q = queries
+      .withColumn("query_vec", Embedder.embedCol(col("query_text"), dim))
+      .select("query_id", "query_vec")
+    val idx = index.select(col("chunk_id").as("vec_id"), col("embedding"))
+    val h = graft.sources.AnnIndex.ensureSq8(spark, sourceDir, idx,
+      snapshotId = snapshotId)
+    graft.sources.AnnIndex.querySq8(q, h, k, m)
+      .filter(col("score") >= minScore)
+      .select(col("query_id"), col("rank"), col("vec_id").as("chunk_id"),
+        col("score"))
+      .join(index.select("chunk_id", "doc_id", "text"), Seq("chunk_id"))
+      .select("query_id", "rank", "chunk_id", "doc_id", "score", "text")
+  }
+
   /** The reference's TITULAR capability — "adaptive recommendation":
     * retrieval conditioned on the user's accumulated history (the
     * README's "learning and adaptation from chat history"; the
