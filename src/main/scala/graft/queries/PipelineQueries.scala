@@ -1657,6 +1657,80 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // ENTITY RESOLUTION / record linkage (round-10): resolve part
+    // records to entities — block on (first name token, brand), pair
+    // within blocks at levenshtein ≤ 2, collapse the match graph with
+    // the alternating-CC machinery, canonical entity = min partkey.
+    // The within-block pairing is the only quadratic and the largest
+    // block is guard-probed loudly (128 rows at sf0.1); the oracle
+    // replays pairs + recursive-CTE closure.
+    "q198_entity_resolution" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      graft.operators.RecordLinkage.resolveEntities(
+          part, "p_partkey", "p_name",
+          concat_ws("|", split(col("p_name"), " ").getItem(0),
+            col("p_brand")),
+          maxDist = 2)
+        .orderBy("p_partkey")
+    }),
+
+    // SCD2 interval build (round-10): the events feed collapsed to
+    // slowly-changing-dimension rows per user — consecutive runs of
+    // the same event_type fold into one [valid_from, valid_to)
+    // interval, is_current on each user's open row. One key-partitioned
+    // window pass (lag change detection + lead close), ties ordered by
+    // (ts, value) on BOTH windows; the oracle replays the identical
+    // window arithmetic. Interval bounds ship as epoch MICROS (the
+    // house timestamp-output rule — raw timestamps compare ns-vs-us
+    // across engines).
+    "q199_scd2_intervals" -> ((s, dir) =>
+      graft.operators.Scd2.fromChanges(
+          t(s, dir, "events").filter(col("user_id") % 5 === 0)
+            .select("user_id", "ts", "event_type"),
+          "user_id", "ts", Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from_us", "event_type")),
+
+    // DATA-CONTRACT AUDIT (round-10): the expectations gate a 100 TB
+    // ingest runs before anything downstream trusts the batch — key
+    // uniqueness, not-null, referential integrity (one anti-join count
+    // each), range and cross-table rules (one aggregate each), unioned
+    // into the verdict panel. The events value-cap check FAILS with a
+    // real violation share at every scale (live teeth — an audit whose
+    // checks all pass proves only that it ran).
+    "q200_data_contract" -> ((s, dir) => {
+      import graft.operators.DataContract._
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val docs = t(s, dir, "documents")
+      val events = t(s, dir, "events")
+      val shipJoin = li.select("l_orderkey", "l_shipdate")
+        .join(orders.select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderdate")), Seq("l_orderkey"))
+      panel(Seq(
+        unique("c01_customer_key_unique", "customer", customer,
+          "c_custkey"),
+        notNull("c02_orders_custkey_notnull", "orders", orders,
+          "o_custkey"),
+        refIntegrity("c03_orders_customer_fk", "orders", orders,
+          "o_custkey", customer, "c_custkey"),
+        refIntegrity("c04_lineitem_orders_fk", "lineitem", li,
+          "l_orderkey", orders, "o_orderkey"),
+        expect("c05_totalprice_positive", "orders", orders,
+          col("o_totalprice") > 0),
+        expect("c06_quantity_in_range", "lineitem", li,
+          col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        expect("c07_ship_after_order", "lineitem_orders", shipJoin,
+          col("l_shipdate") >= col("o_orderdate")),
+        unique("c08_doc_id_unique", "documents", docs, "doc_id"),
+        expect("c09_event_value_cap", "events", events,
+          col("value") <= 10)))
+    }),
+
     // Exact equi-depth histogram of order revenue: boundaries at exact
     // global ranks ceil(i·N/16) under the (price, key) total order —
     // computed the distributed way (range repartition + per-partition
@@ -5814,6 +5888,107 @@ object PipelineQueries {
       """SELECT CAST(20 AS BIGINT) AS n_served,
         |CAST(0 AS BIGINT) AS n_diff_survivor_direct,
         |CAST(0 AS BIGINT) AS n_tombstoned_served""".stripMargin,
+    // entity resolution: blocked levenshtein pairs + recursive-CTE
+    // transitive closure, canonical entity = min partkey
+    "q198_entity_resolution" ->
+      """WITH RECURSIVE
+        |p AS (SELECT p_partkey AS id, p_name AS name,
+        |    split_part(p_name, ' ', 1) || '|' || p_brand AS blk
+        |  FROM part),
+        |pr AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b
+        |    ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (SELECT ia AS a, ib AS b FROM pr
+        |  UNION SELECT ib, ia FROM pr),
+        |reach AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |    WHERE r.a != e.b),
+        |lab AS (SELECT a AS id, least(a, min(b)) AS ent
+        |  FROM reach GROUP BY a)
+        |SELECT p.id AS p_partkey,
+        |  CAST(coalesce(lab.ent, p.id) AS BIGINT) AS entity_id
+        |FROM p LEFT JOIN lab ON p.id = lab.id
+        |ORDER BY p_partkey""".stripMargin,
+    // SCD2: the identical lag/lead window arithmetic, half-open
+    // intervals, is_current on each key's open row
+    "q199_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |  WHERE user_id % 5 = 0),
+        |m AS (SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_type) AS p
+        |  FROM e),
+        |o AS (SELECT user_id, event_type, ts AS valid_from FROM m
+        |  WHERE p IS NULL OR p <> event_type),
+        |iv AS (SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, event_type) AS valid_to
+        |  FROM o)
+        |SELECT user_id, event_type,
+        |  epoch_us(valid_from) AS valid_from_us,
+        |  epoch_us(valid_to) AS valid_to_us,
+        |  valid_to IS NULL AS is_current
+        |FROM iv
+        |ORDER BY user_id, valid_from_us, event_type""".stripMargin,
+    // data-contract audit: every check's count arithmetic replayed —
+    // uniqueness (dup-excess + nulls), not-null, referential anti-join
+    // counts, range/cross-table predicates (null predicate = violation)
+    "q200_data_contract" ->
+      """WITH ship AS (
+        |  SELECT l.l_shipdate, o.o_orderdate FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |checks AS (
+        |  SELECT 'c01_customer_key_unique' AS check_name,
+        |    'customer' AS table_name,
+        |    (SELECT count(*) FROM customer) AS n_rows,
+        |    (SELECT coalesce(sum(n - 1), 0) FROM (
+        |       SELECT count(*) AS n FROM customer
+        |       WHERE c_custkey IS NOT NULL GROUP BY c_custkey
+        |       HAVING count(*) > 1) t)
+        |    + (SELECT count(*) FROM customer WHERE c_custkey IS NULL)
+        |      AS n_violations
+        |  UNION ALL SELECT 'c02_orders_custkey_notnull', 'orders',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        |  UNION ALL SELECT 'c03_orders_customer_fk', 'orders',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM customer c
+        |         WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'c04_lineitem_orders_fk', 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM orders o
+        |         WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'c05_totalprice_positive', 'orders',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders
+        |       WHERE NOT coalesce(o_totalprice > 0, false))
+        |  UNION ALL SELECT 'c06_quantity_in_range', 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE NOT
+        |       coalesce(l_quantity >= 1 AND l_quantity <= 50, false))
+        |  UNION ALL SELECT 'c07_ship_after_order', 'lineitem_orders',
+        |    (SELECT count(*) FROM ship),
+        |    (SELECT count(*) FROM ship WHERE NOT
+        |       coalesce(l_shipdate >= o_orderdate, false))
+        |  UNION ALL SELECT 'c08_doc_id_unique', 'documents',
+        |    (SELECT count(*) FROM documents),
+        |    (SELECT coalesce(sum(n - 1), 0) FROM (
+        |       SELECT count(*) AS n FROM documents
+        |       WHERE doc_id IS NOT NULL GROUP BY doc_id
+        |       HAVING count(*) > 1) t)
+        |    + (SELECT count(*) FROM documents WHERE doc_id IS NULL)
+        |  UNION ALL SELECT 'c09_event_value_cap', 'events',
+        |    (SELECT count(*) FROM events),
+        |    (SELECT count(*) FROM events
+        |       WHERE NOT coalesce(value <= 10, false)))
+        |SELECT check_name, table_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  round(CAST(n_violations AS DOUBLE) / greatest(n_rows, 1), 6)
+        |    AS violation_share,
+        |  n_violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
     // funnel: the first-match chain replayed level by level
     "q157_funnel" ->
       """WITH e AS (SELECT user_id, event_type, ts FROM events),

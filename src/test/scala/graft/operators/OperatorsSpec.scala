@@ -2740,4 +2740,93 @@ class OperatorsSpec extends AnyFunSuite {
       assert(byB("middle").max <= byB("tail").min)
     }
   }
+
+  test("RecordLinkage: blocked pairs respect the block boundary and " +
+      "distance cap; resolveEntities collapses transitively; a " +
+      "degenerate block is refused") {
+    val recs = Seq(
+      (1L, "red widget", "b1"), (2L, "red widgets", "b1"), // d=1 pair
+      (3L, "red wadgets", "b1"), // d=1 to 2 -> transitive with 1
+      (4L, "red spanner", "b1"), // same block, too far
+      (5L, "red widget", "b2"), // identical name, DIFFERENT block
+      (6L, "blue bolt", "b1")) // different block
+      .toDF("id", "name", "blk")
+    val pairs = RecordLinkage.blockedPairs(recs, "id", "name",
+        concat_ws("|", split(col("name"), " ").getItem(0), col("blk")),
+        maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    val ents = RecordLinkage.resolveEntities(recs, "id", "name",
+        concat_ws("|", split(col("name"), " ").getItem(0), col("blk")),
+        maxDist = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(ents === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L))
+    val ex = intercept[IllegalArgumentException] {
+      RecordLinkage.blockedPairs(recs, "id", "name", lit("const"),
+        maxDist = 2, maxBlock = 3)
+    }
+    assert(ex.getMessage.contains("maxBlock"))
+  }
+
+  test("Scd2.fromChanges folds no-op changes into open intervals; " +
+      "asOfLookup reads features as they WERE") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val feed = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "bronze"),
+      (1L, ts("2024-01-02 00:00:00"), "bronze"), // no-op: folds
+      (1L, ts("2024-01-03 00:00:00"), "gold"),
+      (1L, ts("2024-01-05 00:00:00"), "silver"),
+      (2L, ts("2024-01-04 00:00:00"), "gold"))
+      .toDF("user_id", "ts", "tier")
+    val scd = Scd2.fromChanges(feed, "user_id", "ts", Seq("tier"))
+    val rows = scd.select("user_id", "tier", "valid_from", "valid_to",
+        "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+      .toSet
+    assert(rows === Set(
+      (1L, "bronze", ts("2024-01-01 00:00:00"),
+        Some(ts("2024-01-03 00:00:00")), false),
+      (1L, "gold", ts("2024-01-03 00:00:00"),
+        Some(ts("2024-01-05 00:00:00")), false),
+      (1L, "silver", ts("2024-01-05 00:00:00"), None, true),
+      (2L, "gold", ts("2024-01-04 00:00:00"), None, true)))
+    // point-in-time: the probe at 01-04 reads gold (not silver — that
+    // is the future); a probe BEFORE the first interval reads nothing
+    val probes = Seq((1L, ts("2024-01-04 12:00:00")),
+      (1L, ts("2023-12-25 00:00:00")))
+      .toDF("user_id", "ts")
+    val got = Scd2.asOfLookup(probes, scd, "user_id", "ts")
+      .select("user_id", "ts", "tier")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getString(2)))).toSet
+    assert(got === Set(
+      (1L, ts("2024-01-04 12:00:00"), Some("gold")),
+      (1L, ts("2023-12-25 00:00:00"), None)))
+  }
+
+  test("DataContract: each check counts its violations exactly; the " +
+      "panel carries live failures, not just passes") {
+    import DataContract._
+    val users = Seq((Some(1L), "a"), (Some(1L), "b"), (Some(2L), "c"),
+      (None, "d")).toDF("uid", "name")
+    val events = Seq((1L, 5.0), (2L, 15.0), (9L, 3.0))
+      .toDF("uid", "value")
+    val out = panel(Seq(
+      unique("u1_uid_unique", "users", users, "uid"),
+      notNull("u2_uid_notnull", "users", users, "uid"),
+      refIntegrity("u3_events_users_fk", "events", events, "uid",
+        users.filter(col("uid").isNotNull), "uid"),
+      expect("u4_value_cap", "events", events, col("value") <= 10)))
+      .select("check_name", "n_rows", "n_violations", "passed")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // uid 1 duplicated (1 excess) + 1 null = 2 violations of 4 rows
+    assert(out("u1_uid_unique") === ((4L, 2L, false)))
+    assert(out("u2_uid_notnull") === ((4L, 1L, false)))
+    // uid 9 is an orphan
+    assert(out("u3_events_users_fk") === ((3L, 1L, false)))
+    assert(out("u4_value_cap") === ((3L, 1L, false)))
+  }
 }
