@@ -1657,6 +1657,44 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // SEMANTIC DEDUP end-to-end (round-10; SemDeDup, Abbas et al. '23,
+    // public): cluster the corpus in embedding space, pair WITHIN
+    // clusters at cosine ≥ 0.9 (embeddingCosineClustered — the
+    // sub-quadratic q77 candidate stage), collapse the match graph
+    // with alternating-CC, keep the min-id representative per semantic
+    // component. Runs on the q146 group-structured 1536-dim fixture
+    // (~8 near-identical members per group, cross-group cosine ≈ 0.4),
+    // where the EXACT expected outcome is derivable: every vector's
+    // representative is its group's min id, vec_id % g — a full hash
+    // oracle for the whole composition, not an invariant panel.
+    "q197_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g = emb.count() / 8
+      val based = emb.select(col("vec_id"),
+          (col("vec_id") % g).as("rid"),
+          floor(col("vec_id") / lit(g)).cast("long").as("p"))
+        .join(broadcast(emb.select(col("vec_id").as("rid"),
+          col("embedding").as("bemb"))), Seq("rid"))
+      val tiled = based.select(col("vec_id"),
+        concat(
+          array((element_at(col("bemb"), 1) + col("p") * 0.03)
+            .cast("float")),
+          transform(slice(col("bemb"), 2, 63), x => x.cast("float")),
+          flatten(transform(sequence(lit(1), lit(23)),
+            j => transform(col("bemb"),
+              x => (x * pow(lit(0.9), j)).cast("float"))))).as("embedding"))
+        .localCheckpoint(false)
+      val pairs = Dedup.embeddingCosineClustered(tiled, threshold = 0.9,
+        lists = 16, assignTop = 4, iters = 3)
+      val cl = Dedup.clustersAlternating(pairs.select(
+        col("vec_id_a").as("doc_id_a"), col("vec_id_b").as("doc_id_b")))
+      tiled.select("vec_id")
+        .join(cl, col("vec_id") === col("doc_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("rep_id"))
+        .orderBy("vec_id")
+    }),
+
     // ENTITY RESOLUTION / record linkage (round-10): resolve part
     // records to entities — block on (first name token, brand), pair
     // within blocks at levenshtein ≤ 2, collapse the match graph with
@@ -5888,6 +5926,15 @@ object PipelineQueries {
       """SELECT CAST(20 AS BIGINT) AS n_served,
         |CAST(0 AS BIGINT) AS n_diff_survivor_direct,
         |CAST(0 AS BIGINT) AS n_tombstoned_served""".stripMargin,
+    // semantic dedup on the group-structured fixture: every vector's
+    // representative is its group's min id — the exact expected
+    // outcome of the cluster → pair → CC → keep-min composition
+    "q197_semantic_dedup" ->
+      """WITH params AS (
+        |  SELECT CAST(count(*) // 8 AS BIGINT) AS g FROM embeddings)
+        |SELECT e.vec_id, e.vec_id % p.g AS rep_id
+        |FROM embeddings e CROSS JOIN params p
+        |ORDER BY e.vec_id""".stripMargin,
     // entity resolution: blocked levenshtein pairs + recursive-CTE
     // transitive closure, canonical entity = min partkey
     "q198_entity_resolution" ->
