@@ -369,6 +369,65 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"tombstone filter shuffled the index side:\n$p")
   }
 
+  test("persisted BQ: the serving scan reads the stored 1-bit codes " +
+      "table, not the float embeddings; bounded map-side top-k; the " +
+      "tombstone anti-join never shuffles the index side") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.expressions.VectorExpressions.tile_jitter
+    val tiled = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"),
+        tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+          sigma = 2.0).as("embedding"))
+      .localCheckpoint(true)
+    val q = tiled.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val src = "plans-bq"
+    val h = graft.sources.AnnIndex.ensureBq(spark, src, tiled)
+    val p = graft.sources.AnnIndex.queryBq(q, h, k = 4, m = 256)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_bq_codes_") || p.contains("graft_ann_bq_"), p)
+    assert(p.toLowerCase.contains("partial_topkagg"),
+      s"BQ candidate selection lost the map-side bounded top-k:\n$p")
+    // delete: the anti-join over the co-bucketed layout stays
+    // exchange-free on the index side (the sq8-delete discipline)
+    graft.sources.AnnIndex.deleteBq(spark, src,
+      tiled.filter(col("vec_id") < 4).select("vec_id"))
+    val pd = graft.sources.AnnIndex.openBq(spark, src)
+      .codes.queryExecution.executedPlan.toString
+    assert(pd.contains("LeftAnti"), pd)
+    assert(!pd.contains("Exchange hashpartitioning"),
+      s"tombstone filter shuffled the index side:\n$pd")
+  }
+
+  test("persisted IVF-BQ: DPP prunes unprobed sign-packed list " +
+      "partitions; no driver-materialized ids; bounded top-k") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.expressions.VectorExpressions.tile_jitter
+    val tiled = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"),
+        tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+          sigma = 2.0).as("embedding"))
+      .localCheckpoint(true)
+    val q = tiled.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val h = graft.sources.AnnIndex.ensureIvfBq(spark, "plans-ivfbq",
+      tiled, lists = 8, iters = 2)
+    val p = graft.sources.AnnIndex
+      .queryIvfBq(q, h, k = 4, nProbe = 3, m = 256)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_ivfbq_lists_") ||
+      p.contains("graft_ann_ivfbq_"), p)
+    assert(p.contains("dynamicpruningexpression"), p)
+    val partFilters = p.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(!partFilters.exists(_.contains("INSET")),
+      s"driver-collected centroid ids leaked into a partition filter:\n${
+        partFilters.mkString("\n")}")
+    assert(p.toLowerCase.contains("partial_topkagg"), p)
+  }
+
   test("persisted IVF-PQ: DPP prunes unprobed list partitions; the " +
       "probed scan reads stored PQ codes; no driver-materialized ids") {
     import org.apache.spark.sql.functions._
