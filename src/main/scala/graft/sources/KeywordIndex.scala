@@ -149,6 +149,16 @@ object KeywordIndex {
     served(spark, tag)
   }
 
+  /** True iff a persisted keyword layout exists for `sourceDir` (meta
+    * presence only — the [[AnnIndex.sq8Exists]] contract). Lets the
+    * delete-serving lifecycle branch build-vs-open explicitly: a
+    * tombstoned layout deliberately fails `ensurePostings`' freshness
+    * and must be OPENED, not re-ensured, to keep serving deletions.
+    */
+  def postingsExist(spark: SparkSession, sourceDir: String): Boolean =
+    AnnIndex.readMeta(kwBase(spark, IndexStore.pathTag(sourceDir)))
+      .contains("n_docs")
+
   /** Open the persisted postings WITHOUT a freshness probe — the
     * reader's path while a writer streams upserts in; same immutability
     * caveat as [[AnnIndex.openLsh]]. The table is refreshed first: a

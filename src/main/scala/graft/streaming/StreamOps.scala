@@ -1052,6 +1052,62 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class ChangeRow(key: Long, ts: Timestamp, value: String)
+  final case class Scd2Closed(key: Long, value: String,
+      valid_from: Timestamp, valid_to: Timestamp)
+
+  /** Streaming twin of [[graft.operators.Scd2.fromChanges]]: a CDC
+    * change feed folds per key into SCD2 intervals incrementally —
+    * state is ONE (open value, valid_from) pair per key, each trigger
+    * emits the intervals it CLOSED (append mode can't retract, so the
+    * open interval lives in state until a later change closes it; a
+    * consumer needing point-in-time completeness unions the emitted
+    * closed set with the open rows its snapshot store derives).
+    * No-op changes (same value again) fold silently, exactly like the
+    * batch operator.
+    *
+    * Feed contract: per-key event-time MONOTONE (the CDC ordering
+    * guarantee); a row older than the key's open interval is refused
+    * LOUDLY — silently accepting it would rewrite history that closed
+    * intervals downstream already consumed. StreamOpsSpec pins
+    * trigger-split invariance: closed intervals across any batch
+    * split equal the batch operator's closed set.
+    */
+  def streamingScd2(
+      spark: SparkSession,
+      changes: Dataset[ChangeRow]): Dataset[Scd2Closed] = {
+    import spark.implicits._
+    def update(
+        key: Long,
+        rows: Iterator[ChangeRow],
+        state: GroupState[(String, Timestamp)]): Iterator[Scd2Closed] = {
+      var open = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.value))
+        .foreach { r =>
+          open match {
+            case None => open = Some((r.value, r.ts))
+            case Some((cur, from)) =>
+              if (r.ts.before(from) || r.ts.equals(from))
+                throw new IllegalStateException(
+                  s"streamingScd2: key $key received a change at ${r.ts} " +
+                    s"not after its open interval's valid_from $from — " +
+                    "the feed broke the per-key monotone contract; " +
+                    "rebuild with the batch Scd2.fromChanges")
+              if (r.value != cur) { // no-op changes fold silently
+                out += Scd2Closed(key, cur, from, r.ts)
+                open = Some((r.value, r.ts))
+              }
+          }
+        }
+      open.foreach(state.update)
+      out.iterator
+    }
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming twin of [[graft.operators.CorpusOps.samplePerGroup]]:
     * a per-group BOUNDED reservoir holding the k smallest md5-52bit
     * uniforms (the batch operator's exact draw — same md5, same

@@ -601,6 +601,58 @@ class StreamOpsSpec extends AnyFunSuite {
       === expDel)
   }
 
+  test("streamingScd2: closed intervals across any trigger split equal " +
+      "the batch operator; no-op changes fold; monotone contract " +
+      "refused loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val feed = Seq(
+      StreamOps.ChangeRow(1L, ts("2024-01-01 00:00:00"), "bronze"),
+      StreamOps.ChangeRow(1L, ts("2024-01-02 00:00:00"), "bronze"), // no-op
+      StreamOps.ChangeRow(1L, ts("2024-01-03 00:00:00"), "gold"),
+      StreamOps.ChangeRow(2L, ts("2024-01-02 00:00:00"), "gold"),
+      StreamOps.ChangeRow(1L, ts("2024-01-05 00:00:00"), "silver"),
+      StreamOps.ChangeRow(2L, ts("2024-01-06 00:00:00"), "bronze"),
+      // sentinel changes close every open interval so the streamed
+      // CLOSED set is complete and comparable to the batch operator
+      StreamOps.ChangeRow(1L, ts("2024-02-01 00:00:00"), "__end"),
+      StreamOps.ChangeRow(2L, ts("2024-02-01 00:00:00"), "__end"))
+    val batchExpected = graft.operators.Scd2.fromChanges(
+        feed.toDF(), "key", "ts", Seq("value"))
+      .filter(col("valid_to").isNotNull && col("value") =!= "__end")
+      .select("key", "value", "valid_from", "valid_to")
+      .collect().map(_.toSeq).toSet
+    // split the feed mid-key-history (rows 0-3 | rest): state must
+    // carry the open interval across the trigger boundary
+    val mem = MemoryStream[StreamOps.ChangeRow]
+    val out = StreamOps.streamingScd2(spark, mem.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("scd2_out").start()
+    mem.addData(feed.take(4): _*)
+    q.processAllAvailable()
+    mem.addData(feed.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scd2_out")
+      .filter(col("value") =!= "__end")
+      .select("key", "value", "valid_from", "valid_to")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batchExpected)
+    // a change at-or-before the open interval breaks the per-key
+    // monotone CDC contract and must fail the trigger loudly
+    val mem2 = MemoryStream[StreamOps.ChangeRow]
+    val q2 = StreamOps.streamingScd2(spark, mem2.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd2_bad").start()
+    mem2.addData(StreamOps.ChangeRow(9L, ts("2024-01-05 00:00:00"), "a"))
+    q2.processAllAvailable()
+    mem2.addData(StreamOps.ChangeRow(9L, ts("2024-01-01 00:00:00"), "b"))
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    assert(ex.getMessage != null)
+    q2.stop()
+  }
+
   test("streamingChat: the reference's ask loop end-to-end — history " +
       "conditions the next batch's retrieval; clear resets it") {
     implicit val sqlCtx = spark.sqlContext
