@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Dataset MANIFESTS — the provenance/versioning record a 100 TB
+  * pipeline stamps on every produced snapshot so downstream runs can
+  * verify they trained on exactly the inputs they claim (public art:
+  * DVC/LakeFS-style content addressing, Delta commit checksums). One
+  * row per table: (table_name, n_rows, checksum), where the checksum
+  * is the SUM of per-row md5-52bit content hashes over a caller-chosen
+  * canonical row encoding — order-independent (any partitioning, any
+  * merge order), engine-portable (the `conv(substr(md5…)))` uniform
+  * every oracle already replays), and exact (the sum rides
+  * DECIMAL(38,0): 52-bit terms overflow nothing below ~10²² rows).
+  *
+  * Scale shape: one map-side-combinable aggregate pass per table —
+  * no sort, no collect, no cross-table shuffle.
+  */
+object Lineage {
+
+  /** The md5-52bit content hash of one canonical row string —
+    * identical in Spark and DuckDB (first 13 hex chars of md5, read
+    * base 16).
+    */
+  def rowHash(canonical: Column): Column =
+    conv(substring(md5(canonical), 1, 13), 16, 10)
+      .cast(DecimalType(38, 0))
+
+  /** One manifest row for `df` under the canonical encoding `canon`.
+    * The checksum is rendered as TEXT: both engines print
+    * DECIMAL(38,0) sums as plain digits, while a numeric column would
+    * be at the mercy of each reader's integer width.
+    */
+  def tableManifest(tableName: String, df: DataFrame,
+      canon: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(rowHash(canon)).as("cs"))
+      .select(lit(tableName).as("table_name"),
+        col("n_rows"),
+        coalesce(col("cs"), lit(0).cast(DecimalType(38, 0)))
+          .cast("string").as("checksum"))
+
+  /** The full snapshot manifest: one row per (name, frame, canonical
+    * encoding) entry, ordered by table name. Canonical encodings must
+    * avoid raw floats/timestamps unless the caller pins a portable
+    * rendering ([[Analyze.canon]] is the house encoder).
+    */
+  def manifest(entries: Seq[(String, DataFrame, Column)]): DataFrame = {
+    require(entries.nonEmpty, "manifest: no tables")
+    entries.map { case (n, df, c) => tableManifest(n, df, c) }
+      .reduce(_.unionByName(_)).orderBy("table_name")
+  }
+}

@@ -1819,6 +1819,30 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
+    // DATASET MANIFEST (round-10): the provenance record every
+    // produced snapshot gets stamped with — per table one
+    // order-independent content checksum (sum of engine-portable
+    // md5-52bit row hashes over a float-free canonical encoding, exact
+    // in DECIMAL(38,0)) plus the row count. A training run pins THIS
+    // frame next to its artifacts; any later bit drift in any input
+    // table changes exactly one visible cell.
+    "q202_dataset_manifest" -> ((s, dir) => {
+      import graft.operators.Lineage
+      Lineage.manifest(Seq(
+        ("customer", t(s, dir, "customer"),
+          concat_ws(":", col("c_custkey"), col("c_name"))),
+        ("documents", t(s, dir, "documents"),
+          concat_ws(":", col("doc_id"), col("text"))),
+        ("events", t(s, dir, "events"),
+          concat_ws(":", col("event_id"), col("event_type"))),
+        ("lineitem", t(s, dir, "lineitem"),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"),
+            floor(col("l_quantity")).cast("long"))),
+        ("orders", t(s, dir, "orders"),
+          concat_ws(":", col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderdate").cast("string")))))
+    }),
+
     // Exact equi-depth histogram of order revenue: boundaries at exact
     // global ranks ceil(i·N/16) under the (price, key) total order —
     // computed the distributed way (range repartition + per-partition
@@ -5976,6 +6000,41 @@ object PipelineQueries {
       """SELECT CAST(20 AS BIGINT) AS n_served,
         |CAST(0 AS BIGINT) AS n_diff_survivor_direct,
         |CAST(0 AS BIGINT) AS n_tombstoned_served""".stripMargin,
+    // dataset manifest: the identical md5-52bit row-hash sums per
+    // table, DECIMAL(38,0)-exact, rendered as text
+    "q202_dataset_manifest" ->
+      """WITH h AS (
+        |  SELECT 'customer' AS t, count(*) AS n,
+        |    sum(CAST(CAST(concat('0x', substr(md5(
+        |      CAST(c_custkey AS VARCHAR) || ':' || c_name), 1, 13))
+        |      AS BIGINT) AS DECIMAL(38,0))) AS cs
+        |  FROM customer
+        |  UNION ALL SELECT 'documents', count(*),
+        |    sum(CAST(CAST(concat('0x', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || ':' || text), 1, 13))
+        |      AS BIGINT) AS DECIMAL(38,0)))
+        |  FROM documents
+        |  UNION ALL SELECT 'events', count(*),
+        |    sum(CAST(CAST(concat('0x', substr(md5(
+        |      CAST(event_id AS VARCHAR) || ':' || event_type), 1, 13))
+        |      AS BIGINT) AS DECIMAL(38,0)))
+        |  FROM events
+        |  UNION ALL SELECT 'lineitem', count(*),
+        |    sum(CAST(CAST(concat('0x', substr(md5(
+        |      CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR) || ':' ||
+        |      CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR)),
+        |      1, 13)) AS BIGINT) AS DECIMAL(38,0)))
+        |  FROM lineitem
+        |  UNION ALL SELECT 'orders', count(*),
+        |    sum(CAST(CAST(concat('0x', substr(md5(
+        |      CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus ||
+        |      ':' || CAST(o_orderdate AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS DECIMAL(38,0)))
+        |  FROM orders)
+        |SELECT t AS table_name, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(coalesce(cs, 0) AS VARCHAR) AS checksum
+        |FROM h ORDER BY table_name""".stripMargin,
     // last-touch attribution: per purchase the max click ts at-or-
     // before it, exact integer-cents rollup per user
     "q201_attribution" ->
