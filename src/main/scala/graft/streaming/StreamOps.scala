@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -1051,6 +1051,50 @@ object StreamOps {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Streaming DATA-CONTRACT gate — the expectations check run per
+    * micro-batch BEFORE a batch lands anywhere trusted (the streaming
+    * twin of [[graft.operators.DataContract]]): rows satisfying
+    * `predicate` append to `mainDir`, violations append to
+    * `quarantineDir` (never dropped — a violation is evidence, and
+    * replayed quarantine rows are how an operator debugs the
+    * producer), and one audit row per trigger
+    * (batch_id, n_rows, n_violations) appends to `auditDir`.
+    * A null predicate counts as a violation (an expectation that can't
+    * be evaluated is not met — the batch operator's rule). Exactly the
+    * foreachBatch idempotence story of the other sinks: batch_id rides
+    * every audit row, so a replayed trigger is visible downstream
+    * rather than silently double-counted.
+    */
+  def streamingContractGate(
+      rows: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      mainDir: String,
+      quarantineDir: String,
+      auditDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val marked = batch.toDF()
+            .withColumn("__ok",
+              org.apache.spark.sql.functions.coalesce(predicate,
+                org.apache.spark.sql.functions.lit(false)))
+            .localCheckpoint(true)
+          marked.filter(col("__ok")).drop("__ok")
+            .write.mode(SaveMode.Append).parquet(mainDir)
+          val bad = marked.filter(!col("__ok")).drop("__ok")
+          if (!bad.isEmpty)
+            bad.write.mode(SaveMode.Append).parquet(quarantineDir)
+          val n = marked.count()
+          val nBad = marked.filter(!col("__ok")).count()
+          Seq((id, n, nBad)).toDF("batch_id", "n_rows", "n_violations")
+            .write.mode(SaveMode.Append).parquet(auditDir)
+        }
+      }
 
   final case class ChangeRow(key: Long, ts: Timestamp, value: String)
   final case class Scd2Closed(key: Long, value: String,

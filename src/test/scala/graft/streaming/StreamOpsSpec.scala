@@ -601,6 +601,36 @@ class StreamOpsSpec extends AnyFunSuite {
       === expDel)
   }
 
+  test("streamingContractGate: passing rows land in main, violations " +
+      "in quarantine (never dropped), one audit row per trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("contractgate").toString
+    val (mainD, quarD, audD) =
+      (s"$base/main", s"$base/quarantine", s"$base/audit")
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamOps.streamingContractGate(
+      mem.toDF().toDF("id", "value"), col("value") <= 10.0,
+      mainD, quarD, audD).start()
+    mem.addData((1L, 5.0), (2L, 15.0), (3L, 7.0))
+    q.processAllAvailable()
+    mem.addData((4L, 25.0), (5L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val main = spark.read.parquet(mainD).select("id").as[Long]
+      .collect().toSet
+    val quar = spark.read.parquet(quarD).select("id").as[Long]
+      .collect().toSet
+    assert(main === Set(1L, 3L, 5L))
+    assert(quar === Set(2L, 4L))
+    val audit = spark.read.parquet(audD)
+      .select("batch_id", "n_rows", "n_violations")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(audit === Set((0L, 3L, 1L), (1L, 2L, 1L)))
+  }
+
   test("streamingScd2: closed intervals across any trigger split equal " +
       "the batch operator; no-op changes fold; monotone contract " +
       "refused loudly") {
