@@ -118,10 +118,12 @@ object Bench {
       // langid calibration
       "q155", "q156", "q157", "q158", "q159", "q160", "q161", "q162",
       "q163",
-      // round-10 additions: composed IVF-BQ identity panels — each runs
-      // the float-IVF (q192) or in-memory-composed (q193) reference and
-      // the exact kNN beside the persisted serving path under test
-      "q192", "q193")
+      // round-10 additions: composed IVF-BQ identity panels (q192/q193
+      // run the float-IVF / in-memory reference and the exact kNN
+      // beside the persisted serving path), the hybrid-delete closure
+      // (q194: served + survivor-direct reference hybrids) and the
+      // quantized-MMR identity panel (q195: float MMR + quantized MMR)
+      "q192", "q193", "q194", "q195")
     // The harness that records this line captures only the TAIL of the
     // process output (~2000 chars), so the parsed JSON line must stay
     // well under that: short query keys (the unique qNN prefix), 2-decimal

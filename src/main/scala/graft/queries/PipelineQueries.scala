@@ -1471,6 +1471,29 @@ object PipelineQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // Metadata-FILTERED search on the persisted BQ layout (the
+    // q113/q114 pre-filter discipline for the 1-bit family): `allowed`
+    // restricts the 192-byte codes scan BEFORE top-m, so top-m and
+    // top-k are taken WITHIN the filtered set. Oracle: exact kNN over
+    // the even-id tiled survivors.
+    "q203_bq_filtered" -> ((s, dir) => {
+      import graft.functions.expressions.VectorExpressions.tile_jitter
+      val emb = t(s, dir, "embeddings")
+      val tiled = emb.select(col("vec_id"),
+        tile_jitter(col("vec_id"), col("embedding"), reps = 24,
+          sigma = 2.0).as("embedding"))
+        .localCheckpoint(false)
+      val q = tiled.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val h = graft.sources.AnnIndex.ensureBq(s, s"$dir#bq1536", tiled)
+      graft.sources.AnnIndex.queryBqFiltered(q, h,
+          tiled.filter(col("vec_id") % 2 === 0).select("vec_id"),
+          k = 4, m = 256)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // DELETE on the persisted BQ layout (q116's 1-bit twin): tombstone
     // the 8 query vectors themselves — every rank-1 self-hit must
     // disappear — and serve through the tombstone-filtered handle.
@@ -5981,6 +6004,10 @@ object PipelineQueries {
     // tombstoned ids (the 8 query vectors)
     "q191_bq_delete" ->
       tiledBqKnnOracle("q.vec_id < 8 AND x.vec_id >= 8"),
+    // filtered BQ serving: pre-filter semantics — exact kNN over the
+    // even-id tiled survivors
+    "q203_bq_filtered" ->
+      tiledBqKnnOracle("q.vec_id < 8 AND x.vec_id % 2 = 0"),
     // persisted composed IVF-BQ: identity to the float-IVF path and
     // the exact-recall floor, engine-verified; counts are the panel's
     // replayable half (8 queries × k=4)
