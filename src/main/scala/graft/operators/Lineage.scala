@@ -52,4 +52,49 @@ object Lineage {
     entries.map { case (n, df, c) => tableManifest(n, df, c) }
       .reduce(_.unionByName(_)).orderBy("table_name")
   }
+
+  // -------------------------------------------------- incremental store
+
+  private def metaPath(storeDir: String) =
+    java.nio.file.Paths.get(storeDir, "_manifest.json")
+
+  /** Read the incremental manifest at `storeDir`:
+    * (n_rows, checksum, last_batch_id) — zeros/-1 when absent.
+    */
+  def readManifest(storeDir: String): (Long, BigInt, Long) = {
+    val p = metaPath(storeDir)
+    if (!java.nio.file.Files.exists(p)) return (0L, BigInt(0), -1L)
+    val s = java.nio.file.Files.readString(p)
+    def field(k: String): String = {
+      val m = ("\"" + k + "\"\\s*:\\s*\"?([-0-9]+)\"?").r
+      m.findFirstMatchIn(s).map(_.group(1)).getOrElse("0")
+    }
+    (field("n_rows").toLong, BigInt(field("checksum")),
+      field("last_batch_id").toLong)
+  }
+
+  /** Fold one batch into the incremental manifest — the streaming form
+    * of [[tableManifest]], sound because the checksum is a SUM: any
+    * batch split composes to the same total as one pass over the
+    * union. `batchId` replay-skip (a replayed micro-batch must not
+    * double-count) and meta-after-nothing (the manifest IS the only
+    * state) follow the store discipline. Returns the post-fold
+    * (n_rows, checksum).
+    */
+  def manifestBatch(storeDir: String, batch: DataFrame, canon: Column,
+      batchId: Long): (Long, BigInt) = {
+    val (n0, cs0, last) = readManifest(storeDir)
+    if (batchId <= last) return (n0, cs0)
+    val agg = batch.agg(count(lit(1)).as("n"),
+        sum(rowHash(canon)).cast("string").as("cs")).head
+    val n = agg.getLong(0)
+    val cs = Option(agg.getString(1)).map(BigInt(_)).getOrElse(BigInt(0))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(storeDir))
+    val out = (n0 + n, cs0 + cs)
+    java.nio.file.Files.writeString(metaPath(storeDir),
+      s"""{"n_rows": ${out._1}, "checksum": "${out._2}", """ +
+        s""""last_batch_id": $batchId}""")
+    out
+  }
 }

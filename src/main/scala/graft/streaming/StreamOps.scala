@@ -1096,6 +1096,30 @@ object StreamOps {
         }
       }
 
+  /** Incrementally-maintained dataset manifest — the streaming closure
+    * of [[graft.operators.Lineage.manifest]]: each micro-batch folds
+    * its (row count, md5-52bit row-hash sum) into the store's running
+    * totals, exact because the checksum is a SUM (any batch split
+    * composes to the one-pass total). batchId replay-skip keeps a
+    * replayed trigger from double-counting. At any trigger boundary
+    * `Lineage.readManifest` equals the batch manifest over everything
+    * ingested so far (StreamOpsSpec pins the parity).
+    */
+  def streamingManifest(
+      rows: DataFrame,
+      storeDir: String,
+      canon: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Lineage.manifestBatch(storeDir, batch.toDF(),
+            canon, id)
+          ()
+        }
+      }
+
   final case class ChangeRow(key: Long, ts: Timestamp, value: String)
   final case class Scd2Closed(key: Long, value: String,
       valid_from: Timestamp, valid_to: Timestamp)

@@ -631,6 +631,42 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(audit === Set((0L, 3L, 1L), (1L, 2L, 1L)))
   }
 
+  test("streamingManifest: running totals equal the batch manifest at " +
+      "every trigger boundary; a replayed batch id never double-counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Lineage
+    val store = java.nio.file.Files
+      .createTempDirectory("manifest").toString
+    val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val canon = concat_ws(":", col("doc_id"), col("text"))
+    val q = StreamOps.streamingManifest(
+      mem.toDF().toDF("doc_id", "text"), store, canon).start()
+    mem.addData(b1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val mid = Lineage.readManifest(store)
+    val expectedMid = Lineage.tableManifest("t",
+        docs.filter(col("doc_id").isin(b1.map(r => Long.box(r._1)): _*)),
+        canon).head
+    assert(mid._1 === expectedMid.getLong(1))
+    assert(mid._2 === BigInt(expectedMid.getString(2)))
+    mem.addData(b2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val fin = Lineage.readManifest(store)
+    val expectedAll = Lineage.tableManifest("t", docs, canon).head
+    assert(fin._1 === expectedAll.getLong(1))
+    assert(fin._2 === BigInt(expectedAll.getString(2)))
+    // a replayed micro-batch id is skipped, not double-counted
+    Lineage.manifestBatch(store, docs.limit(3).toDF(), canon,
+      batchId = 0L)
+    assert(Lineage.readManifest(store) === fin)
+  }
+
   test("streamingScd2: closed intervals across any trigger split equal " +
       "the batch operator; no-op changes fold; monotone contract " +
       "refused loudly") {
