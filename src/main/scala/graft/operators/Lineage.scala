@@ -62,39 +62,59 @@ object Lineage {
     * (n_rows, checksum, last_batch_id) — zeros/-1 when absent.
     */
   def readManifest(storeDir: String): (Long, BigInt, Long) = {
+    val (n, cs, last, _, _) = readManifestFull(storeDir)
+    (n, cs, last)
+  }
+
+  private def readManifestFull(storeDir: String)
+      : (Long, BigInt, Long, Long, BigInt) = {
     val p = metaPath(storeDir)
-    if (!java.nio.file.Files.exists(p)) return (0L, BigInt(0), -1L)
+    if (!java.nio.file.Files.exists(p))
+      return (0L, BigInt(0), -1L, 0L, BigInt(0))
     val s = java.nio.file.Files.readString(p)
     def field(k: String): String = {
       val m = ("\"" + k + "\"\\s*:\\s*\"?([-0-9]+)\"?").r
       m.findFirstMatchIn(s).map(_.group(1)).getOrElse("0")
     }
     (field("n_rows").toLong, BigInt(field("checksum")),
-      field("last_batch_id").toLong)
+      field("last_batch_id").toLong,
+      field("last_batch_n").toLong, BigInt(field("last_batch_cs")))
   }
 
   /** Fold one batch into the incremental manifest — the streaming form
     * of [[tableManifest]], sound because the checksum is a SUM: any
     * batch split composes to the same total as one pass over the
-    * union. `batchId` replay-skip (a replayed micro-batch must not
-    * double-count) and meta-after-nothing (the manifest IS the only
-    * state) follow the store discipline. Returns the post-fold
+    * union. Replay contract (the SketchStore discipline): a replayed
+    * LAST batch id re-derives this batch's (n, sum) and VERIFIES it
+    * against the committed values — a restarted batch counter serving
+    * different content under a committed id fails loudly instead of
+    * silently dropping its rows; earlier ids no-op unverified (their
+    * per-batch terms are folded away). Returns the post-fold
     * (n_rows, checksum).
     */
   def manifestBatch(storeDir: String, batch: DataFrame, canon: Column,
       batchId: Long): (Long, BigInt) = {
-    val (n0, cs0, last) = readManifest(storeDir)
-    if (batchId <= last) return (n0, cs0)
+    val (n0, cs0, last, lastN, lastCs) = readManifestFull(storeDir)
+    if (batchId < last) return (n0, cs0)
     val agg = batch.agg(count(lit(1)).as("n"),
         sum(rowHash(canon)).cast("string").as("cs")).head
     val n = agg.getLong(0)
     val cs = Option(agg.getString(1)).map(BigInt(_)).getOrElse(BigInt(0))
+    if (batchId == last) {
+      require(n == lastN && cs == lastCs,
+        s"manifest store '$storeDir': batchId $batchId is committed but " +
+          "this batch's (count, checksum) differs from the committed " +
+          "values — NOT a replay (restarted batch counter?); use a " +
+          "fresh batchId or a fresh store")
+      return (n0, cs0)
+    }
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(storeDir))
     val out = (n0 + n, cs0 + cs)
     java.nio.file.Files.writeString(metaPath(storeDir),
       s"""{"n_rows": ${out._1}, "checksum": "${out._2}", """ +
-        s""""last_batch_id": $batchId}""")
+        s""""last_batch_id": $batchId, "last_batch_n": $n, """ +
+        s""""last_batch_cs": "$cs"}""")
     out
   }
 }

@@ -661,10 +661,21 @@ class StreamOpsSpec extends AnyFunSuite {
     val expectedAll = Lineage.tableManifest("t", docs, canon).head
     assert(fin._1 === expectedAll.getLong(1))
     assert(fin._2 === BigInt(expectedAll.getString(2)))
-    // a replayed micro-batch id is skipped, not double-counted
+    // a replayed earlier micro-batch id is skipped, not double-counted
     Lineage.manifestBatch(store, docs.limit(3).toDF(), canon,
       batchId = 0L)
     assert(Lineage.readManifest(store) === fin)
+    // a replay of the LAST id with identical content verifies + no-ops
+    Lineage.manifestBatch(store,
+      docs.filter(col("doc_id").isin(b2.map(r => Long.box(r._1)): _*))
+        .toDF(), canon, batchId = 1L)
+    assert(Lineage.readManifest(store) === fin)
+    // a restarted batch counter (same id, different content) refuses
+    val ex = intercept[IllegalArgumentException] {
+      Lineage.manifestBatch(store, docs.limit(3).toDF(), canon,
+        batchId = 1L)
+    }
+    assert(ex.getMessage.contains("NOT a replay"))
   }
 
   test("streamingScd2: closed intervals across any trigger split equal " +
