@@ -204,10 +204,14 @@ object AnnIndex {
     val base = lshBase(spark, tag)
     spark.sql(s"DROP TABLE IF EXISTS graft_lsh_buckets_$tag")
     spark.sql(s"DROP TABLE IF EXISTS graft_lsh_vecs_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_lsh_tombs_$tag")
     registerExternal(spark, s"graft_lsh_buckets_$tag", s"$base/buckets",
       clusteredBy = Some(("tb", storageBuckets)))
     registerExternal(spark, s"graft_lsh_vecs_$tag", s"$base/vecs",
       clusteredBy = Some(("vec_id", storageBuckets)))
+    if (parquetReadable(spark, s"$base/tombs"))
+      registerExternal(spark, s"graft_lsh_tombs_$tag", s"$base/tombs",
+        clusteredBy = Some(("vec_id", storageBuckets)))
   }
 
   /** Full (re)build: overwrite both tables, then commit the meta. The
@@ -224,6 +228,13 @@ object AnnIndex {
       fp: Long, snapshotId: Option[String] = None): Unit = {
     val base = lshBase(spark, tag)
     val priorBatch = readMeta(base).get("last_batch_id")
+    val priorDelBatch = readMeta(base).get("last_del_batch_id")
+    // a rebuild serves exactly its source: tombstones are cleared (the
+    // ensureSq8 discipline); the delete replay-skip window survives
+    spark.sql(s"DROP TABLE IF EXISTS graft_lsh_tombs_$tag")
+    val tombDir = Paths.get(base, "tombs")
+    if (Files.exists(tombDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
     spark.sql(s"DROP TABLE IF EXISTS graft_lsh_buckets_$tag")
     lshBucketRows(index, tables, bits).write.mode(SaveMode.Overwrite)
       .option("path", s"$base/buckets")
@@ -237,17 +248,32 @@ object AnnIndex {
     writeMetaFull(base,
       Seq("tables" -> tables.toLong, "bits" -> bits.toLong,
         "buckets" -> storageBuckets.toLong, "n_rows" -> n, "checksum" -> fp) ++
-        priorBatch.map("last_batch_id" -> _).toSeq,
+        priorBatch.map("last_batch_id" -> _).toSeq ++
+        priorDelBatch.map("last_del_batch_id" -> _).toSeq,
       Seq("source_paths" -> joinPaths(relationPaths(index))) ++
         snapshotId.map("snapshot_id" -> _).toSeq)
   }
 
+  /** The served LSH view (the [[sq8Handle]] discipline): when a
+    * tombstone table exists both sides anti-join it on vec_id — the
+    * vecs side shares the bucketing (exchange-free); the buckets table
+    * is bucketed by `tb`, so its anti-join rides a broadcast of the
+    * (deletion-bounded) tombstone set instead.
+    */
   private def lshHandle(spark: SparkSession, tag: String, tables: Int,
-      bits: Int): LshHandle =
-    LshHandle(spark.table(s"graft_lsh_buckets_$tag"),
-      spark.table(s"graft_lsh_vecs_$tag"), tables, bits,
+      bits: Int): LshHandle = {
+    val buckets = spark.table(s"graft_lsh_buckets_$tag")
+    val vecs = spark.table(s"graft_lsh_vecs_$tag")
+    val (b, v) =
+      if (spark.catalog.tableExists(s"graft_lsh_tombs_$tag")) {
+        val tombs = spark.table(s"graft_lsh_tombs_$tag")
+        (buckets.join(broadcast(tombs), Seq("vec_id"), "left_anti"),
+          vecs.join(tombs, Seq("vec_id"), "left_anti"))
+      } else (buckets, vecs)
+    LshHandle(b, v, tables, bits,
       readMetaStrs(lshBase(spark, tag)).get("source_paths")
         .map(splitPaths).getOrElse(Nil))
+  }
 
   /** Build (or reuse) the persisted LSH index over `index(vec_id,
     * embedding)`. One pass computes all `tables` signatures per vector;
@@ -278,13 +304,17 @@ object AnnIndex {
       snapshotId: Option[String] = None): LshHandle = {
     val tag = IndexStore.pathTag(sourceDir)
     val base = lshBase(spark, tag)
+    // a tombstoned layout no longer equals signatures(source): ensure's
+    // contract is "serve exactly this source", so deletions force a
+    // rebuild which clears them (the ensureSq8 discipline)
+    def tombFree = readMeta(base).get("tomb_rows").forall(_ == 0L)
     val snapFresh = snapshotId.exists { id =>
       val meta = readMeta(base)
       readMetaStrs(base).get("snapshot_id").contains(id) &&
         meta.get("tables").contains(tables.toLong) &&
         meta.get("bits").contains(bits.toLong) &&
         meta.get("buckets").contains(storageBuckets.toLong)
-    }
+    } && tombFree
     if (snapFresh && servable(spark,
         Seq(s"$base/buckets", s"$base/vecs"),
         lshRegistered(spark, tag),
@@ -300,7 +330,7 @@ object AnnIndex {
     // session's catalog registration: files can be gone while the
     // registration survives.
     val metaFresh = lshMetaMatches(readMeta(base), tables,
-      bits, storageBuckets, n, fp) &&
+      bits, storageBuckets, n, fp) && tombFree &&
       servable(spark, Seq(s"$base/buckets", s"$base/vecs"),
         lshRegistered(spark, tag),
         () => attachLsh(spark, tag, storageBuckets))
@@ -315,7 +345,9 @@ object AnnIndex {
           "buckets" -> storageBuckets.toLong, "n_rows" -> n,
           "checksum" -> fp) ++
           readMeta(base).get("last_batch_id")
-            .map("last_batch_id" -> _).toSeq,
+            .map("last_batch_id" -> _).toSeq ++
+          readMeta(base).get("last_del_batch_id")
+            .map("last_del_batch_id" -> _).toSeq,
         Seq("source_paths" -> readMetaStrs(base)
           .getOrElse("source_paths", joinPaths(relationPaths(index)))) ++
           snapshotId.map("snapshot_id" -> _).toSeq)
@@ -372,6 +404,20 @@ object AnnIndex {
     val replayed = batchId.exists(id =>
       meta.get("last_batch_id").exists(id <= _))
     if (replayed) return lshHandle(spark, tag, tables, bits)
+    // append-only + tombstone contract (the upsertSq8 discipline):
+    // re-adding a deleted id would be silently swallowed by the
+    // tombstone anti-join — fail loudly; compactLsh folds first
+    if (meta.get("tomb_rows").exists(_ > 0L)) {
+      if (!spark.catalog.tableExists(s"graft_lsh_tombs_$tag") &&
+          parquetReadable(spark, s"$base/tombs"))
+        registerExternal(spark, s"graft_lsh_tombs_$tag", s"$base/tombs",
+          clusteredBy = Some(("vec_id", storageBuckets)))
+      val clash = spark.table(s"graft_lsh_tombs_$tag")
+        .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi").count()
+      require(clash == 0L,
+        s"upsertLsh: $clash incoming vec_id(s) are tombstoned — run " +
+          "compactLsh to fold deletions before re-inserting those ids")
+    }
     val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
     lshBucketRows(newVecs, tables, bits).write.mode(SaveMode.Append)
       .bucketBy(storageBuckets, "tb").sortBy("tb")
@@ -385,7 +431,10 @@ object AnnIndex {
         "n_rows" -> (meta("n_rows") + nNew),
         "checksum" -> (meta("checksum") ^ fpNew)) ++
         batchId.orElse(meta.get("last_batch_id"))
-          .map("last_batch_id" -> _).toSeq,
+          .map("last_batch_id" -> _).toSeq ++
+        meta.get("tomb_rows").map("tomb_rows" -> _).toSeq ++
+        meta.get("last_del_batch_id")
+          .map("last_del_batch_id" -> _).toSeq,
       // indexed-path identity grows with the upsert: a scan must cover
       // base AND tail relations to be served from the combined index.
       // Any stored snapshot_id is deliberately NOT carried over — the
@@ -395,6 +444,58 @@ object AnnIndex {
         (readMetaStrs(base).get("source_paths").map(splitPaths)
           .getOrElse(Nil) ++ relationPaths(newVecs)).distinct.sorted)))
     lshHandle(spark, tag, tables, bits)
+  }
+
+  /** Delete by id from the persisted LSH index — the float layout's
+    * twin of [[deleteSq8]], closing the last lifecycle asymmetry (every
+    * quantized layout deletes; the float LSH layout could not).
+    * Merge-on-read vec_id tombstones; the served handle anti-joins
+    * them on both sides (vecs co-bucketed, buckets via a broadcast of
+    * the deletion-bounded tombstone set). A delete drops the stored
+    * snapshot_id AND `source_paths`: the [[graft.plans.LshAnnPlan]]
+    * rewrite serves source scans from the index by path identity, and
+    * a tombstoned index no longer equals the source — deletions must
+    * never leak into a query that named the raw table. Explicit
+    * [[queryLsh]]/[[openLsh]] callers keep serving the tombstoned
+    * view; [[compactLsh]] folds physically; re-inserting a deleted id
+    * fails loudly in [[upsertLsh]]; `batchId` replay-skip rides the
+    * delete counter (`last_del_batch_id`).
+    */
+  def deleteLsh(
+      spark: SparkSession,
+      sourceDir: String,
+      ids: DataFrame,
+      batchId: Option[Long] = None): LshHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = lshBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("tables") && meta.contains("buckets"),
+      s"deleteLsh needs an existing persisted LSH index for " +
+        s"'$sourceDir' — run ensureLsh first")
+    val storageBuckets = meta("buckets").toInt
+    require(parquetReadable(spark, s"$base/buckets") &&
+      parquetReadable(spark, s"$base/vecs"),
+      s"persisted LSH layout for '$sourceDir' is unreadable — run " +
+        "ensureLsh to rebuild before deleting")
+    if (!lshRegistered(spark, tag)) attachLsh(spark, tag, storageBuckets)
+    val replayed = batchId.exists(id =>
+      meta.get("last_del_batch_id").exists(id <= _))
+    if (replayed)
+      return lshHandle(spark, tag, meta("tables").toInt,
+        meta("bits").toInt)
+    val batch = ids.select("vec_id").distinct()
+    val nDel = batch.count()
+    writeTombs(spark, base, s"graft_lsh_tombs_$tag", batch,
+      storageBuckets)
+    writeMetaFull(base,
+      (meta - "tomb_rows" - "last_del_batch_id").toSeq ++
+        Seq("tomb_rows" -> (meta.getOrElse("tomb_rows", 0L) + nDel)) ++
+        batchId.orElse(meta.get("last_del_batch_id"))
+          .map("last_del_batch_id" -> _).toSeq,
+      Nil) // snapshot_id AND source_paths dropped: the layout moved
+           // past the snapshot, and the plan rewrite must stop serving
+           // raw source scans from a tombstoned index
+    lshHandle(spark, tag, meta("tables").toInt, meta("bits").toInt)
   }
 
   /** Open an existing persisted LSH index read-only, WITHOUT a
@@ -425,6 +526,12 @@ object AnnIndex {
       // append — refresh so this reader's file listing is current
       spark.catalog.refreshTable(s"graft_lsh_buckets_$tag")
       spark.catalog.refreshTable(s"graft_lsh_vecs_$tag")
+      // tombstones may have (dis)appeared under another session's
+      // delete or fold — re-derive the registration from the store
+      spark.sql(s"DROP TABLE IF EXISTS graft_lsh_tombs_$tag")
+      if (parquetReadable(spark, s"$base/tombs"))
+        registerExternal(spark, s"graft_lsh_tombs_$tag", s"$base/tombs",
+          clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
     lshHandle(spark, tag, meta("tables").toInt, meta("bits").toInt)
   }
@@ -455,11 +562,37 @@ object AnnIndex {
     openLsh(spark, sourceDir) // validates meta + attaches + refreshes
     val meta = readMeta(base)
     val sb = meta("buckets").toInt
+    // tombstone FOLD (the compactSq8 discipline): physically drop
+    // deleted rows while rewriting; recompute the live fingerprint from
+    // the folded vecs so upsert checksum composition stays coherent
+    val folding = meta.get("tomb_rows").exists(_ > 0L) &&
+      spark.catalog.tableExists(s"graft_lsh_tombs_$tag")
+    val tombFilter = (df: DataFrame) =>
+      if (folding)
+        df.join(spark.table(s"graft_lsh_tombs_$tag"), Seq("vec_id"),
+          "left_anti")
+      else df
     compactBucketed(spark, base, s"graft_lsh_buckets_$tag", "buckets",
-      "tb", sb)
+      "tb", sb,
+      Some(tombFilter(spark.table(s"graft_lsh_buckets_$tag"))))
     compactBucketed(spark, base, s"graft_lsh_vecs_$tag", "vecs",
-      "vec_id", sb)
+      "vec_id", sb,
+      Some(tombFilter(spark.table(s"graft_lsh_vecs_$tag"))))
+    if (folding) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_lsh_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+    }
     attachLsh(spark, tag, sb)
+    if (folding) {
+      val (n, fp) = fingerprint(spark.table(s"graft_lsh_vecs_$tag")
+        .select("vec_id", "embedding"))
+      writeMetaFull(base,
+        (meta - "n_rows" - "checksum" - "tomb_rows").toSeq ++
+          Seq("n_rows" -> n, "checksum" -> fp),
+        Nil) // source_paths stay dropped: folded content ≠ any source
+    }
     lshHandle(spark, tag, meta("tables").toInt, meta("bits").toInt)
   }
 

@@ -879,6 +879,63 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(after.getAs[Long]("bytes") > row.getAs[Long]("bytes"))
   }
 
+  test("deleteLsh tombstones serve exact-kNN-minus-deleted; compactLsh " +
+      "folds them; source_paths drop keeps the plan rewrite honest") {
+    val src = s"spec-$runTag-lshdel"
+    val h0 = AnnIndex.ensureLsh(spark, src, emb, tables = 16, bits = 6)
+    assert(h0.indexedPaths.nonEmpty || h0.indexedPaths.isEmpty) // shape
+    val delIds = emb.filter(col("vec_id") < 8).select("vec_id")
+    val h = AnnIndex.deleteLsh(spark, src, delIds)
+    // the tombstoned index must never be served as "equal to the raw
+    // source" by the LshAnnPlan path-identity rewrite
+    assert(h.indexedPaths.isEmpty,
+      "a tombstoned layout kept its source_paths — the plan rewrite " +
+        "would serve deletions into a raw-source query")
+    assert(h.vecs.count() === emb.count() - 8)
+    val survivors = emb.filter(col("vec_id") >= 8)
+    val expected = hits(
+      SimilaritySearch.bruteForceTopK(queries, survivors, k = 4))
+    // 16x6 multi-probe at the recall-1.0 shipped point over survivors
+    assert(hits(AnnIndex.queryLsh(queries, h, k = 4, probes = 8))
+      === expected)
+    // absent/duplicate deletes no-op; replayed delete batch skipped
+    val h2 = AnnIndex.deleteLsh(spark, src,
+      spark.range(1000000, 1000004).toDF("vec_id")
+        .unionByName(delIds.limit(2)))
+    assert(hits(AnnIndex.queryLsh(queries, h2, k = 4, probes = 8))
+      === expected)
+    AnnIndex.deleteLsh(spark, src, delIds.limit(1), batchId = Some(7L))
+    AnnIndex.deleteLsh(spark, src,
+      emb.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+        .select("vec_id"), batchId = Some(7L))
+    assert(hits(AnnIndex.queryLsh(queries, AnnIndex.openLsh(spark, src),
+      k = 4, probes = 8)) === expected)
+    // re-inserting a tombstoned id fails loudly before the fold
+    val clash = intercept[IllegalArgumentException] {
+      AnnIndex.upsertLsh(spark, src, emb.filter(col("vec_id") === 3),
+        tables = 16, bits = 6)
+    }
+    assert(clash.getMessage.contains("tombstoned"))
+    // FOLD: physical removal, tombstone dir gone, identical answers
+    val folded = AnnIndex.compactLsh(spark, src)
+    assert(folded.vecs.count() === emb.count() - 8)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"/tmp/graft_ann_lsh_${IndexStore.pathTag(src)}", "tombs")))
+    assert(hits(AnnIndex.queryLsh(queries, folded, k = 4, probes = 8))
+      === expected)
+    // post-fold re-add via plain upsert restores the full set
+    val back = AnnIndex.upsertLsh(spark, src,
+      emb.filter(col("vec_id") < 8), tables = 16, bits = 6)
+    assert(hits(AnnIndex.queryLsh(queries, back, k = 4, probes = 8))
+      === hits(SimilaritySearch.bruteForceTopK(queries, emb, k = 4)))
+    // a fresh delete followed by ensure REBUILDS (tombFree gate) and
+    // restores the source_paths identity for the plan rewrite
+    AnnIndex.deleteLsh(spark, src, delIds)
+    val hClear = AnnIndex.ensureLsh(spark, src, emb, tables = 16,
+      bits = 6)
+    assert(hClear.vecs.count() === emb.count())
+  }
+
   // ------------------------------------------------- BQ / IVF-BQ family
   // BQ's deploy contract requires high ambient dimension (the measured
   // 64-dim negative control never reaches identity), so every BQ test
