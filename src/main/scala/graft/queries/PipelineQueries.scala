@@ -1740,6 +1740,60 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // DELETE on the persisted float LSH layout (q116's discipline on
+    // the last layout that was missing the verb): tombstone the 8
+    // query vectors, serve through the anti-joined handle at the
+    // q67-certified recall-1.0 point — every surviving hit equals the
+    // exact kNN over the survivors. ensureLsh treats a tombstoned
+    // layout as stale and rebuilds before re-deleting, so re-runs are
+    // deterministic.
+    "q204_lsh_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val key = s"$dir#lshdel"
+      graft.sources.AnnIndex.ensureLsh(s, key,
+        emb.select("vec_id", "embedding"), tables = 64, bits = 12)
+      val h = graft.sources.AnnIndex.deleteLsh(s, key,
+        emb.filter(col("vec_id") < 8).select("vec_id"))
+      graft.sources.AnnIndex.queryLsh(q, h, k = 4, probes = 48)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // DELETE on the persisted float IVF layout: build-once (the q141
+    // exists-branch — a tombstoned layout must be SERVED, not
+    // re-ensured), tombstone once under batchId replay-skip, and pin
+    // zero symmetric difference vs the in-memory float IVF over the
+    // SURVIVORS at the same stored centroids.
+    "q205_ivf_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val key = s"$dir#ivfdel"
+      if (!graft.sources.AnnIndex.ivfExists(s, key, lists = 64,
+          iters = 5))
+        graft.sources.AnnIndex.ensureIvf(s, key,
+          emb.select("vec_id", "embedding"), lists = 64, iters = 5)
+      val h = graft.sources.AnnIndex.deleteIvf(s, key,
+        emb.filter(col("vec_id") < 8).select("vec_id"),
+        batchId = Some(1L))
+      val served = graft.sources.AnnIndex
+        .queryIvf(q, h, k = 4, nProbe = 24)
+        .select("query_id", "rank", "vec_id")
+      val fl = SimilaritySearch.ivfTopK(q,
+          emb.filter(col("vec_id") >= 8), h.centroids, k = 4,
+          nProbe = 24)
+        .select("query_id", "rank", "vec_id")
+      served.agg(count(lit(1)).as("n_served"))
+        .crossJoin(served.exceptAll(fl).unionByName(fl.exceptAll(served))
+          .agg(count(lit(1)).as("n_diff_float")))
+        .crossJoin(served.filter(col("vec_id") < 8)
+          .agg(count(lit(1)).as("n_tombstoned_served")))
+    }),
+
     // ENTITY RESOLUTION / record linkage (round-10): resolve part
     // records to entities — block on (first name token, brand), pair
     // within blocks at levenshtein ≤ 2, collapse the match graph with
@@ -6008,6 +6062,33 @@ object PipelineQueries {
     // even-id tiled survivors
     "q203_bq_filtered" ->
       tiledBqKnnOracle("q.vec_id < 8 AND x.vec_id % 2 = 0"),
+    // LSH delete at the recall-1.0 point: exact kNN over the index
+    // MINUS the tombstoned ids — the same survivor oracle as q116
+    "q204_lsh_delete" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(x.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+        |                             CAST(x.embedding AS DOUBLE[]))))
+        |    AS score
+        |  FROM embeddings q CROSS JOIN embeddings x
+        |  WHERE q.vec_id < 8 AND x.vec_id >= 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 4""".stripMargin,
+    // IVF delete: served ≡ float IVF over the survivors at the same
+    // stored centroids (8 queries × k=4), zero tombstoned hits
+    "q205_ivf_delete" ->
+      """SELECT CAST(32 AS BIGINT) AS n_served,
+        |CAST(0 AS BIGINT) AS n_diff_float,
+        |CAST(0 AS BIGINT) AS n_tombstoned_served""".stripMargin,
     // persisted composed IVF-BQ: identity to the float-IVF path and
     // the exact-recall floor, engine-verified; counts are the panel's
     // replayable half (8 queries × k=4)

@@ -756,6 +756,34 @@ object AnnIndex {
   private def ivfBase(spark: SparkSession, tag: String) =
     s"${annBase(spark)}/graft_ann_ivf_$tag"
 
+  /** (Re)register the float-IVF tombstone table when its dir exists;
+    * drop the registration when it doesn't (another session's fold).
+    */
+  private def ivfTombsRegistered(spark: SparkSession,
+      tag: String): Boolean = {
+    val base = ivfBase(spark, tag)
+    if (!spark.catalog.tableExists(s"graft_ivf_tombs_$tag") &&
+        parquetReadable(spark, s"$base/tombs"))
+      registerExternal(spark, s"graft_ivf_tombs_$tag", s"$base/tombs")
+    spark.catalog.tableExists(s"graft_ivf_tombs_$tag")
+  }
+
+  /** The served float-IVF view: when tombstones exist the lists
+    * anti-join them on vec_id via a broadcast of the deletion-bounded
+    * set (the [[deleteLsh]] shape — this layout has no id-bucketed
+    * side to ride, its lists carry the vectors themselves).
+    */
+  private def ivfServedHandle(spark: SparkSession,
+      tag: String): IvfHandle = {
+    val cents = spark.read.parquet(s"${ivfBase(spark, tag)}/centroids")
+    val lists = spark.table(s"graft_ivf_lists_$tag")
+    if (ivfTombsRegistered(spark, tag))
+      IvfHandle(cents, lists.join(
+        broadcast(spark.table(s"graft_ivf_tombs_$tag")), Seq("vec_id"),
+        "left_anti"))
+    else IvfHandle(cents, lists)
+  }
+
   /** Drift gate for [[upsertIvf]]: centroids are trained at build time
     * only, so recall erodes as the upserted tail grows relative to the
     * trained base (`n_base` in the meta). The gate bounds that
@@ -802,23 +830,32 @@ object AnnIndex {
     // O(1) snapshot-id freshness — same contract as [[ensureLsh]]:
     // a stored id equal to the caller's names the same immutable
     // content, so the fingerprint scan is skipped outright
+    // a tombstoned layout no longer equals assign(source): deletions
+    // force a rebuild which clears them (the ensureSq8 discipline)
+    def tombFree = readMeta(base).get("tomb_rows").forall(_ == 0L)
     val snapFresh = snapshotId.exists { id =>
       val meta = readMeta(base)
       readMetaStrs(base).get("snapshot_id").contains(id) &&
         meta.get("lists").contains(lists.toLong) &&
         meta.get("iters").contains(iters.toLong)
-    }
+    } && tombFree
     if (snapFresh && ivfServable()) {
-      return IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))
+      return ivfServedHandle(spark, tag)
     }
     val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
     val meta = readMeta(base)
     val metaFresh = meta.get("lists").contains(lists.toLong) &&
       meta.get("iters").contains(iters.toLong) &&
       meta.get("n_rows").contains(n) &&
-      meta.get("checksum").contains(fp) &&
+      meta.get("checksum").contains(fp) && tombFree &&
       ivfServable()
     if (!metaFresh) {
+      // the rebuild clears deletions ("serve exactly this source");
+      // the delete replay-skip window survives
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivf_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
       val cents = SimilaritySearch.kMeansCentroids(index, lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
       val assigned = SimilaritySearch
@@ -830,7 +867,9 @@ object AnnIndex {
         .format("parquet").saveAsTable(listsTable)
       writeMetaFull(base,
         Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
-          "n_rows" -> n, "checksum" -> fp, "n_base" -> n),
+          "n_rows" -> n, "checksum" -> fp, "n_base" -> n) ++
+          meta.get("last_del_batch_id")
+            .map("last_del_batch_id" -> _).toSeq,
         snapshotId.map("snapshot_id" -> _).toSeq)
     }
     if (metaFresh && snapshotId.isDefined)
@@ -839,9 +878,11 @@ object AnnIndex {
       writeMetaFull(base,
         Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
           "n_rows" -> n, "checksum" -> fp,
-          "n_base" -> meta.getOrElse("n_base", n)),
+          "n_base" -> meta.getOrElse("n_base", n)) ++
+          meta.get("last_del_batch_id")
+            .map("last_del_batch_id" -> _).toSeq,
         snapshotId.map("snapshot_id" -> _).toSeq)
-    IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))
+    ivfServedHandle(spark, tag)
   }
 
   /** Incremental add into an EXISTING persisted IVF index: new vectors
@@ -890,16 +931,89 @@ object AnnIndex {
           f"against a trained base of $nBase (ratio ${tailAfter.toDouble / nBase}%.2f " +
           f"> $maxRatio%.2f). Rebuild with ensureIvf to retrain centroids, " +
           "or raise spark.graft.ann.ivf.maxTailRatio.")
+    // append-only + tombstone contract (the upsertSq8 discipline)
+    if (meta.get("tomb_rows").exists(_ > 0L) &&
+        ivfTombsRegistered(spark, tag)) {
+      val clash = spark.table(s"graft_ivf_tombs_$tag")
+        .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi").count()
+      require(clash == 0L,
+        s"upsertIvf: $clash incoming vec_id(s) are tombstoned — run " +
+          "compactIvf to fold deletions before re-inserting those ids")
+    }
     val assigned = SimilaritySearch
       .assignWithVecs(newVecs, spark.read.parquet(centsPath))
     assigned.write.mode(SaveMode.Append)
       .partitionBy("centroid_id")
       .format("parquet").saveAsTable(listsTable)
-    writeMeta(base, "lists" -> lists.toLong, "iters" -> iters.toLong,
+    writeMeta(base, (Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
       "n_rows" -> (meta("n_rows") + nNew),
       "checksum" -> (meta("checksum") ^ fpNew),
-      "n_base" -> nBase)
-    IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))
+      "n_base" -> nBase) ++
+      meta.get("tomb_rows").map("tomb_rows" -> _).toSeq ++
+      meta.get("last_del_batch_id")
+        .map("last_del_batch_id" -> _).toSeq): _*)
+    ivfServedHandle(spark, tag)
+  }
+
+  /** True iff a persisted float-IVF layout exists for `sourceDir` AT
+    * the given operating point (meta check only — the [[sq8Exists]]
+    * contract; a tombstoned layout must be served through its handle,
+    * not re-ensured).
+    */
+  def ivfExists(spark: SparkSession, sourceDir: String,
+      lists: Int = 32, iters: Int = 5): Boolean = {
+    val meta = readMeta(ivfBase(spark, IndexStore.pathTag(sourceDir)))
+    meta.get("lists").contains(lists.toLong) &&
+      meta.get("iters").contains(iters.toLong)
+  }
+
+  /** Delete by id from the persisted float-IVF index — the last layout
+    * without the verb. Merge-on-read vec_id tombstones served through
+    * a broadcast anti-join on the probed lists (this layout has no
+    * id-bucketed side; the tombstone set is deletion-bounded). Ids
+    * absent from the index are a semantic no-op; [[compactIvf]] folds
+    * physically; re-inserting a deleted id fails loudly in
+    * [[upsertIvf]]; a delete moves the layout past any named snapshot;
+    * `batchId` replay-skip rides the delete counter.
+    */
+  def deleteIvf(
+      spark: SparkSession,
+      sourceDir: String,
+      ids: DataFrame,
+      batchId: Option[Long] = None): IvfHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfBase(spark, tag)
+    val listsTable = s"graft_ivf_lists_$tag"
+    val meta = readMeta(base)
+    require(meta.contains("lists"),
+      s"deleteIvf needs an existing persisted IVF index for " +
+        s"'$sourceDir' — run ensureIvf first")
+    require(parquetReadable(spark, s"$base/lists") &&
+      parquetReadable(spark, s"$base/centroids"),
+      s"persisted IVF layout for '$sourceDir' is unreadable — run " +
+        "ensureIvf to rebuild before deleting")
+    if (!spark.catalog.tableExists(listsTable))
+      registerExternal(spark, listsTable, s"$base/lists",
+        partitionedBy = Some("centroid_id"))
+    val replayed = batchId.exists(id =>
+      meta.get("last_del_batch_id").exists(id <= _))
+    if (replayed) return ivfServedHandle(spark, tag)
+    val batch = ids.select("vec_id").distinct()
+    val nDel = batch.count()
+    if (ivfTombsRegistered(spark, tag))
+      batch.write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(s"graft_ivf_tombs_$tag")
+    else
+      batch.write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/tombs")
+        .format("parquet").saveAsTable(s"graft_ivf_tombs_$tag")
+    writeMetaFull(base,
+      (meta - "tomb_rows" - "last_del_batch_id").toSeq ++
+        Seq("tomb_rows" -> (meta.getOrElse("tomb_rows", 0L) + nDel)) ++
+        batchId.orElse(meta.get("last_del_batch_id"))
+          .map("last_del_batch_id" -> _).toSeq,
+      Nil) // snapshot_id intentionally dropped: the layout moved past it
+    ivfServedHandle(spark, tag)
   }
 
   /** Build-or-reuse for a base + upserted-tail IVF index: reused (or
@@ -933,9 +1047,15 @@ object AnnIndex {
       meta.get("iters").contains(iters.toLong) &&
       meta.get("n_rows").contains(nb + nt) &&
       meta.get("checksum").contains(fb ^ ft) &&
+      meta.get("tomb_rows").forall(_ == 0L) &&
       servable(spark, Seq(s"$base/lists", centsPath),
         spark.catalog.tableExists(listsTable), () => attach())
     if (!combinedFresh) {
+      // the rebuild clears deletions (the ensureIvf discipline)
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivf_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
       val cents = SimilaritySearch.kMeansCentroids(baseRows, lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
       val assigned = SimilaritySearch
@@ -945,11 +1065,14 @@ object AnnIndex {
         .option("path", s"$base/lists")
         .partitionBy("centroid_id")
         .format("parquet").saveAsTable(listsTable)
-      writeMeta(base, "lists" -> lists.toLong, "iters" -> iters.toLong,
-        "n_rows" -> nb, "checksum" -> fb, "n_base" -> nb)
+      writeMeta(base, (Seq("lists" -> lists.toLong,
+        "iters" -> iters.toLong,
+        "n_rows" -> nb, "checksum" -> fb, "n_base" -> nb) ++
+        meta.get("last_del_batch_id")
+          .map("last_del_batch_id" -> _).toSeq): _*)
       upsertIvf(spark, sourceDir, tailRows, lists, iters)
     }
-    IvfHandle(spark.read.parquet(centsPath), spark.table(listsTable))
+    ivfServedHandle(spark, tag)
   }
 
   /** Query the persisted IVF index: rank centroids per query (broadcast,
@@ -1953,7 +2076,8 @@ object AnnIndex {
     val tag = IndexStore.pathTag(sourceDir)
     val base = ivfBase(spark, tag)
     val listsTable = s"graft_ivf_lists_$tag"
-    require(readMeta(base).contains("lists"),
+    val meta = readMeta(base)
+    require(meta.contains("lists"),
       s"no persisted IVF index for '$sourceDir' ($base)")
     require(parquetReadable(spark, s"$base/lists"),
       s"persisted IVF layout for '$sourceDir' is unreadable — run " +
@@ -1962,12 +2086,36 @@ object AnnIndex {
       registerExternal(spark, listsTable, s"$base/lists",
         partitionedBy = Some("centroid_id"))
     else spark.catalog.refreshTable(listsTable)
-    compactPartitioned(spark, base, listsTable, "lists", "centroid_id")
+    // tombstone FOLD (the compactSq8 discipline)
+    val folding = meta.get("tomb_rows").exists(_ > 0L) &&
+      ivfTombsRegistered(spark, tag)
+    compactPartitioned(spark, base, listsTable, "lists", "centroid_id",
+      if (folding)
+        Some(spark.table(listsTable).join(
+          broadcast(spark.table(s"graft_ivf_tombs_$tag")), Seq("vec_id"),
+          "left_anti"))
+      else None)
+    if (folding) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivf_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+    }
     spark.sql(s"DROP TABLE IF EXISTS $listsTable")
     registerExternal(spark, listsTable, s"$base/lists",
       partitionedBy = Some("centroid_id"))
-    IvfHandle(spark.read.parquet(s"$base/centroids"),
-      spark.table(listsTable))
+    if (folding) {
+      // recompute the live fingerprint from the folded lists (they
+      // carry (vec_id, embedding) — the same rows ensure fingerprints);
+      // n_base stays: the centroids trained on the original base
+      val (n, fp) = fingerprint(
+        spark.table(listsTable).select("vec_id", "embedding"))
+      writeMetaFull(base,
+        (meta - "n_rows" - "checksum" - "tomb_rows").toSeq ++
+          Seq("n_rows" -> n, "checksum" -> fp),
+        Nil)
+    }
+    ivfServedHandle(spark, tag)
   }
 
   /** One partitioned table's compaction step (side-dir + swap): shared

@@ -936,6 +936,56 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hClear.vecs.count() === emb.count())
   }
 
+  test("deleteIvf: vec_id tombstones serve float-IVF-over-survivors; " +
+      "compactIvf folds them; re-add + ensure stay coherent") {
+    val src = s"spec-$runTag-ivfdel"
+    AnnIndex.ensureIvf(spark, src, emb, lists = 8, iters = 3)
+    val delIds = emb.filter(col("vec_id") < 8).select("vec_id")
+    val h = AnnIndex.deleteIvf(spark, src, delIds)
+    assert(h.lists.count() === emb.count() - 8)
+    val survivors = emb.filter(col("vec_id") >= 8)
+    val expected = hits(SimilaritySearch.ivfTopK(queries, survivors,
+      h.centroids, k = 4, nProbe = 3))
+    assert(hits(AnnIndex.queryIvf(queries, h, k = 4, nProbe = 3))
+      === expected)
+    // absent/duplicate deletes no-op; replayed delete batch skipped
+    val h2 = AnnIndex.deleteIvf(spark, src,
+      spark.range(1000000, 1000004).toDF("vec_id")
+        .unionByName(delIds.limit(2)))
+    assert(hits(AnnIndex.queryIvf(queries, h2, k = 4, nProbe = 3))
+      === expected)
+    AnnIndex.deleteIvf(spark, src, delIds.limit(1), batchId = Some(7L))
+    val h3 = AnnIndex.deleteIvf(spark, src,
+      emb.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+        .select("vec_id"), batchId = Some(7L))
+    assert(hits(AnnIndex.queryIvf(queries, h3, k = 4, nProbe = 3))
+      === expected)
+    // re-inserting a tombstoned id fails loudly before the fold
+    val clash = intercept[IllegalArgumentException] {
+      AnnIndex.upsertIvf(spark, src, emb.filter(col("vec_id") === 3),
+        lists = 8, iters = 3)
+    }
+    assert(clash.getMessage.contains("tombstoned"))
+    // FOLD: physical removal, tombstone dir gone, identical answers
+    val folded = AnnIndex.compactIvf(spark, src)
+    assert(folded.lists.count() === emb.count() - 8)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"/tmp/graft_ann_ivf_${IndexStore.pathTag(src)}", "tombs")))
+    assert(hits(AnnIndex.queryIvf(queries, folded, k = 4, nProbe = 3))
+      === expected)
+    // post-fold re-add via plain upsert restores the full set
+    val back = AnnIndex.upsertIvf(spark, src,
+      emb.filter(col("vec_id") < 8), lists = 8, iters = 3)
+    assert(hits(AnnIndex.queryIvf(queries, back, k = 4, nProbe = 3))
+      === hits(SimilaritySearch.ivfTopK(queries, emb, back.centroids,
+        k = 4, nProbe = 3)))
+    // a fresh delete followed by ensure REBUILDS (tombFree gate)
+    AnnIndex.deleteIvf(spark, src, delIds)
+    val hClear = AnnIndex.ensureIvf(spark, src, emb, lists = 8,
+      iters = 3)
+    assert(hClear.lists.count() === emb.count())
+  }
+
   // ------------------------------------------------- BQ / IVF-BQ family
   // BQ's deploy contract requires high ambient dimension (the measured
   // 64-dim negative control never reaches identity), so every BQ test
