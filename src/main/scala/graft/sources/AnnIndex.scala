@@ -681,8 +681,11 @@ object AnnIndex {
     val (nb, fb) = fingerprint(baseRows.select("vec_id", "embedding"))
     val (nt, ft) = fingerprint(tailRows.select("vec_id", "embedding"))
     val ubase = lshBase(spark, tag)
+    // a tombstoned layout fails ensure's "serve exactly base ⊕ tail"
+    // contract — rebuild clears the deletions (the ensureLsh gate)
     val combinedFresh = lshMetaMatches(readMeta(ubase),
       tables, bits, storageBuckets, nb + nt, fb ^ ft) &&
+      readMeta(ubase).get("tomb_rows").forall(_ == 0L) &&
       servable(spark, Seq(s"$ubase/buckets", s"$ubase/vecs"),
         lshRegistered(spark, tag),
         () => attachLsh(spark, tag, storageBuckets))
