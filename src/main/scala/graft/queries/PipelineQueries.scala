@@ -1831,6 +1831,27 @@ object PipelineQueries {
           col("is_current"))
         .orderBy("user_id", "valid_from_us", "event_type")),
 
+    // SCD2 POINT-IN-TIME LOOKUP (round-10, completing q199's family
+    // under the oracle gate): every purchase probes the buyer's SCD2
+    // event-type dimension AS OF the purchase instant — features as
+    // they WERE, the temporal-leakage-free training join. Probes
+    // before a user's first interval honestly read null. Epoch-micros
+    // outputs (the house timestamp rule).
+    "q206_scd2_lookup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") % 5 === 0)
+      val dim = graft.operators.Scd2.fromChanges(
+        ev.select("user_id", "ts", "event_type"),
+        "user_id", "ts", Seq("event_type"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.Scd2.asOfLookup(probes, dim, "user_id", "ts")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_type").as("tier"),
+          unix_micros(col("valid_from")).as("valid_from_us"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // DATA-CONTRACT AUDIT (round-10): the expectations gate a 100 TB
     // ingest runs before anything downstream trusts the batch — key
     // uniqueness, not-null, referential integrity (one anti-join count
@@ -6213,6 +6234,31 @@ object PipelineQueries {
         |  valid_to IS NULL AS is_current
         |FROM iv
         |ORDER BY user_id, valid_from_us, event_type""".stripMargin,
+    // SCD2 point-in-time lookup: each purchase reads the interval that
+    // covered its instant (half-open [from, to)), nulls before a
+    // user's first interval
+    "q206_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, ts, event_type, event_id FROM events
+        |  WHERE user_id % 5 = 0),
+        |m AS (SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_type) AS p
+        |  FROM e),
+        |o AS (SELECT user_id, event_type, ts AS valid_from FROM m
+        |  WHERE p IS NULL OR p <> event_type),
+        |iv AS (SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, event_type) AS valid_to
+        |  FROM o),
+        |pr AS (SELECT user_id, ts, event_id FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT pr.user_id, pr.event_id, epoch_us(pr.ts) AS ts_us,
+        |  iv.event_type AS tier,
+        |  epoch_us(iv.valid_from) AS valid_from_us
+        |FROM pr LEFT JOIN iv
+        |  ON pr.user_id = iv.user_id AND pr.ts >= iv.valid_from
+        |  AND (iv.valid_to IS NULL OR pr.ts < iv.valid_to)
+        |ORDER BY pr.user_id, pr.event_id""".stripMargin,
     // data-contract audit: every check's count arithmetic replayed —
     // uniqueness (dup-excess + nulls), not-null, referential anti-join
     // counts, range/cross-table predicates (null predicate = violation)
