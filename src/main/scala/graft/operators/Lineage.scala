@@ -72,9 +72,16 @@ object Lineage {
     if (!java.nio.file.Files.exists(p))
       return (0L, BigInt(0), -1L, 0L, BigInt(0))
     val s = java.nio.file.Files.readString(p)
+    // a manifest documented as EXACT provenance must fail LOUDLY on a
+    // missing/garbled field — defaulting to "0" would silently re-fold
+    // earlier batches (last_batch_id=0) and corrupt the running totals
     def field(k: String): String = {
       val m = ("\"" + k + "\"\\s*:\\s*\"?([-0-9]+)\"?").r
-      m.findFirstMatchIn(s).map(_.group(1)).getOrElse("0")
+      m.findFirstMatchIn(s).map(_.group(1)).getOrElse(
+        throw new IllegalStateException(
+          s"manifest store '$storeDir': _manifest.json is present but " +
+            s"field '$k' is missing or unparseable — corrupt manifest; " +
+            "restore it or start a fresh store"))
     }
     (field("n_rows").toLong, BigInt(field("checksum")),
       field("last_batch_id").toLong,
@@ -111,10 +118,18 @@ object Lineage {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(storeDir))
     val out = (n0 + n, cs0 + cs)
-    java.nio.file.Files.writeString(metaPath(storeDir),
+    // temp-file + ATOMIC_MOVE (the AnnIndex meta discipline): a crash
+    // mid-write must leave the old complete manifest, never a truncated
+    // file that would parse as zeros
+    val tmp = java.nio.file.Paths.get(storeDir,
+      s"_manifest.json.tmp${ProcessHandle.current.pid}")
+    java.nio.file.Files.writeString(tmp,
       s"""{"n_rows": ${out._1}, "checksum": "${out._2}", """ +
         s""""last_batch_id": $batchId, "last_batch_n": $n, """ +
         s""""last_batch_cs": "$cs"}""")
+    java.nio.file.Files.move(tmp, metaPath(storeDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     out
   }
 }

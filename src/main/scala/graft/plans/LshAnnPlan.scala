@@ -78,6 +78,21 @@ object LshAnnPlan {
     * `ensureLsh` (its content fingerprint detects the change and
     * rebuilds) before relying on the rewrite; until then the optimizer
     * would serve the stored — now stale — index.
+    *
+    * Delete contract: enabling `persistedSource` declares the index
+    * AUTHORITATIVE for matching source scans, including deletes
+    * performed through it — after
+    * [[graft.sources.AnnIndex.deleteLsh]], a naive kNN over the raw
+    * source is served from the tombstoned index and returns the
+    * SURVIVOR view (exactly what an explicit `queryLsh` caller gets,
+    * and the vector-store contract: Pinecone `delete(ids=)` +
+    * `as_retriever()`, reference `AI.py:138` — a user who deletes
+    * keeps querying the same index). This is the one place the
+    * rewrite deliberately diverges from the un-rewritten plan (whose
+    * raw scan still holds the deleted rows): the divergence IS the
+    * delete taking effect, and it is opt-in via this config. A session
+    * that wants raw-scan semantics back disables the rewrite or
+    * re-runs `ensureLsh` (which rebuilds tombFree from the source).
     */
   case class Config(tables: Int = 64, bits: Int = 12, probes: Int = 48,
       persistedSource: Option[String] = None)

@@ -169,6 +169,38 @@ object AnnIndex {
       .map(m => m.group(1) -> m.group(2).toLong).toMap
   }
 
+  /** Meta is the COMMIT POINT for tombstones: a tombs dir is SERVED
+    * only when the committed meta records `tomb_rows > 0`. A crash
+    * between a delete verb's tombs append and its meta commit leaves
+    * orphan tomb files under a meta that still reads tombFree —
+    * registering those would make `ensure*` judge the layout fresh
+    * while the served handle silently anti-joins ids that were never
+    * committed (under-serving the source it claims to equal exactly).
+    * Orphans are ignored at attach/open time and swept by
+    * [[sweepOrphanTombs]] before the next delete commits.
+    */
+  private[sources] def tombsCommitted(base: String): Boolean =
+    readMeta(base).get("tomb_rows").exists(_ > 0L)
+
+  private[sources] def tombsServable(spark: SparkSession,
+      base: String): Boolean =
+    tombsCommitted(base) && parquetReadable(spark, s"$base/tombs")
+
+  /** Sweep a tombs dir the meta never committed (the crashed-delete
+    * orphan) — folding uncommitted ids into a new delete batch would
+    * commit MORE tombstones than the batch's counted `nDel`, so the
+    * served anti-join and the meta's `tomb_rows` would disagree
+    * forever. Called by every delete verb before it appends.
+    */
+  private[sources] def sweepOrphanTombs(spark: SparkSession, base: String,
+      table: String): Unit =
+    if (!tombsCommitted(base)) {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val d = Paths.get(base, "tombs")
+      if (Files.exists(d))
+        org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+    }
+
   private def lshBase(spark: SparkSession, tag: String) =
     s"${annBase(spark)}/graft_ann_lsh_$tag"
 
@@ -209,7 +241,7 @@ object AnnIndex {
       clusteredBy = Some(("tb", storageBuckets)))
     registerExternal(spark, s"graft_lsh_vecs_$tag", s"$base/vecs",
       clusteredBy = Some(("vec_id", storageBuckets)))
-    if (parquetReadable(spark, s"$base/tombs"))
+    if (tombsServable(spark, base))
       registerExternal(spark, s"graft_lsh_tombs_$tag", s"$base/tombs",
         clusteredBy = Some(("vec_id", storageBuckets)))
   }
@@ -409,7 +441,7 @@ object AnnIndex {
     // tombstone anti-join — fail loudly; compactLsh folds first
     if (meta.get("tomb_rows").exists(_ > 0L)) {
       if (!spark.catalog.tableExists(s"graft_lsh_tombs_$tag") &&
-          parquetReadable(spark, s"$base/tombs"))
+          tombsServable(spark, base))
         registerExternal(spark, s"graft_lsh_tombs_$tag", s"$base/tombs",
           clusteredBy = Some(("vec_id", storageBuckets)))
       val clash = spark.table(s"graft_lsh_tombs_$tag")
@@ -452,14 +484,23 @@ object AnnIndex {
     * Merge-on-read vec_id tombstones; the served handle anti-joins
     * them on both sides (vecs co-bucketed, buckets via a broadcast of
     * the deletion-bounded tombstone set). A delete drops the stored
-    * snapshot_id AND `source_paths`: the [[graft.plans.LshAnnPlan]]
-    * rewrite serves source scans from the index by path identity, and
-    * a tombstoned index no longer equals the source — deletions must
-    * never leak into a query that named the raw table. Explicit
-    * [[queryLsh]]/[[openLsh]] callers keep serving the tombstoned
-    * view; [[compactLsh]] folds physically; re-inserting a deleted id
-    * fails loudly in [[upsertLsh]]; `batchId` replay-skip rides the
-    * delete counter (`last_del_batch_id`).
+    * snapshot_id (the layout moved past the snapshot that id named)
+    * but KEEPS `source_paths`: the index remains the authoritative
+    * serving view of its source under the vector-store delete contract
+    * (Pinecone `delete(ids=)` composed with `as_retriever()`,
+    * `/root/reference/AI.py:138` — a user who deletes keeps querying
+    * the same index), so the [[graft.plans.LshAnnPlan]] rewrite keeps
+    * serving raw-source kNN through the index, tombstone anti-join
+    * included — survivors-exact, never O(n) exact-scan degraded.
+    * That contract is the rewrite's OPT-IN semantic: enabling
+    * `persistedSource` declares index-side deletes authoritative for
+    * matching source scans (see [[graft.plans.LshAnnPlan.Config]]).
+    * Explicit [[queryLsh]]/[[openLsh]] callers serve the same
+    * tombstoned view; [[compactLsh]] folds physically; [[ensureLsh]]
+    * still treats a tombstoned layout as stale ("serve exactly this
+    * source") and rebuilds; re-inserting a deleted id fails loudly in
+    * [[upsertLsh]]; `batchId` replay-skip rides the delete counter
+    * (`last_del_batch_id`).
     */
   def deleteLsh(
       spark: SparkSession,
@@ -492,10 +533,30 @@ object AnnIndex {
         Seq("tomb_rows" -> (meta.getOrElse("tomb_rows", 0L) + nDel)) ++
         batchId.orElse(meta.get("last_del_batch_id"))
           .map("last_del_batch_id" -> _).toSeq,
-      Nil) // snapshot_id AND source_paths dropped: the layout moved
-           // past the snapshot, and the plan rewrite must stop serving
-           // raw source scans from a tombstoned index
+      // snapshot_id dropped (the layout moved past it); source_paths
+      // KEPT — the tombstoned index stays the authoritative serving
+      // view of its source, so the plan rewrite keeps accelerating
+      // raw-source kNN (survivors-exact via the handle's anti-join)
+      readMetaStrs(base).get("source_paths")
+        .map("source_paths" -> _).toSeq)
     lshHandle(spark, tag, meta("tables").toInt, meta("bits").toInt)
+  }
+
+  /** True iff a persisted LSH layout exists for `sourceDir` AT the
+    * given operating point (meta check only — no readability or
+    * freshness probe; the [[ivfExists]] contract). Lets callers branch
+    * build-vs-open explicitly — the delete-serving lifecycle needs
+    * this, since a tombstoned layout deliberately fails [[ensureLsh]]'s
+    * freshness ("serve exactly this source") and must be OPENED, not
+    * re-ensured, to keep serving its deletions.
+    */
+  def lshExists(spark: SparkSession, sourceDir: String,
+      tables: Int = 64, bits: Int = 12,
+      storageBuckets: Int = 8): Boolean = {
+    val meta = readMeta(lshBase(spark, IndexStore.pathTag(sourceDir)))
+    meta.get("tables").contains(tables.toLong) &&
+      meta.get("bits").contains(bits.toLong) &&
+      meta.get("buckets").contains(storageBuckets.toLong)
   }
 
   /** Open an existing persisted LSH index read-only, WITHOUT a
@@ -529,7 +590,7 @@ object AnnIndex {
       // tombstones may have (dis)appeared under another session's
       // delete or fold — re-derive the registration from the store
       spark.sql(s"DROP TABLE IF EXISTS graft_lsh_tombs_$tag")
-      if (parquetReadable(spark, s"$base/tombs"))
+      if (tombsServable(spark, base))
         registerExternal(spark, s"graft_lsh_tombs_$tag", s"$base/tombs",
           clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
@@ -591,7 +652,12 @@ object AnnIndex {
       writeMetaFull(base,
         (meta - "n_rows" - "checksum" - "tomb_rows").toSeq ++
           Seq("n_rows" -> n, "checksum" -> fp),
-        Nil) // source_paths stay dropped: folded content ≠ any source
+        // source_paths survive the fold: the folded layout serves the
+        // SAME survivor view the tombstoned one did, and the serving
+        // contract (index authoritative over its source after deletes)
+        // is what the rewrite's opt-in declared
+        readMetaStrs(base).get("source_paths")
+          .map("source_paths" -> _).toSeq)
     }
     lshHandle(spark, tag, meta("tables").toInt, meta("bits").toInt)
   }
@@ -766,7 +832,7 @@ object AnnIndex {
       tag: String): Boolean = {
     val base = ivfBase(spark, tag)
     if (!spark.catalog.tableExists(s"graft_ivf_tombs_$tag") &&
-        parquetReadable(spark, s"$base/tombs"))
+        tombsServable(spark, base))
       registerExternal(spark, s"graft_ivf_tombs_$tag", s"$base/tombs")
     spark.catalog.tableExists(s"graft_ivf_tombs_$tag")
   }
@@ -1003,6 +1069,7 @@ object AnnIndex {
     if (replayed) return ivfServedHandle(spark, tag)
     val batch = ids.select("vec_id").distinct()
     val nDel = batch.count()
+    sweepOrphanTombs(spark, base, s"graft_ivf_tombs_$tag")
     if (ivfTombsRegistered(spark, tag))
       batch.write.mode(SaveMode.Append).format("parquet")
         .saveAsTable(s"graft_ivf_tombs_$tag")
@@ -1016,6 +1083,38 @@ object AnnIndex {
         batchId.orElse(meta.get("last_del_batch_id"))
           .map("last_del_batch_id" -> _).toSeq,
       Nil) // snapshot_id intentionally dropped: the layout moved past it
+    ivfServedHandle(spark, tag)
+  }
+
+  /** Open an existing persisted float-IVF index read-only, WITHOUT a
+    * freshness probe — the [[openSq8]] contract on the float layout
+    * (the one open* verb that was missing): no fingerprint scan, no
+    * rebuild decision, just a catalog attach/refresh. The reader's
+    * path for a tombstoned layout, which deliberately fails
+    * [[ensureIvf]]'s "serve exactly this source" freshness and must be
+    * OPENED to keep serving its deletions.
+    */
+  def openIvf(spark: SparkSession, sourceDir: String): IvfHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = ivfBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("lists"),
+      s"no persisted IVF index for '$sourceDir' ($base)")
+    require(parquetReadable(spark, s"$base/lists") &&
+      parquetReadable(spark, s"$base/centroids"),
+      s"persisted IVF layout for '$sourceDir' is unreadable (crashed " +
+        "compaction?) — run ensureIvf to rebuild")
+    val listsTable = s"graft_ivf_lists_$tag"
+    if (!spark.catalog.tableExists(listsTable))
+      registerExternal(spark, listsTable, s"$base/lists",
+        partitionedBy = Some("centroid_id"))
+    else {
+      // a writer in another session invalidates only its own relation
+      // cache — refresh so this reader's file listing is current; the
+      // tombs registration re-derives inside ivfServedHandle
+      spark.catalog.refreshTable(listsTable)
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivf_tombs_$tag")
+    }
     ivfServedHandle(spark, tag)
   }
 
@@ -1129,7 +1228,7 @@ object AnnIndex {
       clusteredBy = Some(("vec_id", storageBuckets)))
     registerExternal(spark, s"graft_sq8_vecs_$tag", s"$base/vecs",
       clusteredBy = Some(("vec_id", storageBuckets)))
-    if (parquetReadable(spark, s"$base/tombs"))
+    if (tombsServable(spark, base))
       registerExternal(spark, s"graft_sq8_tombs_$tag", s"$base/tombs",
         clusteredBy = Some(("vec_id", storageBuckets)))
   }
@@ -1143,7 +1242,7 @@ object AnnIndex {
       storageBuckets: Int): Unit = {
     val base = sq8Base(spark, tag)
     if (!spark.catalog.tableExists(s"graft_sq8_tombs_$tag") &&
-        parquetReadable(spark, s"$base/tombs"))
+        tombsServable(spark, base))
       registerExternal(spark, s"graft_sq8_tombs_$tag", s"$base/tombs",
         clusteredBy = Some(("vec_id", storageBuckets)))
   }
@@ -1348,9 +1447,11 @@ object AnnIndex {
     if (replayed) return sq8Handle(spark, tag)
     val batch = ids.select("vec_id").distinct()
     val nDel = batch.count()
-    // tombs written by another session must attach BEFORE the
-    // exists-check: the create-new branch would otherwise overwrite
-    // (lose) their rows
+    // meta is the tombstone commit point (sweep crashed-delete
+    // orphans); tombs COMMITTED by another session must attach BEFORE
+    // the exists-check: the create-new branch would otherwise
+    // overwrite (lose) their rows
+    sweepOrphanTombs(spark, base, s"graft_sq8_tombs_$tag")
     ensureTombsRegistered(spark, tag, storageBuckets)
     if (spark.catalog.tableExists(s"graft_sq8_tombs_$tag"))
       batch.write.mode(SaveMode.Append)
@@ -1408,7 +1509,7 @@ object AnnIndex {
       // tombstones may have (dis)appeared under another session's
       // delete or fold — re-derive the registration from the store
       spark.sql(s"DROP TABLE IF EXISTS graft_sq8_tombs_$tag")
-      if (parquetReadable(spark, s"$base/tombs"))
+      if (tombsServable(spark, base))
         registerExternal(spark, s"graft_sq8_tombs_$tag", s"$base/tombs",
           clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
@@ -1687,7 +1788,7 @@ object AnnIndex {
       partitionedBy = Some("centroid_id"))
     registerExternal(spark, s"graft_ivfsq8_vecs_$tag", s"$base/vecs",
       clusteredBy = Some(("vec_id", storageBuckets)))
-    if (parquetReadable(spark, s"$base/tombs"))
+    if (tombsServable(spark, base))
       registerExternal(spark, s"graft_ivfsq8_tombs_$tag", s"$base/tombs",
         clusteredBy = Some(("vec_id", storageBuckets)))
   }
@@ -1947,11 +2048,15 @@ object AnnIndex {
     */
   private def writeTombs(spark: SparkSession, base: String, table: String,
       batch: DataFrame, storageBuckets: Int): Unit = {
-    // tombs written by another session must attach BEFORE the
+    // meta is the tombstone commit point: sweep any orphan dir a
+    // crashed delete left (appended but never committed) before this
+    // batch commits, so tomb_rows counts exactly what is on disk
+    sweepOrphanTombs(spark, base, table)
+    // tombs COMMITTED by another session must attach BEFORE the
     // exists-check: the create-new branch would otherwise overwrite
     // (lose) their rows
     if (!spark.catalog.tableExists(table) &&
-        parquetReadable(spark, s"$base/tombs"))
+        tombsServable(spark, base))
       registerExternal(spark, table, s"$base/tombs",
         clusteredBy = Some(("vec_id", storageBuckets)))
     if (spark.catalog.tableExists(table))
@@ -2007,7 +2112,7 @@ object AnnIndex {
       // tombstones may have (dis)appeared under another session's
       // delete or fold — re-derive the registration from the store
       spark.sql(s"DROP TABLE IF EXISTS graft_ivfsq8_tombs_$tag")
-      if (parquetReadable(spark, s"$base/tombs"))
+      if (tombsServable(spark, base))
         registerExternal(spark, s"graft_ivfsq8_tombs_$tag", s"$base/tombs",
           clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
@@ -2341,7 +2446,7 @@ object AnnIndex {
       partitionedBy = Some("centroid_id"))
     registerExternal(spark, s"graft_ivfpq_vecs_$tag", s"$base/vecs",
       clusteredBy = Some(("vec_id", storageBuckets)))
-    if (parquetReadable(spark, s"$base/tombs"))
+    if (tombsServable(spark, base))
       registerExternal(spark, s"graft_ivfpq_tombs_$tag", s"$base/tombs",
         clusteredBy = Some(("vec_id", storageBuckets)))
   }
@@ -2612,7 +2717,7 @@ object AnnIndex {
       // tombstones may have (dis)appeared under another session's
       // delete or fold — re-derive the registration from the store
       spark.sql(s"DROP TABLE IF EXISTS graft_ivfpq_tombs_$tag")
-      if (parquetReadable(spark, s"$base/tombs"))
+      if (tombsServable(spark, base))
         registerExternal(spark, s"graft_ivfpq_tombs_$tag", s"$base/tombs",
           clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
@@ -2751,7 +2856,7 @@ object AnnIndex {
       clusteredBy = Some(("vec_id", storageBuckets)))
     registerExternal(spark, s"graft_bq_vecs_$tag", s"$base/vecs",
       clusteredBy = Some(("vec_id", storageBuckets)))
-    if (parquetReadable(spark, s"$base/tombs"))
+    if (tombsServable(spark, base))
       registerExternal(spark, s"graft_bq_tombs_$tag", s"$base/tombs",
         clusteredBy = Some(("vec_id", storageBuckets)))
   }
@@ -2865,7 +2970,7 @@ object AnnIndex {
     if (replayed) return bqHandle(spark, tag)
     if (meta.get("tomb_rows").exists(_ > 0L)) {
       if (!spark.catalog.tableExists(s"graft_bq_tombs_$tag") &&
-          parquetReadable(spark, s"$base/tombs"))
+          tombsServable(spark, base))
         registerExternal(spark, s"graft_bq_tombs_$tag", s"$base/tombs",
           clusteredBy = Some(("vec_id", storageBuckets)))
       val clash = spark.table(s"graft_bq_tombs_$tag")
@@ -2967,7 +3072,7 @@ object AnnIndex {
       // tombstones may have (dis)appeared under another session's
       // delete or fold — re-derive the registration from the store
       spark.sql(s"DROP TABLE IF EXISTS graft_bq_tombs_$tag")
-      if (parquetReadable(spark, s"$base/tombs"))
+      if (tombsServable(spark, base))
         registerExternal(spark, s"graft_bq_tombs_$tag", s"$base/tombs",
           clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
@@ -3093,7 +3198,7 @@ object AnnIndex {
       partitionedBy = Some("centroid_id"))
     registerExternal(spark, s"graft_ivfbq_vecs_$tag", s"$base/vecs",
       clusteredBy = Some(("vec_id", storageBuckets)))
-    if (parquetReadable(spark, s"$base/tombs"))
+    if (tombsServable(spark, base))
       registerExternal(spark, s"graft_ivfbq_tombs_$tag", s"$base/tombs",
         clusteredBy = Some(("vec_id", storageBuckets)))
   }
@@ -3344,7 +3449,7 @@ object AnnIndex {
       spark.catalog.refreshTable(s"graft_ivfbq_lists_$tag")
       spark.catalog.refreshTable(s"graft_ivfbq_vecs_$tag")
       spark.sql(s"DROP TABLE IF EXISTS graft_ivfbq_tombs_$tag")
-      if (parquetReadable(spark, s"$base/tombs"))
+      if (tombsServable(spark, base))
         registerExternal(spark, s"graft_ivfbq_tombs_$tag", s"$base/tombs",
           clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }

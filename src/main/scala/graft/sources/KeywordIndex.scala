@@ -183,7 +183,7 @@ object KeywordIndex {
       // tombstones may have (dis)appeared under another session's
       // delete or fold — re-derive the registration from the store
       spark.sql(s"DROP TABLE IF EXISTS ${tombsName(tag)}")
-      if (AnnIndex.parquetReadable(spark, s"$base/tombs"))
+      if (AnnIndex.tombsServable(spark, base))
         AnnIndex.registerExternal(spark, tombsName(tag), s"$base/tombs")
     }
     served(spark, tag)
@@ -225,7 +225,7 @@ object KeywordIndex {
     // tombstone anti-join — fail loudly; compactPostings folds first
     if (meta.get("tomb_rows").exists(_ > 0L)) {
       if (!spark.catalog.tableExists(tombsName(tag)) &&
-          AnnIndex.parquetReadable(spark, s"$base/tombs"))
+          AnnIndex.tombsServable(spark, base))
         AnnIndex.registerExternal(spark, tombsName(tag), s"$base/tombs")
       val clash = spark.table(tombsName(tag))
         .join(newDocs.select(newDocs(idCol).as("doc_id")), Seq("doc_id"),
@@ -296,10 +296,12 @@ object KeywordIndex {
     if (replayed) return served(spark, tag)
     val batch = ids.select(ids(idCol).as("doc_id")).distinct()
     val nDel = batch.count()
-    // tombs written by another session must attach BEFORE the
-    // exists-check (the AnnIndex.writeTombs rule)
+    // meta is the tombstone commit point (sweep crashed-delete
+    // orphans); tombs COMMITTED by another session must attach BEFORE
+    // the exists-check (the AnnIndex.writeTombs rule)
+    AnnIndex.sweepOrphanTombs(spark, base, tombsName(tag))
     if (!spark.catalog.tableExists(tombsName(tag)) &&
-        AnnIndex.parquetReadable(spark, s"$base/tombs"))
+        AnnIndex.tombsServable(spark, base))
       AnnIndex.registerExternal(spark, tombsName(tag), s"$base/tombs")
     if (spark.catalog.tableExists(tombsName(tag)))
       batch.write.mode(SaveMode.Append).format("parquet")

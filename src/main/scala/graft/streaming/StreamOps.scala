@@ -1061,10 +1061,17 @@ object StreamOps {
     * producer), and one audit row per trigger
     * (batch_id, n_rows, n_violations) appends to `auditDir`.
     * A null predicate counts as a violation (an expectation that can't
-    * be evaluated is not met — the batch operator's rule). Exactly the
-    * foreachBatch idempotence story of the other sinks: batch_id rides
-    * every audit row, so a replayed trigger is visible downstream
-    * rather than silently double-counted.
+    * be evaluated is not met — the batch operator's rule; the split is
+    * [[graft.operators.DataContract.route]], so batch and streaming
+    * gates share one routing definition). Replay idempotence (the
+    * manifestBatch/SketchStore discipline): a committed
+    * `last_batch_id` persists beside the audit output, and a restarted
+    * stream re-running an already-committed trigger SKIPS it — the
+    * 'trusted' main output never silently double-counts replayed rows.
+    * The residual window is a crash between the data appends and the
+    * meta commit (that one batch replays as a duplicate — closing it
+    * needs an atomically-committing table format, same caveat as every
+    * parquet sink here).
     */
   def streamingContractGate(
       rows: DataFrame,
@@ -1076,7 +1083,7 @@ object StreamOps {
     rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && id > gateCommittedBatch(auditDir)) {
           val spark = batch.sparkSession
           import spark.implicits._
           val marked = batch.toDF()
@@ -1084,17 +1091,43 @@ object StreamOps {
               org.apache.spark.sql.functions.coalesce(predicate,
                 org.apache.spark.sql.functions.lit(false)))
             .localCheckpoint(true)
-          marked.filter(col("__ok")).drop("__ok")
+          val routed = graft.operators.DataContract.route(
+            marked, col("__ok"))
+          routed.main.drop("__ok")
             .write.mode(SaveMode.Append).parquet(mainDir)
-          val bad = marked.filter(!col("__ok")).drop("__ok")
+          val bad = routed.quarantine.drop("__ok")
           if (!bad.isEmpty)
             bad.write.mode(SaveMode.Append).parquet(quarantineDir)
-          val n = marked.count()
-          val nBad = marked.filter(!col("__ok")).count()
-          Seq((id, n, nBad)).toDF("batch_id", "n_rows", "n_violations")
+          val a = routed.audit.head
+          Seq((id, a.getLong(0), a.getLong(1)))
+            .toDF("batch_id", "n_rows", "n_violations")
             .write.mode(SaveMode.Append).parquet(auditDir)
+          gateCommitBatch(auditDir, id) // meta-after-data
         }
       }
+
+  /** The gate's committed trigger high-water mark (−1 when absent). */
+  private def gateCommittedBatch(auditDir: String): Long = {
+    val p = java.nio.file.Paths.get(auditDir, "_gate_meta.json")
+    if (!java.nio.file.Files.exists(p)) -1L
+    else "\"last_batch_id\"\\s*:\\s*(-?\\d+)".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .map(_.group(1).toLong).getOrElse(throw new IllegalStateException(
+        s"contract gate '$auditDir': _gate_meta.json is present but " +
+          "unparseable — corrupt meta; restore it or start fresh"))
+  }
+
+  private def gateCommitBatch(auditDir: String, id: Long): Unit = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(auditDir))
+    val tmp = java.nio.file.Paths.get(auditDir,
+      s"_gate_meta.json.tmp${ProcessHandle.current.pid}")
+    java.nio.file.Files.writeString(tmp, s"""{"last_batch_id": $id}""")
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(auditDir, "_gate_meta.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Incrementally-maintained dataset manifest — the streaming closure
     * of [[graft.operators.Lineage.manifest]]: each micro-batch folds
@@ -1116,6 +1149,32 @@ object StreamOps {
         if (!batch.isEmpty) {
           graft.operators.Lineage.manifestBatch(storeDir, batch.toDF(),
             canon, id)
+          ()
+        }
+      }
+
+  /** Streaming CDC merge into the PERSISTED SCD2 dimension store —
+    * the foreachBatch closure of [[graft.sources.Scd2Store.merge]]
+    * (where [[streamingScd2]] holds state in the query, this lands it
+    * in the warehouse layout): each micro-batch merges under its
+    * trigger id, so replay-skip, crash-retry idempotence, and the loud
+    * history-rewrite refusal are the store's own contracts. Feed
+    * contract: per-key event-time monotone ACROSS triggers (the CDC
+    * ordering guarantee — same as [[streamingScd2]]).
+    */
+  def streamingScd2Store(
+      changes: DataFrame,
+      storeKey: String,
+      keyCol: String,
+      tsCol: String,
+      attrCols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Scd2Store.merge(batch.sparkSession, storeKey,
+            batch.toDF(), keyCol, tsCol, attrCols, id)
           ()
         }
       }
@@ -1156,13 +1215,19 @@ object StreamOps {
           open match {
             case None => open = Some((r.value, r.ts))
             case Some((cur, from)) =>
-              if (r.ts.before(from) || r.ts.equals(from))
+              // an EXACT duplicate of the opening change (same ts, same
+              // value) is a normal at-least-once CDC redelivery — fold
+              // it as a no-op, exactly like the batch operator does; the
+              // loud failure is reserved for genuine history rewrites
+              // (earlier ts, or same ts carrying a DIFFERENT value)
+              if (r.ts.equals(from) && r.value == cur) ()
+              else if (r.ts.before(from) || r.ts.equals(from))
                 throw new IllegalStateException(
                   s"streamingScd2: key $key received a change at ${r.ts} " +
                     s"not after its open interval's valid_from $from — " +
                     "the feed broke the per-key monotone contract; " +
                     "rebuild with the batch Scd2.fromChanges")
-              if (r.value != cur) { // no-op changes fold silently
+              else if (r.value != cur) { // no-op changes fold silently
                 out += Scd2Closed(key, cur, from, r.ts)
                 open = Some((r.value, r.ts))
               }

@@ -2769,6 +2769,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxBlock"))
   }
 
+  test("RecordLinkage.scoredPairs: Fellegi-Sunter log-odds by hand — " +
+      "agreement adds log2(m/u), disagreement log2((1-m)/(1-u)); " +
+      "nulls disagree; closure rides the scored matches") {
+    import RecordLinkage.FieldAgreement
+    val recs = Seq(
+      (1L, "red widget", "tA", 10),
+      (2L, "red widgets", "tA", 10), // vs 1: all three agree
+      (3L, "red widget", "tB", 10), // vs 1/2: name+size agree
+      (4L, "red spanner", "tA", 10), // name too far from all
+      (5L, "red widget", "tB", 99)) // vs 3: name+type agree
+      .toDF("id", "name", "typ", "size")
+    val fields = Seq(
+      FieldAgreement("name", (a, b) => levenshtein(a, b) <= 2, 0.9, 0.1),
+      FieldAgreement("typ", (a, b) => a === b, 0.8, 0.3),
+      FieldAgreement("size", (a, b) => a === b, 0.7, 0.2))
+    val blk = split(col("name"), " ").getItem(0)
+    val got = RecordLinkage.scoredPairs(recs, "id", fields, blk,
+        minScore = 3.0)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6))
+      .as[(Long, Long, Double)].collect().toSet
+    // hand arithmetic: name ±log2(9) = ±3.169925; typ +log2(8/3) =
+    // +1.415037 / −log2(7/2) = −1.807355; size +log2(7/2) / −log2(8/3)
+    //  (1,2): 3.169925+1.415037+1.807355 = 6.392317
+    //  (1,3)/(2,3): 3.169925−1.807355+1.807355 = 3.169925
+    //  (3,5): 3.169925+1.415037−1.415037 = 3.169925
+    //  (1,5)/(2,5): 3.169925−1.807355−1.415037 < 3 → dropped
+    //  (2,4): −3.169925+1.415037+1.807355 ≈ 0.05 → dropped
+    assert(got === Set((1L, 2L, 6.392317), (1L, 3L, 3.169925),
+      (2L, 3L, 3.169925), (3L, 5L, 3.169925)))
+    // a null field value is DISAGREEMENT, not a null score
+    val withNull = Seq((1L, "red widget", "tA", 10),
+      (2L, "red widgets", null.asInstanceOf[String], 10))
+      .toDF("id", "name", "typ", "size")
+    val np = RecordLinkage.scoredPairs(withNull, "id", fields, blk,
+        minScore = 3.0)
+      .select("agree_typ", "score").collect()
+    assert(np.length === 1 && !np.head.getBoolean(0) &&
+      math.abs(np.head.getDouble(1) - 3.169925) < 1e-5)
+    // transitive closure over the scored matches: {1,2,3,5} → 1
+    val ents = RecordLinkage.resolveEntitiesScored(recs, "id", fields,
+        blk, minScore = 3.0)
+      .as[(Long, Long)].collect().toMap
+    assert(ents === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 1L))
+    // m ≤ u is a nonsense spec and refused at construction
+    intercept[IllegalArgumentException] {
+      FieldAgreement("x", (a, b) => a === b, 0.2, 0.5)
+    }
+  }
+
   test("Scd2.fromChanges folds no-op changes into open intervals; " +
       "asOfLookup reads features as they WERE") {
     def ts(s: String) = Timestamp.valueOf(s)
@@ -2828,5 +2878,56 @@ class OperatorsSpec extends AnyFunSuite {
     // uid 9 is an orphan
     assert(out("u3_events_users_fk") === ((3L, 1L, false)))
     assert(out("u4_value_cap") === ((3L, 1L, false)))
+  }
+
+  test("DataContract: checks build LAZILY (zero jobs at construction); " +
+      "panelFused computes an N-check panel in ONE scan, row-for-row " +
+      "equal to the per-check panel; route splits like the gate") {
+    import DataContract._
+    val li = graft.Tables.load(spark, graft.TestSpark.Sf0001, "lineitem")
+    val orders = graft.Tables.load(spark, graft.TestSpark.Sf0001,
+      "orders")
+    // a 100 TB contract panel must not execute while being BUILT —
+    // unique/refIntegrity used to run 2-3 driver-synchronized jobs in
+    // their constructors
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      unique("f1", "lineitem", li, "l_partkey")
+      refIntegrity("f2", "lineitem", li, "l_orderkey", orders,
+        "o_orderkey")
+      expect("f3", "lineitem", li, col("l_quantity") >= 1)
+      Thread.sleep(500) // listener-bus drain window
+      assert(jobs === 0, s"check construction ran $jobs eager job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val preds = Seq(
+      "p1" -> (col("l_quantity") >= 1),
+      "p2" -> (col("l_quantity") <= 10),
+      "p3" -> col("l_shipdate").isNotNull)
+    val fused = panelFused("lineitem", li, preds)
+    // one aggregate pass: exactly ONE parquet scan in the plan
+    val plan = fused.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"fused panel scans the table $scans times:\n$plan")
+    val fusedRows = fused.collect().map(_.toSeq).toSet
+    val perCheck = panel(preds.map { case (n, p) =>
+      expect(n, "lineitem", li, p)
+    }).collect().map(_.toSeq).toSet
+    assert(fusedRows === perCheck)
+    assert(fusedRows.nonEmpty)
+    // route: the batch twin of the streaming gate split
+    val ev = Seq((1L, 5.0), (2L, 15.0), (3L, 7.0)).toDF("id", "value")
+    val routed = route(ev, col("value") <= 10.0)
+    assert(routed.main.select("id").as[Long].collect().toSet
+      === Set(1L, 3L))
+    assert(routed.quarantine.select("id").as[Long].collect().toSet
+      === Set(2L))
+    val a = routed.audit.head
+    assert((a.getLong(0), a.getLong(1)) === ((3L, 1L)))
   }
 }

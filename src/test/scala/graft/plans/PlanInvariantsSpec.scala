@@ -114,6 +114,55 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q207 rewrite serves a TOMBSTONED index: the naive raw-source " +
+      "kNN lands on the stored bucket table with the tombstone " +
+      "anti-join folded in — not degraded to an exact cross-join scan") {
+    val p = physical("q207_rewrite_tombstoned")
+    assert(p.contains("graft_lsh_buckets_"),
+      s"tombstoned layout no longer served by the rewrite:\n$p")
+    assert(p.contains("graft_lsh_tombs_") || p.contains("/tombs"),
+      s"served plan lost the tombstone anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q206 point-in-time lookup: the interval join keeps its equi key " +
+      "(SMJ/SHJ with the range as residual), never nested-loop") {
+    // AQE off so join strategies are visible pre-materialization
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = physical("q206_scd2_lookup")
+      // the scale property is equi-KEY extraction (the range is a
+      // residual on a hash join) — at fixture scale the small dim side
+      // legitimately broadcasts (BroadcastHashJoin), at 100 TB the same
+      // key hashes into SMJ/SHJ; what must never appear is nested-loop
+      assert(p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+        s"interval lookup lost its equi-key join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // negative control: drop the equi conjunct — with no equi key
+      // Catalyst MUST go nested-loop, proving the assertions above
+      // have teeth (a refactor that silently loses the key would
+      // reproduce exactly this shape)
+      import org.apache.spark.sql.functions.col
+      val ev = graft.Tables.load(spark, TestSpark.Sf0001, "events")
+        .filter(col("user_id") % 5 === 0)
+      val dim = graft.operators.Scd2.fromChanges(
+        ev.select("user_id", "ts", "event_type"),
+        "user_id", "ts", Seq("event_type"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      val bad = probes.join(dim,
+        probes("p_ts") >= dim("valid_from") &&
+          (dim("valid_to").isNull || probes("p_ts") < dim("valid_to")),
+        "left").queryExecution.executedPlan.toString
+      assert(bad.contains("BroadcastNestedLoopJoin") ||
+        bad.contains("CartesianProduct"),
+        s"negative control failed to go nested-loop — guard vacuous:\n$bad")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q75 rewrite of the global-limit shape lands on the stored bucket " +
       "table") {
     val p = physical("q75_rewrite_global_limit")

@@ -880,17 +880,20 @@ class AnnIndexSpec extends AnyFunSuite {
   }
 
   test("deleteLsh tombstones serve exact-kNN-minus-deleted; compactLsh " +
-      "folds them; source_paths drop keeps the plan rewrite honest") {
+      "folds them; source_paths SURVIVE so the plan rewrite keeps " +
+      "serving the survivor view") {
     val src = s"spec-$runTag-lshdel"
     val h0 = AnnIndex.ensureLsh(spark, src, emb, tables = 16, bits = 6)
-    assert(h0.indexedPaths.nonEmpty || h0.indexedPaths.isEmpty) // shape
+    assert(h0.indexedPaths.nonEmpty, "parquet-built index records paths")
     val delIds = emb.filter(col("vec_id") < 8).select("vec_id")
     val h = AnnIndex.deleteLsh(spark, src, delIds)
-    // the tombstoned index must never be served as "equal to the raw
-    // source" by the LshAnnPlan path-identity rewrite
-    assert(h.indexedPaths.isEmpty,
-      "a tombstoned layout kept its source_paths — the plan rewrite " +
-        "would serve deletions into a raw-source query")
+    // the delete-authoritative contract (Pinecone delete + retriever):
+    // the tombstoned index KEEPS its path identity, so the LshAnnPlan
+    // rewrite keeps accelerating raw-source kNN — survivors-exact via
+    // the handle's anti-join, never degraded to an O(n) exact scan
+    assert(h.indexedPaths === h0.indexedPaths,
+      "a tombstoned layout lost its source_paths — the plan rewrite " +
+        "would silently degrade raw-source kNN to exact O(n) scans")
     assert(h.vecs.count() === emb.count() - 8)
     val survivors = emb.filter(col("vec_id") >= 8)
     val expected = hits(
@@ -916,8 +919,10 @@ class AnnIndexSpec extends AnyFunSuite {
         tables = 16, bits = 6)
     }
     assert(clash.getMessage.contains("tombstoned"))
-    // FOLD: physical removal, tombstone dir gone, identical answers
+    // FOLD: physical removal, tombstone dir gone, identical answers;
+    // the serving path identity survives the fold too
     val folded = AnnIndex.compactLsh(spark, src)
+    assert(folded.indexedPaths === h0.indexedPaths)
     assert(folded.vecs.count() === emb.count() - 8)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"/tmp/graft_ann_lsh_${IndexStore.pathTag(src)}", "tombs")))
@@ -934,6 +939,35 @@ class AnnIndexSpec extends AnyFunSuite {
     val hClear = AnnIndex.ensureLsh(spark, src, emb, tables = 16,
       bits = 6)
     assert(hClear.vecs.count() === emb.count())
+  }
+
+  test("orphan tombstones — appended by a crashed delete that never " +
+      "committed its meta — are not served, and the next committed " +
+      "delete sweeps them") {
+    val src = s"spec-$runTag-orphan"
+    AnnIndex.ensureLsh(spark, src, emb, tables = 16, bits = 6)
+    val base = s"/tmp/graft_ann_lsh_${IndexStore.pathTag(src)}"
+    // fake the crash window: tomb files land on disk, meta never
+    // records tomb_rows (what a kill between writeTombs and
+    // writeMetaFull leaves behind)
+    emb.filter(col("vec_id") < 5).select("vec_id")
+      .write.mode("overwrite").parquet(s"$base/tombs")
+    assert(!AnnIndex.tombsCommitted(base))
+    // meta is the commit point: open* must serve the FULL index — the
+    // orphan ids were never committed, so anti-joining them would
+    // under-serve a source ensure* still judges the layout equal to
+    val h = AnnIndex.openLsh(spark, src)
+    assert(h.vecs.count() === emb.count())
+    assert(hits(AnnIndex.queryLsh(queries, h, k = 4, probes = 8))
+      === hits(SimilaritySearch.bruteForceTopK(queries, emb, k = 4)))
+    // the next COMMITTED delete sweeps the orphans first: only its own
+    // ids are tombstoned (meta and disk agree), ids 0-4 still serve
+    AnnIndex.deleteLsh(spark, src,
+      emb.filter(col("vec_id") >= 5 && col("vec_id") < 8)
+        .select("vec_id"))
+    val h2 = AnnIndex.openLsh(spark, src)
+    assert(h2.vecs.count() === emb.count() - 3)
+    assert(AnnIndex.readMeta(base).get("tomb_rows").contains(3L))
   }
 
   test("deleteIvf: vec_id tombstones serve float-IVF-over-survivors; " +
@@ -960,6 +994,10 @@ class AnnIndexSpec extends AnyFunSuite {
         .select("vec_id"), batchId = Some(7L))
     assert(hits(AnnIndex.queryIvf(queries, h3, k = 4, nProbe = 3))
       === expected)
+    // openIvf: the read-only no-freshness reader serves the same
+    // tombstoned view (round-11 — the one missing open* verb)
+    assert(hits(AnnIndex.queryIvf(queries,
+      AnnIndex.openIvf(spark, src), k = 4, nProbe = 3)) === expected)
     // re-inserting a tombstoned id fails loudly before the fold
     val clash = intercept[IllegalArgumentException] {
       AnnIndex.upsertIvf(spark, src, emb.filter(col("vec_id") === 3),

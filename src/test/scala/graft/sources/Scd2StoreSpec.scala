@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.operators.Scd2
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted SCD2 dimension lifecycle: incremental CDC merges equal
+  * the batch rebuild, replay/crash-retry are idempotent, history
+  * rewrites are refused loudly, point-in-time lookup serves from the
+  * store.
+  */
+class Scd2StoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private val runTag = java.util.UUID.randomUUID.toString.take(8)
+
+  private val feed = Seq(
+    (1L, ts("2024-01-01 00:00:00"), "bronze"),
+    (1L, ts("2024-01-02 00:00:00"), "bronze"), // no-op
+    (2L, ts("2024-01-02 00:00:00"), "gold"),
+    (1L, ts("2024-01-03 00:00:00"), "gold"),
+    (3L, ts("2024-01-04 00:00:00"), "silver"),
+    (1L, ts("2024-01-05 00:00:00"), "silver"),
+    (2L, ts("2024-01-06 00:00:00"), "bronze"))
+
+  private def df(rows: Seq[(Long, java.sql.Timestamp, String)]) =
+    rows.toDF("user_id", "ts", "tier")
+
+  private def dimSet(d: org.apache.spark.sql.DataFrame) =
+    d.select("user_id", "tier", "valid_from", "valid_to", "is_current")
+      .collect().map(_.toSeq).toSet
+
+  test("batch-merged store equals fromChanges over the concatenated " +
+      "feed; replayed batch ids skip; lookup serves from the store") {
+    val key = s"scd2-$runTag-a"
+    Scd2Store.merge(spark, key, df(feed.take(3)), "user_id", "ts",
+      Seq("tier"), batchId = 1L)
+    Scd2Store.merge(spark, key, df(feed.slice(3, 5)), "user_id", "ts",
+      Seq("tier"), batchId = 2L)
+    val dim = Scd2Store.merge(spark, key, df(feed.drop(5)), "user_id",
+      "ts", Seq("tier"), batchId = 3L)
+    val expected = dimSet(Scd2.fromChanges(df(feed), "user_id", "ts",
+      Seq("tier")))
+    assert(dimSet(dim) === expected)
+    // replayed ids (stream restart) change nothing — even with content
+    // the store has already folded
+    val replayed = Scd2Store.merge(spark, key, df(feed), "user_id",
+      "ts", Seq("tier"), batchId = 2L)
+    assert(dimSet(replayed) === expected)
+    // point-in-time lookup from the store: user 1 at Jan 4 was gold
+    val probe = Seq((1L, ts("2024-01-04 12:00:00"))).toDF("user_id", "ts")
+    val hit = Scd2Store.lookup(spark, key, probe, "user_id", "ts")
+      .select("tier").collect().map(_.getString(0)).toSeq
+    assert(hit === Seq("gold"))
+    // a probe before the key's first interval honestly reads null
+    val early = Seq((3L, ts("2023-12-01 00:00:00"))).toDF("user_id", "ts")
+    assert(Scd2Store.lookup(spark, key, early, "user_id", "ts")
+      .select("tier").collect().map(_.isNullAt(0)).toSeq === Seq(true))
+  }
+
+  test("crash-retry (data written, meta never committed) re-derives " +
+      "byte-identical buckets; duplicate redelivery folds") {
+    val key = s"scd2-$runTag-b"
+    Scd2Store.merge(spark, key, df(feed.take(5)), "user_id", "ts",
+      Seq("tier"), batchId = 1L)
+    val after2 = dimSet(Scd2Store.merge(spark, key, df(feed.drop(5)),
+      "user_id", "ts", Seq("tier"), batchId = 2L))
+    // simulate the crash window: batch 2's data is on disk but the
+    // meta still reads batch 1 — the retry must re-derive identically
+    val base = s"/tmp/graft_scd2store_${IndexStore.pathTag(key)}"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "_scd2_meta.json"),
+      """{"last_batch_id": 1}""")
+    val retried = Scd2Store.merge(spark, key, df(feed.drop(5)),
+      "user_id", "ts", Seq("tier"), batchId = 2L)
+    assert(dimSet(retried) === after2)
+    // at-least-once redelivery of already-folded changes is a no-op
+    val redelivered = Scd2Store.merge(spark, key, df(feed), "user_id",
+      "ts", Seq("tier"), batchId = 3L)
+    assert(dimSet(redelivered) === after2)
+  }
+
+  test("a history REWRITE — a change at-or-before a key's latest " +
+      "opening that contradicts recorded history — is refused loudly " +
+      "and nothing lands") {
+    val key = s"scd2-$runTag-c"
+    Scd2Store.merge(spark, key, df(feed), "user_id", "ts", Seq("tier"),
+      batchId = 1L)
+    val before = dimSet(Scd2Store.readDim(spark, key))
+    // same ts as user 1's Jan 3 opening, different value
+    val rewrite = intercept[IllegalArgumentException] {
+      Scd2Store.merge(spark, key,
+        df(Seq((1L, ts("2024-01-03 00:00:00"), "platinum"))),
+        "user_id", "ts", Seq("tier"), batchId = 2L)
+    }
+    assert(rewrite.getMessage.contains("REWRITE"))
+    // strictly inside a closed interval, contradicting it
+    val inside = intercept[IllegalArgumentException] {
+      Scd2Store.merge(spark, key,
+        df(Seq((1L, ts("2024-01-02 12:00:00"), "platinum"))),
+        "user_id", "ts", Seq("tier"), batchId = 3L)
+    }
+    assert(inside.getMessage.contains("REWRITE"))
+    // before the key's first recorded interval
+    val early = intercept[IllegalArgumentException] {
+      Scd2Store.merge(spark, key,
+        df(Seq((1L, ts("2023-12-01 00:00:00"), "wood"))),
+        "user_id", "ts", Seq("tier"), batchId = 4L)
+    }
+    assert(early.getMessage.contains("REWRITE"))
+    assert(dimSet(Scd2Store.readDim(spark, key)) === before)
+    Scd2Store.drop(spark, key)
+    intercept[IllegalArgumentException] {
+      Scd2Store.readDim(spark, key)
+    }
+  }
+}

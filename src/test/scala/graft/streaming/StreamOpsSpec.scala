@@ -629,6 +629,21 @@ class StreamOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(audit === Set((0L, 3L, 1L), (1L, 2L, 1L)))
+    // REPLAY idempotence (the manifestBatch discipline): a restarted
+    // stream re-running already-committed trigger ids against the same
+    // dirs SKIPS them — the trusted main output never double-counts
+    val mem2 = MemoryStream[(Long, Double)]
+    val q2 = StreamOps.streamingContractGate(
+      mem2.toDF().toDF("id", "value"), col("value") <= 10.0,
+      mainD, quarD, audD).start()
+    mem2.addData((1L, 5.0), (2L, 15.0), (3L, 7.0)) // replayed batch 0
+    q2.processAllAvailable()
+    mem2.addData((4L, 25.0), (5L, 1.0)) // replayed batch 1
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(mainD).count() === 3L)
+    assert(spark.read.parquet(quarD).count() === 2L)
+    assert(spark.read.parquet(audD).count() === 2L)
   }
 
   test("streamingManifest: running totals equal the batch manifest at " +
@@ -676,6 +691,16 @@ class StreamOpsSpec extends AnyFunSuite {
         batchId = 1L)
     }
     assert(ex.getMessage.contains("NOT a replay"))
+    // a present-but-garbled manifest fails LOUDLY — defaulting a
+    // missing field to 0 would silently re-fold earlier batches and
+    // corrupt the documented-exact running totals
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store, "_manifest.json"),
+      """{"n_rows": 12""") // truncated mid-write shape
+    val corrupt = intercept[IllegalStateException] {
+      Lineage.readManifest(store)
+    }
+    assert(corrupt.getMessage.contains("corrupt manifest"))
   }
 
   test("streamingScd2: closed intervals across any trigger split equal " +
@@ -716,6 +741,24 @@ class StreamOpsSpec extends AnyFunSuite {
       .select("key", "value", "valid_from", "valid_to")
       .collect().map(_.toSeq).toSet
     assert(streamed === batchExpected)
+    // an EXACT duplicate of the opening change (same ts, same value) is
+    // normal at-least-once CDC redelivery: folds as a no-op, matching
+    // the batch operator — the stream must NOT fail
+    val memDup = MemoryStream[StreamOps.ChangeRow]
+    val qDup = StreamOps.streamingScd2(spark, memDup.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd2_dup").start()
+    memDup.addData(StreamOps.ChangeRow(8L, ts("2024-01-05 00:00:00"), "a"))
+    qDup.processAllAvailable()
+    memDup.addData( // redelivered opening change, then a real change
+      StreamOps.ChangeRow(8L, ts("2024-01-05 00:00:00"), "a"),
+      StreamOps.ChangeRow(8L, ts("2024-01-07 00:00:00"), "b"))
+    qDup.processAllAvailable()
+    qDup.stop()
+    assert(spark.table("scd2_dup").select("key", "value", "valid_from",
+        "valid_to").collect().map(_.toSeq).toSet ===
+      Set(Seq(8L, "a", ts("2024-01-05 00:00:00"),
+        ts("2024-01-07 00:00:00"))))
     // a change at-or-before the open interval breaks the per-key
     // monotone CDC contract and must fail the trigger loudly
     val mem2 = MemoryStream[StreamOps.ChangeRow]
@@ -728,6 +771,66 @@ class StreamOpsSpec extends AnyFunSuite {
     val ex = intercept[Exception] { q2.processAllAvailable() }
     assert(ex.getMessage != null)
     q2.stop()
+    // same ts as the open interval but a DIFFERENT value is a genuine
+    // history rewrite, not a redelivery — still refused loudly
+    val mem3 = MemoryStream[StreamOps.ChangeRow]
+    val q3 = StreamOps.streamingScd2(spark, mem3.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd2_bad2").start()
+    mem3.addData(StreamOps.ChangeRow(7L, ts("2024-01-05 00:00:00"), "a"))
+    q3.processAllAvailable()
+    mem3.addData(StreamOps.ChangeRow(7L, ts("2024-01-05 00:00:00"), "b"))
+    val ex3 = intercept[Exception] { q3.processAllAvailable() }
+    assert(ex3.getMessage != null)
+    q3.stop()
+  }
+
+  test("streamingScd2Store: micro-batch CDC merges land in the " +
+      "persisted dimension; at any trigger boundary the store equals " +
+      "fromChanges over everything ingested; replayed ids skip") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val key = s"scd2s-${java.util.UUID.randomUUID.toString.take(8)}"
+    val feed = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "bronze"),
+      (2L, ts("2024-01-02 00:00:00"), "gold"),
+      (1L, ts("2024-01-03 00:00:00"), "gold"),
+      (1L, ts("2024-01-05 00:00:00"), "silver"),
+      (2L, ts("2024-01-06 00:00:00"), "bronze"))
+    val (b1, b2) = feed.splitAt(3)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamOps.streamingScd2Store(
+      mem.toDF().toDF("user_id", "ts", "tier"), key, "user_id", "ts",
+      Seq("tier")).start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    def dimSet() = graft.sources.Scd2Store.readDim(spark, key)
+      .select("user_id", "tier", "valid_from", "valid_to")
+      .collect().map(_.toSeq).toSet
+    def expect(rows: Seq[(Long, java.sql.Timestamp, String)]) =
+      graft.operators.Scd2.fromChanges(
+          rows.toDF("user_id", "ts", "tier"), "user_id", "ts",
+          Seq("tier"))
+        .select("user_id", "tier", "valid_from", "valid_to")
+        .collect().map(_.toSeq).toSet
+    assert(dimSet() === expect(b1))
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val full = dimSet()
+    assert(full === expect(feed))
+    // a restarted stream (fresh ids from 0) replays committed ids —
+    // the store skips them and the dimension is unchanged
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q2 = StreamOps.streamingScd2Store(
+      mem2.toDF().toDF("user_id", "ts", "tier"), key, "user_id", "ts",
+      Seq("tier")).start()
+    mem2.addData(b1: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(dimSet() === full)
+    graft.sources.Scd2Store.drop(spark, key)
   }
 
   test("streamingChat: the reference's ask loop end-to-end — history " +
