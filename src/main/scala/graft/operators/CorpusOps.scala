@@ -121,6 +121,54 @@ object CorpusOps {
       .drop("__thresh")
   }
 
+  /** LEAKAGE-FREE train/val/test split — the split an LLM data
+    * pipeline needs but per-row hashing gets wrong: near-duplicate
+    * documents must land in the SAME split, or the held-out sets leak
+    * training content (the contamination that silently inflates eval;
+    * public art: dedup-aware splits in The Pile / Gopher / RefinedWeb
+    * data work). Split assignment keys on the near-dup CLUSTER's
+    * min-id representative, not the row: `pairs(doc_id_a, doc_id_b)`
+    * (any match stage — blocked, banded, semantic; NEVER all-pairs)
+    * collapse via the alternating-CC closure, every member inherits
+    * its rep, and the rep's engine-portable md5-52-bit uniform
+    * (`rep ":" seed`, the [[sampleWeighted]] parse) buckets mod
+    * `buckets` into train (< trainBuckets) / val (< trainBuckets +
+    * valBuckets) / test (rest) — integer arithmetic end-to-end, so any
+    * SQL engine replays the decision exactly.
+    *
+    * Output: (idCol, rep_id, split). Scale shape: the closure is
+    * O(log n) rounds over id-only edges; assignment is one hash join
+    * (ids × rep map) + a per-row projection — no shuffle carries text.
+    */
+  def leakageFreeSplit(
+      ids: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      buckets: Int = 10,
+      trainBuckets: Int = 8,
+      valBuckets: Int = 1,
+      seed: Long = 77L): DataFrame = {
+    require(buckets >= 2 && trainBuckets >= 1 && valBuckets >= 0 &&
+      trainBuckets + valBuckets < buckets,
+      s"leakageFreeSplit: need 1 <= trainBuckets, 0 <= valBuckets, " +
+        s"trainBuckets + valBuckets < buckets; got " +
+        s"($trainBuckets, $valBuckets, $buckets)")
+    val reps = Dedup.clustersAlternating(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val hv = conv(substring(md5(concat(col("rep_id").cast("string"),
+      lit(":" + seed))), 1, 13), 16, 10).cast("long")
+    ids.select(col(idCol))
+      .join(reps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("rep_id"))
+      .withColumn("__b", pmod(hv, lit(buckets.toLong)))
+      .withColumn("split",
+        when(col("__b") < trainBuckets, "train")
+          .when(col("__b") < trainBuckets + valBuckets, "val")
+          .otherwise("test"))
+      .drop("__b")
+  }
+
   /** Per-document duplicated-shingle fraction — the exact-substring
     * duplication signal (what fraction of a document's distinct n-token
     * windows also appear in OTHER documents' text, the cross-doc

@@ -1997,6 +1997,49 @@ object PipelineQueries {
         .orderBy("user_id", "valid_from_us", "event_type")
     }),
 
+    // PRUNED POINT-IN-TIME LOOKUP from the persisted SCD2 store
+    // (round-11): a bounded probe set (users % 25) reads ONLY its
+    // key-buckets — the probes' kb set becomes a partition filter on
+    // the dimension scan (Scd2StoreSpec pins the pruned plan), so a
+    // point lookup prices at O(touched buckets), not O(dimension).
+    // Same interval-join semantics as q206, replayed by the oracle;
+    // the store builds once (batchId replay-skip on later runs).
+    "q212_scd2_store_lookup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") % 5 === 0)
+        .select("user_id", "ts", "event_type")
+      val key = s"$dir#scd2pit"
+      graft.sources.Scd2Store.merge(s, key, ev, "user_id", "ts",
+        Seq("event_type"), batchId = 1L)
+      val probes = t(s, dir, "events")
+        .filter(col("user_id") % 25 === 0 &&
+          col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.sources.Scd2Store.lookupPruned(s, key, probes, "user_id",
+          "ts")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_type").as("tier"),
+          unix_micros(col("valid_from")).as("valid_from_us"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // LEAKAGE-FREE SPLIT (round-11): train/val/test assignment keyed
+    // on the near-dup CLUSTER representative (exact n-gram Jaccard
+    // pairs → alternating-CC closure → rep's md5-52bit bucket mod 10:
+    // <8 train, =8 val, =9 test) — near-duplicates can never straddle
+    // a split boundary, the contamination guard a naive per-row hash
+    // split lacks. Integer arithmetic end-to-end; the oracle replays
+    // pairs, recursive-CTE closure, the hex parse, and the bucketing.
+    "q211_leakage_free_split" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), k = 3,
+          threshold = 0.12)
+        .select("doc_id_a", "doc_id_b")
+      CorpusOps.leakageFreeSplit(
+          t(s, dir, "documents").select("doc_id"), "doc_id", pairs,
+          seed = 77L)
+        .orderBy("doc_id")
+    }),
+
     // DATA-CONTRACT AUDIT (round-10): the expectations gate a 100 TB
     // ingest runs before anything downstream trusts the batch — key
     // uniqueness, not-null, referential integrity (one anti-join count
@@ -6128,6 +6171,29 @@ object PipelineQueries {
     // the alternating-CC path must be output-identical to the
     // propagation path — same oracle as q53
     "q80_cc_logrounds" -> clustersOracle,
+    // leakage-free split: the closure's min-id rep, then the rep's
+    // md5-52bit integer bucket mod 10 (<8 train, =8 val, =9 test) —
+    // every arithmetic step replayed
+    "q211_leakage_free_split" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+        |$reachCtes,
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS rep
+        |  FROM reach GROUP BY a),
+        |r AS (SELECT d.doc_id,
+        |    CAST(coalesce(lab.rep, d.doc_id) AS BIGINT) AS rep_id
+        |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+        |hx AS (SELECT doc_id, rep_id,
+        |    md5(CAST(rep_id AS VARCHAR) || ':77') AS h FROM r),
+        |dg AS (SELECT doc_id, rep_id, h, unnest(range(1, 14)) AS i
+        |  FROM hx),
+        |hv AS (SELECT doc_id, any_value(rep_id) AS rep_id,
+        |    sum(CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1
+        |      AS BIGINT) * CAST(power(16, 13 - i) AS BIGINT)) AS hv
+        |  FROM dg GROUP BY doc_id)
+        |SELECT doc_id, rep_id,
+        |  CASE WHEN hv % 10 < 8 THEN 'train'
+        |       WHEN hv % 10 = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM hv ORDER BY doc_id""".stripMargin,
     "q78_bm25_topk" -> bm25Oracle,
     // persisted-postings and upserted-postings paths are row-identical
     // to the direct BM25 — same oracle
@@ -6481,6 +6547,30 @@ object PipelineQueries {
         |  FROM o),
         |pr AS (SELECT user_id, ts, event_id FROM e
         |  WHERE event_type = 'purchase')
+        |SELECT pr.user_id, pr.event_id, epoch_us(pr.ts) AS ts_us,
+        |  iv.event_type AS tier,
+        |  epoch_us(iv.valid_from) AS valid_from_us
+        |FROM pr LEFT JOIN iv
+        |  ON pr.user_id = iv.user_id AND pr.ts >= iv.valid_from
+        |  AND (iv.valid_to IS NULL OR pr.ts < iv.valid_to)
+        |ORDER BY pr.user_id, pr.event_id""".stripMargin,
+    // pruned store lookup: identical interval-join semantics over the
+    // bounded probe subset (users % 25)
+    "q212_scd2_store_lookup" ->
+      """WITH e AS (SELECT user_id, ts, event_type, event_id FROM events
+        |  WHERE user_id % 5 = 0),
+        |m AS (SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_type) AS p
+        |  FROM e),
+        |o AS (SELECT user_id, event_type, ts AS valid_from FROM m
+        |  WHERE p IS NULL OR p <> event_type),
+        |iv AS (SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, event_type) AS valid_to
+        |  FROM o),
+        |pr AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE user_id % 25 = 0 AND event_type = 'purchase')
         |SELECT pr.user_id, pr.event_id, epoch_us(pr.ts) AS ts_us,
         |  iv.event_type AS tier,
         |  epoch_us(iv.valid_from) AS valid_from_us

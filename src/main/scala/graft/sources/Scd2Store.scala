@@ -95,6 +95,30 @@ object Scd2Store {
       keyCol: String, tsCol: String): DataFrame =
     Scd2.asOfLookup(probes, readDim(spark, storeKey), keyCol, tsCol)
 
+  /** [[lookup]] for a BOUNDED probe set, reading ONLY the probes'
+    * key-buckets: the probe keys' `kb` set (≤ [[KeyDirs]], collected
+    * bounded) becomes a partition filter on the dimension scan, so a
+    * point lookup prices at O(touched buckets) instead of O(dimension)
+    * — at a 100 TB dimension that is the difference between a seek and
+    * a table scan. Output-identical to [[lookup]] by construction
+    * (a probe's interval can only live in its key's bucket);
+    * Scd2StoreSpec pins both the parity and the pruned scan shape.
+    */
+  def lookupPruned(spark: SparkSession, storeKey: String,
+      probes: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val b = base(spark, storeKey)
+    require(readMeta(b).contains("last_batch_id"),
+      s"no persisted SCD2 dimension for '$storeKey' ($b) — merge a " +
+        "first change batch")
+    val kbs = probes.select(kbCol(keyCol)).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val dim = spark.read.parquet(s"$b/dim")
+      .filter(col("kb").isin(kbs.map(Int.box): _*))
+      .drop("kb")
+      .withColumn("is_current", col("valid_to").isNull)
+    Scd2.asOfLookup(probes, dim, keyCol, tsCol)
+  }
+
   /** MERGE one CDC change batch `changes(keyCol, tsCol, attrCols...)`
     * into the persisted dimension (see object doc for semantics and
     * crash safety). Returns the post-merge dimension view. A replayed

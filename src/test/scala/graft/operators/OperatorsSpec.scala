@@ -2769,6 +2769,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxBlock"))
   }
 
+  test("leakageFreeSplit: every near-dup cluster lands WHOLE in one " +
+      "split (no pair straddles a boundary); singletons key on their " +
+      "own id; the bucketing is deterministic in the seed") {
+    val ids = (1L to 12L).toDF("doc_id")
+    // clusters {1,2,3} (transitive via 1-2, 2-3) and {7,9}; rest single
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L))
+      .toDF("doc_id_a", "doc_id_b")
+    val out = CorpusOps.leakageFreeSplit(ids, "doc_id", pairs, seed = 77L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out.size === 12)
+    // cluster co-location: reps are the min ids, members share a split
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L && out(3L)._1 === 1L)
+    assert(out(1L)._2 === out(2L)._2 && out(2L)._2 === out(3L)._2)
+    assert(out(7L)._1 === 7L && out(9L)._1 === 7L)
+    assert(out(7L)._2 === out(9L)._2)
+    assert(out(5L)._1 === 5L) // singleton is its own rep
+    // the arithmetic is the documented md5-52bit bucket mod 10
+    def bucket(rep: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hx = md.digest(s"$rep:77".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hx, 16) % 10
+    }
+    out.foreach { case (_, (rep, split)) =>
+      val b = bucket(rep)
+      val expect = if (b < 8) "train" else if (b == 8) "val" else "test"
+      assert(split === expect, s"rep $rep bucket $b")
+    }
+    // all three splits are reachable (teeth: the CASE isn't constant):
+    // pick seeds driver-side that put rep 5 in val and in test, then
+    // confirm the operator lands doc 5 there
+    def bucketAt(rep: Long, sd: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hx = md.digest(s"$rep:$sd".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hx, 16) % 10
+    }
+    val seedVal = (0L to 2000L).find(bucketAt(5L, _) == 8L).get
+    val seedTest = (0L to 2000L).find(bucketAt(5L, _) == 9L).get
+    def splitOf(sd: Long): String = CorpusOps.leakageFreeSplit(
+      ids, "doc_id", pairs, seed = sd)
+      .filter(col("doc_id") === 5L).select("split").head.getString(0)
+    assert(splitOf(seedVal) === "val")
+    assert(splitOf(seedTest) === "test")
+    // nonsense bucket spec refused
+    intercept[IllegalArgumentException] {
+      CorpusOps.leakageFreeSplit(ids, "doc_id", pairs, buckets = 4,
+        trainBuckets = 3, valBuckets = 1)
+    }
+  }
+
   test("RecordLinkage.scoredPairs: Fellegi-Sunter log-odds by hand — " +
       "agreement adds log2(m/u), disagreement log2((1-m)/(1-u)); " +
       "nulls disagree; closure rides the scored matches") {

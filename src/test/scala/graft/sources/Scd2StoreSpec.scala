@@ -61,6 +61,32 @@ class Scd2StoreSpec extends AnyFunSuite {
       .select("tier").collect().map(_.isNullAt(0)).toSeq === Seq(true))
   }
 
+  test("lookupPruned: output-identical to lookup, and the dimension " +
+      "scan carries the probes' kb partition filter (reads only " +
+      "touched buckets)") {
+    val key = s"scd2-$runTag-pruned"
+    Scd2Store.merge(spark, key, df(feed), "user_id", "ts", Seq("tier"),
+      batchId = 1L)
+    val probes = Seq((1L, ts("2024-01-04 12:00:00")),
+      (2L, ts("2024-01-07 00:00:00"))).toDF("user_id", "ts")
+    val full = Scd2Store.lookup(spark, key, probes, "user_id", "ts")
+      .select("user_id", "tier").collect().map(_.toSeq).toSet
+    val pruned = Scd2Store.lookupPruned(spark, key, probes, "user_id",
+      "ts")
+    assert(pruned.select("user_id", "tier").collect().map(_.toSeq).toSet
+      === full)
+    // hand check: user 1 at Jan 4 sits in [Jan 3, Jan 5) = gold;
+    // user 2 at Jan 7 sits in the open [Jan 6, ∞) = bronze
+    assert(full === Set(Seq(1L, "gold"), Seq(2L, "bronze")))
+    // the pruned scan names kb in its PartitionFilters — partition
+    // pruning, not a post-scan filter over the whole dimension
+    val plan = pruned.queryExecution.executedPlan.toString
+    val partLines = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(partLines.exists(_.contains("kb")),
+      s"kb never reached a PartitionFilter:\n$plan")
+  }
+
   test("crash-retry (data written, meta never committed) re-derives " +
       "byte-identical buckets; duplicate redelivery folds") {
     val key = s"scd2-$runTag-b"
