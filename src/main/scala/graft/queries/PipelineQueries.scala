@@ -1740,6 +1740,65 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // FILTERED search on the float LSH layout (round-11, closing the
+    // filter lattice — every quantized layout had the verb, the float
+    // layouts did not): pre-filter semantics, top-4 WITHIN the
+    // even-label set, the filter semi-joined onto the id-only
+    // candidate stream before the rerank fetch. At the q67
+    // recall-1.0 operating point the output hash-matches exact kNN
+    // over the filtered set (the q204 survivors measurement
+    // generalized to an arbitrary predicate).
+    "q213_lsh_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val allowed = emb.filter(col("label") % 2 === 0).select("vec_id")
+      val h = graft.sources.AnnIndex.ensureLsh(s, dir,
+        emb.select("vec_id", "embedding"), tables = 64, bits = 12)
+      graft.sources.AnnIndex.queryLshFiltered(q, h, allowed, k = 4,
+          probes = 48)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // FILTERED search on the float IVF layout — the q143 panel without
+    // the quantization: served ≡ IVF over pre-filtered lists (zero
+    // diff), nothing outside the filter, exact-recall floor.
+    "q214_ivf_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val allowed = emb.filter(col("label") % 2 === 0).select("vec_id")
+      val h = graft.sources.AnnIndex.ensureIvf(s, dir,
+        emb.select("vec_id", "embedding"), lists = 64, iters = 5)
+      val served = graft.sources.AnnIndex
+        .queryIvfFiltered(q, h, allowed, k = 4, nProbe = 24)
+        .select("query_id", "rank", "vec_id")
+      val direct = graft.sources.AnnIndex.queryIvf(q,
+          graft.sources.AnnIndex.IvfHandle(h.centroids,
+            h.lists.join(allowed, Seq("vec_id"), "left_semi")),
+          k = 4, nProbe = 24)
+        .select("query_id", "rank", "vec_id")
+      val exact = SimilaritySearch.bruteForceTopK(q,
+          emb.filter(col("label") % 2 === 0)
+            .select("vec_id", "embedding"), k = 4)
+        .select("query_id", "vec_id")
+      served.agg(count(lit(1)).as("n_served"))
+        .crossJoin(served.exceptAll(direct)
+          .unionByName(direct.exceptAll(served))
+          .agg(count(lit(1)).as("n_diff_direct")))
+        .crossJoin(served.join(allowed, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("n_outside_filter")))
+        .crossJoin(exact.agg(count(lit(1)).as("ne"))
+          .crossJoin(exact
+            .join(served.select("query_id", "vec_id"),
+              Seq("query_id", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("hits")))
+          .select((col("hits") >= col("ne") * 0.84).as("recall_floor_ok")))
+    }),
+
     // SEMANTIC DEDUP — DEPLOYMENT PATH (round-11, closing the round-10
     // verdict's "unverified claim"): the SAME composition as q197, but
     // the 1536-dim centroids are trained ONCE and PERSISTED (ensureIvf
@@ -1964,6 +2023,36 @@ object PipelineQueries {
           unix_micros(col("valid_from")).as("valid_from_us"))
         .orderBy("user_id", "event_id")
     }),
+
+    // BATCH QUARANTINE ROUTING under the oracle gate (round-11,
+    // completing the contract-gate family): route() splits events on
+    // the value cap — trusted main, quarantined violations (never
+    // dropped), one audit row — with every count replayed by the
+    // oracle. The same routing definition the streaming gate runs per
+    // micro-batch (they share DataContract.route).
+    "q215_contract_route" -> ((s, dir) => {
+      val routed = graft.operators.DataContract.route(
+        t(s, dir, "events"), col("value") <= 10.0)
+      routed.audit
+        .crossJoin(routed.main.agg(count(lit(1)).as("n_main")))
+        .crossJoin(routed.quarantine
+          .agg(count(lit(1)).as("n_quarantine")))
+        .crossJoin(routed.main.agg(
+          coalesce(sum((!coalesce(col("value") <= 10.0, lit(false)))
+            .cast("long")), lit(0L)).as("n_violations_in_main")))
+    }),
+
+    // FUSED contract panel under the oracle gate (round-11): three
+    // row-predicate checks over lineitem computed in ONE aggregate
+    // pass (panelFused — the Deequ scan-sharing shape; the one-scan
+    // plan is pinned in OperatorsSpec), every count replayed.
+    "q216_contract_fused" -> ((s, dir) =>
+      graft.operators.DataContract.panelFused("lineitem",
+        t(s, dir, "lineitem"), Seq(
+          "f1_quantity_low" -> (col("l_quantity") >= 1),
+          "f2_quantity_cap" -> (col("l_quantity") <= 10),
+          "f3_positive_price" -> (col("l_extendedprice") > 0)))
+        .orderBy("check_name")),
 
     // PERSISTED SCD2 DIMENSION STORE (round-11): the events feed split
     // into three time-ordered CDC batches and MERGEd incrementally
@@ -6346,6 +6435,35 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, rank, vec_id, round(score, 6) AS score
         |FROM ranked WHERE rank <= 4""".stripMargin,
+    // float-LSH filtered search at the recall-1.0 point: exact kNN
+    // over the even-label set
+    "q213_lsh_filtered" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(x.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+        |                             CAST(x.embedding AS DOUBLE[]))))
+        |    AS score
+        |  FROM embeddings q CROSS JOIN embeddings x
+        |  WHERE q.vec_id < 8 AND x.label % 2 = 0),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 4""".stripMargin,
+    // float-IVF filtered search: identity to pre-filtered-lists IVF,
+    // nothing outside the filter, exact-recall floor (q143 discipline)
+    "q214_ivf_filtered" ->
+      """SELECT CAST(4 * count(*) AS BIGINT) AS n_served,
+        |CAST(0 AS BIGINT) AS n_diff_direct,
+        |CAST(0 AS BIGINT) AS n_outside_filter,
+        |true AS recall_floor_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
     // IVF delete: served ≡ float IVF over the survivors at the same
     // stored centroids (8 queries × k=4), zero tombstoned hits
     "q205_ivf_delete" ->
@@ -6554,6 +6672,41 @@ object PipelineQueries {
         |  ON pr.user_id = iv.user_id AND pr.ts >= iv.valid_from
         |  AND (iv.valid_to IS NULL OR pr.ts < iv.valid_to)
         |ORDER BY pr.user_id, pr.event_id""".stripMargin,
+    // batch routing: every routed count replayed; the main output
+    // provably carries zero violations
+    "q215_contract_route" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |     WHERE NOT coalesce(value <= 10, false)) AS n_violations,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |     WHERE coalesce(value <= 10, false)) AS n_main,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |     WHERE NOT coalesce(value <= 10, false)) AS n_quarantine,
+        |  CAST(0 AS BIGINT) AS n_violations_in_main""".stripMargin,
+    // fused panel: identical per-check arithmetic to the q200 oracle,
+    // computed engine-side in ONE scan
+    "q216_contract_fused" ->
+      """WITH checks AS (
+        |  SELECT 'f1_quantity_low' AS check_name,
+        |    'lineitem' AS table_name,
+        |    (SELECT count(*) FROM lineitem) AS n_rows,
+        |    (SELECT count(*) FROM lineitem
+        |       WHERE NOT coalesce(l_quantity >= 1, false)) AS n_violations
+        |  UNION ALL SELECT 'f2_quantity_cap', 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem
+        |       WHERE NOT coalesce(l_quantity <= 10, false))
+        |  UNION ALL SELECT 'f3_positive_price', 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem
+        |       WHERE NOT coalesce(l_extendedprice > 0, false)))
+        |SELECT check_name, table_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  round(CAST(n_violations AS DOUBLE) / greatest(n_rows, 1), 6)
+        |    AS violation_share,
+        |  n_violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
     // pruned store lookup: identical interval-join semantics over the
     // bounded probe subset (users % 25)
     "q212_scd2_store_lookup" ->

@@ -784,6 +784,29 @@ object AnnIndex {
     SimilaritySearch.rerank(
       lshProbeCandidates(queries, handle, probes), queries, handle.vecs, k)
 
+  /** FILTERED [[queryLsh]] — pre-filter semantics (the
+    * [[querySq8Filtered]] contract on the float layout): top-k WITHIN
+    * `allowed(vec_id)`, not a post-filter of the unfiltered top-k that
+    * could return < k rows. The filter lands on the id-only candidate
+    * stream (one semi-join before the rerank fetch), so a selective
+    * filter SHRINKS the rerank, never grows it. Recall is the bucket
+    * probe's: a filtered answer can only surface candidates the probe
+    * nominated — at the shipped recall-1.0 operating point the q213
+    * oracle hash-matches exact kNN over the filtered set at every
+    * fixture scale (the q204 survivors measurement, generalized to an
+    * arbitrary predicate).
+    */
+  def queryLshFiltered(
+      queries: DataFrame,
+      handle: LshHandle,
+      allowed: DataFrame,
+      k: Int = 4,
+      probes: Int = 1): DataFrame =
+    SimilaritySearch.rerank(
+      lshProbeCandidates(queries, handle, probes)
+        .join(allowed.select("vec_id"), Seq("vec_id"), "left_semi"),
+      queries, handle.vecs, k)
+
   /** Agg-form [[queryLsh]]: stops at the bounded TopKAgg aggregate —
     * output (query_id, topk). The sub-plan the ANN rewrite splices when
     * the user's naive query is the TopKAgg-aggregate kNN formulation.
@@ -1197,6 +1220,29 @@ object AnnIndex {
     // driver-independent at any batch size (PlanInvariantsSpec pins it).
     val cand = handle.lists
       .join(broadcast(probes), Seq("centroid_id"))
+      .select("query_id", "vec_id", "embedding")
+    SimilaritySearch.rerankWithVecs(cand, queries, k)
+  }
+
+  /** FILTERED [[queryIvf]] — pre-filter semantics on the float-IVF
+    * layout (the [[queryIvfSq8Filtered]] contract without the
+    * quantization): top-k within `allowed(vec_id)`, the filter
+    * semi-joined onto the DPP-probed lists before the rerank. Recall
+    * is the probe's (a filtered hit must live in a probed list) —
+    * q214's panel pins identity to the pre-filtered-lists IVF and the
+    * exact-recall floor, the q143 discipline.
+    */
+  def queryIvfFiltered(
+      queries: DataFrame,
+      handle: IvfHandle,
+      allowed: DataFrame,
+      k: Int = 4,
+      nProbe: Int = 2): DataFrame = {
+    val probes = SimilaritySearch.ivfProbes(queries, handle.centroids,
+      nProbe)
+    val cand = handle.lists
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(allowed.select("vec_id"), Seq("vec_id"), "left_semi")
       .select("query_id", "vec_id", "embedding")
     SimilaritySearch.rerankWithVecs(cand, queries, k)
   }

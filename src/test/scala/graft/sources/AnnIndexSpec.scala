@@ -941,6 +941,25 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hClear.vecs.count() === emb.count())
   }
 
+  test("queryLshFiltered / queryIvfFiltered: pre-filter semantics — " +
+      "top-k WITHIN the allowed set, equal to the exact/float path " +
+      "over the filtered vectors") {
+    val src = s"spec-$runTag-filt"
+    val hL = AnnIndex.ensureLsh(spark, src, emb, tables = 16, bits = 6)
+    val allowed = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+    val expected = hits(SimilaritySearch.bruteForceTopK(queries,
+      emb.filter(col("vec_id") % 2 === 0), k = 4))
+    assert(hits(AnnIndex.queryLshFiltered(queries, hL, allowed, k = 4,
+      probes = 8)) === expected)
+    val hI = AnnIndex.ensureIvf(spark, s"$src-ivf", emb, lists = 8,
+      iters = 3)
+    val ivfExp = hits(SimilaritySearch.ivfTopK(queries,
+      emb.filter(col("vec_id") % 2 === 0), hI.centroids, k = 4,
+      nProbe = 3))
+    assert(hits(AnnIndex.queryIvfFiltered(queries, hI, allowed, k = 4,
+      nProbe = 3)) === ivfExp)
+  }
+
   test("orphan tombstones — appended by a crashed delete that never " +
       "committed its meta — are not served, and the next committed " +
       "delete sweeps them") {
