@@ -155,18 +155,27 @@ object CorpusOps {
         s"($trainBuckets, $valBuckets, $buckets)")
     val reps = Dedup.clustersAlternating(pairs)
       .select(col("doc_id").as(idCol), col("cluster_id"))
-    val hv = conv(substring(md5(concat(col("rep_id").cast("string"),
-      lit(":" + seed))), 1, 13), 16, 10).cast("long")
     ids.select(col(idCol))
       .join(reps, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("rep_id"))
-      .withColumn("__b", pmod(hv, lit(buckets.toLong)))
       .withColumn("split",
-        when(col("__b") < trainBuckets, "train")
-          .when(col("__b") < trainBuckets + valBuckets, "val")
-          .otherwise("test"))
-      .drop("__b")
+        splitExpr(col("rep_id"), seed, buckets, trainBuckets, valBuckets))
+  }
+
+  /** The split-assignment expression shared by [[leakageFreeSplit]]
+    * and [[graft.sources.SplitStore]]: the rep's md5-52bit integer
+    * uniform mod `buckets`, thresholded train/val/test — pure integer
+    * arithmetic, engine-replayable.
+    */
+  private[graft] def splitExpr(rep: Column, seed: Long, buckets: Int,
+      trainBuckets: Int, valBuckets: Int): Column = {
+    val hv = conv(substring(md5(concat(rep.cast("string"),
+      lit(":" + seed))), 1, 13), 16, 10).cast("long")
+    val b = pmod(hv, lit(buckets.toLong))
+    when(b < trainBuckets, "train")
+      .when(b < trainBuckets + valBuckets, "val")
+      .otherwise("test")
   }
 
   /** Per-document duplicated-shingle fraction — the exact-substring

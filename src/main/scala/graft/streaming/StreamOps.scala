@@ -1179,6 +1179,33 @@ object StreamOps {
         }
       }
 
+  /** Streaming corpus-increment SPLIT assignment — the foreachBatch
+    * closure of [[graft.sources.SplitStore.assign]]: each micro-batch
+    * of (doc_id, and the batch's match edges packed as doc_id_a/
+    * doc_id_b rows in `pairsOf`) assigns write-once train/val/test
+    * under the trigger id, so replay-skip, crash-retry idempotence,
+    * and the loud cross-split-conflict refusal are the store's own
+    * contracts. `pairsOf` derives the batch's match edges from the
+    * micro-batch frame (e.g. a probe against an incremental dedup
+    * store) — it runs inside the trigger.
+    */
+  def streamingSplitAssign(
+      docs: DataFrame,
+      storeKey: String,
+      pairsOf: DataFrame => DataFrame,
+      seed: Long = 77L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF().localCheckpoint(true)
+          graft.sources.SplitStore.assign(batch.sparkSession, storeKey,
+            b.select("doc_id"), pairsOf(b), seed = seed, batchId = id)
+          ()
+        }
+      }
+
   final case class ChangeRow(key: Long, ts: Timestamp, value: String)
   final case class Scd2Closed(key: Long, value: String,
       valid_from: Timestamp, valid_to: Timestamp)

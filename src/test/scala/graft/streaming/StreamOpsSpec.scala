@@ -833,6 +833,50 @@ class StreamOpsSpec extends AnyFunSuite {
     graft.sources.Scd2Store.drop(spark, key)
   }
 
+  test("streamingSplitAssign: micro-batched corpus increments get " +
+      "write-once splits; later triggers adopt stored cluster splits; " +
+      "a restarted stream's replayed ids skip") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = s"splits-${java.util.UUID.randomUUID.toString.take(8)}"
+    // static edge set; each trigger contributes the edges touching it
+    val edges = Seq((2L, 4L), (1L, 2L)).toDF("doc_id_a", "doc_id_b")
+      .localCheckpoint(true)
+    def pairsOf(b: org.apache.spark.sql.DataFrame) = edges
+      .join(b.select(col("doc_id").as("doc_id_a")), Seq("doc_id_a"),
+        "left_semi")
+      .unionByName(edges.join(b.select(col("doc_id").as("doc_id_b")),
+        Seq("doc_id_b"), "left_semi").select("doc_id_a", "doc_id_b"))
+      .dropDuplicates()
+    val mem = MemoryStream[Long]
+    val q = StreamOps.streamingSplitAssign(
+      mem.toDF().toDF("doc_id"), key, pairsOf).start()
+    mem.addData(2L, 4L, 6L)
+    q.processAllAvailable()
+    val snap = graft.sources.SplitStore.read(spark, key)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(snap.keySet === Set(2L, 4L, 6L))
+    assert(snap(2L) === snap(4L)) // shared cluster {2,4}
+    mem.addData(1L)
+    q.processAllAvailable()
+    q.stop()
+    val fin = graft.sources.SplitStore.read(spark, key)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(fin(1L) === snap(2L)) // adopted the committed assignment
+    snap.foreach { case (d, v) => assert(fin(d) === v) }
+    // restarted stream, ids from 0: replayed ids skip, state unchanged
+    val mem2 = MemoryStream[Long]
+    val q2 = StreamOps.streamingSplitAssign(
+      mem2.toDF().toDF("doc_id"), key, pairsOf).start()
+    mem2.addData(2L, 4L, 6L)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(graft.sources.SplitStore.read(spark, key).count() === 4L)
+    graft.sources.SplitStore.drop(spark, key)
+  }
+
   test("streamingChat: the reference's ask loop end-to-end — history " +
       "conditions the next batch's retrieval; clear resets it") {
     implicit val sqlCtx = spark.sqlContext
