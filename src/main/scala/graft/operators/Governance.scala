@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.sources._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CROSS-STORE PURGE — right-to-be-forgotten as ONE whole-engine verb
+  * with a served-nowhere proof, the guarantee a data platform is
+  * audited on (public art: GDPR/CCPA erasure pipelines; Delta
+  * `DELETE` + `VACUUM`; Pinecone `delete(ids=)`,
+  * `/root/reference/AI.py:138`'s store composed with retrieval).
+  *
+  * The engine's per-store delete verbs already exist — ANN tombstones
+  * ([[graft.sources.AnnIndex.deleteLsh]]/deleteIvf/deleteSq8/deleteBq
+  * and the composed layouts), postings tombstones
+  * ([[graft.sources.KeywordIndex.deletePostings]]), and the rewrite
+  * purges added for the stores that index DERIVED data
+  * ([[graft.sources.DedupStore.purgeDocs]]/purgeNear,
+  * [[graft.sources.SplitStore.purge]],
+  * [[graft.sources.Scd2Store.purgeKeys]]). What a platform audit needs
+  * is the composition: one [[purge]] that walks EVERY persisted layout
+  * a document can live in, and one [[audit]] that re-reads every
+  * SERVING surface and proves zero purged ids served anywhere.
+  *
+  * Two ledgers, kept deliberately separate in the receipt:
+  *  - ANN + postings layouts TOMBSTONE (merge-on-read; the id set is
+  *    retained until a compact* verb folds it physically — the
+  *    documented re-add refusal rides on it);
+  *  - dedup/split/SCD2 stores REWRITE (the purged rows — content
+  *    hashes, MinHash signatures, assignments, intervals: all derived
+  *    data under an erasure request — are physically gone at return).
+  * The raw source table itself is the lake's own erasure step (this
+  * engine does not own it — see the
+  * [[graft.plans.LshAnnPlan.Config]] delete-contract note).
+  *
+  * Scale shape: one bounded `ids` set drives every leg; ANN deletes
+  * append id-only tombstones (no layout rewrite), the store rewrites
+  * touch only the victims' hash buckets or ride the house side-dir
+  * swap. Nothing here scans a layout more than once, and the audit's
+  * membership checks are semi-joins of 8-byte ids against the served
+  * views.
+  */
+object Governance {
+
+  /** Which persisted layouts the purge walks. ANN entries are the
+    * `sourceDir` keys the layouts were ensured under; store entries
+    * are `storeKey`s; `scd2` pairs a storeKey with its key column.
+    * Plain-PQ layouts ([[graft.sources.AnnIndex.ensurePq]]) have no
+    * delete verb by design (codebook-only demo layout; the composed
+    * IVF-PQ is the serving path) — erase one by re-running ensurePq
+    * on the surviving source.
+    */
+  final case class PurgeScope(
+      lsh: Seq[String] = Nil,
+      ivf: Seq[String] = Nil,
+      sq8: Seq[String] = Nil,
+      bq: Seq[String] = Nil,
+      ivfSq8: Seq[String] = Nil,
+      ivfPq: Seq[String] = Nil,
+      ivfBq: Seq[String] = Nil,
+      postings: Seq[String] = Nil,
+      dedupSeen: Seq[String] = Nil,
+      dedupNear: Seq[String] = Nil,
+      splits: Seq[String] = Nil,
+      scd2: Seq[(String, String)] = Nil)
+
+  /** Purge `ids` (one column, the vec_id/doc_id identity shared by the
+    * scoped layouts) from every layout in `scope`. Returns the purge
+    * RECEIPT: one row per (surface, store) with the action taken and
+    * the count — `tombstoned` legs report the requested distinct-id
+    * count (the tombstone set admits ids the layout never held; the
+    * served anti-join is what matters), `rewritten` legs report rows
+    * physically removed. `batchId` rides each tombstoning verb's
+    * replay-skip counter and [[graft.sources.Scd2Store.purgeKeys]]'
+    * purge counter, so a crashed-and-retried purge (the
+    * foreachBatch/idempotent-job contract) neither double-counts
+    * tombstones nor re-runs completed legs; the rewrite purges are
+    * idempotent by construction (erasing erased rows is a no-op).
+    * Ordering: rewrites run first, tombstones last — a crash
+    * mid-purge then leaves layouts that either never held the ids or
+    * still hold them un-tombstoned, and the retry converges; nothing
+    * is ever half-served.
+    */
+  def purge(
+      spark: SparkSession,
+      ids: DataFrame,
+      scope: PurgeScope,
+      batchId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val idCol = ids.columns.head
+    val victims = ids.select(col(idCol).as("vec_id")).distinct()
+      .localCheckpoint(true)
+    val nIds = victims.count()
+    val docs = victims.select(col("vec_id").as("doc_id"))
+    val receipt = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Long)]
+
+    // --- rewriting legs first (see ordering note above)
+    scope.dedupSeen.foreach { k =>
+      receipt += (("dedup_seen", k, "rewritten",
+        DedupStore.purgeDocs(spark, k, docs)))
+    }
+    scope.dedupNear.foreach { k =>
+      receipt += (("dedup_near", k, "rewritten",
+        DedupStore.purgeNear(spark, k, docs)))
+    }
+    scope.splits.foreach { k =>
+      receipt += (("split", k, "rewritten",
+        SplitStore.purge(spark, k, docs)))
+    }
+    scope.scd2.foreach { case (k, keyCol) =>
+      val before = Scd2Store.readDim(spark, k)
+        .join(victims.select(col("vec_id").as(keyCol)), Seq(keyCol),
+          "left_semi").count()
+      Scd2Store.purgeKeys(spark, k,
+        victims.select(col("vec_id").as(keyCol)), keyCol, batchId)
+      receipt += (("scd2", k, "rewritten", before))
+    }
+
+    // --- tombstoning legs (merge-on-read; compact* folds physically)
+    scope.lsh.foreach { d =>
+      AnnIndex.deleteLsh(spark, d, victims, batchId)
+      receipt += (("ann_lsh", d, "tombstoned", nIds))
+    }
+    scope.ivf.foreach { d =>
+      AnnIndex.deleteIvf(spark, d, victims, batchId)
+      receipt += (("ann_ivf", d, "tombstoned", nIds))
+    }
+    scope.sq8.foreach { d =>
+      AnnIndex.deleteSq8(spark, d, victims, batchId)
+      receipt += (("ann_sq8", d, "tombstoned", nIds))
+    }
+    scope.bq.foreach { d =>
+      AnnIndex.deleteBq(spark, d, victims, batchId)
+      receipt += (("ann_bq", d, "tombstoned", nIds))
+    }
+    scope.ivfSq8.foreach { d =>
+      AnnIndex.deleteIvfSq8(spark, d, victims, batchId)
+      receipt += (("ann_ivf_sq8", d, "tombstoned", nIds))
+    }
+    scope.ivfPq.foreach { d =>
+      AnnIndex.deleteIvfPq(spark, d, victims, batchId)
+      receipt += (("ann_ivf_pq", d, "tombstoned", nIds))
+    }
+    scope.ivfBq.foreach { d =>
+      AnnIndex.deleteIvfBq(spark, d, victims, batchId)
+      receipt += (("ann_ivf_bq", d, "tombstoned", nIds))
+    }
+    scope.postings.foreach { d =>
+      KeywordIndex.deletePostings(spark, d, docs, batchId = batchId)
+      receipt += (("postings", d, "tombstoned", nIds))
+    }
+    receipt.toSeq.toDF("surface", "store", "action", "n_purged")
+  }
+
+  /** The SERVED-NOWHERE proof: re-open every serving surface in
+    * `scope` and count purged ids still visible — one row per
+    * (surface, store, table) with `n_served_purged`, which a completed
+    * purge makes 0 everywhere. Counts come from the layouts' OWN open
+    * verbs (openLsh/openIvf/…/openPostings/read/readDim — the exact
+    * frames every query verb scans), so a zero here is a zero for
+    * every query shape over that surface; the q218 panel additionally
+    * drives representative query verbs end-to-end (kNN with the
+    * victims' own pre-purge vectors — the probes most likely to
+    * retrieve them — BM25 over victim terms, hybrid fusion).
+    */
+  def audit(
+      spark: SparkSession,
+      ids: DataFrame,
+      scope: PurgeScope): DataFrame = {
+    import spark.implicits._
+    val idCol = ids.columns.head
+    val victims = ids.select(col(idCol).as("vec_id")).distinct()
+      .localCheckpoint(true)
+    val docs = victims.select(col("vec_id").as("doc_id"))
+    def served(df: DataFrame, on: String): Long =
+      df.select(col(on)).join(
+        (if (on == "vec_id") victims else docs), Seq(on), "left_semi")
+        .count()
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Long)]
+    scope.lsh.foreach { d =>
+      val h = AnnIndex.openLsh(spark, d)
+      rows += (("ann_lsh", d, "vecs", served(h.vecs, "vec_id")))
+      rows += (("ann_lsh", d, "buckets", served(h.buckets, "vec_id")))
+    }
+    scope.ivf.foreach { d =>
+      val h = AnnIndex.openIvf(spark, d)
+      rows += (("ann_ivf", d, "lists", served(h.lists, "vec_id")))
+    }
+    scope.sq8.foreach { d =>
+      val h = AnnIndex.openSq8(spark, d)
+      rows += (("ann_sq8", d, "codes", served(h.codes, "vec_id")))
+      rows += (("ann_sq8", d, "vecs", served(h.vecs, "vec_id")))
+    }
+    scope.bq.foreach { d =>
+      val h = AnnIndex.openBq(spark, d)
+      rows += (("ann_bq", d, "codes", served(h.codes, "vec_id")))
+      rows += (("ann_bq", d, "vecs", served(h.vecs, "vec_id")))
+    }
+    scope.ivfSq8.foreach { d =>
+      val h = AnnIndex.openIvfSq8(spark, d)
+      rows += (("ann_ivf_sq8", d, "lists", served(h.lists, "vec_id")))
+      rows += (("ann_ivf_sq8", d, "vecs", served(h.vecs, "vec_id")))
+    }
+    scope.ivfPq.foreach { d =>
+      val h = AnnIndex.openIvfPq(spark, d)
+      rows += (("ann_ivf_pq", d, "lists", served(h.lists, "vec_id")))
+      rows += (("ann_ivf_pq", d, "vecs", served(h.vecs, "vec_id")))
+    }
+    scope.ivfBq.foreach { d =>
+      val h = AnnIndex.openIvfBq(spark, d)
+      rows += (("ann_ivf_bq", d, "lists", served(h.lists, "vec_id")))
+      rows += (("ann_ivf_bq", d, "vecs", served(h.vecs, "vec_id")))
+    }
+    scope.postings.foreach { d =>
+      rows += (("postings", d, "postings",
+        served(KeywordIndex.openPostings(spark, d), "doc_id")))
+    }
+    scope.dedupSeen.foreach { k =>
+      val n = if (DedupStore.seenCount(spark, k) == 0L) 0L
+        else served(DedupStore.readSeen(spark, k), "doc_id")
+      rows += (("dedup_seen", k, "fps", n))
+    }
+    scope.dedupNear.foreach { k =>
+      val (nb, ns) = DedupStore.nearServedCounts(spark, k, docs)
+      rows += (("dedup_near", k, "bands", nb))
+      rows += (("dedup_near", k, "sigs", ns))
+    }
+    scope.splits.foreach { k =>
+      rows += (("split", k, "assign",
+        served(SplitStore.read(spark, k), "doc_id")))
+      rows += (("split", k, "conflicts",
+        served(SplitStore.readConflicts(spark, k), "doc_id")))
+    }
+    scope.scd2.foreach { case (k, keyCol) =>
+      val n = Scd2Store.readDim(spark, k)
+        .join(victims.select(col("vec_id").as(keyCol)), Seq(keyCol),
+          "left_semi").count()
+      rows += (("scd2", k, "dim", n))
+    }
+    rows.toSeq.toDF("surface", "store", "table", "n_served_purged")
+  }
+}

@@ -93,6 +93,15 @@ object LshAnnPlan {
     * delete taking effect, and it is opt-in via this config. A session
     * that wants raw-scan semantics back disables the rewrite or
     * re-runs `ensureLsh` (which rebuilds tombFree from the source).
+    *
+    * The divergence is PER-PLAN-SHAPE, not per-table: only kNN-shaped
+    * scans are rewritten, so every OTHER read of the same raw source
+    * in the same session — counts, joins, non-kNN scans — still sees
+    * the deleted rows until the source itself is compacted or
+    * re-ingested. An index-side delete is a retrieval-surface delete,
+    * not a table-wide one; treat raw-source erasure as its own step
+    * (the [[graft.operators.Governance.purge]] receipt keeps the two
+    * ledgers separate for exactly this reason).
     */
   case class Config(tables: Int = 64, bits: Int = 12, probes: Int = 48,
       persistedSource: Option[String] = None)

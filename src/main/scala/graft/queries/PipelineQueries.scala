@@ -2070,6 +2070,88 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_straddle")))
     }),
 
+    // CROSS-STORE PURGE with a served-nowhere proof (round-12): the
+    // right-to-be-forgotten verb promoted to the whole-engine
+    // guarantee. One Governance.purge(ids) walks eight persisted
+    // layouts — float LSH, composed IVF-SQ8, binary BQ, BM25 postings
+    // (tombstoned), exact + near dedup stores, the split store, the
+    // SCD2 dimension (rewritten) — then Governance.audit re-reads
+    // EVERY serving surface (the open* frames every query verb scans)
+    // and the panel drives the query verbs themselves end-to-end with
+    // the victims' own pre-purge vectors/terms — the probes MOST
+    // likely to retrieve them (pre-purge each victim self-matches at
+    // rank 1). Build-once + batchId replay-skip throughout (the
+    // q141/q205 exists-branch: a tombstoned layout must be SERVED,
+    // never re-ensured); the store counts the oracle replays are the
+    // REWRITE proofs (fps keyed by content groups whose min-id keeper
+    // survived; assignments and intervals minus the victims').
+    "q218_purge" -> ((s, dir) => {
+      import graft.sources.{AnnIndex, KeywordIndex, DedupStore,
+        SplitStore, Scd2Store}
+      import graft.operators.Governance
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val docs = t(s, dir, "documents")
+      val ev = t(s, dir, "events").filter(col("user_id") % 5 === 0)
+        .select("user_id", "ts", "event_type")
+      val victims = emb.filter(col("vec_id") < 6).select("vec_id")
+      val (kLsh, kIsq, kBq, kKw) = (s"$dir#purgelsh",
+        s"$dir#purgeivfsq8", s"$dir#purgebq", s"$dir#purgekw")
+      val (kDd, kSp, kS2) = (s"$dir#purgededup", s"$dir#purgesplit",
+        s"$dir#purgescd2")
+      if (!AnnIndex.lshExists(s, kLsh))
+        AnnIndex.ensureLsh(s, kLsh, emb)
+      if (!AnnIndex.ivfSq8Exists(s, kIsq, lists = 64, iters = 5))
+        AnnIndex.ensureIvfSq8(s, kIsq, emb, lists = 64, iters = 5)
+      if (!AnnIndex.bqExists(s, kBq))
+        AnnIndex.ensureBq(s, kBq, emb)
+      if (!KeywordIndex.postingsExist(s, kKw))
+        KeywordIndex.ensurePostings(s, kKw, docs)
+      DedupStore.dedupBatch(s, kDd, docs, batchId = 1L)
+      DedupStore.nearDedupBatch(s, kDd,
+        docs.filter(col("doc_id") % 4 === 0), batchId = 1L)
+      SplitStore.assign(s, kSp, docs.select("doc_id"),
+        docs.select(col("doc_id").as("doc_id_a"),
+          col("doc_id").as("doc_id_b")).limit(0), batchId = 1L)
+      Scd2Store.merge(s, kS2, ev, "user_id", "ts", Seq("event_type"),
+        batchId = 1L)
+      val scope = Governance.PurgeScope(lsh = Seq(kLsh),
+        ivfSq8 = Seq(kIsq), bq = Seq(kBq), postings = Seq(kKw),
+        dedupSeen = Seq(kDd), dedupNear = Seq(kDd), splits = Seq(kSp),
+        scd2 = Seq((kS2, "user_id")))
+      Governance.purge(s, victims, scope, batchId = Some(1L))
+      val audit = Governance.audit(s, victims, scope)
+        .localCheckpoint(true)
+      // end-to-end serving probes: the victims' own vectors and text
+      val q = emb.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      def hits(df: DataFrame, on: String): DataFrame =
+        df.filter(col(on) < 6).agg(count(lit(1)))
+      val lshHits = AnnIndex.queryLsh(q, AnnIndex.openLsh(s, kLsh),
+        k = 4)
+      val isqHits = AnnIndex.queryIvfSq8(q, AnnIndex.openIvfSq8(s, kIsq),
+        k = 4, nProbe = 24)
+      val bqHits = AnnIndex.queryBq(q, AnnIndex.openBq(s, kBq), k = 4)
+      val bmHits = KeywordSearch.bm25TopKFromPostings(
+        docs.filter(col("doc_id") < 6)
+          .select(col("doc_id").as("query_id"),
+            col("text").as("query_text")),
+        KeywordIndex.openPostings(s, kKw), k = 5)
+      audit.agg(count(lit(1)).as("n_surfaces"),
+          sum(col("n_served_purged")).as("n_served_purged"))
+        .crossJoin(victims.agg(count(lit(1)).as("n_victims")))
+        .crossJoin(hits(lshHits, "vec_id").toDF("n_lsh_hits"))
+        .crossJoin(hits(isqHits, "vec_id").toDF("n_ivfsq8_hits"))
+        .crossJoin(hits(bqHits, "vec_id").toDF("n_bq_hits"))
+        .crossJoin(hits(bmHits, "doc_id").toDF("n_bm25_hits"))
+        .crossJoin(DedupStore.readSeen(s, kDd)
+          .agg(count(lit(1)).as("n_seen_after")))
+        .crossJoin(SplitStore.read(s, kSp)
+          .agg(count(lit(1)).as("n_split_after")))
+        .crossJoin(Scd2Store.readDim(s, kS2)
+          .agg(count(lit(1)).as("n_scd2_after")))
+    }),
+
     // BATCH QUARANTINE ROUTING under the oracle gate (round-11,
     // completing the contract-gate family): route() splits events on
     // the value cap — trusted main, quarantined violations (never
@@ -6727,6 +6809,36 @@ object PipelineQueries {
         |     WHERE doc_id % 2 = 0) AS n_batch1,
         |  CAST(0 AS BIGINT) AS n_changed,
         |  CAST(0 AS BIGINT) AS n_straddle""".stripMargin,
+    // cross-store purge: the audit zeros are the served-nowhere proof
+    // (13 surface tables across 8 layouts); the rewrite proofs replay
+    // — fps rows = content groups whose min-id keeper survived,
+    // assignments and SCD2 intervals minus the victims'
+    "q218_purge" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |  WHERE user_id % 5 = 0),
+        |m AS (SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_type) AS p
+        |  FROM e),
+        |o AS (SELECT user_id FROM m
+        |  WHERE p IS NULL OR p <> event_type)
+        |SELECT
+        |  CAST(13 AS BIGINT) AS n_surfaces,
+        |  CAST(0 AS BIGINT) AS n_served_purged,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |     WHERE vec_id < 6) AS n_victims,
+        |  CAST(0 AS BIGINT) AS n_lsh_hits,
+        |  CAST(0 AS BIGINT) AS n_ivfsq8_hits,
+        |  CAST(0 AS BIGINT) AS n_bq_hits,
+        |  CAST(0 AS BIGINT) AS n_bm25_hits,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |     (SELECT min(doc_id) AS keeper FROM documents
+        |        GROUP BY text) g
+        |   WHERE keeper >= 6) AS n_seen_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE doc_id >= 6) AS n_split_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o
+        |     WHERE user_id >= 6) AS n_scd2_after""".stripMargin,
     // batch routing: every routed count replayed; the main output
     // provably carries zero violations
     "q215_contract_route" ->

@@ -191,6 +191,17 @@ object AnnIndex {
     * commit MORE tombstones than the batch's counted `nDel`, so the
     * served anti-join and the meta's `tomb_rows` would disagree
     * forever. Called by every delete verb before it appends.
+    *
+    * SINGLE-DELETER DISCIPLINE (per index): a CONCURRENT delete in
+    * another session sits in exactly the swept state between its tombs
+    * append and its meta commit — this sweep would remove its rows,
+    * and its subsequent meta commit would then record `tomb_rows` for
+    * tombstones no longer on disk (the served anti-join under-deletes
+    * vs the meta forever). Deletes against one index must therefore
+    * not run concurrently across sessions (no lease primitive on a
+    * bare parquet layout — the same single-writer rule every compact*
+    * verb documents); concurrent READERS are fine, and a queued
+    * multi-session delete pipeline serializes per index.
     */
   private[sources] def sweepOrphanTombs(spark: SparkSession, base: String,
       table: String): Unit =

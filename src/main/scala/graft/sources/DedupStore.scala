@@ -153,6 +153,37 @@ object DedupStore {
   def seenCount(spark: SparkSession, storeKey: String): Long =
     readMeta(base(spark, storeKey)).getOrElse("n_rows", 0L)
 
+  /** The recorded fingerprint frame (h, idCol, batch_id, hb) — exactly
+    * what [[dedupBatch]] probes; the [[graft.operators.Governance]]
+    * audit surface. Loud on a gutted layout (meta rows but no dir),
+    * like the batch probe.
+    */
+  def readSeen(spark: SparkSession, storeKey: String): DataFrame = {
+    val b = base(spark, storeKey)
+    val fpsDir = s"$b/fps"
+    require(readMeta(b).getOrElse("n_rows", 0L) == 0L ||
+      Files.exists(Paths.get(fpsDir)),
+      s"dedup store '$storeKey' meta claims fingerprints but the fps " +
+        "dir is missing (crashed compaction?) — drop() and re-ingest")
+    require(Files.exists(Paths.get(fpsDir)),
+      s"dedup store '$storeKey' is empty — nothing recorded yet")
+    spark.read.parquet(fpsDir)
+  }
+
+  /** Near-dup store membership counts for `docs(doc_id)`: (band rows,
+    * signature rows) still held — the [[graft.operators.Governance]]
+    * audit surface; (0, 0) on an absent layout.
+    */
+  def nearServedCounts(spark: SparkSession, storeKey: String,
+      docs: DataFrame): (Long, Long) = {
+    val b = nearBase(spark, storeKey)
+    def cnt(dir: String): Long =
+      if (!Files.exists(Paths.get(dir))) 0L
+      else spark.read.parquet(dir)
+        .join(docs.select("doc_id"), Seq("doc_id"), "left_semi").count()
+    (cnt(s"$b/bands"), cnt(s"$b/sigs"))
+  }
+
   // ---------------------------------------------------- line-df twin
 
   private def lineBase(spark: SparkSession, storeKey: String): String =
@@ -582,6 +613,95 @@ object DedupStore {
     writeMeta(b,
       "n_rows" -> nKept,
       "last_batch_id" -> meta.getOrElse("last_batch_id", 0L))
+  }
+
+  /** ERASE the given documents' fingerprints from the exact-dedup
+    * store — the right-to-be-forgotten verb
+    * ([[graft.operators.Governance.purge]]'s dedup leg): after a purge
+    * the store retains NOTHING derived from the purged documents (not
+    * even the 8-byte content hash, which is derived data under an
+    * erasure request). [[expireSeen]]'s identity-predicate twin — same
+    * side-dir + rename swap, n_rows shrinks by the purged count,
+    * last_batch_id untouched. Consequence, documented: content whose
+    * only recorded representative was purged is RE-ADMITTED if it
+    * arrives again (the store has honestly forgotten it) — the erasure
+    * semantics, not a defect. Returns the purged fingerprint count.
+    */
+  def purgeDocs(spark: SparkSession, storeKey: String, ids: DataFrame,
+      idCol: String = "doc_id"): Long = {
+    val b = base(spark, storeKey)
+    val fpsDir = s"$b/fps"
+    if (!Files.exists(Paths.get(fpsDir))) return 0L
+    val meta = readMeta(b)
+    val side = s"$b/fps__compact"
+    val garbage = s"$b/fps__garbage_${ProcessHandle.current.pid}"
+    def rm(p: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    rm(side)
+    val victims = ids.select(ids(idCol).as(idCol)).distinct()
+    val kept = spark.read.parquet(fpsDir)
+      .join(victims, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    kept.repartition(col("hb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("hb").parquet(side)
+    val nKept = kept.count()
+    Files.move(Paths.get(fpsDir), Paths.get(garbage))
+    if (nKept > 0) Files.move(Paths.get(side), Paths.get(fpsDir))
+    else rm(side) // absent dir IS the empty-store state (expireSeen)
+    rm(garbage)
+    writeMeta(b,
+      "n_rows" -> nKept,
+      "last_batch_id" -> meta.getOrElse("last_batch_id", 0L))
+    meta.getOrElse("n_rows", 0L) - nKept
+  }
+
+  /** [[purgeDocs]]' near-dup twin: erase the purged documents' band
+    * rows AND MinHash signatures (both derived data under an erasure
+    * request). Bands swap first; a crash between the two swaps leaves
+    * band rows whose signatures are gone — candidates that fail the
+    * signature join, never a served purged doc — and the retry
+    * converges. Returns the purged signature count.
+    */
+  def purgeNear(spark: SparkSession, storeKey: String, ids: DataFrame,
+      idCol: String = "doc_id"): Long = {
+    val b = nearBase(spark, storeKey)
+    val sigsDir = s"$b/sigs"
+    if (!Files.exists(Paths.get(sigsDir))) return 0L
+    val meta = readMeta(b)
+    def rm(p: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    def swapOrDrop(live: String, side: String, nKept: Long): Unit = {
+      val garbage = s"${live}__garbage_${ProcessHandle.current.pid}"
+      Files.move(Paths.get(live), Paths.get(garbage))
+      if (nKept > 0) Files.move(Paths.get(side), Paths.get(live))
+      else rm(side)
+      rm(garbage)
+    }
+    val victims = ids.select(ids(idCol).as("doc_id")).distinct()
+    val bandsDir = s"$b/bands"
+    if (Files.exists(Paths.get(bandsDir))) {
+      val side = s"$b/bands__compact"
+      rm(side)
+      val keptBands = spark.read.parquet(bandsDir)
+        .join(victims, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      keptBands.repartition(col("bb"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bb").parquet(side)
+      swapOrDrop(bandsDir, side, keptBands.count())
+    }
+    val sideS = s"$b/sigs__compact"
+    rm(sideS)
+    val keptSigs = spark.read.parquet(sigsDir)
+      .join(victims, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    keptSigs.coalesce(8)
+      .write.mode(SaveMode.Overwrite).parquet(sideS)
+    val nKept = keptSigs.count()
+    swapOrDrop(sigsDir, sideS, nKept)
+    writeMeta(b,
+      "n_rows" -> nKept,
+      "last_batch_id" -> meta.getOrElse("last_batch_id", 0L))
+    meta.getOrElse("n_rows", 0L) - nKept
   }
 
   /** Drop the store (tests / rebuild-from-scratch). */

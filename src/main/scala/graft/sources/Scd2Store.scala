@@ -17,20 +17,34 @@ import java.nio.file.{Files, Paths}
   * `pmod(xxhash64(key), KeyDirs)`) holding
   * (key, attrs..., valid_from, valid_to); `_scd2_meta.json` written
   * AFTER data via temp-file + atomic rename (the AnnIndex meta
-  * discipline). A merge rewrites ONLY the batch's touched buckets
-  * (dynamic partition overwrite scoped to this write — the
-  * [[graft.operators.Backfill]] rule, never the session conf), so the
-  * cost is O(touched buckets), not O(dimension): the 100 TB shape.
+  * discipline). A merge rewrites ONLY the batch's touched buckets, so
+  * the cost is O(touched buckets), not O(dimension): the 100 TB shape.
   *
   * Merge derivation: each stored interval's (valid_from, attrs) IS its
   * opening change, so the touched buckets' post-merge state is
   * `Scd2.fromChanges(stored openings ∪ batch)` — recomputed from
   * first principles per touched key. That makes the merge IDEMPOTENT
   * under replayed content by construction (a re-delivered change is an
-  * exact duplicate of an opening, or folds as a no-op), which is what
-  * makes crash-retry safe: a crash between the partition overwrite and
-  * the meta commit leaves some buckets merged and some not, and the
-  * retry re-derives byte-identical bucket content either way.
+  * exact duplicate of an opening, or folds as a no-op).
+  *
+  * Commit protocol (JOURNALED stage-then-swap — no mid-commit loss
+  * window): the merged touched buckets land in a SIDE directory first
+  * (the live buckets are never a write target), then a journal naming
+  * the side dir and every touched bucket commits atomically, then each
+  * bucket swaps in by atomic dir rename, then the journal is removed
+  * and the meta commits. Every crash point recovers: before the
+  * journal, the side dir is an unreferenced orphan (swept by the next
+  * writer); after the journal, [[recover]] rolls the swap FORWARD
+  * (side bucket present → finish its rename; absent → that bucket
+  * already swapped), after which a merge retry re-derives
+  * byte-identical content from the now-post-merge openings (a batch
+  * change is an exact duplicate of an opening it created, or folds as
+  * a no-op — the same idempotence argument as redelivery) and commits
+  * the meta. A crash between swap completion and the meta commit thus
+  * serves the batch's content slightly EARLY (read-uncommitted until
+  * the retry commits) — never a gutted bucket, never silently dropped
+  * closed intervals. Single-writer discipline: merges/purges of one
+  * store must not run concurrently (no lock on a parquet layout).
   *
   * Feed contract (the [[graft.streaming.StreamOps.streamingScd2]]
   * rule, store-checked): a change at-or-before a key's latest opening
@@ -38,8 +52,16 @@ import java.nio.file.{Files, Paths}
   * its ts — an at-least-once redelivery) — anything else is a history
   * rewrite and is refused LOUDLY before anything lands, because closed
   * intervals downstream consumers already read must never change.
+  * The guard costs exactly ONE job per merge; feeds that are trusted
+  * (or audited upstream) can set `checkHistory = false` and skip it
+  * (the [[graft.operators.DataContract]] lazy discipline).
   * `batchId` replay-skip: a batch id ≤ the committed `last_batch_id`
   * no-ops (the idempotent-foreachBatch contract).
+  *
+  * [[purgeKeys]] is the ONE deliberate exception to the never-rewrite
+  * rule: right-to-be-forgotten erasure of a key's ENTIRE history
+  * (every interval, open and closed), audited via its own replay
+  * counter — see [[graft.operators.Governance.purge]].
   */
 object Scd2Store {
 
@@ -74,6 +96,33 @@ object Scd2Store {
   private def kbCol(keyCol: String) =
     pmod(xxhash64(col(keyCol)), lit(KeyDirs.toLong)).cast("int").as("kb")
 
+  /** `kb` of a PROBE frame's key column, hashed at the STORED
+    * dimension's key type: xxhash64 is type-sensitive (an int probe
+    * against a long dimension hashes differently), so an uncast probe
+    * would prune the correct bucket away and silently read nulls where
+    * [[lookup]] matches via join coercion. Casting to the stored type
+    * restores the documented output-identity.
+    */
+  private def probeKb(spark: SparkSession, dimDir: String,
+      probes: DataFrame, keyCol: String) = {
+    val storedType = spark.read.parquet(dimDir).schema
+      .find(_.name == keyCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"lookupPruned: stored dimension has no column '$keyCol'"))
+      .dataType
+    pmod(xxhash64(probes(keyCol).cast(storedType)), lit(KeyDirs.toLong))
+      .cast("int").as("kb")
+  }
+
+  /** Roll an interrupted journaled swap forward ([[BucketSwap]]) —
+    * called by every reader and writer entry point.
+    */
+  private def recover(b: String): Unit = BucketSwap.recover(b, "dim")
+
+  private def stageAndSwap(spark: SparkSession, b: String,
+      staged: DataFrame, touched: Seq[Int]): Unit =
+    BucketSwap.stageAndSwap(spark, b, "dim", "kb", staged, touched)
+
   /** The stored dimension: (key, attrs..., valid_from, valid_to,
     * is_current) — [[graft.operators.Scd2.fromChanges]]'s exact output
     * shape, readable for joins/[[lookup]] without any merge machinery.
@@ -84,6 +133,7 @@ object Scd2Store {
     require(readMeta(b).contains("last_batch_id"),
       s"no persisted SCD2 dimension for '$storeKey' ($b) — merge a " +
         "first change batch")
+    recover(b)
     spark.read.parquet(s"$b/dim").drop("kb")
       .withColumn("is_current", col("valid_to").isNull)
   }
@@ -100,8 +150,9 @@ object Scd2Store {
     * bounded) becomes a partition filter on the dimension scan, so a
     * point lookup prices at O(touched buckets) instead of O(dimension)
     * — at a 100 TB dimension that is the difference between a seek and
-    * a table scan. Output-identical to [[lookup]] by construction
-    * (a probe's interval can only live in its key's bucket);
+    * a table scan. Probe keys hash at the STORED key type (see
+    * [[probeKb]]) so a type-coerced probe prunes the same bucket the
+    * join matches in. Output-identical to [[lookup]] by construction;
     * Scd2StoreSpec pins both the parity and the pruned scan shape.
     */
   def lookupPruned(spark: SparkSession, storeKey: String,
@@ -110,8 +161,9 @@ object Scd2Store {
     require(readMeta(b).contains("last_batch_id"),
       s"no persisted SCD2 dimension for '$storeKey' ($b) — merge a " +
         "first change batch")
-    val kbs = probes.select(kbCol(keyCol)).distinct()
-      .collect().map(_.getInt(0)).sorted
+    recover(b)
+    val kbs = probes.select(probeKb(spark, s"$b/dim", probes, keyCol))
+      .distinct().collect().map(_.getInt(0)).sorted
     val dim = spark.read.parquet(s"$b/dim")
       .filter(col("kb").isin(kbs.map(Int.box): _*))
       .drop("kb")
@@ -121,9 +173,10 @@ object Scd2Store {
 
   /** MERGE one CDC change batch `changes(keyCol, tsCol, attrCols...)`
     * into the persisted dimension (see object doc for semantics and
-    * crash safety). Returns the post-merge dimension view. A replayed
-    * `batchId` (≤ committed `last_batch_id`) skips — the store already
-    * holds this batch's effect.
+    * the journaled commit protocol). Returns the post-merge dimension
+    * view. A replayed `batchId` (≤ committed `last_batch_id`) skips —
+    * the store already holds this batch's effect. `checkHistory =
+    * false` skips the one-job history-rewrite guard for trusted feeds.
     */
   def merge(
       spark: SparkSession,
@@ -132,13 +185,15 @@ object Scd2Store {
       keyCol: String,
       tsCol: String,
       attrCols: Seq[String],
-      batchId: Long): DataFrame = {
+      batchId: Long,
+      checkHistory: Boolean = true): DataFrame = {
     require(attrCols.nonEmpty, "merge: no attribute columns")
     val b = base(spark, storeKey)
     val meta = readMeta(b)
     val dimDir = s"$b/dim"
     if (meta.get("last_batch_id").exists(batchId <= _))
       return readDim(spark, storeKey)
+    recover(b)
     require(meta.isEmpty || Files.exists(Paths.get(dimDir)),
       s"SCD2 store '$storeKey' meta exists but the dim dir is missing " +
         "— corrupt layout; drop() and re-merge from the full feed")
@@ -161,30 +216,28 @@ object Scd2Store {
         spark.read.parquet(dimDir)
           .filter(col("kb").isin(touched.map(Int.box): _*))
       else null
-    if (hasStore) {
-      // history-rewrite guard (loud, before anything lands): a change
-      // at-or-before its key's latest opening must fold against
-      // recorded history — the interval covering its ts must carry the
-      // SAME attrs (an at-least-once redelivery); a differing-attrs or
-      // before-first-interval change would rewrite closed intervals
-      val tup = struct(attrCols.map(col): _*)
+    if (hasStore && checkHistory) {
+      // history-rewrite guard (loud, before anything lands, ONE job):
+      // a change at-or-before its key's latest opening must fold
+      // against recorded history — the interval covering its ts must
+      // carry the SAME attrs (an at-least-once redelivery); a
+      // differing-attrs or before-first-interval change would rewrite
+      // closed intervals
       val latest = stored.groupBy(col(keyCol))
         .agg(max(col("valid_from")).as("__mf"))
-      val covered = batch
+      val rewrites = batch
         .join(latest, Seq(keyCol), "inner")
         .filter(col(tsCol) <= col("__mf"))
-      val rewrites =
-        if (covered.isEmpty) 0L
-        else covered.alias("c").join(stored.alias("s"),
-            col(s"c.$keyCol") === col(s"s.$keyCol") &&
-              col(s"c.$tsCol") >= col("s.valid_from") &&
-              (col("s.valid_to").isNull ||
-                col(s"c.$tsCol") < col("s.valid_to")),
-            "left")
-          .filter(col("s.valid_from").isNull || // before first interval
-            !(struct(attrCols.map(a => col(s"c.$a")): _*) <=>
-              struct(attrCols.map(a => col(s"s.$a")): _*)))
-          .count()
+        .alias("c").join(stored.alias("s"),
+          col(s"c.$keyCol") === col(s"s.$keyCol") &&
+            col(s"c.$tsCol") >= col("s.valid_from") &&
+            (col("s.valid_to").isNull ||
+              col(s"c.$tsCol") < col("s.valid_to")),
+          "left")
+        .filter(col("s.valid_from").isNull || // before first interval
+          !(struct(attrCols.map(a => col(s"c.$a")): _*) <=>
+            struct(attrCols.map(a => col(s"s.$a")): _*)))
+        .count()
       require(rewrites == 0L,
         s"Scd2Store '$storeKey': $rewrites change(s) at-or-before their " +
           "key's latest opening do not match recorded history — a " +
@@ -207,12 +260,57 @@ object Scd2Store {
         keyCol, tsCol, attrCols)
       .drop("is_current")
       .withColumn("kb", kbCol(keyCol))
-    // rewrite ONLY the touched buckets; overwrite mode is scoped to
-    // this write (Backfill rule — session conf untouched)
-    merged.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("kb").parquet(dimDir)
-    writeMeta(b, "last_batch_id" -> batchId) // meta-after-data
+    if (hasStore)
+      stageAndSwap(spark, b, merged, touched.toSeq)
+    else
+      merged.write.mode(SaveMode.Overwrite).partitionBy("kb")
+        .parquet(dimDir)
+    writeMeta(b, ("last_batch_id" -> batchId) +:
+      meta.filterNot(_._1 == "last_batch_id").toSeq: _*)
+    readDim(spark, storeKey)
+  }
+
+  /** ERASE the given keys' ENTIRE history — every interval, open and
+    * closed — from the persisted dimension: the right-to-be-forgotten
+    * verb ([[graft.operators.Governance.purge]]'s SCD2 leg), and the
+    * ONE deliberate exception to the history-rewrite refusal (this is
+    * an audited erasure, not a feed accident). Rewrites only the
+    * purged keys' buckets via the journaled swap (a purge can empty a
+    * bucket; the swap deletes it). Replay-safe via its own counter
+    * (`last_purge_batch_id`); idempotent anyway (erasing erased keys
+    * is a no-op). A later merge may re-introduce a purged key — the
+    * caller's admission control, as with the ANN re-add contract.
+    */
+  def purgeKeys(
+      spark: SparkSession,
+      storeKey: String,
+      keys: DataFrame,
+      keyCol: String,
+      batchId: Option[Long] = None): DataFrame = {
+    val b = base(spark, storeKey)
+    val meta = readMeta(b)
+    require(meta.contains("last_batch_id"),
+      s"no persisted SCD2 dimension for '$storeKey' ($b) — nothing to " +
+        "purge")
+    if (batchId.exists(id =>
+        meta.get("last_purge_batch_id").exists(id <= _)))
+      return readDim(spark, storeKey)
+    recover(b)
+    val dimDir = s"$b/dim"
+    val probe = keys.select(col(keyCol)).distinct()
+    val touched = probe
+      .select(probeKb(spark, dimDir, probe, keyCol)).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.nonEmpty) {
+      val survivors = spark.read.parquet(dimDir)
+        .filter(col("kb").isin(touched.map(Int.box): _*))
+        .join(probe, Seq(keyCol), "left_anti")
+      stageAndSwap(spark, b, survivors, touched.toSeq)
+    }
+    writeMeta(b,
+      (meta - "last_purge_batch_id").toSeq ++
+        batchId.orElse(meta.get("last_purge_batch_id"))
+          .map("last_purge_batch_id" -> _).toSeq: _*)
     readDim(spark, storeKey)
   }
 

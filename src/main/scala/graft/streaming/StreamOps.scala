@@ -1068,10 +1068,17 @@ object StreamOps {
     * `last_batch_id` persists beside the audit output, and a restarted
     * stream re-running an already-committed trigger SKIPS it — the
     * 'trusted' main output never silently double-counts replayed rows.
-    * The residual window is a crash between the data appends and the
-    * meta commit (that one batch replays as a duplicate — closing it
-    * needs an atomically-committing table format, same caveat as every
-    * parquet sink here).
+    * The skip is CONTENT-VERIFIED, not id-trusted (the manifestBatch
+    * rule): a skipped trigger's (n_rows, n_violations) must match the
+    * committed audit row for that id — a fresh-checkpoint stream whose
+    * trigger ids restarted at 0 against existing output dirs carries
+    * DIFFERENT content under a committed id, and silently dropping it
+    * from the trusted main output would lose new data; it fails loudly
+    * instead (point the stream at fresh dirs, or restore the
+    * checkpoint). The residual window is a crash between the data
+    * appends and the meta commit (that one batch replays as a
+    * duplicate — closing it needs an atomically-committing table
+    * format, same caveat as every parquet sink here).
     */
   def streamingContractGate(
       rows: DataFrame,
@@ -1083,7 +1090,7 @@ object StreamOps {
     rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty && id > gateCommittedBatch(auditDir)) {
+        if (!batch.isEmpty) {
           val spark = batch.sparkSession
           import spark.implicits._
           val marked = batch.toDF()
@@ -1093,16 +1100,34 @@ object StreamOps {
             .localCheckpoint(true)
           val routed = graft.operators.DataContract.route(
             marked, col("__ok"))
-          routed.main.drop("__ok")
-            .write.mode(SaveMode.Append).parquet(mainDir)
-          val bad = routed.quarantine.drop("__ok")
-          if (!bad.isEmpty)
-            bad.write.mode(SaveMode.Append).parquet(quarantineDir)
           val a = routed.audit.head
-          Seq((id, a.getLong(0), a.getLong(1)))
-            .toDF("batch_id", "n_rows", "n_violations")
-            .write.mode(SaveMode.Append).parquet(auditDir)
-          gateCommitBatch(auditDir, id) // meta-after-data
+          val (nRows, nViol) = (a.getLong(0), a.getLong(1))
+          if (id <= gateCommittedBatch(auditDir)) {
+            // replay-verification: the committed audit row for this id
+            // must describe THIS content, else it is not a replay
+            val stored = spark.read.parquet(auditDir)
+              .filter(col("batch_id") === id)
+              .select("n_rows", "n_violations").collect()
+            require(stored.exists(r =>
+              r.getLong(0) == nRows && r.getLong(1) == nViol),
+              s"contract gate '$auditDir': trigger $id is at-or-below " +
+                s"the committed last_batch_id but its content " +
+                s"($nRows rows, $nViol violations) does not match the " +
+                "committed audit row — this is NOT a replay (restarted " +
+                "checkpoint against existing output dirs?); use fresh " +
+                "main/quarantine/audit dirs per checkpoint, or restore " +
+                "the original checkpoint")
+          } else {
+            routed.main.drop("__ok")
+              .write.mode(SaveMode.Append).parquet(mainDir)
+            val bad = routed.quarantine.drop("__ok")
+            if (!bad.isEmpty)
+              bad.write.mode(SaveMode.Append).parquet(quarantineDir)
+            Seq((id, nRows, nViol))
+              .toDF("batch_id", "n_rows", "n_violations")
+              .write.mode(SaveMode.Append).parquet(auditDir)
+            gateCommitBatch(auditDir, id) // meta-after-data
+          }
         }
       }
 
@@ -1187,13 +1212,20 @@ object StreamOps {
     * and the loud cross-split-conflict refusal are the store's own
     * contracts. `pairsOf` derives the batch's match edges from the
     * micro-batch frame (e.g. a probe against an incremental dedup
-    * store) — it runs inside the trigger.
+    * store) — it runs inside the trigger. `onConflict`: the default
+    * `"refuse"` KILLS the stream on cross-split evidence (leakage is
+    * an operator decision, not a row to drop); long-lived ingests opt
+    * into `"quarantine"` — the conflicting component routes to the
+    * store's `conflicts/` frame, the rest of the trigger is admitted,
+    * and the stream survives (the [[streamingContractGate]] routing
+    * discipline).
     */
   def streamingSplitAssign(
       docs: DataFrame,
       storeKey: String,
       pairsOf: DataFrame => DataFrame,
-      seed: Long = 77L)
+      seed: Long = 77L,
+      onConflict: String = "refuse")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("append")
@@ -1201,7 +1233,8 @@ object StreamOps {
         if (!batch.isEmpty) {
           val b = batch.toDF().localCheckpoint(true)
           graft.sources.SplitStore.assign(batch.sparkSession, storeKey,
-            b.select("doc_id"), pairsOf(b), seed = seed, batchId = id)
+            b.select("doc_id"), pairsOf(b), seed = seed, batchId = id,
+            onConflict = onConflict)
           ()
         }
       }

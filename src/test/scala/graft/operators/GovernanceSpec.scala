@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.sources._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-store purge lifecycle: one Governance.purge walks every
+  * persisted layout in scope, Governance.audit proves zero purged ids
+  * served on ANY surface; crash-retry (same batchId) is idempotent;
+  * re-adding a purged id into an ANN layout is refused until compact
+  * folds the tombstones; the rewrite stores honestly FORGET (purged
+  * content re-admits under a new id).
+  */
+class GovernanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val runTag = java.util.UUID.randomUUID.toString.take(8)
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // 48 vectors, dim 8, deterministic; ids 0..47 — victims are 0..3
+  private def vecs = (0 until 48).map { i =>
+    (i.toLong, Array.tabulate(8)(d =>
+      math.sin(i * 0.7 + d * 1.3).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  private def docs = (0 until 30).map { i =>
+    (i.toLong, s"doc body ${i % 10} content token alpha beta " +
+      s"gamma ${i % 7} delta")
+  }.toDF("doc_id", "text")
+
+  private val victims = Seq(0L, 1L, 2L, 3L).toDF("vec_id")
+
+  test("full-scope purge: every ANN layout + postings + stores; " +
+      "audit all-zero; crash-retry idempotent") {
+    val k = (fam: String) => s"gv-$runTag-$fam"
+    AnnIndex.ensureLsh(spark, k("lsh"), vecs, tables = 8, bits = 4,
+      storageBuckets = 2)
+    AnnIndex.ensureIvf(spark, k("ivf"), vecs, lists = 4, iters = 2)
+    AnnIndex.ensureSq8(spark, k("sq8"), vecs, storageBuckets = 2)
+    AnnIndex.ensureBq(spark, k("bq"), vecs, storageBuckets = 2)
+    AnnIndex.ensureIvfSq8(spark, k("isq"), vecs, lists = 4, iters = 2,
+      storageBuckets = 2)
+    AnnIndex.ensureIvfPq(spark, k("ipq"), vecs, lists = 4,
+      numSub = 4, ksub = 8, iters = 2, storageBuckets = 2)
+    AnnIndex.ensureIvfBq(spark, k("ibq"), vecs, lists = 4, iters = 2,
+      storageBuckets = 2)
+    KeywordIndex.ensurePostings(spark, k("kw"), docs)
+    DedupStore.dedupBatch(spark, k("dd"), docs, batchId = 1L)
+    DedupStore.nearDedupBatch(spark, k("dd"), docs, batchId = 1L)
+    SplitStore.assign(spark, k("sp"), docs.select("doc_id"),
+      docs.select(col("doc_id").as("doc_id_a"),
+        col("doc_id").as("doc_id_b")).limit(0), batchId = 1L)
+    Scd2Store.merge(spark, k("s2"),
+      Seq((0L, ts("2024-01-01 00:00:00"), "a"),
+        (0L, ts("2024-01-02 00:00:00"), "b"),
+        (9L, ts("2024-01-01 00:00:00"), "a")).toDF("key", "ts", "v"),
+      "key", "ts", Seq("v"), batchId = 1L)
+    val scope = Governance.PurgeScope(
+      lsh = Seq(k("lsh")), ivf = Seq(k("ivf")), sq8 = Seq(k("sq8")),
+      bq = Seq(k("bq")), ivfSq8 = Seq(k("isq")), ivfPq = Seq(k("ipq")),
+      ivfBq = Seq(k("ibq")), postings = Seq(k("kw")),
+      dedupSeen = Seq(k("dd")), dedupNear = Seq(k("dd")),
+      splits = Seq(k("sp")), scd2 = Seq((k("s2"), "key")))
+    val receipt = Governance.purge(spark, victims, scope,
+      batchId = Some(1L))
+    // both ledgers present, every scoped layout receipted
+    assert(receipt.filter(col("action") === "tombstoned").count() === 8)
+    assert(receipt.filter(col("action") === "rewritten").count() === 4)
+    val audit1 = Governance.audit(spark, victims, scope)
+    assert(audit1.agg(sum("n_served_purged")).head.getLong(0) === 0L)
+    // crash-retry: the SAME purge again (replayed batch id) — no
+    // double tombstones, rewrites no-op, audit still zero
+    val lshTombsBefore = AnnIndex.openLsh(spark, k("lsh"))
+    Governance.purge(spark, victims, scope, batchId = Some(1L))
+    val audit2 = Governance.audit(spark, victims, scope)
+    assert(audit2.agg(sum("n_served_purged")).head.getLong(0) === 0L)
+    // survivors still served everywhere (purge is surgical): each ANN
+    // survivor view holds exactly 44 ids, the stores their remainders
+    assert(AnnIndex.openLsh(spark, k("lsh")).vecs.count() === 44L)
+    assert(AnnIndex.openIvfSq8(spark, k("isq")).lists.count() === 44L)
+    assert(SplitStore.read(spark, k("sp")).count() === 26L)
+    assert(Scd2Store.readDim(spark, k("s2"))
+      .select("key").distinct().count() === 1L)
+    // the purged ids are no longer retrievable even by their own
+    // vectors (pre-purge they self-match at rank 1)
+    val q = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val served = AnnIndex.queryLsh(q, AnnIndex.openLsh(spark, k("lsh")),
+      k = 4, probes = 8)
+    assert(served.filter(col("vec_id") < 4).count() === 0L)
+  }
+
+  test("re-add of a purged id is refused until compact folds the " +
+      "tombstones, then admitted (the ANN re-add contract)") {
+    val key = s"gv-$runTag-readd"
+    AnnIndex.ensureLsh(spark, key, vecs, tables = 8, bits = 4,
+      storageBuckets = 2)
+    Governance.purge(spark, victims,
+      Governance.PurgeScope(lsh = Seq(key)), batchId = Some(1L))
+    val readd = vecs.filter(col("vec_id") === 0L)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.upsertLsh(spark, key, readd, tables = 8, bits = 4,
+        storageBuckets = 2, batchId = Some(2L))
+    }
+    assert(e.getMessage.contains("compactLsh"))
+    AnnIndex.compactLsh(spark, key) // folds tombstones physically
+    val h = AnnIndex.upsertLsh(spark, key, readd, tables = 8, bits = 4,
+      storageBuckets = 2, batchId = Some(2L))
+    assert(h.vecs.filter(col("vec_id") === 0L).count() === 1L)
+  }
+
+  test("rewrite stores honestly forget: purged content re-admits " +
+      "under a new id; purged split doc re-assigns fresh") {
+    val key = s"gv-$runTag-forget"
+    DedupStore.dedupBatch(spark, key, docs, batchId = 1L)
+    DedupStore.purgeDocs(spark, key, Seq(0L).toDF("doc_id"))
+    // doc 0's text group (texts repeat mod 10 × mod 7 = every 70 —
+    // unique here) arrives again under id 1000: ADMITTED
+    val again = Seq((1000L, docs.filter(col("doc_id") === 0L)
+      .head.getString(1))).toDF("doc_id", "text")
+    val kept = DedupStore.dedupBatch(spark, key, again, batchId = 2L)
+    assert(kept.count() === 1L)
+    // while un-purged duplicate content is still dropped
+    val dup = Seq((2000L, docs.filter(col("doc_id") === 1L)
+      .head.getString(1))).toDF("doc_id", "text")
+    assert(DedupStore.dedupBatch(spark, key, dup, batchId = 3L)
+      .count() === 0L)
+    // split store: purge then re-submit — assigned fresh, same split
+    // as its surviving cluster would dictate (no evidence here, so its
+    // own md5 bucket)
+    val sk = s"gv-$runTag-sp2"
+    val noPairs = docs.select(col("doc_id").as("doc_id_a"),
+      col("doc_id").as("doc_id_b")).limit(0)
+    val before = SplitStore.assign(spark, sk, docs.select("doc_id"),
+      noPairs, batchId = 1L)
+    val doc0Split = before.filter(col("doc_id") === 0L)
+      .head.getString(2)
+    SplitStore.purge(spark, sk, Seq(0L).toDF("doc_id"))
+    assert(SplitStore.read(spark, sk).filter(col("doc_id") === 0L)
+      .count() === 0L)
+    val after = SplitStore.assign(spark, sk, Seq(0L).toDF("doc_id"),
+      noPairs, batchId = 2L)
+    // an orphan re-add lands by its own md5 bucket — identical here
+    assert(after.filter(col("doc_id") === 0L).head.getString(2)
+      === doc0Split)
+  }
+}

@@ -143,4 +143,88 @@ class Scd2StoreSpec extends AnyFunSuite {
       Scd2Store.readDim(spark, key)
     }
   }
+
+  test("the history guard costs exactly one extra job; " +
+      "checkHistory = false skips it (the lazy-contract option)") {
+    // count ACTIONS (driver-synchronized executions), not Spark jobs —
+    // AQE fans one action into several jobs nondeterministically
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = n.incrementAndGet()
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      try { body; Thread.sleep(1000) } // listener events are async
+      finally spark.listenerManager.unregister(l)
+      n.get()
+    }
+    val (kGuard, kLazy) = (s"scd2-$runTag-jg", s"scd2-$runTag-jl")
+    Scd2Store.merge(spark, kGuard, df(feed.take(3)), "user_id", "ts",
+      Seq("tier"), batchId = 1L)
+    Scd2Store.merge(spark, kLazy, df(feed.take(3)), "user_id", "ts",
+      Seq("tier"), batchId = 1L)
+    val withGuard = countJobs(
+      Scd2Store.merge(spark, kGuard, df(feed.slice(3, 5)), "user_id",
+        "ts", Seq("tier"), batchId = 2L))
+    val without = countJobs(
+      Scd2Store.merge(spark, kLazy, df(feed.slice(3, 5)), "user_id",
+        "ts", Seq("tier"), batchId = 2L, checkHistory = false))
+    assert(withGuard === without + 1,
+      s"guard should cost exactly one job (got $withGuard vs $without)")
+    // and the two stores hold identical content (the guard is a
+    // check, never a transform)
+    assert(dimSet(Scd2Store.readDim(spark, kGuard)) ===
+      dimSet(Scd2Store.readDim(spark, kLazy)))
+  }
+
+  test("lookupPruned hashes probe keys at the STORED key type: an " +
+      "int-typed probe against a long-keyed dimension still prunes " +
+      "the right bucket (and stays lookup-identical)") {
+    val key = s"scd2-$runTag-cast"
+    Scd2Store.merge(spark, key, df(feed), "user_id", "ts",
+      Seq("tier"), batchId = 1L)
+    val intProbes = Seq((1, ts("2024-01-04 12:00:00")),
+      (2, ts("2024-01-06 12:00:00")), (3, ts("2024-01-04 00:00:00")))
+      .toDF("user_id", "ts") // user_id is INT; the dimension stores LONG
+    val pruned = Scd2Store.lookupPruned(spark, key, intProbes,
+      "user_id", "ts").select("user_id", "tier").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val full = Scd2Store.lookup(spark, key, intProbes, "user_id", "ts")
+      .select("user_id", "tier").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(pruned === full)
+    assert(pruned === Set((1, "gold"), (2, "bronze"), (3, "silver")))
+  }
+
+  test("purgeKeys erases a key's ENTIRE history (the deliberate " +
+      "right-to-be-forgotten exception), is idempotent and " +
+      "replay-skipped, leaves other keys byte-stable") {
+    val key = s"scd2-$runTag-purge"
+    Scd2Store.merge(spark, key, df(feed), "user_id", "ts",
+      Seq("tier"), batchId = 1L)
+    val othersBefore = dimSet(Scd2Store.readDim(spark, key)
+      .filter(col("user_id") =!= 1L))
+    val after = Scd2Store.purgeKeys(spark, key,
+      Seq(1L).toDF("user_id"), "user_id", batchId = Some(1L))
+    assert(after.filter(col("user_id") === 1L).count() === 0L)
+    assert(dimSet(after.filter(col("user_id") =!= 1L)) === othersBefore)
+    // replayed purge id no-ops; re-purging an erased key no-ops
+    Scd2Store.purgeKeys(spark, key, Seq(1L).toDF("user_id"),
+      "user_id", batchId = Some(1L))
+    Scd2Store.purgeKeys(spark, key, Seq(1L).toDF("user_id"),
+      "user_id", batchId = Some(2L))
+    assert(dimSet(Scd2Store.readDim(spark, key)) === othersBefore)
+    // a purged key may be re-introduced by a later feed (admission is
+    // the caller's) — and its fresh history is NOT a rewrite
+    Scd2Store.merge(spark, key,
+      df(Seq((1L, ts("2024-02-01 00:00:00"), "fresh"))),
+      "user_id", "ts", Seq("tier"), batchId = 2L)
+    assert(Scd2Store.readDim(spark, key)
+      .filter(col("user_id") === 1L).count() === 1L)
+  }
 }

@@ -644,6 +644,22 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(mainD).count() === 3L)
     assert(spark.read.parquet(quarD).count() === 2L)
     assert(spark.read.parquet(audD).count() === 2L)
+    // replay-skip is CONTENT-VERIFIED (the manifestBatch discipline):
+    // a fresh-checkpoint stream (ids restart at 0) carrying DIFFERENT
+    // content at a committed id must fail loudly, never silently drop
+    // new data from the trusted main output
+    val mem3 = MemoryStream[(Long, Double)]
+    val q3 = StreamOps.streamingContractGate(
+      mem3.toDF().toDF("id", "value"), col("value") <= 10.0,
+      mainD, quarD, audD).start()
+    mem3.addData((100L, 2.0), (101L, 3.0)) // NEW data at batch id 0
+    val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(ex.getCause.getMessage.contains("NOT a replay"))
+    assert(spark.read.parquet(mainD).count() === 3L) // nothing landed
   }
 
   test("streamingManifest: running totals equal the batch manifest at " +
@@ -875,6 +891,80 @@ class StreamOpsSpec extends AnyFunSuite {
     q2.stop()
     assert(graft.sources.SplitStore.read(spark, key).count() === 4L)
     graft.sources.SplitStore.drop(spark, key)
+  }
+
+  test("streamingSplitAssign onConflict=quarantine: a cross-split " +
+      "conflict trigger quarantines the component, admits the rest, " +
+      "and the STREAM SURVIVES (batch/stream parity on the admitted " +
+      "set); the default refusal kills the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.SplitStore
+    // engineer singletons 1 (train) and 2 (test) — the SplitStoreSpec
+    // conflict fixture, driven as a stream
+    def bucket(rep: Long, sd: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hx = md.digest(s"$rep:$sd".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hx, 16) % 10
+    }
+    val sd = (0L to 5000L).find(s =>
+      bucket(1L, s) < 8 && bucket(2L, s) == 9).get
+    val edges = Seq((3L, 1L), (3L, 2L)).toDF("doc_id_a", "doc_id_b")
+      .localCheckpoint(true)
+    def pairsOf(b: org.apache.spark.sql.DataFrame) = edges
+      .join(b.select(col("doc_id").as("doc_id_a")), Seq("doc_id_a"),
+        "left_semi")
+    val key = s"splitsq-${java.util.UUID.randomUUID.toString.take(8)}"
+    val mem = MemoryStream[Long]
+    val q = StreamOps.streamingSplitAssign(
+      mem.toDF().toDF("doc_id"), key, pairsOf, seed = sd,
+      onConflict = "quarantine").start()
+    mem.addData(1L, 2L)
+    q.processAllAvailable()
+    mem.addData(3L, 4L) // 3 links train-1 and test-2; 4 is clean
+    q.processAllAvailable() // the stream SURVIVES the conflict
+    mem.addData(5L) // and keeps ingesting
+    q.processAllAvailable()
+    q.stop()
+    val assigned = SplitStore.read(spark, key)
+      .select("doc_id").as[Long].collect().toSet
+    assert(assigned === Set(1L, 2L, 4L, 5L))
+    assert(SplitStore.readConflicts(spark, key)
+      .select("doc_id").as[Long].collect().toSet === Set(3L))
+    // batch/stream parity on the admitted set: the batch verb with the
+    // same triggers produces the identical assignment rows
+    val bkey = s"$key-batch"
+    val noP = edges.limit(0)
+    SplitStore.assign(spark, bkey, Seq(1L, 2L).toDF("doc_id"), noP,
+      seed = sd, batchId = 0L)
+    SplitStore.assign(spark, bkey, Seq(3L, 4L).toDF("doc_id"),
+      edges, seed = sd, batchId = 1L, onConflict = "quarantine")
+    SplitStore.assign(spark, bkey, Seq(5L).toDF("doc_id"), noP,
+      seed = sd, batchId = 2L)
+    val a = SplitStore.read(spark, key)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val b = SplitStore.read(spark, bkey)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(a === b)
+    // the default refusal: same conflict kills the stream loudly
+    val key2 = s"$key-refuse"
+    val mem2 = MemoryStream[Long]
+    val q2 = StreamOps.streamingSplitAssign(
+      mem2.toDF().toDF("doc_id"), key2, pairsOf, seed = sd).start()
+    mem2.addData(1L, 2L)
+    q2.processAllAvailable()
+    mem2.addData(3L)
+    val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(ex.getCause.getMessage.contains("leakage"))
+    SplitStore.drop(spark, key); SplitStore.drop(spark, bkey)
+    SplitStore.drop(spark, key2)
   }
 
   test("streamingChat: the reference's ask loop end-to-end — history " +
