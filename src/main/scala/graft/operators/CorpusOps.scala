@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1172,5 +1172,254 @@ object CorpusOps {
       when(hv < lit(hexThreshold(c)), lit(name)).otherwise(acc)
     }
     df.withColumn("split", assigned)
+  }
+
+  // ------------------------------------------- unigram-LM tokenizer
+
+  /** SEED-vocabulary arithmetic for the unigram-LM trainer (public
+    * art: Kudo 2018 "Subword Regularization", the SentencePiece
+    * unigram model; the reference's OpenAI tokenizers are BPE —
+    * unigram is the OTHER production tokenizer family): every
+    * substring of length 1..`maxPieceLen` of every corpus word,
+    * counted per occurrence position and weighted by word frequency.
+    * Fully relational (one wordcount + two position explodes + one
+    * re-aggregate), so the q219 oracle replays it verbatim in SQL —
+    * this is the trainer's round-0 statistics table.
+    *
+    * Scale shape: the corpus is touched ONCE (the wordcount); the
+    * explodes run over the DISTINCT-word frame × O(len × maxPieceLen)
+    * — the [[bpeMerges]] discipline.
+    */
+  def unigramSeedCounts(df: DataFrame, maxPieceLen: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    val wc = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    wc.select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("freq"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen),
+            length(col("word")) - col("i") + 1))).as("l"))
+      .select(col("word").substr(col("i"), col("l")).as("piece"),
+        col("freq"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+  }
+
+  /** Trained unigram-LM vocabulary: (piece, n_chars, count, prob).
+    *
+    * Training (hard-EM, the Viterbi-EM variant of Kudo 2018 —
+    * deterministic, integer expected counts):
+    *  1. seed = top `seedSize` multi-char substrings by
+    *     ([[unigramSeedCounts]] desc, piece asc) ∪ ALL corpus single
+    *     chars (coverage — chars are never pruned);
+    *  2. `emRounds` × { E: per distinct word, the Viterbi-best
+    *     segmentation under current probs (log-likelihood; ties →
+    *     longer last piece, recursively deterministic), counts =
+    *     Σ word-freq per piece on the best path — INTEGERS;
+    *     M: prob = count / total, zero-count multi-char pieces drop,
+    *     chars floor at count 1 };
+    *  3. prune to `vocabSize`: chars ∪ top multi-char pieces by
+    *     (count desc, piece asc) — the count-based simplification of
+    *     SentencePiece's likelihood-loss prune (a piece's loss is
+    *     monotone in its expected count at fixed alternatives;
+    *     UnigramSpec pins the hand-computed EM arithmetic) — then one
+    *     final E-step so the reported counts describe the SHIPPED
+    *     vocabulary.
+    *
+    * Scale shape (the [[bpeMergesLocal]] contract): one distributed
+    * wordcount touches the corpus; every EM round is one
+    * mapPartitions pass over the DISTINCT-WORD frame with the
+    * vocab-sized prob table broadcast, plus one vocab-sized aggregate
+    * — rounds over the vocabulary, never the corpus.
+    */
+  def unigramVocab(df: DataFrame, vocabSize: Int = 512,
+      maxPieceLen: Int = 4, emRounds: Int = 2, seedSize: Int = 2048,
+      textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1 && emRounds >= 1 && seedSize >= 1,
+      "unigramVocab: vocabSize, emRounds, seedSize must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .localCheckpoint(true)
+    val seeds = unigramSeedCounts(df, maxPieceLen, textCol)
+      .localCheckpoint(true)
+    val chars = seeds.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect()
+    val multi = seeds.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(seedSize).as[(String, Long)].collect()
+    var vocab: Map[String, Long] = (chars ++ multi).toMap
+    (1 to emRounds).foreach { _ =>
+      val counted = viterbiCounts(spark, words, vocab, maxPieceLen)
+      // M-step: zero-count multi-char pieces drop; chars floor at 1
+      vocab = counted ++
+        chars.map { case (c, _) => c -> counted.getOrElse(c, 1L) }.toMap
+    }
+    // prune to vocabSize (chars always kept), then re-derive the
+    // shipped vocabulary's own counts with one final E-step
+    val keepMulti = vocab.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - chars.length)).toMap
+    val pruned = keepMulti ++
+      chars.map { case (c, _) => c -> vocab.getOrElse(c, 1L) }.toMap
+    val finalCounts = viterbiCounts(spark, words, pruned, maxPieceLen)
+    val shipped = pruned.keySet.toSeq.sorted.map { p =>
+      (p, p.length, finalCounts.getOrElse(p,
+        if (p.length == 1) 1L else 0L))
+    }
+    val total = shipped.map(_._3).sum.toDouble
+    shipped.toDF("piece", "n_chars", "count")
+      .withColumn("prob", round(col("count") / lit(total), 9))
+  }
+
+  /** One hard-EM E-step: Viterbi-best segmentation per distinct word
+    * under `vocab`'s count-proportional probs, integer counts
+    * aggregated word-freq-weighted. Distributed over the word frame;
+    * the vocab rides a broadcast.
+    */
+  private def viterbiCounts(spark: SparkSession,
+      words: org.apache.spark.sql.Dataset[(String, Long)],
+      vocab: Map[String, Long], maxPieceLen: Int): Map[String, Long] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    words.mapPartitions { it =>
+      val v = bc.value
+      val total = math.max(1L, v.values.sum).toDouble
+      val logp = v.map { case (p, c) =>
+        p -> math.log(math.max(1L, c) / total) }
+      val acc = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { case (w, f) =>
+        viterbiSegment(w, logp, maxPieceLen, total).foreach(p =>
+          acc.update(p, acc.getOrElse(p, 0L) + f))
+      }
+      acc.iterator
+    }.groupBy("_1").agg(sum("_2").as("c"))
+      .as[(String, Long)].collect().toMap
+  }
+
+  /** Viterbi segmentation of one word: maximize Σ log p(piece); ties
+    * prefer the longer last piece (recursively deterministic). Chars
+    * absent from the vocab (possible at encode time on unseen text)
+    * fall back to a floor prob of 0.5/total — always feasible, never
+    * a crash on new data.
+    */
+  private[operators] def viterbiSegment(word: String,
+      logp: Map[String, Double], maxPieceLen: Int,
+      total: Double): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val floor = math.log(0.5 / math.max(1.0, total))
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1) // length of the best last piece
+    var i = 1
+    while (i <= n) {
+      best(i) = Double.NegativeInfinity
+      var l = 1
+      val lMax = math.min(maxPieceLen, i)
+      while (l <= lMax) {
+        val piece = word.substring(i - l, i)
+        val lp = logp.getOrElse(piece,
+          if (l == 1) floor else Double.NegativeInfinity)
+        if (lp != Double.NegativeInfinity) {
+          val s = best(i - l) + lp
+          // >= : at equal score the LONGER last piece (larger l,
+          // visited later) wins — the documented tie-break
+          if (s >= best(i)) { best(i) = s; back(i) = l }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = n
+    while (j > 0) { out += word.substring(j - back(j), j); j -= back(j) }
+    out.reverse.toSeq
+  }
+
+  /** [[bpeEncodeTokens]]' unigram twin: per-document token sequences
+    * under a trained [[unigramVocab]] — (doc_id, n_words, n_tokens,
+    * tokens_str, rt_ok), rt_ok pinning the lossless roundtrip
+    * (concatenating each word's pieces reproduces the word). The
+    * corpus is touched once; the Viterbi DP runs over the
+    * DISTINCT-word frame with the vocab broadcast.
+    */
+  def unigramEncodeTokens(df: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int = 4, textCol: String = "text",
+      idCol: String = "doc_id", sep: String = "|"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = vocab.select("piece", "count").as[(String, Long)]
+      .collect().toMap
+    val total = math.max(1L, v.values.sum).toDouble
+    val logp = v.map { case (p, c) =>
+      p -> math.log(math.max(1L, c) / total) }
+    val bc = spark.sparkContext.broadcast(logp)
+    val words = df
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val enc = words.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val lp = bc.value
+        it.map(w => (w, viterbiSegment(w, lp, maxPieceLen, total)))
+      }.toDF("word", "syms")
+    val rebuilt = words.join(enc, Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_tokens"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          s => s.getField("syms"))), sep).as("tokens_str"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word")), " ").as("rt_text"))
+    rebuilt.join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .withColumn("rt_ok", col("rt_text") ===
+        array_join(filter(split(col(textCol), " "), w => w =!= ""), " "))
+      .select(col(idCol), col("n_words"), col("n_tokens"),
+        col("tokens_str"), col("rt_ok"))
+  }
+
+  /** [[tokenizerFertility]]'s unigram twin: tokens per word and chars
+    * per token per stratum under a trained [[unigramVocab]] — the
+    * same one-explode + vocab-join + stratum-keyed aggregate shape.
+    */
+  def unigramFertility(df: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int = 4, byCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = vocab.select("piece", "count").as[(String, Long)]
+      .collect().toMap
+    val total = math.max(1L, v.values.sum).toDouble
+    val logp = v.map { case (p, c) =>
+      p -> math.log(math.max(1L, c) / total) }
+    val bc = spark.sparkContext.broadcast(logp)
+    val words = df
+      .select(col(byCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val enc = words.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val lp = bc.value
+        it.map { w =>
+          (w, viterbiSegment(w, lp, maxPieceLen, total).length.toLong,
+            w.length.toLong)
+        }
+      }.toDF("word", "n_sym", "n_chars")
+    words.join(enc, Seq("word"))
+      .groupBy(byCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sym").as("n_tokens"),
+        round(sum("n_sym").cast("double") / count(lit(1)), 6)
+          .as("fertility"),
+        round(sum("n_chars").cast("double") / sum("n_sym"), 6)
+          .as("chars_per_token"))
   }
 }

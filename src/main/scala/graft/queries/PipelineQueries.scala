@@ -2152,6 +2152,53 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_scd2_after")))
     }),
 
+    // UNIGRAM-LM TOKENIZER SEED ARITHMETIC (round-12): the other
+    // production tokenizer family (Kudo 2018 / SentencePiece; the
+    // reference's OpenAI stack is BPE). Round-0 of the trainer —
+    // every substring of length 1..3 of every corpus word, counted
+    // per occurrence position and weighted by word frequency, top-40
+    // by (count desc, piece asc) — replayed VERBATIM by the DuckDB
+    // oracle (one wordcount, two position explodes, one aggregate).
+    "q219_unigram_seed" -> ((s, dir) =>
+      CorpusOps.unigramSeedCounts(t(s, dir, "documents"),
+          maxPieceLen = 3)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(40)
+        .select(col("piece"), col("cnt"))),
+
+    // UNIGRAM-LM TRAIN + VITERBI ENCODE invariants (round-12): train
+    // a 200-piece vocab (2 hard-EM rounds over the distinct-word
+    // frame; corpus touched once — the bpeMergesLocal scale shape),
+    // Viterbi-encode the corpus, and pin what SQL can replay exactly:
+    // doc and word totals, ZERO roundtrip failures (each word's
+    // pieces concatenate back to it), every word at >= 1 token and
+    // every token from the shipped vocab (zero coverage violations —
+    // chars are never pruned), probs normalized. The EM arithmetic
+    // itself is hand-computed in UnigramSpec (the q60-q65 invariant-
+    // oracle pattern for non-SQL-expressible internals).
+    "q220_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = CorpusOps.unigramVocab(docs, vocabSize = 200,
+        maxPieceLen = 3, emRounds = 2, seedSize = 800)
+        .localCheckpoint(true)
+      val enc = CorpusOps.unigramEncodeTokens(docs, vocab,
+        maxPieceLen = 3).localCheckpoint(true)
+      // coverage: every corpus char must be a shipped piece
+      val missingChars = CorpusOps.unigramSeedCounts(docs,
+          maxPieceLen = 1)
+        .join(vocab.select("piece"), Seq("piece"), "left_anti")
+      enc.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(when(!col("rt_ok"), 1L).otherwise(0L)), lit(0L))
+            .as("n_rt_fail"),
+          sum("n_words").as("n_words_total"),
+          coalesce(sum(when(col("n_tokens") < col("n_words"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_tokens_lt_words"))
+        .crossJoin(missingChars.agg(count(lit(1)).as("n_missing_chars")))
+        .crossJoin(vocab.agg(
+          (count(lit(1)) <= 200).as("vocab_bounded"),
+          (abs(sum("prob") - 1.0) < 1e-6).as("prob_sum_ok")))
+    }),
+
     // BATCH QUARANTINE ROUTING under the oracle gate (round-11,
     // completing the contract-gate family): route() splits events on
     // the value cap — trusted main, quarantined violations (never
@@ -6809,6 +6856,37 @@ object PipelineQueries {
         |     WHERE doc_id % 2 = 0) AS n_batch1,
         |  CAST(0 AS BIGINT) AS n_changed,
         |  CAST(0 AS BIGINT) AS n_straddle""".stripMargin,
+    // unigram seed: the trainer's round-0 statistics table, verbatim
+    "q219_unigram_seed" ->
+      """WITH wc AS (SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents) w
+        |  WHERE word <> '' GROUP BY word),
+        |subs AS (SELECT substr(wc.word, i.i, l.l) AS piece,
+        |    sum(wc.freq) AS cnt
+        |  FROM wc,
+        |    LATERAL (SELECT unnest(generate_series(1,
+        |      length(wc.word))) AS i) i,
+        |    LATERAL (SELECT unnest(generate_series(1, 3)) AS l) l
+        |  WHERE i.i + l.l - 1 <= length(wc.word)
+        |  GROUP BY 1)
+        |SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM subs
+        |ORDER BY cnt DESC, piece LIMIT 40""".stripMargin,
+    // unigram train+encode: totals replayed, every invariant a
+    // constant (zero roundtrip failures, zero coverage misses,
+    // bounded normalized vocab)
+    "q220_unigram_encode" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+        |    AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_rt_fail,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT unnest(string_split(text, ' ')) AS word
+        |     FROM documents) w WHERE word <> '') AS n_words_total,
+        |  CAST(0 AS BIGINT) AS n_tokens_lt_words,
+        |  CAST(0 AS BIGINT) AS n_missing_chars,
+        |  true AS vocab_bounded,
+        |  true AS prob_sum_ok""".stripMargin,
     // cross-store purge: the audit zeros are the served-nowhere proof
     // (13 surface tables across 8 layouts); the rewrite proofs replay
     // — fps rows = content groups whose min-id keeper survived,
