@@ -1133,4 +1133,42 @@ object SimilaritySearch {
     import graft.functions.expressions.VectorExpressions.mat_vec
     df.withColumn(vecCol, mat_vec(col(vecCol), model.rot, model.dim))
   }
+
+  /** Parametric-OPQ dimension allocation (Ge et al. CVPR '13 §4
+    * "eigenvalue allocation" / faiss `OPQMatrix`'s PCA initialization,
+    * public): a PCA rotation ALONE makes PQ worse — it piles the
+    * corpus's energy into the first subspace (one 64-centroid
+    * quantizer eats 85% of the variance while the rest encode noise;
+    * AnnTune `opq` measures exactly that). The fix is the published
+    * balanced assignment: distribute the eigen-components across the
+    * `numSub` subspaces so per-subspace variance PRODUCTS equalize —
+    * greedily, largest eigenvalue first, into the non-full subspace
+    * with the smallest log-energy load (ties → lowest subspace,
+    * deterministic). Returns the component order; permuting the
+    * rotation's rows by it keeps it orthogonal.
+    */
+  def balancedOrder(eigvals: Array[Double], numSub: Int): Array[Int] = {
+    val d = eigvals.length
+    require(numSub >= 1 && d % numSub == 0,
+      s"balancedOrder: numSub=$numSub must divide dim=$d")
+    val dsub = d / numSub
+    val byEnergy = (0 until d).sortBy(i => (-eigvals(i), i))
+    val load = Array.fill(numSub)(0.0)
+    val fill = Array.fill(numSub)(0)
+    val buckets = Array.fill(numSub)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    byEnergy.foreach { dim =>
+      // level-fill: compare log-loads only among the LEAST-FILLED
+      // buckets — comparing across fill levels degenerates (an empty
+      // bucket's load 0 never wins against sub-1 eigenvalues' negative
+      // logs, and the whole spectrum piles into one subspace)
+      val open = (0 until numSub).filter(fill(_) < dsub)
+      val minFill = open.map(fill).min
+      val b = open.filter(fill(_) == minFill).minBy(j => (load(j), j))
+      buckets(b) += dim
+      fill(b) += 1
+      load(b) += math.log(math.max(eigvals(dim), 1e-12))
+    }
+    buckets.flatMap(_.toSeq).toArray
+  }
 }

@@ -989,7 +989,7 @@ object PipelineQueries {
       val ivf = SimilaritySearch.ivfTopK(q, emb, cents, k = 4, nProbe = 24)
         .select("query_id", "rank", "vec_id")
       val composed = SimilaritySearch.ivfPqTopK(q, emb, cents, k = 4,
-          nProbe = 24, m = 64, numSub = 16, ksub = 64, iters = 2)
+          nProbe = 24, m = 64, numSub = 32, ksub = 64, iters = 2)
         .select("query_id", "rank", "vec_id")
       val exact = SimilaritySearch.bruteForceTopK(q, emb, k = 4)
         .select("query_id", "vec_id")
@@ -2150,6 +2150,48 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_split_after")))
         .crossJoin(Scd2Store.readDim(s, kS2)
           .agg(count(lit(1)).as("n_scd2_after")))
+    }),
+
+    // PERSISTED OPQ — rotate-then-PQ, the faiss `OPQx,PQy` layout
+    // (round-12, composing q164/q165's rotation with q115/q146's PQ
+    // into ONE served artifact): the q165 fixture — front-loaded
+    // spectrum scrambled by a fixed orthogonal mix, i.e. energy
+    // deliberately NOT axis-aligned, the case plain PQ is worst at —
+    // is indexed once (rotation stored beside the codebooks), queries
+    // rotate through the STORED model at serve time, and the served
+    // top-4 must equal exact kNN. The oracle scores in the
+    // UNSCRAMBLED space (rotations preserve cosine — the q165
+    // isometry trick), so the whole rotate→train→encode→serve chain
+    // is certified against plain SQL. Build-once via opqExists.
+    "q221_opq_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fl = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * pow(lit(0.8), i)).cast("float")).as("embedding"))
+      val d = 64
+      val m0 = Array.tabulate(d * d) { kk =>
+        val i = kk / d; val j = kk % d
+        math.sin(i * 7919.0 + j * 104729.0) +
+          math.sin(j * 7919.0 + i * 104729.0)
+      }
+      val (_, qcols) = SimilaritySearch.jacobiEig(m0, d)
+      val qrows = Array.tabulate(d * d)(kk =>
+        qcols((kk % d) * d + kk / d))
+      val mix = SimilaritySearch.RotationModel(qrows, Array.fill(d)(0.0), d)
+      val scrambled = SimilaritySearch.rotate(fl, mix)
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .localCheckpoint(true)
+      val key = s"$dir#opq"
+      val h = if (graft.sources.AnnIndex.opqExists(s, key))
+        graft.sources.AnnIndex.openOpq(s, key)
+      else graft.sources.AnnIndex.ensureOpq(s, key, scrambled,
+        numSub = 16, ksub = 64, iters = 2)
+      val q = scrambled.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      graft.sources.AnnIndex.queryOpq(q, h, k = 4, m = 64)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
     }),
 
     // UNIGRAM-LM TOKENIZER SEED ARITHMETIC (round-12): the other
@@ -6856,6 +6898,34 @@ object PipelineQueries {
         |     WHERE doc_id % 2 = 0) AS n_batch1,
         |  CAST(0 AS BIGINT) AS n_changed,
         |  CAST(0 AS BIGINT) AS n_straddle""".stripMargin,
+    // persisted OPQ: exact kNN scored in the UNSCRAMBLED space —
+    // rotations preserve cosine, so the q165 oracle certifies the
+    // whole stored-rotation serve chain
+    "q221_opq_persisted" ->
+      """WITH fl AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(embedding) + 1), i ->
+        |      CAST(embedding[i] * power(0.8, i - 1) AS FLOAT))
+        |      AS embedding
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(x.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+        |                             CAST(x.embedding AS DOUBLE[]))))
+        |    AS score
+        |  FROM fl q CROSS JOIN fl x
+        |  WHERE q.vec_id < 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 4""".stripMargin,
     // unigram seed: the trainer's round-0 statistics table, verbatim
     "q219_unigram_seed" ->
       """WITH wc AS (SELECT word, count(*) AS freq FROM (

@@ -1814,6 +1814,237 @@ object AnnIndex {
     SimilaritySearch.rerank(cand, queries, handle.vecs, k)
   }
 
+  // ---------------------------------------------------------------- OPQ
+
+  /** Persisted OPQ — rotate-then-PQ, the faiss `OPQx,PQy` production
+    * layout (Ge et al. CVPR '13; faiss `OPQMatrix` pre-transform,
+    * public): the energy-compacting rotation
+    * ([[graft.operators.SimilaritySearch.rotationModel]], q164/q165)
+    * is STORED with the codebooks and applied to queries at serve
+    * time, so PQ's per-subspace quantizers see axis-aligned energy
+    * instead of whatever basis the embedder shipped. `rotation` holds
+    * the d×d model (d rows — a model artifact, never corpus-sized);
+    * `codebook`/`codes` are PQ over the ROTATED vectors; `vecs` keeps
+    * the ORIGINAL floats for the exact re-rank (the rotation is an
+    * isometry, so original-space cosines are the same answer).
+    * Freshness follows the ensurePq discipline; like PQ there is NO
+    * upsert — the rotation and codebooks ARE the storage format, so
+    * growing the index re-trains.
+    */
+  final case class OpqHandle(rotation: DataFrame, codebook: DataFrame,
+      codes: DataFrame, vecs: DataFrame, numSub: Int, ksub: Int)
+
+  private def opqBase(spark: SparkSession, tag: String) =
+    s"${annBase(spark)}/graft_ann_opq_$tag"
+
+  private def opqRegistered(spark: SparkSession, tag: String): Boolean =
+    Seq("rotation", "codebook", "codes", "vecs").forall(t =>
+      spark.catalog.tableExists(s"graft_opq_${t}_$tag"))
+
+  private def attachOpq(spark: SparkSession, tag: String,
+      storageBuckets: Int): Unit = {
+    val base = opqBase(spark, tag)
+    Seq("rotation", "codebook", "codes", "vecs").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_opq_${t}_$tag"))
+    registerExternal(spark, s"graft_opq_rotation_$tag", s"$base/rotation")
+    registerExternal(spark, s"graft_opq_codebook_$tag", s"$base/codebook")
+    registerExternal(spark, s"graft_opq_codes_$tag", s"$base/codes",
+      clusteredBy = Some(("vec_id", storageBuckets)))
+    registerExternal(spark, s"graft_opq_vecs_$tag", s"$base/vecs",
+      clusteredBy = Some(("vec_id", storageBuckets)))
+  }
+
+  private def opqHandle(spark: SparkSession, tag: String,
+      meta: Map[String, Long]): OpqHandle =
+    OpqHandle(spark.table(s"graft_opq_rotation_$tag"),
+      spark.table(s"graft_opq_codebook_$tag"),
+      spark.table(s"graft_opq_codes_$tag"),
+      spark.table(s"graft_opq_vecs_$tag"),
+      meta("num_sub").toInt, meta("ksub").toInt)
+
+  /** The stored rotation as a [[SimilaritySearch.RotationModel]] —
+    * d rows collected (bounded model artifact, the collectCodebook
+    * discipline).
+    */
+  private def loadRotation(rotation: DataFrame)
+      : graft.operators.SimilaritySearch.RotationModel = {
+    val rows = rotation.select("row_idx", "vals", "eig")
+      .collect().sortBy(_.getInt(0))
+    val d = rows.length
+    require(d > 0, "OPQ rotation table is empty")
+    val rot = new Array[Double](d * d)
+    rows.foreach { r =>
+      val vals = r.getSeq[Double](1)
+      System.arraycopy(vals.toArray, 0, rot, r.getInt(0) * d, d)
+    }
+    graft.operators.SimilaritySearch.RotationModel(rot,
+      rows.map(_.getDouble(2)), d)
+  }
+
+  /** Build (or reuse) the persisted OPQ layout: fit the rotation (ONE
+    * second-moment pass + driver Jacobi), persist it FIRST, then train
+    * and encode PQ over vectors rotated by the JUST-PERSISTED model
+    * (the ensurePq crash-consistency rule: codes and stored model can
+    * never diverge). Codes carry the rotated norm; `vecs` stores the
+    * original floats.
+    */
+  def ensureOpq(
+      spark: SparkSession,
+      sourceDir: String,
+      index: DataFrame,
+      numSub: Int = 16,
+      ksub: Int = 64,
+      iters: Int = 2,
+      storageBuckets: Int = 8,
+      snapshotId: Option[String] = None): OpqHandle = {
+    import graft.operators.SimilaritySearch
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = opqBase(spark, tag)
+    val dirs = Seq(s"$base/rotation", s"$base/codebook", s"$base/codes",
+      s"$base/vecs")
+    def opFresh(meta: Map[String, Long]): Boolean =
+      meta.get("buckets").contains(storageBuckets.toLong) &&
+        meta.get("num_sub").contains(numSub.toLong) &&
+        meta.get("ksub").contains(ksub.toLong) &&
+        meta.get("iters").contains(iters.toLong)
+    val snapFresh = snapshotId.exists { id =>
+      readMetaStrs(base).get("snapshot_id").contains(id) &&
+        opFresh(readMeta(base))
+    }
+    if (snapFresh && servable(spark, dirs, opqRegistered(spark, tag),
+        () => attachOpq(spark, tag, storageBuckets)))
+      return opqHandle(spark, tag, readMeta(base))
+    val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
+    val metaFresh = {
+      val meta = readMeta(base)
+      opFresh(meta) && meta.get("n_rows").contains(n) &&
+        meta.get("checksum").contains(fp)
+    } && servable(spark, dirs, opqRegistered(spark, tag),
+      () => attachOpq(spark, tag, storageBuckets))
+    if (!metaFresh) {
+      import graft.functions.expressions.PqExpressions.pq_encode
+      import spark.implicits._
+      val model = SimilaritySearch.rotationModel(
+        index.select("vec_id", "embedding"))
+      val d = model.dim
+      // parametric-OPQ eigenvalue allocation: permute the rotation's
+      // rows so per-subspace variance balances — a bare PCA rotation
+      // CONCENTRATES energy into subspace 0 and makes PQ worse (Ge et
+      // al. §4; AnnTune `opq` measures both variants)
+      val order = SimilaritySearch.balancedOrder(model.eigvals, numSub)
+      spark.sql(s"DROP TABLE IF EXISTS graft_opq_rotation_$tag")
+      (0 until d).map { r =>
+        val src = order(r)
+        (r, model.rot.slice(src * d, (src + 1) * d).toSeq,
+          model.eigvals(src))
+      }
+        .toDF("row_idx", "vals", "eig")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/rotation")
+        .format("parquet").saveAsTable(s"graft_opq_rotation_$tag")
+      // rotate with the JUST-PERSISTED model; train + encode on the
+      // rotated frame
+      val stored = loadRotation(spark.table(s"graft_opq_rotation_$tag"))
+      val rotated = SimilaritySearch.rotate(
+          index.select("vec_id", "embedding"), stored)
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .localCheckpoint(true)
+      val cb = SimilaritySearch.pqCodebooks(rotated, numSub, ksub, iters)
+      spark.sql(s"DROP TABLE IF EXISTS graft_opq_codebook_$tag")
+      cb.write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/codebook")
+        .format("parquet").saveAsTable(s"graft_opq_codebook_$tag")
+      val flat = SimilaritySearch.collectCodebook(
+        spark.table(s"graft_opq_codebook_$tag"), numSub, ksub)
+      spark.sql(s"DROP TABLE IF EXISTS graft_opq_codes_$tag")
+      rotated.select(col("vec_id"),
+          pq_encode(col("embedding"), flat, numSub, ksub).as("pqcodes"),
+          graft.functions.VectorOps.l2Norm(col("embedding")).as("pnorm"))
+        .write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/codes")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(s"graft_opq_codes_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_opq_vecs_$tag")
+      index.select("vec_id", "embedding").write.mode(SaveMode.Overwrite)
+        .option("path", s"$base/vecs")
+        .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(s"graft_opq_vecs_$tag")
+    }
+    if (!metaFresh || snapshotId.isDefined)
+      writeMetaFull(base,
+        Seq("buckets" -> storageBuckets.toLong, "num_sub" -> numSub.toLong,
+          "ksub" -> ksub.toLong, "iters" -> iters.toLong,
+          "n_rows" -> n, "checksum" -> fp),
+        snapshotId.map("snapshot_id" -> _).toSeq)
+    opqHandle(spark, tag, readMeta(base))
+  }
+
+  /** True iff a persisted OPQ layout exists at the operating point
+    * (meta check only — the ivfExists contract).
+    */
+  def opqExists(spark: SparkSession, sourceDir: String,
+      numSub: Int = 16, ksub: Int = 64): Boolean = {
+    val meta = readMeta(opqBase(spark, IndexStore.pathTag(sourceDir)))
+    meta.get("num_sub").contains(numSub.toLong) &&
+      meta.get("ksub").contains(ksub.toLong)
+  }
+
+  /** Open an existing persisted OPQ index read-only (no freshness
+    * probe — the openSq8 contract).
+    */
+  def openOpq(spark: SparkSession, sourceDir: String): OpqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = opqBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("num_sub"),
+      s"no persisted OPQ index for '$sourceDir' ($base)")
+    require(Seq("rotation", "codebook", "codes", "vecs")
+        .forall(d => parquetReadable(spark, s"$base/$d")),
+      s"persisted OPQ layout for '$sourceDir' is unreadable — run " +
+        "ensureOpq to rebuild")
+    if (!opqRegistered(spark, tag))
+      attachOpq(spark, tag, meta("buckets").toInt)
+    else Seq("rotation", "codebook", "codes", "vecs").foreach(t =>
+      spark.catalog.refreshTable(s"graft_opq_${t}_$tag"))
+    opqHandle(spark, tag, meta)
+  }
+
+  /** Query the persisted OPQ index: queries rotate through the STORED
+    * model (per-row mat-vec, model as literal — the serve-time half of
+    * the OPQ contract), the rotated queries build the ADC tables
+    * against the stored codebook, the scan reads numSub bytes/vector,
+    * and the m winners re-rank EXACTLY against the original floats
+    * with the original queries (isometry: same cosines, same answer).
+    */
+  def queryOpq(
+      queries: DataFrame,
+      handle: OpqHandle,
+      k: Int = 4,
+      m: Int = 64): DataFrame = {
+    import graft.functions.expressions.PqExpressions.{pq_adc_dot, pq_table}
+    import graft.functions.expressions.TopKAgg.top_k
+    import graft.operators.SimilaritySearch
+    require(m >= k, s"candidate count m ($m) must be >= k ($k)")
+    val model = loadRotation(handle.rotation)
+    val rq = SimilaritySearch.rotate(queries, model, "query_vec")
+      .withColumn("query_vec", col("query_vec").cast("array<float>"))
+    val flat = SimilaritySearch.collectCodebook(handle.codebook,
+      handle.numSub, handle.ksub)
+    val qt = broadcast(rq.select(col("query_id"),
+      pq_table(col("query_vec"), flat, handle.numSub, handle.ksub)
+        .as("adc"),
+      graft.functions.VectorOps.l2Norm(col("query_vec")).as("qqnorm")))
+    val cand = handle.codes.crossJoin(qt)
+      .withColumn("ascore",
+        when(col("pnorm") * col("qqnorm") === 0.0, lit(0.0))
+          .otherwise(pq_adc_dot(col("pqcodes"), col("adc"))
+            / (col("pnorm") * col("qqnorm"))))
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
+    SimilaritySearch.rerank(cand, queries, handle.vecs, k)
+  }
+
   // ------------------------------------------------------------- IVF-SQ8
 
   /** Persisted COMPOSED index — int8 codes INSIDE the probed inverted

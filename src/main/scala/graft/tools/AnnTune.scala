@@ -320,6 +320,119 @@ object AnnTune {
       scrambled.unpersist(); unscr.unpersist()
     }
 
+    // "opq": rotate-then-PQ vs plain PQ at EQUAL BYTES on the
+    // scrambled front-loaded fixture (energy deliberately off-axis —
+    // plain PQ's worst case, the q221 serving fixture). Reports, per
+    // (numSub, ksub): ADC-score MSE vs the true cosine (the
+    // quantization-fidelity number the rotation buys) and recall/
+    // identity across the m sweep for both variants.
+    if (mode == "opq") {
+      val fl = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * pow(lit(0.8), i)).cast("float")).as("embedding"))
+      val dmix = 64
+      val m0 = Array.tabulate(dmix * dmix) { kk =>
+        val i = kk / dmix; val j = kk % dmix
+        math.sin(i * 7919.0 + j * 104729.0) +
+          math.sin(j * 7919.0 + i * 104729.0)
+      }
+      val (_, qcols) = SimilaritySearch.jacobiEig(m0, dmix)
+      val qrows = Array.tabulate(dmix * dmix)(kk =>
+        qcols((kk % dmix) * dmix + kk / dmix))
+      val mixModel = SimilaritySearch.RotationModel(
+        qrows, Array.fill(dmix)(0.0), dmix)
+      val scrambled = SimilaritySearch.rotate(fl, mixModel)
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .cache()
+      scrambled.count()
+      val qs = scrambled.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec")).cache()
+      val exS = pairs(SimilaritySearch.bruteForceTopKAgg(qs, scrambled, k))
+      val rec = SimilaritySearch.rotationModel(scrambled)
+      // the SHIPPED rotation: PCA rows permuted by the parametric-OPQ
+      // eigenvalue allocation (per numSub); the unbalanced PCA variant
+      // is also measured below as the negative control
+      def permuted(numSub: Int): SimilaritySearch.RotationModel = {
+        val d = rec.dim
+        val order = SimilaritySearch.balancedOrder(rec.eigvals, numSub)
+        val rot = new Array[Double](d * d)
+        (0 until d).foreach(r => System.arraycopy(
+          rec.rot, order(r) * d, rot, r * d, d))
+        SimilaritySearch.RotationModel(rot,
+          order.map(rec.eigvals), d)
+      }
+      def rotatedPair(model: SimilaritySearch.RotationModel)
+          : (DataFrame, DataFrame) = {
+        val idx = SimilaritySearch.rotate(scrambled, model)
+          .withColumn("embedding",
+            col("embedding").cast("array<float>")).cache()
+        idx.count()
+        val qq = idx.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec")).cache()
+        (idx, qq)
+      }
+      // ADC-score fidelity: mean squared (adc cosine − true cosine)
+      // over every (query, vector) pair in the given space
+      def adcMse(idx: DataFrame, qq: DataFrame, numSub: Int,
+          ksub: Int): Double = {
+        import graft.functions.expressions.PqExpressions.{pq_adc_dot, pq_encode, pq_table}
+        val cb = SimilaritySearch.pqCodebooks(idx, numSub, ksub, 2)
+        val flat = SimilaritySearch.collectCodebook(cb, numSub, ksub)
+        val enc = idx.select(col("vec_id"),
+          pq_encode(col("embedding"), flat, numSub, ksub).as("pqcodes"),
+          graft.functions.VectorOps.l2Norm(col("embedding")).as("pnorm"),
+          col("embedding"))
+        enc.crossJoin(broadcast(qq.select(col("query_id"),
+            pq_table(col("query_vec"), flat, numSub, ksub).as("adc"),
+            graft.functions.VectorOps.l2Norm(col("query_vec"))
+              .as("qqnorm"),
+            col("query_vec"))))
+          .withColumn("ascore",
+            when(col("pnorm") * col("qqnorm") === 0.0, lit(0.0))
+              .otherwise(pq_adc_dot(col("pqcodes"), col("adc"))
+                / (col("pnorm") * col("qqnorm"))))
+          .withColumn("tscore", graft.functions.VectorOps.cosine(
+            col("embedding"), col("query_vec")))
+          .agg(avg(org.apache.spark.sql.functions.pow(
+            col("ascore") - col("tscore"), 2)))
+          .head().getDouble(0)
+      }
+      for ((numSub, ksub) <- Seq((16, 64), (32, 64))) {
+        val (rotIdx, rotQ) = rotatedPair(permuted(numSub))
+        val (pcaIdx, pcaQ) = rotatedPair(rec) // unbalanced control
+        val msePlain = adcMse(scrambled, qs, numSub, ksub)
+        val msePca = adcMse(pcaIdx, pcaQ, numSub, ksub)
+        val mseOpq = adcMse(rotIdx, rotQ, numSub, ksub)
+        println(f"opq numSub=$numSub%-3d ksub=$ksub adc_mse " +
+          f"plain=$msePlain%.6g pca_unbalanced=$msePca%.6g " +
+          f"opq_balanced=$mseOpq%.6g win=${msePlain / mseOpq}%.1fx " +
+          f"(equal bytes/vec=$numSub)")
+        val cbP = SimilaritySearch.pqCodebooks(scrambled, numSub, ksub, 2)
+          .cache()
+        cbP.count()
+        val cbO = SimilaritySearch.pqCodebooks(rotIdx, numSub, ksub, 2)
+          .cache()
+        cbO.count()
+        for (m <- Seq(32, 64, 128)) {
+          val gotP = pairs(SimilaritySearch.pqTopK(qs, scrambled, k, m,
+            numSub, ksub, 2, codebooks = Some(cbP)))
+          val gotO = pairs(SimilaritySearch.pqTopK(rotQ, rotIdx, k, m,
+            numSub, ksub, 2, codebooks = Some(cbO)))
+          val rP = (exS & gotP).size.toDouble / exS.size
+          val rO = (exS & gotO).size.toDouble / exS.size
+          println(f"opq numSub=$numSub%-3d ksub=$ksub m=$m%-4d " +
+            f"plain recall=$rP%.3f identical=${gotP == exS}%-5s | " +
+            f"opq recall=$rO%.3f identical=${gotO == exS}")
+        }
+        cbP.unpersist(); cbO.unpersist()
+        rotIdx.unpersist(); rotQ.unpersist()
+        pcaIdx.unpersist(); pcaQ.unpersist()
+      }
+      scrambled.unpersist(); qs.unpersist()
+    }
+
     // "pq": product-quantization operating points — for a grid of
     // (numSub, ksub, m), whether the ADC scan + exact re-rank is
     // output-IDENTICAL to the exact kNN (the q115 evidence), plus the

@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted OPQ (rotate-then-PQ): the parametric eigenvalue
+  * allocation hand-computed (including the sub-1-eigenvalue case the
+  * naive greedy degenerates on), and the stored-rotation lifecycle —
+  * ensure/reuse/open/query with the serve-time query rotation.
+  */
+class OpqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val runTag = java.util.UUID.randomUUID.toString.take(8)
+
+  test("balancedOrder: per-subspace eigenvalue products equalize — " +
+      "hand-computed, including the all-sub-1 spectrum") {
+    // eigvals > 1: [8,4,2,1], 2 subspaces → {8,1} and {4,2}, both
+    // product 8
+    val o1 = SimilaritySearch.balancedOrder(Array(8.0, 4.0, 2.0, 1.0), 2)
+    assert(o1.toSeq === Seq(0, 3, 1, 2))
+    // eigvals < 1 (every real embedding spectrum here): [.8,.4,.2,.1]
+    // → {.8,.1} and {.4,.2}, both product .08 — the naive min-load
+    // greedy piles everything into one bucket on this input
+    val o2 = SimilaritySearch.balancedOrder(Array(0.8, 0.4, 0.2, 0.1), 2)
+    assert(o2.toSeq === Seq(0, 3, 1, 2))
+    // unsorted input is sorted by energy first
+    val o3 = SimilaritySearch.balancedOrder(Array(0.2, 0.8, 0.1, 0.4), 2)
+    assert(o3.toSeq === Seq(1, 2, 3, 0))
+  }
+
+  test("persisted lifecycle: ensure builds rotation+codebook+codes+" +
+      "vecs; a re-ensure fingerprint-reuses; open serves without a " +
+      "freshness probe; served top-k equals exact kNN") {
+    val key = s"opq-$runTag"
+    // front-loaded then scrambled 8-dim fixture: energy off-axis
+    val d = 8
+    val m0 = Array.tabulate(d * d) { kk =>
+      val i = kk / d; val j = kk % d
+      math.sin(i * 7919.0 + j * 104729.0) +
+        math.sin(j * 7919.0 + i * 104729.0)
+    }
+    val (_, qc) = SimilaritySearch.jacobiEig(m0, d)
+    val mix = SimilaritySearch.RotationModel(
+      Array.tabulate(d * d)(kk => qc((kk % d) * d + kk / d)),
+      Array.fill(d)(0.0), d)
+    val raw = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(d)(c =>
+        (math.sin(i * 1.7 + c) * math.pow(0.7, c)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val scrambled = SimilaritySearch.rotate(raw, mix)
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+    val h1 = AnnIndex.ensureOpq(spark, key, scrambled, numSub = 4,
+      ksub = 16, iters = 2, storageBuckets = 2)
+    assert(h1.rotation.count() === d.toLong)
+    assert(h1.codes.count() === 64L && h1.vecs.count() === 64L)
+    // reuse: same content fingerprints → no rebuild (codes files stay)
+    val h2 = AnnIndex.ensureOpq(spark, key, scrambled, numSub = 4,
+      ksub = 16, iters = 2, storageBuckets = 2)
+    assert(h2.codes.count() === 64L)
+    assert(AnnIndex.opqExists(spark, key, numSub = 4, ksub = 16))
+    // open + query: serve-time rotation, exact rerank — equals exact
+    val h = AnnIndex.openOpq(spark, key)
+    val q = scrambled.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val served = AnnIndex.queryOpq(q, h, k = 3, m = 32)
+      .select("query_id", "rank", "vec_id")
+      .collect().map(_.toSeq).toSet
+    val exact = SimilaritySearch.bruteForceTopKAgg(q, scrambled, 3)
+      .select("query_id", "rank", "vec_id")
+      .collect().map(_.toSeq).toSet
+    assert(served === exact)
+  }
+}
