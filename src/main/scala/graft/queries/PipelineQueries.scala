@@ -2152,6 +2152,65 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_scd2_after")))
     }),
 
+    // END-TO-END PRETRAINING EXPORT (round-12): the certified pieces
+    // chained ONCE, token-level — normalize → Gopher gate → persisted
+    // dedup store → leakage-free split (prefix-blocked pairs; their
+    // equality classes make the CC closure SQL-trivial) → BPE encode
+    // with the corpus-trained merges (q169's tokenizer, fixed) →
+    // packSequences over ACTUAL BPE token counts (not whitespace
+    // proxies) → interleaveBySource. Every stage count, the exact
+    // token total, the packed-sequence count, the boundary straddlers
+    // and the interleave rank algebra replay in ONE DuckDB statement —
+    // the q84/q140 funnel discipline promoted to the token level,
+    // proving the operators compose without a seam.
+    "q222_pretraining_export" -> ((s, dir) => {
+      val raw = t(s, dir, "documents")
+      val d0 = TextAnalysis.normalizeText(raw)
+        .withColumn("text", col("norm_text")).drop("norm_text")
+      val gated = TextAnalysis.gopherSignals(d0)
+        .filter(col("top2_frac") <= 0.12)
+        .select("doc_id", "text", "source")
+        .localCheckpoint(true)
+      val kept = graft.sources.DedupStore.dedupBatch(s,
+        s"$dir#export", gated, batchId = 1L).localCheckpoint(true)
+      val pfx = kept.select(col("doc_id"),
+        substring(col("text"), 1, 40).as("p"))
+      val pairs = pfx.select(col("doc_id").as("doc_id_a"), col("p"))
+        .join(pfx.select(col("doc_id").as("doc_id_b"), col("p")),
+          Seq("p"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+      val sp = CorpusOps.leakageFreeSplit(kept.select("doc_id"),
+        "doc_id", pairs)
+      val train = kept.join(sp.filter(col("split") === "train")
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      val merges = CorpusOps.bpeMergesLocal(raw, numMerges = 12)
+        .orderBy("step").select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val enc = CorpusOps.bpeEncodeTokens(train, merges, sep = " ")
+      val packed = CorpusOps.packSequences(
+          enc.select(col("doc_id"), col("tokens_str").as("text"))
+            .join(train.select("doc_id", "source"), Seq("doc_id")),
+          "source", "doc_id", budget = 512)
+        .localCheckpoint(true)
+      val inter = CorpusOps.interleaveBySource(
+        train.select("doc_id", "source"), "source", col("doc_id"),
+        seed = 9L)
+      raw.agg(count(lit(1)).as("n_in"))
+        .crossJoin(gated.agg(count(lit(1)).as("n_after_gate")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_after_dedup")))
+        .crossJoin(train.agg(count(lit(1)).as("n_train")))
+        .crossJoin(packed.agg(sum("n_tok").as("train_tokens"),
+          sum((col("first_seq") =!= col("last_seq")).cast("long"))
+            .as("n_straddlers")))
+        .crossJoin(packed.groupBy("source")
+          .agg((max("last_seq") + 1).as("ns"))
+          .agg(sum("ns").as("n_sequences")))
+        .crossJoin(inter.agg(count(lit(1)).as("n_interleaved"),
+          sum(col("rank_in_source").cast("long")).as("rank_sum")))
+    }),
+
     // PERSISTED OPQ — rotate-then-PQ, the faiss `OPQx,PQy` layout
     // (round-12, composing q164/q165's rotation with q115/q146's PQ
     // into ONE served artifact): the q165 fixture — front-loaded
@@ -6898,6 +6957,90 @@ object PipelineQueries {
         |     WHERE doc_id % 2 = 0) AS n_batch1,
         |  CAST(0 AS BIGINT) AS n_changed,
         |  CAST(0 AS BIGINT) AS n_straddle""".stripMargin,
+    // pretraining export: gate arithmetic = q140's, split buckets =
+    // q211's, BPE chain = q169's, packing/interleave = q95/q170's —
+    // one statement replays the whole funnel at the token level
+    // (names g*/k*/t* chosen clear of the bpe chain's w/v_i/s_i/p_i/b_i)
+    "q222_pretraining_export" ->
+      s"""WITH ${bpeChain(12)},
+        |nrm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'),
+        |      '[ \\t\\n\\r]+', ' ', 'g')) AS text
+        |  FROM documents),
+        |dd AS (SELECT doc_id, text, string_split(text, ' ') AS l
+        |  FROM nrm),
+        |ix AS (
+        |  SELECT doc_id, l, unnest(range(1, greatest(len(l) - 1, 0) + 1))
+        |    AS i
+        |  FROM dd),
+        |cv AS (
+        |  SELECT doc_id, max(c * length(g)) AS cov FROM (
+        |    SELECT doc_id, array_to_string(l[i:i+1], ' ') AS g,
+        |      count(*) AS c
+        |    FROM ix GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |ga AS (
+        |  SELECT dd.doc_id, dd.text
+        |  FROM dd LEFT JOIN cv USING (doc_id)
+        |  WHERE round(COALESCE(cv.cov, 0) / length(dd.text), 6) <= 0.12),
+        |ke AS (SELECT text, min(doc_id) AS doc_id FROM ga
+        |  GROUP BY text),
+        |spp AS (SELECT doc_id, text,
+        |    min(doc_id) OVER (PARTITION BY substr(text, 1, 40))
+        |      AS rep_id
+        |  FROM ke),
+        |dg2 AS (SELECT doc_id, text,
+        |    md5(CAST(rep_id AS VARCHAR) || ':77') AS h,
+        |    unnest(range(1, 14)) AS i
+        |  FROM spp),
+        |hv2 AS (SELECT doc_id, any_value(text) AS text,
+        |    sum(CAST(strpos('0123456789abcdef', substr(h, i, 1)) - 1
+        |      AS BIGINT) * CAST(power(16, 13 - i) AS BIGINT)) AS hv
+        |  FROM dg2 GROUP BY doc_id),
+        |tr AS (SELECT doc_id, text FROM hv2 WHERE hv % 10 < 8),
+        |enc AS (
+        |  SELECT word,
+        |    list_filter(string_split(replace(rep, chr(2), ''), chr(1)),
+        |      x -> x <> '') AS syms
+        |  FROM v12),
+        |tw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM tr),
+        |dt AS (SELECT t.doc_id, CAST(sum(len(e.syms)) AS BIGINT)
+        |    AS n_tok
+        |  FROM tw t JOIN enc e USING (word) WHERE t.word <> ''
+        |  GROUP BY t.doc_id),
+        |ds AS (SELECT dt.doc_id, dt.n_tok, doc.source
+        |  FROM dt JOIN documents doc USING (doc_id)),
+        |pk AS (SELECT doc_id, source, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_off
+        |  FROM ds),
+        |pq2 AS (SELECT *,
+        |    CAST(floor(start_off / 512.0) AS BIGINT) AS first_seq,
+        |    CAST(floor((start_off + n_tok - 1) / 512.0) AS BIGINT)
+        |      AS last_seq
+        |  FROM pk),
+        |nsq AS (SELECT source, max(last_seq) + 1 AS ns FROM pq2
+        |  GROUP BY source),
+        |ic AS (SELECT doc.source, count(*) AS c
+        |  FROM tr JOIN documents doc USING (doc_id)
+        |  GROUP BY doc.source)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_in,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ga) AS n_after_gate,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ke) AS n_after_dedup,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_train,
+        |  (SELECT CAST(sum(n_tok) AS BIGINT) FROM pq2) AS train_tokens,
+        |  (SELECT CAST(sum(CASE WHEN first_seq <> last_seq THEN 1
+        |     ELSE 0 END) AS BIGINT) FROM pq2) AS n_straddlers,
+        |  (SELECT CAST(sum(ns) AS BIGINT) FROM nsq) AS n_sequences,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM ic) AS n_interleaved,
+        |  (SELECT CAST(sum(c * (c + 1) / 2) AS BIGINT) FROM ic)
+        |    AS rank_sum""".stripMargin,
     // persisted OPQ: exact kNN scored in the UNSCRAMBLED space —
     // rotations preserve cosine, so the q165 oracle certifies the
     // whole stored-rotation serve chain
