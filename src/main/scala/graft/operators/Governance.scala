@@ -241,4 +241,81 @@ object Governance {
     }
     rows.toSeq.toDF("surface", "store", "table", "n_served_purged")
   }
+
+  /** [[purge]] + [[audit]] with a PERSISTED COMPLIANCE TRAIL — the
+    * record an erasure audit is answered from (public art: GDPR
+    * Art. 30 processing records; deletion-request logs every data
+    * platform keeps): `logDir` accumulates, per purge batch, the id
+    * ROSTER (the identifiers erased — identifiers, not content, are
+    * the standard retainable record of an erasure request), the
+    * RECEIPT (which store did what), and the AUDIT rows (the
+    * served-nowhere proof AS OF the purge). Append-only parquet +
+    * meta-after-data with `batchId` replay-skip (the store
+    * discipline), so a crashed-and-retried logged purge neither
+    * double-logs nor re-runs completed legs. Returns the audit frame;
+    * the caller fails the batch loudly if any `n_served_purged` > 0.
+    */
+  def purgeLogged(
+      spark: SparkSession,
+      ids: DataFrame,
+      scope: PurgeScope,
+      logDir: String,
+      batchId: Long): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val metaP = Paths.get(logDir, "_purgelog_meta.json")
+    val committed =
+      if (!Files.exists(metaP)) -1L
+      else "\"last_batch_id\"\\s*:\\s*(-?\\d+)".r
+        .findFirstMatchIn(Files.readString(metaP))
+        .map(_.group(1).toLong).getOrElse(throw new IllegalStateException(
+          s"purge log '$logDir': unparseable meta"))
+    if (batchId <= committed)
+      return spark.read.parquet(s"$logDir/audit")
+        .filter(col("batch_id") === batchId)
+        .drop("batch_id")
+    val idCol = ids.columns.head
+    val roster = ids.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    val receipt = purge(spark, roster, scope, Some(batchId))
+      .withColumn("batch_id", lit(batchId))
+    val auditDf = audit(spark, roster, scope)
+      .localCheckpoint(true)
+    // crash-retry append exclusion per table (the DedupStore rule)
+    def appendOnce(df: DataFrame, dir: String): Unit = {
+      val already = Files.exists(Paths.get(dir)) &&
+        spark.read.parquet(dir)
+          .filter(col("batch_id") === batchId).limit(1)
+          .collect().nonEmpty
+      if (!already)
+        df.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    }
+    appendOnce(roster.withColumn("batch_id", lit(batchId)),
+      s"$logDir/roster")
+    appendOnce(receipt, s"$logDir/receipt")
+    appendOnce(auditDf.withColumn("batch_id", lit(batchId)),
+      s"$logDir/audit")
+    Files.createDirectories(Paths.get(logDir))
+    val tmp = Paths.get(logDir,
+      s"_purgelog_meta.json.tmp${ProcessHandle.current.pid}")
+    Files.writeString(tmp, s"""{"last_batch_id": $batchId}""")
+    Files.move(tmp, metaP,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    auditDf
+  }
+
+  /** The accumulated compliance trail: ("roster" | "receipt" |
+    * "audit") frames of every logged purge batch.
+    */
+  def readPurgeLog(spark: SparkSession, logDir: String,
+      table: String): DataFrame = {
+    require(Set("roster", "receipt", "audit").contains(table),
+      s"readPurgeLog: unknown table '$table'")
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(logDir, "_purgelog_meta.json")),
+      s"no committed purge log at '$logDir'")
+    spark.read.parquet(s"$logDir/$table")
+      .dropDuplicates() // a crash between append and meta can double
+  }
 }

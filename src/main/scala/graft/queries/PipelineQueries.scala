@@ -2152,6 +2152,109 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_scd2_after")))
     }),
 
+    // OPQ∘IVF-PQ — the full faiss production factory string
+    // (round-12, composing q221's stored rotation with the q123
+    // IVF-PQ serving layout): rotation in front, DPP-pruned probed
+    // lists + 16-byte ADC scan + exact rerank behind, deletes and
+    // compaction inherited from the inner layout. The panel pins (a)
+    // output IDENTITY to the float IVF path at the same stored
+    // centroids and probes (the PQ layer is output-lossless at this
+    // m) and (b) a recall floor vs exact kNN (inherited from the
+    // probe recall). Build-once via opqIvfPqExists.
+    "q224_opq_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fl = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * pow(lit(0.8), i)).cast("float")).as("embedding"))
+      val d = 64
+      val m0 = Array.tabulate(d * d) { kk =>
+        val i = kk / d; val j = kk % d
+        math.sin(i * 7919.0 + j * 104729.0) +
+          math.sin(j * 7919.0 + i * 104729.0)
+      }
+      val (_, qcols) = SimilaritySearch.jacobiEig(m0, d)
+      val mix = SimilaritySearch.RotationModel(
+        Array.tabulate(d * d)(kk => qcols((kk % d) * d + kk / d)),
+        Array.fill(d)(0.0), d)
+      val scrambled = SimilaritySearch.rotate(fl, mix)
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .localCheckpoint(true)
+      val key = s"$dir#opqivfpq"
+      import graft.sources.AnnIndex
+      val h = if (AnnIndex.opqIvfPqExists(s, key, lists = 16))
+        AnnIndex.openOpqIvfPq(s, key)
+      else AnnIndex.ensureOpqIvfPq(s, key, scrambled, lists = 16,
+        iters = 3, numSub = 16, ksub = 64, pqIters = 2)
+      val q = scrambled.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val served = AnnIndex.queryOpqIvfPq(q, h, k = 4, nProbe = 8,
+          m = 128)
+        .select("query_id", "rank", "vec_id").localCheckpoint(true)
+      // float reference at the SAME stored centroids and probes, in
+      // the same rotated space
+      val model = AnnIndex.loadRotation(h.rotation)
+      val rotIdx = SimilaritySearch.rotate(scrambled, model)
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .localCheckpoint(true)
+      val rotQ = rotIdx.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      val flRef = SimilaritySearch.ivfTopK(rotQ, rotIdx,
+          h.inner.centroids, k = 4, nProbe = 8)
+        .select("query_id", "rank", "vec_id")
+      val exact = SimilaritySearch.bruteForceTopKAgg(q, scrambled, 4)
+        .select("query_id", "vec_id")
+      served.agg(count(lit(1)).as("n_served"))
+        .crossJoin(served.exceptAll(flRef)
+          .unionByName(flRef.exceptAll(served))
+          .agg(count(lit(1)).as("n_diff_float")))
+        .crossJoin(served.join(exact, Seq("query_id", "vec_id"),
+            "left_semi")
+          .agg((count(lit(1)).cast("double") / lit(32.0) >= 0.5)
+            .as("recall_ok")))
+    }),
+
+    // LOGGED PURGE — the compliance trail (round-12, completing the
+    // q218 family): two erasure batches run through purgeLogged, which
+    // persists the id roster, the per-store receipt, and the
+    // served-nowhere audit AS OF each purge (append-only, meta-after-
+    // data, batchId replay-skip — a replayed batch returns its STORED
+    // proof and re-runs nothing). The panel counts the accumulated
+    // trail and replays the one rewrite proof; all constants survive
+    // build AND replay runs.
+    "q223_purge_logged" -> ((s, dir) => {
+      import graft.sources.{AnnIndex, DedupStore}
+      import graft.operators.Governance
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val docs = t(s, dir, "documents")
+      val (kL, kD) = (s"$dir#ploglsh", s"$dir#plogdd")
+      if (!AnnIndex.lshExists(s, kL)) AnnIndex.ensureLsh(s, kL, emb)
+      DedupStore.dedupBatch(s, kD, docs, batchId = 1L)
+      val scope = Governance.PurgeScope(lsh = Seq(kL),
+        dedupSeen = Seq(kD))
+      val logDir = s"${s.conf.get("spark.graft.ann.basePath", "/tmp")}" +
+        s"/graft_purgelog_${graft.sources.IndexStore.pathTag(dir)}"
+      Governance.purgeLogged(s,
+        emb.filter(col("vec_id") < 4).select("vec_id"), scope, logDir,
+        batchId = 1L)
+      Governance.purgeLogged(s,
+        emb.filter(col("vec_id") >= 4 && col("vec_id") < 6)
+          .select("vec_id"), scope, logDir, batchId = 2L)
+      Governance.readPurgeLog(s, logDir, "roster")
+        .agg(count(lit(1)).as("n_roster"))
+        .crossJoin(Governance.readPurgeLog(s, logDir, "receipt")
+          .agg(count(lit(1)).as("n_receipt")))
+        .crossJoin(Governance.readPurgeLog(s, logDir, "audit")
+          .agg(count(lit(1)).as("n_audit"),
+            sum("n_served_purged").as("served_total")))
+        .crossJoin(DedupStore.readSeen(s, kD)
+          .agg(count(lit(1)).as("n_seen_after")))
+        .crossJoin(AnnIndex.openLsh(s, kL).vecs
+          .filter(col("vec_id") < 6)
+          .agg(count(lit(1)).as("n_lsh_purged_served")))
+    }),
+
     // END-TO-END PRETRAINING EXPORT (round-12): the certified pieces
     // chained ONCE, token-level — normalize → Gopher gate → persisted
     // dedup store → leakage-free split (prefix-blocked pairs; their
@@ -6957,6 +7060,28 @@ object PipelineQueries {
         |     WHERE doc_id % 2 = 0) AS n_batch1,
         |  CAST(0 AS BIGINT) AS n_changed,
         |  CAST(0 AS BIGINT) AS n_straddle""".stripMargin,
+    // composed OPQ-IVF-PQ: identity to the float IVF path + recall
+    // floor — 8 queries x k=4
+    "q224_opq_ivfpq" ->
+      """SELECT CAST(32 AS BIGINT) AS n_served,
+        |CAST(0 AS BIGINT) AS n_diff_float,
+        |true AS recall_ok""".stripMargin,
+    // logged purge: trail counts are fixed by the scope shape (2
+    // stores x 2 batches; lsh serves 2 tables + dedup 1 per audit);
+    // the dedup rewrite proof replays; zeros are the served-nowhere
+    // constants
+    "q223_purge_logged" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |     WHERE vec_id < 6) AS n_roster,
+        |  CAST(4 AS BIGINT) AS n_receipt,
+        |  CAST(6 AS BIGINT) AS n_audit,
+        |  CAST(0 AS BIGINT) AS served_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |     (SELECT min(doc_id) AS keeper FROM documents
+        |        GROUP BY text) g
+        |   WHERE keeper >= 6) AS n_seen_after,
+        |  CAST(0 AS BIGINT) AS n_lsh_purged_served""".stripMargin,
     // pretraining export: gate arithmetic = q140's, split buckets =
     // q211's, BPE chain = q169's, packing/interleave = q95/q170's —
     // one statement replays the whole funnel at the token level

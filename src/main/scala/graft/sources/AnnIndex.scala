@@ -1866,7 +1866,7 @@ object AnnIndex {
     * d rows collected (bounded model artifact, the collectCodebook
     * discipline).
     */
-  private def loadRotation(rotation: DataFrame)
+  def loadRotation(rotation: DataFrame)
       : graft.operators.SimilaritySearch.RotationModel = {
     val rows = rotation.select("row_idx", "vals", "eig")
       .collect().sortBy(_.getInt(0))
@@ -2043,6 +2043,125 @@ object AnnIndex {
       .agg(top_k(col("ascore"), col("vec_id"), m).as("topk"))
       .select(col("query_id"), explode(col("topk.id")).as("vec_id"))
     SimilaritySearch.rerank(cand, queries, handle.vecs, k)
+  }
+
+  /** Persisted OPQ∘IVF-PQ — the full faiss production factory string
+    * (`OPQ16,IVF64,PQ16`, public): the stored balanced rotation in
+    * front of the composed [[ensureIvfPq]] layout. The inner layout is
+    * the REAL IVF-PQ store built over the rotated vectors under a
+    * derived key, so its whole lifecycle composes for free —
+    * [[deleteIvfPq]]/[[compactIvfPq]] against the inner key tombstone
+    * and fold the composed index, DPP list pruning and the ADC scan
+    * are unchanged. Freshness is fingerprinted on the ORIGINAL index
+    * at this base; the inner store's own fingerprint covers the
+    * rotated frame.
+    */
+  final case class OpqIvfPqHandle(rotation: DataFrame,
+      inner: IvfPqHandle, innerKey: String)
+
+  private def opqIvfPqBase(spark: SparkSession, tag: String) =
+    s"${annBase(spark)}/graft_ann_opqivfpq_$tag"
+
+  /** The derived key the inner rotated IVF-PQ layout lives under. */
+  def opqIvfPqInnerKey(sourceDir: String): String = s"$sourceDir#opqrot"
+
+  def ensureOpqIvfPq(
+      spark: SparkSession,
+      sourceDir: String,
+      index: DataFrame,
+      lists: Int = 64,
+      iters: Int = 5,
+      numSub: Int = 16,
+      ksub: Int = 64,
+      pqIters: Int = 2,
+      storageBuckets: Int = 8): OpqIvfPqHandle = {
+    import graft.operators.SimilaritySearch
+    import spark.implicits._
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = opqIvfPqBase(spark, tag)
+    val innerKey = opqIvfPqInnerKey(sourceDir)
+    val (n, fp) = fingerprint(index.select("vec_id", "embedding"))
+    val meta = readMeta(base)
+    val fresh = meta.get("num_sub").contains(numSub.toLong) &&
+      meta.get("lists").contains(lists.toLong) &&
+      meta.get("n_rows").contains(n) &&
+      meta.get("checksum").contains(fp) &&
+      parquetReadable(spark, s"$base/rotation") &&
+      ivfPqExists(spark, innerKey, lists = lists, iters = iters,
+        numSub = numSub, ksub = ksub, pqIters = pqIters,
+        storageBuckets = storageBuckets)
+    if (!fresh) {
+      val model = SimilaritySearch.rotationModel(
+        index.select("vec_id", "embedding"))
+      val d = model.dim
+      val order = SimilaritySearch.balancedOrder(model.eigvals, numSub)
+      val side = s"$base/rotation__build_${ProcessHandle.current.pid}"
+      (0 until d).map { r =>
+        val src = order(r)
+        (r, model.rot.slice(src * d, (src + 1) * d).toSeq,
+          model.eigvals(src))
+      }.toDF("row_idx", "vals", "eig")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(side)
+      val rotDir = Paths.get(base, "rotation")
+      if (Files.exists(rotDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(rotDir.toFile)
+      Files.move(Paths.get(side), rotDir)
+      val stored = loadRotation(spark.read.parquet(s"$base/rotation"))
+      val rotated = SimilaritySearch.rotate(
+          index.select("vec_id", "embedding"), stored)
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .localCheckpoint(true)
+      ensureIvfPq(spark, innerKey, rotated, lists = lists,
+        iters = iters, numSub = numSub, ksub = ksub, pqIters = pqIters,
+        storageBuckets = storageBuckets)
+      writeMetaFull(base,
+        Seq("lists" -> lists.toLong, "num_sub" -> numSub.toLong,
+          "ksub" -> ksub.toLong, "n_rows" -> n, "checksum" -> fp), Nil)
+    }
+    OpqIvfPqHandle(spark.read.parquet(s"$base/rotation"),
+      openIvfPq(spark, innerKey), innerKey)
+  }
+
+  /** Open without a freshness probe (the openSq8 contract). */
+  def openOpqIvfPq(spark: SparkSession,
+      sourceDir: String): OpqIvfPqHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = opqIvfPqBase(spark, tag)
+    require(readMeta(base).contains("num_sub") &&
+      parquetReadable(spark, s"$base/rotation"),
+      s"no persisted OPQ-IVF-PQ index for '$sourceDir' ($base)")
+    OpqIvfPqHandle(spark.read.parquet(s"$base/rotation"),
+      openIvfPq(spark, opqIvfPqInnerKey(sourceDir)),
+      opqIvfPqInnerKey(sourceDir))
+  }
+
+  def opqIvfPqExists(spark: SparkSession, sourceDir: String,
+      lists: Int = 64, numSub: Int = 16, ksub: Int = 64): Boolean = {
+    val meta = readMeta(opqIvfPqBase(spark, IndexStore.pathTag(sourceDir)))
+    meta.get("lists").contains(lists.toLong) &&
+      meta.get("num_sub").contains(numSub.toLong) &&
+      meta.get("ksub").contains(ksub.toLong) &&
+      ivfPqExists(spark, opqIvfPqInnerKey(sourceDir), lists = lists,
+        numSub = numSub, ksub = ksub)
+  }
+
+  /** Serve through the composed layout: rotate the queries through the
+    * stored model, then the inner [[queryIvfPq]] does everything else
+    * (DPP-pruned probed lists, numSub-byte ADC scan, exact re-rank
+    * against the rotated floats — isometry makes the scores the
+    * original-space cosines).
+    */
+  def queryOpqIvfPq(
+      queries: DataFrame,
+      handle: OpqIvfPqHandle,
+      k: Int = 4,
+      nProbe: Int = 24,
+      m: Int = 64): DataFrame = {
+    import graft.operators.SimilaritySearch
+    val model = loadRotation(handle.rotation)
+    val rq = SimilaritySearch.rotate(queries, model, "query_vec")
+      .withColumn("query_vec", col("query_vec").cast("array<float>"))
+    queryIvfPq(rq, handle.inner, k, nProbe, m)
   }
 
   // ------------------------------------------------------------- IVF-SQ8

@@ -1239,6 +1239,40 @@ object StreamOps {
         }
       }
 
+  /** Streaming right-to-be-forgotten — the foreachBatch closure of
+    * [[graft.operators.Governance.purgeLogged]]: each micro-batch of
+    * ids (an erasure-request feed) purges through every layout in
+    * `scope` under its trigger id, appends the roster/receipt/audit
+    * compliance trail to `logDir`, and FAILS THE BATCH LOUDLY if any
+    * serving surface still shows a purged id (a purge that cannot
+    * prove served-nowhere must stop the pipeline, not log-and-carry).
+    * Replay-skip, crash-retry idempotence and the two-ledger
+    * tombstone/rewrite semantics are [[graft.operators.Governance]]'s
+    * own contracts riding the trigger id.
+    */
+  def streamingPurge(
+      ids: DataFrame,
+      scope: graft.operators.Governance.PurgeScope,
+      logDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val auditDf = graft.operators.Governance.purgeLogged(
+            batch.sparkSession, batch.toDF(), scope, logDir, id)
+          val leaked = auditDf
+            .filter(col("n_served_purged") > 0L).limit(1).collect()
+          require(leaked.isEmpty, {
+            val r = leaked.head
+            s"streamingPurge: purged ids still SERVED on " +
+              s"${r.getString(0)}/${r.getString(2)} of store " +
+              s"'${r.getString(1)}' (${r.getLong(3)} hits) — the " +
+              "erasure cannot be proven; stopping the pipeline"
+          })
+        }
+      }
+
   final case class ChangeRow(key: Long, ts: Timestamp, value: String)
   final case class Scd2Closed(key: Long, value: String,
       valid_from: Timestamp, valid_to: Timestamp)

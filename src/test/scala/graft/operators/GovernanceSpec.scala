@@ -147,4 +147,45 @@ class GovernanceSpec extends AnyFunSuite {
     assert(after.filter(col("doc_id") === 0L).head.getString(2)
       === doc0Split)
   }
+
+  test("purgeLogged: the compliance trail accumulates roster/receipt/" +
+      "audit per batch; a replayed batch returns its STORED proof and " +
+      "re-runs nothing; the log survives crash-retry without " +
+      "double-logging") {
+    val key = s"gv-$runTag-log"
+    val logDir = java.nio.file.Files
+      .createTempDirectory("purgelog").toString
+    DedupStore.dedupBatch(spark, key, docs, batchId = 1L)
+    val scope = Governance.PurgeScope(dedupSeen = Seq(key))
+    val a1 = Governance.purgeLogged(spark,
+      Seq(0L, 1L).toDF("doc_id"), scope, logDir, batchId = 1L)
+    assert(a1.agg(sum("n_served_purged")).head.getLong(0) === 0L)
+    Governance.purgeLogged(spark, Seq(2L).toDF("doc_id"), scope,
+      logDir, batchId = 2L)
+    assert(Governance.readPurgeLog(spark, logDir, "roster")
+      .count() === 3L)
+    assert(Governance.readPurgeLog(spark, logDir, "receipt")
+      .count() === 2L)
+    assert(Governance.readPurgeLog(spark, logDir, "audit")
+      .count() === 2L) // one dedup surface row per batch
+    // replayed batch id: stored proof back, store state untouched
+    val before = DedupStore.seenCount(spark, key)
+    val replayed = Governance.purgeLogged(spark,
+      Seq(0L, 1L).toDF("doc_id"), scope, logDir, batchId = 1L)
+    assert(replayed.agg(sum("n_served_purged")).head.getLong(0) === 0L)
+    assert(DedupStore.seenCount(spark, key) === before)
+    assert(Governance.readPurgeLog(spark, logDir, "roster")
+      .count() === 3L) // no double-log
+    // crash-retry: data appended, meta never committed — re-running
+    // the SAME batch appends nothing twice
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(logDir, "_purgelog_meta.json"),
+      """{"last_batch_id": 1}""")
+    Governance.purgeLogged(spark, Seq(2L).toDF("doc_id"), scope,
+      logDir, batchId = 2L)
+    assert(Governance.readPurgeLog(spark, logDir, "roster")
+      .count() === 3L)
+    assert(Governance.readPurgeLog(spark, logDir, "audit")
+      .count() === 2L)
+  }
 }

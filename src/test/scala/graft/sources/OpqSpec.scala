@@ -76,4 +76,38 @@ class OpqSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(served === exact)
   }
+
+  test("OPQ∘IVF-PQ composition: the inner layout is a REAL IVF-PQ " +
+      "store, so deleteIvfPq against the inner key tombstones the " +
+      "composed index (deletes compose for free)") {
+    val key = s"opqivf-$runTag"
+    val d = 8
+    val raw = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(d)(c =>
+        (math.sin(i * 1.7 + c) * math.pow(0.7, c)).toFloat))
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    val h = AnnIndex.ensureOpqIvfPq(spark, key, raw, lists = 4,
+      iters = 2, numSub = 4, ksub = 16, pqIters = 2,
+      storageBuckets = 2)
+    assert(h.rotation.count() === d.toLong)
+    val q = raw.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    // full probe + wide rerank: served equals exact on the fixture
+    val served = AnnIndex.queryOpqIvfPq(q, h, k = 3, nProbe = 4, m = 32)
+      .select("query_id", "rank", "vec_id")
+      .collect().map(_.toSeq).toSet
+    val exact = SimilaritySearch.bruteForceTopKAgg(q, raw, 3)
+      .select("query_id", "rank", "vec_id")
+      .collect().map(_.toSeq).toSet
+    assert(served === exact)
+    // delete THROUGH the inner key; the composed query serves
+    // survivors only
+    AnnIndex.deleteIvfPq(spark, h.innerKey,
+      Seq(0L, 1L).toDF("vec_id"), batchId = Some(1L))
+    val h2 = AnnIndex.openOpqIvfPq(spark, key)
+    val after = AnnIndex.queryOpqIvfPq(q, h2, k = 3, nProbe = 4, m = 32)
+    assert(after.filter(col("vec_id") < 2).count() === 0L)
+    assert(after.count() === 12L) // 4 queries x k=3, from survivors
+  }
 }

@@ -662,6 +662,47 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(mainD).count() === 3L) // nothing landed
   }
 
+  test("streamingPurge: an erasure-request stream purges per trigger " +
+      "with the logged compliance trail; a restarted stream's " +
+      "replayed ids return stored proofs, never re-run") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Governance
+    import graft.sources.DedupStore
+    val key = s"spurge-${java.util.UUID.randomUUID.toString.take(8)}"
+    val logDir = java.nio.file.Files
+      .createTempDirectory("spurgelog").toString
+    val docs = (0 until 20).map(i => (i.toLong, s"body $i unique"))
+      .toDF("doc_id", "text")
+    DedupStore.dedupBatch(spark, key, docs, batchId = 1L)
+    val scope = Governance.PurgeScope(dedupSeen = Seq(key))
+    val mem = MemoryStream[Long]
+    val q = StreamOps.streamingPurge(
+      mem.toDF().toDF("doc_id"), scope, logDir).start()
+    mem.addData(0L, 1L)
+    q.processAllAvailable()
+    mem.addData(2L)
+    q.processAllAvailable()
+    q.stop()
+    assert(DedupStore.seenCount(spark, key) === 17L)
+    assert(Governance.readPurgeLog(spark, logDir, "roster")
+      .count() === 3L)
+    assert(Governance.readPurgeLog(spark, logDir, "audit")
+      .agg(sum("n_served_purged")).head.getLong(0) === 0L)
+    // restarted stream, trigger ids from 0: replays skip, the store
+    // and the trail are untouched
+    val mem2 = MemoryStream[Long]
+    val q2 = StreamOps.streamingPurge(
+      mem2.toDF().toDF("doc_id"), scope, logDir).start()
+    mem2.addData(0L, 1L)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(DedupStore.seenCount(spark, key) === 17L)
+    assert(Governance.readPurgeLog(spark, logDir, "roster")
+      .count() === 3L)
+    DedupStore.drop(spark, key)
+  }
+
   test("streamingManifest: running totals equal the batch manifest at " +
       "every trigger boundary; a replayed batch id never double-counts") {
     implicit val sqlCtx = spark.sqlContext
