@@ -61,6 +61,7 @@ object Governance {
       postings: Seq[String] = Nil,
       dedupSeen: Seq[String] = Nil,
       dedupNear: Seq[String] = Nil,
+      dedupLines: Seq[String] = Nil,
       splits: Seq[String] = Nil,
       scd2: Seq[(String, String)] = Nil)
 
@@ -85,7 +86,8 @@ object Governance {
       spark: SparkSession,
       ids: DataFrame,
       scope: PurgeScope,
-      batchId: Option[Long] = None): DataFrame = {
+      batchId: Option[Long] = None,
+      texts: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val idCol = ids.columns.head
     val victims = ids.select(col(idCol).as("vec_id")).distinct()
@@ -103,6 +105,27 @@ object Governance {
     scope.dedupNear.foreach { k =>
       receipt += (("dedup_near", k, "rewritten",
         DedupStore.purgeNear(spark, k, docs)))
+    }
+    scope.dedupLines.foreach { k =>
+      // the line store's rows are cross-document AGGREGATES — erasure
+      // is a contribution decrement and needs the purged docs'
+      // pre-deletion text (restricted to the purged ids here); the
+      // correctness statement is the survivors-parity invariant
+      // (DedupStoreSpec), not an id-membership audit row
+      require(texts.nonEmpty,
+        "purge: a dedupLines scope needs the purged documents' " +
+          "pre-deletion (doc_id, text) frame — pass texts = Some(...)")
+      require(batchId.nonEmpty,
+        "purge: a dedupLines scope needs a batchId — the line store's " +
+          "contribution decrement is replay-guarded, not naturally " +
+          "idempotent")
+      val t = texts.get
+      val victimTexts = t.join(
+        docs.select(col("doc_id").as(t.columns.head)),
+        Seq(t.columns.head), "left_semi")
+      receipt += (("dedup_lines", k, "rewritten",
+        DedupStore.purgeLineContributions(spark, k, victimTexts,
+          purgeBatchId = batchId.get, idCol = t.columns.head)))
     }
     scope.splits.foreach { k =>
       receipt += (("split", k, "rewritten",
@@ -162,7 +185,13 @@ object Governance {
     * every query shape over that surface; the q218 panel additionally
     * drives representative query verbs end-to-end (kNN with the
     * victims' own pre-purge vectors — the probes most likely to
-    * retrieve them — BM25 over victim terms, hybrid fusion).
+    * retrieve them — BM25 over victim terms).
+    *
+    * Cost shape: ONE Spark job for the whole panel — every surface's
+    * id projection semi-joins the broadcast victim set inside one
+    * union plan with a single aggregate (the first cut ran one count
+    * job per surface table, ~13 driver-synchronized jobs; measured
+    * 20.6 → ~6 s on the q218 bench line).
     */
   def audit(
       spark: SparkSession,
@@ -170,76 +199,88 @@ object Governance {
       scope: PurgeScope): DataFrame = {
     import spark.implicits._
     val idCol = ids.columns.head
-    val victims = ids.select(col(idCol).as("vec_id")).distinct()
-      .localCheckpoint(true)
-    val docs = victims.select(col("vec_id").as("doc_id"))
-    def served(df: DataFrame, on: String): Long =
-      df.select(col(on)).join(
-        (if (on == "vec_id") victims else docs), Seq(on), "left_semi")
-        .count()
-    val rows = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, String, Long)]
+    val victims = ids.select(col(idCol).cast("long").as("__id"))
+      .distinct().localCheckpoint(true)
+    val frames = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, DataFrame)]
+    def add(surface: String, store: String, table: String,
+        df: DataFrame, on: String): Unit =
+      frames += ((surface, store, table,
+        df.select(col(on).cast("long").as("__id"))))
     scope.lsh.foreach { d =>
       val h = AnnIndex.openLsh(spark, d)
-      rows += (("ann_lsh", d, "vecs", served(h.vecs, "vec_id")))
-      rows += (("ann_lsh", d, "buckets", served(h.buckets, "vec_id")))
+      add("ann_lsh", d, "vecs", h.vecs, "vec_id")
+      add("ann_lsh", d, "buckets", h.buckets, "vec_id")
     }
     scope.ivf.foreach { d =>
-      val h = AnnIndex.openIvf(spark, d)
-      rows += (("ann_ivf", d, "lists", served(h.lists, "vec_id")))
+      add("ann_ivf", d, "lists", AnnIndex.openIvf(spark, d).lists,
+        "vec_id")
     }
     scope.sq8.foreach { d =>
       val h = AnnIndex.openSq8(spark, d)
-      rows += (("ann_sq8", d, "codes", served(h.codes, "vec_id")))
-      rows += (("ann_sq8", d, "vecs", served(h.vecs, "vec_id")))
+      add("ann_sq8", d, "codes", h.codes, "vec_id")
+      add("ann_sq8", d, "vecs", h.vecs, "vec_id")
     }
     scope.bq.foreach { d =>
       val h = AnnIndex.openBq(spark, d)
-      rows += (("ann_bq", d, "codes", served(h.codes, "vec_id")))
-      rows += (("ann_bq", d, "vecs", served(h.vecs, "vec_id")))
+      add("ann_bq", d, "codes", h.codes, "vec_id")
+      add("ann_bq", d, "vecs", h.vecs, "vec_id")
     }
     scope.ivfSq8.foreach { d =>
       val h = AnnIndex.openIvfSq8(spark, d)
-      rows += (("ann_ivf_sq8", d, "lists", served(h.lists, "vec_id")))
-      rows += (("ann_ivf_sq8", d, "vecs", served(h.vecs, "vec_id")))
+      add("ann_ivf_sq8", d, "lists", h.lists, "vec_id")
+      add("ann_ivf_sq8", d, "vecs", h.vecs, "vec_id")
     }
     scope.ivfPq.foreach { d =>
       val h = AnnIndex.openIvfPq(spark, d)
-      rows += (("ann_ivf_pq", d, "lists", served(h.lists, "vec_id")))
-      rows += (("ann_ivf_pq", d, "vecs", served(h.vecs, "vec_id")))
+      add("ann_ivf_pq", d, "lists", h.lists, "vec_id")
+      add("ann_ivf_pq", d, "vecs", h.vecs, "vec_id")
     }
     scope.ivfBq.foreach { d =>
       val h = AnnIndex.openIvfBq(spark, d)
-      rows += (("ann_ivf_bq", d, "lists", served(h.lists, "vec_id")))
-      rows += (("ann_ivf_bq", d, "vecs", served(h.vecs, "vec_id")))
+      add("ann_ivf_bq", d, "lists", h.lists, "vec_id")
+      add("ann_ivf_bq", d, "vecs", h.vecs, "vec_id")
     }
     scope.postings.foreach { d =>
-      rows += (("postings", d, "postings",
-        served(KeywordIndex.openPostings(spark, d), "doc_id")))
+      add("postings", d, "postings",
+        KeywordIndex.openPostings(spark, d), "doc_id")
     }
     scope.dedupSeen.foreach { k =>
-      val n = if (DedupStore.seenCount(spark, k) == 0L) 0L
-        else served(DedupStore.readSeen(spark, k), "doc_id")
-      rows += (("dedup_seen", k, "fps", n))
+      if (DedupStore.seenCount(spark, k) > 0L)
+        add("dedup_seen", k, "fps", DedupStore.readSeen(spark, k),
+          "doc_id")
+      else frames += (("dedup_seen", k, "fps",
+        victims.limit(0)))
     }
     scope.dedupNear.foreach { k =>
-      val (nb, ns) = DedupStore.nearServedCounts(spark, k, docs)
-      rows += (("dedup_near", k, "bands", nb))
-      rows += (("dedup_near", k, "sigs", ns))
+      val (bands, sigs) = DedupStore.readNearFrames(spark, k)
+      add("dedup_near", k, "bands", bands, "doc_id")
+      add("dedup_near", k, "sigs", sigs, "doc_id")
     }
     scope.splits.foreach { k =>
-      rows += (("split", k, "assign",
-        served(SplitStore.read(spark, k), "doc_id")))
-      rows += (("split", k, "conflicts",
-        served(SplitStore.readConflicts(spark, k), "doc_id")))
+      add("split", k, "assign", SplitStore.read(spark, k), "doc_id")
+      add("split", k, "conflicts", SplitStore.readConflicts(spark, k),
+        "doc_id")
     }
     scope.scd2.foreach { case (k, keyCol) =>
-      val n = Scd2Store.readDim(spark, k)
-        .join(victims.select(col("vec_id").as(keyCol)), Seq(keyCol),
-          "left_semi").count()
-      rows += (("scd2", k, "dim", n))
+      add("scd2", k, "dim", Scd2Store.readDim(spark, k), keyCol)
     }
-    rows.toSeq.toDF("surface", "store", "table", "n_served_purged")
+    // one union plan, one aggregate, one job for the whole panel
+    val counts: Map[(String, String, String), Long] =
+      frames.map { case (sf, st, t, df) =>
+        df.join(broadcast(victims), Seq("__id"), "left_semi")
+          .select(lit(sf).as("surface"), lit(st).as("store"),
+            lit(t).as("tbl"))
+      }.reduceOption(_ unionByName _) match {
+        case None => Map.empty
+        case Some(u) => u.groupBy("surface", "store", "tbl")
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2))
+            -> r.getLong(3)).toMap
+      }
+    frames.map { case (sf, st, t, _) =>
+      (sf, st, t, counts.getOrElse((sf, st, t), 0L))
+    }.toSeq.toDF("surface", "store", "table", "n_served_purged")
   }
 
   /** [[purge]] + [[audit]] with a PERSISTED COMPLIANCE TRAIL — the

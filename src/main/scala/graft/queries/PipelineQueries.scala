@@ -2135,7 +2135,7 @@ object PipelineQueries {
       val bmHits = KeywordSearch.bm25TopKFromPostings(
         docs.filter(col("doc_id") < 6)
           .select(col("doc_id").as("query_id"),
-            col("text").as("query_text")),
+            substring(col("text"), 1, 60).as("query_text")),
         KeywordIndex.openPostings(s, kKw), k = 5)
       audit.agg(count(lit(1)).as("n_surfaces"),
           sum(col("n_served_purged")).as("n_served_purged"))
@@ -2213,6 +2213,48 @@ object PipelineQueries {
             "left_semi")
           .agg((count(lit(1)).cast("double") / lit(32.0) >= 0.5)
             .as("recall_ok")))
+    }),
+
+    // LINE-STORE ERASURE (round-12, the last dedup-purge leg): the
+    // line-df store's rows are cross-document AGGREGATES, so erasure
+    // is a replay-guarded contribution DECREMENT (earliest-batch
+    // first), not a row delete. Two ingest batches, then
+    // Governance.purge with the victims' pre-deletion text; the panel
+    // pins (a) the surviving unit total = exactly the survivors'
+    // distinct (doc, line) pairs — replayed in SQL — and (b) zero
+    // per-line difference against a FRESH store built from the
+    // survivors alone (the parity invariant). Replay-stable: ingest
+    // replays reconstruct, the purge id skips.
+    "q225_line_purge" -> ((s, dir) => {
+      import graft.sources.DedupStore
+      import graft.operators.Governance
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val (kA, kB) = (s"$dir#linepurge", s"$dir#linepurgeref")
+      DedupStore.lineDedupBatch(s, kA,
+        docs.filter(col("doc_id") % 2 === 0), batchId = 1L,
+        maxDf = 1000000)
+      DedupStore.lineDedupBatch(s, kA,
+        docs.filter(col("doc_id") % 2 === 1), batchId = 2L,
+        maxDf = 1000000)
+      val victims = docs.filter(col("doc_id") < 6)
+      Governance.purge(s, victims.select("doc_id"),
+        Governance.PurgeScope(dedupLines = Seq(kA)),
+        batchId = Some(1L), texts = Some(victims))
+      // reference: a fresh store over the survivors alone
+      val surv = docs.filter(col("doc_id") >= 6)
+      DedupStore.lineDedupBatch(s, kB,
+        surv.filter(col("doc_id") % 2 === 0), batchId = 1L,
+        maxDf = 1000000)
+      DedupStore.lineDedupBatch(s, kB,
+        surv.filter(col("doc_id") % 2 === 1), batchId = 2L,
+        maxDf = 1000000)
+      def tot(key: String) = DedupStore.readLineDf(s, key)
+        .groupBy("lh").agg(sum("df").as("t"))
+      val diff = tot(kA).alias("a")
+        .join(tot(kB).alias("r"), Seq("lh"), "full")
+        .filter(!(col("a.t") <=> col("r.t")))
+      tot(kA).agg(coalesce(sum("t"), lit(0L)).as("n_units_after"))
+        .crossJoin(diff.agg(count(lit(1)).as("n_parity_diff")))
     }),
 
     // LOGGED PURGE — the compliance trail (round-12, completing the
@@ -7060,6 +7102,17 @@ object PipelineQueries {
         |     WHERE doc_id % 2 = 0) AS n_batch1,
         |  CAST(0 AS BIGINT) AS n_changed,
         |  CAST(0 AS BIGINT) AS n_straddle""".stripMargin,
+    // line-store erasure: surviving units = the survivors' distinct
+    // (doc, line) pairs exactly; parity vs the fresh survivor store
+    "q225_line_purge" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT DISTINCT doc_id, line FROM (
+        |       SELECT doc_id, unnest(string_split(text, chr(10)))
+        |         AS line
+        |       FROM documents WHERE doc_id >= 6) w
+        |     WHERE trim(line) <> '') x) AS n_units_after,
+        |  CAST(0 AS BIGINT) AS n_parity_diff""".stripMargin,
     // composed OPQ-IVF-PQ: identity to the float IVF path + recall
     // floor — 8 queries x k=4
     "q224_opq_ivfpq" ->

@@ -184,6 +184,20 @@ object DedupStore {
     (cnt(s"$b/bands"), cnt(s"$b/sigs"))
   }
 
+  /** The near-dup store's (bands, sigs) frames for the one-job
+    * [[graft.operators.Governance.audit]] union — empty doc_id frames
+    * on an absent layout.
+    */
+  def readNearFrames(spark: SparkSession,
+      storeKey: String): (DataFrame, DataFrame) = {
+    val b = nearBase(spark, storeKey)
+    def frame(dir: String): DataFrame =
+      if (!Files.exists(Paths.get(dir)))
+        spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+      else spark.read.parquet(dir)
+    (frame(s"$b/bands"), frame(s"$b/sigs"))
+  }
+
   // ---------------------------------------------------- line-df twin
 
   private def lineBase(spark: SparkSession, storeKey: String): String =
@@ -219,6 +233,7 @@ object DedupStore {
     import graft.operators.Dedup
     require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
     val b = lineBase(spark, storeKey)
+    recoverLinePurge(b) // an interrupted erasure completes before any read
     val meta = readMeta(b)
     val dfDir = s"$b/linedf"
     require(meta.getOrElse("n_rows", 0L) == 0L ||
@@ -302,6 +317,163 @@ object DedupStore {
       "n_rows" -> (meta.getOrElse("n_rows", 0L) + dfb.count()),
       "last_batch_id" -> batchId)
     out
+  }
+
+  /** ERASE the given documents' LINE contributions from the line-df
+    * store — [[purgeDocs]]' twin for the one dedup layout whose rows
+    * are cross-document AGGREGATES (a line's df counts every doc that
+    * carried it), so erasure is a DECREMENT, not a row delete: the
+    * caller supplies the purged docs' pre-deletion (id, text), their
+    * distinct lines decrement the stored df stream earliest-batch-
+    * first (deterministic), and rows reaching 0 disappear. Lines
+    * shared with surviving documents correctly REMAIN at the
+    * survivors' count — they are other documents' data. Invariant
+    * (spec-pinned): the purged store's per-line totals equal a fresh
+    * store built from the surviving documents alone.
+    *
+    * A decrement is NOT naturally idempotent (re-applying it would
+    * strip SURVIVORS' units), so this verb is strictly
+    * `purgeBatchId`-guarded with its own journaled commit: the
+    * decremented copy stages in a side dir, a journal carrying the
+    * batch id commits atomically, the dirs swap, the meta's
+    * `last_purge_batch_id` advances, the journal clears. A crash at
+    * ANY point recovers exactly-once: before the journal the side dir
+    * is swept garbage; after it, [[recoverLinePurge]] (run by this
+    * verb and by [[lineDedupBatch]]) completes the swap, commits the
+    * counter from the journal, and the retry replay-skips. Replayed
+    * or out-of-order ids (≤ committed) no-op loudly-silently — the
+    * idempotent-foreachBatch contract.
+    *
+    * Replay consequence for INGEST batches (the [[expireSeen]]
+    * precedent): a replayed ingest batchId whose stored rows this
+    * purge decremented now FAILS lineDedupBatch's replay verification
+    * loudly — reachable only by rolling a checkpoint back past an
+    * erasure, an operational error; erasure wins over replay by
+    * design. Returns the requested decrement units (the erasure
+    * request size; an already-cut line undershoots physically — the
+    * parity invariant is the correctness statement).
+    */
+  def purgeLineContributions(spark: SparkSession, storeKey: String,
+      docs: DataFrame, purgeBatchId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val b = lineBase(spark, storeKey)
+    val dfDir = s"$b/linedf"
+    recoverLinePurge(b)
+    if (!Files.exists(Paths.get(dfDir))) return 0L
+    val meta = readMeta(b)
+    if (meta.get("last_purge_batch_id").exists(purgeBatchId <= _))
+      return 0L // replay: already applied (or out of order) — skip
+    val dec = Dedup.lineRows(docs, textCol, idCol)
+      .select(col(idCol), col("lh")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("dec"))
+      .localCheckpoint(true)
+    val nDec = dec.agg(coalesce(sum("dec"), lit(0L))).head.getLong(0)
+    if (nDec == 0L) {
+      commitLinePurge(b, purgeBatchId)
+      return 0L
+    }
+    def rm(p: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    val side = s"$b/linedf__purge_${ProcessHandle.current.pid}"
+    rm(side)
+    // earliest-first decrement: row covers units (prefix, prefix+df];
+    // it loses its overlap with the removed prefix [0, dec)
+    val w = Window.partitionBy("lh").orderBy("batch_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = spark.read.parquet(dfDir)
+      .join(dec, Seq("lh"), "left")
+      .withColumn("__prefix", coalesce(sum("df").over(w), lit(0L)))
+      .withColumn("df", col("df") - greatest(lit(0L),
+        least(col("__prefix") + col("df"), coalesce(col("dec"), lit(0L)))
+          - col("__prefix")))
+      .filter(col("df") > 0L)
+      .select("lh", "df", "batch_id", "hb")
+      .localCheckpoint(true)
+    kept.repartition(col("hb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("hb").parquet(side)
+    val nKept = kept.count()
+    // journal commits the purge atomically: from here recovery rolls
+    // FORWARD (swap + counter), never re-derives the decrement
+    val tmp = Paths.get(b,
+      s"_purge_journal.json.tmp${ProcessHandle.current.pid}")
+    Files.createDirectories(Paths.get(b))
+    Files.writeString(tmp,
+      s"""{"side": "${Paths.get(side).getFileName}", """ +
+        s""""purge_batch_id": $purgeBatchId, "n_kept": $nKept}""")
+    Files.move(tmp, Paths.get(b, "_purge_journal.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    recoverLinePurge(b) // the writer IS the first recoverer
+    nDec
+  }
+
+  private def commitLinePurge(b: String, id: Long): Unit = {
+    val meta = readMeta(b)
+    if (!meta.get("last_purge_batch_id").exists(id <= _))
+      writeMeta(b, ("last_purge_batch_id" -> id) +:
+        meta.filterNot(_._1 == "last_purge_batch_id").toSeq: _*)
+  }
+
+  /** Roll an interrupted line-purge forward: journal present → finish
+    * the dir swap (side present → swap in; absent → already swapped),
+    * commit the purge counter and n_rows from the journal, clear it.
+    * Orphan side dirs without a journal (crash before commit) are
+    * swept. No-op on a clean store.
+    */
+  private[sources] def recoverLinePurge(b: String): Unit = {
+    val jp = Paths.get(b, "_purge_journal.json")
+    def rm(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+    if (Files.exists(jp)) {
+      val txt = Files.readString(jp)
+      def field(f: String): String =
+        (s""""$f"""" + "\\s*:\\s*\"?([^\",}]+)\"?").r
+          .findFirstMatchIn(txt).map(_.group(1).trim)
+          .getOrElse(throw new IllegalStateException(
+            s"corrupt line-purge journal at $jp (missing $f)"))
+      val side = Paths.get(b, field("side"))
+      val id = field("purge_batch_id").toLong
+      val nKept = field("n_kept").toLong
+      val live = Paths.get(b, "linedf")
+      if (Files.exists(side)) {
+        rm(live)
+        if (nKept > 0)
+          Files.move(side, live,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        else rm(side) // absent dir IS the empty-store state
+      }
+      val meta = readMeta(b)
+      writeMeta(b, Seq("n_rows" -> nKept, "last_purge_batch_id" -> id)
+        ++ meta.filterNot(kv =>
+          kv._1 == "n_rows" || kv._1 == "last_purge_batch_id").toSeq: _*)
+      Files.deleteIfExists(jp)
+    }
+    // orphan side dirs: a crash before the journal committed
+    val root = Paths.get(b)
+    if (Files.exists(root) && !Files.exists(jp)) {
+      val s = Files.list(root)
+      try s.filter(p =>
+          p.getFileName.toString.startsWith("linedf__purge_"))
+        .forEach(p =>
+          org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+      finally s.close()
+    }
+  }
+
+  /** The recorded line-df frame (lh, df, batch_id, hb) — what
+    * [[lineDedupBatch]] probes; completes any interrupted erasure
+    * first. Loud on an absent layout.
+    */
+  def readLineDf(spark: SparkSession, storeKey: String): DataFrame = {
+    val b = lineBase(spark, storeKey)
+    recoverLinePurge(b)
+    require(Files.exists(Paths.get(s"$b/linedf")),
+      s"line-dedup store '$storeKey' has no linedf layout — ingest a " +
+        "first batch")
+    spark.read.parquet(s"$b/linedf")
   }
 
   /** Remove the line-df store (tests / re-ingest). */
@@ -639,6 +811,13 @@ object DedupStore {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
     rm(side)
     val victims = ids.select(ids(idCol).as(idCol)).distinct()
+    // bounded no-op probe: a purge of already-absent ids (the
+    // crash-retry / replayed-trigger case) must not pay the store
+    // rewrite — one limit-1 semi-join decides
+    if (spark.read.parquet(fpsDir)
+        .join(victims, Seq(idCol), "left_semi").limit(1)
+        .collect().isEmpty)
+      return 0L
     val kept = spark.read.parquet(fpsDir)
       .join(victims, Seq(idCol), "left_anti")
       .localCheckpoint(true)
@@ -679,6 +858,15 @@ object DedupStore {
     }
     val victims = ids.select(ids(idCol).as("doc_id")).distinct()
     val bandsDir = s"$b/bands"
+    // bounded no-op probe (both tables — a crash can strand victims
+    // in one): nothing to erase means no rewrite
+    val present = Seq(bandsDir, sigsDir)
+      .filter(d => Files.exists(Paths.get(d)))
+      .map(d => spark.read.parquet(d).select("doc_id"))
+      .reduceOption(_ unionByName _)
+      .exists(u => u.join(victims, Seq("doc_id"), "left_semi")
+        .limit(1).collect().nonEmpty)
+    if (!present) return 0L
     if (Files.exists(Paths.get(bandsDir))) {
       val side = s"$b/bands__compact"
       rm(side)

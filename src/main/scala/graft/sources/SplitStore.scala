@@ -287,6 +287,16 @@ object SplitStore {
     if (!Files.exists(Paths.get(aDir))) return 0L
     val victims = ids.select(col(ids.columns.head).as("doc_id"))
       .distinct()
+    // bounded no-op probe: already-purged ids skip the rewrite (the
+    // crash-retry / replayed-trigger case)
+    val cDirP = s"$b/conflicts"
+    val present = (Seq(aDir) ++
+        (if (Files.exists(Paths.get(cDirP))) Seq(cDirP) else Nil))
+      .map(d => spark.read.parquet(d).select("doc_id"))
+      .reduce(_ unionByName _)
+      .join(victims, Seq("doc_id"), "left_semi")
+      .limit(1).collect().nonEmpty
+    if (!present) return 0L
     def rm(p: String): Unit =
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
     def swapOrDrop(live: String, side: String, nKept: Long): Unit = {

@@ -1094,6 +1094,79 @@ class OperatorsSpec extends AnyFunSuite {
     } finally DedupStore.dropLines(spark, key)
   }
 
+  test("purgeLineContributions: erasure decrements the purged docs' " +
+      "line contributions; the purged store equals a fresh store over " +
+      "the SURVIVORS (the parity invariant); shared lines remain at " +
+      "the survivors' count; idempotent") {
+    import graft.sources.{DedupStore, IndexStore}
+    val key = "spec-linepurge://" +
+      java.nio.file.Files.createTempDirectory("linepurge").toString
+    val key2 = "spec-linepurge2://" +
+      java.nio.file.Files.createTempDirectory("linepurge2").toString
+    val b = s"/tmp/graft_dedupstore_${IndexStore.pathTag(key)}_lines"
+    def totals(dir: String): Map[Long, Long] =
+      spark.read.parquet(dir).groupBy("lh")
+        .agg(org.apache.spark.sql.functions.sum("df").as("t"))
+        .as[(Long, Long)].collect().toMap
+    val b1 = docs(1L -> "BOILER\nalpha", 2L -> "BOILER\nbeta")
+    val b2 = docs(3L -> "BOILER\ngamma", 4L -> "solo\nline")
+    try {
+      DedupStore.lineDedupBatch(spark, key, b1, batchId = 1L,
+        maxDf = 10).count()
+      DedupStore.lineDedupBatch(spark, key, b2, batchId = 2L,
+        maxDf = 10).count()
+      // purge docs 1 and 4 (their pre-deletion text supplied)
+      val victims = docs(1L -> "BOILER\nalpha", 4L -> "solo\nline")
+      val n = DedupStore.purgeLineContributions(spark, key, victims,
+        purgeBatchId = 1L)
+      assert(n === 4L) // 2 distinct lines per purged doc
+      // parity: equals a fresh store built from survivors 2 and 3
+      DedupStore.lineDedupBatch(spark, key2,
+        docs(2L -> "BOILER\nbeta"), batchId = 1L, maxDf = 10).count()
+      DedupStore.lineDedupBatch(spark, key2,
+        docs(3L -> "BOILER\ngamma"), batchId = 2L, maxDf = 10).count()
+      val b2dir = s"/tmp/graft_dedupstore_${IndexStore.pathTag(key2)}_lines"
+      assert(totals(s"$b/linedf") === totals(s"$b2dir/linedf"))
+      // BOILER (shared) survives at the survivors' df=2; the purged
+      // docs' unique lines are gone
+      val t = totals(s"$b/linedf")
+      assert(t.values.toSeq.sorted === Seq(1L, 1L, 2L))
+      // a decrement is NOT naturally idempotent — the replay guard is
+      // what makes crash-retry safe: a replayed purge id SKIPS (else
+      // it would strip the SURVIVORS' units)
+      assert(DedupStore.purgeLineContributions(spark, key, victims,
+        purgeBatchId = 1L) === 0L)
+      assert(totals(s"$b/linedf") === t)
+      // a later purge advances the counter; its replay skips too
+      val preP2 = t
+      val victims2 = docs(2L -> "BOILER\nbeta")
+      DedupStore.purgeLineContributions(spark, key, victims2,
+        purgeBatchId = 2L)
+      val afterP2 = totals(s"$b/linedf")
+      assert(afterP2.values.toSeq.sorted === Seq(1L, 1L))
+      assert(DedupStore.purgeLineContributions(spark, key, victims2,
+        purgeBatchId = 2L) === 0L)
+      assert(totals(s"$b/linedf") === afterP2)
+      assert(preP2.values.sum - afterP2.values.sum === 2L)
+      // crash window: journal committed (swap done, counter never
+      // written — the side dir is gone, live holds the new content) —
+      // the next store entry rolls the COUNTER forward from the
+      // journal, so a retry of that purge id replay-skips instead of
+      // double-decrementing the survivors
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(b, "_purge_journal.json"),
+        s"""{"side": "linedf__purge_999", "purge_batch_id": 3, """ +
+          s""""n_kept": ${afterP2.size}}""")
+      assert(DedupStore.purgeLineContributions(spark, key,
+        docs(3L -> "BOILER\ngamma"), purgeBatchId = 3L) === 0L)
+      assert(totals(s"$b/linedf") === afterP2) // survivors untouched
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(b, "_purge_journal.json")))
+    } finally {
+      DedupStore.dropLines(spark, key); DedupStore.dropLines(spark, key2)
+    }
+  }
+
   test("near-dup store crash window + compactNear/expireNear parity") {
     import graft.sources.{DedupStore, IndexStore}
     val key = "spec-nearcrash://" +
