@@ -58,6 +58,7 @@ object Governance {
       ivfSq8: Seq[String] = Nil,
       ivfPq: Seq[String] = Nil,
       ivfBq: Seq[String] = Nil,
+      opqIvfPq: Seq[String] = Nil,
       postings: Seq[String] = Nil,
       dedupSeen: Seq[String] = Nil,
       dedupNear: Seq[String] = Nil,
@@ -169,6 +170,12 @@ object Governance {
       AnnIndex.deleteIvfBq(spark, d, victims, batchId)
       receipt += (("ann_ivf_bq", d, "tombstoned", nIds))
     }
+    scope.opqIvfPq.foreach { d =>
+      // the composed layout deletes THROUGH its inner IVF-PQ store
+      AnnIndex.deleteIvfPq(spark, AnnIndex.opqIvfPqInnerKey(d),
+        victims, batchId)
+      receipt += (("ann_opq_ivf_pq", d, "tombstoned", nIds))
+    }
     scope.postings.foreach { d =>
       KeywordIndex.deletePostings(spark, d, docs, batchId = batchId)
       receipt += (("postings", d, "tombstoned", nIds))
@@ -240,6 +247,11 @@ object Governance {
       val h = AnnIndex.openIvfBq(spark, d)
       add("ann_ivf_bq", d, "lists", h.lists, "vec_id")
       add("ann_ivf_bq", d, "vecs", h.vecs, "vec_id")
+    }
+    scope.opqIvfPq.foreach { d =>
+      val h = AnnIndex.openOpqIvfPq(spark, d)
+      add("ann_opq_ivf_pq", d, "lists", h.inner.lists, "vec_id")
+      add("ann_opq_ivf_pq", d, "vecs", h.inner.vecs, "vec_id")
     }
     scope.postings.foreach { d =>
       add("postings", d, "postings",

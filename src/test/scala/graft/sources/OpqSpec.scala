@@ -101,10 +101,16 @@ class OpqSpec extends AnyFunSuite {
       .select("query_id", "rank", "vec_id")
       .collect().map(_.toSeq).toSet
     assert(served === exact)
-    // delete THROUGH the inner key; the composed query serves
-    // survivors only
-    AnnIndex.deleteIvfPq(spark, h.innerKey,
-      Seq(0L, 1L).toDF("vec_id"), batchId = Some(1L))
+    // delete through Governance.purge's composed leg (it routes to
+    // the inner key); the composed query serves survivors only and
+    // the audit proves it
+    import graft.operators.Governance
+    val scope = Governance.PurgeScope(opqIvfPq = Seq(key))
+    Governance.purge(spark, Seq(0L, 1L).toDF("vec_id"), scope,
+      batchId = Some(1L))
+    assert(Governance.audit(spark, Seq(0L, 1L).toDF("vec_id"), scope)
+      .agg(org.apache.spark.sql.functions.sum("n_served_purged"))
+      .head.getLong(0) === 0L)
     val h2 = AnnIndex.openOpqIvfPq(spark, key)
     val after = AnnIndex.queryOpqIvfPq(q, h2, k = 3, nProbe = 4, m = 32)
     assert(after.filter(col("vec_id") < 2).count() === 0L)
