@@ -371,4 +371,37 @@ object Governance {
     spark.read.parquet(s"$logDir/$table")
       .dropDuplicates() // a crash between append and meta can double
   }
+
+  /** Fold the one-file-set-per-batch append history of the purge log
+    * into few files per table — the [[graft.sources.DedupStore]]
+    * compactSeen recipe (side dir + rename swap; a crash inside a
+    * rename window loses that table's dir, which [[readPurgeLog]]
+    * fails loudly on — never a silently emptied audit trail).
+    * Compaction rewrites FILES, never records (the dropDuplicates
+    * fold it applies is exactly what [[readPurgeLog]] applies on every
+    * read); the meta and replay windows are untouched. Not safe
+    * concurrent with a purge writer.
+    */
+  def compactPurgeLog(spark: SparkSession, logDir: String,
+      numFiles: Int = 4): Unit = {
+    import java.nio.file.{Files, Paths}
+    def rm(p: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    Seq("roster", "receipt", "audit").foreach { t =>
+      val live = s"$logDir/$t"
+      if (Files.exists(Paths.get(live))) {
+        val side = s"${live}__compact"
+        val garbage = s"$live" +
+          s"__garbage_${ProcessHandle.current.pid}"
+        rm(side)
+        spark.read.parquet(live).dropDuplicates()
+          .coalesce(numFiles)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(side)
+        Files.move(Paths.get(live), Paths.get(garbage))
+        Files.move(Paths.get(side), Paths.get(live))
+        rm(garbage)
+      }
+    }
+  }
 }

@@ -187,5 +187,25 @@ class GovernanceSpec extends AnyFunSuite {
       .count() === 3L)
     assert(Governance.readPurgeLog(spark, logDir, "audit")
       .count() === 2L)
+    // compaction folds files, never records; the trail and the
+    // replay window survive
+    def nFiles(t: String): Long = {
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(logDir, t))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val rosterBefore = Governance.readPurgeLog(spark, logDir, "roster")
+      .collect().map(_.toSeq).toSet
+    val fb = nFiles("roster")
+    Governance.compactPurgeLog(spark, logDir, numFiles = 1)
+    assert(nFiles("roster") <= math.min(fb, 1L))
+    assert(Governance.readPurgeLog(spark, logDir, "roster")
+      .collect().map(_.toSeq).toSet === rosterBefore)
+    val again = Governance.purgeLogged(spark,
+      Seq(0L, 1L).toDF("doc_id"), scope, logDir, batchId = 1L)
+    assert(again.agg(sum("n_served_purged")).head.getLong(0) === 0L)
+    assert(Governance.readPurgeLog(spark, logDir, "roster")
+      .count() === 3L)
   }
 }
