@@ -76,8 +76,11 @@ object Governance {
     * replay-skip counter and [[graft.sources.Scd2Store.purgeKeys]]'
     * purge counter, so a crashed-and-retried purge (the
     * foreachBatch/idempotent-job contract) neither double-counts
-    * tombstones nor re-runs completed legs; the rewrite purges are
-    * idempotent by construction (erasing erased rows is a no-op).
+    * tombstones nor re-runs completed legs; the row-delete rewrites are
+    * idempotent by construction (erasing erased rows is a no-op; a
+    * bounded any-victim probe makes the re-run also CHEAP), and the
+    * one decrement rewrite (dedupLines) is strictly replay-guarded —
+    * see [[graft.sources.DedupStore.purgeLineContributions]].
     * Ordering: rewrites run first, tombstones last — a crash
     * mid-purge then leaves layouts that either never held the ids or
     * still hold them un-tombstoned, and the retry converges; nothing
@@ -197,8 +200,10 @@ object Governance {
     * Cost shape: ONE Spark job for the whole panel — every surface's
     * id projection semi-joins the broadcast victim set inside one
     * union plan with a single aggregate (the first cut ran one count
-    * job per surface table, ~13 driver-synchronized jobs; measured
-    * 20.6 → ~6 s on the q218 bench line).
+    * job per surface table, ~13 driver-synchronized jobs; with the
+    * purge verbs' no-op probes this took the q218 bench line from
+    * 20.6 to 10.5 s — the remainder is per-open catalog DDL and the
+    * stores' own replay verification, the certification itself).
     */
   def audit(
       spark: SparkSession,
