@@ -60,6 +60,7 @@ object Governance {
       ivfBq: Seq[String] = Nil,
       opqIvfPq: Seq[String] = Nil,
       postings: Seq[String] = Nil,
+      indexStores: Seq[String] = Nil,
       dedupSeen: Seq[String] = Nil,
       dedupNear: Seq[String] = Nil,
       dedupLines: Seq[String] = Nil,
@@ -102,6 +103,10 @@ object Governance {
       .empty[(String, String, String, Long)]
 
     // --- rewriting legs first (see ordering note above)
+    scope.indexStores.foreach { p =>
+      receipt += (("index_store", p, "rewritten",
+        IndexStore.purge(spark, p, docs)))
+    }
     scope.dedupSeen.foreach { k =>
       receipt += (("dedup_seen", k, "rewritten",
         DedupStore.purgeDocs(spark, k, docs)))
@@ -261,6 +266,12 @@ object Governance {
     scope.postings.foreach { d =>
       add("postings", d, "postings",
         KeywordIndex.openPostings(spark, d), "doc_id")
+    }
+    scope.indexStores.foreach { p =>
+      if (IndexStore.exists(p))
+        add("index_store", p, "data", IndexStore.read(spark, p),
+          "doc_id")
+      else frames += (("index_store", p, "data", victims.limit(0)))
     }
     scope.dedupSeen.foreach { k =>
       if (DedupStore.seenCount(spark, k) > 0L)

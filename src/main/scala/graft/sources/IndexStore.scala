@@ -65,6 +65,42 @@ object IndexStore {
   def exists(path: String): Boolean =
     Files.exists(Paths.get(path, "data"))
 
+  /** ERASE the given documents' rows from the simple index layout —
+    * [[graft.operators.Governance.purge]]'s leg for the flagship
+    * chunk-index sink (every chunk row, text and embedding included,
+    * is the purged document's content). Side-dir + rename swap (the
+    * DedupStore recipe: a crash inside the rename window leaves the
+    * dir absent, which [[read]] fails loudly on — never a silently
+    * emptied index); idempotent, with a bounded any-victim probe so a
+    * replayed purge skips the rewrite. Returns rows removed.
+    */
+  def purge(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "doc_id"): Long = {
+    if (!exists(path)) return 0L
+    val victims = ids.select(ids(ids.columns.head).as(idCol)).distinct()
+    val live = s"$path/data"
+    if (spark.read.parquet(live)
+        .join(victims, Seq(idCol), "left_semi").limit(1)
+        .collect().isEmpty)
+      return 0L
+    def rm(p: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    val side = s"$path/data__compact"
+    val garbage = s"$path/data__garbage_${ProcessHandle.current.pid}"
+    rm(side)
+    val before = spark.read.parquet(live).count()
+    val kept = spark.read.parquet(live)
+      .join(victims, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    kept.write.mode(SaveMode.Overwrite).parquet(side)
+    val nKept = kept.count()
+    Files.move(Paths.get(live), Paths.get(garbage))
+    if (nKept > 0) Files.move(Paths.get(side), Paths.get(live))
+    else rm(side) // absent dir IS the empty state (the expireSeen rule)
+    rm(garbage)
+    before - nKept
+  }
+
   /** O1: content-hash-gated incremental rebuild. `buildFn` chunk+embeds a
     * documents frame; only docs whose text hash is absent from the stored
     * index are rebuilt, unchanged index rows are carried over, rows for

@@ -148,6 +148,31 @@ class GovernanceSpec extends AnyFunSuite {
       === doc0Split)
   }
 
+  test("index-store leg: the flagship chunk-index sink purges its " +
+      "rows (text + embedding are the document's content); replayed " +
+      "purge skips the rewrite; audit zero") {
+    val path = java.nio.file.Files
+      .createTempDirectory("idxpurge").toString
+    val rows = Seq(
+      (1L, 0L, "alpha body", Array(1f, 0f), 11L),
+      (1L, 1L, "alpha tail", Array(0f, 1f), 11L),
+      (2L, 0L, "beta body", Array(1f, 1f), 22L))
+      .toDF("doc_id", "chunk_id", "text", "embedding", "doc_hash")
+    IndexStore.write(rows, path)
+    val scope = Governance.PurgeScope(indexStores = Seq(path))
+    val receipt = Governance.purge(spark, Seq(1L).toDF("doc_id"), scope)
+    assert(receipt.filter(col("surface") === "index_store")
+      .head.getLong(3) === 2L)
+    assert(IndexStore.read(spark, path).count() === 1L)
+    assert(Governance.audit(spark, Seq(1L).toDF("doc_id"), scope)
+      .agg(sum("n_served_purged")).head.getLong(0) === 0L)
+    // replay: the any-victim probe skips the rewrite
+    assert(IndexStore.purge(spark, path, Seq(1L).toDF("doc_id")) === 0L)
+    // purging the remainder leaves the documented absent-empty state
+    IndexStore.purge(spark, path, Seq(2L).toDF("doc_id"))
+    assert(!IndexStore.exists(path))
+  }
+
   test("purgeLogged: the compliance trail accumulates roster/receipt/" +
       "audit per batch; a replayed batch returns its STORED proof and " +
       "re-runs nothing; the log survives crash-retry without " +
