@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import graft.functions.expressions.TopKAgg.top_k
+import graft.functions.expressions.TopKDistinctAgg.top_k_distinct
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** All-pairs kNN GRAPH construction over an embedding column — every
+  * vector's k nearest neighbors, not a handful of external queries (that
+  * is [[SimilaritySearch]]'s job). The kNN graph is the foundation the
+  * curation stack builds on: semantic-dedup clustering, graph-ANN index
+  * construction, and diversity analysis all start from "each document's
+  * nearest peers".
+  *
+  * Two paths, same output shape `(src, rank, dst, score)`:
+  *
+  *  - [[exactGraph]]: brute-force n² — the fixture-scale oracle baseline,
+  *    row-guarded (`spark.graft.knn.maxExactRows`) exactly like the
+  *    all-pairs dedup paths, because at 100 TB an n² self-join is never
+  *    the plan.
+  *  - [[nnDescent]]: NN-Descent (Dong, Moses, Li — "Efficient K-Nearest
+  *    Neighbor Graph Construction for Generic Similarity Measures",
+  *    WWW 2011, public), re-derived for Spark: a neighbor-of-my-neighbor
+  *    join per round instead of the paper's per-node local loops. Each
+  *    round is O(n · maxDegree²) candidate edges keyed by node id — a
+  *    bounded equi-join shuffle, never all pairs — and empirically
+  *    converges in 3–5 rounds (the paper's result; measured on the
+  *    fixtures by the q226 recall invariant at every scale).
+  *
+  * Determinism (house discipline — no RNG anywhere): the init blocks are
+  * `xxhash64(id) mod nBlocks`, every top-k ties on (score desc, id asc),
+  * and cosine is the same double-precision kernel as the rest of the
+  * engine, so a replay run is byte-identical and DuckDB can re-verify the
+  * exact side non-circularly (q227).
+  */
+object KnnGraph {
+
+  /** Exact cosine kNN graph (self excluded). Quadratic in full mode:
+    * guarded by `spark.graft.knn.maxExactRows` (default 100k) the way
+    * `Dedup.exact`'s all-pairs paths are. Pass `sources` (a subset of
+    * the index rows) for the sampled-slice certification baseline — the
+    * only exact baseline that EXISTS at 100 TB (the ANN literature's
+    * standard recall protocol): cost n_sample × n with the sampled side
+    * broadcast, so the big side streams map-only into the bounded
+    * per-source TopKAgg.
+    */
+  def exactGraph(index: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      sources: Option[DataFrame] = None): DataFrame = {
+    if (sources.isEmpty) {
+      val maxRows = index.sparkSession.conf
+        .get("spark.graft.knn.maxExactRows", "100000").toLong
+      val n = index.count()
+      require(n <= maxRows,
+        s"exactGraph is O(n²); n=$n exceeds spark.graft.knn.maxExactRows=" +
+          s"$maxRows — use nnDescent, or certify on a sampled `sources` slice")
+    }
+    val a = broadcast(sources.getOrElse(index)
+      .select(col(idCol).as("src"), col(vecCol).as("va"),
+        VectorOps.l2Norm(col(vecCol)).as("na")))
+    val b = index.select(col(idCol).as("dst"), col(vecCol).as("vb"),
+      VectorOps.l2Norm(col(vecCol)).as("nb"))
+    val scored = b.crossJoin(a).filter(col("src") =!= col("dst"))
+      .withColumn("score",
+        when(col("na") * col("nb") === 0.0, lit(0.0))
+          .otherwise(VectorOps.dot(col("va"), col("vb"))
+            / (col("na") * col("nb"))))
+      .select("src", "dst", "score")
+    rankTopK(scored, k)
+  }
+
+  /** Approximate kNN graph via NN-Descent. Rounds of "my neighbor's
+    * neighbor is probably my neighbor":
+    *
+    *  1. Init: block vectors by `xxhash64(id, 0) mod ceil(n/blockSize)`,
+    *     all-pairs INSIDE each bounded block only, keep top-k per node —
+    *     the deterministic stand-in for the paper's random init.
+    *  2. Round r: symmetrize the graph, cap each node's neighborhood at
+    *     `maxDegree` (the paper's ρK reverse-sample — unbounded reverse
+    *     degree at a hub node is exactly what would melt a real cluster),
+    *     emit every pair of co-neighbors as a candidate edge, PLUS a
+    *     fresh re-blocking with hash seed r (a deterministic stand-in
+    *     for the paper's random long-range probes: seed-0 blocks alone
+    *     leave the graph disconnected across blocks, and co-neighbor
+    *     expansion can never cross a component boundary — measured flat
+    *     recall without this). Score by cosine (two id-keyed joins back
+    *     to the vectors), merge with the current graph, re-take top-k.
+    *  3. Repeat `rounds` times. Each round localCheckpoints (the Funnel/
+    *     clustersAlternating idiom) so plans stay flat.
+    *
+    * Shuffles are keyed by node id throughout and every per-node set is
+    * capped (blockSize, maxDegree, k), so the shape survives 1000
+    * executors: no stage ever materializes more than n·maxDegree² rows.
+    */
+  def nnDescent(index: DataFrame, k: Int, rounds: Int = 4,
+      blockSize: Int = 30, maxDegreeOpt: Option[Int] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(blockSize > k,
+      s"blockSize=$blockSize must exceed k=$k so init can seed k edges")
+    val maxDegree = maxDegreeOpt.getOrElse(2 * k)
+    val base = index.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        VectorOps.l2Norm(col(vecCol)).as("nrm"))
+      .localCheckpoint(true)
+    val n = base.count()
+    val nBlocks = math.max(1L, n / blockSize)
+
+    def score(cand: DataFrame): DataFrame =
+      cand.join(base.select(col("id").as("src"), col("vec").as("va"),
+          col("nrm").as("na")), Seq("src"))
+        .join(base.select(col("id").as("dst"), col("vec").as("vb"),
+          col("nrm").as("nb")), Seq("dst"))
+        .withColumn("score",
+          when(col("na") * col("nb") === 0.0, lit(0.0))
+            .otherwise(VectorOps.dot(col("va"), col("vb"))
+              / (col("na") * col("nb"))))
+        .select("src", "dst", "score")
+
+    // top_k_DISTINCT: the per-round merge feeds the same (src, dst)
+    // from both the current graph and the rescored candidates; folding
+    // id-dedup into the bounded buffer deletes the groupBy(src, dst)
+    // dedup exchange a plain top_k would need per round
+    def topKEdges(scored: DataFrame): DataFrame =
+      scored.groupBy("src")
+        .agg(top_k_distinct(col("score"), col("dst"), k).as("topk"))
+        .select(col("src"), explode(col("topk")).as("hit"))
+        .select(col("src"), col("hit.id").as("dst"),
+          col("hit.score").as("score"))
+
+    // seed-s blocking: within-block pairs only — O(n · blockSize) rows,
+    // never n²; each seed is an independent pseudo-random partition
+    def blockPairs(seed: Int): DataFrame = {
+      val blocked = base
+        .withColumn("blk", pmod(xxhash64(col("id"), lit(seed)), lit(nBlocks)))
+        .select("blk", "id")
+      blocked.as("x")
+        .join(blocked.as("y"), Seq("blk"))
+        .filter(col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("src"), col("y.id").as("dst"))
+    }
+    // LSH init: within-bucket pairs of `tables` sign-bit hyperplane
+    // tables (the same native bucketing the ANN paths use) — a
+    // semantically-biased seed graph, the RP-forest init of pynndescent
+    // (public) re-expressed as the engine's LSH. Bits scale with n so
+    // expected bucket size stays ~blockSize — bounded, like the blocks.
+    def lshPairs(fromTable: Int, toTable: Int): DataFrame = {
+      import graft.functions.expressions.VectorExpressions.lsh_buckets
+      val bits = math.max(1,
+        (math.log(n.toDouble / blockSize) / math.log(2.0)).ceil.toInt)
+      val ib = base.select(col("id"),
+          posexplode(lsh_buckets(col("vec"), toTable + 1, bits))
+            .as(Seq("table", "bucket")))
+        .filter(col("table") >= fromTable)
+      ib.as("x").join(ib.as("y"), Seq("table", "bucket"))
+        .filter(col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("src"), col("y.id").as("dst"))
+        .distinct()
+    }
+    // ALL rounds' LSH tables are scored once up front (same total
+    // candidate volume as one table per round, but 2 fewer stages per
+    // round and better early recall); rounds then add co-neighbor
+    // expansion + one fresh random re-block each
+    var edges = topKEdges(score(
+        lshPairs(0, rounds + 1).unionByName(blockPairs(0)).distinct()))
+      .localCheckpoint(true)
+
+    var r = 0
+    while (r < rounds) {
+      // undirected, degree-capped neighborhoods: keep each center's
+      // maxDegree BEST incident edges (score desc, id asc — ties and
+      // all) so hub nodes can't blow the co-neighbor expansion up
+      val und = edges
+        .select(col("src").as("ctr"), col("dst").as("nbr"), col("score"))
+        .unionByName(edges.select(col("dst").as("ctr"),
+          col("src").as("nbr"), col("score")))
+        .groupBy("ctr")
+        // distinct: a mutual pair arrives once per direction
+        .agg(top_k_distinct(col("score"), col("nbr"), maxDegree).as("nb"))
+        .select(col("ctr"), explode(col("nb.id")).as("nbr"))
+      // co-neighbor candidates, canonicalized then emitted both ways
+      val cand = und.as("x").join(und.as("y"), Seq("ctr"))
+        .filter(col("x.nbr") < col("y.nbr"))
+        .select(col("x.nbr").as("src"), col("y.nbr").as("dst"))
+        .distinct()
+      val candBoth = cand.unionByName(
+          cand.select(col("dst").as("src"), col("src").as("dst")))
+        .unionByName(blockPairs(r + 1))
+        .distinct()
+      // merge scored candidates with the current graph; a pair present
+      // on both sides scores identically (same kernel), and the
+      // distinct top-k folds the dedup away. Per-round localCheckpoint
+      // measured FASTER than every-other-round (16.8 → 10.6 s at
+      // n=5000): the un-materialized round's lineage re-executes inside
+      // the next round's two vector joins, costing more than the
+      // barrier saves
+      edges = topKEdges(edges.unionByName(score(candBoth)))
+        .localCheckpoint(false)
+      r += 1
+    }
+    rankTopK(edges, k)
+  }
+
+  /** Mutual-kNN edge extraction: canonical (doc_id_a < doc_id_b) pairs
+    * where BOTH directions survive the graph's top-k and the score meets
+    * `minScore` — the standard sparsifier that turns a kNN graph into
+    * clustering input (feed the result to `Dedup.clustersAlternating`).
+    * One self-join keyed by the reversed pair; no new scoring.
+    */
+  def mutualEdges(graph: DataFrame, minScore: Double = 0.0): DataFrame =
+    graph.select("src", "dst", "score").as("f")
+      .join(graph.select(col("src").as("dst"), col("dst").as("src")).as("r"),
+        Seq("src", "dst"))
+      .filter(col("src") < col("dst") && col("score") >= minScore)
+      .select(col("src").as("doc_id_a"), col("dst").as("doc_id_b"),
+        col("score"))
+
+  /** (src, rank, dst, score) with rank 1..k per src — ties (score desc,
+    * dst asc), the [[SimilaritySearch.bruteForceTopKAgg]] convention.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("src")
+      .agg(top_k(col("score"), col("dst"), k).as("topk"))
+      .select(col("src"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("src"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("dst"), col("hit.score").as("score"))
+}

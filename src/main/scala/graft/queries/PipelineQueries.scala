@@ -2452,6 +2452,156 @@ object PipelineQueries {
           (abs(sum("prob") - 1.0) < 1e-6).as("prob_sum_ok")))
     }),
 
+    // ALL-PAIRS kNN GRAPH via NN-Descent (round-12, Dong et al. WWW'11):
+    // every document's k=8 nearest peers by embedding cosine, built in
+    // 5 bounded neighbor-of-my-neighbor rounds — never an n² self-join.
+    // Recall is certified on a SAMPLED source slice (every 5th doc):
+    // the exact side is a queries-side brute force (n_sample × n, the
+    // sampled side broadcast) because that is the only exact baseline
+    // that exists at 100 TB — the ANN literature's standard protocol,
+    // and the q103-class discipline here. Floor 0.90; measured 0.995 /
+    // 0.995 / 0.945 at the three scales (KnnTune, rounds=4;
+    // deterministic — no RNG anywhere, so the number is exact per
+    // fixture, not a distribution). Runs on EMBEDDED DOCUMENT TEXT: the random-noise
+    // embeddings fixture is the measured pathological case (within-
+    // label cosine ≡ across-label, so there are no neighborhoods for
+    // descent to exploit — the paper's high-dimension collapse), while
+    // document embeddings carry real token-overlap structure, which is
+    // the operator's actual use (semantic dedup, graph-ANN build).
+    "q226_knn_descent" -> ((s, dir) => {
+      import graft.operators.KnnGraph
+      // repartition BEFORE embedding: the small parquet reads as one
+      // split, which would serialize the embed pass and every
+      // downstream vector join on a single task
+      val emb = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id").as("vec_id"),
+          graft.rag.Embedder.embedCol(col("text")).as("embedding"))
+        .localCheckpoint(true)
+      val k = 8
+      val sampled = emb.filter(col("vec_id") % 5 === 0)
+      val exact = KnnGraph.exactGraph(emb, k, sources = Some(sampled))
+        .select("src", "dst").localCheckpoint(true)
+      val approx = KnnGraph.nnDescent(emb, k, rounds = 4, blockSize = 50,
+        maxDegreeOpt = Some(24)).select("src", "dst")
+        .join(sampled.select(col("vec_id").as("src")), Seq("src"),
+          "left_semi")
+      emb.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(exact.agg(countDistinct("src").as("n_sampled"),
+          count(lit(1)).as("n_exact")))
+        .crossJoin(exact.join(approx, Seq("src", "dst"), "left_semi")
+          .agg(count(lit(1)).as("hits")))
+        .select(col("n_docs"), col("n_sampled"), col("n_exact"),
+          (col("hits") >= col("n_exact") * 0.90).as("recall_ok"))
+    }),
+
+    // MUTUAL-kNN CLUSTERING, fully DuckDB-replayed (round-12): the
+    // exact k=6 cosine kNN graph over the embeddings fixture,
+    // sparsified to canonical mutual edges at score >= 0.25, then
+    // connected components — the standard kNN-graph consumer chain
+    // (graph → mutual sparsifier → Dedup.clustersAlternating). The
+    // oracle recomputes EVERYTHING non-circularly: the n² cosine
+    // ranking (window over the cross join — q69 pinned that the double
+    // kernel matches DuckDB bit-for-bit), the mutuality self-join, and
+    // the recursive-CTE reachability (the q80 discipline).
+    "q227_mutual_knn_cc" -> ((s, dir) => {
+      import graft.operators.KnnGraph
+      val emb = t(s, dir, "embeddings")
+      val g = KnnGraph.exactGraph(emb, k = 6)
+      val mutual = KnnGraph.mutualEdges(g, minScore = 0.25)
+        .select("doc_id_a", "doc_id_b")
+      Dedup.clustersAlternating(mutual).select("doc_id", "cluster_id")
+    }),
+
+    // LATE-INTERACTION (ColBERT MaxSim) retrieval invariants (round-12,
+    // Khattab & Zaharia SIGIR'20): the retrieval queries tokenized to
+    // word vectors, documents as their chunk-embedding SETS, score =
+    // Σ_token max_chunk cosine. The q65 invariant panel (k hits, dense
+    // ranks, monotone scores, chunk count replayed by the recursive-
+    // chunker CTE) plus the REDUCTION law that pins the scoring
+    // algebra: for single-token queries MaxSim collapses to max-chunk-
+    // cosine doc ranking, which is computed here from the engine's own
+    // primitives (per-doc max over chunk cosines → top-k) — zero
+    // symmetric difference, every fixture scale.
+    "q228_maxsim" -> ((s, dir) => {
+      import graft.operators.LateInteraction
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200).localCheckpoint(true)
+      val qt = LateInteraction.queryTokens(retrievalQueryDf(s))
+        .localCheckpoint(true)
+      val hits = LateInteraction.maxSimTopK(qt, index, k = 4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      val panel = hits
+        .withColumn("prev_score", lag(col("score"), 1).over(w))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_hits"),
+          (min("rank") === 1 && max("rank") === 4 &&
+            countDistinct("rank") === 4).as("ranks_ok"),
+          min(coalesce(col("score") <= col("prev_score"), lit(true)))
+            .as("scores_monotonic"))
+      // single-token reduction: qpos=0 slice of each query vs the
+      // composed max-chunk-cosine ranking of the same one-word queries
+      val qt1 = qt.filter(col("qpos") === 0)
+      val single = LateInteraction.maxSimTopK(qt1, index, k = 4)
+        .select("query_id", "rank", "doc_id")
+      val qn = broadcast(qt1.select(col("query_id"), col("qvec"),
+        graft.functions.VectorOps.l2Norm(col("qvec")).as("qnrm")))
+      val composed = index
+        .select(col("doc_id"), col("embedding"),
+          graft.functions.VectorOps.l2Norm(col("embedding")).as("dnrm"))
+        .crossJoin(qn)
+        .withColumn("cos",
+          when(col("dnrm") * col("qnrm") === 0.0, lit(0.0))
+            .otherwise(graft.functions.VectorOps
+              .dot(col("embedding"), col("qvec"))
+              / (col("dnrm") * col("qnrm"))))
+        .groupBy("query_id", "doc_id").agg(max("cos").as("score"))
+        .groupBy("query_id")
+        .agg(graft.functions.expressions.TopKAgg
+          .top_k(col("score"), col("doc_id"), 4).as("topk"))
+        .select(col("query_id"),
+          posexplode(col("topk")).as(Seq("pos", "hit")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("hit.id").as("doc_id"))
+      panel
+        .crossJoin(index.agg(countDistinct("chunk_id")
+          .as("n_index_chunks")))
+        .crossJoin(single.exceptAll(composed)
+          .unionByName(composed.exceptAll(single))
+          .agg(count(lit(1)).as("n_diff_single")))
+        .select(col("query_id"), col("n_hits"), col("ranks_ok"),
+          col("scores_monotonic"), col("n_index_chunks"),
+          col("n_diff_single"))
+    }),
+
+    // MaxSim SERVING composition (round-12): the two-stage ColBERT
+    // architecture — mean-pooled single-vector fetch (VectorMeanAgg ×
+    // bounded TopKAgg) then exact MaxSim over ONLY the fetched
+    // candidates' chunks — must be output-identical to the full-scan
+    // MaxSim at the shipped fetch depth. MaxSimTune measured the
+    // required depth (max first-stage rank of any full-scan winner) at
+    // 31 / 96 / 128 across the three scales; 192 is the 1.5×-margin
+    // operating point (the q103-class recall-1.0 discipline: certify a
+    // new depth the same way before serving it). The depth is honest
+    // evidence that mean-pooling is a LOSSY proxy — exactly why the
+    // exact-MaxSim second stage exists.
+    "q229_maxsim_rerank" -> ((s, dir) => {
+      import graft.operators.LateInteraction
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200).localCheckpoint(true)
+      val qt = LateInteraction.queryTokens(retrievalQueryDf(s))
+        .localCheckpoint(true)
+      def key(df: DataFrame) = df.select("query_id", "rank", "doc_id")
+      val full = key(LateInteraction.maxSimTopK(qt, index, k = 4))
+      val cand = LateInteraction.meanPoolCandidates(qt, index, fetchK = 192)
+      val served = key(LateInteraction.maxSimRerank(qt, index, cand, k = 4))
+      full.agg(count(lit(1)).as("n_full"),
+          countDistinct("query_id").as("n_queries"))
+        .crossJoin(served.exceptAll(full).unionByName(full.exceptAll(served))
+          .agg(count(lit(1)).as("n_diff")))
+    }),
+
     // BATCH QUARANTINE ROUTING under the oracle gate (round-11,
     // completing the contract-gate family): route() splits events on
     // the value cap — trusted main, quarantined violations (never
@@ -7285,6 +7435,56 @@ object PipelineQueries {
         |  CAST(0 AS BIGINT) AS n_missing_chars,
         |  true AS vocab_bounded,
         |  true AS prob_sum_ok""".stripMargin,
+    // MaxSim invariants: the q65 panel shape + the single-token
+    // reduction law's zero diff; chunk count replayed by the
+    // recursive-chunker CTE
+    "q228_maxsim" ->
+      s"""${chunkCtePrefix(200)}
+        |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+        |  CAST(4 AS BIGINT) AS n_hits,
+        |  true AS ranks_ok, true AS scores_monotonic,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM st WHERE chunk IS NOT NULL) AS n_index_chunks,
+        |  CAST(0 AS BIGINT) AS n_diff_single
+        |FROM (VALUES (1), (2), (3), (4), (5)) AS q(query_id)""".stripMargin,
+    // two-stage MaxSim serving ≡ full scan at the certified fetch depth
+    "q229_maxsim_rerank" ->
+      """SELECT CAST(20 AS BIGINT) AS n_full,
+        |CAST(5 AS BIGINT) AS n_queries,
+        |CAST(0 AS BIGINT) AS n_diff""".stripMargin,
+    // NN-Descent recall: counts replayed (n·k exact edges), the 0.90
+    // floor measured with margin in KnnTune (deterministic — no RNG)
+    "q226_knn_descent" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(count(*) FILTER (doc_id % 5 = 0) AS BIGINT) AS n_sampled,
+        |CAST(8 * count(*) FILTER (doc_id % 5 = 0) AS BIGINT) AS n_exact,
+        |true AS recall_ok
+        |FROM documents""".stripMargin,
+    // mutual-kNN clustering recomputed non-circularly end-to-end:
+    // exact cosine ranking, mutuality self-join, recursive-CTE CC
+    "q227_mutual_knn_cc" ->
+      """WITH RECURSIVE ev AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    CASE WHEN sqrt(list_dot_product(a.v, a.v))
+        |           * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0
+        |      ELSE list_dot_product(a.v, b.v)
+        |        / (sqrt(list_dot_product(a.v, a.v))
+        |           * sqrt(list_dot_product(b.v, b.v))) END AS score
+        |  FROM ev a JOIN ev b ON a.vec_id <> b.vec_id),
+        |g AS (SELECT src, dst, score, row_number() OVER (
+        |    PARTITION BY src ORDER BY score DESC, dst) AS rnk FROM sc),
+        |knn AS (SELECT src, dst, score FROM g WHERE rnk <= 6),
+        |mut AS (SELECT x.src AS a0, x.dst AS b0 FROM knn x
+        |  JOIN knn y ON x.src = y.dst AND x.dst = y.src
+        |  WHERE x.src < x.dst AND x.score >= 0.25),
+        |edges AS (SELECT a0 AS a, b0 AS b FROM mut
+        |  UNION SELECT b0, a0 FROM mut),
+        |reach AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e2.b FROM reach r
+        |    JOIN edges e2 ON r.b = e2.a WHERE r.a != e2.b)
+        |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY a""".stripMargin,
     // cross-store purge: the audit zeros are the served-nowhere proof
     // (13 surface tables across 8 layouts); the rewrite proofs replay
     // — fps rows = content groups whose min-id keeper survived,

@@ -1,0 +1,112 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.{Dedup, KnnGraph}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** NN-Descent operating-point sweep: recall vs exact kNN graph per
+  * round, at each (k, blockSize, maxDegree) — the measured table behind
+  * the q226 recall floor (the AnnTune/DedupTune discipline: assert only
+  * what was measured, with margin). Run:
+  *
+  *   sbt "runMain graft.tools.KnnTune /root/testdata/sf0.01"
+  */
+object KnnTune {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // `docs` as 2nd arg prefix: kNN graph over EMBEDDED DOCUMENT TEXT
+    // (the structured real-world case) instead of the random-noise
+    // embeddings fixture (the measured pathological case — within-label
+    // and across-label cosine are identical there).
+    val useDocs = args.length > 1 && args(1).startsWith("docs")
+    val emb = (if (useDocs) {
+      import graft.rag.Embedder
+      Tables.load(spark, sfDir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id").as("vec_id"),
+          Embedder.embedCol(col("text")).as("embedding"))
+    } else Tables.load(spark, sfDir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism))
+      .localCheckpoint(true)
+    val n = emb.count()
+
+    // nnonly: time each stage of the q226 body separately
+    if (args.length > 1 && args(1).endsWith("nnonly")) {
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"STAGE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val base = timed("checkpoint-base") { emb }
+      val sampled = base.filter(col("vec_id") % 5 === 0)
+      val exact = timed("exact-sampled") {
+        KnnGraph.exactGraph(base, 8, sources = Some(sampled))
+          .select("src", "dst").localCheckpoint(true)
+      }
+      timed("exact-count") { exact.count() }
+      val approx = timed("nnDescent-build+materialize") {
+        KnnGraph.nnDescent(base, 8, rounds = 5, blockSize = 50,
+          maxDegreeOpt = Some(24)).localCheckpoint(true)
+      }
+      timed("recall-join") {
+        println(exact.join(approx.select("src", "dst"),
+          Seq("src", "dst"), "left_semi").count())
+      }
+      spark.stop(); return
+    }
+
+    // point mode: one (k, rounds, block, maxDegree) cell, recall per round
+    if (args.length > 1 && args(1).endsWith("point")) {
+      val k = args(2).toInt; val block = args(4).toInt
+      val maxDeg = args(5).toInt
+      val exact = KnnGraph.exactGraph(emb, k).select("src", "dst")
+        .localCheckpoint(true)
+      val nExact = exact.count()
+      for (rounds <- 1 to args(3).toInt) {
+        val t0 = System.nanoTime()
+        val approx = KnnGraph.nnDescent(emb, k, rounds = rounds,
+          blockSize = block, maxDegreeOpt = Some(maxDeg))
+          .select("src", "dst")
+        val hits = exact.join(approx, Seq("src", "dst"), "left_semi").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"POINT n=$n k=$k rounds=$rounds block=$block deg=$maxDeg " +
+          f"recall=${hits.toDouble / nExact}%.4f  (${secs}%.1f s)")
+      }
+      spark.stop(); return
+    }
+
+    for (k <- Seq(4, 6, 8)) {
+      val exact = KnnGraph.exactGraph(emb, k).select("src", "dst")
+        .localCheckpoint(true)
+      val nExact = exact.count()
+      for (rounds <- Seq(1, 2, 3, 4, 5); blockSize <- Seq(20, 30, 50)) {
+        val t0 = System.nanoTime()
+        val approx = KnnGraph.nnDescent(emb, k, rounds = rounds,
+          blockSize = blockSize).select("src", "dst")
+        val hits = exact.join(approx, Seq("src", "dst"), "left_semi").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"n=$n k=$k rounds=$rounds block=$blockSize " +
+          f"recall=${hits.toDouble / nExact}%.4f  (${secs}%.1f s)")
+      }
+    }
+    // mutual-kNN clustering shape at the shipped point
+    val g = KnnGraph.nnDescent(emb, 6, rounds = 4, blockSize = 30)
+    val cl = Dedup.clustersAlternating(
+      KnnGraph.mutualEdges(g, minScore = 0.0)
+        .select("doc_id_a", "doc_id_b"))
+    val summary = cl.groupBy("cluster_id").count()
+      .agg(count(lit(1)).as("n_clusters"), max("count").as("max_size"))
+      .head()
+    println(s"mutual-kNN clusters: $summary")
+    spark.stop()
+  }
+}
