@@ -2453,7 +2453,7 @@ object AnnIndex {
     * verbs. Rows land bucketed by vec_id so the float-table anti-join
     * stays shuffle-free on the index side.
     */
-  private def writeTombs(spark: SparkSession, base: String, table: String,
+  private[sources] def writeTombs(spark: SparkSession, base: String, table: String,
       batch: DataFrame, storageBuckets: Int): Unit = {
     // meta is the tombstone commit point: sweep any orphan dir a
     // crashed delete left (appended but never committed) before this

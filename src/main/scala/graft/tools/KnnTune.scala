@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
 object KnnTune {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "16")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        math.max(16, cpus.toInt).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,6 +62,42 @@ object KnnTune {
       timed("recall-join") {
         println(exact.join(approx.select("src", "dst"),
           Seq("src", "dst"), "left_semi").count())
+      }
+      spark.stop(); return
+    }
+
+    // search mode: graphSearch recall vs exact, per (beam, rounds)
+    if (args.length > 1 && args(1).endsWith("search")) {
+      // HELD-OUT protocol: query docs are excluded from the index (a
+      // corpus-member query is degenerate — its own node seeds via LSH
+      // and its exact out-edges ARE the answer; measured recall 1.0
+      // at every operating point, i.e. no measurement at all)
+      val q = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec")).localCheckpoint(true)
+      val idx = emb.filter(col("vec_id") % 25 =!= 0).localCheckpoint(true)
+      val exact = graft.operators.SimilaritySearch
+        .bruteForceTopK(q, idx, k = 4)
+        .select("query_id", "vec_id").localCheckpoint(true)
+      val nExact = exact.count()
+      val tg0 = System.nanoTime()
+      // `nnsearch`: the approximate (NN-Descent) graph — what the
+      // persisted GraphIndex layout actually serves
+      val graphE = (if (args(1).contains("nn"))
+          KnnGraph.nnDescent(idx, 8, rounds = 4, blockSize = 50,
+            maxDegreeOpt = Some(24))
+        else KnnGraph.exactGraph(idx, 8))
+        .select("src", "dst").localCheckpoint(true)
+      println(f"SEARCH graph-build ${(System.nanoTime() - tg0) / 1e9}%.1f s")
+      for (beam <- Seq(8, 16, 32); rounds <- Seq(2, 3, 4)) {
+        val t0 = System.nanoTime()
+        val got = KnnGraph.graphSearch(q, idx, graphE, k = 4,
+          beam = beam, rounds = rounds).select("query_id", "vec_id")
+        val hits = exact.join(got, Seq("query_id", "vec_id"), "left_semi")
+          .count()
+        println(f"SEARCH n=$n beam=$beam rounds=$rounds " +
+          f"recall=${hits.toDouble / nExact}%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
       }
       spark.stop(); return
     }

@@ -69,6 +69,26 @@ class KnnGraphSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.knn.maxExactRows")
   }
 
+  test("graphSearch: held-out query walks the undirected graph to the " +
+      "exact answer, output matches brute force") {
+    // 40 clustered points (the convergence fixture below); hold out 4
+    val pts = (0 until 40).map { i =>
+      val theta = (i % 4) * 1.5 + (i / 4) * 0.01
+      (i.toLong, Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    val q = pts.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val idx = pts.filter(col("vec_id") % 10 =!= 0)
+    val graph = KnnGraph.exactGraph(idx, k = 3).select("src", "dst")
+    val exact = SimilaritySearch.bruteForceTopK(q, idx, k = 2)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val served = KnnGraph.graphSearch(q, idx, graph, k = 2, beam = 8,
+      rounds = 3).select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(served === exact)
+  }
+
   test("nnDescent on a blocked corpus still finds cross-block neighbors " +
       "(the rotating-probe legs) and every node keeps exactly k edges") {
     // 40 points in 4 tight angular clusters; with blockSize 8 the init
