@@ -59,6 +59,7 @@ object Governance {
       ivfPq: Seq[String] = Nil,
       ivfBq: Seq[String] = Nil,
       opqIvfPq: Seq[String] = Nil,
+      graphs: Seq[String] = Nil,
       postings: Seq[String] = Nil,
       indexStores: Seq[String] = Nil,
       dedupSeen: Seq[String] = Nil,
@@ -184,6 +185,12 @@ object Governance {
         victims, batchId)
       receipt += (("ann_opq_ivf_pq", d, "tombstoned", nIds))
     }
+    scope.graphs.foreach { d =>
+      // graph tombstones cover results AND routing (both edge
+      // endpoints anti-joined); replayed ids fold away inside the verb
+      GraphIndex.deleteGraph(spark, d, victims)
+      receipt += (("ann_graph", d, "tombstoned", nIds))
+    }
     scope.postings.foreach { d =>
       KeywordIndex.deletePostings(spark, d, docs, batchId = batchId)
       receipt += (("postings", d, "tombstoned", nIds))
@@ -262,6 +269,14 @@ object Governance {
       val h = AnnIndex.openOpqIvfPq(spark, d)
       add("ann_opq_ivf_pq", d, "lists", h.inner.lists, "vec_id")
       add("ann_opq_ivf_pq", d, "vecs", h.inner.vecs, "vec_id")
+    }
+    scope.graphs.foreach { d =>
+      val h = GraphIndex.openGraph(spark, d)
+      add("ann_graph", d, "vecs", h.vecs, "vec_id")
+      // a purged id must appear at NEITHER edge endpoint — routing
+      // through a tombstoned node is also a serve
+      add("ann_graph", d, "edges_src", h.edges.select(col("src")), "src")
+      add("ann_graph", d, "edges_dst", h.edges.select(col("dst")), "dst")
     }
     scope.postings.foreach { d =>
       add("postings", d, "postings",

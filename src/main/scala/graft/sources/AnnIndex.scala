@@ -2663,7 +2663,7 @@ object AnnIndex {
     * the tombstone FOLD path passes the anti-joined live set, which is
     * materialized while the old dir is still in place, then swapped.
     */
-  private def compactBucketed(spark: SparkSession, base: String,
+  private[sources] def compactBucketed(spark: SparkSession, base: String,
       table: String, sub: String, key: String, buckets: Int,
       content: Option[DataFrame] = None): Unit = {
     sweepStaleCompaction(base, sub)

@@ -204,6 +204,20 @@ object GraphIndex {
     val meta = readMeta(base)
     require(meta.contains("k"), s"no committed graph index at $base")
     val buckets = meta.getOrElse("buckets", 8L).toInt
+    if (registered(spark, tag)) {
+      // a writer in ANOTHER session (a streaming foreachBatch clone, a
+      // concurrent process) invalidates only its own relation cache on
+      // append — refresh so this reader's file listing is current; and
+      // tombstones may have (dis)appeared under another session's
+      // delete — re-derive the registration from the store (the
+      // openLsh discipline)
+      spark.catalog.refreshTable(s"graft_graph_edges_$tag")
+      spark.catalog.refreshTable(s"graft_graph_vecs_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_graph_tombs_$tag")
+      if (tombsServable(spark, base))
+        registerExternal(spark, s"graft_graph_tombs_$tag", s"$base/tombs",
+          clusteredBy = Some(("vec_id", buckets)))
+    }
     require(servable(spark, Seq(s"$base/edges", s"$base/vecs"),
       registered(spark, tag), () => attach(spark, tag, buckets)),
       s"graph layout at $base is not servable")
@@ -275,13 +289,73 @@ object GraphIndex {
     fresh.write.mode(SaveMode.Append)
       .bucketBy(storageBuckets, "vec_id").sortBy("vec_id")
       .format("parquet").saveAsTable(s"graft_graph_vecs_$tag")
+    // snapshot_id dropped: the layout moved AHEAD of the snapshot (the
+    // upsertLsh rule) — freshness falls back to the exact xor'd
+    // fingerprint
     commitMeta(spark, base, k, meta("rounds").toInt,
       meta("block_size").toInt, meta("max_degree").toInt,
       meta("buckets").toInt, meta("n_rows") + nNew,
-      meta("checksum") ^ fpNew, readMetaStrs(base).get("snapshot_id"),
+      meta("checksum") ^ fpNew, snapshotId = None,
       tombRows = meta.getOrElse("tomb_rows", 0L),
       lastBatchId = batchId.orElse(meta.get("last_batch_id")))
     handle(spark, tag, k)
+  }
+
+  /** Compact the persisted graph layout: fold committed tombstones
+    * physically (vecs minus victims; edges minus ANY row touching a
+    * victim at either endpoint) and rewrite both tables' accumulated
+    * per-trigger file sets at the same bucketing — the compactLsh
+    * recipe (side dir + atomic swap, crash leaves the live layout or a
+    * missing dir the ensure path treats as stale). After the fold the
+    * layout is tombFree: previously-deleted ids may honestly RE-ADMIT
+    * via upsert (the DedupStore re-admission rule), and ensure's
+    * freshness contract sees a clean layout again.
+    */
+  def compactGraph(spark: SparkSession, sourceDir: String): GraphHandle = {
+    import AnnIndex.compactBucketed
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = gBase(spark, tag)
+    openGraph(spark, sourceDir) // validates meta + attaches + refreshes
+    val meta = readMeta(base)
+    val sb = meta.getOrElse("buckets", 8L).toInt
+    val folding = meta.get("tomb_rows").exists(_ > 0L) &&
+      spark.catalog.tableExists(s"graft_graph_tombs_$tag")
+    def foldVecs(df: DataFrame) =
+      if (folding)
+        df.join(spark.table(s"graft_graph_tombs_$tag"), Seq("vec_id"),
+          "left_anti")
+      else df
+    def foldEdges(df: DataFrame) =
+      if (folding) {
+        val t = spark.table(s"graft_graph_tombs_$tag")
+        df.join(broadcast(t.select(col("vec_id").as("src"))), Seq("src"),
+            "left_anti")
+          .join(broadcast(t.select(col("vec_id").as("dst"))), Seq("dst"),
+            "left_anti")
+      } else df
+    compactBucketed(spark, base, s"graft_graph_edges_$tag", "edges",
+      "src", sb, Some(foldEdges(spark.table(s"graft_graph_edges_$tag"))))
+    compactBucketed(spark, base, s"graft_graph_vecs_$tag", "vecs",
+      "vec_id", sb,
+      Some(foldVecs(spark.table(s"graft_graph_vecs_$tag"))))
+    if (folding) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_graph_tombs_$tag")
+      val tombDir = Paths.get(base, "tombs")
+      if (Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
+    }
+    attach(spark, tag, sb)
+    if (folding) {
+      val (n, fp) = fingerprint(spark.table(s"graft_graph_vecs_$tag")
+        .select("vec_id", "embedding"))
+      // snapshot_id stays dropped (the delete already dropped it): the
+      // folded layout is source-minus-victims, not the snapshot
+      commitMeta(spark, base, meta("k").toInt, meta("rounds").toInt,
+        meta("block_size").toInt, meta("max_degree").toInt, sb, n, fp,
+        snapshotId = None, tombRows = 0L,
+        lastBatchId = meta.get("last_batch_id"))
+    }
+    handle(spark, tag, meta("k").toInt)
   }
 
   /** Tombstone deletes: ids land in tombs/, committed via the meta's
@@ -313,10 +387,14 @@ object GraphIndex {
     AnnIndex.writeTombs(spark, base, s"graft_graph_tombs_$tag", del,
       storageBuckets)
     val total = meta.getOrElse("tomb_rows", 0L) + nDel
+    // snapshot_id DROPPED (the deleteLsh rule): the layout moved past
+    // the snapshot, and a later compact-fold makes it source-minus-
+    // victims — a snapshot-trusting ensure must re-fingerprint, not
+    // serve the smaller layout as the full source
     commitMeta(spark, base, meta("k").toInt, meta("rounds").toInt,
       meta("block_size").toInt, meta("max_degree").toInt,
       meta("buckets").toInt, meta("n_rows"), meta("checksum"),
-      readMetaStrs(base).get("snapshot_id"), tombRows = total,
+      snapshotId = None, tombRows = total,
       lastBatchId = meta.get("last_batch_id"))
     total
   }

@@ -1273,6 +1273,34 @@ object StreamOps {
         }
       }
 
+  /** Streaming vector ingest into the persisted GRAPH index — the
+    * foreachBatch closure of [[graft.sources.GraphIndex.upsertGraph]]
+    * under trigger ids: each micro-batch of (vec_id, embedding) rows
+    * is searched into the graph (the HNSW-insert idea — O(batch ·
+    * search), never a rebuild) and appended undirected, so replay-skip
+    * and crash-retry idempotence are the store's own batchId contract.
+    * The graph must exist (ensureGraph the base corpus first) —
+    * upsert's loud guards (unreadable layout, tombstoned re-add)
+    * propagate and kill the stream, the correct failure mode for an
+    * index that would otherwise silently diverge from its meta.
+    */
+  def streamingGraphUpsert(
+      vecs: DataFrame,
+      sourceDir: String,
+      beam: Int = 32,
+      rounds: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.GraphIndex.upsertGraph(batch.sparkSession,
+            sourceDir, batch.toDF(), beam = beam, rounds = rounds,
+            batchId = Some(id))
+          ()
+        }
+      }
+
   final case class ChangeRow(key: Long, ts: Timestamp, value: String)
   final case class Scd2Closed(key: Long, value: String,
       valid_from: Timestamp, valid_to: Timestamp)

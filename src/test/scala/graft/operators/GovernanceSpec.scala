@@ -173,6 +173,38 @@ class GovernanceSpec extends AnyFunSuite {
     assert(!IndexStore.exists(path))
   }
 
+  test("graph-index leg: purge tombstones the graph layout (results " +
+      "AND both edge endpoints audited); replayed purge folds away; " +
+      "victims' own vectors retrieve survivors only") {
+    import graft.sources.GraphIndex
+    val key = s"gv-$runTag-graph"
+    val pts = (0 until 48).map { i =>
+      val theta = (i % 4) * 1.5 + (i / 4) * 0.01
+      (i.toLong, Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }.toDF("vec_id", "embedding")
+    GraphIndex.ensureGraph(spark, key, pts, k = 4, rounds = 2,
+      blockSize = 16, maxDegree = 12)
+    val scope = Governance.PurgeScope(graphs = Seq(key))
+    val victims = Seq(0L, 4L, 8L).toDF("doc_id")
+    val receipt = Governance.purge(spark, victims, scope)
+    assert(receipt.filter(col("surface") === "ann_graph")
+      .head.getLong(3) === 3L)
+    // served-nowhere across vecs AND both edge endpoints
+    assert(Governance.audit(spark, victims, scope)
+      .agg(sum("n_served_purged")).head.getLong(0) === 0L)
+    // replayed purge folds away: tomb_rows stable
+    Governance.purge(spark, victims, scope)
+    assert(GraphIndex.graphMeta(spark, key)("tomb_rows") === 3L)
+    // the victims' own vectors (the likeliest probes) serve survivors
+    val probes = pts.filter(col("vec_id").isin(0L, 4L, 8L))
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val got = GraphIndex.queryGraph(spark, key, probes, k = 2,
+      beam = 8, rounds = 3)
+    assert(got.filter(col("vec_id").isin(0L, 4L, 8L)).count() === 0L)
+    assert(got.count() > 0L)
+  }
+
   test("purgeLogged: the compliance trail accumulates roster/receipt/" +
       "audit per batch; a replayed batch returns its STORED proof and " +
       "re-runs nothing; the log survives crash-retry without " +

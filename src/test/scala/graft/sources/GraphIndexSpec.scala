@@ -114,6 +114,30 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tombstoned"))
   }
 
+  test("compactGraph folds tombstones physically: served view " +
+      "unchanged, layout tombFree, deleted id honestly re-admits") {
+    val key = s"gspec-$runTag-f"
+    GraphIndex.ensureGraph(spark, key, base, k = 4, rounds = 2,
+      blockSize = 16, maxDegree = 12)
+    GraphIndex.deleteGraph(spark, key, Seq(2L, 6L).toDF("vec_id"))
+    val q = queriesOf(base.filter(col("vec_id") % 15 === 1))
+    val beforeFold = hits(GraphIndex.queryGraph(spark, key, q, k = 2,
+      beam = 8, rounds = 3))
+    val h = GraphIndex.compactGraph(spark, key)
+    assert(GraphIndex.graphMeta(spark, key)("tomb_rows") === 0L)
+    assert(h.vecs.count() === 58L)
+    // no physical row still touches a victim
+    assert(h.edges.filter(col("src").isin(2L, 6L) ||
+      col("dst").isin(2L, 6L)).count() === 0L)
+    // the fold changes bytes, not the served view
+    assert(hits(GraphIndex.queryGraph(spark, key, q, k = 2, beam = 8,
+      rounds = 3)) === beforeFold)
+    // a folded layout honestly re-admits the erased id
+    GraphIndex.upsertGraph(spark, key, pts(2 until 3), batchId = Some(5L))
+    assert(GraphIndex.openGraph(spark, key).vecs
+      .filter(col("vec_id") === 2L).count() === 1L)
+  }
+
   test("crashed delete (tombs appended, meta never committed) is swept, " +
       "not served") {
     val key = s"gspec-$runTag-e"

@@ -842,6 +842,50 @@ class StreamOpsSpec extends AnyFunSuite {
     q3.stop()
   }
 
+  test("streamingGraphUpsert: micro-batched vectors are searched into " +
+      "the persisted graph per trigger; a restarted stream's replayed " +
+      "trigger ids skip; the ingested nodes serve") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.GraphIndex
+    val key = s"graphs-${java.util.UUID.randomUUID.toString.take(8)}"
+    def vec(i: Long) = {
+      val theta = (i % 4) * 1.5 + (i / 4) * 0.01
+      (i, Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }
+    GraphIndex.ensureGraph(spark, key,
+      (0L until 40L).map(vec).toDF("vec_id", "embedding"),
+      k = 4, rounds = 2, blockSize = 16, maxDegree = 12)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.streamingGraphUpsert(
+      mem.toDF().toDF("vec_id", "embedding"), key, beam = 8,
+      rounds = 2).start()
+    mem.addData(vec(40L), vec(41L))
+    q.processAllAvailable()
+    mem.addData(vec(42L), vec(43L))
+    q.processAllAvailable()
+    q.stop()
+    assert(GraphIndex.openGraph(spark, key).vecs.count() === 44L)
+    // restarted stream replays trigger ids from 0: the store skips
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamOps.streamingGraphUpsert(
+      mem2.toDF().toDF("vec_id", "embedding"), key, beam = 8,
+      rounds = 2).start()
+    mem2.addData(vec(40L), vec(41L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(GraphIndex.openGraph(spark, key).vecs.count() === 44L)
+    // an ingested node serves: probe just past cluster 0's far edge —
+    // streamed node 40 sits at theta .10, base cluster-0 stops at .09,
+    // so the nearest neighbor of theta .104 is the streamed node
+    val th = 0.104
+    val got = GraphIndex.queryGraph(spark, key,
+      Seq((9L, Array(math.cos(th).toFloat, math.sin(th).toFloat)))
+        .toDF("query_id", "query_vec"), k = 1, beam = 8, rounds = 3)
+      .select("vec_id").as[Long].collect()
+    assert(got.toSeq === Seq(40L))
+  }
+
   test("streamingScd2Store: micro-batch CDC merges land in the " +
       "persisted dimension; at any trigger boundary the store equals " +
       "fromChanges over everything ingested; replayed ids skip") {
