@@ -475,6 +475,41 @@ object SimilaritySearch {
         col("hit.vec_id").as("vec_id"), col("hit.mmr").as("mmr_score"))
   }
 
+  /** Rocchio pseudo-relevance feedback (Rocchio 1971; the PRF query
+    * expansion every classic IR stack ships, public): retrieve
+    * `fetchK` first, treat those hits as pseudo-relevant, move the
+    * query toward their centroid —
+    *
+    *   q' = alpha · q + beta · mean(top-fetchK vectors)
+    *
+    * — then retrieve top-k with the expanded query. beta = 0 reduces
+    * EXACTLY to plain [[bruteForceTopKAgg]] (the scores differ by the
+    * positive factor alpha, which cannot reorder; ranks and ids are
+    * identical — q235 pins the zero symmetric difference), so the
+    * expansion strength is auditable against the plain path.
+    *
+    * Scale shape: two exact-kNN passes (both bounded TopKAgg) plus one
+    * fetchK-row-per-query centroid aggregate; the feedback join ships
+    * only (query_id, vec_id) pairs. Swap any ANN fetch in for either
+    * pass at 100 TB — the expansion only needs the fetched ids.
+    */
+  def rocchioTopK(queries: DataFrame, index: DataFrame, k: Int = 4,
+      fetchK: Int = 10, alpha: Double = 1.0,
+      beta: Double = 0.5): DataFrame = {
+    import graft.functions.VectorMeanAgg
+    val fetched = bruteForceTopKAgg(queries, index, fetchK)
+      .select("query_id", "vec_id")
+    val centroid = fetched
+      .join(index.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .groupBy("query_id")
+      .agg(VectorMeanAgg.asColumn(col("embedding")).as("c"))
+    val expanded = queries.join(centroid, Seq("query_id"))
+      .select(col("query_id"),
+        zip_with(VectorOps.toDouble(col("query_vec")), col("c"),
+          (q, m) => q * alpha + m * beta).as("query_vec"))
+    bruteForceTopKAgg(expanded, index, k)
+  }
+
   /** Score-threshold retrieval — the `similarity_score_threshold`
     * retriever mode of the reference's stack (public LangChain API):
     * exact top-k, then only hits at cosine ≥ `minScore` survive (so a

@@ -2663,6 +2663,49 @@ object PipelineQueries {
           (col("hits") >= col("n_exact") * 0.95).as("recall_ok"))
     }),
 
+    // DOCUMENT CENTRALITY for corpus curation (round-12): PageRank
+    // over the mutual-kNN cosine graph — the "pick the most
+    // representative documents" selection signal (graph centrality on
+    // semantic neighborhoods; public technique). Composes two already-
+    // oracled pieces (q227's exact mutual-kNN graph, q131's damped
+    // dangling-redistributing PageRank) and the oracle replays the
+    // WHOLE chain relationally: n² cosine ranking, mutuality join,
+    // and all 10 iterations as a materialized CTE ladder.
+    "q234_doc_centrality" -> ((s, dir) => {
+      import graft.operators.KnnGraph
+      val emb = t(s, dir, "embeddings")
+      val mutual = KnnGraph.mutualEdges(
+        KnnGraph.exactGraph(emb, k = 6), minScore = 0.25)
+      val e = mutual.select(col("doc_id_a").as("src"),
+          col("doc_id_b").as("dst"), lit(1.0).as("w"))
+        .unionByName(mutual.select(col("doc_id_b").as("src"),
+          col("doc_id_a").as("dst"), lit(1.0).as("w")))
+      val nodes = emb.select(col("vec_id").as("node"))
+      graft.operators.GraphRank.pageRank(e, nodes, iters = 10)
+        .select(col("node").as("doc_id"), round(col("r"), 6).as("rank"))
+    }),
+
+    // ROCCHIO PSEUDO-RELEVANCE FEEDBACK (round-12, Rocchio 1971): the
+    // classic PRF query expansion — fetch top-8, move the query toward
+    // their centroid (q' = q + 0.5·mean), retrieve top-4 with the
+    // expanded query. Queries are embeddings-fixture rows, so the
+    // ENTIRE two-pass computation (first kNN, per-dimension centroid,
+    // vector arithmetic, second kNN) is replayed relationally by
+    // DuckDB — the full-replay standard, not an invariant panel. The
+    // beta=0 reduction law (ranks identical to plain exact kNN — a
+    // positive scalar on the query cannot reorder cosine) is pinned in
+    // OperatorsSpec.
+    "q235_rocchio_prf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      SimilaritySearch.rocchioTopK(q, emb, k = 4, fetchK = 8,
+        alpha = 1.0, beta = 0.5)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // MUTUAL-kNN CLUSTERING, fully DuckDB-replayed (round-12): the
     // exact k=6 cosine kNN graph over the embeddings fixture,
     // sparsified to canonical mutual edges at score >= 0.25, then
@@ -7637,6 +7680,89 @@ object PipelineQueries {
         |  AS n_exact,
         |true AS recall_ok
         |FROM documents""".stripMargin,
+    // centrality: the q227 graph CTEs + the q131 PageRank ladder,
+    // everything recomputed relationally
+    "q234_doc_centrality" -> {
+      val head =
+        """WITH ev AS (SELECT vec_id,
+          |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+          |    CASE WHEN sqrt(list_dot_product(a.v, a.v))
+          |           * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0
+          |      ELSE list_dot_product(a.v, b.v)
+          |        / (sqrt(list_dot_product(a.v, a.v))
+          |           * sqrt(list_dot_product(b.v, b.v))) END AS score
+          |  FROM ev a JOIN ev b ON a.vec_id <> b.vec_id),
+          |gr AS (SELECT src, dst, score, row_number() OVER (
+          |    PARTITION BY src ORDER BY score DESC, dst) AS rnk FROM sc),
+          |knn AS (SELECT src, dst, score FROM gr WHERE rnk <= 6),
+          |mut AS (SELECT x.src AS a0, x.dst AS b0 FROM knn x
+          |  JOIN knn y ON x.src = y.dst AND x.dst = y.src
+          |  WHERE x.src < x.dst AND x.score >= 0.25),
+          |e AS MATERIALIZED (SELECT a0 AS src, b0 AS dst, 1.0 AS w
+          |  FROM mut UNION ALL SELECT b0, a0, 1.0 FROM mut),
+          |nodes AS MATERIALIZED (SELECT vec_id AS node FROM embeddings),
+          |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n
+          |  FROM nodes),
+          |outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e
+          |  GROUP BY 1),
+          |r0 AS MATERIALIZED (SELECT node, 1.0 / n AS r
+          |  FROM nodes CROSS JOIN nn)""".stripMargin
+      val its = (1 to 10).map { k =>
+        s""",
+           |r$k AS MATERIALIZED (
+           |  SELECT n0.node,
+           |    0.15 / nn.n + 0.85 * (COALESCE(c.contrib, 0) + dang.dm / nn.n)
+           |      AS r
+           |  FROM nodes n0
+           |  CROSS JOIN nn
+           |  CROSS JOIN (SELECT COALESCE(sum(p.r), 0) AS dm FROM r${k - 1} p
+           |    LEFT JOIN outw o ON p.node = o.src WHERE o.src IS NULL) dang
+           |  LEFT JOIN (SELECT e.dst AS node, sum(p.r * e.w / o.ow)
+           |      AS contrib
+           |    FROM r${k - 1} p JOIN e ON e.src = p.node
+           |    JOIN outw o ON o.src = e.src
+           |    GROUP BY 1) c ON c.node = n0.node)""".stripMargin
+      }.mkString
+      head + its + "\nSELECT node AS doc_id, round(r, 6) AS rank FROM r10"
+    },
+    // Rocchio PRF: both kNN passes, the per-dimension centroid, and
+    // the expansion arithmetic replayed relationally
+    "q235_rocchio_prf" ->
+      """WITH ev AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, v AS q FROM ev
+        |  WHERE vec_id < 8),
+        |s1 AS (SELECT qv.query_id, ev.vec_id,
+        |    CASE WHEN sqrt(list_dot_product(qv.q, qv.q))
+        |           * sqrt(list_dot_product(ev.v, ev.v)) = 0 THEN 0
+        |      ELSE list_dot_product(qv.q, ev.v)
+        |        / (sqrt(list_dot_product(qv.q, qv.q))
+        |           * sqrt(list_dot_product(ev.v, ev.v))) END AS score
+        |  FROM qv CROSS JOIN ev),
+        |f AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+        |    FROM s1) WHERE rnk <= 8),
+        |cd AS (SELECT f.query_id, i.i AS i, avg(ev.v[i.i]) AS m
+        |  FROM f JOIN ev ON ev.vec_id = f.vec_id,
+        |    LATERAL (SELECT unnest(range(1, 65)) AS i) i
+        |  GROUP BY 1, 2),
+        |q2 AS (SELECT c.query_id,
+        |    array_agg(qv.q[c.i] * 1.0 + c.m * 0.5 ORDER BY c.i) AS v
+        |  FROM cd c JOIN qv ON qv.query_id = c.query_id GROUP BY 1),
+        |s2 AS (SELECT q2.query_id, ev.vec_id,
+        |    CASE WHEN sqrt(list_dot_product(q2.v, q2.v))
+        |           * sqrt(list_dot_product(ev.v, ev.v)) = 0 THEN 0
+        |      ELSE list_dot_product(q2.v, ev.v)
+        |        / (sqrt(list_dot_product(q2.v, q2.v))
+        |           * sqrt(list_dot_product(ev.v, ev.v))) END AS score
+        |  FROM q2 CROSS JOIN ev)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |  round(score, 6) AS score
+        |FROM (SELECT query_id, vec_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+        |  FROM s2) WHERE rnk <= 4""".stripMargin,
     // persisted graph index: q230's oracle shape (held-out protocol)
     "q231_graph_persisted" ->
       """SELECT CAST(count(*) FILTER (doc_id % 25 = 0) AS BIGINT)

@@ -1693,6 +1693,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfpq.nonEmpty)
   }
 
+  test("rocchioTopK: beta=0 reduces to plain exact kNN (a positive " +
+      "scalar on the query cannot reorder cosine); beta>0 pulls the " +
+      "ranking toward the feedback centroid on a controlled fixture") {
+    val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val q = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "vec_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val plain = key(SimilaritySearch.bruteForceTopKAgg(q, emb, 4))
+    val reduced = key(SimilaritySearch.rocchioTopK(q, emb, k = 4,
+      fetchK = 8, alpha = 2.0, beta = 0.0))
+    assert(reduced === plain)
+    // controlled fixture: query on the x-axis; its top-2 pseudo-rel
+    // docs lean +y (centroid (0.75, 0.65)), so the expanded query
+    // q' = q + 4·m = (4, 2.6) flips rank 3 from the -y doc 4
+    // (cos(q', d4) = 0.067) to the +y doc 3 (cos(q', d3) = 0.545) —
+    // hand-computed; plain top-3 keeps doc 4 (cos(q, d4) = 0.6 beats
+    // doc 3's 0)
+    val idx = Seq(
+      (1L, Array(0.8f, 0.6f)), (2L, Array(0.7f, 0.7f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.6f, -0.8f)))
+      .toDF("vec_id", "embedding")
+    val q1 = Seq((7L, Array(1.0f, 0.0f))).toDF("query_id", "query_vec")
+    val plain1 = SimilaritySearch.bruteForceTopKAgg(q1, idx, 3)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(plain1.toSeq === Seq(1L, 2L, 4L))
+    val fb = SimilaritySearch.rocchioTopK(q1, idx, k = 3, fetchK = 2,
+      alpha = 1.0, beta = 4.0)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(fb.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("mmrRerank composes with a swapped-in ANN fetch: identical MMR " +
       "output when the fetch is row-identical to exact") {
     val emb = graft.Tables.load(spark, TestSpark.Sf0001, "embeddings")
