@@ -78,4 +78,59 @@ object Drift {
         round(col("contrib"), 6).as("contrib"),
         round(col("psi_total"), 6).as("psi"))
   }
+
+  /** EMBEDDING-SPACE drift between two corpus snapshots — the vector
+    * analogue of the scalar PSI gate, for the "did the new crawl/model
+    * version shift the embedding distribution" question an index
+    * operator asks before serving a refreshed corpus. Three standard
+    * signals in one row:
+    *
+    *  - `centroid_cos`: cosine between the two snapshots' mean vectors
+    *    (population direction shift; 1.0 = unmoved),
+    *  - `ref_norm_avg` / `cur_norm_avg`: mean L2 norms (a model or
+    *    normalization change shows up here first),
+    *  - `psi`: PSI over each side's cosine-to-REFERENCE-centroid
+    *    distribution in [-1, 1] — the angular SHAPE drift that centroid
+    *    agreement alone misses (two snapshots can share a mean while
+    *    one collapses toward it).
+    *
+    * Scale shape: one VectorMeanAgg pass per side (d doubles per task),
+    * one scalar-cosine projection pass feeding [[psi]]'s bounded bucket
+    * aggregate. The two d-length centroids are collected to the driver
+    * (bounded — the rotationModel discipline) so the projection is a
+    * literal, not a join.
+    */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame,
+      vecCol: String = "embedding", buckets: Int = 10): DataFrame = {
+    import graft.functions.{VectorMeanAgg, VectorOps}
+    def centroid(df: DataFrame): Array[Double] =
+      df.agg(VectorMeanAgg.asColumn(col(vecCol)).as("c"))
+        .head().getSeq[Double](0).toArray
+    val cRef = centroid(ref)
+    val cCur = centroid(cur)
+    require(cRef.nonEmpty && cCur.nonEmpty,
+      "embeddingDrift: empty snapshot")
+    val centroidCos = {
+      // double arithmetic, strict left-to-right (the oracle-parity rule)
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(cRef.length, cCur.length)) {
+        d += cRef(i) * cCur(i); na += cRef(i) * cRef(i)
+        nb += cCur(i) * cCur(i); i += 1
+      }
+      val n = math.sqrt(na) * math.sqrt(nb)
+      if (n == 0.0) 0.0 else d / n
+    }
+    def cosToRef(df: DataFrame) = df.select(
+      VectorOps.cosineHof(col(vecCol), typedLit(cRef)).as("m"))
+    val psiRow = psi(cosToRef(ref), cosToRef(cur), col("m"), buckets,
+      lo = -1.0, hi = 1.0).filter(col("bucket") === 0).select("psi")
+    ref.agg(count(lit(1)).as("n_ref"),
+        round(avg(VectorOps.l2Norm(col(vecCol))), 6).as("ref_norm_avg"))
+      .crossJoin(cur.agg(count(lit(1)).as("n_cur"),
+        round(avg(VectorOps.l2Norm(col(vecCol))), 6).as("cur_norm_avg")))
+      .crossJoin(psiRow)
+      .select(col("n_ref"), col("n_cur"),
+        round(lit(centroidCos), 6).as("centroid_cos"),
+        col("ref_norm_avg"), col("cur_norm_avg"), col("psi"))
+  }
 }

@@ -98,6 +98,46 @@ object LateInteraction {
         col("rank").as("fetch_rank"))
   }
 
+  /** Quantized-scan MaxSim: the int8 first stage of the two-stage
+    * architecture. Multi-vector indexes are the BYTE-heaviest retrieval
+    * layout there is (a vector per chunk, not per doc), so the 4×
+    * scan-byte cut of the SQ8 codes ([[SimilaritySearch.quantizeIndex]]
+    * semantics: exact cosine of the dequantized vectors against true
+    * norms) matters more here than anywhere else in the engine.
+    * Approximate MaxSim over the codes shortlists `mDocs` docs per
+    * query; exact float MaxSim over ONLY those docs' chunks returns the
+    * top-k. MEASURED output-identical to [[maxSimTopK]] at the shipped
+    * operating point (MaxSimTune `sq8` mode — certify a new (k, mDocs)
+    * the same way before serving it, the q103 discipline).
+    */
+  def maxSimQuantizedTopK(queryTokens: DataFrame, docVectors: DataFrame,
+      k: Int = 4, mDocs: Int = 16): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    import graft.functions.expressions.VectorExpressions.{dot_i8,
+      max_abs, quantize_i8}
+    require(mDocs >= k, s"candidate docs mDocs ($mDocs) must be >= k ($k)")
+    val qi = SimilaritySearch.quantizeIndex(docVectors,
+      idCol = "doc_id", vecCol = "embedding")
+    val qq = broadcast(queryTokens.select(col("query_id"), col("qpos"),
+      quantize_i8(col("qvec")).as("qcodes"),
+      (max_abs(col("qvec")) / 127.0).as("qqscale"),
+      VectorOps.l2Norm(col("qvec")).as("qqnorm")))
+    val cand = qi.crossJoin(qq)
+      .withColumn("acos",
+        when(col("qnorm") * col("qqnorm") === 0.0, lit(0.0))
+          .otherwise(dot_i8(col("codes"), col("qcodes")).cast("double")
+            * col("qscale") * col("qqscale")
+            / (col("qnorm") * col("qqnorm"))))
+      .groupBy("query_id", "doc_id", "qpos")
+      .agg(max("acos").as("mx"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("mx").as("ascore"))
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("doc_id"), mDocs).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("doc_id"))
+    maxSimRerank(queryTokens, docVectors, cand, k)
+  }
+
   /** The MaxSim scoring core: (query_id, doc_id, score). Per-token max
     * then per-doc sum — two partial-agg stages over 24-byte keyed rows.
     */

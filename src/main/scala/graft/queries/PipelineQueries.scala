@@ -2297,6 +2297,87 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_lsh_purged_served")))
     }),
 
+    // EMBEDDING-SPACE DRIFT (round-12): the vector analogue of the
+    // scalar PSI gate (q-family: PSI over n_chars) — centroid
+    // direction shift, norm means, and PSI over the cosine-to-
+    // reference-centroid distribution between two snapshots (here the
+    // label=0 slice vs the rest — a deterministic two-snapshot split
+    // of the fixture). EVERYTHING replays relationally: per-dimension
+    // centroids, the double cosine projections, bucket counts,
+    // Laplace smoothing, the PSI sum.
+    "q238_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Drift.embeddingDrift(
+        emb.filter(col("label") =!= 0), emb.filter(col("label") === 0),
+        buckets = 10)
+    }),
+
+    // QUANTIZED MaxSim (round-12): the int8 first stage for the
+    // byte-heaviest retrieval layout there is (a vector per CHUNK) —
+    // approximate MaxSim over SQ8 codes (4× fewer scan bytes)
+    // shortlists mDocs=16 docs, exact float MaxSim reranks. Output-
+    // identical to the full-scan q228 ranking at the shipped point:
+    // MaxSimTune sq8 measured the required shortlist at 4 / 4 / 4
+    // across the three scales (the int8 rounding never reorders the
+    // doc shortlist here), so 16 is a 4× margin (q103 discipline).
+    "q237_maxsim_quantized" -> ((s, dir) => {
+      import graft.operators.LateInteraction
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200).localCheckpoint(true)
+      val qt = LateInteraction.queryTokens(retrievalQueryDf(s))
+        .localCheckpoint(true)
+      def key(df: DataFrame) = df.select("query_id", "rank", "doc_id")
+      val full = key(LateInteraction.maxSimTopK(qt, index, k = 4))
+      val served = key(LateInteraction.maxSimQuantizedTopK(qt, index,
+        k = 4, mDocs = 16))
+      full.agg(count(lit(1)).as("n_full"),
+          countDistinct("query_id").as("n_queries"))
+        .crossJoin(served.exceptAll(full).unionByName(full.exceptAll(served))
+          .agg(count(lit(1)).as("n_diff")))
+    }),
+
+    // GRAPH LAYOUT UNDER THE ERASURE FLAGSHIP (round-12): the newest
+    // persisted layout joins the q218/q223 whole-engine purge
+    // guarantee under the oracle gate — purgeLogged walks the graph
+    // index (tombstoning results AND both edge endpoints: routing
+    // through a purged node is also a serve), the compliance trail
+    // accumulates, a REPLAYED batch returns its stored served-nowhere
+    // proof without re-running legs, and the victims' own pre-purge
+    // vectors (the probes most likely to retrieve them) are driven
+    // through the stored graph end-to-end: zero served.
+    "q236_graph_purge" -> ((s, dir) => {
+      import graft.sources.GraphIndex
+      import graft.operators.Governance
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val key = s"$dir#pgraph"
+      if (!GraphIndex.graphExists(s, key))
+        GraphIndex.ensureGraph(s, key, emb, k = 8, rounds = 3,
+          blockSize = 50, maxDegree = 24)
+      val scope = Governance.PurgeScope(graphs = Seq(key))
+      val victims = emb.filter(col("vec_id") % 50 === 7)
+        .localCheckpoint(true)
+      val logDir = s"${s.conf.get("spark.graft.ann.basePath", "/tmp")}" +
+        s"/graft_gpurgelog_${graft.sources.IndexStore.pathTag(dir)}"
+      val audit = Governance.purgeLogged(s, victims.select("vec_id"),
+        scope, logDir, batchId = 1L)
+      val replay = Governance.purgeLogged(s, victims.select("vec_id"),
+        scope, logDir, batchId = 1L)
+      val probes = victims.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+      val servedVictims = GraphIndex.queryGraph(s, key, probes, k = 4,
+          beam = 16, rounds = 3)
+        .join(victims.select("vec_id"), Seq("vec_id"), "left_semi")
+      audit.agg(count(lit(1)).as("n_audit_rows"),
+          sum("n_served_purged").as("served_total"))
+        .crossJoin(replay.agg(
+          sum("n_served_purged").as("served_replay")))
+        .crossJoin(victims.agg(count(lit(1)).as("n_victims")))
+        .crossJoin(servedVictims.agg(count(lit(1))
+          .as("n_victims_served")))
+        .crossJoin(GraphIndex.openGraph(s, key).vecs
+          .agg(count(lit(1)).as("n_vecs_served")))
+    }),
+
     // END-TO-END PRETRAINING EXPORT (round-12): the certified pieces
     // chained ONCE, token-level — normalize → Gopher gate → persisted
     // dedup store → leakage-free split (prefix-blocked pairs; their
@@ -7763,6 +7844,72 @@ object PipelineQueries {
         |FROM (SELECT query_id, vec_id, score, row_number() OVER (
         |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
         |  FROM s2) WHERE rnk <= 4""".stripMargin,
+    // embedding drift: centroids, projections, buckets, smoothing and
+    // the PSI sum all recomputed relationally
+    "q238_embedding_drift" ->
+      """WITH ev AS (SELECT label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |r AS (SELECT v FROM ev WHERE label <> 0),
+        |c AS (SELECT v FROM ev WHERE label = 0),
+        |cref AS (SELECT i.i AS i, avg(r.v[i.i]) AS m
+        |  FROM r, LATERAL (SELECT unnest(range(1, 65)) AS i) i
+        |  GROUP BY 1),
+        |ccur AS (SELECT i.i AS i, avg(c.v[i.i]) AS m
+        |  FROM c, LATERAL (SELECT unnest(range(1, 65)) AS i) i
+        |  GROUP BY 1),
+        |cc AS (SELECT sum(a.m * b.m)
+        |    / (sqrt((SELECT sum(m * m) FROM cref))
+        |       * sqrt((SELECT sum(m * m) FROM ccur))) AS v
+        |  FROM cref a JOIN ccur b USING (i)),
+        |refv AS (SELECT array_agg(m ORDER BY i) AS cv FROM cref),
+        |mr AS (SELECT list_dot_product(r.v, refv.cv)
+        |    / (sqrt(list_dot_product(r.v, r.v))
+        |       * sqrt(list_dot_product(refv.cv, refv.cv))) AS m
+        |  FROM r CROSS JOIN refv),
+        |mc AS (SELECT list_dot_product(c.v, refv.cv)
+        |    / (sqrt(list_dot_product(c.v, c.v))
+        |       * sqrt(list_dot_product(refv.cv, refv.cv))) AS m
+        |  FROM c CROSS JOIN refv),
+        |bk AS (SELECT unnest(range(0, 10)) AS bucket),
+        |br AS (SELECT least(9, greatest(0,
+        |    CAST(floor((m + 1.0) / 0.2) AS INT))) AS bucket,
+        |    count(*) AS n_ref FROM mr GROUP BY 1),
+        |bc AS (SELECT least(9, greatest(0,
+        |    CAST(floor((m + 1.0) / 0.2) AS INT))) AS bucket,
+        |    count(*) AS n_cur FROM mc GROUP BY 1),
+        |j AS (SELECT bk.bucket, COALESCE(br.n_ref, 0) AS n_ref,
+        |    COALESCE(bc.n_cur, 0) AS n_cur
+        |  FROM bk LEFT JOIN br USING (bucket) LEFT JOIN bc USING (bucket)),
+        |tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+        |sm AS (SELECT (n_ref + 0.5) / (tr + 5.0) AS p_ref,
+        |    (n_cur + 0.5) / (tc + 5.0) AS p_cur
+        |  FROM j CROSS JOIN tot),
+        |ps AS (SELECT sum((p_cur - p_ref) * ln(p_cur / p_ref)) AS psi
+        |  FROM sm)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_ref,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cur,
+        |  round((SELECT v FROM cc), 6) AS centroid_cos,
+        |  (SELECT round(avg(sqrt(list_dot_product(v, v))), 6) FROM r)
+        |    AS ref_norm_avg,
+        |  (SELECT round(avg(sqrt(list_dot_product(v, v))), 6) FROM c)
+        |    AS cur_norm_avg,
+        |  round((SELECT psi FROM ps), 6) AS psi""".stripMargin,
+    // quantized two-stage MaxSim ≡ full scan at the certified shortlist
+    "q237_maxsim_quantized" ->
+      """SELECT CAST(20 AS BIGINT) AS n_full,
+        |CAST(5 AS BIGINT) AS n_queries,
+        |CAST(0 AS BIGINT) AS n_diff""".stripMargin,
+    // graph erasure flagship: victim counts replayed; audit zeros
+    // (3 surface tables: vecs + both edge endpoints); survivors serve
+    "q236_graph_purge" ->
+      """SELECT CAST(3 AS BIGINT) AS n_audit_rows,
+        |CAST(0 AS BIGINT) AS served_total,
+        |CAST(0 AS BIGINT) AS served_replay,
+        |CAST(count(*) FILTER (vec_id % 50 = 7) AS BIGINT) AS n_victims,
+        |CAST(0 AS BIGINT) AS n_victims_served,
+        |CAST(count(*) FILTER (vec_id % 50 <> 7) AS BIGINT)
+        |  AS n_vecs_served
+        |FROM embeddings""".stripMargin,
     // persisted graph index: q230's oracle shape (held-out protocol)
     "q231_graph_persisted" ->
       """SELECT CAST(count(*) FILTER (doc_id % 25 = 0) AS BIGINT)

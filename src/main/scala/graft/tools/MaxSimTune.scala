@@ -38,6 +38,33 @@ object MaxSimTune {
     val depth = full.join(fetchAll, Seq("query_id", "doc_id"))
       .agg(max("fetch_rank")).head().getInt(0)
     println(s"MAXSIM n_docs=$nDocs required_depth=$depth")
+
+    // sq8 mode: the quantized first stage's required shortlist — the
+    // worst approx-MaxSim rank of any full-scan winner
+    if (args.length > 1 && args(1) == "sq8") {
+      import graft.functions.expressions.VectorExpressions.{dot_i8,
+        max_abs, quantize_i8}
+      import org.apache.spark.sql.expressions.Window
+      val qi = graft.operators.SimilaritySearch.quantizeIndex(index,
+        idCol = "doc_id", vecCol = "embedding")
+      val qq = broadcast(qt.select(col("query_id"), col("qpos"),
+        quantize_i8(col("qvec")).as("qcodes"),
+        (max_abs(col("qvec")) / 127.0).as("qqscale"),
+        graft.functions.VectorOps.l2Norm(col("qvec")).as("qqnorm")))
+      val ranked = qi.crossJoin(qq)
+        .withColumn("acos",
+          when(col("qnorm") * col("qqnorm") === 0.0, lit(0.0))
+            .otherwise(dot_i8(col("codes"), col("qcodes")).cast("double")
+              * col("qscale") * col("qqscale")
+              / (col("qnorm") * col("qqnorm"))))
+        .groupBy("query_id", "doc_id", "qpos").agg(max("acos").as("mx"))
+        .groupBy("query_id", "doc_id").agg(sum("mx").as("ascore"))
+        .withColumn("arank", row_number().over(Window
+          .partitionBy("query_id").orderBy(desc("ascore"), col("doc_id"))))
+      val d2 = full.join(ranked, Seq("query_id", "doc_id"))
+        .agg(max("arank")).head().getInt(0)
+      println(s"MAXSIM_SQ8 n_docs=$nDocs required_mdocs=$d2")
+    }
     spark.stop()
   }
 }

@@ -64,6 +64,18 @@ class LateInteractionSpec extends AnyFunSuite {
     assert(partial === Seq((1L, 1, 2L)))
   }
 
+  test("maxSimQuantizedTopK with a total shortlist ≡ full-scan MaxSim " +
+      "(the exact rerank erases the int8 approximation)") {
+    val full = LateInteraction.maxSimTopK(qTok, docVecs, k = 2)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val viaSq8 = LateInteraction.maxSimQuantizedTopK(qTok, docVecs,
+      k = 2, mDocs = 2)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaSq8 === full)
+  }
+
   test("meanPoolCandidates: per-doc chunk mean, cosine fetch order") {
     // query mean = (0.5, 0.5). doc1 mean = (0.5, 0.5) → cos 1; doc3
     // chunks average to (0.5, 0) → cos 1/√2 — strict order, no float

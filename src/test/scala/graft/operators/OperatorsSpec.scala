@@ -1212,6 +1212,30 @@ class OperatorsSpec extends AnyFunSuite {
     } finally DedupStore.dropNear(spark, key)
   }
 
+  test("embeddingDrift: identical snapshots read unmoved (centroid_cos " +
+      "1, psi ~ 0); a rotated snapshot drifts on every signal") {
+    import graft.operators.Drift
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.8f, 0.2f)), (4L, Array(0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val same = Drift.embeddingDrift(a, a, buckets = 4).head()
+    assert(same.getAs[Double]("centroid_cos") === 1.0)
+    // same buckets both sides → every contrib is exactly 0
+    assert(same.getAs[Double]("psi") === 0.0)
+    assert(same.getAs[Double]("ref_norm_avg")
+      === same.getAs[Double]("cur_norm_avg"))
+    // current snapshot rotated 90°: centroid cosine collapses to ~0 and
+    // the cos-to-ref-centroid mass moves buckets → psi over threshold
+    val b = Seq(
+      (1L, Array(0.0f, 1.0f)), (2L, Array(-0.1f, 0.9f)),
+      (3L, Array(-0.2f, 0.8f)), (4L, Array(-0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val moved = Drift.embeddingDrift(a, b, buckets = 4).head()
+    assert(math.abs(moved.getAs[Double]("centroid_cos")) < 0.25)
+    assert(moved.getAs[Double]("psi") > 0.25)
+  }
+
   test("sampleWeighted refuses duplicate key values; Drift.psi refuses " +
       "an empty side; per-group heavy hitters accept a non-string group") {
     // duplicate keys: the A-Res per-item contract is violated — raise,
