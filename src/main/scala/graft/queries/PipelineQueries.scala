@@ -2297,6 +2297,39 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_lsh_purged_served")))
     }),
 
+    // GRAPH-SERVED RAG (round-12): the reference's retrieval surface
+    // (external query text → chunk-level top-4) served through the
+    // persisted GRAPH lane end-to-end — chunk embeddings into
+    // ensureGraph (built once per fixture, snapshot-trusted after),
+    // external queries beam-searched through the stored undirected
+    // graph. Floor 0.90 vs the exact chunk kNN (measured 20/20 at the
+    // small scales, 19/20 at sf0.1 — one winner chunk sits in a weak
+    // NN-Descent neighborhood at beam 32–64 alike, the honest
+    // approximate-path class, vs q65's exact serving).
+    "q239_graph_rag" -> ((s, dir) => {
+      import graft.sources.GraphIndex
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200)
+        .select(col("chunk_id").as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val key = s"$dir#chunkgraph"
+      GraphIndex.ensureGraph(s, key, index, k = 8, rounds = 4,
+        blockSize = 50, maxDegree = 24, snapshotId = Some(dir))
+      val q = retrievalQueryDf(s).select(col("query_id"),
+        graft.rag.Embedder.embedCol(col("query_text")).as("query_vec"))
+      val served = GraphIndex.queryGraph(s, key, q, k = 4, beam = 32,
+        rounds = 3).select("query_id", "vec_id")
+      val exact = SimilaritySearch.bruteForceTopK(q, index, k = 4)
+        .select("query_id", "vec_id").localCheckpoint(true)
+      exact.agg(countDistinct("query_id").as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        .crossJoin(exact.join(served, Seq("query_id", "vec_id"),
+          "left_semi").agg(count(lit(1)).as("hits")))
+        .crossJoin(index.agg(countDistinct("vec_id").as("n_chunks")))
+        .select(col("n_queries"), col("n_exact"), col("n_chunks"),
+          (col("hits") >= col("n_exact") * 0.90).as("recall_ok"))
+    }),
+
     // EMBEDDING-SPACE DRIFT (round-12): the vector analogue of the
     // scalar PSI gate (q-family: PSI over n_chars) — centroid
     // direction shift, norm means, and PSI over the cosine-to-
@@ -7844,6 +7877,15 @@ object PipelineQueries {
         |FROM (SELECT query_id, vec_id, score, row_number() OVER (
         |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
         |  FROM s2) WHERE rnk <= 4""".stripMargin,
+    // graph-served RAG: chunk count replayed by the recursive-chunker
+    // CTE; the 0.90 floor measured (deterministic) per fixture
+    "q239_graph_rag" ->
+      s"""${chunkCtePrefix(200)}
+        |SELECT CAST(5 AS BIGINT) AS n_queries,
+        |  CAST(20 AS BIGINT) AS n_exact,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM st WHERE chunk IS NOT NULL) AS n_chunks,
+        |  true AS recall_ok""".stripMargin,
     // embedding drift: centroids, projections, buckets, smoothing and
     // the PSI sum all recomputed relationally
     "q238_embedding_drift" ->
