@@ -48,7 +48,10 @@ object PlanDump {
       "q131_source_pagerank" -> "weighted PageRank (final iteration): rank frame from the flat localCheckpoint scan, contribution join keyed by src + map-side-combined dst aggregate, 1-row dangling mass on a BroadcastExchange — nothing global, everything keyed",
       "q133_weighted_sample" -> "weighted sampling: md5-derived priority a per-row projection, bounded partial_top_k before the single final exchange — no global sort for a global top-k",
       "q135_decontaminate_spans" -> "decontamination span removal: the benchmark shingle-hash set BroadcastExchange; corpus exchanges carry (id, pos, 8-byte hash); the only window is doc-keyed over MATCHING starts; ordered doc-keyed rebuild",
-      "q137_normalize_text" -> "text normalization: NFC + regex steps fused into the scan projection — the whole operator is one per-row pass, zero Exchange operators")
+      "q137_normalize_text" -> "text normalization: NFC + regex steps fused into the scan projection — the whole operator is one per-row pass, zero Exchange operators",
+      "q228_maxsim" -> "late-interaction MaxSim: token'd query side on a BroadcastExchange over the chunk scan, inner per-token max as a PARTIAL aggregate keyed (query, doc, token) — map-side combine collapses chunk rows before any exchange; every post-similarity exchange carries 24-byte keyed doubles, never vectors",
+      "q237_maxsim_quantized" -> "quantized two-stage MaxSim: the int8 approximate stage scans SQ8 codes (4× fewer bytes on the chunk-per-vector layout) through the same partial-max shape, bounded top_k doc shortlist, exact float MaxSim only over the candidates' chunks via the doc-id semi-join",
+      "q238_embedding_drift" -> "embedding drift: one VectorMeanAgg pass per snapshot (bounded d-double buffers), the cosine-to-centroid projection fused per-row against a literal centroid (no join), PSI over a ≤-buckets-row aggregate — nothing corpus-keyed ever shuffles")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.PlanDump` on sf0.01. What to look for:\n")
