@@ -110,10 +110,18 @@ object Drift {
     val cCur = centroid(cur)
     require(cRef.nonEmpty && cCur.nonEmpty,
       "embeddingDrift: empty snapshot")
+    // an embedding-DIMENSION change (a model swap) is precisely the
+    // drift event this gate exists to catch — truncating the cosine to
+    // the shorter centroid would grade the swap as a mild shift instead
+    // of refusing (the refuse-don't-guess discipline)
+    require(cRef.length == cCur.length,
+      s"embeddingDrift: snapshot dimensions differ — reference dim=" +
+        s"${cRef.length}, current dim=${cCur.length}; an embedding-" +
+        "model swap must be handled as a re-embed, not graded as drift")
     val centroidCos = {
       // double arithmetic, strict left-to-right (the oracle-parity rule)
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(cRef.length, cCur.length)) {
+      while (i < cRef.length) {
         d += cRef(i) * cCur(i); na += cRef(i) * cRef(i)
         nb += cCur(i) * cCur(i); i += 1
       }

@@ -280,7 +280,20 @@ object KnnGraph {
       queries.select(col("query_id"), col("query_vec")),
       index.select(col("vec_id"), col("embedding")),
       tables = entryTables, bits = bits, probes = 2)
-    var frontier = topBeam(score(seeds), beam).localCheckpoint(true)
+    // an OUTLIER query whose entry buckets hold no index vectors would
+    // otherwise start with an empty frontier and silently VANISH from
+    // the output (the inner join drops its query_id) — unlike the exact
+    // path, which answers every query. Fall back to a deterministic
+    // global entry set (the `beam` min-id nodes — a bounded TakeOrdered,
+    // broadcast) so every query yields best-effort top-k; the beam
+    // rounds then walk from there like any other entry.
+    val globalEntry = broadcast(
+      index.select(col("vec_id")).orderBy(col("vec_id")).limit(beam))
+    val orphans = queries.select(col("query_id"))
+      .join(seeds.select("query_id").distinct(), Seq("query_id"),
+        "left_anti")
+    val seeded = seeds.unionByName(orphans.crossJoin(globalEntry))
+    var frontier = topBeam(score(seeded), beam).localCheckpoint(true)
 
     var r = 0
     while (r < rounds) {

@@ -2568,7 +2568,7 @@ object PipelineQueries {
 
     // ALL-PAIRS kNN GRAPH via NN-Descent (round-12, Dong et al. WWW'11):
     // every document's k=8 nearest peers by embedding cosine, built in
-    // 5 bounded neighbor-of-my-neighbor rounds — never an n² self-join.
+    // 4 bounded neighbor-of-my-neighbor rounds — never an n² self-join.
     // Recall is certified on a SAMPLED source slice (every 5th doc):
     // the exact side is a queries-side brute force (n_sample × n, the
     // sampled side broadcast) because that is the only exact baseline

@@ -213,10 +213,8 @@ object GraphIndex {
       // openLsh discipline)
       spark.catalog.refreshTable(s"graft_graph_edges_$tag")
       spark.catalog.refreshTable(s"graft_graph_vecs_$tag")
-      spark.sql(s"DROP TABLE IF EXISTS graft_graph_tombs_$tag")
-      if (tombsServable(spark, base))
-        registerExternal(spark, s"graft_graph_tombs_$tag", s"$base/tombs",
-          clusteredBy = Some(("vec_id", buckets)))
+      AnnIndex.syncTombs(spark, base, s"graft_graph_tombs_$tag",
+        clusteredBy = Some(("vec_id", buckets)))
     }
     require(servable(spark, Seq(s"$base/edges", s"$base/vecs"),
       registered(spark, tag), () => attach(spark, tag, buckets)),
@@ -262,9 +260,16 @@ object GraphIndex {
     if (batchId.exists(id => meta.get("last_batch_id").exists(id <= _)))
       return handle(spark, tag, k)
     // re-adding a tombstoned id would be silently swallowed by the
-    // anti-join — fail loudly (rebuild folds deletions first)
-    if (meta.get("tomb_rows").exists(_ > 0L) &&
-        spark.catalog.tableExists(s"graft_graph_tombs_$tag")) {
+    // anti-join — fail loudly (rebuild folds deletions first). Tombs
+    // COMMITTED by another session may be unregistered here: register
+    // them BEFORE the clash check (the upsertLsh rule) — and-ing the
+    // guard on tableExists would silently skip it in exactly the
+    // cross-session case it exists for
+    if (meta.get("tomb_rows").exists(_ > 0L)) {
+      if (!spark.catalog.tableExists(s"graft_graph_tombs_$tag") &&
+          tombsServable(spark, base))
+        registerExternal(spark, s"graft_graph_tombs_$tag", s"$base/tombs",
+          clusteredBy = Some(("vec_id", storageBuckets)))
       val clash = spark.table(s"graft_graph_tombs_$tag")
         .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi").count()
       require(clash == 0L,

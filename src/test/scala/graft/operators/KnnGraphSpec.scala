@@ -89,6 +89,33 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(served === exact)
   }
 
+  test("graphSearch answers a seedless OUTLIER query via the global " +
+      "entry fallback instead of silently dropping it") {
+    // every index vector points along +v (scaled copies → identical
+    // sign-bit LSH buckets in every table); the query is -v, whose
+    // sign bits ALL flip → a different bucket in every table, so the
+    // LSH entry join yields zero seeds for it
+    val idx = (0 until 64).map(i =>
+        (i.toLong, Array(0.5f + i * 0.01f, 1.0f + i * 0.02f)))
+      .toDF("vec_id", "embedding")
+    val graph = KnnGraph.exactGraph(idx, k = 3).select("src", "dst")
+    val q = Seq((100L, Array(-1.0f, -2.0f))).toDF("query_id", "query_vec")
+    val got = KnnGraph.graphSearch(q, idx, graph, k = 2, beam = 8,
+      rounds = 2).select("query_id", "rank", "vec_id", "score")
+      .collect()
+    assert(got.length === 2, "outlier query must still yield k results")
+    assert(got.forall(_.getLong(0) === 100L))
+    // colinear-negative index: every served score is cosine ≈ -1
+    assert(got.forall(r => math.abs(r.getDouble(3) + 1.0) < 1e-9))
+    assert(got.map(_.getLong(2)).distinct.length === 2)
+    // a mixed batch: the seeded query is unaffected by the fallback
+    val q2 = Seq((100L, Array(-1.0f, -2.0f)), (101L, Array(0.5f, 1.0f)))
+      .toDF("query_id", "query_vec")
+    val got2 = KnnGraph.graphSearch(q2, idx, graph, k = 2, beam = 8,
+      rounds = 2)
+    assert(got2.groupBy("query_id").count().count() === 2)
+  }
+
   test("nnDescent on a blocked corpus still finds cross-block neighbors " +
       "(the rotating-probe legs) and every node keeps exactly k edges") {
     // 40 points in 4 tight angular clusters; with blockSize 8 the init

@@ -1236,6 +1236,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(moved.getAs[Double]("psi") > 0.25)
   }
 
+  test("embeddingDrift refuses snapshots of different dimension (a " +
+      "model swap must fail loudly, not truncate into a mild score)") {
+    import graft.operators.Drift
+    val d2 = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val d3 = Seq((1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Drift.embeddingDrift(d2, d3, buckets = 4).collect()
+    }
+    assert(e.getMessage.contains("dim=2") && e.getMessage.contains("dim=3"),
+      e.getMessage)
+  }
+
   test("sampleWeighted refuses duplicate key values; Drift.psi refuses " +
       "an empty side; per-group heavy hitters accept a non-string group") {
     // duplicate keys: the A-Res per-item contract is violated — raise,

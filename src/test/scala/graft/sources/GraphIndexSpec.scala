@@ -138,6 +138,22 @@ class GraphIndexSpec extends AnyFunSuite {
       .filter(col("vec_id") === 2L).count() === 1L)
   }
 
+  test("upsert re-add refusal holds when the tombs table is committed " +
+      "but UNREGISTERED in this session (the cross-session window)") {
+    val key = s"gspec-$runTag-x"
+    GraphIndex.ensureGraph(spark, key, base, k = 4, rounds = 2,
+      blockSize = 16, maxDegree = 12)
+    GraphIndex.deleteGraph(spark, key, Seq(3L).toDF("vec_id"))
+    // simulate another session having committed the delete: this
+    // session's catalog has no tombs registration, but the store does
+    spark.sql(s"DROP TABLE IF EXISTS graft_graph_tombs_" +
+      IndexStore.pathTag(key))
+    val e = intercept[IllegalArgumentException] {
+      GraphIndex.upsertGraph(spark, key, pts(3 until 4), batchId = Some(2L))
+    }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+  }
+
   test("crashed delete (tombs appended, meta never committed) is swept, " +
       "not served") {
     val key = s"gspec-$runTag-e"
