@@ -413,6 +413,88 @@ object Governance {
     * read); the meta and replay windows are untouched. Not safe
     * concurrent with a purge writer.
     */
+  /** Cross-store MAINTENANCE driver (round-13): walk every layout the
+    * scope names, measure its physical data-file count (the served
+    * view's `inputFiles` — exactly the files a scan pays for, tombs
+    * included), and compact any layout past `maxFiles` through its own
+    * journaled compact verb. File count — not row count — is what
+    * erodes scan planning under a long-running streamed ingest (each
+    * micro-batch appends a file set per table), and per-layout manual
+    * compaction doesn't survive a deployment with dozens of stores;
+    * this is the scheduled "vacuum" entry point.
+    *
+    * Idempotent: a second run right after finds every count at/below
+    * the threshold and compacts nothing. Answers are byte-identical
+    * across a run (each compact verb's own contract — tombstone FOLDS
+    * change bytes, not the served view; q243 extends the q218-style
+    * audit to prove no served answer moves). Scoped layouts must
+    * exist — the verbs fail loudly otherwise, the purge discipline.
+    * Not safe concurrent with writers (the compact* rule). Families
+    * without a compact verb in scope (indexStores, dedupLines, scd2)
+    * are ignored. Returns one row per examined layout:
+    * (store, surface, files_before, files_after, compacted).
+    */
+  def maintain(spark: SparkSession, scope: PurgeScope,
+      maxFiles: Int = 32): DataFrame = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long, Boolean)]
+    def leg(family: String, keys: Seq[String],
+        frames: String => Seq[DataFrame],
+        compact: String => Unit): Unit =
+      keys.foreach { key =>
+        def count(): Long =
+          frames(key).flatMap(_.inputFiles).distinct.size.toLong
+        val before = count()
+        val doIt = before > maxFiles
+        if (doIt) compact(key)
+        val after = if (doIt) count() else before
+        out += ((family, key, before, after, doIt))
+      }
+    leg("ann_lsh", scope.lsh,
+      k => { val h = AnnIndex.openLsh(spark, k)
+        Seq(h.buckets, h.vecs) },
+      k => AnnIndex.compactLsh(spark, k))
+    leg("ann_ivf", scope.ivf,
+      k => { val h = AnnIndex.openIvf(spark, k)
+        Seq(h.centroids, h.lists) },
+      k => AnnIndex.compactIvf(spark, k))
+    leg("ann_sq8", scope.sq8,
+      k => { val h = AnnIndex.openSq8(spark, k)
+        Seq(h.codes, h.vecs) },
+      k => AnnIndex.compactSq8(spark, k))
+    leg("ann_bq", scope.bq,
+      k => { val h = AnnIndex.openBq(spark, k)
+        Seq(h.codes, h.vecs) },
+      k => AnnIndex.compactBq(spark, k))
+    leg("ann_ivfsq8", scope.ivfSq8,
+      k => { val h = AnnIndex.openIvfSq8(spark, k)
+        Seq(h.centroids, h.lists, h.vecs) },
+      k => AnnIndex.compactIvfSq8(spark, k))
+    leg("ann_ivfpq", scope.ivfPq,
+      k => { val h = AnnIndex.openIvfPq(spark, k)
+        Seq(h.centroids, h.codebook, h.lists, h.vecs) },
+      k => AnnIndex.compactIvfPq(spark, k))
+    leg("ann_ivfbq", scope.ivfBq,
+      k => { val h = AnnIndex.openIvfBq(spark, k)
+        Seq(h.centroids, h.lists, h.vecs) },
+      k => AnnIndex.compactIvfBq(spark, k))
+    leg("graph", scope.graphs,
+      k => { val h = GraphIndex.openGraph(spark, k)
+        Seq(h.edges, h.vecs) },
+      k => GraphIndex.compactGraph(spark, k))
+    leg("kw_postings", scope.postings,
+      k => Seq(KeywordIndex.openPostings(spark, k)),
+      // the rewrite width rides the threshold so the compacted layout
+      // lands AT or under it (bucketed layouts' floor is their bucket
+      // count instead — pick maxFiles at or above it, or maintenance
+      // re-compacts them every run)
+      k => KeywordIndex.compactPostings(spark, k,
+        numFiles = math.min(8, maxFiles)))
+    out.toSeq.toDF("store", "surface", "files_before", "files_after",
+      "compacted")
+  }
+
   def compactPurgeLog(spark: SparkSession, logDir: String,
       numFiles: Int = 4): Unit = {
     import java.nio.file.{Files, Paths}

@@ -35,6 +35,23 @@ import org.apache.spark.sql.functions._
   */
 object KeywordSearch {
 
+  /** Precomputed BM25 corpus statistics: document count, total token
+    * length, and a per-term document-frequency frame `(term, df)` —
+    * possibly appended DELTAS (the read side sums per term), which is
+    * the persisted-layout shape [[graft.sources.KeywordIndex]] maintains
+    * incrementally at ensure/upsert time. Serving from these replaces
+    * the two FULL-POSTINGS aggregates (corpus stats + query-term df)
+    * the derived path pays per call — at 100 TB those are corpus-sized
+    * scans per query batch; the stats frame is vocabulary-sized.
+    *
+    * Exactness: `n_docs` and `sum_dl` are integers and `avgdl =
+    * sum_dl / n_docs` is the same IEEE division the derived `avg(dl)`
+    * performs (dl sums are integral doubles, exact in any order), and
+    * the df sums are integer counts — so the served scores are
+    * bit-identical to the derived path's.
+    */
+  final case class Bm25Stats(nDocs: Long, sumDl: Long, dfs: DataFrame)
+
   /** Lowercased alphanumeric tokens (split on non-`[a-z0-9]` runs,
     * empties dropped). Corpus side and query side MUST tokenize
     * identically, so both go through this one expression; it stays
@@ -85,24 +102,40 @@ object KeywordSearch {
       postings: DataFrame,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      stats: Option[Bm25Stats] = None): DataFrame = {
     import graft.functions.expressions.TopKAgg.top_k
-    // corpus stats: N and avgdl from the per-doc lengths (dedup the
-    // per-posting dl back to one row per doc first)
-    val stats = postings.select("doc_id", "dl").groupBy("doc_id")
-      .agg(first("dl").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
     val qt = queries
       .select(col("query_id"), explode(tokens(col("query_text"))).as("term"))
       .distinct()
-    // document frequency, computed only for the broadcast query terms
-    val dfr = postings
-      .join(broadcast(qt.select("term").distinct()), Seq("term"))
-      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val scored = postings
+    // corpus stats and query-term document frequency: from the stored
+    // [[Bm25Stats]] when provided (vocabulary-sized work — the
+    // persisted-index serving path), else derived from the postings
+    // (two corpus-sized aggregates — the ad-hoc path). Same doubles
+    // either way, see [[Bm25Stats]].
+    val withStats: DataFrame => DataFrame = stats match {
+      case Some(st) =>
+        df => df
+          .withColumn("n_docs", lit(st.nDocs.toDouble))
+          .withColumn("avgdl", lit(st.sumDl.toDouble / st.nDocs.toDouble))
+      case None =>
+        val derived = postings.select("doc_id", "dl").groupBy("doc_id")
+          .agg(first("dl").as("dl"))
+          .agg(count(lit(1)).cast("double").as("n_docs"),
+            avg("dl").as("avgdl"))
+        df => df.crossJoin(broadcast(derived))
+    }
+    val dfr = stats match {
+      case Some(st) => st.dfs
+        .join(broadcast(qt.select("term").distinct()), Seq("term"))
+        .groupBy("term").agg(sum("df").cast("double").as("df"))
+      case None => postings
+        .join(broadcast(qt.select("term").distinct()), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    }
+    val scored = withStats(postings
       .join(broadcast(qt), Seq("term"))
-      .join(broadcast(dfr), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .join(broadcast(dfr), Seq("term")))
       .withColumn("contrib",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
             / (col("df") + lit(0.5)))

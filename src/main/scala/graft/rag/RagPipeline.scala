@@ -654,7 +654,8 @@ object RagPipeline {
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
     val post = graft.sources.KeywordIndex.ensurePostings(spark, sourceDir,
       index, idCol = "chunk_id", textCol = "text", snapshotId = snapshotId)
-    val lexical = KeywordSearch.bm25TopKFromPostings(queries, post, fetchK)
+    val lexical = KeywordSearch.bm25TopKFromPostings(queries, post, fetchK,
+      stats = graft.sources.KeywordIndex.statsFor(spark, sourceDir))
     KeywordSearch.rrfFuse(Seq(dense, lexical), k, rrfK)
       .select(col("query_id"), col("rank"), col("doc_id").as("chunk_id"),
         col("rrf_score").as("score"))
@@ -703,7 +704,8 @@ object RagPipeline {
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
     val post = graft.sources.KeywordIndex.ensurePostings(spark, sourceDir,
       index, idCol = "chunk_id", textCol = "text", snapshotId = snapshotId)
-    val lexical = KeywordSearch.bm25TopKFromPostings(queries, post, fetchK)
+    val lexical = KeywordSearch.bm25TopKFromPostings(queries, post, fetchK,
+      stats = graft.sources.KeywordIndex.statsFor(spark, sourceDir))
     KeywordSearch.rrfFuse(Seq(dense, lexical), k, rrfK)
       .select(col("query_id"), col("rank"), col("doc_id").as("chunk_id"),
         col("rrf_score").as("score"))
@@ -766,7 +768,8 @@ object RagPipeline {
     val dense = graft.sources.AnnIndex.querySq8(q, h, fetchK, m)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
     val post = graft.sources.KeywordIndex.openPostings(spark, sourceDir)
-    val lexical = KeywordSearch.bm25TopKFromPostings(queries, post, fetchK)
+    val lexical = KeywordSearch.bm25TopKFromPostings(queries, post, fetchK,
+      stats = graft.sources.KeywordIndex.statsFor(spark, sourceDir))
     KeywordSearch.rrfFuse(Seq(dense, lexical), k, rrfK)
       .select(col("query_id"), col("rank"), col("doc_id").as("chunk_id"),
         col("rrf_score").as("score"))

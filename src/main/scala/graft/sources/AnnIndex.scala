@@ -186,6 +186,33 @@ object AnnIndex {
       base: String): Boolean =
     tombsCommitted(base) && parquetReadable(spark, s"$base/tombs")
 
+  /** Align this session's tombs registration with the STORE's committed
+    * state WITHOUT paying catalog DDL when nothing changed — the open*
+    * hot path. The round-12 pattern (unconditional DROP + conditional
+    * CREATE per open) made every open call grow the session catalog's
+    * DDL history, so plan time grew with session age. States:
+    *
+    *   committed+registered   → refreshTable only (file re-list, no DDL)
+    *   committed+unregistered → registerExternal (another session's
+    *                            delete appeared)
+    *   uncommitted+registered → DROP (another session's fold/rebuild
+    *                            cleared them)
+    *   uncommitted+unregistered → nothing
+    *
+    * The table name ↔ path mapping is deterministic per tag, so a
+    * surviving registration never needs a path check, and the refresh
+    * covers tombstone APPENDS by other sessions.
+    */
+  private[sources] def syncTombs(spark: SparkSession, base: String,
+      table: String, clusteredBy: Option[(String, Int)] = None): Unit = {
+    val committed = tombsServable(spark, base)
+    val registered = spark.catalog.tableExists(table)
+    if (committed && registered) spark.catalog.refreshTable(table)
+    else if (committed)
+      registerExternal(spark, table, s"$base/tombs", clusteredBy)
+    else if (registered) spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   /** Sweep a tombs dir the meta never committed (the crashed-delete
     * orphan) — folding uncommitted ids into a new delete batch would
     * commit MORE tombstones than the batch's counted `nDel`, so the
@@ -599,11 +626,9 @@ object AnnIndex {
       spark.catalog.refreshTable(s"graft_lsh_buckets_$tag")
       spark.catalog.refreshTable(s"graft_lsh_vecs_$tag")
       // tombstones may have (dis)appeared under another session's
-      // delete or fold — re-derive the registration from the store
-      spark.sql(s"DROP TABLE IF EXISTS graft_lsh_tombs_$tag")
-      if (tombsServable(spark, base))
-        registerExternal(spark, s"graft_lsh_tombs_$tag", s"$base/tombs",
-          clusteredBy = Some(("vec_id", meta("buckets").toInt)))
+      // delete or fold — align with the store, DDL only on a change
+      syncTombs(spark, base, s"graft_lsh_tombs_$tag",
+        clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
     lshHandle(spark, tag, meta("tables").toInt, meta("bits").toInt)
   }
@@ -1145,9 +1170,10 @@ object AnnIndex {
     else {
       // a writer in another session invalidates only its own relation
       // cache — refresh so this reader's file listing is current; the
-      // tombs registration re-derives inside ivfServedHandle
+      // tombs registration aligns with the store (DDL only on change),
+      // then ivfServedHandle picks it up
       spark.catalog.refreshTable(listsTable)
-      spark.sql(s"DROP TABLE IF EXISTS graft_ivf_tombs_$tag")
+      syncTombs(spark, ivfBase(spark, tag), s"graft_ivf_tombs_$tag")
     }
     ivfServedHandle(spark, tag)
   }
@@ -1564,11 +1590,9 @@ object AnnIndex {
       spark.catalog.refreshTable(s"graft_sq8_codes_$tag")
       spark.catalog.refreshTable(s"graft_sq8_vecs_$tag")
       // tombstones may have (dis)appeared under another session's
-      // delete or fold — re-derive the registration from the store
-      spark.sql(s"DROP TABLE IF EXISTS graft_sq8_tombs_$tag")
-      if (tombsServable(spark, base))
-        registerExternal(spark, s"graft_sq8_tombs_$tag", s"$base/tombs",
-          clusteredBy = Some(("vec_id", meta("buckets").toInt)))
+      // delete or fold — align with the store, DDL only on a change
+      syncTombs(spark, base, s"graft_sq8_tombs_$tag",
+        clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
     sq8Handle(spark, tag)
   }
@@ -2517,11 +2541,9 @@ object AnnIndex {
       spark.catalog.refreshTable(s"graft_ivfsq8_lists_$tag")
       spark.catalog.refreshTable(s"graft_ivfsq8_vecs_$tag")
       // tombstones may have (dis)appeared under another session's
-      // delete or fold — re-derive the registration from the store
-      spark.sql(s"DROP TABLE IF EXISTS graft_ivfsq8_tombs_$tag")
-      if (tombsServable(spark, base))
-        registerExternal(spark, s"graft_ivfsq8_tombs_$tag", s"$base/tombs",
-          clusteredBy = Some(("vec_id", meta("buckets").toInt)))
+      // delete or fold — align with the store, DDL only on a change
+      syncTombs(spark, base, s"graft_ivfsq8_tombs_$tag",
+        clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
     ivfSq8Handle(spark, tag)
   }
@@ -2670,10 +2692,30 @@ object AnnIndex {
     val side = s"$base/${sub}_compact_${ProcessHandle.current.pid}"
     val tmp = s"${table}_compact"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    content.getOrElse(spark.table(table)).write.mode(SaveMode.Overwrite)
-      .option("path", side)
-      .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(tmp)
+    // ONE task per bucket, or the fold never happens: a bucketed write
+    // splits each TASK's rows into per-bucket files, so writing the
+    // accumulated many-task layout directly lands tasks × buckets
+    // files (caught by the round-13 maintenance driver's idempotence
+    // gate — compaction was rewriting WITHOUT reducing file counts).
+    // The repartition on the bucket key collapses to the bucketed
+    // scan's own partitioning — but the planner's auto-disable then
+    // reverts the scan to per-file partitions with the exchange
+    // already elided, resurrecting the fan-out; pinning the bucketed
+    // scan on for the rewrite keeps partitions ≡ buckets.
+    val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val priorAutoScan = spark.conf.getOption(autoScanKey)
+    spark.conf.set(autoScanKey, "false")
+    try {
+      content.getOrElse(spark.table(table))
+        .repartition(buckets, col(key))
+        .write.mode(SaveMode.Overwrite)
+        .option("path", side)
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(tmp)
+    } finally priorAutoScan match {
+      case Some(v) => spark.conf.set(autoScanKey, v)
+      case None => spark.conf.unset(autoScanKey)
+    }
     spark.sql(s"DROP TABLE $tmp")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     swapDir(s"$base/$sub", side)
@@ -3122,11 +3164,9 @@ object AnnIndex {
       spark.catalog.refreshTable(s"graft_ivfpq_lists_$tag")
       spark.catalog.refreshTable(s"graft_ivfpq_vecs_$tag")
       // tombstones may have (dis)appeared under another session's
-      // delete or fold — re-derive the registration from the store
-      spark.sql(s"DROP TABLE IF EXISTS graft_ivfpq_tombs_$tag")
-      if (tombsServable(spark, base))
-        registerExternal(spark, s"graft_ivfpq_tombs_$tag", s"$base/tombs",
-          clusteredBy = Some(("vec_id", meta("buckets").toInt)))
+      // delete or fold — align with the store, DDL only on a change
+      syncTombs(spark, base, s"graft_ivfpq_tombs_$tag",
+        clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
     ivfPqHandle(spark, tag, meta)
   }
@@ -3477,11 +3517,9 @@ object AnnIndex {
       spark.catalog.refreshTable(s"graft_bq_codes_$tag")
       spark.catalog.refreshTable(s"graft_bq_vecs_$tag")
       // tombstones may have (dis)appeared under another session's
-      // delete or fold — re-derive the registration from the store
-      spark.sql(s"DROP TABLE IF EXISTS graft_bq_tombs_$tag")
-      if (tombsServable(spark, base))
-        registerExternal(spark, s"graft_bq_tombs_$tag", s"$base/tombs",
-          clusteredBy = Some(("vec_id", meta("buckets").toInt)))
+      // delete or fold — align with the store, DDL only on a change
+      syncTombs(spark, base, s"graft_bq_tombs_$tag",
+        clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
     bqHandle(spark, tag)
   }
@@ -3855,10 +3893,9 @@ object AnnIndex {
     else {
       spark.catalog.refreshTable(s"graft_ivfbq_lists_$tag")
       spark.catalog.refreshTable(s"graft_ivfbq_vecs_$tag")
-      spark.sql(s"DROP TABLE IF EXISTS graft_ivfbq_tombs_$tag")
-      if (tombsServable(spark, base))
-        registerExternal(spark, s"graft_ivfbq_tombs_$tag", s"$base/tombs",
-          clusteredBy = Some(("vec_id", meta("buckets").toInt)))
+      // align with the store, DDL only on a change
+      syncTombs(spark, base, s"graft_ivfbq_tombs_$tag",
+        clusteredBy = Some(("vec_id", meta("buckets").toInt)))
     }
     ivfBqHandle(spark, tag)
   }

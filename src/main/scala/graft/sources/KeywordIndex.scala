@@ -1,7 +1,9 @@
 package graft.sources
 
 import graft.operators.KeywordSearch
+import graft.operators.KeywordSearch.Bm25Stats
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Persisted BM25 postings — the lexical twin of [[AnnIndex]]'s vector
   * layouts, completing the index-once/upsert-many/query-many lifecycle
@@ -29,6 +31,7 @@ object KeywordIndex {
     s"${AnnIndex.annBase(spark)}/graft_kw_$tag"
   private def tableName(tag: String) = s"graft_kw_postings_$tag"
   private def tombsName(tag: String) = s"graft_kw_tombs_$tag"
+  private def dfsName(tag: String) = s"graft_kw_dfs_$tag"
 
   private def registered(spark: SparkSession, tag: String): Boolean =
     spark.catalog.tableExists(tableName(tag))
@@ -42,6 +45,23 @@ object KeywordIndex {
     if (AnnIndex.parquetReadable(spark, s"${kwBase(spark, tag)}/tombs"))
       AnnIndex.registerExternal(spark, tombsName(tag),
         s"${kwBase(spark, tag)}/tombs")
+    spark.sql(s"DROP TABLE IF EXISTS ${dfsName(tag)}")
+    if (AnnIndex.parquetReadable(spark, s"${kwBase(spark, tag)}/dfs"))
+      AnnIndex.registerExternal(spark, dfsName(tag),
+        s"${kwBase(spark, tag)}/dfs")
+  }
+
+  /** Align this session's df-stats registration with the store WITHOUT
+    * catalog DDL when nothing changed (the [[AnnIndex.syncTombs]]
+    * hygiene applied to the stats side table).
+    */
+  private def syncDfs(spark: SparkSession, tag: String): Unit = {
+    val path = s"${kwBase(spark, tag)}/dfs"
+    val want = AnnIndex.parquetReadable(spark, path)
+    val have = spark.catalog.tableExists(dfsName(tag))
+    if (want && have) spark.catalog.refreshTable(dfsName(tag))
+    else if (want) AnnIndex.registerExternal(spark, dfsName(tag), path)
+    else if (have) spark.sql(s"DROP TABLE IF EXISTS ${dfsName(tag)}")
   }
 
   /** The SERVED view: when a tombstone table exists the postings
@@ -92,6 +112,39 @@ object KeywordIndex {
         priorBatch.map("last_batch_id" -> _).toSeq ++
         priorDelBatch.map("last_del_batch_id" -> _).toSeq,
       snapshotId.map("snapshot_id" -> _).toSeq)
+    seedStats(spark, tag)
+  }
+
+  /** Derive and commit the corpus statistics from the STORED postings
+    * (so they are consistent with what is served): per-term document
+    * frequency as a side table, Σ dl into the meta — query time then
+    * pays vocabulary-sized work instead of two full-postings aggregates
+    * per call (the round-12 verdict's per-call stats scan). Runs after
+    * the layout's own meta commit: a crash in between leaves a valid
+    * stats-LESS layout that serves via the derived path until the next
+    * ensure re-seeds (never wrong numbers).
+    */
+  private def statsMissing(spark: SparkSession, tag: String): Boolean =
+    !AnnIndex.readMeta(kwBase(spark, tag)).contains("sum_dl") ||
+      !AnnIndex.parquetReadable(spark, s"${kwBase(spark, tag)}/dfs")
+
+  private def seedStats(spark: SparkSession, tag: String): Unit = {
+    val base = kwBase(spark, tag)
+    val stored = spark.table(tableName(tag))
+    val sumDl = stored.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(coalesce(sum("dl"), lit(0.0))).head().getDouble(0).toLong
+    spark.sql(s"DROP TABLE IF EXISTS ${dfsName(tag)}")
+    val dfsDir = java.nio.file.Paths.get(s"$base/dfs")
+    if (java.nio.file.Files.exists(dfsDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(dfsDir.toFile)
+    stored.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", s"$base/dfs")
+      .format("parquet").saveAsTable(dfsName(tag))
+    val meta = AnnIndex.readMeta(base)
+    AnnIndex.writeMetaFull(base,
+      (meta - "sum_dl").toSeq ++ Seq("sum_dl" -> sumDl),
+      AnnIndex.readMetaStrs(base).toSeq)
   }
 
   /** Build (or reuse) the persisted postings over `docs`. Freshness is
@@ -120,6 +173,8 @@ object KeywordIndex {
     if (snapFresh && AnnIndex.servable(spark, Seq(s"$base/postings"),
         registered(spark, tag), () => attach(spark, tag))) {
       spark.catalog.refreshTable(tableName(tag))
+      // upgrade path: a pre-stats layout seeds its stats once here
+      if (statsMissing(spark, tag)) seedStats(spark, tag)
       return served(spark, tag)
     }
     val (n, fp) = AnnIndex.fingerprint(
@@ -137,15 +192,22 @@ object KeywordIndex {
     else if (snapshotId.isDefined)
       // content unchanged under a new snapshot name: record the id so
       // the next ensure at this snapshot skips the scan entirely —
-      // carrying last_batch_id through, or a later crash-replayed
-      // streaming batch would lose its skip guard and double-append
+      // carrying last_batch_id (a crash-replayed streaming batch would
+      // otherwise lose its skip guard and double-append), sum_dl (the
+      // served stats), and last_del_batch_id through
       AnnIndex.writeMetaFull(base,
         Seq("n_docs" -> n, "checksum" -> fp) ++
-          meta.get("last_batch_id").map("last_batch_id" -> _).toSeq,
+          meta.get("sum_dl").map("sum_dl" -> _).toSeq ++
+          meta.get("last_batch_id").map("last_batch_id" -> _).toSeq ++
+          meta.get("last_del_batch_id")
+            .map("last_del_batch_id" -> _).toSeq,
         snapshotId.map("snapshot_id" -> _).toSeq)
     // a cross-process writer may have appended since this session last
     // listed the table — reuse must serve the CURRENT files
     spark.catalog.refreshTable(tableName(tag))
+    // upgrade path: a layout built before the stats side table existed
+    // (or that lost it to a crash) seeds its stats once here
+    if (metaFresh && statsMissing(spark, tag)) seedStats(spark, tag)
     served(spark, tag)
   }
 
@@ -181,10 +243,8 @@ object KeywordIndex {
     else {
       spark.catalog.refreshTable(tableName(tag))
       // tombstones may have (dis)appeared under another session's
-      // delete or fold — re-derive the registration from the store
-      spark.sql(s"DROP TABLE IF EXISTS ${tombsName(tag)}")
-      if (AnnIndex.tombsServable(spark, base))
-        AnnIndex.registerExternal(spark, tombsName(tag), s"$base/tombs")
+      // delete or fold — align with the store, DDL only on a change
+      AnnIndex.syncTombs(spark, base, tombsName(tag))
     }
     served(spark, tag)
   }
@@ -236,13 +296,35 @@ object KeywordIndex {
     }
     val (nNew, fpNew) = AnnIndex.fingerprint(
       newDocs.select(newDocs(idCol), newDocs(textCol)))
-    KeywordSearch.bm25Postings(newDocs, idCol, textCol)
-      .write.mode(SaveMode.Append).format("parquet")
+    // one deterministic postings frame feeds the append AND the stats
+    // deltas (materialized so the two passes agree byte-for-byte)
+    val newPost = KeywordSearch.bm25Postings(newDocs, idCol, textCol)
+      .localCheckpoint(true)
+    newPost.write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(tableName(tag))
+    // incremental stats (the round-12 verdict's per-call-scan fix): df
+    // DELTAS append to the side table (the read side sums per term) and
+    // Σ dl bumps in the meta — O(batch vocabulary) per upsert, and the
+    // merged stats stay EXACTLY the rebuild's (a document's postings
+    // depend on that document alone). Only maintained when the layout
+    // has them (a pre-stats layout keeps serving via the derived path).
+    val statsKept = meta.contains("sum_dl") &&
+      AnnIndex.parquetReadable(spark, s"$base/dfs")
+    val sumDlNew =
+      if (statsKept) {
+        syncDfs(spark, tag)
+        newPost.groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode(SaveMode.Append).format("parquet")
+          .saveAsTable(dfsName(tag))
+        newPost.groupBy("doc_id").agg(first("dl").as("dl"))
+          .agg(coalesce(sum("dl"), lit(0.0))).head().getDouble(0).toLong
+      } else 0L
     // any stored snapshot_id is deliberately dropped — the layout is now
     // ahead of the snapshot that id named (the upsertLsh rule)
     AnnIndex.writeMetaFull(base,
       Seq("n_docs" -> (meta("n_docs") + nNew)) ++
+        (if (statsKept)
+          Seq("sum_dl" -> (meta("sum_dl") + sumDlNew)) else Nil) ++
         // absent after a tombstone fold (no source text to re-derive
         // from): stays absent — the next ensure rebuilds and re-seeds
         meta.get("checksum").map(c => "checksum" -> (c ^ fpNew)).toSeq ++
@@ -362,6 +444,28 @@ object KeywordIndex {
         org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
     }
     attach(spark, tag)
+    // the stats side table re-derives from the (possibly folded) live
+    // rows — compaction rewrites the whole layout anyway, so the
+    // vocabulary recount rides it; it folds accumulated upsert deltas
+    // into one aggregated file set, re-derives survivor stats after a
+    // tombstone fold, and is the UPGRADE path that seeds stats onto a
+    // pre-stats layout. Crash mid-rewrite leaves no readable dfs dir —
+    // serving then falls back to the derived-stats path (never wrong
+    // numbers, just the slower plan) until the next compact/ensure.
+    val live = spark.table(tableName(tag))
+    AnnIndex.sweepStaleCompaction(base, "dfs")
+    val dfsSide = s"$base/dfs_compact_${ProcessHandle.current.pid}"
+    live.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(dfsSide)
+    spark.sql(s"DROP TABLE IF EXISTS ${dfsName(tag)}")
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/dfs")))
+      AnnIndex.swapDir(s"$base/dfs", dfsSide)
+    else
+      java.nio.file.Files.move(java.nio.file.Paths.get(dfsSide),
+        java.nio.file.Paths.get(s"$base/dfs"))
+    AnnIndex.registerExternal(spark, dfsName(tag), s"$base/dfs")
+    val sumDlLive = live.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(coalesce(sum("dl"), lit(0.0))).head().getDouble(0).toLong
     if (folding) {
       // the tombstone FOLD physically removed documents. Unlike the
       // ANN folds there is no stored source text to re-fingerprint
@@ -375,11 +479,36 @@ object KeywordIndex {
       val nLive = spark.table(tableName(tag))
         .select("doc_id").distinct().count()
       AnnIndex.writeMetaFull(base,
-        (meta - "n_docs" - "checksum" - "tomb_rows").toSeq ++
-          Seq("n_docs" -> nLive),
-        Nil)
-    }
+        (meta - "n_docs" - "checksum" - "tomb_rows" - "sum_dl").toSeq ++
+          Seq("n_docs" -> nLive, "sum_dl" -> sumDlLive),
+        AnnIndex.readMetaStrs(base).toSeq)
+    } else
+      AnnIndex.writeMetaFull(base,
+        (meta - "sum_dl").toSeq ++ Seq("sum_dl" -> sumDlLive),
+        AnnIndex.readMetaStrs(base).toSeq)
     served(spark, tag)
+  }
+
+  /** Stored corpus statistics for BM25 serving, when they are valid:
+    * `(n_docs, sum_dl)` from the meta plus the per-term df side table
+    * (append-only deltas; [[KeywordSearch.Bm25Stats]] read-side sums).
+    * Returns None — and the caller serves via the derived-stats path,
+    * same numbers, corpus-sized plan — when the layout is tombstoned
+    * (the anti-joined view's stats must reflect SURVIVORS to keep
+    * delete ≡ rebuild exact), predates stats, or lost its dfs dir to a
+    * crashed compaction. Registration sync is DDL-free on no change.
+    */
+  def statsFor(spark: SparkSession, sourceDir: String): Option[Bm25Stats] = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val meta = AnnIndex.readMeta(kwBase(spark, tag))
+    if (meta.get("tomb_rows").forall(_ == 0L) && meta.contains("sum_dl") &&
+        meta.contains("n_docs") && meta("n_docs") > 0L) {
+      syncDfs(spark, tag)
+      if (spark.catalog.tableExists(dfsName(tag)))
+        Some(Bm25Stats(meta("n_docs"), meta("sum_dl"),
+          spark.table(dfsName(tag))))
+      else None
+    } else None
   }
 
   /** Deterministic build-plus-upsert (the q82 shape): reuse when the

@@ -102,6 +102,65 @@ object KnnTune {
       spark.stop(); return
     }
 
+    // gscale mode: graph-search recall as the INDEX GROWS 10×/100×
+    // (the AnnTune `scale` recipe — replicas jittered with
+    // deterministic hash noise so filler clusters around the corpus
+    // instead of piling into duplicates; replica 0 untouched so the
+    // held-out queries' true neighborhoods survive). This measures the
+    // round-12 verdict's open question: does the shipped
+    // (beam=32, rounds=3) point hold as n grows, and does LSH
+    // entry-seed quality degrade — the evidence the flat-vs-
+    // hierarchical entry decision needs.
+    if (args.length > 1 && args(1).endsWith("gscale")) {
+      val q = emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec")).localCheckpoint(true)
+      val idx0 = emb.filter(col("vec_id") % 25 =!= 0).localCheckpoint(true)
+      val n0 = idx0.count()
+      for (factor <- Seq(1, 10, 100)) {
+        val idx = (if (factor == 1) idx0 else {
+          val sigma = 2.0
+          idx0.crossJoin(spark.range(factor).toDF("rep"))
+            .select(
+              (col("vec_id") + col("rep") * n0 * 32).as("vec_id"),
+              when(col("rep") === 0, col("embedding")).otherwise(
+                transform(col("embedding"), (x, i) =>
+                  (x + lit(sigma)
+                    * sqrt(aggregate(col("embedding"), lit(0.0d),
+                        (a, e) => a + e * e) / size(col("embedding")))
+                    * (hash(col("vec_id"), col("rep"), i).cast("double")
+                      / Int.MaxValue)).cast("float")))
+                .as("embedding"))
+        }).localCheckpoint(true)
+        val nIdx = idx.count()
+        val exact = graft.operators.SimilaritySearch
+          .bruteForceTopK(q, idx, k = 4)
+          .select("query_id", "vec_id").localCheckpoint(true)
+        val nExact = exact.count()
+        val tg = System.nanoTime()
+        val graphE = KnnGraph.nnDescent(idx, 8, rounds = 4,
+          blockSize = 50, maxDegreeOpt = Some(24))
+          .select("src", "dst").localCheckpoint(true)
+        val buildSec = (System.nanoTime() - tg) / 1e9
+        // seed quality: fraction of queries whose LSH entry buckets
+        // contain at least one true top-4 neighbor
+        for ((beam, rounds, entryTables) <- Seq(
+            (32, 3, 2), (32, 4, 2), (32, 3, 4), (64, 3, 2))) {
+          val t0 = System.nanoTime()
+          val got = KnnGraph.graphSearch(q, idx, graphE, k = 4,
+            beam = beam, rounds = rounds, entryTables = entryTables)
+            .select("query_id", "vec_id")
+          val hits = exact.join(got, Seq("query_id", "vec_id"),
+            "left_semi").count()
+          println(f"GSCALE f=$factor%-3d n=$nIdx build=$buildSec%.0fs " +
+            f"beam=$beam rounds=$rounds entry=$entryTables " +
+            f"recall=${hits.toDouble / nExact}%.4f " +
+            f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        }
+      }
+      spark.stop(); return
+    }
+
     // point mode: one (k, rounds, block, maxDegree) cell, recall per round
     if (args.length > 1 && args(1).endsWith("point")) {
       val k = args(2).toInt; val block = args(4).toInt

@@ -65,6 +65,43 @@ object MaxSimTune {
         .agg(max("arank")).head().getInt(0)
       println(s"MAXSIM_SQ8 n_docs=$nDocs required_mdocs=$d2")
     }
+
+    // plaid mode: the clustered layout's required shortlist at a given
+    // nProbe — the worst stage-1 rank of any full-scan winner — plus
+    // the candidate fraction (probed chunk rows / full-scan chunk rows
+    // per query batch), the scan win the partitioned layout exists for
+    if (args.length > 1 && args(1) == "plaid") {
+      import graft.sources.PlaidIndex
+      import org.apache.spark.sql.expressions.Window
+      val nProbe = args.lift(2).flatMap(_.toIntOption).getOrElse(8)
+      val lists = args.lift(3).flatMap(_.toIntOption).getOrElse(32)
+      val key = s"$sfDir#plaidtune$lists"
+      PlaidIndex.ensurePlaid(spark, key,
+        index.select(col("doc_id"), col("chunk_id").as("vec_id"),
+          col("embedding")), lists = lists, snapshotId = Some(sfDir))
+      val h = PlaidIndex.openPlaid(spark, key)
+      val ranked = PlaidIndex.plaidStage1(qt, h, nProbe)
+        .withColumn("prank", row_number().over(Window
+          .partitionBy("query_id")
+          .orderBy(desc("ascore"), col("doc_id"))))
+      val nWinners = full.count()
+      val covered = full.join(ranked, Seq("query_id", "doc_id"))
+        .localCheckpoint(true)
+      val nCovered = covered.count()
+      val depth =
+        if (nCovered == 0) -1
+        else covered.agg(max("prank")).head().getInt(0)
+      val probes = PlaidIndex.plaidProbes(qt, h, nProbe)
+        .localCheckpoint(true)
+      val probedRows = h.lists.join(broadcast(probes),
+        Seq("centroid_id")).count()
+      val nQueries = probes.select("query_id").distinct().count()
+      val fullRows = h.lists.count() * nQueries
+      println(s"MAXSIM_PLAID n_docs=$nDocs lists=$lists nProbe=$nProbe " +
+        s"winners_covered=$nCovered/$nWinners required_mdocs=$depth " +
+        s"probed_rows=$probedRows full_rows=$fullRows " +
+        f"fraction=${probedRows.toDouble / math.max(1L, fullRows)}%.4f")
+    }
     spark.stop()
   }
 }

@@ -265,4 +265,74 @@ class GovernanceSpec extends AnyFunSuite {
     assert(Governance.readPurgeLog(spark, logDir, "roster")
       .count() === 3L)
   }
+
+  test("maintain: compacts only past-threshold layouts through their " +
+      "journaled verbs; answers byte-identical; second run no-op; " +
+      "replay windows survive the compaction") {
+    val kL = s"gvm-$runTag-lsh"
+    val kG = s"gvm-$runTag-g"
+    val kK = s"gvm-$runTag-kw"
+    // multi-file-set layouts: base + two replay-guarded upsert batches
+    AnnIndex.ensureLsh(spark, kL, vecs.filter(col("vec_id") < 40),
+      tables = 8, bits = 4, storageBuckets = 2)
+    AnnIndex.upsertLsh(spark, kL,
+      vecs.filter(col("vec_id") >= 40 && col("vec_id") < 44),
+      tables = 8, bits = 4, storageBuckets = 2, batchId = Some(1L))
+    AnnIndex.upsertLsh(spark, kL, vecs.filter(col("vec_id") >= 44),
+      tables = 8, bits = 4, storageBuckets = 2, batchId = Some(2L))
+    GraphIndex.ensureGraph(spark, kG, vecs.filter(col("vec_id") < 44),
+      k = 4, rounds = 2, blockSize = 16, maxDegree = 12,
+      storageBuckets = 2)
+    GraphIndex.upsertGraph(spark, kG, vecs.filter(col("vec_id") >= 44),
+      batchId = Some(1L))
+    KeywordIndex.ensurePostings(spark, kK,
+      docs.filter(col("doc_id") < 20))
+    KeywordIndex.upsertPostings(spark, kK,
+      docs.filter(col("doc_id") >= 20), batchId = Some(1L))
+    val scope = Governance.PurgeScope(lsh = Seq(kL), graphs = Seq(kG),
+      postings = Seq(kK))
+    val probes = vecs.filter(col("vec_id") % 7 === 1)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec")).localCheckpoint(true)
+    def answers() = (
+      AnnIndex.queryLsh(probes, AnnIndex.openLsh(spark, kL), k = 3)
+        .select("query_id", "rank", "vec_id").collect().map(_.toSeq).toSet,
+      GraphIndex.queryGraph(spark, kG, probes, k = 2, beam = 8,
+        rounds = 3).select("query_id", "rank", "vec_id")
+        .collect().map(_.toSeq).toSet,
+      graft.operators.KeywordSearch.bm25TopKFromPostings(
+        Seq((1L, "alpha beta")).toDF("query_id", "query_text"),
+        KeywordIndex.openPostings(spark, kK), k = 3)
+        .select("query_id", "rank", "doc_id", "score")
+        .collect().map(_.toSeq).toSet)
+    val before = answers()
+    // threshold 5: above each layout's post-compaction floor (2-bucket
+    // tables land ~2 files each), below the appended-file-set counts
+    val run1 = Governance.maintain(spark, scope, maxFiles = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(run1.size === 3)
+    assert(run1.forall { case (_, fb, fa, c) => !c || fa < fb },
+      s"compaction must reduce file counts: $run1")
+    assert(run1.exists(_._4), s"nothing compacted: $run1")
+    assert(answers() === before,
+      "maintenance changed a served answer")
+    val run2 = Governance.maintain(spark, scope, maxFiles = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(run2.count(_._4) === 0,
+      s"second maintenance run must be a no-op: $run2")
+    // replay windows survive: a replayed upsert batch is still skipped
+    val nAfter = AnnIndex.openLsh(spark, kL).vecs.count()
+    AnnIndex.upsertLsh(spark, kL, vecs.filter(col("vec_id") >= 44),
+      tables = 8, bits = 4, storageBuckets = 2, batchId = Some(2L))
+    assert(AnnIndex.openLsh(spark, kL).vecs.count() === nAfter,
+      "compaction must not reopen the upsert replay window")
+    // a scoped-but-missing layout fails loudly, the purge discipline
+    val e = intercept[IllegalArgumentException] {
+      Governance.maintain(spark,
+        Governance.PurgeScope(lsh = Seq(s"gvm-$runTag-none")))
+    }
+    assert(e.getMessage.contains("no persisted"))
+  }
 }

@@ -206,6 +206,24 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q81 persisted BM25 serves stats from the STORE: exactly one " +
+      "postings scan, df from the vocabulary-sized side table") {
+    val p = physical("q81_bm25_persisted")
+    // the derived path scans the postings three times per call (corpus
+    // stats, query-term df, scoring); the served-stats path must scan
+    // them ONCE (scoring) — at 100 TB the other two were corpus-sized
+    // aggregates per query batch
+    val postingsScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("graft_kw_postings_"))
+    assert(postingsScans === 1,
+      s"expected exactly 1 postings scan, got $postingsScans:\n$p")
+    assert(p.contains("graft_kw_dfs_"),
+      s"df must come from the stats side table:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a join shuffled the postings:\n$p")
+    assert(p.toLowerCase.contains("partial_topkagg"), p)
+  }
+
   test("q86 hybrid over the persisted postings: the BM25 half scans the " +
       "stored postings table, keeps the q78 broadcast discipline") {
     val p = physical("q86_hybrid_persisted")

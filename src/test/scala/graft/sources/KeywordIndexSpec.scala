@@ -81,6 +81,45 @@ class KeywordIndexSpec extends AnyFunSuite {
       === hits(KeywordSearch.bm25TopK(queries, docs, k = 5)))
   }
 
+  test("stored corpus stats (meta + df side table) serve bit-identically " +
+      "to the derived path across build, upsert, tombstone, and fold") {
+    val src = s"kwspec-$runTag-s"
+    val direct = hits(KeywordSearch.bm25TopK(queries, docs, k = 5))
+    val post = KeywordIndex.ensurePostings(spark, src, docs)
+    val st = KeywordIndex.statsFor(spark, src)
+    assert(st.isDefined, "freshly built layout must carry stats")
+    assert(st.get.nDocs === docs.count())
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, post, k = 5,
+      stats = st)) === direct)
+    // upsert: meta sum + appended df deltas compose to the rebuild's
+    val src2 = s"kwspec-$runTag-s2"
+    KeywordIndex.ensurePostings(spark, src2,
+      docs.filter(col("doc_id") % 10 =!= 7))
+    val post2 = KeywordIndex.upsertPostings(spark, src2,
+      docs.filter(col("doc_id") % 10 === 7))
+    val st2 = KeywordIndex.statsFor(spark, src2)
+    assert(st2.isDefined)
+    assert(st2.get.nDocs === st.get.nDocs)
+    assert(st2.get.sumDl === st.get.sumDl)
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, post2, k = 5,
+      stats = st2)) === direct)
+    // tombstoned layout refuses stats (the anti-joined view's stats
+    // must reflect survivors — the caller falls back to derivation)
+    val victims = KeywordSearch.bm25TopK(queries, docs, k = 1)
+      .select("doc_id").distinct().limit(2).localCheckpoint(true)
+    KeywordIndex.deletePostings(spark, src2, victims)
+    assert(KeywordIndex.statsFor(spark, src2).isEmpty,
+      "tombstoned layout must not serve stale stats")
+    // the fold recounts survivor stats and re-admits them
+    val folded = KeywordIndex.compactPostings(spark, src2)
+    val st3 = KeywordIndex.statsFor(spark, src2)
+    assert(st3.isDefined)
+    val survivors = docs.join(victims, Seq("doc_id"), "left_anti")
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, folded, k = 5,
+      stats = st3)) === hits(KeywordSearch.bm25TopK(queries, survivors,
+      k = 5)))
+  }
+
   test("upsertPostings with a batchId skips a replayed batch") {
     val src = s"kwspec-$runTag-e"
     val base = docs.filter(col("doc_id") % 10 =!= 7)

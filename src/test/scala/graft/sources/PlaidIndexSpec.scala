@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.operators.LateInteraction
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PLAID-clustered late-interaction serving: identity to the full-scan
+  * MaxSim at a safe margin, probe restriction semantics, assignment
+  * invariants, lifecycle freshness.
+  */
+class PlaidIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val runTag = java.util.UUID.randomUUID.toString.take(8)
+
+  // 4 angular clusters of chunk vectors; 3 chunks per doc, docs cycle
+  // through clusters so MaxSim structure is non-trivial
+  private def chunks: DataFrame = (0 until 120).map { i =>
+    val doc = i / 3
+    val theta = (doc % 4) * 1.5 + (i % 3) * 0.05 + (doc / 4) * 0.01
+    (doc.toLong, i.toLong,
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+  }.toDF("doc_id", "vec_id", "embedding")
+
+  private def queryTokens: DataFrame = (1 to 3).flatMap { q =>
+    (0 until 2).map { p =>
+      val theta = q * 1.5 + p * 0.3
+      (q.toLong, p,
+        Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }
+  }.toDF("query_id", "qpos", "qvec")
+
+  private def hits(df: DataFrame): Set[(Long, Int, Long)] =
+    df.select("query_id", "rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("plaidTopK equals the full-scan MaxSim at a generous margin, " +
+      "and at full probes/shortlist it is exhaustively identical") {
+    val key = s"plaid-$runTag-a"
+    PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4, iters = 3)
+    val full = hits(LateInteraction.maxSimTopK(queryTokens, chunks, k = 3))
+    // full probes + full shortlist ⇒ stage 1 IS the full scan
+    assert(hits(PlaidIndex.plaidTopK(spark, key, queryTokens, k = 3,
+      nProbe = 4, mDocs = 40)) === full)
+    // the shipped-margin shape (still generous at this fixture size)
+    assert(hits(PlaidIndex.plaidTopK(spark, key, queryTokens, k = 3,
+      nProbe = 2, mDocs = 8)) === full)
+  }
+
+  test("every chunk lands in exactly one list; assignment is to the " +
+      "argmax-cosine centroid (ties centroid_id asc)") {
+    val key = s"plaid-$runTag-b"
+    val h = PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4,
+      iters = 3)
+    assert(h.lists.count() === chunks.count())
+    assert(h.lists.groupBy("vec_id").count()
+      .filter(col("count") =!= 1).count() === 0)
+    // stored assignment beats (or ties, id-asc) every other centroid
+    val better = h.lists
+      .join(h.centroids.select(col("centroid_id").as("stored_cid"),
+        col("centroid_vec").as("stored_vec")),
+        col("centroid_id") === col("stored_cid"))
+      .crossJoin(broadcast(h.centroids
+        .select(col("centroid_id").as("other_cid"),
+          col("centroid_vec").as("other_vec"))))
+      .withColumn("s_sim", graft.functions.VectorOps.cosine(
+        col("embedding"), col("stored_vec")))
+      .withColumn("o_sim", graft.functions.VectorOps.cosine(
+        col("embedding"), col("other_vec")))
+      .filter(col("o_sim") > col("s_sim") + 1e-12 ||
+        (col("o_sim") === col("s_sim") &&
+          col("other_cid") < col("stored_cid")))
+    assert(better.count() === 0)
+  }
+
+  test("stage-1 scores are restricted to probed lists (lower bound of " +
+      "the true per-token max) and candidates stay within probed docs") {
+    val key = s"plaid-$runTag-c"
+    val h = PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4,
+      iters = 3)
+    val s1 = PlaidIndex.plaidStage1(queryTokens, h, nProbe = 1)
+    val fullScores = LateInteraction.maxSimTopK(queryTokens, chunks,
+      k = 40).select(col("query_id"), col("doc_id"),
+      col("score").as("full_score"))
+    val over = s1.join(fullScores, Seq("query_id", "doc_id"))
+      .filter(col("ascore") > col("full_score") + 1e-9)
+    assert(over.count() === 0,
+      "probed stage-1 score exceeded the full-scan score")
+  }
+
+  test("freshness: unchanged content reuses, changed content rebuilds; " +
+      "openPlaid without an ensure fails loudly") {
+    val key = s"plaid-$runTag-d"
+    PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4, iters = 2)
+    val p = java.nio.file.Paths.get(
+      s"/tmp/graft_plaid_${IndexStore.pathTag(key)}/lists")
+    val m1 = java.nio.file.Files.getLastModifiedTime(p)
+    PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4, iters = 2)
+    assert(java.nio.file.Files.getLastModifiedTime(p) === m1)
+    val moved = chunks.withColumn("embedding",
+      when(col("vec_id") === 0L,
+        typedlit(Array(0.0f, 1.0f))).otherwise(col("embedding")))
+    PlaidIndex.ensurePlaid(spark, key, moved, lists = 4, iters = 2)
+    assert(java.nio.file.Files.getLastModifiedTime(p) !== m1)
+    val e = intercept[IllegalArgumentException] {
+      PlaidIndex.openPlaid(spark, s"plaid-$runTag-never")
+    }
+    assert(e.getMessage.contains("ensurePlaid"))
+  }
+}
