@@ -2297,15 +2297,18 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_lsh_purged_served")))
     }),
 
-    // GRAPH-SERVED RAG (round-12): the reference's retrieval surface
-    // (external query text → chunk-level top-4) served through the
-    // persisted GRAPH lane end-to-end — chunk embeddings into
-    // ensureGraph (built once per fixture, snapshot-trusted after),
-    // external queries beam-searched through the stored undirected
-    // graph. Floor 0.90 vs the exact chunk kNN (measured 20/20 at the
-    // small scales, 19/20 at sf0.1 — one winner chunk sits in a weak
-    // NN-Descent neighborhood at beam 32–64 alike, the honest
-    // approximate-path class, vs q65's exact serving).
+    // GRAPH-SERVED RAG (round-12; operating point closed round-13):
+    // the reference's retrieval surface (external query text →
+    // chunk-level top-4) served through the persisted GRAPH lane
+    // end-to-end — chunk embeddings into ensureGraph (built once per
+    // fixture, snapshot-trusted after), external queries beam-searched
+    // through the stored undirected graph. Round-12 shipped
+    // (beam=32, rounds=3) and recorded an honest 19/20 at sf0.1 — the
+    // one winner chunk sits in a weak NN-Descent neighborhood that
+    // beam WIDTH alone never reaches (GraphRagProbe: beam 64 at
+    // rounds 3 still misses it; one extra expansion ROUND reaches it
+    // at beam 32). Shipped rounds=4: measured 20/20 at ALL three
+    // scales, floor raised 0.90 → 0.95 per the round-12 verdict.
     "q239_graph_rag" -> ((s, dir) => {
       import graft.sources.GraphIndex
       val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
@@ -2318,7 +2321,7 @@ object PipelineQueries {
       val q = retrievalQueryDf(s).select(col("query_id"),
         graft.rag.Embedder.embedCol(col("query_text")).as("query_vec"))
       val served = GraphIndex.queryGraph(s, key, q, k = 4, beam = 32,
-        rounds = 3).select("query_id", "vec_id")
+        rounds = 4).select("query_id", "vec_id")
       val exact = SimilaritySearch.bruteForceTopK(q, index, k = 4)
         .select("query_id", "vec_id").localCheckpoint(true)
       exact.agg(countDistinct("query_id").as("n_queries"),
@@ -2327,7 +2330,7 @@ object PipelineQueries {
           "left_semi").agg(count(lit(1)).as("hits")))
         .crossJoin(index.agg(countDistinct("vec_id").as("n_chunks")))
         .select(col("n_queries"), col("n_exact"), col("n_chunks"),
-          (col("hits") >= col("n_exact") * 0.90).as("recall_ok"))
+          (col("hits") >= col("n_exact") * 0.95).as("recall_ok"))
     }),
 
     // EMBEDDING-SPACE DRIFT (round-12): the vector analogue of the
