@@ -61,6 +61,8 @@ object Governance {
       opqIvfPq: Seq[String] = Nil,
       graphs: Seq[String] = Nil,
       postings: Seq[String] = Nil,
+      plaid: Seq[String] = Nil,
+      impacts: Seq[String] = Nil,
       indexStores: Seq[String] = Nil,
       dedupSeen: Seq[String] = Nil,
       dedupNear: Seq[String] = Nil,
@@ -195,6 +197,17 @@ object Governance {
       KeywordIndex.deletePostings(spark, d, docs, batchId = batchId)
       receipt += (("postings", d, "tombstoned", nIds))
     }
+    scope.plaid.foreach { d =>
+      PlaidIndex.deletePlaid(spark, d, docs, batchId = batchId)
+      receipt += (("plaid", d, "tombstoned", nIds))
+    }
+    scope.impacts.foreach { d =>
+      // poison-until-rebuild: the layout refuses to SERVE anything
+      // until re-ensured over the survivors (its corpus statistics are
+      // baked at build time — see ImpactIndex.deleteImpacts)
+      ImpactIndex.deleteImpacts(spark, d, docs, batchId = batchId)
+      receipt += (("kwbmw", d, "poisoned", nIds))
+    }
     receipt.toSeq.toDF("surface", "store", "action", "n_purged")
   }
 
@@ -281,6 +294,25 @@ object Governance {
     scope.postings.foreach { d =>
       add("postings", d, "postings",
         KeywordIndex.openPostings(spark, d), "doc_id")
+    }
+    scope.plaid.foreach { d =>
+      val h = PlaidIndex.openPlaid(spark, d)
+      add("plaid", d, "lists", h.lists, "doc_id")
+      add("plaid", d, "doccent", h.docCentroids, "doc_id")
+    }
+    scope.impacts.foreach { d =>
+      if (ImpactIndex.impactsTombstoned(spark, d)) {
+        // poisoned: the layout must REFUSE to serve — verify it does,
+        // then it trivially serves zero purged ids
+        val refused =
+          try { ImpactIndex.openImpacts(spark, d); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused, s"audit: impact layout '$d' is tombstoned " +
+          "but still serves — the poison contract is broken")
+        frames += (("kwbmw", d, "poisoned", victims.limit(0)))
+      } else
+        add("kwbmw", d, "impacts",
+          ImpactIndex.openImpacts(spark, d).impacts, "doc_id")
     }
     scope.indexStores.foreach { p =>
       if (IndexStore.exists(p))

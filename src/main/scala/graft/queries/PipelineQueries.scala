@@ -2487,6 +2487,69 @@ object PipelineQueries {
         .crossJoin(bmBefore.agg(count(lit(1)).as("n_bm25_rows")))
     }),
 
+    // ROUND-13 LAYOUTS UNDER THE ERASURE FLAGSHIP: the PLAID and
+    // impact layouts join the q218/q236 whole-engine purge guarantee.
+    // Plaid tombstones anti-join BOTH serving tables (survivor serving
+    // stays exact); the impact layout POISONS — it refuses to serve
+    // under stale baked statistics rather than silently rescoring (the
+    // refuse-don't-guess discipline; the postings path is the exact
+    // deletable BM25 surface). Audit zero, replayed purge a no-op
+    // (exists-gated builds + per-verb replay-skip counters, the q236
+    // replay shape), and the victims' own probes retrieve survivors
+    // only.
+    "q244_r13_purge" -> ((s, dir) => {
+      import graft.operators.Governance
+      import graft.sources.{ImpactIndex, PlaidIndex}
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val chunks = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200)
+        .select(col("doc_id"), col("chunk_id").as("vec_id"),
+          col("embedding")).localCheckpoint(true)
+      val kP = s"$dir#ppurge"
+      val kI = s"$dir#ipurge"
+      if (!PlaidIndex.plaidExists(s, kP))
+        PlaidIndex.ensurePlaid(s, kP, chunks)
+      if (!ImpactIndex.impactsExist(s, kI))
+        ImpactIndex.ensureImpacts(s, kI, docs)
+      val victims = docs.filter(col("doc_id") % 25 === 3)
+        .select("doc_id").localCheckpoint(true)
+      val scope = Governance.PurgeScope(plaid = Seq(kP),
+        impacts = Seq(kI))
+      val receipt = Governance.purge(s, victims, scope,
+        batchId = Some(1L)).localCheckpoint(true)
+      // replayed purge: per-verb replay-skip counters make it a no-op
+      Governance.purge(s, victims, scope, batchId = Some(1L))
+      val audit = Governance.audit(s, victims, scope)
+        .localCheckpoint(true)
+      val qt = graft.operators.LateInteraction.queryTokens(
+        retrievalQueryDf(s))
+      val plaidServed = PlaidIndex.plaidTopK(s, kP, qt, k = 4,
+        nProbe = 16, mDocs = 16).localCheckpoint(true)
+      val wandRefuses =
+        try { ImpactIndex.wandTopK(s, kI, retrievalQueryDf(s), k = 5)
+          .queryExecution.toRdd.count(); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("poisoned") }
+      victims.agg(count(lit(1)).as("n_victims"))
+        .crossJoin(receipt.agg(
+          sum(when(col("action") === "tombstoned", 1L).otherwise(0L))
+            .as("n_tombstoned_legs"),
+          sum(when(col("action") === "poisoned", 1L).otherwise(0L))
+            .as("n_poisoned_legs")))
+        .crossJoin(audit.agg(count(lit(1)).as("n_audit_rows"),
+          sum("n_served_purged").as("served_total")))
+        .crossJoin(plaidServed
+          .join(victims, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("n_victims_served_plaid")))
+        .crossJoin(plaidServed.agg((count(lit(1)) > 0)
+          .as("plaid_serves_survivors")))
+        .select(col("n_victims"), col("n_tombstoned_legs"),
+          col("n_poisoned_legs"), col("n_audit_rows"),
+          col("served_total"), col("n_victims_served_plaid"),
+          col("plaid_serves_survivors"),
+          lit(wandRefuses).as("wand_refuses"))
+    }),
+
     // END-TO-END PRETRAINING EXPORT (round-12): the certified pieces
     // chained ONCE, token-level — normalize → Gopher gate → persisted
     // dedup store → leakage-free split (prefix-blocked pairs; their
@@ -7970,6 +8033,20 @@ object PipelineQueries {
       """SELECT CAST(20 AS BIGINT) AS n_full,
         |CAST(5 AS BIGINT) AS n_queries,
         |CAST(0 AS BIGINT) AS n_diff""".stripMargin,
+    // round-13 purge parity: leg/audit counts pinned; victims from the
+    // deterministic modulus replayed by DuckDB
+    "q244_r13_purge" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 25 = 3) AS n_victims,
+        |  CAST(1 AS BIGINT) AS n_tombstoned_legs,
+        |  CAST(1 AS BIGINT) AS n_poisoned_legs,
+        |  CAST(3 AS BIGINT) AS n_audit_rows,
+        |  CAST(0 AS BIGINT) AS served_total,
+        |  CAST(0 AS BIGINT) AS n_victims_served_plaid,
+        |  true AS plaid_serves_survivors,
+        |  true AS wand_refuses""".stripMargin,
+
     // maintenance changes no served answer; counts end at the bound;
     // an immediate second run compacts nothing
     "q243_maintenance" ->

@@ -85,6 +85,7 @@ object ImpactIndex {
     s"${AnnIndex.annBase(spark)}/graft_kwbmw_$tag"
   private def impactsName(tag: String) = s"graft_kwbmw_impacts_$tag"
   private def bmaxName(tag: String) = s"graft_kwbmw_blockmax_$tag"
+  private def tombsName(tag: String) = s"graft_kwbmw_tombs_$tag"
 
   private def registered(spark: SparkSession, tag: String): Boolean =
     spark.catalog.tableExists(impactsName(tag)) &&
@@ -138,15 +139,19 @@ object ImpactIndex {
         m.get("kone_micro").contains(k1Micro) &&
         m.get("b_micro").contains(bMicro)
     }
+    // a tombstoned (POISONED) layout is stale by definition: the next
+    // ensure over the surviving source rebuilds and clears it
+    def tombFree = readMeta(base).get("tomb_rows").forall(_ == 0L)
     val snapFresh = snapshotId.exists(id =>
-      readMetaStrs(base).get("snapshot_id").contains(id) && fieldsMatch)
+      readMetaStrs(base).get("snapshot_id").contains(id) && fieldsMatch) &&
+      tombFree
     if (snapFresh && servable(spark,
         Seq(s"$base/impacts", s"$base/blockmax"),
         registered(spark, tag), () => attach(spark, tag)))
       return handle(spark, tag)
     val (n, fp) = fingerprint(docs.select(docs(idCol), docs(textCol)))
     val metaFresh = metaMatches(readMeta(base), bands, ratioMicro,
-      k1Micro, bMicro, n, fp) &&
+      k1Micro, bMicro, n, fp) && tombFree &&
       servable(spark, Seq(s"$base/impacts", s"$base/blockmax"),
         registered(spark, tag), () => attach(spark, tag))
     if (!metaFresh)
@@ -164,6 +169,11 @@ object ImpactIndex {
       bMicro: Long, n: Long, fp: Long,
       snapshotId: Option[String]): Unit = {
     val base = bmwBase(spark, tag)
+    // a rebuild serves exactly its source: the poison clears
+    spark.sql(s"DROP TABLE IF EXISTS ${tombsName(tag)}")
+    val tombDir = java.nio.file.Paths.get(base, "tombs")
+    if (java.nio.file.Files.exists(tombDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
     val postings = KeywordSearch.bm25Postings(docs, idCol, textCol)
       .localCheckpoint(true)
     val statsRow = postings.groupBy("doc_id").agg(first("dl").as("dl"))
@@ -200,7 +210,10 @@ object ImpactIndex {
     writeMetaFull(base,
       Seq("n_docs" -> nDocs, "sum_dl" -> sumDl, "bands" -> bands.toLong,
         "ratio_micro" -> ratioMicro, "kone_micro" -> k1Micro,
-        "b_micro" -> bMicro, "n_rows" -> n, "checksum" -> fp),
+        "b_micro" -> bMicro, "n_rows" -> n, "checksum" -> fp) ++
+        // the delete replay-skip window survives the rebuild
+        readMeta(base).get("last_del_batch_id")
+          .map("last_del_batch_id" -> _).toSeq,
       snapshotId.map("snapshot_id" -> _).toSeq)
   }
 
@@ -227,12 +240,78 @@ object ImpactIndex {
       parquetReadable(spark, s"$base/blockmax"),
       s"persisted impact layout for '$sourceDir' is unreadable — run " +
         "ensureImpacts to rebuild")
+    // POISONED: a tombstoned impact layout must refuse to serve —
+    // unlike the postings path (whose stats re-derive at query time,
+    // so a tombstone anti-join stays EXACT), this layout bakes
+    // df/avgdl/gmax at build time, and serving survivors under stale
+    // statistics would silently change scores. Deletes here disable
+    // serving until a rebuild over the survivors (refuse-don't-guess).
+    require(readMeta(base).get("tomb_rows").forall(_ == 0L),
+      s"impact layout for '$sourceDir' is tombstoned (poisoned): its " +
+        "baked corpus statistics no longer match the surviving corpus " +
+        "— re-run ensureImpacts over the survivors (or serve BM25 via " +
+        "the postings path, whose delete is exact)")
     if (!registered(spark, tag)) attach(spark, tag)
     else {
       spark.catalog.refreshTable(impactsName(tag))
       spark.catalog.refreshTable(bmaxName(tag))
     }
     handle(spark, tag)
+  }
+
+  /** True iff the layout is tombstoned (poisoned — refuses to serve). */
+  def impactsTombstoned(spark: SparkSession, sourceDir: String): Boolean =
+    readMeta(bmwBase(spark, IndexStore.pathTag(sourceDir)))
+      .get("tomb_rows").exists(_ > 0L)
+
+  /** Erasure verb: POISON-until-rebuild. The layout bakes df/avgdl/
+    * per-term gmax at build time, so a tombstone anti-join would serve
+    * survivors under STALE statistics (silently different scores —
+    * worse than refusing); instead the delete records the victims and
+    * disables serving ([[openImpacts]]/[[wandTopK]] fail loudly) until
+    * `ensureImpacts` rebuilds over the survivors, which clears the
+    * poison. Idempotent; `batchId` rides its own replay-skip counter.
+    * Returns the committed tombstone count.
+    */
+  def deleteImpacts(spark: SparkSession, sourceDir: String,
+      ids: DataFrame, batchId: Option[Long] = None): Long = {
+    import AnnIndex.{sweepOrphanTombs, tombsServable}
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = bmwBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("n_docs"),
+      s"no persisted impact index for '$sourceDir' — run ensureImpacts")
+    val replayed = batchId.exists(id =>
+      meta.get("last_del_batch_id").exists(id <= _))
+    if (replayed) return meta.getOrElse("tomb_rows", 0L)
+    sweepOrphanTombs(spark, base, tombsName(tag))
+    val already =
+      if (meta.get("tomb_rows").exists(_ > 0L) && tombsServable(spark, base))
+        spark.read.parquet(s"$base/tombs")
+      else spark.range(0).select(col("id").as("doc_id"))
+    val del = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .distinct()
+      .join(already.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val nDel = del.count()
+    if (nDel == 0) return meta.getOrElse("tomb_rows", 0L)
+    if (!spark.catalog.tableExists(tombsName(tag)) &&
+        tombsServable(spark, base))
+      AnnIndex.registerExternal(spark, tombsName(tag), s"$base/tombs")
+    if (spark.catalog.tableExists(tombsName(tag)))
+      del.write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(tombsName(tag))
+    else
+      del.write.mode(SaveMode.Overwrite).option("path", s"$base/tombs")
+        .format("parquet").saveAsTable(tombsName(tag))
+    val total = meta.getOrElse("tomb_rows", 0L) + nDel
+    writeMetaFull(base,
+      (meta - "tomb_rows" - "last_del_batch_id").toSeq ++
+        Seq("tomb_rows" -> total) ++
+        batchId.orElse(meta.get("last_del_batch_id"))
+          .map("last_del_batch_id" -> _).toSeq,
+      Nil) // snapshot_id dropped: the layout moved past the snapshot
+    total
   }
 
   /** The exhaustive path's contribution expression VERBATIM (with the

@@ -53,6 +53,7 @@ object PlaidIndex {
     s"${AnnIndex.annBase(spark)}/graft_plaid_$tag"
   private def listsName(tag: String) = s"graft_plaid_lists_$tag"
   private def doccentName(tag: String) = s"graft_plaid_doccent_$tag"
+  private def tombsName(tag: String) = s"graft_plaid_tombs_$tag"
 
   private def registered(spark: SparkSession, tag: String): Boolean =
     spark.catalog.tableExists(listsName(tag)) &&
@@ -66,6 +67,10 @@ object PlaidIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${doccentName(tag)}")
     registerExternal(spark, doccentName(tag),
       s"${plaidBase(spark, tag)}/doccent")
+    spark.sql(s"DROP TABLE IF EXISTS ${tombsName(tag)}")
+    if (AnnIndex.tombsServable(spark, plaidBase(spark, tag)))
+      registerExternal(spark, tombsName(tag),
+        s"${plaidBase(spark, tag)}/tombs")
   }
 
   private def metaMatches(meta: Map[String, Long], lists: Int, iters: Int,
@@ -92,17 +97,28 @@ object PlaidIndex {
       m.get("lists").contains(lists.toLong) &&
         m.get("iters").contains(iters.toLong)
     }
+    // a tombstoned layout no longer equals cluster(source): ensure's
+    // contract is "serve exactly this source", so deletions force a
+    // rebuild which clears them (the ensureSq8 discipline)
+    def tombFree = readMeta(base).get("tomb_rows").forall(_ == 0L)
     val snapFresh = snapshotId.exists(id =>
-      readMetaStrs(base).get("snapshot_id").contains(id) && fieldsMatch)
+      readMetaStrs(base).get("snapshot_id").contains(id) && fieldsMatch) &&
+      tombFree
     if (snapFresh && servable(spark, Seq(s"$base/lists", s"$base/centroids"),
         registered(spark, tag), () => attach(spark, tag)))
       return handle(spark, tag)
     val (n, fp) = fingerprint(docVectors.select("vec_id", "embedding"))
     val metaFresh = metaMatches(readMeta(base), lists, iters, n, fp) &&
+      tombFree &&
       servable(spark,
         Seq(s"$base/lists", s"$base/centroids", s"$base/doccent"),
         registered(spark, tag), () => attach(spark, tag))
     if (!metaFresh) {
+      // a rebuild serves exactly its source: tombstones cleared
+      spark.sql(s"DROP TABLE IF EXISTS ${tombsName(tag)}")
+      val tombDir = java.nio.file.Paths.get(base, "tombs")
+      if (java.nio.file.Files.exists(tombDir))
+        org.apache.commons.io.FileUtils.deleteDirectory(tombDir.toFile)
       val cents = SimilaritySearch.kMeansCentroids(
         docVectors.select("vec_id", "embedding"), lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(s"$base/centroids")
@@ -135,7 +151,11 @@ object PlaidIndex {
         .format("parquet").saveAsTable(doccentName(tag))
       writeMetaFull(base,
         Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
-          "n_rows" -> n, "checksum" -> fp),
+          "n_rows" -> n, "checksum" -> fp) ++
+          // the delete replay-skip window survives the rebuild (the
+          // KeywordIndex.build discipline)
+          readMeta(base).get("last_del_batch_id")
+            .map("last_del_batch_id" -> _).toSeq,
         snapshotId.map("snapshot_id" -> _).toSeq)
     } else if (snapshotId.isDefined)
       writeMetaFull(base, readMeta(base).toSeq,
@@ -143,11 +163,25 @@ object PlaidIndex {
     handle(spark, tag)
   }
 
+  /** Served view: when tombstones are committed, BOTH the chunk lists
+    * and the stage-1 membership table anti-join them on doc_id (the
+    * deletion-bounded set rides a broadcast). Survivor serving is
+    * EXACT — stage-1 scores are per-doc independent and the rerank
+    * restricts to survivors — under the build-time centroids (the IVF
+    * centroid caveat: heavy deletion warrants a re-cluster, which
+    * ensurePlaid's tombFree gate forces on the next ensure).
+    */
   private def handle(spark: SparkSession, tag: String): PlaidHandle = {
     val base = plaidBase(spark, tag)
-    PlaidHandle(spark.table(listsName(tag)),
-      spark.read.parquet(s"$base/centroids"),
-      spark.table(doccentName(tag)),
+    val lists = spark.table(listsName(tag))
+    val dc = spark.table(doccentName(tag))
+    val (l, d) =
+      if (spark.catalog.tableExists(tombsName(tag))) {
+        val t = broadcast(spark.table(tombsName(tag)))
+        (lists.join(t, Seq("doc_id"), "left_anti"),
+          dc.join(t, Seq("doc_id"), "left_anti"))
+      } else (lists, dc)
+    PlaidHandle(l, spark.read.parquet(s"$base/centroids"), d,
       readMeta(base)("lists").toInt)
   }
 
@@ -170,6 +204,7 @@ object PlaidIndex {
     else {
       spark.catalog.refreshTable(listsName(tag))
       spark.catalog.refreshTable(doccentName(tag))
+      AnnIndex.syncTombs(spark, base, tombsName(tag))
     }
     handle(spark, tag)
   }
@@ -234,6 +269,62 @@ object PlaidIndex {
       .groupBy("query_id")
       .agg(top_k(col("ascore"), col("doc_id"), mDocs).as("topk"))
       .select(col("query_id"), explode(col("topk.id")).as("doc_id"))
+  }
+
+  /** Tombstone deletes by doc_id — the erasure verb that puts the
+    * clustered late-interaction layout under the whole-engine purge
+    * contract (a deployment serving MaxSim from it must stop serving
+    * erased documents without a rebuild). Merge-on-read: ids append
+    * to a doc-id tombstone table committed via meta tomb_rows (orphan
+    * sweep first — the single-deleter discipline); every served view
+    * anti-joins it. Deleting absent/already-deleted ids is a no-op;
+    * `batchId` rides its own replay-skip counter. A delete moves the
+    * layout past any named snapshot (snapshot_id dropped) and past
+    * the source content (the next ensurePlaid over the original
+    * source rebuilds, clearing deletions — no separate compact verb:
+    * re-clustering IS the fold). Returns committed tombstone count.
+    */
+  def deletePlaid(spark: SparkSession, sourceDir: String, ids: DataFrame,
+      batchId: Option[Long] = None): Long = {
+    import AnnIndex.{readMeta, readMetaStrs, sweepOrphanTombs,
+      tombsServable, writeMetaFull}
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = plaidBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("lists"),
+      s"no persisted PLAID layout for '$sourceDir' — run ensurePlaid")
+    if (!registered(spark, tag)) attach(spark, tag)
+    val replayed = batchId.exists(id =>
+      meta.get("last_del_batch_id").exists(id <= _))
+    if (replayed) return meta.getOrElse("tomb_rows", 0L)
+    sweepOrphanTombs(spark, base, tombsName(tag))
+    val already =
+      if (meta.get("tomb_rows").exists(_ > 0L) && tombsServable(spark, base))
+        spark.read.parquet(s"$base/tombs")
+      else spark.range(0).select(col("id").as("doc_id"))
+    val del = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .distinct()
+      .join(already.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val nDel = del.count()
+    if (nDel == 0) return meta.getOrElse("tomb_rows", 0L)
+    if (!spark.catalog.tableExists(tombsName(tag)) &&
+        tombsServable(spark, base))
+      AnnIndex.registerExternal(spark, tombsName(tag), s"$base/tombs")
+    if (spark.catalog.tableExists(tombsName(tag)))
+      del.write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(tombsName(tag))
+    else
+      del.write.mode(SaveMode.Overwrite).option("path", s"$base/tombs")
+        .format("parquet").saveAsTable(tombsName(tag))
+    val total = meta.getOrElse("tomb_rows", 0L) + nDel
+    writeMetaFull(base,
+      (meta - "tomb_rows" - "last_del_batch_id").toSeq ++
+        Seq("tomb_rows" -> total) ++
+        batchId.orElse(meta.get("last_del_batch_id"))
+          .map("last_del_batch_id" -> _).toSeq,
+      Nil) // snapshot_id dropped: the layout moved past the snapshot
+    total
   }
 
   /** MaxSim top-k served from the stored clustered layout — centroid-

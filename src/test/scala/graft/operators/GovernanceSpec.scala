@@ -266,6 +266,44 @@ class GovernanceSpec extends AnyFunSuite {
       .count() === 3L)
   }
 
+  test("round-13 layouts under the purge contract: plaid tombstones " +
+      "serve survivors exactly; impacts poison until rebuild; audit " +
+      "proves both") {
+    val kP = s"gv-$runTag-plaid"
+    val kI = s"gv-$runTag-bmw"
+    // plaid over a chunk table derived from vecs (3 chunks per doc)
+    val chunks = vecs.select((col("vec_id") / 3).cast("long").as("doc_id"),
+      col("vec_id"), col("embedding"))
+    PlaidIndex.ensurePlaid(spark, kP, chunks, lists = 4, iters = 2)
+    ImpactIndex.ensureImpacts(spark, kI, docs)
+    val scope = Governance.PurgeScope(plaid = Seq(kP), impacts = Seq(kI))
+    val vics = Seq(0L, 1L).toDF("doc_id")
+    val receipt = Governance.purge(spark, vics, scope, batchId = Some(1L))
+    assert(receipt.filter(col("action") === "tombstoned").count() === 1)
+    assert(receipt.filter(col("action") === "poisoned").count() === 1)
+    // audit: zero purged ids served anywhere (plaid anti-joined,
+    // impacts refusing)
+    val audit = Governance.audit(spark, vics, scope)
+    assert(audit.agg(sum("n_served_purged")).head.getLong(0) === 0L)
+    // crash-retry idempotent
+    Governance.purge(spark, vics, scope, batchId = Some(1L))
+    assert(Governance.audit(spark, vics, scope)
+      .agg(sum("n_served_purged")).head.getLong(0) === 0L)
+    // plaid still serves survivors; impacts refuses loudly
+    val qt = (1 to 2).map(q => (q.toLong, 0,
+      Array.tabulate(8)(d => math.sin(q * 0.9 + d).toFloat)))
+      .toDF("query_id", "qpos", "qvec")
+    val plaidServed = PlaidIndex.plaidTopK(spark, kP, qt, k = 2,
+      nProbe = 4, mDocs = 16)
+    assert(plaidServed.filter(col("doc_id") < 2).count() === 0L)
+    assert(plaidServed.count() > 0L)
+    val e = intercept[IllegalArgumentException] {
+      ImpactIndex.wandTopK(spark, kI,
+        Seq((1L, "alpha")).toDF("query_id", "query_text"), k = 2)
+    }
+    assert(e.getMessage.contains("poisoned"))
+  }
+
   test("maintain: compacts only past-threshold layouts through their " +
       "journaled verbs; answers byte-identical; second run no-op; " +
       "replay windows survive the compaction") {

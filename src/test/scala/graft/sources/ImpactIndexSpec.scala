@@ -105,6 +105,36 @@ class ImpactIndexSpec extends AnyFunSuite {
         s"$exhaustivePairs exhaustive pairs")
   }
 
+  test("deleteImpacts POISONS the layout: serving refuses loudly until " +
+      "a rebuild over the survivors; replayed delete skips") {
+    val key = s"bmw-$runTag-p"
+    val d1 = Seq((1L, "alpha beta"), (2L, "beta gamma"),
+      (3L, "alpha gamma")).toDF("doc_id", "text")
+    ImpactIndex.ensureImpacts(spark, key, d1)
+    assert(ImpactIndex.deleteImpacts(spark, key, Seq(2L).toDF("doc_id"),
+      batchId = Some(1L)) === 1L)
+    assert(ImpactIndex.impactsTombstoned(spark, key))
+    // replay skip
+    assert(ImpactIndex.deleteImpacts(spark, key, Seq(2L).toDF("doc_id"),
+      batchId = Some(1L)) === 1L)
+    val q = Seq((1L, "alpha")).toDF("query_id", "query_text")
+    val e = intercept[IllegalArgumentException] {
+      ImpactIndex.wandTopK(spark, key, q, k = 2)
+    }
+    assert(e.getMessage.contains("poisoned"), e.getMessage)
+    // ensure over the SURVIVORS rebuilds, clears the poison, and the
+    // served ranking equals exhaustive BM25 over the survivors
+    val survivors = d1.filter(col("doc_id") =!= 2L)
+    ImpactIndex.ensureImpacts(spark, key, survivors)
+    assert(!ImpactIndex.impactsTombstoned(spark, key))
+    val got = ImpactIndex.wandTopK(spark, key, q, k = 2)
+      .select("query_id", "rank", "doc_id", "score").collect()
+      .map(_.toSeq).toSet
+    assert(got === KeywordSearch.bm25TopK(q, survivors, k = 2)
+      .select("query_id", "rank", "doc_id", "score").collect()
+      .map(_.toSeq).toSet)
+  }
+
   test("freshness: same content reuses (no rebuild), changed content " +
       "rebuilds; openImpacts without an ensure fails loudly") {
     val key = s"bmw-$runTag-e"

@@ -91,6 +91,31 @@ class PlaidIndexSpec extends AnyFunSuite {
       "probed stage-1 score exceeded the full-scan score")
   }
 
+  test("deletePlaid: victims served nowhere, survivors exact, replayed " +
+      "delete skips, ensure over the original source rebuilds clean") {
+    val key = s"plaid-$runTag-del"
+    PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4, iters = 3)
+    val victims = Seq(3L, 7L).toDF("doc_id")
+    assert(PlaidIndex.deletePlaid(spark, key, victims,
+      batchId = Some(1L)) === 2L)
+    // replay folds away
+    assert(PlaidIndex.deletePlaid(spark, key, victims,
+      batchId = Some(1L)) === 2L)
+    val served = PlaidIndex.plaidTopK(spark, key, queryTokens, k = 3,
+      nProbe = 4, mDocs = 40)
+    assert(served.filter(col("doc_id").isin(3L, 7L)).count() === 0L,
+      "a deleted doc surfaced through plaid MaxSim")
+    // survivor serving is EXACT at the total-coverage point
+    val survivors = chunks.filter(!col("doc_id").isin(3L, 7L))
+    assert(hits(served) === hits(LateInteraction.maxSimTopK(queryTokens,
+      survivors, k = 3)))
+    // tombstoned layout fails freshness; ensure rebuilds and clears
+    PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4, iters = 3)
+    assert(hits(PlaidIndex.plaidTopK(spark, key, queryTokens, k = 3,
+      nProbe = 4, mDocs = 40)) === hits(LateInteraction.maxSimTopK(
+      queryTokens, chunks, k = 3)))
+  }
+
   test("freshness: unchanged content reuses, changed content rebuilds; " +
       "openPlaid without an ensure fails loudly") {
     val key = s"plaid-$runTag-d"
