@@ -276,23 +276,30 @@ object KnnGraph {
     val n = math.max(1L, index.count())
     val bits = math.max(1,
       (math.log(n.toDouble / 32) / math.log(2.0)).ceil.toInt)
+    // materialized ONCE: the seed set feeds both the frontier and the
+    // orphan check below — without the barrier the LSH bucket join
+    // over the index would execute twice per call (hot serving path)
     val seeds = SimilaritySearch.lshCandidates(
       queries.select(col("query_id"), col("query_vec")),
       index.select(col("vec_id"), col("embedding")),
       tables = entryTables, bits = bits, probes = 2)
+      .localCheckpoint(true)
     // an OUTLIER query whose entry buckets hold no index vectors would
     // otherwise start with an empty frontier and silently VANISH from
     // the output (the inner join drops its query_id) — unlike the exact
     // path, which answers every query. Fall back to a deterministic
     // global entry set (the `beam` min-id nodes — a bounded TakeOrdered,
     // broadcast) so every query yields best-effort top-k; the beam
-    // rounds then walk from there like any other entry.
-    val globalEntry = broadcast(
-      index.select(col("vec_id")).orderBy(col("vec_id")).limit(beam))
+    // rounds then walk from there like any other entry. Both orphan
+    // frames are query-batch-sized, so the check is cheap, and the
+    // index-wide TakeOrdered is paid ONLY when an orphan exists.
     val orphans = queries.select(col("query_id"))
       .join(seeds.select("query_id").distinct(), Seq("query_id"),
-        "left_anti")
-    val seeded = seeds.unionByName(orphans.crossJoin(globalEntry))
+        "left_anti").localCheckpoint(true)
+    val seeded =
+      if (orphans.isEmpty) seeds
+      else seeds.unionByName(orphans.crossJoin(broadcast(
+        index.select(col("vec_id")).orderBy(col("vec_id")).limit(beam))))
     var frontier = topBeam(score(seeded), beam).localCheckpoint(true)
 
     var r = 0

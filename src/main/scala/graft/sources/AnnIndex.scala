@@ -2477,6 +2477,44 @@ object AnnIndex {
     * verbs. Rows land bucketed by vec_id so the float-table anti-join
     * stays shuffle-free on the index side.
     */
+  /** Shared doc-id tombstone COMMIT for the unbucketed layouts (plaid,
+    * impacts): orphan sweep, idempotent fold of already-tombstoned ids,
+    * append-or-create, meta commit with tomb_rows + the caller's
+    * last_del_batch_id replay window (snapshot_id dropped — the layout
+    * moved past it). The caller validates existence and replay-skip
+    * first. Returns the committed total.
+    */
+  private[sources] def commitDocTombs(spark: SparkSession, base: String,
+      table: String, ids: DataFrame, meta: Map[String, Long],
+      batchId: Option[Long]): Long = {
+    sweepOrphanTombs(spark, base, table)
+    val already =
+      if (meta.get("tomb_rows").exists(_ > 0L) && tombsServable(spark, base))
+        spark.read.parquet(s"$base/tombs")
+      else spark.range(0).select(col("id").as("doc_id"))
+    val del = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .distinct()
+      .join(already.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val nDel = del.count()
+    if (nDel == 0) return meta.getOrElse("tomb_rows", 0L)
+    if (!spark.catalog.tableExists(table) && tombsServable(spark, base))
+      registerExternal(spark, table, s"$base/tombs")
+    if (spark.catalog.tableExists(table))
+      del.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+    else
+      del.write.mode(SaveMode.Overwrite).option("path", s"$base/tombs")
+        .format("parquet").saveAsTable(table)
+    val total = meta.getOrElse("tomb_rows", 0L) + nDel
+    writeMetaFull(base,
+      (meta - "tomb_rows" - "last_del_batch_id").toSeq ++
+        Seq("tomb_rows" -> total) ++
+        batchId.orElse(meta.get("last_del_batch_id"))
+          .map("last_del_batch_id" -> _).toSeq,
+      Nil)
+    total
+  }
+
   private[sources] def writeTombs(spark: SparkSession, base: String, table: String,
       batch: DataFrame, storageBuckets: Int): Unit = {
     // meta is the tombstone commit point: sweep any orphan dir a

@@ -270,6 +270,13 @@ object GraphIndex {
           tombsServable(spark, base))
         registerExternal(spark, s"graft_graph_tombs_$tag", s"$base/tombs",
           clusteredBy = Some(("vec_id", storageBuckets)))
+      // committed tomb_rows with no readable tombs dir = the crashed
+      // compact-fold window — fail with the recovery verb, not a raw
+      // missing-table error naming an internal name
+      require(spark.catalog.tableExists(s"graft_graph_tombs_$tag"),
+        s"graph layout for '$sourceDir' records tombstones but the " +
+          "tombs dir is unreadable (crashed compaction fold?) — run " +
+          "ensureGraph to rebuild before upserting")
       val clash = spark.table(s"graft_graph_tombs_$tag")
         .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi").count()
       require(clash == 0L,

@@ -275,7 +275,6 @@ object ImpactIndex {
     */
   def deleteImpacts(spark: SparkSession, sourceDir: String,
       ids: DataFrame, batchId: Option[Long] = None): Long = {
-    import AnnIndex.{sweepOrphanTombs, tombsServable}
     val tag = IndexStore.pathTag(sourceDir)
     val base = bmwBase(spark, tag)
     val meta = readMeta(base)
@@ -284,34 +283,8 @@ object ImpactIndex {
     val replayed = batchId.exists(id =>
       meta.get("last_del_batch_id").exists(id <= _))
     if (replayed) return meta.getOrElse("tomb_rows", 0L)
-    sweepOrphanTombs(spark, base, tombsName(tag))
-    val already =
-      if (meta.get("tomb_rows").exists(_ > 0L) && tombsServable(spark, base))
-        spark.read.parquet(s"$base/tombs")
-      else spark.range(0).select(col("id").as("doc_id"))
-    val del = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
-      .distinct()
-      .join(already.select("doc_id"), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    val nDel = del.count()
-    if (nDel == 0) return meta.getOrElse("tomb_rows", 0L)
-    if (!spark.catalog.tableExists(tombsName(tag)) &&
-        tombsServable(spark, base))
-      AnnIndex.registerExternal(spark, tombsName(tag), s"$base/tombs")
-    if (spark.catalog.tableExists(tombsName(tag)))
-      del.write.mode(SaveMode.Append).format("parquet")
-        .saveAsTable(tombsName(tag))
-    else
-      del.write.mode(SaveMode.Overwrite).option("path", s"$base/tombs")
-        .format("parquet").saveAsTable(tombsName(tag))
-    val total = meta.getOrElse("tomb_rows", 0L) + nDel
-    writeMetaFull(base,
-      (meta - "tomb_rows" - "last_del_batch_id").toSeq ++
-        Seq("tomb_rows" -> total) ++
-        batchId.orElse(meta.get("last_del_batch_id"))
-          .map("last_del_batch_id" -> _).toSeq,
-      Nil) // snapshot_id dropped: the layout moved past the snapshot
-    total
+    AnnIndex.commitDocTombs(spark, base, tombsName(tag), ids, meta,
+      batchId)
   }
 
   /** The exhaustive path's contribution expression VERBATIM (with the

@@ -124,15 +124,25 @@ object KeywordIndex {
     * stats-LESS layout that serves via the derived path until the next
     * ensure re-seeds (never wrong numbers).
     */
-  private def statsMissing(spark: SparkSession, tag: String): Boolean =
-    !AnnIndex.readMeta(kwBase(spark, tag)).contains("sum_dl") ||
+  private def statsMissing(spark: SparkSession, tag: String): Boolean = {
+    val m = AnnIndex.readMeta(kwBase(spark, tag))
+    !m.contains("sum_dl") || !m.contains("n_docs_stat") ||
       !AnnIndex.parquetReadable(spark, s"${kwBase(spark, tag)}/dfs")
+  }
 
   private def seedStats(spark: SparkSession, tag: String): Unit = {
     val base = kwBase(spark, tag)
     val stored = spark.table(tableName(tag))
-    val sumDl = stored.groupBy("doc_id").agg(first("dl").as("dl"))
-      .agg(coalesce(sum("dl"), lit(0.0))).head().getDouble(0).toLong
+    // N for BM25 is the count of docs WITH at least one token (the
+    // derived path's count over postings doc_ids) — NOT the source
+    // cardinality in meta n_docs: a token-less document produces no
+    // postings rows, and serving the inflated count would silently
+    // shift every idf/avgdl off the derived path's values
+    val statsRow = stored.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0.0)).as("sdl"))
+      .head()
+    val nStat = statsRow.getLong(0)
+    val sumDl = statsRow.getDouble(1).toLong
     spark.sql(s"DROP TABLE IF EXISTS ${dfsName(tag)}")
     val dfsDir = java.nio.file.Paths.get(s"$base/dfs")
     if (java.nio.file.Files.exists(dfsDir))
@@ -143,7 +153,8 @@ object KeywordIndex {
       .format("parquet").saveAsTable(dfsName(tag))
     val meta = AnnIndex.readMeta(base)
     AnnIndex.writeMetaFull(base,
-      (meta - "sum_dl").toSeq ++ Seq("sum_dl" -> sumDl),
+      (meta - "sum_dl" - "n_docs_stat").toSeq ++
+        Seq("sum_dl" -> sumDl, "n_docs_stat" -> nStat),
       AnnIndex.readMetaStrs(base).toSeq)
   }
 
@@ -309,22 +320,34 @@ object KeywordIndex {
     // depend on that document alone). Only maintained when the layout
     // has them (a pre-stats layout keeps serving via the derived path).
     val statsKept = meta.contains("sum_dl") &&
+      meta.contains("n_docs_stat") &&
       AnnIndex.parquetReadable(spark, s"$base/dfs")
-    val sumDlNew =
+    val (sumDlNew, nStatNew) =
       if (statsKept) {
         syncDfs(spark, tag)
+        // INVALIDATE the stats before touching data: a crash anywhere
+        // inside this upsert must leave a stats-LESS layout (served
+        // via the derived path — correct numbers, slower plan), never
+        // postings that include the batch under stats that do not.
+        // The final meta commit below re-admits the updated stats.
+        AnnIndex.writeMetaFull(base,
+          (meta - "sum_dl" - "n_docs_stat").toSeq,
+          AnnIndex.readMetaStrs(base).toSeq)
         newPost.groupBy("term").agg(count(lit(1)).as("df"))
           .write.mode(SaveMode.Append).format("parquet")
           .saveAsTable(dfsName(tag))
-        newPost.groupBy("doc_id").agg(first("dl").as("dl"))
-          .agg(coalesce(sum("dl"), lit(0.0))).head().getDouble(0).toLong
-      } else 0L
+        val r = newPost.groupBy("doc_id").agg(first("dl").as("dl"))
+          .agg(count(lit(1)).as("nd"),
+            coalesce(sum("dl"), lit(0.0)).as("sdl")).head()
+        (r.getDouble(1).toLong, r.getLong(0))
+      } else (0L, 0L)
     // any stored snapshot_id is deliberately dropped — the layout is now
     // ahead of the snapshot that id named (the upsertLsh rule)
     AnnIndex.writeMetaFull(base,
       Seq("n_docs" -> (meta("n_docs") + nNew)) ++
         (if (statsKept)
-          Seq("sum_dl" -> (meta("sum_dl") + sumDlNew)) else Nil) ++
+          Seq("sum_dl" -> (meta("sum_dl") + sumDlNew),
+            "n_docs_stat" -> (meta("n_docs_stat") + nStatNew)) else Nil) ++
         // absent after a tombstone fold (no source text to re-derive
         // from): stays absent — the next ensure rebuilds and re-seeds
         meta.get("checksum").map(c => "checksum" -> (c ^ fpNew)).toSeq ++
@@ -464,8 +487,11 @@ object KeywordIndex {
       java.nio.file.Files.move(java.nio.file.Paths.get(dfsSide),
         java.nio.file.Paths.get(s"$base/dfs"))
     AnnIndex.registerExternal(spark, dfsName(tag), s"$base/dfs")
-    val sumDlLive = live.groupBy("doc_id").agg(first("dl").as("dl"))
-      .agg(coalesce(sum("dl"), lit(0.0))).head().getDouble(0).toLong
+    val liveStats = live.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0.0)).as("sdl"))
+      .head()
+    val nStatLive = liveStats.getLong(0)
+    val sumDlLive = liveStats.getDouble(1).toLong
     if (folding) {
       // the tombstone FOLD physically removed documents. Unlike the
       // ANN folds there is no stored source text to re-fingerprint
@@ -479,12 +505,15 @@ object KeywordIndex {
       val nLive = spark.table(tableName(tag))
         .select("doc_id").distinct().count()
       AnnIndex.writeMetaFull(base,
-        (meta - "n_docs" - "checksum" - "tomb_rows" - "sum_dl").toSeq ++
-          Seq("n_docs" -> nLive, "sum_dl" -> sumDlLive),
+        (meta - "n_docs" - "checksum" - "tomb_rows" - "sum_dl"
+          - "n_docs_stat").toSeq ++
+          Seq("n_docs" -> nLive, "sum_dl" -> sumDlLive,
+            "n_docs_stat" -> nStatLive),
         AnnIndex.readMetaStrs(base).toSeq)
     } else
       AnnIndex.writeMetaFull(base,
-        (meta - "sum_dl").toSeq ++ Seq("sum_dl" -> sumDlLive),
+        (meta - "sum_dl" - "n_docs_stat").toSeq ++
+          Seq("sum_dl" -> sumDlLive, "n_docs_stat" -> nStatLive),
         AnnIndex.readMetaStrs(base).toSeq)
     served(spark, tag)
   }
@@ -501,11 +530,14 @@ object KeywordIndex {
   def statsFor(spark: SparkSession, sourceDir: String): Option[Bm25Stats] = {
     val tag = IndexStore.pathTag(sourceDir)
     val meta = AnnIndex.readMeta(kwBase(spark, tag))
+    // n_docs_stat, NOT n_docs: BM25's N is the count of docs with at
+    // least one token (what the derived path counts over postings) —
+    // meta n_docs is source cardinality and over-counts token-less docs
     if (meta.get("tomb_rows").forall(_ == 0L) && meta.contains("sum_dl") &&
-        meta.contains("n_docs") && meta("n_docs") > 0L) {
+        meta.get("n_docs_stat").exists(_ > 0L)) {
       syncDfs(spark, tag)
       if (spark.catalog.tableExists(dfsName(tag)))
-        Some(Bm25Stats(meta("n_docs"), meta("sum_dl"),
+        Some(Bm25Stats(meta("n_docs_stat"), meta("sum_dl"),
           spark.table(dfsName(tag))))
       else None
     } else None

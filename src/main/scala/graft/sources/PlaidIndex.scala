@@ -104,10 +104,15 @@ object PlaidIndex {
     val snapFresh = snapshotId.exists(id =>
       readMetaStrs(base).get("snapshot_id").contains(id) && fieldsMatch) &&
       tombFree
-    if (snapFresh && servable(spark, Seq(s"$base/lists", s"$base/centroids"),
+    if (snapFresh && servable(spark,
+        Seq(s"$base/lists", s"$base/centroids", s"$base/doccent"),
         registered(spark, tag), () => attach(spark, tag)))
       return handle(spark, tag)
-    val (n, fp) = fingerprint(docVectors.select("vec_id", "embedding"))
+    // the fingerprint must cover doc_id too: the layout's CONTENT is the
+    // chunk→doc mapping as much as the vectors — identical vectors under
+    // reassigned doc_ids is a different corpus and must rebuild
+    val (n, fp) = fingerprint(
+      docVectors.select("doc_id", "vec_id", "embedding"))
     val metaFresh = metaMatches(readMeta(base), lists, iters, n, fp) &&
       tombFree &&
       servable(spark,
@@ -286,8 +291,6 @@ object PlaidIndex {
     */
   def deletePlaid(spark: SparkSession, sourceDir: String, ids: DataFrame,
       batchId: Option[Long] = None): Long = {
-    import AnnIndex.{readMeta, readMetaStrs, sweepOrphanTombs,
-      tombsServable, writeMetaFull}
     val tag = IndexStore.pathTag(sourceDir)
     val base = plaidBase(spark, tag)
     val meta = readMeta(base)
@@ -297,41 +300,17 @@ object PlaidIndex {
     val replayed = batchId.exists(id =>
       meta.get("last_del_batch_id").exists(id <= _))
     if (replayed) return meta.getOrElse("tomb_rows", 0L)
-    sweepOrphanTombs(spark, base, tombsName(tag))
-    val already =
-      if (meta.get("tomb_rows").exists(_ > 0L) && tombsServable(spark, base))
-        spark.read.parquet(s"$base/tombs")
-      else spark.range(0).select(col("id").as("doc_id"))
-    val del = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
-      .distinct()
-      .join(already.select("doc_id"), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    val nDel = del.count()
-    if (nDel == 0) return meta.getOrElse("tomb_rows", 0L)
-    if (!spark.catalog.tableExists(tombsName(tag)) &&
-        tombsServable(spark, base))
-      AnnIndex.registerExternal(spark, tombsName(tag), s"$base/tombs")
-    if (spark.catalog.tableExists(tombsName(tag)))
-      del.write.mode(SaveMode.Append).format("parquet")
-        .saveAsTable(tombsName(tag))
-    else
-      del.write.mode(SaveMode.Overwrite).option("path", s"$base/tombs")
-        .format("parquet").saveAsTable(tombsName(tag))
-    val total = meta.getOrElse("tomb_rows", 0L) + nDel
-    writeMetaFull(base,
-      (meta - "tomb_rows" - "last_del_batch_id").toSeq ++
-        Seq("tomb_rows" -> total) ++
-        batchId.orElse(meta.get("last_del_batch_id"))
-          .map("last_del_batch_id" -> _).toSeq,
-      Nil) // snapshot_id dropped: the layout moved past the snapshot
-    total
+    AnnIndex.commitDocTombs(spark, base, tombsName(tag), ids, meta,
+      batchId)
   }
 
-  /** MaxSim top-k served from the stored clustered layout — centroid-
-    * proxy stage 1 (no chunk reads), exact stage 2 over ONLY the
-    * partitions holding a candidate doc's chunks (the membership table
-    * names them; DPP prunes the rest). Output-identical to the full
-    * scan at the measured (nProbe, mDocs) margin (q242).
+  /** MaxSim top-k served from the stored clustered layout — probed-
+    * partition stage 1 (true chunk cosines over the probed lists only;
+    * see [[plaidStage1]] for why the paper's centroid-proxy form was
+    * rejected on measurement), exact stage 2 over ONLY the partitions
+    * holding a candidate doc's chunks (the membership table names
+    * them; DPP prunes the rest). Output-identical to the full scan at
+    * the measured (nProbe, mDocs) margin (q242).
     */
   def plaidTopK(spark: SparkSession, sourceDir: String,
       queryTokens: DataFrame, k: Int = 4, nProbe: Int = 8,

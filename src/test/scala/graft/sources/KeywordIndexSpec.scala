@@ -120,6 +120,30 @@ class KeywordIndexSpec extends AnyFunSuite {
       k = 5)))
   }
 
+  test("stored stats N counts docs WITH tokens: a token-less document " +
+      "does not inflate BM25's N (stats path == derived path exactly)") {
+    import spark.implicits._
+    val src = s"kwspec-$runTag-s3"
+    // a doc that tokenizes to nothing must not count toward N
+    val weird = docs.unionByName(
+      Seq((999999L, "!!! ??? ***")).toDF("doc_id", "text"))
+    val direct = hits(KeywordSearch.bm25TopK(queries, weird, k = 5))
+    val post = KeywordIndex.ensurePostings(spark, src, weird)
+    val st = KeywordIndex.statsFor(spark, src)
+    assert(st.isDefined)
+    assert(st.get.nDocs === docs.count(),
+      "N must be the postings doc count, not the source cardinality")
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, post, k = 5,
+      stats = st)) === direct)
+    // an upserted token-less doc keeps the invariant
+    val post2 = KeywordIndex.upsertPostings(spark, src,
+      Seq((999998L, "...")).toDF("doc_id", "text"), batchId = Some(1L))
+    val st2 = KeywordIndex.statsFor(spark, src)
+    assert(st2.get.nDocs === docs.count())
+    assert(hits(KeywordSearch.bm25TopKFromPostings(queries, post2, k = 5,
+      stats = st2)) === direct)
+  }
+
   test("upsertPostings with a batchId skips a replayed batch") {
     val src = s"kwspec-$runTag-e"
     val base = docs.filter(col("doc_id") % 10 =!= 7)

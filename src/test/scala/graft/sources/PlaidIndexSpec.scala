@@ -135,4 +135,18 @@ class PlaidIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("ensurePlaid"))
   }
+
+  test("a changed chunk-to-doc mapping with identical vectors rebuilds " +
+      "(the fingerprint covers doc_id)") {
+    val key = s"plaid-$runTag-remap"
+    PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4, iters = 2)
+    // same (vec_id, embedding) rows, chunks reattributed to other docs
+    val remapped = chunks.withColumn("doc_id",
+      (col("doc_id") + 1) % 40)
+    PlaidIndex.ensurePlaid(spark, key, remapped, lists = 4, iters = 2)
+    val h = PlaidIndex.openPlaid(spark, key)
+    assert(h.lists.filter(col("vec_id") === 0L)
+      .head.getAs[Long]("doc_id") === 1L,
+      "reassigned doc_id must be served after the rebuild")
+  }
 }
