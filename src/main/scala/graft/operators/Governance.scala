@@ -455,15 +455,20 @@ object Governance {
     * compaction doesn't survive a deployment with dozens of stores;
     * this is the scheduled "vacuum" entry point.
     *
-    * Idempotent: a second run right after finds every count at/below
-    * the threshold and compacts nothing. Answers are byte-identical
+    * Idempotent WHEN maxFiles is at/above each scoped layout's
+    * post-compaction floor (bucketed tables: their bucket count;
+    * hb-partitioned stores: their occupied-partition count) — a second
+    * run then finds every count at/below the threshold and compacts
+    * nothing; a below-floor threshold re-compacts that layout every
+    * run without reducing it. Answers are byte-identical
     * across a run (each compact verb's own contract — tombstone FOLDS
     * change bytes, not the served view; q243 extends the q218-style
     * audit to prove no served answer moves). Scoped layouts must
     * exist — the verbs fail loudly otherwise, the purge discipline.
-    * Not safe concurrent with writers (the compact* rule). Families
-    * without a compact verb in scope (indexStores, dedupLines, scd2)
-    * are ignored. Returns one row per examined layout:
+    * Not safe concurrent with writers (the compact* rule). Scope
+    * families without a compact verb (indexStores, dedupLines, scd2,
+    * plaid, impacts — the latter two rebuild-only by design) are
+    * ignored. Returns one row per examined layout:
     * (store, surface, files_before, files_after, compacted).
     */
   def maintain(spark: SparkSession, scope: PurgeScope,
@@ -522,6 +527,18 @@ object Governance {
       // count instead — pick maxFiles at or above it, or maintenance
       // re-compacts them every run)
       k => KeywordIndex.compactPostings(spark, k,
+        numFiles = math.min(8, maxFiles)))
+    leg("dedup_seen", scope.dedupSeen,
+      k => if (DedupStore.seenCount(spark, k) > 0L)
+        Seq(DedupStore.readSeen(spark, k)) else Seq.empty,
+      k => DedupStore.compactSeen(spark, k))
+    leg("dedup_near", scope.dedupNear,
+      k => { val (bands, sigs) = DedupStore.readNearFrames(spark, k)
+        Seq(bands, sigs) },
+      k => DedupStore.compactNear(spark, k))
+    leg("split", scope.splits,
+      k => Seq(SplitStore.read(spark, k)),
+      k => SplitStore.compact(spark, k,
         numFiles = math.min(8, maxFiles)))
     out.toSeq.toDF("store", "surface", "files_before", "files_after",
       "compacted")

@@ -327,6 +327,16 @@ class GovernanceSpec extends AnyFunSuite {
       docs.filter(col("doc_id") < 20))
     KeywordIndex.upsertPostings(spark, kK,
       docs.filter(col("doc_id") >= 20), batchId = Some(1L))
+    // the dedup store's file FLOOR is its hb-partition count (~27 on
+    // this fixture): a threshold below a layout's floor would
+    // re-compact it every run — maintain's documented contract is
+    // maxFiles at or above each scoped layout's floor, so the dedup
+    // store rides a second maintain call at its own threshold below
+    val kD = s"gvm-$runTag-dd"
+    DedupStore.dedupBatch(spark, kD, docs.filter(col("doc_id") < 20),
+      batchId = 1L)
+    DedupStore.dedupBatch(spark, kD, docs.filter(col("doc_id") >= 20),
+      batchId = 2L)
     val scope = Governance.PurgeScope(lsh = Seq(kL), graphs = Seq(kG),
       postings = Seq(kK))
     val probes = vecs.filter(col("vec_id") % 7 === 1)
@@ -366,6 +376,19 @@ class GovernanceSpec extends AnyFunSuite {
       tables = 8, bits = 4, storageBuckets = 2, batchId = Some(2L))
     assert(AnnIndex.openLsh(spark, kL).vecs.count() === nAfter,
       "compaction must not reopen the upsert replay window")
+    // dedup-seen leg: at a threshold at/above the store's hb floor the
+    // examined row appears and repeated runs never flap
+    val dScope = Governance.PurgeScope(dedupSeen = Seq(kD))
+    val d1 = Governance.maintain(spark, dScope, maxFiles = 40)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(d1.size === 1 && d1.head._1 === "dedup_seen")
+    val d2 = Governance.maintain(spark, dScope, maxFiles = 40)
+      .collect().map(r => r.getBoolean(4)).toSeq
+    assert(!d2.head, s"dedup leg must not flap: $d1 then $d2")
+    // the store still answers after maintenance passes
+    assert(DedupStore.dedupBatch(spark, kD,
+      docs.filter(col("doc_id") < 3), batchId = 3L).count() === 0L)
     // a scoped-but-missing layout fails loudly, the purge discipline
     val e = intercept[IllegalArgumentException] {
       Governance.maintain(spark,
