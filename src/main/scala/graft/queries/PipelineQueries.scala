@@ -4431,6 +4431,43 @@ object PipelineQueries {
         .crossJoin(nDiff)
     }),
 
+    // WAND ON A STOPWORD-SKEWED CORPUS (round-14, verdict #5): the
+    // fixtures' near-uniform vocabulary gives θ little to cut (q240's
+    // measured candidate fraction ~0.75 — BASELINE.md round-13), so
+    // the asymptote claim was pinned only by a spec fixture. This
+    // query derives a deterministic skewed corpus FROM the documents
+    // table (one stopword in every doc, a rare term in doc_id%40==3 —
+    // the real-corpus Zipf shape), serves "special common" through
+    // the persisted block-max layout, and emits the top-k rows WITH
+    // the in-query candidate measurement: the DuckDB oracle replays
+    // the exhaustive BM25 ranking AND Σ_t df_t exactly, and
+    // pruning_bites pins candidates < half the exhaustive aggregate
+    // input — the skew point where WAND's candidate cut matters.
+    "q246_wand_skew" -> ((s, dir) => {
+      import graft.sources.ImpactIndex
+      val skewed = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("common filler w"),
+          (col("doc_id") % 7).cast("string"), lit(" w"),
+          (col("doc_id") % 13).cast("string"),
+          when(col("doc_id") % 40 === 3,
+            concat(lit(" special token"), col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("text"))
+      val key = s"$dir#bmwskew"
+      ImpactIndex.ensureImpacts(s, key, skewed, snapshotId = Some(dir))
+      val q = s.createDataFrame(Seq((1L, "special common")))
+        .toDF("query_id", "query_text")
+      val fr = ImpactIndex.wandFrames(s, key, q, k = 5, p1Bands = 3)
+      val measured = fr.qterms
+        .agg(sum("df").cast("long").as("n_exhaustive_pairs"))
+        .crossJoin(fr.candidates.agg(count(lit(1)).as("n_cand")))
+        .select(col("n_exhaustive_pairs"),
+          (col("n_cand") * 2 < col("n_exhaustive_pairs"))
+            .as("pruning_bites"))
+      fr.result.select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 6).as("score"))
+        .crossJoin(measured)
+    }),
+
     // PERSISTED LATE-INTERACTION LAYOUT (round-13, verdict #6 — the
     // PLAID architecture, CIKM'22): the chunk multi-vector table
     // k-means-clustered and stored PARTITIONED BY centroid, so MaxSim
@@ -4464,6 +4501,51 @@ object PipelineQueries {
           countDistinct("query_id").as("n_queries"))
         .crossJoin(served.exceptAll(full).unionByName(full.exceptAll(served))
           .agg(count(lit(1)).as("n_diff")))
+    }),
+
+    // PLAID INCREMENTAL INGEST ≡ REBUILD (round-14 — closes the
+    // round-13 "rebuild-only" frontier gap #1): the layout built by
+    // clustering the 80% base and ASSIGNING the 20% tail to the stored
+    // centroids (upsertPlaid — O(batch) per ingest, the
+    // streamingPlaidUpsert path) must serve the SAME answers as a full
+    // re-cluster over the whole corpus AND as the exhaustive full-scan
+    // MaxSim, at the shipped (nProbe=16, mDocs=16) margin — zero
+    // symmetric difference on (query_id, rank, doc_id) both ways, at
+    // every fixture scale. The upserted layout's stage-1 scores are
+    // still per-token lower bounds (assignment is argmax over the SAME
+    // stored centroids serving restricts to), so the mDocs margin is
+    // the only recall surface — this query measures it holding under
+    // base-only-trained centroids, the state a streamed corpus serves
+    // from between re-clusters.
+    "q245_plaid_upsert" -> ((s, dir) => {
+      import graft.operators.LateInteraction
+      import graft.sources.PlaidIndex
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200).localCheckpoint(true)
+      val chunks = index.select(col("doc_id"),
+        col("chunk_id").as("vec_id"), col("embedding"))
+      val baseC = chunks.filter(col("doc_id") % 5 =!= 0)
+      val tailC = chunks.filter(col("doc_id") % 5 === 0)
+      val kUp = s"$dir#plaidup"
+      val kRb = s"$dir#plaidrb"
+      PlaidIndex.ensurePlaidUpserted(s, kUp, baseC, tailC)
+      PlaidIndex.ensurePlaid(s, kRb, chunks, snapshotId = Some(dir))
+      val qt = LateInteraction.queryTokens(retrievalQueryDf(s))
+        .localCheckpoint(true)
+      def keyd(df: DataFrame) = df.select("query_id", "rank", "doc_id")
+      def sdiff(a: DataFrame, b: DataFrame) =
+        a.exceptAll(b).unionByName(b.exceptAll(a))
+      val upserted = keyd(PlaidIndex.plaidTopK(s, kUp, qt, k = 4,
+        nProbe = 16, mDocs = 16))
+      val rebuilt = keyd(PlaidIndex.plaidTopK(s, kRb, qt, k = 4,
+        nProbe = 16, mDocs = 16))
+      val full = keyd(LateInteraction.maxSimTopK(qt, index, k = 4))
+      full.agg(count(lit(1)).as("n_full"),
+          countDistinct("query_id").as("n_queries"))
+        .crossJoin(sdiff(upserted, rebuilt)
+          .agg(count(lit(1)).as("n_diff_rebuild")))
+        .crossJoin(sdiff(upserted, full)
+          .agg(count(lit(1)).as("n_diff_fullscan")))
     }),
 
     // The production hybrid surface (RagPipeline.hybridRetrievePersisted
@@ -8033,6 +8115,67 @@ object PipelineQueries {
       """SELECT CAST(20 AS BIGINT) AS n_full,
         |CAST(5 AS BIGINT) AS n_queries,
         |CAST(0 AS BIGINT) AS n_diff""".stripMargin,
+    // WAND skew point: exhaustive BM25 over the DERIVED skewed corpus
+    // (DuckDB rebuilds the same deterministic texts), Σ_t df_t replayed
+    // exactly, pruning_bites pinned true
+    "q246_wand_skew" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    concat('common filler w', CAST(doc_id % 7 AS VARCHAR), ' w',
+        |      CAST(doc_id % 13 AS VARCHAR),
+        |      CASE WHEN doc_id % 40 = 3
+        |        THEN concat(' special token', CAST(doc_id AS VARCHAR))
+        |        ELSE '' END) AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, tok
+        |  FROM docs2,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |  FROM toks GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |  FROM dl),
+        |q AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'special common'))
+        |  AS v(query_id, qtext)),
+        |qt AS (SELECT DISTINCT query_id, tok
+        |  FROM q, unnest(string_split_regex(lower(qtext), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE tok <> ''),
+        |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf
+        |  WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY 1),
+        |bm25 AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    sum(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+        |      AS score
+        |  FROM qt
+        |  JOIN tf ON qt.tok = tf.tok
+        |  JOIN df ON df.tok = qt.tok
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |bm25_ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, doc_id ASC) AS INT) AS rank
+        |  FROM bm25),
+        |pairs AS (SELECT CAST(sum(df) AS BIGINT) AS n_exhaustive_pairs
+        |  FROM df)
+        |SELECT query_id, rank, doc_id, round(score, 6) AS score,
+        |  n_exhaustive_pairs, true AS pruning_bites
+        |FROM bm25_ranked CROSS JOIN pairs
+        |WHERE rank <= 5""".stripMargin,
+
+    // PLAID incremental upsert ≡ rebuild ≡ full scan at the certified
+    // margin (both symmetric differences empty)
+    "q245_plaid_upsert" ->
+      """SELECT CAST(20 AS BIGINT) AS n_full,
+        |CAST(5 AS BIGINT) AS n_queries,
+        |CAST(0 AS BIGINT) AS n_diff_rebuild,
+        |CAST(0 AS BIGINT) AS n_diff_fullscan""".stripMargin,
     // round-13 purge parity: leg/audit counts pinned; victims from the
     // deterministic modulus replayed by DuckDB
     "q244_r13_purge" ->

@@ -919,7 +919,7 @@ object AnnIndex {
     * and fails LOUDLY when an upsert would cross it — a silently
     * degraded serving index is worse than a failed ingest batch.
     */
-  private def ivfMaxTailRatio(spark: SparkSession): Double =
+  private[sources] def ivfMaxTailRatio(spark: SparkSession): Double =
     spark.conf.get("spark.graft.ann.ivf.maxTailRatio", "1.0").toDouble
 
   /** Build (or reuse) the persisted IVF index: k-means centroids
@@ -2696,7 +2696,7 @@ object AnnIndex {
   /** One partitioned table's compaction step (side-dir + swap): shared
     * by [[compactIvf]] and [[compactIvfSq8]].
     */
-  private def compactPartitioned(spark: SparkSession, base: String,
+  private[sources] def compactPartitioned(spark: SparkSession, base: String,
       table: String, sub: String, partCol: String,
       content: Option[DataFrame] = None): Unit = {
     sweepStaleCompaction(base, sub)
@@ -4038,19 +4038,33 @@ object AnnIndex {
     * control-plane metadata bounded by the number of indexes, never
     * corpus data. Stores whose meta is missing (mid-build, crashed
     * rename window) are skipped, not half-read.
+    *
+    * Covers every RETRIEVAL layout sharing the meta protocol — the
+    * vector families plus the lexical/late-interaction twins (postings,
+    * impacts, plaid). `tomb_rows` reports pending deletions;
+    * `poisoned` is true for a layout that REFUSES to serve until a
+    * rebuild (today: a tombstoned impact index, whose baked statistics
+    * no longer match the survivors — [[ImpactIndex.deleteImpacts]]),
+    * so an operator sees "rebuild needed" here instead of at the
+    * serve-time require.
     */
   def listIndexes(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val baseDir = new java.io.File(annBase(spark))
+    def layoutOf(name: String): Option[String] =
+      if (name.startsWith("graft_ann_"))
+        Some(name.stripPrefix("graft_ann_")
+          .split('_').dropRight(1).mkString("_"))
+      else if (name.startsWith("graft_kwbmw_")) Some("impacts")
+      else if (name.startsWith("graft_kw_")) Some("postings")
+      else if (name.startsWith("graft_plaid_")) Some("plaid")
+      else None
     val rows = Option(baseDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_ann_"))
+      .filter(_.isDirectory)
       .sortBy(_.getName)
       .flatMap { d =>
         val meta = readMeta(d.getAbsolutePath)
-        if (meta.isEmpty) None
-        else {
-          val layout = d.getName.stripPrefix("graft_ann_")
-            .split('_').dropRight(1).mkString("_")
+        layoutOf(d.getName).filter(_ => meta.nonEmpty).map { layout =>
           var bytes = 0L
           var files = 0L
           val it = Files.walk(d.toPath)
@@ -4059,11 +4073,16 @@ object AnnIndex {
               files += 1; bytes += Files.size(p)
             }
           } finally it.close()
-          Some((d.getName, layout, meta.getOrElse("n_rows", 0L),
-            meta.getOrElse("last_batch_id", -1L), files, bytes))
+          val tombs = meta.getOrElse("tomb_rows", 0L)
+          // the lexical layouts count documents, not vector rows
+          (d.getName, layout,
+            meta.getOrElse("n_rows", meta.getOrElse("n_docs", 0L)),
+            meta.getOrElse("last_batch_id", -1L), files, bytes,
+            tombs, layout == "impacts" && tombs > 0L)
         }
       }
     rows.toSeq
-      .toDF("name", "layout", "n_rows", "last_batch_id", "n_files", "bytes")
+      .toDF("name", "layout", "n_rows", "last_batch_id", "n_files",
+        "bytes", "tomb_rows", "poisoned")
   }
 }

@@ -748,6 +748,37 @@ object DedupStore {
     rm(garbage)
   }
 
+  /** [[compactSeen]]'s line-store twin (round-14 — the last
+    * append-forever dedup layout gains its fold): every
+    * [[lineDedupBatch]] appends a file set per touched `hb` partition,
+    * so a long-running stream erodes the probe into a small-files
+    * scan. Rewrites FILES only — every (lh, df, batch_id, hb) row
+    * survives verbatim, so the batch-keyed replay verification and the
+    * prior-batch df sums are bit-identical across the fold. Same
+    * side-dir + rename swap; the rename window (linedf missing under a
+    * non-zero meta) is caught loudly by [[lineDedupBatch]]'s layout
+    * guard, never read as an empty store. Completes any interrupted
+    * erasure first (the [[readLineDf]] discipline); not safe
+    * concurrent with a writer (the compact* rule).
+    */
+  def compactLineDedup(spark: SparkSession, storeKey: String): Unit = {
+    val b = lineBase(spark, storeKey)
+    recoverLinePurge(b)
+    val dfDir = s"$b/linedf"
+    if (!Files.exists(Paths.get(dfDir))) return
+    val side = s"$b/linedf__compact"
+    val garbage = s"$b/linedf__garbage_${ProcessHandle.current.pid}"
+    def rm(p: String): Unit =
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    rm(side)
+    spark.read.parquet(dfDir)
+      .repartition(col("hb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("hb").parquet(side)
+    Files.move(Paths.get(dfDir), Paths.get(garbage))
+    Files.move(Paths.get(side), Paths.get(dfDir))
+    rm(garbage)
+  }
+
   /** Retention: forget fingerprints recorded BEFORE `keepFromBatchId`
     * (the sliding-window dedup production stores run — "dedup against
     * the last N days", not all of history). Same side-dir + rename

@@ -209,6 +209,11 @@ object KeywordIndex {
       AnnIndex.writeMetaFull(base,
         Seq("n_docs" -> n, "checksum" -> fp) ++
           meta.get("sum_dl").map("sum_dl" -> _).toSeq ++
+          // n_docs_stat rides with sum_dl: dropping it here would read
+          // as statsMissing and pay a full-postings seedStats re-derive
+          // on every ensure that records a new snapshot id over
+          // unchanged content
+          meta.get("n_docs_stat").map("n_docs_stat" -> _).toSeq ++
           meta.get("last_batch_id").map("last_batch_id" -> _).toSeq ++
           meta.get("last_del_batch_id")
             .map("last_del_batch_id" -> _).toSeq,
@@ -307,12 +312,6 @@ object KeywordIndex {
     }
     val (nNew, fpNew) = AnnIndex.fingerprint(
       newDocs.select(newDocs(idCol), newDocs(textCol)))
-    // one deterministic postings frame feeds the append AND the stats
-    // deltas (materialized so the two passes agree byte-for-byte)
-    val newPost = KeywordSearch.bm25Postings(newDocs, idCol, textCol)
-      .localCheckpoint(true)
-    newPost.write.mode(SaveMode.Append).format("parquet")
-      .saveAsTable(tableName(tag))
     // incremental stats (the round-12 verdict's per-call-scan fix): df
     // DELTAS append to the side table (the read side sums per term) and
     // Σ dl bumps in the meta — O(batch vocabulary) per upsert, and the
@@ -322,17 +321,26 @@ object KeywordIndex {
     val statsKept = meta.contains("sum_dl") &&
       meta.contains("n_docs_stat") &&
       AnnIndex.parquetReadable(spark, s"$base/dfs")
+    if (statsKept) {
+      syncDfs(spark, tag)
+      // INVALIDATE the stats before touching ANY data — including the
+      // postings append below: a crash anywhere inside this upsert must
+      // leave a stats-LESS layout (served via the derived path —
+      // correct numbers, slower plan), never postings that include the
+      // batch under stats that do not. The final meta commit below
+      // re-admits the updated stats.
+      AnnIndex.writeMetaFull(base,
+        (meta - "sum_dl" - "n_docs_stat").toSeq,
+        AnnIndex.readMetaStrs(base).toSeq)
+    }
+    // one deterministic postings frame feeds the append AND the stats
+    // deltas (materialized so the two passes agree byte-for-byte)
+    val newPost = KeywordSearch.bm25Postings(newDocs, idCol, textCol)
+      .localCheckpoint(true)
+    newPost.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(tableName(tag))
     val (sumDlNew, nStatNew) =
       if (statsKept) {
-        syncDfs(spark, tag)
-        // INVALIDATE the stats before touching data: a crash anywhere
-        // inside this upsert must leave a stats-LESS layout (served
-        // via the derived path — correct numbers, slower plan), never
-        // postings that include the batch under stats that do not.
-        // The final meta commit below re-admits the updated stats.
-        AnnIndex.writeMetaFull(base,
-          (meta - "sum_dl" - "n_docs_stat").toSeq,
-          AnnIndex.readMetaStrs(base).toSeq)
         newPost.groupBy("term").agg(count(lit(1)).as("df"))
           .write.mode(SaveMode.Append).format("parquet")
           .saveAsTable(dfsName(tag))

@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   *   1. probe: each query TOKEN takes its `nProbe` nearest centroids
   *      (tokens × centroids — broadcast-sized); the query's probe set
   *      is the union over its tokens.
-  *   2. stage 1: approximate MaxSim over the PROBED lists only (DPP
-  *      prunes the unprobed partitions) — the per-token max is
-  *      restricted to probed chunks, a lower bound of the true
-  *      per-token max — shortlist `mDocs` docs per query.
+  *   2. stage 1: approximate MaxSim over the PROBED lists only (the
+  *      probed-centroid set — bounded by the list count — rides the
+  *      scan as partition LITERALS, so unprobed directories are never
+  *      read) — the per-token max is restricted to probed chunks, a
+  *      lower bound of the true per-token max — shortlist `mDocs`
+  *      docs per query.
   *   3. stage 2: exact float MaxSim over the shortlist's full chunk
   *      sets ([[LateInteraction.maxSimRerank]]), identical tie
   *      discipline to the full scan.
@@ -38,9 +40,11 @@ import org.apache.spark.sql.functions._
   * margin — the q229/q237 discipline: MaxSimTune's `plaid` mode
   * measures the required shortlist depth per scale and the shipped
   * operating point carries a recorded margin (q242 pins the zero
-  * symmetric difference at all three fixture scales). Rebuild-only
-  * lifecycle (re-clustering is global by construction); the
-  * incremental surface remains the chunk index itself.
+  * symmetric difference at all three fixture scales). Full lifecycle:
+  * [[ensurePlaid]] (global re-cluster), [[upsertPlaid]] (O(batch)
+  * assignment to the stored centroids under the IVF drift gate — q245
+  * pins upsert ≡ rebuild), [[deletePlaid]] (doc-id tombstones), with
+  * batch-id replay-skip on both write verbs.
   */
 object PlaidIndex {
   import AnnIndex.{fingerprint, parquetReadable, readMeta, readMetaStrs,
@@ -72,6 +76,23 @@ object PlaidIndex {
       registerExternal(spark, tombsName(tag),
         s"${plaidBase(spark, tag)}/tombs")
   }
+
+  /** Argmax-cosine assignment with the assignWithVecs tie convention
+    * (csim desc, centroid_id asc), doc_id riding along — ONE definition
+    * so build-time and upsert-time placement can never disagree.
+    */
+  private def assignToCentroids(docVectors: DataFrame,
+      stored: DataFrame): DataFrame =
+    docVectors.crossJoin(broadcast(stored))
+      .withColumn("csim",
+        VectorOps.cosine(col("embedding"), col("centroid_vec")))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("centroid_id"), col("doc_id"), col("embedding")),
+        struct(col("csim"), (-col("centroid_id")).as("neg_cid"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("vec_id"),
+        col("w.embedding").as("embedding"),
+        col("w.centroid_id").as("centroid_id"))
 
   private def metaMatches(meta: Map[String, Long], lists: Int, iters: Int,
       n: Long, fp: Long): Boolean =
@@ -128,18 +149,7 @@ object PlaidIndex {
         docVectors.select("vec_id", "embedding"), lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(s"$base/centroids")
       val stored = spark.read.parquet(s"$base/centroids")
-      // argmax-cosine assignment with the assignWithVecs tie convention
-      // (csim desc, centroid_id asc), doc_id riding along
-      val assigned = docVectors.crossJoin(broadcast(stored))
-        .withColumn("csim",
-          VectorOps.cosine(col("embedding"), col("centroid_vec")))
-        .groupBy("vec_id")
-        .agg(max_by(
-          struct(col("centroid_id"), col("doc_id"), col("embedding")),
-          struct(col("csim"), (-col("centroid_id")).as("neg_cid"))).as("w"))
-        .select(col("w.doc_id").as("doc_id"), col("vec_id"),
-          col("w.embedding").as("embedding"),
-          col("w.centroid_id").as("centroid_id"))
+      val assigned = assignToCentroids(docVectors, stored)
       spark.sql(s"DROP TABLE IF EXISTS ${listsName(tag)}")
       assigned.write.mode(SaveMode.Overwrite)
         .option("path", s"$base/lists")
@@ -156,9 +166,16 @@ object PlaidIndex {
         .format("parquet").saveAsTable(doccentName(tag))
       writeMetaFull(base,
         Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
-          "n_rows" -> n, "checksum" -> fp) ++
-          // the delete replay-skip window survives the rebuild (the
-          // KeywordIndex.build discipline)
+          "n_rows" -> n, "checksum" -> fp,
+          // the upsert drift gate's trained-base size: a rebuild
+          // re-clusters over the full frame, so the tail resets here
+          "n_base" -> n) ++
+          // BOTH replay-skip windows survive the rebuild (the
+          // KeywordIndex.build discipline): a crash-replayed upsert or
+          // delete batch must not re-apply after a rebuild that
+          // already contains it
+          readMeta(base).get("last_batch_id")
+            .map("last_batch_id" -> _).toSeq ++
           readMeta(base).get("last_del_batch_id")
             .map("last_del_batch_id" -> _).toSeq,
         snapshotId.map("snapshot_id" -> _).toSeq)
@@ -236,8 +253,27 @@ object PlaidIndex {
       .distinct()
   }
 
-  /** Stage-1 approximate MaxSim over the PROBED partitions only (DPP
-    * prunes the unprobed ones): the per-token max restricted to probed
+  /** Restrict the partitioned lists view to a driver-collected set of
+    * centroid ids as a STATIC partition filter. The probe/candidate
+    * centroid sets are bounded by the LIST COUNT (distinct partition
+    * values — 32 at the shipped point, never by the index or the query
+    * batch), so unlike the LSH probe set (queries × tables × probes,
+    * too large for literals) they are planner-side constants: the scan
+    * lists only the named `centroid_id=` directories and unprobed
+    * partitions' bytes are never read. DPP is NOT available here —
+    * both pruning frames are aggregate/semi-join-derived with no
+    * selective Filter, so Spark's PartitionPruning rule declines them
+    * (the shipped round-13 q242 plan read every partition; the
+    * PlanInvariantsSpec plaid gate pins the pruned shape now).
+    */
+  private def restrictLists(lists: DataFrame, ids: Array[Int]): DataFrame =
+    if (ids.isEmpty) lists.filter(lit(false))
+    else lists.filter(col("centroid_id")
+      .isin(ids.sorted.map(Int.box).toSeq: _*))
+
+  /** Stage-1 approximate MaxSim over the PROBED partitions only (the
+    * probed-centroid set rides the scan as partition literals — see
+    * [[restrictLists]]): the per-token max restricted to probed
     * chunks lower-bounds the true max — a doc strong only in unprobed
     * lists can be under-scored, which is exactly what the measured
     * mDocs margin bounds. (A centroid-PROXY stage 1 — PLAID's paper
@@ -251,9 +287,13 @@ object PlaidIndex {
       h: PlaidHandle, nProbe: Int): DataFrame = {
     val qt = broadcast(queryTokens.select(col("query_id"), col("qpos"),
       col("qvec"), VectorOps.l2Norm(col("qvec")).as("qnrm")))
-    h.lists
-      .join(broadcast(plaidProbes(queryTokens, h, nProbe)),
-        Seq("centroid_id"))
+    // materialized once: the per-query probe map feeds the join AND the
+    // collected distinct-centroid literal set, guaranteed to agree
+    val probes = plaidProbes(queryTokens, h, nProbe).localCheckpoint(true)
+    val probedIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    restrictLists(h.lists, probedIds)
+      .join(broadcast(probes), Seq("centroid_id"))
       .join(qt, Seq("query_id"))
       .withColumn("cos",
         when(VectorOps.l2Norm(col("embedding")) * col("qnrm") === 0.0,
@@ -274,6 +314,186 @@ object PlaidIndex {
       .groupBy("query_id")
       .agg(top_k(col("ascore"), col("doc_id"), mDocs).as("topk"))
       .select(col("query_id"), explode(col("topk.id")).as("doc_id"))
+  }
+
+  /** Incremental add (round-14 — closes the round-13 "rebuild-only"
+    * frontier gap): new chunk vectors join the clustered layout by
+    * assignment to the STORED centroids — O(batch) per call against
+    * the global re-cluster a streamed chunk corpus would otherwise
+    * pay per fresh micro-batch. The [[AnnIndex.upsertIvfSq8]]
+    * discipline end to end: same-operating-point requirement, loud
+    * readability check, `batchId` replay-skip, tombstone clash guard
+    * (re-adding chunks of a deleted doc would be silently swallowed
+    * by the serving anti-join), and the IVF centroid-drift gate —
+    * stage-1 pruning quality erodes as the un-clustered tail grows
+    * against the trained base (`spark.graft.ann.ivf.maxTailRatio`,
+    * shared with the IVF family), and a failed ingest batch beats a
+    * silently degraded serving layout.
+    *
+    * Crash ordering: fresh doc→centroid membership pairs append
+    * BEFORE the chunk rows — every intermediate state keeps doccent a
+    * SUPERSET of the lists' memberships, so a crashed upsert can
+    * over-scan stage 2 (extra named partitions, correct answers) but
+    * never under-scan it (missed candidate chunks, wrong answers);
+    * the meta commit lands last, so the next ensure over the true
+    * source rebuilds out of any torn state. A successful upsert
+    * composes the fingerprint (count + xor), so `ensurePlaid` over
+    * the upserted corpus recognizes the layout as fresh. Any stored
+    * snapshot_id is dropped — the layout is now ahead of the snapshot
+    * that id named (the upsertLsh rule).
+    */
+  def upsertPlaid(spark: SparkSession, sourceDir: String,
+      newVectors: DataFrame, batchId: Option[Long] = None): PlaidHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = plaidBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("lists"),
+      s"upsertPlaid needs an existing layout for '$sourceDir' — run " +
+        "ensurePlaid first")
+    require(parquetReadable(spark, s"$base/lists") &&
+      parquetReadable(spark, s"$base/centroids") &&
+      parquetReadable(spark, s"$base/doccent"),
+      s"persisted PLAID layout for '$sourceDir' is unreadable — run " +
+        "ensurePlaid to rebuild before upserting")
+    if (!registered(spark, tag)) attach(spark, tag)
+    val replayed = batchId.exists(id =>
+      meta.get("last_batch_id").exists(id <= _))
+    if (replayed) return handle(spark, tag)
+    if (meta.get("tomb_rows").exists(_ > 0L)) {
+      if (!spark.catalog.tableExists(tombsName(tag)) &&
+          AnnIndex.tombsServable(spark, base))
+        registerExternal(spark, tombsName(tag), s"$base/tombs")
+      val clash = spark.table(tombsName(tag))
+        .join(newVectors.select("doc_id"), Seq("doc_id"), "left_semi")
+        .count()
+      require(clash == 0L,
+        s"upsertPlaid: $clash incoming doc id(s) are tombstoned — " +
+          "rebuild with ensurePlaid to fold deletions before " +
+          "re-inserting those docs")
+    }
+    val (nNew, fpNew) = fingerprint(
+      newVectors.select("doc_id", "vec_id", "embedding"))
+    val nBase = meta.getOrElse("n_base", meta("n_rows"))
+    val tailAfter = meta("n_rows") + nNew - nBase
+    val maxRatio = AnnIndex.ivfMaxTailRatio(spark)
+    if (nBase > 0 && tailAfter > maxRatio * nBase)
+      throw new IllegalStateException(
+        f"upsertPlaid drift gate: upserted tail would reach $tailAfter " +
+          f"chunk rows against a clustered base of $nBase " +
+          f"(ratio ${tailAfter.toDouble / nBase}%.2f > $maxRatio%.2f). " +
+          "Rebuild with ensurePlaid to re-cluster, or raise " +
+          "spark.graft.ann.ivf.maxTailRatio.")
+    val assigned = assignToCentroids(
+        newVectors.select("doc_id", "vec_id", "embedding"),
+        spark.read.parquet(s"$base/centroids"))
+      .localCheckpoint(true) // ONE assignment pass feeds both appends
+    // membership first (see crash ordering above): only pairs the
+    // stored table lacks — the anti-join is id-only on both sides
+    assigned.select("doc_id", "centroid_id").distinct()
+      .join(spark.table(doccentName(tag)),
+        Seq("doc_id", "centroid_id"), "left_anti")
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(doccentName(tag))
+    assigned.write.mode(SaveMode.Append)
+      .partitionBy("centroid_id")
+      .format("parquet").saveAsTable(listsName(tag))
+    writeMetaFull(base,
+      Seq("lists" -> meta("lists"), "iters" -> meta("iters"),
+        "n_rows" -> (meta("n_rows") + nNew),
+        "checksum" -> (meta("checksum") ^ fpNew),
+        "n_base" -> nBase) ++
+        batchId.orElse(meta.get("last_batch_id"))
+          .map("last_batch_id" -> _).toSeq ++
+        meta.get("tomb_rows").map("tomb_rows" -> _).toSeq ++
+        meta.get("last_del_batch_id")
+          .map("last_del_batch_id" -> _).toSeq,
+      Nil)
+    spark.catalog.refreshTable(listsName(tag))
+    spark.catalog.refreshTable(doccentName(tag))
+    handle(spark, tag)
+  }
+
+  /** Build-or-reuse for a base + upserted-tail PLAID layout (the
+    * [[AnnIndex.ensureIvfUpserted]] idiom): reused when the stored
+    * meta equals base ⊕ tail; otherwise the centroids train on the
+    * BASE only ([[ensurePlaid]]) and the tail is assigned to them
+    * ([[upsertPlaid]]) — the shape a serving lifecycle takes (cluster
+    * at build time, assign-only on ingest), and run-idempotent for
+    * the q245 invariant query.
+    */
+  def ensurePlaidUpserted(
+      spark: SparkSession,
+      sourceDir: String,
+      baseVectors: DataFrame,
+      tailVectors: DataFrame,
+      lists: Int = 32,
+      iters: Int = 5): PlaidHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = plaidBase(spark, tag)
+    val (nb, fb) = fingerprint(
+      baseVectors.select("doc_id", "vec_id", "embedding"))
+    val (nt, ft) = fingerprint(
+      tailVectors.select("doc_id", "vec_id", "embedding"))
+    val meta = readMeta(base)
+    val combinedFresh = meta.get("lists").contains(lists.toLong) &&
+      meta.get("iters").contains(iters.toLong) &&
+      meta.get("n_rows").contains(nb + nt) &&
+      meta.get("checksum").contains(fb ^ ft) &&
+      meta.get("tomb_rows").forall(_ == 0L) &&
+      servable(spark,
+        Seq(s"$base/lists", s"$base/centroids", s"$base/doccent"),
+        registered(spark, tag), () => attach(spark, tag))
+    if (!combinedFresh) {
+      ensurePlaid(spark, sourceDir, baseVectors, lists, iters)
+      upsertPlaid(spark, sourceDir, tailVectors)
+    }
+    handle(spark, tag)
+  }
+
+  /** Fold the per-batch file sets [[upsertPlaid]] accumulates — each
+    * ingest batch appends a file per touched `centroid_id` partition
+    * and a doccent file set, so a long-running stream erodes stage 1
+    * into a small-files scan. FILE fold only, rows verbatim: the
+    * lists rewrite lands one file per occupied centroid partition
+    * (the [[AnnIndex.compactPartitioned]] recipe), doccent coalesces;
+    * tombstones are deliberately NOT folded — survivor serving under
+    * the build-time centroids is exact via the anti-join, and the
+    * true deletion fold is the re-cluster ([[ensurePlaid]]'s tombFree
+    * gate — the [[deletePlaid]] rule). The served view is
+    * byte-identical across the fold; meta (fingerprint, replay
+    * windows) untouched. Not safe concurrent with a writer.
+    * `doccentFiles` defaults to 1 so the folded layout sits exactly at
+    * the floor `Governance.maintain`'s path-derived estimate computes
+    * (occupied partitions + one plain-dir file) — a wider setting
+    * needs a maintain threshold at/above occupied+width or the leg
+    * re-folds each run.
+    */
+  def compactPlaid(spark: SparkSession, sourceDir: String,
+      doccentFiles: Int = 1): PlaidHandle = {
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = plaidBase(spark, tag)
+    require(readMeta(base).contains("lists"),
+      s"no persisted PLAID layout for '$sourceDir' — run ensurePlaid")
+    require(parquetReadable(spark, s"$base/lists") &&
+      parquetReadable(spark, s"$base/doccent"),
+      s"persisted PLAID layout for '$sourceDir' is unreadable — run " +
+        "ensurePlaid to rebuild")
+    if (!registered(spark, tag)) attach(spark, tag)
+    AnnIndex.compactPartitioned(spark, base, listsName(tag), "lists",
+      "centroid_id")
+    AnnIndex.sweepStaleCompaction(base, "doccent")
+    val side = s"$base/doccent_compact_${ProcessHandle.current.pid}"
+    val tmp = s"${doccentName(tag)}_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(doccentName(tag)).coalesce(doccentFiles)
+      .write.mode(SaveMode.Overwrite)
+      .option("path", side)
+      .format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS ${doccentName(tag)}")
+    AnnIndex.swapDir(s"$base/doccent", side)
+    attach(spark, tag)
+    handle(spark, tag)
   }
 
   /** Tombstone deletes by doc_id — the erasure verb that puts the
@@ -309,7 +529,8 @@ object PlaidIndex {
     * see [[plaidStage1]] for why the paper's centroid-proxy form was
     * rejected on measurement), exact stage 2 over ONLY the partitions
     * holding a candidate doc's chunks (the membership table names
-    * them; DPP prunes the rest). Output-identical to the full scan at
+    * them; they land as partition literals — [[restrictLists]]).
+    * Output-identical to the full scan at
     * the measured (nProbe, mDocs) margin (q242).
     */
   def plaidTopK(spark: SparkSession, sourceDir: String,
@@ -320,12 +541,15 @@ object PlaidIndex {
     val cand = plaidCandidates(queryTokens, h, nProbe, mDocs)
       .localCheckpoint(true)
     // the rerank needs EVERY chunk of each candidate doc: the
-    // membership table names exactly the partitions that can hold one
+    // membership table names exactly the partitions that can hold one,
+    // and that set (≤ list count) lands on the scan as partition
+    // literals — the rerank reads only those directories' bytes
     val candCents = h.docCentroids
       .join(broadcast(cand.select("doc_id").distinct()), Seq("doc_id"),
         "left_semi")
       .select("centroid_id").distinct()
-    val restricted = h.lists.join(broadcast(candCents), Seq("centroid_id"))
+      .collect().map(_.getInt(0))
+    val restricted = restrictLists(h.lists, candCents)
     LateInteraction.maxSimRerank(queryTokens,
       restricted.select("doc_id", "vec_id", "embedding"), cand, k)
   }

@@ -592,6 +592,30 @@ object StreamOps {
         }
       }
 
+  /** [[streamingIvfSq8Upsert]]'s late-interaction twin: CHUNK vectors
+    * arriving on `chunks(doc_id, vec_id, embedding)` extend the
+    * persisted PLAID layout once per micro-batch
+    * ([[graft.sources.PlaidIndex.upsertPlaid]] — assignment to the
+    * STORED centroids, O(batch) append into the centroid-partitioned
+    * lists + membership table, batchId replay-skip). Carries the IVF
+    * drift contract: the gate fails a batch LOUDLY when the
+    * accumulated un-clustered tail would overwhelm the trained base —
+    * rebuild (`ensurePlaid`) to re-cluster, then resume the stream.
+    */
+  def streamingPlaidUpsert(
+      chunks: DataFrame,
+      sourceDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    chunks.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.PlaidIndex.upsertPlaid(batch.sparkSession,
+            sourceDir, batch.toDF(), batchId = Some(id))
+          ()
+        }
+      }
+
   /** [[streamingIvfSq8Upsert]]'s PQ twin: vectors arriving extend the
     * persisted IVF-PQ index ([[graft.sources.AnnIndex.upsertIvfPq]] —
     * assignment to the STORED centroids + encoding with the STORED

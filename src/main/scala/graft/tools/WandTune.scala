@@ -13,13 +13,18 @@ import org.apache.spark.sql.functions._
   * rows WAND admits — and min-of-N serving times for both paths over
   * the PERSISTED layouts (postings+stats vs impact bands).
   *
-  * Usage: runMain graft.tools.WandTune [sfDir] [runs] [k]
+  * Usage: runMain graft.tools.WandTune [sfDir] [runs] [k] [mode]
+  * mode `skew` measures the q246 stopword-skewed corpus (one common
+  * term in every doc, a rare one in doc_id%40==3) with its
+  * "special common" query — the Zipf shape where the candidate cut
+  * matters; default `uniform` is the fixtures' own documents table.
   */
 object WandTune {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(1).flatMap(_.toIntOption).getOrElse(3)
     val k = args.lift(2).flatMap(_.toIntOption).getOrElse(5)
+    val mode = args.lift(3).getOrElse("uniform")
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -27,11 +32,22 @@ object WandTune {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = Tables.load(spark, sfDir, "documents")
-      .select("doc_id", "text").cache()
+    val raw = Tables.load(spark, sfDir, "documents")
+    val docs = (if (mode == "skew")
+        raw.select(col("doc_id"),
+          concat(lit("common filler w"),
+            (col("doc_id") % 7).cast("string"), lit(" w"),
+            (col("doc_id") % 13).cast("string"),
+            when(col("doc_id") % 40 === 3,
+              concat(lit(" special token"), col("doc_id").cast("string")))
+              .otherwise(lit(""))).as("text"))
+      else raw.select("doc_id", "text")).cache()
     docs.count()
-    val q = PipelineQueries.retrievalQueryDf(spark)
-    val key = sFDirKey(sfDir)
+    val q = if (mode == "skew")
+      spark.createDataFrame(Seq((1L, "special common")))
+        .toDF("query_id", "query_text")
+    else PipelineQueries.retrievalQueryDf(spark)
+    val key = s"${sFDirKey(sfDir)}-$mode"
     ImpactIndex.ensureImpacts(spark, key, docs, snapshotId = Some(sfDir))
     graft.sources.KeywordIndex.ensurePostings(spark, key, docs,
       snapshotId = Some(sfDir))

@@ -396,4 +396,109 @@ class GovernanceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no persisted"))
   }
+
+  test("maintain auto-floor: a BELOW-floor threshold compacts once " +
+      "and then no-ops — never recompacts an at-floor layout every " +
+      "run (the fe661ac footgun, automated)") {
+    val kD = s"gvm-$runTag-floor"
+    DedupStore.dedupBatch(spark, kD, docs.filter(col("doc_id") < 20),
+      batchId = 1L)
+    DedupStore.dedupBatch(spark, kD, docs.filter(col("doc_id") >= 20),
+      batchId = 2L)
+    val scope = Governance.PurgeScope(dedupSeen = Seq(kD))
+    // maxFiles=1 is far below the store's hb-partition floor (~27):
+    // before the auto-floor this recompacted every run
+    val r1 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).head
+    assert(r1._3 && r1._2 < r1._1,
+      s"first below-floor run must fold the appended file sets: $r1")
+    val r2 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).head
+    assert(!r2._3,
+      s"an at-floor layout must not recompact under a below-floor " +
+        s"threshold: $r1 then $r2")
+    // the bucketed families hit their bucket-count floor the same way
+    val kL = s"gvm-$runTag-floorlsh"
+    AnnIndex.ensureLsh(spark, kL, vecs.filter(col("vec_id") < 40),
+      tables = 8, bits = 4, storageBuckets = 2)
+    AnnIndex.upsertLsh(spark, kL, vecs.filter(col("vec_id") >= 40),
+      tables = 8, bits = 4, storageBuckets = 2, batchId = Some(1L))
+    val lScope = Governance.PurgeScope(lsh = Seq(kL))
+    val l1 = Governance.maintain(spark, lScope, maxFiles = 1)
+      .collect().map(r => r.getBoolean(4)).head
+    val l2 = Governance.maintain(spark, lScope, maxFiles = 1)
+      .collect().map(r => r.getBoolean(4)).head
+    assert(l1 && !l2,
+      "a bucketed layout must fold once then sit at its bucket floor")
+  }
+
+  test("maintain plaid leg: the upsert-batch file accumulation folds " +
+      "through compactPlaid at a below-floor threshold (auto-floor), " +
+      "answers identical, second run no-op") {
+    val kP = s"gvm-$runTag-plaid"
+    val chunks = (0 until 90).map { i =>
+      val doc = i / 3
+      val theta = (doc % 4) * 1.5 + (i % 3) * 0.05
+      (doc.toLong, i.toLong,
+        Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }.toDF("doc_id", "vec_id", "embedding")
+    PlaidIndex.ensurePlaid(spark, kP,
+      chunks.filter(col("doc_id") < 20), lists = 4, iters = 2)
+    PlaidIndex.upsertPlaid(spark, kP,
+      chunks.filter(col("doc_id") >= 20 && col("doc_id") < 25),
+      batchId = Some(1L))
+    PlaidIndex.upsertPlaid(spark, kP,
+      chunks.filter(col("doc_id") >= 25), batchId = Some(2L))
+    val qt = Seq((1L, 0, Array(math.cos(1.5).toFloat,
+      math.sin(1.5).toFloat))).toDF("query_id", "qpos", "qvec")
+    def answers() = PlaidIndex.plaidTopK(spark, kP, qt, k = 3,
+      nProbe = 4, mDocs = 40).select("query_id", "rank", "doc_id")
+      .collect().map(_.toSeq).toSet
+    val before = answers()
+    val scope = Governance.PurgeScope(plaid = Seq(kP))
+    val r1 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).head
+    assert(r1._1 === "plaid")
+    assert(r1._4 && r1._3 < r1._2,
+      s"plaid leg must fold the upsert file sets: $r1")
+    assert(answers() === before, "maintenance changed a plaid answer")
+    val r2 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => r.getBoolean(4)).head
+    assert(!r2, "second plaid maintenance run must be a no-op " +
+      "(auto-floor: occupied partitions + one doccent file)")
+  }
+
+  test("maintain line-dedup leg: the per-batch file-set accumulation " +
+      "folds through compactLineDedup; replayed batches still " +
+      "reconstruct; second run no-op") {
+    val kD = s"gvm-$runTag-lines"
+    val d1 = docs.filter(col("doc_id") < 20)
+    val d2 = docs.filter(col("doc_id") >= 20)
+    DedupStore.lineDedupBatch(spark, kD, d1, batchId = 1L, maxDf = 2)
+    val out2 = DedupStore.lineDedupBatch(spark, kD, d2, batchId = 2L,
+      maxDf = 2).select("doc_id", "text", "n_lines", "n_cut")
+      .collect().map(_.toSeq).toSet
+    val filesBefore = DedupStore.readLineDf(spark, kD).inputFiles.length
+    val scope = Governance.PurgeScope(dedupLines = Seq(kD))
+    val r1 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).head
+    assert(r1._1 === "dedup_lines")
+    assert(r1._2 === filesBefore.toLong)
+    assert(r1._4 && r1._3 < r1._2,
+      s"line store must fold its per-batch file sets: $r1")
+    // rows survived verbatim: the replayed batch reconstructs its
+    // original output from the compacted store
+    val replay = DedupStore.lineDedupBatch(spark, kD, d2, batchId = 2L,
+      maxDf = 2).select("doc_id", "text", "n_lines", "n_cut")
+      .collect().map(_.toSeq).toSet
+    assert(replay === out2,
+      "compaction changed a replayed line-dedup answer")
+    val r2 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => r.getBoolean(4)).head
+    assert(!r2, "second line-dedup maintenance run must be a no-op")
+  }
 }

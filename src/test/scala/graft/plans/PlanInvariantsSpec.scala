@@ -224,6 +224,28 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("partial_topkagg"), p)
   }
 
+  test("hybrid persisted serving (q87's served surface) keeps the " +
+      "one-postings-scan discipline: the lexical half reads the " +
+      "stored postings ONCE with df from the stats side table (the " +
+      "r13 statsFor routing must not reintroduce per-call postings " +
+      "aggregates). NB the gate targets the SERVING call, not the " +
+      "q87 panel — the identity query's two exceptAll branches " +
+      "duplicate the whole persisted subtree by construction") {
+    import graft.rag.RagPipeline
+    val docs = graft.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val index = RagPipeline.buildIndex(spark, docs, chunkSize = 200)
+    val q = graft.queries.PipelineQueries.retrievalQueryDf(spark)
+    val p = RagPipeline.hybridRetrievePersisted(spark,
+        TestSpark.Sf0001 + "!hybrid", q, index, k = 4)
+      .queryExecution.executedPlan.toString
+    val postingsScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("graft_kw_postings_"))
+    assert(postingsScans === 1,
+      s"expected exactly 1 postings scan, got $postingsScans:\n$p")
+    assert(p.contains("graft_kw_dfs_"),
+      s"df must come from the stats side table:\n$p")
+  }
+
   test("q86 hybrid over the persisted postings: the BM25 half scans the " +
       "stored postings table, keeps the q78 broadcast discipline") {
     val p = physical("q86_hybrid_persisted")
@@ -629,5 +651,51 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(windows.nonEmpty, p)
     assert(windows.forall(_.contains("pid")),
       s"a window is not keyed by the partition id:\n${windows.mkString("\n")}")
+  }
+
+  test("PLAID serving: the probed/candidate centroid sets land as " +
+      "partition LITERALS on the graft_plaid_lists_* scans — stage 1 " +
+      "and the rerank read only named centroid directories (the " +
+      "round-13 verdict's claim-vs-plan defect: isnotnull-only " +
+      "partition filters scanned every directory)") {
+    import spark.implicits._
+    import graft.sources.PlaidIndex
+    // tiny 4-cluster multi-vector fixture (the PlaidIndexSpec shape)
+    val chunks = (0 until 120).map { i =>
+      val doc = i / 3
+      val theta = (doc % 4) * 1.5 + (i % 3) * 0.05 + (doc / 4) * 0.01
+      (doc.toLong, i.toLong,
+        Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }.toDF("doc_id", "vec_id", "embedding")
+    val qt = Seq((1L, 0,
+      Array(math.cos(1.5).toFloat, math.sin(1.5).toFloat)))
+      .toDF("query_id", "qpos", "qvec")
+    val key = s"plans-plaid-${java.util.UUID.randomUUID.toString.take(8)}"
+    val h = PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4,
+      iters = 3)
+    def listScanLines(p: String): Seq[String] =
+      p.linesIterator.filter(_.contains("graft_plaid_lists_")).toSeq
+    def assertPruned(p: String, what: String): Unit = {
+      val scans = listScanLines(p)
+      assert(scans.nonEmpty, s"$what: no plaid lists scan found:\n$p")
+      // OptimizeIn renders a 1-element literal set as `=`, small sets
+      // as `IN (…)`, large ones as INSET — all static partition
+      // filters (the scan's file index lists only the named dirs)
+      val unpruned = scans.filterNot(l =>
+        l.contains(" IN (") || l.contains("INSET") ||
+          raw"\(centroid_id#\d+ = \d+\)".r.findFirstIn(l).isDefined)
+      assert(unpruned.isEmpty,
+        s"$what: plaid lists scan without centroid partition " +
+          s"literals:\n${unpruned.mkString("\n")}")
+    }
+    // stage 1: one token at nProbe=2 probes ≤2 of the 4 directories
+    assertPruned(PlaidIndex.plaidStage1(qt, h, nProbe = 2)
+      .queryExecution.executedPlan.toString, "stage 1")
+    // end-to-end serving: the rerank scan restricts to the candidates'
+    // membership directories (the candidate shortlist itself is an
+    // eager checkpoint, so this plan's lists scan IS the rerank's)
+    assertPruned(PlaidIndex.plaidTopK(spark, key, qt, k = 2,
+      nProbe = 2, mDocs = 4)
+      .queryExecution.executedPlan.toString, "rerank")
   }
 }

@@ -877,6 +877,49 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(after.getAs[Long]("n_rows") === 180L)
     assert(after.getAs[Long]("last_batch_id") === 1L)
     assert(after.getAs[Long]("bytes") > row.getAs[Long]("bytes"))
+    // a healthy layout reports no pending deletions and no poison
+    assert(after.getAs[Long]("tomb_rows") === 0L)
+    assert(!after.getAs[Boolean]("poisoned"))
+  }
+
+  test("listIndexes surfaces the POISONED impact layout (rebuild " +
+      "needed) instead of leaving it to the serve-time require; a " +
+      "rebuild clears the flag; tombstoned anti-join layouts are " +
+      "NOT poisoned") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "gamma delta epsilon"), (4L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val src = s"spec-$runTag-poislist"
+    graft.sources.ImpactIndex.ensureImpacts(spark, src, docs)
+    val name = s"graft_kwbmw_${IndexStore.pathTag(src)}"
+    def row() = AnnIndex.listIndexes(spark)
+      .filter(col("name") === name).collect().head
+    val healthy = row()
+    assert(healthy.getAs[String]("layout") === "impacts")
+    assert(!healthy.getAs[Boolean]("poisoned"))
+    graft.sources.ImpactIndex.deleteImpacts(spark, src,
+      Seq(2L).toDF("doc_id"))
+    val poisoned = row()
+    assert(poisoned.getAs[Long]("tomb_rows") === 1L)
+    assert(poisoned.getAs[Boolean]("poisoned"),
+      "a tombstoned impact layout must surface as poisoned")
+    // rebuild over the survivors clears the poison
+    graft.sources.ImpactIndex.ensureImpacts(spark, src,
+      docs.filter(col("doc_id") =!= 2L))
+    assert(!row().getAs[Boolean]("poisoned"))
+    // contrast: an anti-join-served layout with tombstones keeps
+    // serving — tomb_rows > 0, poisoned stays false
+    val srcL = s"spec-$runTag-poislsh"
+    AnnIndex.ensureLsh(spark, srcL, emb.filter(col("vec_id") < 100),
+      tables = 8, bits = 6)
+    AnnIndex.deleteLsh(spark, srcL,
+      emb.filter(col("vec_id") < 4).select("vec_id"))
+    val lshRow = AnnIndex.listIndexes(spark)
+      .filter(col("name") ===
+        s"graft_ann_lsh_${IndexStore.pathTag(srcL)}").collect().head
+    assert(lshRow.getAs[Long]("tomb_rows") > 0L)
+    assert(!lshRow.getAs[Boolean]("poisoned"))
   }
 
   test("deleteLsh tombstones serve exact-kNN-minus-deleted; compactLsh " +

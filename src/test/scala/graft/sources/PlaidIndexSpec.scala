@@ -136,6 +136,136 @@ class PlaidIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ensurePlaid"))
   }
 
+  test("upsertPlaid: tail assigned to the STORED centroids, serving " +
+      "equals the full-scan MaxSim; membership stays exactly the " +
+      "lists' distinct pairs; a later ensure over the upserted corpus " +
+      "reuses (the fingerprint composes)") {
+    val key = s"plaid-$runTag-up"
+    val baseC = chunks.filter(col("doc_id") < 30)
+    val tailC = chunks.filter(col("doc_id") >= 30)
+    PlaidIndex.ensurePlaid(spark, key, baseC, lists = 4, iters = 3)
+    val centsBefore = spark.read.parquet(
+      s"/tmp/graft_plaid_${IndexStore.pathTag(key)}/centroids")
+      .collect().map(_.toString).sorted
+    val h = PlaidIndex.upsertPlaid(spark, key, tailC)
+    // centroids untouched: assignment-only ingest
+    assert(spark.read.parquet(
+      s"/tmp/graft_plaid_${IndexStore.pathTag(key)}/centroids")
+      .collect().map(_.toString).sorted === centsBefore)
+    assert(h.lists.count() === chunks.count())
+    // the membership table is EXACTLY the lists' distinct pairs —
+    // upsert appended only the missing ones, no duplicates
+    val want = h.lists.select("doc_id", "centroid_id").distinct()
+    assert(h.docCentroids.count() === want.count())
+    assert(h.docCentroids.exceptAll(want).count() === 0L)
+    // every tail chunk sits under its argmax stored centroid: compare
+    // against a fresh assignment of the full set (the q72 invariant)
+    val full = hits(LateInteraction.maxSimTopK(queryTokens, chunks, k = 3))
+    assert(hits(PlaidIndex.plaidTopK(spark, key, queryTokens, k = 3,
+      nProbe = 4, mDocs = 40)) === full)
+    // fingerprint composition: ensure over base+tail reuses, no rebuild
+    val p = java.nio.file.Paths.get(
+      s"/tmp/graft_plaid_${IndexStore.pathTag(key)}/lists")
+    val m1 = java.nio.file.Files.getLastModifiedTime(p)
+    PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4, iters = 3)
+    assert(java.nio.file.Files.getLastModifiedTime(p) === m1,
+      "ensure over the upserted corpus rebuilt — fingerprint did not " +
+        "compose")
+  }
+
+  test("upsertPlaid lifecycle guards: batchId replay-skips, the drift " +
+      "gate refuses an overwhelming tail, tombstoned doc ids clash " +
+      "loudly, absent layout fails loudly") {
+    val key = s"plaid-$runTag-guards"
+    val baseC = chunks.filter(col("doc_id") < 30)
+    PlaidIndex.ensurePlaid(spark, key, baseC, lists = 4, iters = 3)
+    val batch = chunks.filter(col("doc_id") === 30L)
+    val h1 = PlaidIndex.upsertPlaid(spark, key, batch, batchId = Some(5L))
+    val n1 = h1.lists.count()
+    // replayed batch folds away — no double-append
+    assert(PlaidIndex.upsertPlaid(spark, key, batch, batchId = Some(5L))
+      .lists.count() === n1)
+    // drift gate: base 90 rows + tail already 3; a 120-row batch would
+    // take the tail past ratio 1.0
+    val big = (0 until 120).map(i => (1000L + i, 10000L + i,
+      Array(1.0f, 0.0f))).toDF("doc_id", "vec_id", "embedding")
+    val eDrift = intercept[IllegalStateException] {
+      PlaidIndex.upsertPlaid(spark, key, big)
+    }
+    assert(eDrift.getMessage.contains("drift gate"))
+    // tombstone clash: re-adding a deleted doc must fail loudly
+    PlaidIndex.deletePlaid(spark, key, Seq(2L).toDF("doc_id"))
+    val eClash = intercept[IllegalArgumentException] {
+      PlaidIndex.upsertPlaid(spark, key,
+        chunks.filter(col("doc_id") === 2L))
+    }
+    assert(eClash.getMessage.contains("tombstoned"))
+    val eAbsent = intercept[IllegalArgumentException] {
+      PlaidIndex.upsertPlaid(spark, s"plaid-$runTag-never", batch)
+    }
+    assert(eAbsent.getMessage.contains("ensurePlaid"))
+  }
+
+  test("ensurePlaidUpserted is run-idempotent: second call over the " +
+      "same base/tail touches nothing; a changed tail rebuilds to " +
+      "base and re-upserts") {
+    val key = s"plaid-$runTag-eup"
+    val baseC = chunks.filter(col("doc_id") < 30)
+    val tailC = chunks.filter(col("doc_id") >= 30)
+    PlaidIndex.ensurePlaidUpserted(spark, key, baseC, tailC,
+      lists = 4, iters = 3)
+    val p = java.nio.file.Paths.get(
+      s"/tmp/graft_plaid_${IndexStore.pathTag(key)}/lists")
+    val m1 = java.nio.file.Files.getLastModifiedTime(p)
+    val h2 = PlaidIndex.ensurePlaidUpserted(spark, key, baseC, tailC,
+      lists = 4, iters = 3)
+    assert(java.nio.file.Files.getLastModifiedTime(p) === m1)
+    assert(h2.lists.count() === chunks.count())
+    // different tail → stale combined meta → rebuild-to-base + upsert
+    val tail2 = tailC.filter(col("doc_id") < 35)
+    val h3 = PlaidIndex.ensurePlaidUpserted(spark, key, baseC, tail2,
+      lists = 4, iters = 3)
+    assert(h3.lists.count() === baseC.count() + tail2.count())
+  }
+
+  test("compactPlaid folds the upsert's per-batch file sets: fewer " +
+      "files, served answers byte-identical, upsert replay window " +
+      "survives, tombstones NOT folded (re-cluster is the fold)") {
+    val key = s"plaid-$runTag-cp"
+    val baseC = chunks.filter(col("doc_id") < 25)
+    PlaidIndex.ensurePlaid(spark, key, baseC, lists = 4, iters = 3)
+    PlaidIndex.upsertPlaid(spark, key,
+      chunks.filter(col("doc_id") >= 25 && col("doc_id") < 33),
+      batchId = Some(1L))
+    PlaidIndex.upsertPlaid(spark, key,
+      chunks.filter(col("doc_id") >= 33), batchId = Some(2L))
+    PlaidIndex.deletePlaid(spark, key, Seq(5L).toDF("doc_id"),
+      batchId = Some(1L))
+    def served() = hits(PlaidIndex.plaidTopK(spark, key, queryTokens,
+      k = 3, nProbe = 4, mDocs = 40))
+    val before = served()
+    val h0 = PlaidIndex.openPlaid(spark, key)
+    val filesBefore = (h0.lists.inputFiles ++
+      h0.docCentroids.inputFiles).distinct.length
+    val h1 = PlaidIndex.compactPlaid(spark, key)
+    val filesAfter = (h1.lists.inputFiles ++
+      h1.docCentroids.inputFiles).distinct.length
+    assert(filesAfter < filesBefore,
+      s"compaction must reduce files: $filesBefore -> $filesAfter")
+    assert(served() === before,
+      "compaction changed a served answer")
+    // tombstones survive the FILE fold: the deletion fold is the
+    // re-cluster, and the victim stays unserved
+    assert(PlaidIndex.openPlaid(spark, key).lists
+      .filter(col("doc_id") === 5L).count() === 0L)
+    // replayed upsert batch still skips after the fold
+    val n = PlaidIndex.openPlaid(spark, key).lists.count()
+    PlaidIndex.upsertPlaid(spark, key,
+      chunks.filter(col("doc_id") >= 33), batchId = Some(2L))
+    assert(PlaidIndex.openPlaid(spark, key).lists.count() === n,
+      "fold must not reopen the upsert replay window")
+  }
+
   test("a changed chunk-to-doc mapping with identical vectors rebuilds " +
       "(the fingerprint covers doc_id)") {
     val key = s"plaid-$runTag-remap"
