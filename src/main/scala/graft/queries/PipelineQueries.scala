@@ -4503,6 +4503,75 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_diff")))
     }),
 
+    // QUANTIZED PLAID SERVING (round-14 second wave — the paper's
+    // compressed design, engine-style): the clustered lists store SQ8
+    // codes BESIDE the float chunk vectors, and the quantized stage 1
+    // reads ONLY the probed partitions' int8 columns (parquet columnar
+    // projection — ReadSchema excludes `embedding`; PlanInvariantsSpec
+    // pins it), so the engine's two measured scan cuts MULTIPLY on its
+    // byte-heaviest table: probed directories × ~4× fewer bytes per
+    // row. Stage 2 is the same exact float rerank over the candidates'
+    // partitions. Output-identical to the q228 full scan at the
+    // measured (nProbe, mDocs) margin — MaxSimTune `plaidq` measures
+    // required mDocs 4/4/4 at nProbe=16 across the scales, same as the
+    // float stage (int8 rounding never reorders past the margin);
+    // shipped mDocs=16 keeps the 4× cushion (the q237/q242 discipline).
+    "q247_plaidq_maxsim" -> ((s, dir) => {
+      import graft.operators.LateInteraction
+      import graft.sources.PlaidIndex
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200).localCheckpoint(true)
+      val key = s"$dir#plaid"
+      PlaidIndex.ensurePlaid(s, key,
+        index.select(col("doc_id"), col("chunk_id").as("vec_id"),
+          col("embedding")), snapshotId = Some(dir))
+      val qt = LateInteraction.queryTokens(retrievalQueryDf(s))
+        .localCheckpoint(true)
+      def keyd(df: DataFrame) = df.select("query_id", "rank", "doc_id")
+      val full = keyd(LateInteraction.maxSimTopK(qt, index, k = 4))
+      val served = keyd(PlaidIndex.plaidTopKQuantized(s, key, qt, k = 4,
+        nProbe = 16, mDocs = 16))
+      full.agg(count(lit(1)).as("n_full"),
+          countDistinct("query_id").as("n_queries"))
+        .crossJoin(served.exceptAll(full).unionByName(full.exceptAll(served))
+          .agg(count(lit(1)).as("n_diff")))
+    }),
+
+    // FILTERED late-interaction retrieval on the clustered layout
+    // (round-14 — the queryIvfSq8Filtered pre-filter contract brought
+    // to MaxSim): top-k WITHIN an allowed doc set, the filter
+    // semi-joined onto the probed lists BEFORE the stage-1 max so the
+    // shortlist spends its slots on eligible docs only — the
+    // post-filter failure mode (a restrictive filter starving the
+    // top-k) is structurally impossible. Identity: zero symmetric
+    // difference vs the full-scan MaxSim over ONLY the allowed docs,
+    // plus a disallowed-doc count pinned 0, at every fixture scale.
+    "q248_plaid_filtered" -> ((s, dir) => {
+      import graft.operators.LateInteraction
+      import graft.sources.PlaidIndex
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200).localCheckpoint(true)
+      val key = s"$dir#plaid"
+      PlaidIndex.ensurePlaid(s, key,
+        index.select(col("doc_id"), col("chunk_id").as("vec_id"),
+          col("embedding")), snapshotId = Some(dir))
+      val qt = LateInteraction.queryTokens(retrievalQueryDf(s))
+        .localCheckpoint(true)
+      val allowed = index.select("doc_id").distinct()
+        .filter(col("doc_id") % 3 =!= 1)
+      def keyd(df: DataFrame) = df.select("query_id", "rank", "doc_id")
+      val full = keyd(LateInteraction.maxSimTopK(qt,
+        index.filter(col("doc_id") % 3 =!= 1), k = 4))
+      val served = keyd(PlaidIndex.plaidTopKFiltered(s, key, qt,
+        allowed, k = 4, nProbe = 16, mDocs = 16))
+      full.agg(count(lit(1)).as("n_full"),
+          countDistinct("query_id").as("n_queries"))
+        .crossJoin(served.exceptAll(full).unionByName(full.exceptAll(served))
+          .agg(count(lit(1)).as("n_diff")))
+        .crossJoin(served.filter(col("doc_id") % 3 === 1)
+          .agg(count(lit(1)).as("n_disallowed_served")))
+    }),
+
     // PLAID INCREMENTAL INGEST ≡ REBUILD (round-14 — closes the
     // round-13 "rebuild-only" frontier gap #1): the layout built by
     // clustering the 80% base and ASSIGNING the 20% tail to the stored
@@ -8176,6 +8245,18 @@ object PipelineQueries {
         |CAST(5 AS BIGINT) AS n_queries,
         |CAST(0 AS BIGINT) AS n_diff_rebuild,
         |CAST(0 AS BIGINT) AS n_diff_fullscan""".stripMargin,
+    // quantized PLAID serving ≡ full scan at the certified margin
+    "q247_plaidq_maxsim" ->
+      """SELECT CAST(20 AS BIGINT) AS n_full,
+        |CAST(5 AS BIGINT) AS n_queries,
+        |CAST(0 AS BIGINT) AS n_diff""".stripMargin,
+    // filtered PLAID ≡ full scan over the allowed docs; nothing
+    // disallowed served
+    "q248_plaid_filtered" ->
+      """SELECT CAST(20 AS BIGINT) AS n_full,
+        |CAST(5 AS BIGINT) AS n_queries,
+        |CAST(0 AS BIGINT) AS n_diff,
+        |CAST(0 AS BIGINT) AS n_disallowed_served""".stripMargin,
     // round-13 purge parity: leg/audit counts pinned; victims from the
     // deterministic modulus replayed by DuckDB
     "q244_r13_purge" ->

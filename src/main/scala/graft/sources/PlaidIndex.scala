@@ -94,12 +94,41 @@ object PlaidIndex {
         col("w.embedding").as("embedding"),
         col("w.centroid_id").as("centroid_id"))
 
+  /** SQ8 codes beside the float chunk vectors ([[SimilaritySearch
+    * .quantizeIndex]] semantics) — the quantized-stage-1 columns of
+    * the round-14 layout. Parquet is columnar, so storing both costs
+    * ~25% extra bytes at rest while the quantized serving path's scan
+    * READS only the int8 columns (ReadSchema excludes `embedding` —
+    * PlanInvariantsSpec pins it): the 4× scan-byte cut multiplies with
+    * the partition pruning on the byte-heaviest layout in the engine.
+    * (PLAID's paper stores ONLY compressed residuals and reconstructs;
+    * the engine keeps the floats because its stage 2 is EXACT — the
+    * house identity discipline — and the rerank reads candidates'
+    * partitions only.)
+    */
+  private def withCodes(assigned: DataFrame): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.{max_abs,
+      quantize_i8}
+    assigned.select(col("doc_id"), col("vec_id"), col("embedding"),
+      quantize_i8(col("embedding")).as("codes"),
+      (max_abs(col("embedding")) / 127.0).as("qscale"),
+      VectorOps.l2Norm(col("embedding")).as("qnorm"),
+      col("centroid_id"))
+  }
+
+  /** Layout format version: 1 = float-only lists (round 13), 2 = SQ8
+    * codes beside the floats (round 14). Bumps force a rebuild on the
+    * next ensure; [[plaidTopKQuantized]] refuses a v1 layout loudly.
+    */
+  private val QVer = 2L
+
   private def metaMatches(meta: Map[String, Long], lists: Int, iters: Int,
       n: Long, fp: Long): Boolean =
     meta.get("lists").contains(lists.toLong) &&
       meta.get("iters").contains(iters.toLong) &&
       meta.get("n_rows").contains(n) &&
-      meta.get("checksum").contains(fp)
+      meta.get("checksum").contains(fp) &&
+      meta.get("qver").contains(QVer)
 
   /** Build (or reuse) the clustered layout over the multi-vector table
     * `docVectors(doc_id, vec_id, embedding)` — one row per chunk.
@@ -116,7 +145,8 @@ object PlaidIndex {
     def fieldsMatch = {
       val m = readMeta(base)
       m.get("lists").contains(lists.toLong) &&
-        m.get("iters").contains(iters.toLong)
+        m.get("iters").contains(iters.toLong) &&
+        m.get("qver").contains(QVer)
     }
     // a tombstoned layout no longer equals cluster(source): ensure's
     // contract is "serve exactly this source", so deletions force a
@@ -149,7 +179,7 @@ object PlaidIndex {
         docVectors.select("vec_id", "embedding"), lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(s"$base/centroids")
       val stored = spark.read.parquet(s"$base/centroids")
-      val assigned = assignToCentroids(docVectors, stored)
+      val assigned = withCodes(assignToCentroids(docVectors, stored))
       spark.sql(s"DROP TABLE IF EXISTS ${listsName(tag)}")
       assigned.write.mode(SaveMode.Overwrite)
         .option("path", s"$base/lists")
@@ -166,7 +196,7 @@ object PlaidIndex {
         .format("parquet").saveAsTable(doccentName(tag))
       writeMetaFull(base,
         Seq("lists" -> lists.toLong, "iters" -> iters.toLong,
-          "n_rows" -> n, "checksum" -> fp,
+          "n_rows" -> n, "checksum" -> fp, "qver" -> QVer,
           // the upsert drift gate's trained-base size: a rebuild
           // re-clusters over the full frame, so the tail resets here
           "n_base" -> n) ++
@@ -316,6 +346,75 @@ object PlaidIndex {
       .select(col("query_id"), explode(col("topk.id")).as("doc_id"))
   }
 
+  /** QUANTIZED stage 1 ([[plaidStage1]]'s int8 twin — the layout's
+    * stored SQ8 codes scored with the [[graft.operators.LateInteraction
+    * .maxSimQuantizedTopK]] kernel): the scan reads ONLY the probed
+    * partitions' int8 columns — `codes`/`qscale`/`qnorm`, never
+    * `embedding` (parquet columnar projection; PlanInvariantsSpec pins
+    * the ReadSchema) — so the two scan cuts multiply: probed
+    * directories × ~4× fewer bytes per scanned row. Approximate on two
+    * counts (probed restriction + int8 rounding), both absorbed by the
+    * measured mDocs margin (q247). Returns (query_id, doc_id, ascore).
+    */
+  private[graft] def plaidStage1Quantized(queryTokens: DataFrame,
+      h: PlaidHandle, nProbe: Int): DataFrame = {
+    import graft.functions.expressions.VectorExpressions.{dot_i8,
+      max_abs, quantize_i8}
+    require(h.lists.columns.contains("codes"),
+      "PLAID layout predates the quantized format — run ensurePlaid " +
+        "to rebuild")
+    val qq = broadcast(queryTokens.select(col("query_id"), col("qpos"),
+      quantize_i8(col("qvec")).as("qcodes"),
+      (max_abs(col("qvec")) / 127.0).as("qqscale"),
+      VectorOps.l2Norm(col("qvec")).as("qqnorm")))
+    val probes = plaidProbes(queryTokens, h, nProbe).localCheckpoint(true)
+    val probedIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    restrictLists(h.lists, probedIds)
+      .select("centroid_id", "doc_id", "codes", "qscale", "qnorm")
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(qq, Seq("query_id"))
+      .withColumn("acos",
+        when(col("qnorm") * col("qqnorm") === 0.0, lit(0.0))
+          .otherwise(dot_i8(col("codes"), col("qcodes")).cast("double")
+            * col("qscale") * col("qqscale")
+            / (col("qnorm") * col("qqnorm"))))
+      .groupBy("query_id", "doc_id", "qpos").agg(max("acos").as("mx"))
+      .groupBy("query_id", "doc_id").agg(sum("mx").as("ascore"))
+  }
+
+  /** MaxSim top-k from the QUANTIZED clustered layout — the full
+    * composition of the engine's two measured scan cuts on its
+    * byte-heaviest table: stage 1 scans the probed partitions' int8
+    * codes only ([[plaidStage1Quantized]]), stage 2 reranks in exact
+    * float over ONLY the partitions holding a candidate's chunks
+    * (identical to [[plaidTopK]]'s stage 2 — the same tie discipline,
+    * the same partition literals). Output-identical to the full-scan
+    * [[LateInteraction.maxSimTopK]] at the measured (nProbe, mDocs)
+    * margin — q247 pins the zero symmetric difference at all three
+    * fixture scales.
+    */
+  def plaidTopKQuantized(spark: SparkSession, sourceDir: String,
+      queryTokens: DataFrame, k: Int = 4, nProbe: Int = 8,
+      mDocs: Int = 16): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    require(mDocs >= k, s"shortlist mDocs ($mDocs) must be >= k ($k)")
+    val h = openPlaid(spark, sourceDir)
+    val cand = plaidStage1Quantized(queryTokens, h, nProbe)
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("doc_id"), mDocs).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("doc_id"))
+      .localCheckpoint(true)
+    val candCents = h.docCentroids
+      .join(broadcast(cand.select("doc_id").distinct()), Seq("doc_id"),
+        "left_semi")
+      .select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    val restricted = restrictLists(h.lists, candCents)
+    LateInteraction.maxSimRerank(queryTokens,
+      restricted.select("doc_id", "vec_id", "embedding"), cand, k)
+  }
+
   /** Incremental add (round-14 — closes the round-13 "rebuild-only"
     * frontier gap): new chunk vectors join the clustered layout by
     * assignment to the STORED centroids — O(batch) per call against
@@ -350,6 +449,10 @@ object PlaidIndex {
     require(meta.contains("lists"),
       s"upsertPlaid needs an existing layout for '$sourceDir' — run " +
         "ensurePlaid first")
+    require(meta.get("qver").contains(QVer),
+      s"PLAID layout for '$sourceDir' predates the current format " +
+        s"(qver ${meta.getOrElse("qver", 1L)} < $QVer) — run " +
+        "ensurePlaid to rebuild before upserting")
     require(parquetReadable(spark, s"$base/lists") &&
       parquetReadable(spark, s"$base/centroids") &&
       parquetReadable(spark, s"$base/doccent"),
@@ -383,15 +486,21 @@ object PlaidIndex {
           f"(ratio ${tailAfter.toDouble / nBase}%.2f > $maxRatio%.2f). " +
           "Rebuild with ensurePlaid to re-cluster, or raise " +
           "spark.graft.ann.ivf.maxTailRatio.")
-    val assigned = assignToCentroids(
+    val assigned = withCodes(assignToCentroids(
         newVectors.select("doc_id", "vec_id", "embedding"),
-        spark.read.parquet(s"$base/centroids"))
+        spark.read.parquet(s"$base/centroids")))
       .localCheckpoint(true) // ONE assignment pass feeds both appends
-    // membership first (see crash ordering above): only pairs the
-    // stored table lacks — the anti-join is id-only on both sides
+    // membership first (see crash ordering above): the batch's OWN
+    // distinct pairs append blindly — NO read of the stored membership
+    // table, so ingest stays O(batch) (an exists-check anti-join would
+    // scan the corpus-sized doccent per micro-batch). A doc re-touched
+    // in the same centroid by a later batch lands a duplicate pair:
+    // harmless to every reader (stage 2 takes DISTINCT centroid ids;
+    // the upsert tomb-clash guard is a semi-join), bounded by batch
+    // touches, and folded by [[compactPlaid]]'s dropDuplicates — the
+    // engine's append + read-tolerant + fold-at-compaction discipline
+    // (the readPurgeLog rule).
     assigned.select("doc_id", "centroid_id").distinct()
-      .join(spark.table(doccentName(tag)),
-        Seq("doc_id", "centroid_id"), "left_anti")
       .write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(doccentName(tag))
     assigned.write.mode(SaveMode.Append)
@@ -401,6 +510,7 @@ object PlaidIndex {
       Seq("lists" -> meta("lists"), "iters" -> meta("iters"),
         "n_rows" -> (meta("n_rows") + nNew),
         "checksum" -> (meta("checksum") ^ fpNew),
+        "qver" -> meta.getOrElse("qver", QVer),
         "n_base" -> nBase) ++
         batchId.orElse(meta.get("last_batch_id"))
           .map("last_batch_id" -> _).toSeq ++
@@ -439,6 +549,7 @@ object PlaidIndex {
       meta.get("iters").contains(iters.toLong) &&
       meta.get("n_rows").contains(nb + nt) &&
       meta.get("checksum").contains(fb ^ ft) &&
+      meta.get("qver").contains(QVer) &&
       meta.get("tomb_rows").forall(_ == 0L) &&
       servable(spark,
         Seq(s"$base/lists", s"$base/centroids", s"$base/doccent"),
@@ -453,9 +564,11 @@ object PlaidIndex {
   /** Fold the per-batch file sets [[upsertPlaid]] accumulates — each
     * ingest batch appends a file per touched `centroid_id` partition
     * and a doccent file set, so a long-running stream erodes stage 1
-    * into a small-files scan. FILE fold only, rows verbatim: the
-    * lists rewrite lands one file per occupied centroid partition
-    * (the [[AnnIndex.compactPartitioned]] recipe), doccent coalesces;
+    * into a small-files scan. FILE fold: the lists rewrite lands one
+    * file per occupied centroid partition, rows verbatim (the
+    * [[AnnIndex.compactPartitioned]] recipe); doccent coalesces AND
+    * dedups the membership pairs upsert batches re-append (derived
+    * duplicates — every consumer takes distinct centroid ids);
     * tombstones are deliberately NOT folded — survivor serving under
     * the build-time centroids is exact via the anti-join, and the
     * true deletion fold is the re-cluster ([[ensurePlaid]]'s tombFree
@@ -485,7 +598,12 @@ object PlaidIndex {
     val side = s"$base/doccent_compact_${ProcessHandle.current.pid}"
     val tmp = s"${doccentName(tag)}_compact"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    spark.table(doccentName(tag)).coalesce(doccentFiles)
+    // the fold dedups the membership pairs upsert batches may have
+    // re-appended (derived duplicates, never information) — the one
+    // read-side dropDuplicates this layout carries nowhere else
+    // because every doccent consumer takes distinct centroid ids
+    spark.table(doccentName(tag)).dropDuplicates("doc_id", "centroid_id")
+      .coalesce(doccentFiles)
       .write.mode(SaveMode.Overwrite)
       .option("path", side)
       .format("parquet").saveAsTable(tmp)
@@ -494,6 +612,45 @@ object PlaidIndex {
     AnnIndex.swapDir(s"$base/doccent", side)
     attach(spark, tag)
     handle(spark, tag)
+  }
+
+  /** Metadata-FILTERED MaxSim on the clustered layout — the
+    * [[AnnIndex.queryIvfSq8Filtered]] contract brought to
+    * late-interaction retrieval: PRE-filter semantics, top-k WITHIN
+    * `allowed(doc_id)`, the filter semi-joined onto the probed lists
+    * BEFORE the stage-1 max (so the shortlist spends its mDocs slots
+    * on eligible docs, never on filtered-out ones — the post-filter
+    * failure mode where a restrictive filter starves the result).
+    * Recall is the probe's: an allowed winner must live in a probed
+    * list, the same (nProbe, mDocs) margin as [[plaidTopK]] (q248
+    * pins identity to the full-scan MaxSim over the allowed docs at
+    * all three scales). The filter side is a doc-id list (bounded,
+    * broadcast); the partition literals still prune the scan.
+    */
+  def plaidTopKFiltered(spark: SparkSession, sourceDir: String,
+      queryTokens: DataFrame, allowed: DataFrame, k: Int = 4,
+      nProbe: Int = 8, mDocs: Int = 16): DataFrame = {
+    import graft.functions.expressions.TopKAgg.top_k
+    require(mDocs >= k, s"shortlist mDocs ($mDocs) must be >= k ($k)")
+    val h = openPlaid(spark, sourceDir)
+    val allow = broadcast(allowed.select("doc_id").distinct())
+    val hF = h.copy(
+      lists = h.lists.join(allow, Seq("doc_id"), "left_semi"),
+      docCentroids = h.docCentroids.join(allow, Seq("doc_id"),
+        "left_semi"))
+    val cand = plaidStage1(queryTokens, hF, nProbe)
+      .groupBy("query_id")
+      .agg(top_k(col("ascore"), col("doc_id"), mDocs).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("doc_id"))
+      .localCheckpoint(true)
+    val candCents = hF.docCentroids
+      .join(broadcast(cand.select("doc_id").distinct()), Seq("doc_id"),
+        "left_semi")
+      .select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    val restricted = restrictLists(hF.lists, candCents)
+    LateInteraction.maxSimRerank(queryTokens,
+      restricted.select("doc_id", "vec_id", "embedding"), cand, k)
   }
 
   /** Tombstone deletes by doc_id — the erasure verb that puts the

@@ -616,6 +616,33 @@ object StreamOps {
         }
       }
 
+  /** [[streamingIvfSq8Retrieve]]'s late-interaction twin: each
+    * micro-batch of TOKENIZED queries `(query_id, qpos, qvec)`
+    * re-attaches to the stored PLAID layout
+    * ([[graft.sources.PlaidIndex.openPlaid]] — meta read + catalog
+    * attach or refresh, no data scan) and answers through the
+    * quantized two-stage serving path (probed-partition int8 stage 1,
+    * exact float rerank) — the pattern a live retrieval endpoint over
+    * a streamed chunk corpus runs beside [[streamingPlaidUpsert]].
+    */
+  def streamingPlaidRetrieve(
+      queryTokens: DataFrame,
+      sourceDir: String,
+      k: Int = 4,
+      nProbe: Int = 16,
+      mDocs: Int = 16)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryTokens.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.sources.PlaidIndex.plaidTopKQuantized(
+            batch.sparkSession, sourceDir, batch.toDF(), k, nProbe,
+            mDocs), id)
+        }
+      }
+
   /** [[streamingIvfSq8Upsert]]'s PQ twin: vectors arriving extend the
     * persisted IVF-PQ index ([[graft.sources.AnnIndex.upsertIvfPq]] —
     * assignment to the STORED centroids + encoding with the STORED

@@ -69,8 +69,11 @@ object MaxSimTune {
     // plaid mode: the clustered layout's required shortlist at a given
     // nProbe — the worst stage-1 rank of any full-scan winner — plus
     // the candidate fraction (probed chunk rows / full-scan chunk rows
-    // per query batch), the scan win the partitioned layout exists for
-    if (args.length > 1 && args(1) == "plaid") {
+    // per query batch), the scan win the partitioned layout exists for.
+    // plaidq mode: the same measurement for the QUANTIZED stage 1 (the
+    // stored int8 codes), certifying the q247 operating point.
+    if (args.length > 1 &&
+        (args(1) == "plaid" || args(1) == "plaidq")) {
       import graft.sources.PlaidIndex
       import org.apache.spark.sql.expressions.Window
       val nProbe = args.lift(2).flatMap(_.toIntOption).getOrElse(8)
@@ -80,7 +83,10 @@ object MaxSimTune {
         index.select(col("doc_id"), col("chunk_id").as("vec_id"),
           col("embedding")), lists = lists, snapshotId = Some(sfDir))
       val h = PlaidIndex.openPlaid(spark, key)
-      val ranked = PlaidIndex.plaidStage1(qt, h, nProbe)
+      val stage1 = if (args(1) == "plaidq")
+        PlaidIndex.plaidStage1Quantized(qt, h, nProbe)
+      else PlaidIndex.plaidStage1(qt, h, nProbe)
+      val ranked = stage1
         .withColumn("prank", row_number().over(Window
           .partitionBy("query_id")
           .orderBy(desc("ascore"), col("doc_id"))))
@@ -97,7 +103,8 @@ object MaxSimTune {
         Seq("centroid_id")).count()
       val nQueries = probes.select("query_id").distinct().count()
       val fullRows = h.lists.count() * nQueries
-      println(s"MAXSIM_PLAID n_docs=$nDocs lists=$lists nProbe=$nProbe " +
+      println(s"MAXSIM_${args(1).toUpperCase} n_docs=$nDocs " +
+        s"lists=$lists nProbe=$nProbe " +
         s"winners_covered=$nCovered/$nWinners required_mdocs=$depth " +
         s"probed_rows=$probedRows full_rows=$fullRows " +
         f"fraction=${probedRows.toDouble / math.max(1L, fullRows)}%.4f")

@@ -691,6 +691,19 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // stage 1: one token at nProbe=2 probes ≤2 of the 4 directories
     assertPruned(PlaidIndex.plaidStage1(qt, h, nProbe = 2)
       .queryExecution.executedPlan.toString, "stage 1")
+    // QUANTIZED stage 1: same partition literals AND the scan's
+    // ReadSchema excludes the float embedding column — the int8
+    // serving path pays probed directories × int8 bytes only
+    val pq = PlaidIndex.plaidStage1Quantized(qt, h, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assertPruned(pq, "quantized stage 1")
+    val qScans = listScanLines(pq)
+    assert(qScans.forall(!_.contains("embedding")),
+      s"quantized stage-1 scan reads the float embedding column:\n${
+        qScans.mkString("\n")}")
+    assert(qScans.exists(_.contains("codes")),
+      s"quantized stage-1 scan does not read the codes column:\n${
+        qScans.mkString("\n")}")
     // end-to-end serving: the rerank scan restricts to the candidates'
     // membership directories (the candidate shortlist itself is an
     // eager checkpoint, so this plan's lists scan IS the rerank's)

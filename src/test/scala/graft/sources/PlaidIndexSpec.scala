@@ -153,11 +153,14 @@ class PlaidIndexSpec extends AnyFunSuite {
       s"/tmp/graft_plaid_${IndexStore.pathTag(key)}/centroids")
       .collect().map(_.toString).sorted === centsBefore)
     assert(h.lists.count() === chunks.count())
-    // the membership table is EXACTLY the lists' distinct pairs —
-    // upsert appended only the missing ones, no duplicates
+    // the membership table COVERS the lists' distinct pairs exactly
+    // (as a SET — upsert appends its batch's pairs without reading
+    // the store, so a re-touched (doc, centroid) may duplicate until
+    // compactPlaid folds it; every consumer takes distinct ids)
     val want = h.lists.select("doc_id", "centroid_id").distinct()
-    assert(h.docCentroids.count() === want.count())
-    assert(h.docCentroids.exceptAll(want).count() === 0L)
+    val got = h.docCentroids.select("doc_id", "centroid_id").distinct()
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0L)
     // every tail chunk sits under its argmax stored centroid: compare
     // against a fresh assignment of the full set (the q72 invariant)
     val full = hits(LateInteraction.maxSimTopK(queryTokens, chunks, k = 3))
@@ -228,6 +231,67 @@ class PlaidIndexSpec extends AnyFunSuite {
     assert(h3.lists.count() === baseC.count() + tail2.count())
   }
 
+  test("plaidTopKQuantized equals the full-scan MaxSim: exhaustively " +
+      "at full probes/shortlist (the exact rerank absorbs int8 " +
+      "rounding), and at the shipped-margin shape; stored codes are " +
+      "exactly quantize_i8 of the stored embeddings") {
+    import graft.functions.expressions.VectorExpressions.quantize_i8
+    val key = s"plaid-$runTag-q"
+    val h = PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4,
+      iters = 3)
+    val full = hits(LateInteraction.maxSimTopK(queryTokens, chunks, k = 3))
+    assert(hits(PlaidIndex.plaidTopKQuantized(spark, key, queryTokens,
+      k = 3, nProbe = 4, mDocs = 40)) === full)
+    assert(hits(PlaidIndex.plaidTopKQuantized(spark, key, queryTokens,
+      k = 3, nProbe = 2, mDocs = 8)) === full)
+    // codes parity: the stored int8 columns re-derive from the stored
+    // floats — build and upsert share one withCodes definition
+    PlaidIndex.upsertPlaid(spark, key, (200 until 206).map { i =>
+      (100L + i / 3, 1000L + i,
+        Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat))
+    }.toDF("doc_id", "vec_id", "embedding"))
+    val mismatched = PlaidIndex.openPlaid(spark, key).lists
+      .filter(col("codes") =!= quantize_i8(col("embedding")))
+      .count()
+    assert(mismatched === 0L,
+      "stored codes drifted from quantize_i8(stored embedding)")
+    // a quantized serve over the upserted layout still matches the
+    // full scan over base+tail at generous margins
+    val allChunks = chunks.unionByName((200 until 206).map { i =>
+      (100L + i / 3, 1000L + i,
+        Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat))
+    }.toDF("doc_id", "vec_id", "embedding"))
+    assert(hits(PlaidIndex.plaidTopKQuantized(spark, key, queryTokens,
+      k = 3, nProbe = 4, mDocs = 60)) ===
+      hits(LateInteraction.maxSimTopK(queryTokens, allChunks, k = 3)))
+  }
+
+  test("plaidTopKFiltered: pre-filter semantics — top-k within the " +
+      "allowed set equals the full-scan MaxSim over ONLY the allowed " +
+      "docs; nothing disallowed served; a filter smaller than k " +
+      "still returns every allowed doc") {
+    val key = s"plaid-$runTag-f"
+    PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4, iters = 3)
+    val allowed = (0 until 40).map(_.toLong).filter(_ % 3 != 1)
+      .toDF("doc_id")
+    val got = PlaidIndex.plaidTopKFiltered(spark, key, queryTokens,
+      allowed, k = 3, nProbe = 4, mDocs = 40)
+    assert(got.filter(col("doc_id") % 3 === 1).count() === 0L,
+      "a disallowed doc surfaced through the filtered serve")
+    assert(hits(got) === hits(LateInteraction.maxSimTopK(queryTokens,
+      chunks.filter(col("doc_id") % 3 =!= 1), k = 3)))
+    // pre-filter, not post-filter: a 2-doc allowed set fills both
+    // slots instead of being starved by filtered-out top-k winners
+    val tiny = Seq(17L, 31L).toDF("doc_id")
+    val gotTiny = PlaidIndex.plaidTopKFiltered(spark, key, queryTokens,
+      tiny, k = 2, nProbe = 4, mDocs = 40)
+    assert(gotTiny.groupBy("query_id").count()
+      .filter(col("count") =!= 2).count() === 0L,
+      "a restrictive filter starved the top-k — post-filter semantics")
+    assert(hits(gotTiny) === hits(LateInteraction.maxSimTopK(queryTokens,
+      chunks.filter(col("doc_id").isin(17L, 31L)), k = 2)))
+  }
+
   test("compactPlaid folds the upsert's per-batch file sets: fewer " +
       "files, served answers byte-identical, upsert replay window " +
       "survives, tombstones NOT folded (re-cluster is the fold)") {
@@ -239,6 +303,14 @@ class PlaidIndexSpec extends AnyFunSuite {
       batchId = Some(1L))
     PlaidIndex.upsertPlaid(spark, key,
       chunks.filter(col("doc_id") >= 33), batchId = Some(2L))
+    // extra chunks for EXISTING docs near their original direction:
+    // their (doc, centroid) pairs re-append → doccent duplicates the
+    // fold below must clear
+    PlaidIndex.upsertPlaid(spark, key, (0 until 6).map { d =>
+      val theta = (d % 4) * 1.5 + 0.02
+      (d.toLong, 5000L + d,
+        Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }.toDF("doc_id", "vec_id", "embedding"), batchId = Some(3L))
     PlaidIndex.deletePlaid(spark, key, Seq(5L).toDF("doc_id"),
       batchId = Some(1L))
     def served() = hits(PlaidIndex.plaidTopK(spark, key, queryTokens,
@@ -258,6 +330,11 @@ class PlaidIndexSpec extends AnyFunSuite {
     // re-cluster, and the victim stays unserved
     assert(PlaidIndex.openPlaid(spark, key).lists
       .filter(col("doc_id") === 5L).count() === 0L)
+    // the fold dedup'd the re-appended membership pairs
+    val dc = PlaidIndex.openPlaid(spark, key).docCentroids
+    assert(dc.count() ===
+      dc.select("doc_id", "centroid_id").distinct().count(),
+      "compaction left duplicate membership pairs")
     // replayed upsert batch still skips after the fold
     val n = PlaidIndex.openPlaid(spark, key).lists.count()
     PlaidIndex.upsertPlaid(spark, key,

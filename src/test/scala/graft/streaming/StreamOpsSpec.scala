@@ -1423,4 +1423,67 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(snaps(2L) === batchSample(t1 ++ t2))
     assert(snaps.values.forall(_.size <= 3))
   }
+
+  test("end-to-end PLAID streams: streamed chunk ingest extends the " +
+      "clustered layout (assignment to stored centroids) and the " +
+      "quantized retrieve stream serves the full-scan MaxSim answers; " +
+      "a restarted-ingest replay folds away") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.PlaidIndex
+    import graft.operators.LateInteraction
+    def chunkRows(from: Int, until: Int) = (from until until).map { i =>
+      val doc = i / 3
+      val theta = (doc % 4) * 1.5 + (i % 3) * 0.05 + (doc / 4) * 0.01
+      (doc.toLong, i.toLong,
+        Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }
+    val src = s"stream-plaid-${java.util.UUID.randomUUID().toString.take(8)}"
+    PlaidIndex.ensurePlaid(spark,
+      src, chunkRows(0, 90).toDF("doc_id", "vec_id", "embedding"),
+      lists = 4, iters = 3)
+    val tail = chunkRows(90, 120)
+    val in = MemoryStream[(Long, Long, Array[Float])]
+    val ingest = StreamOps.streamingPlaidUpsert(
+      in.toDF().toDF("doc_id", "vec_id", "embedding"), src).start()
+    in.addData(tail.toIndexedSeq: _*)
+    ingest.processAllAvailable()
+    ingest.stop()
+    val n = PlaidIndex.openPlaid(spark, src).lists.count()
+    assert(n === 120L, s"streamed tail missing from the layout: $n")
+    // retrieve through the quantized serving stream
+    val qTokens = (1 to 3).flatMap { q =>
+      (0 until 2).map { p =>
+        val theta = q * 1.5 + p * 0.3
+        (q.toLong, p,
+          Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+      }
+    }
+    val qIn = MemoryStream[(Long, Int, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val ask = StreamOps.streamingPlaidRetrieve(
+      qIn.toDF().toDF("query_id", "qpos", "qvec"), src, k = 3,
+      nProbe = 4, mDocs = 40) { (batch, _) =>
+      got ++= batch.select("query_id", "rank", "doc_id")
+        .collect().map(_.toSeq)
+    }.start()
+    qIn.addData(qTokens.toIndexedSeq: _*)
+    ask.processAllAvailable()
+    ask.stop()
+    val expected = LateInteraction.maxSimTopK(
+        qTokens.toDF("query_id", "qpos", "qvec"),
+        chunkRows(0, 120).toDF("doc_id", "vec_id", "embedding"), k = 3)
+      .select("query_id", "rank", "doc_id").collect().map(_.toSeq).toSet
+    assert(got.toSet === expected,
+      "streamed quantized PLAID serving diverged from the full scan")
+    // a restarted ingest replays its trigger ids: the layout must not
+    // double-append (foreachBatch exactly-once contract)
+    val in2 = MemoryStream[(Long, Long, Array[Float])]
+    val replay = StreamOps.streamingPlaidUpsert(
+      in2.toDF().toDF("doc_id", "vec_id", "embedding"), src).start()
+    in2.addData(tail.toIndexedSeq: _*)
+    replay.processAllAvailable()
+    replay.stop()
+    assert(PlaidIndex.openPlaid(spark, src).lists.count() === 120L,
+      "restarted ingest re-applied a replayed batch")
+  }
 }
