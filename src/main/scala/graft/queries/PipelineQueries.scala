@@ -4537,6 +4537,72 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_diff")))
     }),
 
+    // ROUND-14 MAINTENANCE LEGS UNDER THE ORACLE (q243's discipline
+    // extended to the two store families that gained their fold this
+    // round): the PLAID layout accumulates per-upsert file sets, the
+    // line-dedup store per-batch file sets; maintain() at a
+    // deliberately BELOW-floor threshold (maxFiles=1) must fold each
+    // once through its own verb and then no-op (the auto-floor — a
+    // below-floor threshold must not recompact every run), with
+    // answers byte-identical on both surfaces and the line store's
+    // batch-keyed replay reconstruction intact across the fold.
+    // Replay-stable outputs only (the q243 rule): second-run
+    // compaction count, both symmetric differences, and counts the
+    // oracle replays.
+    "q249_maintain_r14" -> ((s, dir) => {
+      import graft.operators.{Governance, LateInteraction}
+      import graft.sources.{DedupStore, PlaidIndex}
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .localCheckpoint(true)
+      val chunks = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200)
+        .select(col("doc_id"), col("chunk_id").as("vec_id"),
+          col("embedding")).localCheckpoint(true)
+      val kP = s"$dir#maintp"
+      val kL = s"$dir#maintl"
+      if (!PlaidIndex.plaidExists(s, kP))
+        PlaidIndex.ensurePlaid(s, kP,
+          chunks.filter(col("doc_id") % 5 =!= 0))
+      PlaidIndex.upsertPlaid(s, kP,
+        chunks.filter(col("doc_id") % 10 === 0), batchId = Some(1L))
+      PlaidIndex.upsertPlaid(s, kP,
+        chunks.filter(col("doc_id") % 10 === 5), batchId = Some(2L))
+      DedupStore.lineDedupBatch(s, kL,
+        docs.filter(col("doc_id") % 2 === 0), batchId = 1L, maxDf = 2)
+      DedupStore.lineDedupBatch(s, kL,
+        docs.filter(col("doc_id") % 2 === 1), batchId = 2L, maxDf = 2)
+      val qt = LateInteraction.queryTokens(retrievalQueryDf(s))
+        .localCheckpoint(true)
+      def plaidAns() = PlaidIndex.plaidTopKQuantized(s, kP, qt, k = 4,
+        nProbe = 16, mDocs = 16).select("query_id", "rank", "doc_id")
+      // the line store's served surface here is the batch-keyed replay
+      // reconstruction — rows survive the fold verbatim or this path's
+      // stored-count verification fails loudly
+      def lineAns() = DedupStore.lineDedupBatch(s, kL,
+          docs.filter(col("doc_id") % 2 === 1), batchId = 2L, maxDf = 2)
+        .select("doc_id", "n_lines", "n_cut")
+      val pBefore = plaidAns().localCheckpoint(true)
+      val lBefore = lineAns().localCheckpoint(true)
+      val scope = Governance.PurgeScope(plaid = Seq(kP),
+        dedupLines = Seq(kL))
+      Governance.maintain(s, scope, maxFiles = 1).localCheckpoint(true)
+      val pAfter = plaidAns()
+      val lAfter = lineAns()
+      val run2 = Governance.maintain(s, scope, maxFiles = 1)
+        .localCheckpoint(true)
+      def sdiff(a: DataFrame, b: DataFrame) =
+        a.exceptAll(b).unionByName(b.exceptAll(a))
+      run2.agg(count(lit(1)).as("n_layouts"),
+          sum(when(col("compacted"), 1L).otherwise(0L))
+            .as("n_second_run_compactions"))
+        .crossJoin(sdiff(pAfter, pBefore)
+          .agg(count(lit(1)).as("n_diff_plaid")))
+        .crossJoin(sdiff(lAfter, lBefore)
+          .agg(count(lit(1)).as("n_diff_lines")))
+        .crossJoin(pBefore.agg(count(lit(1)).as("n_plaid_rows")))
+        .crossJoin(lBefore.agg(count(lit(1)).as("n_line_docs")))
+    }),
+
     // FILTERED late-interaction retrieval on the clustered layout
     // (round-14 — the queryIvfSq8Filtered pre-filter contract brought
     // to MaxSim): top-k WITHIN an allowed doc set, the filter
@@ -8257,6 +8323,17 @@ object PipelineQueries {
         |CAST(5 AS BIGINT) AS n_queries,
         |CAST(0 AS BIGINT) AS n_diff,
         |CAST(0 AS BIGINT) AS n_disallowed_served""".stripMargin,
+    // round-14 maintain legs: both layouts examined, nothing compacts
+    // on the second below-floor run (auto-floor), answers identical on
+    // both surfaces; the line-store row count replayed from documents
+    "q249_maintain_r14" ->
+      """SELECT CAST(2 AS BIGINT) AS n_layouts,
+        |CAST(0 AS BIGINT) AS n_second_run_compactions,
+        |CAST(0 AS BIGINT) AS n_diff_plaid,
+        |CAST(0 AS BIGINT) AS n_diff_lines,
+        |CAST(20 AS BIGINT) AS n_plaid_rows,
+        |(SELECT CAST(count(*) AS BIGINT) FROM documents
+        | WHERE doc_id % 2 = 1) AS n_line_docs""".stripMargin,
     // round-13 purge parity: leg/audit counts pinned; victims from the
     // deterministic modulus replayed by DuckDB
     "q244_r13_purge" ->
