@@ -710,5 +710,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assertPruned(PlaidIndex.plaidTopK(spark, key, qt, k = 2,
       nProbe = 2, mDocs = 4)
       .queryExecution.executedPlan.toString, "rerank")
+    // FILTERED serving keeps both disciplines: the allowed-set
+    // semi-join must not defeat the partition literals on either
+    // stage's scan
+    val allowed = (0 until 40).map(_.toLong).filter(_ % 2 == 0)
+      .toDF("doc_id")
+    assertPruned(PlaidIndex.plaidTopKFiltered(spark, key, qt, allowed,
+      k = 2, nProbe = 2, mDocs = 4)
+      .queryExecution.executedPlan.toString, "filtered rerank")
   }
 }

@@ -105,6 +105,27 @@ class CatalogHygieneSpec extends AnyFunSuite {
     assert(evs2.isEmpty, s"expected zero DDL, got: ${evs2.mkString(", ")}")
   }
 
+  test("second openPlaid issues zero catalog DDL — clean AND " +
+      "tombstoned layouts (the round-14 serving surface joins the " +
+      "hygiene contract)") {
+    val key = s"hyg-$runTag-plaid"
+    val chunks = (0 until 48).map { i =>
+      val theta = (i % 4) * 1.5 + (i / 4) * 0.01
+      ((i / 3).toLong, i.toLong,
+        Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }.toDF("doc_id", "vec_id", "embedding")
+    PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4, iters = 2)
+    PlaidIndex.openPlaid(spark, key)
+    val evs = ddlDuring { PlaidIndex.openPlaid(spark, key) }
+    assert(evs.isEmpty, s"expected zero DDL, got: ${evs.mkString(", ")}")
+    // tombstones appear: ONE registration on the next open, then zero
+    PlaidIndex.deletePlaid(spark, key, Seq(2L).toDF("doc_id"))
+    PlaidIndex.openPlaid(spark, key)
+    val evs2 = ddlDuring { PlaidIndex.openPlaid(spark, key) }
+    assert(evs2.isEmpty,
+      s"tombstoned open did not stabilize: ${evs2.mkString(", ")}")
+  }
+
   test("second openSq8 and openIvf issue zero catalog DDL") {
     val key = s"hyg-$runTag-q"
     AnnIndex.ensureSq8(spark, key, vecs(64))
