@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness that records BENCH_r{N}.json captures only the TAIL
+// of the sbt process output and parses the LAST line as JSON; sbt's
+// "[success] Total time: …" epilogue lands after Bench's final JSON
+// line and breaks that parse ("parsed": null since r12). The epilogue
+// is cosmetic — suppress it for every task so `runMain graft.Bench`
+// ends on the line Bench prints.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -158,8 +158,19 @@ object Bench {
       .getOrElse(sfDir)
     // the FULL record (aggregates + per-query map) — repo file + sidecar
     val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"runs_per_query":$runs,"order_seed":$orderSeed,"spread_total":$totalSpread%.3f,"total_operators":$totalOps%.3f,"total_verification":$totalVerif%.3f,"queries":$qs,"sf":"$sfName"}"""
-    val qFile = java.nio.file.Paths.get(
-      sys.props.getOrElse("user.dir", "."), "BENCH_QUERIES.json")
+    // Anchor the tracked per-query record to the REPO (the nearest
+    // ancestor of the launch dir holding build.sbt) — a bench launched
+    // from a subdirectory would otherwise leave the repo's
+    // BENCH_QUERIES.json silently stale while the fresh record lands
+    // elsewhere; the parsed line below carries the ABSOLUTE path
+    // actually written so the two can never silently diverge.
+    val qFile = {
+      val launch = java.nio.file.Paths
+        .get(sys.props.getOrElse("user.dir", ".")).toAbsolutePath
+      Iterator.iterate(launch)(_.getParent).takeWhile(_ != null)
+        .find(d => java.nio.file.Files.exists(d.resolve("build.sbt")))
+        .getOrElse(launch).resolve("BENCH_QUERIES.json")
+    }
     Seq(qFile, java.nio.file.Paths.get("/tmp/bench.json")).foreach { p =>
       try java.nio.file.Files.write(p,
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -167,7 +178,7 @@ object Bench {
     }
     // the PARSED line: aggregates only (~300 chars, safely inside the
     // tail window at any query count), pointing at the per-query file
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"runs_per_query":$runs,"order_seed":$orderSeed,"spread_total":$totalSpread%.3f,"total_operators":$totalOps%.3f,"total_verification":$totalVerif%.3f,"queries_file":"BENCH_QUERIES.json","sf":"$sfName"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"runs_per_query":$runs,"order_seed":$orderSeed,"spread_total":$totalSpread%.3f,"total_operators":$totalOps%.3f,"total_verification":$totalVerif%.3f,"queries_file":"$qFile","sf":"$sfName"}"""
     println(json)
     spark.stop()
     // The harness captures only the ~2000-char TAIL of combined output, and

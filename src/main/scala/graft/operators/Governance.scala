@@ -49,6 +49,15 @@ object Governance {
     * delete verb by design (codebook-only demo layout; the composed
     * IVF-PQ is the serving path) — erase one by re-running ensurePq
     * on the surviving source.
+    *
+    * `sketches` (round-15) is a MAINTENANCE-ONLY family: KMV panes
+    * hold group-keyed hash-set aggregates — no per-doc rows exist to
+    * purge or audit, and a KMV cannot subtract a member — so [[purge]]
+    * and [[audit]] skip it (the erasure story for sketch state is
+    * retention: [[graft.sources.SketchStore.expirePanes]] / drop), and
+    * [[maintain]] walks it because `streamingDistinctPanes` appends
+    * one immutable pane file-set per micro-batch forever (the same
+    * small-file accumulation class as the line store, one store over).
     */
   final case class PurgeScope(
       lsh: Seq[String] = Nil,
@@ -68,7 +77,8 @@ object Governance {
       dedupNear: Seq[String] = Nil,
       dedupLines: Seq[String] = Nil,
       splits: Seq[String] = Nil,
-      scd2: Seq[(String, String)] = Nil)
+      scd2: Seq[(String, String)] = Nil,
+      sketches: Seq[String] = Nil)
 
   /** Purge `ids` (one column, the vec_id/doc_id identity shared by the
     * scoped layouts) from every layout in `scope`. Returns the purge
@@ -462,7 +472,10 @@ object Governance {
     * families without a compact verb (indexStores, scd2, and the
     * rebuild-only impacts) are ignored; plaid's leg (round 14, with
     * upsertPlaid) folds FILES only — its deletion fold remains the
-    * re-cluster. Returns one row per examined layout:
+    * re-cluster; round 15 closes the last two accumulating families
+    * (opqIvfPq through its inner store's fold, sketch panes through
+    * compactPanes — maintenance-only, see the [[PurgeScope]] note).
+    * Returns one row per examined layout:
     * (store, surface, files_before, files_after, compacted).
     */
   def maintain(spark: SparkSession, scope: PurgeScope,
@@ -491,7 +504,8 @@ object Governance {
       }.sum.toLong
     def leg(family: String, keys: Seq[String],
         frames: String => Seq[DataFrame],
-        compact: String => Unit): Unit =
+        compact: String => Unit,
+        floor: Seq[String] => Long = floorOf): Unit =
       keys.foreach { key =>
         def files(): Seq[String] =
           frames(key).flatMap(_.inputFiles).distinct
@@ -500,7 +514,7 @@ object Governance {
         // the auto-floor clamp: compacting below the layout's own
         // floor is impossible, so a below-floor threshold must not
         // trigger a rewrite every run
-        val doIt = before > math.max(maxFiles.toLong, floorOf(fsBefore))
+        val doIt = before > math.max(maxFiles.toLong, floor(fsBefore))
         if (doIt) compact(key)
         val after = if (doIt) files().size.toLong else before
         out += ((family, key, before, after, doIt))
@@ -552,15 +566,38 @@ object Governance {
     leg("dedup_near", scope.dedupNear,
       k => { val (bands, sigs) = DedupStore.readNearFrames(spark, k)
         Seq(bands, sigs) },
-      k => DedupStore.compactNear(spark, k))
+      // the sigs fold width clamps to the threshold (the kw_postings/
+      // split pattern) — an unclamped default-8 fold parks the layout
+      // above any lower threshold and recompacts it every run (the
+      // round-14 advice defect)
+      k => DedupStore.compactNear(spark, k,
+        sigFiles = math.max(1, math.min(8, maxFiles))))
     leg("dedup_lines", scope.dedupLines,
       k => if (DedupStore.lineCount(spark, k) > 0L)
         Seq(DedupStore.readLineDf(spark, k)) else Seq.empty,
       k => DedupStore.compactLineDedup(spark, k))
     leg("plaid", scope.plaid,
-      k => { val h = PlaidIndex.openPlaid(spark, k)
-        Seq(h.lists, h.docCentroids) },
+      // the raw tables, NOT the served handle: the handle anti-joins
+      // the tombs table, whose data files compactPlaid deliberately
+      // never folds (the deletion fold is the re-cluster) — measured
+      // through the handle, a tombstoned layout sits permanently above
+      // its floor and re-folds every run (the round-14 advice defect)
+      k => PlaidIndex.maintainFrames(spark, k),
       k => { PlaidIndex.compactPlaid(spark, k); () })
+    leg("ann_opqivfpq", scope.opqIvfPq,
+      k => { val h = AnnIndex.openOpqIvfPq(spark, k)
+        Seq(h.rotation, h.inner.centroids, h.inner.codebook,
+          h.inner.lists, h.inner.vecs) },
+      k => { AnnIndex.compactOpqIvfPq(spark, k); () })
+    leg("sketch_panes", scope.sketches,
+      k => if (SketchStore.exists(spark, k))
+        Seq(SketchStore.panesDf(spark, k)) else Seq.empty,
+      k => SketchStore.compactPanes(spark, k),
+      // the path-derived floor is wrong for this store: compactPanes
+      // RE-VALUES the partition column (every pane lands in the one
+      // batch_id=last partition), so occupied-dirs-before is not the
+      // post-fold dir count — the verb's own coalesce width (1) is
+      floor = _ => 1L)
     leg("split", scope.splits,
       k => Seq(SplitStore.read(spark, k)),
       k => SplitStore.compact(spark, k,

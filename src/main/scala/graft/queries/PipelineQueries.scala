@@ -4638,6 +4638,131 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_disallowed_served")))
     }),
 
+    // FILTERED serving through the QUANTIZED stage 1 (round-15,
+    // verdict #1 — the layout's last composition hole): q248's float
+    // filtered path re-reads full float embeddings for its shortlist
+    // scan the moment a metadata filter appears, forfeiting the int8
+    // scan win q247 certifies — exactly the composition
+    // queryIvfSq8Filtered already solved for the flat quantized
+    // layout (q143/q144). plaidTopKFilteredQuantized keeps all three
+    // disciplines at once: pre-filter semantics (allowed-set
+    // semi-join BEFORE the stage-1 max — no shortlist starvation),
+    // int8-only stage-1 bytes (ReadSchema excludes `embedding`;
+    // PlanInvariantsSpec pins it), centroid partition literals on
+    // both stages' scans. Identity: zero symmetric difference vs the
+    // full-scan MaxSim over ONLY the allowed docs, plus a
+    // disallowed-served count pinned 0, at every fixture scale.
+    "q250_plaidq_filtered" -> ((s, dir) => {
+      import graft.operators.LateInteraction
+      import graft.sources.PlaidIndex
+      val index = RagPipeline.buildIndex(s, t(s, dir, "documents"),
+        chunkSize = 200).localCheckpoint(true)
+      val key = s"$dir#plaid"
+      PlaidIndex.ensurePlaid(s, key,
+        index.select(col("doc_id"), col("chunk_id").as("vec_id"),
+          col("embedding")), snapshotId = Some(dir))
+      val qt = LateInteraction.queryTokens(retrievalQueryDf(s))
+        .localCheckpoint(true)
+      val allowed = index.select("doc_id").distinct()
+        .filter(col("doc_id") % 3 =!= 1)
+      def keyd(df: DataFrame) = df.select("query_id", "rank", "doc_id")
+      val full = keyd(LateInteraction.maxSimTopK(qt,
+        index.filter(col("doc_id") % 3 =!= 1), k = 4))
+      val served = keyd(PlaidIndex.plaidTopKFilteredQuantized(s, key,
+        qt, allowed, k = 4, nProbe = 16, mDocs = 16))
+      full.agg(count(lit(1)).as("n_full"),
+          countDistinct("query_id").as("n_queries"))
+        .crossJoin(served.exceptAll(full).unionByName(full.exceptAll(served))
+          .agg(count(lit(1)).as("n_diff")))
+        .crossJoin(served.filter(col("doc_id") % 3 === 1)
+          .agg(count(lit(1)).as("n_disallowed_served")))
+    }),
+
+    // ROUND-15 MAINTENANCE LEGS UNDER THE ORACLE (the q249 discipline
+    // for the three legs this round adds/repairs): the SKETCH store
+    // appends one KMV pane file-set per micro-batch forever (the last
+    // append-forever family, r14 verdict #3), the composed OPQ-IVF-PQ
+    // layout accumulates through its NEW outer upsert verb, and the
+    // near-dup store's sigs fold width now clamps to the threshold
+    // (the r14 advice defect — an unclamped default-8 fold parked the
+    // layout above any lower threshold and recompacted it every run).
+    // maintain() at a deliberately BELOW-floor threshold (maxFiles=1)
+    // must fold each once through its own verb and then no-op, with
+    // the merged sketch, the composed-OPQ answers, and the near
+    // store's batch-keyed replay reconstruction all byte-identical
+    // across the fold. Replay-stable outputs only (the q243/q249
+    // rule): second-run counts, symmetric differences, and counts the
+    // oracle replays from the fixture tables.
+    "q251_maintain_r15" -> ((s, dir) => {
+      import graft.operators.Governance
+      import graft.sources.{AnnIndex, DedupStore, SketchStore}
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .localCheckpoint(true)
+      val kS = s"$dir#maints"
+      val kO = s"$dir#mainto"
+      val kN = s"$dir#maintn"
+      // sketch panes: one per ingest batch (replayed ids no-op)
+      val items = docs.select((col("doc_id") % 3).cast("int").as("grp"),
+        concat(lit("d"), col("doc_id")).as("item"))
+      SketchStore.update(s, kS, items.filter(col("grp") =!= 2), "grp",
+        col("item"), batchId = 1L, k = 64, seed = 7L)
+      SketchStore.update(s, kS, items.filter(col("grp") === 2), "grp",
+        col("item"), batchId = 2L, k = 64, seed = 7L)
+      // composed OPQ: build over the base slice, grow by upsert (the
+      // round-15 outer verb; replayed batch ids fold away)
+      val fl = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+        .localCheckpoint(true)
+      if (!AnnIndex.opqIvfPqExists(s, kO, lists = 8))
+        AnnIndex.ensureOpqIvfPq(s, kO, fl.filter(col("vec_id") % 5 =!= 0),
+          lists = 8, iters = 2, numSub = 8, ksub = 16, pqIters = 2)
+      AnnIndex.upsertOpqIvfPq(s, kO, fl.filter(col("vec_id") % 10 === 0),
+        batchId = Some(1L))
+      AnnIndex.upsertOpqIvfPq(s, kO, fl.filter(col("vec_id") % 10 === 5),
+        batchId = Some(2L))
+      // near-dup store: two ingest batches (replays reconstruct)
+      val nearIn2 = docs.filter(col("doc_id") % 2 === 1)
+        .localCheckpoint(true)
+      DedupStore.nearDedupBatch(s, kN,
+        docs.filter(col("doc_id") % 2 === 0), batchId = 1L)
+      DedupStore.nearDedupBatch(s, kN, nearIn2, batchId = 2L)
+      def sketchAns() = SketchStore.read(s, kS)
+        .select(col("grp"), array_sort(col("kmv")).as("kmv"))
+      val q = fl.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec")).localCheckpoint(true)
+      def opqAns() = AnnIndex.queryOpqIvfPq(q,
+        AnnIndex.openOpqIvfPq(s, kO), k = 4, nProbe = 8, m = 128)
+        .select("query_id", "rank", "vec_id")
+      def nearAns() = DedupStore.nearDedupBatch(s, kN, nearIn2,
+        batchId = 2L).select("doc_id")
+      val sBefore = sketchAns().localCheckpoint(true)
+      val oBefore = opqAns().localCheckpoint(true)
+      val nBefore = nearAns().localCheckpoint(true)
+      val scope = Governance.PurgeScope(sketches = Seq(kS),
+        opqIvfPq = Seq(kO), dedupNear = Seq(kN))
+      Governance.maintain(s, scope, maxFiles = 1).localCheckpoint(true)
+      val sAfter = sketchAns()
+      val oAfter = opqAns()
+      val nAfter = nearAns()
+      val run2 = Governance.maintain(s, scope, maxFiles = 1)
+        .localCheckpoint(true)
+      def sdiff(a: DataFrame, b: DataFrame) =
+        a.exceptAll(b).unionByName(b.exceptAll(a))
+      run2.agg(count(lit(1)).as("n_layouts"),
+          sum(when(col("compacted"), 1L).otherwise(0L))
+            .as("n_second_run_compactions"))
+        .crossJoin(sdiff(sAfter, sBefore)
+          .agg(count(lit(1)).as("n_diff_sketch")))
+        .crossJoin(sdiff(oAfter, oBefore)
+          .agg(count(lit(1)).as("n_diff_opq")))
+        .crossJoin(sdiff(nAfter, nBefore)
+          .agg(count(lit(1)).as("n_diff_near")))
+        .crossJoin(sBefore.agg(count(lit(1)).as("n_sketch_groups")))
+        .crossJoin(oBefore.agg(count(lit(1)).as("n_opq_answers")))
+        .crossJoin(nearIn2.agg(count(lit(1)).as("n_near_input")))
+    }),
+
     // PLAID INCREMENTAL INGEST ≡ REBUILD (round-14 — closes the
     // round-13 "rebuild-only" frontier gap #1): the layout built by
     // clustering the 80% base and ASSIGNING the 20% tail to the stored
@@ -8323,6 +8448,28 @@ object PipelineQueries {
         |CAST(5 AS BIGINT) AS n_queries,
         |CAST(0 AS BIGINT) AS n_diff,
         |CAST(0 AS BIGINT) AS n_disallowed_served""".stripMargin,
+    // filtered QUANTIZED PLAID ≡ full scan over the allowed docs;
+    // nothing disallowed served (the round-15 composition closure)
+    "q250_plaidq_filtered" ->
+      """SELECT CAST(20 AS BIGINT) AS n_full,
+        |CAST(5 AS BIGINT) AS n_queries,
+        |CAST(0 AS BIGINT) AS n_diff,
+        |CAST(0 AS BIGINT) AS n_disallowed_served""".stripMargin,
+    // round-15 maintain legs: three layouts examined, nothing compacts
+    // on the second below-floor run, answers identical on all three
+    // surfaces; group/query/input counts replayed from the fixtures
+    "q251_maintain_r15" ->
+      """SELECT CAST(3 AS BIGINT) AS n_layouts,
+        |CAST(0 AS BIGINT) AS n_second_run_compactions,
+        |CAST(0 AS BIGINT) AS n_diff_sketch,
+        |CAST(0 AS BIGINT) AS n_diff_opq,
+        |CAST(0 AS BIGINT) AS n_diff_near,
+        |(SELECT count(DISTINCT doc_id % 3) FROM documents)
+        |  AS n_sketch_groups,
+        |(SELECT CAST(count(DISTINCT vec_id) * 4 AS BIGINT)
+        |  FROM embeddings WHERE vec_id < 8) AS n_opq_answers,
+        |(SELECT count(*) FROM documents WHERE doc_id % 2 = 1)
+        |  AS n_near_input""".stripMargin,
     // round-14 maintain legs: both layouts examined, nothing compacts
     // on the second below-floor run (auto-floor), answers identical on
     // both surfaces; the line-store row count replayed from documents

@@ -2188,6 +2188,70 @@ object AnnIndex {
     queryIvfPq(rq, handle.inner, k, nProbe, m)
   }
 
+  /** Incremental add through the COMPOSED layout (round-15 — it was
+    * the one accumulating family without an outer upsert verb, so
+    * streamed growth had to hand-compose the rotation): the batch
+    * rides the STORED rotation (the isometry is trained once at build
+    * time — OPQ's train/add contract, same as the stored centroids
+    * and codebook it feeds), then the inner [[upsertIvfPq]] does
+    * assignment + PQ-encode + append under its own drift gate,
+    * tombstone clash guard, and `batchId` replay-skip. The outer
+    * meta's (n_rows, checksum) compose with the ORIGINAL-space batch
+    * fingerprint, so a later [[ensureOpqIvfPq]] over the grown corpus
+    * recognizes the layout as fresh. Crash window: an inner commit
+    * without the outer meta commit leaves the outer checksum behind
+    * the data — the next ensure sees the mismatch and rebuilds (the
+    * safe direction: a redundant retrain, never a wrong answer).
+    */
+  def upsertOpqIvfPq(
+      spark: SparkSession,
+      sourceDir: String,
+      newVecs: DataFrame,
+      batchId: Option[Long] = None): OpqIvfPqHandle = {
+    import graft.operators.SimilaritySearch
+    val tag = IndexStore.pathTag(sourceDir)
+    val base = opqIvfPqBase(spark, tag)
+    val meta = readMeta(base)
+    require(meta.contains("num_sub") &&
+      parquetReadable(spark, s"$base/rotation"),
+      s"upsertOpqIvfPq needs an existing OPQ-IVF-PQ layout for " +
+        s"'$sourceDir' — run ensureOpqIvfPq first")
+    val innerKey = opqIvfPqInnerKey(sourceDir)
+    val replayed = batchId.exists(id =>
+      readMeta(ivfPqBase(spark, IndexStore.pathTag(innerKey)))
+        .get("last_batch_id").exists(id <= _))
+    if (replayed) return openOpqIvfPq(spark, sourceDir)
+    val model = loadRotation(spark.read.parquet(s"$base/rotation"))
+    val rotated = SimilaritySearch.rotate(
+        newVecs.select("vec_id", "embedding"), model)
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+    val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
+    upsertIvfPq(spark, innerKey, rotated, batchId)
+    writeMetaFull(base,
+      (meta - "n_rows" - "checksum").toSeq ++
+        Seq("n_rows" -> (meta("n_rows") + nNew),
+          "checksum" -> (meta("checksum") ^ fpNew)),
+      Nil)
+    openOpqIvfPq(spark, sourceDir)
+  }
+
+  /** Fold the composed layout's accumulated upsert/tombstone file
+    * sets. The rotation is one immutable file written at build time;
+    * everything that grows lives in the inner rotated IVF-PQ store,
+    * whose [[compactIvfPq]] does the work — including the tombstone
+    * fold for deletes issued through the inner path (the layout's
+    * purge leg). The outer meta is untouched: its (n_rows, checksum)
+    * describe the original-space corpus, which a pure file fold never
+    * changes, and a tombstone fold already moves the layout past any
+    * ensure-recognizable state through the INNER meta.
+    */
+  def compactOpqIvfPq(spark: SparkSession,
+      sourceDir: String): OpqIvfPqHandle = {
+    compactIvfPq(spark, opqIvfPqInnerKey(sourceDir))
+    openOpqIvfPq(spark, sourceDir)
+  }
+
   // ------------------------------------------------------------- IVF-SQ8
 
   /** Persisted COMPOSED index — int8 codes INSIDE the probed inverted
@@ -4047,6 +4111,22 @@ object AnnIndex {
     * no longer match the survivors — [[ImpactIndex.deleteImpacts]]),
     * so an operator sees "rebuild needed" here instead of at the
     * serve-time require.
+    *
+    * `stale` (round 15) surfaces the impact layout's REBUILD-ONLY
+    * contract: [[graft.sources.KeywordIndex]] postings are THE
+    * streaming lexical serving surface (O(batch) upserts, exact BM25
+    * under fresh statistics), while the impact-banded twin bakes
+    * df/avgdl/gmax globally at build — a streamed corpus moves the
+    * postings twin past it. Because both layouts keep the same
+    * (n_docs, checksum) content fingerprint over (doc_id, text) — and
+    * the postings one xor-COMPOSES across upserts — staleness is
+    * decidable at the control plane with zero data scans: an impacts
+    * row is `stale` iff its same-keyed postings twin exists and their
+    * fingerprints differ. A stale impact layout still serves (its
+    * answers are exact for the corpus it was built over); the
+    * operator's move is `ensureImpacts` over the grown source, which
+    * re-fingerprints and re-bands. Non-impact layouts report false —
+    * their freshness is the ensure-time fingerprint itself.
     */
   def listIndexes(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -4059,9 +4139,20 @@ object AnnIndex {
       else if (name.startsWith("graft_kw_")) Some("postings")
       else if (name.startsWith("graft_plaid_")) Some("plaid")
       else None
-    val rows = Option(baseDir.listFiles()).getOrElse(Array.empty)
+    val dirs = Option(baseDir.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory)
       .sortBy(_.getName)
+    // the postings twins' composed fingerprints, keyed by store tag —
+    // the comparison frame for the impact layouts' `stale` column
+    // (bounded by the number of indexes; meta reads only)
+    val postingsFp: Map[String, (Option[Long], Option[Long])] = dirs
+      .filter(_.getName.startsWith("graft_kw_"))
+      .map { d =>
+        val m = readMeta(d.getAbsolutePath)
+        d.getName.stripPrefix("graft_kw_") ->
+          (m.get("n_docs"), m.get("checksum"))
+      }.toMap
+    val rows = dirs
       .flatMap { d =>
         val meta = readMeta(d.getAbsolutePath)
         layoutOf(d.getName).filter(_ => meta.nonEmpty).map { layout =>
@@ -4074,15 +4165,22 @@ object AnnIndex {
             }
           } finally it.close()
           val tombs = meta.getOrElse("tomb_rows", 0L)
+          // rebuild-only impacts vs its incrementally-upserted postings
+          // twin: fingerprints diverged ⇒ the banded layout serves an
+          // older corpus than the streaming surface
+          val stale = layout == "impacts" &&
+            postingsFp.get(d.getName.stripPrefix("graft_kwbmw_"))
+              .exists { case (n, fp) =>
+                n != meta.get("n_docs") || fp != meta.get("checksum") }
           // the lexical layouts count documents, not vector rows
           (d.getName, layout,
             meta.getOrElse("n_rows", meta.getOrElse("n_docs", 0L)),
             meta.getOrElse("last_batch_id", -1L), files, bytes,
-            tombs, layout == "impacts" && tombs > 0L)
+            tombs, layout == "impacts" && tombs > 0L, stale)
         }
       }
     rows.toSeq
       .toDF("name", "layout", "n_rows", "last_batch_id", "n_files",
-        "bytes", "tomb_rows", "poisoned")
+        "bytes", "tomb_rows", "poisoned", "stale")
   }
 }

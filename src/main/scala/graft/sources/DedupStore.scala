@@ -644,8 +644,15 @@ object DedupStore {
     * table; bands swap first, and a crash between the two swaps leaves
     * both tables logically intact (compaction changes files, not
     * rows). Meta untouched. Not safe concurrent with a writer.
+    * `sigFiles` is the sigs fold width — [[graft.operators.Governance
+    * .maintain]] clamps it to its threshold (the kw_postings/split
+    * pattern) so the folded layout lands AT or under the threshold
+    * instead of parking 8 sigs files above a lower one and
+    * re-compacting every scheduled run (the round-14 advice defect).
     */
-  def compactNear(spark: SparkSession, storeKey: String): Unit = {
+  def compactNear(spark: SparkSession, storeKey: String,
+      sigFiles: Int = 8): Unit = {
+    require(sigFiles >= 1, s"sigFiles must be positive: $sigFiles")
     val b = nearBase(spark, storeKey)
     def rm(p: String): Unit =
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
@@ -668,7 +675,7 @@ object DedupStore {
     if (Files.exists(Paths.get(sigsDir))) {
       val side = s"$b/sigs__compact"
       rm(side)
-      spark.read.parquet(sigsDir).coalesce(8)
+      spark.read.parquet(sigsDir).coalesce(sigFiles)
         .write.mode(SaveMode.Overwrite).parquet(side)
       swap(sigsDir, side)
     }

@@ -59,12 +59,23 @@ import org.apache.spark.sql.functions._
   * the candidates' rows — the measured reduction lives in BASELINE.md
   * (HybridTune `wand` mode) and q241's relational counters.
   *
-  * Rebuild-only lifecycle: an impact-ordered layout is globally
-  * re-banded by construction (avgdl and each term's gmax move under
-  * content change), so there are no incremental verbs — `ensureImpacts`
-  * re-fingerprints and rebuilds, the [[KeywordIndex]] postings remain
-  * the incremental surface. Deletes: serve the postings path (exact);
-  * this layout is the read-optimized twin.
+  * Rebuild-only lifecycle — the EXPLICIT staleness contract (round
+  * 15): an impact-ordered layout is globally re-banded by construction
+  * (avgdl and each term's gmax move under content change; an appended
+  * block under frozen statistics would either rescore the old corpus
+  * silently or mix two scoring regimes in one ranking), so there are
+  * no incremental verbs — `ensureImpacts` re-fingerprints and
+  * rebuilds. The [[KeywordIndex]] postings twin is THE streaming
+  * lexical serving surface: O(batch) upserts, exact BM25 under fresh
+  * statistics, deletes served exactly. A streamed corpus therefore
+  * runs postings live and re-bands this read-optimized twin on a
+  * schedule; between re-bands the impact layout is STALE — exact for
+  * the corpus it was built over, behind the streaming surface — and
+  * that state is visible at the control plane with zero data scans:
+  * [[AnnIndex.listIndexes]]'s `stale` column compares this layout's
+  * baked (n_docs, checksum) fingerprint against the postings twin's
+  * xor-composed one. Deletes: serve the postings path (exact); a
+  * tombstoned impact layout POISONS instead (refuse-don't-guess).
   */
 object ImpactIndex {
   import AnnIndex.{fingerprint, parquetReadable, readMeta, readMetaStrs,

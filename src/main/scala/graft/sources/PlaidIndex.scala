@@ -433,13 +433,25 @@ object PlaidIndex {
     * BEFORE the chunk rows — every intermediate state keeps doccent a
     * SUPERSET of the lists' memberships, so a crashed upsert can
     * over-scan stage 2 (extra named partitions, correct answers) but
-    * never under-scan it (missed candidate chunks, wrong answers);
-    * the meta commit lands last, so the next ensure over the true
-    * source rebuilds out of any torn state. A successful upsert
-    * composes the fingerprint (count + xor), so `ensurePlaid` over
-    * the upserted corpus recognizes the layout as fresh. Any stored
-    * snapshot_id is dropped — the layout is now ahead of the snapshot
-    * that id named (the upsertLsh rule).
+    * never under-scan it (missed candidate chunks, wrong answers).
+    * The meta commit lands last, which leaves ONE documented torn
+    * window: a crash after the lists append but before the meta
+    * commit, followed by a retry of the SAME batch, re-appends that
+    * batch's chunk rows — `last_batch_id` was never committed, so the
+    * retry is not recognized as a replay. The duplicates are pure
+    * row-level copies of the batch (same doc_id/vec_id/embedding/
+    * codes), so every serving read is unaffected (both stages take a
+    * per-(query, doc, token) MAX and stage 2's membership ids are
+    * DISTINCT), but the physical table sits above the meta's `n_rows`
+    * until [[compactPlaid]] folds it — the fold dedups lists on
+    * (doc_id, vec_id), reconciling the physical rows with the meta,
+    * whose (n_rows, checksum) always describe the INTENDED corpus
+    * (the xor fingerprint composes over the batch frame, never the
+    * physical rows). A successful upsert composes the fingerprint
+    * (count + xor), so `ensurePlaid` over the upserted corpus
+    * recognizes the layout as fresh. Any stored snapshot_id is
+    * dropped — the layout is now ahead of the snapshot that id named
+    * (the upsertLsh rule).
     */
   def upsertPlaid(spark: SparkSession, sourceDir: String,
       newVectors: DataFrame, batchId: Option[Long] = None): PlaidHandle = {
@@ -565,7 +577,12 @@ object PlaidIndex {
     * ingest batch appends a file per touched `centroid_id` partition
     * and a doccent file set, so a long-running stream erodes stage 1
     * into a small-files scan. FILE fold: the lists rewrite lands one
-    * file per occupied centroid partition, rows verbatim (the
+    * file per occupied centroid partition, DEDUPED on (doc_id,
+    * vec_id) — vec_id is unique in any healthily-committed layout, so
+    * the dedup passes its rows through verbatim and exists to fold
+    * the one torn-retry window [[upsertPlaid]] documents (a crashed
+    * batch re-appended whole, identical rows), reconciling the
+    * physical table with the meta's intended `n_rows` (the
     * [[AnnIndex.compactPartitioned]] recipe); doccent coalesces AND
     * dedups the membership pairs upsert batches re-append (derived
     * duplicates — every consumer takes distinct centroid ids);
@@ -593,7 +610,9 @@ object PlaidIndex {
         "ensurePlaid to rebuild")
     if (!registered(spark, tag)) attach(spark, tag)
     AnnIndex.compactPartitioned(spark, base, listsName(tag), "lists",
-      "centroid_id")
+      "centroid_id",
+      content = Some(spark.table(listsName(tag))
+        .dropDuplicates("doc_id", "vec_id")))
     AnnIndex.sweepStaleCompaction(base, "doccent")
     val side = s"$base/doccent_compact_${ProcessHandle.current.pid}"
     val tmp = s"${doccentName(tag)}_compact"
@@ -614,6 +633,22 @@ object PlaidIndex {
     handle(spark, tag)
   }
 
+  /** The physical surfaces maintenance measures — the lists and
+    * membership TABLES, pre-tombstone-anti-join: the served [[handle]]
+    * frames also carry the tombs table's files, which [[compactPlaid]]
+    * deliberately never folds (the deletion fold is the re-cluster),
+    * so a maintenance driver measuring through the served view would
+    * see a tombstoned layout sit permanently above its floor and
+    * re-fold it every run. Opens first (loud existence/readability +
+    * catalog attach, the [[openPlaid]] contract).
+    */
+  private[graft] def maintainFrames(spark: SparkSession,
+      sourceDir: String): Seq[DataFrame] = {
+    val tag = IndexStore.pathTag(sourceDir)
+    openPlaid(spark, sourceDir)
+    Seq(spark.table(listsName(tag)), spark.table(doccentName(tag)))
+  }
+
   /** Metadata-FILTERED MaxSim on the clustered layout — the
     * [[AnnIndex.queryIvfSq8Filtered]] contract brought to
     * late-interaction retrieval: PRE-filter semantics, top-k WITHIN
@@ -629,7 +664,46 @@ object PlaidIndex {
     */
   def plaidTopKFiltered(spark: SparkSession, sourceDir: String,
       queryTokens: DataFrame, allowed: DataFrame, k: Int = 4,
-      nProbe: Int = 8, mDocs: Int = 16): DataFrame = {
+      nProbe: Int = 8, mDocs: Int = 16): DataFrame =
+    filteredServe(spark, sourceDir, queryTokens, allowed, k, nProbe,
+      mDocs, plaidStage1)
+
+  /** [[plaidTopKFiltered]] through the QUANTIZED stage 1 (round-15 —
+    * the layout's last composition hole): the float filtered path
+    * loses the int8 scan win exactly when a metadata filter is
+    * present — the byte-heaviest layout in the engine reads full
+    * float embeddings for its shortlist scan the moment a filter
+    * appears. This verb keeps both disciplines at once (the
+    * [[AnnIndex.queryIvfSq8Filtered]] contract brought to the
+    * quantized clustered layout): the allowed-set semi-join restricts
+    * the CODES scan — stage 1 reads probed partitions × int8 columns
+    * only, ReadSchema still excludes `embedding` (PlanInvariantsSpec
+    * pins both) — and the pre-filter semantics are unchanged (the
+    * shortlist spends its mDocs slots on eligible docs only; the
+    * exact float rerank restricts to allowed candidates' partitions).
+    * Identity contract: q250 pins zero symmetric difference vs the
+    * filtered full-scan MaxSim plus a disallowed-served count of 0 at
+    * every fixture scale, at the same (nProbe, mDocs) margin as
+    * [[plaidTopKQuantized]] (int8 rounding and the probe restriction
+    * are the only approximation surfaces, both absorbed by the
+    * measured margin — the q247 argument, unchanged by filtering
+    * because the filter only SHRINKS each shortlist's competitor
+    * set).
+    */
+  def plaidTopKFilteredQuantized(spark: SparkSession, sourceDir: String,
+      queryTokens: DataFrame, allowed: DataFrame, k: Int = 4,
+      nProbe: Int = 8, mDocs: Int = 16): DataFrame =
+    filteredServe(spark, sourceDir, queryTokens, allowed, k, nProbe,
+      mDocs, plaidStage1Quantized)
+
+  /** Shared two-stage filtered serving: semi-join the allowed set onto
+    * BOTH stage surfaces, shortlist via `stage1`, rerank in exact
+    * float over the allowed candidates' membership partitions.
+    */
+  private def filteredServe(spark: SparkSession, sourceDir: String,
+      queryTokens: DataFrame, allowed: DataFrame, k: Int, nProbe: Int,
+      mDocs: Int,
+      stage1: (DataFrame, PlaidHandle, Int) => DataFrame): DataFrame = {
     import graft.functions.expressions.TopKAgg.top_k
     require(mDocs >= k, s"shortlist mDocs ($mDocs) must be >= k ($k)")
     val h = openPlaid(spark, sourceDir)
@@ -638,7 +712,7 @@ object PlaidIndex {
       lists = h.lists.join(allow, Seq("doc_id"), "left_semi"),
       docCentroids = h.docCentroids.join(allow, Seq("doc_id"),
         "left_semi"))
-    val cand = plaidStage1(queryTokens, hF, nProbe)
+    val cand = stage1(queryTokens, hF, nProbe)
       .groupBy("query_id")
       .agg(top_k(col("ascore"), col("doc_id"), mDocs).as("topk"))
       .select(col("query_id"), explode(col("topk.id")).as("doc_id"))

@@ -119,15 +119,31 @@ object SketchStore {
       "seed" -> seed)
   }
 
+  /** True iff the store has a committed batch (the maintenance
+    * driver's existence probe — a scoped-but-empty store is skipped,
+    * a scoped-but-MISSING one fails loudly in [[read]]).
+    */
+  def exists(spark: SparkSession, storeKey: String): Boolean =
+    readMeta(base(spark, storeKey)).contains("last_batch_id")
+
   /** Fold every committed pane into ONE pane carrying batch_id =
     * last_batch_id — the pane COUNT is the only thing that grows in
     * this store (each pane is already ≤ G·k longs), and reads are
     * unchanged by mergeability. Side-dir + atomic rename swap (the
     * DedupStore compaction discipline); meta's verify_floor rises to
-    * last_batch_id − 1: replays of folded batch ids no-op unverified
-    * (their panes no longer exist to compare against).
+    * last_batch_id — EVERY committed batch's original pane is gone
+    * after the fold, including the last one's (the surviving
+    * batch_id=last pane holds the MERGED sketch, not that batch's own;
+    * a floor of last−1 made a true replay of the last batch fail its
+    * content verification against the fold — caught by q251's replay
+    * run), so replays of any folded id no-op unverified. The rewrite
+    * coalesces to `numFiles` (default 1 — panes are bounded, and one
+    * file IS the floor [[graft.operators.Governance.maintain]]'s
+    * path-derived estimate computes for the single surviving
+    * partition dir, so the folded store sits exactly at it).
     */
-  def compactPanes(spark: SparkSession, storeKey: String): Unit = {
+  def compactPanes(spark: SparkSession, storeKey: String,
+      numFiles: Int = 1): Unit = {
     val b = base(spark, storeKey)
     val meta = readMeta(b)
     if (!meta.contains("last_batch_id")) return
@@ -138,13 +154,14 @@ object SketchStore {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
     rm(side)
     read(spark, storeKey).withColumn("batch_id", lit(last))
+      .coalesce(numFiles)
       .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
       .parquet(side)
     Files.move(Paths.get(s"$b/panes"), Paths.get(garbage))
     Files.move(Paths.get(side), Paths.get(s"$b/panes"))
     rm(garbage)
     writeMeta(b, "last_batch_id" -> last, "k" -> meta("k"),
-      "seed" -> meta("seed"), "verify_floor" -> (last - 1))
+      "seed" -> meta("seed"), "verify_floor" -> last)
   }
 
   /** Retention: drop panes with batch_id < `keepFromBatchId` — the
@@ -185,14 +202,24 @@ object SketchStore {
     * sketch of everything ever ingested.
     */
   def read(spark: SparkSession, storeKey: String): DataFrame = {
+    val k = readMeta(base(spark, storeKey))("k").toInt
+    panesDf(spark, storeKey)
+      .groupBy("grp")
+      .agg(Sketches.kmvMergeAgg(col("kmv"), k).as("kmv"))
+  }
+
+  /** The committed panes frame raw (pre-merge) — the physical file
+    * surface [[graft.operators.Governance.maintain]] measures: the
+    * merged [[read]] answers from exactly these files, one pane
+    * file-set per ingested batch until [[compactPanes]] folds them.
+    */
+  private[graft] def panesDf(spark: SparkSession,
+      storeKey: String): DataFrame = {
     val b = base(spark, storeKey)
     val meta = readMeta(b)
     require(meta.contains("last_batch_id"),
       s"sketch store '$storeKey' has no committed batches")
-    val k = meta("k").toInt
     spark.read.parquet(s"$b/panes")
       .filter(col("batch_id") <= meta("last_batch_id"))
-      .groupBy("grp")
-      .agg(Sketches.kmvMergeAgg(col("kmv"), k).as("kmv"))
   }
 }

@@ -277,6 +277,61 @@ object StreamOps {
           queries.sparkSession, sourceDir, queries, index, k)
   }
 
+  /** A [[streamingChat]] retriever serving from the PERSISTED PLAID
+    * layout (round 15 — the late-interaction serving story completed
+    * at the flagship surface): every micro-batch tokenizes the
+    * condensed question ([[graft.operators.LateInteraction
+    * .queryTokens]]) and answers through the QUANTIZED two-stage
+    * clustered serve ([[graft.sources.PlaidIndex.plaidTopKQuantized]]:
+    * int8 stage-1 over probed centroid partitions only, exact float
+    * MaxSim rerank) — the chat loop pays probed-partitions × int8
+    * bytes for its shortlist scan instead of the full float chunk
+    * table. Ranking is DOC-level (MaxSim is a document score); each
+    * winning doc's context is its chunks' text concatenated in chunk
+    * order (the P4 page-concat semantics), so the stuff chain stuffs
+    * whole winning documents. Identity: at an
+    * (nProbe, mDocs) point whose stage-1 margin covers the corpus
+    * (MaxSimTune `plaidq`), answers equal the full-scan-MaxSim chat
+    * loop's byte for byte — StreamOpsSpec pins the twin loops.
+    *
+    * Freshness shape (the [[persistedSq8Retriever]] idiom): the FIRST
+    * trigger runs `ensurePlaid` — one fingerprint pass that builds or
+    * attaches, catching a chunk corpus that drifted since the stream
+    * last ran; later triggers go through the no-probe `openPlaid`
+    * reader inside the serve call (open-per-trigger, the
+    * [[streamingPlaidRetrieve]] contract), so steady-state triggers
+    * cost meta reads + the quantized probed scan. Mid-stream corpus
+    * growth arrives via a concurrent [[streamingPlaidUpsert]] writer.
+    */
+  def persistedPlaidRetriever(sourceDir: String, nProbe: Int = 16,
+      mDocs: Int = 16, lists: Int = 32)
+      : (DataFrame, DataFrame, Int) => DataFrame = {
+    val ensured = new java.util.concurrent.atomic.AtomicBoolean(false)
+    (queries, index, k) => {
+      val spark = queries.sparkSession
+      if (ensured.compareAndSet(false, true))
+        graft.sources.PlaidIndex.ensurePlaid(spark, sourceDir,
+          index.select(col("doc_id"), col("chunk_id").as("vec_id"),
+            col("embedding")), lists = lists)
+      val qt = graft.operators.LateInteraction.queryTokens(queries)
+      graft.sources.PlaidIndex
+        .plaidTopKQuantized(spark, sourceDir, qt, k, nProbe, mDocs)
+        .join(docConcatText(index), Seq("doc_id"))
+        .select("query_id", "rank", "doc_id", "score", "text")
+    }
+  }
+
+  /** Per-doc context text for the doc-level retrievers: the document's
+    * chunk texts concatenated in chunk order (P4 semantics) — shared by
+    * [[persistedPlaidRetriever]] and its full-scan identity twin in
+    * the spec.
+    */
+  private[graft] def docConcatText(index: DataFrame): DataFrame =
+    index.groupBy("doc_id")
+      .agg(concat_ws(" ",
+        array_sort(collect_list(struct(col("chunk_id"), col("text"))))
+          .getField("text")).as("text"))
+
   /** Streaming retrieval served by the PERSISTED LSH index: each query
     * micro-batch re-attaches to the stored layout via
     * [[graft.sources.AnnIndex.openLsh]] — the no-probe reader path built

@@ -501,4 +501,163 @@ class GovernanceSpec extends AnyFunSuite {
       .collect().map(r => r.getBoolean(4)).head
     assert(!r2, "second line-dedup maintenance run must be a no-op")
   }
+
+  test("maintain dedup_near leg: the sigs fold width clamps to the " +
+      "threshold — a below-8 threshold folds once then no-ops " +
+      "instead of recompacting every run (the r14 advice defect); " +
+      "replayed batches still reconstruct") {
+    val kN = s"gvm-$runTag-near"
+    DedupStore.nearDedupBatch(spark, kN,
+      docs.filter(col("doc_id") < 15), batchId = 1L)
+    val out2 = DedupStore.nearDedupBatch(spark, kN,
+      docs.filter(col("doc_id") >= 15), batchId = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scope = Governance.PurgeScope(dedupNear = Seq(kN))
+    val r1 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).head
+    assert(r1._1 === "dedup_near")
+    assert(r1._4 && r1._3 < r1._2,
+      s"near store must fold its per-batch file sets: $r1")
+    val r2 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => r.getBoolean(4)).head
+    assert(!r2,
+      "an at-floor near store must not recompact under a below-floor " +
+        "threshold — the sigs fold width must clamp to it")
+    // the fold changed files, not rows: the replayed batch
+    // reconstructs its original kept set from the compacted store
+    val replay = DedupStore.nearDedupBatch(spark, kN,
+      docs.filter(col("doc_id") >= 15), batchId = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay === out2,
+      "compaction changed a replayed near-dedup answer")
+  }
+
+  test("maintain plaid leg measures the FOLDABLE surfaces only: a " +
+      "tombstoned layout folds once then no-ops — the tombs data " +
+      "files compactPlaid never folds must not count against the " +
+      "floor (the r14 advice defect)") {
+    val kP = s"gvm-$runTag-ptomb"
+    val chunks = (0 until 90).map { i =>
+      val doc = i / 3
+      val theta = (doc % 4) * 1.5 + (i % 3) * 0.05
+      (doc.toLong, i.toLong,
+        Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }.toDF("doc_id", "vec_id", "embedding")
+    PlaidIndex.ensurePlaid(spark, kP,
+      chunks.filter(col("doc_id") < 25), lists = 4, iters = 2)
+    PlaidIndex.upsertPlaid(spark, kP,
+      chunks.filter(col("doc_id") >= 25), batchId = Some(1L))
+    // two delete batches → a multi-file tombs dir the fold keeps
+    PlaidIndex.deletePlaid(spark, kP, Seq(3L).toDF("doc_id"),
+      batchId = Some(1L))
+    PlaidIndex.deletePlaid(spark, kP, Seq(7L).toDF("doc_id"),
+      batchId = Some(2L))
+    val qt = Seq((1L, 0, Array(math.cos(1.5).toFloat,
+      math.sin(1.5).toFloat))).toDF("query_id", "qpos", "qvec")
+    def answers() = PlaidIndex.plaidTopK(spark, kP, qt, k = 3,
+      nProbe = 4, mDocs = 40).select("query_id", "rank", "doc_id")
+      .collect().map(_.toSeq).toSet
+    val before = answers()
+    val scope = Governance.PurgeScope(plaid = Seq(kP))
+    val r1 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).head
+    assert(r1._3 && r1._2 < r1._1,
+      s"tombstoned plaid layout must fold its upsert file sets: $r1")
+    assert(answers() === before,
+      "maintenance changed a tombstoned-plaid answer")
+    val r2 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => r.getBoolean(4)).head
+    assert(!r2,
+      "a tombstoned at-floor plaid layout must not recompact every " +
+        "run — tombs files are not foldable and must not be measured")
+    // the tombstones themselves survive the fold (deletion fold is
+    // the re-cluster) and the victims stay unserved
+    assert(PlaidIndex.openPlaid(spark, kP).lists
+      .filter(col("doc_id").isin(3L, 7L)).count() === 0L)
+  }
+
+  test("maintain sketch_panes leg: the per-batch pane accumulation " +
+      "folds through compactPanes; the merged sketch is identical; " +
+      "below-floor second run no-op") {
+    val kS = s"gvm-$runTag-sketch"
+    def items(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (i % 3, s"item-${i % 17}")).toDF("grp", "item")
+    SketchStore.update(spark, kS, items(0, 20), "grp", col("item"),
+      batchId = 1L, k = 16, seed = 7L)
+    SketchStore.update(spark, kS, items(20, 40), "grp", col("item"),
+      batchId = 2L, k = 16, seed = 7L)
+    SketchStore.update(spark, kS, items(40, 60), "grp", col("item"),
+      batchId = 3L, k = 16, seed = 7L)
+    def merged() = SketchStore.read(spark, kS)
+      .select(col("grp"), array_sort(col("kmv")).as("kmv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSet
+    val before = merged()
+    val scope = Governance.PurgeScope(sketches = Seq(kS))
+    val r1 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).head
+    assert(r1._1 === "sketch_panes")
+    assert(r1._4 && r1._3 < r1._2,
+      s"sketch store must fold its pane file sets: $r1")
+    assert(merged() === before,
+      "pane compaction changed the merged sketch")
+    val r2 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => r.getBoolean(4)).head
+    assert(!r2, "second sketch maintenance run must be a no-op")
+    // a TRUE replay of the last folded batch no-ops: its original pane
+    // is gone (the surviving batch_id=3 pane is the MERGED sketch), so
+    // the verify floor must cover it — a floor of last−1 would fail
+    // this replay's content verification against the fold
+    SketchStore.update(spark, kS, items(40, 60), "grp", col("item"),
+      batchId = 3L, k = 16, seed = 7L)
+    assert(merged() === before,
+      "a replayed folded batch must not change the merged sketch")
+    // the store still ingests after the fold (fresh batch id past the
+    // folded horizon)
+    SketchStore.update(spark, kS, items(60, 70), "grp", col("item"),
+      batchId = 4L, k = 16, seed = 7L)
+    assert(SketchStore.read(spark, kS).count() === 3L)
+  }
+
+  test("maintain opqIvfPq leg: upsert-batch file sets fold through " +
+      "the inner store's compact verb; answers identical; replay " +
+      "window survives; second run no-op") {
+    val kO = s"gvm-$runTag-opq"
+    AnnIndex.ensureOpqIvfPq(spark, kO, vecs.filter(col("vec_id") < 40),
+      lists = 4, iters = 2, numSub = 4, ksub = 16, pqIters = 2,
+      storageBuckets = 2)
+    AnnIndex.upsertOpqIvfPq(spark, kO,
+      vecs.filter(col("vec_id") >= 40 && col("vec_id") < 44),
+      batchId = Some(1L))
+    AnnIndex.upsertOpqIvfPq(spark, kO, vecs.filter(col("vec_id") >= 44),
+      batchId = Some(2L))
+    val q = vecs.filter(col("vec_id") % 7 === 1)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec")).localCheckpoint(true)
+    def answers() = AnnIndex.queryOpqIvfPq(q,
+      AnnIndex.openOpqIvfPq(spark, kO), k = 3, nProbe = 4, m = 48)
+      .select("query_id", "rank", "vec_id")
+      .collect().map(_.toSeq).toSet
+    val before = answers()
+    val scope = Governance.PurgeScope(opqIvfPq = Seq(kO))
+    val r1 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).head
+    assert(r1._1 === "ann_opqivfpq")
+    assert(r1._4 && r1._3 < r1._2,
+      s"opq leg must fold the inner upsert file sets: $r1")
+    assert(answers() === before,
+      "maintenance changed a composed-OPQ answer")
+    val r2 = Governance.maintain(spark, scope, maxFiles = 1)
+      .collect().map(r => r.getBoolean(4)).head
+    assert(!r2, "second opq maintenance run must be a no-op")
+    // the inner replay window survives the fold
+    val n = AnnIndex.openOpqIvfPq(spark, kO).inner.vecs.count()
+    AnnIndex.upsertOpqIvfPq(spark, kO, vecs.filter(col("vec_id") >= 44),
+      batchId = Some(2L))
+    assert(AnnIndex.openOpqIvfPq(spark, kO).inner.vecs.count() === n,
+      "fold must not reopen the composed upsert replay window")
+  }
 }

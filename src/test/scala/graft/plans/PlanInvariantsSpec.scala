@@ -718,5 +718,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assertPruned(PlaidIndex.plaidTopKFiltered(spark, key, qt, allowed,
       k = 2, nProbe = 2, mDocs = 4)
       .queryExecution.executedPlan.toString, "filtered rerank")
+    // FILTERED serving through the QUANTIZED stage 1 (round-15): the
+    // allowed-set semi-join must defeat NEITHER discipline — the
+    // filtered codes scan still carries the centroid partition
+    // literals AND its ReadSchema excludes the float embedding column
+    // (the stage-1 shape filteredServe hands plaidStage1Quantized)
+    val hFq = h.copy(
+      lists = h.lists.join(allowed, Seq("doc_id"), "left_semi"),
+      docCentroids = h.docCentroids.join(allowed, Seq("doc_id"),
+        "left_semi"))
+    val pfq = PlaidIndex.plaidStage1Quantized(qt, hFq, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assertPruned(pfq, "filtered quantized stage 1")
+    val fqScans = listScanLines(pfq)
+    assert(fqScans.forall(!_.contains("embedding")),
+      s"filtered quantized stage-1 scan reads the float embedding " +
+        s"column:\n${fqScans.mkString("\n")}")
+    assert(fqScans.exists(_.contains("codes")),
+      s"filtered quantized stage-1 scan does not read the codes " +
+        s"column:\n${fqScans.mkString("\n")}")
+    // and the public verb's visible plan (the exact float rerank —
+    // the shortlist is an eager checkpoint) keeps its literals too
+    assertPruned(PlaidIndex.plaidTopKFilteredQuantized(spark, key, qt,
+      allowed, k = 2, nProbe = 2, mDocs = 4)
+      .queryExecution.executedPlan.toString, "filtered quantized rerank")
   }
 }

@@ -1350,4 +1350,50 @@ class AnnIndexSpec extends AnyFunSuite {
       iters = 3)
     assert(hClear.lists.count() === tiled1536.count())
   }
+
+  test("listIndexes surfaces impact-layout STALENESS vs its postings " +
+      "twin (the rebuild-only contract, round 15): an upserted " +
+      "postings twin marks the banded layout stale with zero data " +
+      "scans; the re-band clears it; layouts without a twin never " +
+      "read stale") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "gamma delta epsilon"), (4L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val src = s"spec-$runTag-stale"
+    graft.sources.KeywordIndex.ensurePostings(spark, src, docs)
+    graft.sources.ImpactIndex.ensureImpacts(spark, src, docs)
+    val name = s"graft_kwbmw_${IndexStore.pathTag(src)}"
+    def row() = AnnIndex.listIndexes(spark)
+      .filter(col("name") === name).collect().head
+    assert(!row().getAs[Boolean]("stale"),
+      "twin fingerprints match at build — the banded layout is fresh")
+    // the streaming surface moves on: postings upsert in O(batch)
+    val tail = Seq((5L, "zeta eta theta")).toDF("doc_id", "text")
+    graft.sources.KeywordIndex.upsertPostings(spark, src, tail,
+      batchId = Some(1L))
+    val stale = row()
+    assert(stale.getAs[Boolean]("stale"),
+      "an upserted postings twin must mark the rebuild-only impact " +
+        "layout stale at the control plane")
+    // stale ≠ poisoned: the layout still serves (exact for the corpus
+    // it was built over)
+    assert(!stale.getAs[Boolean]("poisoned"))
+    // the scheduled re-band over the grown source clears it
+    graft.sources.ImpactIndex.ensureImpacts(spark, src,
+      docs.unionByName(tail))
+    assert(!row().getAs[Boolean]("stale"),
+      "re-banding over the grown corpus must clear the stale flag")
+    // a postings-less impact layout (no twin) never reads stale, and
+    // non-impact layouts report false
+    val lone = s"spec-$runTag-stalelone"
+    graft.sources.ImpactIndex.ensureImpacts(spark, lone, docs)
+    val flags = AnnIndex.listIndexes(spark)
+      .filter(col("name") ===
+        s"graft_kwbmw_${IndexStore.pathTag(lone)}" ||
+        col("layout") =!= "impacts")
+      .select("stale").collect().map(_.getBoolean(0))
+    assert(flags.forall(_ == false),
+      "stale must only fire on an impacts layout whose twin diverged")
+  }
 }

@@ -116,4 +116,50 @@ class OpqSpec extends AnyFunSuite {
     assert(after.filter(col("vec_id") < 2).count() === 0L)
     assert(after.count() === 12L) // 4 queries x k=3, from survivors
   }
+
+  test("upsertOpqIvfPq: the batch rides the STORED rotation — the " +
+      "upserted layout serves exact kNN over the grown corpus at " +
+      "full probes; batchId replay-skips; ensure over the grown " +
+      "corpus recognizes the composed fingerprint (no retrain)") {
+    val key = s"opqup-$runTag"
+    val d = 8
+    val raw = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(d)(c =>
+        (math.sin(i * 1.7 + c) * math.pow(0.7, c)).toFloat))
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    AnnIndex.ensureOpqIvfPq(spark, key,
+      raw.filter(col("vec_id") < 48), lists = 4, iters = 2,
+      numSub = 4, ksub = 16, pqIters = 2, storageBuckets = 2)
+    AnnIndex.upsertOpqIvfPq(spark, key,
+      raw.filter(col("vec_id") >= 48), batchId = Some(1L))
+    val h = AnnIndex.openOpqIvfPq(spark, key)
+    assert(h.inner.vecs.count() === 64L,
+      "the upserted tail did not land in the inner store")
+    val q = raw.filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec"))
+    val served = AnnIndex.queryOpqIvfPq(q, h, k = 3, nProbe = 4, m = 64)
+      .select("query_id", "rank", "vec_id")
+      .collect().map(_.toSeq).toSet
+    val exact = SimilaritySearch.bruteForceTopKAgg(q, raw, 3)
+      .select("query_id", "rank", "vec_id")
+      .collect().map(_.toSeq).toSet
+    assert(served === exact,
+      "upserted composed serve diverged from exact kNN at full probes")
+    // replay: the same batchId is skipped end-to-end
+    AnnIndex.upsertOpqIvfPq(spark, key,
+      raw.filter(col("vec_id") >= 48), batchId = Some(1L))
+    assert(AnnIndex.openOpqIvfPq(spark, key).inner.vecs.count() === 64L,
+      "a replayed upsert batch re-appended")
+    // the composed outer fingerprint makes the grown corpus FRESH:
+    // re-ensure must not retrain the rotation (file untouched)
+    val rotFile = java.nio.file.Paths.get(
+      new java.net.URI(h.rotation.inputFiles.head))
+    val mtime = java.nio.file.Files.getLastModifiedTime(rotFile)
+    AnnIndex.ensureOpqIvfPq(spark, key, raw, lists = 4, iters = 2,
+      numSub = 4, ksub = 16, pqIters = 2, storageBuckets = 2)
+    assert(java.nio.file.Files.getLastModifiedTime(rotFile) === mtime,
+      "ensure over the upserted corpus retrained the rotation — the " +
+        "outer fingerprint did not compose")
+  }
 }

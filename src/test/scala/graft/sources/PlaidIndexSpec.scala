@@ -292,6 +292,68 @@ class PlaidIndexSpec extends AnyFunSuite {
       chunks.filter(col("doc_id").isin(17L, 31L)), k = 2)))
   }
 
+  test("plaidTopKFilteredQuantized: the quantized filtered serve " +
+      "equals the full-scan MaxSim over ONLY the allowed docs; " +
+      "nothing disallowed served; a filter smaller than k still " +
+      "fills every slot (pre-filter semantics survive quantization)") {
+    val key = s"plaid-$runTag-fq"
+    PlaidIndex.ensurePlaid(spark, key, chunks, lists = 4, iters = 3)
+    val allowed = (0 until 40).map(_.toLong).filter(_ % 3 != 1)
+      .toDF("doc_id")
+    val got = PlaidIndex.plaidTopKFilteredQuantized(spark, key,
+      queryTokens, allowed, k = 3, nProbe = 4, mDocs = 40)
+    assert(got.filter(col("doc_id") % 3 === 1).count() === 0L,
+      "a disallowed doc surfaced through the quantized filtered serve")
+    assert(hits(got) === hits(LateInteraction.maxSimTopK(queryTokens,
+      chunks.filter(col("doc_id") % 3 =!= 1), k = 3)))
+    val tiny = Seq(17L, 31L).toDF("doc_id")
+    val gotTiny = PlaidIndex.plaidTopKFilteredQuantized(spark, key,
+      queryTokens, tiny, k = 2, nProbe = 4, mDocs = 40)
+    assert(gotTiny.groupBy("query_id").count()
+      .filter(col("count") =!= 2).count() === 0L,
+      "a restrictive filter starved the quantized top-k")
+    assert(hits(gotTiny) === hits(LateInteraction.maxSimTopK(queryTokens,
+      chunks.filter(col("doc_id").isin(17L, 31L)), k = 2)))
+  }
+
+  test("a torn upsert retry's duplicated rows change no served answer " +
+      "and compactPlaid reconciles the physical table with the " +
+      "intended corpus (the (doc_id, vec_id) dedup)") {
+    import org.apache.spark.sql.SaveMode
+    val key = s"plaid-$runTag-torn"
+    PlaidIndex.ensurePlaid(spark, key,
+      chunks.filter(col("doc_id") < 33), lists = 4, iters = 3)
+    PlaidIndex.upsertPlaid(spark, key,
+      chunks.filter(col("doc_id") >= 33), batchId = Some(1L))
+    def served() = hits(PlaidIndex.plaidTopK(spark, key, queryTokens,
+      k = 3, nProbe = 4, mDocs = 40))
+    val before = served()
+    val nIntended = PlaidIndex.openPlaid(spark, key).lists.count()
+    // simulate the documented torn window: the batch's rows re-append
+    // whole (membership + lists), the state a crash between the lists
+    // append and the meta commit followed by a same-batch retry leaves
+    val tag = IndexStore.pathTag(key)
+    val dup = spark.table(s"graft_plaid_lists_$tag")
+      .filter(col("doc_id") >= 33).localCheckpoint(true)
+    dup.select("doc_id", "centroid_id").distinct()
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"graft_plaid_doccent_$tag")
+    dup.write.mode(SaveMode.Append).partitionBy("centroid_id")
+      .format("parquet").saveAsTable(s"graft_plaid_lists_$tag")
+    spark.catalog.refreshTable(s"graft_plaid_lists_$tag")
+    spark.catalog.refreshTable(s"graft_plaid_doccent_$tag")
+    assert(PlaidIndex.openPlaid(spark, key).lists.count() > nIntended,
+      "the torn-retry simulation failed to duplicate rows")
+    assert(served() === before,
+      "torn-retry duplicates changed a served answer")
+    PlaidIndex.compactPlaid(spark, key)
+    assert(PlaidIndex.openPlaid(spark, key).lists.count() === nIntended,
+      "compaction must reconcile the physical rows with the intended " +
+        "corpus (meta n_rows)")
+    assert(served() === before,
+      "the reconciling fold changed a served answer")
+  }
+
   test("compactPlaid folds the upsert's per-batch file sets: fewer " +
       "files, served answers byte-identical, upsert replay window " +
       "survives, tombstones NOT folded (re-cluster is the fold)") {

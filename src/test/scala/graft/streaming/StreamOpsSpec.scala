@@ -1174,6 +1174,67 @@ class StreamOpsSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("streamingChat serves the ask loop from the PERSISTED PLAID " +
+      "layout (quantized two-stage late interaction) — answers " +
+      "byte-identical to the full-scan-MaxSim chat loop across " +
+      "history-conditioned batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LateInteraction
+    import org.apache.spark.sql.DataFrame
+    val docs = Seq(
+      (1L, "spark joins shuffle data across partitions for the merge step"),
+      (2L, "vector indexes answer similarity queries with cosine scores"),
+      (3L, "watermarks bound event time state in streaming aggregation"),
+      (4L, "broadcast joins avoid the shuffle for small dimension tables"))
+      .toDF("doc_id", "text")
+    val index = graft.rag.RagPipeline.buildIndex(spark, docs, chunkSize = 60)
+      .cache()
+    // the identity twin: full-scan MaxSim over every chunk, same
+    // doc-level context assembly — the reference ranking the quantized
+    // clustered serve must reproduce at a covering operating point
+    val fullScan: (DataFrame, DataFrame, Int) => DataFrame =
+      (queries, idx, k) =>
+        LateInteraction.maxSimTopK(LateInteraction.queryTokens(queries),
+          idx.select(col("doc_id"), col("chunk_id").as("vec_id"),
+            col("embedding")), k)
+          .join(StreamOps.docConcatText(idx), Seq("doc_id"))
+          .select("query_id", "rank", "doc_id", "score", "text")
+    val srcDir = "memfix!chatplaid"
+    def runLoop(retr: (DataFrame, DataFrame, Int) => DataFrame)
+        : Map[Long, Seq[(Long, String)]] = {
+      val got = scala.collection.mutable.Map[Long, Seq[(Long, String)]]()
+      val mem = MemoryStream[(Long, Long, String)]
+      val q = StreamOps.streamingChat(
+        mem.toDF().toDF("query_id", "user_id", "question"), index, k = 2,
+        retriever = retr) { (batch, id) =>
+        got(id) = batch.select("query_id", "answer")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+          .sortBy(_._1)
+      }.start()
+      mem.addData((1L, 7L, "spark shuffle merge"), (2L, 8L, "cosine vector"))
+      q.processAllAvailable()
+      // batch 1 retrieves through user 7's HISTORY-conditioned query —
+      // the longer token stream also rides the quantized stage 1
+      mem.addData((3L, 7L, "watermark streaming state"))
+      q.processAllAvailable()
+      q.stop()
+      got.toMap
+    }
+    // nProbe covers all 4 lists and mDocs covers the corpus: the
+    // stage-1 margin argument is vacuous at spec scale by construction
+    // (the measured margins live in MaxSimTune), so any diff is a
+    // plumbing bug, not an operating-point miss
+    val servedPlaid = runLoop(StreamOps.persistedPlaidRetriever(srcDir,
+      nProbe = 4, mDocs = 8, lists = 4))
+    val servedFull = runLoop(fullScan)
+    assert(servedPlaid === servedFull,
+      "the persisted-PLAID chat loop diverged from the full-scan " +
+        "MaxSim chat loop")
+    // and the layout genuinely served: it exists with the corpus rows
+    assert(graft.sources.PlaidIndex.plaidExists(spark, srcDir))
+    index.unpersist()
+  }
+
   test("streaming adaptive profiles: incremental (sum, count) state " +
       "equals the batch VectorMeanAgg profile; adaptive retrieval " +
       "through the streamed profiles matches the batch path") {
