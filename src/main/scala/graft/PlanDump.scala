@@ -55,7 +55,8 @@ object PlanDump {
       "q81_bm25_persisted" -> "persisted BM25 with STORED stats: exactly ONE FileScan of graft_kw_postings_* (the scoring join) — corpus stats are literals from the meta and the query-term df comes from the vocabulary-sized graft_kw_dfs_* side table on a BroadcastExchange; the round-12 per-call full-postings stats/df aggregates are gone from the plan (PlanInvariantsSpec pins the scan count)",
       "q240_bm25_wand" -> "block-max WAND serving: theta phase scans ONLY the top impact bands (PartitionFilters: block < p1Bands on the band-partitioned graft_kwbmw_impacts_* table), the essential-terms window and band-survivor test run over query-batch-sized broadcast frames, and the exact-rescore scan's per-(query,doc) aggregate receives candidate rows only — the exhaustive path's sum-over-every-posting exchange is the thing this plan deletes",
       "q242_plaid_maxsim" -> "PLAID-clustered MaxSim (invariant query — carries the full-scan verification branch too): the probed/candidate centroid sets (bounded by the LIST count, ≤32 here) land as static partition LITERALS on the graft_plaid_lists_* scans — PartitionFilters shows centroid_id IN (…)/= and the file index lists ONLY the named centroid_id= directories; stage 1 reads probed lists' bytes only, stage 2's exact rerank reads only the partitions named by the candidates' doc-to-centroid membership rows (the round-13 isnotnull-only full-directory read is gone; PlanInvariantsSpec pins the pruned shape)",
-      "q247_plaidq_maxsim" -> "QUANTIZED PLAID serving (invariant query — carries the full-scan branch): the stage-1 shortlist is an eager checkpoint built from the probed partitions' int8 columns only (its scan's ReadSchema carries codes/qscale/qnorm, never the float embedding — the 4× byte cut multiplying the partition literals; PlanInvariantsSpec pins both), so the graft_plaid_lists_* scans visible in THIS plan are the exact float rerank's, restricted to the candidates' membership partitions via centroid_id literals")
+      "q247_plaidq_maxsim" -> "QUANTIZED PLAID serving (invariant query — carries the full-scan branch): the stage-1 shortlist is an eager checkpoint built from the probed partitions' int8 columns only (its scan's ReadSchema carries codes/qscale/qnorm, never the float embedding — the 4× byte cut multiplying the partition literals; PlanInvariantsSpec pins both), so the graft_plaid_lists_* scans visible in THIS plan are the exact float rerank's, restricted to the candidates' membership partitions via centroid_id literals",
+      "q250_plaidq_filtered" -> "FILTERED quantized PLAID serving (round 15 — invariant query carrying the filtered full-scan branch): the allowed-set semi-join restricts the int8 CODES scan, so the metadata filter costs a broadcast semi-join, not the float bytes back — the stage-1 shortlist (eager checkpoint, not in this plan) reads probed partitions × quantized columns under the filter, and the visible graft_plaid_lists_* scans are the exact float rerank's over the allowed candidates' membership partitions, centroid_id literals intact (PlanInvariantsSpec pins the filtered stage-1 shape: partition literals + no-embedding ReadSchema)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of representative queries\n\n")
     sb.append("Generated by `graft.PlanDump` on sf0.01. What to look for:\n")

@@ -2198,10 +2198,19 @@ object AnnIndex {
     * tombstone clash guard, and `batchId` replay-skip. The outer
     * meta's (n_rows, checksum) compose with the ORIGINAL-space batch
     * fingerprint, so a later [[ensureOpqIvfPq]] over the grown corpus
-    * recognizes the layout as fresh. Crash window: an inner commit
-    * without the outer meta commit leaves the outer checksum behind
-    * the data — the next ensure sees the mismatch and rebuilds (the
-    * safe direction: a redundant retrain, never a wrong answer).
+    * recognizes the layout as fresh. Crash ordering: the outer
+    * checksum is INVALIDATED before the inner append (the
+    * [[KeywordIndex]] stats discipline) — without it, a crash between
+    * the inner commit and the outer meta commit would leave the outer
+    * fingerprint still matching the PRE-upsert corpus while the inner
+    * store already holds the batch, and the next ensure over that
+    * original corpus would silently reuse a layout serving vec_ids
+    * the claimed source does not contain. With the invalidation,
+    * every crash point inside the upsert leaves a checksum-less outer
+    * meta, which no ensure can match — the recovery is a redundant
+    * retrain, never a wrong answer. A retry whose inner batch already
+    * committed replay-skips and deliberately does NOT restore the
+    * checksum: only a fully successful upsert re-certifies the layout.
     */
   def upsertOpqIvfPq(
       spark: SparkSession,
@@ -2227,11 +2236,19 @@ object AnnIndex {
       .withColumn("embedding", col("embedding").cast("array<float>"))
       .localCheckpoint(true)
     val (nNew, fpNew) = fingerprint(newVecs.select("vec_id", "embedding"))
+    // invalidate-before-append: a checksum-less outer meta is
+    // un-matchable by ensure, so every crash point below forces the
+    // safe rebuild instead of serving an inner store that is ahead of
+    // the outer fingerprint
+    val fpOld = meta.get("checksum")
+    writeMetaFull(base, (meta - "checksum").toSeq, Nil)
     upsertIvfPq(spark, innerKey, rotated, batchId)
     writeMetaFull(base,
       (meta - "n_rows" - "checksum").toSeq ++
-        Seq("n_rows" -> (meta("n_rows") + nNew),
-          "checksum" -> (meta("checksum") ^ fpNew)),
+        Seq("n_rows" -> (meta("n_rows") + nNew)) ++
+        // a retry over an already-torn layout (no stored checksum)
+        // has nothing sound to compose — leave it invalid for ensure
+        fpOld.map(c => "checksum" -> (c ^ fpNew)).toSeq,
       Nil)
     openOpqIvfPq(spark, sourceDir)
   }

@@ -162,4 +162,45 @@ class OpqSpec extends AnyFunSuite {
       "ensure over the upserted corpus retrained the rotation — the " +
         "outer fingerprint did not compose")
   }
+
+  test("upsertOpqIvfPq crash window (invalidate-before-append): a " +
+      "torn layout — inner store ahead, outer checksum invalidated — " +
+      "can never be reused by ensure; the rebuild restores exactly " +
+      "the claimed corpus") {
+    val key = s"opqtorn-$runTag"
+    val d = 8
+    val raw = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(d)(c =>
+        (math.cos(i * 2.3 + c) * math.pow(0.75, c)).toFloat))
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    val base = raw.filter(col("vec_id") < 48)
+    AnnIndex.ensureOpqIvfPq(spark, key, base, lists = 4, iters = 2,
+      numSub = 4, ksub = 16, pqIters = 2, storageBuckets = 2)
+    // reproduce the exact state a crash inside upsertOpqIvfPq leaves:
+    // the verb invalidates the outer checksum FIRST, then the inner
+    // append commits, then it dies before the final outer meta write —
+    // run the full upsert and surgically roll the outer meta back to
+    // the invalidated form (checksum absent, n_rows still the base's)
+    AnnIndex.upsertOpqIvfPq(spark, key,
+      raw.filter(col("vec_id") >= 48), batchId = Some(1L))
+    val metaBase = s"${AnnIndex.annBase(spark)}" +
+      s"/graft_ann_opqivfpq_${IndexStore.pathTag(key)}"
+    val m = AnnIndex.readMeta(metaBase)
+    AnnIndex.writeMetaFull(metaBase,
+      (m - "checksum" - "n_rows").toSeq ++ Seq("n_rows" -> 48L), Nil)
+    assert(AnnIndex.openOpqIvfPq(spark, key).inner.vecs.count() === 64L)
+    // ensure over the PRE-upsert corpus: a checksum-less outer meta is
+    // un-matchable, so this REBUILDS — under the old commit ordering
+    // (outer fingerprint intact while the inner ran ahead) it would
+    // have silently reused a layout serving 16 vec_ids the claimed
+    // source does not contain
+    AnnIndex.ensureOpqIvfPq(spark, key, base, lists = 4, iters = 2,
+      numSub = 4, ksub = 16, pqIters = 2, storageBuckets = 2)
+    val h = AnnIndex.openOpqIvfPq(spark, key)
+    assert(h.inner.vecs.count() === 48L,
+      "ensure over the pre-upsert corpus must rebuild the torn " +
+        "layout down to exactly the claimed rows")
+    assert(h.inner.vecs.filter(col("vec_id") >= 48).count() === 0L,
+      "the torn tail must not survive the recovery rebuild")
+  }
 }
