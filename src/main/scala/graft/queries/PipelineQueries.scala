@@ -4678,6 +4678,63 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_disallowed_served")))
     }),
 
+    // IMPACT-LAYOUT STALENESS CONTRACT UNDER THE ORACLE (round 15 —
+    // the rebuild-only contract made EXPLICIT, r14 verdict #5): the
+    // KeywordIndex postings twin is THE streaming lexical serving
+    // surface (O(batch) upserts, exact BM25 under fresh statistics);
+    // the impact-banded layout bakes df/avgdl/gmax at build and is
+    // re-banded on a schedule. Between re-bands it is STALE — exact
+    // for the corpus it was built over, behind the streaming surface —
+    // and that state is decidable at the control plane with ZERO data
+    // scans: both layouts fingerprint (n_docs, checksum) over
+    // (doc_id, text) and the postings one xor-composes across
+    // upserts, so listIndexes' `stale` column is a meta-only compare.
+    // This query drives the full lifecycle: fresh twins (not stale) →
+    // postings upsert (stale, NOT poisoned — it still serves) →
+    // re-band over the grown corpus (cleared). Deterministic on
+    // replay runs: each ensure re-fingerprints, so a replayed build
+    // rebuilds to the same state.
+    "q252_impact_staleness" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{AnnIndex, ImpactIndex, IndexStore,
+        KeywordIndex}
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .localCheckpoint(true)
+      val key = s"$dir#stale"
+      val base = docs.filter(col("doc_id") % 10 =!= 7)
+      val tail = docs.filter(col("doc_id") % 10 === 7)
+        .localCheckpoint(true)
+      KeywordIndex.ensurePostings(s, key, base)
+      ImpactIndex.ensureImpacts(s, key, base)
+      val name = s"graft_kwbmw_${IndexStore.pathTag(key)}"
+      def flags() = AnnIndex.listIndexes(s)
+        .filter(col("name") === name)
+        .select(
+          when(col("stale"), 1L).otherwise(0L).as("st"),
+          when(col("poisoned"), 1L).otherwise(0L).as("po"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+      val fresh = flags()
+      // no batchId: the postings layout REBUILDS at step 1 on a replay
+      // run but keeps its monotonic batch counter (the streaming
+      // contract), so a fixed id would read as a replay and skip —
+      // this upsert must apply on every run to drive the lifecycle
+      KeywordIndex.upsertPostings(s, key, tail)
+      val upserted = flags()
+      // the stale layout still SERVES (exact for its built corpus):
+      // wandTopK answers without a poison refusal
+      val servedFlag =
+        if (ImpactIndex.wandTopK(s, key, retrievalQueryDf(s), k = 3)
+          .count() > 0L) 1L else 0L
+      ImpactIndex.ensureImpacts(s, key, docs)
+      val rebanded = flags()
+      Seq((fresh._1, fresh._2, upserted._1, upserted._2, rebanded._1,
+          rebanded._2, servedFlag))
+        .toDF("stale_fresh", "poisoned_fresh", "stale_after_upsert",
+          "poisoned_after_upsert", "stale_after_reband",
+          "poisoned_after_reband", "served_while_stale")
+        .crossJoin(tail.agg(count(lit(1)).as("n_tail")))
+    }),
+
     // ROUND-15 MAINTENANCE LEGS UNDER THE ORACLE (the q249 discipline
     // for the three legs this round adds/repairs): the SKETCH store
     // appends one KMV pane file-set per micro-batch forever (the last
@@ -8455,6 +8512,19 @@ object PipelineQueries {
         |CAST(5 AS BIGINT) AS n_queries,
         |CAST(0 AS BIGINT) AS n_diff,
         |CAST(0 AS BIGINT) AS n_disallowed_served""".stripMargin,
+    // impact staleness lifecycle: fresh twins not stale, an upserted
+    // postings twin marks the banded layout stale (never poisoned —
+    // it keeps serving), the re-band clears it; tail count replayed
+    "q252_impact_staleness" ->
+      """SELECT CAST(0 AS BIGINT) AS stale_fresh,
+        |CAST(0 AS BIGINT) AS poisoned_fresh,
+        |CAST(1 AS BIGINT) AS stale_after_upsert,
+        |CAST(0 AS BIGINT) AS poisoned_after_upsert,
+        |CAST(0 AS BIGINT) AS stale_after_reband,
+        |CAST(0 AS BIGINT) AS poisoned_after_reband,
+        |CAST(1 AS BIGINT) AS served_while_stale,
+        |(SELECT count(*) FROM documents WHERE doc_id % 10 = 7)
+        |  AS n_tail""".stripMargin,
     // round-15 maintain legs: three layouts examined, nothing compacts
     // on the second below-floor run, answers identical on all three
     // surfaces; group/query/input counts replayed from the fixtures
