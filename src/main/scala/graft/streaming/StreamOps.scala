@@ -314,9 +314,15 @@ object StreamOps {
           index.select(col("doc_id"), col("chunk_id").as("vec_id"),
             col("embedding")), lists = lists)
       val qt = graft.operators.LateInteraction.queryTokens(queries)
-      graft.sources.PlaidIndex
+      // winners first (bounded: k rows per query, eager), THEN the
+      // per-doc text concat restricted to them — the context aggregate
+      // costs the winning docs' chunks, never a corpus-sized groupBy
+      val top = graft.sources.PlaidIndex
         .plaidTopKQuantized(spark, sourceDir, qt, k, nProbe, mDocs)
-        .join(docConcatText(index), Seq("doc_id"))
+        .localCheckpoint(true)
+      top.join(docConcatText(index.join(
+          broadcast(top.select("doc_id").distinct()), Seq("doc_id"),
+          "left_semi")), Seq("doc_id"))
         .select("query_id", "rank", "doc_id", "score", "text")
     }
   }
