@@ -192,9 +192,10 @@ object Governance {
       receipt += (("ann_ivf_bq", d, "tombstoned", nIds))
     }
     scope.opqIvfPq.foreach { d =>
-      // the composed layout deletes THROUGH its inner IVF-PQ store
-      AnnIndex.deleteIvfPq(spark, AnnIndex.opqIvfPqInnerKey(d),
-        victims, batchId)
+      // the composed delete verb: tombstones through the inner IVF-PQ
+      // store AND invalidates the outer checksum, so a later ensure
+      // can never reuse the layout after the tombstone fold
+      AnnIndex.deleteOpqIvfPq(spark, d, victims, batchId)
       receipt += (("ann_opq_ivf_pq", d, "tombstoned", nIds))
     }
     scope.graphs.foreach { d =>
@@ -566,12 +567,15 @@ object Governance {
     leg("dedup_near", scope.dedupNear,
       k => { val (bands, sigs) = DedupStore.readNearFrames(spark, k)
         Seq(bands, sigs) },
-      // the sigs fold width clamps to the threshold (the kw_postings/
-      // split pattern) — an unclamped default-8 fold parks the layout
-      // above any lower threshold and recompacts it every run (the
-      // round-14 advice defect)
-      k => DedupStore.compactNear(spark, k,
-        sigFiles = math.max(1, math.min(8, maxFiles))))
+      // the sigs fold width must land AT floorOf's estimate for its
+      // dir — which is 1 (plain dir, non-bucketed names) — or the
+      // folded layout sits above the computed floor and recompacts
+      // every run at ANY threshold: with width w and B bands files,
+      // post-fold count B+w vs floor B+1, so any w>1 re-trips the
+      // B+w > max(maxFiles, B+1) check for maxFiles < B+w. Clamping
+      // to min(8, maxFiles) (the first fix attempt) only closed the
+      // maxFiles=1 case; width 1 closes every threshold
+      k => DedupStore.compactNear(spark, k, sigFiles = 1))
     leg("dedup_lines", scope.dedupLines,
       k => if (DedupStore.lineCount(spark, k) > 0L)
         Seq(DedupStore.readLineDf(spark, k)) else Seq.empty,

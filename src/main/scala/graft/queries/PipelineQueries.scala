@@ -4770,7 +4770,12 @@ object PipelineQueries {
       val fl = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<float>").as("embedding"))
         .localCheckpoint(true)
-      if (!AnnIndex.opqIvfPqExists(s, kO, lists = 8))
+      // the guard must name EVERY build param (defaults differ:
+      // numSub 16/ksub 64) or it reads false on replay runs and the
+      // re-ensure retrains the layout down to the base slice — the
+      // upsert legs then replay-skip and never return
+      if (!AnnIndex.opqIvfPqExists(s, kO, lists = 8, iters = 2,
+          numSub = 8, ksub = 16, pqIters = 2))
         AnnIndex.ensureOpqIvfPq(s, kO, fl.filter(col("vec_id") % 5 =!= 0),
           lists = 8, iters = 2, numSub = 8, ksub = 16, pqIters = 2)
       AnnIndex.upsertOpqIvfPq(s, kO, fl.filter(col("vec_id") % 10 === 0),

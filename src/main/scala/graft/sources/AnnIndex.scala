@@ -2113,7 +2113,15 @@ object AnnIndex {
       parquetReadable(spark, s"$base/rotation") &&
       ivfPqExists(spark, innerKey, lists = lists, iters = iters,
         numSub = numSub, ksub = ksub, pqIters = pqIters,
-        storageBuckets = storageBuckets)
+        storageBuckets = storageBuckets) &&
+      // a tombstoned inner layout no longer equals ANY fingerprintable
+      // corpus (the ensureSq8 tombFree discipline, applied through the
+      // composition): deletes driven at the inner key directly — the
+      // pre-[[deleteOpqIvfPq]] path — never touched the outer
+      // checksum, so without this probe an ensure over the pre-delete
+      // corpus would reuse a layout serving survivors only
+      readMeta(ivfPqBase(spark, IndexStore.pathTag(innerKey)))
+        .get("tomb_rows").forall(_ == 0L)
     if (!fresh) {
       val model = SimilaritySearch.rotationModel(
         index.select("vec_id", "embedding"))
@@ -2160,13 +2168,20 @@ object AnnIndex {
   }
 
   def opqIvfPqExists(spark: SparkSession, sourceDir: String,
-      lists: Int = 64, numSub: Int = 16, ksub: Int = 64): Boolean = {
+      lists: Int = 64, numSub: Int = 16, ksub: Int = 64,
+      iters: Int = 5, pqIters: Int = 2,
+      storageBuckets: Int = 8): Boolean = {
     val meta = readMeta(opqIvfPqBase(spark, IndexStore.pathTag(sourceDir)))
     meta.get("lists").contains(lists.toLong) &&
       meta.get("num_sub").contains(numSub.toLong) &&
       meta.get("ksub").contains(ksub.toLong) &&
+      // every inner build param forwards — an exists probe that pins
+      // fewer params than the ensure it guards reads false forever on
+      // a non-default layout and turns the guard into a retrain-every-
+      // run (the q251 replay defect this signature extension fixes)
       ivfPqExists(spark, opqIvfPqInnerKey(sourceDir), lists = lists,
-        numSub = numSub, ksub = ksub)
+        iters = iters, numSub = numSub, ksub = ksub,
+        pqIters = pqIters, storageBuckets = storageBuckets)
   }
 
   /** Serve through the composed layout: rotate the queries through the
@@ -2253,15 +2268,46 @@ object AnnIndex {
     openOpqIvfPq(spark, sourceDir)
   }
 
+  /** Delete through the COMPOSED layout (round 15 — the purge leg's
+    * verb): tombstones land in the inner rotated IVF-PQ store
+    * ([[deleteIvfPq]] — idempotent, anti-join-served, foldable), and
+    * the OUTER checksum is dropped FIRST. Without the invalidation the
+    * outer (n_rows, checksum) keep describing the pre-delete corpus,
+    * and once [[compactOpqIvfPq]] folds the inner tombstones a later
+    * [[ensureOpqIvfPq]] over that original corpus would match the
+    * outer fingerprint, find the inner layout param-clean, and
+    * silently reuse an index missing the purged vectors — the same
+    * wrong-answer class [[upsertOpqIvfPq]]'s invalidate-before-append
+    * guards on the grow side. A checksum-less outer meta is
+    * un-matchable, so any later ensure rebuilds (re-admitting erased
+    * ids IF the claimed source still contains them — the honest
+    * ensure contract every tombstoned family shares).
+    */
+  def deleteOpqIvfPq(
+      spark: SparkSession,
+      sourceDir: String,
+      ids: DataFrame,
+      batchId: Option[Long] = None): OpqIvfPqHandle = {
+    val base = opqIvfPqBase(spark, IndexStore.pathTag(sourceDir))
+    val meta = readMeta(base)
+    require(meta.contains("num_sub"),
+      s"deleteOpqIvfPq needs an existing OPQ-IVF-PQ layout for " +
+        s"'$sourceDir' — run ensureOpqIvfPq first")
+    writeMetaFull(base, (meta - "checksum").toSeq, Nil)
+    deleteIvfPq(spark, opqIvfPqInnerKey(sourceDir), ids, batchId)
+    openOpqIvfPq(spark, sourceDir)
+  }
+
   /** Fold the composed layout's accumulated upsert/tombstone file
     * sets. The rotation is one immutable file written at build time;
     * everything that grows lives in the inner rotated IVF-PQ store,
     * whose [[compactIvfPq]] does the work — including the tombstone
-    * fold for deletes issued through the inner path (the layout's
-    * purge leg). The outer meta is untouched: its (n_rows, checksum)
-    * describe the original-space corpus, which a pure file fold never
-    * changes, and a tombstone fold already moves the layout past any
-    * ensure-recognizable state through the INNER meta.
+    * fold for deletes issued through [[deleteOpqIvfPq]] (the layout's
+    * purge leg). The outer meta is untouched HERE: a pure file fold
+    * never changes the corpus, and the delete verb already
+    * invalidated the outer checksum, so a folded-tombstone layout
+    * stays un-matchable by ensure (rebuild on next ensure — never a
+    * silent reuse of an index missing its purged vectors).
     */
   def compactOpqIvfPq(spark: SparkSession,
       sourceDir: String): OpqIvfPqHandle = {

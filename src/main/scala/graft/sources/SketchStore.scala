@@ -115,8 +115,14 @@ object SketchStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$b/panes")
-    writeMeta(b, "last_batch_id" -> batchId, "k" -> k.toLong,
-      "seed" -> seed)
+    // verify_floor rides through (compactPanes/expirePanes set it):
+    // dropping it here would re-open content verification for folded
+    // batch ids whose original panes no longer exist — the first
+    // ingest after a compaction would make a later TRUE replay of a
+    // folded id fail loudly instead of no-opping
+    writeMeta(b, Seq("last_batch_id" -> batchId, "k" -> k.toLong,
+      "seed" -> seed) ++
+      meta.get("verify_floor").map("verify_floor" -> _): _*)
   }
 
   /** True iff the store has a committed batch (the maintenance
@@ -202,9 +208,12 @@ object SketchStore {
     * sketch of everything ever ingested.
     */
   def read(spark: SparkSession, storeKey: String): DataFrame = {
+    // panesDf carries the loud missing-store require — it must fire
+    // before the k lookup, or an absent store reads as a bare
+    // key-not-found instead of the documented message
+    val panes = panesDf(spark, storeKey)
     val k = readMeta(base(spark, storeKey))("k").toInt
-    panesDf(spark, storeKey)
-      .groupBy("grp")
+    panes.groupBy("grp")
       .agg(Sketches.kmvMergeAgg(col("kmv"), k).as("kmv"))
   }
 

@@ -531,6 +531,28 @@ class GovernanceSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(replay === out2,
       "compaction changed a replayed near-dedup answer")
+    // INTERMEDIATE thresholds must converge too: a second store driven
+    // at maxFiles=3 folds once then no-ops — the first fix attempt
+    // (sigs width = min(8, maxFiles)) closed only maxFiles=1, because
+    // any width above the flat dir's path-derived floor of 1 leaves
+    // the layout above the estimate and recompacting forever
+    val kN3 = s"gvm-$runTag-near3"
+    DedupStore.nearDedupBatch(spark, kN3,
+      docs.filter(col("doc_id") < 15), batchId = 1L)
+    DedupStore.nearDedupBatch(spark, kN3,
+      docs.filter(col("doc_id") >= 15), batchId = 2L)
+    val scope3 = Governance.PurgeScope(dedupNear = Seq(kN3))
+    val r3a = Governance.maintain(spark, scope3, maxFiles = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .head
+    assert(r3a._3 && r3a._2 < r3a._1,
+      s"near store must fold at an intermediate threshold: $r3a")
+    val r3b = Governance.maintain(spark, scope3, maxFiles = 3)
+      .collect().map(r => r.getBoolean(4)).head
+    assert(!r3b,
+      "an at-floor near store must not recompact at maxFiles=3 — the " +
+        "fold width must land at the path-derived floor, not at the " +
+        "threshold")
   }
 
   test("maintain plaid leg measures the FOLDABLE surfaces only: a " +
@@ -619,6 +641,20 @@ class GovernanceSpec extends AnyFunSuite {
     SketchStore.update(spark, kS, items(60, 70), "grp", col("item"),
       batchId = 4L, k = 16, seed = 7L)
     assert(SketchStore.read(spark, kS).count() === 3L)
+    // and the fold horizon SURVIVES that ingest: update's meta rewrite
+    // must carry verify_floor through, or this true replay of a folded
+    // id — whose original pane no longer exists — would fail its
+    // content verification against the merged pane instead of no-opping
+    val afterIngest = SketchStore.read(spark, kS)
+      .select(col("grp"), array_sort(col("kmv")).as("kmv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSet
+    SketchStore.update(spark, kS, items(40, 60), "grp", col("item"),
+      batchId = 3L, k = 16, seed = 7L)
+    assert(SketchStore.read(spark, kS)
+      .select(col("grp"), array_sort(col("kmv")).as("kmv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSet
+      === afterIngest,
+      "a folded-batch replay after a post-fold ingest must no-op")
   }
 
   test("maintain opqIvfPq leg: upsert-batch file sets fold through " +

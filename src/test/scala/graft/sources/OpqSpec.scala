@@ -163,6 +163,47 @@ class OpqSpec extends AnyFunSuite {
         "outer fingerprint did not compose")
   }
 
+  test("deleteOpqIvfPq invalidates the outer checksum: after the " +
+      "tombstone FOLD, ensure over the pre-delete corpus REBUILDS " +
+      "(re-admitting the erased ids its claimed source contains) " +
+      "instead of silently reusing a layout missing the purged " +
+      "vectors") {
+    val key = s"opqdel-$runTag"
+    val d = 8
+    val raw = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(d)(c =>
+        (math.sin(i * 3.1 + c) * math.pow(0.7, c)).toFloat))
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    AnnIndex.ensureOpqIvfPq(spark, key, raw, lists = 4, iters = 2,
+      numSub = 4, ksub = 16, pqIters = 2, storageBuckets = 2)
+    AnnIndex.deleteOpqIvfPq(spark, key,
+      raw.filter(col("vec_id") < 8).select("vec_id"), batchId = Some(1L))
+    // survivors-only serving while tombstoned (the anti-join contract)
+    assert(AnnIndex.openOpqIvfPq(spark, key).inner.vecs.count() === 56L)
+    // the fold removes the tombstones — the exact state the stale
+    // outer fingerprint would have mis-certified as the full corpus
+    AnnIndex.compactOpqIvfPq(spark, key)
+    AnnIndex.ensureOpqIvfPq(spark, key, raw, lists = 4, iters = 2,
+      numSub = 4, ksub = 16, pqIters = 2, storageBuckets = 2)
+    val h = AnnIndex.openOpqIvfPq(spark, key)
+    assert(h.inner.vecs.count() === 64L,
+      "ensure over the pre-delete corpus must rebuild the purged " +
+        "layout back to the claimed rows — the invalidated outer " +
+        "checksum exists exactly so this cannot silently reuse")
+    // and the UN-folded tombstoned state is equally un-reusable (the
+    // inner tombFree probe): delete again, ensure over the survivors
+    // this time — the honest rebuild direction both ways
+    AnnIndex.deleteOpqIvfPq(spark, key,
+      raw.filter(col("vec_id") < 8).select("vec_id"), batchId = Some(2L))
+    val survivors = raw.filter(col("vec_id") >= 8)
+    AnnIndex.ensureOpqIvfPq(spark, key, survivors, lists = 4, iters = 2,
+      numSub = 4, ksub = 16, pqIters = 2, storageBuckets = 2)
+    val h2 = AnnIndex.openOpqIvfPq(spark, key)
+    assert(h2.inner.vecs.count() === 56L &&
+      h2.inner.vecs.filter(col("vec_id") < 8).count() === 0L,
+      "ensure over the survivors must rebuild clean (tombFree)")
+  }
+
   test("upsertOpqIvfPq crash window (invalidate-before-append): a " +
       "torn layout — inner store ahead, outer checksum invalidated — " +
       "can never be reused by ensure; the rebuild restores exactly " +
