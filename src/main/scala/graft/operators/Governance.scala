@@ -398,7 +398,7 @@ object Governance {
         .map(_.group(1).toLong).getOrElse(throw new IllegalStateException(
           s"purge log '$logDir': unparseable meta"))
     if (batchId <= committed)
-      return spark.read.parquet(s"$logDir/audit")
+      return graft.sources.ParquetIO.read(spark, s"$logDir/audit")
         .filter(col("batch_id") === batchId)
         .drop("batch_id")
     val idCol = ids.columns.head
@@ -411,7 +411,7 @@ object Governance {
     // crash-retry append exclusion per table (the DedupStore rule)
     def appendOnce(df: DataFrame, dir: String): Unit = {
       val already = Files.exists(Paths.get(dir)) &&
-        spark.read.parquet(dir)
+        graft.sources.ParquetIO.read(spark, dir)
           .filter(col("batch_id") === batchId).limit(1)
           .collect().nonEmpty
       if (!already)
@@ -442,7 +442,7 @@ object Governance {
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(logDir, "_purgelog_meta.json")),
       s"no committed purge log at '$logDir'")
-    spark.read.parquet(s"$logDir/$table")
+    graft.sources.ParquetIO.read(spark, s"$logDir/$table")
       .dropDuplicates() // a crash between append and meta can double
   }
 
@@ -632,7 +632,7 @@ object Governance {
         val garbage = s"$live" +
           s"__garbage_${ProcessHandle.current.pid}"
         rm(side)
-        spark.read.parquet(live).dropDuplicates()
+        graft.sources.ParquetIO.read(spark, live).dropDuplicates()
           .coalesce(numFiles)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(side)

@@ -327,6 +327,10 @@ object SimilaritySearch {
     val l2sq = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0d), (acc, v) => acc + v)
+    // dsub is needed STATICALLY for the one-aggregate refresh below —
+    // one bounded head() per training call, paid once (vs the per-round
+    // shuffles it deletes)
+    val dsub = sub.select(size(col("subvec"))).head().getInt(0)
     for (_ <- 1 to iters) {
       val assigned = sub.join(broadcast(c), Seq("sub_id"))
         .withColumn("d2", l2sq(col("subvec"), col("centroid_vec")))
@@ -335,14 +339,20 @@ object SimilaritySearch {
           struct(col("d2"), col("centroid_id"))).as("w"))
         .select(col("sub_id"), col("w.centroid_id").as("centroid_id"),
           col("w.subvec").as("subvec"))
+      // re-average in ONE (sub, centroid) aggregate: per-element avg
+      // columns reassembled into the centroid array. The previous form
+      // posexploded to (sub, centroid, dim) rows and paid TWO shuffles
+      // (per-dim avg, then collect_list+sort reassembly) per Lloyd
+      // round; element-wise avg over the same rows computes the same
+      // means from one exchange and no row blow-up
+      val means = (0 until dsub).map(i =>
+        avg(col("subvec").getItem(i)).as(s"__m$i"))
       val refreshed = assigned
-        .select(col("sub_id"), col("centroid_id"),
-          posexplode(col("subvec")).as(Seq("dim", "v")))
-        .groupBy("sub_id", "centroid_id", "dim")
-        .agg(avg("v").as("mean_v"))
         .groupBy("sub_id", "centroid_id")
-        .agg(array_sort(collect_list(struct(col("dim"), col("mean_v"))))
-          .getField("mean_v").as("centroid_vec"))
+        .agg(means.head, means.tail: _*)
+        .select(col("sub_id"), col("centroid_id"),
+          array((0 until dsub).map(i => col(s"__m$i")): _*)
+            .as("centroid_vec"))
       c = refreshed.unionByName(
           c.join(refreshed.select("sub_id", "centroid_id"),
             Seq("sub_id", "centroid_id"), "left_anti"))

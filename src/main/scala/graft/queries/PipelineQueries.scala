@@ -20,6 +20,25 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String) =
     Tables.load(s, dir, name)
 
+  /** Scale-adaptive fan-out for CPU-heavy per-row passes (md5/KMV
+    * hashing, shingling, deflate, n-gram explodes): the small fixture
+    * parquet reads as 1–3 row-group-bound splits, serializing the whole
+    * pass on a 32-core session (the q226 embed-pass finding, measured
+    * again on q173: the 7-column md5+KMV aggregate ran 6.9 s on the
+    * 3-split scan vs 1.85 s after a 32-way fan-out, shuffle included).
+    * No-op whenever the input already carries >= defaultParallelism
+    * partitions — the 100 TB case, where a blanket repartition would be
+    * a full payload shuffle for nothing. Only for ORDER-INSENSITIVE
+    * consumers (exact counts/min/max/integer sums, hash sketches):
+    * round-robin repartition reorders rows, so a float-summation
+    * consumer could shift in the last ulp.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= p) df
+    else df.repartition(p)
+  }
+
   /** Fixed retrieval query strings (vocabulary-aligned with the fixture
     * corpus so top-4 is non-degenerate).
     */
@@ -1361,7 +1380,9 @@ object PipelineQueries {
     // count(DISTINCT) honesty panel (the Expand the sketch replaces —
     // the exact=false production call is spec-pinned Expand-free).
     "q173_column_stats" -> ((s, dir) =>
-      Analyze.columnStats(t(s, dir, "lineitem"),
+      // fanOut: every statistic here is order-insensitive (KMV sketch,
+      // exact count/min/max, integer length sums) — see the helper doc
+      Analyze.columnStats(fanOut(t(s, dir, "lineitem")),
         Seq("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag", "l_linestatus",
           "l_shipdate"), k = 128, seed = 13L, exact = true)),
@@ -4939,7 +4960,8 @@ object PipelineQueries {
     // propagation, the 100 TB answer to boilerplate chains; same
     // recursive-CTE oracle as q53 proves output identity.
     "q80_cc_logrounds" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), k = 3,
+      // fanOut: the q53 rationale
+      val pairs = Dedup.ngramJaccard(fanOut(t(s, dir, "documents")), k = 3,
         threshold = 0.12)
       Dedup.clustersAlternating(pairs).select("doc_id", "cluster_id")
     }),
@@ -5091,7 +5113,10 @@ object PipelineQueries {
 
     // A9: near-dup cluster assignment (min-label connected components)
     "q53_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), k = 3,
+      // fanOut: shingle explode + self-join are CPU-bound and the
+      // fixture scan is 1-3 splits (see the helper doc); jaccard is an
+      // integer-ratio division, order-insensitive
+      val pairs = Dedup.ngramJaccard(fanOut(t(s, dir, "documents")), k = 3,
         threshold = 0.12)
       Dedup.clusters(pairs).select("doc_id", "cluster_id")
     }),
@@ -5321,20 +5346,25 @@ object PipelineQueries {
     // percentiles non-circularly (quantile_cont) and pins the flags.
     "q107_quantile_sketch" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // ONE exact-percentile buffer for all six cut points and one
+      // approx sketch for both targets (the array form of the same
+      // aggregates — identical values by definition, but 6+2 separate
+      // TypedImperativeAggregate buffers collapse to 1+1: each exact
+      // buffer holds the full per-group value multiset, so the scalar
+      // form paid the collect+sort SIX times per group — measured
+      // 6.4 s → 1.9 s at sf0.1, outputs row-identical)
       li.groupBy("l_returnflag").agg(
-          round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("exact_p50"),
-          round(expr("percentile(l_extendedprice, 0.95D)"), 6).as("exact_p95"),
-          expr("percentile_approx(l_extendedprice, 0.5D, 1000)").as("a50"),
-          expr("percentile_approx(l_extendedprice, 0.95D, 1000)").as("a95"),
-          expr("percentile(l_extendedprice, 0.495D)").as("lo50"),
-          expr("percentile(l_extendedprice, 0.505D)").as("hi50"),
-          expr("percentile(l_extendedprice, 0.945D)").as("lo95"),
-          expr("percentile(l_extendedprice, 0.955D)").as("hi95"))
-        .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
-          (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
-            .as("p50_rank_ok"),
-          (col("a95") >= col("lo95") && col("a95") <= col("hi95"))
-            .as("p95_rank_ok"))
+          expr("percentile(l_extendedprice, " +
+            "array(0.5D, 0.95D, 0.495D, 0.505D, 0.945D, 0.955D))").as("ex"),
+          expr("percentile_approx(l_extendedprice, " +
+            "array(0.5D, 0.95D), 1000)").as("ap"))
+        .select(col("l_returnflag"),
+          round(col("ex").getItem(0), 6).as("exact_p50"),
+          round(col("ex").getItem(1), 6).as("exact_p95"),
+          (col("ap").getItem(0) >= col("ex").getItem(2) &&
+            col("ap").getItem(0) <= col("ex").getItem(3)).as("p50_rank_ok"),
+          (col("ap").getItem(1) >= col("ex").getItem(4) &&
+            col("ap").getItem(1) <= col("ex").getItem(5)).as("p95_rank_ok"))
     }),
 
     // S4/§4 bucketed index layout: both sides written bucketBy(vec_id) +
@@ -5395,7 +5425,9 @@ object PipelineQueries {
     // pieces.
     "q66_dedup_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccard(docs, k = 3, threshold = 0.12)
+      // fanOut on the pair-generation input only (the q53 rationale);
+      // the doc-count/join legs keep the plain scan
+      val pairs = Dedup.ngramJaccard(fanOut(docs), k = 3, threshold = 0.12)
       val clusters = Dedup.clusters(pairs)
       val drops = clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")

@@ -725,9 +725,13 @@ object AnnIndex {
       // short-circuit the common absent-dir case (e.g. a store that has
       // never seen a delete has no tombs dir) WITHOUT raising: Spark 4's
       // cached-analysis stack rewriting makes a thrown-and-caught
-      // PATH_NOT_FOUND indistinguishable from a real failure in logs
+      // PATH_NOT_FOUND indistinguishable from a real failure in logs.
+      // The probe is a DRIVER-side single-footer read (ParquetIO) — the
+      // old spark.read.parquet(path).schema ran schema inference, which
+      // schedules a footer-reading Spark job per call (~25 ms of job
+      // latency × every servable/open freshness check)
       Files.exists(Paths.get(path)) &&
-        { spark.read.parquet(path).schema; true }
+        ParquetIO.readableFooter(spark, path)
     } catch { case scala.util.control.NonFatal(_) => false }
 
   /** THE reuse-vs-rebuild probe, shared by every `ensure*` freshness
@@ -903,7 +907,7 @@ object AnnIndex {
     */
   private def ivfServedHandle(spark: SparkSession,
       tag: String): IvfHandle = {
-    val cents = spark.read.parquet(s"${ivfBase(spark, tag)}/centroids")
+    val cents = ParquetIO.read(spark, s"${ivfBase(spark, tag)}/centroids")
     val lists = spark.table(s"graft_ivf_lists_$tag")
     if (ivfTombsRegistered(spark, tag))
       IvfHandle(cents, lists.join(
@@ -987,7 +991,7 @@ object AnnIndex {
       val cents = SimilaritySearch.kMeansCentroids(index, lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
       val assigned = SimilaritySearch
-        .assignWithVecs(index, spark.read.parquet(centsPath))
+        .assignWithVecs(index, ParquetIO.read(spark, centsPath))
       spark.sql(s"DROP TABLE IF EXISTS $listsTable")
       assigned.write.mode(SaveMode.Overwrite)
         .option("path", s"$base/lists")
@@ -1069,7 +1073,7 @@ object AnnIndex {
           "compactIvf to fold deletions before re-inserting those ids")
     }
     val assigned = SimilaritySearch
-      .assignWithVecs(newVecs, spark.read.parquet(centsPath))
+      .assignWithVecs(newVecs, ParquetIO.read(spark, centsPath))
     assigned.write.mode(SaveMode.Append)
       .partitionBy("centroid_id")
       .format("parquet").saveAsTable(listsTable)
@@ -1221,7 +1225,7 @@ object AnnIndex {
       val cents = SimilaritySearch.kMeansCentroids(baseRows, lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
       val assigned = SimilaritySearch
-        .assignWithVecs(baseRows, spark.read.parquet(centsPath))
+        .assignWithVecs(baseRows, ParquetIO.read(spark, centsPath))
       spark.sql(s"DROP TABLE IF EXISTS $listsTable")
       assigned.write.mode(SaveMode.Overwrite)
         .option("path", s"$base/lists")
@@ -2138,7 +2142,7 @@ object AnnIndex {
       if (Files.exists(rotDir))
         org.apache.commons.io.FileUtils.deleteDirectory(rotDir.toFile)
       Files.move(Paths.get(side), rotDir)
-      val stored = loadRotation(spark.read.parquet(s"$base/rotation"))
+      val stored = loadRotation(ParquetIO.read(spark, s"$base/rotation"))
       val rotated = SimilaritySearch.rotate(
           index.select("vec_id", "embedding"), stored)
         .withColumn("embedding", col("embedding").cast("array<float>"))
@@ -2150,7 +2154,7 @@ object AnnIndex {
         Seq("lists" -> lists.toLong, "num_sub" -> numSub.toLong,
           "ksub" -> ksub.toLong, "n_rows" -> n, "checksum" -> fp), Nil)
     }
-    OpqIvfPqHandle(spark.read.parquet(s"$base/rotation"),
+    OpqIvfPqHandle(ParquetIO.read(spark, s"$base/rotation"),
       openIvfPq(spark, innerKey), innerKey)
   }
 
@@ -2162,7 +2166,7 @@ object AnnIndex {
     require(readMeta(base).contains("num_sub") &&
       parquetReadable(spark, s"$base/rotation"),
       s"no persisted OPQ-IVF-PQ index for '$sourceDir' ($base)")
-    OpqIvfPqHandle(spark.read.parquet(s"$base/rotation"),
+    OpqIvfPqHandle(ParquetIO.read(spark, s"$base/rotation"),
       openIvfPq(spark, opqIvfPqInnerKey(sourceDir)),
       opqIvfPqInnerKey(sourceDir))
   }
@@ -2245,7 +2249,7 @@ object AnnIndex {
       readMeta(ivfPqBase(spark, IndexStore.pathTag(innerKey)))
         .get("last_batch_id").exists(id <= _))
     if (replayed) return openOpqIvfPq(spark, sourceDir)
-    val model = loadRotation(spark.read.parquet(s"$base/rotation"))
+    val model = loadRotation(ParquetIO.read(spark, s"$base/rotation"))
     val rotated = SimilaritySearch.rotate(
         newVecs.select("vec_id", "embedding"), model)
       .withColumn("embedding", col("embedding").cast("array<float>"))
@@ -2359,7 +2363,7 @@ object AnnIndex {
     * the shared vec_id bucketing (shuffle-free on the index side).
     */
   private def ivfSq8Handle(spark: SparkSession, tag: String): IvfSq8Handle = {
-    val cents = spark.read.parquet(s"${ivfSq8Base(spark, tag)}/centroids")
+    val cents = ParquetIO.read(spark, s"${ivfSq8Base(spark, tag)}/centroids")
     val lists = spark.table(s"graft_ivfsq8_lists_$tag")
     val vecs = spark.table(s"graft_ivfsq8_vecs_$tag")
     if (spark.catalog.tableExists(s"graft_ivfsq8_tombs_$tag")) {
@@ -2423,7 +2427,7 @@ object AnnIndex {
         index.select("vec_id", "embedding"), lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
       val qlists = SimilaritySearch.assignQuantized(
-        index.select("vec_id", "embedding"), spark.read.parquet(centsPath))
+        index.select("vec_id", "embedding"), ParquetIO.read(spark, centsPath))
       spark.sql(s"DROP TABLE IF EXISTS $listsTable")
       qlists.write.mode(SaveMode.Overwrite)
         .option("path", s"$base/lists")
@@ -2511,7 +2515,7 @@ object AnnIndex {
           "Rebuild with ensureIvfSq8 to retrain centroids, or raise " +
           "spark.graft.ann.ivf.maxTailRatio.")
     SimilaritySearch.assignQuantized(
-        newVecs.select("vec_id", "embedding"), spark.read.parquet(centsPath))
+        newVecs.select("vec_id", "embedding"), ParquetIO.read(spark, centsPath))
       .write.mode(SaveMode.Append)
       .partitionBy("centroid_id")
       .format("parquet").saveAsTable(s"graft_ivfsq8_lists_$tag")
@@ -2585,7 +2589,7 @@ object AnnIndex {
         spark.table(s"graft_ivfsq8_vecs_$tag")
           .join(ids.select("vec_id").distinct(), Seq("vec_id"),
             "left_semi"),
-        spark.read.parquet(s"$base/centroids"))
+        ParquetIO.read(spark, s"$base/centroids"))
       .select("centroid_id", "vec_id")
     val nDel = batch.count()
     writeTombs(spark, base, s"graft_ivfsq8_tombs_$tag", batch,
@@ -2617,7 +2621,7 @@ object AnnIndex {
     sweepOrphanTombs(spark, base, table)
     val already =
       if (meta.get("tomb_rows").exists(_ > 0L) && tombsServable(spark, base))
-        spark.read.parquet(s"$base/tombs")
+        ParquetIO.read(spark, s"$base/tombs")
       else spark.range(0).select(col("id").as("doc_id"))
     val del = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .distinct()
@@ -3072,7 +3076,7 @@ object AnnIndex {
     */
   private def ivfPqHandle(spark: SparkSession, tag: String,
       meta: Map[String, Long]): IvfPqHandle = {
-    val cents = spark.read.parquet(s"${ivfPqBase(spark, tag)}/centroids")
+    val cents = ParquetIO.read(spark, s"${ivfPqBase(spark, tag)}/centroids")
     val cb = spark.read.parquet(s"${ivfPqBase(spark, tag)}/codebook")
     val lists = spark.table(s"graft_ivfpq_lists_$tag")
     val vecs = spark.table(s"graft_ivfpq_vecs_$tag")
@@ -3143,9 +3147,9 @@ object AnnIndex {
       val cb = SimilaritySearch.pqCodebooks(idx, numSub, ksub, pqIters)
       cb.write.mode(SaveMode.Overwrite).parquet(s"$base/codebook")
       val flat = SimilaritySearch.collectCodebook(
-        spark.read.parquet(s"$base/codebook"), numSub, ksub)
+        ParquetIO.read(spark, s"$base/codebook"), numSub, ksub)
       val plists = SimilaritySearch.assignPqEncoded(idx,
-        spark.read.parquet(s"$base/centroids"), flat, numSub, ksub)
+        ParquetIO.read(spark, s"$base/centroids"), flat, numSub, ksub)
       spark.sql(s"DROP TABLE IF EXISTS $listsTable")
       plists.write.mode(SaveMode.Overwrite)
         .option("path", s"$base/lists")
@@ -3229,10 +3233,10 @@ object AnnIndex {
     val numSub = meta("num_sub").toInt
     val ksub = meta("ksub").toInt
     val flat = SimilaritySearch.collectCodebook(
-      spark.read.parquet(s"$base/codebook"), numSub, ksub)
+      ParquetIO.read(spark, s"$base/codebook"), numSub, ksub)
     SimilaritySearch.assignPqEncoded(
         newVecs.select("vec_id", "embedding"),
-        spark.read.parquet(s"$base/centroids"), flat, numSub, ksub)
+        ParquetIO.read(spark, s"$base/centroids"), flat, numSub, ksub)
       .write.mode(SaveMode.Append)
       .partitionBy("centroid_id")
       .format("parquet").saveAsTable(s"graft_ivfpq_lists_$tag")
@@ -3283,7 +3287,7 @@ object AnnIndex {
         spark.table(s"graft_ivfpq_vecs_$tag")
           .join(ids.select("vec_id").distinct(), Seq("vec_id"),
             "left_semi"),
-        spark.read.parquet(s"$base/centroids"))
+        ParquetIO.read(spark, s"$base/centroids"))
       .select("centroid_id", "vec_id")
     val nDel = batch.count()
     writeTombs(spark, base, s"graft_ivfpq_tombs_$tag", batch,
@@ -3819,7 +3823,7 @@ object AnnIndex {
     * vec_id bucketing.
     */
   private def ivfBqHandle(spark: SparkSession, tag: String): IvfBqHandle = {
-    val cents = spark.read.parquet(s"${ivfBqBase(spark, tag)}/centroids")
+    val cents = ParquetIO.read(spark, s"${ivfBqBase(spark, tag)}/centroids")
     val lists = spark.table(s"graft_ivfbq_lists_$tag")
     val vecs = spark.table(s"graft_ivfbq_vecs_$tag")
     if (spark.catalog.tableExists(s"graft_ivfbq_tombs_$tag")) {
@@ -3878,7 +3882,7 @@ object AnnIndex {
         index.select("vec_id", "embedding"), lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(centsPath)
       val blists = SimilaritySearch.assignBinary(
-        index.select("vec_id", "embedding"), spark.read.parquet(centsPath))
+        index.select("vec_id", "embedding"), ParquetIO.read(spark, centsPath))
       spark.sql(s"DROP TABLE IF EXISTS $listsTable")
       blists.write.mode(SaveMode.Overwrite)
         .option("path", s"$base/lists")
@@ -3958,7 +3962,7 @@ object AnnIndex {
           "Rebuild with ensureIvfBq to retrain centroids, or raise " +
           "spark.graft.ann.ivf.maxTailRatio.")
     SimilaritySearch.assignBinary(
-        newVecs.select("vec_id", "embedding"), spark.read.parquet(centsPath))
+        newVecs.select("vec_id", "embedding"), ParquetIO.read(spark, centsPath))
       .write.mode(SaveMode.Append)
       .partitionBy("centroid_id")
       .format("parquet").saveAsTable(s"graft_ivfbq_lists_$tag")
@@ -4013,7 +4017,7 @@ object AnnIndex {
         spark.table(s"graft_ivfbq_vecs_$tag")
           .join(ids.select("vec_id").distinct(), Seq("vec_id"),
             "left_semi"),
-        spark.read.parquet(s"$base/centroids"))
+        ParquetIO.read(spark, s"$base/centroids"))
       .select("centroid_id", "vec_id")
     val nDel = batch.count()
     writeTombs(spark, base, s"graft_ivfbq_tombs_$tag", batch,

@@ -38,6 +38,22 @@ object DedupStore {
   private def base(spark: SparkSession, storeKey: String): String =
     s"${AnnIndex.annBase(spark)}/graft_dedupstore_${IndexStore.pathTag(storeKey)}"
 
+  /** Store-dir read without the per-call schema-inference job (the
+    * [[ParquetIO.read]] rationale): every live dir this store reads has
+    * a fixed layout, and the partitioned ones (`fps`/`linedf` by hash
+    * bucket `hb`, `bands` by band bucket `bb`) declare the column their
+    * write path's `partitionBy` dropped from the data files.
+    */
+  private def readStoreDir(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val partCols =
+      if (dir.endsWith("/bands")) Seq(StructField("bb", IntegerType))
+      else if (dir.endsWith("/fps") || dir.endsWith("/linedf"))
+        Seq(StructField("hb", IntegerType))
+      else Nil // sigs: flat
+    ParquetIO.read(spark, dir, partCols)
+  }
+
   private def metaPath(b: String) = Paths.get(b, "_dedup_meta.json")
 
   private def readMeta(b: String): Map[String, Long] = {
@@ -95,7 +111,7 @@ object DedupStore {
       // is the empty kept set (see expireSeen)
       if (!Files.exists(Paths.get(fpsDir)))
         return batch.limit(0)
-      val mine = spark.read.parquet(fpsDir)
+      val mine = readStoreDir(spark, fpsDir)
         .filter(col("batch_id") === batchId).select("h")
       val foreign = mine.join(hashed.select("h"), Seq("h"), "left_anti")
         .count()
@@ -123,7 +139,7 @@ object DedupStore {
       if (!Files.exists(Paths.get(fpsDir))) None
       else {
         val hbs = firstInBatch.select("hb").distinct().as[Int].collect()
-        Some(spark.read.parquet(fpsDir)
+        Some(readStoreDir(spark, fpsDir)
           .filter(col("hb").isin(hbs.map(Int.box): _*)))
       }
     val novel = storeHere match {
@@ -167,7 +183,7 @@ object DedupStore {
         "dir is missing (crashed compaction?) — drop() and re-ingest")
     require(Files.exists(Paths.get(fpsDir)),
       s"dedup store '$storeKey' is empty — nothing recorded yet")
-    spark.read.parquet(fpsDir)
+    readStoreDir(spark, fpsDir)
   }
 
   /** Near-dup store membership counts for `docs(doc_id)`: (band rows,
@@ -179,7 +195,7 @@ object DedupStore {
     val b = nearBase(spark, storeKey)
     def cnt(dir: String): Long =
       if (!Files.exists(Paths.get(dir))) 0L
-      else spark.read.parquet(dir)
+      else readStoreDir(spark, dir)
         .join(docs.select("doc_id"), Seq("doc_id"), "left_semi").count()
     (cnt(s"$b/bands"), cnt(s"$b/sigs"))
   }
@@ -194,7 +210,7 @@ object DedupStore {
     def frame(dir: String): DataFrame =
       if (!Files.exists(Paths.get(dir)))
         spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-      else spark.read.parquet(dir)
+      else readStoreDir(spark, dir)
     (frame(s"$b/bands"), frame(s"$b/sigs"))
   }
 
@@ -252,7 +268,7 @@ object DedupStore {
       if (!Files.exists(Paths.get(dfDir))) None
       else {
         val hbs = dfb.select("hb").distinct().as[Int].collect()
-        Some(spark.read.parquet(dfDir)
+        Some(readStoreDir(spark, dfDir)
           .filter(col("hb").isin(hbs.map(Int.box): _*)))
       }
     if (meta.get("last_batch_id").exists(batchId <= _)) {
@@ -266,7 +282,7 @@ object DedupStore {
       if (!Files.exists(Paths.get(dfDir)))
         return batch.limit(0)
           .withColumn("n_lines", lit(0L)).withColumn("n_cut", lit(0L))
-      val st = spark.read.parquet(dfDir)
+      val st = readStoreDir(spark, dfDir)
       val mine = st.filter(col("batch_id") === batchId)
         .select(col("lh"), col("df").as("stored_df"))
       val bad = mine.join(dfb, Seq("lh"), "left")
@@ -382,7 +398,7 @@ object DedupStore {
     // it loses its overlap with the removed prefix [0, dec)
     val w = Window.partitionBy("lh").orderBy("batch_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val kept = spark.read.parquet(dfDir)
+    val kept = readStoreDir(spark, dfDir)
       .join(dec, Seq("lh"), "left")
       .withColumn("__prefix", coalesce(sum("df").over(w), lit(0L)))
       .withColumn("df", col("df") - greatest(lit(0L),
@@ -473,7 +489,7 @@ object DedupStore {
     require(Files.exists(Paths.get(s"$b/linedf")),
       s"line-dedup store '$storeKey' has no linedf layout — ingest a " +
         "first batch")
-    spark.read.parquet(s"$b/linedf")
+    readStoreDir(spark, s"$b/linedf")
   }
 
   /** Remove the line-df store (tests / re-ingest). */
@@ -533,7 +549,7 @@ object DedupStore {
       // replay-verification (the dedupBatch discipline): every doc id
       // this batch id stored must re-occur in the batch, else refuse —
       // a restarted batch counter must not serve a stale answer
-      val mine = spark.read.parquet(sigsDir)
+      val mine = readStoreDir(spark, sigsDir)
         .filter(col("batch_id") === batchId).select("doc_id")
       val foreign = mine
         .join(named.select("doc_id"), Seq("doc_id"), "left_anti").count()
@@ -574,7 +590,7 @@ object DedupStore {
       else {
         import spark.implicits._
         val bbs = bandRows.select("bb").distinct().as[Int].collect()
-        val storeBands = spark.read.parquet(bandsDir)
+        val storeBands = readStoreDir(spark, bandsDir)
           .filter(col("bb").isin(bbs.map(Int.box): _*))
           .filter(col("batch_id") < batchId)
         val cand = bandRows.join(
@@ -582,7 +598,7 @@ object DedupStore {
               col("doc_id").as("stored_id")),
             Seq("band", "bucket"))
           .select("doc_id", "stored_id").distinct()
-        val storeSigs = spark.read.parquet(sigsDir)
+        val storeSigs = readStoreDir(spark, sigsDir)
           .filter(col("batch_id") < batchId)
           .select(col("doc_id").as("stored_id"), col("sig").as("sig_b"))
         val sigEq = cand
@@ -605,7 +621,7 @@ object DedupStore {
     // appends
     def alreadyIn(dir: String): Option[DataFrame] =
       if (!Files.exists(Paths.get(dir))) None
-      else Some(spark.read.parquet(dir)
+      else Some(readStoreDir(spark, dir)
         .filter(col("batch_id") === batchId).select("doc_id").distinct())
     val bandDocs = alreadyIn(bandsDir) match {
       case None => pinned.select("doc_id")
@@ -666,7 +682,7 @@ object DedupStore {
     if (Files.exists(Paths.get(bandsDir))) {
       val side = s"$b/bands__compact"
       rm(side)
-      spark.read.parquet(bandsDir)
+      readStoreDir(spark, bandsDir)
         .repartition(col("bb"))
         .write.mode(SaveMode.Overwrite).partitionBy("bb").parquet(side)
       swap(bandsDir, side)
@@ -675,7 +691,7 @@ object DedupStore {
     if (Files.exists(Paths.get(sigsDir))) {
       val side = s"$b/sigs__compact"
       rm(side)
-      spark.read.parquet(sigsDir).coalesce(sigFiles)
+      readStoreDir(spark, sigsDir).coalesce(sigFiles)
         .write.mode(SaveMode.Overwrite).parquet(side)
       swap(sigsDir, side)
     }
@@ -708,7 +724,7 @@ object DedupStore {
     if (Files.exists(Paths.get(bandsDir))) {
       val side = s"$b/bands__compact"
       rm(side)
-      val keptBands = spark.read.parquet(bandsDir)
+      val keptBands = readStoreDir(spark, bandsDir)
         .filter(col("batch_id") >= keepFromBatchId)
         .localCheckpoint(true)
       keptBands.repartition(col("bb"))
@@ -717,7 +733,7 @@ object DedupStore {
     }
     val sideS = s"$b/sigs__compact"
     rm(sideS)
-    val keptSigs = spark.read.parquet(sigsDir)
+    val keptSigs = readStoreDir(spark, sigsDir)
       .filter(col("batch_id") >= keepFromBatchId)
       .localCheckpoint(true)
     keptSigs.coalesce(8)
@@ -747,7 +763,7 @@ object DedupStore {
     def rm(p: String): Unit =
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
     rm(side)
-    spark.read.parquet(fpsDir)
+    readStoreDir(spark, fpsDir)
       .repartition(col("hb"))
       .write.mode(SaveMode.Overwrite).partitionBy("hb").parquet(side)
     Files.move(Paths.get(fpsDir), Paths.get(garbage))
@@ -778,7 +794,7 @@ object DedupStore {
     def rm(p: String): Unit =
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
     rm(side)
-    spark.read.parquet(dfDir)
+    readStoreDir(spark, dfDir)
       .repartition(col("hb"))
       .write.mode(SaveMode.Overwrite).partitionBy("hb").parquet(side)
     Files.move(Paths.get(dfDir), Paths.get(garbage))
@@ -809,7 +825,7 @@ object DedupStore {
     def rm(p: String): Unit =
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
     rm(side)
-    val kept = spark.read.parquet(fpsDir)
+    val kept = readStoreDir(spark, fpsDir)
       .filter(col("batch_id") >= keepFromBatchId)
       .localCheckpoint(true)
     kept.repartition(col("hb"))
@@ -852,11 +868,11 @@ object DedupStore {
     // bounded no-op probe: a purge of already-absent ids (the
     // crash-retry / replayed-trigger case) must not pay the store
     // rewrite — one limit-1 semi-join decides
-    if (spark.read.parquet(fpsDir)
+    if (readStoreDir(spark, fpsDir)
         .join(victims, Seq(idCol), "left_semi").limit(1)
         .collect().isEmpty)
       return 0L
-    val kept = spark.read.parquet(fpsDir)
+    val kept = readStoreDir(spark, fpsDir)
       .join(victims, Seq(idCol), "left_anti")
       .localCheckpoint(true)
     kept.repartition(col("hb"))
@@ -900,7 +916,7 @@ object DedupStore {
     // in one): nothing to erase means no rewrite
     val present = Seq(bandsDir, sigsDir)
       .filter(d => Files.exists(Paths.get(d)))
-      .map(d => spark.read.parquet(d).select("doc_id"))
+      .map(d => readStoreDir(spark, d).select("doc_id"))
       .reduceOption(_ unionByName _)
       .exists(u => u.join(victims, Seq("doc_id"), "left_semi")
         .limit(1).collect().nonEmpty)
@@ -908,7 +924,7 @@ object DedupStore {
     if (Files.exists(Paths.get(bandsDir))) {
       val side = s"$b/bands__compact"
       rm(side)
-      val keptBands = spark.read.parquet(bandsDir)
+      val keptBands = readStoreDir(spark, bandsDir)
         .join(victims, Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       keptBands.repartition(col("bb"))
@@ -917,7 +933,7 @@ object DedupStore {
     }
     val sideS = s"$b/sigs__compact"
     rm(sideS)
-    val keptSigs = spark.read.parquet(sigsDir)
+    val keptSigs = readStoreDir(spark, sigsDir)
       .join(victims, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     keptSigs.coalesce(8)

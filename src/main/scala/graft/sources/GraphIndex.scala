@@ -387,7 +387,7 @@ object GraphIndex {
     val already =
       if (meta.get("tomb_rows").exists(_ > 0L) &&
           tombsServable(spark, base))
-        spark.read.parquet(s"$base/tombs")
+        ParquetIO.read(spark, s"$base/tombs")
       else spark.emptyDataFrame.withColumn("vec_id", lit(0L))
         .filter(lit(false))
     val del = ids.select(col("vec_id")).distinct()

@@ -60,7 +60,7 @@ object IndexStore {
     index.write.mode(SaveMode.Overwrite).parquet(s"$path/data")
 
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/data")
+    ParquetIO.read(spark, s"$path/data")
 
   def exists(path: String): Boolean =
     Files.exists(Paths.get(path, "data"))
@@ -79,7 +79,7 @@ object IndexStore {
     if (!exists(path)) return 0L
     val victims = ids.select(ids(ids.columns.head).as(idCol)).distinct()
     val live = s"$path/data"
-    if (spark.read.parquet(live)
+    if (ParquetIO.read(spark, live)
         .join(victims, Seq(idCol), "left_semi").limit(1)
         .collect().isEmpty)
       return 0L
@@ -88,8 +88,8 @@ object IndexStore {
     val side = s"$path/data__compact"
     val garbage = s"$path/data__garbage_${ProcessHandle.current.pid}"
     rm(side)
-    val before = spark.read.parquet(live).count()
-    val kept = spark.read.parquet(live)
+    val before = ParquetIO.read(spark, live).count()
+    val kept = ParquetIO.read(spark, live)
       .join(victims, Seq(idCol), "left_anti")
       .localCheckpoint(true)
     kept.write.mode(SaveMode.Overwrite).parquet(side)

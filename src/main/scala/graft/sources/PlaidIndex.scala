@@ -178,7 +178,7 @@ object PlaidIndex {
       val cents = SimilaritySearch.kMeansCentroids(
         docVectors.select("vec_id", "embedding"), lists, iters)
       cents.write.mode(SaveMode.Overwrite).parquet(s"$base/centroids")
-      val stored = spark.read.parquet(s"$base/centroids")
+      val stored = ParquetIO.read(spark, s"$base/centroids")
       val assigned = withCodes(assignToCentroids(docVectors, stored))
       spark.sql(s"DROP TABLE IF EXISTS ${listsName(tag)}")
       assigned.write.mode(SaveMode.Overwrite)
@@ -233,7 +233,7 @@ object PlaidIndex {
         (lists.join(t, Seq("doc_id"), "left_anti"),
           dc.join(t, Seq("doc_id"), "left_anti"))
       } else (lists, dc)
-    PlaidHandle(l, spark.read.parquet(s"$base/centroids"), d,
+    PlaidHandle(l, ParquetIO.read(spark, s"$base/centroids"), d,
       readMeta(base)("lists").toInt)
   }
 
@@ -500,7 +500,7 @@ object PlaidIndex {
           "spark.graft.ann.ivf.maxTailRatio.")
     val assigned = withCodes(assignToCentroids(
         newVectors.select("doc_id", "vec_id", "embedding"),
-        spark.read.parquet(s"$base/centroids")))
+        ParquetIO.read(spark, s"$base/centroids")))
       .localCheckpoint(true) // ONE assignment pass feeds both appends
     // membership first (see crash ordering above): the batch's OWN
     // distinct pairs append blindly — NO read of the stored membership

@@ -105,7 +105,8 @@ object Scd2Store {
     */
   private def probeKb(spark: SparkSession, dimDir: String,
       probes: DataFrame, keyCol: String) = {
-    val storedType = spark.read.parquet(dimDir).schema
+    val storedType = ParquetIO.footerSchema(spark, dimDir)
+      .getOrElse(spark.read.parquet(dimDir).schema)
       .find(_.name == keyCol)
       .getOrElse(throw new IllegalArgumentException(
         s"lookupPruned: stored dimension has no column '$keyCol'"))
@@ -113,6 +114,14 @@ object Scd2Store {
     pmod(xxhash64(probes(keyCol).cast(storedType)), lit(KeyDirs.toLong))
       .cast("int").as("kb")
   }
+
+  /** Dim-dir read without the per-call schema-inference job
+    * ([[ParquetIO.read]]): the footer carries the caller-shaped data
+    * columns, `kb` is the one partition column the write path drops.
+    */
+  private def readDimDir(spark: SparkSession, dimDir: String) =
+    ParquetIO.read(spark, dimDir, Seq(org.apache.spark.sql.types
+      .StructField("kb", org.apache.spark.sql.types.IntegerType)))
 
   /** Roll an interrupted journaled swap forward ([[BucketSwap]]) —
     * called by every reader and writer entry point.
@@ -134,7 +143,7 @@ object Scd2Store {
       s"no persisted SCD2 dimension for '$storeKey' ($b) — merge a " +
         "first change batch")
     recover(b)
-    spark.read.parquet(s"$b/dim").drop("kb")
+    readDimDir(spark, s"$b/dim").drop("kb")
       .withColumn("is_current", col("valid_to").isNull)
   }
 
@@ -164,7 +173,7 @@ object Scd2Store {
     recover(b)
     val kbs = probes.select(probeKb(spark, s"$b/dim", probes, keyCol))
       .distinct().collect().map(_.getInt(0)).sorted
-    val dim = spark.read.parquet(s"$b/dim")
+    val dim = readDimDir(spark, s"$b/dim")
       .filter(col("kb").isin(kbs.map(Int.box): _*))
       .drop("kb")
       .withColumn("is_current", col("valid_to").isNull)
@@ -213,7 +222,7 @@ object Scd2Store {
     }
     val stored =
       if (hasStore)
-        spark.read.parquet(dimDir)
+        readDimDir(spark, dimDir)
           .filter(col("kb").isin(touched.map(Int.box): _*))
       else null
     if (hasStore && checkHistory) {
@@ -302,7 +311,7 @@ object Scd2Store {
       .select(probeKb(spark, dimDir, probe, keyCol)).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.nonEmpty) {
-      val survivors = spark.read.parquet(dimDir)
+      val survivors = readDimDir(spark, dimDir)
         .filter(col("kb").isin(touched.map(Int.box): _*))
         .join(probe, Seq(keyCol), "left_anti")
       stageAndSwap(spark, b, survivors, touched.toSeq)

@@ -36,6 +36,16 @@ object SketchStore {
   private def base(spark: SparkSession, storeKey: String): String =
     s"${AnnIndex.annBase(spark)}/graft_sketchstore_${IndexStore.pathTag(storeKey)}"
 
+  /** Panes-dir read without the per-call schema-inference job
+    * ([[ParquetIO.read]]); `batch_id` is the partition column the
+    * write path drops from the data files (long: the batch counter's
+    * own type, so a long-running store never overflows the declared
+    * partition type).
+    */
+  private def readPanesDir(spark: SparkSession, dir: String) =
+    ParquetIO.read(spark, dir, Seq(org.apache.spark.sql.types
+      .StructField("batch_id", org.apache.spark.sql.types.LongType)))
+
   private def metaPath(b: String) = Paths.get(b, "_sketch_meta.json")
 
   private def readMeta(b: String): Map[String, Long] = {
@@ -92,7 +102,7 @@ object SketchStore {
       // replay: the pane must re-derive from this batch's content —
       // a restarted batch counter serving an unrelated batch under a
       // committed id must fail loudly, not silently drop its data
-      val stored = spark.read.parquet(s"$b/panes")
+      val stored = readPanesDir(spark, s"$b/panes")
         .filter(col("batch_id") === batchId)
         .select(col("grp"), explode(col("kmv")).as("h"))
       val fresh = pane.select(col("grp"), explode(col("kmv")).as("h"))
@@ -228,7 +238,7 @@ object SketchStore {
     val meta = readMeta(b)
     require(meta.contains("last_batch_id"),
       s"sketch store '$storeKey' has no committed batches")
-    spark.read.parquet(s"$b/panes")
+    readPanesDir(spark, s"$b/panes")
       .filter(col("batch_id") <= meta("last_batch_id"))
   }
 }

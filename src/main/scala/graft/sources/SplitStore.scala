@@ -81,7 +81,7 @@ object SplitStore {
     // a crash between the append and the meta commit can leave one
     // batch's rows twice; content is deterministic, so doc_id dedup
     // restores exactly-once reads
-    spark.read.parquet(s"$b/assign")
+    ParquetIO.read(spark, s"$b/assign")
       .dropDuplicates("doc_id")
   }
 
@@ -94,7 +94,7 @@ object SplitStore {
     if (!Files.exists(Paths.get(s"$b/conflicts")))
       spark.emptyDataFrame.select(lit(0L).as("doc_id"),
         lit(0L).as("n_splits"), lit(0L).as("batch_id")).limit(0)
-    else spark.read.parquet(s"$b/conflicts").dropDuplicates("doc_id")
+    else ParquetIO.read(spark, s"$b/conflicts").dropDuplicates("doc_id")
   }
 
   /** Assign splits to `newDocs(doc_id)` given match `pairs(doc_id_a,
@@ -128,7 +128,7 @@ object SplitStore {
       return read(spark, storeKey)
     val hasStore = Files.exists(Paths.get(s"$b/assign"))
     val assigned =
-      if (hasStore) spark.read.parquet(s"$b/assign")
+      if (hasStore) ParquetIO.read(spark, s"$b/assign")
         .dropDuplicates("doc_id")
       else spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0L).as("rep_id"),
@@ -207,7 +207,7 @@ object SplitStore {
       // nothing twice
       val already =
         if (!Files.exists(Paths.get(cDir))) None
-        else Some(spark.read.parquet(cDir)
+        else Some(ParquetIO.read(spark, cDir)
           .filter(col("batch_id") === batchId).select("doc_id"))
       val toQuarantine = already match {
         case None => conflicted
@@ -254,7 +254,7 @@ object SplitStore {
     // dropDuplicates folds the one recoverable anomaly (a crash
     // between a batch's append and its meta commit duplicates that
     // batch's rows) — exactly what read() folds on every scan
-    spark.read.parquet(aDir).dropDuplicates("doc_id")
+    ParquetIO.read(spark, aDir).dropDuplicates("doc_id")
       .repartition(numFiles, col("rep_id"))
       .write.mode(SaveMode.Overwrite).parquet(side)
     Files.move(Paths.get(aDir), Paths.get(garbage))
@@ -292,7 +292,7 @@ object SplitStore {
     val cDirP = s"$b/conflicts"
     val present = (Seq(aDir) ++
         (if (Files.exists(Paths.get(cDirP))) Seq(cDirP) else Nil))
-      .map(d => spark.read.parquet(d).select("doc_id"))
+      .map(d => ParquetIO.read(spark, d).select("doc_id"))
       .reduce(_ unionByName _)
       .join(victims, Seq("doc_id"), "left_semi")
       .limit(1).collect().nonEmpty
@@ -306,10 +306,10 @@ object SplitStore {
       else rm(side) // absent dir IS the empty state (expireSeen rule)
       rm(garbage)
     }
-    val was = spark.read.parquet(aDir).dropDuplicates("doc_id").count()
+    val was = ParquetIO.read(spark, aDir).dropDuplicates("doc_id").count()
     val side = s"$b/assign__compact"
     rm(side)
-    val kept = spark.read.parquet(aDir).dropDuplicates("doc_id")
+    val kept = ParquetIO.read(spark, aDir).dropDuplicates("doc_id")
       .join(victims, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     kept.write.mode(SaveMode.Overwrite).parquet(side)
@@ -319,7 +319,7 @@ object SplitStore {
     if (Files.exists(Paths.get(cDir))) {
       val sideC = s"$b/conflicts__compact"
       rm(sideC)
-      val keptC = spark.read.parquet(cDir)
+      val keptC = ParquetIO.read(spark, cDir)
         .join(victims, Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       keptC.write.mode(SaveMode.Overwrite).parquet(sideC)

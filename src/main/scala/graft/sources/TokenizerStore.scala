@@ -51,7 +51,7 @@ object TokenizerStore {
       AnnIndex.readMetaStrs(base).get("snapshot_id").contains(id) &&
         opFresh(AnnIndex.readMeta(base)))
     if (snapFresh && AnnIndex.parquetReadable(spark, dir))
-      return spark.read.parquet(dir).orderBy("step")
+      return ParquetIO.read(spark, dir).orderBy("step")
     val (n, fp) = AnnIndex.fingerprint(df.select(col(textCol)))
     val meta = AnnIndex.readMeta(base)
     val fresh = opFresh(meta) && meta.get("n_rows").contains(n) &&
@@ -67,7 +67,7 @@ object TokenizerStore {
     } else if (snapshotId.isDefined)
       AnnIndex.writeMetaFull(base, meta.toSeq,
         snapshotId.map("snapshot_id" -> _).toSeq)
-    spark.read.parquet(dir).orderBy("step")
+    ParquetIO.read(spark, dir).orderBy("step")
   }
 
   /** The stored merge LIST (the shape [[CorpusOps.bpeEncodeTokens]]
@@ -110,7 +110,7 @@ object TokenizerStore {
       AnnIndex.readMetaStrs(base).get("snapshot_id").contains(id) &&
         opFresh(AnnIndex.readMeta(base)))
     if (snapFresh && AnnIndex.parquetReadable(spark, dir))
-      return spark.read.parquet(dir)
+      return ParquetIO.read(spark, dir)
     val (n, fp) = AnnIndex.fingerprint(df.select(col(textCol)))
     val meta = AnnIndex.readMeta(base)
     val fresh = opFresh(meta) && meta.get("n_rows").contains(n) &&
@@ -130,7 +130,7 @@ object TokenizerStore {
     } else if (snapshotId.isDefined)
       AnnIndex.writeMetaFull(base, meta.toSeq,
         snapshotId.map("snapshot_id" -> _).toSeq)
-    spark.read.parquet(dir)
+    ParquetIO.read(spark, dir)
   }
 
   /** Remove the persisted artifacts (test/ops hygiene). */
