@@ -160,8 +160,13 @@ object KnnGraph {
     // candidate volume as one table per round, but 2 fewer stages per
     // round and better early recall); rounds then add co-neighbor
     // expansion + one fresh random re-block each
+    // no outer distinct: lshPairs dedups internally (cross-table dups
+    // are the real volume) and blockPairs is distinct by construction;
+    // the residual lsh ∩ block overlap scores identically and folds in
+    // topKEdges' bounded buffer — the outer pass was one more full
+    // exchange of the whole candidate set (guide §2.4)
     var edges = topKEdges(score(
-        lshPairs(0, rounds + 1).unionByName(blockPairs(0)).distinct()))
+        lshPairs(0, rounds + 1).unionByName(blockPairs(0))))
       .localCheckpoint(true)
 
     var r = 0
@@ -182,10 +187,17 @@ object KnnGraph {
         .filter(col("x.nbr") < col("y.nbr"))
         .select(col("x.nbr").as("src"), col("y.nbr").as("dst"))
         .distinct()
+      // NO second distinct over the mirrored union: `cand` is already
+      // distinct and canonical (src < dst), so its mirror is disjoint
+      // from it and internally distinct, and blockPairs emits each
+      // (blk-mate) pair once — the only duplicates a second pass could
+      // remove are the small cand ∩ blockPairs overlap, which scores
+      // identically and folds inside topKEdges' bounded
+      // top_k_distinct buffer. The removed `.distinct()` was a full
+      // exchange of ~2·|cand| + |block| rows per round (guide §2.4).
       val candBoth = cand.unionByName(
           cand.select(col("dst").as("src"), col("src").as("dst")))
         .unionByName(blockPairs(r + 1))
-        .distinct()
       // merge scored candidates with the current graph; a pair present
       // on both sides scores identically (same kernel), and the
       // distinct top-k folds the dedup away. Per-round localCheckpoint
@@ -248,12 +260,25 @@ object KnnGraph {
     // held-out protocol at n=5000: 0.8875 → 0.9913 recall at beam=32,
     // rounds=3). A caller whose edges are pre-symmetrized on disk
     // (GraphIndex stores them that way) skips the per-query pass.
+    // The symmetrized edge list is joined by EVERY beam round, and each
+    // round's frontier is a separate query execution — exchange reuse
+    // cannot span them, so an un-materialized `graph` LINEAGE (e.g. the
+    // in-query exactGraph n² build, or an NN-Descent plan) would
+    // re-execute once per round (JobProfile: 3 rounds re-ran q230's n²
+    // graph build 3×, ~20 s of the 34 s bench reading). Materialize the
+    // bounded n·k edge list ONCE (guide §5 — cut lineage; §2.4 — remove
+    // repeated exchanges). The assumeUndirected path is a stored,
+    // bucketed table scan (GraphIndex) — already one bounded scan per
+    // join with no lineage to re-execute, and at production scale the
+    // edge table need not fit in block-manager memory, so it is NOT
+    // checkpointed.
     val edges =
       if (assumeUndirected) graph.select(col("src"), col("dst"))
       else graph.select(col("src"), col("dst"))
         .unionByName(graph.select(col("dst").as("src"),
           col("src").as("dst")))
         .distinct()
+        .localCheckpoint(true)
 
     def score(cand: DataFrame): DataFrame =
       cand.join(base, Seq("vec_id"))
@@ -304,10 +329,17 @@ object KnnGraph {
 
     var r = 0
     while (r < rounds) {
+      // no .distinct() on the expansion: a node reached from several
+      // beam members scores IDENTICALLY each time (same kernel) and
+      // topBeam's top_k_distinct folds the duplicates in its bounded
+      // buffer — the dedup exchange (one full shuffle of the expansion
+      // per round) bought nothing but the fold it already gets for
+      // free (guide §2.4: a `distinct` on data whose consumer dedups
+      // anyway is an accidental exchange). Duplicate rows only add
+      // map-side re-scores of the ≤ beam·k expansion.
       val expand = frontier.select(col("query_id"), col("vec_id").as("src"))
         .join(edges, Seq("src"))
         .select(col("query_id"), col("dst").as("vec_id"))
-        .distinct()
       frontier = topBeam(frontier.unionByName(score(expand)), beam)
         .localCheckpoint(false)
       r += 1
