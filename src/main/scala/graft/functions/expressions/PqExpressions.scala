@@ -44,6 +44,15 @@ object PqExpressions {
   def pq_encode(vec: Column, codebook: Array[Double], numSub: Int, ksub: Int): Column =
     col(PqEncodeF(ex(vec), codebook, numSub, ksub))
 
+  /** [[pq_encode]] with ARRAY<INT> output instead of binary — the
+    * Lloyd-training inner loop's assignment kernel, where the code must
+    * feed `element_at`/grouping directly (binary byte extraction has no
+    * codegen-friendly SQL accessor). Same argmin-L2, same tie rule.
+    */
+  def pq_encode_codes(vec: Column, codebook: Array[Double], numSub: Int,
+      ksub: Int): Column =
+    col(PqEncodeCodesF(ex(vec), codebook, numSub, ksub))
+
   /** Per-query ADC lookup table: array<double> of length `numSub · ksub`,
     * element `m · ksub + j` = dot(codebook[m][j], q_m).
     */
@@ -111,6 +120,48 @@ case class PqEncodeF(child: Expression, codebook: Array[Double],
       m += 1
     }
     out
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[PqEncodeF]] with array<int> output — identical assignment loop
+  * (argmin L2 per subspace, strict < keeps the lowest id on ties), the
+  * form the PQ-training refresh aggregates on.
+  */
+case class PqEncodeCodesF(child: Expression, codebook: Array[Double],
+    numSub: Int, ksub: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val dsub = PqKernels.dsubOf(codebook, numSub, ksub)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val g = VecKernels.getter(child)
+    PqKernels.checkDim(x.numElements(), numSub, dsub, "pq_encode_codes")
+    val out = new Array[Int](numSub)
+    var m = 0
+    while (m < numSub) {
+      val base = m * ksub * dsub
+      var bestJ = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < ksub) {
+        val cb = base + j * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = g(x, m * dsub + i) - codebook(cb + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; bestJ = j } // strict < keeps lowest id on ties
+        j += 1
+      }
+      out(m) = bestJ
+      m += 1
+    }
+    new GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -49,6 +49,17 @@ object VectorExpressions {
   /** max |x_i| of a float/double array (0.0 for an empty array). */
   def max_abs(vec: Column): Column = col(MaxAbsF(ex(vec)))
 
+  /** Ordinal (0-based row index into `centroids`, a k×dim flat array)
+    * of the max-cosine centroid for `vec`; ties keep the LOWEST
+    * ordinal — exactly the `max_by(struct(csim, -centroid_id))`
+    * assignment rule of the Lloyd loop, with the cosine accumulated in
+    * the same order as [[CosineF]] so the scores (and therefore the
+    * argmax) are bit-identical to the old crossJoin+max_by form.
+    */
+  def nearest_centroid_cos(vec: Column, centroids: Array[Double],
+      k: Int): Column =
+    col(NearestCentroidCosF(ex(vec), centroids, k))
+
   /** Symmetric per-vector int8 quantization codes: round(x_i · 127 /
     * max|x|) packed as BINARY (one byte per component; all-zero input →
     * all-zero codes). Dequantize with scale = max|x| / 127.
@@ -318,6 +329,88 @@ case class CosineF(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** argmax-cosine centroid assignment against a k-bounded model array —
+  * the Lloyd-training inner kernel (model parameters embedded as a
+  * reference object, the [[graft.functions.expressions.PqExpressions]]
+  * codebook discipline). Build-side one-pass expression; interpreted
+  * eval like `PqEncodeF`.
+  */
+case class NearestCentroidCosF(child: Expression, centroids: Array[Double],
+    k: Int)
+    extends UnaryExpression {
+  require(k >= 1 && centroids.length % k == 0 && centroids.nonEmpty,
+    s"centroids length ${centroids.length} is not a positive multiple of k=$k")
+  private val dim = centroids.length / k
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val g = VecKernels.getter(child)
+    val n = math.min(x.numElements(), dim)
+    var bestJ = 0
+    var bestS = Double.NegativeInfinity
+    var j = 0
+    while (j < k) {
+      val base = j * dim
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = g(x, i)
+        val yv = centroids(base + i)
+        d += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val s = if (denom == 0.0) 0.0 else d / denom
+      if (s > bestS) { bestS = s; bestJ = j } // strict > keeps lowest ordinal on ties
+      j += 1
+    }
+    bestJ
+  }
+
+  // codegen'd k·dim loop (the model array rides as a reference object):
+  // the Lloyd assignment scans the WHOLE index every round, so an
+  // interpreted kernel would put a 10×+ constant on the hottest pass
+  // of every k-means training call
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[]")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
+      val d = ctx.freshName("d")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val den = ctx.freshName("den")
+      val s = ctx.freshName("s")
+      val bestJ = ctx.freshName("bestJ")
+      val bestS = ctx.freshName("bestS")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |int $bestJ = 0;
+         |double $bestS = java.lang.Double.NEGATIVE_INFINITY;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  int $base = $j * $dim;
+         |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = ${VecKernels.jGet(child, a, i)};
+         |    double $yv = $cents[$base + $i];
+         |    $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  double $s = ($den == 0.0) ? 0.0 : $d / $den;
+         |  if ($s > $bestS) { $bestS = $s; $bestJ = $j; }
+         |}
+         |${ev.value} = $bestJ;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class MaxAbsF(child: Expression) extends UnaryExpression {

@@ -298,67 +298,80 @@ object SimilaritySearch {
     */
   def pqCodebooks(index: DataFrame, numSub: Int = 16, ksub: Int = 16,
       iters: Int = 5): DataFrame = {
+    import graft.functions.expressions.PqExpressions.pq_encode_codes
     require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
-    // dims not divisible by numSub are rejected loudly at encode time
-    // (PqEncodeF.checkDim); the int cast here matters because SQL `/`
-    // on ints yields double and slice takes int args
-    val dsubC = (size(col("embedding")) / numSub).cast("int")
-    val sub = index.select(col("vec_id"), posexplode(
-        transform(sequence(lit(0), lit(numSub - 1)), s =>
-          slice(col("embedding"), s * dsubC + 1, dsubC)))
-        .as(Seq("sub_id", "subvec")))
-      .select(col("sub_id"), col("vec_id"),
-        VectorOps.toDouble(col("subvec")).as("subvec"))
-    val seedIds = index
+    val spark = index.sparkSession
+    import spark.implicits._
+    // Lloyd state is MODEL-SIZED (numSub · ksub · dsub doubles — the
+    // same bound collectCodebook relies on), so the whole training loop
+    // keeps the codebook on the driver and pays ONE Spark job per
+    // round: assignment as a map-side expression over the raw vectors
+    // (pq_encode_codes — the same argmin-L2/lowest-id kernel the old
+    // broadcast-join + min_by computed, now with no join and no
+    // per-round broadcast build) feeding ONE (sub, centroid, dim)
+    // partial-aggregated avg whose model-bounded result is collected
+    // and folded on the driver. The old loop paid, per round: a
+    // broadcast build, the assignment exchange, the refresh exchange,
+    // an empty-cluster anti-join and an EAGER checkpoint — JobProfile
+    // attributed 11 s of q121 to exactly those stages (guide §1.2 step
+    // 1: remove passes; §5: the driver should hold model state, not
+    // row state).
+    val seedRows = index
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(ksub)
-      .select(col("vec_id"))
-      .collect().map(_.getLong(0)).sorted // ksub-bounded model-seed collect
-    // broadcast is applied at the assignment JOIN below — hinting the
-    // var itself would also (unsupportedly) hint the left side of the
-    // empty-cluster anti-join
-    var c = sub
-      .filter(col("vec_id").isin(seedIds.map(Long.box): _*))
-      .select(col("sub_id"),
-        // centroid id = rank of the seed vec_id within the draw
-        array_position(lit(seedIds), col("vec_id")).cast("int")
-          .minus(1).as("centroid_id"),
-        col("subvec").as("centroid_vec"))
-    val l2sq = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, v) => acc + v)
-    // dsub is needed STATICALLY for the one-aggregate refresh below —
-    // one bounded head() per training call, paid once (vs the per-round
-    // shuffles it deletes)
-    val dsub = sub.select(size(col("subvec"))).head().getInt(0)
+      .select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect() // ksub-bounded model-seed collect
+    require(seedRows.nonEmpty, "pqCodebooks: empty index")
+    val dim = seedRows.head._2.length
+    // dims not divisible by numSub are rejected loudly at encode time
+    // (PqEncodeF.checkDim) — training now rejects them identically
+    require(dim % numSub == 0,
+      s"pqCodebooks: vector dimension $dim is not divisible by " +
+        s"numSub=$numSub — encode and codebook must agree on dsub")
+    val dsub = dim / numSub
+    val effK = seedRows.length
+    // centroid id = rank of the seed vec_id within the SORTED draw —
+    // the array_position(lit(sorted ids)) convention, verbatim
+    var flat = new Array[Double](numSub * effK * dsub)
+    for { ((_, v), cid) <- seedRows.sortBy(_._1).zipWithIndex
+          s <- 0 until numSub; i <- 0 until dsub }
+      flat((s * effK + cid) * dsub + i) = v(s * dsub + i)
     for (_ <- 1 to iters) {
-      val assigned = sub.join(broadcast(c), Seq("sub_id"))
-        .withColumn("d2", l2sq(col("subvec"), col("centroid_vec")))
-        .groupBy("sub_id", "vec_id")
-        .agg(min_by(struct(col("centroid_id"), col("subvec")),
-          struct(col("d2"), col("centroid_id"))).as("w"))
-        .select(col("sub_id"), col("w.centroid_id").as("centroid_id"),
-          col("w.subvec").as("subvec"))
-      // re-average in ONE (sub, centroid) aggregate: per-element avg
-      // columns reassembled into the centroid array. The previous form
-      // posexploded to (sub, centroid, dim) rows and paid TWO shuffles
-      // (per-dim avg, then collect_list+sort reassembly) per Lloyd
-      // round; element-wise avg over the same rows computes the same
-      // means from one exchange and no row blow-up
-      val means = (0 until dsub).map(i =>
-        avg(col("subvec").getItem(i)).as(s"__m$i"))
-      val refreshed = assigned
-        .groupBy("sub_id", "centroid_id")
-        .agg(means.head, means.tail: _*)
-        .select(col("sub_id"), col("centroid_id"),
-          array((0 until dsub).map(i => col(s"__m$i")): _*)
-            .as("centroid_vec"))
-      c = refreshed.unionByName(
-          c.join(refreshed.select("sub_id", "centroid_id"),
-            Seq("sub_id", "centroid_id"), "left_anti"))
-        .localCheckpoint(true)
+      // one job: encode per row (no shuffle), posexplode to
+      // (sub, centroid, dim, x), ONE partial-aggregated avg exchange,
+      // model-bounded collect
+      // encode in its OWN projection BELOW the explode (see
+      // kMeansRefine: a generator sibling would re-evaluate the
+      // numSub·ksub·dsub kernel once per exploded dim)
+      val rows = index
+        .select(pq_encode_codes(col("embedding"), flat, numSub, effK)
+            .as("codes"),
+          VectorOps.toDouble(col("embedding")).as("v"))
+        .select(col("codes"), posexplode(col("v")).as(Seq("i", "x")))
+        .select((col("i") / lit(dsub)).cast("int").as("sub_id"),
+          pmod(col("i"), lit(dsub)).cast("int").as("d"),
+          col("codes"), col("x"))
+        .select(col("sub_id"),
+          element_at(col("codes"), col("sub_id") + 1).as("centroid_id"),
+          col("d"), col("x"))
+        .groupBy("sub_id", "centroid_id", "d")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      // empty-cluster rule, driver-side: a (sub, centroid) slot with no
+      // assigned vectors keeps its previous position (absent from the
+      // aggregate) so it can re-capture vectors — same as the old
+      // anti-join union
+      val next = flat.clone()
+      rows.foreach { r =>
+        val s = r.getInt(0); val cid = r.getInt(1); val d = r.getInt(2)
+        next((s * effK + cid) * dsub + d) = r.getDouble(3)
+      }
+      flat = next
     }
-    c
+    (for (s <- 0 until numSub; cid <- 0 until effK) yield
+      (s, cid, (0 until dsub).map(i => flat((s * effK + cid) * dsub + i))))
+      .toDF("sub_id", "centroid_id", "centroid_vec")
   }
 
   /** Collect a [[pqCodebooks]] relation into the flat driver-side array
@@ -934,29 +947,54 @@ object SimilaritySearch {
     * Sharper centroids raise IVF recall at the same nProbe.
     */
   def kMeansRefine(index: DataFrame, centroids: DataFrame, iters: Int): DataFrame = {
-    var c = centroids
+    if (iters <= 0) return centroids
+    import graft.functions.expressions.VectorExpressions.nearest_centroid_cos
+    val spark = index.sparkSession
+    import spark.implicits._
+    // Lloyd state is MODEL-SIZED (k × dim doubles — the same bound the
+    // seed collects rely on), so the loop keeps the centroids on the
+    // driver and pays ONE Spark job per round: assignment as a map-side
+    // expression (NearestCentroidCosF — bit-identical cosine and tie
+    // rule to the old crossJoin + max_by), then ONE (centroid, dim)
+    // partial-aggregated avg whose k·dim-bounded result is collected
+    // and folded on the driver (empty clusters keep their previous
+    // position, the old anti-join rule). The old loop paid, per round:
+    // a broadcast build, the assignment exchange, meanVectors' TWO
+    // exchanges ((key, dim) avg then collect_list reassembly), the
+    // anti-join and an EAGER checkpoint — JobProfile attributed ~6 s of
+    // q197 to those stages (guide §1.2 step 1; §5 — model state lives
+    // on the driver, row state on the executors).
+    val init = centroids.select(col("centroid_id"), col("centroid_vec"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1) // k-bounded model collect
+    require(init.nonEmpty, "kMeansRefine: empty centroid set")
+    val dim = init.head._2.length
+    val k = init.length
+    val ids = init.map(_._1)
+    var flat = new Array[Double](k * dim)
+    for (((_, v), j) <- init.zipWithIndex; i <- 0 until dim)
+      flat(j * dim + i) = v(i)
     for (_ <- 1 to iters) {
-      // same max_by formulation as assignToCentroids, with the embedding
-      // carried in the aggregation buffer (one vector per key) so no
-      // re-join is needed for the re-average
-      val assigned = index.crossJoin(broadcast(c))
-        .withColumn("csim", VectorOps.cosine(col("embedding"), col("centroid_vec")))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("centroid_id"), col("embedding")),
-          struct(col("csim"), (-col("centroid_id")).as("neg_cid"))).as("w"))
-        .select(col("w.centroid_id").as("centroid_id"),
-          col("w.embedding").as("embedding"))
-      val refreshed = meanVectors(assigned, "centroid_id", "embedding",
-        "centroid_vec")
-      // a centroid whose cluster emptied this round would VANISH from the
-      // re-average (shrinking k for every later round); keep it at its
-      // previous position instead so it can re-capture vectors
-      c = refreshed.unionByName(
-        c.join(refreshed.select("centroid_id"), Seq("centroid_id"),
-          "left_anti"))
-        .localCheckpoint(true)
+      // the assignment is computed in its OWN projection BELOW the
+      // explode — a generator expression in the same select would put
+      // the k·dim kernel in the Project ABOVE the Generate, evaluating
+      // it once per (row, dim) instead of once per row (measured: a
+      // dim× blow-up that turned q197's training into minutes)
+      val rows = index
+        .select(nearest_centroid_cos(col("embedding"), flat, k).as("ord"),
+          VectorOps.toDouble(col("embedding")).as("v"))
+        .select(col("ord"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("ord", "d")
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = flat.clone()
+      rows.foreach { r =>
+        next(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2)
+      }
+      flat = next
     }
-    c
+    ids.zipWithIndex.map { case (id, j) =>
+      (id, (0 until dim).map(i => flat(j * dim + i)))
+    }.toSeq.toDF("centroid_id", "centroid_vec")
   }
 
   /** Deterministic k-means: seeds are the k index vectors with the
