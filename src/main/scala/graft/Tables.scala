@@ -30,7 +30,16 @@ object Tables {
     // timezone). Normalizing HERE keeps every downstream consumer
     // (unix_micros, window(), streaming watermarks) on one type.
     ensureNanosAsLong(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // footer-schema read (ParquetIO): every query body re-loads its
+    // fixture tables on every run, and a plain spark.read.parquet pays
+    // a schema-INFERENCE Spark job per call (~25-100 ms of job latency
+    // each; the bench re-plans ~250 queries × 3 runs × 1-3 tables).
+    // One driver-side footer read yields the identical schema —
+    // inference itself reads a single footer through the same
+    // converter (guide §6: metadata work is driver-side). The nanos
+    // conf above is set BEFORE the footer is converted, so the
+    // TIMESTAMP(NANOS)→Long handling matches the inference path.
+    val df = sources.ParquetIO.read(spark, s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else if (name == "events" &&

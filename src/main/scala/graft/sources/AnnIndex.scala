@@ -148,7 +148,14 @@ object AnnIndex {
   private[sources] def registerExternal(spark: SparkSession, table: String,
       path: String, clusteredBy: Option[(String, Int)] = None,
       partitionedBy: Option[String] = None): Unit = {
-    val schema = spark.read.parquet(path).schema
+    // footer-schema DDL for the unpartitioned layouts (no inference
+    // job); partitioned ones keep the inference read — their DDL needs
+    // the discovered partition column and its inferred type
+    val schema =
+      if (partitionedBy.isEmpty)
+        ParquetIO.footerSchema(spark, path)
+          .getOrElse(spark.read.parquet(path).schema)
+      else spark.read.parquet(path).schema
     val colsDdl = schema.fields
       .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
     val partDdl = partitionedBy
@@ -3077,7 +3084,7 @@ object AnnIndex {
   private def ivfPqHandle(spark: SparkSession, tag: String,
       meta: Map[String, Long]): IvfPqHandle = {
     val cents = ParquetIO.read(spark, s"${ivfPqBase(spark, tag)}/centroids")
-    val cb = spark.read.parquet(s"${ivfPqBase(spark, tag)}/codebook")
+    val cb = ParquetIO.read(spark, s"${ivfPqBase(spark, tag)}/codebook")
     val lists = spark.table(s"graft_ivfpq_lists_$tag")
     val vecs = spark.table(s"graft_ivfpq_vecs_$tag")
     if (spark.catalog.tableExists(s"graft_ivfpq_tombs_$tag")) {

@@ -32,6 +32,9 @@ private[graft] object ParquetIO {
     * ignoring metadata/marker files.
     */
   private def firstParquetFile(dir: Path): Option[Path] = {
+    // a single-FILE layout (the fixture tables are one parquet file
+    // each) is its own footer source
+    if (Files.isRegularFile(dir)) return Some(dir)
     if (!Files.isDirectory(dir)) return None
     val s = Files.walk(dir)
     try {
@@ -58,8 +61,14 @@ private[graft] object ParquetIO {
       val msg =
         try reader.getFooter.getFileMetaData.getSchema
         finally reader.close()
-      new org.apache.spark.sql.execution.datasources.parquet
-        .ParquetToSparkSchemaConverter(spark.sessionState.conf).convert(msg)
+      // recursively nullable, exactly like inference: file-source
+      // relations force asNullable on inferred schemas, and parquet
+      // `required` fields would otherwise surface as nullable=false
+      // here only (pinned by ParquetIOSpec)
+      org.apache.spark.sql.GraftExprBridge.asNullable(
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+          .convert(msg))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Partition-discovery listing threshold for the engine's hash/band-

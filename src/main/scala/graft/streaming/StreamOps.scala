@@ -1217,7 +1217,7 @@ object StreamOps {
           if (id <= gateCommittedBatch(auditDir)) {
             // replay-verification: the committed audit row for this id
             // must describe THIS content, else it is not a replay
-            val stored = spark.read.parquet(auditDir)
+            val stored = graft.sources.ParquetIO.read(spark, auditDir)
               .filter(col("batch_id") === id)
               .select("n_rows", "n_violations").collect()
             require(stored.exists(r =>

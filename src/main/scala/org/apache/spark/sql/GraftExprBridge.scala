@@ -22,6 +22,14 @@ object GraftExprBridge {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** Recursively nullable form of a schema (`private[spark]` in
+    * DataType) — file-source relations force this on inferred schemas,
+    * so a footer-derived schema must apply it too to be
+    * indistinguishable from inference.
+    */
+  def asNullable(s: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType = s.asNullable
+
   /** The fully optimized logical plan behind a DataFrame — used by plan
     * rewrite rules that splice a DataFrame-built subtree into an
     * already-optimized tree (the main optimizer batches will not visit
