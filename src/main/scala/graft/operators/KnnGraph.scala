@@ -318,13 +318,18 @@ object KnnGraph {
     // rounds then walk from there like any other entry. Both orphan
     // frames are query-batch-sized, so the check is cheap, and the
     // index-wide TakeOrdered is paid ONLY when an orphan exists.
-    val orphans = queries.select(col("query_id"))
+    // the existence probe is a limit-1 anti-join over the checkpointed
+    // seeds (one bounded job); the full orphan frame is only computed
+    // in the RARE orphan branch — an unconditional checkpoint here paid
+    // a per-call materialization job on the hot no-orphan path
+    def orphans = queries.select(col("query_id"))
       .join(seeds.select("query_id").distinct(), Seq("query_id"),
-        "left_anti").localCheckpoint(true)
+        "left_anti")
     val seeded =
       if (orphans.isEmpty) seeds
-      else seeds.unionByName(orphans.crossJoin(broadcast(
-        index.select(col("vec_id")).orderBy(col("vec_id")).limit(beam))))
+      else seeds.unionByName(orphans.localCheckpoint(true).crossJoin(
+        broadcast(
+          index.select(col("vec_id")).orderBy(col("vec_id")).limit(beam))))
     var frontier = topBeam(score(seeded), beam).localCheckpoint(true)
 
     var r = 0

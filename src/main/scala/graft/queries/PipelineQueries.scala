@@ -2794,7 +2794,11 @@ object PipelineQueries {
           col("embedding").as("query_vec"))
       val idx = emb.filter(col("vec_id") % 25 =!= 0)
       val graph = KnnGraph.exactGraph(idx, 8).select("src", "dst")
-      val exact = SimilaritySearch.bruteForceTopK(q, idx, k = 4)
+      // agg-form exact baseline (bounded map-side top-k — documented and
+      // oracle-pinned output-identical to the window form): the held-out
+      // protocol scores ~200 queries x ~4800 index rows here, and the
+      // window form shuffled and sorted every scored pair (guide 2.3)
+      val exact = SimilaritySearch.bruteForceTopKAgg(q, idx, k = 4)
         .select("query_id", "vec_id").localCheckpoint(true)
       val served = KnnGraph.graphSearch(q, idx, graph, k = 4,
         beam = 32, rounds = 3).select("query_id", "vec_id")
@@ -2816,6 +2820,7 @@ object PipelineQueries {
     // build + beam search) recall measured 1.0 / 1.0 / 0.9875 at the
     // three scales (KnnTune nnsearch mode).
     "q231_graph_persisted" -> ((s, dir) => {
+      import graft.operators.KnnGraph
       import graft.sources.GraphIndex
       val emb = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
@@ -2826,11 +2831,19 @@ object PipelineQueries {
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_vec"))
       val idx = emb.filter(col("vec_id") % 25 =!= 0)
-      GraphIndex.ensureGraph(s, s"$dir#graph", idx, k = 8, rounds = 4,
-        blockSize = 50, maxDegree = 24, snapshotId = Some(dir))
-      val served = GraphIndex.queryGraph(s, s"$dir#graph", q, k = 4,
-        beam = 32, rounds = 3).select("query_id", "vec_id")
-      val exact = SimilaritySearch.bruteForceTopK(q, idx, k = 4)
+      // serve through the handle ensureGraph already returns — the old
+      // queryGraph call re-opened the layout it had just ensured
+      // (refreshTable + servable probes, paid twice per run)
+      val h231 = GraphIndex.ensureGraph(s, s"$dir#graph", idx, k = 8,
+        rounds = 4, blockSize = 50, maxDegree = 24, snapshotId = Some(dir))
+      val served = KnnGraph.graphSearch(q, h231.vecs, h231.edges, k = 4,
+          beam = 32, rounds = 3, assumeUndirected = true)
+        .select("query_id", "vec_id")
+      // agg-form exact baseline (bounded map-side top-k — documented and
+      // oracle-pinned output-identical to the window form): the held-out
+      // protocol scores ~200 queries x ~4800 index rows here, and the
+      // window form shuffled and sorted every scored pair (guide 2.3)
+      val exact = SimilaritySearch.bruteForceTopKAgg(q, idx, k = 4)
         .select("query_id", "vec_id").localCheckpoint(true)
       exact.agg(countDistinct("query_id").as("n_queries"),
           count(lit(1)).as("n_exact"))
@@ -2871,10 +2884,18 @@ object PipelineQueries {
         GraphIndex.upsertGraph(s, key, tail, batchId = Some(1L))
         GraphIndex.upsertGraph(s, key, tail, batchId = Some(1L)) // replay
       }
+      // one openGraph for both the served walk and the panel's
+      // n_vecs_served — the old queryGraph call re-opened the layout
+      // (refreshTable + servable probes) beside the open above
       val h = GraphIndex.openGraph(s, key)
-      val served = GraphIndex.queryGraph(s, key, q, k = 4,
-        beam = 32, rounds = 3).select("query_id", "vec_id")
-      val exact = SimilaritySearch.bruteForceTopK(q, idx, k = 4)
+      val served = graft.operators.KnnGraph.graphSearch(q, h.vecs,
+          h.edges, k = 4, beam = 32, rounds = 3, assumeUndirected = true)
+        .select("query_id", "vec_id")
+      // agg-form exact baseline (bounded map-side top-k — documented and
+      // oracle-pinned output-identical to the window form): the held-out
+      // protocol scores ~200 queries x ~4800 index rows here, and the
+      // window form shuffled and sorted every scored pair (guide 2.3)
+      val exact = SimilaritySearch.bruteForceTopKAgg(q, idx, k = 4)
         .select("query_id", "vec_id").localCheckpoint(true)
       exact.agg(countDistinct("query_id").as("n_queries"),
           count(lit(1)).as("n_exact"))
@@ -2921,12 +2942,20 @@ object PipelineQueries {
         "left_anti")
       val victimProbes = victims.select(col("vec_id").as("query_id"),
         col("embedding").as("query_vec"))
-      val victimServed = GraphIndex.queryGraph(s, key, victimProbes,
-        k = 4, beam = 32, rounds = 3)
+      // one openGraph serves BOTH walks (victim probes + held-out
+      // queries) — the per-call queryGraph re-opened the layout twice
+      // (refreshTable + servable probes each time)
+      val h233 = GraphIndex.openGraph(s, key)
+      val victimServed = graft.operators.KnnGraph.graphSearch(
+          victimProbes, h233.vecs, h233.edges, k = 4, beam = 32,
+          rounds = 3, assumeUndirected = true)
         .join(victims.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      val served = GraphIndex.queryGraph(s, key, q, k = 4,
-        beam = 32, rounds = 3).select("query_id", "vec_id")
-      val exact = SimilaritySearch.bruteForceTopK(q, survivors, k = 4)
+      val served = graft.operators.KnnGraph.graphSearch(q, h233.vecs,
+          h233.edges, k = 4, beam = 32, rounds = 3,
+          assumeUndirected = true)
+        .select("query_id", "vec_id")
+      // agg-form exact baseline over the survivors (see q230's note)
+      val exact = SimilaritySearch.bruteForceTopKAgg(q, survivors, k = 4)
         .select("query_id", "vec_id").localCheckpoint(true)
       victims.agg(count(lit(1)).as("n_victims"))
         .crossJoin(victimServed.agg(count(lit(1)).as("n_victims_served")))
@@ -5043,10 +5072,16 @@ object PipelineQueries {
     // shuffled, the key text rides just the colliding-slice residual).
     "q84_clean_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // each funnel stage materializes ONCE (lazy checkpoint — row
+      // order and values untouched): the panel's crossJoined branches
+      // otherwise re-execute the per-row quality pass 3x and the
+      // langid n-gram pass 2x, the dominant exec cost of this query
       val qual = TextAnalysis.qualityFeatures(docs)
         .filter(col("quality_score") >= 0.5)
+        .localCheckpoint(false)
       val en = TextAnalysis.languageId(qual)
         .filter(col("predicted_lang") === "en" && col("lang") === "en")
+        .localCheckpoint(false)
       val bowKey = array_join(
         array_sort(array_distinct(split(lower(trim(col("text"))), "\\s+"))),
         " ")
