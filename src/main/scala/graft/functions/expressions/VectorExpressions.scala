@@ -49,6 +49,16 @@ object VectorExpressions {
   /** max |x_i| of a float/double array (0.0 for an empty array). */
   def max_abs(vec: Column): Column = col(MaxAbsF(ex(vec)))
 
+  /** σ(w·x + b) against a driver-held model array — the logistic
+    * scoring kernel of the trained-quality-classifier GD loop. The
+    * model rides as codegen REFERENCE OBJECTS, not literals: a literal
+    * weight array changes the generated code every iteration (dim
+    * inlined floats), forcing a Janino recompile per GD step — measured
+    * as the dominant cost of q127's 20-iteration loop.
+    */
+  def logistic_prob(vec: Column, weights: Array[Float], bias: Double): Column =
+    col(LogisticProbF(ex(vec), weights, bias))
+
   /** Ordinal (0-based row index into `centroids`, a k×dim flat array)
     * of the max-cosine centroid for `vec`; ties keep the LOWEST
     * ordinal — exactly the `max_by(struct(csim, -centroid_id))`
@@ -329,6 +339,49 @@ case class CosineF(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Logistic probability against reference-object model parameters —
+  * bit-identical to `1/(1+exp(-(dot_f(x, array(w:_*)) + b)))` with the
+  * weights cast to float first (the training loop's convention), but
+  * with generated code that is BYTE-IDENTICAL across iterations so the
+  * codegen cache hits after the first GD step.
+  */
+case class LogisticProbF(child: Expression, weights: Array[Float],
+    bias: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val g = VecKernels.getter(child)
+    val n = math.min(x.numElements(), weights.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += g(x, i) * weights(i).toDouble; i += 1 }
+    1.0 / (1.0 + math.exp(-(d + bias)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val w = ctx.addReferenceObj("weights", weights, "float[]")
+      // bias via a one-element reference array: a double literal in the
+      // source would re-key the codegen cache every iteration
+      val bArr = ctx.addReferenceObj("bias", Array(bias), "double[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $w.length);
+         |double $d = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $d += ${VecKernels.jGet(child, a, i)} * (double) $w[$i];
+         |}
+         |${ev.value} = 1.0 / (1.0 + java.lang.Math.exp(-($d + $bArr[0])));
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** argmax-cosine centroid assignment against a k-bounded model array —

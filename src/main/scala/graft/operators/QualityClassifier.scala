@@ -49,9 +49,14 @@ object QualityClassifier {
     var lastLoss = Double.NaN
     var it = 0
     while (it < iters) {
-      val wCol = array(w.map(v => lit(v.toFloat)): _*)
-      val p = lit(1.0) /
-        (lit(1.0) + exp(-(VectorOps.dot(col("fx"), wCol) + lit(b))))
+      // model as codegen reference objects (not literals): a dim-wide
+      // literal array re-keys the generated code every iteration,
+      // forcing a Janino recompile per GD step — with the reference
+      // form the per-iteration source is byte-identical and the
+      // codegen cache hits after step 1 (values identical: same float
+      // cast, same left-to-right dot, same σ)
+      val p = graft.functions.expressions.VectorExpressions
+        .logistic_prob(col("fx"), w.map(_.toFloat), b)
       val resid = p - col("y")
       val logloss = -(col("y") * log(greatest(p, lit(1e-12))) +
         (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12))))

@@ -2057,7 +2057,11 @@ object PipelineQueries {
     "q217_split_store" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val key = s"$dir#splitstore"
-      val allPairs = Dedup.ngramJaccard(docs, k = 3, threshold = 0.12)
+      // fanOut: the q53 rationale — the shingle explode + self-join is
+      // CPU-bound and the fixture scan yields one split; the pair SET
+      // is deterministic regardless of input partitioning
+      val allPairs = Dedup.ngramJaccard(fanOut(docs), k = 3,
+          threshold = 0.12)
         .select("doc_id_a", "doc_id_b").localCheckpoint(true)
       val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
       val odds = docs.filter(col("doc_id") % 2 === 1).select("doc_id")
@@ -2583,7 +2587,11 @@ object PipelineQueries {
     // the q84/q140 funnel discipline promoted to the token level,
     // proving the operators compose without a seam.
     "q222_pretraining_export" -> ((s, dir) => {
-      val raw = t(s, dir, "documents")
+      // fanOut: the normalize + gopher-signals pass is per-row CPU on a
+      // single-split scan; every consumer (counts, fingerprinted store
+      // builds, id-keyed joins, shard-windowed packing) is
+      // order-insensitive or id-deterministic
+      val raw = fanOut(t(s, dir, "documents"))
       val d0 = TextAnalysis.normalizeText(raw)
         .withColumn("text", col("norm_text")).drop("norm_text")
       val gated = TextAnalysis.gopherSignals(d0)
@@ -3212,8 +3220,10 @@ object PipelineQueries {
     // split lacks. Integer arithmetic end-to-end; the oracle replays
     // pairs, recursive-CTE closure, the hex parse, and the bucketing.
     "q211_leakage_free_split" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), k = 3,
-          threshold = 0.12)
+      // fanOut: the q53 rationale (CPU-bound pair generation on a
+      // single-split scan; id-keyed deterministic output)
+      val pairs = Dedup.ngramJaccard(fanOut(t(s, dir, "documents")),
+          k = 3, threshold = 0.12)
         .select("doc_id_a", "doc_id_b")
       CorpusOps.leakageFreeSplit(
           t(s, dir, "documents").select("doc_id"), "doc_id", pairs,
