@@ -369,9 +369,15 @@ object SimilaritySearch {
       }
       flat = next
     }
+    // ONE partition: this is a model-sized relation the stores write
+    // verbatim — parallelized local rows would land one tiny file per
+    // slice (guide §6 small files; and maintain()'s path-derived floor
+    // counts a plain dir as one file, so a 32-file codebook dir would
+    // re-trip compaction every run)
     (for (s <- 0 until numSub; cid <- 0 until effK) yield
       (s, cid, (0 until dsub).map(i => flat((s * effK + cid) * dsub + i))))
       .toDF("sub_id", "centroid_id", "centroid_vec")
+      .coalesce(1)
   }
 
   /** Collect a [[pqCodebooks]] relation into the flat driver-side array
@@ -992,9 +998,12 @@ object SimilaritySearch {
       }
       flat = next
     }
+    // ONE partition — model-sized output the IVF stores write verbatim
+    // (see pqCodebooks' note on file counts and the maintain floor)
     ids.zipWithIndex.map { case (id, j) =>
       (id, (0 until dim).map(i => flat(j * dim + i)))
     }.toSeq.toDF("centroid_id", "centroid_vec")
+      .coalesce(1)
   }
 
   /** Deterministic k-means: seeds are the k index vectors with the
